@@ -1,0 +1,72 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Mirrors the reference's ``execute_workload`` timing model
+(/root/reference/postbound/bench.py:1019 — wall-clock per query including
+result transfer); ours times ``collect()`` of each registered headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per workload family — scan-agg, multi-join, window,
+# semi/anti, set ops, dedup, similarity, text. Keep this list in sync with
+# the heaviest representative queries as coverage grows.
+HEADLINE = [
+    "flagship_regional_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "top_suppliers_having",
+    "latest_order_per_customer",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from postbound_spark.queries import load_all
+    from postbound_spark.session import get_spark
+
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+    # include any later-registered headline-worthy queries marked in registry
+    spark = get_spark("postbound-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm each query once (JVM JIT + codegen + parquet footer cache), then
+    # time the steady-state run — the reference's prewarm analog
+    # (db/_db.py:120, postgres prewarm_tables). Cold-start compile time is a
+    # per-shape constant that vanishes at scale; steady-state is the number
+    # that extrapolates.
+    timings: dict[str, float] = {}
+    for name in names:
+        registry[name].builder(spark, sf_dir).collect()
+        start = time.perf_counter()
+        registry[name].builder(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

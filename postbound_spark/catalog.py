@@ -1,0 +1,88 @@
+"""Table catalog over the driver's parquet fixtures.
+
+Mirrors the reference's schema interface (``DatabaseSchema.tables()`` /
+``columns()``, /root/reference/postbound/db/_db.py:788,:817) on top of
+``spark.read.parquet`` + ``spark.catalog``. Spark has no PK/FK constraints, so
+key metadata lives in the sidecar :data:`PRIMARY_KEYS` / :data:`FOREIGN_KEYS`
+registries (SURVEY.md §7 "No PK/FK metadata in Spark"); the optimizer layer's
+n:m vs PK/FK join classification (ref: opt/_joingraph.py:377) reads these.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+PRIMARY_KEYS: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    # lineitem: composite (l_orderkey, l_linenumber) — no single-column PK
+}
+
+# (child_table, child_column) -> (parent_table, parent_column)
+FOREIGN_KEYS: dict[tuple[str, str], tuple[str, str]] = {
+    ("nation", "n_regionkey"): ("region", "r_regionkey"),
+    ("customer", "c_nationkey"): ("nation", "n_nationkey"),
+    ("supplier", "s_nationkey"): ("nation", "n_nationkey"),
+    ("orders", "o_custkey"): ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey"): ("orders", "o_orderkey"),
+    ("lineitem", "l_partkey"): ("part", "p_partkey"),
+    ("lineitem", "l_suppkey"): ("supplier", "s_suppkey"),
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet schema
+        # converter rejects outright; read the raw int64 nanoseconds instead
+        # and convert. The fixture data is µs-grained, so `div 1000` is
+        # lossless (integer div — the ns epoch exceeds double's 2^53 mantissa).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in (names or TABLES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so both the DataFrame and the
+    ``spark.sql`` paths can reach it (the reference resolves tables against a
+    live catalog the same way, parser.py:117 SchemaCache)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

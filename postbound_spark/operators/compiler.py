@@ -1,0 +1,145 @@
+"""Compile a :mod:`postbound_spark.plans.relalg` tree to a Spark DataFrame.
+
+The compiler is deliberately thin: each logical node maps to exactly one
+DataFrame transformation (the mapping table of SURVEY.md §2.1), and every
+declarative decision — predicate pushdown, column pruning, join algorithm,
+exchange placement — is left to Catalyst. The reference's equivalent step is
+the inverse direction (SQL → algebra, relalg.py:4266 ``parse_relalg``); here
+the algebra is the user-facing plan language and Spark is the executor.
+
+Join order is preserved *by construction*: the tree shape IS the join order,
+which is exactly how the optimizer-instrumentation layer
+(:mod:`postbound_spark.optimizer`) enforces a ``JoinTree`` decision
+(ref: PostBOUND enforces order via pg_hint_plan ``Leading`` hints,
+postgres.py:2210 — in Spark we simply build in order and optionally pin the
+algorithm with a per-join hint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postbound_spark.plans import relalg as ra
+
+
+class _Compiler(ra.RelNodeVisitor):
+    def __init__(self, spark: SparkSession, catalog: dict[str, DataFrame] | None):
+        self.spark = spark
+        self.catalog = catalog or {}
+
+    def _compile(self, node: ra.RelNode) -> DataFrame:
+        return node.accept(self)
+
+    # --- leaves -----------------------------------------------------------
+    def visit_relation(self, node: ra.Relation) -> DataFrame:
+        if node.table is not None:
+            df = self.catalog.get(node.table)
+            if df is None:
+                df = self.spark.table(node.table)
+        else:
+            df = self._compile(node.subquery)
+        return df.alias(node.alias) if node.alias else df
+
+    # --- unary ------------------------------------------------------------
+    def visit_selection(self, node: ra.Selection) -> DataFrame:
+        return self._compile(node.child).filter(F.expr(node.predicate))
+
+    def visit_projection(self, node: ra.Projection) -> DataFrame:
+        return self._compile(node.child).select(*(F.expr(c) for c in node.columns))
+
+    def visit_map(self, node: ra.Map) -> DataFrame:
+        df = self._compile(node.child)
+        return df.withColumns({name: F.expr(expr) for name, expr in node.expressions})
+
+    def visit_rename(self, node: ra.Rename) -> DataFrame:
+        return self._compile(node.child).withColumnsRenamed(dict(node.mapping))
+
+    def visit_duplicateelimination(self, node: ra.DuplicateElimination) -> DataFrame:
+        return self._compile(node.child).distinct()
+
+    def visit_sort(self, node: ra.Sort) -> DataFrame:
+        cols = []
+        for key in node.keys:
+            col = F.expr(key.expression)
+            if key.ascending:
+                col = (
+                    col.asc()
+                    if key.nulls_first is None
+                    else (col.asc_nulls_first() if key.nulls_first else col.asc_nulls_last())
+                )
+            else:
+                col = (
+                    col.desc()
+                    if key.nulls_first is None
+                    else (col.desc_nulls_first() if key.nulls_first else col.desc_nulls_last())
+                )
+            cols.append(col)
+        return self._compile(node.child).orderBy(*cols)
+
+    def visit_grouping(self, node: ra.Grouping) -> DataFrame:
+        df = self._compile(node.child)
+        aggs = [F.expr(expr).alias(name) for name, expr in node.aggregates]
+        if not node.keys:
+            return df.agg(*aggs)
+        if not aggs:
+            # pure dedup-grouping (ref: relalg.py:1386-1389)
+            return df.select(*(F.expr(k) for k in node.keys)).distinct()
+        return df.groupBy(*(F.expr(k) for k in node.keys)).agg(*aggs)
+
+    def visit_subqueryscan(self, node: ra.SubqueryScan) -> DataFrame:
+        df = self._compile(node.child)
+        return df.alias(node.alias) if node.alias else df
+
+    def visit_limit(self, node: ra.Limit) -> DataFrame:
+        df = self._compile(node.child)
+        if node.offset:
+            df = df.offset(node.offset)
+        if node.limit is not None:
+            df = df.limit(node.limit)
+        return df
+
+    # --- binary -----------------------------------------------------------
+    def _join_sides(self, node) -> tuple[DataFrame, DataFrame]:
+        left = self._compile(node.left)
+        right = self._compile(node.right)
+        if getattr(node, "hint", None):
+            right = right.hint(node.hint)
+        return left, right
+
+    def visit_thetajoin(self, node: ra.ThetaJoin) -> DataFrame:
+        left, right = self._join_sides(node)
+        return left.join(right, on=F.expr(node.predicate), how="inner")
+
+    def visit_crossproduct(self, node: ra.CrossProduct) -> DataFrame:
+        left, right = self._join_sides(node)
+        return left.crossJoin(right)
+
+    def visit_semijoin(self, node: ra.SemiJoin) -> DataFrame:
+        left, right = self._join_sides(node)
+        return left.join(right, on=F.expr(node.predicate), how="left_semi")
+
+    def visit_antijoin(self, node: ra.AntiJoin) -> DataFrame:
+        left, right = self._join_sides(node)
+        return left.join(right, on=F.expr(node.predicate), how="left_anti")
+
+    def visit_union(self, node: ra.Union) -> DataFrame:
+        out = self._compile(node.left).union(self._compile(node.right))
+        return out.distinct() if node.distinct else out
+
+    def visit_intersection(self, node: ra.Intersection) -> DataFrame:
+        return self._compile(node.left).intersect(self._compile(node.right))
+
+    def visit_difference(self, node: ra.Difference) -> DataFrame:
+        # set semantics (ref: relalg.py:893) — Spark's subtract == EXCEPT DISTINCT
+        return self._compile(node.left).subtract(self._compile(node.right))
+
+
+def compile_plan(
+    node: ra.RelNode,
+    spark: SparkSession,
+    catalog: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Compile ``node`` to a DataFrame. ``catalog`` maps table names to
+    DataFrames; missing names fall back to ``spark.table`` (temp views)."""
+    return _Compiler(spark, catalog)._compile(node)

@@ -1,0 +1,251 @@
+"""Relational-algebra logical operators — the engine's logical plan language.
+
+Re-expresses the reference's 16-node relational algebra
+(/root/reference/postbound/relalg.py: RelNode :87, Selection :449,
+CrossProduct :559, Union :669, Intersection :780, Difference :892,
+Relation :1004, ThetaJoin :1139, Projection :1268, Grouping :1376,
+Rename :1535, Sort :1654, Map :1781, DuplicateElimination :1926,
+SemiJoin :2001, AntiJoin :2158, SubqueryScan :2316) as immutable Python
+dataclasses. This is NOT a port of the reference's tree machinery: nodes here
+are thin declarations compiled directly to Spark DataFrames
+(:mod:`postbound_spark.operators.compiler`), so Catalyst — not this layer —
+performs expression analysis, predicate placement, and physical planning.
+
+Scalar expressions and predicates are Spark-SQL strings (parsed by Catalyst
+via ``F.expr``). The reference models expressions as a parallel class tree
+(qal/_qal.py); delegating to Catalyst's parser is the Spark-first equivalent
+and keeps the whole expression surface (CASE, CAST, windows, arrays,
+quantifiers, lambdas) available without re-implementation.
+
+An extension relative to the reference: a ``Limit`` node. The reference keeps
+LIMIT/OFFSET at the clause level only (relalg.py:24 mentions it but no node
+exists — SURVEY.md §2.1); having it as a node lets the compiler emit
+``df.limit``/``df.offset`` uniformly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+
+
+@dataclass(frozen=True)
+class RelNode:
+    """Base class for all logical operators. Immutable; children are held in
+    declared dataclass fields (ref pattern: relalg.py:87 ``RelNode`` with
+    precomputed hashes — Python ``frozen`` dataclasses give us the same)."""
+
+    def children(self) -> tuple["RelNode", ...]:
+        out = []
+        for f in fields(self):
+            value = getattr(self, f.name)
+            if isinstance(value, RelNode):
+                out.append(value)
+            elif isinstance(value, tuple):
+                out.extend(v for v in value if isinstance(v, RelNode))
+        return tuple(out)
+
+    def accept(self, visitor: "RelNodeVisitor"):
+        method = "visit_" + type(self).__name__.lower()
+        return getattr(visitor, method)(self)
+
+    def mutate(self, **changes) -> "RelNode":
+        """Return a copy with the given fields replaced (ref:
+        relalg.py:2547 tree-mutation utilities — trivially expressible with
+        frozen dataclasses)."""
+        import dataclasses
+
+        return dataclasses.replace(self, **changes)
+
+    def walk(self):
+        yield self
+        for child in self.children():
+            yield from child.walk()
+
+    def tables(self) -> set[str]:
+        """All base-relation names in this subtree."""
+        return {n.table for n in self.walk() if isinstance(n, Relation) and n.table}
+
+
+@dataclass(frozen=True)
+class Relation(RelNode):
+    """Leaf: a base table (by catalog name) or a subquery-backed relation
+    (ref: relalg.py:1004)."""
+
+    table: str | None = None
+    subquery: RelNode | None = None
+    alias: str | None = None
+
+    def __post_init__(self):
+        if (self.table is None) == (self.subquery is None):
+            raise ValueError("Relation needs exactly one of table / subquery")
+
+
+@dataclass(frozen=True)
+class Selection(RelNode):
+    """σ_θ — filter by an arbitrary predicate (ref: relalg.py:449)."""
+
+    child: RelNode = None  # type: ignore[assignment]
+    predicate: str = ""
+
+
+@dataclass(frozen=True)
+class Projection(RelNode):
+    """π — keep listed expressions; bag semantics, no dedup
+    (ref: relalg.py:1268-1273)."""
+
+    child: RelNode = None  # type: ignore[assignment]
+    columns: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class Map(RelNode):
+    """χ — compute new expressions from existing columns
+    (ref: relalg.py:1781). ``expressions`` maps target name → SQL expression;
+    existing columns pass through."""
+
+    child: RelNode = None  # type: ignore[assignment]
+    expressions: tuple[tuple[str, str], ...] = ()
+
+
+@dataclass(frozen=True)
+class Rename(RelNode):
+    """ρ — rename columns (ref: relalg.py:1535; unused there because natural
+    joins are unsupported — we implement it anyway, it is one Spark call)."""
+
+    child: RelNode = None  # type: ignore[assignment]
+    mapping: tuple[tuple[str, str], ...] = ()  # (old, new)
+
+
+@dataclass(frozen=True)
+class ThetaJoin(RelNode):
+    """⋈_θ — inner join on an arbitrary predicate (ref: relalg.py:1139).
+    Catalyst picks hash/sort-merge for equi-conditions and falls back to
+    broadcast-nested-loop for pure theta conditions. ``hint`` optionally pins
+    the algorithm on the RIGHT side (broadcast / merge / shuffle_hash /
+    shuffle_replicate_nl) — the enforcement surface of SURVEY.md §4.3."""
+
+    left: RelNode = None  # type: ignore[assignment]
+    right: RelNode = None  # type: ignore[assignment]
+    predicate: str = ""
+    hint: str | None = None
+
+
+@dataclass(frozen=True)
+class CrossProduct(RelNode):
+    """× — Cartesian product (ref: relalg.py:559)."""
+
+    left: RelNode = None  # type: ignore[assignment]
+    right: RelNode = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class SemiJoin(RelNode):
+    """⋉ — rows of left with ≥1 match on the right; models IN/EXISTS
+    subqueries (ref: relalg.py:2001-2021)."""
+
+    left: RelNode = None  # type: ignore[assignment]
+    right: RelNode = None  # type: ignore[assignment]
+    predicate: str = ""
+
+
+@dataclass(frozen=True)
+class AntiJoin(RelNode):
+    """▷ — rows of left with NO match on the right; models NOT IN/NOT EXISTS
+    (ref: relalg.py:2158-2178). Null-aware NOT IN must be phrased through the
+    SQL path (Catalyst's null-aware anti join); this node is the NOT EXISTS
+    flavor."""
+
+    left: RelNode = None  # type: ignore[assignment]
+    right: RelNode = None  # type: ignore[assignment]
+    predicate: str = ""
+
+
+@dataclass(frozen=True)
+class Grouping(RelNode):
+    """γ — group by ``keys`` and compute ``aggregates`` (target name → SQL
+    aggregate expression). Empty keys = global aggregate; empty aggregates =
+    grouping-based dedup (ref: relalg.py:1376-1389)."""
+
+    child: RelNode = None  # type: ignore[assignment]
+    keys: tuple[str, ...] = ()
+    aggregates: tuple[tuple[str, str], ...] = ()
+
+
+@dataclass(frozen=True)
+class DuplicateElimination(RelNode):
+    """δ — SELECT DISTINCT (ref: relalg.py:1926)."""
+
+    child: RelNode = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class SortKey:
+    expression: str = ""
+    ascending: bool = True
+    nulls_first: bool | None = None  # None → Spark default for the direction
+
+
+@dataclass(frozen=True)
+class Sort(RelNode):
+    """τ — multi-key sort (ref: relalg.py:1654; the reference omits NULLS
+    FIRST/LAST at the algebra level, relalg.py:1675 — we carry it because the
+    clause layer has it, qal OrderByExpression)."""
+
+    child: RelNode = None  # type: ignore[assignment]
+    keys: tuple[SortKey, ...] = ()
+
+
+@dataclass(frozen=True)
+class Union(RelNode):
+    """∪ — set union when ``distinct`` (ref: relalg.py:669), else UNION ALL
+    (the SQL layer's distinction, qal SetOperator)."""
+
+    left: RelNode = None  # type: ignore[assignment]
+    right: RelNode = None  # type: ignore[assignment]
+    distinct: bool = True
+
+
+@dataclass(frozen=True)
+class Intersection(RelNode):
+    """∩ (ref: relalg.py:780)."""
+
+    left: RelNode = None  # type: ignore[assignment]
+    right: RelNode = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class Difference(RelNode):
+    """− (ref: relalg.py:892)."""
+
+    left: RelNode = None  # type: ignore[assignment]
+    right: RelNode = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class SubqueryScan(RelNode):
+    """Marker wrapping a subquery subtree (ref: relalg.py:2316-2334); carries
+    an alias, otherwise a no-op at runtime."""
+
+    child: RelNode = None  # type: ignore[assignment]
+    alias: str | None = None
+
+
+@dataclass(frozen=True)
+class Limit(RelNode):
+    """LIMIT/OFFSET. Extension node — see module docstring."""
+
+    child: RelNode = None  # type: ignore[assignment]
+    limit: int | None = None
+    offset: int | None = None
+
+
+class RelNodeVisitor:
+    """Visitor over the operator set (ref: relalg.py:2444 RelNodeVisitor)."""
+
+    def generic_visit(self, node: RelNode):
+        raise NotImplementedError(type(node).__name__)
+
+    def __getattr__(self, name):
+        if name.startswith("visit_"):
+            return self.generic_visit
+        raise AttributeError(name)

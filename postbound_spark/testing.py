@@ -1,0 +1,67 @@
+"""Local replica of the driver's correctness gate (DB-as-oracle pattern,
+SURVEY.md §5): run a registered Spark query and its DuckDB oracle on the same
+parquet directory and compare row counts, column names, and values
+order-insensitively."""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from postbound_spark.catalog import TABLES, table_path
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def _normalize_cell(value: Any) -> Any:
+    if value is None:
+        return None
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        # collapse double noise far below the rounding the queries already do
+        return round(value, 9)
+    if isinstance(value, (list, tuple)):
+        return tuple(_normalize_cell(v) for v in value)
+    return value
+
+
+def _normalize(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = [tuple(_normalize_cell(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(rows, key=repr)
+
+
+def compare_query(
+    spark: SparkSession, name: str, sf_dir: str
+) -> tuple[bool, str]:
+    """Run REGISTRY[name] on Spark and its oracle on DuckDB; return
+    (match, message)."""
+    from postbound_spark.queries import load_all
+
+    qdef = load_all()[name]
+    spark_pdf = qdef.builder(spark, sf_dir).toPandas()
+    if qdef.oracle is None:
+        return True, f"rows-only: {len(spark_pdf)} rows"
+    with duckdb_connection(sf_dir) as con:
+        duck_pdf = con.execute(qdef.oracle).df()
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return False, f"schema mismatch: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+    if len(spark_pdf) != len(duck_pdf):
+        return False, f"row count mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    left, right = _normalize(spark_pdf), _normalize(duck_pdf)
+    if left != right:
+        diffs = [(l, r) for l, r in zip(left, right) if l != r][:3]
+        return False, f"value mismatch, first diffs: {diffs}"
+    return True, f"ok ({len(spark_pdf)} rows)"
