@@ -26,7 +26,7 @@ from postbound_spark.queries import query
 FLAGSHIP_ORACLE = """
 SELECT n.n_name,
        count(*) AS num_orders,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
 FROM region r
 JOIN nation n ON r.r_regionkey = n.n_regionkey
 JOIN customer c ON n.n_nationkey = c.c_nationkey
@@ -68,7 +68,7 @@ def flagship_plan() -> ra.RelNode:
         keys=("n_name",),
         aggregates=(
             ("num_orders", "count(*)"),
-            ("revenue", "round(sum(l_extendedprice * (1 - l_discount)), 2)"),
+            ("revenue", "round(sum(l_extendedprice * (1 - l_discount)), 4)"),
         ),
     )
     sorted_ = ra.Sort(
@@ -91,8 +91,8 @@ SELECT l_returnflag,
        l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -115,8 +115,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -130,7 +130,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
 SELECT l.l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
        o.o_orderdate,
        o.o_orderpriority
 FROM customer c
@@ -154,7 +154,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -167,7 +167,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_revenue_forecast",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -188,7 +188,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -199,7 +199,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey,
        c.c_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
        n.n_name
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -223,7 +223,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -238,7 +238,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT s.s_suppkey,
        s.s_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
 GROUP BY s.s_suppkey, s.s_name
@@ -255,7 +255,7 @@ def top_suppliers_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["supplier"]
         .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_suppkey", "s_name")
-        .agg(F.round(revenue, 2).alias("total_revenue"), revenue.alias("_raw"))
+        .agg(F.round(revenue, 4).alias("total_revenue"), revenue.alias("_raw"))
         .filter(F.col("_raw") > 100000)
         .drop("_raw")
         .orderBy(F.col("total_revenue").desc(), "s_suppkey")
