@@ -1,1 +1,574 @@
-"""Expression/predicate/clause surface queries (filled incrementally)."""
+"""Expression / predicate / clause surface queries (SURVEY.md §2.3-§2.6).
+
+Most entries run through ``spark.sql`` over registered views — exercising the
+engine's SQL surface the way the reference's qal layer feeds its backends.
+Where Spark's dialect lacks a construct the reference models
+(ANY/ALL quantifiers, FETCH FIRST), the builder applies the documented
+rewrite (SURVEY §2.3: min/max-agg for quantifiers; LIMIT for FETCH) while the
+oracle uses the genuine syntax — proving semantic, not syntactic, parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postbound_spark.catalog import load_tables, register_views
+from postbound_spark.queries import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+    register_views(spark, sf_dir, tables)
+    return spark.sql(sql)
+
+
+# --- clauses (§2.4) --------------------------------------------------------
+
+_CTE_SQL = """
+WITH nation_counts AS (
+    SELECT c_nationkey, count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+), busy AS (
+    SELECT c_nationkey, n_customers FROM nation_counts WHERE n_customers > 50
+)
+SELECT n.n_name, b.n_customers
+FROM busy b JOIN nation n ON b.c_nationkey = n.n_nationkey
+"""
+
+
+@query("sql_cte_with", oracle=_CTE_SQL)
+def sql_cte_with(spark, sf_dir):
+    """Dependency-ordered multi-CTE WITH (ref: CommonTableExpression,
+    qal/_qal.py:5605). Same text runs on both engines."""
+    return _sql(spark, sf_dir, _CTE_SQL, ["customer", "nation"])
+
+
+_VALUES_SQL = """
+SELECT r.r_name, m.label
+FROM region r
+JOIN (VALUES (0, 'africa-label'), (1, 'america-label'), (2, 'asia-label')) AS m(rkey, label)
+  ON r.r_regionkey = m.rkey
+"""
+
+
+@query("sql_values_list", oracle=_VALUES_SQL)
+def sql_values_list(spark, sf_dir):
+    """VALUES list as a table source (ref: ValuesTableSource,
+    qal/_qal.py:6436)."""
+    return _sql(spark, sf_dir, _VALUES_SQL, ["region"])
+
+
+@query(
+    "sql_table_function_range",
+    oracle="""
+SELECT g AS n, g * g AS n_squared
+FROM generate_series(1, 10) t(g)
+""",
+)
+def sql_table_function_range(spark, sf_dir):
+    """Table function in FROM — generate_series analog (ref:
+    FunctionTableSource, qal/_qal.py:6584; Spark's ``range`` TVF)."""
+    return spark.sql("SELECT id AS n, id * id AS n_squared FROM range(1, 11)")
+
+
+@query(
+    "sql_fetch_first",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+OFFSET 3 ROWS FETCH NEXT 7 ROWS ONLY
+""",
+)
+def sql_fetch_first(spark, sf_dir):
+    """FETCH {FIRST|NEXT} n ROWS (ref: Limit/FetchDirection,
+    qal/_qal.py:7548-7552) — Spark's dialect spells it LIMIT/OFFSET; the
+    oracle uses genuine FETCH syntax."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 7 OFFSET 3
+        """,
+        ["orders"],
+    )
+
+
+_ROLLUP_SQL = """
+SELECT n.n_name, c.c_mktsegment, count(*) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_balance
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+"""
+
+
+@query("sql_rollup", oracle=_ROLLUP_SQL)
+def sql_rollup(spark, sf_dir):
+    """ROLLUP — engine extension beyond the reference (it rejects
+    GROUPING SETS/CUBE/ROLLUP, qal/_qal.py:8438-8439; Spark has them
+    natively, SURVEY §2.4 notes the extension)."""
+    return _sql(spark, sf_dir, _ROLLUP_SQL, ["customer", "nation"])
+
+
+# --- expressions (§2.3) ----------------------------------------------------
+
+_CASE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 200000 THEN 'jumbo'
+            WHEN o_totalprice >= 100000 THEN 'large'
+            WHEN o_totalprice >= 50000 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       CASE o_orderstatus WHEN 'F' THEN 'finished'
+                          WHEN 'O' THEN 'open'
+                          ELSE 'other' END AS status_word
+FROM orders
+"""
+
+
+@query("expr_case", oracle=_CASE_SQL)
+def expr_case(spark, sf_dir):
+    """Searched + simple CASE (ref: CaseExpression, qal/_qal.py:1453)."""
+    return _sql(spark, sf_dir, _CASE_SQL, ["orders"])
+
+
+_CAST_SQL = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+       CAST(round(o_totalprice, 0) AS DECIMAL(18, 2)) AS price_dec
+FROM orders
+"""
+
+
+@query("expr_cast", oracle=_CAST_SQL.replace("VARCHAR", "STRING") and _CAST_SQL)
+def expr_cast(spark, sf_dir):
+    """CAST surface incl. NUMERIC(p,s) → DecimalType (ref: CastExpression,
+    qal/_qal.py:359). floor/round first so double→int truncation-vs-round
+    differences between engines cannot appear."""
+    spark_sql = _CAST_SQL.replace("VARCHAR", "STRING")
+    df = _sql(spark, sf_dir, spark_sql, ["orders"])
+    # Decimal → double for a bit-stable cross-engine comparison surface
+    return df.withColumn("price_dec", F.col("price_dec").cast("double"))
+
+
+_EXTRACT_SQL_SPARK = """
+SELECT event_id,
+       year(ts) AS y, month(ts) AS mo, day(ts) AS d, hour(ts) AS h, minute(ts) AS mi
+FROM events
+"""
+
+_EXTRACT_SQL_DUCK = """
+SELECT event_id,
+       CAST(EXTRACT(year FROM ts) AS INT) AS y,
+       CAST(EXTRACT(month FROM ts) AS INT) AS mo,
+       CAST(EXTRACT(day FROM ts) AS INT) AS d,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+       CAST(EXTRACT(minute FROM ts) AS INT) AS mi
+FROM events
+"""
+
+
+@query("expr_extract_datetime", oracle=_EXTRACT_SQL_DUCK)
+def expr_extract_datetime(spark, sf_dir):
+    """EXTRACT(field FROM ts) family (ref: pglast delivers EXTRACT as a
+    function, SURVEY §2.3 — maps to year/month/day/...)."""
+    return _sql(spark, sf_dir, _EXTRACT_SQL_SPARK, ["events"])
+
+
+_STRING_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS seg_lower,
+       substring(c_name, 1, 8) AS name_prefix,
+       length(c_name) AS name_len,
+       replace(c_name, 'Customer', 'Cust') AS name_short,
+       c_name || '/' || c_mktsegment AS name_seg,
+       trim('  pad  ') AS trimmed,
+       lpad(CAST(c_custkey AS STRING), 8, '0') AS key_padded
+FROM customer
+"""
+
+
+@query("expr_string_functions", oracle=_STRING_SQL.replace(" AS STRING", " AS VARCHAR"))
+def expr_string_functions(spark, sf_dir):
+    """String scalar functions + || concat (ref: MathOperator ``||``,
+    qal/_qal.py:23-31; function passthrough :796)."""
+    return _sql(spark, sf_dir, _STRING_SQL, ["customer"])
+
+
+_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000) AS abs_diff,
+       CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q,
+       CAST(l_partkey % 97 AS BIGINT) AS key_mod,
+       round(sqrt(l_quantity), 6) AS sqrt_q,
+       round(power(l_discount, 2), 6) AS disc_sq,
+       round(ln(l_extendedprice), 6) AS log_price
+FROM lineitem
+"""
+
+
+@query("expr_math_functions", oracle=_MATH_SQL)
+def expr_math_functions(spark, sf_dir):
+    """Math scalar surface (ref: MathExpression + passthrough functions,
+    qal/_qal.py:507)."""
+    return _sql(spark, sf_dir, _MATH_SQL, ["lineitem"])
+
+
+_WINDOW_RANK_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+       dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense,
+       ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer
+"""
+
+
+@query("expr_window_rank", oracle=_WINDOW_RANK_SQL)
+def expr_window_rank(spark, sf_dir):
+    """Ranking window functions (ref: WindowExpression, qal/_qal.py:1308 —
+    PARTITION BY + ORDER BY, no frame spec)."""
+    return _sql(spark, sf_dir, _WINDOW_RANK_SQL, ["customer"])
+
+
+_WINDOW_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       round(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+FROM orders
+"""
+
+
+@query("expr_window_frame", oracle=_WINDOW_FRAME_SQL)
+def expr_window_frame(spark, sf_dir):
+    """Explicit ROWS frame — extension beyond the reference's window model
+    (no frame spec there, qal/_qal.py:1323-1330; SURVEY §2.3)."""
+    return _sql(spark, sf_dir, _WINDOW_FRAME_SQL, ["orders"])
+
+
+_WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order
+FROM orders
+"""
+
+
+@query("expr_window_lag", oracle=_WINDOW_LAG_SQL)
+def expr_window_lag(spark, sf_dir):
+    """lag/lead/first_value with NULL boundaries."""
+    return _sql(spark, sf_dir, _WINDOW_LAG_SQL, ["orders"])
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) + 2000 FROM customer)
+"""
+
+
+@query("expr_scalar_subquery", oracle=_SCALAR_SUBQ_SQL)
+def expr_scalar_subquery(spark, sf_dir):
+    """Scalar subquery in predicate position (ref: SubqueryExpression,
+    qal/_qal.py:1244)."""
+    return _sql(spark, sf_dir, _SCALAR_SUBQ_SQL, ["customer"])
+
+
+@query(
+    "expr_quantifier_all",
+    oracle="""
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice > ALL (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#11')
+""",
+)
+def expr_quantifier_all(spark, sf_dir):
+    """x > ALL (subquery) (ref: QuantifierExpression, qal/_qal.py:1589).
+    Spark has no ALL quantifier — documented rewrite to the max-aggregate
+    (SURVEY §2.3); the oracle runs the genuine ALL."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > (SELECT max(p_retailprice) FROM part WHERE p_brand = 'Brand#11')
+        """,
+        ["part"],
+    )
+
+
+@query(
+    "expr_quantifier_any",
+    oracle="""
+SELECT p_partkey, p_name, p_size
+FROM part
+WHERE p_size = ANY (SELECT p_size FROM part WHERE p_brand = 'Brand#13' AND p_size > 40)
+""",
+)
+def expr_quantifier_any(spark, sf_dir):
+    """x = ANY (subquery) — Spark rewrite: IN subquery (semi join)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey, p_name, p_size
+        FROM part
+        WHERE p_size IN (SELECT p_size FROM part WHERE p_brand = 'Brand#13' AND p_size > 40)
+        """,
+        ["part"],
+    )
+
+
+_AGG_FILTER_SQL = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+       count(*) FILTER (WHERE l_quantity <= 25) AS n_small,
+       round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS discounted_base
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("expr_agg_filter", oracle=_AGG_FILTER_SQL)
+def expr_agg_filter(spark, sf_dir):
+    """Aggregate FILTER (WHERE …) clause (ref: FunctionExpression.filter_where,
+    qal/_qal.py:814-817)."""
+    return _sql(spark, sf_dir, _AGG_FILTER_SQL, ["lineitem"])
+
+
+_BOOL_AGG_SQL_SPARK = """
+SELECT o_orderstatus,
+       every(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_jumbo,
+       count(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+_BOOL_AGG_SQL_DUCK = """
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_jumbo,
+       count(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("expr_bool_aggregates", oracle=_BOOL_AGG_SQL_DUCK)
+def expr_bool_aggregates(spark, sf_dir):
+    """EVERY/BOOL_AND/BOOL_OR + COUNT(DISTINCT) (ref: AggregateFunctions,
+    qal/_qal.py:770-792)."""
+    return _sql(spark, sf_dir, _BOOL_AGG_SQL_SPARK, ["orders"])
+
+
+@query(
+    "expr_string_agg",
+    oracle="""
+SELECT c_nationkey,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) d
+GROUP BY c_nationkey
+""",
+)
+def expr_string_agg(spark, sf_dir):
+    """STRING_AGG (ref: AggregateFunctions STRING_AGG) — Spark spelling:
+    sorted collect_list + array_join (collect_list alone is
+    partition-order-nondeterministic; the explicit sort restores the
+    ORDER BY semantics)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_nationkey,
+               array_join(array_sort(collect_list(c_mktsegment)), ',') AS segments
+        FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) d
+        GROUP BY c_nationkey
+        """,
+        ["customer"],
+    )
+
+
+@query(
+    "expr_array_ops",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(embedding[1]::DOUBLE, 6) AS first_val,
+       list_transform(embedding[1:3], x -> round(x::DOUBLE, 6)) AS head3,
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS vec_sum
+FROM embeddings
+""",
+)
+def expr_array_ops(spark, sf_dir):
+    """Array literal/subscript/slice surface (ref: ArrayExpression
+    qal/_qal.py:1032, ArrayAccessExpression :1099) over the embeddings
+    fixture (array<float>)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT vec_id,
+               size(embedding) AS dim,
+               round(CAST(element_at(embedding, 1) AS DOUBLE), 6) AS first_val,
+               transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 6)) AS head3,
+               round(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)), 4) AS vec_sum
+        FROM embeddings
+        """,
+        ["embeddings"],
+    )
+
+
+# --- predicates (§2.5) -----------------------------------------------------
+
+_LIKE_SQL = """
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_name LIKE '%o%' AND p_name NOT LIKE '%green%' AND p_type ILIKE 'eco%'
+"""
+
+
+@query("pred_like_family", oracle=_LIKE_SQL)
+def pred_like_family(spark, sf_dir):
+    """LIKE / NOT LIKE / ILIKE (ref: LogicalOperator, qal/_qal.py:34-58)."""
+    return _sql(spark, sf_dir, _LIKE_SQL, ["part"])
+
+
+_BETWEEN_IN_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_totalprice BETWEEN 50000 AND 60000
+  AND o_orderpriority IN ('1-URGENT', '5-LOW')
+  AND o_orderstatus NOT IN ('P')
+"""
+
+
+@query("pred_between_in", oracle=_BETWEEN_IN_SQL)
+def pred_between_in(spark, sf_dir):
+    """BETWEEN + IN/NOT IN value lists (ref: BetweenPredicate
+    qal/_qal.py:2632, InPredicate :2795)."""
+    return _sql(spark, sf_dir, _BETWEEN_IN_SQL, ["orders"])
+
+
+_NOT_IN_NULL_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)
+"""
+
+
+@query("pred_not_in_null_aware", oracle=_NOT_IN_NULL_SQL)
+def pred_not_in_null_aware(spark, sf_dir):
+    """Null-aware NOT IN subquery (ref: InPredicate + SURVEY §2.1 AntiJoin
+    note): the inner NULL makes the result empty — a plain anti join would
+    wrongly return rows; Spark's SQL path plans a null-aware anti join."""
+    return _sql(spark, sf_dir, _NOT_IN_NULL_SQL, ["customer", "orders"])
+
+
+_NOT_IN_SUBQ_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+"""
+
+
+@query("pred_not_in_subquery", oracle=_NOT_IN_SUBQ_SQL)
+def pred_not_in_subquery(spark, sf_dir):
+    """NOT IN subquery without inner NULLs — the row-returning flavor."""
+    return _sql(spark, sf_dir, _NOT_IN_SUBQ_SQL, ["customer", "orders"])
+
+
+_DISTINCT_FROM_SQL = """
+SELECT e1.event_id,
+       nullif(e1.value, 0) IS DISTINCT FROM nullif(e1.value * 0, 0) AS value_differs,
+       nullif(e1.event_type, 'error') IS NOT DISTINCT FROM NULL AS is_error_or_null
+FROM events e1
+"""
+
+
+@query("pred_is_distinct_from", oracle=_DISTINCT_FROM_SQL)
+def pred_is_distinct_from(spark, sf_dir):
+    """IS [NOT] DISTINCT FROM — null-safe comparison (ref: LogicalOperator
+    qal/_qal.py:34-58; Spark: same SQL syntax / ``eqNullSafe``)."""
+    return _sql(spark, sf_dir, _DISTINCT_FROM_SQL, ["events"])
+
+
+_EXISTS_CORR_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+  AND s.s_acctbal > 0
+"""
+
+
+@query("pred_exists_correlated", oracle=_EXISTS_CORR_SQL)
+def pred_exists_correlated(spark, sf_dir):
+    """Correlated EXISTS with an extra filter (ref: UnaryPredicate EXISTS,
+    qal/_qal.py:2971)."""
+    return _sql(spark, sf_dir, _EXISTS_CORR_SQL, ["supplier", "lineitem"])
+
+
+_COMPOUND_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+  AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' OR o_totalprice > 300000)
+"""
+
+
+@query("pred_compound", oracle=_COMPOUND_SQL)
+def pred_compound(spark, sf_dir):
+    """AND/OR/NOT trees (ref: CompoundPredicate, qal/_qal.py:3098)."""
+    return _sql(spark, sf_dir, _COMPOUND_SQL, ["orders"])
+
+
+_NULL_PRED_SQL = """
+SELECT event_id, props
+FROM events
+WHERE nullif(props, '{}') IS NOT NULL AND get_json_object(props, '$.missing') IS NULL
+"""
+
+
+@query(
+    "pred_null_tests",
+    oracle="""
+SELECT event_id, props
+FROM events
+WHERE nullif(props, '{}') IS NOT NULL AND json_extract_string(props, '$.missing') IS NULL
+""",
+)
+def pred_null_tests(spark, sf_dir):
+    """IS [NOT] NULL + JSON path access (ref: UnaryPredicate Is/IsNot,
+    qal/_qal.py:2971; props is a JSON string column)."""
+    return _sql(spark, sf_dir, _NULL_PRED_SQL, ["events"])
+
+
+_JSON_SQL_SPARK = """
+SELECT event_type,
+       sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS k_total,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+_JSON_SQL_DUCK = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("expr_json_extract", oracle=_JSON_SQL_DUCK)
+def expr_json_extract(spark, sf_dir):
+    """JSON field extraction + aggregation over the events.props column."""
+    return _sql(spark, sf_dir, _JSON_SQL_SPARK, ["events"])

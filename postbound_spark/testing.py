@@ -32,8 +32,10 @@ def _normalize_cell(value: Any) -> Any:
             return "NaN"
         # collapse double noise far below the rounding the queries already do
         return round(value, 9)
-    if isinstance(value, (list, tuple)):
+    if isinstance(value, (list, tuple)) or type(value).__name__ == "ndarray":
         return tuple(_normalize_cell(v) for v in value)
+    if hasattr(value, "item") and type(value).__module__ == "numpy":
+        return _normalize_cell(value.item())
     return value
 
 
