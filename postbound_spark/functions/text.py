@@ -1,0 +1,156 @@
+"""Text-analysis column expressions for large-scale corpus pipelines.
+
+Everything here is a pure ``pyspark.sql.Column`` expression built from
+built-in / higher-order functions (``F.transform`` / ``F.filter`` /
+``F.aggregate`` with Python lambdas), so the whole pipeline stays inside
+whole-stage codegen on the JVM — no Python UDFs in the hot path. At 100 TB
+that is the difference between a scan-speed pipeline and a serialization
+bottleneck: tokenization, hashing, MinHash signatures and SimHash all
+evaluate per-row inside Tungsten with zero Python round-trips and zero
+shuffles (the only shuffle in a dedup pipeline is the final bucket join).
+
+Determinism notes (these expressions are oracle-checked against DuckDB):
+- hashing is md5-based (identical across engines), never ``F.hash`` /
+  ``xxhash64`` (engine-private algorithms);
+- 64-bit integer hashes take the first 15 hex chars of the md5 (< 2^60,
+  always non-negative, no sign-extension differences);
+- MinHash uses the *lexicographic* minimum of fixed-width md5 hex strings —
+  a valid uniform-permutation approximation that avoids integer conversion
+  entirely.
+
+Reference scope note: the reference system (rbergm/PostBOUND) has no text
+pipeline — this module is the training-data-pipeline extension surface
+(dedup / quality / language-ID / fingerprinting) built on the same engine.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword list used by quality scoring (tiny on purpose: the scoring
+# formula is rational-arithmetic only so it is bit-reproducible; swap in a
+# real per-language list in production).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; matches DuckDB ``string_split_regex``
+    semantics (empty text -> ``['']``)."""
+    return F.split(text, r"\s+")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish subword split: letter runs, digit runs, single punctuation
+    marks. A stand-in for a real BPE vocabulary with the same asymptotic
+    token counts; pure regex, JVM-side, RE2-compatible pattern."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), F.lit(0))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct positional word n-gram shingles ('a b c' for n=3) as one
+    codegen expression per row — no explode/groupBy shuffle to form the
+    shingle set."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    shingled = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+        )
+    )
+    # guard: Spark's sequence(1, stop) runs *descending* when stop < 1, so
+    # short docs must short-circuit to an empty shingle set explicitly.
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_hash64(tok: Column) -> Column:
+    """60-bit non-negative integer hash of a token (md5-prefix based, so
+    bit-identical in any engine with md5)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(shingles: Column, k: int = 8) -> Column:
+    """MinHash signature: ``k`` seeded md5 minima over the shingle set,
+    as ``array<string>`` of length ``k``.
+
+    Seeding = prefixing the shingle with the hash index, so one md5 kernel
+    serves all k "permutations"; lexicographic min over fixed-width hex ==
+    numeric min over the 128-bit hash. O(k·|shingles|) md5 calls per row,
+    all inside codegen — embarrassingly parallel, shuffle-free.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda s: F.array_min(
+            F.transform(shingles, lambda sh: F.md5(F.concat(s.cast("string"), F.lit("|"), sh)))
+        ),
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each signature band to one bucket key
+    (``array<string>`` of length ``bands``).
+
+    Docs sharing any band key become candidate pairs; the candidate join is
+    an *equi*-join on the band key — the scalable alternative to the O(n²)
+    all-pairs comparison. The band key is the shuffle key, so skew only
+    arises when one bucket captures a degenerate constant shingle set.
+    """
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash16(toks: Column) -> Column:
+    """16-bit SimHash over the distinct-token set.
+
+    bit_b = 1 iff at least half the token hashes have bit b set. The 16
+    bit-tests are unrolled Python-side into one arithmetic expression over
+    a shared token-hash array — O(16·|tokens|) integer ops per row, no
+    shuffle, no UDF (bit test via ``bitwiseAND``; no division, so no
+    precision cliff for 60-bit hashes).
+    """
+    th = F.transform(F.array_distinct(toks), token_hash64)
+    n = F.size(th)
+
+    def bit(b: int) -> Column:
+        mask = F.lit(1 << b).cast("long")
+        set_count = F.size(F.filter(th, lambda h: h.bitwiseAND(mask) != 0))
+        return F.when(2 * set_count >= n, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    return reduce(add, [bit(b) for b in range(16)])
+
+
+def bow_fingerprint(toks: Column) -> Column:
+    """Order-insensitive bag-of-words fingerprint: md5 of the sorted
+    distinct token list. Docs with identical vocabulary collide — the
+    cheapest near-dup bucket key (one pass, no shuffle)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def stopword_count(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+
+
+def vowel_count(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.length(col) - F.length(F.regexp_replace(col, "[aeiou]", ""))

@@ -1,0 +1,118 @@
+"""Vector / embedding column expressions: quantization, cosine similarity,
+random-hyperplane LSH.
+
+Design for cross-engine determinism *and* cluster scale:
+
+- **Integer quantization first.** ``quantize`` maps ``array<float>`` to
+  ``array<bigint>`` (×10⁶, floor-rounded). All dot products and squared
+  norms are then exact 64-bit integer arithmetic — order-independent,
+  overflow-free for unit-ish 64-dim embeddings, and bit-identical across
+  Spark and the DuckDB oracle. The only float ops left (sqrt, one divide)
+  are IEEE-correctly-rounded on exact integer inputs, hence deterministic.
+- **Higher-order functions, not UDFs.** ``F.zip_with`` + ``F.aggregate``
+  evaluate inside whole-stage codegen; a 64-dim dot product is ~64 fused
+  multiply-adds per row on the JVM. A Pandas-UDF variant only wins once
+  SIMD over very wide vectors dominates — for ≤1k dims the built-in path
+  avoids Arrow round-trips entirely.
+- **Brute-force top-k is the baseline, LSH bucketing is the scale path.**
+  Brute force = broadcast the query vector, one scan, one ``orderBy k``
+  (Spark's TakeOrderedAndProject — no full sort). The hyperplane-LSH
+  variant prunes candidates with an equi-join on an 8-bit bucket key so
+  the pairwise work drops from O(n) to O(n/2⁸) per query at equal recall
+  assumptions (sign-random-projection).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1_000_000
+
+
+def quantize(vec: Column) -> Column:
+    """float array -> exact bigint array (×10⁶, floor(x+0.5) rounding —
+    identical in every engine, unlike banker's-vs-half-up ``round``)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * QUANT_SCALE + F.lit(0.5)).cast("long")
+    )
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_sq_q(a: Column) -> Column:
+    return dot_q(a, a)
+
+
+def norm_q(a: Column) -> Column:
+    """Euclidean norm of a quantized vector (exact int sum-of-squares, one
+    IEEE sqrt). Precompute this per row *before* any pairwise join — norms
+    are a per-row property and must never be re-evaluated per pair."""
+    return F.sqrt(norm_sq_q(a).cast("double"))
+
+
+def cosine_q(a: Column, b: Column, decimals: int | None = None) -> Column:
+    """Cosine similarity of two quantized vectors. sqrt/divide on exact
+    integer inputs are IEEE-correctly-rounded, so the raw double is already
+    bit-deterministic across engines; pass ``decimals`` only to round a
+    *final output* column (never a value used in a filter/order)."""
+    cos = dot_q(a, b).cast("double") / (
+        F.sqrt(norm_sq_q(a).cast("double")) * F.sqrt(norm_sq_q(b).cast("double"))
+    )
+    return cos if decimals is None else F.round(cos, decimals)
+
+
+def hyperplane_bucket(qvec: Column, dims: int, n_planes: int = 8) -> Column:
+    """Sign-random-projection LSH bucket id (``n_planes``-bit integer).
+
+    Plane coefficients are ±1 derived from the parity of an md5 hex digit
+    of ``(plane, dim)`` — reproducible in any engine, no RNG state, and
+    the per-plane dot product stays exact integer arithmetic on quantized
+    vectors (so the sign test has no floating-point tie ambiguity).
+    """
+
+    def plane_sign(p: int, d: int) -> int:
+        import hashlib
+
+        digit = hashlib.md5(f"{p}-{d}".encode()).hexdigest()[0]
+        return 1 if int(digit, 16) % 2 == 0 else -1
+
+    def plane_dot(p: int) -> Column:
+        terms = [
+            F.element_at(qvec, d + 1) * F.lit(plane_sign(p, d)) for d in range(dims)
+        ]
+        return reduce(add, terms)
+
+    return reduce(
+        add,
+        [
+            F.when(plane_dot(p) >= 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for p in range(n_planes)
+        ],
+    )
+
+
+def plane_signs_sql(dims: int, n_planes: int = 8) -> list[list[int]]:
+    """The same ±1 plane matrix as :func:`hyperplane_bucket`, for building
+    the DuckDB oracle SQL text."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}-{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]

@@ -1,1 +1,685 @@
-"""Data-pipeline queries (dedup/similarity/text) (filled incrementally)."""
+"""Training-data pipeline queries: text analysis, deduplication, similarity
+search, time-window analytics (the extension surface beyond the reference's
+batch-SQL world — SURVEY.md §2.8 note; the reference itself has none of
+these, they are what makes the engine useful on a 100 TB corpus).
+
+Scale design notes (each query's docstring adds specifics):
+
+- Per-document transforms (tokenize, hash, signature, quality) are pure
+  higher-order column expressions (``postbound_spark.functions.text``) —
+  they run inside whole-stage codegen, shuffle-free, and scale linearly
+  with executor count.
+- Dedup has two tiers: the *exact* O(n²) pairwise tier (correct on any
+  candidate set, used here as the verifier) and the *LSH* tier whose only
+  shuffle is an equi-join on a band/bucket key. At 100 TB you never run
+  the pairwise tier globally — LSH proposes, pairwise verifies within
+  buckets. Both tiers are represented and oracle-checked.
+- Similarity search: brute-force top-k broadcasts the query vector and
+  uses Spark's TakeOrderedAndProject (no global sort); the LSH variant
+  prunes candidates by bucket equi-join first.
+- All hashing is md5-based and all vector math is integer-quantized so the
+  DuckDB oracle reproduces results bit-for-bit (see functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from postbound_spark.catalog import load_table
+from postbound_spark.functions import text as T
+from postbound_spark.functions import vectors as V
+from postbound_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments for the DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_WS_TOKS = r"string_split_regex(text, '\s+')"
+# distinct word 3-gram shingles over ws-token list `ws`
+_SHINGLES = (
+    "CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+    ")) ELSE [] END"
+)
+_QUANT = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine of two quantized BIGINT lists — mirrors vectors.cosine_q."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])) AS DOUBLE)"
+        f" / (sqrt(CAST(list_sum(list_transform({a}, x -> x * x)) AS DOUBLE))"
+        f" * sqrt(CAST(list_sum(list_transform({b}, x -> x * x)) AS DOUBLE)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({_WS_TOKS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+       n_chars,
+       round(CAST(list_sum(list_transform({_WS_TOKS}, t -> len(t))) AS DOUBLE)
+             / len({_WS_TOKS}), 6) AS avg_token_len
+FROM documents
+""",
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish subword tokens per doc.
+
+    One narrow projection over the corpus — at scale this is a single
+    columnar scan (only ``doc_id, text, n_chars`` are read; column pruning
+    reaches the parquet scan) with zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    tok_len_sum = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(T.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+        "n_chars",
+        F.round(tok_len_sum / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','for'))) AS DOUBLE)
+             / len(toks), 6) AS stop_ratio,
+       round((len(toks) / (len(toks) + 100.0))
+             * (1 - CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','for'))) AS DOUBLE)
+                 / len(toks)), 6) AS quality
+FROM t
+""",
+)
+def text_quality_score(spark, sf_dir):
+    """Document quality scoring from length + stopword density.
+
+    The score is rational arithmetic only (no transcendentals), so it is
+    bit-reproducible across engines — the pattern to follow for any
+    quality filter that must behave identically between the sampling run
+    and the full-corpus run.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = T.stopword_count(toks).cast("double") / n
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round((n / (n + F.lit(100.0))) * (1 - stop_ratio), 6).alias("quality"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, lang,
+         CAST(len(text) - len(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+           / len(text) AS vr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN vr >= 0.40 THEN 'es'
+            WHEN vr >= 0.37 THEN 'en'
+            WHEN vr >= 0.34 THEN 'fr'
+            WHEN vr >= 0.31 THEN 'de'
+            ELSE 'zh' END AS lang_pred,
+       round(vr, 6) AS vowel_ratio
+FROM v
+""",
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: vowel-density n-gram proxy.
+
+    The fixture corpus shares one vocabulary across langs, so no lexical
+    marker separates them — the point here is the *shape* of a scalable
+    lang-ID stage: a per-row character-statistics expression feeding a
+    decision list, shuffle-free and deterministic. A production lang-ID
+    (fastText et al.) slots in as a Pandas UDF behind the same projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vr = T.vowel_count("text").cast("double") / F.length("text")
+    pred = (
+        F.when(vr >= 0.40, "es")
+        .when(vr >= 0.37, "en")
+        .when(vr >= 0.34, "fr")
+        .when(vr >= 0.31, "de")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        F.round(vr, 6).alias("vowel_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+WITH f AS (
+  SELECT md5(array_to_string(list_sort(list_distinct({_WS_TOKS})), ' ')) AS fingerprint,
+         doc_id
+  FROM documents
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM f GROUP BY fingerprint
+ORDER BY n_docs DESC, fingerprint
+LIMIT 100
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Bag-of-words document fingerprint + collision groups.
+
+    The fingerprint is a single md5 over the sorted vocabulary — the
+    cheapest dedup bucket key. The groupBy shuffles only the 32-char
+    fingerprint + doc_id (not the text), which is the partitioning you
+    want at 100 TB: shuffle keys, never payloads.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            T.bow_fingerprint(T.tokens(F.col("text"))).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy(F.desc("n_docs"), "fingerprint")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+WITH h AS (
+  SELECT lang, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS th
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, count(DISTINCT th) AS n_unique,
+       count(*) - count(DISTINCT th) AS n_dups
+FROM h GROUP BY lang ORDER BY lang
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on whitespace-normalized lowered text.
+
+    The canonical first dedup pass: one scan + one shuffle of 128-bit
+    hashes. At 100 TB the hash (not the document) is the shuffle payload,
+    and the groupBy gets map-side partial aggregation for free.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return (
+        docs.select("lang", th.alias("th"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("th").alias("n_unique"),
+            (F.count("*") - F.countDistinct("th")).alias("n_dups"),
+        )
+        .orderBy("lang")
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_WS_TOKS} AS ws FROM documents)
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.3
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (the *verifier* tier).
+
+    All-pairs comparison over word-3-shingle sets. Deliberately O(n²):
+    this is the ground-truth tier that LSH candidates are verified
+    against, run only *within* LSH buckets at scale (see
+    dedup_minhash_lsh). The shingle sets are built shuffle-free per row;
+    the pairwise join here is a range cross join — fine at fixture scale,
+    never executed globally on a real corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # repartition = explicit exchange boundary: shingle sets materialize
+    # once per row instead of being collapsed into the join and recomputed
+    # per *pair* (a ~100× blowup measured at fixture scale).
+    d = docs.select(
+        "doc_id", T.word_shingles(T.tokens(F.col("text"))).alias("sh")
+    ).repartition("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    j = inter.cast("double") / (
+        F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            j.alias("j"),
+        )
+        .filter(F.col("j") >= 0.3)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+    )
+
+
+_MINHASH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_WS_TOKS} AS ws FROM documents)
+),
+dd AS (SELECT * FROM d WHERE len(sh) >= 1),
+sg AS (
+  SELECT doc_id, sh,
+         list_transform(generate_series(0, 7), s ->
+           list_min(list_transform(sh, x -> md5(s::VARCHAR || '|' || x)))) AS sig
+  FROM dd
+),
+bk AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, 3), b ->
+           md5(b::VARCHAR || ':' || sig[2*b+1] || ':' || sig[2*b+2]))) AS bkey
+  FROM sg
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+  FROM cand JOIN dd x ON x.doc_id = doc_a JOIN dd y ON y.doc_id = doc_b
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.3
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH near-dup detection (the *scale* tier).
+
+    shingle -> 8-hash MinHash signature -> 4 bands × 2 rows -> band-key
+    equi-join for candidates -> exact Jaccard verification within
+    candidates. The only shuffles are (1) the explode+equi-join on band
+    keys and (2) the join back to shingle sets — both keyed joins, no
+    cross product anywhere. This is the pipeline shape that holds at
+    100 TB: signature computation is map-only; candidate generation
+    touches each doc ``bands`` times; verification touches only
+    colliding pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # exchange boundary: materialize shingle sets once (reused by both the
+    # signature stage and the verification joins — see dedup_ngram_jaccard)
+    d = (
+        docs.select("doc_id", T.word_shingles(T.tokens(F.col("text"))).alias("sh"))
+        .filter(F.size("sh") >= 1)
+        .repartition("doc_id")
+    )
+    sig = d.select("doc_id", "sh", T.minhash_signature(F.col("sh"), 8).alias("sig"))
+    exploded = sig.select(
+        "doc_id", F.explode(T.lsh_band_keys(F.col("sig"), 4, 2)).alias("bkey")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    j = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", j.alias("j"))
+        .filter(F.col("j") >= 0.3)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH t AS (SELECT doc_id, list_distinct({_WS_TOKS}) AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(toks, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS th
+  FROM t
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(0, 15), b ->
+         CASE WHEN 2 * len(list_filter(th, x -> (x & (1::BIGINT << b)) != 0)) >= len(th)
+              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+FROM h
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash (16-bit) per document.
+
+    Near-dup docs land on nearby hashes (small Hamming distance); at scale
+    you bucket by hash prefix and verify within buckets, same pattern as
+    MinHash-LSH but with a single integer as the signature. Map-only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.simhash16(T.tokens(F.col("text"))).alias("simhash")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos_sql("a.qv", "b.qv")} AS c
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(c, 6) AS cosine FROM p WHERE c >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (semantic dedup).
+
+    Pairwise over quantized integer vectors — exact and deterministic.
+    This is the verifier tier; ann_lsh_topk shows the bucketed candidate
+    generation that replaces the O(n²) join at scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # quantize + norm once per row behind an exchange boundary; the join
+    # then only pays one integer dot product + one divide per pair.
+    q = emb.select(
+        "vec_id", V.quantize(F.col("embedding")).alias("qv")
+    ).select("vec_id", "qv", V.norm_q(F.col("qv")).alias("nrm")).repartition("vec_id")
+    a, b = q.alias("a"), q.alias("b")
+    c = V.dot_q(F.col("a.qv"), F.col("b.qv")).cast("double") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            c.alias("c"),
+        )
+        .filter(F.col("c") >= 0.35)
+        .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
+qq AS (SELECT qv FROM q WHERE vec_id = 0)
+SELECT a.vec_id, a.label, round({_cos_sql("a.qv", "qq.qv")}, 6) AS cosine
+FROM q a, qq
+WHERE a.vec_id != 0
+ORDER BY {_cos_sql("a.qv", "qq.qv")} DESC, a.vec_id
+LIMIT 10
+""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN baseline).
+
+    The query vector is broadcast (a 1-row dimension side); ranking uses
+    ``orderBy(...).limit(k)`` which Spark executes as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    driver, never a full global sort. This is the correct brute-force
+    shape at any scale; the LSH variant below prunes candidates first.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", V.quantize(F.col("embedding")).alias("qv")
+    ).withColumn("nrm", V.norm_q(F.col("qv")))
+    qvec = q.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("query_qv"), F.col("nrm").alias("query_nrm")
+    )
+    c = V.dot_q(F.col("qv"), F.col("query_qv")).cast("double") / (
+        F.col("nrm") * F.col("query_nrm")
+    )
+    return (
+        q.crossJoin(F.broadcast(qvec))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", c.alias("c"))
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", F.round("c", 6).alias("cosine"))
+    )
+
+
+def _bucket_sql(planes: list[list[int]]) -> str:
+    """DuckDB SQL for the hyperplane LSH bucket of quantized list ``qv``."""
+    parts = []
+    for p, signs in enumerate(planes):
+        dot = " + ".join(f"({s})*qv[{d + 1}]" for d, s in enumerate(signs))
+        parts.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(parts)
+
+
+_PLANES = V.plane_signs_sql(dims=64, n_planes=8)
+
+_LSH_HIST_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings)
+SELECT CAST({_bucket_sql(_PLANES)} AS BIGINT) AS bucket, count(*) AS n_vecs
+FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("ann_lsh_bucket_histogram", oracle=_LSH_HIST_ORACLE)
+def ann_lsh_bucket_histogram(spark, sf_dir):
+    """Sign-random-projection LSH bucket histogram.
+
+    The bucket id is 8 exact integer sign tests per row (map-only); the
+    histogram is one shuffle of (bucket, 1) pairs. Bucket-size skew read
+    off this histogram is exactly what you'd use to decide salting before
+    the candidate join at scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(V.quantize(F.col("embedding")).alias("qv"))
+    return (
+        q.select(V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=8).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
+_LSH_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
+b AS (SELECT vec_id, label, qv, CAST({_bucket_sql(_PLANES)} AS BIGINT) AS bucket FROM q),
+qb AS (SELECT qv, bucket FROM b WHERE vec_id = 0)
+SELECT a.vec_id, a.label, a.bucket, round({_cos_sql("a.qv", "qb.qv")}, 6) AS cosine
+FROM b a, qb
+WHERE a.bucket = qb.bucket AND a.vec_id != 0
+ORDER BY {_cos_sql("a.qv", "qb.qv")} DESC, a.vec_id
+LIMIT 5
+"""
+
+
+@query("ann_lsh_topk", oracle=_LSH_TOPK_ORACLE)
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN: candidates share the query's bucket, then exact
+    cosine ranks them.
+
+    The candidate filter is an equi-join on the bucket key — at scale a
+    broadcast of the (tiny) query-side bucket set prunes ~255/256 of the
+    corpus before any vector math runs. Same recall/speed trade as any
+    sign-LSH index, with the index "build" being a map-only column.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", V.quantize(F.col("embedding")).alias("qv")
+    ).withColumn("nrm", V.norm_q(F.col("qv")))
+    b = q.withColumn("bucket", V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=8))
+    qb = b.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("query_qv"),
+        F.col("nrm").alias("query_nrm"),
+        F.col("bucket").alias("query_bucket"),
+    )
+    c = V.dot_q(F.col("qv"), F.col("query_qv")).cast("double") / (
+        F.col("nrm") * F.col("query_nrm")
+    )
+    return (
+        b.join(F.broadcast(qb), F.col("bucket") == F.col("query_bucket"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", "bucket", c.alias("c"))
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(5)
+        .select("vec_id", "label", "bucket", F.round("c", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-window analytics over the events table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_window_agg",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_window_agg(spark, sf_dir):
+    """Tumbling 10-minute window aggregation (batch ``F.window``).
+
+    The same plan shape Structured Streaming uses for windowed aggs —
+    grouping on (window, type) shuffles only the group keys; the decimal
+    cast makes the sum exact (order-independent), which matters once the
+    sum is computed across thousands of partial aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+WITH x AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM x GROUP BY user_id ORDER BY user_id
+""",
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute-gap session boundaries per user.
+
+    lag() over (user, time) — one shuffle on user_id, then linear-time
+    per-partition window evaluation. Gap math is integer microseconds
+    (no float time arithmetic). This is the batch analog of
+    ``applyInPandasWithState`` sessionization in streaming mode.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("new_session").cast("long").alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_binary_features",
+    oracle="""
+SELECT doc_id,
+       16 AS byte_len,
+       CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS INT) AS first_byte,
+       CAST(list_sum(list_transform(generate_series(0, 15), i ->
+         CAST(concat('0x', substr(md5(text), 2*i + 1, 2)) AS BIGINT))) AS BIGINT) AS checksum
+FROM documents
+""",
+)
+def mm_binary_features(spark, sf_dir):
+    """Binary-payload feature extraction through the multimodal path.
+
+    Builds an opaque binary column (md5 bytes of the text — a stand-in for
+    an image payload), then runs the Arrow-batched ``mapInPandas``
+    extractor from ``functions.multimodal``. The oracle recomputes the
+    same byte arithmetic from the md5 hex in SQL, proving the Python side
+    round-trips bytes losslessly through Arrow. At scale this stage is
+    map-only: partition boundaries are preserved, no shuffle, and batch
+    size (not row count) governs memory.
+    """
+    from postbound_spark.functions.multimodal import binary_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    return binary_features(payloads, payload_col="payload", id_col="doc_id")
