@@ -1,0 +1,88 @@
+"""Optimizer instrumentation layer (SURVEY.md §3/§4).
+
+The reference (rbergm/PostBOUND) is a framework for *studying* query
+optimization: researchers supply join-ordering / operator-selection /
+cardinality stages and the framework enforces their decisions on a real
+backend. This package is that framework re-based on Spark: stages emit
+JoinTree / PhysicalOperatorAssignment / PlanParameterization artifacts,
+and enforcement is DataFrame construction (forced join order + join
+hints + conf toggles) instead of hint text.
+"""
+
+from postbound_spark.optimizer.cardinalities import (
+    CardinalityDistortion,
+    PreciseCardinalities,
+    PreComputedCardinalities,
+)
+from postbound_spark.optimizer.enumeration import (
+    all_linear_join_orders,
+    random_bushy_join_order,
+)
+from postbound_spark.optimizer.hints import (
+    FORCED_ORDER_CONF,
+    JoinOperator,
+    PhysicalOperatorAssignment,
+    ScanOperator,
+    compile_join_tree,
+)
+from postbound_spark.optimizer.joingraph import JoinEdge, JoinGraph, pk_fk_edges_for
+from postbound_spark.optimizer.jointree import JoinTree
+from postbound_spark.optimizer.qep import (
+    PlanNode,
+    executed_plan,
+    join_order_signature,
+    optimized_plan,
+)
+from postbound_spark.optimizer.stages import (
+    CardinalityEstimator,
+    CostModel,
+    EquiJoinPreCheck,
+    JoinOrderOptimization,
+    MultiStageOptimizationPipeline,
+    NoJoinOrderOptimization,
+    NoOperatorSelection,
+    OptimizationPreCheck,
+    PhysicalOperatorSelection,
+    PlannedQuery,
+    PlanParameterization,
+    QuerySpec,
+)
+from postbound_spark.optimizer.stats import ColumnStats, EmulatedStatistics, NativeStatistics
+from postbound_spark.optimizer.ues import UESJoinOrderOptimizer
+
+__all__ = [
+    "CardinalityDistortion",
+    "CardinalityEstimator",
+    "ColumnStats",
+    "CostModel",
+    "EmulatedStatistics",
+    "EquiJoinPreCheck",
+    "FORCED_ORDER_CONF",
+    "JoinEdge",
+    "JoinGraph",
+    "JoinOperator",
+    "JoinOrderOptimization",
+    "JoinTree",
+    "MultiStageOptimizationPipeline",
+    "NativeStatistics",
+    "NoJoinOrderOptimization",
+    "NoOperatorSelection",
+    "OptimizationPreCheck",
+    "PhysicalOperatorAssignment",
+    "PhysicalOperatorSelection",
+    "PlanNode",
+    "PlannedQuery",
+    "PlanParameterization",
+    "PreciseCardinalities",
+    "PreComputedCardinalities",
+    "QuerySpec",
+    "ScanOperator",
+    "UESJoinOrderOptimizer",
+    "all_linear_join_orders",
+    "compile_join_tree",
+    "executed_plan",
+    "join_order_signature",
+    "optimized_plan",
+    "pk_fk_edges_for",
+    "random_bushy_join_order",
+]

@@ -1,0 +1,126 @@
+"""Physical-operator assignment and its enforcement on Spark.
+
+The reference enforces optimizer decisions by emitting DBMS hints
+(pg_hint_plan ``Leading(...)``/``HashJoin(a b)`` — rbergm/PostBOUND
+``postbound/postgres.py:2210-2341``; per-table scans, GUC toggles). Spark's
+equivalents (SURVEY.md §4.3):
+
+- join **order**: build ``df.join`` calls in the JoinTree's shape with
+  CBO join-reordering off — enforced *by construction*;
+- join **algorithm**: per-join hints ``broadcast`` / ``merge`` /
+  ``shuffle_hash`` / ``shuffle_replicate_nl`` (Catalyst honors an explicit
+  hint over its own cost pick, modulo AQE safety rules);
+- **build side**: which child the hint is attached to;
+- whole-query toggles: ``spark.sql.join.preferSortMergeJoin``,
+  ``autoBroadcastJoinThreshold``, AQE flags — the analog of the
+  reference's global settings (``postbound/_hints.py:25``);
+- scan types (SeqScan/IndexScan/...): vocabulary kept for plan fidelity,
+  documented no-op (Spark has one scan path + pushdown; ``_core.py:400``).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postbound_spark.optimizer.joingraph import JoinEdge
+from postbound_spark.optimizer.jointree import JoinTree
+
+
+class JoinOperator(enum.Enum):
+    """Physical join vocabulary (ref: ``_core.py:422`` — NLJ, HashJoin,
+    SortMergeJoin, INLJ) mapped onto Spark's join strategies."""
+
+    BROADCAST_HASH = "broadcast"
+    SHUFFLE_HASH = "shuffle_hash"
+    SORT_MERGE = "merge"
+    BROADCAST_NL = "shuffle_replicate_nl"
+
+    @property
+    def spark_hint(self) -> str:
+        return self.value
+
+
+class ScanOperator(enum.Enum):
+    """Scan vocabulary kept for plan fidelity (ref: ``_core.py:400``).
+    Spark has a single parquet scan path; Index* map to pushdown-pruned
+    scans and are enforcement no-ops (documented, SURVEY.md §2.2)."""
+
+    SEQUENTIAL = "seq_scan"
+    INDEX = "index_scan"
+    INDEX_ONLY = "index_only_scan"
+    BITMAP = "bitmap_scan"
+
+
+@dataclass
+class PhysicalOperatorAssignment:
+    """Per-join operator choices + global toggles (ref:
+    ``postbound/_hints.py`` ``PhysicalOperatorAssignment``)."""
+
+    join_operators: dict[frozenset[str], JoinOperator] = field(default_factory=dict)
+    scan_operators: dict[str, ScanOperator] = field(default_factory=dict)
+    global_settings: dict[str, str] = field(default_factory=dict)
+
+    def set_join_operator(self, tables: frozenset[str], op: JoinOperator) -> None:
+        self.join_operators[frozenset(tables)] = op
+
+    def operator_for(self, joined: frozenset[str]) -> JoinOperator | None:
+        return self.join_operators.get(frozenset(joined))
+
+    def apply_globals(self, spark: SparkSession) -> None:
+        for key, value in self.global_settings.items():
+            spark.conf.set(key, value)
+
+
+#: conf that pins join order to construction order (the Spark analog of the
+#: reference's `Set(join_collapse_limit 1)` discipline)
+FORCED_ORDER_CONF = {
+    "spark.sql.cbo.joinReorder.enabled": "false",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def compile_join_tree(
+    tables: dict[str, DataFrame],
+    tree: JoinTree,
+    edges: list[JoinEdge],
+    assignment: PhysicalOperatorAssignment | None = None,
+) -> DataFrame:
+    """Materialize a JoinTree as a DataFrame join pipeline.
+
+    Joins are emitted post-order, so Catalyst receives exactly the forced
+    shape; per-join operators become hints on the *inner* (build) side.
+    Cross products appear automatically when no edge connects the sides
+    (the reference models them as explicit CrossProduct nodes).
+    """
+    assignment = assignment or PhysicalOperatorAssignment()
+
+    def build(node: JoinTree) -> tuple[DataFrame, set[str]]:
+        if node.is_leaf:
+            return tables[node.table].alias(node.table), {node.table}
+        left_df, left_tables = build(node.outer)
+        right_df, right_tables = build(node.inner)
+        cond = None
+        for e in edges:
+            ts = e.tables()
+            if len(ts & left_tables) == 1 and len(ts & right_tables) == 1:
+                lt, lc, rt, rc = e.left_table, e.left_col, e.right_table, e.right_col
+                if lt in right_tables:  # orient predicate left->right
+                    lt, lc, rt, rc = rt, rc, lt, lc
+                clause = F.col(f"{lt}.{lc}") == F.col(f"{rt}.{rc}")
+                cond = clause if cond is None else (cond & clause)
+        op = assignment.operator_for(frozenset(left_tables | right_tables))
+        if op is not None:
+            right_df = right_df.hint(op.spark_hint)
+        if cond is None:
+            joined = left_df.crossJoin(right_df)
+        else:
+            joined = left_df.join(right_df, on=cond, how="inner")
+        return joined, left_tables | right_tables
+
+    df, _ = build(tree)
+    return df

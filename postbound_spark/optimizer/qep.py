@@ -1,0 +1,187 @@
+"""Query execution plan introspection.
+
+Mirrors the reference's ``QueryPlan`` artifact (rbergm/PostBOUND
+``postbound/_qep.py:791``: ``PlanEstimates`` cardinality+cost,
+``PlanMeasures`` actuals, ``qerror():1575``, ``is_linear/is_bushy:1290``,
+``canonical():1793``) over Spark's ``queryExecution``:
+
+- **estimates** come from Catalyst's optimized logical plan statistics
+  (``plan.stats`` — sizeInBytes always, rowCount when CBO/stats are on),
+  the same place the reference's ``NativeCardinalityEstimator`` reads its
+  backend's estimates (``opt/native.py:413``);
+- **actuals** come from the executed plan's SQL metrics after an action
+  (``numOutputRows``), giving per-node q-error exactly like the
+  reference's EXPLAIN ANALYZE round-trip (``postgres.py:3954``).
+
+Implementation note: we traverse the JVM plan tree through py4j (node
+name, children, stats) instead of parsing ``explain()`` text — stable
+against formatting changes, and it exposes the real objects.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanNode:
+    name: str
+    children: list["PlanNode"] = field(default_factory=list)
+    estimated_rows: float = math.nan  # NaN = unknown (ref Cardinality NaN state)
+    actual_rows: float = math.nan
+    size_bytes: float = math.nan
+
+    # -- reference plan utilities (_qep.py:1276-1793) ----------------------
+
+    def depth(self) -> int:
+        return 1 + max((c.depth() for c in self.children), default=0)
+
+    def node_count(self) -> int:
+        return 1 + sum(c.node_count() for c in self.children)
+
+    def find_all(self, name_substring: str) -> list["PlanNode"]:
+        out = [self] if name_substring.lower() in self.name.lower() else []
+        for c in self.children:
+            out.extend(c.find_all(name_substring))
+        return out
+
+    def join_nodes(self) -> list["PlanNode"]:
+        return [
+            n
+            for key in ("join", "cartesianproduct")
+            for n in self.find_all(key)
+        ]
+
+    def is_linear(self) -> bool:
+        """Linear iff no join has two join-bearing children (ref
+        ``_qep.py:1290``)."""
+        joins = self.join_nodes()
+        for j in joins:
+            join_children = [c for c in j.children if c.join_nodes()]
+            if len(join_children) > 1:
+                return False
+        return True
+
+    def is_bushy(self) -> bool:
+        return not self.is_linear()
+
+    def qerror(self) -> float:
+        """q-error = max(est, act) / min(est, act) (ref ``_qep.py:1575``);
+        NaN when either side is unknown."""
+        if math.isnan(self.estimated_rows) or math.isnan(self.actual_rows):
+            return math.nan
+        lo = max(min(self.estimated_rows, self.actual_rows), 1.0)
+        hi = max(self.estimated_rows, self.actual_rows, 1.0)
+        return hi / lo
+
+    def canonical(self) -> str:
+        """Order-insensitive structural form for plan comparison (ref
+        ``canonical()`` ``_qep.py:1793``)."""
+        if not self.children:
+            return self.name
+        inner = ",".join(sorted(c.canonical() for c in self.children))
+        return f"{self.name}({inner})"
+
+    def pretty(self, indent: int = 0) -> str:
+        est = "" if math.isnan(self.estimated_rows) else f" est={self.estimated_rows:.0f}"
+        act = "" if math.isnan(self.actual_rows) else f" act={self.actual_rows:.0f}"
+        lines = [" " * indent + self.name + est + act]
+        for c in self.children:
+            lines.append(c.pretty(indent + 2))
+        return "\n".join(lines)
+
+
+def _jseq(scala_seq) -> list:
+    return [scala_seq.apply(i) for i in range(scala_seq.size())]
+
+
+def _jnum(value) -> float:
+    """py4j returns scala.math.BigInt either as a JavaObject or already
+    auto-converted to a Python int — normalize both to float."""
+    if isinstance(value, (int, float)):
+        return float(value)
+    return float(value.toString())
+
+
+def optimized_plan(df: DataFrame) -> PlanNode:
+    """Catalyst's optimized logical plan with rowCount/sizeInBytes
+    estimates attached."""
+
+    def convert(jnode) -> PlanNode:
+        stats = None
+        try:
+            stats = jnode.stats()
+        except Exception:  # stats only exist on logical plans
+            pass
+        est = math.nan
+        size = math.nan
+        if stats is not None:
+            size = _jnum(stats.sizeInBytes())
+            row_opt = stats.rowCount()
+            if row_opt.isDefined():
+                est = _jnum(row_opt.get())
+        return PlanNode(
+            name=jnode.nodeName(),
+            children=[convert(c) for c in _jseq(jnode.children())],
+            estimated_rows=est,
+            size_bytes=size,
+        )
+
+    return convert(df._jdf.queryExecution().optimizedPlan())
+
+
+def executed_plan(df: DataFrame) -> PlanNode:
+    """Physical plan; after an action has run, ``numOutputRows`` metrics
+    populate ``actual_rows`` (the EXPLAIN ANALYZE analog). Call
+    ``df.collect()`` (or any action) first for actuals."""
+
+    def convert(jnode) -> PlanNode:
+        # unwrap AQE containers: AdaptiveSparkPlanExec holds the (re-planned)
+        # physical tree in executedPlan(); query-stage nodes wrap theirs in
+        # plan(). Without this the tree appears as a single opaque root.
+        name = jnode.nodeName()
+        if name == "AdaptiveSparkPlan":
+            return convert(jnode.executedPlan())
+        if name.endswith("QueryStage"):
+            return convert(jnode.plan())
+        actual = math.nan
+        try:
+            metrics = jnode.metrics()
+            if metrics.contains("numOutputRows"):
+                actual = float(metrics.apply("numOutputRows").value())
+        except Exception:
+            pass
+        return PlanNode(
+            name=name,
+            children=[convert(c) for c in _jseq(jnode.children())],
+            actual_rows=actual,
+        )
+
+    qe = df._jdf.queryExecution()
+    try:
+        # executedPlan may wrap an AQE root whose final plan lazily resolves
+        return convert(qe.executedPlan())
+    except Exception:
+        return convert(qe.sparkPlan())
+
+
+def join_order_signature(df: DataFrame) -> str:
+    """Canonical string of the join structure of the optimized plan — used
+    by tests to assert a forced join order survived Catalyst."""
+    root = optimized_plan(df)
+
+    def walk(node: PlanNode) -> str:
+        if "join" in node.name.lower():
+            return "(" + "⋈".join(walk(c) for c in node.children if _has_scan(c)) + ")"
+        if "relation" in node.name.lower() or "scan" in node.name.lower():
+            return "T"
+        parts = [walk(c) for c in node.children if _has_scan(c)]
+        return parts[0] if len(parts) == 1 else "".join(parts)
+
+    def _has_scan(node: PlanNode) -> bool:
+        return bool(node.find_all("relation") or node.find_all("scan"))
+
+    return walk(root)

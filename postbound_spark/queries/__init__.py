@@ -41,6 +41,12 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> dict[str, QueryDef]:
     """Import all query modules (side effect: registration) and return the
     registry."""
-    from postbound_spark.queries import operators, pipeline, surface, tpch  # noqa: F401
+    from postbound_spark.queries import (  # noqa: F401
+        operators,
+        optimizer_demo,
+        pipeline,
+        surface,
+        tpch,
+    )
 
     return REGISTRY

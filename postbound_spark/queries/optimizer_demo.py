@@ -1,0 +1,96 @@
+"""Optimizer-pipeline demonstration queries.
+
+The reference's core loop is: researcher stage decides a join order /
+operator set → framework enforces it → the *results must not change*
+(its regression tests assert exactly that — tests/test_ues_optimization.py
+pattern, SURVEY.md §5). These registry entries put that loop under the
+DuckDB oracle: the flagship aggregation executed through
+``MultiStageOptimizationPipeline`` with (a) UES pessimistic ordering and
+(b) a deliberately adversarial forced order + forced operators, both
+hash-matching the plain-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postbound_spark.catalog import load_tables
+from postbound_spark.optimizer import (
+    JoinOperator,
+    JoinTree,
+    MultiStageOptimizationPipeline,
+    PhysicalOperatorAssignment,
+    QuerySpec,
+    UESJoinOrderOptimizer,
+    compile_join_tree,
+    pk_fk_edges_for,
+)
+from postbound_spark.queries import query
+from postbound_spark.queries.tpch import FLAGSHIP_ORACLE
+
+_TABLES = ["region", "nation", "customer", "orders", "lineitem"]
+
+
+def _filtered_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Base tables with the flagship filters pushed onto the scans — the
+    filter-below-join placement every stage assumes (the reference's
+    EvaluationPhase machinery does the same placement, relalg.py:2813)."""
+    tables = load_tables(spark, sf_dir, _TABLES)
+    tables["region"] = tables["region"].filter(F.col("r_name") == "ASIA")
+    tables["orders"] = tables["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    return tables
+
+
+def _flagship_agg(joined: DataFrame) -> DataFrame:
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("*").alias("num_orders"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+        .limit(10)
+    )
+
+
+@query("opt_ues_regional_revenue", oracle=FLAGSHIP_ORACLE)
+def opt_ues_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregation with the join order chosen by the UES stage from
+    live emulated statistics (max-frequency bounds over the *filtered*
+    inputs), enforced by construction. Result must equal the unoptimized
+    oracle — optimization is never allowed to change semantics."""
+    tables = _filtered_tables(spark, sf_dir)
+    spec = QuerySpec(tuple(_TABLES), tuple(pk_fk_edges_for(_TABLES)))
+    pipeline = MultiStageOptimizationPipeline(
+        spark, join_ordering=UESJoinOrderOptimizer(spark)
+    )
+    planned = pipeline.optimize_query(spec, tables)
+    return _flagship_agg(planned.to_dataframe(tables))
+
+
+@query("opt_forced_plan_regional_revenue", oracle=FLAGSHIP_ORACLE)
+def opt_forced_plan_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregation under an adversarial forced plan: bushy join
+    order (dims ⋈ facts built separately) + pinned physical operators
+    (broadcast for the dimension side, sort-merge for the fact join).
+    Exercises every enforcement path — order, algorithm, build side —
+    while the oracle guarantees unchanged results."""
+    tables = _filtered_tables(spark, sf_dir)
+    edges = pk_fk_edges_for(_TABLES)
+    tree = JoinTree.join(
+        JoinTree.left_deep(["customer", "nation", "region"]),
+        JoinTree.left_deep(["orders", "lineitem"]),
+    )
+    assignment = PhysicalOperatorAssignment()
+    assignment.set_join_operator(frozenset({"customer", "nation"}), JoinOperator.BROADCAST_HASH)
+    assignment.set_join_operator(
+        frozenset({"customer", "nation", "region"}), JoinOperator.BROADCAST_HASH
+    )
+    assignment.set_join_operator(frozenset({"orders", "lineitem"}), JoinOperator.SORT_MERGE)
+    joined = compile_join_tree(tables, tree, edges, assignment)
+    return _flagship_agg(joined)

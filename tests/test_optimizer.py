@@ -1,0 +1,227 @@
+"""Optimizer instrumentation layer tests (SURVEY.md §3/§4).
+
+The key end-to-end property (the reference's own optimizer test pattern,
+tests/test_ues_optimization.py: "optimized queries still return identical
+results"): any forced join order / operator assignment must produce the
+same result set as Catalyst's default plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from postbound_spark.catalog import load_tables
+from postbound_spark.optimizer import (
+    EmulatedStatistics,
+    JoinEdge,
+    JoinOperator,
+    JoinTree,
+    MultiStageOptimizationPipeline,
+    PhysicalOperatorAssignment,
+    PreciseCardinalities,
+    QuerySpec,
+    UESJoinOrderOptimizer,
+    all_linear_join_orders,
+    compile_join_tree,
+    executed_plan,
+    optimized_plan,
+    pk_fk_edges_for,
+    random_bushy_join_order,
+)
+
+TABLES_5 = ["region", "nation", "customer", "orders", "lineitem"]
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return QuerySpec(tuple(TABLES_5), tuple(pk_fk_edges_for(TABLES_5)))
+
+
+@pytest.fixture(scope="module")
+def tdfs(spark, sf_small):
+    return load_tables(spark, sf_small, TABLES_5)
+
+
+# -- join tree -------------------------------------------------------------
+
+
+def test_jointree_shapes():
+    t = JoinTree.left_deep(["a", "b", "c", "d"])
+    assert t.tables() == ["a", "b", "c", "d"]
+    assert t.is_linear() and not t.is_bushy()
+    assert t.depth() == 4
+    bushy = JoinTree.join(JoinTree.left_deep(["a", "b"]), JoinTree.left_deep(["c", "d"]))
+    assert bushy.is_bushy()
+    assert len(list(bushy.joins())) == 3
+
+
+# -- join graph ------------------------------------------------------------
+
+
+def test_joingraph_classification(spec):
+    graph = spec.join_graph()
+    assert graph.is_connected()
+    edge = graph.edges_between("orders", "lineitem")[0]
+    assert edge.is_pk_fk()
+    assert edge.fk_table() == "lineitem"
+    assert edge.pk_table() == "orders"
+
+
+def test_joingraph_state_machine(spec):
+    graph = spec.join_graph()
+    graph.mark_joined("customer")
+    avail = {frozenset(e.tables()) for e in graph.available_joins()}
+    assert avail == {frozenset({"customer", "nation"}), frozenset({"customer", "orders"})}
+    graph.mark_joined("orders")
+    assert "lineitem" in {t for e in graph.available_joins() for t in e.tables()}
+
+
+# -- forced order + operators return identical results ---------------------
+
+
+def _reference_result(tdfs):
+    return (
+        tdfs["region"]
+        .join(tdfs["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(tdfs["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(tdfs["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(tdfs["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .count()
+    )
+
+
+def test_forced_left_deep_matches_default(spec, tdfs):
+    expected = _reference_result(tdfs)
+    tree = JoinTree.left_deep(["lineitem", "orders", "customer", "nation", "region"])
+    df = compile_join_tree(tdfs, tree, list(spec.edges))
+    assert df.count() == expected
+
+
+def test_forced_bushy_matches_default(spec, tdfs):
+    expected = _reference_result(tdfs)
+    bushy = JoinTree.join(
+        JoinTree.left_deep(["region", "nation", "customer"]),
+        JoinTree.left_deep(["lineitem", "orders"]),
+    )
+    df = compile_join_tree(tdfs, bushy, list(spec.edges))
+    assert df.count() == expected
+
+
+@pytest.mark.parametrize("op", list(JoinOperator))
+def test_forced_operator_appears_in_plan(spec, tdfs, op):
+    assignment = PhysicalOperatorAssignment()
+    assignment.set_join_operator(frozenset({"orders", "lineitem"}), op)
+    tree = JoinTree.left_deep(["orders", "lineitem"])
+    df = compile_join_tree(
+        {t: tdfs[t] for t in ("orders", "lineitem")}, tree, list(spec.edges), assignment
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    expected_node = {
+        JoinOperator.BROADCAST_HASH: "BroadcastHashJoin",
+        JoinOperator.SHUFFLE_HASH: "ShuffledHashJoin",
+        JoinOperator.SORT_MERGE: "SortMergeJoin",
+        JoinOperator.BROADCAST_NL: "CartesianProduct",  # replicate-NL on equi-join
+    }[op]
+    assert expected_node in plan or (
+        op is JoinOperator.BROADCAST_NL and "BroadcastNestedLoopJoin" in plan
+    ), f"{op}: {plan[:500]}"
+    assert df.count() == tdfs["lineitem"].count()
+
+
+# -- statistics ------------------------------------------------------------
+
+
+def test_emulated_statistics(spark, tdfs):
+    stats = EmulatedStatistics(spark)
+    nation = tdfs["nation"]
+    assert stats.row_count(nation) == 25
+    assert stats.distinct_count(nation, "n_regionkey") == 5
+    lo, hi = stats.min_max(nation, "n_nationkey")
+    assert (lo, hi) == (0, 24)
+    assert stats.max_frequency(nation, "n_regionkey") == 5
+    mcv = stats.most_common_values(nation, "n_regionkey", k=2)
+    assert len(mcv) == 2 and mcv[0][1] == 5
+    hist = stats.histogram(nation, "n_nationkey", buckets=4)
+    assert hist[0] == 0 and hist[-1] == 24 and len(hist) == 5
+
+
+# -- cardinalities ---------------------------------------------------------
+
+
+def test_precise_cardinalities(spec, tdfs):
+    est = PreciseCardinalities()
+    got = est.estimate_cardinality(spec, frozenset({"orders", "lineitem"}), tdfs)
+    expected = (
+        tdfs["orders"]
+        .join(tdfs["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .count()
+    )
+    assert got == float(expected)
+
+
+# -- enumeration -----------------------------------------------------------
+
+
+def test_all_linear_orders_small():
+    spec3 = QuerySpec(
+        ("region", "nation", "customer"), tuple(pk_fk_edges_for(["region", "nation", "customer"]))
+    )
+    orders = [tuple(t.tables()) for t in all_linear_join_orders(spec3)]
+    assert len(orders) == len(set(orders))
+    # chain graph region-nation-customer: 4 connected linear orders
+    assert set(orders) == {
+        ("region", "nation", "customer"),
+        ("nation", "region", "customer"),
+        ("nation", "customer", "region"),
+        ("customer", "nation", "region"),
+    }
+
+
+def test_random_bushy_reproducible(spec):
+    t1 = random_bushy_join_order(spec, seed=7)
+    t2 = random_bushy_join_order(spec, seed=7)
+    assert str(t1) == str(t2)
+    assert sorted(t1.tables()) == sorted(TABLES_5)
+
+
+# -- UES -------------------------------------------------------------------
+
+
+def test_ues_join_order_valid_and_correct(spark, spec, tdfs):
+    ues = UESJoinOrderOptimizer(spark)
+    tree = ues.optimize_join_order(spec, tdfs)
+    assert sorted(tree.tables()) == sorted(TABLES_5)
+    df = compile_join_tree(tdfs, tree, list(spec.edges))
+    assert df.count() == _reference_result(tdfs)
+
+
+# -- pipeline end-to-end ---------------------------------------------------
+
+
+def test_multistage_pipeline(spark, spec, tdfs):
+    pipeline = MultiStageOptimizationPipeline(
+        spark, join_ordering=UESJoinOrderOptimizer(spark)
+    )
+    planned = pipeline.optimize_query(spec, tdfs)
+    assert sorted(planned.join_order.tables()) == sorted(TABLES_5)
+    assert planned.to_dataframe(tdfs).count() == _reference_result(tdfs)
+
+
+# -- plan introspection ----------------------------------------------------
+
+
+def test_plan_introspection(spec, tdfs):
+    tree = JoinTree.left_deep(["region", "nation"])
+    df = compile_join_tree({t: tdfs[t] for t in ("region", "nation")}, tree, list(spec.edges))
+    opt = optimized_plan(df)
+    assert opt.join_nodes(), opt.pretty()
+    assert opt.depth() >= 2
+    df.collect()
+    execd = executed_plan(df)
+    joins = execd.join_nodes()
+    assert joins
+    # after execution the join's numOutputRows metric is populated
+    assert any(not math.isnan(j.actual_rows) and j.actual_rows == 25 for j in joins), execd.pretty()
