@@ -1,0 +1,96 @@
+"""Structured Streaming surface: windowed aggregation with watermarks.
+
+The reference has **no** streaming capability (SURVEY.md §2.8 — batch,
+read-only SELECT world), so this module is the engine's forward-looking
+extension: the same windowed aggregations the batch registry oracle-checks
+(``events_window_agg``), expressed as an incremental streaming plan.
+
+Semantics guarantees that matter at scale:
+
+- **watermark** bounds state: groups older than ``watermark`` behind the
+  max observed event time are finalized and evicted — without it, a
+  windowed agg on an unbounded stream accumulates state forever;
+- **exactly-once** comes from the checkpoint + idempotent sink contract
+  (file sources record offsets per micro-batch);
+- ``Trigger.AvailableNow`` drains the backlog with streaming semantics —
+  letting the test suite verify stream == batch on a finite fixture, the
+  same oracle pattern the batch registry uses.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet.
+
+    The file source needs an explicit schema (no inference mid-stream) and
+    a directory; ``pathGlobFilter`` narrows it to the events file. The
+    TIMESTAMP(NANOS) column rides in as int64 (same nanosAsLong handling
+    as the batch catalog) and converts to a proper event-time column.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window count/sum per event type with late-data handling.
+
+    Identical logical shape to the batch ``events_window_agg`` registry
+    query — Structured Streaming runs it incrementally with partial
+    aggregates per micro-batch and state eviction past the watermark.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, query_name: str | None = None) -> DataFrame:
+    """Drain the stream with ``Trigger.AvailableNow`` into a memory sink and
+    return the materialized result as a batch DataFrame.
+
+    Complete output mode: every window is emitted once the backlog drains
+    (finite fixture ⇒ deterministic). Checkpoints live in a throwaway temp
+    dir — a real deployment points this at durable storage for
+    exactly-once restart.
+    """
+    spark = result.sparkSession
+    name = query_name or f"avail_now_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
