@@ -27,6 +27,17 @@ HEADLINE = [
     "q10_returned_items",
     "top_suppliers_having",
     "latest_order_per_customer",
+    # training-data pipeline families (documents/embeddings are fixed-size
+    # fixtures; these measure the per-row operator cost, not scan scale)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "events_window_agg",
+    "events_sessionize",
+    "text_quality_score",
+    # optimizer-enforced plan (UES ordering + forced operators)
+    "opt_forced_plan_regional_revenue",
 ]
 
 
@@ -46,12 +57,19 @@ def main() -> None:
     # (db/_db.py:120, postgres prewarm_tables). Cold-start compile time is a
     # per-shape constant that vanishes at scale; steady-state is the number
     # that extrapolates.
+    # best-of-2 steady state: this host has noisy neighbors, and a single
+    # timing can catch a straggler task; min-of-reps is the reproducible
+    # number (the reference's repetition model, bench.py:1043, exists for
+    # the same reason).
     timings: dict[str, float] = {}
     for name in names:
         registry[name].builder(spark, sf_dir).collect()
-        start = time.perf_counter()
-        registry[name].builder(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            registry[name].builder(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -118,16 +118,29 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def token_hashes(toks: Column) -> Column:
+    """Distinct-token 60-bit hash array — materialize this (behind an
+    exchange or cache) before feeding wide bit-test expressions like
+    :func:`simhash16_from_hashes`, or Catalyst's project-collapsing will
+    inline the md5 work into every bit test."""
+    return F.transform(F.array_distinct(toks), token_hash64)
+
+
 def simhash16(toks: Column) -> Column:
-    """16-bit SimHash over the distinct-token set.
+    """16-bit SimHash over the distinct-token set (convenience composition;
+    prefer ``token_hashes`` + ``simhash16_from_hashes`` with a
+    materialization boundary between them in hot paths)."""
+    return simhash16_from_hashes(token_hashes(toks))
+
+
+def simhash16_from_hashes(th: Column) -> Column:
+    """16-bit SimHash from a precomputed token-hash array.
 
     bit_b = 1 iff at least half the token hashes have bit b set. The 16
-    bit-tests are unrolled Python-side into one arithmetic expression over
-    a shared token-hash array — O(16·|tokens|) integer ops per row, no
-    shuffle, no UDF (bit test via ``bitwiseAND``; no division, so no
-    precision cliff for 60-bit hashes).
+    bit-tests are unrolled Python-side into one arithmetic expression —
+    O(16·|tokens|) integer ops per row, no shuffle, no UDF (bit test via
+    ``bitwiseAND``; no division, so no precision cliff for 60-bit hashes).
     """
-    th = F.transform(F.array_distinct(toks), token_hash64)
     n = F.size(th)
 
     def bit(b: int) -> Column:

@@ -82,9 +82,13 @@ def opt_forced_plan_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFr
     while the oracle guarantees unchanged results."""
     tables = _filtered_tables(spark, sf_dir)
     edges = pk_fk_edges_for(_TABLES)
+    # bushy: facts ⋈ dims, with the dim subtree as the *inner* (build) side
+    # of the top join so the broadcast hint lands on the small side — the
+    # build/probe-side control the reference models with
+    # DirectionalJoinOperatorAssignment (_hints.py:1119)
     tree = JoinTree.join(
-        JoinTree.left_deep(["customer", "nation", "region"]),
         JoinTree.left_deep(["orders", "lineitem"]),
+        JoinTree.left_deep(["customer", "nation", "region"]),
     )
     assignment = PhysicalOperatorAssignment()
     assignment.set_join_operator(frozenset({"customer", "nation"}), JoinOperator.BROADCAST_HASH)
@@ -92,5 +96,6 @@ def opt_forced_plan_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFr
         frozenset({"customer", "nation", "region"}), JoinOperator.BROADCAST_HASH
     )
     assignment.set_join_operator(frozenset({"orders", "lineitem"}), JoinOperator.SORT_MERGE)
+    assignment.set_join_operator(frozenset(_TABLES), JoinOperator.BROADCAST_HASH)
     joined = compile_join_tree(tables, tree, edges, assignment)
     return _flagship_agg(joined)

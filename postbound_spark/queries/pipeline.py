@@ -213,6 +213,31 @@ def text_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _shingle_sets(spark, sf_dir):
+    """documents -> (doc_id, sh) with a materialization boundary after
+    tokenization.
+
+    Staging matters: ``element_at(tokens, i)`` would otherwise inline the
+    regex split of the whole text into *every* shingle position (~3 splits
+    per shingle — measured ~10× slowdown at fixture scale). One exchange of
+    the narrow token array buys shingle construction from a materialized
+    array. Same discipline at 100 TB: materialize reused derived columns at
+    stage boundaries; never let a scan-side expression fan out into a
+    per-position recompute.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        # "has ≥1 shingle" expressed on the *input* (≥ n tokens): filtering
+        # on size(sh) would push the predicate below the projection and
+        # substitute the whole shingle expression into it (measured 18×
+        # slower than this equivalent pre-filter)
+        .filter(F.size(F.col("toks")) >= 3)
+        .repartition("doc_id")
+    )
+    return toks.select("doc_id", T.word_shingles(F.col("toks")).alias("sh"))
+
+
 @query(
     "dedup_exact",
     oracle=r"""
@@ -272,13 +297,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     the pairwise join here is a range cross join — fine at fixture scale,
     never executed globally on a real corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # repartition = explicit exchange boundary: shingle sets materialize
-    # once per row instead of being collapsed into the join and recomputed
-    # per *pair* (a ~100× blowup measured at fixture scale).
-    d = docs.select(
-        "doc_id", T.word_shingles(T.tokens(F.col("text"))).alias("sh")
-    ).repartition("doc_id")
+    d = _shingle_sets(spark, sf_dir).repartition("doc_id")
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     j = inter.cast("double") / (
@@ -341,15 +360,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     touches each doc ``bands`` times; verification touches only
     colliding pairs.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # exchange boundary: materialize shingle sets once (reused by both the
-    # signature stage and the verification joins — see dedup_ngram_jaccard)
-    d = (
-        docs.select("doc_id", T.word_shingles(T.tokens(F.col("text"))).alias("sh"))
-        .filter(F.size("sh") >= 1)
-        .repartition("doc_id")
-    )
-    sig = d.select("doc_id", "sh", T.minhash_signature(F.col("sh"), 8).alias("sig"))
+    # shingle sets with staged materialization (see _shingle_sets); the
+    # trailing exchange lets the signature stage read materialized arrays
+    d = _shingle_sets(spark, sf_dir).repartition("doc_id")
+    # materialize signatures behind an exchange: band-key extraction reads
+    # each signature element individually and would otherwise inline (and
+    # recompute) the full k-hash MinHash per band
+    sig = d.select(
+        "doc_id", T.minhash_signature(F.col("sh"), 8).alias("sig")
+    ).repartition("doc_id")
     exploded = sig.select(
         "doc_id", F.explode(T.lsh_band_keys(F.col("sig"), 4, 2)).alias("bkey")
     )
@@ -396,8 +415,13 @@ def dedup_simhash(spark, sf_dir):
     MinHash-LSH but with a single integer as the signature. Map-only.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", T.simhash16(T.tokens(F.col("text"))).alias("simhash")
+    # materialize the token-hash array behind an exchange so the 16
+    # unrolled bit-tests read it instead of re-hashing per bit
+    hashed = docs.select(
+        "doc_id", T.token_hashes(T.tokens(F.col("text"))).alias("th")
+    ).repartition("doc_id")
+    return hashed.select(
+        "doc_id", T.simhash16_from_hashes(F.col("th")).alias("simhash")
     )
 
 
@@ -468,9 +492,11 @@ def ann_cosine_topk(spark, sf_dir):
     shape at any scale; the LSH variant below prunes candidates first.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id", "label", V.quantize(F.col("embedding")).alias("qv")
-    ).withColumn("nrm", V.norm_q(F.col("qv")))
+    q = (
+        emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", V.norm_q(F.col("qv")))
+        .repartition("vec_id")
+    )
     qvec = q.filter(F.col("vec_id") == 0).select(
         F.col("qv").alias("query_qv"), F.col("nrm").alias("query_nrm")
     )
@@ -515,7 +541,11 @@ def ann_lsh_bucket_histogram(spark, sf_dir):
     the candidate join at scale.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(V.quantize(F.col("embedding")).alias("qv"))
+    # exchange boundary: the 8×64-term unrolled sign tests read a
+    # materialized quantized array instead of inlining quantization 512×
+    q = emb.select(
+        "vec_id", V.quantize(F.col("embedding")).alias("qv")
+    ).repartition("vec_id")
     return (
         q.select(V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=8).alias("bucket"))
         .groupBy("bucket")
@@ -547,9 +577,12 @@ def ann_lsh_topk(spark, sf_dir):
     sign-LSH index, with the index "build" being a map-only column.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id", "label", V.quantize(F.col("embedding")).alias("qv")
-    ).withColumn("nrm", V.norm_q(F.col("qv")))
+    # exchange boundary before the wide bucket expression (see histogram)
+    q = (
+        emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", V.norm_q(F.col("qv")))
+        .repartition("vec_id")
+    )
     b = q.withColumn("bucket", V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=8))
     qb = b.filter(F.col("vec_id") == 0).select(
         F.col("qv").alias("query_qv"),
