@@ -1,0 +1,445 @@
+"""Query abstraction layer (IR): tables, columns, expressions, predicates,
+clauses, queries.
+
+Re-expresses the reference's qal (rbergm/PostBOUND ``postbound/qal/_qal.py``:
+``TableReference`` ``_core.py:624``, ``ColumnReference`` ``:923``,
+predicates ``:2506-3383``, clauses ``:5867-7867``, ``SqlQuery:8390``) as a
+compact immutable Python IR. Deliberately *not* a class-for-class port: the
+reference needs a rich expression tree because it must re-print hints and
+analyze arbitrary SQL; here Catalyst is the analyzer, so expressions bottom
+out in SQL text fragments early, while the *structural* layers the optimizer
+instrumentation needs — predicate classification (join vs filter), the
+predicate index, clause composition, query rewriting — are first-class.
+
+Everything renders to ANSI SQL via ``to_sql()``; the same text runs on
+``spark.sql`` and on the DuckDB oracle, which is how IR-built queries enter
+the correctness gate.
+
+Conventions copied from the reference (SURVEY.md §1.3): immutability with
+value semantics (frozen dataclasses), lowercase identifier normalization,
+mutation via ``replace``-style helpers returning new trees.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field, replace
+from typing import Iterator
+
+
+def _norm(name: str) -> str:
+    return name.strip().lower()
+
+
+# ---------------------------------------------------------------------------
+# references
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TableReference:
+    """ref ``_core.py:624``: named reference, not the data; ``virtual`` marks
+    subquery/CTE aliases."""
+
+    full_name: str
+    alias: str | None = None
+    virtual: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "full_name", _norm(self.full_name))
+        if self.alias is not None:
+            object.__setattr__(self, "alias", _norm(self.alias))
+
+    @property
+    def identifier(self) -> str:
+        return self.alias or self.full_name
+
+    def to_sql(self) -> str:
+        return f"{self.full_name} {self.alias}" if self.alias else self.full_name
+
+
+@dataclass(frozen=True)
+class ColumnReference:
+    """ref ``_core.py:923``: column optionally bound to a table."""
+
+    name: str
+    table: TableReference | None = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "name", _norm(self.name))
+
+    def to_sql(self) -> str:
+        return f"{self.table.identifier}.{self.name}" if self.table else self.name
+
+
+# ---------------------------------------------------------------------------
+# expressions — SQL-fragment-backed (Catalyst is the analyzer)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SqlExpression:
+    """An expression = SQL text + the column references it mentions.
+
+    The reference keeps a full class tree (MathExpression, CaseExpression,
+    …, qal/_qal.py §2.3) because it re-analyzes expressions; our engine
+    delegates analysis to Catalyst, so the IR only tracks what the
+    optimizer layers consume: referenced columns/tables.
+    """
+
+    sql: str
+    columns: tuple[ColumnReference, ...] = ()
+
+    def tables(self) -> frozenset[str]:
+        return frozenset(c.table.identifier for c in self.columns if c.table)
+
+    def to_sql(self) -> str:
+        return self.sql
+
+
+def col(name: str, table: TableReference | None = None) -> SqlExpression:
+    ref = ColumnReference(name, table)
+    return SqlExpression(ref.to_sql(), (ref,))
+
+
+def lit(value: object) -> SqlExpression:
+    if value is None:
+        return SqlExpression("NULL")
+    if isinstance(value, bool):
+        return SqlExpression("TRUE" if value else "FALSE")
+    if isinstance(value, str):
+        escaped = value.replace("'", "''")
+        return SqlExpression(f"'{escaped}'")
+    return SqlExpression(str(value))
+
+
+def func(name: str, *args: SqlExpression, distinct: bool = False) -> SqlExpression:
+    """ref ``FunctionExpression`` qal/_qal.py:796 — name passes through
+    uninterpreted (the engine inherits Spark's whole function library)."""
+    inner = ", ".join(a.to_sql() for a in args)
+    prefix = "DISTINCT " if distinct else ""
+    cols = tuple(c for a in args for c in a.columns)
+    return SqlExpression(f"{name.lower()}({prefix}{inner})", cols)
+
+
+# ---------------------------------------------------------------------------
+# predicates
+# ---------------------------------------------------------------------------
+
+
+class LogicalOperator(enum.Enum):
+    """ref ``LogicalOperator`` qal/_qal.py:34-58 (core comparison set)."""
+
+    EQ = "="
+    NE = "<>"
+    LT = "<"
+    LE = "<="
+    GT = ">"
+    GE = ">="
+    LIKE = "LIKE"
+    NOT_LIKE = "NOT LIKE"
+    ILIKE = "ILIKE"
+    NOT_ILIKE = "NOT ILIKE"
+    IS_DISTINCT_FROM = "IS DISTINCT FROM"
+    IS_NOT_DISTINCT_FROM = "IS NOT DISTINCT FROM"
+
+
+class CompoundOperator(enum.Enum):
+    AND = "AND"
+    OR = "OR"
+    NOT = "NOT"
+
+
+@dataclass(frozen=True)
+class AbstractPredicate:
+    """ref ``AbstractPredicate`` qal/_qal.py:2078. The central
+    classification: a predicate *is a join* iff it references columns of
+    ≥ 2 distinct relations."""
+
+    def columns(self) -> tuple[ColumnReference, ...]:
+        raise NotImplementedError
+
+    def tables(self) -> frozenset[str]:
+        return frozenset(c.table.identifier for c in self.columns() if c.table)
+
+    def is_join(self) -> bool:
+        return len(self.tables()) >= 2
+
+    def is_filter(self) -> bool:
+        return not self.is_join()
+
+    def iterpredicates(self) -> Iterator["AbstractPredicate"]:
+        """Leaf predicates of this (possibly compound) tree."""
+        yield self
+
+    def to_sql(self) -> str:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class BinaryPredicate(AbstractPredicate):
+    """ref ``:2506``."""
+
+    operation: LogicalOperator
+    lhs: SqlExpression
+    rhs: SqlExpression
+
+    def columns(self):
+        return self.lhs.columns + self.rhs.columns
+
+    def to_sql(self) -> str:
+        return f"{self.lhs.to_sql()} {self.operation.value} {self.rhs.to_sql()}"
+
+
+@dataclass(frozen=True)
+class BetweenPredicate(AbstractPredicate):
+    """ref ``:2632``."""
+
+    expr: SqlExpression
+    lower: SqlExpression
+    upper: SqlExpression
+
+    def columns(self):
+        return self.expr.columns + self.lower.columns + self.upper.columns
+
+    def to_sql(self) -> str:
+        return f"{self.expr.to_sql()} BETWEEN {self.lower.to_sql()} AND {self.upper.to_sql()}"
+
+
+@dataclass(frozen=True)
+class InPredicate(AbstractPredicate):
+    """ref ``:2795`` — value lists; subquery form renders a nested query."""
+
+    expr: SqlExpression
+    values: tuple[SqlExpression, ...] = ()
+    subquery: "SqlQuery | None" = None
+    negated: bool = False
+
+    def columns(self):
+        return self.expr.columns + tuple(c for v in self.values for c in v.columns)
+
+    def to_sql(self) -> str:
+        neg = "NOT " if self.negated else ""
+        if self.subquery is not None:
+            return f"{self.expr.to_sql()} {neg}IN ({self.subquery.to_sql()})"
+        inner = ", ".join(v.to_sql() for v in self.values)
+        return f"{self.expr.to_sql()} {neg}IN ({inner})"
+
+
+class UnaryOperation(enum.Enum):
+    IS_NULL = "IS NULL"
+    IS_NOT_NULL = "IS NOT NULL"
+    EXISTS = "EXISTS"
+    NOT_EXISTS = "NOT EXISTS"
+    BARE = ""  # bare boolean expression / UDF filter (tests/test_qal.py:475)
+
+
+@dataclass(frozen=True)
+class UnaryPredicate(AbstractPredicate):
+    """ref ``:2971``."""
+
+    operation: UnaryOperation
+    expr: SqlExpression | None = None
+    subquery: "SqlQuery | None" = None
+
+    def columns(self):
+        return self.expr.columns if self.expr is not None else ()
+
+    def to_sql(self) -> str:
+        if self.operation in (UnaryOperation.EXISTS, UnaryOperation.NOT_EXISTS):
+            return f"{self.operation.value} ({self.subquery.to_sql()})"
+        if self.operation is UnaryOperation.BARE:
+            return self.expr.to_sql()
+        return f"{self.expr.to_sql()} {self.operation.value}"
+
+
+@dataclass(frozen=True)
+class CompoundPredicate(AbstractPredicate):
+    """ref ``:3098`` — AND/OR/NOT trees."""
+
+    operation: CompoundOperator
+    children: tuple[AbstractPredicate, ...]
+
+    def columns(self):
+        return tuple(c for child in self.children for c in child.columns())
+
+    def iterpredicates(self):
+        for child in self.children:
+            yield from child.iterpredicates()
+
+    def to_sql(self) -> str:
+        if self.operation is CompoundOperator.NOT:
+            return f"NOT ({self.children[0].to_sql()})"
+        joiner = f" {self.operation.value} "
+        return joiner.join(f"({c.to_sql()})" for c in self.children)
+
+
+def and_(*predicates: AbstractPredicate) -> AbstractPredicate:
+    flat: list[AbstractPredicate] = []
+    for p in predicates:  # AND-flattening built in (ref transform.py:125)
+        if isinstance(p, CompoundPredicate) and p.operation is CompoundOperator.AND:
+            flat.extend(p.children)
+        else:
+            flat.append(p)
+    return flat[0] if len(flat) == 1 else CompoundPredicate(CompoundOperator.AND, tuple(flat))
+
+
+def eq(lhs: SqlExpression, rhs: SqlExpression) -> BinaryPredicate:
+    return BinaryPredicate(LogicalOperator.EQ, lhs, rhs)
+
+
+# ---------------------------------------------------------------------------
+# predicate index
+# ---------------------------------------------------------------------------
+
+
+class QueryPredicates:
+    """ref ``QueryPredicates`` qal/_qal.py:4304 — the index every ordering
+    algorithm queries: joins(), filters(), joins_between, filters_for, and
+    the equivalence-class closure (``determine_join_equivalence_classes``
+    ``:3557`` / ``generate_predicates_for_equivalence_classes`` ``:3599``)."""
+
+    def __init__(self, root: AbstractPredicate | None):
+        self.root = root
+        self._leaves = list(root.iterpredicates()) if root is not None else []
+
+    def joins(self) -> list[AbstractPredicate]:
+        return [p for p in self._leaves if p.is_join()]
+
+    def filters(self) -> list[AbstractPredicate]:
+        return [p for p in self._leaves if p.is_filter()]
+
+    def joins_between(self, t1: str, t2: str) -> list[AbstractPredicate]:
+        want = {_norm(t1), _norm(t2)}
+        return [p for p in self.joins() if p.tables() == want]
+
+    def filters_for(self, table: str) -> list[AbstractPredicate]:
+        return [p for p in self.filters() if p.tables() == {_norm(table)}]
+
+    def join_equivalence_classes(self) -> list[set[ColumnReference]]:
+        """Transitive closure of equi-join columns (ref ``:3557``)."""
+        classes: list[set[ColumnReference]] = []
+        for p in self.joins():
+            if not (
+                isinstance(p, BinaryPredicate) and p.operation is LogicalOperator.EQ
+            ):
+                continue
+            members = set(p.columns())
+            merged = [c for c in classes if c & members]
+            for c in merged:
+                members |= c
+                classes.remove(c)
+            classes.append(members)
+        return classes
+
+    def equivalence_class_predicates(self) -> list[BinaryPredicate]:
+        """All pairwise equi-joins implied by the closure (ref ``:3599``) —
+        feeds join-graph densification so ordering algorithms see every
+        join opportunity, not just the written ones."""
+        out: list[BinaryPredicate] = []
+        seen: set[tuple[str, str]] = set()
+        for cls in self.join_equivalence_classes():
+            cols = sorted(cls, key=lambda c: c.to_sql())
+            for i, a in enumerate(cols):
+                for b in cols[i + 1 :]:
+                    key = (a.to_sql(), b.to_sql())
+                    if key not in seen:
+                        seen.add(key)
+                        out.append(
+                            eq(
+                                SqlExpression(a.to_sql(), (a,)),
+                                SqlExpression(b.to_sql(), (b,)),
+                            )
+                        )
+        return out
+
+
+# ---------------------------------------------------------------------------
+# clauses + query
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BaseProjection:
+    """ref ``BaseProjection`` qal/_qal.py:5725: expression + optional alias."""
+
+    expr: SqlExpression
+    alias: str | None = None
+
+    def to_sql(self) -> str:
+        return f"{self.expr.to_sql()} AS {self.alias}" if self.alias else self.expr.to_sql()
+
+
+def star() -> BaseProjection:
+    return BaseProjection(SqlExpression("*"))
+
+
+@dataclass(frozen=True)
+class OrderByExpression:
+    """ref ``:7342`` — per-key direction + NULLS FIRST/LAST."""
+
+    expr: SqlExpression
+    ascending: bool = True
+    nulls_first: bool | None = None
+
+    def to_sql(self) -> str:
+        out = f"{self.expr.to_sql()} {'ASC' if self.ascending else 'DESC'}"
+        if self.nulls_first is not None:
+            out += " NULLS FIRST" if self.nulls_first else " NULLS LAST"
+        return out
+
+
+@dataclass(frozen=True)
+class SqlQuery:
+    """Clause-structured immutable SELECT (ref ``SqlQuery`` qal/_qal.py:8390;
+    no DDL/DML, no recursive CTEs — same scope limits, ``:8433-8437``)."""
+
+    select: tuple[BaseProjection, ...]
+    from_tables: tuple[TableReference, ...]
+    where: AbstractPredicate | None = None
+    group_by: tuple[SqlExpression, ...] = ()
+    having: AbstractPredicate | None = None
+    order_by: tuple[OrderByExpression, ...] = ()
+    limit: int | None = None
+    offset: int | None = None
+    distinct: bool = False
+    ctes: tuple[tuple[str, "SqlQuery"], ...] = ()
+
+    # -- introspection ------------------------------------------------------
+
+    def tables(self) -> frozenset[str]:
+        return frozenset(t.identifier for t in self.from_tables)
+
+    def predicates(self) -> QueryPredicates:
+        return QueryPredicates(self.where)
+
+    # -- rendering ----------------------------------------------------------
+
+    def to_sql(self) -> str:
+        parts: list[str] = []
+        if self.ctes:
+            rendered = ", ".join(f"{name} AS ({q.to_sql()})" for name, q in self.ctes)
+            parts.append(f"WITH {rendered}")
+        distinct = "DISTINCT " if self.distinct else ""
+        parts.append(
+            "SELECT " + distinct + ", ".join(p.to_sql() for p in self.select)
+        )
+        parts.append("FROM " + ", ".join(t.to_sql() for t in self.from_tables))
+        if self.where is not None:
+            parts.append("WHERE " + self.where.to_sql())
+        if self.group_by:
+            parts.append("GROUP BY " + ", ".join(e.to_sql() for e in self.group_by))
+        if self.having is not None:
+            parts.append("HAVING " + self.having.to_sql())
+        if self.order_by:
+            parts.append("ORDER BY " + ", ".join(o.to_sql() for o in self.order_by))
+        if self.limit is not None:
+            parts.append(f"LIMIT {self.limit}")
+        if self.offset is not None:
+            parts.append(f"OFFSET {self.offset}")
+        return "\n".join(parts)
+
+    # -- mutation helpers (immutable; ref mutate() convention §1.3) ---------
+
+    def with_clause(self, **changes) -> "SqlQuery":
+        return replace(self, **changes)

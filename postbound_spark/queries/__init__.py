@@ -42,6 +42,7 @@ def load_all() -> dict[str, QueryDef]:
     """Import all query modules (side effect: registration) and return the
     registry."""
     from postbound_spark.queries import (  # noqa: F401
+        ir_demo,
         operators,
         optimizer_demo,
         pipeline,

@@ -1,0 +1,172 @@
+"""Workloads and the benchmark execution loop.
+
+Mirrors the reference's benchmark layer (rbergm/PostBOUND
+``postbound/workloads.py:92`` ``Workload(UserDict[label, SqlQuery])``,
+``read_workload`` ``:657``; ``postbound/bench.py:1019``
+``execute_workload`` with the result-row schema documented at
+``bench.py:1095-1121``): labeled query collections executed with
+repetitions, optional shuffling, per-query timeouts, and per-repetition
+result rows.
+
+Spark specifics:
+- queries are (a) registry names, (b) SQL text (run via ``spark.sql`` over
+  registered fixture views), or (c) ``(spark, sf_dir) -> DataFrame``
+  callables;
+- timeouts use Spark job groups: the watchdog thread calls
+  ``cancelJobGroup`` — the Spark analog of the reference's
+  ``TimeoutQueryExecutor`` (``postgres.py:3703``);
+- progressive output appends one parquet/CSV row batch per query so a
+  crashed run keeps its partial results (ref ``bench.py:1081-1085``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+import threading
+import time
+from collections import UserDict
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+QueryLike = "str | Callable[[SparkSession, str], DataFrame]"
+
+
+class Workload(UserDict):
+    """label -> query (registry name, SQL text, or builder callable)."""
+
+    @staticmethod
+    def from_registry(names: list[str] | None = None) -> "Workload":
+        from postbound_spark.queries import load_all
+
+        registry = load_all()
+        chosen = names or sorted(registry)
+        return Workload({n: registry[n].builder for n in chosen})
+
+    @staticmethod
+    def read_workload(directory: str) -> "Workload":
+        """Load every ``*.sql`` file (label = file stem) — ref
+        ``workloads.py:657``."""
+        out = {}
+        for path in sorted(glob.glob(os.path.join(directory, "*.sql"))):
+            label = os.path.splitext(os.path.basename(path))[0]
+            with open(path) as fh:
+                out[label] = fh.read()
+        return Workload(out)
+
+
+@dataclass
+class ExecutionResult:
+    label: str
+    status: str  # ok | timeout | execution-error (ref bench.py status column)
+    exec_time: float
+    optimization_time: float
+    n_rows: int
+    workload_repetition: int
+    query_repetition: int
+    error: str | None = None
+
+
+def _run_one(
+    spark: SparkSession,
+    label: str,
+    item,
+    sf_dir: str,
+    timeout_s: float | None,
+) -> tuple[str, float, int, str | None]:
+    from postbound_spark.catalog import register_views
+
+    group = f"bench-{label}-{time.monotonic_ns()}"
+    sc = spark.sparkContext
+    outcome: dict[str, object] = {}
+
+    def work():
+        # job group is thread-local on the SparkContext — set it in the
+        # worker so every job this query submits (AQE submits several per
+        # collect) lands in the cancellable group
+        sc.setJobGroup(group, label, interruptOnCancel=True)
+        try:
+            if callable(item):
+                df = item(spark, sf_dir)
+            else:
+                register_views(spark, sf_dir)
+                df = spark.sql(item)
+            outcome["n_rows"] = len(df.collect())
+        except Exception as exc:  # noqa: BLE001 — cancelled jobs raise generically
+            outcome["error"] = f"{type(exc).__name__}: {exc}"
+        finally:
+            sc.setJobGroup("", "")
+
+    start = time.perf_counter()
+    worker = threading.Thread(target=work, daemon=True)
+    worker.start()
+    worker.join(timeout_s)
+    timed_out = worker.is_alive()
+    if timed_out:
+        # AQE re-submits a fresh job per stage, and cancelJobGroup only hits
+        # *active* jobs — keep cancelling until the worker gives up
+        deadline = time.monotonic() + 30
+        while worker.is_alive() and time.monotonic() < deadline:
+            sc.cancelJobGroup(group)
+            worker.join(0.5)
+    elapsed = time.perf_counter() - start
+    if timed_out:
+        return "timeout", timeout_s or elapsed, 0, None
+    if "error" in outcome:
+        return "execution-error", elapsed, 0, str(outcome["error"])
+    return "ok", elapsed, int(outcome.get("n_rows", 0)), None
+
+
+def execute_workload(
+    spark: SparkSession,
+    workload: Workload,
+    sf_dir: str,
+    *,
+    workload_repetitions: int = 1,
+    per_query_repetitions: int = 1,
+    shuffled: bool = False,
+    timeout_s: float | None = None,
+    shuffle_seed: int = 42,
+    progressive_output: str | None = None,
+) -> pd.DataFrame:
+    """ref ``bench.py:1019-1235``: for each workload repetition × query ×
+    per-query repetition, execute with optional timeout and collect one
+    result row. Returns the reference's result-row schema (``:1095``)."""
+    rows: list[ExecutionResult] = []
+    rng = random.Random(shuffle_seed)
+    for wrep in range(workload_repetitions):
+        labels = list(workload)
+        if shuffled:
+            rng.shuffle(labels)
+        for label in labels:
+            for qrep in range(per_query_repetitions):
+                status, elapsed, n_rows, error = _run_one(
+                    spark, label, workload[label], sf_dir, timeout_s
+                )
+                rows.append(
+                    ExecutionResult(
+                        label=label,
+                        status=status,
+                        exec_time=round(elapsed, 4),
+                        optimization_time=0.0,
+                        n_rows=n_rows,
+                        workload_repetition=wrep,
+                        query_repetition=qrep,
+                        error=error,
+                    )
+                )
+            if progressive_output:
+                _write_progressive(rows, progressive_output)
+    return pd.DataFrame([r.__dict__ for r in rows])
+
+
+def _write_progressive(rows: list[ExecutionResult], path: str) -> None:
+    df = pd.DataFrame([r.__dict__ for r in rows])
+    if path.endswith(".csv"):
+        df.to_csv(path, index=False)
+    else:
+        df.to_parquet(path, index=False)

@@ -1,0 +1,146 @@
+"""qal IR tests — mirrors the reference's unit-test matrix on the IR
+(tests/test_qal.py: join-vs-filter detection :40/:56, BETWEEN/IN/unary
+:140/:171/:198, compound trees :235, transformations)."""
+
+from __future__ import annotations
+
+import pytest
+
+from postbound_spark.plans import qal as Q
+from postbound_spark.plans import transform as X
+
+
+@pytest.fixture
+def t():
+    r = Q.TableReference("region", "r")
+    n = Q.TableReference("nation", "n")
+    return r, n
+
+
+def _query(r, n, where):
+    return Q.SqlQuery(
+        select=(Q.BaseProjection(Q.col("n_name", n)),),
+        from_tables=(r, n),
+        where=where,
+    )
+
+
+def test_join_vs_filter_classification(t):
+    r, n = t
+    join = Q.eq(Q.col("r_regionkey", r), Q.col("n_regionkey", n))
+    filt = Q.eq(Q.col("r_name", r), Q.lit("ASIA"))
+    assert join.is_join() and not join.is_filter()
+    assert filt.is_filter() and not filt.is_join()
+
+
+def test_false_positive_join_is_filter(t):
+    # same-table column comparison is a filter (ref test_qal.py:223)
+    r, _ = t
+    p = Q.eq(Q.col("r_regionkey", r), Q.col("r_name", r))
+    assert p.is_filter()
+
+
+def test_between_in_unary(t):
+    r, _ = t
+    between = Q.BetweenPredicate(Q.col("r_regionkey", r), Q.lit(1), Q.lit(3))
+    assert between.is_filter()
+    assert between.to_sql() == "r.r_regionkey BETWEEN 1 AND 3"
+    inp = Q.InPredicate(Q.col("r_name", r), (Q.lit("ASIA"), Q.lit("EUROPE")))
+    assert inp.to_sql() == "r.r_name IN ('ASIA', 'EUROPE')"
+    null = Q.UnaryPredicate(Q.UnaryOperation.IS_NULL, Q.col("r_comment", r))
+    assert null.to_sql() == "r.r_comment IS NULL"
+
+
+def test_compound_and_flatten(t):
+    r, n = t
+    a = Q.eq(Q.col("r_name", r), Q.lit("ASIA"))
+    b = Q.eq(Q.col("r_regionkey", r), Q.col("n_regionkey", n))
+    c = Q.eq(Q.col("n_name", n), Q.lit("JAPAN"))
+    nested = Q.CompoundPredicate(
+        Q.CompoundOperator.AND,
+        (Q.CompoundPredicate(Q.CompoundOperator.AND, (a, b)), c),
+    )
+    flat = X.flatten_and_predicate(nested)
+    assert isinstance(flat, Q.CompoundPredicate)
+    assert len(flat.children) == 3
+    assert list(nested.iterpredicates()) == [a, b, c]
+
+
+def test_predicate_index(t):
+    r, n = t
+    join = Q.eq(Q.col("r_regionkey", r), Q.col("n_regionkey", n))
+    filt = Q.eq(Q.col("r_name", r), Q.lit("ASIA"))
+    preds = Q.QueryPredicates(Q.and_(join, filt))
+    assert preds.joins() == [join]
+    assert preds.filters() == [filt]
+    assert preds.joins_between("r", "n") == [join]
+    assert preds.filters_for("r") == [filt]
+
+
+def test_equivalence_classes():
+    a = Q.TableReference("ta", "a")
+    b = Q.TableReference("tb", "b")
+    c = Q.TableReference("tc", "c")
+    p1 = Q.eq(Q.col("x", a), Q.col("x", b))
+    p2 = Q.eq(Q.col("x", b), Q.col("x", c))
+    preds = Q.QueryPredicates(Q.and_(p1, p2))
+    classes = preds.join_equivalence_classes()
+    assert len(classes) == 1 and len(classes[0]) == 3
+    implied = {p.to_sql() for p in preds.equivalence_class_predicates()}
+    assert "a.x = c.x" in implied  # the transitive edge
+
+
+def test_count_star_and_star_wrapping(t):
+    r, n = t
+    q = _query(r, n, Q.eq(Q.col("r_regionkey", r), Q.col("n_regionkey", n)))
+    q = q.with_clause(order_by=(Q.OrderByExpression(Q.col("n_name", n)),), limit=5)
+    counted = X.as_count_star_query(q)
+    assert "count(*)" in counted.to_sql().lower()
+    assert "ORDER BY" not in counted.to_sql() and "LIMIT" not in counted.to_sql()
+    starred = X.as_star_query(q)
+    assert starred.select[0].to_sql() == "*"
+
+
+def test_clause_surgery(t):
+    r, n = t
+    join = Q.eq(Q.col("r_regionkey", r), Q.col("n_regionkey", n))
+    filt = Q.eq(Q.col("r_name", r), Q.lit("ASIA"))
+    q = _query(r, n, Q.and_(join, filt))
+    dropped = X.remove_predicate(q, filt)
+    assert dropped.predicates().joins() and not dropped.predicates().filters()
+    readded = X.add_where(dropped, filt)
+    assert len(list(readded.where.iterpredicates())) == 2
+    nowhere = X.drop_clause(q, "where")
+    assert nowhere.where is None
+
+
+def test_sql_rendering_runs_on_both_engines(spark, sf_oracle):
+    """The IR's ANSI rendering is executable by Spark *and* DuckDB on the
+    same data with identical results — the property that lets IR-built
+    queries enter the oracle gate."""
+    import duckdb
+
+    from postbound_spark.catalog import register_views, table_path
+
+    r = Q.TableReference("region", "r")
+    n = Q.TableReference("nation", "n")
+    q = Q.SqlQuery(
+        select=(
+            Q.BaseProjection(Q.col("r_name", r), "region_name"),
+            Q.BaseProjection(Q.SqlExpression("count(*)"), "n_nations"),
+        ),
+        from_tables=(r, n),
+        where=Q.eq(Q.col("r_regionkey", r), Q.col("n_regionkey", n)),
+        group_by=(Q.col("r_name", r),),
+        order_by=(Q.OrderByExpression(Q.col("r_name", r)),),
+    )
+    sql = q.to_sql()
+    register_views(spark, sf_oracle, ["region", "nation"])
+    got = [tuple(row) for row in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    for name in ("region", "nation"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_oracle, name)}')"
+        )
+    want = con.execute(sql).fetchall()
+    assert got == want and len(got) == 5

@@ -1,0 +1,64 @@
+"""Workload loading + execute_workload loop (ref bench.py result-row schema
+and timeout handling; SURVEY.md §3.3)."""
+
+from __future__ import annotations
+
+import os
+
+from postbound_spark.workloads import Workload, execute_workload
+
+
+def test_read_workload_sql_dir(tmp_path):
+    (tmp_path / "q1.sql").write_text("SELECT 1 AS one")
+    (tmp_path / "q2.sql").write_text("SELECT 2 AS two")
+    wl = Workload.read_workload(str(tmp_path))
+    assert list(wl) == ["q1", "q2"]
+    assert "SELECT 1" in wl["q1"]
+
+
+def test_execute_workload_repetitions(spark, sf_small, tmp_path):
+    wl = Workload(
+        {
+            "nations_per_region": (
+                "SELECT r_regionkey, count(*) AS n FROM nation n "
+                "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r_regionkey"
+            ),
+            "flagship": Workload.from_registry(["flagship_regional_revenue"])[
+                "flagship_regional_revenue"
+            ],
+        }
+    )
+    out = str(tmp_path / "results.csv")
+    df = execute_workload(
+        spark,
+        wl,
+        sf_small,
+        workload_repetitions=2,
+        per_query_repetitions=2,
+        shuffled=True,
+        progressive_output=out,
+    )
+    assert len(df) == 8  # 2 workload reps × 2 queries × 2 query reps
+    assert set(df["status"]) == {"ok"}
+    assert (df["exec_time"] > 0).all()
+    assert set(df.columns) >= {
+        "label", "status", "exec_time", "optimization_time",
+        "n_rows", "workload_repetition", "query_repetition",
+    }
+    assert os.path.exists(out)
+
+
+def test_execute_workload_timeout(spark, sf_small):
+    # unconstrained 4-way cross product — cannot finish in 1s
+    wl = Workload(
+        {"explosion": "SELECT count(*) AS n FROM lineitem a, lineitem b, lineitem c, lineitem d"}
+    )
+    df = execute_workload(spark, wl, sf_small, timeout_s=1.0)
+    assert list(df["status"]) == ["timeout"]
+
+
+def test_execute_workload_error_status(spark, sf_small):
+    wl = Workload({"broken": "SELECT no_such_column FROM nation"})
+    df = execute_workload(spark, wl, sf_small)
+    assert list(df["status"]) == ["execution-error"]
+    assert df["error"].iloc[0]
