@@ -18,6 +18,7 @@ from postbound_spark.optimizer.enumeration import (
     all_linear_join_orders,
     random_bushy_join_order,
 )
+from postbound_spark.optimizer.injection import CardinalityInjector
 from postbound_spark.optimizer.hints import (
     FORCED_ORDER_CONF,
     JoinOperator,
@@ -52,6 +53,7 @@ from postbound_spark.optimizer.ues import UESJoinOrderOptimizer
 
 __all__ = [
     "CardinalityDistortion",
+    "CardinalityInjector",
     "CardinalityEstimator",
     "ColumnStats",
     "CostModel",
