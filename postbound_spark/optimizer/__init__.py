@@ -18,6 +18,12 @@ from postbound_spark.optimizer.enumeration import (
     all_linear_join_orders,
     random_bushy_join_order,
 )
+from postbound_spark.optimizer.analysis import (
+    jointree_similarity,
+    plan_diff,
+    possible_plans_bound,
+)
+from postbound_spark.optimizer.dynprog import DynamicProgrammingEnumerator
 from postbound_spark.optimizer.injection import CardinalityInjector
 from postbound_spark.optimizer.hints import (
     FORCED_ORDER_CONF,
@@ -57,6 +63,7 @@ __all__ = [
     "CardinalityEstimator",
     "ColumnStats",
     "CostModel",
+    "DynamicProgrammingEnumerator",
     "EmulatedStatistics",
     "EquiJoinPreCheck",
     "FORCED_ORDER_CONF",
@@ -84,7 +91,10 @@ __all__ = [
     "compile_join_tree",
     "executed_plan",
     "join_order_signature",
+    "jointree_similarity",
     "optimized_plan",
     "pk_fk_edges_for",
+    "plan_diff",
+    "possible_plans_bound",
     "random_bushy_join_order",
 ]

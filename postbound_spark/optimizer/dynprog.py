@@ -1,0 +1,101 @@
+"""Textbook dynamic-programming join enumeration.
+
+Re-implements the *algorithm* of the reference's
+``DynamicProgrammingEnumerator`` (rbergm/PostBOUND ``postbound/opt/
+dynprog.py:79``; same documented limitations ``:92-106``: SPJ, inner
+equi-joins, no interesting-order reasoning) over our JoinGraph/JoinTree
+artifacts. Nothing copied — this is the classic Selinger bottom-up DP:
+
+    best[{t}]   = leaf
+    best[S]     = argmin over connected splits (L, R) of
+                  cost(best[L]) + cost(best[R]) + cost_of_join(L, R)
+
+Cardinalities come from any :class:`CardinalityEstimator` (precise counts,
+replayed numbers, or a distortion wrapper — the research loop's knob), and
+the cost model defaults to C_out (sum of intermediate cardinalities), the
+standard research baseline. The winning JoinTree is enforced by
+construction like every other ordering stage.
+
+Complexity is the usual 3^n subset DP — fine for the ≤10-relation queries
+optimizer research actually studies; the exhaustive/random enumerators
+(enumeration.py) cover sampling larger spaces.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+from pyspark.sql import DataFrame
+
+from postbound_spark.optimizer.jointree import JoinTree
+from postbound_spark.optimizer.stages import (
+    CardinalityEstimator,
+    JoinOrderOptimization,
+    QuerySpec,
+)
+
+
+class DynamicProgrammingEnumerator(JoinOrderOptimization):
+    def __init__(self, cardinality_estimator: CardinalityEstimator, bushy: bool = True):
+        self.estimator = cardinality_estimator
+        self.bushy = bushy
+
+    def optimize_join_order(self, spec: QuerySpec, tables: dict[str, DataFrame]) -> JoinTree:
+        names = sorted(spec.tables)
+        edges = list(spec.edges)
+
+        def connected(left: frozenset[str], right: frozenset[str]) -> bool:
+            return any(
+                len(e.tables() & left) == 1 and len(e.tables() & right) == 1
+                for e in edges
+            )
+
+        card: dict[frozenset[str], float] = {}
+
+        def cardinality(subset: frozenset[str]) -> float:
+            if subset not in card:
+                card[subset] = self.estimator.estimate_cardinality(spec, subset, tables)
+            return card[subset]
+
+        # best[S] = (cost, tree); cost = C_out = Σ |intermediate|
+        best: dict[frozenset[str], tuple[float, JoinTree]] = {}
+        for t in names:
+            s = frozenset((t,))
+            best[s] = (0.0, JoinTree.leaf(t, cardinality(s)))
+
+        for size in range(2, len(names) + 1):
+            for combo in itertools.combinations(names, size):
+                subset = frozenset(combo)
+                candidates: list[tuple[float, JoinTree]] = []
+                for left_tuple in _proper_subsets(combo):
+                    left = frozenset(left_tuple)
+                    right = subset - left
+                    if left not in best or right not in best:
+                        continue
+                    if not self.bushy and len(right) > 1 and len(left) > 1:
+                        continue
+                    if not connected(left, right):
+                        continue  # never enumerate cross products (ref :92)
+                    out_rows = cardinality(subset)
+                    cost = best[left][0] + best[right][0] + out_rows
+                    tree = JoinTree.join(best[left][1], best[right][1], out_rows)
+                    candidates.append((cost, tree))
+                if candidates:
+                    best[subset] = min(candidates, key=lambda ct: (ct[0], str(ct[1])))
+
+        full = frozenset(names)
+        if full not in best:
+            raise ValueError("join graph is disconnected — DP needs a connected SPJ query")
+        return best[full][1]
+
+    def plan_cost(self, spec: QuerySpec, tables: dict[str, DataFrame]) -> float:
+        tree = self.optimize_join_order(spec, tables)
+        return sum(
+            j.cardinality for j in tree.joins() if not math.isnan(j.cardinality)
+        )
+
+
+def _proper_subsets(combo: tuple[str, ...]):
+    for size in range(1, len(combo)):
+        yield from itertools.combinations(combo, size)

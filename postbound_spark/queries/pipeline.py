@@ -716,3 +716,35 @@ def mm_binary_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
     return binary_features(payloads, payload_col="payload", id_col="doc_id")
+
+
+@query(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured JSON property extraction over the event stream
+    (``get_json_object`` — JVM-side JSON path, no UDF). The scan reads only
+    (event_type, props); at scale you'd persist hot JSON fields as real
+    columns, but ad-hoc extraction must stay a one-scan operation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("k_sum"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )

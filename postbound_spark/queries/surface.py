@@ -572,3 +572,149 @@ GROUP BY event_type
 def expr_json_extract(spark, sf_dir):
     """JSON field extraction + aggregation over the events.props column."""
     return _sql(spark, sf_dir, _JSON_SQL_SPARK, ["events"])
+
+
+# --- round-1 additions: remaining §2 surface constructs --------------------
+
+
+@query(
+    "sql_distinct_on",
+    oracle="""
+SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+FROM customer
+ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+""",
+)
+def sql_distinct_on(spark, sf_dir):
+    """Postgres DISTINCT ON (ref: Select ctor distinct/DISTINCT ON flags,
+    qal/_qal.py:5867) — Spark's dialect lacks it; the documented rewrite is
+    the row_number()==1 window filter (SURVEY §2.4), the oracle runs the
+    genuine syntax."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_nationkey, c_custkey, c_acctbal FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer
+        ) WHERE rn = 1
+        """
+    )
+
+
+@query(
+    "pred_array_operators",
+    oracle=r"""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+SELECT doc_id,
+       list_has_all(toks, ['data', 'query']) AS has_all,
+       list_has_any(toks, ['vector', 'stream']) AS has_any
+FROM t
+WHERE list_has_all(toks, ['data', 'query']) OR list_has_any(toks, ['vector', 'stream'])
+ORDER BY doc_id
+""",
+)
+def pred_array_operators(spark, sf_dir):
+    """Postgres array containment/overlap operators @> <@ && (ref:
+    LogicalOperator qal/_qal.py:55-58) — Spark spells them
+    forall+array_contains and arrays_overlap (SURVEY §2.5), the oracle uses
+    DuckDB's list_has_all/list_has_any."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        r"""
+        WITH t AS (SELECT doc_id, split(text, '\\s+') AS toks FROM documents)
+        SELECT doc_id,
+               forall(array('data', 'query'), x -> array_contains(toks, x)) AS has_all,
+               arrays_overlap(toks, array('vector', 'stream')) AS has_any
+        FROM t
+        WHERE forall(array('data', 'query'), x -> array_contains(toks, x))
+           OR arrays_overlap(toks, array('vector', 'stream'))
+        ORDER BY doc_id
+        """
+    )
+
+
+@query(
+    "expr_all_quantifier",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > ALL (
+  SELECT o_totalprice FROM orders WHERE o_custkey = 1
+)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def expr_all_quantifier(spark, sf_dir):
+    """ALL quantifier (ref: QuantifierExpression qal/_qal.py:1589) — Spark
+    SQL has no ALL; the documented rewrite compares against the subquery
+    max (SURVEY §2.3). NULL caveat: > ALL over an empty subquery is TRUE,
+    over NULLs is NULL — the max() rewrite matches both here because the
+    probed subquery is non-empty and non-null."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (
+          SELECT max(o_totalprice) FROM orders WHERE o_custkey = 1
+        )
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+        """
+    )
+
+
+_LATERAL_SQL = """
+SELECT r.r_name, t.n_name, t.n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name, count(*) AS n_customers
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n.n_name
+  LIMIT 1
+) t
+ORDER BY r.r_name
+"""
+
+
+@query("sql_lateral_subquery", oracle=_LATERAL_SQL)
+def sql_lateral_subquery(spark, sf_dir):
+    """LATERAL correlated subquery in FROM (ref: SubqueryTableSource with
+    lateral flag, qal/_qal.py:6270). Same text on both engines — Spark ≥3.2
+    supports LATERAL natively (SURVEY §2.2)."""
+    return _sql(spark, sf_dir, _LATERAL_SQL, ["region", "nation", "customer"])
+
+
+@query(
+    "sql_fetch_prior",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice FROM orders
+  ORDER BY o_totalprice ASC, o_orderkey DESC
+  LIMIT 5
+) t
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+)
+def sql_fetch_prior(spark, sf_dir):
+    """FETCH PRIOR — the reference models fetch direction first/next/
+    prior/last (FetchDirection qal/_qal.py:7548); neither Spark nor DuckDB
+    executes PRIOR natively, so both sides use the documented
+    sort-inversion rewrite (SURVEY §2.4): PRIOR n == invert sort, LIMIT n,
+    restore presentation order."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM (
+          SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice ASC, o_orderkey DESC
+          LIMIT 5
+        ) t
+        ORDER BY o_totalprice DESC, o_orderkey
+        """
+    )

@@ -225,3 +225,34 @@ def test_plan_introspection(spec, tdfs):
     assert joins
     # after execution the join's numOutputRows metric is populated
     assert any(not math.isnan(j.actual_rows) and j.actual_rows == 25 for j in joins), execd.pretty()
+
+
+# -- DP enumeration + plan-space analysis ----------------------------------
+
+
+def test_dp_enumerator_optimal_and_correct(spark, spec, tdfs):
+    from postbound_spark.optimizer.analysis import (
+        jointree_similarity,
+        plan_diff,
+        possible_plans_bound,
+    )
+    from postbound_spark.optimizer.dynprog import DynamicProgrammingEnumerator
+
+    est = PreciseCardinalities()
+    dp = DynamicProgrammingEnumerator(est)
+    tree = dp.optimize_join_order(spec, tdfs)
+    assert sorted(tree.tables()) == sorted(TABLES_5)
+    # DP with true cardinalities must return identical results
+    df = compile_join_tree(tdfs, tree, list(spec.edges))
+    assert df.count() == _reference_result(tdfs)
+    # left-deep-restricted DP can never beat bushy DP under the same costs
+    dp_linear = DynamicProgrammingEnumerator(est, bushy=False)
+    linear_tree = dp_linear.optimize_join_order(spec, tdfs)
+    assert linear_tree.is_linear()
+    assert dp.plan_cost(spec, tdfs) <= dp_linear.plan_cost(spec, tdfs)
+    # analysis utilities
+    assert possible_plans_bound(spec, "left-deep") == 120
+    assert 0.0 <= jointree_similarity(tree, linear_tree) <= 1.0
+    assert jointree_similarity(tree, tree) == 1.0
+    diff = plan_diff(tree, linear_tree)
+    assert frozenset(TABLES_5) in diff["shared"]

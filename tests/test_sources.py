@@ -1,0 +1,77 @@
+"""Source/sink surface (SURVEY.md §2.2): format round-trips, partition
+pruning, bucketed shuffle-free joins, presets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postbound_spark.catalog import load_table
+from postbound_spark.sources.io import (
+    read_result,
+    write_bucketed,
+    write_partitioned,
+    write_result,
+)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_write_read_roundtrip(spark, sf_small, tmp_path, fmt):
+    nation = load_table(spark, sf_small, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / f"out_{fmt}")
+    write_result(nation, path, fmt)
+    back = read_result(spark, path, fmt)
+    got = sorted((r.n_nationkey, r.n_name, r.n_regionkey) for r in back.collect())
+    want = sorted((r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect())
+    assert got == want
+
+
+def test_partitioned_write_prunes(spark, sf_small, tmp_path):
+    nation = load_table(spark, sf_small, "nation")
+    path = str(tmp_path / "nation_parted")
+    write_partitioned(nation, path, ["n_regionkey"])
+    df = spark.read.parquet(path).filter(F.col("n_regionkey") == 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(n_regionkey" in plan, plan[:800]
+    assert df.count() == 5
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_small):
+    # warehouse.dir is a static conf — managed test tables land in the
+    # session default (./spark-warehouse, gitignored) and are dropped below
+    orders = load_table(spark, sf_small, "orders")
+    lineitem = load_table(spark, sf_small, "lineitem")
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"])
+    write_bucketed(lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", ["l_orderkey"])
+    joined = (
+        spark.table("b_orders")
+        .hint("merge")
+        .join(spark.table("b_lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1200]
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_presets(spark, sf_small):
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.optimizer import QuerySpec, pk_fk_edges_for
+    from postbound_spark.optimizer.presets import apply_standard_settings
+
+    tables3 = ["region", "nation", "customer"]
+    spec = QuerySpec(tuple(tables3), tuple(pk_fk_edges_for(tables3)))
+    tdfs = load_tables(spark, sf_small, tables3)
+    counts = set()
+    for preset in ("ues", "dp-precise", "native"):
+        pipeline = apply_standard_settings(spark, preset)
+        planned = pipeline.optimize_query(spec, tdfs)
+        counts.add(planned.to_dataframe(tdfs).count())
+    assert len(counts) == 1  # all presets agree on results
+    with pytest.raises(ValueError):
+        apply_standard_settings(spark, "bogus")

@@ -62,3 +62,16 @@ def test_execute_workload_error_status(spark, sf_small):
     df = execute_workload(spark, wl, sf_small)
     assert list(df["status"]) == ["execution-error"]
     assert df["error"].iloc[0]
+
+
+def test_database_facade_simplification(spark, sf_small):
+    from postbound_spark.database import Database, simplify_result
+
+    db = Database(spark, sf_small)
+    assert db.execute_query("SELECT count(*) FROM region") == 5
+    assert db.execute_query("SELECT r_regionkey FROM region ORDER BY r_regionkey") == [0, 1, 2, 3, 4]
+    row = db.execute_query("SELECT r_regionkey, r_name FROM region WHERE r_regionkey = 0")
+    assert isinstance(row, tuple) and row[0] == 0
+    raw = db.execute_query("SELECT count(*) FROM region", raw=True)
+    assert raw == [(5,)]
+    assert simplify_result([]) == []
