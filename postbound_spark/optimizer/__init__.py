@@ -54,6 +54,7 @@ from postbound_spark.optimizer.stages import (
     PlanParameterization,
     QuerySpec,
 )
+from postbound_spark.optimizer.tonic import TonicOperatorSelection
 from postbound_spark.optimizer.stats import ColumnStats, EmulatedStatistics, NativeStatistics
 from postbound_spark.optimizer.ues import UESJoinOrderOptimizer
 
@@ -86,6 +87,7 @@ __all__ = [
     "PreComputedCardinalities",
     "QuerySpec",
     "ScanOperator",
+    "TonicOperatorSelection",
     "UESJoinOrderOptimizer",
     "all_linear_join_orders",
     "compile_join_tree",

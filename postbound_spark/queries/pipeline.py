@@ -748,3 +748,78 @@ def events_json_props(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_IVF_ORACLE = f"""
+WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
+cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, label, qv, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_sum(list_transform(generate_series(1, len(qv)),
+                                            i -> (qv[i] - cqv[i]) * (qv[i] - cqv[i]))),
+                    cid
+         ) AS rn
+  FROM q, cents
+),
+clustered AS (SELECT vec_id, label, qv, cid AS cluster FROM assign WHERE rn = 1),
+probe AS (SELECT cluster, qv AS query_qv FROM clustered WHERE vec_id = 0)
+SELECT c.vec_id, c.label, c.cluster,
+       round({_cos_sql("c.qv", "p.query_qv")}, 6) AS cosine
+FROM clustered c JOIN probe p ON c.cluster = p.cluster
+WHERE c.vec_id != 0
+ORDER BY {_cos_sql("c.qv", "p.query_qv")} DESC, c.vec_id
+LIMIT 5
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse quantizer (16 deterministic centroids — the
+    first 16 vectors; a k-means refinement drops in without changing the
+    dataflow) assigns every vector to its nearest cluster; the query
+    probes only its own cluster, then exact cosine ranks candidates.
+
+    All assignment math is exact integer arithmetic (squared L2 on
+    quantized vectors), so the partition is bit-identical across engines.
+    Scale shape: centroid table broadcasts (it is tiny by construction),
+    assignment is map-only per row, and the probe is an equi-join on the
+    cluster id — the same candidate-pruning skeleton as the LSH variant
+    but with data-adaptive regions instead of random hyperplanes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
+        .repartition("vec_id")
+    )
+    cents = q.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cqv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+    clustered = (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "qv", "cid", dist2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "qv", F.col("cid").alias("cluster"))
+    )
+    probe = clustered.filter(F.col("vec_id") == 0).select(
+        F.col("cluster").alias("query_cluster"), F.col("qv").alias("query_qv")
+    )
+    nrm = V.norm_q(F.col("qv"))
+    qnrm = V.norm_q(F.col("query_qv"))
+    c = V.dot_q(F.col("qv"), F.col("query_qv")).cast("double") / (nrm * qnrm)
+    return (
+        clustered.join(F.broadcast(probe), F.col("cluster") == F.col("query_cluster"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", "cluster", c.alias("c"))
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(5)
+        .select("vec_id", "label", "cluster", F.round("c", 6).alias("cosine"))
+    )

@@ -256,3 +256,38 @@ def test_dp_enumerator_optimal_and_correct(spark, spec, tdfs):
     assert jointree_similarity(tree, tree) == 1.0
     diff = plan_diff(tree, linear_tree)
     assert frozenset(TABLES_5) in diff["shared"]
+
+
+# -- TONIC learned operator selection --------------------------------------
+
+
+def test_tonic_learns_and_recommends(spark, spec, tdfs):
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+    tonic = TonicOperatorSelection()
+    order = JoinTree.left_deep(["orders", "lineitem"])
+    key = frozenset({"orders", "lineitem"})
+    # two executions: sort-merge was cheap, shuffle-hash expensive
+    tonic.record_plan(order, {key: JoinOperator.SORT_MERGE}, {key: 1.0})
+    tonic.record_plan(order, {key: JoinOperator.SHUFFLE_HASH}, {key: 9.0})
+    tonic.record_plan(order, {key: JoinOperator.SORT_MERGE}, {key: 2.0})
+
+    assignment = tonic.select_physical_operators(
+        QuerySpec(("orders", "lineitem"), spec.edges), order
+    )
+    assert assignment.operator_for(key) is JoinOperator.SORT_MERGE
+
+    # recommendation enforces through the standard hint path
+    df = compile_join_tree(
+        {t: tdfs[t] for t in ("orders", "lineitem")}, order, list(spec.edges), assignment
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert df.count() == tdfs["lineitem"].count()
+
+    # unseen prefix -> empty assignment (defer to Catalyst)
+    other = JoinTree.left_deep(["customer", "orders"])
+    empty = tonic.select_physical_operators(
+        QuerySpec(("customer", "orders"), spec.edges), other
+    )
+    assert not empty.join_operators
