@@ -72,13 +72,16 @@ def windowed_event_counts(
     )
 
 
-def run_available_now(result: DataFrame, query_name: str | None = None) -> DataFrame:
+def run_available_now(
+    result: DataFrame, query_name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
     """Drain the stream with ``Trigger.AvailableNow`` into a memory sink and
     return the materialized result as a batch DataFrame.
 
-    Complete output mode: every window is emitted once the backlog drains
-    (finite fixture ⇒ deterministic). Checkpoints live in a throwaway temp
-    dir — a real deployment points this at durable storage for
+    Complete mode re-emits every window once the backlog drains; update
+    mode (stateful operators) emits only changed/closed groups. Finite
+    fixture ⇒ deterministic either way. Checkpoints live in a throwaway
+    temp dir — a real deployment points this at durable storage for
     exactly-once restart.
     """
     spark = result.sparkSession
@@ -87,7 +90,7 @@ def run_available_now(result: DataFrame, query_name: str | None = None) -> DataF
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
