@@ -554,27 +554,37 @@ def ann_lsh_bucket_histogram(spark, sf_dir):
     )
 
 
+_PROBE_MASKS = [0] + [1 << p for p in range(8)]  # Hamming distance ≤ 1
+
 _LSH_TOPK_ORACLE = f"""
 WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
 b AS (SELECT vec_id, label, qv, CAST({_bucket_sql(_PLANES)} AS BIGINT) AS bucket FROM q),
-qb AS (SELECT qv, bucket FROM b WHERE vec_id = 0)
-SELECT a.vec_id, a.label, a.bucket, round({_cos_sql("a.qv", "qb.qv")}, 6) AS cosine
-FROM b a, qb
-WHERE a.bucket = qb.bucket AND a.vec_id != 0
-ORDER BY {_cos_sql("a.qv", "qb.qv")} DESC, a.vec_id
+qb AS (SELECT qv, bucket FROM b WHERE vec_id = 0),
+probes AS (
+  SELECT xor(qb.bucket, m.m) AS probe_bucket, qb.qv
+  FROM qb, (SELECT unnest({_PROBE_MASKS}) AS m) m
+)
+SELECT a.vec_id, a.label, a.bucket, round({_cos_sql("a.qv", "p.qv")}, 6) AS cosine
+FROM b a JOIN probes p ON a.bucket = p.probe_bucket
+WHERE a.vec_id != 0
+ORDER BY {_cos_sql("a.qv", "p.qv")} DESC, a.vec_id
 LIMIT 5
 """
 
 
 @query("ann_lsh_topk", oracle=_LSH_TOPK_ORACLE)
 def ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN: candidates share the query's bucket, then exact
-    cosine ranks them.
+    """Multi-probe LSH ANN: candidates come from every bucket within
+    Hamming distance 1 of the query's bucket, then exact cosine ranks
+    them.
 
-    The candidate filter is an equi-join on the bucket key — at scale a
-    broadcast of the (tiny) query-side bucket set prunes ~255/256 of the
-    corpus before any vector math runs. Same recall/speed trade as any
-    sign-LSH index, with the index "build" being a map-only column.
+    The candidate filter is an equi-join on the bucket key against a
+    broadcast 9-row probe list (query bucket + 8 one-bit flips) — at
+    scale this prunes ~247/256 of the corpus before any vector math runs,
+    and multi-probe recovers most of the recall a single-bucket lookup
+    loses to near-boundary sign flips (Lv et al., multi-probe LSH,
+    VLDB'07). Probe buckets are distinct by construction, so no candidate
+    dedup step is needed.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     # exchange boundary before the wide bucket expression (see histogram)
@@ -587,13 +597,20 @@ def ann_lsh_topk(spark, sf_dir):
     qb = b.filter(F.col("vec_id") == 0).select(
         F.col("qv").alias("query_qv"),
         F.col("nrm").alias("query_nrm"),
-        F.col("bucket").alias("query_bucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
+                    for m in _PROBE_MASKS
+                ]
+            )
+        ).alias("probe_bucket"),
     )
     c = V.dot_q(F.col("qv"), F.col("query_qv")).cast("double") / (
         F.col("nrm") * F.col("query_nrm")
     )
     return (
-        b.join(F.broadcast(qb), F.col("bucket") == F.col("query_bucket"))
+        b.join(F.broadcast(qb), F.col("bucket") == F.col("probe_bucket"))
         .filter(F.col("vec_id") != 0)
         .select("vec_id", "label", "bucket", c.alias("c"))
         .orderBy(F.desc("c"), "vec_id")
