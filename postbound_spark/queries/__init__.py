@@ -48,6 +48,7 @@ def load_all() -> dict[str, QueryDef]:
         pipeline,
         surface,
         tpch,
+        udf_demo,
     )
 
     return REGISTRY
