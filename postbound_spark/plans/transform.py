@@ -12,23 +12,41 @@ over :mod:`postbound_spark.plans.qal`:
   joins;
 - clause surgery ``add/drop/replace`` (ref ``:833/:873/:916``);
 - ``remove_predicate`` (ref ``:789``);
-- ``rename_table`` (ref ``:2343``).
+- ``rename_table`` (ref ``:2343``);
+- ``replace_expressions`` (ref ``:1208``) + ``rename_columns_in_query``
+  (ref ``:1336``) and ``merge_tables`` (ref ``:2419``) built on it;
+- ``extract_query_fragment`` (ref ``:296``) / ``expand_to_query``
+  (ref ``:500``) / ``move_into_subquery`` (ref ``:519``);
+- ``as_explain`` / ``as_explain_analyze`` (ref ``:749``/``:772``).
+
+Not carried over: ``explicit_to_implicit`` (ref ``:172``) — this IR models
+the implicit comma-FROM form only, so every query is already implicit; and
+``drop_hints`` (ref ``:720``) — hints live outside the IR here, in
+``optimizer.hints`` assignments, where dropping is plain object surgery.
 
 All functions return new immutable queries; none touch Spark.
 """
 
 from __future__ import annotations
 
+import re
+from collections.abc import Callable, Iterable
 from dataclasses import replace
 
 from postbound_spark.plans.qal import (
     AbstractPredicate,
     BaseProjection,
+    BetweenPredicate,
+    BinaryPredicate,
+    ColumnReference,
     CompoundOperator,
     CompoundPredicate,
+    InPredicate,
+    LogicalOperator,
     SqlExpression,
     SqlQuery,
     TableReference,
+    UnaryPredicate,
     and_,
     star,
 )
@@ -144,3 +162,197 @@ def rename_table(query: SqlQuery, old: str, new_alias: str) -> SqlQuery:
 
 def table_ref(name: str, alias: str | None = None) -> TableReference:
     return TableReference(name, alias)
+
+
+# ---------------------------------------------------------------------------
+# expression-level rewrites (ref transform.py:1208 replace_expressions and
+# the rename/merge helpers built on it)
+# ---------------------------------------------------------------------------
+
+
+def replace_expressions(
+    query: SqlQuery, fn: Callable[[SqlExpression], SqlExpression]
+) -> SqlQuery:
+    """ref transform.py:1208 — apply ``fn`` to every expression in every
+    clause (select, where, group by, having, order by). CTE bodies are
+    left untouched — they are separate query scopes."""
+
+    def pred(p: AbstractPredicate | None) -> AbstractPredicate | None:
+        if p is None:
+            return None
+        if isinstance(p, BinaryPredicate):
+            return replace(p, lhs=fn(p.lhs), rhs=fn(p.rhs))
+        if isinstance(p, BetweenPredicate):
+            return replace(p, expr=fn(p.expr), lower=fn(p.lower), upper=fn(p.upper))
+        if isinstance(p, InPredicate):
+            return replace(p, expr=fn(p.expr), values=tuple(fn(v) for v in p.values))
+        if isinstance(p, UnaryPredicate):
+            return replace(p, expr=fn(p.expr)) if p.expr is not None else p
+        if isinstance(p, CompoundPredicate):
+            return replace(p, children=tuple(pred(c) for c in p.children))
+        return p
+
+    return replace(
+        query,
+        select=tuple(replace(bp, expr=fn(bp.expr)) for bp in query.select),
+        where=pred(query.where),
+        group_by=tuple(fn(e) for e in query.group_by),
+        having=pred(query.having),
+        order_by=tuple(replace(o, expr=fn(o.expr)) for o in query.order_by),
+    )
+
+
+def _sub_ref(sql: str, old: ColumnReference, new: ColumnReference) -> str:
+    """Replace one column reference inside a SQL fragment. The guards keep a
+    bare name from matching inside ``other.name`` or a longer identifier."""
+    return re.sub(
+        rf"(?<![\w.]){re.escape(old.to_sql())}(?![\w])", new.to_sql(), sql
+    )
+
+
+def rename_columns_in_query(query: SqlQuery, mapping: dict[str, str]) -> SqlQuery:
+    """ref transform.py:1336 — rename columns by name everywhere they are
+    referenced (SQL fragments are rewritten reference-by-reference)."""
+
+    def rw(e: SqlExpression) -> SqlExpression:
+        sql, cols = e.sql, []
+        for c in e.columns:
+            if c.name in mapping:
+                nc = ColumnReference(mapping[c.name], c.table)
+                sql = _sub_ref(sql, c, nc)
+                cols.append(nc)
+            else:
+                cols.append(c)
+        return SqlExpression(sql, tuple(cols))
+
+    return replace_expressions(query, rw)
+
+
+def merge_tables(query: SqlQuery, keep: str, merge: str) -> SqlQuery:
+    """ref transform.py:2419 — collapse FROM entry ``merge`` into ``keep``
+    (self-join elimination): every ``merge``-qualified reference is
+    re-bound to ``keep``, ``merge`` leaves the FROM list, and predicates
+    that the rewrite turned into trivial self-equalities (``x = x``) are
+    dropped."""
+    keep_ref = next(t for t in query.from_tables if t.identifier == keep)
+
+    def rw(e: SqlExpression) -> SqlExpression:
+        sql, cols = e.sql, []
+        for c in e.columns:
+            if c.table and c.table.identifier == merge:
+                nc = ColumnReference(c.name, keep_ref)
+                sql = _sub_ref(sql, c, nc)
+                cols.append(nc)
+            else:
+                cols.append(c)
+        return SqlExpression(sql, tuple(cols))
+
+    merged = replace_expressions(query, rw)
+    merged = replace(
+        merged,
+        from_tables=tuple(t for t in merged.from_tables if t.identifier != merge),
+    )
+    if merged.where is not None:
+        for leaf in list(merged.where.iterpredicates()):
+            if (
+                isinstance(leaf, BinaryPredicate)
+                and leaf.operation is LogicalOperator.EQ
+                and leaf.lhs.to_sql() == leaf.rhs.to_sql()
+            ):
+                merged = remove_predicate(merged, leaf)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# query-structure rewrites
+# ---------------------------------------------------------------------------
+
+
+def extract_query_fragment(query: SqlQuery, tables: Iterable[str]) -> SqlQuery:
+    """ref transform.py:296 — the SPJ sub-query touching only ``tables``:
+    their FROM entries plus every WHERE leaf fully covered by them
+    (table-free leaves — pure constants — are kept). Presentation and
+    aggregation clauses do not survive fragment extraction."""
+    wanted = {t.lower() for t in tables}
+    from_tables = tuple(t for t in query.from_tables if t.identifier in wanted)
+    if not from_tables:
+        raise ValueError(f"no FROM entry matches {sorted(wanted)}")
+    kept: list[AbstractPredicate] = []
+    if query.where is not None:
+        kept = [p for p in query.where.iterpredicates() if p.tables() <= wanted]
+    return SqlQuery(
+        select=(star(),),
+        from_tables=from_tables,
+        where=and_(*kept) if kept else None,
+        ctes=query.ctes,
+    )
+
+
+def expand_to_query(pred: AbstractPredicate) -> SqlQuery:
+    """ref transform.py:500 — the minimal query evaluating ``pred``:
+    SELECT * over exactly the tables it references."""
+    refs: dict[str, TableReference] = {}
+    for c in pred.columns():
+        if c.table is not None:
+            refs.setdefault(c.table.identifier, c.table)
+    if not refs:
+        raise ValueError("predicate references no tables")
+    return SqlQuery(
+        select=(star(),),
+        from_tables=tuple(refs[k] for k in sorted(refs)),
+        where=pred,
+    )
+
+
+def move_into_subquery(query: SqlQuery, table: str) -> SqlQuery:
+    """ref transform.py:519 — push one FROM entry and its single-table
+    filters into a CTE named after the table's identifier. Outer
+    references keep resolving because the CTE inherits the identifier;
+    Catalyst then plans the CTE body as a filtered scan, i.e. the filters
+    are applied "inside the subquery" exactly as the reference describes.
+    """
+    target = next(t for t in query.from_tables if t.identifier == table)
+    moved: list[AbstractPredicate] = []
+    remaining = query
+    if query.where is not None:
+        moved = [
+            p
+            for p in query.where.iterpredicates()
+            if p.tables() == {target.identifier}
+        ]
+        for p in moved:
+            remaining = remove_predicate(remaining, p)
+    body = SqlQuery(
+        select=(star(),),
+        from_tables=(target,),
+        where=and_(*moved) if moved else None,
+    )
+    return replace(
+        remaining,
+        from_tables=tuple(
+            TableReference(t.identifier, virtual=True) if t.identifier == table else t
+            for t in remaining.from_tables
+        ),
+        ctes=remaining.ctes + ((target.identifier, body),),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXPLAIN wrappers (ref transform.py:749/:772)
+# ---------------------------------------------------------------------------
+
+
+def as_explain(query: SqlQuery, mode: str = "FORMATTED") -> str:
+    """ref transform.py:749 — EXPLAIN SQL text. Spark modes: FORMATTED,
+    EXTENDED, COST, CODEGEN (COST is the closest to the reference's
+    cardinality-bearing EXPLAIN)."""
+    return f"EXPLAIN {mode.upper()}\n{query.to_sql()}"
+
+
+def as_explain_analyze(query: SqlQuery) -> str:
+    """ref transform.py:772 — Spark has no EXPLAIN ANALYZE statement; the
+    equivalent protocol is run-then-introspect (execute the query, read
+    per-operator metrics off ``df.queryExecution``), which
+    ``optimizer.qep.executed_plan`` implements. The returned text is the
+    plan-with-costs form, the closest single-statement analog."""
+    return as_explain(query, mode="COST")

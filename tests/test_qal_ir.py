@@ -144,3 +144,83 @@ def test_sql_rendering_runs_on_both_engines(spark, sf_oracle):
         )
     want = con.execute(sql).fetchall()
     assert got == want and len(got) == 5
+
+
+def test_rename_columns_rewrites_fragments(t):
+    r, n = t
+    q = _query(r, n, Q.eq(Q.col("r_name", r), Q.lit("ASIA")))
+    renamed = X.rename_columns_in_query(q, {"r_name": "region_label"})
+    assert "r.region_label = 'ASIA'" in renamed.to_sql()
+    assert "r_name" not in renamed.where.to_sql()
+
+
+def test_rename_bare_name_does_not_clobber_qualified(t):
+    r, _ = t
+    # bare "name" must not rewrite inside the qualified "r.name"
+    bare = Q.ColumnReference("name")
+    e = Q.SqlExpression("name || r.name", (bare, Q.ColumnReference("name", r)))
+    q = Q.SqlQuery(select=(Q.BaseProjection(e, "x"),), from_tables=(r,))
+    renamed = X.rename_columns_in_query(q, {"name": "label"})
+    # both refs are named "name", so both rewrite — but each only in place
+    assert renamed.select[0].expr.sql == "label || r.label"
+
+
+def test_merge_tables_eliminates_self_join(t):
+    r, _ = t
+    r2 = Q.TableReference("region", "r2")
+    q = Q.SqlQuery(
+        select=(Q.BaseProjection(Q.col("r_name", r)),),
+        from_tables=(r, r2),
+        where=Q.and_(
+            Q.eq(Q.col("r_regionkey", r), Q.col("r_regionkey", r2)),
+            Q.eq(Q.col("r_name", r2), Q.lit("ASIA")),
+        ),
+    )
+    merged = X.merge_tables(q, keep="r", merge="r2")
+    assert merged.tables() == {"r"}
+    leaves = list(merged.where.iterpredicates())
+    assert len(leaves) == 1  # self-equality dropped
+    assert leaves[0].to_sql() == "r.r_name = 'ASIA'"
+
+
+def test_extract_fragment_and_expand(t):
+    r, n = t
+    join = Q.eq(Q.col("r_regionkey", r), Q.col("n_regionkey", n))
+    filt = Q.eq(Q.col("r_name", r), Q.lit("ASIA"))
+    q = _query(r, n, Q.and_(join, filt))
+    frag = X.extract_query_fragment(q, ["r"])
+    assert frag.tables() == {"r"}
+    assert frag.where.to_sql() == filt.to_sql()  # join leaf dropped
+    back = X.expand_to_query(join)
+    assert back.tables() == {"r", "n"}
+    assert back.where is join
+
+
+def test_move_into_subquery_runs_on_spark(spark, sf_oracle, t):
+    from postbound_spark.catalog import register_views
+
+    r, n = t
+    join = Q.eq(Q.col("r_regionkey", r), Q.col("n_regionkey", n))
+    filt = Q.eq(Q.col("r_name", r), Q.lit("ASIA"))
+    q = Q.SqlQuery(
+        select=(
+            Q.BaseProjection(Q.col("n_name", n), "nation_name"),
+        ),
+        from_tables=(r, n),
+        where=Q.and_(join, filt),
+        order_by=(Q.OrderByExpression(Q.col("n_name", n)),),
+    )
+    moved = X.move_into_subquery(q, "r")
+    assert moved.ctes and moved.ctes[0][0] == "r"
+    assert "WITH r AS" in moved.to_sql()
+    register_views(spark, sf_oracle)
+    plain = [row[0] for row in spark.sql(q.to_sql()).collect()]
+    pushed = [row[0] for row in spark.sql(moved.to_sql()).collect()]
+    assert plain == pushed and len(plain) == 5
+
+
+def test_explain_wrappers(t):
+    r, n = t
+    q = _query(r, n, Q.eq(Q.col("r_regionkey", r), Q.col("n_regionkey", n)))
+    assert X.as_explain(q).startswith("EXPLAIN FORMATTED\n")
+    assert X.as_explain_analyze(q).startswith("EXPLAIN COST\n")
