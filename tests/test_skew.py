@@ -1,0 +1,59 @@
+"""salted_join == plain join (row multiset), on genuinely skewed data —
+every events row shares one of three hot type keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postbound_spark.catalog import load_table
+from postbound_spark.operators.skew import salted_join
+
+
+def _skewed_sides(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # collapse event_type onto 3 hot keys -> heavy shuffle skew by design
+    left = ev.select(
+        (F.crc32(F.col("event_type")) % 3).alias("k"), "event_id", "value"
+    )
+    right = (
+        ev.groupBy((F.crc32(F.col("event_type")) % 3).alias("k"))
+        .agg(F.count("*").alias("n_type"))
+    )
+    return left, right
+
+
+def _multiset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+def test_salted_inner_matches_plain(spark, sf_small):
+    left, right = _skewed_sides(spark, sf_small)
+    plain = left.join(right, on=["k"], how="inner")
+    salted = salted_join(left, right, on=["k"], how="inner", salt=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert _multiset(salted.select(*plain.columns)) == _multiset(plain)
+
+
+def test_salted_left_outer_keeps_unmatched(spark, sf_small):
+    left, right = _skewed_sides(spark, sf_small)
+    right_partial = right.filter(F.col("k") != 0)  # key 0 loses its match
+    plain = left.join(right_partial, on=["k"], how="left")
+    salted = salted_join(left, right_partial, on=["k"], how="left", salt=4)
+    assert _multiset(salted.select(*plain.columns)) == _multiset(plain)
+    # unmatched rows really are present with nulls
+    assert salted.filter(F.col("n_type").isNull()).count() > 0
+
+
+def test_salted_join_rejects_full_outer(spark, sf_small):
+    left, right = _skewed_sides(spark, sf_small)
+    with pytest.raises(ValueError):
+        salted_join(left, right, on=["k"], how="full")
+
+
+def test_salt_actually_spreads_hot_key(spark, sf_small):
+    left, right = _skewed_sides(spark, sf_small)
+    salted = salted_join(left, right, on=["k"], salt=8)
+    # the physical plan joins on (k, __pb_salt): the hot key's rows hash to
+    # up to 8 distinct shuffle keys instead of 1
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__pb_salt" in plan
