@@ -58,6 +58,35 @@ class Workload(UserDict):
                 out[label] = fh.read()
         return Workload(out)
 
+    @staticmethod
+    def read_batch_file(path: str, label_prefix: str = "q") -> "Workload":
+        """One file, many queries separated by ``;`` — ref
+        ``workloads.py:767``. Labels are ``{prefix}-{1-based index}``."""
+        with open(path) as fh:
+            statements = [s.strip() for s in fh.read().split(";")]
+        return Workload(
+            {
+                f"{label_prefix}-{i + 1}": stmt
+                for i, stmt in enumerate(s for s in statements if s)
+            }
+        )
+
+    @staticmethod
+    def read_csv_workload(
+        path: str, query_column: str = "query", label_column: str | None = None
+    ) -> "Workload":
+        """CSV with one query per row — ref ``workloads.py:801``. Labels
+        come from ``label_column`` if given, else the row index."""
+        frame = pd.read_csv(path)
+        if query_column not in frame.columns:
+            raise ValueError(f"no column {query_column!r} in {path}")
+        labels = (
+            frame[label_column].astype(str)
+            if label_column
+            else frame.index.map(lambda i: f"q-{i + 1}")
+        )
+        return Workload(dict(zip(labels, frame[query_column])))
+
 
 @dataclass
 class ExecutionResult:

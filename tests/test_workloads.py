@@ -75,3 +75,20 @@ def test_database_facade_simplification(spark, sf_small):
     raw = db.execute_query("SELECT count(*) FROM region", raw=True)
     assert raw == [(5,)]
     assert simplify_result([]) == []
+
+
+def test_read_batch_file(tmp_path):
+    p = tmp_path / "batch.sql"
+    p.write_text("SELECT 1;\n\nSELECT 2;\nSELECT 3")
+    wl = Workload.read_batch_file(str(p))
+    assert list(wl) == ["q-1", "q-2", "q-3"]
+    assert wl["q-3"] == "SELECT 3"
+
+
+def test_read_csv_workload(tmp_path):
+    p = tmp_path / "wl.csv"
+    p.write_text("label,query\nfirst,SELECT 1\nsecond,SELECT 2\n")
+    wl = Workload.read_csv_workload(str(p), label_column="label")
+    assert dict(wl) == {"first": "SELECT 1", "second": "SELECT 2"}
+    wl2 = Workload.read_csv_workload(str(p))
+    assert list(wl2) == ["q-1", "q-2"]
