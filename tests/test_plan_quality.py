@@ -1,0 +1,81 @@
+"""Physical-plan quality gates — the scale disciplines asserted, not hoped.
+
+Each test pins a property that survives a 100× scale-up: filters reaching
+the parquet scan, column pruning, broadcast of dimension tables, map-side
+partial aggregation, JVM-only hot paths (no Python eval operators), and
+top-k without a global sort. A regression here is invisible to the
+correctness oracle — plans stay right while getting 100× slower — which is
+exactly why it gets its own suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from postbound_spark.queries import load_all
+
+
+def _formatted_plan(df) -> str:
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _build(registry, spark, sf, name):
+    return registry[name].builder(spark, sf)
+
+
+def test_q6_filters_reach_parquet_scan(registry, spark, sf_small):
+    plan = _formatted_plan(_build(registry, spark, sf_small, "q6_revenue_forecast"))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range predicate pushed
+
+
+def test_q6_column_pruning(registry, spark, sf_small):
+    plan = _formatted_plan(_build(registry, spark, sf_small, "q6_revenue_forecast"))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # 4 needed columns of lineitem's 16; the wide ones must not be read
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_flagship_broadcasts_dimensions(registry, spark, sf_small):
+    plan = _formatted_plan(
+        _build(registry, spark, sf_small, "flagship_regional_revenue")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q1_partial_aggregation(registry, spark, sf_small):
+    plan = _formatted_plan(_build(registry, spark, sf_small, "q1_pricing_summary"))
+    # map-side combine before the shuffle: partial_* functions present
+    assert "partial_sum" in plan or "partial_avg" in plan
+
+
+def test_text_hot_path_is_jvm_only(registry, spark, sf_small):
+    for name in ("text_quality_score", "dedup_simhash", "dedup_minhash_lsh"):
+        plan = _formatted_plan(_build(registry, spark, sf_small, name))
+        assert "BatchEvalPython" not in plan, f"{name} fell off codegen into Python"
+        assert "ArrowEvalPython" not in plan, f"{name} crossed into Python"
+
+
+def test_topk_avoids_global_sort(registry, spark, sf_small):
+    plan = _formatted_plan(_build(registry, spark, sf_small, "ann_cosine_topk"))
+    # orderBy().limit() must compile to per-partition top-k + k-row merge
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_scan_pipeline(registry, spark, sf_small):
+    # AQE only materializes codegen stages in the *final* plan, so run the
+    # query first, then read the executed plan ("*(n)" marks a codegen span)
+    df = _build(registry, spark, sf_small, "q6_revenue_forecast")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan, "scan→filter→partial-agg pipeline fell out of codegen"
