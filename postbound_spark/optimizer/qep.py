@@ -185,3 +185,98 @@ def join_order_signature(df: DataFrame) -> str:
         return bool(node.find_all("relation") or node.find_all("scan"))
 
     return walk(root)
+
+
+# ---------------------------------------------------------------------------
+# plan -> optimizer-artifact converters (ref _hints.py:1766 jointree_from_plan,
+# :1838 operators_from_plan). The reverse direction of hint enforcement:
+# read the join order / physical operators Catalyst actually chose back into
+# the artifacts the optimizer stages produce, closing the
+# propose -> enforce -> observe loop.
+# ---------------------------------------------------------------------------
+
+_JOIN_NODE_TO_OPERATOR = {
+    "BroadcastHashJoin": "BROADCAST_HASH",
+    "ShuffledHashJoin": "SHUFFLE_HASH",
+    "SortMergeJoin": "SORT_MERGE",
+    "BroadcastNestedLoopJoin": "BROADCAST_NL",
+    "CartesianProduct": "BROADCAST_NL",
+}
+
+
+def _physical_tree_with_tables(df: DataFrame):
+    """Walk the executed physical plan, resolving scan leaves to table
+    names via the parquet file path in the scan's description."""
+    import re
+
+    table_re = re.compile(r"(\w+)\.parquet")
+
+    def convert(jnode):
+        name = jnode.nodeName()
+        if name == "AdaptiveSparkPlan":
+            return convert(jnode.executedPlan())
+        if name.endswith("QueryStage"):
+            return convert(jnode.plan())
+        if "Scan" in name or "Relation" in name:
+            m = table_re.search(jnode.toString().splitlines()[0])
+            return ("scan", m.group(1) if m else name, [])
+        return (name, None, [convert(c) for c in _jseq(jnode.children())])
+
+    return convert(df._jdf.queryExecution().executedPlan())
+
+
+def jointree_from_plan(df: DataFrame) -> "JoinTree":
+    """ref _hints.py:1766 — the join order Catalyst chose, as a JoinTree
+    (left/outer child = Spark's left side = probe/stream side)."""
+    from postbound_spark.optimizer.jointree import JoinTree
+
+    def build(node) -> JoinTree | None:
+        kind, table, children = node
+        if kind == "scan":
+            return JoinTree.leaf(table)
+        subtrees = [t for t in (build(c) for c in children) if t is not None]
+        if any(j in kind for j in _JOIN_NODE_TO_OPERATOR) and len(subtrees) == 2:
+            return JoinTree.join(subtrees[0], subtrees[1])
+        if not subtrees:
+            return None
+        if len(subtrees) == 1:
+            return subtrees[0]
+        # non-join multi-child node (union etc.): fold left for structure
+        out = subtrees[0]
+        for s in subtrees[1:]:
+            out = JoinTree.join(out, s)
+        return out
+
+    tree = build(_physical_tree_with_tables(df))
+    if tree is None:
+        raise ValueError("plan contains no recognizable scans")
+    return tree
+
+
+def operators_from_plan(df: DataFrame) -> dict[frozenset, "JoinOperator"]:
+    """ref _hints.py:1838 — {joined-table-set: physical join operator}
+    read off the executed plan; feed into PhysicalOperatorAssignment to
+    replay this exact plan via hints."""
+    from postbound_spark.optimizer.hints import JoinOperator
+
+    out: dict[frozenset, JoinOperator] = {}
+
+    def tables_below(node) -> frozenset:
+        kind, table, children = node
+        if kind == "scan":
+            return frozenset({table})
+        return frozenset().union(*(tables_below(c) for c in children)) if children else frozenset()
+
+    def walk(node):
+        kind, _, children = node
+        for prefix, op_name in _JOIN_NODE_TO_OPERATOR.items():
+            if prefix in kind:
+                key = tables_below(node)
+                if key:
+                    out[key] = JoinOperator[op_name]
+                break
+        for c in children:
+            walk(c)
+
+    walk(_physical_tree_with_tables(df))
+    return out

@@ -291,3 +291,24 @@ def test_tonic_learns_and_recommends(spark, spec, tdfs):
         QuerySpec(("customer", "orders"), spec.edges), other
     )
     assert not empty.join_operators
+
+
+def test_jointree_from_plan_roundtrip(spec, tdfs):
+    """Plan -> artifacts -> (replayable) plan: the observe side of the
+    propose->enforce->observe loop (ref _hints.py:1766/:1838)."""
+    from postbound_spark.optimizer.qep import jointree_from_plan, operators_from_plan
+
+    tree = JoinTree.left_deep(["region", "nation", "customer"])
+    df = compile_join_tree(
+        {t: tdfs[t] for t in ("region", "nation", "customer")},
+        tree,
+        list(spec.edges),
+    )
+    df.collect()
+    observed = jointree_from_plan(df)
+    assert set(observed.tables()) == {"region", "nation", "customer"}
+    assert len(list(observed.joins())) == 2
+    ops = operators_from_plan(df)
+    assert ops, "no join operators recognized in the executed plan"
+    full = frozenset({"region", "nation", "customer"})
+    assert full in ops
