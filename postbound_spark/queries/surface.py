@@ -718,3 +718,56 @@ def sql_fetch_prior(spark, sf_dir):
         ORDER BY o_totalprice DESC, o_orderkey
         """
     )
+
+
+_STAT_AGG_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(stddev(l_quantity), 6) AS qty_stddev,
+       round(stddev_pop(l_quantity), 6) AS qty_stddev_pop
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("expr_stat_aggregates", oracle=_STAT_AGG_SQL)
+def expr_stat_aggregates(spark, sf_dir):
+    """CORR/STDDEV statistical aggregates (ref: AggregateFunctions,
+    qal/_qal.py:770-792). Both engines agree bit-for-bit at 6 decimals on
+    this data (verified empirically); the rounding guards the last-ulp
+    summation-order differences that remain in principle."""
+    return _sql(spark, sf_dir, _STAT_AGG_SQL, ["lineitem"])
+
+
+_BIT_AGG_SQL_SPARK = """
+SELECT o_orderstatus,
+       bit_and(o_custkey) AS key_band,
+       bit_or(o_custkey)  AS key_bor,
+       bit_xor(o_custkey) AS key_bxor,
+       any_value(o_orderstatus) AS status_again,
+       to_json(array_sort(collect_list(o_orderpriority))) AS priorities_json
+FROM (SELECT * FROM orders WHERE o_orderkey < 100)
+GROUP BY o_orderstatus
+"""
+
+_BIT_AGG_SQL_DUCK = """
+SELECT o_orderstatus,
+       bit_and(o_custkey) AS key_band,
+       bit_or(o_custkey)  AS key_bor,
+       bit_xor(o_custkey) AS key_bxor,
+       any_value(o_orderstatus) AS status_again,
+       to_json(list_sort(list(o_orderpriority))) AS priorities_json
+FROM (SELECT * FROM orders WHERE o_orderkey < 100)
+GROUP BY o_orderstatus
+"""
+
+
+@query("expr_bit_aggregates", oracle=_BIT_AGG_SQL_DUCK)
+def expr_bit_aggregates(spark, sf_dir):
+    """BIT_AND/BIT_OR/BIT_XOR + ANY_VALUE + ARRAY_AGG/JSON_AGG (ref:
+    AggregateFunctions, qal/_qal.py:770-792). Bit folds are exact and
+    order-free; ANY_VALUE is made deterministic by aggregating the group
+    key itself; the array aggregate is sorted before JSON rendering so
+    collection order cannot leak into the hash (the engine's JSON_AGG
+    recipe is exactly to_json(array_sort(collect_list(x))))."""
+    return _sql(spark, sf_dir, _BIT_AGG_SQL_SPARK, ["orders"])
