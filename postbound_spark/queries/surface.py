@@ -771,3 +771,95 @@ def expr_bit_aggregates(spark, sf_dir):
     collection order cannot leak into the hash (the engine's JSON_AGG
     recipe is exactly to_json(array_sort(collect_list(x))))."""
     return _sql(spark, sf_dir, _BIT_AGG_SQL_SPARK, ["orders"])
+
+
+# --- explicit-FROM join types (§2.4: ExplicitFromClause, JoinType
+# qal/_qal.py:6672 — INNER/LEFT/RIGHT/FULL OUTER/CROSS/NATURAL) ------------
+
+_LEFT_OUTER_SQL = """
+SELECT n.n_name,
+       count(c.c_custkey)                            AS n_customers,
+       count(o.o_orderkey)                           AS n_urgent_orders,
+       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+FROM nation n
+LEFT OUTER JOIN customer c ON n.n_nationkey = c.c_nationkey
+LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON c.c_custkey = o.o_custkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query("sql_left_outer_join", oracle=_LEFT_OUTER_SQL)
+def sql_left_outer_join(spark, sf_dir):
+    """LEFT OUTER JOIN chain with null-extended rows surviving into the
+    aggregate (ref JoinType.LeftOuter, qal/_qal.py:6672; explicit FROM
+    ``ExplicitFromClause`` :7074). The null-extension is observable via
+    count(col) vs the CASE-counted unmatched rows. Scale note: nation is
+    tiny → Catalyst broadcasts it; the filtered orders subquery pushes
+    o_orderpriority down to the parquet scan before the join."""
+    return _sql(spark, sf_dir, _LEFT_OUTER_SQL, ["nation", "customer", "orders"])
+
+
+_FULL_OUTER_SQL = """
+WITH big_spenders AS (
+    SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spent
+    FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 1000000
+), rich AS (
+    SELECT c_custkey AS custkey, c_acctbal
+    FROM customer WHERE c_acctbal > 9900
+)
+SELECT coalesce(b.custkey, r.custkey) AS custkey,
+       b.spent, r.c_acctbal,
+       (b.custkey IS NULL)  AS only_rich,
+       (r.custkey IS NULL)  AS only_spender
+FROM big_spenders b
+FULL OUTER JOIN rich r ON b.custkey = r.custkey
+ORDER BY custkey
+"""
+
+
+@query("sql_full_outer_join", oracle=_FULL_OUTER_SQL)
+def sql_full_outer_join(spark, sf_dir):
+    """FULL OUTER JOIN of two partially-overlapping aggregates (ref
+    JoinType.FullOuter qal/_qal.py:6672); both null-extension directions are
+    asserted via the only_* flags. Full outer cannot broadcast — it is a
+    genuine shuffle join on custkey, the correct plan at any scale."""
+    return _sql(spark, sf_dir, _FULL_OUTER_SQL, ["orders", "customer"])
+
+
+_RIGHT_OUTER_SQL = """
+SELECT c.c_mktsegment,
+       count(o.o_orderkey) AS n_orders,
+       count(*)            AS n_rows
+FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query("sql_right_outer_join", oracle=_RIGHT_OUTER_SQL)
+def sql_right_outer_join(spark, sf_dir):
+    """RIGHT OUTER JOIN (ref JoinType.RightOuter qal/_qal.py:6672) —
+    preserved side is the right (customer); unmatched customers appear with
+    NULL order columns, visible as n_rows > n_orders."""
+    return _sql(spark, sf_dir, _RIGHT_OUTER_SQL, ["orders", "customer"])
+
+
+_NATURAL_JOIN_SQL = """
+SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+FROM (SELECT n_nationkey AS nationkey, n_name FROM nation) n
+NATURAL JOIN (SELECT s_nationkey AS nationkey, s_suppkey, s_acctbal FROM supplier) s
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@query("sql_natural_join", oracle=_NATURAL_JOIN_SQL)
+def sql_natural_join(spark, sf_dir):
+    """NATURAL JOIN (ref JoinType.Natural* qal/_qal.py:6672; relalg's Rename
+    node exists for exactly this resolution, relalg.py:1550): common-column
+    resolution happens in the engine's analyzer — both sides project a
+    shared ``nationkey`` name and the join key is inferred, not written."""
+    return _sql(spark, sf_dir, _NATURAL_JOIN_SQL, ["nation", "supplier"])
