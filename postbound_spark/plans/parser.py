@@ -1,0 +1,1031 @@
+"""SQL text → qal IR: the engine's front door, ``parse_query``.
+
+Re-expresses the reference's parser layer (rbergm/PostBOUND
+``postbound/parser.py``: ``parse_query`` :2240, namespace binding
+``QueryNamespace`` :204, optional live schema binding :2272-2280). The
+reference delegates tokenizing/parsing to pglast (Postgres's real parser,
+``parser.py:38``); neither pglast nor sqlglot is available here, so this is
+a self-contained recursive-descent parser for the ANSI SELECT surface the
+qal IR models (SURVEY.md §2.3-§2.5). Like the reference, parsing is
+single-process pure Python; execution is elsewhere (Spark runs the IR's
+``to_sql`` rendering, so Catalyst remains the semantic analyzer).
+
+Supported surface (mirroring the reference's ParserTests feature matrix,
+``tests/test_qal.py:437-600``):
+
+- SELECT [DISTINCT] projections with aliases, ``*`` and ``t.*``
+- implicit FROM (comma list) and explicit INNER/CROSS JOIN ... ON, which is
+  normalized to implicit form exactly like the reference's
+  ``explicit_to_implicit`` rewrite (``transform.py:172``)
+- FROM-subqueries ``(SELECT ...) alias`` — lifted into synthetic CTEs
+  (semantics-preserving for the non-lateral case the IR models)
+- WHERE/HAVING predicate grammar: ``= <> != < <= > >=``, [NOT] BETWEEN,
+  [NOT] IN (list | subquery), [NOT] LIKE/ILIKE, IS [NOT] NULL,
+  IS [NOT] DISTINCT FROM, [NOT] EXISTS, AND/OR/NOT, bare boolean
+  expressions, ``ANY``/``ALL`` quantified comparisons
+- expressions: literals, column refs, arithmetic ``+ - * / % ||``, function
+  calls (any name passes through uninterpreted, ref qal/_qal.py:797-803)
+  with DISTINCT / FILTER (WHERE ...) / OVER (window), CAST and ``::``,
+  CASE (searched + simple), EXTRACT, ARRAY literals and subscripts,
+  scalar subqueries
+- GROUP BY / HAVING / ORDER BY (ASC/DESC, NULLS FIRST/LAST) /
+  LIMIT / OFFSET / FETCH {FIRST|NEXT} n ROWS ONLY
+- WITH (multiple, non-recursive — same scope limit as the reference,
+  qal/_qal.py:8436) and set operations UNION [ALL] / INTERSECT / EXCEPT
+  (→ :class:`~postbound_spark.plans.qal.SetQuery`)
+
+Out of scope, with explicit errors (matching the *relalg* layer's limits,
+which is what ultimately executes: reference relalg.py supports only inner
+semantics, :1550): explicit OUTER JOIN normalization, VALUES-as-table,
+LATERAL, recursive CTEs. These shapes still execute in the engine via the
+registry's direct-SQL path (queries/surface.py) — the parser's job is the
+research-loop surface: SPJ+aggregation workloads (JOB, SSB, Stats style).
+
+Binding: alias→table resolution always happens (reference: "always
+performed", parser.py:1-7). Unqualified columns are bound against an
+optional ``schema`` mapping ``{table: [columns]}`` — the analog of the
+reference's live ``DatabaseSchema`` binding — and left unbound otherwise.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import replace
+
+from postbound_spark.plans import qal as Q
+
+__all__ = ["parse_query", "ParserError", "UnsupportedSqlError", "to_query_spec"]
+
+
+class ParserError(ValueError):
+    """Malformed SQL for the supported grammar."""
+
+
+class UnsupportedSqlError(ParserError):
+    """Recognized SQL that the qal IR deliberately does not model."""
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+    | (?P<qid>"[^"]*")
+    | (?P<id>[A-Za-z_][A-Za-z_0-9$]*)
+    | (?P<op>\|\||::|<=|>=|<>|!=|[=<>(),.\[\]*/+\-%:])
+    """,
+    re.X | re.S,
+)
+
+_KEYWORDS_STOP = {
+    # tokens that terminate an expression / cannot start a primary
+    "from", "where", "group", "having", "order", "limit", "offset", "fetch",
+    "as", "on", "join", "inner", "left", "right", "full", "cross", "natural",
+    "and", "or", "not", "in", "is", "between", "like", "ilike", "then",
+    "when", "else", "end", "union", "intersect", "except", "asc", "desc",
+    "nulls", "by", "distinct", "all", "any", "some", "exists", "over",
+    "partition", "filter", "rows", "row", "only", "with",
+}
+
+
+class _Tokens:
+    def __init__(self, text: str):
+        self.toks: list[str] = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN_RE.match(text, pos)
+            if m is None:
+                raise ParserError(f"cannot tokenize at: {text[pos:pos + 25]!r}")
+            pos = m.end()
+            if m.lastgroup != "ws":
+                self.toks.append(m.group())
+        self.i = 0
+
+    # -- cursor ------------------------------------------------------------
+
+    def peek(self, ahead: int = 0) -> str | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def peek_kw(self, ahead: int = 0) -> str | None:
+        t = self.peek(ahead)
+        return t.lower() if t is not None else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise ParserError("unexpected end of input")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, *kws: str) -> bool:
+        """Consume the next len(kws) tokens iff they match case-insensitively."""
+        for off, kw in enumerate(kws):
+            if self.peek_kw(off) != kw:
+                return False
+        self.i += len(kws)
+        return True
+
+    def expect(self, kw: str) -> str:
+        t = self.peek()
+        if t is None or t.lower() != kw.lower():
+            raise ParserError(f"expected {kw!r}, found {t!r}")
+        return self.next()
+
+    def at_ident(self) -> bool:
+        t = self.peek()
+        if t is None:
+            return False
+        return t.startswith('"') or (
+            re.match(r"[A-Za-z_]", t) is not None and t.lower() not in _KEYWORDS_STOP
+        )
+
+
+def _ident(tok: str) -> str:
+    return tok[1:-1] if tok.startswith('"') else tok.lower()
+
+
+# ---------------------------------------------------------------------------
+# expression parse result: rendered text + referenced columns
+# ---------------------------------------------------------------------------
+
+
+class _Expr:
+    __slots__ = ("sql", "cols")
+
+    def __init__(self, sql: str, cols: tuple[Q.ColumnReference, ...] = ()):
+        self.sql = sql
+        self.cols = cols
+
+    def to_qal(self) -> Q.SqlExpression:
+        return Q.SqlExpression(self.sql, self.cols)
+
+
+def _merge(sql: str, *parts: _Expr) -> _Expr:
+    return _Expr(sql, tuple(c for p in parts for c in p.cols))
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.t = _Tokens(text)
+        self._cte_counter = 0
+
+    # ---- queries ---------------------------------------------------------
+
+    def parse(self) -> Q.SqlQuery | Q.SetQuery:
+        q = self.parse_query()
+        if self.t.peek() is not None:
+            raise ParserError(f"trailing tokens at {self.t.peek()!r}")
+        return q
+
+    def parse_query(self) -> Q.SqlQuery | Q.SetQuery:
+        ctes: list[tuple[str, Q.SqlQuery | Q.SetQuery]] = []
+        if self.t.accept("with"):
+            if self.t.accept("recursive"):
+                raise UnsupportedSqlError(
+                    "recursive CTEs are out of scope (ref qal/_qal.py:8436)"
+                )
+            while True:
+                name = _ident(self.t.next())
+                self.t.expect("as")
+                self.t.expect("(")
+                ctes.append((name, self.parse_query()))
+                self.t.expect(")")
+                if not self.t.accept(","):
+                    break
+        q = self._parse_set_operand()
+        # set operations combine at this level (ref SetQuery :9396)
+        while self.t.peek_kw() in ("union", "intersect", "except"):
+            kw = self.t.next().lower()
+            if kw == "union":
+                op = (
+                    Q.SetOperator.UNION_ALL
+                    if self.t.accept("all")
+                    else Q.SetOperator.UNION
+                )
+            elif kw == "intersect":
+                op = Q.SetOperator.INTERSECT
+            else:
+                op = Q.SetOperator.EXCEPT
+            rhs = self._parse_set_operand()
+            q = Q.SetQuery(q, op, rhs)
+        if isinstance(q, Q.SetQuery):
+            order_by, limit, offset = self._parse_order_limit()
+            if offset is not None:
+                raise UnsupportedSqlError("OFFSET on a set query is not modeled")
+            if order_by or limit is not None:
+                q = replace(q, order_by=order_by, limit=limit)
+        if ctes:
+            if isinstance(q, Q.SetQuery):
+                raise UnsupportedSqlError("WITH over a set query is not modeled")
+            q = replace(q, ctes=tuple(ctes) + q.ctes)
+        if isinstance(q, Q.SqlQuery):
+            q = _bind(q)
+        return q
+
+    def _parse_set_operand(self) -> Q.SqlQuery | Q.SetQuery:
+        if self.t.accept("("):
+            # parenthesized query — operand of a set op or plain grouping
+            q = self.parse_query()
+            self.t.expect(")")
+            return q
+        return self._parse_select()
+
+    def _parse_select(self) -> Q.SqlQuery:
+        self.t.expect("select")
+        distinct = False
+        if self.t.accept("distinct"):
+            if self.t.peek_kw() == "on":
+                raise UnsupportedSqlError(
+                    "DISTINCT ON is executed via the registry SQL path, "
+                    "not modeled by the parser"
+                )
+            distinct = True
+        projections = [self._parse_projection()]
+        while self.t.accept(","):
+            projections.append(self._parse_projection())
+
+        tables: list[Q.TableReference] = []
+        join_preds: list[Q.AbstractPredicate] = []
+        lifted_ctes: list[tuple[str, Q.SqlQuery | Q.SetQuery]] = []
+        if self.t.accept("from"):
+            tables, join_preds, lifted_ctes = self._parse_from()
+
+        where = self._parse_predicate() if self.t.accept("where") else None
+        # explicit-JOIN ON conditions merge into WHERE — the reference's
+        # explicit_to_implicit normalization (transform.py:172)
+        if join_preds:
+            conds = join_preds + ([where] if where is not None else [])
+            where = Q.and_(*conds)
+
+        group_by: tuple[Q.SqlExpression, ...] = ()
+        if self.t.accept("group", "by"):
+            exprs = [self._parse_expression()]
+            while self.t.accept(","):
+                exprs.append(self._parse_expression())
+            group_by = tuple(e.to_qal() for e in exprs)
+
+        having = self._parse_predicate() if self.t.accept("having") else None
+        order_by, limit, offset = self._parse_order_limit()
+
+        return Q.SqlQuery(
+            select=tuple(projections),
+            from_tables=tuple(tables),
+            where=where,
+            group_by=group_by,
+            having=having,
+            order_by=order_by,
+            limit=limit,
+            offset=offset,
+            distinct=distinct,
+            ctes=tuple(lifted_ctes),
+        )
+
+    def _parse_order_limit(
+        self,
+    ) -> tuple[tuple[Q.OrderByExpression, ...], int | None, int | None]:
+        order_by: list[Q.OrderByExpression] = []
+        if self.t.accept("order", "by"):
+            while True:
+                expr = self._parse_expression()
+                ascending = True
+                if self.t.accept("desc"):
+                    ascending = False
+                else:
+                    self.t.accept("asc")
+                nulls_first: bool | None = None
+                if self.t.accept("nulls", "first"):
+                    nulls_first = True
+                elif self.t.accept("nulls", "last"):
+                    nulls_first = False
+                order_by.append(
+                    Q.OrderByExpression(expr.to_qal(), ascending, nulls_first)
+                )
+                if not self.t.accept(","):
+                    break
+        limit: int | None = None
+        offset: int | None = None
+        # OFFSET may precede or follow LIMIT/FETCH (ANSI allows OFFSET first)
+        if self.t.accept("offset"):
+            offset = int(self.t.next())
+            self.t.accept("rows") or self.t.accept("row")
+        if self.t.accept("limit"):
+            limit = int(self.t.next())
+        elif self.t.accept("fetch"):
+            # FETCH {FIRST|NEXT} n {ROW|ROWS} ONLY (ref Limit :7552,
+            # FetchDirection :7548; PRIOR/LAST are sort-inversion rewrites
+            # handled at the registry level)
+            if not (self.t.accept("first") or self.t.accept("next")):
+                raise UnsupportedSqlError(
+                    "only FETCH FIRST/NEXT are parseable; PRIOR/LAST need the "
+                    "sort-inversion rewrite (registry query sql_fetch_prior)"
+                )
+            limit = int(self.t.next())
+            self.t.accept("rows") or self.t.accept("row")
+            self.t.expect("only")
+        if offset is None and self.t.accept("offset"):
+            offset = int(self.t.next())
+            self.t.accept("rows") or self.t.accept("row")
+        return tuple(order_by), limit, offset
+
+    # ---- FROM ------------------------------------------------------------
+
+    def _parse_from(
+        self,
+    ) -> tuple[
+        list[Q.TableReference],
+        list[Q.AbstractPredicate],
+        list[tuple[str, Q.SqlQuery | Q.SetQuery]],
+    ]:
+        tables: list[Q.TableReference] = []
+        join_preds: list[Q.AbstractPredicate] = []
+        lifted: list[tuple[str, Q.SqlQuery | Q.SetQuery]] = []
+
+        def one_source() -> Q.TableReference:
+            if self.t.accept("lateral"):
+                raise UnsupportedSqlError(
+                    "LATERAL subqueries run via the registry SQL path "
+                    "(sql_lateral_subquery)"
+                )
+            if self.t.accept("("):
+                # FROM-subquery → synthetic CTE (SubqueryTableSource analog,
+                # ref qal/_qal.py:6270)
+                sub = self.parse_query()
+                self.t.expect(")")
+                self.t.accept("as")
+                if not self.t.at_ident():
+                    self._cte_counter += 1
+                    alias = f"__subquery{self._cte_counter}"
+                else:
+                    alias = _ident(self.t.next())
+                lifted.append((alias, sub))
+                return Q.TableReference(alias, virtual=True)
+            name = _ident(self.t.next())
+            if self.t.peek() == "(":
+                raise UnsupportedSqlError(
+                    "table functions in FROM run via the registry SQL path "
+                    "(sql_table_function_range)"
+                )
+            alias = None
+            if self.t.accept("as"):
+                alias = _ident(self.t.next())
+            elif self.t.at_ident():
+                alias = _ident(self.t.next())
+            return Q.TableReference(name, alias)
+
+        tables.append(one_source())
+        while True:
+            if self.t.accept(","):
+                tables.append(one_source())
+                continue
+            kw = self.t.peek_kw()
+            if kw in ("join", "inner", "cross"):
+                # INNER/CROSS JOIN → implicit normalization
+                if kw == "inner":
+                    self.t.next()
+                    self.t.expect("join")
+                    with_on = True
+                elif kw == "cross":
+                    self.t.next()
+                    self.t.expect("join")
+                    with_on = False
+                else:
+                    self.t.next()
+                    with_on = True
+                tables.append(one_source())
+                if with_on:
+                    self.t.expect("on")
+                    join_preds.append(self._parse_predicate())
+                continue
+            if kw in ("left", "right", "full", "natural"):
+                raise UnsupportedSqlError(
+                    f"{kw.upper()} JOIN cannot be normalized to implicit form "
+                    "(relalg models inner semantics only, ref relalg.py:1550); "
+                    "outer joins execute via the registry SQL path "
+                    "(sql_left_outer_join / sql_full_outer_join / "
+                    "sql_natural_join)"
+                )
+            break
+        return tables, join_preds, lifted
+
+    def _parse_projection(self) -> Q.BaseProjection:
+        if self.t.peek() == "*":
+            self.t.next()
+            return Q.star()
+        # t.* projection
+        if (
+            self.t.at_ident()
+            and self.t.peek(1) == "."
+            and self.t.peek(2) == "*"
+        ):
+            tab = _ident(self.t.next())
+            self.t.next()
+            self.t.next()
+            return Q.BaseProjection(Q.SqlExpression(f"{tab}.*"))
+        expr = self._parse_expression()
+        alias = None
+        if self.t.accept("as"):
+            alias = _ident(self.t.next())
+        elif self.t.at_ident():
+            alias = _ident(self.t.next())
+        return Q.BaseProjection(expr.to_qal(), alias)
+
+    # ---- predicates ------------------------------------------------------
+
+    def _parse_predicate(self) -> Q.AbstractPredicate:
+        return self._parse_or()
+
+    def _parse_or(self) -> Q.AbstractPredicate:
+        children = [self._parse_and()]
+        while self.t.accept("or"):
+            children.append(self._parse_and())
+        if len(children) == 1:
+            return children[0]
+        return Q.CompoundPredicate(Q.CompoundOperator.OR, tuple(children))
+
+    def _parse_and(self) -> Q.AbstractPredicate:
+        children = [self._parse_not()]
+        while self.t.accept("and"):
+            children.append(self._parse_not())
+        return children[0] if len(children) == 1 else Q.and_(*children)
+
+    def _parse_not(self) -> Q.AbstractPredicate:
+        if self.t.accept("not"):
+            return Q.CompoundPredicate(
+                Q.CompoundOperator.NOT, (self._parse_not(),)
+            )
+        return self._parse_atom()
+
+    def _parse_atom(self) -> Q.AbstractPredicate:
+        if self.t.accept("exists"):
+            self.t.expect("(")
+            sub = self.parse_query()
+            self.t.expect(")")
+            return Q.UnaryPredicate(Q.UnaryOperation.EXISTS, subquery=sub)
+        if self.t.peek() == "(":
+            # (predicate) or (expr) — try predicate first, backtrack if the
+            # paren turns out to be an arithmetic/comparison operand
+            mark = self.t.i
+            self.t.next()
+            try:
+                inner = self._parse_or()
+                self.t.expect(")")
+            except ParserError:
+                self.t.i = mark
+            else:
+                nxt = self.t.peek_kw()
+                expr_ops = {
+                    "=", "<>", "!=", "<", "<=", ">", ">=", "+", "-", "*",
+                    "/", "%", "||", "::", "[", "between", "in", "like",
+                    "ilike", "is", "not",
+                }
+                if nxt not in expr_ops:
+                    return inner
+                self.t.i = mark  # e.g. "(a + b) > 5" — re-parse as expr
+        expr = self._parse_expression()
+        return self._parse_predicate_tail(expr)
+
+    def _parse_predicate_tail(self, expr: _Expr) -> Q.AbstractPredicate:
+        negated = self.t.accept("not")
+        kw = self.t.peek_kw()
+
+        if kw == "between":
+            self.t.next()
+            lower = self._parse_expression()
+            self.t.expect("and")
+            upper = self._parse_expression()
+            pred: Q.AbstractPredicate = Q.BetweenPredicate(
+                expr.to_qal(), lower.to_qal(), upper.to_qal()
+            )
+            return self._negate(pred, negated)
+
+        if kw == "in":
+            self.t.next()
+            self.t.expect("(")
+            if self.t.peek_kw() in ("select", "with"):
+                sub = self.parse_query()
+                self.t.expect(")")
+                return Q.InPredicate(
+                    expr.to_qal(), subquery=sub, negated=negated
+                )
+            values = [self._parse_expression()]
+            while self.t.accept(","):
+                values.append(self._parse_expression())
+            self.t.expect(")")
+            return Q.InPredicate(
+                expr.to_qal(),
+                values=tuple(v.to_qal() for v in values),
+                negated=negated,
+            )
+
+        if kw in ("like", "ilike"):
+            self.t.next()
+            pattern = self._parse_expression()
+            ops = {
+                (False, "like"): Q.LogicalOperator.LIKE,
+                (True, "like"): Q.LogicalOperator.NOT_LIKE,
+                (False, "ilike"): Q.LogicalOperator.ILIKE,
+                (True, "ilike"): Q.LogicalOperator.NOT_ILIKE,
+            }
+            return Q.BinaryPredicate(
+                ops[(negated, kw)], expr.to_qal(), pattern.to_qal()
+            )
+
+        if negated:
+            raise ParserError("dangling NOT before non-predicate tail")
+
+        if kw == "is":
+            self.t.next()
+            is_not = self.t.accept("not")
+            if self.t.accept("null"):
+                op = (
+                    Q.UnaryOperation.IS_NOT_NULL
+                    if is_not
+                    else Q.UnaryOperation.IS_NULL
+                )
+                return Q.UnaryPredicate(op, expr.to_qal())
+            if self.t.accept("distinct"):
+                self.t.expect("from")
+                rhs = self._parse_expression()
+                op = (
+                    Q.LogicalOperator.IS_NOT_DISTINCT_FROM
+                    if is_not
+                    else Q.LogicalOperator.IS_DISTINCT_FROM
+                )
+                return Q.BinaryPredicate(op, expr.to_qal(), rhs.to_qal())
+            raise ParserError("expected NULL or DISTINCT FROM after IS")
+
+        comparison = {
+            "=": Q.LogicalOperator.EQ,
+            "<>": Q.LogicalOperator.NE,
+            "!=": Q.LogicalOperator.NE,
+            "<": Q.LogicalOperator.LT,
+            "<=": Q.LogicalOperator.LE,
+            ">": Q.LogicalOperator.GT,
+            ">=": Q.LogicalOperator.GE,
+        }
+        tok = self.t.peek()
+        if tok in comparison:
+            self.t.next()
+            op = comparison[tok]
+            # quantified comparison: op ANY/ALL (subquery)
+            # (ref QuantifierExpression qal/_qal.py:1589)
+            qkw = self.t.peek_kw()
+            if qkw in ("any", "all", "some"):
+                self.t.next()
+                self.t.expect("(")
+                sub = self.parse_query()
+                self.t.expect(")")
+                quant = "ANY" if qkw == "some" else qkw.upper()
+                rhs_sql = f"{quant} ({_inline(sub)})"
+                return Q.BinaryPredicate(
+                    op, expr.to_qal(), Q.SqlExpression(rhs_sql)
+                )
+            if self.t.peek() == "(" and self.t.peek_kw(1) in ("select", "with"):
+                self.t.next()
+                sub = self.parse_query()
+                self.t.expect(")")
+                return Q.BinaryPredicate(
+                    op, expr.to_qal(), Q.SqlExpression(f"({_inline(sub)})")
+                )
+            rhs = self._parse_expression()
+            return Q.BinaryPredicate(op, expr.to_qal(), rhs.to_qal())
+
+        # bare boolean expression / UDF filter (ref tests/test_qal.py:475)
+        return Q.UnaryPredicate(Q.UnaryOperation.BARE, expr.to_qal())
+
+    @staticmethod
+    def _negate(pred: Q.AbstractPredicate, negated: bool) -> Q.AbstractPredicate:
+        if not negated:
+            return pred
+        return Q.CompoundPredicate(Q.CompoundOperator.NOT, (pred,))
+
+    # ---- expressions -----------------------------------------------------
+
+    def _parse_expression(self) -> _Expr:
+        return self._parse_additive()
+
+    def _parse_additive(self) -> _Expr:
+        left = self._parse_multiplicative()
+        while self.t.peek() in ("+", "-", "||"):
+            op = self.t.next()
+            right = self._parse_multiplicative()
+            left = _merge(f"{left.sql} {op} {right.sql}", left, right)
+        return left
+
+    def _parse_multiplicative(self) -> _Expr:
+        left = self._parse_unary()
+        while self.t.peek() in ("*", "/", "%"):
+            op = self.t.next()
+            right = self._parse_unary()
+            left = _merge(f"{left.sql} {op} {right.sql}", left, right)
+        return left
+
+    def _parse_unary(self) -> _Expr:
+        if self.t.peek() == "-":
+            self.t.next()
+            inner = self._parse_unary()
+            return _Expr(f"-{inner.sql}", inner.cols)
+        if self.t.peek() == "+":
+            self.t.next()
+            return self._parse_unary()
+        return self._parse_postfix()
+
+    def _parse_postfix(self) -> _Expr:
+        expr = self._parse_primary()
+        while True:
+            if self.t.peek() == "[":
+                # array subscript / slice (ref ArrayAccessExpression :1099)
+                self.t.next()
+                lower = None
+                if self.t.peek() != ":":
+                    lower = self._parse_expression()
+                if self.t.accept(":"):
+                    upper = (
+                        self._parse_expression() if self.t.peek() != "]" else None
+                    )
+                    self.t.expect("]")
+                    lo = lower.sql if lower else ""
+                    hi = upper.sql if upper else ""
+                    expr = _merge(
+                        f"{expr.sql}[{lo}:{hi}]",
+                        expr,
+                        *(p for p in (lower, upper) if p),
+                    )
+                else:
+                    self.t.expect("]")
+                    expr = _merge(f"{expr.sql}[{lower.sql}]", expr, lower)
+                continue
+            if self.t.peek() == "::":
+                # Postgres cast shorthand → CAST (ref CastExpression :359)
+                self.t.next()
+                target = self._parse_type_name()
+                expr = _Expr(f"CAST({expr.sql} AS {target})", expr.cols)
+                continue
+            break
+        return expr
+
+    def _parse_type_name(self) -> str:
+        parts = [_ident(self.t.next())]
+        while self.t.at_ident() and self.t.peek_kw() in (
+            "precision", "varying", "zone", "time", "without", "with",
+        ):
+            parts.append(_ident(self.t.next()))
+        name = " ".join(parts)
+        if self.t.accept("("):
+            params = [self.t.next()]
+            while self.t.accept(","):
+                params.append(self.t.next())
+            self.t.expect(")")
+            name += "(" + ", ".join(params) + ")"
+        while self.t.peek() == "[" and self.t.peek(1) == "]":
+            self.t.next()
+            self.t.next()
+            name += "[]"
+        return name
+
+    def _parse_primary(self) -> _Expr:
+        t = self.t.peek()
+        if t is None:
+            raise ParserError("unexpected end of expression")
+        low = t.lower()
+
+        if t.startswith("'") or re.match(r"\d|\.", t):
+            self.t.next()
+            return _Expr(t)
+        if low in ("null", "true", "false"):
+            self.t.next()
+            return _Expr(low.upper())
+
+        if low in ("timestamp", "date", "time", "interval") and (
+            self.t.peek(1) or ""
+        ).startswith("'"):
+            # typed literal; INTERVAL may carry a trailing unit keyword
+            self.t.next()
+            value = self.t.next()
+            body = f"{low.upper()} {value}"
+            if low == "interval" and self.t.at_ident():
+                unit = self.t.peek() or ""
+                if unit.lower() in (
+                    "year", "years", "month", "months", "day", "days",
+                    "hour", "hours", "minute", "minutes", "second", "seconds",
+                ):
+                    body += f" {_ident(self.t.next()).upper()}"
+            return _Expr(body)
+
+        if low == "case":
+            return self._parse_case()
+
+        if low == "cast":
+            self.t.next()
+            self.t.expect("(")
+            inner = self._parse_expression()
+            self.t.expect("as")
+            target = self._parse_type_name()
+            self.t.expect(")")
+            return _Expr(f"CAST({inner.sql} AS {target})", inner.cols)
+
+        if low == "extract":
+            self.t.next()
+            self.t.expect("(")
+            fld = _ident(self.t.next())
+            self.t.expect("from")
+            src = self._parse_expression()
+            self.t.expect(")")
+            return _Expr(f"extract({fld} FROM {src.sql})", src.cols)
+
+        if low == "array" and self.t.peek(1) == "[":
+            self.t.next()
+            self.t.next()
+            elems = [self._parse_expression()]
+            while self.t.accept(","):
+                elems.append(self._parse_expression())
+            self.t.expect("]")
+            inner = ", ".join(e.sql for e in elems)
+            return _merge(f"array[{inner}]", *elems)
+
+        if t == "(":
+            self.t.next()
+            if self.t.peek_kw() in ("select", "with"):
+                sub = self.parse_query()
+                self.t.expect(")")
+                # scalar subquery (ref SubqueryExpression :1244)
+                return _Expr(f"({_inline(sub)})")
+            inner = self._parse_expression()
+            self.t.expect(")")
+            return _Expr(f"({inner.sql})", inner.cols)
+
+        if self.t.at_ident() or low in ("any", "all", "some", "left", "right"):
+            # identifiers; a few non-reserved keywords double as function
+            # names (left(s, n), right(s, n))
+            if self.t.peek(1) == "(":
+                return self._parse_function_call()
+            if not self.t.at_ident():
+                raise ParserError(f"unexpected token {t!r} in expression")
+            name = _ident(self.t.next())
+            if self.t.peek() == "." and (
+                self.t.peek(1) or ""
+            ).lower() != "*" and self.t.peek(1) is not None:
+                self.t.next()
+                colname = _ident(self.t.next())
+                ref = Q.ColumnReference(colname, Q.TableReference(name))
+                return _Expr(ref.to_sql(), (ref,))
+            ref = Q.ColumnReference(name)
+            return _Expr(ref.to_sql(), (ref,))
+
+        raise ParserError(f"unexpected token {t!r} in expression")
+
+    def _parse_case(self) -> _Expr:
+        self.t.expect("case")
+        parts = ["CASE"]
+        cols: list[Q.ColumnReference] = []
+        if self.t.peek_kw() != "when":
+            # simple CASE (ref CaseExpression :1453 simple_expr)
+            subject = self._parse_expression()
+            parts.append(subject.sql)
+            cols.extend(subject.cols)
+        while self.t.accept("when"):
+            cond = self._parse_predicate()
+            for leaf in cond.iterpredicates():
+                cols.extend(leaf.columns())
+            self.t.expect("then")
+            val = self._parse_expression()
+            cols.extend(val.cols)
+            parts.append(f"WHEN {cond.to_sql()} THEN {val.sql}")
+        if self.t.accept("else"):
+            alt = self._parse_expression()
+            cols.extend(alt.cols)
+            parts.append(f"ELSE {alt.sql}")
+        self.t.expect("end")
+        parts.append("END")
+        return _Expr(" ".join(parts), tuple(cols))
+
+    def _parse_function_call(self) -> _Expr:
+        name = _ident(self.t.next())
+        self.t.expect("(")
+        cols: list[Q.ColumnReference] = []
+        if self.t.peek() == "*":
+            self.t.next()
+            self.t.expect(")")
+            body = f"{name}(*)"
+        else:
+            distinct = self.t.accept("distinct")
+            args: list[_Expr] = []
+            if self.t.peek() != ")":
+                args.append(self._parse_expression())
+                while self.t.accept(","):
+                    args.append(self._parse_expression())
+            self.t.expect(")")
+            for a in args:
+                cols.extend(a.cols)
+            inner = ("DISTINCT " if distinct else "") + ", ".join(
+                a.sql for a in args
+            )
+            body = f"{name}({inner})"
+        # FILTER (WHERE pred) — ref FunctionExpression :814-817
+        if self.t.accept("filter"):
+            self.t.expect("(")
+            self.t.expect("where")
+            cond = self._parse_predicate()
+            self.t.expect(")")
+            for leaf in cond.iterpredicates():
+                cols.extend(leaf.columns())
+            body = f"{body} FILTER (WHERE {cond.to_sql()})"
+        # OVER (window) — ref WindowExpression :1308 (no frame spec in the
+        # reference model; frames are accepted here as text for execution)
+        if self.t.accept("over"):
+            self.t.expect("(")
+            wparts: list[str] = []
+            if self.t.accept("partition", "by"):
+                pexprs = [self._parse_expression()]
+                while self.t.accept(","):
+                    pexprs.append(self._parse_expression())
+                for p in pexprs:
+                    cols.extend(p.cols)
+                wparts.append(
+                    "PARTITION BY " + ", ".join(p.sql for p in pexprs)
+                )
+            if self.t.accept("order", "by"):
+                oitems: list[str] = []
+                while True:
+                    oexpr = self._parse_expression()
+                    cols.extend(oexpr.cols)
+                    otxt = oexpr.sql
+                    if self.t.accept("desc"):
+                        otxt += " DESC"
+                    elif self.t.accept("asc"):
+                        otxt += " ASC"
+                    if self.t.accept("nulls", "first"):
+                        otxt += " NULLS FIRST"
+                    elif self.t.accept("nulls", "last"):
+                        otxt += " NULLS LAST"
+                    oitems.append(otxt)
+                    if not self.t.accept(","):
+                        break
+                wparts.append("ORDER BY " + ", ".join(oitems))
+            if self.t.peek_kw() in ("rows", "range"):
+                frame = [self.t.next().upper()]
+                depth = 0
+                while self.t.peek() is not None:
+                    nxt = self.t.peek()
+                    if nxt == "(":
+                        depth += 1
+                    elif nxt == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    frame.append(self.t.next().upper())
+                wparts.append(" ".join(frame))
+            self.t.expect(")")
+            body = f"{body} OVER ({' '.join(wparts)})"
+        return _Expr(body, tuple(cols))
+
+
+def _inline(q: Q.SqlQuery | Q.SetQuery) -> str:
+    return " ".join(q.to_sql().split())
+
+
+# ---------------------------------------------------------------------------
+# binding (ref QueryNamespace parser.py:204; live binding :2272-2280)
+# ---------------------------------------------------------------------------
+
+
+def _bind(
+    query: Q.SqlQuery, schema: dict[str, list[str]] | None = None
+) -> Q.SqlQuery:
+    """Resolve column references against the FROM namespace (always) and an
+    optional ``{table: [columns]}`` schema (the live-binding analog)."""
+    namespace: dict[str, Q.TableReference] = {}
+    cte_names = {name for name, _sub in query.ctes}
+    for name in cte_names:
+        namespace[name] = Q.TableReference(name, virtual=True)
+    # a FROM entry that names a CTE is a virtual relation (ref
+    # TableReference.virtual, _core.py:643-647)
+    from_tables = tuple(
+        replace(t, virtual=True)
+        if t.full_name in cte_names and not t.virtual
+        else t
+        for t in query.from_tables
+    )
+    query = replace(query, from_tables=from_tables)
+    for tab in query.from_tables:
+        namespace[tab.identifier] = tab
+        namespace.setdefault(tab.full_name, tab)
+
+    by_column: dict[str, list[Q.TableReference]] = {}
+    if schema:
+        for tab in query.from_tables:
+            for c in schema.get(tab.full_name, []):
+                by_column.setdefault(c.lower(), []).append(tab)
+
+    def rebind_col(ref: Q.ColumnReference) -> Q.ColumnReference:
+        if ref.table is not None:
+            resolved = namespace.get(ref.table.identifier)
+            return Q.ColumnReference(ref.name, resolved) if resolved else ref
+        owners = by_column.get(ref.name, [])
+        if len(owners) == 1:
+            return Q.ColumnReference(ref.name, owners[0])
+        return ref
+
+    def rebind_expr(e: Q.SqlExpression) -> Q.SqlExpression:
+        return Q.SqlExpression(e.sql, tuple(rebind_col(c) for c in e.columns))
+
+    def rebind_pred(p: Q.AbstractPredicate | None):
+        if p is None:
+            return None
+        if isinstance(p, Q.CompoundPredicate):
+            return Q.CompoundPredicate(
+                p.operation, tuple(rebind_pred(c) for c in p.children)
+            )
+        if isinstance(p, Q.BinaryPredicate):
+            return Q.BinaryPredicate(
+                p.operation, rebind_expr(p.lhs), rebind_expr(p.rhs)
+            )
+        if isinstance(p, Q.BetweenPredicate):
+            return Q.BetweenPredicate(
+                rebind_expr(p.expr), rebind_expr(p.lower), rebind_expr(p.upper)
+            )
+        if isinstance(p, Q.InPredicate):
+            return Q.InPredicate(
+                rebind_expr(p.expr),
+                tuple(rebind_expr(v) for v in p.values),
+                p.subquery,
+                p.negated,
+            )
+        if isinstance(p, Q.UnaryPredicate):
+            expr = rebind_expr(p.expr) if p.expr is not None else None
+            return Q.UnaryPredicate(p.operation, expr, p.subquery)
+        return p
+
+    return replace(
+        query,
+        select=tuple(
+            Q.BaseProjection(rebind_expr(s.expr), s.alias) for s in query.select
+        ),
+        where=rebind_pred(query.where),
+        group_by=tuple(rebind_expr(e) for e in query.group_by),
+        having=rebind_pred(query.having),
+        order_by=tuple(
+            Q.OrderByExpression(rebind_expr(o.expr), o.ascending, o.nulls_first)
+            for o in query.order_by
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def parse_query(
+    text: str, *, schema: dict[str, list[str]] | None = None
+) -> Q.SqlQuery | Q.SetQuery:
+    """Parse SQL text into the qal IR (ref ``parse_query`` parser.py:2240).
+
+    ``schema`` maps table name → column names and enables binding of
+    unqualified columns, like the reference's optional ``DatabaseSchema``
+    binding (``bind_columns`` parser.py:2272). Alias binding is always on.
+    """
+    result = _Parser(text).parse()
+    if isinstance(result, Q.SqlQuery) and schema:
+        result = _bind(result, schema)
+    return result
+
+
+def to_query_spec(query: Q.SqlQuery):
+    """Project a parsed query onto the optimizer stages' QuerySpec: table
+    set + equi-join edges (the join-graph the ordering algorithms consume,
+    ref ``opt/_joingraph.py:360``)."""
+    from postbound_spark.optimizer.joingraph import JoinEdge
+    from postbound_spark.optimizer.stages import QuerySpec
+
+    edges = []
+    for pred in query.predicates().joins():
+        if not (
+            isinstance(pred, Q.BinaryPredicate)
+            and pred.operation is Q.LogicalOperator.EQ
+            and len(pred.lhs.columns) == 1
+            and len(pred.rhs.columns) == 1
+        ):
+            continue
+        lcol, rcol = pred.lhs.columns[0], pred.rhs.columns[0]
+        if lcol.table is None or rcol.table is None:
+            continue
+        edges.append(
+            JoinEdge(
+                lcol.table.identifier, lcol.name, rcol.table.identifier, rcol.name
+            )
+        )
+    return QuerySpec(
+        tables=tuple(t.identifier for t in query.from_tables),
+        edges=tuple(edges),
+    )

@@ -443,3 +443,40 @@ class SqlQuery:
 
     def with_clause(self, **changes) -> "SqlQuery":
         return replace(self, **changes)
+
+
+class SetOperator(enum.Enum):
+    """ref ``SetOperator`` qal/_qal.py:79-86."""
+
+    UNION = "UNION"
+    UNION_ALL = "UNION ALL"
+    INTERSECT = "INTERSECT"
+    EXCEPT = "EXCEPT"
+
+
+@dataclass(frozen=True)
+class SetQuery:
+    """Set-operation query (ref ``SetQuery`` qal/_qal.py:9396): two operand
+    queries combined by UNION [ALL] / INTERSECT / EXCEPT, with optional
+    outer ORDER BY / LIMIT applying to the combined result."""
+
+    left: "SqlQuery | SetQuery"
+    operator: SetOperator
+    right: "SqlQuery | SetQuery"
+    order_by: tuple[OrderByExpression, ...] = ()
+    limit: int | None = None
+
+    def tables(self) -> frozenset[str]:
+        return self.left.tables() | self.right.tables()
+
+    def to_sql(self) -> str:
+        parts = [
+            f"({self.left.to_sql()})",
+            self.operator.value,
+            f"({self.right.to_sql()})",
+        ]
+        if self.order_by:
+            parts.append("ORDER BY " + ", ".join(o.to_sql() for o in self.order_by))
+        if self.limit is not None:
+            parts.append(f"LIMIT {self.limit}")
+        return "\n".join(parts)

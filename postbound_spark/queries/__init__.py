@@ -45,6 +45,7 @@ def load_all() -> dict[str, QueryDef]:
         ir_demo,
         operators,
         optimizer_demo,
+        parsed,
         pipeline,
         surface,
         tpch,

@@ -1,0 +1,129 @@
+"""Parser-driven registry queries: SQL text in, DataFrame out, entirely
+through the engine's own pipeline —
+
+    text → parse_query (plans/parser.py) → parse_relalg (plans/algebra.py)
+         → compile_plan (operators/compiler.py) → Catalyst
+
+``spark.sql`` is never called on the original text, so these entries gate
+the parser, the algebra conversion, AND the compiler at once. The oracle is
+the *identical* SQL text run by DuckDB — the strongest form of the
+reference's parse→str→parse round-trip tests (tests/test_qal.py:601-645:
+result-set equivalence between raw SQL and the parsed query).
+
+Scale notes: filter placement in the algebra layer (single-table conjuncts
+below joins) keeps predicate pushdown reachable for Catalyst — the compiled
+plans show PushedFilters on the parquet scans and broadcast joins for the
+dimension tables, same as the hand-built flagship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from postbound_spark.catalog import load_tables
+from postbound_spark.operators.compiler import compile_plan
+from postbound_spark.plans.algebra import parse_relalg
+from postbound_spark.plans.parser import parse_query, to_query_spec
+from postbound_spark.queries import query
+
+
+def _native(spark: SparkSession, sf_dir: str, sql: str, tables: list[str],
+            join_order: list[str] | None = None) -> DataFrame:
+    cat = load_tables(spark, sf_dir, tables)
+    tree = parse_relalg(parse_query(sql), join_order=join_order)
+    return compile_plan(tree, spark, cat)
+
+
+_FLAGSHIP_SQL = """
+SELECT n.n_name, count(*) AS num_orders,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r, nation n, customer c, orders o, lineitem l
+WHERE r.r_regionkey = n.n_regionkey AND n.n_nationkey = c.c_nationkey
+  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+  AND r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+LIMIT 10
+"""
+
+
+@query("parsed_flagship_native", oracle=_FLAGSHIP_SQL)
+def parsed_flagship_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship 5-way join+agg through the fully native pipeline (ref
+    entry point parse_query, parser.py:2240; conversion parse_relalg,
+    relalg.py:4266). Filters land below the joins in the algebra, so the
+    parquet scans still receive pushed predicates at any scale."""
+    return _native(
+        spark, sf_dir, _FLAGSHIP_SQL,
+        ["region", "nation", "customer", "orders", "lineitem"],
+    )
+
+
+_SEMIJOIN_SQL = """
+SELECT c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c_name
+"""
+
+
+@query("parsed_semijoin_native", oracle=_SEMIJOIN_SQL)
+def parsed_semijoin_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery detected by the converter and planned as a SemiJoin node
+    (ref _SubqueryDetector relalg.py:2866 → SemiJoin :2001)."""
+    return _native(spark, sf_dir, _SEMIJOIN_SQL, ["customer", "orders"])
+
+
+_NOT_IN_SQL = """
+SELECT s_name FROM supplier
+WHERE s_suppkey NOT IN
+  (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49 AND l_returnflag = 'R')
+ORDER BY s_name
+"""
+
+
+@query("parsed_not_in_native", oracle=_NOT_IN_SQL)
+def parsed_not_in_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN through the native pipeline: AntiJoin with the null-aware
+    condition ``(l = r) OR isnull(l = r)`` (the correctness trap SURVEY.md
+    §7 flags; ref AntiJoin relalg.py:2158-2178)."""
+    return _native(spark, sf_dir, _NOT_IN_SQL, ["supplier", "lineitem"])
+
+
+_HAVING_SQL = """
+SELECT o_orderstatus, round(sum(o_totalprice) / count(*), 2) AS avg_via_expr
+FROM orders
+GROUP BY o_orderstatus
+HAVING count(*) > 100
+ORDER BY o_orderstatus
+"""
+
+
+@query("parsed_having_rewrite", oracle=_HAVING_SQL)
+def parsed_having_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates inside SELECT-expressions and HAVING are hoisted into the
+    Grouping node under synthetic names and the consuming texts rewritten —
+    the converter's PostAggregation placement (ref EvaluationPhase
+    relalg.py:2813-3287)."""
+    return _native(spark, sf_dir, _HAVING_SQL, ["orders"])
+
+
+@query("parsed_ues_forced_order", oracle=_FLAGSHIP_SQL)
+def parsed_ues_forced_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-optimizer integration: the parsed query yields the join graph
+    (to_query_spec), UES picks a pessimistic left-deep order from live
+    statistics, and the algebra converter folds the joins in exactly that
+    order (the enforcement-by-construction path, ref pipeline step 5-6,
+    _pipelines.py:1016). The oracle guarantees the forced order never
+    changes results."""
+    from postbound_spark.optimizer import UESJoinOrderOptimizer
+
+    tables = ["region", "nation", "customer", "orders", "lineitem"]
+    cat = load_tables(spark, sf_dir, tables)
+    parsed = parse_query(_FLAGSHIP_SQL)
+    spec = to_query_spec(parsed)
+    # UES works on table identifiers (aliases); feed it the aliased frames
+    alias_map = {t.identifier: t.full_name for t in parsed.from_tables}
+    aliased = {ident: cat[full] for ident, full in alias_map.items()}
+    order = UESJoinOrderOptimizer(spark).optimize_join_order(spec, aliased).tables()
+    tree = parse_relalg(parsed, join_order=order)
+    return compile_plan(tree, spark, cat)

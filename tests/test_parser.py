@@ -1,0 +1,249 @@
+"""Parser + algebra tests, mirroring the reference's ParserTests feature
+matrix (rbergm/PostBOUND tests/test_qal.py:437-600) and its SQL→relalg
+conversion tests (tests/test_relalg.py), plus the round-trip property
+parse→str→parse the reference asserts throughout."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from postbound_spark.catalog import load_tables
+from postbound_spark.operators.compiler import compile_plan
+from postbound_spark.plans import qal as Q
+from postbound_spark.plans import relalg as ra
+from postbound_spark.plans.algebra import _find_agg_calls, parse_relalg
+from postbound_spark.plans.parser import (
+    ParserError,
+    UnsupportedSqlError,
+    parse_query,
+    to_query_spec,
+)
+
+# ---------------------------------------------------------------------------
+# parser feature matrix (ref ParserTests tests/test_qal.py:437-600)
+# ---------------------------------------------------------------------------
+
+ROUNDTRIP_CASES = [
+    "SELECT * FROM customer",
+    "SELECT c.*, o.o_orderkey FROM customer c, orders o WHERE c.c_custkey = o.o_custkey",
+    "SELECT c_name AS name FROM customer WHERE c_acctbal BETWEEN 0 AND 100",
+    "SELECT c_name FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')",
+    "SELECT c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "SELECT c_name FROM customer c WHERE EXISTS (SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "SELECT c_name FROM customer WHERE c_comment LIKE '%x%' OR c_comment NOT ILIKE '%y%'",
+    "SELECT c_name FROM customer WHERE c_acctbal IS NOT NULL",
+    "SELECT c_name FROM customer WHERE c_mktsegment IS DISTINCT FROM 'BUILDING'",
+    "SELECT CASE WHEN c_acctbal > 0 THEN 'p' ELSE 'n' END AS s FROM customer",
+    "SELECT CASE c_mktsegment WHEN 'BUILDING' THEN 1 ELSE 0 END AS b FROM customer",
+    "SELECT CAST(c_acctbal AS numeric(12, 2)) AS bal FROM customer",
+    "SELECT c_acctbal::int AS bal FROM customer",
+    "SELECT count(DISTINCT c_nationkey) AS n FROM customer",
+    "SELECT sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS f_total FROM orders",
+    "SELECT row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC) AS rn FROM orders",
+    "SELECT extract(year FROM o_orderdate) AS yr FROM orders",
+    "SELECT embedding[1] AS e0 FROM embeddings",
+    "SELECT (SELECT max(o_totalprice) FROM orders) AS mx FROM customer",
+    "SELECT c_custkey FROM customer WHERE c_acctbal > ALL (SELECT avg(o_totalprice) FROM orders)",
+    "SELECT o_orderkey FROM orders WHERE o_orderdate >= DATE '1995-01-01' - INTERVAL '90' DAY",
+    "WITH big AS (SELECT o_custkey FROM orders) SELECT count(*) AS n FROM big",
+    "WITH a AS (SELECT 1 AS x FROM nation), b AS (SELECT 2 AS y FROM nation) SELECT a.x, b.y FROM a, b",
+    "(SELECT c_custkey AS k FROM customer) UNION ALL (SELECT o_custkey AS k FROM orders) ORDER BY k LIMIT 5",
+    "SELECT n_name FROM nation INTERSECT SELECT n_name FROM nation",
+    "SELECT n_name FROM nation EXCEPT SELECT n_name FROM nation",
+    "SELECT sub.k FROM (SELECT o_custkey AS k FROM orders) sub",
+    "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC NULLS LAST FETCH FIRST 5 ROWS ONLY",
+    "SELECT o_orderkey FROM orders LIMIT 10 OFFSET 20",
+    "SELECT c_name FROM customer WHERE NOT (c_acctbal > 0 AND c_nationkey = 3)",
+    "SELECT 1 + 2 * 3 AS arith FROM nation",
+    "SELECT c_name || '-' || c_mktsegment AS tagged FROM customer",
+]
+
+
+@pytest.mark.parametrize("sql", ROUNDTRIP_CASES, ids=lambda s: s[:48])
+def test_roundtrip(sql):
+    """parse → to_sql → parse is a fixpoint (ref round-trip property)."""
+    q1 = parse_query(sql)
+    q2 = parse_query(q1.to_sql())
+    assert q1 == q2
+    assert q1.to_sql() == q2.to_sql()
+
+
+def test_join_vs_filter_classification():
+    q = parse_query(
+        "SELECT * FROM customer c, orders o, nation n "
+        "WHERE c.c_custkey = o.o_custkey AND c.c_nationkey = n.n_nationkey "
+        "AND o.o_totalprice > 100 AND n.n_name = 'KENYA'"
+    )
+    preds = q.predicates()
+    assert len(preds.joins()) == 2
+    assert len(preds.filters()) == 2
+    assert preds.joins_between("c", "o")
+
+
+def test_explicit_join_normalization():
+    """INNER JOIN ... ON parses to the same IR as the implicit form (ref
+    explicit_to_implicit, transform.py:172)."""
+    implicit = parse_query(
+        "SELECT c.c_name FROM customer c, orders o "
+        "WHERE c.c_custkey = o.o_custkey AND o.o_totalprice > 10"
+    )
+    explicit = parse_query(
+        "SELECT c.c_name FROM customer c INNER JOIN orders o "
+        "ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 10"
+    )
+    assert implicit == explicit
+
+
+def test_schema_binding():
+    """Unqualified columns bind through a provided schema (ref live binding
+    parser.py:2272-2280); a cross-table equality becomes a join."""
+    q = parse_query(
+        "SELECT c_name FROM customer, orders WHERE c_custkey = o_custkey",
+        schema={"customer": ["c_custkey", "c_name"], "orders": ["o_custkey"]},
+    )
+    joins = q.predicates().joins()
+    assert len(joins) == 1
+    assert joins[0].tables() == {"customer", "orders"}
+
+
+def test_alias_binding_always_on():
+    q = parse_query("SELECT x.c_name FROM customer x")
+    (ref,) = q.select[0].expr.columns
+    assert ref.table is not None and ref.table.full_name == "customer"
+
+
+def test_query_spec_extraction():
+    q = parse_query(
+        "SELECT * FROM customer c, orders o WHERE c.c_custkey = o.o_custkey"
+    )
+    spec = to_query_spec(q)
+    assert spec.tables == ("c", "o")
+    assert len(spec.edges) == 1
+    assert spec.edges[0].tables() == {"c", "o"}
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT * FROM customer LEFT JOIN orders ON c_custkey = o_custkey",
+        "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r",
+        "SELECT * FROM generate_series(1, 10)",
+        "SELECT * FROM a, LATERAL (SELECT * FROM b) l",
+    ],
+)
+def test_unsupported_shapes_raise(sql):
+    with pytest.raises(UnsupportedSqlError):
+        parse_query(sql)
+
+
+def test_malformed_raises():
+    with pytest.raises(ParserError):
+        parse_query("SELECT FROM WHERE")
+    with pytest.raises(ParserError):
+        parse_query("SELECT a FROM t WHERE a = ")
+
+
+# ---------------------------------------------------------------------------
+# algebra conversion (ref tests/test_relalg.py; parse_relalg relalg.py:4266)
+# ---------------------------------------------------------------------------
+
+
+def _node_types(tree: ra.RelNode) -> set[str]:
+    return {type(n).__name__ for n in tree.walk()}
+
+
+def test_algebra_filter_placement():
+    """Single-table filters sit directly above their base relation
+    (BaseTable phase, ref relalg.py:2813)."""
+    q = parse_query(
+        "SELECT * FROM customer c, orders o "
+        "WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0"
+    )
+    tree = parse_relalg(q)
+    join = next(n for n in tree.walk() if isinstance(n, ra.ThetaJoin))
+    assert isinstance(join.left, ra.Selection)  # filter below the join
+    assert "c_acctbal" in join.left.predicate
+
+
+def test_algebra_semi_anti_nodes():
+    q_in = parse_query(
+        "SELECT c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    )
+    assert "SemiJoin" in _node_types(parse_relalg(q_in))
+    q_nex = parse_query(
+        "SELECT c.c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    )
+    assert "AntiJoin" in _node_types(parse_relalg(q_nex))
+
+
+def test_algebra_not_in_is_null_aware():
+    q = parse_query(
+        "SELECT c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    )
+    tree = parse_relalg(q)
+    anti = next(n for n in tree.walk() if isinstance(n, ra.AntiJoin))
+    assert "isnull" in anti.predicate  # Catalyst's null-aware anti-join form
+
+
+def test_algebra_grouping_with_expression_key():
+    q = parse_query(
+        "SELECT extract(year FROM o_orderdate) AS yr, count(*) AS n "
+        "FROM orders GROUP BY extract(year FROM o_orderdate)"
+    )
+    types = _node_types(parse_relalg(q))
+    assert "Map" in types  # expression key pre-computed (ref relalg.py:2719)
+    assert "Grouping" in types
+
+
+def test_algebra_forced_join_order():
+    q = parse_query(
+        "SELECT * FROM customer c, orders o, nation n "
+        "WHERE c.c_custkey = o.o_custkey AND c.c_nationkey = n.n_nationkey"
+    )
+    tree = parse_relalg(q, join_order=["n", "c", "o"])
+    joins = [n for n in tree.walk() if isinstance(n, ra.ThetaJoin)]
+    # bottom join is n ⋈ c under the forced order
+    bottom = joins[-1]
+    base_tables = bottom.left.tables() | bottom.right.tables()
+    assert base_tables == {"nation", "customer"}
+
+
+def test_find_agg_calls():
+    assert _find_agg_calls("sum(x) / count(*)") == ["sum(x)", "count(*)"]
+    assert _find_agg_calls("round(sum(a * (1 - b)), 2)") == ["sum(a * (1 - b))"]
+    assert _find_agg_calls("row_number() over (order by x)") == []
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: text → parse → algebra → DataFrame vs DuckDB on the same text
+# (the reference's DB-as-oracle pattern, SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+E2E_CASES = [
+    "SELECT o_orderpriority, count(*) AS n FROM orders "
+    "WHERE o_orderdate >= DATE '1995-01-01' GROUP BY o_orderpriority "
+    "ORDER BY o_orderpriority",
+    "SELECT c.c_name FROM customer c WHERE NOT EXISTS "
+    "(SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey) "
+    "ORDER BY c.c_name LIMIT 20",
+    "SELECT n.n_name, count(*) AS n_cust FROM nation n, customer c "
+    "WHERE n.n_nationkey = c.c_nationkey AND c.c_acctbal > 0 "
+    "GROUP BY n.n_name HAVING count(*) > 5 ORDER BY n_cust DESC, n.n_name",
+]
+
+
+@pytest.mark.parametrize("sql", E2E_CASES, ids=lambda s: s[:40])
+def test_native_pipeline_matches_duckdb(spark, sf_small, sql):
+    tables = ["nation", "customer", "orders"]
+    cat = load_tables(spark, sf_small, tables)
+    df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    got = sorted(map(str, (tuple(r) for r in df.collect())))
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = sorted(map(str, con.execute(sql).fetchall()))
+    assert got == want
