@@ -27,6 +27,8 @@ HEADLINE = [
     "q10_returned_items",
     "top_suppliers_having",
     "latest_order_per_customer",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
     # training-data pipeline families (documents/embeddings are fixed-size
     # fixtures; these measure the per-row operator cost, not scan scale)
     "dedup_minhash_lsh",
@@ -38,6 +40,8 @@ HEADLINE = [
     "text_quality_score",
     # optimizer-enforced plan (UES ordering + forced operators)
     "opt_forced_plan_regional_revenue",
+    # fully native pipeline: text -> parse -> algebra -> compile
+    "parsed_flagship_native",
 ]
 
 

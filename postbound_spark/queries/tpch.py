@@ -294,3 +294,320 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(100)
     )
+
+
+# --- wider TPC-H-shaped coverage (adapted to the fixture schema: no
+# partsupp table, lineitem carries only l_shipdate — TESTDATA.md) ----------
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT * FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("q4_order_priority", oracle=_Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS → left-semi join; late-shipping
+    stands in for the reference's commit<receipt since the fixture lineitem
+    has only l_shipdate). The correlated comparison rides ON the semi join
+    — no pre-aggregation, one shuffle on l_orderkey. At scale the semi
+    join's build side is the filtered 3-month orders slice, far smaller
+    than lineitem."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).alias("o")
+    l = t["lineitem"].alias("l")
+    matched = o.join(
+        l,
+        on=(F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("l.l_shipdate") > F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        how="left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q5_ORACLE = """
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r, nation n, customer c, orders o, lineitem l, supplier s
+WHERE r.r_regionkey = n.n_regionkey AND n.n_nationkey = c.c_nationkey
+  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+  AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+  AND r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=_Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join with the cycle-closing local-supplier condition
+    (s_nationkey = c_nationkey). Join order: dims broadcast onto customer →
+    orders, ONE fact-fact shuffle (orders ⋈ lineitem), then supplier
+    broadcast with the cycle predicate folded into the join condition —
+    at 100 TB the single o⋈l shuffle dominates and everything else stays
+    broadcast-local."""
+    t = load_tables(
+        spark, sf_dir, ["region", "nation", "customer", "orders", "lineitem", "supplier"]
+    )
+    dims = (
+        t["customer"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    joined = (
+        orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         extract(year FROM l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+  WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+    AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+    AND c.c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", oracle=_Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: the same dimension table in two roles (supplier's nation
+    vs customer's nation) with a disjunctive cross-role filter. Both nation
+    copies broadcast; the disjunction is applied after both bindings are
+    present — Catalyst cannot push it to either scan alone, the textbook
+    case for post-join residual predicates."""
+    t = load_tables(
+        spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"]
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q14_ORACLE = """
+SELECT round(100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+FROM lineitem l, part p
+WHERE l.l_partkey = p.p_partkey
+  AND l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+@query("q14_promo_revenue", oracle=_Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional aggregation ratio over a fact⋈dim join.
+    part is broadcast (dim-sized at every scale factor relative to
+    lineitem); the CASE rides inside the global aggregate so the whole
+    query is scan → broadcast join → single partial+final agg, no
+    key shuffle at all."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue")
+        )
+    )
+
+
+_Q17_ORACLE = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l, part p
+WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+  AND p.p_size <= 5
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query("q17_small_quantity_revenue", oracle=_Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery (per-part average quantity),
+    decorrelated Spark-first into a groupBy + broadcast join — the rewrite
+    Catalyst itself applies to correlated scalar subqueries, made explicit.
+    The per-part aggregate shrinks lineitem to one row per part before the
+    join, so the broadcast stays dim-sized at any SF."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    part = t["part"].filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
+    )
+    per_part_avg = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg((0.5 * F.avg("l_quantity")).alias("qty_threshold"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q18_ORACLE = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c, orders o, lineitem l
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 20
+"""
+
+
+@query("q18_large_volume_customer", oracle=_Q18_ORACLE)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN over an aggregated subquery → aggregate once, semi-join
+    lineitem's own aggregate back to orders. The HAVING aggregate and the
+    outer sum reuse the same shuffle key (l_orderkey), so AQE can pipeline
+    the two aggregations over one exchange."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    big_orders = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        t["orders"]
+        .join(big_orders, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q19_ORACLE = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l, part p
+WHERE p.p_partkey = l.l_partkey
+  AND ((p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity BETWEEN 1 AND 11)
+    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        AND l.l_quantity BETWEEN 10 AND 20)
+    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        AND l.l_quantity BETWEEN 20 AND 30))
+"""
+
+
+@query("q19_discounted_revenue", oracle=_Q19_ORACLE)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of conjunctive brand/size/quantity branches
+    spanning both join sides. Catalyst pushes the per-side implied filters
+    (brand ∈ {...}, quantity ranges) below the join and keeps the full
+    disjunction as the join residual — assert-worthy pushdown behavior at
+    scale (the scan must not read every part row)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    l, p = t["lineitem"], t["part"]
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
