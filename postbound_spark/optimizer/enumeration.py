@@ -66,3 +66,59 @@ def random_bushy_join_order(spec: QuerySpec, seed: int = 0) -> JoinTree:
             a, b = b, a
         forests[a | b] = JoinTree.join(forests.pop(a), forests.pop(b))
     return next(iter(forests.values()))
+
+
+def all_operator_assignments(
+    spec: QuerySpec, tree: JoinTree, operators: list | None = None
+) -> Iterator:
+    """Every physical-operator assignment for the joins of ``tree`` (ref
+    ``opt/enumeration.py:209`` all operator assignments as a generator).
+    Cartesian product of the operator vocabulary over the tree's joins —
+    callers prune; the space is |ops|^n_joins."""
+    from itertools import product
+
+    from postbound_spark.optimizer.hints import (
+        JoinOperator,
+        PhysicalOperatorAssignment,
+    )
+
+    ops = operators or [
+        JoinOperator.BROADCAST_HASH,
+        JoinOperator.SHUFFLE_HASH,
+        JoinOperator.SORT_MERGE,
+    ]
+    intermediates = [frozenset(j.tables()) for j in tree.joins()]
+    for combo in product(ops, repeat=len(intermediates)):
+        assignment = PhysicalOperatorAssignment()
+        for tables, op in zip(intermediates, combo):
+            assignment.set_join_operator(tables, op)
+        yield assignment
+
+
+def random_operator_assignment(
+    spec: QuerySpec, tree: JoinTree, seed: int = 0, operators: list | None = None
+):
+    """Uniform random operator assignment for ``tree``'s joins (ref
+    ``opt/randomized.py:288``)."""
+    from postbound_spark.optimizer.hints import (
+        JoinOperator,
+        PhysicalOperatorAssignment,
+    )
+
+    rng = random.Random(seed)
+    ops = operators or [
+        JoinOperator.BROADCAST_HASH,
+        JoinOperator.SHUFFLE_HASH,
+        JoinOperator.SORT_MERGE,
+    ]
+    assignment = PhysicalOperatorAssignment()
+    for j in tree.joins():
+        assignment.set_join_operator(frozenset(j.tables()), rng.choice(ops))
+    return assignment
+
+
+def random_plan(spec: QuerySpec, seed: int = 0):
+    """Random (join order, operator assignment) pair — the reference's
+    random *plan* sampler (``opt/randomized.py:456-582``)."""
+    tree = random_bushy_join_order(spec, seed)
+    return tree, random_operator_assignment(spec, tree, seed)

@@ -106,7 +106,8 @@ def _run_one(
     item,
     sf_dir: str,
     timeout_s: float | None,
-) -> tuple[str, float, int, str | None]:
+    native: bool = False,
+) -> tuple[str, float, float, int, str | None]:
     from postbound_spark.catalog import register_views
 
     group = f"bench-{label}-{time.monotonic_ns()}"
@@ -121,6 +122,19 @@ def _run_one(
         try:
             if callable(item):
                 df = item(spark, sf_dir)
+            elif native:
+                # the engine's own pipeline: text -> qal -> algebra ->
+                # DataFrame (parse/convert time is the reference's
+                # optimization_time column, bench.py:1095)
+                from postbound_spark.operators.compiler import compile_plan
+                from postbound_spark.plans.algebra import parse_relalg
+                from postbound_spark.plans.parser import parse_query
+
+                register_views(spark, sf_dir)
+                opt_start = time.perf_counter()
+                tree = parse_relalg(parse_query(item))
+                outcome["opt_time"] = time.perf_counter() - opt_start
+                df = compile_plan(tree, spark, None)
             else:
                 register_views(spark, sf_dir)
                 df = spark.sql(item)
@@ -143,11 +157,12 @@ def _run_one(
             sc.cancelJobGroup(group)
             worker.join(0.5)
     elapsed = time.perf_counter() - start
+    opt_time = float(outcome.get("opt_time", 0.0))
     if timed_out:
-        return "timeout", timeout_s or elapsed, 0, None
+        return "timeout", timeout_s or elapsed, opt_time, 0, None
     if "error" in outcome:
-        return "execution-error", elapsed, 0, str(outcome["error"])
-    return "ok", elapsed, int(outcome.get("n_rows", 0)), None
+        return "execution-error", elapsed, opt_time, 0, str(outcome["error"])
+    return "ok", elapsed, opt_time, int(outcome.get("n_rows", 0)), None
 
 
 def execute_workload(
@@ -161,6 +176,7 @@ def execute_workload(
     timeout_s: float | None = None,
     shuffle_seed: int = 42,
     progressive_output: str | None = None,
+    native: bool = False,
 ) -> pd.DataFrame:
     """ref ``bench.py:1019-1235``: for each workload repetition × query ×
     per-query repetition, execute with optional timeout and collect one
@@ -173,15 +189,15 @@ def execute_workload(
             rng.shuffle(labels)
         for label in labels:
             for qrep in range(per_query_repetitions):
-                status, elapsed, n_rows, error = _run_one(
-                    spark, label, workload[label], sf_dir, timeout_s
+                status, elapsed, opt_time, n_rows, error = _run_one(
+                    spark, label, workload[label], sf_dir, timeout_s, native
                 )
                 rows.append(
                     ExecutionResult(
                         label=label,
                         status=status,
                         exec_time=round(elapsed, 4),
-                        optimization_time=0.0,
+                        optimization_time=round(opt_time, 4),
                         n_rows=n_rows,
                         workload_repetition=wrep,
                         query_repetition=qrep,

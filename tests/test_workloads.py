@@ -92,3 +92,22 @@ def test_read_csv_workload(tmp_path):
     assert dict(wl) == {"first": "SELECT 1", "second": "SELECT 2"}
     wl2 = Workload.read_csv_workload(str(p))
     assert list(wl2) == ["q-1", "q-2"]
+
+
+def test_workload_dir_native_vs_sql(spark, sf_small):
+    """The bundled .sql workload runs through BOTH execution paths — native
+    (text→parse→algebra→compile) and spark.sql — with identical row counts,
+    and the native path reports a real optimization_time (the reference's
+    bench.py:1095 column)."""
+    from postbound_spark.workloads import Workload, execute_workload
+
+    wl = Workload.read_workload("workloads/tpch_mini")
+    assert len(wl) == 5
+    native = execute_workload(spark, wl, sf_small, native=True)
+    plain = execute_workload(spark, wl, sf_small)
+    assert list(native["status"]) == ["ok"] * len(wl)
+    assert list(plain["status"]) == ["ok"] * len(wl)
+    n_rows_native = dict(zip(native["label"], native["n_rows"]))
+    n_rows_plain = dict(zip(plain["label"], plain["n_rows"]))
+    assert n_rows_native == n_rows_plain
+    assert (native["optimization_time"] > 0).all()
