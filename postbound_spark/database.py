@@ -35,13 +35,25 @@ class Database:
         self.sf_dir = sf_dir
         register_views(spark, sf_dir)
 
-    def execute_query(self, query: "str | DataFrame", *, raw: bool = False):
+    def execute_query(
+        self, query: "str | DataFrame", *, raw: bool = False, native: bool = False
+    ):
         """SQL text (or an IR object exposing ``to_sql()``) or a DataFrame;
         returns the simplified result set (``raw=True`` skips
-        simplification, like the reference's ``raw`` flag)."""
+        simplification, like the reference's ``raw`` flag). ``native=True``
+        routes SQL text through the engine's own pipeline
+        (parse_query → parse_relalg → compile_plan) instead of
+        ``spark.sql`` — the reference's parse-then-execute loop."""
         if hasattr(query, "to_sql"):
             query = query.to_sql()
-        df = self.spark.sql(query) if isinstance(query, str) else query
+        if isinstance(query, str) and native:
+            from postbound_spark.operators.compiler import compile_plan
+            from postbound_spark.plans.algebra import parse_relalg
+            from postbound_spark.plans.parser import parse_query
+
+            df = compile_plan(parse_relalg(parse_query(query)), self.spark)
+        else:
+            df = self.spark.sql(query) if isinstance(query, str) else query
         rows = [tuple(r) for r in df.collect()]
         return rows if raw else simplify_result(rows)
 

@@ -29,6 +29,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -95,3 +96,112 @@ def binary_features(df: DataFrame, payload_col: str = "payload", id_col: str = "
             )
 
     return df.mapInPandas(extract, schema=BINARY_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize stage over an image-payload column.
+
+    The codec call is STUBBED (no PIL/cv2 in this environment): the
+    "resized" payload is a deterministic byte-fold of the input onto
+    ``width * height`` bytes (``out[i] = in[i % len]``, truncated/cycled),
+    so schema, batch shape, memory profile, and Arrow round-trip are all
+    real — swap the fold for ``PIL.Image.resize`` in production.
+
+    Dataflow notes for 100 TB: map-only (``mapInPandas`` preserves
+    partitioning — no shuffle); output payloads are fixed-size, so
+    downstream stages can size partitions exactly
+    (rows_per_partition = maxPartitionBytes / (width*height))."""
+    target = width * height
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+
+            def fold(b: bytes) -> bytes:
+                if not b:
+                    return bytes(target)
+                reps = (target // len(b)) + 1
+                return (b * reps)[:target]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "out_width": width,
+                    "out_height": height,
+                    "payload": payloads.map(fold),
+                }
+            )
+
+    return df.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    interval_ms: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Frame-sampling stage over a video-payload column: one output row per
+    sampled timestamp (t = 0, interval, 2·interval, … < duration) — the
+    1→N row expansion every video pipeline needs.
+
+    The decoder is STUBBED: the per-frame "content" checksum is
+    ``first_7_bytes_of_payload_as_int + frame_idx`` — deterministic and
+    reproducible in SQL, so the whole expansion sits under the DuckDB
+    oracle. In production the body calls ffmpeg/pyav per batch.
+
+    Scale notes: expansion happens inside ``mapInPandas`` (map-only, no
+    shuffle); output row count = Σ ceil(duration/interval) is known from
+    metadata alone, so downstream repartitioning can be planned without
+    touching payload bytes."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, sums = [], [], [], []
+            for doc_id, payload, duration in zip(
+                pdf[id_col], pdf[payload_col], pdf[duration_col]
+            ):
+                base = int.from_bytes(payload[:7], "big") if payload else 0
+                n_frames = max(1, -(-int(duration) // interval_ms))
+                for i in range(n_frames):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    tss.append(i * interval_ms)
+                    sums.append((base % 1_000_000_007) + i)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(do_sample, schema=FRAME_SAMPLE_SCHEMA)

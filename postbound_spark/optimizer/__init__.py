@@ -45,7 +45,11 @@ from postbound_spark.optimizer.stages import (
     CostModel,
     EquiJoinPreCheck,
     JoinOrderOptimization,
+    IncrementalOptimizationPipeline,
+    IntegratedOptimizationPipeline,
     MultiStageOptimizationPipeline,
+    PlanEnumerator,
+    TextbookOptimizationPipeline,
     NoJoinOrderOptimization,
     NoOperatorSelection,
     OptimizationPreCheck,
@@ -73,7 +77,11 @@ __all__ = [
     "JoinOperator",
     "JoinOrderOptimization",
     "JoinTree",
+    "IncrementalOptimizationPipeline",
+    "IntegratedOptimizationPipeline",
     "MultiStageOptimizationPipeline",
+    "PlanEnumerator",
+    "TextbookOptimizationPipeline",
     "NativeStatistics",
     "NoJoinOrderOptimization",
     "NoOperatorSelection",

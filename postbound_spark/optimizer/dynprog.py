@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 
 from postbound_spark.optimizer.jointree import JoinTree
 from postbound_spark.optimizer.stages import (
+    PlanEnumerator,
     CardinalityEstimator,
     JoinOrderOptimization,
     QuerySpec,
@@ -99,3 +100,43 @@ class DynamicProgrammingEnumerator(JoinOrderOptimization):
 def _proper_subsets(combo: tuple[str, ...]):
     for size in range(1, len(combo)):
         yield from itertools.combinations(combo, size)
+
+
+class SelingerPlanEnumerator(PlanEnumerator):
+    """Concrete PlanEnumerator (ref ``_stages.py:849``): DP join ordering
+    (access-path × join-path bottom-up, as in ``opt/dynprog.py:79``)
+    followed by cost-based physical operator choice — broadcast-hash when
+    the estimated build side fits the broadcast budget, sort-merge
+    otherwise (the two strategies that matter at cluster scale)."""
+
+    def __init__(self, broadcast_threshold_rows: float = 1_000_000):
+        self.broadcast_threshold_rows = broadcast_threshold_rows
+
+    def generate_execution_plan(
+        self,
+        spec: QuerySpec,
+        tables: dict[str, DataFrame],
+        cost_model,
+        cardinality_estimator: CardinalityEstimator,
+    ):
+        from postbound_spark.optimizer.hints import (
+            JoinOperator,
+            PhysicalOperatorAssignment,
+        )
+
+        tree = DynamicProgrammingEnumerator(
+            cardinality_estimator
+        ).optimize_join_order(spec, tables)
+        assignment = PhysicalOperatorAssignment()
+        for join in tree.joins():
+            inner_tables = frozenset(join.inner.tables())
+            est = cardinality_estimator.estimate_cardinality(
+                spec, inner_tables, tables
+            )
+            op = (
+                JoinOperator.BROADCAST_HASH
+                if est <= self.broadcast_threshold_rows
+                else JoinOperator.SORT_MERGE
+            )
+            assignment.set_join_operator(frozenset(join.tables()), op)
+        return tree, assignment

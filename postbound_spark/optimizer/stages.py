@@ -176,3 +176,97 @@ class MultiStageOptimizationPipeline:
                         key, self.cardinality_estimator.estimate_cardinality(spec, key, tables)
                     )
         return PlannedQuery(spec, join_order, operators, params)
+
+
+class PlanEnumerator(abc.ABC):
+    """Full-plan enumeration stage (ref ``_stages.py:849-903``): given a
+    cost model and a cardinality estimator, produce the cheapest
+    (join order, operator assignment) pair."""
+
+    @abc.abstractmethod
+    def generate_execution_plan(
+        self,
+        spec: QuerySpec,
+        tables: dict[str, DataFrame],
+        cost_model: "CostModel",
+        cardinality_estimator: CardinalityEstimator,
+    ) -> tuple[JoinTree, PhysicalOperatorAssignment]: ...
+
+
+class TextbookOptimizationPipeline:
+    """ref ``TextbookOptimizationPipeline`` ``_pipelines.py:475``: a single
+    plan-enumerator stage wired to an explicit cost model + cardinality
+    estimator (the DP-textbook architecture), instead of the multi-stage
+    decomposition."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        plan_enumerator: PlanEnumerator,
+        cost_model: "CostModel",
+        cardinality_estimator: CardinalityEstimator,
+        pre_checks: list[OptimizationPreCheck] | None = None,
+    ):
+        self.spark = spark
+        self.plan_enumerator = plan_enumerator
+        self.cost_model = cost_model
+        self.cardinality_estimator = cardinality_estimator
+        self.pre_checks = pre_checks if pre_checks is not None else [EquiJoinPreCheck()]
+
+    def optimize_query(self, spec: QuerySpec, tables: dict[str, DataFrame]) -> PlannedQuery:
+        for check in self.pre_checks:
+            ok, msg = check.check(spec)
+            if not ok:
+                raise ValueError(f"unsupported query: {msg}")
+        join_order, operators = self.plan_enumerator.generate_execution_plan(
+            spec, tables, self.cost_model, self.cardinality_estimator
+        )
+        params = PlanParameterization()
+        seen: set[frozenset[str]] = set()
+        for join in join_order.joins():
+            key = frozenset(join.tables())
+            if key not in seen:
+                seen.add(key)
+                params.set_cardinality(
+                    key,
+                    self.cardinality_estimator.estimate_cardinality(spec, key, tables),
+                )
+        return PlannedQuery(spec, join_order, operators, params)
+
+
+class IntegratedOptimizationPipeline:
+    """ref ``IntegratedOptimizationPipeline`` ``_pipelines.py:320``: one
+    complete algorithm produces the whole PlannedQuery in a single step."""
+
+    def __init__(self, spark: SparkSession, algorithm):
+        self.spark = spark
+        self.algorithm = algorithm  # callable: (spec, tables) -> PlannedQuery
+
+    def optimize_query(self, spec: QuerySpec, tables: dict[str, DataFrame]) -> PlannedQuery:
+        return self.algorithm(spec, tables)
+
+
+class IncrementalOptimizationPipeline:
+    """ref ``IncrementalOptimizationPipeline`` ``_stages.py:906``: start
+    from an initial plan and chain plan-improvement steps, each mapping
+    PlannedQuery → PlannedQuery."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        initial: "MultiStageOptimizationPipeline | None" = None,
+    ):
+        self.spark = spark
+        self.initial = initial or MultiStageOptimizationPipeline(spark)
+        self.steps: list = []
+
+    def add_step(self, step) -> "IncrementalOptimizationPipeline":
+        """``step``: callable (PlannedQuery, tables) -> PlannedQuery."""
+        self.steps.append(step)
+        return self
+
+    def optimize_query(self, spec: QuerySpec, tables: dict[str, DataFrame]) -> PlannedQuery:
+        planned = self.initial.optimize_query(spec, tables)
+        for step in self.steps:
+            planned = step(planned, tables)
+        return planned

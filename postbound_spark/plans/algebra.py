@@ -189,6 +189,14 @@ class _Converter:
             if kind is not None:
                 subquery_preds.append((kind, conj))
                 continue
+            if "(select " in conj.to_sql().lower():
+                # scalar/quantified subquery in expression position —
+                # F.expr cannot evaluate it; the SQL path (spark.sql) can
+                raise UnsupportedSqlError(
+                    "scalar subqueries in predicates are not compilable by "
+                    "the algebra path; execute via spark.sql / the registry "
+                    "SQL path (e.g. expr_scalar_subquery)"
+                )
             tabs = conj.tables() & own_ids
             if len(tabs) == 1:
                 filters.setdefault(next(iter(tabs)), []).append(conj)

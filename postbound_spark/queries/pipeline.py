@@ -840,3 +840,35 @@ def ann_ivf_topk(spark, sf_dir):
         .limit(5)
         .select("vec_id", "label", "cluster", F.round("c", 6).alias("cosine"))
     )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+SELECT d.doc_id,
+       CAST(f.i AS INT) AS frame_idx,
+       CAST(f.i * 250 AS BIGINT) AS frame_ts_ms,
+       CAST(CAST(concat('0x', substr(md5(d.text), 1, 14)) AS BIGINT) % 1000000007 + f.i AS BIGINT) AS frame_checksum
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(0,
+                CAST(ceil(greatest(d.n_chars, 1) / 250.0) AS BIGINT) - 1)) AS i) f
+WHERE d.doc_id < 500
+""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: documents stand in for videos
+    (payload = md5 bytes of the text, duration_ms = n_chars), and the
+    mapInPandas stage expands each row into one row per 250 ms frame —
+    the 1→N expansion pattern with a STUBBED decoder
+    (functions/multimodal.sample_frames). The oracle reproduces the exact
+    expansion and per-frame checksums with generate_series over the same
+    md5 arithmetic — the Python batch loop is fully pinned by SQL."""
+    from postbound_spark.functions.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    videos = docs.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("payload"),
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("duration_ms"),
+    )
+    return sample_frames(videos, interval_ms=250)

@@ -312,3 +312,81 @@ def test_jointree_from_plan_roundtrip(spec, tdfs):
     assert ops, "no join operators recognized in the executed plan"
     full = frozenset({"region", "nation", "customer"})
     assert full in ops
+
+
+def test_textbook_pipeline_selinger(spark, sf_small):
+    """TextbookOptimizationPipeline (ref _pipelines.py:475): Selinger DP
+    enumerator + cost model + precise cardinalities produce an enforceable
+    plan whose result equals the unoptimized join."""
+    from pyspark.sql import functions as F
+
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.optimizer import pk_fk_edges_for
+    from postbound_spark.optimizer.cardinalities import PreciseCardinalities
+    from postbound_spark.optimizer.dynprog import (
+        DynamicProgrammingEnumerator,
+        SelingerPlanEnumerator,
+    )
+    from postbound_spark.optimizer.stages import (
+        QuerySpec,
+        TextbookOptimizationPipeline,
+    )
+
+    names = ["nation", "customer", "orders"]
+    tables = load_tables(spark, sf_small, names)
+    spec = QuerySpec(tuple(names), tuple(pk_fk_edges_for(names)))
+    estimator = PreciseCardinalities()
+    enumerator = SelingerPlanEnumerator(broadcast_threshold_rows=1000)
+
+    class _TreeCost:
+        def cost(self, tree, params):
+            return float(tree.depth())
+
+    pipeline = TextbookOptimizationPipeline(
+        spark, enumerator, _TreeCost(), estimator
+    )
+    planned = pipeline.optimize_query(spec, tables)
+    assert set(planned.join_order.tables()) == set(names)
+    assert planned.operators.join_operators  # operators were assigned
+    got = planned.to_dataframe(tables).count()
+    want = (
+        tables["nation"]
+        .join(tables["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(tables["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .count()
+    )
+    assert got == want
+
+
+def test_incremental_pipeline_steps(spark, sf_small):
+    """IncrementalOptimizationPipeline (ref _stages.py:906): chained
+    improvement steps each rewrite the planned query."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.optimizer import pk_fk_edges_for
+    from postbound_spark.optimizer.hints import (
+        JoinOperator,
+        PhysicalOperatorAssignment,
+    )
+    from postbound_spark.optimizer.stages import (
+        IncrementalOptimizationPipeline,
+        QuerySpec,
+    )
+
+    names = ["nation", "customer"]
+    tables = load_tables(spark, sf_small, names)
+    spec = QuerySpec(tuple(names), tuple(pk_fk_edges_for(names)))
+
+    def force_broadcast(planned, _tables):
+        ops = PhysicalOperatorAssignment()
+        for join in planned.join_order.joins():
+            ops.set_join_operator(frozenset(join.tables()), JoinOperator.BROADCAST_HASH)
+        planned.operators = ops
+        return planned
+
+    pipeline = IncrementalOptimizationPipeline(spark).add_step(force_broadcast)
+    planned = pipeline.optimize_query(spec, tables)
+    assert all(
+        op is JoinOperator.BROADCAST_HASH
+        for op in planned.operators.join_operators.values()
+    )
+    assert planned.to_dataframe(tables).count() > 0
