@@ -41,6 +41,26 @@ class _Compiler(ra.RelNodeVisitor):
             df = self._compile(node.subquery)
         return df.alias(node.alias) if node.alias else df
 
+    def visit_values(self, node: ra.Values) -> DataFrame:
+        rendered = ", ".join("(" + ", ".join(row) + ")" for row in node.rows)
+        cols = f"({', '.join(node.columns)})" if node.columns else ""
+        alias = node.alias or "v"
+        df = self.spark.sql(f"SELECT * FROM (VALUES {rendered}) AS {alias}{cols}")
+        return df.alias(alias)
+
+    def visit_tablefunction(self, node: ra.TableFunction) -> DataFrame:
+        if node.function != "range":
+            raise NotImplementedError(f"table function {node.function!r}")
+        alias = node.alias or "t"
+        inner = ", ".join(node.args)
+        # range() is Spark's TVF — a distributed generator, arguments may be
+        # constant-foldable expressions (e.g. the generate_series hi+1)
+        df = self.spark.sql(f"SELECT * FROM range({inner}) AS {alias}({node.column})")
+        return df.alias(alias)
+
+    def visit_singlerow(self, node: ra.SingleRow) -> DataFrame:
+        return self.spark.range(1).select()
+
     # --- unary ------------------------------------------------------------
     def visit_selection(self, node: ra.Selection) -> DataFrame:
         return self._compile(node.child).filter(F.expr(node.predicate))

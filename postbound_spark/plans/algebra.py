@@ -161,7 +161,23 @@ class _Converter:
 
     # -- leaves -------------------------------------------------------------
 
-    def _leaf(self, tab: Q.TableReference) -> ra.RelNode:
+    def _leaf(self, tab) -> ra.RelNode:
+        if isinstance(tab, Q.ValuesTableSource):
+            return ra.Values(
+                rows=tuple(
+                    tuple(v.to_sql() for v in row) for row in tab.rows
+                ),
+                columns=tab.columns,
+                alias=tab.alias,
+            )
+        if isinstance(tab, Q.FunctionTableSource):
+            column = tab.columns[0] if tab.columns else "id"
+            return ra.TableFunction(
+                function=tab.function,
+                args=tuple(a.to_sql() for a in tab.args),
+                column=column,
+                alias=tab.alias,
+            )
         if tab.full_name in self.ctes:
             sub = parse_relalg(self.ctes[tab.full_name])
             return ra.Relation(subquery=sub, alias=tab.identifier)
@@ -243,7 +259,7 @@ class _Converter:
                 tree = ra.CrossProduct(tree, bases[ident])
             joined.add(ident)
         if tree is None:
-            raise UnsupportedSqlError("query without FROM is not supported")
+            tree = ra.SingleRow()  # FROM-less scalar SELECT
 
         # residual predicates (PostJoin phase)
         leftovers = pending + residual

@@ -357,6 +357,12 @@ class _Parser:
                     "(sql_lateral_subquery)"
                 )
             if self.t.accept("("):
+                if self.t.peek_kw() == "values":
+                    # inline VALUES relation (ref ValuesTableSource :6436)
+                    src = self._parse_values()
+                    self.t.expect(")")
+                    alias, cols = self._parse_source_alias(default="v")
+                    return Q.ValuesTableSource(src, alias, cols)
                 # FROM-subquery → synthetic CTE (SubqueryTableSource analog,
                 # ref qal/_qal.py:6270)
                 sub = self.parse_query()
@@ -371,10 +377,33 @@ class _Parser:
                 return Q.TableReference(alias, virtual=True)
             name = _ident(self.t.next())
             if self.t.peek() == "(":
-                raise UnsupportedSqlError(
-                    "table functions in FROM run via the registry SQL path "
-                    "(sql_table_function_range)"
-                )
+                # table function (ref FunctionTableSource :6584); range()
+                # is the portable spelling, generate_series is normalized
+                # to it (inclusive upper bound → hi + 1)
+                self.t.next()
+                args = []
+                if self.t.peek() != ")":
+                    args.append(self._parse_expression())
+                    while self.t.accept(","):
+                        args.append(self._parse_expression())
+                self.t.expect(")")
+                alias, cols = self._parse_source_alias(default="t")
+                exprs = [a.to_qal() for a in args]
+                if name == "generate_series":
+                    if len(exprs) not in (1, 2):
+                        raise UnsupportedSqlError(
+                            "generate_series(lo, hi) expects 1-2 arguments"
+                        )
+                    lo = exprs[0] if len(exprs) == 2 else Q.lit(0)
+                    hi = exprs[-1]
+                    name = "range"
+                    exprs = [lo, Q.SqlExpression(f"{hi.to_sql()} + 1", hi.columns)]
+                elif name != "range":
+                    raise UnsupportedSqlError(
+                        f"table function {name!r} is not supported; use "
+                        "range()/generate_series() or the registry SQL path"
+                    )
+                return Q.FunctionTableSource(name, tuple(exprs), alias, cols)
             alias = None
             if self.t.accept("as"):
                 alias = _ident(self.t.next())
@@ -416,6 +445,35 @@ class _Parser:
                 )
             break
         return tables, join_preds, lifted
+
+    def _parse_values(self) -> tuple[tuple[Q.SqlExpression, ...], ...]:
+        self.t.expect("values")
+        rows: list[tuple[Q.SqlExpression, ...]] = []
+        while True:
+            self.t.expect("(")
+            row = [self._parse_expression().to_qal()]
+            while self.t.accept(","):
+                row.append(self._parse_expression().to_qal())
+            self.t.expect(")")
+            rows.append(tuple(row))
+            if not self.t.accept(","):
+                break
+        return tuple(rows)
+
+    def _parse_source_alias(self, default: str) -> tuple[str, tuple[str, ...]]:
+        """``[AS] alias[(col, ...)]`` after a VALUES / table-function /
+        subquery source."""
+        self.t.accept("as")
+        alias = _ident(self.t.next()) if self.t.at_ident() else default
+        cols: tuple[str, ...] = ()
+        if self.t.peek() == "(":
+            self.t.next()
+            names = [_ident(self.t.next())]
+            while self.t.accept(","):
+                names.append(_ident(self.t.next()))
+            self.t.expect(")")
+            cols = tuple(names)
+        return alias, cols
 
     def _parse_projection(self) -> Q.BaseProjection:
         if self.t.peek() == "*":

@@ -72,6 +72,66 @@ class ColumnReference:
         return f"{self.table.identifier}.{self.name}" if self.table else self.name
 
 
+@dataclass(frozen=True)
+class ValuesTableSource:
+    """Inline VALUES relation in FROM (ref ``ValuesTableSource``
+    qal/_qal.py:6436). Quacks like :class:`TableReference` (identifier /
+    full_name / virtual) so it slots into ``SqlQuery.from_tables``."""
+
+    rows: tuple[tuple["SqlExpression", ...], ...]
+    alias: str = "v"
+    columns: tuple[str, ...] = ()
+
+    @property
+    def full_name(self) -> str:
+        return self.alias
+
+    @property
+    def identifier(self) -> str:
+        return self.alias
+
+    @property
+    def virtual(self) -> bool:
+        return True
+
+    def to_sql(self) -> str:
+        rendered = ", ".join(
+            "(" + ", ".join(v.to_sql() for v in row) + ")" for row in self.rows
+        )
+        cols = f"({', '.join(self.columns)})" if self.columns else ""
+        return f"(VALUES {rendered}) AS {self.alias}{cols}"
+
+
+@dataclass(frozen=True)
+class FunctionTableSource:
+    """Table function in FROM (ref ``FunctionTableSource``
+    qal/_qal.py:6584; tested with generate_series, tests/test_qal.py:580).
+    ``range(lo, hi)`` is the portable spelling (Spark and DuckDB agree on
+    half-open semantics and column aliasing)."""
+
+    function: str
+    args: tuple["SqlExpression", ...]
+    alias: str = "t"
+    columns: tuple[str, ...] = ()
+
+    @property
+    def full_name(self) -> str:
+        return self.alias
+
+    @property
+    def identifier(self) -> str:
+        return self.alias
+
+    @property
+    def virtual(self) -> bool:
+        return True
+
+    def to_sql(self) -> str:
+        inner = ", ".join(a.to_sql() for a in self.args)
+        cols = f"({', '.join(self.columns)})" if self.columns else ""
+        return f"{self.function}({inner}) AS {self.alias}{cols}"
+
+
 # ---------------------------------------------------------------------------
 # expressions — SQL-fragment-backed (Catalyst is the analyzer)
 # ---------------------------------------------------------------------------
@@ -424,7 +484,8 @@ class SqlQuery:
         parts.append(
             "SELECT " + distinct + ", ".join(p.to_sql() for p in self.select)
         )
-        parts.append("FROM " + ", ".join(t.to_sql() for t in self.from_tables))
+        if self.from_tables:  # FROM-less scalar SELECT is legal
+            parts.append("FROM " + ", ".join(t.to_sql() for t in self.from_tables))
         if self.where is not None:
             parts.append("WHERE " + self.where.to_sql())
         if self.group_by:

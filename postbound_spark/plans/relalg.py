@@ -239,6 +239,36 @@ class Limit(RelNode):
     offset: int | None = None
 
 
+@dataclass(frozen=True)
+class Values(RelNode):
+    """Leaf: inline VALUES relation (ref ``ValuesTableSource``
+    qal/_qal.py:6436). ``rows`` holds SQL literal/expression strings;
+    compiled via a one-row range cross-applied with the literal rows —
+    in practice always tiny, driver-side data."""
+
+    rows: tuple[tuple[str, ...], ...] = ()
+    columns: tuple[str, ...] = ()
+    alias: str | None = None
+
+
+@dataclass(frozen=True)
+class TableFunction(RelNode):
+    """Leaf: table function (ref ``FunctionTableSource`` qal/_qal.py:6584).
+    ``range`` compiles to ``spark.range`` — a parallelized generator, not
+    driver-side data, so a billion-row series is still distributed."""
+
+    function: str = "range"
+    args: tuple[str, ...] = ()
+    column: str = "id"
+    alias: str | None = None
+
+
+@dataclass(frozen=True)
+class SingleRow(RelNode):
+    """Leaf: the one-row relation behind FROM-less SELECTs. Extension node
+    (the reference parses FROM-less queries through pglast the same way)."""
+
+
 class RelNodeVisitor:
     """Visitor over the operator set (ref: relalg.py:2444 RelNodeVisitor)."""
 

@@ -127,3 +127,24 @@ def parsed_ues_forced_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = UESJoinOrderOptimizer(spark).optimize_join_order(spec, aliased).tables()
     tree = parse_relalg(parsed, join_order=order)
     return compile_plan(tree, spark, cat)
+
+
+_VALUES_SQL = """
+SELECT v.grp, count(*) AS n, sum(t.x) AS total
+FROM (VALUES (0, 'even'), (1, 'odd')) AS v(parity, grp),
+     range(1, 101) AS t(x)
+WHERE t.x % 2 = v.parity
+GROUP BY v.grp
+ORDER BY v.grp
+"""
+
+
+@query("parsed_values_table_function", oracle=_VALUES_SQL)
+def parsed_values_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES relation joined to the range() table function, entirely
+    through the native pipeline (ref ValuesTableSource qal/_qal.py:6436,
+    FunctionTableSource :6584). range() compiles to spark.range — a
+    distributed generator, so a 10^9-row series would still parallelize —
+    and the 2-row VALUES side broadcasts."""
+    tree = parse_relalg(parse_query(_VALUES_SQL))
+    return compile_plan(tree, spark)

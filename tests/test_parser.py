@@ -128,7 +128,7 @@ def test_query_spec_extraction():
     [
         "SELECT * FROM customer LEFT JOIN orders ON c_custkey = o_custkey",
         "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r",
-        "SELECT * FROM generate_series(1, 10)",
+        "SELECT * FROM unnest(array[1, 2, 3])",
         "SELECT * FROM a, LATERAL (SELECT * FROM b) l",
     ],
 )
@@ -247,3 +247,36 @@ def test_native_pipeline_matches_duckdb(spark, sf_small, sql):
         )
     want = sorted(map(str, con.execute(sql).fetchall()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# FROM-surface sources: VALUES / table functions / FROM-less SELECT
+# (ref ValuesTableSource :6436, FunctionTableSource :6584)
+# ---------------------------------------------------------------------------
+
+SOURCE_CASES = [
+    "SELECT v.a, v.b FROM (VALUES (1, 'x'), (2, 'y')) AS v(a, b) ORDER BY v.a",
+    "SELECT t.x, t.x * t.x AS sq FROM range(1, 6) AS t(x) ORDER BY t.x",
+    "SELECT 1 + 2 AS three",
+    "SELECT count(*) AS n FROM range(0, 100) AS t(x) WHERE t.x % 7 = 0",
+]
+
+
+@pytest.mark.parametrize("sql", SOURCE_CASES, ids=lambda s: s[:40])
+def test_source_shapes_native(spark, sql):
+    """VALUES lists, range() TVF and FROM-less SELECT run through the
+    native pipeline and match DuckDB on the rendered text."""
+    q = parse_query(sql)
+    assert parse_query(q.to_sql()) == q
+    df = compile_plan(parse_relalg(q), spark)
+    got = sorted(map(str, (tuple(r) for r in df.collect())))
+    want = sorted(map(str, duckdb.connect().execute(q.to_sql()).fetchall()))
+    assert got == want
+
+
+def test_generate_series_normalizes_to_range():
+    q = parse_query("SELECT t.x FROM generate_series(1, 5) AS t(x)")
+    src = q.from_tables[0]
+    assert isinstance(src, Q.FunctionTableSource)
+    assert src.function == "range"
+    assert "5 + 1" in src.to_sql()
