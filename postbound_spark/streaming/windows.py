@@ -115,3 +115,48 @@ def dedup_stream(
     than the watermark are the accepted false-negative trade).
     """
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "30 minutes",
+    join_window: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with watermark-bounded buffering.
+
+    Joins each event to *later* events of the same user within
+    ``join_window`` (the canonical "action followed by reaction" shape).
+    Both sides carry a watermark AND the join condition carries a
+    time-range bound — both are required: the watermark lets Spark evict
+    buffered rows once no future match is possible, and the range bound
+    defines how long a row must stay buffered. Without either, a
+    stream-stream join buffers its entire input forever.
+
+    At scale: state size ≈ input-rate × join_window per side, independent
+    of stream lifetime — the property that makes the operator viable as a
+    continuous process.
+    """
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_type").alias("l_type"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_type").alias("r_type"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {join_window}")),
+        "inner",
+    )

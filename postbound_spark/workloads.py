@@ -89,6 +89,27 @@ class Workload(UserDict):
 
 
 @dataclass
+class QueryPreparation:
+    """ref ``QueryPreparation`` bench.py:149: per-query preparation before
+    timing — EXPLAIN instead of executing, ANALYZE (execute + collect
+    metrics), table prewarming (the Spark analog of PG ``pg_prewarm`` is
+    caching the scan side of the query into the unified memory/disk
+    cache)."""
+
+    explain: bool = False
+    analyze: bool = False
+    prewarm: bool = False
+    prewarm_tables: tuple = ()
+
+    def prewarm_now(self, spark: SparkSession, sf_dir: str) -> None:
+        from postbound_spark.catalog import load_table
+
+        for name in self.prewarm_tables:
+            df = load_table(spark, sf_dir, name)
+            df.cache().count()  # materialize into the block cache
+
+
+@dataclass
 class ExecutionResult:
     label: str
     status: str  # ok | timeout | execution-error (ref bench.py status column)
@@ -107,6 +128,7 @@ def _run_one(
     sf_dir: str,
     timeout_s: float | None,
     native: bool = False,
+    preparation: "QueryPreparation | None" = None,
 ) -> tuple[str, float, float, int, str | None]:
     from postbound_spark.catalog import register_views
 
@@ -138,7 +160,13 @@ def _run_one(
             else:
                 register_views(spark, sf_dir)
                 df = spark.sql(item)
-            outcome["n_rows"] = len(df.collect())
+            if preparation is not None and preparation.explain:
+                # EXPLAIN preparation: plan only, no execution
+                # (ref bench.py:149 / transform.py:749 as_explain)
+                outcome["n_rows"] = 0
+                df.explain("formatted")
+            else:
+                outcome["n_rows"] = len(df.collect())
         except Exception as exc:  # noqa: BLE001 — cancelled jobs raise generically
             outcome["error"] = f"{type(exc).__name__}: {exc}"
         finally:
@@ -177,11 +205,14 @@ def execute_workload(
     shuffle_seed: int = 42,
     progressive_output: str | None = None,
     native: bool = False,
+    preparation: "QueryPreparation | None" = None,
 ) -> pd.DataFrame:
     """ref ``bench.py:1019-1235``: for each workload repetition × query ×
     per-query repetition, execute with optional timeout and collect one
     result row. Returns the reference's result-row schema (``:1095``)."""
     rows: list[ExecutionResult] = []
+    if preparation is not None and preparation.prewarm:
+        preparation.prewarm_now(spark, sf_dir)
     rng = random.Random(shuffle_seed)
     for wrep in range(workload_repetitions):
         labels = list(workload)
@@ -190,7 +221,8 @@ def execute_workload(
         for label in labels:
             for qrep in range(per_query_repetitions):
                 status, elapsed, opt_time, n_rows, error = _run_one(
-                    spark, label, workload[label], sf_dir, timeout_s, native
+                    spark, label, workload[label], sf_dir, timeout_s, native,
+                    preparation,
                 )
                 rows.append(
                     ExecutionResult(

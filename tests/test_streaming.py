@@ -21,3 +21,49 @@ def test_streaming_window_agg_matches_batch(spark, sf_small):
     got = sorted(tuple(r) for r in result.select(*key).collect())
     want = sorted(tuple(r) for r in batch.select(*key).collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_small):
+    """Stream-stream join (watermarked, time-range-bounded) produces the
+    same pairs as the equivalent batch self-join — the stream==batch
+    oracle pattern applied to the binary stateful operator."""
+    from pyspark.sql import functions as F
+
+    from postbound_spark.catalog import load_table
+    from postbound_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+        stream_stream_join,
+    )
+
+    events = stream_events(spark, sf_small)
+    joined = stream_stream_join(events, events, join_window="5 minutes")
+    # stream-stream joins emit in append mode only; aggregate the drained
+    # result batch-side
+    drained = run_available_now(joined, output_mode="append")
+    got = {
+        (r["l_user"], r["count"])
+        for r in drained.groupBy("l_user").count().collect()
+    }
+
+    batch = load_table(spark, sf_small, "events")
+    l = batch.select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    r = batch.select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    want = {
+        (row["l_user"], row["count"])
+        for row in (
+            l.join(
+                r,
+                (F.col("l_user") == F.col("r_user"))
+                & (F.col("r_ts") > F.col("l_ts"))
+                & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 minutes")),
+            )
+            .groupBy("l_user")
+            .count()
+        ).collect()
+    }
+    assert got == want and len(got) > 0

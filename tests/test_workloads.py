@@ -111,3 +111,45 @@ def test_workload_dir_native_vs_sql(spark, sf_small):
     n_rows_plain = dict(zip(plain["label"], plain["n_rows"]))
     assert n_rows_native == n_rows_plain
     assert (native["optimization_time"] > 0).all()
+
+
+def test_query_preparation_explain_and_prewarm(spark, sf_small):
+    """QueryPreparation (ref bench.py:149): explain mode plans without
+    executing; prewarm caches the named tables before the run."""
+    from postbound_spark.workloads import (
+        QueryPreparation,
+        Workload,
+        execute_workload,
+    )
+
+    wl = Workload({"probe": "SELECT count(*) AS n FROM orders"})
+    prep = QueryPreparation(explain=True, prewarm=True, prewarm_tables=("orders",))
+    out = execute_workload(spark, wl, sf_small, preparation=prep)
+    assert list(out["status"]) == ["ok"]
+    assert list(out["n_rows"]) == [0]  # explain-only: nothing collected
+
+
+def test_query_prechecks():
+    from postbound_spark.optimizer.validation import default_prechecks
+    from postbound_spark.plans.parser import parse_query
+
+    good = parse_query(
+        "SELECT * FROM customer c, orders o WHERE c.c_custkey = o.o_custkey"
+    )
+    assert default_prechecks().check(good).passed
+
+    theta = parse_query(
+        "SELECT * FROM customer c, orders o WHERE c.c_custkey < o.o_custkey"
+    )
+    result = default_prechecks().check(theta)
+    assert not result.passed and "non-equi" in result.reasons[0]
+
+    dependent = parse_query(
+        "SELECT c.c_name FROM customer c WHERE c.c_custkey IN "
+        "(SELECT o.o_custkey FROM orders o WHERE o.o_totalprice > c.c_acctbal)"
+    )
+    result = default_prechecks().check(dependent)
+    assert not result.passed and "dependent" in result.reasons[0]
+
+    values = parse_query("SELECT v.a FROM (VALUES (1), (2)) AS v(a)")
+    assert not default_prechecks().check(values).passed
