@@ -59,6 +59,11 @@ from postbound_spark.optimizer.stages import (
     QuerySpec,
 )
 from postbound_spark.optimizer.tonic import TonicOperatorSelection
+from postbound_spark.optimizer.native import (
+    CatalystCardinalityEstimator,
+    CatalystCostModel,
+    CatalystNativeOptimizer,
+)
 from postbound_spark.optimizer.stats import ColumnStats, EmulatedStatistics, NativeStatistics
 from postbound_spark.optimizer.ues import UESJoinOrderOptimizer
 
@@ -70,6 +75,9 @@ __all__ = [
     "CostModel",
     "DynamicProgrammingEnumerator",
     "EmulatedStatistics",
+    "CatalystCardinalityEstimator",
+    "CatalystCostModel",
+    "CatalystNativeOptimizer",
     "EquiJoinPreCheck",
     "FORCED_ORDER_CONF",
     "JoinEdge",

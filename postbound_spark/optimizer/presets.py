@@ -30,4 +30,14 @@ def apply_standard_settings(spark: SparkSession, name: str) -> MultiStageOptimiz
         )
     if name == "native":
         return MultiStageOptimizationPipeline(spark, join_ordering=NoJoinOrderOptimization())
-    raise ValueError(f"unknown preset {name!r}; use ues | dp-precise | native")
+    if name == "catalyst-native":
+        # read Catalyst's own join-order decision back as the artifact
+        # (ref opt/native.py:524 NativeOptimizer)
+        from postbound_spark.optimizer.native import CatalystNativeOptimizer
+
+        return MultiStageOptimizationPipeline(
+            spark, join_ordering=CatalystNativeOptimizer(spark)
+        )
+    raise ValueError(
+        f"unknown preset {name!r}; use ues | dp-precise | native | catalyst-native"
+    )

@@ -390,3 +390,39 @@ def test_incremental_pipeline_steps(spark, sf_small):
         for op in planned.operators.join_operators.values()
     )
     assert planned.to_dataframe(tables).count() > 0
+
+
+def test_catalyst_native_stages(spark, sf_small):
+    """Native (Catalyst-delegating) stages (ref opt/native.py): plan-time
+    cardinality estimates, plan-cost readback, and the natively-chosen
+    join order parsed back as a JoinTree artifact."""
+    import math
+
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.optimizer import pk_fk_edges_for
+    from postbound_spark.optimizer.native import (
+        CatalystCardinalityEstimator,
+        CatalystCostModel,
+        CatalystNativeOptimizer,
+    )
+    from postbound_spark.optimizer.jointree import JoinTree
+    from postbound_spark.optimizer.stages import (
+        PlanParameterization,
+        QuerySpec,
+    )
+
+    names = ["nation", "customer", "orders"]
+    tables = load_tables(spark, sf_small, names)
+    spec = QuerySpec(tuple(names), tuple(pk_fk_edges_for(names)))
+
+    est = CatalystCardinalityEstimator().estimate_cardinality(
+        spec, frozenset({"nation", "customer"}), tables
+    )
+    assert est > 0 and not math.isnan(est)
+
+    cost_model = CatalystCostModel(spec, tables)
+    cost = cost_model.cost(JoinTree.left_deep(names), PlanParameterization())
+    assert cost > 0
+
+    chosen = CatalystNativeOptimizer(spark).optimize_join_order(spec, tables)
+    assert set(chosen.tables()) == set(names)
