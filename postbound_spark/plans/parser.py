@@ -1044,16 +1044,31 @@ def _bind(
 # ---------------------------------------------------------------------------
 
 
+_HINT_RE = re.compile(r"/\*\+\s*(.*?)\s*\*/", re.S)
+
+
 def parse_query(
-    text: str, *, schema: dict[str, list[str]] | None = None
+    text: str,
+    *,
+    schema: dict[str, list[str]] | None = None,
+    include_hints: bool = True,
 ) -> Q.SqlQuery | Q.SetQuery:
     """Parse SQL text into the qal IR (ref ``parse_query`` parser.py:2240).
 
     ``schema`` maps table name → column names and enables binding of
     unqualified columns, like the reference's optional ``DatabaseSchema``
     binding (``bind_columns`` parser.py:2272). Alias binding is always on.
-    """
+    ``include_hints`` extracts a leading ``/*+ ... */`` hint block into
+    ``SqlQuery.hint`` (ref ``include_hints`` parser.py:2269) — Spark's SQL
+    parser interprets the re-rendered block, so parsed hints stay live."""
+    hint = None
+    if include_hints:
+        m = _HINT_RE.search(text)
+        if m:
+            hint = m.group(1).strip()
     result = _Parser(text).parse()
+    if hint and isinstance(result, Q.SqlQuery):
+        result = replace(result, hint=hint)
     if isinstance(result, Q.SqlQuery) and schema:
         result = _bind(result, schema)
     return result

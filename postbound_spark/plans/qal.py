@@ -464,6 +464,11 @@ class SqlQuery:
     offset: int | None = None
     distinct: bool = False
     ctes: tuple[tuple[str, "SqlQuery"], ...] = ()
+    # hint block carried with the query (ref ``Hint`` qal/_qal.py:5061);
+    # rendered as a SQL hint comment — Spark's parser interprets it
+    # (/*+ BROADCAST(t) */ etc.), DuckDB treats it as a comment, so hinted
+    # renderings stay oracle-safe
+    hint: str | None = None
 
     # -- introspection ------------------------------------------------------
 
@@ -481,8 +486,9 @@ class SqlQuery:
             rendered = ", ".join(f"{name} AS ({q.to_sql()})" for name, q in self.ctes)
             parts.append(f"WITH {rendered}")
         distinct = "DISTINCT " if self.distinct else ""
+        hint = f"/*+ {self.hint} */ " if self.hint else ""
         parts.append(
-            "SELECT " + distinct + ", ".join(p.to_sql() for p in self.select)
+            "SELECT " + hint + distinct + ", ".join(p.to_sql() for p in self.select)
         )
         if self.from_tables:  # FROM-less scalar SELECT is legal
             parts.append("FROM " + ", ".join(t.to_sql() for t in self.from_tables))

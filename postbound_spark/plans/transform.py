@@ -356,3 +356,15 @@ def as_explain_analyze(query: SqlQuery) -> str:
     ``optimizer.qep.executed_plan`` implements. The returned text is the
     plan-with-costs form, the closest single-statement analog."""
     return as_explain(query, mode="COST")
+
+
+def drop_hints(query: SqlQuery) -> SqlQuery:
+    """Strip the hint block (ref ``drop_hints`` transform.py:720)."""
+    return replace(query, hint=None)
+
+
+def add_hint(query: SqlQuery, hint: str) -> SqlQuery:
+    """Attach/replace the hint block (the enforcement text a pipeline's
+    hint-generation step produces — ref ``generate_hints``
+    _pipelines.py:1016)."""
+    return replace(query, hint=hint)

@@ -148,3 +148,32 @@ def parsed_values_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the 2-row VALUES side broadcasts."""
     tree = parse_relalg(parse_query(_VALUES_SQL))
     return compile_plan(tree, spark)
+
+
+_HINTED_SQL = """
+SELECT /*+ MERGE(l), MERGE(o) */ o.o_orderpriority,
+       count(*) AS n_lines,
+       round(sum(l.l_extendedprice), 2) AS total_price
+FROM orders o, lineitem l
+WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 300000
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("parsed_hinted_merge_join", oracle=_HINTED_SQL)
+def parsed_hinted_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hint block through the IR (ref Hint clause qal/_qal.py:5061 +
+    hint-aware parse, parser.py:2269): the parsed query carries
+    ``MERGE(l), MERGE(o)``, the rendering re-emits it, Spark's parser
+    enforces a sort-merge join (the algorithm you'd pin when both sides
+    are fact-sized and broadcast is impossible), and DuckDB reads the
+    very same text treating the block as a comment — results must be
+    hint-invariant."""
+    from postbound_spark.catalog import register_views
+    from postbound_spark.plans.parser import parse_query
+
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    parsed = parse_query(_HINTED_SQL)
+    assert parsed.hint == "MERGE(l), MERGE(o)"
+    return spark.sql(parsed.to_sql())

@@ -280,3 +280,19 @@ def test_generate_series_normalizes_to_range():
     assert isinstance(src, Q.FunctionTableSource)
     assert src.function == "range"
     assert "5 + 1" in src.to_sql()
+
+
+def test_hint_block_roundtrip():
+    """Hint blocks (ref Hint qal/_qal.py:5061; include_hints parser.py:2269):
+    extracted at parse, preserved through rendering, droppable."""
+    from postbound_spark.plans.transform import add_hint, drop_hints
+
+    q = parse_query(
+        "SELECT /*+ BROADCAST(n) */ n.n_name FROM nation n, customer c "
+        "WHERE n.n_nationkey = c.c_nationkey"
+    )
+    assert q.hint == "BROADCAST(n)"
+    assert parse_query(q.to_sql()) == q
+    assert "/*+ BROADCAST(n) */" in q.to_sql()
+    assert drop_hints(q).hint is None
+    assert add_hint(q, "MERGE(c)").hint == "MERGE(c)"
