@@ -872,3 +872,106 @@ def mm_frame_sample(spark, sf_dir):
         F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("duration_ms"),
     )
     return sample_frames(videos, interval_ms=250)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (engine extensions: as-of + binned range join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+SELECT a.event_id,
+       CAST(round(a.value, 4) AS DOUBLE) AS click_value,
+       b.event_id AS prior_view_id,
+       CAST(round(b.value, 4) AS DOUBLE) AS prior_view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY a.event_id
+""",
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join: every click paired with the user's most recent prior
+    view (ASOF semantics — DuckDB runs its native ASOF JOIN as the
+    oracle). Spark lacks the operator; the engine composes it as
+    union → per-key window → last(payload, ignorenulls)
+    (operators/temporal.py): ONE shuffle on user_id, no inequality BNLJ,
+    O(n log n) per partition — the join that stays feasible when both
+    sides are billions of rows."""
+    from postbound_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, views, keys=["user_id"], right_cols=["event_id", "value"],
+        prefix="prior_",
+    )
+    return out.select(
+        "event_id",
+        F.round("value", 4).alias("click_value"),
+        F.col("prior_event_id").alias("prior_view_id"),
+        F.round("prior_value", 4).alias("prior_view_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "events_range_join_binned",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       count(v.event_id) AS views_in_window,
+       CAST(round(sum(v.value), 4) AS DOUBLE) AS viewed_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts
+GROUP BY p.event_id
+ORDER BY p.event_id
+""",
+)
+def events_range_join_binned(spark, sf_dir):
+    """Range join (views within the 30 min before each purchase, per
+    user) via time-axis binning (operators/temporal.py): the interval
+    explodes onto its covered 30-min bins, the point maps to one bin, and
+    the join is an equi-join on (user, bin) + residual BETWEEN — no
+    BroadcastNestedLoop anywhere. The oracle is the plain inequality
+    join. Bin width == interval length ⇒ ≤2 bins per interval, so the
+    shuffle stays ~2× the interval count at any scale."""
+    from postbound_spark.operators.temporal import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"), us.alias("point_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        (us - 30 * 60 * 1_000_000).alias("lo_us"), us.alias("hi_us"),
+    )
+    joined = range_join_binned(
+        views, purchases, keys=["user_id"], point_col="point_us",
+        lo_col="lo_us", hi_col="hi_us", bin_width=30 * 60 * 1_000_000,
+    )
+    per_purchase = joined.groupBy("purchase_id").agg(
+        F.count("view_id").alias("views_in_window"),
+        F.round(F.sum("view_value"), 4).alias("viewed_value"),
+    )
+    # LEFT semantics: purchases with no views still appear
+    all_purchases = purchases.select("purchase_id")
+    return (
+        all_purchases.join(per_purchase, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("views_in_window", F.lit(0)).alias("views_in_window"),
+            "viewed_value",
+        )
+        .orderBy("purchase_id")
+    )

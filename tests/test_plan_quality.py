@@ -79,3 +79,21 @@ def test_whole_stage_codegen_covers_scan_pipeline(registry, spark, sf_small):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in plan, "scan→filter→partial-agg pipeline fell out of codegen"
+
+
+def test_asof_join_has_no_nested_loop(registry, spark, sf_small):
+    """The as-of composition must plan as window-over-union — a single
+    key shuffle — never an inequality BroadcastNestedLoopJoin."""
+    plan = _formatted_plan(_build(registry, spark, sf_small, "events_asof_join"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_binned_is_equi_join(registry, spark, sf_small):
+    """The binned range join must be a hash/sort-merge equi-join on
+    (key, bin) with the BETWEEN as residual — never a BNLJ."""
+    plan = _formatted_plan(
+        _build(registry, spark, sf_small, "events_range_join_binned")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
