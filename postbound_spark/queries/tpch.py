@@ -611,3 +611,559 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# --- completing the 22-query family (fixture-adapted: no partsupp table,
+# lineitem is the part<->supplier link; no commit/receipt dates, lateness is
+# defined against o_orderdate) ---------------------------------------------
+
+_Q2_ORACLE = """
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+       round(l.l_extendedprice, 2) AS best_price
+FROM part p, supplier s, lineitem l, nation n, region r
+WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'EUROPE' AND p.p_size = 5 AND p.p_type = 'LARGE'
+  AND l.l_extendedprice = (
+      SELECT min(l2.l_extendedprice)
+      FROM lineitem l2, supplier s2, nation n2, region r2
+      WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+        AND s2.s_nationkey = n2.n_nationkey
+        AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+ORDER BY best_price DESC, p.p_partkey, s.s_name
+LIMIT 100
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery ("the cheapest source for
+    each part in a region"). The oracle keeps the correlated form; the
+    Spark build decorrelates it as a per-part window MIN over the already
+    filtered+joined relation — ONE pass, no re-join of the subquery arm,
+    so the fact side is scanned once instead of twice at 100 TB. Equality
+    on l_extendedprice compares stored parquet doubles (no arithmetic),
+    so it is exact on both engines."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem", "nation", "region"])
+    europe_sup = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    parts = t["part"].filter((F.col("p_size") == 5) & (F.col("p_type") == "LARGE"))
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(europe_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.round("l_extendedprice", 2).alias("best_price"),
+        )
+        .orderBy(F.desc("best_price"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+_Q8_ORACLE = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT extract(year FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume,
+         n2.n_name AS nation
+  FROM part p, supplier s, lineitem l, orders o, customer c,
+       nation n1, nation n2, region r
+  WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+    AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+    AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+    AND r.r_name = 'ASIA' AND s.s_nationkey = n2.n_nationkey
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND p.p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — nation in two roles again (customer
+    region filter vs supplier nation in the numerator CASE). Volumes are
+    summed as DECIMAL(18,6) so the share ratio is exact and
+    order-independent on both engines; only the final ratio is rounded."""
+    t = load_tables(
+        spark, sf_dir,
+        ["part", "supplier", "lineitem", "orders", "customer", "nation", "region"],
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    asia = t["region"].filter(F.col("r_name") == "ASIA")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(asia), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0))
+                    / F.sum("volume")
+                ).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q9_ORACLE = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         extract(year FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount)
+              - 0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6)) AS amount
+  FROM part p, supplier s, lineitem l, orders o, nation n
+  WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+    AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+    AND p.p_type = 'STANDARD'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("q9_product_type_profit", oracle=_Q9_ORACLE)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year (0.1 *
+    p_retailprice stands in for ps_supplycost — the fixture has no
+    partsupp). All dims broadcast; orders⋈lineitem is the one shuffle.
+    The profit expression is computed in double (bit-identical IEEE on
+    both engines) then summed as decimal for order-independence."""
+    t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem", "orders", "nation"])
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount").cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q11_ORACLE = """
+WITH partval AS (
+  SELECT l.l_partkey, sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,4))) AS value
+  FROM lineitem l, supplier s, nation n
+  WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+    AND n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey)
+SELECT l_partkey, round(CAST(value AS DOUBLE), 2) AS part_value
+FROM partval
+WHERE value > (SELECT sum(value) * 0.005 FROM partval)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@query("q11_important_stock", oracle=_Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: scalar subquery over the SAME aggregate (parts whose
+    value exceeds a fraction of the total). The per-part aggregate is
+    computed once and reused for both the rows and the threshold — the
+    grand total joins back as a broadcast scalar, not a driver collect.
+    Decimal sums make the > threshold comparison exact on both engines."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    nation_sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    partval = (
+        t["lineitem"]
+        .join(F.broadcast(nation_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)"))
+            .alias("value")
+        )
+    )
+    threshold = partval.agg((F.sum("value") * 0.005).alias("threshold"))
+    return (
+        partval.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_Q12_ORACLE = """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o, lineitem l
+WHERE o.o_orderkey = l.l_orderkey
+  AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+@query("q12_shipping_priority_split", oracle=_Q12_ORACLE)
+def q12_shipping_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-split counts over late shipments
+    (l_linestatus stands in for l_shipmode, shipped ≥30 days after order
+    stands in for receipt>commit — fixture has only l_shipdate). Pure
+    integer counts — trivially deterministic; the join predicate's
+    non-equi part (shipdate vs orderdate+30) rides as residual on the
+    o_orderkey equi-join, never a BNLJ."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            t["orders"],
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q13_customer_distribution", oracle=_Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customers-per-order-count histogram — LEFT OUTER join with
+    a predicate ON the join (not WHERE: customers with zero qualifying
+    orders must survive with count 0), then a second aggregation over the
+    first. count(o_orderkey) counts only matched rows, exactly the outer
+    join + COUNT(col) null semantics."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    c_orders = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, round(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
+FROM supplier s, revenue r
+WHERE s.s_suppkey = r.supplier_no
+  AND r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — a view
+    (CTE) consumed twice: once for rows, once for MAX. Revenue sums are
+    decimal, so the = MAX equality is exact (double sums would make "the
+    max row" engine-dependent at the last ulp). The MAX joins back as a
+    broadcast scalar."""
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .alias("total_revenue")
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("total_revenue").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l, part p
+WHERE p.p_partkey = l.l_partkey
+  AND p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 5, 10, 15, 20)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("q16_supplier_part_counts", oracle=_Q16_ORACLE)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute bucket,
+    excluding a supplier denylist via NOT IN (negative-balance suppliers
+    stand in for the 'complaints' comment scan). s_suppkey is non-null so
+    NOT IN ≡ anti join (the null-aware trap doesn't bite here; the
+    null-aware case is covered by pred_not_in_null_aware)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20)
+    )
+    bad_sup = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q20_ORACLE = """
+SELECT s.s_name, n.n_name
+FROM supplier s, nation n
+WHERE s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = 2
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 50)
+ORDER BY s.s_name
+"""
+
+
+@query("q20_potential_promotion", oracle=_Q20_ORACLE)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested INs — suppliers who shipped >50 units of any
+    SMALL part this year (the partsupp availability check becomes a
+    shipped-quantity aggregate). Both IN levels compile to semi joins;
+    the inner part filter is a broadcast semi join BELOW the aggregate so
+    the groupBy only sees qualifying lines."""
+    t = load_tables(spark, sf_dir, ["supplier", "nation", "lineitem", "part"])
+    small_parts = t["part"].filter(F.col("p_type") == "SMALL").select("p_partkey")
+    qualifying = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_regionkey") == 2)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+_Q21_ORACLE = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s, lineitem l1, orders o
+WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+  AND o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT * FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT * FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
+@query("q21_waiting_suppliers", oracle=_Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT EXISTS pair ("some other supplier
+    in the order, but no OTHER supplier was late"; late = shipped >60 days
+    after order date, fixture-adapted). Instead of two correlated re-scans
+    of lineitem, the Spark build aggregates per-order supplier stats ONCE
+    (distinct suppliers, distinct late suppliers) and joins them back —
+    three scans become two, and the correlation is a plain equi-join on
+    o_orderkey at any scale."""
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    f_orders = t["orders"].filter(F.col("o_orderstatus") == "F")
+    lines = t["lineitem"].join(
+        f_orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    order_stats = lines.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_suppliers"),
+    )
+    late_lines = lines.filter(late)
+    return (
+        late_lines.join(order_stats, F.col("l_orderkey") == F.col("st_orderkey"))
+        .filter((F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+_Q22_ORACLE = """
+SELECT c.c_nationkey AS cntrycode,
+       count(*) AS numcust,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_acctbal > 0.0
+                       AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (SELECT * FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+ORDER BY cntrycode
+"""
+
+
+@query("q22_global_sales_opportunity", oracle=_Q22_ORACLE)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: rich customers with no orders — an uncorrelated scalar AVG
+    threshold (broadcast scalar join, not a driver collect) plus NOT EXISTS
+    (anti join on o_custkey; at scale the anti join's build side is the
+    filtered customer slice, far smaller than orders). c_nationkey stands
+    in for the phone-prefix country code; "no URGENT orders" stands in for
+    "no orders" so the result is non-trivial on the dense fixture."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    in_codes = t["customer"].filter(F.col("c_nationkey").isin(codes))
+    threshold = in_codes.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        in_codes.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
