@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.sql.statistics.histogram.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR lets concurrently-submitted queries (ParallelQueryExecutor)
+        # share executors instead of head-of-line blocking behind the first
+        # query's stages; single-query workloads are unaffected.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

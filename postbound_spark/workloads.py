@@ -129,6 +129,7 @@ def _run_one(
     timeout_s: float | None,
     native: bool = False,
     preparation: "QueryPreparation | None" = None,
+    scheduler_pool: str | None = None,
 ) -> tuple[str, float, float, int, str | None]:
     from postbound_spark.catalog import register_views
 
@@ -137,9 +138,11 @@ def _run_one(
     outcome: dict[str, object] = {}
 
     def work():
-        # job group is thread-local on the SparkContext — set it in the
-        # worker so every job this query submits (AQE submits several per
-        # collect) lands in the cancellable group
+        # job group and scheduler pool are thread-local on the SparkContext
+        # — set them in the worker so every job this query submits (AQE
+        # submits several per collect) lands in the cancellable group/pool
+        if scheduler_pool is not None:
+            sc.setLocalProperty("spark.scheduler.pool", scheduler_pool)
         sc.setJobGroup(group, label, interruptOnCancel=True)
         try:
             if callable(item):
@@ -239,6 +242,86 @@ def execute_workload(
             if progressive_output:
                 _write_progressive(rows, progressive_output)
     return pd.DataFrame([r.__dict__ for r in rows])
+
+
+class ParallelQueryExecutor:
+    """Concurrent query submission — ref ``ParallelQueryExecutor``
+    (``postgres.py:3330``: a thread pool over multiple PG connections).
+
+    The Spark analog needs no extra connections: the DAGScheduler accepts
+    jobs from many driver threads at once, so a thread pool over ONE
+    session is the idiomatic form. Each worker tags its jobs with a FAIR
+    scheduler pool (``spark.scheduler.pool`` is thread-local) so
+    concurrent queries share executor slots instead of queueing behind
+    each other's stages — the session factory enables FAIR mode.
+
+    Same surface as the reference: ``queue_query`` returns immediately,
+    ``drain_queue`` blocks until everything queued so far has finished,
+    ``results`` maps label → :class:`ExecutionResult`.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        *,
+        n_threads: int = 4,
+        timeout_s: float | None = None,
+        native: bool = False,
+    ) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._timeout_s = timeout_s
+        self._native = native
+        self._pool = ThreadPoolExecutor(
+            max_workers=n_threads, thread_name_prefix="pbs-parallel"
+        )
+        self._futures: dict[str, object] = {}
+        self.results: dict[str, ExecutionResult] = {}
+
+    def _work(self, label: str, item) -> ExecutionResult:
+        status, elapsed, opt_time, n_rows, error = _run_one(
+            self._spark, label, item, self._sf_dir, self._timeout_s,
+            self._native, scheduler_pool=f"pbs-{label}",
+        )
+        return ExecutionResult(
+            label=label,
+            status=status,
+            exec_time=round(elapsed, 4),
+            optimization_time=round(opt_time, 4),
+            n_rows=n_rows,
+            workload_repetition=0,
+            query_repetition=0,
+            error=error,
+        )
+
+    def queue_query(self, label: str, item) -> None:
+        """Submit; duplicate labels follow last-wins (matching dict
+        semantics of the reference's result map)."""
+        self._futures[label] = self._pool.submit(self._work, label, item)
+
+    def drain_queue(self, timeout: float | None = None) -> dict[str, ExecutionResult]:
+        """Block until every queued query finished; merge into
+        ``self.results`` and return the batch's results."""
+        from concurrent.futures import wait
+
+        pending = dict(self._futures)
+        self._futures = {}
+        wait(list(pending.values()), timeout=timeout)
+        batch = {label: fut.result() for label, fut in pending.items()}
+        self.results.update(batch)
+        return batch
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+    def __enter__(self) -> "ParallelQueryExecutor":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def _write_progressive(rows: list[ExecutionResult], path: str) -> None:

@@ -153,3 +153,40 @@ def test_query_prechecks():
 
     values = parse_query("SELECT v.a FROM (VALUES (1), (2)) AS v(a)")
     assert not default_prechecks().check(values).passed
+
+
+def test_parallel_query_executor(spark, sf_small):
+    """Concurrent submission (ref ParallelQueryExecutor postgres.py:3330):
+    all queued queries finish, report ok, and row counts match what the
+    same queries return sequentially."""
+    from postbound_spark.workloads import ParallelQueryExecutor
+
+    wl = {
+        "regions": "SELECT r_regionkey, r_name FROM region",
+        "per_nation": (
+            "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey"
+        ),
+        "flagship": Workload.from_registry(["flagship_regional_revenue"])[
+            "flagship_regional_revenue"
+        ],
+        "orders_by_status": (
+            "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+        ),
+    }
+    with ParallelQueryExecutor(spark, sf_small, n_threads=4) as pqe:
+        for label, item in wl.items():
+            pqe.queue_query(label, item)
+        batch = pqe.drain_queue(timeout=120)
+    assert set(batch) == set(wl)
+    for label, res in batch.items():
+        assert res.status == "ok", f"{label}: {res.error}"
+    assert batch["regions"].n_rows == 5
+    assert batch["per_nation"].n_rows == 5
+    assert batch["orders_by_status"].n_rows == 3
+    # second batch reuses the executor; results accumulate
+    with ParallelQueryExecutor(spark, sf_small, n_threads=2) as pqe:
+        pqe.queue_query("regions", wl["regions"])
+        pqe.drain_queue(timeout=60)
+        pqe.queue_query("per_nation", wl["per_nation"])
+        pqe.drain_queue(timeout=60)
+        assert set(pqe.results) == {"regions", "per_nation"}
