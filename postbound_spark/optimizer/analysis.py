@@ -1,14 +1,18 @@
 """Plan-space analysis utilities.
 
 Mirrors the reference's ``opt/_analysis.py``: ``possible_plans_bound``
-(:30 — size of the join-order search space), join-tree similarity
-(:241-371), and plan diffing (:562). Pure Python over our artifacts;
-research bookkeeping, no Spark involvement.
+(:30 — size of the join-order search space), ``star_query_cardinality``
+(:130 — exact star-join cardinality without materializing the join),
+join-tree similarity (:241-371), and plan diffing (:562). All but the
+star-cardinality helper are pure Python over our artifacts.
 """
 
 from __future__ import annotations
 
 import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from postbound_spark.optimizer.jointree import JoinTree
 from postbound_spark.optimizer.stages import QuerySpec
@@ -25,6 +29,58 @@ def possible_plans_bound(spec: QuerySpec, shape: str = "bushy") -> int:
         return math.factorial(n)
     catalan = math.comb(2 * (n - 1), n - 1) // n if n > 0 else 1
     return math.factorial(n) * catalan
+
+
+def star_query_cardinality(
+    fact: DataFrame,
+    fact_pk: str,
+    dimensions: list[tuple[DataFrame, str, str]],
+) -> int:
+    """Exact cardinality of a star join without materializing the join
+    (ref ``opt/_analysis.py:130`` — "for situations where the database is
+    unable to compute the cardinality because the intermediates involved
+    become too large").
+
+    The reference loops over every fact PK value on the driver, issuing
+    one COUNT(*) query per (id, dimension) pair. Distributed form of the
+    same algebra: the output count is
+
+        Σ_id  fact_card(id) × Π_d  dim_matches_d(id)
+
+    so each dimension collapses to a per-key match-count aggregate, the
+    per-key counts join back to the fact side's own per-key counts
+    (missing key ⇒ 0 matches ⇒ the product term vanishes, hence inner
+    join), and one final sum reduces the products. Cost: one grouped
+    aggregate per input — never the join's output size, which is the
+    whole point at 100 TB.
+
+    ``dimensions`` entries are ``(dim_df, fact_join_col, dim_join_col)``;
+    apply any dimension/fact filters to the DataFrames before calling
+    (the reference takes them from the query's WHERE for the same
+    effect).
+    """
+    acc = fact.groupBy(F.col(fact_pk).alias("__key")).agg(
+        F.count(F.lit(1)).alias("__card")
+    )
+    if len({fact_pk for _, fact_pk, _ in dimensions}) > 1:
+        raise ValueError(
+            "all dimensions must join the same fact column (pure star; "
+            "ref restriction _analysis.py:162-168)"
+        )
+    for i, (dim, fact_col, dim_col) in enumerate(dimensions):
+        if fact_col != fact_pk:
+            raise ValueError(
+                f"dimension {i} joins {fact_col!r}, expected the fact PK "
+                f"{fact_pk!r} (pure star; ref restriction _analysis.py:162-168)"
+            )
+        matches = dim.groupBy(F.col(dim_col).alias("__key")).agg(
+            F.count(F.lit(1)).alias(f"__m{i}")
+        )
+        acc = acc.join(matches, "__key", "inner").withColumn(
+            "__card", F.col("__card") * F.col(f"__m{i}")
+        )
+    row = acc.agg(F.sum("__card").alias("total")).collect()[0]
+    return int(row["total"] or 0)
 
 
 def jointree_similarity(a: JoinTree, b: JoinTree) -> float:

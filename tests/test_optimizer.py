@@ -426,3 +426,38 @@ def test_catalyst_native_stages(spark, sf_small):
 
     chosen = CatalystNativeOptimizer(spark).optimize_join_order(spec, tables)
     assert set(chosen.tables()) == set(names)
+
+
+def test_star_query_cardinality_matches_real_join(spark, sf_small):
+    """The distributed star-cardinality formula (ref _analysis.py:130)
+    must equal the actual join's count — checked against a genuine
+    two-dimension star with filters on both dimensions."""
+    from postbound_spark.catalog import load_table
+    from postbound_spark.optimizer.analysis import star_query_cardinality
+
+    orders = load_table(spark, sf_small, "orders")
+    lineitem = load_table(spark, sf_small, "lineitem")
+    cheap = lineitem.filter(F.col("l_quantity") < 25)
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+
+    returned2 = returned.select(
+        *[F.col(c).alias(f"r_{c}") for c in returned.columns]
+    )
+    expected = (
+        orders.join(cheap, orders.o_orderkey == cheap.l_orderkey)
+        .join(returned2, orders.o_orderkey == returned2.r_l_orderkey)
+        .count()
+    )
+    got = star_query_cardinality(
+        orders,
+        "o_orderkey",
+        [(cheap, "o_orderkey", "l_orderkey"), (returned, "o_orderkey", "l_orderkey")],
+    )
+    assert got == expected and got > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        star_query_cardinality(
+            orders, "o_orderkey", [(cheap, "o_custkey", "l_orderkey")]
+        )

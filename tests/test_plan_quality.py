@@ -97,3 +97,38 @@ def test_range_join_binned_is_equi_join(registry, spark, sf_small):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_q12_non_equi_residual_stays_on_equi_join(registry, spark, sf_small):
+    """Q12's shipdate-vs-orderdate+30d comparison must ride as residual on
+    the o_orderkey equi-join — a BNLJ here would be O(n·m) at scale."""
+    plan = _formatted_plan(
+        _build(registry, spark, sf_small, "q12_shipping_priority_split")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_decorrelates_to_single_fact_pass(registry, spark, sf_small):
+    """Q2's correlated MIN subquery must become a per-part window over ONE
+    lineitem pass — the correlated form re-scans the fact table per row."""
+    plan = _formatted_plan(_build(registry, spark, sf_small, "q2_min_cost_supplier"))
+    assert "Window" in plan
+    scans = [
+        l for l in plan.splitlines()
+        if "Location" in l and "lineitem.parquet" in l
+    ]
+    assert len(scans) == 1, f"expected 1 lineitem scan, got {len(scans)}"
+
+
+def test_q21_aggregated_exists_has_no_per_row_rescan(registry, spark, sf_small):
+    """Q21's EXISTS/NOT-EXISTS pair is folded into one per-order stats
+    aggregate — the plan must contain no nested-loop join and at most two
+    lineitem scans (late lines + stats), never three."""
+    plan = _formatted_plan(_build(registry, spark, sf_small, "q21_waiting_suppliers"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = [
+        l for l in plan.splitlines()
+        if "Location" in l and "lineitem.parquet" in l
+    ]
+    assert len(scans) <= 2, f"expected <=2 lineitem scans, got {len(scans)}"
