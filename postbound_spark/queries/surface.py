@@ -863,3 +863,67 @@ def sql_natural_join(spark, sf_dir):
     resolution happens in the engine's analyzer — both sides project a
     shared ``nationkey`` name and the join key is inferred, not written."""
     return _sql(spark, sf_dir, _NATURAL_JOIN_SQL, ["nation", "supplier"])
+
+
+_CUBE_SQL = """
+SELECT n.n_regionkey, c.c_mktsegment, count(*) AS n_customers,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_balance
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE (n.n_regionkey, c.c_mktsegment)
+"""
+
+
+@query("sql_cube", oracle=_CUBE_SQL)
+def sql_cube(spark, sf_dir):
+    """CUBE — engine extension like ROLLUP (the reference rejects
+    GROUPING SETS/CUBE/ROLLUP, qal/_qal.py:8438-8439). All 2^k grouping
+    combinations in ONE pass: Spark expands the grouping sets before the
+    exchange, so the fact side is still read and shuffled once — the
+    at-scale alternative to unioning 4 separate GROUP BYs."""
+    return _sql(spark, sf_dir, _CUBE_SQL, ["customer", "nation"])
+
+
+_GROUPING_SETS_SQL = """
+SELECT n.n_name, c.c_mktsegment, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+"""
+
+
+@query("sql_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def sql_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (engine extension; see sql_cube). The empty
+    set () yields the grand total with NULL group keys — same null-fill
+    semantics on both engines."""
+    return _sql(spark, sf_dir, _GROUPING_SETS_SQL, ["customer", "nation"])
+
+
+@query(
+    "expr_array_agg",
+    oracle="""
+SELECT c_nationkey,
+       array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+       count(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def expr_array_agg(spark, sf_dir):
+    """ARRAY_AGG (ref aggregate name-set, qal/_qal.py:770-792 — maps to
+    collect_list/collect_set). Cross-engine determinism: collect_set's
+    order is partition-dependent, so both sides sort — Spark
+    array_sort(collect_set(x)), DuckDB array_agg(DISTINCT x ORDER BY x)."""
+    from pyspark.sql import functions as F
+
+    from postbound_spark.catalog import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )
