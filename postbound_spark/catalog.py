@@ -59,14 +59,24 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet schema
-        # converter rejects outright; read the raw int64 nanoseconds instead
-        # and convert. The fixture data is µs-grained, so `div 1000` is
-        # lossless (integer div — the ns epoch exceeds double's 2^53 mantissa).
+        # Fixture generations have shipped events.ts as either parquet
+        # TIMESTAMP(NANOS) (which Spark's schema converter rejects unless read
+        # as raw int64 via nanosAsLong) or plain TIMESTAMP(MICROS). Handle
+        # both: read with nanosAsLong on, and only apply the ns→µs conversion
+        # when the column actually came back as a long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # µs-grained fixture data, so integer `div 1000` is lossless
+            # (the ns epoch exceeds double's 2^53 mantissa — avoid float).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # normalize to TIMESTAMP (local-tz): event-time/watermark ops and
+            # unix_micros require it, and the session tz is pinned to UTC so
+            # the cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -36,13 +36,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the batch catalog) and converts to a proper event-time column.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    return (
-        spark.readStream.schema(raw_schema)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    ts_type = dict(raw.dtypes).get("ts", "")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # watermarks/event-time require TIMESTAMP (with local-tz semantics);
+        # session tz is UTC so the cast is value-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_event_counts(
