@@ -850,10 +850,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = """
 SELECT l.l_linestatus,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o, lineitem l
 WHERE o.o_orderkey = l.l_orderkey
   AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
