@@ -129,7 +129,16 @@ class _Compiler(ra.RelNodeVisitor):
 
     def visit_thetajoin(self, node: ra.ThetaJoin) -> DataFrame:
         left, right = self._join_sides(node)
-        return left.join(right, on=F.expr(node.predicate), how="inner")
+        return left.join(right, on=F.expr(node.predicate), how=node.how)
+
+    def visit_naturaljoin(self, node: ra.NaturalJoin) -> DataFrame:
+        left, right = self._join_sides(node)
+        common = [c for c in left.columns if c in set(right.columns)]
+        if not common:
+            raise ValueError("NATURAL JOIN requires shared column names")
+        # joining on a name list makes Spark emit the shared keys once —
+        # exactly SQL's NATURAL output column rules
+        return left.join(right, on=common, how=node.how)
 
     def visit_crossproduct(self, node: ra.CrossProduct) -> DataFrame:
         left, right = self._join_sides(node)

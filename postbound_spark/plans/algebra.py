@@ -154,6 +154,9 @@ class _Converter:
         self.join_order = join_order
         self.counter = 0
         self.ctes = {name: sub for name, sub in query.ctes}
+        # text substitutions consuming clauses must apply (e.g. LATERAL
+        # count columns → coalesce(col, 0) after the decorrelating left join)
+        self.text_subs: dict[str, str] = {}
 
     def _gensym(self, prefix: str) -> str:
         self.counter += 1
@@ -194,7 +197,25 @@ class _Converter:
         return [w]
 
     def convert(self) -> ra.RelNode:
-        own_ids = {t.identifier for t in self.q.from_tables}
+        plain_tables = [
+            t for t in self.q.from_tables
+            if not (isinstance(t, Q.SubqueryTableSource) and t.lateral)
+        ]
+        laterals = [
+            t for t in self.q.from_tables
+            if isinstance(t, Q.SubqueryTableSource) and t.lateral
+        ]
+        own_ids = {t.identifier for t in plain_tables}
+        all_ids = own_ids | {t.identifier for t in laterals} | {
+            j.source.identifier for j in self.q.joins
+        }
+        # WHERE pushdown below an outer join is only legal on the preserved
+        # side — rather than replicate Catalyst's null-semantics rules here,
+        # keep every conjunct post-join when outer links exist and let
+        # Catalyst (which has those rules) do the pushing
+        has_outer = any(
+            j.join_type.spark_how != "inner" for j in self.q.joins
+        )
         filters: dict[str, list[Q.AbstractPredicate]] = {}
         joins: list[Q.AbstractPredicate] = []
         residual: list[Q.AbstractPredicate] = []
@@ -213,8 +234,10 @@ class _Converter:
                     "the algebra path; execute via spark.sql / the registry "
                     "SQL path (e.g. expr_scalar_subquery)"
                 )
-            tabs = conj.tables() & own_ids
-            if len(tabs) == 1:
+            tabs = conj.tables() & all_ids
+            if has_outer or (tabs and not tabs <= own_ids):
+                residual.append(conj)
+            elif len(tabs) == 1:
                 filters.setdefault(next(iter(tabs)), []).append(conj)
             elif len(tabs) == 2:
                 joins.append(conj)
@@ -223,7 +246,7 @@ class _Converter:
 
         # base relations with their filters (BaseTable phase)
         bases: dict[str, ra.RelNode] = {}
-        for tab in self.q.from_tables:
+        for tab in plain_tables:
             node: ra.RelNode = self._leaf(tab)
             preds = filters.get(tab.identifier)
             if preds:
@@ -231,7 +254,7 @@ class _Converter:
             bases[tab.identifier] = node
 
         # left-deep fold in FROM (or forced) order
-        order = self.join_order or [t.identifier for t in self.q.from_tables]
+        order = self.join_order or [t.identifier for t in plain_tables]
         if set(order) != set(bases):
             raise UnsupportedSqlError(
                 f"join order {order} does not cover FROM tables {sorted(bases)}"
@@ -261,6 +284,15 @@ class _Converter:
         if tree is None:
             tree = ra.SingleRow()  # FROM-less scalar SELECT
 
+        # correlated LATERAL subqueries → decorrelated joins
+        for lat in laterals:
+            tree = self._apply_lateral(tree, lat, own_ids)
+
+        # explicit outer/natural/cross join chain (ref ExplicitFromClause
+        # qal/_qal.py:7074) — joined in written order onto the implicit tree
+        for j in self.q.joins:
+            tree = self._apply_explicit_join(tree, j)
+
         # residual predicates (PostJoin phase)
         leftovers = pending + residual
         if leftovers:
@@ -270,7 +302,182 @@ class _Converter:
         for kind, pred in subquery_preds:
             tree = self._apply_subquery(tree, kind, pred, own_ids)
 
+        if self.text_subs:
+            self._rewrite_consuming_clauses()
         return self._finish(tree)
+
+    def _rewrite_consuming_clauses(self):
+        """Apply :attr:`text_subs` to SELECT/HAVING/ORDER BY texts, keeping
+        the original output column name when a substitution would otherwise
+        change it (Spark derives names from the expression text)."""
+
+        def subst(text: str) -> str:
+            for old, new in self.text_subs.items():
+                text = re.sub(
+                    rf"(?<![\w.]){re.escape(old)}(?![\w.(])", new, text
+                )
+            return text
+
+        new_select = []
+        for p in self.q.select:
+            new_text = subst(p.expr.sql)
+            alias = p.alias
+            if new_text != p.expr.sql and alias is None:
+                alias = _output_name(p.expr.sql)
+            new_select.append(
+                Q.BaseProjection(Q.SqlExpression(new_text, p.expr.columns), alias)
+            )
+        self.q = self.q.with_clause(
+            select=tuple(new_select),
+            order_by=tuple(
+                Q.OrderByExpression(
+                    Q.SqlExpression(subst(o.expr.sql), o.expr.columns),
+                    o.ascending,
+                    o.nulls_first,
+                )
+                for o in self.q.order_by
+            ),
+        )
+
+    # -- explicit joins ------------------------------------------------------
+
+    def _apply_explicit_join(
+        self, tree: ra.RelNode, j: Q.JoinedTable
+    ) -> ra.RelNode:
+        if isinstance(j.source, Q.SubqueryTableSource) and j.source.lateral:
+            raise UnsupportedSqlError(
+                "LATERAL as an explicit-join operand is not modeled; use the "
+                "comma form (FROM t, LATERAL (...))"
+            )
+        node = self._leaf(j.source)
+        jt = j.join_type
+        if jt.natural:
+            return ra.NaturalJoin(tree, node, how=jt.spark_how)
+        if jt is Q.JoinType.CROSS:
+            return ra.CrossProduct(tree, node)
+        if j.condition is None:
+            raise UnsupportedSqlError(f"{jt.value} requires an ON condition")
+        return ra.ThetaJoin(
+            tree, node, j.condition.to_sql(), how=jt.spark_how
+        )
+
+    # -- LATERAL decorrelation ----------------------------------------------
+
+    def _apply_lateral(
+        self, tree: ra.RelNode, src: "Q.SubqueryTableSource", outer_ids: set[str]
+    ) -> ra.RelNode:
+        """Decorrelate ``, LATERAL (SELECT ... WHERE inner.k = outer.k)`` into
+        a grouped join — the Spark-first execution of the reference's lateral
+        flag (ref qal/_qal.py:6270; Catalyst applies the same rewrite to
+        correlated subqueries via DecorrelateInnerQuery).
+
+        Aggregate laterals (no GROUP BY in the subquery) always yield one row
+        per outer tuple, so they compile to GROUP BY correlation keys + LEFT
+        join, with ``count``s coalesced to 0 for match-less outer rows.
+        Plain laterals compile to an inner join (comma-LATERAL = CROSS JOIN
+        LATERAL: match-less outer rows drop)."""
+        sub = src.query
+        if sub.group_by or sub.limit is not None or sub.joins or sub.distinct_on:
+            raise UnsupportedSqlError(
+                "LATERAL subqueries with GROUP BY/LIMIT/joins are not modeled"
+            )
+        self._check_alias_collisions(sub, outer_ids)
+        inner_ids = {t.identifier for t in sub.from_tables}
+        inner_conv = _Converter(sub, None)
+        corr_eqs: list[tuple[str, str]] = []  # (outer side sql, inner side sql)
+        local: list[Q.AbstractPredicate] = []
+        for conj in inner_conv._conjuncts():
+            outer_tabs = conj.tables() & outer_ids
+            if not outer_tabs:
+                local.append(conj)
+                continue
+            if not (
+                isinstance(conj, Q.BinaryPredicate)
+                and conj.operation is Q.LogicalOperator.EQ
+            ):
+                raise UnsupportedSqlError(
+                    "LATERAL correlation must be equality predicates"
+                )
+            lhs_outer = bool(conj.lhs.tables() & outer_ids)
+            outer_side = conj.lhs if lhs_outer else conj.rhs
+            inner_side = conj.rhs if lhs_outer else conj.lhs
+            if inner_side.tables() & outer_ids or not inner_side.tables() <= inner_ids:
+                raise UnsupportedSqlError(
+                    "LATERAL correlation must compare one outer to one "
+                    "inner column"
+                )
+            corr_eqs.append((outer_side.sql, inner_side.sql))
+        if not corr_eqs:
+            raise UnsupportedSqlError(
+                "uncorrelated LATERAL is a plain FROM-subquery; drop LATERAL"
+            )
+
+        agg_projs = [
+            p for p in sub.select if _find_agg_calls(p.expr.sql)
+        ]
+        is_aggregate = bool(agg_projs)
+        key_names = [f"__latkey{i}" for i in range(len(corr_eqs))]
+
+        if is_aggregate:
+            if len(agg_projs) != len(sub.select):
+                raise UnsupportedSqlError(
+                    "LATERAL aggregate subqueries must project aggregates only"
+                )
+            aggs: list[tuple[str, str]] = []
+            count_names: list[str] = []
+            for p in sub.select:
+                name = p.alias or _output_name(p.expr.sql)
+                if name is None:
+                    raise UnsupportedSqlError(
+                        "LATERAL aggregate projections need aliases"
+                    )
+                aggs.append((name, p.expr.sql))
+                if re.match(r"\s*count\s*\(", p.expr.sql, re.I):
+                    count_names.append(name)
+            inner_query = sub.with_clause(
+                where=Q.and_(*local) if local else None, select=(Q.star(),)
+            )
+            inner_tree = parse_relalg(inner_query)
+            inner_tree = ra.Map(
+                inner_tree,
+                tuple(
+                    (k, expr) for k, (_o, expr) in zip(key_names, corr_eqs)
+                ),
+            )
+            inner_tree = ra.Grouping(
+                inner_tree, keys=tuple(key_names), aggregates=tuple(aggs)
+            )
+            inner_tree = ra.SubqueryScan(inner_tree, alias=src.alias)
+            cond = " AND ".join(
+                f"{outer} = {src.alias}.{k}"
+                for (outer, _i), k in zip(corr_eqs, key_names)
+            )
+            tree = ra.ThetaJoin(tree, inner_tree, cond, how="left")
+            # a match-less outer row null-extends the aggregate columns, but
+            # COUNT over an empty group is 0, not NULL — rewrite the
+            # consuming references instead of the joined columns so the
+            # subquery alias qualification stays valid
+            for n in count_names:
+                repl = f"coalesce({src.alias}.{n}, 0)"
+                self.text_subs[f"{src.alias}.{n}"] = repl
+                self.text_subs.setdefault(n, repl)
+            return tree
+
+        # plain lateral: local filters stay, correlation becomes the join
+        extra = tuple(
+            Q.BaseProjection(Q.SqlExpression(expr), k)
+            for k, (_o, expr) in zip(key_names, corr_eqs)
+        )
+        inner_query = sub.with_clause(
+            where=Q.and_(*local) if local else None,
+            select=tuple(sub.select) + extra,
+        )
+        inner_tree = ra.SubqueryScan(parse_relalg(inner_query), alias=src.alias)
+        cond = " AND ".join(
+            f"{outer} = {src.alias}.{k}"
+            for (outer, _i), k in zip(corr_eqs, key_names)
+        )
+        return ra.ThetaJoin(tree, inner_tree, cond, how="inner")
 
     # -- subquery predicates -------------------------------------------------
 
@@ -393,6 +600,11 @@ class _Converter:
         if not group_texts and not has_aggs:
             return self._finish_plain(tree)
 
+        if q.distinct_on:
+            raise UnsupportedSqlError(
+                "DISTINCT ON combined with grouping/aggregation is not modeled"
+            )
+
         # ---- Map: pre-compute expression group keys (ref relalg.py:2719) --
         key_names: dict[str, str] = {}
         map_exprs: list[tuple[str, str]] = []
@@ -476,6 +688,34 @@ class _Converter:
 
     def _finish_plain(self, tree: ra.RelNode) -> ra.RelNode:
         q = self.q
+        if q.distinct_on:
+            # DISTINCT ON (keys) ... ORDER BY keys, tiebreak → first row per
+            # key group (Postgres semantics, ref Select ctor qal/_qal.py:5867).
+            # Spark lacks DISTINCT ON; the scale-correct plan is a
+            # row_number() window partitioned by the keys — one shuffle on
+            # the key columns, no driver involvement
+            if not q.order_by:
+                raise UnsupportedSqlError(
+                    "DISTINCT ON needs ORDER BY for deterministic row choice"
+                )
+            if len(q.select) == 1 and q.select[0].expr.sql == "*":
+                raise UnsupportedSqlError(
+                    "DISTINCT ON with SELECT * is not modeled; list columns"
+                )
+            part = ", ".join(e.sql for e in q.distinct_on)
+            order_items = []
+            for o in q.order_by:
+                txt = f"{o.expr.sql} {'ASC' if o.ascending else 'DESC'}"
+                if o.nulls_first is not None:
+                    txt += " NULLS FIRST" if o.nulls_first else " NULLS LAST"
+                order_items.append(txt)
+            rn = self._gensym("rn")
+            tree = ra.Map(
+                tree,
+                ((rn, f"row_number() OVER (PARTITION BY {part} "
+                      f"ORDER BY {', '.join(order_items)})"),),
+            )
+            tree = ra.Selection(tree, f"{rn} = 1")
         aliases = {p.alias for p in q.select if p.alias}
         sort_uses_alias = any(
             o.expr.sql in aliases for o in q.order_by

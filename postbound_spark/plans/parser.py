@@ -34,12 +34,18 @@ Supported surface (mirroring the reference's ParserTests feature matrix,
   qal/_qal.py:8436) and set operations UNION [ALL] / INTERSECT / EXCEPT
   (→ :class:`~postbound_spark.plans.qal.SetQuery`)
 
-Out of scope, with explicit errors (matching the *relalg* layer's limits,
-which is what ultimately executes: reference relalg.py supports only inner
-semantics, :1550): explicit OUTER JOIN normalization, VALUES-as-table,
-LATERAL, recursive CTEs. These shapes still execute in the engine via the
-registry's direct-SQL path (queries/surface.py) — the parser's job is the
-research-loop surface: SPJ+aggregation workloads (JOB, SSB, Stats style).
+- SELECT DISTINCT ON (exprs) (ref Select ctor qal/_qal.py:5867)
+- LEFT/RIGHT/FULL [OUTER] and NATURAL [LEFT|RIGHT|FULL] JOIN chains,
+  modeled structurally as ``SqlQuery.joins`` (ref JoinType qal/_qal.py:6672,
+  ExplicitFromClause :7074) — inner joins before any outer link still
+  normalize to implicit form
+- LATERAL correlated subqueries in FROM (ref SubqueryTableSource :6270),
+  decorrelated by the algebra converter
+
+Out of scope, with explicit errors: recursive CTEs (same limit as the
+reference, qal/_qal.py:8436), JOIN ... USING, comma FROM items after an
+explicit join chain. These shapes still execute in the engine via the
+registry's direct-SQL path (queries/surface.py).
 
 Binding: alias→table resolution always happens (reference: "always
 performed", parser.py:1-7). Unqualified columns are bound against an
@@ -88,7 +94,8 @@ _KEYWORDS_STOP = {
     "and", "or", "not", "in", "is", "between", "like", "ilike", "then",
     "when", "else", "end", "union", "intersect", "except", "asc", "desc",
     "nulls", "by", "distinct", "all", "any", "some", "exists", "over",
-    "partition", "filter", "rows", "row", "only", "with",
+    "partition", "filter", "rows", "row", "only", "with", "using",
+    "lateral", "outer",
 }
 
 
@@ -243,13 +250,18 @@ class _Parser:
     def _parse_select(self) -> Q.SqlQuery:
         self.t.expect("select")
         distinct = False
+        distinct_on: tuple[Q.SqlExpression, ...] = ()
         if self.t.accept("distinct"):
-            if self.t.peek_kw() == "on":
-                raise UnsupportedSqlError(
-                    "DISTINCT ON is executed via the registry SQL path, "
-                    "not modeled by the parser"
-                )
-            distinct = True
+            if self.t.accept("on"):
+                # DISTINCT ON (exprs) — ref Select ctor qal/_qal.py:5867
+                self.t.expect("(")
+                exprs = [self._parse_expression()]
+                while self.t.accept(","):
+                    exprs.append(self._parse_expression())
+                self.t.expect(")")
+                distinct_on = tuple(e.to_qal() for e in exprs)
+            else:
+                distinct = True
         projections = [self._parse_projection()]
         while self.t.accept(","):
             projections.append(self._parse_projection())
@@ -257,8 +269,9 @@ class _Parser:
         tables: list[Q.TableReference] = []
         join_preds: list[Q.AbstractPredicate] = []
         lifted_ctes: list[tuple[str, Q.SqlQuery | Q.SetQuery]] = []
+        explicit_joins: list[Q.JoinedTable] = []
         if self.t.accept("from"):
-            tables, join_preds, lifted_ctes = self._parse_from()
+            tables, join_preds, lifted_ctes, explicit_joins = self._parse_from()
 
         where = self._parse_predicate() if self.t.accept("where") else None
         # explicit-JOIN ON conditions merge into WHERE — the reference's
@@ -287,6 +300,8 @@ class _Parser:
             limit=limit,
             offset=offset,
             distinct=distinct,
+            distinct_on=distinct_on,
+            joins=tuple(explicit_joins),
             ctes=tuple(lifted_ctes),
         )
 
@@ -345,17 +360,27 @@ class _Parser:
         list[Q.TableReference],
         list[Q.AbstractPredicate],
         list[tuple[str, Q.SqlQuery | Q.SetQuery]],
+        list[Q.JoinedTable],
     ]:
         tables: list[Q.TableReference] = []
         join_preds: list[Q.AbstractPredicate] = []
         lifted: list[tuple[str, Q.SqlQuery | Q.SetQuery]] = []
+        explicit: list[Q.JoinedTable] = []
 
         def one_source() -> Q.TableReference:
             if self.t.accept("lateral"):
-                raise UnsupportedSqlError(
-                    "LATERAL subqueries run via the registry SQL path "
-                    "(sql_lateral_subquery)"
-                )
+                # correlated subquery in FROM (ref SubqueryTableSource
+                # qal/_qal.py:6270, lateral flag) — modeled structurally;
+                # the algebra converter decorrelates it into a join
+                self.t.expect("(")
+                sub = self.parse_query()
+                self.t.expect(")")
+                if not isinstance(sub, Q.SqlQuery):
+                    raise UnsupportedSqlError(
+                        "LATERAL over a set query is not modeled"
+                    )
+                alias, cols = self._parse_source_alias(default="lat")
+                return Q.SubqueryTableSource(sub, alias, lateral=True, columns=cols)
             if self.t.accept("("):
                 if self.t.peek_kw() == "values":
                     # inline VALUES relation (ref ValuesTableSource :6436)
@@ -411,40 +436,85 @@ class _Parser:
                 alias = _ident(self.t.next())
             return Q.TableReference(name, alias)
 
+        def join_type() -> Q.JoinType | None:
+            """Consume a join-type prefix if one is next; None otherwise."""
+            kw = self.t.peek_kw()
+            if kw == "natural":
+                self.t.next()
+                direction = "NATURAL"
+                if self.t.accept("left"):
+                    direction = "NATURAL_LEFT"
+                elif self.t.accept("right"):
+                    direction = "NATURAL_RIGHT"
+                elif self.t.accept("full"):
+                    direction = "NATURAL_FULL"
+                elif self.t.accept("inner"):
+                    pass
+                self.t.accept("outer")
+                self.t.expect("join")
+                return Q.JoinType[direction]
+            if kw in ("left", "right", "full"):
+                self.t.next()
+                self.t.accept("outer")
+                self.t.expect("join")
+                return Q.JoinType[kw.upper()]
+            if kw == "inner":
+                self.t.next()
+                self.t.expect("join")
+                return Q.JoinType.INNER
+            if kw == "cross":
+                self.t.next()
+                self.t.expect("join")
+                return Q.JoinType.CROSS
+            if kw == "join":
+                self.t.next()
+                return Q.JoinType.INNER
+            return None
+
         tables.append(one_source())
         while True:
             if self.t.accept(","):
+                if explicit:
+                    # `FROM a LEFT JOIN b ON p, c` — re-rendering the comma
+                    # item after the join chain would re-associate the joins;
+                    # keep the modeled subset unambiguous
+                    raise UnsupportedSqlError(
+                        "comma-separated FROM item after an explicit join "
+                        "chain is not modeled; reorder the FROM list"
+                    )
                 tables.append(one_source())
                 continue
-            kw = self.t.peek_kw()
-            if kw in ("join", "inner", "cross"):
-                # INNER/CROSS JOIN → implicit normalization
-                if kw == "inner":
-                    self.t.next()
-                    self.t.expect("join")
-                    with_on = True
-                elif kw == "cross":
-                    self.t.next()
-                    self.t.expect("join")
-                    with_on = False
-                else:
-                    self.t.next()
-                    with_on = True
+            jt = join_type()
+            if jt is None:
+                break
+            needs_on = jt in (Q.JoinType.INNER, Q.JoinType.LEFT,
+                              Q.JoinType.RIGHT, Q.JoinType.FULL)
+            if not explicit and jt in (Q.JoinType.INNER, Q.JoinType.CROSS):
+                # INNER/CROSS JOIN → implicit normalization, the reference's
+                # explicit_to_implicit rewrite (transform.py:172)
                 tables.append(one_source())
-                if with_on:
+                if jt is Q.JoinType.INNER:
+                    if self.t.peek_kw() == "using":
+                        raise UnsupportedSqlError(
+                            "JOIN ... USING is not modeled; spell the ON "
+                            "condition"
+                        )
                     self.t.expect("on")
                     join_preds.append(self._parse_predicate())
                 continue
-            if kw in ("left", "right", "full", "natural"):
-                raise UnsupportedSqlError(
-                    f"{kw.upper()} JOIN cannot be normalized to implicit form "
-                    "(relalg models inner semantics only, ref relalg.py:1550); "
-                    "outer joins execute via the registry SQL path "
-                    "(sql_left_outer_join / sql_full_outer_join / "
-                    "sql_natural_join)"
-                )
-            break
-        return tables, join_preds, lifted
+            # outer/natural links — and every later link in the same chain,
+            # where normalization into WHERE would change null semantics
+            src = one_source()
+            cond: Q.AbstractPredicate | None = None
+            if needs_on:
+                if self.t.peek_kw() == "using":
+                    raise UnsupportedSqlError(
+                        "JOIN ... USING is not modeled; spell the ON condition"
+                    )
+                self.t.expect("on")
+                cond = self._parse_predicate()
+            explicit.append(Q.JoinedTable(jt, src, cond))
+        return tables, join_preds, lifted, explicit
 
     def _parse_values(self) -> tuple[tuple[Q.SqlExpression, ...], ...]:
         self.t.expect("values")
@@ -978,10 +1048,18 @@ def _bind(
     for tab in query.from_tables:
         namespace[tab.identifier] = tab
         namespace.setdefault(tab.full_name, tab)
+    for j in query.joins:
+        namespace[j.source.identifier] = j.source
+        if isinstance(j.source, Q.TableReference):
+            namespace.setdefault(j.source.full_name, j.source)
 
     by_column: dict[str, list[Q.TableReference]] = {}
     if schema:
-        for tab in query.from_tables:
+        sources = list(query.from_tables) + [
+            j.source for j in query.joins
+            if isinstance(j.source, Q.TableReference)
+        ]
+        for tab in sources:
             for c in schema.get(tab.full_name, []):
                 by_column.setdefault(c.lower(), []).append(tab)
 
@@ -1035,6 +1113,11 @@ def _bind(
         order_by=tuple(
             Q.OrderByExpression(rebind_expr(o.expr), o.ascending, o.nulls_first)
             for o in query.order_by
+        ),
+        distinct_on=tuple(rebind_expr(e) for e in query.distinct_on),
+        joins=tuple(
+            Q.JoinedTable(j.join_type, j.source, rebind_pred(j.condition))
+            for j in query.joins
         ),
     )
 

@@ -132,6 +132,86 @@ class FunctionTableSource:
         return f"{self.function}({inner}) AS {self.alias}{cols}"
 
 
+@dataclass(frozen=True)
+class SubqueryTableSource:
+    """Subquery in FROM (ref ``SubqueryTableSource`` qal/_qal.py:6270,
+    incl. the LATERAL flag). Non-lateral FROM-subqueries are normally lifted
+    into synthetic CTEs by the parser; this source models the correlated
+    LATERAL case, which the algebra converter decorrelates into a join
+    (the Spark-first equivalent of Catalyst's own DecorrelateInnerQuery)."""
+
+    query: "SqlQuery"
+    alias: str
+    lateral: bool = False
+    columns: tuple[str, ...] = ()
+
+    @property
+    def full_name(self) -> str:
+        return self.alias
+
+    @property
+    def identifier(self) -> str:
+        return self.alias
+
+    @property
+    def virtual(self) -> bool:
+        return True
+
+    def to_sql(self) -> str:
+        prefix = "LATERAL " if self.lateral else ""
+        cols = f"({', '.join(self.columns)})" if self.columns else ""
+        inner = " ".join(self.query.to_sql().split())
+        return f"{prefix}({inner}) AS {self.alias}{cols}"
+
+
+class JoinType(enum.Enum):
+    """ref ``JoinType`` qal/_qal.py:6672 — the explicit-FROM join vocabulary.
+    INNER/CROSS normally normalize to implicit form (ref ``explicit_to_implicit``
+    transform.py:172); they appear here only after an outer join in the chain,
+    where the normalization would change semantics."""
+
+    INNER = "JOIN"
+    LEFT = "LEFT OUTER JOIN"
+    RIGHT = "RIGHT OUTER JOIN"
+    FULL = "FULL OUTER JOIN"
+    CROSS = "CROSS JOIN"
+    NATURAL = "NATURAL JOIN"
+    NATURAL_LEFT = "NATURAL LEFT OUTER JOIN"
+    NATURAL_RIGHT = "NATURAL RIGHT OUTER JOIN"
+    NATURAL_FULL = "NATURAL FULL OUTER JOIN"
+
+    @property
+    def natural(self) -> bool:
+        return self.name.startswith("NATURAL")
+
+    @property
+    def spark_how(self) -> str:
+        """The DataFrame ``how=`` string for this join type."""
+        return {
+            "INNER": "inner", "CROSS": "cross", "NATURAL": "inner",
+            "LEFT": "left", "NATURAL_LEFT": "left",
+            "RIGHT": "right", "NATURAL_RIGHT": "right",
+            "FULL": "full", "NATURAL_FULL": "full",
+        }[self.name]
+
+
+@dataclass(frozen=True)
+class JoinedTable:
+    """One link of an explicit FROM join chain (ref ``JoinTableSource``
+    qal/_qal.py:6710): join type + source + ON condition (None for
+    NATURAL/CROSS)."""
+
+    join_type: "JoinType"
+    source: "TableReference | ValuesTableSource | FunctionTableSource | SubqueryTableSource"
+    condition: "AbstractPredicate | None" = None
+
+    def to_sql(self) -> str:
+        out = f"{self.join_type.value} {self.source.to_sql()}"
+        if self.condition is not None:
+            out += f" ON {self.condition.to_sql()}"
+        return out
+
+
 # ---------------------------------------------------------------------------
 # expressions — SQL-fragment-backed (Catalyst is the analyzer)
 # ---------------------------------------------------------------------------
@@ -463,6 +543,15 @@ class SqlQuery:
     limit: int | None = None
     offset: int | None = None
     distinct: bool = False
+    # DISTINCT ON (exprs) — Postgres extension the reference models in the
+    # Select ctor (ref qal/_qal.py:5867); rendered natively (DuckDB supports
+    # it) and compiled to a row_number window filter for Spark
+    distinct_on: tuple[SqlExpression, ...] = ()
+    # explicit join chain appended after the implicit FROM list (ref
+    # ExplicitFromClause :7074); inner joins normalize into WHERE instead,
+    # so entries here are outer/natural/cross links that must keep their
+    # join semantics
+    joins: tuple[JoinedTable, ...] = ()
     ctes: tuple[tuple[str, "SqlQuery"], ...] = ()
     # hint block carried with the query (ref ``Hint`` qal/_qal.py:5061);
     # rendered as a SQL hint comment — Spark's parser interprets it
@@ -473,7 +562,9 @@ class SqlQuery:
     # -- introspection ------------------------------------------------------
 
     def tables(self) -> frozenset[str]:
-        return frozenset(t.identifier for t in self.from_tables)
+        return frozenset(t.identifier for t in self.from_tables) | frozenset(
+            j.source.identifier for j in self.joins
+        )
 
     def predicates(self) -> QueryPredicates:
         return QueryPredicates(self.where)
@@ -485,13 +576,20 @@ class SqlQuery:
         if self.ctes:
             rendered = ", ".join(f"{name} AS ({q.to_sql()})" for name, q in self.ctes)
             parts.append(f"WITH {rendered}")
-        distinct = "DISTINCT " if self.distinct else ""
+        if self.distinct_on:
+            on = ", ".join(e.to_sql() for e in self.distinct_on)
+            distinct = f"DISTINCT ON ({on}) "
+        else:
+            distinct = "DISTINCT " if self.distinct else ""
         hint = f"/*+ {self.hint} */ " if self.hint else ""
         parts.append(
             "SELECT " + hint + distinct + ", ".join(p.to_sql() for p in self.select)
         )
         if self.from_tables:  # FROM-less scalar SELECT is legal
-            parts.append("FROM " + ", ".join(t.to_sql() for t in self.from_tables))
+            from_sql = "FROM " + ", ".join(t.to_sql() for t in self.from_tables)
+            for j in self.joins:
+                from_sql += f" {j.to_sql()}"
+            parts.append(from_sql)
         if self.where is not None:
             parts.append("WHERE " + self.where.to_sql())
         if self.group_by:

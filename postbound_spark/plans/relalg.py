@@ -118,16 +118,35 @@ class Rename(RelNode):
 
 @dataclass(frozen=True)
 class ThetaJoin(RelNode):
-    """⋈_θ — inner join on an arbitrary predicate (ref: relalg.py:1139).
+    """⋈_θ — join on an arbitrary predicate (ref: relalg.py:1139).
     Catalyst picks hash/sort-merge for equi-conditions and falls back to
     broadcast-nested-loop for pure theta conditions. ``hint`` optionally pins
     the algorithm on the RIGHT side (broadcast / merge / shuffle_hash /
-    shuffle_replicate_nl) — the enforcement surface of SURVEY.md §4.3."""
+    shuffle_replicate_nl) — the enforcement surface of SURVEY.md §4.3.
+
+    ``how`` extends the reference's inner-only algebra (relalg.py:1550) with
+    outer semantics (``left``/``right``/``full``) so the qal layer's
+    ``JoinType`` (ref qal/_qal.py:6672) is representable below the clause
+    level; the compiler passes it straight to ``DataFrame.join(how=...)``."""
 
     left: RelNode = None  # type: ignore[assignment]
     right: RelNode = None  # type: ignore[assignment]
     predicate: str = ""
     hint: str | None = None
+    how: str = "inner"
+
+
+@dataclass(frozen=True)
+class NaturalJoin(RelNode):
+    """NATURAL [LEFT|RIGHT|FULL] JOIN — equi-join over the common column
+    names of both inputs, common columns appearing once in the output (ref
+    ``JoinType.Natural*`` qal/_qal.py:6672; the reference's relalg layer
+    deliberately omits it, relalg.py:1550-1551 — here Spark's
+    ``join(on=[cols])`` coalesces the shared keys natively)."""
+
+    left: RelNode = None  # type: ignore[assignment]
+    right: RelNode = None  # type: ignore[assignment]
+    how: str = "inner"
 
 
 @dataclass(frozen=True)

@@ -150,6 +150,69 @@ def parsed_values_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_plan(tree, spark)
 
 
+_LEFT_OUTER_SQL = """
+SELECT n.n_name, count(o.o_orderkey) AS n_big_orders, count(*) AS n_rows
+FROM nation n
+LEFT OUTER JOIN customer c ON n.n_nationkey = c.c_nationkey
+LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query("parsed_left_outer_join", oracle=_LEFT_OUTER_SQL)
+def parsed_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER JOIN chain through the native pipeline (ref JoinType
+    qal/_qal.py:6672, ExplicitFromClause :7074 → repo JoinedTable →
+    ThetaJoin(how='left')). The second ON carries a filter conjunct
+    (o_totalprice > 400000) — ON-filter vs WHERE-filter semantics on the
+    null-supplying side is the classic outer-join trap, and the oracle runs
+    the identical text. Scale: nation (25 rows) broadcasts; Catalyst keeps
+    outer-join pushdown rules itself (the converter deliberately leaves
+    WHERE conjuncts post-join when outer links exist)."""
+    return _native(
+        spark, sf_dir, _LEFT_OUTER_SQL, ["nation", "customer", "orders"]
+    )
+
+
+_DISTINCT_ON_SQL = """
+SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+FROM customer
+ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC
+"""
+
+
+@query("parsed_distinct_on", oracle=_DISTINCT_ON_SQL)
+def parsed_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON through the native pipeline (ref Select ctor
+    qal/_qal.py:5867): the parser models the key list structurally, the
+    converter compiles the row_number()-window rewrite (partition on the
+    keys, one shuffle — the 100-TB-correct top-1-per-group plan), and the
+    DuckDB oracle executes the genuine Postgres syntax."""
+    return _native(spark, sf_dir, _DISTINCT_ON_SQL, ["customer"])
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, top.max_bal, top.n_cust
+FROM nation n,
+     LATERAL (SELECT max(c.c_acctbal) AS max_bal, count(*) AS n_cust
+              FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey) top
+ORDER BY n.n_name
+"""
+
+
+@query("parsed_lateral", oracle=_LATERAL_SQL)
+def parsed_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL aggregate through the native pipeline (ref
+    SubqueryTableSource lateral flag, qal/_qal.py:6270). The converter
+    decorrelates: GROUP BY the correlation key + LEFT join + count-coalesce
+    (what Catalyst's DecorrelateInnerQuery would do) — a single keyed
+    shuffle instead of per-outer-row subquery execution, the only shape
+    that survives a 100-TB outer side. DuckDB runs the genuine LATERAL."""
+    return _native(spark, sf_dir, _LATERAL_SQL, ["nation", "customer"])
+
+
 _HINTED_SQL = """
 SELECT /*+ MERGE(l), MERGE(o) */ o.o_orderpriority,
        count(*) AS n_lines,

@@ -126,15 +126,93 @@ def test_query_spec_extraction():
 @pytest.mark.parametrize(
     "sql",
     [
-        "SELECT * FROM customer LEFT JOIN orders ON c_custkey = o_custkey",
         "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r",
         "SELECT * FROM unnest(array[1, 2, 3])",
-        "SELECT * FROM a, LATERAL (SELECT * FROM b) l",
+        "SELECT * FROM a JOIN b USING (x)",
+        "SELECT * FROM a LEFT JOIN b ON a.x = b.x, c",
     ],
 )
 def test_unsupported_shapes_raise(sql):
     with pytest.raises(UnsupportedSqlError):
         parse_query(sql)
+
+
+def test_outer_join_parses_structurally():
+    """LEFT/RIGHT/FULL/NATURAL joins land in SqlQuery.joins (ref JoinType
+    qal/_qal.py:6672, ExplicitFromClause :7074) and round-trip."""
+    q = parse_query(
+        "SELECT n.n_name FROM nation n "
+        "LEFT OUTER JOIN customer c ON n.n_nationkey = c.c_nationkey "
+        "FULL JOIN orders o ON c.c_custkey = o.o_custkey"
+    )
+    assert [j.join_type for j in q.joins] == [Q.JoinType.LEFT, Q.JoinType.FULL]
+    assert q.tables() == {"n", "c", "o"}
+    assert parse_query(q.to_sql()) == q
+    assert "LEFT OUTER JOIN customer c" in q.to_sql()
+
+
+def test_inner_joins_still_normalize_before_outer():
+    """INNER JOIN ... ON before any outer link keeps normalizing into WHERE
+    (the reference's explicit_to_implicit rewrite, transform.py:172)."""
+    q = parse_query(
+        "SELECT * FROM nation n "
+        "JOIN customer c ON n.n_nationkey = c.c_nationkey "
+        "LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+    )
+    assert len(q.from_tables) == 2  # n, c implicit
+    assert len(q.joins) == 1
+    assert q.where is not None and q.where.is_join()
+
+
+def test_natural_join_parses():
+    q = parse_query("SELECT * FROM a NATURAL LEFT JOIN b")
+    assert q.joins[0].join_type is Q.JoinType.NATURAL_LEFT
+    assert q.joins[0].condition is None
+    assert parse_query(q.to_sql()) == q
+
+
+def test_distinct_on_parses_and_roundtrips():
+    q = parse_query(
+        "SELECT DISTINCT ON (c_nationkey) c_nationkey, c_acctbal "
+        "FROM customer ORDER BY c_nationkey, c_acctbal DESC"
+    )
+    assert len(q.distinct_on) == 1
+    assert not q.distinct
+    assert "DISTINCT ON (c_nationkey)" in q.to_sql()
+    assert parse_query(q.to_sql()) == q
+
+
+def test_lateral_parses_and_roundtrips():
+    q = parse_query(
+        "SELECT n.n_name, t.m FROM nation n, LATERAL "
+        "(SELECT max(c.c_acctbal) AS m FROM customer c "
+        "WHERE c.c_nationkey = n.n_nationkey) t"
+    )
+    src = q.from_tables[1]
+    assert isinstance(src, Q.SubqueryTableSource) and src.lateral
+    assert parse_query(q.to_sql()) == q
+
+
+def test_algebra_outer_join_nodes():
+    """Outer links compile to ThetaJoin(how=...) / NaturalJoin nodes."""
+    from postbound_spark.plans import relalg as ra
+
+    tree = parse_relalg(parse_query(
+        "SELECT n.n_name FROM nation n "
+        "LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey"
+    ))
+    joins = [n for n in tree.walk() if isinstance(n, ra.ThetaJoin)]
+    assert joins and joins[0].how == "left"
+
+    tree = parse_relalg(parse_query("SELECT * FROM a NATURAL JOIN b"))
+    assert any(isinstance(n, ra.NaturalJoin) for n in tree.walk())
+
+
+def test_algebra_uncorrelated_lateral_rejected():
+    with pytest.raises(UnsupportedSqlError):
+        parse_relalg(parse_query(
+            "SELECT * FROM nation n, LATERAL (SELECT 1 AS one) t"
+        ))
 
 
 def test_malformed_raises():
