@@ -20,8 +20,22 @@ from pyspark.sql import functions as F
 
 from postbound_spark.catalog import load_tables
 from postbound_spark.operators import compile_plan
+from postbound_spark.optimizer.selection import StatsDrivenJoinSelection
 from postbound_spark.plans import relalg as ra
 from postbound_spark.queries import query
+
+
+def _sized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Stats-driven build side: broadcast only when Catalyst's plan-time
+    size estimate fits the session's broadcast threshold; otherwise leave
+    unhinted so AQE degrades to a shuffle join instead of OOMing the driver.
+
+    Used for every build side that GROWS with the scale factor (customer =
+    SF x 150k, supplier = SF x 10k, part = SF x 200k, per-key aggregates of
+    lineitem) — the round-1 audit's scale-killer list. Fixed-size dimensions
+    (region = 5 rows, nation = 25 rows at every SF) keep a plain
+    ``F.broadcast``."""
+    return StatsDrivenJoinSelection(spark).build_side(df)
 
 FLAGSHIP_ORACLE = """
 SELECT n.n_name,
@@ -356,11 +370,11 @@ ORDER BY revenue DESC, n.n_name
 @query("q5_local_supplier_volume", oracle=_Q5_ORACLE)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 6-way join with the cycle-closing local-supplier condition
-    (s_nationkey = c_nationkey). Join order: dims broadcast onto customer →
-    orders, ONE fact-fact shuffle (orders ⋈ lineitem), then supplier
-    broadcast with the cycle predicate folded into the join condition —
-    at 100 TB the single o⋈l shuffle dominates and everything else stays
-    broadcast-local."""
+    (s_nationkey = c_nationkey). region/nation broadcast unconditionally
+    (fixed-size); the customer-side dim bundle and supplier are SF-scaled,
+    so their join strategies are stats-driven — broadcast while small,
+    shuffle join once the size estimate outgrows the threshold. The
+    orders ⋈ lineitem fact-fact shuffle dominates at 100 TB either way."""
     t = load_tables(
         spark, sf_dir, ["region", "nation", "customer", "orders", "lineitem", "supplier"]
     )
@@ -381,10 +395,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     joined = (
-        orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(_sized(spark, dims), F.col("o_custkey") == F.col("c_custkey"))
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            _sized(spark, t["supplier"]),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -436,7 +450,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         t["lineitem"]
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_sized(spark, t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -473,10 +487,10 @@ WHERE l.l_partkey = p.p_partkey
 @query("q14_promo_revenue", oracle=_Q14_ORACLE)
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: conditional aggregation ratio over a fact⋈dim join.
-    part is broadcast (dim-sized at every scale factor relative to
-    lineitem); the CASE rides inside the global aggregate so the whole
-    query is scan → broadcast join → single partial+final agg, no
-    key shuffle at all."""
+    part's join strategy is stats-driven (broadcast while its size
+    estimate fits the threshold, shuffle join beyond); the CASE rides
+    inside the global aggregate so the whole query is scan → join →
+    single partial+final agg, no extra key shuffle."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     l = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
@@ -485,7 +499,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0))
     return (
-        l.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(_sized(spark, t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue")
         )
@@ -505,10 +519,11 @@ WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
 @query("q17_small_quantity_revenue", oracle=_Q17_ORACLE)
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: correlated scalar subquery (per-part average quantity),
-    decorrelated Spark-first into a groupBy + broadcast join — the rewrite
-    Catalyst itself applies to correlated scalar subqueries, made explicit.
-    The per-part aggregate shrinks lineitem to one row per part before the
-    join, so the broadcast stays dim-sized at any SF."""
+    decorrelated Spark-first into a groupBy + join — the rewrite Catalyst
+    itself applies to correlated scalar subqueries, made explicit. The
+    per-part aggregate shrinks lineitem to one row per part before the
+    join; since that is still SF-scaled (one row per partkey), the join
+    strategy is stats-driven, not hard-broadcast."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     part = t["part"].filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
@@ -521,8 +536,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("t_partkey"))
+        .join(_sized(spark, part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_sized(spark, per_part_avg), F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -558,7 +573,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["orders"]
         .join(big_orders, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_sized(spark, t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
@@ -603,7 +618,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(_sized(spark, p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             F.round(
@@ -658,8 +673,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = t["part"].filter((F.col("p_size") == 5) & (F.col("p_type") == "LARGE"))
     joined = (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(europe_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_sized(spark, parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_sized(spark, europe_sup), F.col("l_suppkey") == F.col("s_suppkey"))
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -721,10 +736,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+            _sized(spark, t["part"].filter(F.col("p_type") == "ECONOMY")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_sized(spark, t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -780,10 +795,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD")),
+            _sized(spark, t["part"].filter(F.col("p_type") == "STANDARD")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_sized(spark, t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -829,7 +844,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partval = (
         t["lineitem"]
-        .join(F.broadcast(nation_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(_sized(spark, nation_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(
             F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)"))
@@ -1010,8 +1025,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_sup = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(_sized(spark, parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_sized(spark, bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -1050,7 +1065,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(_sized(spark, small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
         .filter(F.col("qty") > 50)
@@ -1110,7 +1125,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late_lines.join(order_stats, F.col("l_orderkey") == F.col("st_orderkey"))
         .filter((F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_sized(spark, t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

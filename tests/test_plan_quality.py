@@ -132,3 +132,49 @@ def test_q21_aggregated_exists_has_no_per_row_rescan(registry, spark, sf_small):
         if "Location" in l and "lineitem.parquet" in l
     ]
     assert len(scans) <= 2, f"expected <=2 lineitem scans, got {len(scans)}"
+
+
+def test_stats_driven_broadcast_flips_with_threshold(registry, spark, sf_small):
+    """The round-1 scale-killer fix: q5/q17/q18 broadcast SF-scaled sides
+    only while the stats say they fit. Shrinking the threshold to 1 byte
+    must flip those joins to shuffle strategies (no OOM path at 100x);
+    restoring it must bring the broadcasts back at this tiny SF."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for name in [
+            "q5_local_supplier_volume",
+            "q17_small_quantity_revenue",
+            "q18_large_volume_customer",
+        ]:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+            plan_small = _formatted_plan(_build(registry, spark, sf_small, name))
+            # SF-scaled sides must fall back to a shuffle strategy; only
+            # the fixed-size dims (region/nation, hard F.broadcast) may
+            # still broadcast
+            assert (
+                "SortMergeJoin" in plan_small or "ShuffledHashJoin" in plan_small
+            ), name
+
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+            plan_big = _formatted_plan(_build(registry, spark, sf_small, name))
+            assert plan_big.count("BroadcastHashJoin") > plan_small.count(
+                "BroadcastHashJoin"
+            ), name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_selection_records_assignment(spark, sf_small):
+    """StatsDrivenJoinSelection dogfoods PhysicalOperatorAssignment: every
+    decision lands in the same artifact the optimizer stages emit."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.optimizer.hints import JoinOperator
+    from postbound_spark.optimizer.selection import StatsDrivenJoinSelection
+
+    t = load_tables(spark, sf_small, ["nation", "lineitem"])
+    sel = StatsDrivenJoinSelection(spark, threshold_bytes=1 << 20)
+    assert sel.choose(t["nation"], "nation") is JoinOperator.BROADCAST_HASH
+    sel_tiny = StatsDrivenJoinSelection(spark, threshold_bytes=1)
+    assert sel_tiny.choose(t["lineitem"], "lineitem") is JoinOperator.SORT_MERGE
+    assert sel.assignment.operator_for(frozenset({"nation"})) is JoinOperator.BROADCAST_HASH
+    assert sel_tiny.assignment.operator_for(frozenset({"lineitem"})) is JoinOperator.SORT_MERGE
