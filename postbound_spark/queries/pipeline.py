@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 from postbound_spark.catalog import load_table
 from postbound_spark.functions import text as T
 from postbound_spark.functions import vectors as V
+from postbound_spark.operators.skew import salted_join
 from postbound_spark.queries import query
 
 # ---------------------------------------------------------------------------
@@ -372,10 +373,17 @@ def dedup_minhash_lsh(spark, sf_dir):
     exploded = sig.select(
         "doc_id", F.explode(T.lsh_band_keys(F.col("sig"), 4, 2)).alias("bkey")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    # hot band keys (boilerplate-heavy corpora collapse many docs onto one
+    # band) would land a quadratic candidate block on a single reducer;
+    # salting spreads each band's pair generation across 8 tasks by
+    # construction (operators/skew.py — AQE skew-join can't split the
+    # build side of this self-join)
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "bkey")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "bkey")
     cand = (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        salted_join(a, b, on=["bkey"], salt=8)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     x = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -800,8 +808,11 @@ def ann_ivf_topk(spark, sf_dir):
 
     All assignment math is exact integer arithmetic (squared L2 on
     quantized vectors), so the partition is bit-identical across engines.
-    Scale shape: centroid table broadcasts (it is tiny by construction),
-    assignment is map-only per row, and the probe is an equi-join on the
+    Scale shape: the 16 centroids collapse to ONE row (an array of
+    structs) broadcast onto every vector, and the argmin is an
+    ``F.aggregate`` fold over that array — strictly map-only, no row
+    expansion and no window shuffle (the round-1 plan expanded 16x and
+    ran row_number over 16n rows). The probe stays an equi-join on the
     cluster id — the same candidate-pruning skeleton as the LSH variant
     but with data-adaptive regions instead of random hyperplanes.
     """
@@ -813,18 +824,34 @@ def ann_ivf_topk(spark, sf_dir):
     cents = q.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
     )
-    dist2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cqv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    # one row: centroids ordered by cid ascending, so a strict-< fold
+    # keeps the smallest cid on distance ties (same tie-break as the old
+    # row_number ordering)
+    cent_arr = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cqv"))).alias("cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+
+    def _d2(c):
+        return F.aggregate(
+            F.zip_with(F.col("qv"), c["cqv"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    argmin = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(1 << 62).cast("long").alias("d2"),
+            F.lit(-1).cast("long").alias("cid"),
+        ),
+        lambda acc, c: F.when(
+            _d2(c) < acc["d2"],
+            F.struct(_d2(c).alias("d2"), c["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
     clustered = (
-        q.crossJoin(F.broadcast(cents))
-        .select("vec_id", "label", "qv", "cid", dist2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "qv", F.col("cid").alias("cluster"))
+        q.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "label", "qv", argmin["cid"].alias("cluster"))
     )
     probe = clustered.filter(F.col("vec_id") == 0).select(
         F.col("cluster").alias("query_cluster"), F.col("qv").alias("query_qv")

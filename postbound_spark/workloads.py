@@ -88,6 +88,114 @@ class Workload(UserDict):
         return Workload(dict(zip(labels, frame[query_column])))
 
 
+# ---------------------------------------------------------------------------
+# named workload catalog (ref workloads.py:46-53: job/job_light/ssb/stack/
+# stats are the reference's front door — every example begins workloads.job())
+# ---------------------------------------------------------------------------
+
+_JOBLIGHT_JOINED = {
+    "ci": ("cast_info", ["role_id", "person_id"]),
+    "mc": ("movie_companies", ["company_type_id", "company_id"]),
+    "mi": ("movie_info", ["info_type_id"]),
+    "mi_idx": ("movie_info_idx", ["info_type_id"]),
+    "mk": ("movie_keyword", ["keyword_id"]),
+}
+_JOBLIGHT_TITLE_FILTERS = [
+    "t.production_year > 1990",
+    "t.production_year > 2000 AND t.production_year < 2010",
+    "t.kind_id = 1",
+    None,
+]
+
+
+def job_light_shaped_corpus() -> dict[str, str]:
+    """70 deterministic queries in the exact grammar of the public JOB-light
+    workload (Kipf et al., CIDR'19; ref ``workloads.py:46-53``): COUNT(*)
+    star joins of ``title`` with 1-5 of the five satellite IMDB tables on
+    ``movie_id``, plus 0-2 numeric filters. The genuine texts are fetched
+    on demand by the reference and are not bundled here — this corpus is
+    the same shape over the same schema, used to parse-harden the engine
+    (``tests/test_joblight_corpus.py``) and as the fallback for
+    :func:`job_light` when no directory is supplied."""
+    import itertools
+
+    queries: list[str] = []
+    aliases = sorted(_JOBLIGHT_JOINED)
+    combos = [
+        c for n in (1, 2, 3, 4, 5) for c in itertools.combinations(aliases, n)
+    ]
+    for i, combo in enumerate(combos):
+        tfilter = _JOBLIGHT_TITLE_FILTERS[i % len(_JOBLIGHT_TITLE_FILTERS)]
+        froms = ["title t"] + [f"{_JOBLIGHT_JOINED[a][0]} {a}" for a in combo]
+        preds = [f"t.id = {a}.movie_id" for a in combo]
+        for k, a in enumerate(combo):
+            col = _JOBLIGHT_JOINED[a][1][k % len(_JOBLIGHT_JOINED[a][1])]
+            preds.append(f"{a}.{col} {'=' if k % 2 == 0 else '>'} {k + 2}")
+        if tfilter:
+            preds.append(tfilter)
+        queries.append(
+            f"SELECT COUNT(*) AS n FROM {', '.join(froms)} "
+            f"WHERE {' AND '.join(preds)}"
+        )
+    for combo in combos:
+        if len(queries) >= 62:
+            break
+        joins = " ".join(
+            f"JOIN {_JOBLIGHT_JOINED[a][0]} {a} ON t.id = {a}.movie_id"
+            for a in combo
+        )
+        queries.append(
+            f"SELECT COUNT(*) AS n FROM title t {joins} "
+            f"WHERE t.production_year > 1980"
+        )
+    for combo in combos:
+        if len(queries) >= 70:
+            break
+        froms = ["title t"] + [f"{_JOBLIGHT_JOINED[a][0]} {a}" for a in combo]
+        preds = [f"t.id = {a}.movie_id" for a in combo]
+        preds.append("t.production_year BETWEEN 1995 AND 2005")
+        queries.append(
+            f"SELECT COUNT(*) AS n FROM {', '.join(froms)} "
+            f"WHERE {' AND '.join(preds)}"
+        )
+    return {f"jl{i + 1:02d}": sql for i, sql in enumerate(queries)}
+
+
+def job_light(directory: str | None = None) -> Workload:
+    """The JOB-light workload (70 queries; ref ``workloads.py:48``).
+    ``directory`` points at the real ``*.sql`` files when available;
+    without it, the JOB-light-shaped corpus stands in (documented above)."""
+    if directory:
+        return Workload.read_workload(directory)
+    return Workload(job_light_shaped_corpus())
+
+
+def _directory_workload(name: str):
+    def loader(directory: str) -> Workload:
+        if not directory:
+            raise ValueError(
+                f"the {name} workload texts are not bundled (the reference "
+                "downloads them on demand, ref workloads.py:936-1150); pass "
+                "the directory holding its *.sql files"
+            )
+        return Workload.read_workload(directory)
+
+    loader.__name__ = name
+    loader.__doc__ = (
+        f"The {name.upper()} workload loaded from its *.sql directory "
+        "(ref workloads.py:46-53). Texts are not redistributable here, so "
+        "no synthetic fallback is provided."
+    )
+    return loader
+
+
+job = _directory_workload("job")
+job_complex = _directory_workload("job_complex")
+ssb = _directory_workload("ssb")
+stack = _directory_workload("stack")
+stats = _directory_workload("stats")
+
+
 @dataclass
 class QueryPreparation:
     """ref ``QueryPreparation`` bench.py:149: per-query preparation before
