@@ -84,11 +84,18 @@ FORCED_ORDER_CONF = {
 }
 
 
+#: assumed bytes/row when converting an injected cardinality to a size —
+#: deliberately pessimistic (joined intermediates are wide)
+INJECTED_ROW_BYTES = 64
+
+
 def compile_join_tree(
     tables: dict[str, DataFrame],
     tree: JoinTree,
     edges: list[JoinEdge],
     assignment: PhysicalOperatorAssignment | None = None,
+    parameters=None,
+    broadcast_threshold_bytes: int = 10 << 20,
 ) -> DataFrame:
     """Materialize a JoinTree as a DataFrame join pipeline.
 
@@ -96,8 +103,32 @@ def compile_join_tree(
     shape; per-join operators become hints on the *inner* (build) side.
     Cross products appear automatically when no edge connects the sides
     (the reference models them as explicit CrossProduct nodes).
+
+    ``parameters`` (a ``PlanParameterization``, ref ``_hints.py:632``)
+    carries per-intermediate cardinality injections. Catalyst exposes no
+    public hook for substituting an intermediate's ``Statistics`` (base
+    tables go through the Hive-property route, ``optimizer/injection.py``),
+    so injected intermediate cardinalities are enforced HERE, where the
+    engine owns the plan: when the build side's table-set has an injected
+    row count, that number — not Catalyst's estimate — decides broadcast
+    vs sort-merge, pinned via the join hint. This is the pg_lab ``Card``
+    capability (ref ``postgres.py:2343``) expressed through
+    enforcement-by-construction; an explicit operator in ``assignment``
+    still wins over the derived one.
     """
+    import math
+
     assignment = assignment or PhysicalOperatorAssignment()
+
+    def injected_operator(build_tables: set[str]) -> JoinOperator | None:
+        if parameters is None:
+            return None
+        card = parameters.cardinality_of(frozenset(build_tables))
+        if math.isnan(card):
+            return None
+        if card * INJECTED_ROW_BYTES <= broadcast_threshold_bytes:
+            return JoinOperator.BROADCAST_HASH
+        return JoinOperator.SORT_MERGE
 
     def build(node: JoinTree) -> tuple[DataFrame, set[str]]:
         if node.is_leaf:
@@ -114,6 +145,8 @@ def compile_join_tree(
                 clause = F.col(f"{lt}.{lc}") == F.col(f"{rt}.{rc}")
                 cond = clause if cond is None else (cond & clause)
         op = assignment.operator_for(frozenset(left_tables | right_tables))
+        if op is None:
+            op = injected_operator(right_tables)
         if op is not None:
             right_df = right_df.hint(op.spark_hint)
         if cond is None:

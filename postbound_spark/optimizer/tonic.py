@@ -18,6 +18,8 @@ train/replay cycle (``tests/test_tonic_optimization.py`` pattern).
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass, field
 
 from postbound_spark.optimizer.hints import JoinOperator, PhysicalOperatorAssignment
@@ -47,6 +49,29 @@ class QepsNode:
                 op.value,
             ),
         )
+
+    # -- persistence (ref: QEP-S save/load, opt/tonic.py:196-1019) ----------
+
+    def to_dict(self) -> dict:
+        return {
+            "children": {name: c.to_dict() for name, c in self.children.items()},
+            "operator_costs": {
+                op.value: [total, count]
+                for op, (total, count) in self.operator_costs.items()
+            },
+        }
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "QepsNode":
+        node = cls()
+        node.children = {
+            name: cls.from_dict(c) for name, c in data.get("children", {}).items()
+        }
+        node.operator_costs = {
+            JoinOperator(op): (float(total), int(count))
+            for op, (total, count) in data.get("operator_costs", {}).items()
+        }
+        return node
 
 
 def _prefix_steps(join_order: JoinTree) -> list[tuple[str, frozenset[str]]]:
@@ -104,3 +129,30 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
             if rec is not None:
                 assignment.set_join_operator(joined, rec)
         return assignment
+
+    # -- persistence: the train -> save -> load -> replay loop survives
+    #    sessions (ref QEP-S serialization, opt/tonic.py:196-1019) ----------
+
+    FORMAT_VERSION = 1
+
+    def save(self, path: str) -> None:
+        """Write the trie as JSON (atomic: temp file + rename, so a crashed
+        writer never leaves a torn trie for the next session)."""
+        payload = {"version": self.FORMAT_VERSION, "root": self.root.to_dict()}
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "TonicOperatorSelection":
+        with open(path) as fh:
+            payload = json.load(fh)
+        version = payload.get("version")
+        if version != cls.FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported QEP-S trie version {version!r} in {path}"
+            )
+        selection = cls()
+        selection.root = QepsNode.from_dict(payload["root"])
+        return selection

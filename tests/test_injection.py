@@ -18,3 +18,46 @@ def test_injection_demo_subprocess():
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-2000:]}"
     assert "7/7 passed" in proc.stdout
+
+
+def test_intermediate_cardinality_changes_physical_plan(spark, sf_small):
+    """Per-intermediate injection (ref pg_lab Card hints, postgres.py:2343):
+    the SAME join tree planned under two different injected cardinalities
+    for the {orders, customer} intermediate must yield two different
+    physical plans — broadcast of the intermediate when the injected count
+    is tiny, sort-merge when it is huge."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.optimizer.hints import compile_join_tree
+    from postbound_spark.optimizer.joingraph import JoinEdge
+    from postbound_spark.optimizer.jointree import JoinTree
+    from postbound_spark.optimizer.stages import PlanParameterization
+
+    t = load_tables(spark, sf_small, ["customer", "orders", "lineitem"])
+    tree = JoinTree.join(
+        JoinTree.leaf("lineitem"),
+        JoinTree.join(JoinTree.leaf("orders"), JoinTree.leaf("customer")),
+    )
+    edges = [
+        JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+    ]
+
+    def plan_with(card: float) -> str:
+        params = PlanParameterization()
+        params.set_cardinality(frozenset({"orders", "customer"}), card)
+        df = compile_join_tree(t, tree, edges, parameters=params)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    tiny = plan_with(10.0)
+    huge = plan_with(1e9)
+    assert "BroadcastHashJoin" in tiny
+    assert "SortMergeJoin" in huge
+    assert tiny != huge
+
+    # identical rows either way: injection changes the plan, never results
+    params = PlanParameterization()
+    params.set_cardinality(frozenset({"orders", "customer"}), 10.0)
+    a = compile_join_tree(t, tree, edges, parameters=params).count()
+    params.set_cardinality(frozenset({"orders", "customer"}), 1e9)
+    b = compile_join_tree(t, tree, edges, parameters=params).count()
+    assert a == b

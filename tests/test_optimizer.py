@@ -461,3 +461,149 @@ def test_star_query_cardinality_matches_real_join(spark, sf_small):
         star_query_cardinality(
             orders, "o_orderkey", [(cheap, "o_custkey", "l_orderkey")]
         )
+
+
+# -- UES published formulae + branching (ref opt/ues.py:670-958) ------------
+
+
+def test_ues_bound_formulae_exact():
+    """Reproduce the published bound values on a hand-built example:
+    orders(1000 rows, max freq o_custkey=1) x lineitem(4000, freq
+    l_orderkey=7) n:m-style, plus customer(150) as a PK side."""
+    from postbound_spark.optimizer.ues import (
+        MaxFrequencyStatsContainer,
+        UESBoundEstimator,
+    )
+
+    stats = MaxFrequencyStatsContainer(
+        base_estimates={"o": 1000.0, "l": 4000.0, "c": 150.0},
+        frequencies={("o", "o_okey"): 4.0, ("l", "l_okey"): 7.0, ("o", "o_ckey"): 5.0},
+    )
+    est = UESBoundEstimator(stats)
+    # n:m: min(1000/4, 4000/7) x 4 x 7 = min(250, 571.43) x 28 = 7000
+    assert est.n_m_bound("o", "o_okey", "l", "l_okey") == 7000
+    # PK/FK: ceil(freq(fk) x |PK|) = ceil(5 x 150) = 750
+    assert est.pk_fk_bound("o", "o_ckey", "c") == 750
+    # zero-propagation
+    stats.frequencies[("o", "o_okey")] = 0.0
+    assert est.n_m_bound("o", "o_okey", "l", "l_okey") == 0.0
+    # intermediate bound wins over base estimate (_fetch_bound, ref :784)
+    stats.frequencies[("o", "o_okey")] = 4.0
+    stats.upper_bounds["o"] = 100.0
+    assert est.n_m_bound("o", "o_okey", "l", "l_okey") == math.ceil(
+        min(100 / 4, 4000 / 7) * 4 * 7
+    )
+
+
+def test_ues_frequency_update_pessimistic():
+    """MaxFrequencyStats update rules (ref :333-345): partner columns
+    multiply by each other; third-party columns multiply by the joined
+    column's frequency."""
+    from postbound_spark.optimizer.joingraph import JoinEdge
+    from postbound_spark.optimizer.ues import MaxFrequencyStatsContainer
+
+    stats = MaxFrequencyStatsContainer(
+        base_estimates={"a": 10.0, "b": 20.0},
+        frequencies={("a", "x"): 3.0, ("b", "x"): 5.0, ("a", "y"): 2.0},
+    )
+    stats.update_frequencies_after_join(
+        "b", JoinEdge("a", "x", "b", "x"), consumed_columns={("a", "y")}
+    )
+    assert stats.frequency("b", "x") == 15.0
+    assert stats.frequency("a", "x") == 15.0
+    assert stats.frequency("a", "y") == 2.0 * 5.0  # x joined-column freq
+
+
+def test_ues_defensive_branching_builds_bushy_tree():
+    """UESSubqueryPolicy (ref :905): when a PK/FK join reduces the n:m
+    partner's bound below its base estimate, the PK join lands in a branch
+    (bushy subtree); the linear policy keeps the path left-deep."""
+    from postbound_spark.optimizer.joingraph import JoinEdge
+    from postbound_spark.optimizer.stages import QuerySpec
+    from postbound_spark.optimizer.ues import (
+        LinearJoinTreePolicy,
+        MaxFrequencyStatsContainer,
+        UESJoinOrderOptimizer,
+    )
+
+    # fact3 -nm- fact1, fact3 -nm- fact2, fact2 -pkfk-> dim; dim's PK join
+    # reduces fact2's bound (ceil(1 x 2000) = 2000 < 5000), and fact2 is
+    # the SECOND n:m partner (branching needs >= 2 consumed tables, ref
+    # :935-937), so the defensive policy must branch it with dim
+    spec = QuerySpec(
+        tables=("fact1", "fact2", "dim", "fact3"),
+        edges=(
+            JoinEdge("fact1", "k", "fact3", "k"),
+            JoinEdge("fact3", "j", "fact2", "j"),
+            JoinEdge("fact2", "d", "dim", "id"),
+        ),
+    )
+
+    def fresh_stats():
+        return MaxFrequencyStatsContainer(
+            base_estimates={
+                "fact1": 1000.0, "fact2": 5000.0, "dim": 2000.0, "fact3": 800.0,
+            },
+            frequencies={
+                ("fact1", "k"): 2.0, ("fact3", "k"): 2.0,
+                ("fact3", "j"): 2.0, ("fact2", "j"): 2.0,
+                ("fact2", "d"): 1.0, ("dim", "id"): 1.0,
+            },
+        )
+
+    import postbound_spark.optimizer.joingraph as jg
+
+    # register dim.id as a PK referenced by fact2.d for this test
+    jg.PRIMARY_KEYS["dim"] = "id"
+    jg.FOREIGN_KEYS[("fact2", "d")] = ("dim", "id")
+    try:
+        opt = UESJoinOrderOptimizer(spark=None)
+        bushy = opt.optimize_with_stats(spec, fresh_stats())
+        assert bushy.is_bushy(), bushy
+
+        opt_linear = UESJoinOrderOptimizer(spark=None, subquery_policy=LinearJoinTreePolicy())
+        linear = opt_linear.optimize_with_stats(spec, fresh_stats())
+        assert not linear.is_bushy(), linear
+        assert set(bushy.tables()) == set(linear.tables()) == set(spec.tables)
+    finally:
+        del jg.PRIMARY_KEYS["dim"]
+        del jg.FOREIGN_KEYS[("fact2", "d")]
+
+
+def test_tonic_trie_persistence_roundtrip(tmp_path, spec):
+    """QEP-S persistence (ref opt/tonic.py:196-1019): save -> load across
+    'sessions' preserves the learned recommendations, and a replay from the
+    loaded trie changes the operator assignment exactly like the live one."""
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+    tonic = TonicOperatorSelection()
+    order = JoinTree.left_deep(["orders", "lineitem"])
+    key = frozenset({"orders", "lineitem"})
+    tonic.record_plan(order, {key: JoinOperator.SORT_MERGE}, {key: 1.0})
+    tonic.record_plan(order, {key: JoinOperator.SHUFFLE_HASH}, {key: 9.0})
+
+    path = str(tmp_path / "qeps.json")
+    tonic.save(path)
+    revived = TonicOperatorSelection.load(path)
+
+    q = QuerySpec(("orders", "lineitem"), spec.edges)
+    live = tonic.select_physical_operators(q, order)
+    replay = revived.select_physical_operators(q, order)
+    assert replay.operator_for(key) is live.operator_for(key) is JoinOperator.SORT_MERGE
+
+    # training continues on the revived trie: flood with cheap shuffle-hash
+    # observations and the recommendation flips
+    for _ in range(10):
+        revived.record_plan(order, {key: JoinOperator.SHUFFLE_HASH}, {key: 0.01})
+    flipped = revived.select_physical_operators(q, order)
+    assert flipped.operator_for(key) is JoinOperator.SHUFFLE_HASH
+
+    # version guard
+    import json
+    with open(path) as fh:
+        payload = json.load(fh)
+    payload["version"] = 999
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+    with pytest.raises(ValueError, match="version"):
+        TonicOperatorSelection.load(path)
