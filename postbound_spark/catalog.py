@@ -57,26 +57,39 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP (local-tz).
+
+    Fixture generations have shipped events.ts as either parquet
+    TIMESTAMP(NANOS) — which Spark's schema converter rejects unless read
+    as raw int64 via nanosAsLong — or TIMESTAMP(MICROS)/NTZ. Shared by the
+    batch reader (:func:`load_table`) and the streaming reader
+    (``streaming/windows.py``) so the dispatch cannot drift between them.
+    """
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type == "bigint":
+        # ns epoch read as int64; µs-grained fixture data, so integer
+        # `div 1000` is lossless (the ns epoch exceeds double's 2^53
+        # mantissa — avoid float).
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        # event-time/watermark ops and unix_micros require TIMESTAMP
+        # (local-tz); the session tz is pinned to UTC so the cast is
+        # value-preserving.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_type == "timestamp":
+        return df
+    raise ValueError(
+        f"unexpected events.ts dtype {ts_type!r}; expected bigint "
+        "(TIMESTAMP(NANOS) via nanosAsLong), timestamp_ntz, or timestamp — "
+        "a new fixture format needs an explicit conversion here"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # Fixture generations have shipped events.ts as either parquet
-        # TIMESTAMP(NANOS) (which Spark's schema converter rejects unless read
-        # as raw int64 via nanosAsLong) or plain TIMESTAMP(MICROS). Handle
-        # both: read with nanosAsLong on, and only apply the ns→µs conversion
-        # when the column actually came back as a long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        ts_type = dict(df.dtypes).get("ts", "")
-        if ts_type == "bigint":
-            # µs-grained fixture data, so integer `div 1000` is lossless
-            # (the ns epoch exceeds double's 2^53 mantissa — avoid float).
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            # normalize to TIMESTAMP (local-tz): event-time/watermark ops and
-            # unix_micros require it, and the session tz is pinned to UTC so
-            # the cast is value-preserving.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_event_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -32,9 +32,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file source needs an explicit schema (no inference mid-stream) and
     a directory; ``pathGlobFilter`` narrows it to the events file. The
-    TIMESTAMP(NANOS) column rides in as int64 (same nanosAsLong handling
-    as the batch catalog) and converts to a proper event-time column.
+    ``ts`` column arrives as int64 (TIMESTAMP(NANOS) fixtures, via
+    nanosAsLong) or timestamp_ntz (newer fixtures) and is normalized to a
+    proper event-time column by the same helper the batch catalog uses
+    (:func:`postbound_spark.catalog.normalize_event_ts`).
     """
+    from postbound_spark.catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = (
@@ -42,14 +46,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(raw.dtypes).get("ts", "")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif ts_type == "timestamp_ntz":
-        # watermarks/event-time require TIMESTAMP (with local-tz semantics);
-        # session tz is UTC so the cast is value-preserving.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def windowed_event_counts(
