@@ -312,6 +312,19 @@ class AbstractPredicate:
         """Leaf predicates of this (possibly compound) tree."""
         yield self
 
+    def accept_visitor(self, visitor: "PredicateVisitor"):
+        """Double dispatch (ref ``PredicateVisitor`` qal/_qal.py:3383)."""
+        method = {
+            "BinaryPredicate": "visit_binary",
+            "BetweenPredicate": "visit_between",
+            "InPredicate": "visit_in",
+            "UnaryPredicate": "visit_unary",
+            "CompoundPredicate": "visit_compound",
+        }.get(type(self).__name__)
+        if method is None:
+            return visitor.generic_visit(self)
+        return getattr(visitor, method)(self)
+
     def to_sql(self) -> str:
         raise NotImplementedError
 
@@ -429,6 +442,194 @@ def eq(lhs: SqlExpression, rhs: SqlExpression) -> BinaryPredicate:
 
 
 # ---------------------------------------------------------------------------
+# predicate visitor (ref PredicateVisitor qal/_qal.py:3383; the same pattern
+# backs SqlExpressionVisitor :1680 and ClauseVisitor :7966)
+# ---------------------------------------------------------------------------
+
+
+class PredicateVisitor:
+    """Double-dispatch over the predicate classes. Subclass and override the
+    ``visit_*`` methods; unhandled types fall through to
+    :meth:`generic_visit` (raises by default, so incomplete visitors fail
+    loudly instead of silently skipping predicates)."""
+
+    def generic_visit(self, predicate: "AbstractPredicate"):
+        raise NotImplementedError(type(predicate).__name__)
+
+    def visit_binary(self, predicate: "BinaryPredicate"):
+        return self.generic_visit(predicate)
+
+    def visit_between(self, predicate: "BetweenPredicate"):
+        return self.generic_visit(predicate)
+
+    def visit_in(self, predicate: "InPredicate"):
+        return self.generic_visit(predicate)
+
+    def visit_unary(self, predicate: "UnaryPredicate"):
+        return self.generic_visit(predicate)
+
+    def visit_compound(self, predicate: "CompoundPredicate"):
+        return self.generic_visit(predicate)
+
+
+# ---------------------------------------------------------------------------
+# simplified predicate views (ref SimpleFilter qal/_qal.py:3718,
+# SimpleJoin :3944 — the convenience layer stage authors use constantly)
+# ---------------------------------------------------------------------------
+
+_CAST_RE_SRC = r"^CAST\((?P<inner>.+) AS [\w ()]+\)$"
+
+
+def _strip_cast(sql: str) -> str:
+    """Casts are tolerated and dropped by the views (ref :3727-3728)."""
+    import re as _re
+
+    m = _re.match(_CAST_RE_SRC, sql.strip(), _re.I)
+    return m.group("inner").strip() if m else sql.strip()
+
+
+def _as_plain_column(expr: SqlExpression) -> ColumnReference | None:
+    """The expression iff it is a bare (possibly cast) column reference —
+    anything value-modifying (function call, arithmetic) disqualifies."""
+    if len(expr.columns) != 1:
+        return None
+    col_ref = expr.columns[0]
+    return col_ref if _strip_cast(expr.sql) == col_ref.to_sql() else None
+
+
+def _is_static(expr: SqlExpression) -> bool:
+    return not expr.columns
+
+
+@dataclass(frozen=True)
+class SimpleFilter:
+    """Read-only ``<column> <op> <static values>`` view of a filter
+    predicate (ref ``SimpleFilter`` qal/_qal.py:3718). Derivable from
+    binary, BETWEEN and IN-list predicates whose column side is a bare
+    column and whose value side is static; everything else is rejected by
+    :meth:`wrap` / skipped by :meth:`wrap_all`."""
+
+    predicate: AbstractPredicate
+    column: ColumnReference
+    operation: str  # LogicalOperator value, "BETWEEN", or "IN"
+    values: tuple[SqlExpression, ...]
+
+    @staticmethod
+    def can_wrap(predicate: AbstractPredicate) -> bool:
+        try:
+            SimpleFilter.wrap(predicate)
+            return True
+        except ValueError:
+            return False
+
+    @staticmethod
+    def wrap(predicate: AbstractPredicate) -> "SimpleFilter":
+        if predicate.is_join():
+            raise ValueError(f"not a filter: {predicate.to_sql()}")
+        if isinstance(predicate, BinaryPredicate):
+            col = _as_plain_column(predicate.lhs)
+            val = predicate.rhs
+            if col is None and (c2 := _as_plain_column(predicate.rhs)):
+                col, val = c2, predicate.lhs
+            if col is None or not _is_static(val):
+                raise ValueError(f"cannot simplify {predicate.to_sql()}")
+            return SimpleFilter(predicate, col, predicate.operation.value, (val,))
+        if isinstance(predicate, BetweenPredicate):
+            col = _as_plain_column(predicate.expr)
+            if col is None or not (
+                _is_static(predicate.lower) and _is_static(predicate.upper)
+            ):
+                raise ValueError(f"cannot simplify {predicate.to_sql()}")
+            return SimpleFilter(
+                predicate, col, "BETWEEN", (predicate.lower, predicate.upper)
+            )
+        if isinstance(predicate, InPredicate):
+            col = _as_plain_column(predicate.expr)
+            if (
+                col is None
+                or predicate.subquery is not None
+                or predicate.negated
+                or not all(_is_static(v) for v in predicate.values)
+            ):
+                raise ValueError(f"cannot simplify {predicate.to_sql()}")
+            return SimpleFilter(predicate, col, "IN", predicate.values)
+        raise ValueError(f"cannot simplify {predicate.to_sql()}")
+
+    @staticmethod
+    def wrap_all(predicates: "QueryPredicates | list[AbstractPredicate]") -> list["SimpleFilter"]:
+        """Lossy bulk conversion: joins and complex filters drop (ref
+        docstring :3750-3755)."""
+        pool = (
+            predicates.filters()
+            if isinstance(predicates, QueryPredicates)
+            else predicates
+        )
+        out = []
+        for p in pool:
+            try:
+                out.append(SimpleFilter.wrap(p))
+            except ValueError:
+                continue
+        return out
+
+    def to_sql(self) -> str:
+        return self.predicate.to_sql()
+
+
+@dataclass(frozen=True)
+class SimpleJoin:
+    """Read-only ``<first col> = <second col>`` view of an equi-join
+    predicate (ref ``SimpleJoin`` qal/_qal.py:3944)."""
+
+    predicate: AbstractPredicate
+    lhs: ColumnReference
+    rhs: ColumnReference
+
+    @staticmethod
+    def can_wrap(predicate: AbstractPredicate) -> bool:
+        try:
+            SimpleJoin.wrap(predicate)
+            return True
+        except ValueError:
+            return False
+
+    @staticmethod
+    def wrap(predicate: AbstractPredicate) -> "SimpleJoin":
+        if not (
+            isinstance(predicate, BinaryPredicate)
+            and predicate.operation is LogicalOperator.EQ
+            and predicate.is_join()
+        ):
+            raise ValueError(f"not an equi-join: {predicate.to_sql()}")
+        lhs = _as_plain_column(predicate.lhs)
+        rhs = _as_plain_column(predicate.rhs)
+        if lhs is None or rhs is None:
+            raise ValueError(f"cannot simplify {predicate.to_sql()}")
+        return SimpleJoin(predicate, lhs, rhs)
+
+    @staticmethod
+    def wrap_all(predicates: "QueryPredicates | list[AbstractPredicate]") -> list["SimpleJoin"]:
+        pool = (
+            predicates.joins()
+            if isinstance(predicates, QueryPredicates)
+            else predicates
+        )
+        out = []
+        for p in pool:
+            try:
+                out.append(SimpleJoin.wrap(p))
+            except ValueError:
+                continue
+        return out
+
+    def tables(self) -> frozenset[str]:
+        return self.predicate.tables()
+
+    def to_sql(self) -> str:
+        return self.predicate.to_sql()
+
+
+# ---------------------------------------------------------------------------
 # predicate index
 # ---------------------------------------------------------------------------
 
@@ -455,6 +656,13 @@ class QueryPredicates:
 
     def filters_for(self, table: str) -> list[AbstractPredicate]:
         return [p for p in self.filters() if p.tables() == {_norm(table)}]
+
+    def simplify(self) -> "list[SimpleFilter | SimpleJoin]":
+        """Every leaf predicate as its simplified view where one exists
+        (ref ``QueryPredicates.simplify()`` mentioned at qal/_qal.py:3754);
+        unrepresentable predicates are dropped, like the reference's lossy
+        bulk conversion."""
+        return SimpleJoin.wrap_all(self) + SimpleFilter.wrap_all(self)
 
     def join_equivalence_classes(self) -> list[set[ColumnReference]]:
         """Transitive closure of equi-join columns (ref ``:3557``)."""

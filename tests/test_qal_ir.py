@@ -8,6 +8,7 @@ import pytest
 
 from postbound_spark.plans import qal as Q
 from postbound_spark.plans import transform as X
+from postbound_spark.plans.parser import parse_query
 
 
 @pytest.fixture
@@ -224,3 +225,80 @@ def test_explain_wrappers(t):
     q = _query(r, n, Q.eq(Q.col("r_regionkey", r), Q.col("n_regionkey", n)))
     assert X.as_explain(q).startswith("EXPLAIN FORMATTED\n")
     assert X.as_explain_analyze(q).startswith("EXPLAIN COST\n")
+
+
+# -- simplified views + visitor (ref qal/_qal.py:3718,3944,3383) ------------
+
+
+def test_simple_filter_wraps_supported_forms():
+    from postbound_spark.plans import qal as Q
+
+    q = parse_query(
+        "SELECT * FROM customer c, orders o WHERE c.c_custkey = o.o_custkey "
+        "AND c.c_acctbal > 100 AND o.o_orderstatus IN ('F', 'O') "
+        "AND c.c_nationkey BETWEEN 1 AND 5 AND c.c_acctbal + 1 > 2"
+    )
+    preds = q.predicates()
+    filters = Q.SimpleFilter.wrap_all(preds)
+    by_op = {f.operation: f for f in filters}
+    assert set(by_op) == {">", "IN", "BETWEEN"}  # the arithmetic one drops
+    assert by_op[">"].column.name == "c_acctbal"
+    assert [v.to_sql() for v in by_op["BETWEEN"].values] == ["1", "5"]
+    assert len(by_op["IN"].values) == 2
+
+    joins = Q.SimpleJoin.wrap_all(preds)
+    assert len(joins) == 1
+    assert {joins[0].lhs.name, joins[0].rhs.name} == {"c_custkey", "o_custkey"}
+    # simplify() = both views over all leaves
+    assert len(preds.simplify()) == len(filters) + len(joins)
+
+
+def test_simple_views_reject_modified_expressions():
+    from postbound_spark.plans import qal as Q
+
+    q = parse_query(
+        "SELECT * FROM customer c, orders o "
+        "WHERE upper(c.c_name) = 'X' AND c.c_custkey + 1 = o.o_custkey"
+    )
+    assert Q.SimpleFilter.wrap_all(q.predicates()) == []
+    assert Q.SimpleJoin.wrap_all(q.predicates()) == []
+    # cast-wrapping is tolerated (ref :3727: casts dropped)
+    q2 = parse_query(
+        "SELECT * FROM customer c WHERE CAST(c.c_acctbal AS int) > 10"
+    )
+    f = Q.SimpleFilter.wrap_all(q2.predicates())
+    assert len(f) == 1 and f[0].column.name == "c_acctbal"
+
+
+def test_predicate_visitor_dispatch():
+    from postbound_spark.plans import qal as Q
+
+    class Counter(Q.PredicateVisitor):
+        def __init__(self):
+            self.seen = []
+
+        def visit_binary(self, p):
+            self.seen.append("binary")
+
+        def visit_compound(self, p):
+            self.seen.append("compound")
+            for child in p.children:
+                child.accept_visitor(self)
+
+        def visit_between(self, p):
+            self.seen.append("between")
+
+    q = parse_query(
+        "SELECT * FROM customer c WHERE c.c_acctbal > 1 "
+        "AND c.c_nationkey BETWEEN 1 AND 2"
+    )
+    counter = Counter()
+    q.where.accept_visitor(counter)
+    assert counter.seen == ["compound", "binary", "between"]
+
+    # incomplete visitors fail loudly
+    class Empty(Q.PredicateVisitor):
+        pass
+
+    with pytest.raises(NotImplementedError):
+        q.where.accept_visitor(Empty())
