@@ -65,6 +65,7 @@ from postbound_spark.optimizer.native import (
     CatalystNativeOptimizer,
 )
 from postbound_spark.optimizer.stats import ColumnStats, EmulatedStatistics, NativeStatistics
+from postbound_spark.optimizer.pgdp import PostgresStyleDynProg
 from postbound_spark.optimizer.ues import UESJoinOrderOptimizer
 
 __all__ = [
@@ -99,6 +100,7 @@ __all__ = [
     "PlanNode",
     "PlannedQuery",
     "PlanParameterization",
+    "PostgresStyleDynProg",
     "PreciseCardinalities",
     "PreComputedCardinalities",
     "QuerySpec",

@@ -607,3 +607,97 @@ def test_tonic_trie_persistence_roundtrip(tmp_path, spec):
         json.dump(payload, fh)
     with pytest.raises(ValueError, match="version"):
         TonicOperatorSelection.load(path)
+
+
+# -- Postgres-style pathlist DP (ref opt/dynprog.py:536-1468) ---------------
+
+
+def _fixed_estimator(cards):
+    class Fixed:
+        def estimate_cardinality(self, spec, subset, tables):
+            return cards[frozenset(subset)]
+
+    return Fixed()
+
+
+def test_pgdp_add_path_pruning():
+    """add_path (ref :1181): dominated paths are rejected/evicted; a more
+    expensive but usefully-sorted path survives."""
+    from postbound_spark.optimizer.pgdp import Path, _add_path
+
+    t = JoinTree.leaf("a", 10)
+    paths = []
+    _add_path(paths, Path(t, cost=10.0))
+    _add_path(paths, Path(t, cost=20.0))  # dominated: pricier, no ordering
+    assert len(paths) == 1
+    _add_path(paths, Path(t, cost=15.0, sort_order=("k",)))  # sorted: keep
+    assert len(paths) == 2
+    _add_path(paths, Path(t, cost=5.0, sort_order=("k",)))  # dominates both
+    assert len(paths) == 1 and paths[0].cost == 5.0
+
+
+def test_pgdp_interesting_order_prefers_merge_join():
+    """With a required output ordering on the join key, the sorted
+    merge-join path must win even though hashing is cheaper locally —
+    the PG interesting-order payoff."""
+    from postbound_spark.optimizer.pgdp import PostgresStyleDynProg
+
+    spec = QuerySpec(
+        ("a", "b"),
+        (JoinEdge("a", "k", "b", "k"),),
+    )
+    cards = {
+        frozenset({"a"}): 1000.0,
+        frozenset({"b"}): 1000.0,
+        frozenset({"a", "b"}): 1000.0,
+    }
+    # broadcast infeasible (threshold below both sides) to sharpen the choice
+    dp_sorted = PostgresStyleDynProg(
+        _fixed_estimator(cards),
+        broadcast_threshold_rows=10,
+        required_ordering=("k",),
+    )
+    tree, assignment = dp_sorted.generate_execution_plan(spec, tables={})
+    assert assignment.operator_for(frozenset({"a", "b"})) is JoinOperator.SORT_MERGE
+
+    dp_unsorted = PostgresStyleDynProg(
+        _fixed_estimator(cards), broadcast_threshold_rows=10
+    )
+    _, a2 = dp_unsorted.generate_execution_plan(spec, tables={})
+    assert a2.operator_for(frozenset({"a", "b"})) is JoinOperator.SHUFFLE_HASH
+
+
+def test_pgdp_materialized_nl_for_tiny_inner():
+    """A tiny inner yields a materialized nested-loop path (ref
+    _create_materialize_path :1445) and records the persist marker."""
+    from postbound_spark.optimizer.pgdp import PostgresStyleDynProg
+
+    spec = QuerySpec(("big", "tiny"), (JoinEdge("big", "k", "tiny", "k"),))
+    cards = {
+        frozenset({"big"}): 1_000_000.0,
+        frozenset({"tiny"}): 2.0,
+        frozenset({"big", "tiny"}): 1_000_000.0,
+    }
+    dp = PostgresStyleDynProg(_fixed_estimator(cards))
+    tree, assignment = dp.generate_execution_plan(spec, tables={})
+    op = assignment.operator_for(frozenset({"big", "tiny"}))
+    assert op in (JoinOperator.BROADCAST_HASH, JoinOperator.BROADCAST_NL)
+    # the NL path exists in the enumeration and carries materialization
+    paths = [
+        p
+        for p in [dp.enumerate(spec, tables={})]
+    ]
+    assert paths[0].tree.tables() in (["big", "tiny"], ["tiny", "big"])
+
+
+def test_pgdp_plan_correct_end_to_end(spark, spec, tdfs):
+    """The chosen plan executes and matches the default-plan result (the
+    reference's optimizer-test invariant)."""
+    from postbound_spark.optimizer import PreciseCardinalities
+    from postbound_spark.optimizer.pgdp import PostgresStyleDynProg
+
+    dp = PostgresStyleDynProg(PreciseCardinalities())
+    tree, assignment = dp.generate_execution_plan(spec, tdfs)
+    assert sorted(tree.tables()) == sorted(TABLES_5)
+    df = compile_join_tree(tdfs, tree, list(spec.edges), assignment)
+    assert df.count() == _reference_result(tdfs)
