@@ -57,6 +57,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_components",
     "ann_cosine_topk",
     "ann_lsh_bucket_histogram",
     "ann_lsh_topk",
@@ -79,9 +80,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sql_natural_join",
     "sql_distinct_on",
     "sql_lateral_subquery",
+    # (sql_rollup stays registered but yields its window slot to
+    # dedup_components — CUBE + GROUPING SETS already prove the family)
     "sql_grouping_sets",
     "sql_cube",
-    "sql_rollup",
     "expr_window_frame",
     "expr_scalar_subquery",
     "expr_quantifier_all",

@@ -316,7 +316,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-_MINHASH_ORACLE = f"""
+_MINHASH_PAIRS_CTE = f"""
 WITH d AS (
   SELECT doc_id, {_SHINGLES} AS sh
   FROM (SELECT doc_id, {_WS_TOKS} AS ws FROM documents)
@@ -343,24 +343,17 @@ verified AS (
          CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
   FROM cand JOIN dd x ON x.doc_id = doc_a JOIN dd y ON y.doc_id = doc_b
-)
+)"""
+
+_MINHASH_ORACLE = f"""{_MINHASH_PAIRS_CTE}
 SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.3
 """
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH near-dup detection (the *scale* tier).
-
-    shingle -> 8-hash MinHash signature -> 4 bands × 2 rows -> band-key
-    equi-join for candidates -> exact Jaccard verification within
-    candidates. The only shuffles are (1) the explode+equi-join on band
-    keys and (2) the join back to shingle sets — both keyed joins, no
-    cross product anywhere. This is the pipeline shape that holds at
-    100 TB: signature computation is map-only; candidate generation
-    touches each doc ``bands`` times; verification touches only
-    colliding pairs.
-    """
+def _minhash_pairs(spark, sf_dir):
+    """Verified near-dup pairs (doc_a < doc_b, exact Jaccard >= 0.3) via
+    the MinHash-LSH pipeline — shared by the pair listing
+    (``dedup_minhash_lsh``) and the cluster builder (``dedup_components``)."""
     # shingle sets with staged materialization (see _shingle_sets); the
     # trailing exchange lets the signature stage read materialized arrays
     d = _shingle_sets(spark, sf_dir).repartition("doc_id")
@@ -395,8 +388,95 @@ def dedup_minhash_lsh(spark, sf_dir):
         .join(y, "doc_b")
         .select("doc_a", "doc_b", j.alias("j"))
         .filter(F.col("j") >= 0.3)
-        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
     )
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH near-dup detection (the *scale* tier).
+
+    shingle -> 8-hash MinHash signature -> 4 bands × 2 rows -> band-key
+    equi-join for candidates -> exact Jaccard verification within
+    candidates. The only shuffles are (1) the explode+equi-join on band
+    keys and (2) the join back to shingle sets — both keyed joins, no
+    cross product anywhere. This is the pipeline shape that holds at
+    100 TB: signature computation is map-only; candidate generation
+    touches each doc ``bands`` times; verification touches only
+    colliding pairs.
+    """
+    return _minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.round("j", 6).alias("jaccard")
+    )
+
+
+# the recursive reach CTE needs the RECURSIVE keyword on the WITH that
+# opens the whole chain (DuckDB binder rule)
+_COMPONENTS_ORACLE = f"""{_MINHASH_PAIRS_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE j >= 0.3),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@query("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components(spark, sf_dir):
+    """Duplicate *clusters* from near-dup pairs: connected components via
+    iterative min-label propagation (each doc labeled with the smallest
+    doc_id in its component — the canonical-representative choice a dedup
+    pipeline keeps).
+
+    The loop is the standard distributed CC pattern (Pregel-style): per
+    round one edge⋈label join + one min-groupBy — two keyed shuffles —
+    with ``localCheckpoint`` truncating lineage so round N's plan does not
+    replay rounds 1..N-1 (THE failure mode of naive iterative DataFrame
+    code at scale). Convergence in O(component diameter) rounds; near-dup
+    components are shallow (cliques + short chains), so the 15-round cap
+    is far above anything real. The driver sees only a per-round changed
+    count, never data. Oracle: DuckDB computes the same components with a
+    recursive CTE over the same pairs.
+    """
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _round in range(15):
+        neighbor_lbls = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_lbls)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("component")
+    ).orderBy("doc_id")
 
 
 @query(
