@@ -220,10 +220,14 @@ def _shingle_sets(spark, sf_dir):
 
     Staging matters: ``element_at(tokens, i)`` would otherwise inline the
     regex split of the whole text into *every* shingle position (~3 splits
-    per shingle — measured ~10× slowdown at fixture scale). One exchange of
-    the narrow token array buys shingle construction from a materialized
-    array. Same discipline at 100 TB: materialize reused derived columns at
-    stage boundaries; never let a scan-side expression fan out into a
+    per shingle — measured ~10× slowdown at fixture scale). ``persist()``
+    of the narrow token array buys shingle construction from a
+    materialized array WITHOUT a shuffle — the round-2 A/B (repartition vs
+    persist vs localCheckpoint vs none at sf0.1) measured persist ==
+    repartition warm-time while skipping the exchange entirely, and at
+    100 TB a full shuffle of token arrays is exactly the cost to avoid.
+    Same discipline at scale: materialize reused derived columns at stage
+    boundaries; never let a scan-side expression fan out into a
     per-position recompute.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -234,7 +238,7 @@ def _shingle_sets(spark, sf_dir):
         # substitute the whole shingle expression into it (measured 18×
         # slower than this equivalent pre-filter)
         .filter(F.size(F.col("toks")) >= 3)
-        .repartition("doc_id")
+        .persist()
     )
     return toks.select("doc_id", T.word_shingles(F.col("toks")).alias("sh"))
 
@@ -298,7 +302,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     the pairwise join here is a range cross join — fine at fixture scale,
     never executed globally on a real corpus.
     """
-    d = _shingle_sets(spark, sf_dir).repartition("doc_id")
+    d = _shingle_sets(spark, sf_dir).persist()
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     j = inter.cast("double") / (
@@ -355,14 +359,14 @@ def _minhash_pairs(spark, sf_dir):
     the MinHash-LSH pipeline — shared by the pair listing
     (``dedup_minhash_lsh``) and the cluster builder (``dedup_components``)."""
     # shingle sets with staged materialization (see _shingle_sets); the
-    # trailing exchange lets the signature stage read materialized arrays
-    d = _shingle_sets(spark, sf_dir).repartition("doc_id")
-    # materialize signatures behind an exchange: band-key extraction reads
-    # each signature element individually and would otherwise inline (and
-    # recompute) the full k-hash MinHash per band
+    # persist lets the signature stage read materialized arrays
+    d = _shingle_sets(spark, sf_dir).persist()
+    # materialize signatures too: band-key extraction reads each signature
+    # element individually and would otherwise inline (and recompute) the
+    # full k-hash MinHash per band
     sig = d.select(
         "doc_id", T.minhash_signature(F.col("sh"), 8).alias("sig")
-    ).repartition("doc_id")
+    ).persist()
     exploded = sig.select(
         "doc_id", F.explode(T.lsh_band_keys(F.col("sig"), 4, 2)).alias("bkey")
     )
@@ -503,11 +507,11 @@ def dedup_simhash(spark, sf_dir):
     MinHash-LSH but with a single integer as the signature. Map-only.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # materialize the token-hash array behind an exchange so the 16
-    # unrolled bit-tests read it instead of re-hashing per bit
+    # materialize the token-hash array so the 16 unrolled bit-tests read
+    # it instead of re-hashing per bit
     hashed = docs.select(
         "doc_id", T.token_hashes(T.tokens(F.col("text"))).alias("th")
-    ).repartition("doc_id")
+    ).persist()
     return hashed.select(
         "doc_id", T.simhash16_from_hashes(F.col("th")).alias("simhash")
     )
@@ -532,11 +536,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     generation that replaces the O(n²) join at scale.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # quantize + norm once per row behind an exchange boundary; the join
+    # quantize + norm once per row behind a persist boundary; the join
     # then only pays one integer dot product + one divide per pair.
     q = emb.select(
         "vec_id", V.quantize(F.col("embedding")).alias("qv")
-    ).select("vec_id", "qv", V.norm_q(F.col("qv")).alias("nrm")).repartition("vec_id")
+    ).select("vec_id", "qv", V.norm_q(F.col("qv")).alias("nrm")).persist()
     a, b = q.alias("a"), q.alias("b")
     c = V.dot_q(F.col("a.qv"), F.col("b.qv")).cast("double") / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -583,7 +587,7 @@ def ann_cosine_topk(spark, sf_dir):
     q = (
         emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
         .withColumn("nrm", V.norm_q(F.col("qv")))
-        .repartition("vec_id")
+        .persist()
     )
     qvec = q.filter(F.col("vec_id") == 0).select(
         F.col("qv").alias("query_qv"), F.col("nrm").alias("query_nrm")
@@ -633,7 +637,7 @@ def ann_lsh_bucket_histogram(spark, sf_dir):
     # materialized quantized array instead of inlining quantization 512×
     q = emb.select(
         "vec_id", V.quantize(F.col("embedding")).alias("qv")
-    ).repartition("vec_id")
+    ).persist()
     return (
         q.select(V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=8).alias("bucket"))
         .groupBy("bucket")
@@ -679,7 +683,7 @@ def ann_lsh_topk(spark, sf_dir):
     q = (
         emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
         .withColumn("nrm", V.norm_q(F.col("qv")))
-        .repartition("vec_id")
+        .persist()
     )
     b = q.withColumn("bucket", V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=8))
     qb = b.filter(F.col("vec_id") == 0).select(
@@ -899,7 +903,7 @@ def ann_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = (
         emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
-        .repartition("vec_id")
+        .persist()
     )
     cents = q.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
@@ -946,6 +950,108 @@ def ann_ivf_topk(spark, sf_dir):
         .orderBy(F.desc("c"), "vec_id")
         .limit(5)
         .select("vec_id", "label", "cluster", F.round("c", 6).alias("cosine"))
+    )
+
+
+def _assign_to_centroids(q, cent_arr):
+    """Map-only nearest-centroid assignment: fold over the broadcast
+    centroid array, strict-< keeps the smallest cid on ties (shared by the
+    static IVF probe and the k-means refinement)."""
+
+    def _d2(c):
+        return F.aggregate(
+            F.zip_with(F.col("qv"), c["cqv"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    argmin = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(1 << 62).cast("long").alias("d2"),
+            F.lit(-1).cast("long").alias("cid"),
+        ),
+        lambda acc, c: F.when(
+            _d2(c) < acc["d2"],
+            F.struct(_d2(c).alias("d2"), c["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    return (
+        q.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "qv", argmin["cid"].alias("cluster"))
+    )
+
+
+@query("ann_ivf_kmeans", oracle=None)  # iterative — rows-only driver check
+def ann_ivf_kmeans(spark, sf_dir):
+    """K-means refinement of the IVF coarse quantizer (Lloyd iterations) —
+    the "drops in without changing the dataflow" step ann_ivf_topk's
+    docstring promises.
+
+    Per iteration: (1) nearest-centroid assignment — map-only fold over
+    the ONE broadcast centroid row (identical plan to the static IVF
+    assignment); (2) centroid recomputation — posexplode the 16-dim
+    quantized vectors and average per (cluster, dimension), then
+    collect back to arrays: two keyed shuffles of (cluster, pos, val)
+    triples, never of documents. ``localCheckpoint`` truncates lineage per
+    round (iterative-DataFrame discipline). 3 iterations from the
+    deterministic seed (first 16 vectors); k-means over integer-quantized
+    vectors with floor-mean keeps every iteration exactly reproducible.
+    Output: per-cluster population + mean within-cluster distance, the
+    quantizer-quality metric an IVF index build reports. Genuinely
+    iterative -> no SQL oracle (driver records the rows-only check).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.select("vec_id", V.quantize(F.col("embedding")).alias("qv"))
+        .localCheckpoint()
+    )
+    cents = q.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+    )
+    cent_arr = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cqv"))).alias("cents")
+    )
+    for _ in range(3):
+        assigned = _assign_to_centroids(q, cent_arr)
+        # elementwise floor-mean per cluster: (cluster, pos, val) triples
+        new_cents = (
+            assigned.select("cluster", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.floor(F.avg("val")).cast("long").alias("mean"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mean"))
+                ).alias("dims")
+            )
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform(F.col("dims"), lambda s: s["mean"]).alias("cqv"),
+            )
+        )
+        cent_arr = new_cents.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cqv"))).alias("cents")
+        ).localCheckpoint()
+
+    final = _assign_to_centroids(q, cent_arr)
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cqv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cents_flat = cent_arr.select(
+        F.explode("cents").alias("c")
+    ).select(F.col("c.cid").alias("ccid"), F.col("c.cqv").alias("cqv"))
+    return (
+        final.join(F.broadcast(cents_flat), F.col("cluster") == F.col("ccid"))
+        .select("cluster", d2.alias("d2"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(F.sqrt(F.col("d2").cast("double"))), 2).alias("avg_dist"),
+        )
+        .orderBy("cluster")
     )
 
 
