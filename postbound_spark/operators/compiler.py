@@ -49,14 +49,26 @@ class _Compiler(ra.RelNodeVisitor):
         return df.alias(alias)
 
     def visit_tablefunction(self, node: ra.TableFunction) -> DataFrame:
-        if node.function != "range":
-            raise NotImplementedError(f"table function {node.function!r}")
         alias = node.alias or "t"
         inner = ", ".join(node.args)
-        # range() is Spark's TVF — a distributed generator, arguments may be
-        # constant-foldable expressions (e.g. the generate_series hi+1)
-        df = self.spark.sql(f"SELECT * FROM range({inner}) AS {alias}({node.column})")
-        return df.alias(alias)
+        if node.function == "range":
+            # range() is Spark's TVF — a distributed generator, arguments
+            # may be constant-foldable expressions (the generate_series hi+1)
+            sql = f"SELECT * FROM range({inner}) AS {alias}({node.column})"
+        elif node.function == "unnest":
+            # ANSI/Postgres unnest → Spark's explode TVF (same set-returning
+            # semantics; ref FunctionTableSource qal/_qal.py:6584). The IR
+            # keeps the Postgres ARRAY[...] literal spelling (DuckDB-ready);
+            # Spark spells it array(...)
+            import re as _re
+
+            inner = _re.sub(
+                r"\barray\[([^\]]*)\]", r"array(\1)", inner, flags=_re.I
+            )
+            sql = f"SELECT * FROM explode({inner}) AS {alias}({node.column})"
+        else:
+            raise NotImplementedError(f"table function {node.function!r}")
+        return self.spark.sql(sql).alias(alias)
 
     def visit_singlerow(self, node: ra.SingleRow) -> DataFrame:
         return self.spark.range(1).select()

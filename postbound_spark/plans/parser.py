@@ -423,10 +423,16 @@ class _Parser:
                     hi = exprs[-1]
                     name = "range"
                     exprs = [lo, Q.SqlExpression(f"{hi.to_sql()} + 1", hi.columns)]
+                elif name == "unnest":
+                    # set-returning array expansion (ref FunctionTableSource
+                    # :6584); compiles to Spark's explode TVF
+                    if len(exprs) != 1:
+                        raise UnsupportedSqlError("unnest(array) expects 1 argument")
                 elif name != "range":
                     raise UnsupportedSqlError(
                         f"table function {name!r} is not supported; use "
-                        "range()/generate_series() or the registry SQL path"
+                        "range()/generate_series()/unnest() or the registry "
+                        "SQL path"
                     )
                 return Q.FunctionTableSource(name, tuple(exprs), alias, cols)
             alias = None

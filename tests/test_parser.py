@@ -127,7 +127,7 @@ def test_query_spec_extraction():
     "sql",
     [
         "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r",
-        "SELECT * FROM unnest(array[1, 2, 3])",
+        "SELECT * FROM json_table(x, '$')",
         "SELECT * FROM a JOIN b USING (x)",
         "SELECT * FROM a LEFT JOIN b ON a.x = b.x, c",
     ],
@@ -337,6 +337,7 @@ SOURCE_CASES = [
     "SELECT t.x, t.x * t.x AS sq FROM range(1, 6) AS t(x) ORDER BY t.x",
     "SELECT 1 + 2 AS three",
     "SELECT count(*) AS n FROM range(0, 100) AS t(x) WHERE t.x % 7 = 0",
+    "SELECT t.x FROM unnest(array[3, 1, 2]) AS t(x) ORDER BY t.x",
 ]
 
 
