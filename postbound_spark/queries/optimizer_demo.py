@@ -99,3 +99,21 @@ def opt_forced_plan_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFr
     assignment.set_join_operator(frozenset(_TABLES), JoinOperator.BROADCAST_HASH)
     joined = compile_join_tree(tables, tree, edges, assignment)
     return _flagship_agg(joined)
+
+
+@query("opt_pgdp_regional_revenue", oracle=FLAGSHIP_ORACLE)
+def opt_pgdp_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregation planned by the Postgres-style pathlist DP
+    (optimizer/pgdp.py: add_path pruning, interesting orders, four costed
+    join families per pair) over precise cardinalities, enforced through
+    the standard hint path. Same invariant as every optimizer entry: the
+    chosen plan must hash-match the plain-SQL oracle."""
+    from postbound_spark.optimizer import PostgresStyleDynProg, PreciseCardinalities
+
+    tables = _filtered_tables(spark, sf_dir)
+    spec = QuerySpec(tuple(_TABLES), tuple(pk_fk_edges_for(_TABLES)))
+    tree, assignment = PostgresStyleDynProg(
+        PreciseCardinalities()
+    ).generate_execution_plan(spec, tables)
+    joined = compile_join_tree(tables, tree, list(spec.edges), assignment)
+    return _flagship_agg(joined)
