@@ -17,6 +17,17 @@ says "fits the broadcast threshold", we pin ``broadcast`` (keeping the plan
 deterministic for the bench); when it does not, we leave the side unhinted so
 Catalyst + AQE pick shuffle-hash / sort-merge with runtime sizes — the
 degradation path a 1000-executor cluster needs.
+
+Estimator bias, measured: without CBO column stats Catalyst's size
+propagation through joins multiplies row widths (a 2 MB 3-table dim bundle
+at sf0.1 estimates as ~1.6 TB), so JOINED build sides read as "too big"
+even when tiny. That error lands on the SAFE side — the join ships
+unhinted, and AQE's runtime re-plan converts it back to a broadcast join
+from the actual shuffle sizes (measured: q5's dim bundle executes as a
+broadcast join under AQE despite the inflated plan-time estimate). Base
+tables and post-filter scans estimate from file bytes and stay accurate.
+Feeding ``ANALYZE``-based CBO stats (optimizer/injection.py's Hive channel)
+tightens the plan-time numbers when an experiment needs them.
 """
 
 from __future__ import annotations

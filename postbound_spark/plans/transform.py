@@ -126,6 +126,47 @@ def add_where(query: SqlQuery, pred: AbstractPredicate) -> SqlQuery:
     return replace(query, where=new)
 
 
+def add_clause(query: SqlQuery, clause: str, value) -> SqlQuery:
+    """ref transform.py:833 — generic named-clause insertion. WHERE and
+    HAVING merge conjunctively with an existing predicate (the reference's
+    behavior for re-addable clauses); everything else replaces."""
+    if clause in ("where", "having"):
+        current = getattr(query, clause)
+        value = value if current is None else and_(current, value)
+    elif not hasattr(query, clause):
+        raise ValueError(f"unknown clause: {clause}")
+    return replace(query, **{clause: value})
+
+
+def explicit_to_implicit(query: SqlQuery) -> SqlQuery:
+    """ref transform.py:172 — JOIN … ON chains to comma FROM + WHERE.
+
+    The parser already normalizes INNER/CROSS joins inline; this standalone
+    rewrite handles queries carrying an explicit ``joins`` chain (from IR
+    construction or mutation). Only INNER/CROSS links are convertible —
+    outer/natural semantics cannot move into WHERE, matching the
+    reference's scope (it predates outer-join modeling too)."""
+    from postbound_spark.plans.qal import JoinType
+
+    if not query.joins:
+        return query
+    tables = list(query.from_tables)
+    preds = []
+    for j in query.joins:
+        if j.join_type is JoinType.INNER:
+            if j.condition is not None:
+                preds.append(j.condition)
+        elif j.join_type is not JoinType.CROSS:
+            raise ValueError(
+                f"{j.join_type.value} cannot be normalized to implicit form"
+            )
+        tables.append(j.source)
+    where = query.where
+    for p in preds:
+        where = p if where is None else and_(where, p)
+    return replace(query, from_tables=tuple(tables), joins=(), where=where)
+
+
 def drop_clause(query: SqlQuery, clause: str) -> SqlQuery:
     """ref transform.py:873 — clause by name: where/group_by/having/
     order_by/limit/offset/ctes."""

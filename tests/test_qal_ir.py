@@ -8,6 +8,8 @@ import pytest
 
 from postbound_spark.plans import qal as Q
 from postbound_spark.plans import transform as X
+from dataclasses import replace
+
 from postbound_spark.plans.parser import parse_query
 
 
@@ -302,3 +304,38 @@ def test_predicate_visitor_dispatch():
 
     with pytest.raises(NotImplementedError):
         q.where.accept_visitor(Empty())
+
+
+def test_add_clause_and_explicit_to_implicit():
+    """ref transform.py:833 add_clause / :172 explicit_to_implicit."""
+    q = parse_query("SELECT c_name FROM customer WHERE c_acctbal > 0")
+    q2 = X.add_clause(q, "limit", 5)
+    assert q2.limit == 5
+    q3 = X.add_clause(
+        q, "where",
+        Q.BinaryPredicate(Q.LogicalOperator.LT, Q.col("c_acctbal"), Q.lit(9)),
+    )
+    assert len(list(q3.where.iterpredicates())) == 2
+    with pytest.raises(ValueError):
+        X.add_clause(q, "not_a_clause", 1)
+
+    # inner joins built explicitly normalize; outer joins refuse
+    ex = Q.SqlQuery(
+        select=(Q.star(),),
+        from_tables=(Q.TableReference("customer", "c"),),
+        joins=(
+            Q.JoinedTable(
+                Q.JoinType.INNER,
+                Q.TableReference("orders", "o"),
+                Q.eq(Q.col("c_custkey", Q.TableReference("customer", "c")),
+                     Q.col("o_custkey", Q.TableReference("orders", "o"))),
+            ),
+        ),
+    )
+    im = X.explicit_to_implicit(ex)
+    assert not im.joins and len(im.from_tables) == 2 and im.where is not None
+
+    outer = replace(ex, joins=(Q.JoinedTable(Q.JoinType.LEFT, ex.joins[0].source,
+                                             ex.joins[0].condition),))
+    with pytest.raises(ValueError):
+        X.explicit_to_implicit(outer)
