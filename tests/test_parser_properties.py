@@ -148,3 +148,65 @@ def test_parser_preserves_predicate_structure(query):
     assert q1.limit == query.limit
     assert q1.distinct == query.distinct
     assert len(q1.order_by) == len(query.order_by)
+
+
+@st.composite
+def outer_join_query(draw):
+    """SqlQuery with an explicit outer-join chain (round-2 surface)."""
+    base = TABLES[0]
+    n_joins = draw(st.integers(1, 2))
+    joins = []
+    for i in range(1, n_joins + 1):
+        src = TABLES[i]
+        # a leading INNER/CROSS link normalizes into the implicit FROM (by
+        # design); only outer/natural links start an explicit chain
+        first_kinds = [
+            Q.JoinType.LEFT, Q.JoinType.RIGHT, Q.JoinType.FULL, Q.JoinType.NATURAL,
+        ]
+        later_kinds = first_kinds + [Q.JoinType.CROSS]
+        jt = draw(st.sampled_from(first_kinds if i == 1 else later_kinds))
+        cond = None
+        if not jt.natural and jt is not Q.JoinType.CROSS:
+            cond = Q.eq(
+                draw(column_expr([base])), draw(column_expr([src]))
+            )
+        joins.append(Q.JoinedTable(jt, src, cond))
+    select = (Q.BaseProjection(draw(column_expr([base])), "c0"),)
+    return Q.SqlQuery(select=select, from_tables=(base,), joins=tuple(joins))
+
+
+@settings(max_examples=80, deadline=None)
+@given(outer_join_query())
+def test_outer_join_fixpoint(query):
+    q1 = parse_query(query.to_sql())
+    q2 = parse_query(q1.to_sql())
+    assert q1 == q2
+    assert [j.join_type for j in q1.joins] == [j.join_type for j in query.joins]
+    assert q1.tables() == query.tables()
+
+
+@st.composite
+def distinct_on_query(draw):
+    base = TABLES[0]
+    key = draw(column_expr([base]))
+    tiebreak = draw(column_expr([base]))
+    return Q.SqlQuery(
+        select=(
+            Q.BaseProjection(key, "k"),
+            Q.BaseProjection(tiebreak, "v"),
+        ),
+        from_tables=(base,),
+        distinct_on=(key,),
+        order_by=(
+            Q.OrderByExpression(key, True, None),
+            Q.OrderByExpression(tiebreak, draw(st.booleans()), None),
+        ),
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(distinct_on_query())
+def test_distinct_on_fixpoint(query):
+    q1 = parse_query(query.to_sql())
+    assert parse_query(q1.to_sql()) == q1
+    assert len(q1.distinct_on) == 1 and not q1.distinct
