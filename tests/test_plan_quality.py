@@ -178,3 +178,16 @@ def test_selection_records_assignment(spark, sf_small):
     assert sel_tiny.choose(t["lineitem"], "lineitem") is JoinOperator.SORT_MERGE
     assert sel.assignment.operator_for(frozenset({"nation"})) is JoinOperator.BROADCAST_HASH
     assert sel_tiny.assignment.operator_for(frozenset({"lineitem"})) is JoinOperator.SORT_MERGE
+
+
+def test_aqe_recovers_broadcast_for_small_joined_builds(registry, spark, sf_small):
+    """The stats-driven selection leaves joined build sides unhinted when
+    Catalyst's inflated join-size estimate exceeds the threshold (see
+    optimizer/selection.py); this asserts the promised recovery actually
+    happens — after execution, AQE's final plan runs q5's dim-bundle join
+    as a broadcast join from the REAL runtime sizes."""
+    df = _build(registry, spark, sf_small, "q5_local_supplier_volume")
+    df.collect()  # AQE finalizes the plan during execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
