@@ -105,3 +105,71 @@ def plan_diff(a: JoinTree, b: JoinTree) -> dict[str, list[frozenset[str]]]:
         "only_right": sorted(ib - ia, key=sorted),
         "shared": sorted(ia & ib, key=sorted),
     }
+
+
+def connected_intermediates(
+    spec: QuerySpec, min_size: int = 2, max_size: int | None = None
+) -> list[frozenset[str]]:
+    """Every connected table subset of the join graph — the intermediate
+    relations a bottom-up optimizer enumerates (cross-product-free, ref
+    the DP prechecks opt/dynprog.py:92)."""
+    import itertools
+
+    names = sorted(spec.tables)
+    max_size = max_size or len(names)
+    edges = list(spec.edges)
+
+    def connected(subset: frozenset[str]) -> bool:
+        if len(subset) == 1:
+            return True
+        seen = {next(iter(subset))}
+        changed = True
+        while changed:
+            changed = False
+            for e in edges:
+                ts = e.tables()
+                if ts <= subset and (ts & seen) and not ts <= seen:
+                    seen |= ts
+                    changed = True
+        return seen == subset
+
+    out = []
+    for size in range(min_size, max_size + 1):
+        for combo in itertools.combinations(names, size):
+            s = frozenset(combo)
+            if connected(s):
+                out.append(s)
+    return out
+
+
+def qerror_report(
+    spec: QuerySpec,
+    estimator,
+    tables: dict[str, "DataFrame"],
+    truth=None,
+    max_size: int | None = None,
+) -> dict[frozenset[str], float]:
+    """Estimator-quality measurement — per-intermediate q-error of
+    ``estimator`` against ground truth (``PreciseCardinalities`` by
+    default): the experiment loop the reference's harness runs for every
+    cardinality-estimation paper (q-error metric ref ``_qep.py:1575``;
+    truth source ``opt/_cardinalities.py:20``).
+
+    Each truth value is one COUNT(*) DataFrame job over the joined
+    intermediate — bounded by ``max_size`` because truth for large
+    intermediates is itself the expensive part (same trade-off the
+    reference documents for PreciseCardinalities)."""
+    from postbound_spark.optimizer.cardinalities import PreciseCardinalities
+
+    truth = truth or PreciseCardinalities()
+    report: dict[frozenset[str], float] = {}
+    for subset in connected_intermediates(spec, max_size=max_size):
+        actual = truth.estimate_cardinality(spec, subset, tables)
+        est = estimator.estimate_cardinality(spec, subset, tables)
+        if math.isnan(est) or math.isnan(actual):
+            report[subset] = math.nan
+            continue
+        lo = max(min(est, actual), 1.0)
+        hi = max(est, actual, 1.0)
+        report[subset] = hi / lo
+    return report

@@ -701,3 +701,34 @@ def test_pgdp_plan_correct_end_to_end(spark, spec, tdfs):
     assert sorted(tree.tables()) == sorted(TABLES_5)
     df = compile_join_tree(tdfs, tree, list(spec.edges), assignment)
     assert df.count() == _reference_result(tdfs)
+
+
+def test_qerror_report_measures_estimator_quality(spark, spec, tdfs):
+    """The research loop's measurement: per-intermediate q-error vs precise
+    counts. A deliberate 10x distortion must read back as q-error == 10 on
+    every intermediate; the precise estimator reads 1.0."""
+    from postbound_spark.optimizer import PreciseCardinalities
+    from postbound_spark.optimizer.analysis import (
+        connected_intermediates,
+        qerror_report,
+    )
+    from postbound_spark.optimizer.cardinalities import CardinalityDistortion
+
+    small_spec = QuerySpec(
+        ("region", "nation", "customer"),
+        tuple(pk_fk_edges_for(["region", "nation", "customer"])),
+    )
+    inters = connected_intermediates(small_spec)
+    # chain r-n-c: {r,n}, {n,c}, {r,n,c} are connected; {r,c} is not
+    assert frozenset({"region", "nation"}) in inters
+    assert frozenset({"region", "customer"}) not in inters
+
+    perfect = qerror_report(small_spec, PreciseCardinalities(), tdfs)
+    assert perfect and all(q == 1.0 for q in perfect.values())
+
+    distorted = qerror_report(
+        small_spec, CardinalityDistortion(PreciseCardinalities(), 10.0), tdfs
+    )
+    # distortion scales by factor**(|intermediate|-1)
+    for subset, q in distorted.items():
+        assert abs(q - 10.0 ** (len(subset) - 1)) < 1e-6, (subset, q)
