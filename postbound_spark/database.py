@@ -63,3 +63,54 @@ class Database:
         from postbound_spark import optimizer
 
         return optimizer
+
+    def schema(self) -> "DatabaseSchema":
+        """ref ``DatabaseSchema`` db/_db.py:788 — table/column introspection
+        over the live catalog."""
+        return DatabaseSchema(self.spark)
+
+    def statistics(self, approximate: bool = False):
+        """ref ``DatabaseStatistics`` db/_db.py:1965 (emulated mode — the
+        same DataFrame-aggregate statistics the optimizer stages consume)."""
+        from postbound_spark.optimizer.stats import EmulatedStatistics
+
+        return EmulatedStatistics(self.spark, approximate=approximate)
+
+
+class DatabaseSchema:
+    """Catalog introspection (ref ``DatabaseSchema`` db/_db.py:788:
+    ``tables()``, ``columns()``, ``datatype()``; the reference resolves
+    against information_schema, here ``spark.catalog`` is the live source).
+    Primary/foreign keys come from the fixture sidecar — Spark has no
+    constraint catalog (SURVEY.md §7 risk note)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def tables(self) -> list[str]:
+        return sorted(t.name for t in self.spark.catalog.listTables())
+
+    def columns(self, table: str) -> list[str]:
+        return [c.name for c in self.spark.catalog.listColumns(table)]
+
+    def datatype(self, table: str, column: str) -> str:
+        """The backend's type string verbatim (ref ``datatype``
+        db/_db.py:1338)."""
+        for c in self.spark.catalog.listColumns(table):
+            if c.name == column:
+                return c.dataType
+        raise KeyError(f"{table}.{column}")
+
+    def primary_key(self, table: str) -> str | None:
+        from postbound_spark.catalog import PRIMARY_KEYS
+
+        return PRIMARY_KEYS.get(table)
+
+    def foreign_keys(self, table: str) -> dict[str, tuple[str, str]]:
+        from postbound_spark.catalog import FOREIGN_KEYS
+
+        return {
+            col: target
+            for (tab, col), target in FOREIGN_KEYS.items()
+            if tab == table
+        }

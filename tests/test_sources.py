@@ -75,3 +75,20 @@ def test_presets(spark, sf_small):
     assert len(counts) == 1  # all presets agree on results
     with pytest.raises(ValueError):
         apply_standard_settings(spark, "bogus")
+
+
+def test_database_schema_and_statistics_accessors(spark, sf_small):
+    """ref Database accessors: schema() (db/_db.py:788) and statistics()
+    (:1965) reachable from the facade."""
+    from postbound_spark.database import Database
+
+    db = Database(spark, sf_small)
+    schema = db.schema()
+    assert "nation" in schema.tables()
+    assert "n_name" in schema.columns("nation")
+    assert schema.datatype("nation", "n_nationkey") in ("bigint", "int", "long")
+    assert schema.primary_key("nation") == "n_nationkey"
+    fks = schema.foreign_keys("nation")
+    assert any(target[0] == "region" for target in fks.values())
+    stats = db.statistics()
+    assert stats.row_count(spark.table("nation")) == 25
