@@ -52,6 +52,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
+    "text_winnow_segments",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -80,10 +81,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sql_natural_join",
     "sql_distinct_on",
     "sql_lateral_subquery",
-    # (sql_rollup stays registered but yields its window slot to
-    # dedup_components — CUBE + GROUPING SETS already prove the family)
+    # (sql_rollup and sql_cube stay registered but yield their window slots
+    # to dedup_components / text_winnow_segments — GROUPING SETS is the
+    # general form of the family)
     "sql_grouping_sets",
-    "sql_cube",
     "expr_window_frame",
     "expr_scalar_subquery",
     "expr_quantifier_all",

@@ -209,6 +209,80 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform({_WS_TOKS}, x ->
+           CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS th
+  FROM documents
+),
+rh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(th) - 2), i ->
+           (((th[i] % 1000000007) * 17161)
+            + ((th[i+1] % 1000000007) * 131)
+            + (th[i+2] % 1000000007)) % 1000000007)) AS h
+  FROM t WHERE len(th) >= 3
+)
+SELECT h AS segment_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM rh WHERE h % 16 = 0
+GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, segment_hash
+LIMIT 100
+"""
+
+
+@query("text_winnow_segments", oracle=_WINNOW_ORACLE)
+def text_winnow_segments(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing-style): a polynomial
+    rolling hash over token 3-grams, keeping only anchor positions
+    (``h % 16 == 0`` — a content-defined ~1/16 sample, the Schleimer et
+    al. winnowing idea), then grouping anchors shared by >= 2 docs. This
+    is the segment-level dedup/decontamination primitive: two documents
+    sharing a long passage collide on its anchors even when the documents
+    differ elsewhere — the case whole-doc fingerprints and MinHash-over-
+    full-doc both miss.
+
+    Scale shape: hash + anchor selection are map-only column expressions
+    (mod arithmetic keeps every product inside 64-bit — exact on both
+    engines); the only shuffle carries (anchor_hash, doc_id) pairs,
+    already ~1/16th of the token stream. At 100 TB the anchor density
+    knob (the modulus) directly trades recall for shuffle volume.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    M = 1_000_000_007
+    toks = (
+        docs.select("doc_id", F.transform(T.tokens(F.col("text")), T.token_hash64).alias("th"))
+        .filter(F.size("th") >= 3)
+        .persist()
+    )
+    th = F.col("th")
+    rolled = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(th) - 3),
+                lambda i: (
+                    (th[i] % M) * 17161 + (th[i + 1] % M) * 131 + (th[i + 2] % M)
+                ) % M,
+            )
+        ).alias("h"),
+    )
+    return (
+        rolled.filter(F.col("h") % 16 == 0)
+        .groupBy(F.col("h").alias("segment_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "segment_hash")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
