@@ -38,6 +38,20 @@ def apply_standard_settings(spark: SparkSession, name: str) -> MultiStageOptimiz
         return MultiStageOptimizationPipeline(
             spark, join_ordering=CatalystNativeOptimizer(spark)
         )
+    if name == "pgdp":
+        # Postgres-style pathlist DP (pruned multi-path enumeration with
+        # interesting orders) over true cardinalities
+        from postbound_spark.optimizer.pgdp import PostgresStyleDynProg
+
+        class _PgdpOrdering:
+            def optimize_join_order(self, spec, tables):
+                tree, _assignment = PostgresStyleDynProg(
+                    PreciseCardinalities()
+                ).generate_execution_plan(spec, tables)
+                return tree
+
+        return MultiStageOptimizationPipeline(spark, join_ordering=_PgdpOrdering())
     raise ValueError(
-        f"unknown preset {name!r}; use ues | dp-precise | native | catalyst-native"
+        f"unknown preset {name!r}; use ues | dp-precise | pgdp | native | "
+        "catalyst-native"
     )

@@ -732,3 +732,12 @@ def test_qerror_report_measures_estimator_quality(spark, spec, tdfs):
     # distortion scales by factor**(|intermediate|-1)
     for subset, q in distorted.items():
         assert abs(q - 10.0 ** (len(subset) - 1)) < 1e-6, (subset, q)
+
+
+def test_pgdp_preset(spark, spec, tdfs):
+    from postbound_spark.optimizer.presets import apply_standard_settings
+
+    pipeline = apply_standard_settings(spark, "pgdp")
+    planned = pipeline.optimize_query(spec, tdfs)
+    assert sorted(planned.join_order.tables()) == sorted(TABLES_5)
+    assert planned.to_dataframe(tdfs).count() == _reference_result(tdfs)
