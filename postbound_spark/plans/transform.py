@@ -19,10 +19,13 @@ over :mod:`postbound_spark.plans.qal`:
   (ref ``:500``) / ``move_into_subquery`` (ref ``:519``);
 - ``as_explain`` / ``as_explain_analyze`` (ref ``:749``/``:772``).
 
-Not carried over: ``explicit_to_implicit`` (ref ``:172``) — this IR models
-the implicit comma-FROM form only, so every query is already implicit; and
-``drop_hints`` (ref ``:720``) — hints live outside the IR here, in
-``optimizer.hints`` assignments, where dropping is plain object surgery.
+- ``add_clause`` (ref ``:833``) and ``explicit_to_implicit`` (ref ``:172``,
+  for IR-built INNER/CROSS chains — the parser normalizes inline; outer
+  joins refuse, their semantics cannot move into WHERE).
+
+Not carried over: ``drop_hints`` (ref ``:720``) — hints live outside the IR
+here, in ``optimizer.hints`` assignments, where dropping is plain object
+surgery.
 
 All functions return new immutable queries; none touch Spark.
 """
@@ -189,11 +192,25 @@ def replace_clause(query: SqlQuery, **clauses) -> SqlQuery:
     return replace(query, **clauses)
 
 
+def _reject_explicit_joins(query: SqlQuery, op: str) -> None:
+    """FROM-rebuilding transforms predate the explicit-join chain; applying
+    them across an outer join would silently drop or re-associate the
+    joined sources, so they refuse instead (normalize inner chains with
+    :func:`explicit_to_implicit` first)."""
+    if query.joins:
+        raise ValueError(
+            f"{op} does not support queries with an explicit join chain; "
+            "apply explicit_to_implicit first (outer joins cannot be "
+            "restructured this way)"
+        )
+
+
 def rename_table(query: SqlQuery, old: str, new_alias: str) -> SqlQuery:
     """ref transform.py:2343 — re-alias one FROM entry (predicate SQL
     fragments referencing the old identifier are *not* rewritten — the
     reference rebinds its column objects; our fragments bind by alias, so
     renames are only valid before predicates reference the table)."""
+    _reject_explicit_joins(query, "rename_table")
     new_tables = tuple(
         replace(t, alias=new_alias) if t.identifier == old else t
         for t in query.from_tables
@@ -275,6 +292,7 @@ def merge_tables(query: SqlQuery, keep: str, merge: str) -> SqlQuery:
     re-bound to ``keep``, ``merge`` leaves the FROM list, and predicates
     that the rewrite turned into trivial self-equalities (``x = x``) are
     dropped."""
+    _reject_explicit_joins(query, "merge_tables")
     keep_ref = next(t for t in query.from_tables if t.identifier == keep)
 
     def rw(e: SqlExpression) -> SqlExpression:
@@ -314,6 +332,7 @@ def extract_query_fragment(query: SqlQuery, tables: Iterable[str]) -> SqlQuery:
     their FROM entries plus every WHERE leaf fully covered by them
     (table-free leaves — pure constants — are kept). Presentation and
     aggregation clauses do not survive fragment extraction."""
+    _reject_explicit_joins(query, "extract_query_fragment")
     wanted = {t.lower() for t in tables}
     from_tables = tuple(t for t in query.from_tables if t.identifier in wanted)
     if not from_tables:
@@ -352,6 +371,7 @@ def move_into_subquery(query: SqlQuery, table: str) -> SqlQuery:
     Catalyst then plans the CTE body as a filtered scan, i.e. the filters
     are applied "inside the subquery" exactly as the reference describes.
     """
+    _reject_explicit_joins(query, "move_into_subquery")
     target = next(t for t in query.from_tables if t.identifier == table)
     moved: list[AbstractPredicate] = []
     remaining = query

@@ -339,3 +339,21 @@ def test_add_clause_and_explicit_to_implicit():
                                              ex.joins[0].condition),))
     with pytest.raises(ValueError):
         X.explicit_to_implicit(outer)
+
+
+def test_from_rebuilding_transforms_reject_explicit_joins():
+    """rename_table/merge_tables/move_into_subquery/extract_query_fragment
+    refuse explicit join chains instead of silently dropping joined
+    sources."""
+    q = parse_query(
+        "SELECT n.n_name FROM nation n "
+        "LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey"
+    )
+    for fn, args in [
+        (X.rename_table, ("n", "nn")),
+        (X.merge_tables, ("n", "c")),
+        (X.move_into_subquery, ("n",)),
+        (X.extract_query_fragment, (["n"],)),
+    ]:
+        with pytest.raises(ValueError, match="explicit join chain"):
+            fn(q, *args)
