@@ -52,6 +52,7 @@ from postbound_spark.optimizer.stages import (
     TextbookOptimizationPipeline,
     NoJoinOrderOptimization,
     NoOperatorSelection,
+    CoutCostModel,
     OptimizationPreCheck,
     PhysicalOperatorSelection,
     PlannedQuery,
@@ -74,6 +75,7 @@ __all__ = [
     "CardinalityEstimator",
     "ColumnStats",
     "CostModel",
+    "CoutCostModel",
     "DynamicProgrammingEnumerator",
     "EmulatedStatistics",
     "CatalystCardinalityEstimator",

@@ -111,6 +111,40 @@ class CostModel(abc.ABC):
     def cost(self, tree: JoinTree, params: PlanParameterization) -> float: ...
 
 
+class CoutCostModel(CostModel):
+    """C_out — the sum of intermediate result cardinalities, the standard
+    research baseline cost function (what the textbook DP and most
+    cardinality-estimation papers optimize). Injected cardinalities in the
+    ``PlanParameterization`` take precedence; everything else falls back
+    to the configured estimator — so C_out costing composes directly with
+    the injection experiments (ref ``PlanParameterization.cardinalities``
+    `_hints.py:632`)."""
+
+    def __init__(
+        self,
+        spec: QuerySpec,
+        tables: dict[str, DataFrame],
+        estimator: "CardinalityEstimator",
+    ):
+        self.spec = spec
+        self.tables = tables
+        self.estimator = estimator
+
+    def cost(self, tree: JoinTree, params: PlanParameterization) -> float:
+        total = 0.0
+        for join in tree.joins():
+            subset = frozenset(join.tables())
+            card = params.cardinality_of(subset)
+            if math.isnan(card):
+                card = self.estimator.estimate_cardinality(
+                    self.spec, subset, self.tables
+                )
+            if math.isnan(card):
+                return math.nan
+            total += card
+        return total
+
+
 # -- identity defaults (ref opt/noopt.py:16-41) ----------------------------
 
 

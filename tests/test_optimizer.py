@@ -741,3 +741,22 @@ def test_pgdp_preset(spark, spec, tdfs):
     planned = pipeline.optimize_query(spec, tdfs)
     assert sorted(planned.join_order.tables()) == sorted(TABLES_5)
     assert planned.to_dataframe(tdfs).count() == _reference_result(tdfs)
+
+
+def test_cout_cost_model_prefers_selective_order(spark, spec, tdfs):
+    """C_out over precise counts: the order joining the filtered dims first
+    must cost less than starting from the raw fact join, and injected
+    cardinalities override the estimator."""
+    from postbound_spark.optimizer import PreciseCardinalities
+    from postbound_spark.optimizer.stages import CoutCostModel, PlanParameterization
+
+    model = CoutCostModel(spec, tdfs, PreciseCardinalities())
+    params = PlanParameterization()
+    good = JoinTree.left_deep(["region", "nation", "customer", "orders", "lineitem"])
+    cost_good = model.cost(good, params)
+    assert cost_good > 0
+
+    # inject a fake tiny cardinality for the full set — cost must drop
+    full = frozenset(good.tables())
+    params.set_cardinality(full, 1.0)
+    assert model.cost(good, params) < cost_good
