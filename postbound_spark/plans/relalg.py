@@ -17,10 +17,13 @@ via ``F.expr``). The reference models expressions as a parallel class tree
 and keeps the whole expression surface (CASE, CAST, windows, arrays,
 quantifiers, lambdas) available without re-implementation.
 
-An extension relative to the reference: a ``Limit`` node. The reference keeps
-LIMIT/OFFSET at the clause level only (relalg.py:24 mentions it but no node
-exists — SURVEY.md §2.1); having it as a node lets the compiler emit
-``df.limit``/``df.offset`` uniformly.
+Extensions relative to the reference's 16-node set: a ``Limit`` node (the
+reference keeps LIMIT/OFFSET at the clause level only — relalg.py:24
+mentions it but no node exists, SURVEY.md §2.1), ``Values`` /
+``TableFunction`` / ``SingleRow`` leaves for the FROM-source vocabulary,
+outer-join semantics on ``ThetaJoin`` (``how``) plus a ``NaturalJoin`` node
+(the reference's algebra is inner-only, relalg.py:1550 — the qal layer's
+JoinType needed a sub-clause representation here).
 """
 
 from __future__ import annotations
