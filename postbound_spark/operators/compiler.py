@@ -62,6 +62,15 @@ class _Compiler(ra.RelNodeVisitor):
             # Spark spells it array(...)
             import re as _re
 
+            if "'" in inner or inner.lower().count("array[") > 1:
+                # the flat rewrite cannot see through string literals or
+                # nested array constructors — refuse rather than emit
+                # corrupted SQL
+                raise NotImplementedError(
+                    "unnest over nested arrays or string-literal elements "
+                    "is not supported by the algebra path; use the registry "
+                    "SQL path"
+                )
             inner = _re.sub(
                 r"\barray\[([^\]]*)\]", r"array(\1)", inner, flags=_re.I
             )

@@ -63,9 +63,16 @@ class PhysicalOperatorAssignment:
     join_operators: dict[frozenset[str], JoinOperator] = field(default_factory=dict)
     scan_operators: dict[str, ScanOperator] = field(default_factory=dict)
     global_settings: dict[str, str] = field(default_factory=dict)
+    #: build-side subtrees to persist() before joining (the Spark analog of
+    #: the reference's Materialize operator, ``_core.py:444`` — enforced by
+    #: compile_join_tree)
+    materialize: set = field(default_factory=set)
 
     def set_join_operator(self, tables: frozenset[str], op: JoinOperator) -> None:
         self.join_operators[frozenset(tables)] = op
+
+    def set_materialize(self, tables: frozenset[str]) -> None:
+        self.materialize.add(frozenset(tables))
 
     def operator_for(self, joined: frozenset[str]) -> JoinOperator | None:
         return self.join_operators.get(frozenset(joined))
@@ -144,6 +151,10 @@ def compile_join_tree(
                     lt, lc, rt, rc = rt, rc, lt, lc
                 clause = F.col(f"{lt}.{lc}") == F.col(f"{rt}.{rc}")
                 cond = clause if cond is None else (cond & clause)
+        if frozenset(right_tables) in assignment.materialize:
+            # Materialize → persist (ref _core.py:444 mapping, SURVEY §2.7):
+            # the NL costing assumes the inner is computed once, so enforce it
+            right_df = right_df.persist()
         op = assignment.operator_for(frozenset(left_tables | right_tables))
         if op is None:
             op = injected_operator(right_tables)

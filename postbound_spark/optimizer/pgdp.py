@@ -28,9 +28,9 @@ both a copy and non-Spark-idiomatic. This module re-expresses the
   :class:`CardinalityEstimator` — the research knob stays pluggable.
 
 The winner compiles through the standard enforcement path
-(``compile_join_tree`` + hints); Materialize decisions surface in
-``PhysicalOperatorAssignment.global_settings`` as ``persist:<tables>``
-markers the executor applies.
+(``compile_join_tree`` + hints); Materialize decisions land in
+``PhysicalOperatorAssignment.materialize`` and compile_join_tree persists
+those build sides before joining.
 """
 
 from __future__ import annotations
@@ -269,7 +269,7 @@ class PostgresStyleDynProg(PlanEnumerator):
         for tables_set, op in best.operators:
             assignment.set_join_operator(tables_set, op)
         for mat in best.materialized:
-            assignment.global_settings[f"persist:{'+'.join(sorted(mat))}"] = "true"
+            assignment.set_materialize(mat)
         return best.tree, assignment
 
 

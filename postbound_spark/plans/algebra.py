@@ -293,10 +293,12 @@ class _Converter:
         for j in self.q.joins:
             tree = self._apply_explicit_join(tree, j)
 
-        # residual predicates (PostJoin phase)
+        # residual predicates (PostJoin phase) — substituted, so WHERE
+        # conditions over LATERAL count columns see coalesce(…, 0), not the
+        # null-extended raw column
         leftovers = pending + residual
         if leftovers:
-            tree = ra.Selection(tree, Q.and_(*leftovers).to_sql())
+            tree = ra.Selection(tree, self._subst(Q.and_(*leftovers).to_sql()))
 
         # IN/EXISTS subqueries → semi/anti joins
         for kind, pred in subquery_preds:
@@ -306,32 +308,37 @@ class _Converter:
             self._rewrite_consuming_clauses()
         return self._finish(tree)
 
+    def _subst(self, text: str) -> str:
+        for old, new in self.text_subs.items():
+            text = re.sub(rf"(?<![\w.]){re.escape(old)}(?![\w.(])", new, text)
+        return text
+
     def _rewrite_consuming_clauses(self):
         """Apply :attr:`text_subs` to SELECT/HAVING/ORDER BY texts, keeping
         the original output column name when a substitution would otherwise
         change it (Spark derives names from the expression text)."""
-
-        def subst(text: str) -> str:
-            for old, new in self.text_subs.items():
-                text = re.sub(
-                    rf"(?<![\w.]){re.escape(old)}(?![\w.(])", new, text
-                )
-            return text
-
         new_select = []
         for p in self.q.select:
-            new_text = subst(p.expr.sql)
+            new_text = self._subst(p.expr.sql)
             alias = p.alias
             if new_text != p.expr.sql and alias is None:
                 alias = _output_name(p.expr.sql)
             new_select.append(
                 Q.BaseProjection(Q.SqlExpression(new_text, p.expr.columns), alias)
             )
+        having = self.q.having
+        if having is not None:
+            having_sql = self._subst(having.to_sql())
+            if having_sql != having.to_sql():
+                having = Q.UnaryPredicate(
+                    Q.UnaryOperation.BARE, Q.SqlExpression(having_sql)
+                )
         self.q = self.q.with_clause(
             select=tuple(new_select),
+            having=having,
             order_by=tuple(
                 Q.OrderByExpression(
-                    Q.SqlExpression(subst(o.expr.sql), o.expr.columns),
+                    Q.SqlExpression(self._subst(o.expr.sql), o.expr.columns),
                     o.ascending,
                     o.nulls_first,
                 )

@@ -478,9 +478,10 @@ class _Parser:
             return None
 
         tables.append(one_source())
+        chain: list[tuple[Q.JoinType, object, Q.AbstractPredicate | None]] = []
         while True:
             if self.t.accept(","):
-                if explicit:
+                if chain:
                     # `FROM a LEFT JOIN b ON p, c` — re-rendering the comma
                     # item after the join chain would re-associate the joins;
                     # keep the modeled subset unambiguous
@@ -493,32 +494,40 @@ class _Parser:
             jt = join_type()
             if jt is None:
                 break
-            needs_on = jt in (Q.JoinType.INNER, Q.JoinType.LEFT,
-                              Q.JoinType.RIGHT, Q.JoinType.FULL)
-            if not explicit and jt in (Q.JoinType.INNER, Q.JoinType.CROSS):
-                # INNER/CROSS JOIN → implicit normalization, the reference's
-                # explicit_to_implicit rewrite (transform.py:172)
-                tables.append(one_source())
-                if jt is Q.JoinType.INNER:
-                    if self.t.peek_kw() == "using":
-                        raise UnsupportedSqlError(
-                            "JOIN ... USING is not modeled; spell the ON "
-                            "condition"
-                        )
-                    self.t.expect("on")
-                    join_preds.append(self._parse_predicate())
-                continue
-            # outer/natural links — and every later link in the same chain,
-            # where normalization into WHERE would change null semantics
             src = one_source()
             cond: Q.AbstractPredicate | None = None
-            if needs_on:
+            if jt in (Q.JoinType.INNER, Q.JoinType.LEFT,
+                      Q.JoinType.RIGHT, Q.JoinType.FULL):
                 if self.t.peek_kw() == "using":
                     raise UnsupportedSqlError(
                         "JOIN ... USING is not modeled; spell the ON condition"
                     )
                 self.t.expect("on")
                 cond = self._parse_predicate()
+            chain.append((jt, src, cond))
+
+        # Normalize the leading INNER/CROSS prefix into implicit form (the
+        # reference's explicit_to_implicit rewrite, transform.py:172) — but
+        # ONLY when no RIGHT/FULL link follows anywhere in the chain: those
+        # preserve their right side, so a WHERE-filter that null-evaluates
+        # on the null-extended rows would drop them (an ON condition keeps
+        # them). LEFT links preserve the accumulated left side, so filters
+        # on it commute and the normalization stays sound.
+        has_right_or_full = any(
+            jt in (Q.JoinType.RIGHT, Q.JoinType.FULL,
+                   Q.JoinType.NATURAL_RIGHT, Q.JoinType.NATURAL_FULL)
+            for jt, _src, _cond in chain
+        )
+        for jt, src, cond in chain:
+            if (
+                not explicit
+                and not has_right_or_full
+                and jt in (Q.JoinType.INNER, Q.JoinType.CROSS)
+            ):
+                tables.append(src)
+                if cond is not None:
+                    join_preds.append(cond)
+                continue
             explicit.append(Q.JoinedTable(jt, src, cond))
         return tables, join_preds, lifted, explicit
 

@@ -529,11 +529,29 @@ class SimpleFilter:
         if isinstance(predicate, BinaryPredicate):
             col = _as_plain_column(predicate.lhs)
             val = predicate.rhs
+            op = predicate.operation
             if col is None and (c2 := _as_plain_column(predicate.rhs)):
-                col, val = c2, predicate.lhs
+                # the view always reads `<column> <op> <value>`, so a
+                # literal-on-the-left comparison must mirror its operator
+                # (`100 > t.x` is `t.x < 100`, not `t.x > 100`)
+                mirror = {
+                    LogicalOperator.LT: LogicalOperator.GT,
+                    LogicalOperator.LE: LogicalOperator.GE,
+                    LogicalOperator.GT: LogicalOperator.LT,
+                    LogicalOperator.GE: LogicalOperator.LE,
+                    LogicalOperator.EQ: LogicalOperator.EQ,
+                    LogicalOperator.NE: LogicalOperator.NE,
+                    LogicalOperator.IS_DISTINCT_FROM: LogicalOperator.IS_DISTINCT_FROM,
+                    LogicalOperator.IS_NOT_DISTINCT_FROM: LogicalOperator.IS_NOT_DISTINCT_FROM,
+                }
+                if op not in mirror:
+                    # LIKE-family patterns are positional; a column used as
+                    # the pattern is not a simple filter
+                    raise ValueError(f"cannot simplify {predicate.to_sql()}")
+                col, val, op = c2, predicate.lhs, mirror[op]
             if col is None or not _is_static(val):
                 raise ValueError(f"cannot simplify {predicate.to_sql()}")
-            return SimpleFilter(predicate, col, predicate.operation.value, (val,))
+            return SimpleFilter(predicate, col, op.value, (val,))
         if isinstance(predicate, BetweenPredicate):
             col = _as_plain_column(predicate.expr)
             if col is None or not (

@@ -19,6 +19,13 @@ Scale design notes (each query's docstring adds specifics):
   prunes candidates by bucket equi-join first.
 - All hashing is md5-based and all vector math is integer-quantized so the
   DuckDB oracle reproduces results bit-for-bit (see functions/vectors.py).
+- Stage boundaries use ``persist()`` (measured equal to a repartition's
+  warm time with no shuffle). Caches are deliberately NOT unpersisted:
+  Spark's CacheManager matches rebuilt identical plans to existing
+  entries, which is what makes repeated runs warm. The cost is cache
+  accumulation over a long session — bounded here (MB-scale per query,
+  MEMORY_AND_DISK evicts under pressure); a production pipeline at corpus
+  scale would unpersist per stage or pin storage-memory fractions.
 """
 
 from __future__ import annotations
@@ -988,28 +995,8 @@ def ann_ivf_topk(spark, sf_dir):
     cent_arr = cents.agg(
         F.sort_array(F.collect_list(F.struct("cid", "cqv"))).alias("cents")
     )
-
-    def _d2(c):
-        return F.aggregate(
-            F.zip_with(F.col("qv"), c["cqv"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    argmin = F.aggregate(
-        F.col("cents"),
-        F.struct(
-            F.lit(1 << 62).cast("long").alias("d2"),
-            F.lit(-1).cast("long").alias("cid"),
-        ),
-        lambda acc, c: F.when(
-            _d2(c) < acc["d2"],
-            F.struct(_d2(c).alias("d2"), c["cid"].alias("cid")),
-        ).otherwise(acc),
-    )
-    clustered = (
-        q.crossJoin(F.broadcast(cent_arr))
-        .select("vec_id", "label", "qv", argmin["cid"].alias("cluster"))
+    clustered = _assign_to_centroids(q, cent_arr, extra_cols=("label",)).select(
+        "vec_id", "label", "qv", "cluster"
     )
     probe = clustered.filter(F.col("vec_id") == 0).select(
         F.col("cluster").alias("query_cluster"), F.col("qv").alias("query_qv")
@@ -1027,10 +1014,11 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
-def _assign_to_centroids(q, cent_arr):
-    """Map-only nearest-centroid assignment: fold over the broadcast
-    centroid array, strict-< keeps the smallest cid on ties (shared by the
-    static IVF probe and the k-means refinement)."""
+def _assign_to_centroids(q, cent_arr, extra_cols=()):
+    """Map-only nearest-centroid assignment, shared by the static IVF probe
+    and the k-means refinement: score every centroid ONCE via a transform
+    (struct of d2 + cid), then fold with strict-< so the smallest cid wins
+    distance ties. ``extra_cols`` pass through unchanged."""
 
     def _d2(c):
         return F.aggregate(
@@ -1039,20 +1027,21 @@ def _assign_to_centroids(q, cent_arr):
             lambda acc, v: acc + v,
         )
 
-    argmin = F.aggregate(
+    scored = F.transform(
         F.col("cents"),
+        lambda c: F.struct(_d2(c).alias("d2"), c["cid"].alias("cid")),
+    )
+    argmin = F.aggregate(
+        scored,
         F.struct(
             F.lit(1 << 62).cast("long").alias("d2"),
             F.lit(-1).cast("long").alias("cid"),
         ),
-        lambda acc, c: F.when(
-            _d2(c) < acc["d2"],
-            F.struct(_d2(c).alias("d2"), c["cid"].alias("cid")),
-        ).otherwise(acc),
+        lambda acc, s: F.when(s["d2"] < acc["d2"], s).otherwise(acc),
     )
     return (
         q.crossJoin(F.broadcast(cent_arr))
-        .select("vec_id", "qv", argmin["cid"].alias("cluster"))
+        .select("vec_id", *extra_cols, "qv", argmin["cid"].alias("cluster"))
     )
 
 

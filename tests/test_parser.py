@@ -375,3 +375,72 @@ def test_hint_block_roundtrip():
     assert "/*+ BROADCAST(n) */" in q.to_sql()
     assert drop_hints(q).hint is None
     assert add_hint(q, "MERGE(c)").hint == "MERGE(c)"
+
+
+def test_inner_join_stays_explicit_before_right_or_full():
+    """Normalizing a leading INNER join into WHERE is only sound when no
+    RIGHT/FULL link follows (their preserved side would be filtered by the
+    null-evaluating WHERE); such chains stay fully explicit."""
+    q = parse_query(
+        "SELECT * FROM a JOIN b ON a.x = b.x RIGHT JOIN c ON b.y = c.y"
+    )
+    assert len(q.from_tables) == 1
+    assert [j.join_type for j in q.joins] == [Q.JoinType.INNER, Q.JoinType.RIGHT]
+    assert q.where is None
+    assert parse_query(q.to_sql()) == q
+
+    # with only LEFT links downstream, normalization remains sound + applied
+    q2 = parse_query(
+        "SELECT * FROM a JOIN b ON a.x = b.x LEFT JOIN c ON b.y = c.y"
+    )
+    assert len(q2.from_tables) == 2 and len(q2.joins) == 1
+
+
+def test_right_join_after_inner_matches_duckdb(spark):
+    """Execution check for the normalization-soundness rule: c-only rows
+    null-extend through (a JOIN b) RIGHT JOIN c and must survive."""
+    import duckdb
+    import pandas as pd
+
+    a = pd.DataFrame({"x": [1, 2]})
+    b = pd.DataFrame({"x": [1], "y": [10]})
+    c = pd.DataFrame({"y": [10, 99]})
+    spark.createDataFrame(a).createOrReplaceTempView("ta")
+    spark.createDataFrame(b).createOrReplaceTempView("tb")
+    spark.createDataFrame(c).createOrReplaceTempView("tc")
+    con = duckdb.connect()
+    con.register("ta", a), con.register("tb", b), con.register("tc", c)
+
+    sql = ("SELECT tc.y AS cy, tb.x AS bx FROM ta "
+           "JOIN tb ON ta.x = tb.x RIGHT JOIN tc ON tb.y = tc.y "
+           "ORDER BY cy")
+    df = compile_plan(parse_relalg(parse_query(sql)), spark)
+    got = sorted(map(str, (tuple(r) for r in df.collect())))
+    want = sorted(map(str, con.execute(sql).fetchall()))
+    assert got == want  # includes the (99, None) null-extended row
+
+
+def test_lateral_count_filter_keeps_zero_groups(spark, sf_small):
+    """WHERE over a LATERAL count column must see coalesce(…, 0): outer
+    rows with no inner match filter as count 0, not NULL (Postgres
+    semantics; the DuckDB oracle agrees)."""
+    import duckdb
+
+    sql = (
+        "SELECT n.n_name, t.c AS n_rich FROM nation n, "
+        "LATERAL (SELECT count(*) AS c FROM customer c2 "
+        "WHERE c2.c_nationkey = n.n_nationkey AND c2.c_acctbal > 9999.5) t "
+        "WHERE t.c = 0 ORDER BY n.n_name"
+    )
+    tables = load_tables(spark, sf_small, ["nation", "customer"])
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, tables)
+    got = sorted(map(str, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    for name in ("nation", "customer"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_small}/{name}.parquet')"
+        )
+    want = sorted(map(str, con.execute(sql).fetchall()))
+    assert got == want and len(got) > 0

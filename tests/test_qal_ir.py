@@ -357,3 +357,20 @@ def test_from_rebuilding_transforms_reject_explicit_joins():
     ]:
         with pytest.raises(ValueError, match="explicit join chain"):
             fn(q, *args)
+
+
+def test_simple_filter_mirrors_literal_on_left():
+    """`100 > t.x` must read back as column < 100, not column > 100."""
+    from postbound_spark.plans import qal as Q
+
+    pred = Q.BinaryPredicate(
+        Q.LogicalOperator.GT, Q.lit(100), Q.col("x", Q.TableReference("t"))
+    )
+    f = Q.SimpleFilter.wrap(pred)
+    assert f.column.name == "x" and f.operation == "<"
+    assert f.values[0].to_sql() == "100"
+    # LIKE with the column as the pattern is not simplifiable
+    like = Q.BinaryPredicate(
+        Q.LogicalOperator.LIKE, Q.lit("%a%"), Q.col("x", Q.TableReference("t"))
+    )
+    assert not Q.SimpleFilter.can_wrap(like)
