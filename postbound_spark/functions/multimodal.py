@@ -83,7 +83,9 @@ def binary_features(df: DataFrame, payload_col: str = "payload", id_col: str = "
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[payload_col]
+            # NULL payloads arrive as None in the Arrow batch — treat as
+            # empty bytes (same null contract as resize/frame-sample)
+            payloads = pdf[payload_col].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -189,7 +191,10 @@ def sample_frames(
                 pdf[id_col], pdf[payload_col], pdf[duration_col]
             ):
                 base = int.from_bytes(payload[:7], "big") if payload else 0
-                n_frames = max(1, -(-int(duration) // interval_ms))
+                # a NULL duration arrives as NaN (pandas nullable-int
+                # promotion); sample a single frame like a zero duration
+                duration = 0 if pd.isna(duration) else int(duration)
+                n_frames = max(1, -(-duration // interval_ms))
                 for i in range(n_frames):
                     ids.append(int(doc_id))
                     idxs.append(i)

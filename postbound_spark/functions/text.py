@@ -100,8 +100,16 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     an *equi*-join on the band key — the scalable alternative to the O(n²)
     all-pairs comparison. The band key is the shuffle key, so skew only
     arises when one bucket captures a degenerate constant shingle set.
+
+    A NULL signature element (empty shingle set → ``array_min`` of an
+    empty array) yields an EMPTY key array instead of band keys:
+    ``concat_ws`` would silently skip the NULL and collapse every
+    shingle-less doc into one constant bucket, turning the candidate join
+    into an O(m²) cross product over all short documents. Such docs simply
+    never become candidates — the correct semantics (no shingles = nothing
+    to match on).
     """
-    return F.array(
+    keys = F.array(
         *[
             F.md5(
                 F.concat_ws(
@@ -116,6 +124,10 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
             for b in range(bands)
         ]
     )
+    return F.when(
+        F.element_at(signature, 1).isNull(),
+        F.array().cast("array<string>"),
+    ).otherwise(keys)
 
 
 def token_hashes(toks: Column) -> Column:

@@ -46,15 +46,19 @@ def pb_doc_hash(text: pd.Series) -> pd.Series:
     ).astype("Int64")
 
 
-def pb_xor_agg(values: pd.Series) -> int:
+def pb_xor_agg(values: pd.Series) -> int | None:
     """Aggregate (GROUPED_AGG) UDF: xor-fold of a bigint column.
 
     Order-independent and exact, so it hash-matches DuckDB's ``bit_xor``
     regardless of partitioning — the property to demand of any custom
-    aggregate that must survive distributed re-ordering.
-    """
+    aggregate that must survive distributed re-ordering. SQL aggregate
+    convention: an all-NULL (or empty) group yields NULL, not 0 — matching
+    ``bit_xor`` on every engine."""
+    non_null = values.dropna()
+    if non_null.empty:
+        return None
     acc = 0
-    for v in values.dropna():
+    for v in non_null:
         acc ^= int(v)
     return acc
 

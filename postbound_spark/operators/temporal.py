@@ -48,10 +48,19 @@ def asof_join(
 ) -> DataFrame:
     """Backward as-of join: left rows gain ``{prefix}{col}`` columns from
     the latest right row with ``right_ts <= left_ts`` on the same keys
-    (NULLs when no prior right row exists)."""
-    right_cols = right_cols or [
-        c for c in right.columns if c not in keys and c != right_ts
-    ]
+    (NULLs when no prior right row exists).
+
+    NULL semantics follow SQL ASOF joins (the DuckDB/kdb contract): right
+    rows with a NULL timestamp or NULL key can never match (``<=`` over
+    NULL is never true) and are excluded up front — otherwise NULLs would
+    sort first in the window and masquerade as "earliest" matches. Left
+    rows always survive; a NULL left timestamp simply matches nothing."""
+    if right_cols is None:  # an explicit [] means "timestamp only"
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    not_null = F.col(right_ts).isNotNull()
+    for k in keys:
+        not_null = not_null & F.col(k).isNotNull()
+    right = right.filter(not_null)
     payload = F.struct(
         F.col(right_ts).alias("__asof_ts"), *[F.col(c) for c in right_cols]
     )
@@ -70,10 +79,12 @@ def asof_join(
         *[F.col(t.name).alias(f"__l_{t.name}") for t in left.schema],
     )
     # right rows sort before left rows at equal timestamps (tag 0 < 1), so
-    # an exactly-simultaneous right row IS visible to the left row (>=)
+    # an exactly-simultaneous right row IS visible to the left row (>=);
+    # the payload struct joins the sort key so ties among right rows at
+    # the same (key, ts) resolve deterministically, not by partition order
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__tag")
+        .orderBy("__ts", "__tag", "__payload")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = (
@@ -102,16 +113,18 @@ def range_join_binned(
 ) -> DataFrame:
     """Point-in-interval range join via time-axis binning. ``point_col``,
     ``lo_col``, ``hi_col`` must be numeric (cast timestamps to epoch
-    first); ``bin_width`` in the same unit."""
-    p = points.withColumn(
-        "__bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
-    )
+    first); ``bin_width`` in the same unit.
+
+    Bin numbers use exact BIGINT integer division — float division here
+    would mis-bin epochs above 2^53 (nanosecond timestamps) and silently
+    drop boundary matches when point and interval disagree on the bin."""
+
+    def bin_of(col: str) -> Column:
+        return F.expr(f"CAST({col} AS BIGINT) div {int(bin_width)}")
+
+    p = points.withColumn("__bin", bin_of(point_col))
     i = intervals.withColumn(
-        "__bins",
-        F.sequence(
-            F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
-            F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
-        ),
+        "__bins", F.sequence(bin_of(lo_col), bin_of(hi_col))
     ).withColumn("__bin", F.explode("__bins")).drop("__bins")
     cond = [p["__bin"] == i["__bin"]] + [p[k] == i[k] for k in keys]
     joined = p.join(i, cond, "inner").filter(

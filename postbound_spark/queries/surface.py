@@ -97,7 +97,7 @@ def sql_fetch_first(spark, sf_dir):
 
 _ROLLUP_SQL = """
 SELECT n.n_name, c.c_mktsegment, count(*) AS n_customers,
-       round(sum(c.c_acctbal), 2) AS total_balance
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_balance
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
 """
@@ -142,7 +142,7 @@ FROM orders
 """
 
 
-@query("expr_cast", oracle=_CAST_SQL.replace("VARCHAR", "STRING") and _CAST_SQL)
+@query("expr_cast", oracle=_CAST_SQL)
 def expr_cast(spark, sf_dir):
     """CAST surface incl. NUMERIC(p,s) → DecimalType (ref: CastExpression,
     qal/_qal.py:359). floor/round first so double→int truncation-vs-round
@@ -803,8 +803,10 @@ def sql_left_outer_join(spark, sf_dir):
 
 _FULL_OUTER_SQL = """
 WITH big_spenders AS (
-    SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spent
-    FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 1000000
+    SELECT o_custkey AS custkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS spent
+    FROM orders GROUP BY o_custkey
+    HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
 ), rich AS (
     SELECT c_custkey AS custkey, c_acctbal
     FROM customer WHERE c_acctbal > 9900
