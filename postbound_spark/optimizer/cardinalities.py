@@ -22,15 +22,26 @@ from postbound_spark.optimizer.stages import CardinalityEstimator, QuerySpec
 
 
 class PreciseCardinalities(CardinalityEstimator):
-    """COUNT(*) over the actual intermediate join (ref ``opt/_cardinalities.py:20``)."""
+    """COUNT(*) over the actual intermediate join (ref ``opt/_cardinalities.py:20``).
+
+    The memo key includes the join edges AND the identity of the input
+    DataFrames — the same instance is commonly reused across queries (e.g.
+    the dp-precise preset), and two queries can pass the same table NAMES
+    with different filters applied; a name-set-only key would replay the
+    first query's counts as "ground truth" for the second."""
 
     def __init__(self):
-        self._cache: dict[frozenset[str], float] = {}
+        self._cache: dict[tuple, float] = {}
 
     def estimate_cardinality(
         self, spec: QuerySpec, intermediate: frozenset[str], tables: dict[str, DataFrame]
     ) -> float:
-        key = frozenset(intermediate)
+        key = (
+            frozenset(intermediate),
+            tuple(sorted(map(str, spec.edges))),
+            tuple(sorted((name, id(df)) for name, df in tables.items()
+                         if name in intermediate)),
+        )
         if key not in self._cache:
             tree = JoinTree.left_deep(sorted(intermediate))
             df = compile_join_tree(tables, tree, list(spec.edges))

@@ -38,9 +38,22 @@ from postbound_spark.optimizer.stages import (
 
 
 class DynamicProgrammingEnumerator(JoinOrderOptimization):
-    def __init__(self, cardinality_estimator: CardinalityEstimator, bushy: bool = True):
+    """``cost_model=None`` optimizes C_out (the textbook default). An
+    external :class:`CostModel` is applied to every candidate subtree with
+    its intermediate cardinalities injected as ``PlanParameterization`` —
+    note the usual caveat: DP is only guaranteed optimal for cost functions
+    with optimal substructure; an arbitrary model makes this a best-effort
+    heuristic over the DP's candidate space."""
+
+    def __init__(
+        self,
+        cardinality_estimator: CardinalityEstimator,
+        bushy: bool = True,
+        cost_model=None,
+    ):
         self.estimator = cardinality_estimator
         self.bushy = bushy
+        self.cost_model = cost_model
 
     def optimize_join_order(self, spec: QuerySpec, tables: dict[str, DataFrame]) -> JoinTree:
         names = sorted(spec.tables)
@@ -79,8 +92,19 @@ class DynamicProgrammingEnumerator(JoinOrderOptimization):
                     if not connected(left, right):
                         continue  # never enumerate cross products (ref :92)
                     out_rows = cardinality(subset)
-                    cost = best[left][0] + best[right][0] + out_rows
                     tree = JoinTree.join(best[left][1], best[right][1], out_rows)
+                    if self.cost_model is None:
+                        cost = best[left][0] + best[right][0] + out_rows
+                    else:
+                        from postbound_spark.optimizer.stages import (
+                            PlanParameterization,
+                        )
+
+                        params = PlanParameterization()
+                        for j in tree.joins():
+                            key = frozenset(j.tables())
+                            params.set_cardinality(key, cardinality(key))
+                        cost = self.cost_model.cost(tree, params)
                     candidates.append((cost, tree))
                 if candidates:
                     best[subset] = min(candidates, key=lambda ct: (ct[0], str(ct[1])))
@@ -125,7 +149,7 @@ class SelingerPlanEnumerator(PlanEnumerator):
         )
 
         tree = DynamicProgrammingEnumerator(
-            cardinality_estimator
+            cardinality_estimator, cost_model=cost_model
         ).optimize_join_order(spec, tables)
         assignment = PhysicalOperatorAssignment()
         for join in tree.joins():

@@ -262,6 +262,11 @@ class PostgresStyleDynProg(PlanEnumerator):
         cost_model=None,
         cardinality_estimator: CardinalityEstimator | None = None,
     ):
+        if cost_model is not None:
+            raise NotImplementedError(
+                "PostgresStyleDynProg embeds its own per-family cost "
+                "factors; pass cost_model=None"
+            )
         if cardinality_estimator is not None:
             self.estimator = cardinality_estimator
         best = self.enumerate(spec, tables)

@@ -219,6 +219,13 @@ def _physical_tree_with_tables(df: DataFrame):
             return convert(jnode.plan())
         if "Scan" in name or "Relation" in name:
             m = table_re.search(jnode.toString().splitlines()[0])
+            if m is None and "InMemory" in name:
+                # cached tables (persist/prewarm) hide the file path behind
+                # an InMemoryTableScan; the cached plan still carries it
+                try:
+                    m = table_re.search(jnode.relation().cachedPlan().toString())
+                except Exception:
+                    m = None
             return ("scan", m.group(1) if m else name, [])
         return (name, None, [convert(c) for c in _jseq(jnode.children())])
 

@@ -171,7 +171,13 @@ class PlannedQuery:
     parameters: PlanParameterization
 
     def to_dataframe(self, tables: dict[str, DataFrame]) -> DataFrame:
-        return compile_join_tree(tables, self.join_order, list(self.spec.edges), self.operators)
+        return compile_join_tree(
+            tables,
+            self.join_order,
+            list(self.spec.edges),
+            self.operators,
+            parameters=self.parameters,
+        )
 
 
 class MultiStageOptimizationPipeline:

@@ -74,12 +74,17 @@ class QepsNode:
         return node
 
 
-def _prefix_steps(join_order: JoinTree) -> list[tuple[str, frozenset[str]]]:
+def _prefix_steps(
+    join_order: JoinTree, start: str | None = None
+) -> list[tuple[str, frozenset[str]]]:
     """(next-table, joined-set-after) per join, in build order. Bushy trees
     are linearized by their post-order join sequence (the reference's trie
-    is likewise prefix-sequence-keyed)."""
+    is likewise prefix-sequence-keyed). ``start`` seeds the joined set so
+    the first join keys by the table that ENTERED, never the start table
+    itself (``sorted()[-1]`` previously collided distinct first joins when
+    the start table sorted last)."""
     steps: list[tuple[str, frozenset[str]]] = []
-    seen: set[str] = set()
+    seen: set[str] = {start} if start is not None else set()
     for join in join_order.joins():
         tables = set(join.tables())
         new = sorted(tables - seen)
@@ -106,7 +111,7 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
         node = self.root
         start = join_order.tables()[0]
         node = node.children.setdefault(start, QepsNode())
-        for table, joined in _prefix_steps(join_order):
+        for table, joined in _prefix_steps(join_order, start):
             node = node.children.setdefault(table, QepsNode())
             op = operators.get(joined)
             if op is not None and joined in costs:
@@ -118,10 +123,11 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
         self, spec: QuerySpec, join_order: JoinTree
     ) -> PhysicalOperatorAssignment:
         assignment = PhysicalOperatorAssignment()
-        node = self.root.children.get(join_order.tables()[0])
+        start = join_order.tables()[0]
+        node = self.root.children.get(start)
         if node is None:
             return assignment  # unseen prefix — defer to Catalyst
-        for table, joined in _prefix_steps(join_order):
+        for table, joined in _prefix_steps(join_order, start):
             node = node.children.get(table)
             if node is None:
                 break  # prefix diverges from everything learned
@@ -133,7 +139,7 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
     # -- persistence: the train -> save -> load -> replay loop survives
     #    sessions (ref QEP-S serialization, opt/tonic.py:196-1019) ----------
 
-    FORMAT_VERSION = 1
+    FORMAT_VERSION = 2  # v2: first-join trie keys fixed (no start-table collision)
 
     def save(self, path: str) -> None:
         """Write the trie as JSON (atomic: temp file + rename, so a crashed

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.statistics.histogram.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # fixture events.parquet may carry TIMESTAMP(NANOS); set the read
+        # flag once at creation so the catalog/streaming readers never
+        # mutate shared session state mid-flight (their own sets become
+        # idempotent re-sets of the same value)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # FAIR lets concurrently-submitted queries (ParallelQueryExecutor)
         # share executors instead of head-of-line blocking behind the first
         # query's stages; single-query workloads are unaffected.

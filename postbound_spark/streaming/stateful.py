@@ -86,16 +86,24 @@ def make_sessionizer(
 
         start_us, end_us, n = state.get if state.exists else (None, None, 0)
         closed: list[tuple[int, int, int]] = []
-        for pdf in pdfs:
-            for ts in sorted(pdf["ts"]):
-                ts_us = int(pd.Timestamp(ts).value // 1000)
-                if start_us is None:
-                    start_us, end_us, n = ts_us, ts_us, 1
-                elif ts_us - end_us > gap_ms * 1000:
-                    closed.append((start_us, end_us, n))
-                    start_us, end_us, n = ts_us, ts_us, 1
-                else:
-                    end_us, n = ts_us, n + 1
+        # sort across ALL Arrow chunks — per-chunk order is not global
+        # order for groups larger than maxRecordsPerBatch, and a regressed
+        # end_us would corrupt the session boundary and its timeout
+        all_ts = sorted(
+            int(pd.Timestamp(ts).value // 1000) for pdf in pdfs for ts in pdf["ts"]
+        )
+        for ts_us in all_ts:
+            if start_us is None:
+                start_us, end_us, n = ts_us, ts_us, 1
+            elif ts_us - end_us > gap_ms * 1000:
+                closed.append((start_us, end_us, n))
+                start_us, end_us, n = ts_us, ts_us, 1
+            else:
+                # min/max accumulation: a late in-watermark event inside
+                # the gap extends the session, never rewinds it
+                start_us = min(start_us, ts_us)
+                end_us = max(end_us, ts_us)
+                n += 1
         if start_us is not None:
             state.update((start_us, end_us, n))
             # flush once no in-watermark event can extend the session;

@@ -77,18 +77,23 @@ def windowed_event_counts(
 
 
 def run_available_now(
-    result: DataFrame, query_name: str | None = None, output_mode: str = "complete"
+    result: DataFrame, query_name: str | None = None, output_mode: str | None = None
 ) -> DataFrame:
     """Drain the stream with ``Trigger.AvailableNow`` into a memory sink and
     return the materialized result as a batch DataFrame.
 
-    Complete mode re-emits every window once the backlog drains; update
-    mode (stateful operators) emits only changed/closed groups. Finite
-    fixture ⇒ deterministic either way. Checkpoints live in a throwaway
+    ``output_mode`` defaults per plan shape: ``complete`` for aggregating
+    streams (re-emits every window once the backlog drains), ``append``
+    otherwise — Spark rejects complete mode on append-only plans like
+    ``dedup_stream``/``stream_stream_join``, so a fixed default would
+    crash half this module's operators. Checkpoints live in a throwaway
     temp dir — a real deployment points this at durable storage for
     exactly-once restart.
     """
     spark = result.sparkSession
+    if output_mode is None:
+        analyzed = result._jdf.queryExecution().analyzed().toString()
+        output_mode = "complete" if "Aggregate" in analyzed else "append"
     name = query_name or f"avail_now_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (

@@ -229,6 +229,26 @@ class ExecutionResult:
     error: str | None = None
 
 
+_REGISTERED_VIEWS: set[tuple[int, str]] = set()
+_REGISTER_LOCK = threading.Lock()
+
+
+def _ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register fixture views once per (session, sf_dir) — re-registering
+    all tables inside every timed execution inflated exec_time with
+    repeated parquet footer reads, and raced sibling threads in the
+    parallel executor."""
+    from postbound_spark.catalog import register_views
+
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED_VIEWS:
+        return
+    with _REGISTER_LOCK:
+        if key not in _REGISTERED_VIEWS:
+            register_views(spark, sf_dir)
+            _REGISTERED_VIEWS.add(key)
+
+
 def _run_one(
     spark: SparkSession,
     label: str,
@@ -239,8 +259,6 @@ def _run_one(
     preparation: "QueryPreparation | None" = None,
     scheduler_pool: str | None = None,
 ) -> tuple[str, float, float, int, str | None]:
-    from postbound_spark.catalog import register_views
-
     group = f"bench-{label}-{time.monotonic_ns()}"
     sc = spark.sparkContext
     outcome: dict[str, object] = {}
@@ -263,20 +281,27 @@ def _run_one(
                 from postbound_spark.plans.algebra import parse_relalg
                 from postbound_spark.plans.parser import parse_query
 
-                register_views(spark, sf_dir)
+                _ensure_views(spark, sf_dir)
                 opt_start = time.perf_counter()
                 tree = parse_relalg(parse_query(item))
                 outcome["opt_time"] = time.perf_counter() - opt_start
                 df = compile_plan(tree, spark, None)
             else:
-                register_views(spark, sf_dir)
+                _ensure_views(spark, sf_dir)
                 df = spark.sql(item)
-            if preparation is not None and preparation.explain:
+            if (
+                preparation is not None
+                and preparation.explain
+                and not preparation.analyze
+            ):
                 # EXPLAIN preparation: plan only, no execution
                 # (ref bench.py:149 / transform.py:749 as_explain)
                 outcome["n_rows"] = 0
                 df.explain("formatted")
             else:
+                # plain execution; with explain+analyze this is the
+                # EXPLAIN ANALYZE combination (run, then the executed plan
+                # carries actuals via optimizer.qep.executed_plan)
                 outcome["n_rows"] = len(df.collect())
         except Exception as exc:  # noqa: BLE001 — cancelled jobs raise generically
             outcome["error"] = f"{type(exc).__name__}: {exc}"
@@ -376,13 +401,18 @@ class ParallelQueryExecutor:
         n_threads: int = 4,
         timeout_s: float | None = None,
         native: bool = False,
+        preparation: "QueryPreparation | None" = None,
     ) -> None:
         from concurrent.futures import ThreadPoolExecutor
+
+        if preparation is not None and preparation.prewarm:
+            preparation.prewarm_now(spark, sf_dir)
 
         self._spark = spark
         self._sf_dir = sf_dir
         self._timeout_s = timeout_s
         self._native = native
+        self._preparation = preparation
         self._pool = ThreadPoolExecutor(
             max_workers=n_threads, thread_name_prefix="pbs-parallel"
         )
@@ -392,7 +422,7 @@ class ParallelQueryExecutor:
     def _work(self, label: str, item) -> ExecutionResult:
         status, elapsed, opt_time, n_rows, error = _run_one(
             self._spark, label, item, self._sf_dir, self._timeout_s,
-            self._native, scheduler_pool=f"pbs-{label}",
+            self._native, self._preparation, scheduler_pool=f"pbs-{label}",
         )
         return ExecutionResult(
             label=label,
@@ -411,14 +441,25 @@ class ParallelQueryExecutor:
         self._futures[label] = self._pool.submit(self._work, label, item)
 
     def drain_queue(self, timeout: float | None = None) -> dict[str, ExecutionResult]:
-        """Block until every queued query finished; merge into
-        ``self.results`` and return the batch's results."""
+        """Block until every queued query finished (or ``timeout`` seconds
+        elapse); merge finished results into ``self.results`` and return
+        them. Queries still running at the deadline STAY queued — they are
+        returned by a later drain, never blocked on past the timeout."""
         from concurrent.futures import wait
 
         pending = dict(self._futures)
         self._futures = {}
-        wait(list(pending.values()), timeout=timeout)
-        batch = {label: fut.result() for label, fut in pending.items()}
+        done, _not_done = wait(list(pending.values()), timeout=timeout)
+        batch = {
+            label: fut.result()
+            for label, fut in pending.items()
+            if fut in done
+        }
+        # re-track unfinished futures so the timeout contract holds and
+        # nothing becomes an orphan
+        self._futures.update(
+            {label: fut for label, fut in pending.items() if fut not in done}
+        )
         self.results.update(batch)
         return batch
 

@@ -760,3 +760,51 @@ def test_cout_cost_model_prefers_selective_order(spark, spec, tdfs):
     full = frozenset(good.tables())
     params.set_cardinality(full, 1.0)
     assert model.cost(good, params) < cost_good
+
+
+def test_tonic_first_join_keys_do_not_collide():
+    """Trie keys for the first join must name the entrant table, not the
+    start table: learning for {c,a} must not contaminate {c,b}."""
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+    tonic = TonicOperatorSelection()
+    ca, cb = JoinTree.left_deep(["c", "a"]), JoinTree.left_deep(["c", "b"])
+    tonic.record_plan(ca, {frozenset({"c", "a"}): JoinOperator.SORT_MERGE},
+                      {frozenset({"c", "a"}): 1.0})
+    tonic.record_plan(cb, {frozenset({"c", "b"}): JoinOperator.SHUFFLE_HASH},
+                      {frozenset({"c", "b"}): 1.0})
+    spec_ca = QuerySpec(("c", "a"), ())
+    spec_cb = QuerySpec(("c", "b"), ())
+    rec_ca = tonic.select_physical_operators(spec_ca, ca)
+    rec_cb = tonic.select_physical_operators(spec_cb, cb)
+    assert rec_ca.operator_for(frozenset({"c", "a"})) is JoinOperator.SORT_MERGE
+    assert rec_cb.operator_for(frozenset({"c", "b"})) is JoinOperator.SHUFFLE_HASH
+
+
+def test_planned_query_enforces_injected_parameters(spec, tdfs):
+    """PlannedQuery.to_dataframe must hand its PlanParameterization to the
+    compiler — injected intermediate cardinalities change the physical
+    plan through the pipeline artifact, not only via direct calls."""
+    from postbound_spark.optimizer.stages import (
+        NoOperatorSelection,
+        PlannedQuery,
+        PlanParameterization,
+    )
+
+    sub = QuerySpec(("customer", "orders", "lineitem"),
+                    tuple(pk_fk_edges_for(["customer", "orders", "lineitem"])))
+    tree = JoinTree.join(
+        JoinTree.leaf("lineitem"),
+        JoinTree.join(JoinTree.leaf("orders"), JoinTree.leaf("customer")),
+    )
+    t = {n: tdfs[n] for n in sub.tables}
+
+    def planned_with(card):
+        params = PlanParameterization()
+        params.set_cardinality(frozenset({"orders", "customer"}), card)
+        return PlannedQuery(sub, tree, NoOperatorSelection().select_physical_operators(sub, tree), params)
+
+    tiny = planned_with(10.0).to_dataframe(t)._jdf.queryExecution().executedPlan().toString()
+    huge = planned_with(1e9).to_dataframe(t)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in tiny
+    assert "SortMergeJoin" in huge
