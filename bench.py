@@ -51,8 +51,12 @@ def main() -> None:
     from postbound_spark.session import get_spark
 
     registry = load_all()
-    names = [n for n in HEADLINE if n in registry]
-    # include any later-registered headline-worthy queries marked in registry
+    missing = [n for n in HEADLINE if n not in registry]
+    if missing:
+        # a silently-shrinking headline set would read as a spurious
+        # speedup against BASELINE.md — renames must update HEADLINE too
+        raise KeyError(f"headline queries missing from registry: {missing}")
+    names = list(HEADLINE)
     spark = get_spark("postbound-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -27,13 +27,35 @@ def simplify_result(rows: list[tuple]) -> object:
     return [tuple(r) for r in rows]
 
 
-class Database:
-    """Thin execution facade over a SparkSession + fixture catalog."""
+#: session id -> sf_dir whose views are registered (temp views are
+#: session-global, so two Database instances with different dirs would
+#: silently re-point each other's queries)
+_BOUND_DIRS: dict[int, str] = {}
 
-    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+
+class Database:
+    """Thin execution facade over a SparkSession + fixture catalog.
+
+    Temp views are SESSION-scoped: one SparkSession binds to one
+    ``sf_dir``. A second instance with a different dir raises instead of
+    silently re-pointing every earlier instance's table names at the new
+    data (use separate sessions, or ``rebind=True`` to move the session
+    deliberately)."""
+
+    def __init__(
+        self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, rebind: bool = False
+    ):
+        bound = _BOUND_DIRS.get(id(spark))
+        if bound is not None and bound != sf_dir and not rebind:
+            raise ValueError(
+                f"this SparkSession's fixture views are bound to {bound!r}; "
+                f"binding {sf_dir!r} would silently re-point existing "
+                "Database instances — pass rebind=True to move the session"
+            )
         self.spark = spark
         self.sf_dir = sf_dir
         register_views(spark, sf_dir)
+        _BOUND_DIRS[id(spark)] = sf_dir
 
     def execute_query(
         self, query: "str | DataFrame", *, raw: bool = False, native: bool = False

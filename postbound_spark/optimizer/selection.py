@@ -79,8 +79,11 @@ class StatsDrivenJoinSelection:
             conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
             threshold_bytes = _parse_size(conf)
         self.threshold_bytes = threshold_bytes
-        #: the dogfooded artifact: every decision is recorded in the same
-        #: structure the optimizer stages emit (ref _hints.py:980)
+        #: decisions made with a ``label`` are recorded in the same
+        #: structure the optimizer stages emit (ref _hints.py:980);
+        #: label-less calls (the TPC-H _sized helper, which has no stable
+        #: per-join name) skip recording — the artifact is for experiment
+        #: loops that keep the selection instance around
         self.assignment = PhysicalOperatorAssignment()
 
     def choose(self, build: DataFrame, label: str | None = None) -> JoinOperator:

@@ -539,6 +539,7 @@ def dedup_components(spark, sf_dir):
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _round in range(15):
         neighbor_lbls = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -559,6 +560,15 @@ def dedup_components(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        # a component with diameter > 15 (sliding-boilerplate chains) would
+        # otherwise emit wrong labels with no signal — fail loudly; the cap
+        # exists only to bound a buggy non-converging graph
+        raise RuntimeError(
+            f"connected components did not converge in 15 rounds "
+            f"({changed} labels still changing); raise the round cap for "
+            "graphs with very long duplicate chains"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("component")
     ).orderBy("doc_id")
@@ -1163,7 +1173,10 @@ SELECT a.event_id,
        b.event_id AS prior_view_id,
        CAST(round(b.value, 4) AS DOUBLE) AS prior_view_value
 FROM (SELECT * FROM events WHERE event_type = 'click') a
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+ASOF LEFT JOIN (
+  SELECT * FROM events WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+) b
   ON a.user_id = b.user_id AND a.ts >= b.ts
 ORDER BY a.event_id
 """,
@@ -1184,6 +1197,16 @@ def events_asof_join(spark, sf_dir):
     )
     views = ev.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts", "value"
+    )
+    # make same-(user, ts) ties well-defined on BOTH engines: keep the
+    # max event_id per instant (DuckDB's native ASOF otherwise picks a
+    # scan-order-dependent row — measured — and the engines could disagree
+    # the day a fixture carries a duplicate pair)
+    tie = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        views.withColumn("__rn", F.row_number().over(tie))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
     out = asof_join(
         clicks, views, keys=["user_id"], right_cols=["event_id", "value"],
