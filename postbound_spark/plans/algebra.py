@@ -117,14 +117,17 @@ def parse_relalg(
     query: Q.SqlQuery | Q.SetQuery,
     *,
     join_order: list[str] | None = None,
+    scope_ctes: dict | None = None,
 ) -> ra.RelNode:
     """Convert a qal query to a relational-algebra tree (ref ``parse_relalg``
     relalg.py:4266). ``join_order`` optionally overrides FROM order with a
     table-identifier sequence — the hook the optimizer's JoinTree enforcement
-    uses."""
+    uses. ``scope_ctes`` carries enclosing CTE definitions into nested
+    conversions (a CTE referencing a sibling CTE, or a subquery referencing
+    any CTE, must resolve it instead of scanning a nonexistent base table)."""
     if isinstance(query, Q.SetQuery):
-        left = parse_relalg(query.left)
-        right = parse_relalg(query.right)
+        left = parse_relalg(query.left, scope_ctes=scope_ctes)
+        right = parse_relalg(query.right, scope_ctes=scope_ctes)
         node: ra.RelNode
         if query.operator is Q.SetOperator.UNION:
             node = ra.Union(left, right, distinct=True)
@@ -145,15 +148,22 @@ def parse_relalg(
         if query.limit is not None:
             node = ra.Limit(node, limit=query.limit)
         return node
-    return _Converter(query, join_order).convert()
+    return _Converter(query, join_order, scope_ctes).convert()
 
 
 class _Converter:
-    def __init__(self, query: Q.SqlQuery, join_order: list[str] | None):
+    def __init__(
+        self,
+        query: Q.SqlQuery,
+        join_order: list[str] | None,
+        scope_ctes: dict | None = None,
+    ):
         self.q = query
         self.join_order = join_order
         self.counter = 0
-        self.ctes = {name: sub for name, sub in query.ctes}
+        # local CTEs shadow enclosing-scope ones of the same name
+        self.ctes = dict(scope_ctes or {})
+        self.ctes.update({name: sub for name, sub in query.ctes})
         # text substitutions consuming clauses must apply (e.g. LATERAL
         # count columns → coalesce(col, 0) after the decorrelating left join)
         self.text_subs: dict[str, str] = {}
@@ -182,7 +192,10 @@ class _Converter:
                 alias=tab.alias,
             )
         if tab.full_name in self.ctes:
-            sub = parse_relalg(self.ctes[tab.full_name])
+            # siblings must stay visible inside the CTE body (minus the
+            # body's own name — self-reference would be recursion)
+            scope = {k: v for k, v in self.ctes.items() if k != tab.full_name}
+            sub = parse_relalg(self.ctes[tab.full_name], scope_ctes=scope)
             return ra.Relation(subquery=sub, alias=tab.identifier)
         return ra.Relation(table=tab.full_name, alias=tab.identifier)
 
@@ -444,7 +457,7 @@ class _Converter:
             inner_query = sub.with_clause(
                 where=Q.and_(*local) if local else None, select=(Q.star(),)
             )
-            inner_tree = parse_relalg(inner_query)
+            inner_tree = parse_relalg(inner_query, scope_ctes=self.ctes)
             inner_tree = ra.Map(
                 inner_tree,
                 tuple(
@@ -479,7 +492,9 @@ class _Converter:
             where=Q.and_(*local) if local else None,
             select=tuple(sub.select) + extra,
         )
-        inner_tree = ra.SubqueryScan(parse_relalg(inner_query), alias=src.alias)
+        inner_tree = ra.SubqueryScan(
+            parse_relalg(inner_query, scope_ctes=self.ctes), alias=src.alias
+        )
         cond = " AND ".join(
             f"{outer} = {src.alias}.{k}"
             for (outer, _i), k in zip(corr_eqs, key_names)
@@ -537,7 +552,7 @@ class _Converter:
             self._check_alias_collisions(sub, outer_ids)
             if len(sub.select) != 1:
                 raise UnsupportedSqlError("IN subquery must project one column")
-            sub_tree = parse_relalg(sub)
+            sub_tree = parse_relalg(sub, scope_ctes=self.ctes)
             alias = self._gensym("insub")
             sub_tree = ra.SubqueryScan(sub_tree, alias=alias)
             out_col = sub.select[0].alias or _output_name(sub.select[0].expr.sql)
@@ -575,7 +590,7 @@ class _Converter:
         stripped = sub.with_clause(
             where=Q.and_(*local) if local else None, select=(Q.star(),)
         )
-        sub_tree = parse_relalg(stripped)
+        sub_tree = parse_relalg(stripped, scope_ctes=self.ctes)
         if not correlated:
             raise UnsupportedSqlError(
                 "uncorrelated EXISTS needs no join — phrase as LIMIT/COUNT check"
@@ -615,13 +630,18 @@ class _Converter:
         # ---- Map: pre-compute expression group keys (ref relalg.py:2719) --
         key_names: dict[str, str] = {}
         map_exprs: list[tuple[str, str]] = []
+        used_names: set[str] = set()
         for g in group_texts:
             name = _output_name(g)
-            if name is None:
+            if name is None or name in used_names:
+                # no derivable name, or two keys share one unqualified name
+                # (GROUP BY a.k, b.k — the Map would silently overwrite and
+                # the Grouping would collapse both keys onto one column)
                 name = self._gensym("key")
                 map_exprs.append((name, g))
             elif "." in g:
                 map_exprs.append((name, g))
+            used_names.add(name)
             key_names[g] = name
         if map_exprs:
             tree = ra.Map(tree, tuple(map_exprs))

@@ -506,24 +506,23 @@ class _Parser:
                 cond = self._parse_predicate()
             chain.append((jt, src, cond))
 
-        # Normalize the leading INNER/CROSS prefix into implicit form (the
-        # reference's explicit_to_implicit rewrite, transform.py:172) — but
-        # ONLY when no RIGHT/FULL link follows anywhere in the chain: those
-        # preserve their right side, so a WHERE-filter that null-evaluates
-        # on the null-extended rows would drop them (an ON condition keeps
-        # them). LEFT links preserve the accumulated left side, so filters
-        # on it commute and the normalization stays sound.
-        has_right_or_full = any(
-            jt in (Q.JoinType.RIGHT, Q.JoinType.FULL,
-                   Q.JoinType.NATURAL_RIGHT, Q.JoinType.NATURAL_FULL)
+        # Normalize INNER/CROSS chains into implicit form (the reference's
+        # explicit_to_implicit rewrite, transform.py:172) ONLY when the
+        # whole chain is inner. As soon as any outer/natural link exists,
+        # every link stays explicit, for two confirmed reasons:
+        # - RIGHT/FULL links preserve their right side; a normalized
+        #   ON-condition in WHERE null-evaluates on the null-extended rows
+        #   and drops them (an ON condition keeps them);
+        # - even before a LEFT link, normalization re-associates the FROM:
+        #   a later ON referencing a non-adjacent normalized table renders
+        #   as SQL whose ON scope no engine accepts
+        #   ("FROM a, b LEFT JOIN c ON c.x = a.x" — a is out of scope).
+        all_inner = all(
+            jt in (Q.JoinType.INNER, Q.JoinType.CROSS)
             for jt, _src, _cond in chain
         )
         for jt, src, cond in chain:
-            if (
-                not explicit
-                and not has_right_or_full
-                and jt in (Q.JoinType.INNER, Q.JoinType.CROSS)
-            ):
+            if all_inner:
                 tables.append(src)
                 if cond is not None:
                     join_preds.append(cond)
@@ -1162,7 +1161,10 @@ def parse_query(
     hint = None
     if include_hints:
         m = _HINT_RE.search(text)
-        if m:
+        # a hint-shaped substring inside a string literal is data, not a
+        # hint — extracting it would inject a live Spark hint the input
+        # never asked for; real hint blocks precede any literal
+        if m and "'" not in text[: m.start()]:
             hint = m.group(1).strip()
     result = _Parser(text).parse()
     if hint and isinstance(result, Q.SqlQuery):

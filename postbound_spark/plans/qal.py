@@ -309,7 +309,18 @@ class AbstractPredicate:
         return not self.is_join()
 
     def iterpredicates(self) -> Iterator["AbstractPredicate"]:
-        """Leaf predicates of this (possibly compound) tree."""
+        """ALL leaf predicates of this tree, descending through AND, OR and
+        NOT alike — for column/table introspection only. Never use this to
+        DECOMPOSE a predicate: an OR branch is not a conjunct (see
+        :meth:`conjuncts`)."""
+        yield self
+
+    def conjuncts(self) -> Iterator["AbstractPredicate"]:
+        """Top-level AND decomposition: the units that can be moved,
+        removed, or pushed independently. An OR or NOT subtree is ONE
+        conjunct — splitting it would corrupt query semantics (removing
+        one OR branch inverts results; the transform layer and the
+        predicate index both rely on this)."""
         yield self
 
     def accept_visitor(self, visitor: "PredicateVisitor"):
@@ -419,6 +430,14 @@ class CompoundPredicate(AbstractPredicate):
     def iterpredicates(self):
         for child in self.children:
             yield from child.iterpredicates()
+
+    def conjuncts(self):
+        if self.operation is CompoundOperator.AND:
+            for child in self.children:
+                yield from child.conjuncts()
+        else:
+            # OR / NOT: indivisible — the whole subtree is one conjunct
+            yield self
 
     def to_sql(self) -> str:
         if self.operation is CompoundOperator.NOT:
@@ -660,7 +679,9 @@ class QueryPredicates:
 
     def __init__(self, root: AbstractPredicate | None):
         self.root = root
-        self._leaves = list(root.iterpredicates()) if root is not None else []
+        # index over CONJUNCTS, not leaves: an OR of two single-table
+        # filters must not surface as two independently-movable predicates
+        self._leaves = list(root.conjuncts()) if root is not None else []
 
     def joins(self) -> list[AbstractPredicate]:
         return [p for p in self._leaves if p.is_join()]

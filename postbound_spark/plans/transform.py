@@ -61,15 +61,31 @@ def as_star_query(query: SqlQuery) -> SqlQuery:
 
 
 def as_count_star_query(query: SqlQuery) -> SqlQuery:
-    """ref transform.py:696 — SELECT COUNT(*), dropping presentation-only
-    clauses (ORDER BY/LIMIT cannot change the count; GROUP BY must be
-    preserved via a subquery in the reference — here we keep the common
-    SPJ case and assert on it)."""
-    if query.group_by:
-        raise ValueError("count-star wrapping of grouped queries needs a subquery")
+    """ref transform.py:696 — the cardinality ground-truthing wrapper.
+
+    Plain SPJ queries rewrite in place (ORDER BY drops — it cannot change
+    the count). Clauses that DO change the result count — GROUP BY,
+    DISTINCT [ON], LIMIT, OFFSET — are preserved by counting over the
+    original query as a CTE body instead of being silently dropped
+    (``SELECT DISTINCT x ... LIMIT 3`` must count min(3, #distinct), not
+    the raw row count)."""
+    count_select = (BaseProjection(SqlExpression("count(*)"), "count_star"),)
+    count_changing = (
+        query.group_by
+        or query.distinct
+        or query.distinct_on
+        or query.limit is not None
+        or query.offset is not None
+    )
+    if count_changing:
+        return SqlQuery(
+            select=count_select,
+            from_tables=(TableReference("__count_base", virtual=True),),
+            ctes=(("__count_base", query),),
+        )
     return replace(
         query,
-        select=(BaseProjection(SqlExpression("count(*)"), "count_star"),),
+        select=count_select,
         order_by=(),
         limit=None,
         offset=None,
@@ -124,9 +140,8 @@ def remove_predicate(query: SqlQuery, target: AbstractPredicate) -> SqlQuery:
 
 
 def add_where(query: SqlQuery, pred: AbstractPredicate) -> SqlQuery:
-    """ref transform.py:833 (add_clause for WHERE)."""
-    new = pred if query.where is None else and_(query.where, pred)
-    return replace(query, where=new)
+    """ref transform.py:833 (add_clause for WHERE) — thin delegate."""
+    return add_clause(query, "where", pred)
 
 
 def add_clause(query: SqlQuery, clause: str, value) -> SqlQuery:
@@ -312,7 +327,7 @@ def merge_tables(query: SqlQuery, keep: str, merge: str) -> SqlQuery:
         from_tables=tuple(t for t in merged.from_tables if t.identifier != merge),
     )
     if merged.where is not None:
-        for leaf in list(merged.where.iterpredicates()):
+        for leaf in list(merged.where.conjuncts()):
             if (
                 isinstance(leaf, BinaryPredicate)
                 and leaf.operation is LogicalOperator.EQ
@@ -339,7 +354,7 @@ def extract_query_fragment(query: SqlQuery, tables: Iterable[str]) -> SqlQuery:
         raise ValueError(f"no FROM entry matches {sorted(wanted)}")
     kept: list[AbstractPredicate] = []
     if query.where is not None:
-        kept = [p for p in query.where.iterpredicates() if p.tables() <= wanted]
+        kept = [p for p in query.where.conjuncts() if p.tables() <= wanted]
     return SqlQuery(
         select=(star(),),
         from_tables=from_tables,
@@ -378,7 +393,7 @@ def move_into_subquery(query: SqlQuery, table: str) -> SqlQuery:
     if query.where is not None:
         moved = [
             p
-            for p in query.where.iterpredicates()
+            for p in query.where.conjuncts()
             if p.tables() == {target.identifier}
         ]
         for p in moved:

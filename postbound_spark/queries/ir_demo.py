@@ -49,10 +49,13 @@ def ir_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_IR_QUERY.to_sql())
 
 
+# strip presentation clauses before wrapping: the demo counts the BASE
+# join; leaving LIMIT in place would (correctly, post-round-5) count the
+# limited subquery instead
 _COUNT_QUERY = X.as_count_star_query(
-    X.drop_clause(X.drop_clause(_market_share_ir(), "group_by"), "having").with_clause(
-        select=(Q.star(),)
-    )
+    X.drop_clause(
+        X.drop_clause(_market_share_ir(), "group_by"), "having"
+    ).with_clause(select=(Q.star(),), order_by=(), limit=None)
 )
 
 

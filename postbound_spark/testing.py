@@ -24,14 +24,32 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _cells_close(a: Any, b: Any) -> bool:
+    """Pairwise tolerant equality for one normalized cell — floats compare
+    with a relative/absolute epsilon instead of rounding, because rounding
+    misclassifies values straddling a boundary in BOTH directions (two
+    values 1e-13 apart can round to different 9-decimal reprs, and two
+    genuinely different ones can round together)."""
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_close(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def _rows_close(a: tuple, b: tuple) -> bool:
+    return len(a) == len(b) and all(_cells_close(x, y) for x, y in zip(a, b))
+
+
 def _normalize_cell(value: Any) -> Any:
     if value is None:
         return None
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
-        # collapse double noise far below the rounding the queries already do
-        return round(value, 9)
+        return value
     if isinstance(value, (list, tuple)) or type(value).__name__ == "ndarray":
         return tuple(_normalize_cell(v) for v in value)
     if hasattr(value, "item") and type(value).__module__ == "numpy":
@@ -63,7 +81,9 @@ def compare_query(
     if len(spark_pdf) != len(duck_pdf):
         return False, f"row count mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}"
     left, right = _normalize(spark_pdf), _normalize(duck_pdf)
-    if left != right:
-        diffs = [(l, r) for l, r in zip(left, right) if l != r][:3]
-        return False, f"value mismatch, first diffs: {diffs}"
+    mismatched = [
+        (l, r) for l, r in zip(left, right) if not _rows_close(l, r)
+    ]
+    if mismatched:
+        return False, f"value mismatch, first diffs: {mismatched[:3]}"
     return True, f"ok ({len(spark_pdf)} rows)"

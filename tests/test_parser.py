@@ -151,17 +151,49 @@ def test_outer_join_parses_structurally():
     assert "LEFT OUTER JOIN customer c" in q.to_sql()
 
 
-def test_inner_joins_still_normalize_before_outer():
-    """INNER JOIN ... ON before any outer link keeps normalizing into WHERE
-    (the reference's explicit_to_implicit rewrite, transform.py:172)."""
+def test_mixed_chain_stays_fully_explicit():
+    """A chain containing any outer link keeps EVERY link explicit:
+    normalizing the inner prefix would re-associate the FROM and render a
+    later ON referencing a non-adjacent table out of scope (no engine
+    accepts the result). Pure-inner chains still normalize."""
     q = parse_query(
         "SELECT * FROM nation n "
         "JOIN customer c ON n.n_nationkey = c.c_nationkey "
         "LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
     )
-    assert len(q.from_tables) == 2  # n, c implicit
-    assert len(q.joins) == 1
-    assert q.where is not None and q.where.is_join()
+    assert len(q.from_tables) == 1
+    assert [j.join_type for j in q.joins] == [Q.JoinType.INNER, Q.JoinType.LEFT]
+    assert q.where is None
+    assert parse_query(q.to_sql()) == q
+
+    pure = parse_query(
+        "SELECT * FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey"
+    )
+    assert len(pure.from_tables) == 2 and not pure.joins
+
+
+def test_on_scope_survives_rendering(spark, sf_small):
+    """The execution-confirmed repro: an ON after an inner prefix that
+    references the FIRST prefix table must stay executable end-to-end."""
+    import duckdb
+
+    sql = (
+        "SELECT n.n_name, count(o.o_orderkey) AS n_orders "
+        "FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey "
+        "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 400000 AND n.n_nationkey < 10 "
+        "GROUP BY n.n_name ORDER BY n.n_name"
+    )
+    tables = load_tables(spark, sf_small, ["nation", "customer", "orders"])
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, tables)
+    got = sorted(map(str, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    for name in ("nation", "customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_small}/{name}.parquet')"
+        )
+    want = sorted(map(str, con.execute(sql).fetchall()))
+    assert got == want and len(got) > 0
 
 
 def test_natural_join_parses():
@@ -378,9 +410,9 @@ def test_hint_block_roundtrip():
 
 
 def test_inner_join_stays_explicit_before_right_or_full():
-    """Normalizing a leading INNER join into WHERE is only sound when no
-    RIGHT/FULL link follows (their preserved side would be filtered by the
-    null-evaluating WHERE); such chains stay fully explicit."""
+    """Normalizing an INNER join into WHERE is unsound once any outer link
+    exists (RIGHT/FULL null semantics, and ON-scope re-association for
+    LEFT); such chains stay fully explicit."""
     q = parse_query(
         "SELECT * FROM a JOIN b ON a.x = b.x RIGHT JOIN c ON b.y = c.y"
     )
@@ -388,12 +420,6 @@ def test_inner_join_stays_explicit_before_right_or_full():
     assert [j.join_type for j in q.joins] == [Q.JoinType.INNER, Q.JoinType.RIGHT]
     assert q.where is None
     assert parse_query(q.to_sql()) == q
-
-    # with only LEFT links downstream, normalization remains sound + applied
-    q2 = parse_query(
-        "SELECT * FROM a JOIN b ON a.x = b.x LEFT JOIN c ON b.y = c.y"
-    )
-    assert len(q2.from_tables) == 2 and len(q2.joins) == 1
 
 
 def test_right_join_after_inner_matches_duckdb(spark):

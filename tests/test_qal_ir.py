@@ -99,7 +99,10 @@ def test_count_star_and_star_wrapping(t):
     q = q.with_clause(order_by=(Q.OrderByExpression(Q.col("n_name", n)),), limit=5)
     counted = X.as_count_star_query(q)
     assert "count(*)" in counted.to_sql().lower()
-    assert "ORDER BY" not in counted.to_sql() and "LIMIT" not in counted.to_sql()
+    # LIMIT changes the count, so it must survive inside the CTE body
+    assert counted.ctes and counted.ctes[0][1].limit == 5
+    plain = X.as_count_star_query(q.with_clause(limit=None, order_by=()))
+    assert "LIMIT" not in plain.to_sql() and not plain.ctes
     starred = X.as_star_query(q)
     assert starred.select[0].to_sql() == "*"
 
@@ -374,3 +377,20 @@ def test_simple_filter_mirrors_literal_on_left():
         Q.LogicalOperator.LIKE, Q.lit("%a%"), Q.col("x", Q.TableReference("t"))
     )
     assert not Q.SimpleFilter.can_wrap(like)
+
+
+def test_count_star_preserves_count_changing_clauses():
+    """DISTINCT/LIMIT change the count — wrapping must count over the
+    original query (CTE body), never silently drop those clauses."""
+    import duckdb
+
+    q = parse_query("SELECT DISTINCT n_regionkey FROM nation LIMIT 3")
+    wrapped = X.as_count_star_query(q)
+    sql = wrapped.to_sql()
+    assert "count(*)" in sql and "LIMIT 3" in sql  # limit lives in the CTE
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW nation AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/nation.parquet')"
+    )
+    assert con.execute(sql).fetchone()[0] == 3  # min(3, 5 regions)
