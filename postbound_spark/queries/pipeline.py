@@ -513,23 +513,11 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
-@query("dedup_components", oracle=_COMPONENTS_ORACLE)
-def dedup_components(spark, sf_dir):
-    """Duplicate *clusters* from near-dup pairs: connected components via
-    iterative min-label propagation (each doc labeled with the smallest
-    doc_id in its component — the canonical-representative choice a dedup
-    pipeline keeps).
-
-    The loop is the standard distributed CC pattern (Pregel-style): per
-    round one edge⋈label join + one min-groupBy — two keyed shuffles —
-    with ``localCheckpoint`` truncating lineage so round N's plan does not
-    replay rounds 1..N-1 (THE failure mode of naive iterative DataFrame
-    code at scale). Convergence in O(component diameter) rounds; near-dup
-    components are shallow (cliques + short chains), so the 15-round cap
-    is far above anything real. The driver sees only a per-round changed
-    count, never data. Oracle: DuckDB computes the same components with a
-    recursive CTE over the same pairs.
-    """
+def _duplicate_components(spark, sf_dir):
+    """(doc_id, component) labels via min-label propagation over the
+    MinHash-verified pair graph — shared by the per-doc listing
+    (``dedup_components``) and the canonical-selection rollup
+    (``dedup_canonical``)."""
     pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -569,9 +557,70 @@ def dedup_components(spark, sf_dir):
             f"({changed} labels still changing); raise the round cap for "
             "graphs with very long duplicate chains"
         )
+    return labels
+
+
+@query("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components(spark, sf_dir):
+    """Duplicate *clusters* from near-dup pairs: connected components via
+    iterative min-label propagation (each doc labeled with the smallest
+    doc_id in its component — the canonical-representative choice a dedup
+    pipeline keeps).
+
+    The loop is the standard distributed CC pattern (Pregel-style): per
+    round one edge⋈label join + one min-groupBy — two keyed shuffles —
+    with ``localCheckpoint`` truncating lineage so round N's plan does not
+    replay rounds 1..N-1 (THE failure mode of naive iterative DataFrame
+    code at scale). Convergence in O(component diameter) rounds; near-dup
+    components are shallow (cliques + short chains), so the 15-round cap
+    is far above anything real. The driver sees only a per-round changed
+    count, never data. Oracle: DuckDB computes the same components with a
+    recursive CTE over the same pairs.
+    """
+    labels = _duplicate_components(spark, sf_dir)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("component")
     ).orderBy("doc_id")
+
+
+_CANONICAL_ORACLE = f"""{_MINHASH_PAIRS_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE j >= 0.3),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS BIGINT) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_removed
+FROM comp GROUP BY component ORDER BY canonical_doc_id
+"""
+
+
+@query("dedup_canonical", oracle=_CANONICAL_ORACLE)
+def dedup_canonical(spark, sf_dir):
+    """The dedup pipeline's final deliverable: one row per duplicate
+    cluster with its canonical representative (the smallest doc_id — the
+    doc a training corpus KEEPS) and how many near-duplicates drop. This
+    closes the pairs → clusters → keep/drop decision chain; the actual
+    corpus filter is then one broadcast anti-join of documents against
+    (member minus canonical) ids. Same iterative CC core as
+    dedup_components; the rollup adds one tiny keyed aggregation."""
+    labels = _duplicate_components(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("lbl").alias("canonical_doc_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            (F.count("*") - 1).alias("n_removed"),
+        )
+        .orderBy("canonical_doc_id")
+    )
 
 
 @query(
