@@ -12,6 +12,8 @@ both result sets, so builders follow two rules:
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -27,9 +29,73 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+_SUM_CALL = re.compile(r"(?<![a-z_])sum\s*\(", re.IGNORECASE)
+_CAST_WRAP = re.compile(r"cast\s*\(\s*$", re.IGNORECASE)
+_FLOAT_MARKER = re.compile(
+    r"::\s*(double|decimal|float|real)|as\s+(double|decimal|float|real)", re.IGNORECASE
+)
 
-def query(name: str, oracle: str | None = None):
-    """Register a query builder under ``name`` with an optional oracle."""
+# Float/double-typed columns of the driver fixtures (verified against the
+# parquet schemas at /root/testdata): summing these keeps DuckDB in DOUBLE,
+# so no HUGEINT widening can occur.
+_FLOAT_FIXTURE_COLS = re.compile(
+    r"(?<![a-z_])(c_acctbal|embedding|l_discount|l_extendedprice|l_quantity"
+    r"|l_tax|o_totalprice|p_retailprice|s_acctbal|value)(?![a-z_])",
+    re.IGNORECASE,
+)
+
+
+def _extract_call_arg(text: str, open_paren: int) -> str:
+    """Return the balanced-paren argument text starting at ``open_paren``."""
+    depth = 0
+    for i in range(open_paren, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[open_paren + 1 : i]
+    return text[open_paren + 1 :]
+
+
+def lint_oracle(name: str, oracle: str) -> None:
+    """Reject oracle SQL carrying the DuckDB ``sum(int) -> HUGEINT`` hash trap.
+
+    DuckDB widens integer SUM to HUGEINT while Spark stays BIGINT; the driver
+    hashes dtypes with values, so equal results still hash-mismatch.  This bug
+    class cost three CORRECTNESS rows across rounds 1-2, so it is now rejected
+    at registration: every bare ``sum(`` must either be wrapped in ``CAST( ... )``
+    or sum a float/decimal expression (``::DOUBLE`` / ``CAST(... AS DOUBLE)`` /
+    a float-typed column is the author's claim, marked by the cast spelling).
+    """
+    for m in _SUM_CALL.finditer(oracle):
+        prefix = oracle[: m.start()].rstrip()
+        if _CAST_WRAP.search(prefix[-8:] if len(prefix) >= 8 else prefix):
+            continue  # CAST(sum(...) AS ...) — explicitly typed
+        arg = _extract_call_arg(oracle, m.end() - 1)
+        if _FLOAT_MARKER.search(arg):
+            continue  # summing an explicitly float/decimal expression
+        if _FLOAT_FIXTURE_COLS.search(arg):
+            continue  # summing a float-typed fixture column — stays DOUBLE
+        raise ValueError(
+            f"oracle for {name!r} contains un-cast `sum(` at offset {m.start()}: "
+            "DuckDB widens integer SUM to HUGEINT and the driver hash-compares "
+            "dtypes — wrap it as CAST(sum(...) AS BIGINT) or cast the argument "
+            "to DOUBLE/DECIMAL on BOTH engines (see MEMORY: oracle hash traps)"
+        )
+
+
+def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None = None):
+    """Register a query builder under ``name`` with an optional oracle.
+
+    ``sum_lint_exempt`` — a non-empty justification string that waives the
+    HUGEINT sum lint for this oracle.  Only for sums over subquery aliases the
+    text-level lint cannot type (e.g. ``volume = l_extendedprice*(1-l_discount)``);
+    the author asserts the summed expression is float/decimal on both engines.
+    """
+
+    if oracle is not None and not sum_lint_exempt:
+        lint_oracle(name, oracle)
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QueryDef(name, fn, oracle)
@@ -47,65 +113,60 @@ def query(name: str, oracle: str | None = None):
 # scan+filter+join+agg+sort).  Names not present in the registry are skipped
 # silently so the list can reference queries added later in a round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- LLM-data-pipeline operators (text/dedup/ANN/temporal/multimodal) ---
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_winnow_segments",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "ann_cosine_topk",
-    "ann_lsh_bucket_histogram",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "events_window_agg",
-    "events_sessionize",
-    "events_json_props",
-    "events_asof_join",
-    "events_range_join_binned",
-    "mm_binary_features",
-    "mm_frame_sample",
-    # --- vectorized UDF/UDAF/UDTF surface ---
-    "udf_doc_hash",
-    "udf_xor_checksum",
-    "udf_tokenize_topk",
-    # --- SQL surface constructs not provable via the composites ---
+    # --- round-3 rotation: the 30 entries never driver-checked in r1∪r2 ---
+    "opt_pgdp_regional_revenue",
+    "parsed_ues_forced_order",
+    "dedup_canonical",
+    "ann_ivf_kmeans",
+    "sql_cte_with",
+    "sql_values_list",
+    "sql_table_function_range",
+    "sql_fetch_first",
+    "sql_fetch_prior",
+    "sql_rollup",
+    "sql_cube",
+    "expr_case",
+    "expr_cast",
+    "expr_extract_datetime",
+    "expr_string_functions",
+    "expr_math_functions",
+    "expr_window_rank",
+    "expr_window_lag",
+    "expr_quantifier_any",
+    "expr_all_quantifier",
+    "expr_bool_aggregates",
+    "expr_bit_aggregates",
+    "expr_stat_aggregates",
+    "expr_array_agg",
+    "expr_json_extract",
+    "pred_like_family",
+    "pred_between_in",
+    "pred_not_in_subquery",
+    "pred_compound",
+    "pred_null_tests",
+    # --- the three rows red in r2, re-verified after their oracle fixes ---
     "sql_left_outer_join",
-    "sql_full_outer_join",
-    "sql_right_outer_join",
-    "sql_natural_join",
-    "sql_distinct_on",
-    "sql_lateral_subquery",
-    # (sql_rollup and sql_cube stay registered but yield their window slots
-    # to dedup_components / text_winnow_segments — GROUPING SETS is the
-    # general form of the family)
-    "sql_grouping_sets",
-    "expr_window_frame",
-    "expr_scalar_subquery",
-    "expr_quantifier_all",
-    "expr_agg_filter",
-    "expr_array_ops",
-    "expr_string_agg",
-    # --- predicate frontier (null-aware / array / correlated) ---
-    "pred_not_in_null_aware",
-    "pred_is_distinct_from",
-    "pred_array_operators",
-    "pred_exists_correlated",
-    # --- parser-path (IR → compiler) entries ---
-    "parsed_left_outer_join",
-    "parsed_distinct_on",
-    "parsed_lateral",
     "parsed_values_table_function",
-    "parsed_hinted_merge_join",
-    # --- representative composites + optimizer pipeline ---
+    "expr_array_ops",
+    # --- new round-3 capabilities (registered later this round) ---
+    "parsed_join_using",
+    "parsed_fetch_prior",
+    "opt_injected_cards",
+    # --- regression representatives spanning r1∪r2 green families ---
     "flagship_regional_revenue",
     "q12_shipping_priority_split",
     "opt_ues_regional_revenue",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "ann_ivf_topk",
+    "events_asof_join",
+    "events_sessionize",
+    "mm_binary_features",
+    "udf_tokenize_topk",
+    "parsed_left_outer_join",
+    "sql_distinct_on",
+    "expr_window_frame",
+    "pred_not_in_null_aware",
 )
 
 

@@ -130,7 +130,7 @@ def parsed_ues_forced_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VALUES_SQL = """
-SELECT v.grp, count(*) AS n, sum(t.x) AS total
+SELECT v.grp, count(*) AS n, CAST(sum(t.x) AS BIGINT) AS total
 FROM (VALUES (0, 'even'), (1, 'odd')) AS v(parity, grp),
      range(1, 101) AS t(x)
 WHERE t.x % 2 = v.parity

@@ -404,7 +404,7 @@ def expr_string_agg(spark, sf_dir):
 SELECT vec_id,
        len(embedding) AS dim,
        round(embedding[1]::DOUBLE, 6) AS first_val,
-       list_transform(embedding[1:3], x -> round(x::DOUBLE, 6)) AS head3,
+       array_to_string(list_transform(embedding[1:3], x -> (round(x::DOUBLE, 6)::DECIMAL(18,6))::VARCHAR), ',') AS head3,
        round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS vec_sum
 FROM embeddings
 """,
@@ -420,7 +420,7 @@ def expr_array_ops(spark, sf_dir):
         SELECT vec_id,
                size(embedding) AS dim,
                round(CAST(element_at(embedding, 1) AS DOUBLE), 6) AS first_val,
-               transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 6)) AS head3,
+               array_join(transform(slice(embedding, 1, 3), x -> CAST(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18, 6)) AS STRING)), ',') AS head3,
                round(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)), 4) AS vec_sum
         FROM embeddings
         """,
@@ -561,7 +561,7 @@ GROUP BY event_type
 
 _JSON_SQL_DUCK = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
        count(*) AS n
 FROM events
 GROUP BY event_type
@@ -780,7 +780,7 @@ _LEFT_OUTER_SQL = """
 SELECT n.n_name,
        count(c.c_custkey)                            AS n_customers,
        count(o.o_orderkey)                           AS n_urgent_orders,
-       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
 FROM nation n
 LEFT OUTER JOIN customer c ON n.n_nationkey = c.c_nationkey
 LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
@@ -904,7 +904,7 @@ def sql_grouping_sets(spark, sf_dir):
     "expr_array_agg",
     oracle="""
 SELECT c_nationkey,
-       array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+       array_to_string(array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment), '|') AS segments,
        count(*) AS n_customers
 FROM customer
 GROUP BY c_nationkey
@@ -915,7 +915,10 @@ def expr_array_agg(spark, sf_dir):
     """ARRAY_AGG (ref aggregate name-set, qal/_qal.py:770-792 — maps to
     collect_list/collect_set). Cross-engine determinism: collect_set's
     order is partition-dependent, so both sides sort — Spark
-    array_sort(collect_set(x)), DuckDB array_agg(DISTINCT x ORDER BY x)."""
+    array_sort(collect_set(x)), DuckDB array_agg(DISTINCT x ORDER BY x).
+    The array is rendered as a '|'-joined string because the driver's
+    pandas canonicalizer cannot sort raw list cells (the expr_array_ops
+    r2 lesson); the aggregate itself is still array-valued pre-render."""
     from pyspark.sql import functions as F
 
     from postbound_spark.catalog import load_table
@@ -924,7 +927,7 @@ def expr_array_agg(spark, sf_dir):
     return (
         customer.groupBy("c_nationkey")
         .agg(
-            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias("segments"),
             F.count(F.lit(1)).alias("n_customers"),
         )
         .orderBy("c_nationkey")

