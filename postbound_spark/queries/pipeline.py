@@ -1104,7 +1104,53 @@ def _assign_to_centroids(q, cent_arr, extra_cols=()):
     )
 
 
-@query("ann_ivf_kmeans", oracle=None)  # iterative — rows-only driver check
+_KMEANS_ORACLE = """
+WITH RECURSIVE qv AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS val
+  FROM embeddings
+),
+state(iter, cid, pos, val) AS (
+  SELECT 0, vec_id, pos, val FROM qv WHERE vec_id < 16
+  UNION ALL
+  SELECT t.iter + 1, t.cluster, t.pos, t.val
+  FROM (
+    SELECT a.iter, a.cluster, v2.pos,
+           CAST(floor(CAST(CAST(sum(v2.val) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS val
+    FROM (
+      SELECT iter, vec_id, cid AS cluster
+      FROM (
+        SELECT s.iter, v.vec_id, s.cid,
+               CAST(sum((v.val - s.val) * (v.val - s.val)) AS BIGINT) AS d2
+        FROM state s JOIN qv v USING (pos)
+        GROUP BY s.iter, v.vec_id, s.cid
+      ) scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ) a
+    JOIN qv v2 ON a.vec_id = v2.vec_id
+    GROUP BY a.iter, a.cluster, v2.pos
+  ) t
+  WHERE t.iter < 3
+),
+final_cent AS (SELECT cid, pos, val FROM state WHERE iter = 3),
+scored_f AS (
+  SELECT v.vec_id, c.cid, CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS d2
+  FROM qv v JOIN final_cent c USING (pos)
+  GROUP BY v.vec_id, c.cid
+),
+assigned AS (
+  SELECT vec_id, cid AS cluster, d2
+  FROM scored_f
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)
+SELECT cluster, count(*) AS n_vectors,
+       round(avg(sqrt(CAST(d2 AS DOUBLE))), 2) AS avg_dist
+FROM assigned GROUP BY cluster ORDER BY cluster
+"""
+
+
+@query("ann_ivf_kmeans", oracle=_KMEANS_ORACLE)
 def ann_ivf_kmeans(spark, sf_dir):
     """K-means refinement of the IVF coarse quantizer (Lloyd iterations) —
     the "drops in without changing the dataflow" step ann_ivf_topk's
@@ -1120,8 +1166,12 @@ def ann_ivf_kmeans(spark, sf_dir):
     deterministic seed (first 16 vectors); k-means over integer-quantized
     vectors with floor-mean keeps every iteration exactly reproducible.
     Output: per-cluster population + mean within-cluster distance, the
-    quantizer-quality metric an IVF index build reports. Genuinely
-    iterative -> no SQL oracle (driver records the rows-only check).
+    quantizer-quality metric an IVF index build reports. The DuckDB
+    oracle replays the identical Lloyd iterations as a recursive CTE
+    (per-step working table = current centroid triples): deterministic
+    seeding (first 16 vectors) + all-integer quantized arithmetic +
+    floor-mean make every iteration exactly reproducible across engines,
+    so even the iterative path gets full result-set verification.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = (
