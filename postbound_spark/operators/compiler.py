@@ -154,11 +154,20 @@ class _Compiler(ra.RelNodeVisitor):
 
     def visit_naturaljoin(self, node: ra.NaturalJoin) -> DataFrame:
         left, right = self._join_sides(node)
-        common = [c for c in left.columns if c in set(right.columns)]
-        if not common:
-            raise ValueError("NATURAL JOIN requires shared column names")
+        if node.using:
+            missing = [
+                c for c in node.using
+                if c not in left.columns or c not in right.columns
+            ]
+            if missing:
+                raise ValueError(f"USING columns absent from a join side: {missing}")
+            common = list(node.using)
+        else:
+            common = [c for c in left.columns if c in set(right.columns)]
+            if not common:
+                raise ValueError("NATURAL JOIN requires shared column names")
         # joining on a name list makes Spark emit the shared keys once —
-        # exactly SQL's NATURAL output column rules
+        # exactly SQL's NATURAL/USING output column rules
         return left.join(right, on=common, how=node.how)
 
     def visit_crossproduct(self, node: ra.CrossProduct) -> DataFrame:

@@ -375,6 +375,10 @@ class _Converter:
             return ra.NaturalJoin(tree, node, how=jt.spark_how)
         if jt is Q.JoinType.CROSS:
             return ra.CrossProduct(tree, node)
+        if j.using:
+            # USING = NATURAL restricted to a named key list (same merged
+            # output column rules, ref JoinTableSource qal/_qal.py:6710)
+            return ra.NaturalJoin(tree, node, how=jt.spark_how, using=j.using)
         if j.condition is None:
             raise UnsupportedSqlError(f"{jt.value} requires an ON condition")
         return ra.ThetaJoin(
@@ -697,6 +701,7 @@ class _Converter:
         if q.distinct:
             tree = ra.DuplicateElimination(tree)
 
+        sort_keys: tuple[ra.SortKey, ...] = ()
         if q.order_by:
             keys = []
             for o in q.order_by:
@@ -709,9 +714,10 @@ class _Converter:
                 if resolved is None:
                     resolved = rewrite(text)
                 keys.append(ra.SortKey(resolved, o.ascending, o.nulls_first))
-            tree = ra.Sort(tree, tuple(keys))
+            sort_keys = tuple(keys)
+            tree = ra.Sort(tree, sort_keys)
 
-        return self._limit(tree)
+        return self._limit(tree, sort_keys)
 
     def _finish_plain(self, tree: ra.RelNode) -> ra.RelNode:
         q = self.q
@@ -758,16 +764,15 @@ class _Converter:
             )
             return ra.Projection(node, cols)
 
+        sort_keys = tuple(
+            ra.SortKey(o.expr.sql, o.ascending, o.nulls_first)
+            for o in q.order_by
+        )
+
         def sort(node: ra.RelNode) -> ra.RelNode:
-            if not q.order_by:
+            if not sort_keys:
                 return node
-            return ra.Sort(
-                node,
-                tuple(
-                    ra.SortKey(o.expr.sql, o.ascending, o.nulls_first)
-                    for o in q.order_by
-                ),
-            )
+            return ra.Sort(node, sort_keys)
 
         if sort_uses_alias:
             tree = sort(project(tree))
@@ -775,9 +780,34 @@ class _Converter:
             tree = project(sort(tree))
         if q.distinct:
             tree = ra.DuplicateElimination(tree)
-        return self._limit(tree)
+        return self._limit(tree, sort_keys)
 
-    def _limit(self, tree: ra.RelNode) -> ra.RelNode:
-        if self.q.limit is not None or self.q.offset is not None:
-            tree = ra.Limit(tree, limit=self.q.limit, offset=self.q.offset)
-        return tree
+    def _limit(
+        self, tree: ra.RelNode, sort_keys: tuple[ra.SortKey, ...] = ()
+    ) -> ra.RelNode:
+        q = self.q
+        if q.limit is None and q.offset is None:
+            return tree
+        if q.fetch_direction in ("prior", "last") and q.limit is not None:
+            # FETCH PRIOR/LAST n — select from the END of the result order
+            # (ref FetchDirection qal/_qal.py:7548): invert every sort key,
+            # take n (+offset) there, then restore presentation order. The
+            # inner Sort+Limit fuses into TakeOrderedAndProject under
+            # Catalyst, so the rewrite costs one top-n, not a global sort.
+            if not sort_keys:
+                raise UnsupportedSqlError(
+                    "FETCH PRIOR/LAST requires ORDER BY for a deterministic "
+                    "result window"
+                )
+            inverted = tuple(
+                ra.SortKey(
+                    k.expression,
+                    not k.ascending,
+                    None if k.nulls_first is None else not k.nulls_first,
+                )
+                for k in sort_keys
+            )
+            tree = ra.Sort(tree, inverted)
+            tree = ra.Limit(tree, limit=q.limit, offset=q.offset)
+            return ra.Sort(tree, sort_keys)
+        return ra.Limit(tree, limit=q.limit, offset=q.offset)

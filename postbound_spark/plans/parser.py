@@ -226,9 +226,13 @@ class _Parser:
             rhs = self._parse_set_operand()
             q = Q.SetQuery(q, op, rhs)
         if isinstance(q, Q.SetQuery):
-            order_by, limit, offset = self._parse_order_limit()
+            order_by, limit, offset, fetch_direction = self._parse_order_limit()
             if offset is not None:
                 raise UnsupportedSqlError("OFFSET on a set query is not modeled")
+            if fetch_direction != "first":
+                raise UnsupportedSqlError(
+                    "FETCH PRIOR/LAST on a set query is not modeled"
+                )
             if order_by or limit is not None:
                 q = replace(q, order_by=order_by, limit=limit)
         if ctes:
@@ -288,7 +292,7 @@ class _Parser:
             group_by = tuple(e.to_qal() for e in exprs)
 
         having = self._parse_predicate() if self.t.accept("having") else None
-        order_by, limit, offset = self._parse_order_limit()
+        order_by, limit, offset, fetch_direction = self._parse_order_limit()
 
         return Q.SqlQuery(
             select=tuple(projections),
@@ -299,6 +303,7 @@ class _Parser:
             order_by=order_by,
             limit=limit,
             offset=offset,
+            fetch_direction=fetch_direction,
             distinct=distinct,
             distinct_on=distinct_on,
             joins=tuple(explicit_joins),
@@ -307,7 +312,7 @@ class _Parser:
 
     def _parse_order_limit(
         self,
-    ) -> tuple[tuple[Q.OrderByExpression, ...], int | None, int | None]:
+    ) -> tuple[tuple[Q.OrderByExpression, ...], int | None, int | None, str]:
         order_by: list[Q.OrderByExpression] = []
         if self.t.accept("order", "by"):
             while True:
@@ -329,6 +334,7 @@ class _Parser:
                     break
         limit: int | None = None
         offset: int | None = None
+        fetch_direction = "first"
         # OFFSET may precede or follow LIMIT/FETCH (ANSI allows OFFSET first)
         if self.t.accept("offset"):
             offset = int(self.t.next())
@@ -336,13 +342,18 @@ class _Parser:
         if self.t.accept("limit"):
             limit = int(self.t.next())
         elif self.t.accept("fetch"):
-            # FETCH {FIRST|NEXT} n {ROW|ROWS} ONLY (ref Limit :7552,
-            # FetchDirection :7548; PRIOR/LAST are sort-inversion rewrites
-            # handled at the registry level)
-            if not (self.t.accept("first") or self.t.accept("next")):
+            # FETCH {FIRST|NEXT|PRIOR|LAST} n {ROW|ROWS} ONLY (ref Limit
+            # :7552, FetchDirection :7548). FIRST/NEXT are both the
+            # canonical forward direction; PRIOR/LAST select from the END
+            # of the result order — the algebra layer compiles them via
+            # the sort-inversion rewrite (requires ORDER BY)
+            if self.t.accept("prior"):
+                fetch_direction = "prior"
+            elif self.t.accept("last"):
+                fetch_direction = "last"
+            elif not (self.t.accept("first") or self.t.accept("next")):
                 raise UnsupportedSqlError(
-                    "only FETCH FIRST/NEXT are parseable; PRIOR/LAST need the "
-                    "sort-inversion rewrite (registry query sql_fetch_prior)"
+                    "FETCH requires a direction: FIRST/NEXT/PRIOR/LAST"
                 )
             limit = int(self.t.next())
             self.t.accept("rows") or self.t.accept("row")
@@ -350,7 +361,7 @@ class _Parser:
         if offset is None and self.t.accept("offset"):
             offset = int(self.t.next())
             self.t.accept("rows") or self.t.accept("row")
-        return tuple(order_by), limit, offset
+        return tuple(order_by), limit, offset, fetch_direction
 
     # ---- FROM ------------------------------------------------------------
 
@@ -477,57 +488,78 @@ class _Parser:
                 return Q.JoinType.INNER
             return None
 
-        tables.append(one_source())
-        chain: list[tuple[Q.JoinType, object, Q.AbstractPredicate | None]] = []
+        first = one_source()
+        tables.append(first)
+        # one entry per FROM comma item: join links attached to that item.
+        # ``scope`` tracks the identifiers visible to an ON condition — the
+        # item's own source plus every table already joined in ITS chain
+        # (SQL scoping: joins bind tighter than the FROM comma, so
+        # ``FROM a, b JOIN c ON p`` resolves p against {b, c} only).
+        chain: list[tuple[Q.JoinType, object, Q.AbstractPredicate | None, tuple[str, ...]]] = []
+        scope: set[str] = {first.identifier}
         while True:
             if self.t.accept(","):
-                if chain:
-                    # `FROM a LEFT JOIN b ON p, c` — re-rendering the comma
-                    # item after the join chain would re-associate the joins;
-                    # keep the modeled subset unambiguous
-                    raise UnsupportedSqlError(
-                        "comma-separated FROM item after an explicit join "
-                        "chain is not modeled; reorder the FROM list"
-                    )
-                tables.append(one_source())
+                src = one_source()
+                tables.append(src)
+                scope = {src.identifier}  # comma starts a new join-chain group
                 continue
             jt = join_type()
             if jt is None:
                 break
             src = one_source()
+            scope.add(src.identifier)
             cond: Q.AbstractPredicate | None = None
+            using: tuple[str, ...] = ()
             if jt in (Q.JoinType.INNER, Q.JoinType.LEFT,
                       Q.JoinType.RIGHT, Q.JoinType.FULL):
-                if self.t.peek_kw() == "using":
-                    raise UnsupportedSqlError(
-                        "JOIN ... USING is not modeled; spell the ON condition"
-                    )
-                self.t.expect("on")
-                cond = self._parse_predicate()
-            chain.append((jt, src, cond))
+                if self.t.accept("using"):
+                    self.t.expect("(")
+                    cols = [_ident(self.t.next())]
+                    while self.t.accept(","):
+                        cols.append(_ident(self.t.next()))
+                    self.t.expect(")")
+                    using = tuple(cols)
+                else:
+                    self.t.expect("on")
+                    cond = self._parse_predicate()
+                    out_of_scope = cond.tables() - scope
+                    if out_of_scope:
+                        # Postgres/DuckDB reject this (invalid reference in
+                        # ON); accepting it would execute with a join
+                        # association no engine has
+                        raise UnsupportedSqlError(
+                            f"ON condition references tables outside its "
+                            f"join-chain scope: {sorted(out_of_scope)} "
+                            f"(visible: {sorted(scope)})"
+                        )
+            chain.append((jt, src, cond, using))
 
         # Normalize INNER/CROSS chains into implicit form (the reference's
         # explicit_to_implicit rewrite, transform.py:172) ONLY when the
-        # whole chain is inner. As soon as any outer/natural link exists,
-        # every link stays explicit, for two confirmed reasons:
+        # whole chain is inner and ON-based. As soon as any outer/natural/
+        # USING link exists, every link stays explicit, for three confirmed
+        # reasons:
         # - RIGHT/FULL links preserve their right side; a normalized
         #   ON-condition in WHERE null-evaluates on the null-extended rows
         #   and drops them (an ON condition keeps them);
         # - even before a LEFT link, normalization re-associates the FROM:
         #   a later ON referencing a non-adjacent normalized table renders
         #   as SQL whose ON scope no engine accepts
-        #   ("FROM a, b LEFT JOIN c ON c.x = a.x" — a is out of scope).
+        #   ("FROM a, b LEFT JOIN c ON c.x = a.x" — a is out of scope);
+        # - USING merges its key columns into ONE output column; a WHERE
+        #   equality keeps both, changing the star projection and making
+        #   unqualified key references ambiguous.
         all_inner = all(
-            jt in (Q.JoinType.INNER, Q.JoinType.CROSS)
-            for jt, _src, _cond in chain
+            jt in (Q.JoinType.INNER, Q.JoinType.CROSS) and not using
+            for jt, _src, _cond, using in chain
         )
-        for jt, src, cond in chain:
+        for jt, src, cond, using in chain:
             if all_inner:
                 tables.append(src)
                 if cond is not None:
                     join_preds.append(cond)
                 continue
-            explicit.append(Q.JoinedTable(jt, src, cond))
+            explicit.append(Q.JoinedTable(jt, src, cond, using))
         return tables, join_preds, lifted, explicit
 
     def _parse_values(self) -> tuple[tuple[Q.SqlExpression, ...], ...]:
@@ -1130,7 +1162,7 @@ def _bind(
         ),
         distinct_on=tuple(rebind_expr(e) for e in query.distinct_on),
         joins=tuple(
-            Q.JoinedTable(j.join_type, j.source, rebind_pred(j.condition))
+            Q.JoinedTable(j.join_type, j.source, rebind_pred(j.condition), j.using)
             for j in query.joins
         ),
     )

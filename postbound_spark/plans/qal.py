@@ -199,16 +199,20 @@ class JoinType(enum.Enum):
 class JoinedTable:
     """One link of an explicit FROM join chain (ref ``JoinTableSource``
     qal/_qal.py:6710): join type + source + ON condition (None for
-    NATURAL/CROSS)."""
+    NATURAL/CROSS) or a USING column list (ref JoinTableSource's
+    using-clause handling via pglast in the reference's parser.py)."""
 
     join_type: "JoinType"
     source: "TableReference | ValuesTableSource | FunctionTableSource | SubqueryTableSource"
     condition: "AbstractPredicate | None" = None
+    using: tuple[str, ...] = ()
 
     def to_sql(self) -> str:
         out = f"{self.join_type.value} {self.source.to_sql()}"
         if self.condition is not None:
             out += f" ON {self.condition.to_sql()}"
+        elif self.using:
+            out += f" USING ({', '.join(self.using)})"
         return out
 
 
@@ -789,6 +793,10 @@ class SqlQuery:
     order_by: tuple[OrderByExpression, ...] = ()
     limit: int | None = None
     offset: int | None = None
+    # FETCH direction (ref FetchDirection qal/_qal.py:7548): "first" is the
+    # LIMIT-equivalent default; "prior"/"last" select from the END of the
+    # result order (compiled via the sort-inversion rewrite, SURVEY §2.4)
+    fetch_direction: str = "first"
     distinct: bool = False
     # DISTINCT ON (exprs) — Postgres extension the reference models in the
     # Select ctor (ref qal/_qal.py:5867); rendered natively (DuckDB supports
@@ -846,7 +854,12 @@ class SqlQuery:
         if self.order_by:
             parts.append("ORDER BY " + ", ".join(o.to_sql() for o in self.order_by))
         if self.limit is not None:
-            parts.append(f"LIMIT {self.limit}")
+            if self.fetch_direction != "first":
+                parts.append(
+                    f"FETCH {self.fetch_direction.upper()} {self.limit} ROWS ONLY"
+                )
+            else:
+                parts.append(f"LIMIT {self.limit}")
         if self.offset is not None:
             parts.append(f"OFFSET {self.offset}")
         return "\n".join(parts)

@@ -145,11 +145,16 @@ class NaturalJoin(RelNode):
     names of both inputs, common columns appearing once in the output (ref
     ``JoinType.Natural*`` qal/_qal.py:6672; the reference's relalg layer
     deliberately omits it, relalg.py:1550-1551 — here Spark's
-    ``join(on=[cols])`` coalesces the shared keys natively)."""
+    ``join(on=[cols])`` coalesces the shared keys natively).
+
+    ``using`` restricts the key set to an explicit column list — SQL's
+    ``JOIN ... USING (col, ...)``, which shares NATURAL's output-column
+    rules but names its keys."""
 
     left: RelNode = None  # type: ignore[assignment]
     right: RelNode = None  # type: ignore[assignment]
     how: str = "inner"
+    using: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -240,3 +240,60 @@ def parsed_hinted_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_query(_HINTED_SQL)
     assert parsed.hint == "MERGE(l), MERGE(o)"
     return spark.sql(parsed.to_sql())
+
+
+_USING_SQL = """
+SELECT n_name,
+       count(*) AS n_rows,
+       count(o_totalprice) AS n_big_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM (SELECT n_nationkey AS nationkey, n_name FROM nation) n
+JOIN (SELECT c_nationkey AS nationkey, c_custkey AS custkey FROM customer) c USING (nationkey)
+LEFT JOIN (SELECT o_custkey AS custkey, o_totalprice FROM orders WHERE o_totalprice > 100000) o USING (custkey)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@query("parsed_join_using", oracle=_USING_SQL)
+def parsed_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN ... USING (col) through the native pipeline (ref JoinTableSource
+    qal/_qal.py:6710 — the reference parses USING via pglast's join node).
+    USING compiles to the NaturalJoin relalg node with an explicit key
+    list — Spark's ``join(on=[cols])`` merges the key columns into one
+    output column, exactly SQL's USING projection rules; the LEFT link
+    proves the merged column takes the preserved side's values on
+    unmatched rows. DuckDB runs the identical text natively."""
+    return _native(spark, sf_dir, _USING_SQL, ["nation", "customer", "orders"])
+
+
+_FETCH_PRIOR_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 50000
+ORDER BY o_totalprice DESC, o_orderkey
+FETCH PRIOR 7 ROWS ONLY
+"""
+
+_FETCH_PRIOR_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_totalprice > 50000
+  ORDER BY o_totalprice ASC, o_orderkey DESC
+  LIMIT 7
+) t
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+@query("parsed_fetch_prior", oracle=_FETCH_PRIOR_ORACLE)
+def parsed_fetch_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FETCH PRIOR through the native parser (ref FetchDirection
+    qal/_qal.py:7548 — the reference carries the direction structurally).
+    The algebra layer compiles PRIOR/LAST as the sort-inversion rewrite:
+    invert every ORDER BY key, take n (fuses into TakeOrderedAndProject —
+    a per-partition top-n + single merge, no global sort even at 100 TB),
+    then restore presentation order. DuckDB executes the equivalent
+    inverted-subquery spelling, since no mainstream engine runs FETCH
+    PRIOR outside a cursor."""
+    return _native(spark, sf_dir, _FETCH_PRIOR_SQL, ["orders"])

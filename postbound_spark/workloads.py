@@ -161,6 +161,37 @@ def job_light_shaped_corpus() -> dict[str, str]:
     return {f"jl{i + 1:02d}": sql for i, sql in enumerate(queries)}
 
 
+def job_light_using_variants() -> dict[str, str]:
+    """Respellings of JOB-light join shapes through the two FROM constructs
+    real-world SQL hits first (round-2 verdict items 1 and 6): ``JOIN ...
+    USING (movie_id)`` between satellites that share the column name, and a
+    comma FROM item *after* an explicit join chain (``FROM t JOIN ci ON
+    ..., mc`` — JOB queries use this form). Parse-hardening plus
+    execute-vs-DuckDB coverage lives in ``tests/test_joblight_corpus.py``."""
+    import itertools
+
+    queries: dict[str, str] = {}
+    sats = sorted(_JOBLIGHT_JOINED)
+    for i, (a, b) in enumerate(itertools.combinations(sats, 2)):
+        ta, tb = _JOBLIGHT_JOINED[a][0], _JOBLIGHT_JOINED[b][0]
+        queries[f"jlu{i + 1:02d}"] = (
+            f"SELECT COUNT(*) AS n FROM {ta} {a} "
+            f"JOIN {tb} {b} USING (movie_id) "
+            f"JOIN title t ON t.id = {a}.movie_id "
+            f"WHERE t.production_year > 1990"
+        )
+    for i, a in enumerate(sats[:4]):
+        ta = _JOBLIGHT_JOINED[a][0]
+        b = sats[(i + 1) % 5]
+        tb = _JOBLIGHT_JOINED[b][0]
+        queries[f"jlc{i + 1:02d}"] = (
+            f"SELECT COUNT(*) AS n FROM title t "
+            f"JOIN {ta} {a} ON t.id = {a}.movie_id, {tb} {b} "
+            f"WHERE {b}.movie_id = t.id AND t.kind_id = 1"
+        )
+    return queries
+
+
 def job_light(directory: str | None = None) -> Workload:
     """The JOB-light workload (70 queries; ref ``workloads.py:48``).
     ``directory`` points at the real ``*.sql`` files when available;

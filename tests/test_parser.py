@@ -128,13 +128,46 @@ def test_query_spec_extraction():
     [
         "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r",
         "SELECT * FROM json_table(x, '$')",
-        "SELECT * FROM a JOIN b USING (x)",
-        "SELECT * FROM a LEFT JOIN b ON a.x = b.x, c",
+        # ON referencing a table outside its join-chain scope — rejected by
+        # Postgres/DuckDB too (joins bind tighter than the FROM comma)
+        "SELECT * FROM a, b LEFT JOIN c ON c.x = a.x",
     ],
 )
 def test_unsupported_shapes_raise(sql):
     with pytest.raises(UnsupportedSqlError):
         parse_query(sql)
+
+
+def test_join_using_parses_and_renders():
+    """JOIN ... USING (col) — merged key columns, one output column (ref
+    JoinTableSource qal/_qal.py:6710; handled via pglast in the reference)."""
+    q = parse_query("SELECT * FROM a JOIN b USING (x) LEFT JOIN c USING (y, z)")
+    assert [j.using for j in q.joins] == [("x",), ("y", "z")]
+    assert [j.condition for j in q.joins] == [None, None]
+    assert parse_query(q.to_sql()) == q
+    assert "USING (y, z)" in q.to_sql()
+
+
+def test_comma_from_item_after_join_chain():
+    """``FROM a JOIN b ON p, c`` is legal SQL (JOB queries use it): the
+    chain binds to ``a`` only, and the later comma item is a separate
+    group."""
+    q = parse_query(
+        "SELECT * FROM a JOIN b ON a.x = b.x, c WHERE c.y = a.y",
+    )
+    assert {t.identifier for t in q.from_tables} >= {"a", "c"}
+    # pure-inner chain normalizes: b joins via predicate
+    assert len(q.predicates().joins()) >= 1
+
+
+def test_on_scope_accumulates_within_chain():
+    """Within one chain, later ONs may reference every earlier chained
+    table (standard left-deep scoping)."""
+    q = parse_query(
+        "SELECT * FROM a JOIN b ON a.x = b.x JOIN c ON c.y = a.y, d "
+        "WHERE d.k = a.k"
+    )
+    assert q is not None
 
 
 def test_outer_join_parses_structurally():
@@ -470,3 +503,27 @@ def test_lateral_count_filter_keeps_zero_groups(spark, sf_small):
         )
     want = sorted(map(str, con.execute(sql).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_fetch_prior_parses_and_roundtrips():
+    """FETCH PRIOR/LAST carry a structural direction (ref FetchDirection
+    qal/_qal.py:7548) and round-trip through to_sql."""
+    q = parse_query(
+        "SELECT a FROM t ORDER BY a FETCH PRIOR 5 ROWS ONLY"
+    )
+    assert q.limit == 5 and q.fetch_direction == "prior"
+    assert "FETCH PRIOR 5 ROWS ONLY" in q.to_sql()
+    assert parse_query(q.to_sql()) == q
+    q2 = parse_query("SELECT a FROM t ORDER BY a FETCH LAST 3 ROWS ONLY")
+    assert q2.fetch_direction == "last"
+    # FIRST/NEXT stay the canonical forward direction (renders as LIMIT)
+    q3 = parse_query("SELECT a FROM t ORDER BY a FETCH NEXT 3 ROWS ONLY")
+    assert q3.fetch_direction == "first" and "LIMIT 3" in q3.to_sql()
+
+
+def test_fetch_prior_without_order_by_rejected_at_compile():
+    from postbound_spark.plans.algebra import parse_relalg
+
+    q = parse_query("SELECT a FROM t FETCH PRIOR 5 ROWS ONLY")
+    with pytest.raises(UnsupportedSqlError, match="requires ORDER BY"):
+        parse_relalg(q)
