@@ -9,6 +9,8 @@ the ergonomics layer every interactive research loop relies on.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from postbound_spark.catalog import register_views
@@ -27,10 +29,12 @@ def simplify_result(rows: list[tuple]) -> object:
     return [tuple(r) for r in rows]
 
 
-#: session id -> sf_dir whose views are registered (temp views are
+#: session -> sf_dir whose views are registered (temp views are
 #: session-global, so two Database instances with different dirs would
-#: silently re-point each other's queries)
-_BOUND_DIRS: dict[int, str] = {}
+#: silently re-point each other's queries). Weak keys: the entry dies with
+#: the session, and — unlike an ``id()`` key — a recycled object id can
+#: never inherit a dead session's binding.
+_BOUND_DIRS: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
 class Database:
@@ -45,7 +49,7 @@ class Database:
     def __init__(
         self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, rebind: bool = False
     ):
-        bound = _BOUND_DIRS.get(id(spark))
+        bound = _BOUND_DIRS.get(spark)
         if bound is not None and bound != sf_dir and not rebind:
             raise ValueError(
                 f"this SparkSession's fixture views are bound to {bound!r}; "
@@ -55,7 +59,7 @@ class Database:
         self.spark = spark
         self.sf_dir = sf_dir
         register_views(spark, sf_dir)
-        _BOUND_DIRS[id(spark)] = sf_dir
+        _BOUND_DIRS[spark] = sf_dir
 
     def execute_query(
         self, query: "str | DataFrame", *, raw: bool = False, native: bool = False

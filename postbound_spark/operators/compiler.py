@@ -170,6 +170,9 @@ class _Compiler(ra.RelNodeVisitor):
         # exactly SQL's NATURAL/USING output column rules
         return left.join(right, on=common, how=node.how)
 
+    def visit_drop(self, node: ra.Drop) -> DataFrame:
+        return self._compile(node.child).drop(*node.columns)
+
     def visit_crossproduct(self, node: ra.CrossProduct) -> DataFrame:
         left, right = self._join_sides(node)
         return left.crossJoin(right)

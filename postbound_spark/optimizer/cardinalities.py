@@ -28,25 +28,34 @@ class PreciseCardinalities(CardinalityEstimator):
     DataFrames — the same instance is commonly reused across queries (e.g.
     the dp-precise preset), and two queries can pass the same table NAMES
     with different filters applied; a name-set-only key would replay the
-    first query's counts as "ground truth" for the second."""
+    first query's counts as "ground truth" for the second.
+
+    The keyed DataFrames are pinned in the cache entry: ``id()`` alone is
+    only unique among LIVE objects, so without the strong reference CPython
+    could recycle a freed frame's id for a differently-filtered frame of the
+    same table and silently replay the wrong count — the exact staleness
+    this memo key exists to prevent."""
 
     def __init__(self):
-        self._cache: dict[tuple, float] = {}
+        # key -> (count, pinned frames whose ids appear in the key)
+        self._cache: dict[tuple, tuple[float, tuple[DataFrame, ...]]] = {}
 
     def estimate_cardinality(
         self, spec: QuerySpec, intermediate: frozenset[str], tables: dict[str, DataFrame]
     ) -> float:
+        keyed = sorted(
+            (name, df) for name, df in tables.items() if name in intermediate
+        )
         key = (
             frozenset(intermediate),
             tuple(sorted(map(str, spec.edges))),
-            tuple(sorted((name, id(df)) for name, df in tables.items()
-                         if name in intermediate)),
+            tuple((name, id(df)) for name, df in keyed),
         )
         if key not in self._cache:
             tree = JoinTree.left_deep(sorted(intermediate))
             df = compile_join_tree(tables, tree, list(spec.edges))
-            self._cache[key] = float(df.count())
-        return self._cache[key]
+            self._cache[key] = (float(df.count()), tuple(df for _, df in keyed))
+        return self._cache[key][0]
 
 
 class PreComputedCardinalities(CardinalityEstimator):

@@ -60,11 +60,13 @@ class Path:
 
     tree: JoinTree
     cost: float
-    sort_order: tuple[str, ...] = ()
+    #: qualified (table, column) pairs — bare names would let an ordering
+    #: on a.col wrongly satisfy one on b.col (same-named join keys)
+    sort_order: tuple[tuple[str, str], ...] = ()
     operators: tuple[tuple[frozenset[str], JoinOperator], ...] = ()
     materialized: tuple[frozenset[str], ...] = ()
 
-    def provides_ordering(self, wanted: tuple[str, ...]) -> bool:
+    def provides_ordering(self, wanted: tuple[tuple[str, str], ...]) -> bool:
         return self.sort_order[: len(wanted)] == wanted if wanted else True
 
 
@@ -106,7 +108,7 @@ class PostgresStyleDynProg(PlanEnumerator):
         broadcast_threshold_rows: float = 1_000_000,
         enable_materialize: bool = True,
         enable_sort: bool = True,
-        required_ordering: tuple[str, ...] = (),
+        required_ordering: tuple[tuple[str, str], ...] = (),
     ):
         self.estimator = cardinality_estimator
         self.broadcast_threshold_rows = broadcast_threshold_rows
@@ -130,14 +132,27 @@ class PostgresStyleDynProg(PlanEnumerator):
                 )
             return card_cache[subset]
 
-        def join_cols(left: frozenset[str], right: frozenset[str]) -> list[tuple[str, str]]:
+        def join_cols(
+            left: frozenset[str], right: frozenset[str]
+        ) -> list[tuple[tuple[str, str], tuple[str, str]]]:
+            # keys are QUALIFIED (table, column) pairs: bare column names
+            # collide across tables (every JOB satellite joins on movie_id),
+            # and an ordering on a.col must not satisfy one on b.col
             out = []
             for e in edges:
                 ts = e.tables()
                 if len(ts & left) == 1 and len(ts & right) == 1:
-                    lcol = e.left_col if e.left_table in left else e.right_col
-                    rcol = e.right_col if e.right_table in right else e.left_col
-                    out.append((lcol, rcol))
+                    lkey = (
+                        (e.left_table, e.left_col)
+                        if e.left_table in left
+                        else (e.right_table, e.right_col)
+                    )
+                    rkey = (
+                        (e.right_table, e.right_col)
+                        if e.right_table in right
+                        else (e.left_table, e.left_col)
+                    )
+                    out.append((lkey, rkey))
             return out
 
         pathlists: dict[frozenset[str], list[Path]] = {}
@@ -204,7 +219,7 @@ class PostgresStyleDynProg(PlanEnumerator):
         joined = left | right
         lkey, rkey = keys[0]
 
-        def mk(op: JoinOperator, extra: float, order: tuple[str, ...],
+        def mk(op: JoinOperator, extra: float, order: tuple[tuple[str, str], ...],
                materialize: bool = False) -> Path:
             tree = JoinTree.join(lp.tree, rp.tree, out_rows)
             return Path(

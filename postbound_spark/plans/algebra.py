@@ -485,7 +485,10 @@ class _Converter:
                 repl = f"coalesce({src.alias}.{n}, 0)"
                 self.text_subs[f"{src.alias}.{n}"] = repl
                 self.text_subs.setdefault(n, repl)
-            return tree
+            # hide the synthetic keys: under SELECT * they would leak into
+            # the output schema, and a second LATERAL's identically-named
+            # keys would be ambiguous in its join condition
+            return ra.Drop(tree, tuple(key_names))
 
         # plain lateral: local filters stay, correlation becomes the join
         extra = tuple(
@@ -503,7 +506,9 @@ class _Converter:
             f"{outer} = {src.alias}.{k}"
             for (outer, _i), k in zip(corr_eqs, key_names)
         )
-        return ra.ThetaJoin(tree, inner_tree, cond, how="inner")
+        tree = ra.ThetaJoin(tree, inner_tree, cond, how="inner")
+        # see the aggregate path: synthetic keys must not survive the join
+        return ra.Drop(tree, tuple(key_names))
 
     # -- subquery predicates -------------------------------------------------
 

@@ -158,6 +158,18 @@ class NaturalJoin(RelNode):
 
 
 @dataclass(frozen=True)
+class Drop(RelNode):
+    """Remove named columns (no SQL-surface counterpart — internal).
+    Used by LATERAL decorrelation to hide its synthetic ``__latkey`` join
+    keys from the final schema: without it a ``SELECT *`` over a plain
+    LATERAL leaks the keys, and a second LATERAL's identically-named keys
+    become ambiguous."""
+
+    child: RelNode = None  # type: ignore[assignment]
+    columns: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
 class CrossProduct(RelNode):
     """× — Cartesian product (ref: relalg.py:559)."""
 

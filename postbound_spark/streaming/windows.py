@@ -83,7 +83,9 @@ def run_available_now(
     return the materialized result as a batch DataFrame.
 
     ``output_mode`` defaults per plan shape: ``complete`` for aggregating
-    streams (re-emits every window once the backlog drains), ``append``
+    streams (re-emits every window once the backlog drains), ``update``
+    for ``flatMapGroupsWithState`` plans (the sessionizer declares
+    Update output mode, and Spark rejects a mismatch at start), ``append``
     otherwise — Spark rejects complete mode on append-only plans like
     ``dedup_stream``/``stream_stream_join``, so a fixed default would
     crash half this module's operators. Checkpoints live in a throwaway
@@ -93,7 +95,12 @@ def run_available_now(
     spark = result.sparkSession
     if output_mode is None:
         analyzed = result._jdf.queryExecution().analyzed().toString()
-        output_mode = "complete" if "Aggregate" in analyzed else "append"
+        if "FlatMapGroupsWithState" in analyzed or "FlatMapGroupsInPandasWithState" in analyzed:
+            output_mode = "update"
+        elif "Aggregate" in analyzed:
+            output_mode = "complete"
+        else:
+            output_mode = "append"
     name = query_name or f"avail_now_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (

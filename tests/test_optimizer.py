@@ -630,9 +630,9 @@ def test_pgdp_add_path_pruning():
     _add_path(paths, Path(t, cost=10.0))
     _add_path(paths, Path(t, cost=20.0))  # dominated: pricier, no ordering
     assert len(paths) == 1
-    _add_path(paths, Path(t, cost=15.0, sort_order=("k",)))  # sorted: keep
+    _add_path(paths, Path(t, cost=15.0, sort_order=(("a", "k"),)))  # sorted: keep
     assert len(paths) == 2
-    _add_path(paths, Path(t, cost=5.0, sort_order=("k",)))  # dominates both
+    _add_path(paths, Path(t, cost=5.0, sort_order=(("a", "k"),)))  # dominates both
     assert len(paths) == 1 and paths[0].cost == 5.0
 
 
@@ -655,7 +655,7 @@ def test_pgdp_interesting_order_prefers_merge_join():
     dp_sorted = PostgresStyleDynProg(
         _fixed_estimator(cards),
         broadcast_threshold_rows=10,
-        required_ordering=("k",),
+        required_ordering=(("a", "k"),),
     )
     tree, assignment = dp_sorted.generate_execution_plan(spec, tables={})
     assert assignment.operator_for(frozenset({"a", "b"})) is JoinOperator.SORT_MERGE
@@ -808,3 +808,31 @@ def test_planned_query_enforces_injected_parameters(spec, tdfs):
     huge = planned_with(1e9).to_dataframe(t)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in tiny
     assert "SortMergeJoin" in huge
+
+
+def test_malformed_plan_node_degrades_loudly(caplog):
+    """A plan node whose stats()/metrics() blow up degrades to NaN
+    estimates but LOGS the failure (closing the silent bare-except paths
+    flagged in round 2) instead of vanishing from introspection."""
+    import logging
+    import math
+
+    from postbound_spark.optimizer.qep import _node_actual_rows, _node_estimates
+
+    class BrokenNode:
+        def nodeName(self):
+            return "BrokenExec"
+
+        def stats(self):
+            raise RuntimeError("malformed stats")
+
+        def metrics(self):
+            raise RuntimeError("malformed metrics")
+
+    with caplog.at_level(logging.WARNING, logger="postbound_spark.optimizer.qep"):
+        est, size = _node_estimates(BrokenNode())
+        actual = _node_actual_rows(BrokenNode())
+    assert math.isnan(est) and math.isnan(size) and math.isnan(actual)
+    messages = " ".join(r.message for r in caplog.records)
+    assert "stats() unreadable" in messages and "BrokenExec" in messages
+    assert "metrics unreadable" in messages

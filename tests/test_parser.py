@@ -527,3 +527,17 @@ def test_fetch_prior_without_order_by_rejected_at_compile():
     q = parse_query("SELECT a FROM t FETCH PRIOR 5 ROWS ONLY")
     with pytest.raises(UnsupportedSqlError, match="requires ORDER BY"):
         parse_relalg(q)
+
+
+def test_plain_lateral_star_does_not_leak_latkeys(spark, sf_small):
+    """SELECT * over a plain LATERAL must not expose the decorrelation's
+    synthetic __latkey join columns (they are dropped after the join)."""
+    q = parse_query(
+        "SELECT * FROM nation n, LATERAL ("
+        "SELECT c.c_custkey FROM customer c "
+        "WHERE c.c_nationkey = n.n_nationkey) t"
+    )
+    cat = load_tables(spark, sf_small, ["nation", "customer"])
+    df = compile_plan(parse_relalg(q), spark, cat)
+    assert not [c for c in df.columns if c.startswith("__latkey")], df.columns
+    assert df.count() > 0

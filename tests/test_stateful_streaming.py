@@ -39,7 +39,9 @@ def _batch_sessions(spark, sf_dir):
 def test_stateful_sessionize_matches_batch(spark, sf_small):
     stream = stream_events(spark, sf_small).select("user_id", "ts")
     result = sessionize_stream(stream, watermark="0 seconds")
-    got_df = run_available_now(result, "t_sessions", output_mode="update")
+    # no explicit output_mode: the plan-shape default must detect
+    # FlatMapGroupsWithState and pick "update" (the sessionizer declares it)
+    got_df = run_available_now(result, "t_sessions")
     got = sorted(
         (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in got_df.collect()
