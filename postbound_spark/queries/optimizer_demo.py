@@ -117,3 +117,31 @@ def opt_pgdp_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).generate_execution_plan(spec, tables)
     joined = compile_join_tree(tables, tree, list(spec.edges), assignment)
     return _flagship_agg(joined)
+
+
+@query("opt_injected_cards", oracle=FLAGSHIP_ORACLE)
+def opt_injected_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregation planned under two ADVERSARIAL injected
+    per-intermediate cardinalities (ref pg_lab Card hints,
+    postgres.py:2343-2460; repo: PlanParameterization -> compile_join_tree
+    decides broadcast-vs-sort-merge from the injected number per build
+    side). The dims intermediate is declared huge (kills its broadcast)
+    and the orders⋈lineitem intermediate tiny (invites one) — the exact
+    misestimate-sensitivity experiment the reference runs, with the
+    oracle asserting the invariant that statistics can never change
+    results. The Hive-catalog route for queries outside compile_join_tree
+    lives in optimizer/intermediates.py (subprocess-tested: the driver
+    session has no Hive catalog)."""
+    from postbound_spark.optimizer import PlanParameterization
+
+    tables = _filtered_tables(spark, sf_dir)
+    edges = pk_fk_edges_for(_TABLES)
+    tree = JoinTree.join(
+        JoinTree.left_deep(["orders", "lineitem"]),
+        JoinTree.left_deep(["customer", "nation", "region"]),
+    )
+    params = PlanParameterization()
+    params.set_cardinality(frozenset({"customer", "nation", "region"}), 5e9)
+    params.set_cardinality(frozenset({"orders", "lineitem"}), 50.0)
+    joined = compile_join_tree(tables, tree, edges, parameters=params)
+    return _flagship_agg(joined)

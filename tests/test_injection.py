@@ -61,3 +61,23 @@ def test_intermediate_cardinality_changes_physical_plan(spark, sf_small):
     params.set_cardinality(frozenset({"orders", "customer"}), 1e9)
     b = compile_join_tree(t, tree, edges, parameters=params).count()
     assert a == b
+
+
+def test_intermediate_injection_demo_subprocess():
+    """SURVEY §7 plan A: two injected cardinalities for the same CTE
+    intermediate flip the physical plan of a query the engine did NOT
+    hand-build (plain spark.sql text — ref pg_lab capability,
+    postgres.py:2343-2460)."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/demo_intermediate_injection.py",
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=".",
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-2000:]}"
+    assert "7/7 passed" in proc.stdout
