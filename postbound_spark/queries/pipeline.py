@@ -20,16 +20,19 @@ Scale design notes (each query's docstring adds specifics):
 - All hashing is md5-based and all vector math is integer-quantized so the
   DuckDB oracle reproduces results bit-for-bit (see functions/vectors.py).
 - Stage boundaries use ``persist()`` (measured equal to a repartition's
-  warm time with no shuffle). Caches are deliberately NOT unpersisted:
-  Spark's CacheManager matches rebuilt identical plans to existing
-  entries, which is what makes repeated runs warm. The cost is cache
-  accumulation over a long session — bounded here (MB-scale per query,
-  MEMORY_AND_DISK evicts under pressure); a production pipeline at corpus
-  scale would unpersist per stage or pin storage-memory fractions.
+  warm time with no shuffle), registered through :func:`stage_cache` so a
+  harness can bound cache lifetime: repeated runs of the SAME query stay
+  warm (Spark's CacheManager matches rebuilt identical plans to existing
+  entries), and :func:`release_stage_caches` between queries returns the
+  storage memory — at 100 TB a permanently pinned stage cache is an
+  executor-memory leak. ``bench.py`` and the pytest harness release per
+  query; a session that never calls release keeps the old warm-everything
+  behavior (MEMORY_AND_DISK still evicts under pressure).
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -38,6 +41,27 @@ from postbound_spark.functions import text as T
 from postbound_spark.functions import vectors as V
 from postbound_spark.operators.skew import salted_join
 from postbound_spark.queries import query
+
+#: stage caches created since the last release (per-query lifecycle)
+_STAGE_CACHES: list[DataFrame] = []
+
+
+def stage_cache(df: DataFrame) -> DataFrame:
+    """``persist()`` a stage boundary and register it for
+    :func:`release_stage_caches`."""
+    df = df.persist()
+    _STAGE_CACHES.append(df)
+    return df
+
+
+def release_stage_caches() -> int:
+    """Unpersist every registered stage cache (non-blocking) and return how
+    many were released. Call between queries; never mid-query."""
+    n = len(_STAGE_CACHES)
+    for df in _STAGE_CACHES:
+        df.unpersist()
+    _STAGE_CACHES.clear()
+    return n
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments for the DuckDB oracles
@@ -263,7 +287,7 @@ def text_winnow_segments(spark, sf_dir):
     toks = (
         docs.select("doc_id", F.transform(T.tokens(F.col("text")), T.token_hash64).alias("th"))
         .filter(F.size("th") >= 3)
-        .persist()
+        .transform(stage_cache)
     )
     th = F.col("th")
     rolled = toks.select(
@@ -319,7 +343,7 @@ def _shingle_sets(spark, sf_dir):
         # substitute the whole shingle expression into it (measured 18×
         # slower than this equivalent pre-filter)
         .filter(F.size(F.col("toks")) >= 3)
-        .persist()
+        .transform(stage_cache)
     )
     return toks.select("doc_id", T.word_shingles(F.col("toks")).alias("sh"))
 
@@ -383,7 +407,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     the pairwise join here is a range cross join — fine at fixture scale,
     never executed globally on a real corpus.
     """
-    d = _shingle_sets(spark, sf_dir).persist()
+    d = _shingle_sets(spark, sf_dir).transform(stage_cache)
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     j = inter.cast("double") / (
@@ -441,13 +465,13 @@ def _minhash_pairs(spark, sf_dir):
     (``dedup_minhash_lsh``) and the cluster builder (``dedup_components``)."""
     # shingle sets with staged materialization (see _shingle_sets); the
     # persist lets the signature stage read materialized arrays
-    d = _shingle_sets(spark, sf_dir).persist()
+    d = _shingle_sets(spark, sf_dir).transform(stage_cache)
     # materialize signatures too: band-key extraction reads each signature
     # element individually and would otherwise inline (and recompute) the
     # full k-hash MinHash per band
     sig = d.select(
         "doc_id", T.minhash_signature(F.col("sh"), 8).alias("sig")
-    ).persist()
+    ).transform(stage_cache)
     exploded = sig.select(
         "doc_id", F.explode(T.lsh_band_keys(F.col("sig"), 4, 2)).alias("bkey")
     )
@@ -651,7 +675,7 @@ def dedup_simhash(spark, sf_dir):
     # it instead of re-hashing per bit
     hashed = docs.select(
         "doc_id", T.token_hashes(T.tokens(F.col("text"))).alias("th")
-    ).persist()
+    ).transform(stage_cache)
     return hashed.select(
         "doc_id", T.simhash16_from_hashes(F.col("th")).alias("simhash")
     )
@@ -680,7 +704,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     # then only pays one integer dot product + one divide per pair.
     q = emb.select(
         "vec_id", V.quantize(F.col("embedding")).alias("qv")
-    ).select("vec_id", "qv", V.norm_q(F.col("qv")).alias("nrm")).persist()
+    ).select("vec_id", "qv", V.norm_q(F.col("qv")).alias("nrm")).transform(stage_cache)
     a, b = q.alias("a"), q.alias("b")
     c = V.dot_q(F.col("a.qv"), F.col("b.qv")).cast("double") / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -727,7 +751,7 @@ def ann_cosine_topk(spark, sf_dir):
     q = (
         emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
         .withColumn("nrm", V.norm_q(F.col("qv")))
-        .persist()
+        .transform(stage_cache)
     )
     qvec = q.filter(F.col("vec_id") == 0).select(
         F.col("qv").alias("query_qv"), F.col("nrm").alias("query_nrm")
@@ -777,7 +801,7 @@ def ann_lsh_bucket_histogram(spark, sf_dir):
     # materialized quantized array instead of inlining quantization 512×
     q = emb.select(
         "vec_id", V.quantize(F.col("embedding")).alias("qv")
-    ).persist()
+    ).transform(stage_cache)
     return (
         q.select(V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=8).alias("bucket"))
         .groupBy("bucket")
@@ -823,7 +847,7 @@ def ann_lsh_topk(spark, sf_dir):
     q = (
         emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
         .withColumn("nrm", V.norm_q(F.col("qv")))
-        .persist()
+        .transform(stage_cache)
     )
     b = q.withColumn("bucket", V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=8))
     qb = b.filter(F.col("vec_id") == 0).select(
@@ -1043,7 +1067,7 @@ def ann_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = (
         emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
-        .persist()
+        .transform(stage_cache)
     )
     cents = q.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
