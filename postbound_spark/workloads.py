@@ -192,12 +192,55 @@ def job_light_using_variants() -> dict[str, str]:
     return queries
 
 
-def job_light(directory: str | None = None) -> Workload:
+#: public workload archives (same sources the reference fetches at runtime,
+#: ref workloads.py:46-53)
+WORKLOAD_URLS = {
+    "job-light": "https://zenodo.org/records/19205561/files/job-light.zip?download=1",
+}
+
+_WORKLOAD_CACHE = os.path.expanduser("~/.cache/postbound_spark/workloads")
+
+
+def fetch_workload(name: str, timeout: float = 30.0) -> str:
+    """Download + unzip a public workload archive into the local cache and
+    return the directory of its ``*.sql`` files (ref ``_fetch_workload``,
+    workloads.py:55 — the reference fetches on demand for the same reason:
+    the texts are public but not redistributable inside the repo).
+
+    Raises ``OSError`` when the host is offline — callers decide whether
+    that is fatal (an experiment run) or a skip (the test suite).
+    """
+    import io
+    import urllib.request
+    import zipfile
+
+    if name not in WORKLOAD_URLS:
+        raise KeyError(f"no fetch URL for workload {name!r}")
+    target = os.path.join(_WORKLOAD_CACHE, name)
+    if not glob.glob(os.path.join(target, "**", "*.sql"), recursive=True):
+        os.makedirs(target, exist_ok=True)
+        with urllib.request.urlopen(WORKLOAD_URLS[name], timeout=timeout) as resp:
+            payload = resp.read()
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            for member in zf.namelist():
+                if member.endswith(".sql"):
+                    zf.extract(member, target)
+    hits = glob.glob(os.path.join(target, "**", "*.sql"), recursive=True)
+    if not hits:
+        raise FileNotFoundError(f"archive for {name!r} contained no *.sql files")
+    return os.path.dirname(hits[0])
+
+
+def job_light(directory: str | None = None, real: bool = False) -> Workload:
     """The JOB-light workload (70 queries; ref ``workloads.py:48``).
     ``directory`` points at the real ``*.sql`` files when available;
-    without it, the JOB-light-shaped corpus stands in (documented above)."""
+    ``real=True`` fetches the genuine texts from the public archive
+    (cached locally; raises ``OSError`` offline). Without either, the
+    JOB-light-shaped corpus stands in (documented above)."""
     if directory:
         return Workload.read_workload(directory)
+    if real:
+        return Workload.read_workload(fetch_workload("job-light"))
     return Workload(job_light_shaped_corpus())
 
 

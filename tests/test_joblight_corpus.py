@@ -126,3 +126,18 @@ def test_using_and_comma_variants_roundtrip(sql):
     and 6) parse, round-trip, and name every table in the join spec."""
     q = parse_query(sql)
     assert parse_query(q.to_sql()) == q
+
+
+def test_job_light_real_texts_parse():
+    """With network access, job_light(real=True) fetches the genuine 70
+    public query texts (ref runtime fetch, workloads.py:936-1150) and every
+    one parses + round-trips through the native parser. Offline, this
+    skips — the shaped corpus above still gates the grammar."""
+    try:
+        wl = job_light(real=True)
+    except OSError as exc:
+        pytest.skip(f"offline, cannot fetch real JOB-light texts: {exc}")
+    assert len(wl) == 70
+    for label, sql in wl.items():
+        q = parse_query(sql)
+        assert parse_query(q.to_sql()) == q, f"{label} failed round-trip"
