@@ -65,21 +65,25 @@ def main() -> None:
     # (db/_db.py:120, postgres prewarm_tables). Cold-start compile time is a
     # per-shape constant that vanishes at scale; steady-state is the number
     # that extrapolates.
-    # best-of-2 steady state: this host has noisy neighbors, and a single
-    # timing can catch a straggler task; min-of-reps is the reproducible
-    # number (the reference's repetition model, bench.py:1043, exists for
-    # the same reason).
+    # min-of-3 steady state: this host has noisy neighbors (BASELINE.md
+    # documents ~1.7x load variance); a single timing can catch a straggler
+    # task, so min-of-reps is the reproducible number (the reference's
+    # repetition model, bench.py:1043, exists for the same reason). The
+    # per-query spread (max/min across reps) is reported alongside so a
+    # reader can tell a real regression from a noisy window.
     from postbound_spark.queries.pipeline import release_stage_caches
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         registry[name].builder(spark, sf_dir).collect()
-        best = float("inf")
-        for _ in range(2):
+        reps = []
+        for _ in range(3):
             start = time.perf_counter()
             registry[name].builder(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            reps.append(time.perf_counter() - start)
+        timings[name] = round(min(reps), 3)
+        spreads[name] = round(max(reps) / min(reps), 2)
         # warm runs of one query share its stage caches; between queries the
         # storage memory goes back (a permanently pinned cache is an
         # executor-memory leak at scale)
@@ -94,6 +98,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rep_spread": spreads,
+                "reps": 3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
