@@ -152,21 +152,23 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_join_using",
     "parsed_fetch_prior",
     "opt_injected_cards",
+    # --- round-3 corpus-curation operators (repetition/vocab/sampling/
+    #     quantization/decontamination/mixing; queries/pipeline.py) ---
+    "text_repetition_filter",
+    "corpus_vocab_topk",
+    "sample_stratified",
+    "emb_quantize_int8",
+    "contamination_ngram_overlap",
+    "sample_domain_cap",
+    "corpus_mix_weights",
     # --- regression representatives spanning r1∪r2 green families ---
     "flagship_regional_revenue",
     "q12_shipping_priority_split",
     "opt_ues_regional_revenue",
     "dedup_minhash_lsh",
-    "dedup_components",
-    "ann_ivf_topk",
-    "events_asof_join",
     "events_sessionize",
-    "mm_binary_features",
-    "udf_tokenize_topk",
     "parsed_left_outer_join",
-    "sql_distinct_on",
     "expr_window_frame",
-    "pred_not_in_null_aware",
 )
 
 

@@ -1397,3 +1397,347 @@ def events_range_join_binned(spark, sf_dir):
         )
         .orderBy("purchase_id")
     )
+
+# ---------------------------------------------------------------------------
+# corpus curation operators (round 3): repetition filters, vocabulary,
+# deterministic sampling, quantization, decontamination, mixture weights
+# ---------------------------------------------------------------------------
+
+# whitespace-token bigram list over token list `ws` (guarded for short docs)
+_BIGRAMS = (
+    "CASE WHEN len(ws) >= 2 THEN list_transform("
+    "generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]"
+    ") ELSE [] END"
+)
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS ws FROM documents),
+g AS (SELECT doc_id, ws, {_BIGRAMS} AS bg FROM t)
+SELECT doc_id,
+       len(ws) AS n_tokens,
+       list_max(list_transform(list_distinct(ws),
+                               u -> len(list_filter(ws, x -> x = u)))) AS top_token_count,
+       len(bg) AS n_bigrams,
+       len(bg) - len(list_distinct(bg)) AS dup_bigrams,
+       CASE WHEN list_max(list_transform(list_distinct(ws),
+                                         u -> len(list_filter(ws, x -> x = u)))) * 8 >= len(ws)
+              OR (len(bg) - len(list_distinct(bg))) * 10 >= len(bg)
+            THEN 1 ELSE 0 END AS flagged
+FROM g
+""",
+)
+def text_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality filter: most-frequent-token share and
+    duplicate-bigram share per document, with an integer-arithmetic flag.
+
+    All counting is per-row higher-order column math (no explode, no
+    shuffle): the top-token count is a nested transform/filter over the
+    token list, O(distinct x total) per doc - bounded by document length,
+    embarrassingly parallel, and entirely inside whole-stage codegen. The
+    flag rule uses integer cross-multiplication (count * 8 >= n) instead of
+    float ratios so both engines agree bit-for-bit. At 100 TB this is a
+    single corpus scan emitting one narrow row per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = docs.select("doc_id", toks.alias("ws"), bigrams.alias("bg"))
+    n = F.size("ws")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("ws"),
+            lambda u: F.size(F.filter(F.col("ws"), lambda x: x == u)),
+        )
+    )
+    n_bg = F.size("bg")
+    dup_bg = n_bg - F.size(F.array_distinct("bg"))
+    return w.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        top_cnt.alias("top_token_count"),
+        n_bg.alias("n_bigrams"),
+        dup_bg.alias("dup_bigrams"),
+        F.when((top_cnt * 8 >= n) | (dup_bg * 10 >= n_bg), 1)
+        .otherwise(0)
+        .alias("flagged"),
+    )
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle=f"""
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest({_WS_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 50
+""",
+)
+def corpus_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: global token histogram, top 50 by frequency with a
+    lexicographic tie-break (a deterministic cutoff - ties at the boundary
+    cannot flip rows between engines).
+
+    The classic wordcount shape: explode + groupBy(token).count() runs with
+    map-side partial aggregation, so the shuffle carries one row per
+    distinct token per partition, not one per token occurrence; the top-50
+    is TakeOrdered (per-partition heaps + driver merge), never a global
+    sort. This is the vocabulary-building primitive for tokenizer training
+    at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+WITH s AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       count(*) AS total_docs,
+       CAST(sum(CASE WHEN bucket < (CASE lang WHEN 'en' THEN 40
+                                              WHEN 'de' THEN 20
+                                              WHEN 'fr' THEN 20
+                                              ELSE 10 END)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
+FROM s
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified corpus sampling with per-language rates (en 40%, de/fr
+    20%, rest 10%) using a *deterministic* md5 hash bucket per doc_id
+    instead of a seeded RNG.
+
+    Hash-bucket sampling is the scalable idiom for training-data mixture
+    construction: it is reproducible across runs/engines (a seeded
+    ``sample()`` is not oracle-checkable), stable under repartitioning, and
+    pure map-side - rate changes re-select a superset/subset instead of an
+    unrelated sample. The query reports per-language selected counts; the
+    production variant keeps the rows where ``bucket < rate``."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 40)
+        .when(F.col("lang").isin("de", "fr"), 20)
+        .otherwise(10)
+    )
+    return (
+        docs.select("lang", bucket.alias("bucket"), rate.alias("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.when(F.col("bucket") < F.col("rate"), 1).otherwise(0))
+            .cast("long")
+            .alias("sampled_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+WITH scale AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale.s + 0.5) AS BIGINT)) AS qv
+  FROM embeddings, scale
+)
+SELECT vec_id,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max,
+       CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_sqnorm
+FROM q
+""",
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column: symmetric global
+    max-abs scale, values mapped to round(x * 127 / scale).
+
+    Two passes over the vectors: a tiny global-max aggregate (one scalar)
+    broadcast back onto a map-only quantization pass - the standard recipe
+    for shrinking an ANN index 4x before shipping it to a vector store. The
+    result reports integer per-vector digests (sum / min / max / squared
+    norm) rather than the raw array because the verification harness
+    hash-compares scalar columns; the production variant keeps ``qv``.
+    Rounding is floor(x + 0.5) - identical half-up behavior in both
+    engines, where round() half-even would diverge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = emb.agg(F.max(absmax).alias("s"))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127 / F.col("s") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    q = emb.crossJoin(F.broadcast(scale)).select("vec_id", qv.alias("qv"))
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        F.aggregate("qv", zero, lambda acc, v: acc + v).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.aggregate("qv", zero, lambda acc, v: acc + v * v).alias("q_sqnorm"),
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS ws FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM t),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id, count(DISTINCT c.shingle) AS shared_shingles
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+""",
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: find corpus documents sharing word-3-gram
+    shingles with a held-out benchmark set (here: every 97th document
+    stands in for the benchmark).
+
+    The benchmark shingle vocabulary is small by construction, so it is
+    collected into a broadcast hash side; the corpus side explodes shingles
+    and probes map-side - no shuffle touches the full corpus, and the only
+    exchange is the per-contaminated-doc count aggregate (partial-agg
+    combined). This is the shape that decontaminates a 100 TB crawl against
+    a benchmark suite in one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = T.word_shingles(T.tokens(F.col("text")), 3)
+    sh = docs.select("doc_id", shingles.alias("shingles"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = (
+        sh.filter(is_bench)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.filter(~is_bench).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("shared_shingles"))
+    )
+
+
+@query(
+    "sample_domain_cap",
+    oracle="""
+SELECT doc_id, source, rn
+FROM (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= 10
+""",
+)
+def sample_domain_cap(spark, sf_dir):
+    """Per-source document cap (keep the 10 smallest doc_ids per source) -
+    the domain-balancing primitive that stops one crawl domain from
+    dominating a training mixture.
+
+    One hash shuffle on ``source`` feeding a per-partition window rank;
+    rows beyond the cap are dropped before anything downstream reads them.
+    At 100 TB the win is pushing the cap *before* expensive per-doc
+    featurization; for a skewed domain distribution the same cap can run as
+    a two-phase rank (cap within partition-local groups first) - noted
+    here, unnecessary at fixture scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@query(
+    "corpus_mix_weights",
+    oracle=f"""
+WITH per_doc AS (SELECT lang, source, len({_WS_TOKS}) AS n_toks FROM documents),
+grp AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS tok_total
+  FROM per_doc GROUP BY lang, source
+),
+tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS grand FROM per_doc)
+SELECT lang, source, n_docs, tok_total,
+       CAST(floor(tok_total * 1000000.0 / tot.grand) AS BIGINT) AS share_ppm
+FROM grp, tot
+ORDER BY lang, source
+""",
+)
+def corpus_mix_weights(spark, sf_dir):
+    """Training-mixture weights: per (lang, source) token totals and their
+    parts-per-million share of the corpus.
+
+    Two aggregates: the grouped token totals (one partial-agg shuffle on a
+    low-cardinality key) and a one-row grand total derived from the grouped
+    result (not a second corpus scan), broadcast back for the share
+    division. Shares are floored ppm integers, so engine float formatting
+    cannot flip the hash. This is the table a data-mixing run consumes to
+    set per-domain sampling temperatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(T.tokens(F.col("text")))
+    grp = (
+        docs.select("lang", "source", n_toks.alias("n_toks"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("tok_total"),
+        )
+    )
+    grp = stage_cache(grp)
+    tot = grp.agg(F.sum("tok_total").cast("long").alias("grand"))
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "tok_total",
+            F.floor(F.col("tok_total") * 1000000.0 / F.col("grand"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("lang", "source")
+    )

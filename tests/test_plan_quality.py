@@ -191,3 +191,70 @@ def test_aqe_recovers_broadcast_for_small_joined_builds(registry, spark, sf_smal
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan isFinalPlan=true" in final
     assert "BroadcastHashJoin" in final
+
+
+def test_repetition_filter_is_shuffle_free_scan(registry, spark, sf_small):
+    plan = _formatted_plan(
+        _build(registry, spark, sf_small, "text_repetition_filter")
+    )
+    # per-doc repetition stats must be a single map-only scan: no exchange,
+    # no Python evaluation — pure higher-order column math inside codegen
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_topk_partial_agg_and_no_global_sort(registry, spark, sf_small):
+    plan = _formatted_plan(_build(registry, spark, sf_small, "corpus_vocab_topk"))
+    # wordcount must combine map-side before the shuffle…
+    assert "partial_count" in plan
+    # …and the top-50 must be TakeOrdered (per-partition heaps), never a
+    # full sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_stratified_sample_is_map_side_until_tiny_agg(registry, spark, sf_small):
+    plan = _formatted_plan(_build(registry, spark, sf_small, "sample_stratified"))
+    # exactly one aggregation exchange on the 5-value lang key; the hash
+    # bucketing itself must not shuffle (rangepartitioning for the final
+    # orderBy of 5 rows is fine)
+    assert plan.count("hashpartitioning(") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_quantize_broadcasts_global_scale(registry, spark, sf_small):
+    plan = _formatted_plan(_build(registry, spark, sf_small, "emb_quantize_int8"))
+    # the one-row max-abs scale joins back as a broadcast (nested-loop over
+    # a single-row build side), never a shuffled cross product
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_probes_broadcast_benchmark(registry, spark, sf_small):
+    plan = _formatted_plan(
+        _build(registry, spark, sf_small, "contamination_ngram_overlap")
+    )
+    # the benchmark shingle vocabulary is the build side of a broadcast
+    # hash join — the corpus side must not shuffle to meet it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_cap_filters_inside_window_stage(registry, spark, sf_small):
+    plan = _formatted_plan(_build(registry, spark, sf_small, "sample_domain_cap"))
+    # one shuffle on source; the rn <= 10 cut runs in the same stage as the
+    # window (Spark's WindowGroupLimit pushes the rank limit pre-shuffle)
+    assert plan.count("hashpartitioning(") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_mix_weights_grand_total_reuses_grouped_agg(registry, spark, sf_small):
+    df = _build(registry, spark, sf_small, "corpus_mix_weights")
+    plan = _formatted_plan(df)
+    # the ppm denominator must come from the cached grouped aggregate (one
+    # InMemoryTableScan feeding a broadcast), not a second corpus scan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
