@@ -24,9 +24,18 @@ from postbound_spark.plans import relalg as ra
 
 
 class _Compiler(ra.RelNodeVisitor):
-    def __init__(self, spark: SparkSession, catalog: dict[str, DataFrame] | None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: dict[str, DataFrame] | None,
+        selection=None,
+    ):
         self.spark = spark
         self.catalog = catalog or {}
+        #: optional per-join build-side policy (e.g. MeasuredJoinPolicy) —
+        #: the PhysicalOperatorSelection hook of the compile path; explicit
+        #: node hints always win over the policy
+        self.selection = selection
 
     def _compile(self, node: ra.RelNode) -> DataFrame:
         return node.accept(self)
@@ -150,6 +159,19 @@ class _Compiler(ra.RelNodeVisitor):
 
     def visit_thetajoin(self, node: ra.ThetaJoin) -> DataFrame:
         left, right = self._join_sides(node)
+        # the selection policy only speaks when the node carries no explicit
+        # hint, and only for inner joins (Spark can only broadcast the
+        # non-null-producing side of an outer join — let Catalyst police that)
+        if (
+            self.selection is not None
+            and not getattr(node, "hint", None)
+            and node.how == "inner"
+        ):
+            side = self.selection.decide(node, left, right)
+            if side == "left":
+                left = left.hint("broadcast")
+            elif side == "right":
+                right = right.hint("broadcast")
         return left.join(right, on=F.expr(node.predicate), how=node.how)
 
     def visit_naturaljoin(self, node: ra.NaturalJoin) -> DataFrame:
@@ -201,7 +223,12 @@ def compile_plan(
     node: ra.RelNode,
     spark: SparkSession,
     catalog: dict[str, DataFrame] | None = None,
+    selection=None,
 ) -> DataFrame:
     """Compile ``node`` to a DataFrame. ``catalog`` maps table names to
-    DataFrames; missing names fall back to ``spark.table`` (temp views)."""
-    return _Compiler(spark, catalog)._compile(node)
+    DataFrames; missing names fall back to ``spark.table`` (temp views).
+    ``selection`` optionally supplies a per-join build-side policy (e.g.
+    :class:`postbound_spark.optimizer.selection.MeasuredJoinPolicy`) — the
+    operator-selection stage of the compile path; explicit node hints
+    always take precedence."""
+    return _Compiler(spark, catalog, selection)._compile(node)

@@ -109,3 +109,119 @@ class StatsDrivenJoinSelection:
         if op is JoinOperator.BROADCAST_HASH:
             return build.hint("broadcast")
         return build
+
+
+#: type → conservative in-memory bytes per value for broadcast sizing
+#: (hash-relation overhead is folded into the per-row constant below)
+_WIDTH = {"long": 8, "int": 4, "double": 8, "float": 4, "timestamp": 8,
+          "date": 4, "boolean": 1}
+_ROW_OVERHEAD = 24  # UnsafeRow + hash-relation entry overhead, measured order
+
+
+def estimated_row_bytes(df: DataFrame) -> int:
+    """Schema-derived bytes/row for broadcast sizing: fixed-width types at
+    their storage size, strings/binary at a 24-byte budget, arrays at 8x."""
+    total = _ROW_OVERHEAD
+    for f in df.schema.fields:
+        name = f.dataType.typeName()
+        if name in ("array", "map", "struct"):
+            total += 192
+        else:
+            total += _WIDTH.get(name, 24)
+    return total
+
+
+class MeasuredBuildSide:
+    """Broadcast decisions from *measured* intermediate cardinalities — the
+    reference's ``PreciseCardinalities`` pattern (rbergm/PostBOUND
+    ``opt/_cardinalities.py:20``: run COUNT(*) on the intermediate, memoize,
+    feed the operator-selection stage) applied to Spark's build-side choice.
+
+    Catalyst's plan-time size propagation through joins multiplies row
+    widths, so a provably tiny filtered-join bundle estimates as terabytes
+    and ``StatsDrivenJoinSelection`` must leave it unhinted; meanwhile a
+    fact-table *scan* can estimate under the broadcast threshold from
+    compressed file bytes and get broadcast from the wrong side. One exact
+    COUNT(*) per intermediate — cheap plan-time work against a column-pruned
+    scan, paid once per (key, sf) thanks to the memo — resolves both: the
+    truly small side gets a deterministic ``broadcast`` hint, anything else
+    stays unhinted for AQE's runtime re-plan.
+
+    The memo key is caller-chosen (queries use ``name@sf_dir``), not object
+    identity, so rebuilt DataFrames across bench repetitions reuse the
+    measurement the way the reference memoizes per query fragment.
+    """
+
+    _memo: dict[str, int] = {}
+
+    def __init__(self, spark: SparkSession, threshold_bytes: int | None = None):
+        self._selection = StatsDrivenJoinSelection(spark, threshold_bytes)
+
+    def rows(self, build: DataFrame, key: str) -> int:
+        got = self._memo.get(key)
+        if got is None:
+            got = self._memo[key] = build.count()
+        return got
+
+    def build_side(self, build: DataFrame, key: str) -> DataFrame:
+        size = self.rows(build, key) * estimated_row_bytes(build)
+        if 0 <= size <= self._selection.threshold_bytes:
+            return build.hint("broadcast")
+        return build
+
+
+class MeasuredJoinPolicy:
+    """Per-join build-side policy for :func:`compile_plan` (the reference's
+    ``PhysicalOperatorSelection`` stage shape, ``_stages.py:480``, driven by
+    measured cardinalities like ``PreciseCardinalities``).
+
+    The policy only intervenes where Catalyst's static choice is
+    structurally unreliable: exactly one join side fits the broadcast
+    threshold *by estimate*, or the two estimates diverge by orders of
+    magnitude (``SUSPECT_RATIO``) — the signature of width-multiplied join
+    estimates. A pruned fact-table scan estimates from compressed file
+    bytes and can slip under the threshold, while a filtered multi-join
+    bundle inflates to terabytes — so the static rule broadcasts the fact
+    table. In the suspect cases both sides get an exact memoized COUNT(*)
+    and the truly smaller fitting side wins; if neither measures small,
+    the join is left to shuffle + AQE. When the estimates agree and are
+    mutually plausible, no measurement job runs at all.
+    """
+
+    #: estimate divergence that marks one side's estimate as untrustworthy
+    #: (the width-multiplication blow-up shows up as many orders of
+    #: magnitude, never as a small factor)
+    SUSPECT_RATIO = 1000.0
+
+    def __init__(self, spark: SparkSession, prefix: str,
+                 threshold_bytes: int | None = None):
+        self._measured = MeasuredBuildSide(spark, threshold_bytes)
+        self.threshold_bytes = self._measured._selection.threshold_bytes
+        self.prefix = prefix
+
+    def _key(self, subtree) -> str | None:
+        tables = sorted(subtree.tables())
+        return f"{self.prefix}|{'+'.join(tables)}" if tables else None
+
+    def decide(self, node, left: DataFrame, right: DataFrame) -> str | None:
+        """Return ``"left"``/``"right"`` to broadcast that side, or None to
+        leave the join to Catalyst/AQE."""
+        thr = self.threshold_bytes
+        if thr < 0:
+            return None
+        lest, rest = catalyst_size_bytes(left), catalyst_size_bytes(right)
+        ratio = max(lest, rest) / max(1, min(lest, rest))
+        if (lest <= thr) == (rest <= thr) and ratio <= self.SUSPECT_RATIO:
+            # estimates agree and are mutually plausible — the static
+            # planner + AQE choose fine without any measurement job
+            return None
+        lkey, rkey = self._key(node.left), self._key(node.right)
+        if lkey is None or rkey is None:
+            return None
+        lb = self._measured.rows(left, lkey) * estimated_row_bytes(left)
+        rb = self._measured.rows(right, rkey) * estimated_row_bytes(right)
+        if lb <= thr and lb <= rb:
+            return "left"
+        if rb <= thr and rb < lb:
+            return "right"
+        return None

@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from postbound_spark.catalog import load_tables
 from postbound_spark.operators import compile_plan
-from postbound_spark.optimizer.selection import StatsDrivenJoinSelection
+from postbound_spark.optimizer.selection import (
+    MeasuredBuildSide,
+    MeasuredJoinPolicy,
+    StatsDrivenJoinSelection,
+)
 from postbound_spark.plans import relalg as ra
 from postbound_spark.queries import query
 
@@ -36,6 +40,13 @@ def _sized(spark: SparkSession, df: DataFrame) -> DataFrame:
     (region = 5 rows, nation = 25 rows at every SF) keep a plain
     ``F.broadcast``."""
     return StatsDrivenJoinSelection(spark).build_side(df)
+
+
+def _measured(spark: SparkSession) -> MeasuredBuildSide:
+    """Measured-cardinality build-side decisions (ref PreciseCardinalities,
+    ``opt/_cardinalities.py:20``) for intermediates whose Catalyst estimate
+    is inflated past usefulness — see :class:`MeasuredBuildSide`."""
+    return MeasuredBuildSide(spark)
 
 FLAGSHIP_ORACLE = """
 SELECT n.n_name,
@@ -95,7 +106,13 @@ def flagship_plan() -> ra.RelNode:
 @query("flagship_regional_revenue", oracle=FLAGSHIP_ORACLE)
 def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = load_tables(spark, sf_dir, ["region", "nation", "customer", "orders", "lineitem"])
-    return compile_plan(flagship_plan(), spark, catalog)
+    # measured operator selection for the compile path: the filtered
+    # region→…→orders bundle is the truly small side of the lineitem join,
+    # invisible to Catalyst's width-multiplied join estimate (see
+    # MeasuredJoinPolicy — memoized COUNT(*) per intermediate, ref
+    # PreciseCardinalities opt/_cardinalities.py:20)
+    policy = MeasuredJoinPolicy(spark, prefix=f"flagship@{sf_dir}")
+    return compile_plan(flagship_plan(), spark, catalog, selection=policy)
 
 
 @query(
@@ -158,13 +175,21 @@ LIMIT 20
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
-    return (
+    # segment+date-filtered customer⋈orders is the small side of the fact
+    # join; measure it (memoized COUNT(*), ref PreciseCardinalities) so the
+    # broadcast direction is exact instead of letting the lineitem scan's
+    # compressed-bytes estimate win the build side.
+    reduced = _measured(spark).build_side(
         t["customer"]
         .filter(F.col("c_mktsegment") == "BUILDING")
         .join(
             t["orders"].filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")),
             F.col("c_custkey") == F.col("o_custkey"),
-        )
+        ),
+        f"q3_customer_orders@{sf_dir}",
+    )
+    return (
+        reduced
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -227,9 +252,16 @@ LIMIT 20
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    # Unfiltered customer⋈orders grows with SF; the measured build side
+    # broadcasts it only while it truly fits and otherwise leaves the join
+    # unhinted (shuffle + AQE) — never trusting the width-multiplied
+    # Catalyst estimate in either direction.
+    co = _measured(spark).build_side(
+        t["customer"].join(t["orders"], F.col("c_custkey") == F.col("o_custkey")),
+        f"q10_customer_orders@{sf_dir}",
+    )
     return (
-        t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        co
         .join(
             t["lineitem"].filter(F.col("l_returnflag") == "R"),
             F.col("o_orderkey") == F.col("l_orderkey"),
@@ -394,9 +426,19 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
+    # The date+region-filtered orders⋈dims bundle is the genuinely small
+    # side of the fact join, but Catalyst's width-multiplied join estimate
+    # can't see it (and the *lineitem scan*, estimating from compressed
+    # file bytes, can slip under the broadcast threshold — broadcasting the
+    # fact table from the wrong side). One measured COUNT(*) on the bundle
+    # (ref PreciseCardinalities, memoized per sf) makes the build side
+    # exact: broadcast while it fits, unhinted + AQE above that.
+    reduced = _measured(spark).build_side(
+        orders.join(_sized(spark, dims), F.col("o_custkey") == F.col("c_custkey")),
+        f"q5_orders_dims@{sf_dir}",
+    )
     joined = (
-        orders.join(_sized(spark, dims), F.col("o_custkey") == F.col("c_custkey"))
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        reduced.join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
             _sized(spark, t["supplier"]),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -558,25 +600,33 @@ LIMIT 20
 
 @query("q18_large_volume_customer", oracle=_Q18_ORACLE)
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: IN over an aggregated subquery → aggregate once, semi-join
-    lineitem's own aggregate back to orders. The HAVING aggregate and the
-    outer sum reuse the same shuffle key (l_orderkey), so AQE can pipeline
-    the two aggregations over one exchange."""
+    """TPC-H Q18: IN over an aggregated subquery. The outer GROUP BY keys
+    are functionally determined by ``o_orderkey`` (order PK + the 1:1
+    customer join), so the outer ``sum(l_quantity)`` per group IS the
+    per-order sum the HAVING clause already computed — the rewrite reuses
+    that aggregate instead of re-joining and re-aggregating lineitem. One
+    lineitem scan + one l_orderkey shuffle total (the naive plan pays both
+    twice); the filtered aggregate is tiny, so AQE turns the orders join
+    into a broadcast probe. At 100 TB this halves the dominant cost."""
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     big_orders = (
         t["lineitem"]
         .groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .filter(F.col("sum_qty") > 180)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
         t["orders"]
-        .join(big_orders, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(big_orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(_sized(spark, t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("total_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(20)
     )

@@ -258,3 +258,36 @@ def test_mix_weights_grand_total_reuses_grouped_agg(registry, spark, sf_small):
     from postbound_spark.queries.pipeline import release_stage_caches
 
     release_stage_caches()
+
+
+def test_flagship_fact_table_is_not_the_broadcast_side(registry, spark, sf_small):
+    """The lineitem scan's compressed-bytes estimate can slip under the
+    broadcast threshold while the filtered dim⋈orders bundle inflates past
+    it — without measured selection, Catalyst broadcasts the fact table.
+    MeasuredJoinPolicy must flip the build side to the measured-small one."""
+    df = _build(registry, spark, sf_small, "flagship_regional_revenue")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    fact_joins = [
+        l for l in executed.splitlines()
+        if "Join" in l and "l_orderkey" in l and "o_orderkey" in l
+    ]
+    assert fact_joins, executed
+    assert "BuildRight" not in fact_joins[0], fact_joins[0]
+
+
+def test_measured_policy_skips_jobs_when_estimates_agree(spark, sf_small):
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.optimizer.selection import MeasuredJoinPolicy
+    from postbound_spark.plans import relalg as ra
+
+    t = load_tables(spark, sf_small, ["region", "nation"])
+    pol = MeasuredJoinPolicy(spark, prefix="test-agree")
+    node = ra.ThetaJoin(
+        ra.Relation(table="region"), ra.Relation(table="nation"),
+        "r_regionkey = n_regionkey",
+    )
+    # two tiny base scans: both estimates fit, ratio is small — no decision,
+    # and crucially no COUNT(*) job was memoized
+    assert pol.decide(node, t["region"], t["nation"]) is None
+    assert not any(k.startswith("test-agree|") for k in pol._measured._memo)
