@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -86,11 +88,39 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     )
 
 
+#: per-session memo of table DataFrame handles. ``spark.read.parquet``
+#: re-lists files and re-infers the footer schema on every call (~80 ms x
+#: 5 tables per query build — measured as the single largest repeated cost
+#: of the bench). A DataFrame is an immutable plan handle, so reusing it is
+#: safe; the fixtures are read-only, so the frozen file listing cannot go
+#: stale. Weak session keys drop entries with their session (no id-reuse
+#: hazard — the ADVICE r2 pattern).
+_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
+def clear_table_cache(spark: SparkSession | None = None) -> None:
+    """Drop memoized table handles (all sessions, or one) — for callers
+    that rewrite fixture files in place."""
+    if spark is None:
+        _TABLE_CACHE.clear()
+    else:
+        _TABLE_CACHE.pop(spark, None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(spark.read.parquet(table_path(sf_dir, name)))
-    return spark.read.parquet(table_path(sf_dir, name))
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per_session.get(key)
+    if df is None:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = normalize_event_ts(spark.read.parquet(table_path(sf_dir, name)))
+        else:
+            df = spark.read.parquet(table_path(sf_dir, name))
+        per_session[key] = df
+    return df
 
 
 def load_tables(

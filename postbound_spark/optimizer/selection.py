@@ -193,6 +193,12 @@ class MeasuredJoinPolicy:
     #: magnitude, never as a small factor)
     SUSPECT_RATIO = 1000.0
 
+    #: decision memo keyed by the join's (prefix, left-tables, right-tables)
+    #: identity — repeat compilations of the same logical join skip both the
+    #: estimate probes (each forces a Catalyst optimization pass of the
+    #: subtree) and the COUNT(*) jobs entirely
+    _decisions: dict[str, str | None] = {}
+
     def __init__(self, spark: SparkSession, prefix: str,
                  threshold_bytes: int | None = None):
         self._measured = MeasuredBuildSide(spark, threshold_bytes)
@@ -209,13 +215,27 @@ class MeasuredJoinPolicy:
         thr = self.threshold_bytes
         if thr < 0:
             return None
+        lkey0, rkey0 = self._key(node.left), self._key(node.right)
+        # the threshold is part of the identity: sessions/tests that resize
+        # spark.sql.autoBroadcastJoinThreshold must not replay decisions
+        memo_key = f"{thr}|{lkey0}><{rkey0}" if lkey0 and rkey0 else None
+        if memo_key is not None and memo_key in self._decisions:
+            return self._decisions[memo_key]
+        decision = self._decide_fresh(thr, lkey0, rkey0, left, right)
+        if memo_key is not None:
+            self._decisions[memo_key] = decision
+        return decision
+
+    def _decide_fresh(
+        self, thr: int, lkey: str | None, rkey: str | None,
+        left: DataFrame, right: DataFrame,
+    ) -> str | None:
         lest, rest = catalyst_size_bytes(left), catalyst_size_bytes(right)
         ratio = max(lest, rest) / max(1, min(lest, rest))
         if (lest <= thr) == (rest <= thr) and ratio <= self.SUSPECT_RATIO:
             # estimates agree and are mutually plausible — the static
             # planner + AQE choose fine without any measurement job
             return None
-        lkey, rkey = self._key(node.left), self._key(node.right)
         if lkey is None or rkey is None:
             return None
         lb = self._measured.rows(left, lkey) * estimated_row_bytes(left)

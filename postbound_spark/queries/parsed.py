@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from postbound_spark.catalog import load_tables
 from postbound_spark.operators.compiler import compile_plan
+from postbound_spark.optimizer.selection import MeasuredJoinPolicy
 from postbound_spark.plans.algebra import parse_relalg
 from postbound_spark.plans.parser import parse_query, to_query_spec
 from postbound_spark.queries import query
@@ -31,7 +32,11 @@ def _native(spark: SparkSession, sf_dir: str, sql: str, tables: list[str],
             join_order: list[str] | None = None) -> DataFrame:
     cat = load_tables(spark, sf_dir, tables)
     tree = parse_relalg(parse_query(sql), join_order=join_order)
-    return compile_plan(tree, spark, cat)
+    # measured operator selection (optimizer/selection.py) rides along the
+    # native path too: explicit hints from the SQL hint block still win,
+    # and the policy only measures when Catalyst's estimates are suspect
+    policy = MeasuredJoinPolicy(spark, prefix=f"native@{sf_dir}")
+    return compile_plan(tree, spark, cat, selection=policy)
 
 
 _FLAGSHIP_SQL = """
