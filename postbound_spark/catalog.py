@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from weakref import WeakKeyDictionary
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,29 +88,43 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     )
 
 
-#: per-session memo of table DataFrame handles. ``spark.read.parquet``
-#: re-lists files and re-infers the footer schema on every call (~80 ms x
-#: 5 tables per query build — measured as the single largest repeated cost
-#: of the bench). A DataFrame is an immutable plan handle, so reusing it is
-#: safe; the fixtures are read-only, so the frozen file listing cannot go
-#: stale. Weak session keys drop entries with their session (no id-reuse
-#: hazard — the ADVICE r2 pattern).
-_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    WeakKeyDictionary()
-)
+#: sessions that currently carry a table cache (weak registry — holds no
+#: strong reference, exists only so clear_table_cache(None) can reach them)
+_CACHED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+#: attribute under which the memo lives ON the session object itself.
+#: ``spark.read.parquet`` re-lists files and re-infers the footer schema on
+#: every call (~80 ms x 5 tables per query build — measured as the single
+#: largest repeated cost of the bench). A DataFrame is an immutable plan
+#: handle, so reusing it is safe; the fixtures are read-only, so the frozen
+#: file listing cannot go stale. Storing the dict on the session (rather
+#: than a module-global keyed by session) ties the cache's lifetime exactly
+#: to the session object: a cached DataFrame's own reference back to its
+#: session would keep a WeakKeyDictionary entry immortal, while the
+#: session→cache→DataFrame→session cycle here is ordinary garbage-collectable
+#: state once the caller drops the session.
+_CACHE_ATTR = "_postbound_table_cache"
 
 
 def clear_table_cache(spark: SparkSession | None = None) -> None:
     """Drop memoized table handles (all sessions, or one) — for callers
-    that rewrite fixture files in place."""
-    if spark is None:
-        _TABLE_CACHE.clear()
-    else:
-        _TABLE_CACHE.pop(spark, None)
+    that rewrite fixture files in place. Also invalidates the measured
+    build-side memos (``optimizer/selection.py``), which are keyed by
+    fixture path and would otherwise replay counts of the old data."""
+    from postbound_spark.optimizer.selection import MeasuredJoinPolicy
+
+    MeasuredJoinPolicy.clear_memo()  # clears MeasuredBuildSide's memo too
+    targets = [spark] if spark is not None else list(_CACHED_SESSIONS)
+    for s in targets:
+        getattr(s, _CACHE_ATTR, {}).clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    per_session = getattr(spark, _CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _CACHE_ATTR, per_session)
+        _CACHED_SESSIONS.add(spark)
     key = (os.path.abspath(sf_dir), name)
     df = per_session.get(key)
     if df is None:

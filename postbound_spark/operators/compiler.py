@@ -172,6 +172,12 @@ class _Compiler(ra.RelNodeVisitor):
                 left = left.hint("broadcast")
             elif side == "right":
                 right = right.hint("broadcast")
+            elif side == "shuffle":
+                # neither side measured small but the static planner might
+                # still broadcast one from a stale estimate — pin the
+                # shuffle family (Spark ignores merge on non-equi joins
+                # with a warning, which is the right degradation)
+                right = right.hint("merge")
         return left.join(right, on=F.expr(node.predicate), how=node.how)
 
     def visit_naturaljoin(self, node: ra.NaturalJoin) -> DataFrame:

@@ -32,6 +32,7 @@ tightens the plan-time numbers when an experiment needs them.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -120,52 +121,86 @@ _ROW_OVERHEAD = 24  # UnsafeRow + hash-relation entry overhead, measured order
 
 def estimated_row_bytes(df: DataFrame) -> int:
     """Schema-derived bytes/row for broadcast sizing: fixed-width types at
-    their storage size, strings/binary at a 24-byte budget, arrays at 8x."""
+    their storage size, strings/binary at a 48-byte budget (TPC-H-style
+    comment/address columns routinely exceed a short-string guess — the
+    budget errs high because the threshold guards executor/driver memory),
+    arrays/maps/structs at a 192-byte budget."""
     total = _ROW_OVERHEAD
     for f in df.schema.fields:
         name = f.dataType.typeName()
         if name in ("array", "map", "struct"):
             total += 192
         else:
-            total += _WIDTH.get(name, 24)
+            total += _WIDTH.get(name, 48)
     return total
 
 
 class MeasuredBuildSide:
     """Broadcast decisions from *measured* intermediate cardinalities — the
     reference's ``PreciseCardinalities`` pattern (rbergm/PostBOUND
-    ``opt/_cardinalities.py:20``: run COUNT(*) on the intermediate, memoize,
-    feed the operator-selection stage) applied to Spark's build-side choice.
+    ``opt/_cardinalities.py:20``: count the intermediate, memoize, feed the
+    operator-selection stage) applied to Spark's build-side choice.
 
     Catalyst's plan-time size propagation through joins multiplies row
     widths, so a provably tiny filtered-join bundle estimates as terabytes
     and ``StatsDrivenJoinSelection`` must leave it unhinted; meanwhile a
     fact-table *scan* can estimate under the broadcast threshold from
-    compressed file bytes and get broadcast from the wrong side. One exact
-    COUNT(*) per intermediate — cheap plan-time work against a column-pruned
-    scan, paid once per (key, sf) thanks to the memo — resolves both: the
-    truly small side gets a deterministic ``broadcast`` hint, anything else
-    stays unhinted for AQE's runtime re-plan.
+    compressed file bytes and get broadcast from the wrong side. A bounded
+    measurement per intermediate resolves both: the truly small side gets a
+    deterministic ``broadcast`` hint, anything else stays unhinted for
+    AQE's runtime re-plan.
+
+    Measurement is a **capped limit-probe**, not an unbounded COUNT(*):
+    ``build.limit(cap + 1).count()`` stops producing rows just past the
+    largest count that could still fit the threshold, so probing a
+    billion-row intermediate costs roughly the same as probing a small one
+    (CollectLimit terminates the scan early). A probe that comes back
+    ``<= cap`` is the exact cardinality; one that hits ``cap + 1`` proves
+    "does not fit" without counting the rest.
 
     The memo key is caller-chosen (queries use ``name@sf_dir``), not object
     identity, so rebuilt DataFrames across bench repetitions reuse the
-    measurement the way the reference memoizes per query fragment.
+    measurement the way the reference memoizes per query fragment. Callers
+    that regenerate fixture data in place must invalidate via
+    :func:`postbound_spark.catalog.clear_table_cache` (which clears this
+    memo too) or :meth:`clear_memo`.
     """
 
-    _memo: dict[str, int] = {}
+    #: key -> ("eq", exact_rows) | ("gt", probed_cap)
+    _memo: dict[str, tuple[str, int]] = {}
 
     def __init__(self, spark: SparkSession, threshold_bytes: int | None = None):
         self._selection = StatsDrivenJoinSelection(spark, threshold_bytes)
 
-    def rows(self, build: DataFrame, key: str) -> int:
+    @classmethod
+    def clear_memo(cls) -> None:
+        cls._memo.clear()
+
+    def rows_capped(self, build: DataFrame, key: str, cap: int) -> float:
+        """Exact row count when it is ``<= cap``, else ``inf`` (meaning
+        "provably more than cap"). Bounded work either way."""
         got = self._memo.get(key)
-        if got is None:
-            got = self._memo[key] = build.count()
-        return got
+        if got is not None:
+            kind, n = got
+            if kind == "eq":
+                return n if n <= cap else float("inf")
+            if cap <= n:  # previously proved > n >= cap
+                return float("inf")
+            # previous probe was capped lower than this request — re-probe
+        probed = build.limit(cap + 1).count()
+        if probed <= cap:
+            self._memo[key] = ("eq", probed)
+            return probed
+        self._memo[key] = ("gt", cap)
+        return float("inf")
 
     def build_side(self, build: DataFrame, key: str) -> DataFrame:
-        size = self.rows(build, key) * estimated_row_bytes(build)
-        if 0 <= size <= self._selection.threshold_bytes:
+        thr = self._selection.threshold_bytes
+        if thr < 0:
+            return build
+        width = estimated_row_bytes(build)
+        cap = max(thr // width, 1)
+        if self.rows_capped(build, key, cap) * width <= thr:
             return build.hint("broadcast")
         return build
 
@@ -182,10 +217,17 @@ class MeasuredJoinPolicy:
     estimates. A pruned fact-table scan estimates from compressed file
     bytes and can slip under the threshold, while a filtered multi-join
     bundle inflates to terabytes — so the static rule broadcasts the fact
-    table. In the suspect cases both sides get an exact memoized COUNT(*)
-    and the truly smaller fitting side wins; if neither measures small,
-    the join is left to shuffle + AQE. When the estimates agree and are
-    mutually plausible, no measurement job runs at all.
+    table. In the suspect cases both sides get a bounded limit-probe
+    measurement (see :class:`MeasuredBuildSide`) and:
+
+    - the truly smaller fitting side gets a ``broadcast`` hint;
+    - if **neither** side measures small but the static planner would
+      plausibly broadcast one anyway (an estimate within a column-pruning
+      factor of the threshold), the join is pinned to the shuffle family
+      (``merge`` hint) — returning None there would leave the fact-table
+      broadcast in place, the exact pathology this class exists to stop;
+    - when the estimates agree and are mutually plausible, no measurement
+      job runs at all and Catalyst/AQE decide.
     """
 
     #: estimate divergence that marks one side's estimate as untrustworthy
@@ -193,10 +235,14 @@ class MeasuredJoinPolicy:
     #: magnitude, never as a small factor)
     SUSPECT_RATIO = 1000.0
 
-    #: decision memo keyed by the join's (prefix, left-tables, right-tables)
-    #: identity — repeat compilations of the same logical join skip both the
-    #: estimate probes (each forces a Catalyst optimization pass of the
-    #: subtree) and the COUNT(*) jobs entirely
+    #: pre-pruning estimates overshoot the planner's post-pruning numbers by
+    #: up to the column-count ratio; an estimate within this factor of the
+    #: threshold may still be broadcast by the static planner
+    PRUNE_MARGIN = 16
+
+    #: decision memo — repeat compilations of the same logical join skip
+    #: both the estimate probes (each forces a Catalyst optimization pass
+    #: of the subtree) and the measurement jobs entirely
     _decisions: dict[str, str | None] = {}
 
     def __init__(self, spark: SparkSession, prefix: str,
@@ -205,23 +251,38 @@ class MeasuredJoinPolicy:
         self.threshold_bytes = self._measured._selection.threshold_bytes
         self.prefix = prefix
 
+    @classmethod
+    def clear_memo(cls) -> None:
+        cls._decisions.clear()
+        MeasuredBuildSide.clear_memo()
+
     def _key(self, subtree) -> str | None:
+        """Memo key = prefix + table set + a structural fingerprint of the
+        whole subtree (relalg nodes are dataclasses, so ``repr`` covers
+        predicates, aliases, and shape). Table names alone would collide
+        two differently-filtered subtrees over the same tables — replaying
+        a tiny filtered count for an unfiltered join would force a
+        broadcast of millions of rows."""
         tables = sorted(subtree.tables())
-        return f"{self.prefix}|{'+'.join(tables)}" if tables else None
+        if not tables:
+            return None
+        fp = hashlib.md5(repr(subtree).encode()).hexdigest()[:12]
+        return f"{self.prefix}|{'+'.join(tables)}#{fp}"
 
     def decide(self, node, left: DataFrame, right: DataFrame) -> str | None:
-        """Return ``"left"``/``"right"`` to broadcast that side, or None to
-        leave the join to Catalyst/AQE."""
+        """Return ``"left"``/``"right"`` to broadcast that side,
+        ``"shuffle"`` to pin the shuffle family, or None to leave the join
+        to Catalyst/AQE."""
         thr = self.threshold_bytes
         if thr < 0:
             return None
-        lkey0, rkey0 = self._key(node.left), self._key(node.right)
+        lkey, rkey = self._key(node.left), self._key(node.right)
         # the threshold is part of the identity: sessions/tests that resize
         # spark.sql.autoBroadcastJoinThreshold must not replay decisions
-        memo_key = f"{thr}|{lkey0}><{rkey0}" if lkey0 and rkey0 else None
+        memo_key = f"{thr}|{lkey}><{rkey}" if lkey and rkey else None
         if memo_key is not None and memo_key in self._decisions:
             return self._decisions[memo_key]
-        decision = self._decide_fresh(thr, lkey0, rkey0, left, right)
+        decision = self._decide_fresh(thr, lkey, rkey, left, right)
         if memo_key is not None:
             self._decisions[memo_key] = decision
         return decision
@@ -238,10 +299,16 @@ class MeasuredJoinPolicy:
             return None
         if lkey is None or rkey is None:
             return None
-        lb = self._measured.rows(left, lkey) * estimated_row_bytes(left)
-        rb = self._measured.rows(right, rkey) * estimated_row_bytes(right)
+        lw, rw = estimated_row_bytes(left), estimated_row_bytes(right)
+        lb = self._measured.rows_capped(left, lkey, max(thr // lw, 1)) * lw
+        rb = self._measured.rows_capped(right, rkey, max(thr // rw, 1)) * rw
         if lb <= thr and lb <= rb:
             return "left"
         if rb <= thr and rb < lb:
             return "right"
+        # neither side measures small. If an estimate sits close enough to
+        # the threshold that the static planner may still broadcast it
+        # post-pruning, pin the shuffle family; otherwise stay silent.
+        if min(lest, rest) <= thr * self.PRUNE_MARGIN:
+            return "shuffle"
         return None

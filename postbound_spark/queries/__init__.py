@@ -161,13 +161,13 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "contamination_ngram_overlap",
     "sample_domain_cap",
     "corpus_mix_weights",
+    "ann_quantized_rescore_topk",
     # --- regression representatives spanning r1∪r2 green families ---
     "flagship_regional_revenue",
     "q12_shipping_priority_split",
     "opt_ues_regional_revenue",
     "dedup_minhash_lsh",
     "events_sessionize",
-    "parsed_left_outer_join",
     "expr_window_frame",
 )
 

@@ -1424,7 +1424,8 @@ SELECT doc_id,
        len(bg) - len(list_distinct(bg)) AS dup_bigrams,
        CASE WHEN list_max(list_transform(list_distinct(ws),
                                          u -> len(list_filter(ws, x -> x = u)))) * 8 >= len(ws)
-              OR (len(bg) - len(list_distinct(bg))) * 10 >= len(bg)
+              OR (len(bg) > 0
+                  AND (len(bg) - len(list_distinct(bg))) * 10 >= len(bg))
             THEN 1 ELSE 0 END AS flagged
 FROM g
 """,
@@ -1467,7 +1468,9 @@ def text_repetition_filter(spark, sf_dir):
         top_cnt.alias("top_token_count"),
         n_bg.alias("n_bigrams"),
         dup_bg.alias("dup_bigrams"),
-        F.when((top_cnt * 8 >= n) | (dup_bg * 10 >= n_bg), 1)
+        # n_bg > 0 guard: 0 >= 0 is vacuously true, which would flag every
+        # doc too short to have bigrams as "repetitive"
+        F.when((top_cnt * 8 >= n) | ((n_bg > 0) & (dup_bg * 10 >= n_bg)), 1)
         .otherwise(0)
         .alias("flagged"),
     )
@@ -1740,4 +1743,88 @@ def corpus_mix_weights(spark, sf_dir):
             .alias("share_ppm"),
         )
         .orderBy("lang", "source")
+    )
+
+
+@query(
+    "ann_quantized_rescore_topk",
+    oracle=f"""
+WITH scale AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, label, embedding,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale.s + 0.5) AS BIGINT)) AS q8
+  FROM embeddings, scale
+),
+qq AS (SELECT q8, embedding AS qemb FROM b WHERE vec_id = 0),
+short AS (
+  SELECT b.vec_id, b.label, b.embedding, qq.qemb,
+         CAST(list_sum(list_transform(generate_series(1, len(b.q8)),
+                                      i -> b.q8[i] * qq.q8[i])) AS BIGINT) AS score8
+  FROM b, qq
+  WHERE b.vec_id <> 0
+  ORDER BY score8 DESC, b.vec_id
+  LIMIT 50
+),
+resc AS (
+  SELECT vec_id, label, score8, {_cos_sql(_QUANT, _QUANT.replace("embedding", "qemb"))} AS c
+  FROM short
+)
+SELECT vec_id, label, score8, round(c, 6) AS cosine
+FROM resc
+ORDER BY c DESC, vec_id
+LIMIT 10
+""",
+)
+def ann_quantized_rescore_topk(spark, sf_dir):
+    """Two-stage retrieval: int8 coarse scoring + exact rescoring — the
+    standard shape of a production vector index (quantized shortlist scan,
+    full-precision re-rank of the survivors).
+
+    Stage 1 quantizes every vector to int8 against a broadcast global
+    max-abs scale and ranks by exact integer dot product with the query
+    vector — 4x less data scanned than float32 and still TakeOrdered (no
+    global sort). Stage 2 re-scores only the 50 shortlist rows with the
+    micro-quantized cosine and keeps the top 10. Both stages are
+    deterministic integer math with vec_id tie-breaks, so the DuckDB
+    oracle reproduces the exact shortlist boundary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = emb.agg(F.max(absmax).alias("s"))
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127 / F.col("s") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    base = emb.crossJoin(F.broadcast(scale)).select(
+        "vec_id", "label", "embedding", q8.alias("q8")
+    )
+    base = stage_cache(base)
+    qrow = base.filter(F.col("vec_id") == 0).select(
+        F.col("q8").alias("query_q8"), F.col("embedding").alias("qemb")
+    )
+    shortlist = (
+        base.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "qemb",
+            V.dot_q(F.col("q8"), F.col("query_q8")).alias("score8"),
+        )
+        .orderBy(F.desc("score8"), "vec_id")
+        .limit(50)
+    )
+    qv, qqv = V.quantize(F.col("embedding")), V.quantize(F.col("qemb"))
+    c = V.dot_q(qv, qqv).cast("double") / (V.norm_q(qv) * V.norm_q(qqv))
+    return (
+        shortlist.select("vec_id", "label", "score8", c.alias("c"))
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", "score8", F.round("c", 6).alias("cosine"))
     )

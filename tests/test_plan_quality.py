@@ -291,3 +291,45 @@ def test_measured_policy_skips_jobs_when_estimates_agree(spark, sf_small):
     # and crucially no COUNT(*) job was memoized
     assert pol.decide(node, t["region"], t["nation"]) is None
     assert not any(k.startswith("test-agree|") for k in pol._measured._memo)
+
+
+def test_measured_policy_pins_shuffle_when_nothing_fits(spark, sf_small):
+    """When measurement proves neither side fits but a static estimate sits
+    near the threshold (the fact-scan-underestimate pathology), the policy
+    must pin the shuffle family rather than stay silent — silence would
+    leave the stale static broadcast in place."""
+    from pyspark.sql import functions as F
+
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.optimizer.selection import MeasuredJoinPolicy
+    from postbound_spark.plans import relalg as ra
+
+    t = load_tables(spark, sf_small, ["region", "nation", "customer"])
+    pol = MeasuredJoinPolicy(spark, prefix="test-shuffle", threshold_bytes=200)
+    node = ra.ThetaJoin(
+        ra.Relation(table="region"),
+        ra.ThetaJoin(
+            ra.Relation(table="nation"), ra.Relation(table="customer"),
+            "n_nationkey = c_nationkey",
+        ),
+        "r_regionkey = n_regionkey",
+    )
+    right = t["nation"].join(
+        t["customer"], F.col("n_nationkey") == F.col("c_nationkey")
+    )
+    assert pol.decide(node, t["region"], right) == "shuffle"
+
+
+def test_measured_memo_keys_distinguish_filtered_subtrees(spark, sf_small):
+    """Two subtrees over the same table set but different predicates must
+    not share a measurement — replaying a filtered count for an unfiltered
+    join would force a broadcast of the wrong size."""
+    from postbound_spark.optimizer.selection import MeasuredJoinPolicy
+    from postbound_spark.plans import relalg as ra
+
+    pol = MeasuredJoinPolicy(spark, prefix="test-keys")
+    a = ra.Selection(ra.Relation(table="orders"), "o_totalprice > 100")
+    b = ra.Selection(ra.Relation(table="orders"), "o_totalprice > 500000")
+    c = ra.Relation(table="orders")
+    keys = {pol._key(x) for x in (a, b, c)}
+    assert len(keys) == 3, keys
