@@ -13,6 +13,7 @@ partition.
 from __future__ import annotations
 
 import math
+import weakref
 
 from pyspark.sql import DataFrame
 
@@ -30,15 +31,20 @@ class PreciseCardinalities(CardinalityEstimator):
     with different filters applied; a name-set-only key would replay the
     first query's counts as "ground truth" for the second.
 
-    The keyed DataFrames are pinned in the cache entry: ``id()`` alone is
-    only unique among LIVE objects, so without the strong reference CPython
-    could recycle a freed frame's id for a differently-filtered frame of the
-    same table and silently replay the wrong count — the exact staleness
-    this memo key exists to prevent."""
+    ``id()`` alone is only unique among LIVE objects, so the cache entry
+    carries a *weak* reference to each keyed frame and verifies, on every
+    hit, that the weakref still resolves to the very object being asked
+    about. A recycled id therefore reads as a cache miss and recounts —
+    the staleness protection of pinning, without pinning: a long session
+    reusing one estimator (the dp-precise preset's documented pattern)
+    holds no strong references and cannot grow frame memory without
+    bound."""
 
     def __init__(self):
-        # key -> (count, pinned frames whose ids appear in the key)
-        self._cache: dict[tuple, tuple[float, tuple[DataFrame, ...]]] = {}
+        # key -> (count, weakrefs to the frames whose ids appear in the key)
+        self._cache: dict[
+            tuple, tuple[float, tuple["weakref.ref[DataFrame]", ...]]
+        ] = {}
 
     def estimate_cardinality(
         self, spec: QuerySpec, intermediate: frozenset[str], tables: dict[str, DataFrame]
@@ -51,11 +57,20 @@ class PreciseCardinalities(CardinalityEstimator):
             tuple(sorted(map(str, spec.edges))),
             tuple((name, id(df)) for name, df in keyed),
         )
-        if key not in self._cache:
-            tree = JoinTree.left_deep(sorted(intermediate))
-            df = compile_join_tree(tables, tree, list(spec.edges))
-            self._cache[key] = (float(df.count()), tuple(df for _, df in keyed))
-        return self._cache[key][0]
+        hit = self._cache.get(key)
+        if hit is not None:
+            count, refs = hit
+            if all(r() is df for r, (_n, df) in zip(refs, keyed)):
+                return count
+            del self._cache[key]  # id recycled onto a different frame
+        tree = JoinTree.left_deep(sorted(intermediate))
+        df = compile_join_tree(tables, tree, list(spec.edges))
+        count = float(df.count())
+        self._cache[key] = (
+            count,
+            tuple(weakref.ref(frame) for _, frame in keyed),
+        )
+        return count
 
 
 class PreComputedCardinalities(CardinalityEstimator):

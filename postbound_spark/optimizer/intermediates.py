@@ -67,8 +67,25 @@ class IntermediateCardinalityInjector:
             if name not in cards:
                 remaining.append((name, sub))
                 continue
+            # never clobber a pre-existing table or temp view: dropping a
+            # same-named catalog table would destroy real data (and a CTE
+            # shadowing the table its own body reads would drop its source);
+            # a temp view would silently win name resolution over the
+            # doctored table and the injection would be ignored
+            if name not in self._created and self.spark.catalog.tableExists(name):
+                raise ValueError(
+                    f"CTE {name!r} shadows an existing table/view — rename "
+                    "the CTE so the materialized intermediate cannot "
+                    "clobber or be shadowed by catalog state"
+                )
             # earlier, still-inline CTEs must stay visible to this body;
             # earlier *materialized* ones already resolve as catalog tables
+            if remaining and not hasattr(sub, "with_clause"):
+                raise ValueError(
+                    f"CTE {name!r} has a set-query body that cannot absorb "
+                    "earlier inline CTEs — target the earlier CTEs too, or "
+                    "reorder so set-query CTEs come first"
+                )
             body = (
                 sub.with_clause(ctes=tuple(remaining) + sub.ctes)
                 if remaining

@@ -779,10 +779,27 @@ class _Converter:
                 return node
             return ra.Sort(node, sort_keys)
 
+        prior = q.fetch_direction in ("prior", "last") and q.limit is not None
         if sort_uses_alias:
             tree = sort(project(tree))
-        else:
-            tree = project(sort(tree))
+            if q.distinct:
+                tree = ra.DuplicateElimination(tree)
+            return self._limit(tree, sort_keys)
+        if prior and sort_keys:
+            if q.distinct:
+                # valid SQL already forces DISTINCT sort keys into the
+                # select list (alias path above); anything else is refused
+                # rather than compiled into an unresolvable plan
+                raise UnsupportedSqlError(
+                    "FETCH PRIOR/LAST with DISTINCT requires the ORDER BY "
+                    "keys in the select list"
+                )
+            # the whole inverted-window pipeline (sort → invert+limit →
+            # restore) goes BELOW the projection: the ORDER BY may
+            # reference columns the SELECT list drops, which an inverted
+            # Sort placed above the projection could not resolve
+            return project(self._limit(sort(tree), sort_keys))
+        tree = project(sort(tree))
         if q.distinct:
             tree = ra.DuplicateElimination(tree)
         return self._limit(tree, sort_keys)

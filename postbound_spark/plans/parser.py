@@ -490,6 +490,7 @@ class _Parser:
 
         first = one_source()
         tables.append(first)
+        n_comma_items = 1
         # one entry per FROM comma item: join links attached to that item.
         # ``scope`` tracks the identifiers visible to an ON condition — the
         # item's own source plus every table already joined in ITS chain
@@ -501,6 +502,7 @@ class _Parser:
             if self.t.accept(","):
                 src = one_source()
                 tables.append(src)
+                n_comma_items += 1
                 scope = {src.identifier}  # comma starts a new join-chain group
                 continue
             jt = join_type()
@@ -553,6 +555,23 @@ class _Parser:
             jt in (Q.JoinType.INNER, Q.JoinType.CROSS) and not using
             for jt, _src, _cond, using in chain
         )
+        if chain and not all_inner and n_comma_items >= 2:
+            # The IR stores explicit joins as ONE flat list applied after
+            # every comma item, discarding which comma group each link
+            # belongs to. For inner chains that is semantics-preserving
+            # (they normalize to implicit form below); for outer/NATURAL/
+            # USING links it re-associates the join — a RIGHT/FULL join's
+            # preserved side would multiply by the unrelated comma items
+            # ("FROM a, b RIGHT JOIN c ON p" would null-extend a too), and
+            # the rendered SQL re-parses with a different association. The
+            # reference models per-group joins via pglast; here the mixed
+            # shape is rejected rather than silently mis-executed.
+            raise UnsupportedSqlError(
+                "comma-separated FROM items can only combine with explicit "
+                "join chains that normalize to implicit form (inner ON "
+                "joins); outer/NATURAL/USING chains next to comma items "
+                "would re-associate — rewrite the FROM as a single chain"
+            )
         for jt, src, cond, using in chain:
             if all_inner:
                 tables.append(src)

@@ -30,7 +30,9 @@ class QueryDef:
 REGISTRY: dict[str, QueryDef] = {}
 
 _SUM_CALL = re.compile(r"(?<![a-z_])sum\s*\(", re.IGNORECASE)
-_CAST_WRAP = re.compile(r"cast\s*\(\s*$", re.IGNORECASE)
+# boundary guard: without it, names ENDING in cast (broadcast(sum(x)))
+# would read as a CAST wrapper and waive the lint
+_CAST_WRAP = re.compile(r"(?<![a-z_])cast\s*\(\s*$", re.IGNORECASE)
 _FLOAT_MARKER = re.compile(
     r"::\s*(double|decimal|float|real)|as\s+(double|decimal|float|real)", re.IGNORECASE
 )
@@ -70,7 +72,7 @@ def lint_oracle(name: str, oracle: str) -> None:
     """
     for m in _SUM_CALL.finditer(oracle):
         prefix = oracle[: m.start()].rstrip()
-        if _CAST_WRAP.search(prefix[-8:] if len(prefix) >= 8 else prefix):
+        if _CAST_WRAP.search(prefix):
             continue  # CAST(sum(...) AS ...) — explicitly typed
         arg = _extract_call_arg(oracle, m.end() - 1)
         if _FLOAT_MARKER.search(arg):

@@ -82,16 +82,20 @@ def _dtype_class(dtype: Any) -> str:
 
 def _driver_compat_issues(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
     """Checks mirroring the driver canonicalizer's stricter behavior."""
-    for col in spark_pdf.columns:
-        if any(
-            isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
-            for v in spark_pdf[col].head(20)
-        ):
-            return (
-                f"column {col!r} is array-typed: the driver's pandas sort_values "
-                "canonicalizer cannot sort lists — serialize it to a string "
-                "(decimal-formatted join / to_json) on BOTH engines"
-            )
+    # both frames are checked: an oracle-side-only raw array (builder
+    # serialized, oracle forgot — the round-2 expr_array_agg failure mode)
+    # must fail with this targeted message, not an opaque value mismatch
+    for side, pdf in (("spark", spark_pdf), ("oracle", duck_pdf)):
+        for col in pdf.columns:
+            if any(
+                isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+                for v in pdf[col].head(20)
+            ):
+                return (
+                    f"{side} column {col!r} is array-typed: the driver's pandas "
+                    "sort_values canonicalizer cannot sort lists — serialize it "
+                    "to a string (decimal-formatted join / to_json) on BOTH engines"
+                )
     for col in spark_pdf.columns:
         sc, dc = _dtype_class(spark_pdf[col].dtype), _dtype_class(duck_pdf[col].dtype)
         if sc != dc and not (spark_pdf[col].isna().all() or duck_pdf[col].isna().all()):

@@ -112,7 +112,36 @@ def main() -> int:
         not spark.catalog.tableExists("active_cust"),
     )
 
-    print(f"{7 - failures}/7 passed", flush=True)
+    # a CTE shadowing an existing table/view must be refused, never dropped
+    try:
+        inj.plan(
+            "WITH inj_customer AS "
+            "(SELECT * FROM inj_customer WHERE c_acctbal > 0) "
+            "SELECT count(*) AS n FROM inj_customer",
+            {"inj_customer": 5},
+        )
+        check("shadowing-cte-refused", False)
+    except ValueError:
+        check(
+            "shadowing-cte-refused",
+            spark.catalog.tableExists("inj_customer"),
+            "(source table survives)",
+        )
+
+    # set-query CTE bodies cannot absorb earlier inline CTEs — loud error,
+    # not an AttributeError from deep inside with_clause
+    try:
+        inj.plan(
+            "WITH a AS (SELECT 1 AS x), "
+            "b AS (SELECT 1 AS x UNION SELECT 2 AS x) "
+            "SELECT * FROM a, b",
+            {"b": 10},
+        )
+        check("set-query-cte-body-refused", False)
+    except ValueError:
+        check("set-query-cte-body-refused", True)
+
+    print(f"{9 - failures}/9 passed", flush=True)
     return 1 if failures else 0
 
 

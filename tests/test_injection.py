@@ -80,4 +80,4 @@ def test_intermediate_injection_demo_subprocess():
         cwd=".",
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-2000:]}"
-    assert "7/7 passed" in proc.stdout
+    assert "9/9 passed" in proc.stdout

@@ -836,3 +836,22 @@ def test_malformed_plan_node_degrades_loudly(caplog):
     messages = " ".join(r.message for r in caplog.records)
     assert "stats() unreadable" in messages and "BrokenExec" in messages
     assert "metrics unreadable" in messages
+
+
+def test_precise_cardinalities_identity_checked_not_pinned(spec, tdfs):
+    """The memo must neither pin frames (unbounded growth across a long
+    session) nor trust a recycled id: entries hold weakrefs and every hit
+    verifies the ref still resolves to the very frame being asked about."""
+    import weakref as _weakref
+
+    est = PreciseCardinalities()
+    inter = frozenset({"orders", "lineitem"})
+    a = est.estimate_cardinality(spec, inter, tdfs)
+    ((_, refs),) = est._cache.values()
+    assert all(isinstance(r, _weakref.ref) for r in refs)
+    # a differently-filtered frame under the same table name is a miss,
+    # never a replay of the first frame's "ground truth"
+    t2 = dict(tdfs)
+    t2["orders"] = tdfs["orders"].filter("o_orderkey < 0")
+    assert est.estimate_cardinality(spec, inter, t2) == 0.0
+    assert a > 0

@@ -541,3 +541,41 @@ def test_plain_lateral_star_does_not_leak_latkeys(spark, sf_small):
     df = compile_plan(parse_relalg(q), spark, cat)
     assert not [c for c in df.columns if c.startswith("__latkey")], df.columns
     assert df.count() > 0
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # RIGHT/FULL preserved sides multiply by unrelated comma items under
+        # the flat join model — mis-association, rejected loudly
+        "SELECT * FROM a, b RIGHT JOIN c ON b.x = c.x",
+        "SELECT * FROM a FULL JOIN b ON a.x = b.x, c",
+        # LEFT/USING chains next to comma items re-associate on render
+        # (to_sql cannot express the group structure) — rejected too
+        "SELECT * FROM a LEFT JOIN b ON a.x = b.x, c",
+        "SELECT * FROM a, b JOIN c USING (x)",
+    ],
+)
+def test_comma_items_with_non_normalizing_chains_rejected(sql):
+    with pytest.raises(UnsupportedSqlError, match="comma-separated FROM"):
+        parse_query(sql)
+
+
+def test_fetch_prior_sort_key_outside_select_executes(spark, sf_small):
+    """FETCH PRIOR's inverted sort must sit BELOW the projection: the
+    ORDER BY key here is not in the SELECT list, so an inverted Sort above
+    the projection would be unresolvable."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    sql = "SELECT n_name FROM nation ORDER BY n_nationkey FETCH PRIOR 2 ROWS ONLY"
+    tree = parse_relalg(parse_query(sql))
+    cat = load_tables(spark, sf_small, ["nation"])
+    got = [r.n_name for r in compile_plan(tree, spark, cat).collect()]
+    nation = sorted(
+        cat["nation"].select("n_nationkey", "n_name").collect(),
+        key=lambda r: r.n_nationkey,
+    )
+    want = [r.n_name for r in nation[-2:]]  # last two, presentation order
+    assert got == want

@@ -18,3 +18,16 @@ def _names():
 def test_query_matches_oracle(spark, sf_small, name):
     ok, msg = compare_query(spark, name, sf_small)
     assert ok, msg
+
+
+def test_oracle_lint_boundary_does_not_mistake_broadcast_for_cast():
+    """Function names ENDING in 'cast' (broadcast, anycast) must not read
+    as a CAST wrapper and waive the HUGEINT sum lint."""
+    import pytest as _pytest
+
+    from postbound_spark.queries import lint_oracle
+
+    with _pytest.raises(ValueError, match="un-cast"):
+        lint_oracle("x", "SELECT broadcast(sum(n_nationkey)) FROM nation")
+    lint_oracle("x", "SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation")
+    lint_oracle("x", "SELECT cast (sum(n_nationkey) AS BIGINT) FROM nation")
