@@ -84,37 +84,45 @@ def make_sessionizer(
             yield _session_row(user_id, start_us, end_us, n)
             return
 
-        start_us, end_us, n = state.get if state.exists else (None, None, 0)
-        closed: list[tuple[int, int, int]] = []
-        # sort across ALL Arrow chunks — per-chunk order is not global
-        # order for groups larger than maxRecordsPerBatch, and a regressed
-        # end_us would corrupt the session boundary and its timeout
-        all_ts = sorted(
-            int(pd.Timestamp(ts).value // 1000) for pdf in pdfs for ts in pdf["ts"]
-        )
-        for ts_us in all_ts:
-            if start_us is None:
-                start_us, end_us, n = ts_us, ts_us, 1
-            elif ts_us - end_us > gap_ms * 1000:
-                closed.append((start_us, end_us, n))
-                start_us, end_us, n = ts_us, ts_us, 1
+        # Fold the open-state session and the batch events in GLOBAL time
+        # order via interval clustering: events are point intervals, the
+        # state session an [start, end] interval; consecutive intervals
+        # merge when the start-to-previous-end gap is within gap_ms. This
+        # matches batch sessionization for late in-watermark events that
+        # precede the open session — a point more than gap before
+        # session_start forms its own (earlier, already-closed) session
+        # instead of being min()-swallowed into the open one. Sorting
+        # spans ALL Arrow chunks — per-chunk order is not global order for
+        # groups larger than maxRecordsPerBatch.
+        intervals = [
+            (int(pd.Timestamp(ts).value // 1000),) * 2 + (1,)
+            for pdf in pdfs
+            for ts in pdf["ts"]
+        ]
+        if state.exists:
+            s0, e0, n0 = state.get
+            intervals.append((s0, e0, n0))
+        intervals.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s, e, c in intervals:
+            if merged and s - merged[-1][1] <= gap_ms * 1000:
+                ps, pe, pc = merged[-1]
+                merged[-1] = (ps, max(pe, e), pc + c)
             else:
-                # min/max accumulation: a late in-watermark event inside
-                # the gap extends the session, never rewinds it
-                start_us = min(start_us, ts_us)
-                end_us = max(end_us, ts_us)
-                n += 1
-        if start_us is not None:
+                merged.append((s, e, c))
+        if merged:
+            start_us, end_us, n = merged[-1]  # newest stays open in state
             state.update((start_us, end_us, n))
             # flush once no in-watermark event can extend the session;
-            # must stay strictly above the current watermark or Spark
-            # rejects the call (possible when late data sneaks in just
-            # under the allowed lateness)
-            timeout_ms = end_us // 1000 + gap_ms
+            # ceil the µs end to ms so the timeout can never fire BEFORE
+            # end + gap has provably elapsed, and stay strictly above the
+            # current watermark or Spark rejects the call (possible when
+            # late data sneaks in just under the allowed lateness)
+            timeout_ms = -(-end_us // 1000) + gap_ms
             state.setTimeoutTimestamp(
                 max(timeout_ms, state.getCurrentWatermarkMs() + 1)
             )
-        for s, e, c in closed:
+        for s, e, c in merged[:-1]:
             yield _session_row(user_id, s, e, c)
 
     return sessionize

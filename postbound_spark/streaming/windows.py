@@ -20,6 +20,8 @@ Semantics guarantees that matter at scale:
 from __future__ import annotations
 
 import os
+import re
+import shutil
 import tempfile
 import uuid
 
@@ -39,6 +41,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from postbound_spark.catalog import normalize_event_ts
 
+    # session-global ON PURPOSE and never restored: the batch catalog
+    # (catalog.load_table) sets the same flag, cached DataFrames resolve
+    # lazily against it, and without it Spark REJECTS TIMESTAMP(NANOS)
+    # parquet outright — so the only observable effect is making the
+    # events fixtures readable (normalize_event_ts handles the int64 form)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = (
@@ -95,23 +102,39 @@ def run_available_now(
     spark = result.sparkSession
     if output_mode is None:
         analyzed = result._jdf.queryExecution().analyzed().toString()
-        if "FlatMapGroupsWithState" in analyzed or "FlatMapGroupsInPandasWithState" in analyzed:
+        # match node NAMES at line starts (after the tree-drawing prefix),
+        # not raw substrings: 'Aggregate' can appear inside an alias like
+        # `x AS AggregateValue` and must not flip an append-only plan to
+        # complete mode
+        def has_node(name: str) -> bool:
+            # prefix class covers tree-drawing chars plus the ~ streaming
+            # marker and the ' unresolved marker
+            return re.search(rf"(?m)^[\s+:|~'-]*{name}\b", analyzed) is not None
+
+        if has_node("FlatMapGroupsWithState") or has_node(
+            "FlatMapGroupsInPandasWithState"
+        ):
             output_mode = "update"
-        elif "Aggregate" in analyzed:
+        elif has_node("Aggregate"):
             output_mode = "complete"
         else:
             output_mode = "append"
     name = query_name or f"avail_now_{uuid.uuid4().hex[:8]}"
+    # throwaway checkpoint, removed after the drain — state-store files per
+    # call would otherwise accumulate under /tmp for the process lifetime
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)
 
 

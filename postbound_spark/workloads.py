@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import os
 import random
+import shutil
 import threading
 import time
 from collections import UserDict
@@ -34,6 +35,39 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 QueryLike = "str | Callable[[SparkSession, str], DataFrame]"
+
+
+def _split_sql_statements(text: str) -> list[str]:
+    """Split a SQL batch on ``;`` OUTSIDE single-quoted string literals
+    (with standard ``''`` escaping). Double-quoted identifiers are split
+    through on purpose — identifiers cannot contain statement separators
+    in any workload this loader serves, and literal safety is the case
+    real texts actually hit (``WHERE note = 'a;b'``)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_str = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":  # escaped quote
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == ";":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
 
 
 class Workload(UserDict):
@@ -61,9 +95,13 @@ class Workload(UserDict):
     @staticmethod
     def read_batch_file(path: str, label_prefix: str = "q") -> "Workload":
         """One file, many queries separated by ``;`` — ref
-        ``workloads.py:767``. Labels are ``{prefix}-{1-based index}``."""
+        ``workloads.py:767``. Labels are ``{prefix}-{1-based index}``.
+        The split is string-literal-aware: a ``;`` inside ``'a;b'`` (with
+        standard ``''`` escaping) stays inside its query — real workload
+        texts carry semicolons in literals."""
         with open(path) as fh:
-            statements = [s.strip() for s in fh.read().split(";")]
+            text = fh.read()
+        statements = [s.strip() for s in _split_sql_statements(text)]
         return Workload(
             {
                 f"{label_prefix}-{i + 1}": stmt
@@ -218,13 +256,24 @@ def fetch_workload(name: str, timeout: float = 30.0) -> str:
         raise KeyError(f"no fetch URL for workload {name!r}")
     target = os.path.join(_WORKLOAD_CACHE, name)
     if not glob.glob(os.path.join(target, "**", "*.sql"), recursive=True):
-        os.makedirs(target, exist_ok=True)
         with urllib.request.urlopen(WORKLOAD_URLS[name], timeout=timeout) as resp:
             payload = resp.read()
-        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-            for member in zf.namelist():
-                if member.endswith(".sql"):
-                    zf.extract(member, target)
+        # extract into a sibling temp dir and rename atomically: a
+        # mid-extraction failure must never leave a partial cache that
+        # every later call would silently serve as the full workload
+        staging = target + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        try:
+            with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                for member in zf.namelist():
+                    if member.endswith(".sql"):
+                        zf.extract(member, staging)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(staging, target)
     hits = glob.glob(os.path.join(target, "**", "*.sql"), recursive=True)
     if not hits:
         raise FileNotFoundError(f"archive for {name!r} contained no *.sql files")
@@ -303,24 +352,31 @@ class ExecutionResult:
     error: str | None = None
 
 
-_REGISTERED_VIEWS: set[tuple[int, str]] = set()
 _REGISTER_LOCK = threading.Lock()
+_VIEWS_ATTR = "_postbound_registered_views"
 
 
 def _ensure_views(spark: SparkSession, sf_dir: str) -> None:
     """Register fixture views once per (session, sf_dir) — re-registering
     all tables inside every timed execution inflated exec_time with
     repeated parquet footer reads, and raced sibling threads in the
-    parallel executor."""
+    parallel executor. The done-set lives ON the session object (the
+    catalog.py table-cache pattern): a module-global keyed by ``id(spark)``
+    would survive the session and skip registration for a NEW session that
+    recycled the address."""
     from postbound_spark.catalog import register_views
 
-    key = (id(spark), sf_dir)
-    if key in _REGISTERED_VIEWS:
+    done = getattr(spark, _VIEWS_ATTR, None)
+    if done is not None and sf_dir in done:
         return
     with _REGISTER_LOCK:
-        if key not in _REGISTERED_VIEWS:
+        done = getattr(spark, _VIEWS_ATTR, None)
+        if done is None:
+            done = set()
+            setattr(spark, _VIEWS_ATTR, done)
+        if sf_dir not in done:
             register_views(spark, sf_dir)
-            _REGISTERED_VIEWS.add(key)
+            done.add(sf_dir)
 
 
 def _run_one(
@@ -524,11 +580,21 @@ class ParallelQueryExecutor:
         pending = dict(self._futures)
         self._futures = {}
         done, _not_done = wait(list(pending.values()), timeout=timeout)
-        batch = {
-            label: fut.result()
-            for label, fut in pending.items()
-            if fut in done
-        }
+        batch: dict[str, ExecutionResult] = {}
+        for label, fut in pending.items():
+            if fut not in done:
+                continue
+            # harvest per-future: one raising/cancelled future (pool shut
+            # down mid-run, SparkContext stopped) must not discard every
+            # OTHER finished result in the batch
+            try:
+                batch[label] = fut.result()
+            except BaseException as exc:  # noqa: BLE001 — recorded, not hidden
+                batch[label] = ExecutionResult(
+                    label=label, status="execution-error", exec_time=float("nan"),
+                    optimization_time=0.0, n_rows=0, workload_repetition=0,
+                    query_repetition=0, error=f"{type(exc).__name__}: {exc}",
+                )
         # re-track unfinished futures so the timeout contract holds and
         # nothing becomes an orphan
         self._futures.update(
@@ -548,8 +614,16 @@ class ParallelQueryExecutor:
 
 
 def _write_progressive(rows: list[ExecutionResult], path: str) -> None:
+    """Persist the results-so-far, atomically: the snapshot is written to a
+    sibling temp file and renamed over ``path``, so a crash mid-write can
+    never truncate previously persisted rows (the failure progressive
+    output exists to survive). Row volumes are tiny (one per query rep),
+    so a full rewrite per checkpoint is cheaper than managing appends in
+    two formats."""
     df = pd.DataFrame([r.__dict__ for r in rows])
+    tmp = f"{path}.tmp"
     if path.endswith(".csv"):
-        df.to_csv(path, index=False)
+        df.to_csv(tmp, index=False)
     else:
-        df.to_parquet(path, index=False)
+        df.to_parquet(tmp, index=False)
+    os.replace(tmp, path)

@@ -63,3 +63,70 @@ def test_stateful_sessionize_matches_batch(spark, sf_small):
     )
     assert len(got) > 0
     assert got == want
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for closure-level unit tests."""
+
+    def __init__(self, value=None):
+        self._value = value
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+def test_sessionizer_late_event_before_open_session_splits():
+    """A late in-watermark event more than gap BEFORE the open session's
+    start must become its own (earlier, closed) session — batch semantics —
+    not be min()-swallowed into the open one."""
+    import pandas as pd
+
+    from postbound_spark.streaming.stateful import make_sessionizer
+
+    gap_ms = 30 * 60 * 1000
+    fn = make_sessionizer(gap_ms=gap_ms)
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    state = _FakeState((int(t0.value // 1000), int(t0.value // 1000), 1))
+    late = t0 - pd.Timedelta(hours=1)  # 1h before start, gap is 30 min
+    out = list(fn((7,), iter([pd.DataFrame({"ts": [late]})]), state))
+    assert len(out) == 1, "the late event must close as its own session"
+    row = out[0].iloc[0]
+    assert row["session_start"] == late and row["session_end"] == late
+    assert row["n_events"] == 1
+    # the open session is untouched in state
+    assert state.get == (int(t0.value // 1000), int(t0.value // 1000), 1)
+
+
+def test_sessionizer_timeout_never_fires_before_end_plus_gap():
+    """The event-time timeout must CEIL the µs session end to ms — flooring
+    lets the session flush up to 1 ms before end + gap provably elapsed."""
+    import pandas as pd
+
+    from postbound_spark.streaming.stateful import make_sessionizer
+
+    gap_ms = 1000
+    fn = make_sessionizer(gap_ms=gap_ms)
+    state = _FakeState()
+    ts = pd.Timestamp("2024-01-01 00:00:00") + pd.Timedelta(microseconds=500)
+    list(fn((1,), iter([pd.DataFrame({"ts": [ts]})]), state))
+    end_us = state.get[1]
+    assert state.timeout_ms * 1000 >= end_us + gap_ms * 1000

@@ -67,3 +67,17 @@ def test_stream_stream_join_matches_batch(spark, sf_small):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_output_mode_detection_ignores_aggregate_like_aliases(spark, sf_small):
+    """A non-aggregating streaming projection whose alias contains the word
+    'Aggregate' must default to append mode, not crash in complete mode."""
+    from pyspark.sql import functions as F
+
+    from postbound_spark.streaming.windows import run_available_now, stream_events
+
+    s = stream_events(spark, sf_small).select(
+        F.col("value").alias("AggregateValue"), "ts"
+    )
+    got = run_available_now(s, "t_alias_mode")
+    assert got.count() > 0  # append mode started and drained successfully

@@ -190,3 +190,19 @@ def test_parallel_query_executor(spark, sf_small):
         pqe.queue_query("per_nation", wl["per_nation"])
         pqe.drain_queue(timeout=60)
         assert set(pqe.results) == {"regions", "per_nation"}
+
+
+def test_batch_file_split_is_string_literal_aware(tmp_path):
+    """Semicolons inside quoted literals (with '' escaping) must not split
+    the statement — real workload texts hit this."""
+    from postbound_spark.workloads import Workload
+
+    p = tmp_path / "batch.sql"
+    p.write_text(
+        "SELECT 1 AS a;\nSELECT * FROM t WHERE note = 'a;b';\n"
+        "SELECT * FROM t WHERE q = 'it''s; fine'\n"
+    )
+    w = Workload.read_batch_file(str(p))
+    assert len(w) == 3
+    assert w["q-2"] == "SELECT * FROM t WHERE note = 'a;b'"
+    assert "it''s; fine" in w["q-3"]
