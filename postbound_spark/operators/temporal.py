@@ -123,9 +123,18 @@ def range_join_binned(
         return F.expr(f"CAST({col} AS BIGINT) div {int(bin_width)}")
 
     p = points.withColumn("__bin", bin_of(point_col))
-    i = intervals.withColumn(
-        "__bins", F.sequence(bin_of(lo_col), bin_of(hi_col))
-    ).withColumn("__bin", F.explode("__bins")).drop("__bins")
+    # lo <= hi guard BEFORE the sequence: Spark's sequence(start, stop)
+    # steps -1 when start > stop, so one corrupt inverted interval would
+    # explode into a descending bin array spanning the whole time axis
+    # (potentially millions of rows) — rows the residual BETWEEN filter
+    # would discard anyway. Filtering them out first matches "an empty
+    # interval matches nothing" at zero cost.
+    i = (
+        intervals.filter(F.col(lo_col) <= F.col(hi_col))
+        .withColumn("__bins", F.sequence(bin_of(lo_col), bin_of(hi_col)))
+        .withColumn("__bin", F.explode("__bins"))
+        .drop("__bins")
+    )
     cond = [p["__bin"] == i["__bin"]] + [p[k] == i[k] for k in keys]
     joined = p.join(i, cond, "inner").filter(
         (p[point_col] >= i[lo_col]) & (p[point_col] <= i[hi_col])

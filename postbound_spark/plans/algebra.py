@@ -66,29 +66,45 @@ _AGG_CALL_RE = re.compile(
 )
 
 
+def _balanced_end(text: str, open_idx: int) -> int | None:
+    """Index just past the ``)`` matching the ``(`` at/after ``open_idx``."""
+    depth = 0
+    for i in range(open_idx, len(text)):
+        ch = text[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return None
+
+
 def _find_agg_calls(text: str) -> list[str]:
     """Outermost aggregate-call substrings of ``text`` (balanced-paren
-    spans), skipping window invocations (``... OVER (...)``)."""
+    spans), skipping window invocations (``... OVER (...)``).
+
+    A trailing ``FILTER (WHERE ...)`` clause is part of the captured call:
+    Spark SQL parses the combined form natively, so carrying it keeps the
+    filter semantics in the Grouping aggregate — capturing only the bare
+    call would compute the UNFILTERED aggregate and leave an unparseable
+    ``__aggN FILTER (...)`` fragment in the projection."""
     calls: list[str] = []
     spans: list[tuple[int, int]] = []
     for m in _AGG_CALL_RE.finditer(text):
         start = m.start()
         if any(s <= start < e for s, e in spans):
             continue  # nested inside an already-captured call
-        depth = 0
-        end = None
-        for i in range(m.end() - 1, len(text)):
-            ch = text[i]
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    end = i + 1
-                    break
+        end = _balanced_end(text, m.end() - 1)
         if end is None:
             continue
-        # window function, not a grouping aggregate
+        fm = re.match(r"\s*filter\s*\(", text[end:], re.I)
+        if fm:
+            filter_end = _balanced_end(text, end + fm.end() - 1)
+            if filter_end is not None:
+                end = filter_end
+        # window function, not a grouping aggregate (OVER may follow the
+        # FILTER clause — check after any extension)
         if re.match(r"\s*over\s*\(", text[end:], re.I):
             continue
         calls.append(text[start:end])
@@ -563,14 +579,20 @@ class _Converter:
                 raise UnsupportedSqlError("IN subquery must project one column")
             sub_tree = parse_relalg(sub, scope_ctes=self.ctes)
             alias = self._gensym("insub")
-            sub_tree = ra.SubqueryScan(sub_tree, alias=alias)
             out_col = sub.select[0].alias or _output_name(sub.select[0].expr.sql)
             if out_col is None:
                 raise UnsupportedSqlError(
                     "IN subquery projection needs a derivable column name"
                 )
+            # rename the subquery's output to a unique name BEFORE the
+            # join: `WHERE id IN (SELECT id FROM u)` would otherwise put a
+            # bare `id` on both join sides and Spark raises
+            # AMBIGUOUS_REFERENCE on this very common shape
+            uniq = f"{alias}_key"
+            sub_tree = ra.Projection(sub_tree, (f"{out_col} AS {uniq}",))
+            sub_tree = ra.SubqueryScan(sub_tree, alias=alias)
             lhs = pred.expr.sql
-            rhs = f"{alias}.{out_col}"
+            rhs = f"{alias}.{uniq}"
             if kind == "in":
                 return ra.SemiJoin(tree, sub_tree, f"{lhs} = {rhs}")
             # null-aware NOT IN (Catalyst: null-aware anti join)
@@ -780,7 +802,16 @@ class _Converter:
             return ra.Sort(node, sort_keys)
 
         prior = q.fetch_direction in ("prior", "last") and q.limit is not None
-        if sort_uses_alias:
+        # sort keys that are OUTPUT columns (aliases or plain select
+        # columns) can sort above the projection — which is what lets
+        # FETCH PRIOR combine with DISTINCT for the valid-SQL case where
+        # the ORDER BY keys sit in the select list
+        output_names = {p.alias or _output_name(p.expr.sql) for p in q.select}
+        output_names.discard(None)
+        sort_in_output = bool(sort_keys) and all(
+            o.expr.sql in output_names for o in q.order_by
+        )
+        if sort_uses_alias or (prior and q.distinct and sort_in_output):
             tree = sort(project(tree))
             if q.distinct:
                 tree = ra.DuplicateElimination(tree)

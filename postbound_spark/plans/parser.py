@@ -209,9 +209,21 @@ class _Parser:
                 self.t.expect(")")
                 if not self.t.accept(","):
                     break
-        q = self._parse_set_operand()
-        # set operations combine at this level (ref SetQuery :9396)
-        while self.t.peek_kw() in ("union", "intersect", "except"):
+        # set operations combine at this level (ref SetQuery :9396); ANSI
+        # precedence: INTERSECT binds tighter than UNION/EXCEPT, so the
+        # INTERSECT runs are folded in an inner loop before the outer
+        # UNION/EXCEPT chain sees them ("a UNION b INTERSECT c" is
+        # a UNION (b INTERSECT c) on every engine)
+        def intersect_chain() -> Q.SqlQuery | Q.SetQuery:
+            operand = self._parse_set_operand()
+            while self.t.peek_kw() == "intersect":
+                self.t.next()
+                rhs = self._parse_set_operand()
+                operand = Q.SetQuery(operand, Q.SetOperator.INTERSECT, rhs)
+            return operand
+
+        q = intersect_chain()
+        while self.t.peek_kw() in ("union", "except"):
             kw = self.t.next().lower()
             if kw == "union":
                 op = (
@@ -219,11 +231,9 @@ class _Parser:
                     if self.t.accept("all")
                     else Q.SetOperator.UNION
                 )
-            elif kw == "intersect":
-                op = Q.SetOperator.INTERSECT
             else:
                 op = Q.SetOperator.EXCEPT
-            rhs = self._parse_set_operand()
+            rhs = intersect_chain()
             q = Q.SetQuery(q, op, rhs)
         if isinstance(q, Q.SetQuery):
             order_by, limit, offset, fetch_direction = self._parse_order_limit()
@@ -293,6 +303,34 @@ class _Parser:
 
         having = self._parse_predicate() if self.t.accept("having") else None
         order_by, limit, offset, fetch_direction = self._parse_order_limit()
+
+        # ANSI ordinal references ("ORDER BY 1", "GROUP BY 2") resolve to
+        # select-list positions at parse time: downstream the IR compiles
+        # expressions verbatim, where a bare integer is a CONSTANT — a
+        # silent no-op sort / single-group aggregation. Rewriting here
+        # keeps every consumer (algebra, to_sql round-trips, oracles)
+        # position-correct.
+        def resolve_ordinal(expr: Q.SqlExpression, clause: str) -> Q.SqlExpression:
+            if not expr.sql.isdigit():
+                return expr
+            idx = int(expr.sql)
+            if not 1 <= idx <= len(projections):
+                raise UnsupportedSqlError(
+                    f"{clause} ordinal {idx} is outside the select list"
+                )
+            target = projections[idx - 1]
+            if target.expr.sql == "*":
+                raise UnsupportedSqlError(
+                    f"{clause} ordinal cannot resolve through SELECT *"
+                )
+            if clause == "ORDER BY" and target.alias:
+                return Q.SqlExpression(target.alias)
+            return target.expr
+
+        group_by = tuple(resolve_ordinal(e, "GROUP BY") for e in group_by)
+        order_by = tuple(
+            replace(o, expr=resolve_ordinal(o.expr, "ORDER BY")) for o in order_by
+        )
 
         return Q.SqlQuery(
             select=tuple(projections),
@@ -869,7 +907,10 @@ class _Parser:
 
     def _parse_type_name(self) -> str:
         parts = [_ident(self.t.next())]
-        while self.t.at_ident() and self.t.peek_kw() in (
+        # no at_ident() gate: 'with'/'time' are stop-keywords that
+        # at_ident() rejects, which would cut 'timestamp with time zone'
+        # short at 'with' — the continuation whitelist below is the guard
+        while self.t.peek_kw() in (
             "precision", "varying", "zone", "time", "without", "with",
         ):
             parts.append(_ident(self.t.next()))

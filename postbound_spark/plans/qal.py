@@ -708,14 +708,24 @@ class QueryPredicates:
         return SimpleJoin.wrap_all(self) + SimpleFilter.wrap_all(self)
 
     def join_equivalence_classes(self) -> list[set[ColumnReference]]:
-        """Transitive closure of equi-join columns (ref ``:3557``)."""
+        """Transitive closure of equi-join columns (ref ``:3557``).
+
+        Only PLAIN column = column predicates enter a class: for
+        ``a.x + a.z = b.y`` equality is a fact about the *expression*, not
+        its member columns — classing all three would let
+        ``equivalence_class_predicates`` invent ``a.x = b.y``-style
+        predicates no engine may add, silently dropping rows when
+        injected by ``transform.add_ec_predicates``."""
         classes: list[set[ColumnReference]] = []
         for p in self.joins():
             if not (
                 isinstance(p, BinaryPredicate) and p.operation is LogicalOperator.EQ
             ):
                 continue
-            members = set(p.columns())
+            lhs, rhs = _as_plain_column(p.lhs), _as_plain_column(p.rhs)
+            if lhs is None or rhs is None:
+                continue
+            members = {lhs, rhs}
             merged = [c for c in classes if c & members]
             for c in merged:
                 members |= c
@@ -855,6 +865,12 @@ class SqlQuery:
             parts.append("ORDER BY " + ", ".join(o.to_sql() for o in self.order_by))
         if self.limit is not None:
             if self.fetch_direction != "first":
+                # deliberate IR spelling (mirrors the reference's
+                # FetchDirection model, qal/_qal.py:7548): PRIOR/LAST are
+                # cursor-style directions no execution engine accepts in
+                # query position — only THIS parser round-trips the text.
+                # Engine execution goes through the algebra path's
+                # sort-inversion rewrite, never through this rendering.
                 parts.append(
                     f"FETCH {self.fetch_direction.upper()} {self.limit} ROWS ONLY"
                 )

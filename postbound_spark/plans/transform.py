@@ -171,6 +171,14 @@ def explicit_to_implicit(query: SqlQuery) -> SqlQuery:
     tables = list(query.from_tables)
     preds = []
     for j in query.joins:
+        if getattr(j, "using", ()):
+            # USING merges its key columns into ONE output column; a WHERE
+            # equality keeps both and changes the star projection —
+            # dropping the list silently would cross-product the join
+            raise ValueError(
+                "JOIN ... USING cannot be normalized to implicit form "
+                "(the merged-key output column has no WHERE equivalent)"
+            )
         if j.join_type is JoinType.INNER:
             if j.condition is not None:
                 preds.append(j.condition)

@@ -579,3 +579,105 @@ def test_fetch_prior_sort_key_outside_select_executes(spark, sf_small):
     )
     want = [r.n_name for r in nation[-2:]]  # last two, presentation order
     assert got == want
+
+
+def test_intersect_binds_tighter_than_union():
+    """ANSI set-op precedence: a UNION b INTERSECT c == a UNION (b INTERSECT c)."""
+    from postbound_spark.plans import qal as Q
+
+    q = parse_query(
+        "SELECT a FROM t UNION SELECT a FROM u INTERSECT SELECT a FROM v"
+    )
+    assert isinstance(q, Q.SetQuery)
+    assert q.operator is Q.SetOperator.UNION
+    assert isinstance(q.right, Q.SetQuery)
+    assert q.right.operator is Q.SetOperator.INTERSECT
+
+
+def test_order_by_ordinal_resolves_to_select_position(spark, sf_small):
+    """ORDER BY 1 must sort by the first output column, not the constant 1."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    q = parse_query("SELECT n_name, n_nationkey FROM nation ORDER BY 2 DESC LIMIT 3")
+    tree = parse_relalg(q)
+    cat = load_tables(spark, sf_small, ["nation"])
+    got = [r.n_nationkey for r in compile_plan(tree, spark, cat).collect()]
+    want = sorted(
+        (r.n_nationkey for r in cat["nation"].collect()), reverse=True
+    )[:3]
+    assert got == want
+
+
+def test_order_by_ordinal_out_of_range_rejected():
+    with pytest.raises(UnsupportedSqlError, match="ordinal"):
+        parse_query("SELECT a FROM t ORDER BY 3")
+
+
+def test_timestamp_with_time_zone_cast_parses():
+    q = parse_query("SELECT CAST(x AS timestamp with time zone) AS ts FROM t")
+    assert "timestamp with time zone" in q.to_sql().lower()
+
+
+def test_in_subquery_same_column_name_executes(spark, sf_small):
+    """`WHERE id IN (SELECT id ...)` — both sides share the column name;
+    the compiled semi join must not hit AMBIGUOUS_REFERENCE."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    q = parse_query(
+        "SELECT c_name FROM customer "
+        "WHERE c_nationkey IN (SELECT c2.c_nationkey FROM customer c2 "
+        "WHERE c2.c_acctbal > 9000) ORDER BY c_name LIMIT 5"
+    )
+    cat = load_tables(spark, sf_small, ["customer"])
+    got = compile_plan(parse_relalg(q), spark, cat).collect()
+    assert len(got) == 5
+
+
+def test_agg_filter_clause_survives_algebra_path(spark, sf_small):
+    """count(x) FILTER (WHERE ...) through parse_relalg must keep the
+    filter semantics (not compute the unfiltered aggregate)."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    q = parse_query(
+        "SELECT n_regionkey, count(*) FILTER (WHERE n_nationkey > 10) AS big "
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
+    )
+    cat = load_tables(spark, sf_small, ["nation"])
+    got = {
+        (r.n_regionkey, r.big)
+        for r in compile_plan(parse_relalg(q), spark, cat).collect()
+    }
+    want = {
+        (r.n_regionkey, r.big)
+        for r in spark.sql(
+            "SELECT n_regionkey, count(*) FILTER (WHERE n_nationkey > 10) AS big "
+            "FROM {n} GROUP BY n_regionkey",
+            n=cat["nation"],
+        ).collect()
+    }
+    assert got == want
+
+
+def test_fetch_prior_with_distinct_on_output_keys(spark, sf_small):
+    """FETCH LAST + DISTINCT where the sort key is a plain select column —
+    valid SQL that must compile (keys are in the select list)."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    q = parse_query(
+        "SELECT DISTINCT n_regionkey FROM nation "
+        "ORDER BY n_regionkey FETCH LAST 2 ROWS ONLY"
+    )
+    cat = load_tables(spark, sf_small, ["nation"])
+    got = [r.n_regionkey for r in compile_plan(parse_relalg(q), spark, cat).collect()]
+    distinct_keys = sorted(
+        {r.n_regionkey for r in cat["nation"].collect()}
+    )
+    assert got == distinct_keys[-2:]
