@@ -66,9 +66,16 @@ class PreciseCardinalities(CardinalityEstimator):
         tree = JoinTree.left_deep(sorted(intermediate))
         df = compile_join_tree(tables, tree, list(spec.edges))
         count = float(df.count())
+        # weakref CALLBACK evicts the entry the moment any keyed frame
+        # dies — without it, stale keys (which embed dead ids) could only
+        # be deleted by an exact-key re-hit and would accumulate without
+        # bound across a long session of fresh frames
         self._cache[key] = (
             count,
-            tuple(weakref.ref(frame) for _, frame in keyed),
+            tuple(
+                weakref.ref(frame, lambda _r, k=key: self._cache.pop(k, None))
+                for _, frame in keyed
+            ),
         )
         return count
 
@@ -95,4 +102,7 @@ class CardinalityDistortion(CardinalityEstimator):
 
     def estimate_cardinality(self, spec, intermediate, tables) -> float:
         true = self.inner.estimate_cardinality(spec, intermediate, tables)
-        return true * (self.factor ** max(len(intermediate) - 1, 1))
+        # depth = joins performed = |tables| - 1; a base table (depth 0)
+        # gets factor**0 == no distortion, so sensitivity curves actually
+        # start from truthful leaves and compound per join as documented
+        return true * (self.factor ** (len(intermediate) - 1))

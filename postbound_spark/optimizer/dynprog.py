@@ -69,7 +69,16 @@ class DynamicProgrammingEnumerator(JoinOrderOptimization):
 
         def cardinality(subset: frozenset[str]) -> float:
             if subset not in card:
-                card[subset] = self.estimator.estimate_cardinality(spec, subset, tables)
+                got = self.estimator.estimate_cardinality(spec, subset, tables)
+                if math.isnan(got):
+                    # NaN poisons every cost comparison: min() would then
+                    # return an arbitrary "optimal" order with no warning
+                    raise ValueError(
+                        f"cardinality estimator returned NaN for "
+                        f"{sorted(subset)} — DP cannot rank plans on "
+                        "unknown cardinalities; fix the estimator input"
+                    )
+                card[subset] = got
             return card[subset]
 
         # best[S] = (cost, tree); cost = C_out = Σ |intermediate|

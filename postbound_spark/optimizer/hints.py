@@ -37,10 +37,19 @@ class JoinOperator(enum.Enum):
     BROADCAST_HASH = "broadcast"
     SHUFFLE_HASH = "shuffle_hash"
     SORT_MERGE = "merge"
-    BROADCAST_NL = "shuffle_replicate_nl"
+    BROADCAST_NL = "broadcast_nl"
 
     @property
     def spark_hint(self) -> str:
+        # the broadcast hint is Spark's route to BroadcastNestedLoopJoin:
+        # on the non-equi/cross joins Catalyst actually picks BNLJ for, a
+        # broadcast-hinted side becomes the BNLJ build side (on an equi
+        # join it upgrades to broadcast-hash — strictly better, same
+        # build-side memory profile). The previous shuffle_replicate_nl
+        # hint produced a CartesianProduct-family join instead, breaking
+        # the propose→enforce→observe round trip for observed BNLJ plans.
+        if self is JoinOperator.BROADCAST_NL:
+            return "broadcast"
         return self.value
 
 

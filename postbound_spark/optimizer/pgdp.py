@@ -127,9 +127,18 @@ class PostgresStyleDynProg(PlanEnumerator):
 
         def rows(subset: frozenset[str]) -> float:
             if subset not in card_cache:
-                card_cache[subset] = self.estimator.estimate_cardinality(
-                    spec, subset, tables
-                )
+                got = self.estimator.estimate_cardinality(spec, subset, tables)
+                if math.isnan(got):
+                    # a NaN cost makes every add_path dominance test False:
+                    # pathlists stop pruning (combinatorial growth) and the
+                    # final min() picks an arbitrary plan — fail loudly at
+                    # the source instead
+                    raise ValueError(
+                        f"cardinality estimator returned NaN for "
+                        f"{sorted(subset)} — pathlist DP cannot prune on "
+                        "unknown cardinalities; fix the estimator input"
+                    )
+                card_cache[subset] = got
             return card_cache[subset]
 
         def join_cols(

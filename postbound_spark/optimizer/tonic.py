@@ -68,7 +68,11 @@ class QepsNode:
             name: cls.from_dict(c) for name, c in data.get("children", {}).items()
         }
         node.operator_costs = {
-            JoinOperator(op): (float(total), int(count))
+            # legacy persisted files spelled BROADCAST_NL by its old
+            # (incorrect) hint string — map it forward on load
+            JoinOperator(
+                "broadcast_nl" if op == "shuffle_replicate_nl" else op
+            ): (float(total), int(count))
             for op, (total, count) in data.get("operator_costs", {}).items()
         }
         return node
@@ -89,8 +93,14 @@ def _prefix_steps(
         tables = set(join.tables())
         new = sorted(tables - seen)
         seen |= tables
-        # the table(s) that entered at this join; left-deep ⇒ exactly one
-        steps.append((new[-1] if new else sorted(tables)[-1], frozenset(seen)))
+        # key each step by the join node's OWN subtree table set, not the
+        # running accumulation: in a bushy tree the branch join (C ⋈ D)
+        # reached after {A, B} must key {C, D} — frozenset(seen) would key
+        # {A, B, C, D} (the root's set), silently dropping/misattributing
+        # branch observations and emitting hints compile_join_tree's
+        # operator_for({C, D}) lookup can never find. Left-deep trees are
+        # unaffected (each join's subtree IS the accumulation there).
+        steps.append((new[-1] if new else sorted(tables)[-1], frozenset(tables)))
     return steps
 
 

@@ -269,8 +269,14 @@ class UESJoinOrderOptimizer(JoinOrderOptimization):
                 remaining = graph.available_pk_fk_joins()
                 if not remaining:
                     free = min(graph.free_tables())
+                    # cross product multiplies cardinalities — the bound
+                    # must multiply too, or every later annotation stops
+                    # being an upper bound (the one guarantee UES makes)
+                    current_bound = current_bound * stats.base_estimates[free]
                     tree = JoinTree.join(
-                        tree, JoinTree.leaf(free, stats.base_estimates[free])
+                        tree,
+                        JoinTree.leaf(free, stats.base_estimates[free]),
+                        current_bound,
                     )
                     graph.mark_joined(free)
                     tree, current_bound = apply_pk_fk_linear(tree, current_bound)
@@ -294,7 +300,7 @@ class UESJoinOrderOptimizer(JoinOrderOptimization):
                 # branch: the partner's bound-reducing PK/FK joins execute
                 # inside a subtree before the n:m join (bushy tree)
                 branch = JoinTree.leaf(partner, stats.base_estimates[partner])
-                graph_free = graph.free_tables() - {partner}
+                graph_free = set(graph.free_tables()) - {partner}
                 for e2 in spec.edges:
                     if e2.fk_table() != partner:
                         continue
@@ -309,6 +315,10 @@ class UESJoinOrderOptimizer(JoinOrderOptimization):
                             stats.bound(partner),
                         )
                         graph.mark_joined(pk)
+                        # keep the free-snapshot current: a second parallel
+                        # FK edge to the SAME pk table must not join the
+                        # leaf twice (duplicate alias / cross product)
+                        graph_free.discard(pk)
                         consumed_columns.update(columns_of(e2))
                 tree = JoinTree.join(tree, branch, new_bound)
             else:

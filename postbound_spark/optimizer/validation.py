@@ -116,25 +116,31 @@ class DependentSubqueryPreCheck(QueryPreCheck):
             return QueryPreCheckResult.ok()
         reasons: list[str] = []
 
-        def scan(q: Q.SqlQuery):
+        def scan(q: Q.SqlQuery, ancestor_ids: frozenset[str]):
+            """``ancestor_ids`` carries EVERY enclosing scope, not just the
+            immediate parent: a subquery two levels down referencing the
+            grandparent's table is just as dependent."""
             own = {t.identifier for t in q.from_tables} | {
                 name for name, _ in q.ctes
             }
+            scopes = ancestor_ids | own
             for pred in q.predicates()._leaves if q.where else []:
                 sub = getattr(pred, "subquery", None)
                 if isinstance(sub, Q.SqlQuery):
-                    sub_own = {t.identifier for t in sub.from_tables}
+                    sub_own = {t.identifier for t in sub.from_tables} | {
+                        name for name, _ in sub.ctes
+                    }
                     for leaf in (
                         sub.predicates()._leaves if sub.where is not None else []
                     ):
                         outside = leaf.tables() - sub_own
-                        if outside and outside <= own:
+                        if outside and outside & scopes:
                             reasons.append(
                                 f"dependent subquery references {sorted(outside)}"
                             )
-                    scan(sub)
+                    scan(sub, frozenset(scopes))
 
-        scan(query)
+        scan(query, frozenset())
         if reasons:
             return QueryPreCheckResult.fail(*reasons)
         return QueryPreCheckResult.ok()

@@ -123,7 +123,10 @@ def test_forced_operator_appears_in_plan(spec, tdfs, op):
         JoinOperator.BROADCAST_HASH: "BroadcastHashJoin",
         JoinOperator.SHUFFLE_HASH: "ShuffledHashJoin",
         JoinOperator.SORT_MERGE: "SortMergeJoin",
-        JoinOperator.BROADCAST_NL: "CartesianProduct",  # replicate-NL on equi-join
+        # broadcast-NL enforcement = broadcast hint; on an equi join that
+        # upgrades to broadcast-hash (same build side, better probe) — the
+        # non-equi shapes BNLJ is actually observed on reproduce BNLJ
+        JoinOperator.BROADCAST_NL: "BroadcastHashJoin",
     }[op]
     assert expected_node in plan or (
         op is JoinOperator.BROADCAST_NL and "BroadcastNestedLoopJoin" in plan
@@ -855,3 +858,82 @@ def test_precise_cardinalities_identity_checked_not_pinned(spec, tdfs):
     t2["orders"] = tdfs["orders"].filter("o_orderkey < 0")
     assert est.estimate_cardinality(spec, inter, t2) == 0.0
     assert a > 0
+
+
+def test_tonic_bushy_tree_keys_branch_by_own_subtree(spark, spec, tdfs):
+    """In a bushy tree the branch join must key its OWN table set, not the
+    running accumulation — otherwise branch observations are dropped and
+    replayed hints never match compile_join_tree's lookup."""
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+    tonic = TonicOperatorSelection()
+    bushy = JoinTree.join(
+        JoinTree.join(JoinTree.leaf("nation"), JoinTree.leaf("customer")),
+        JoinTree.join(JoinTree.leaf("orders"), JoinTree.leaf("lineitem")),
+    )
+    branch_key = frozenset({"orders", "lineitem"})
+    root_key = frozenset({"nation", "customer", "orders", "lineitem"})
+    operators = {
+        frozenset({"nation", "customer"}): JoinOperator.BROADCAST_HASH,
+        branch_key: JoinOperator.SHUFFLE_HASH,
+        root_key: JoinOperator.SORT_MERGE,
+    }
+    costs = {k: 1.0 for k in operators}
+    tonic.record_plan(bushy, operators, costs)
+    got = tonic.select_physical_operators(
+        QuerySpec(tuple(sorted(root_key)), spec.edges), bushy
+    )
+    assert got.operator_for(branch_key) is JoinOperator.SHUFFLE_HASH
+    assert got.operator_for(root_key) is JoinOperator.SORT_MERGE
+
+
+def test_dp_enumerators_fail_loudly_on_nan_cardinality(spec, tdfs):
+    """A NaN estimate poisons every cost comparison; both DP enumerators
+    must raise instead of returning an arbitrary 'optimal' plan."""
+    from postbound_spark.optimizer.cardinalities import PreComputedCardinalities
+    from postbound_spark.optimizer.dynprog import DynamicProgrammingEnumerator
+    from postbound_spark.optimizer.pgdp import PostgresStyleDynProg
+
+    empty = PreComputedCardinalities({})  # every intermediate -> NaN
+    with pytest.raises(ValueError, match="NaN"):
+        DynamicProgrammingEnumerator(empty).optimize_join_order(spec, tdfs)
+    with pytest.raises(ValueError, match="NaN"):
+        PostgresStyleDynProg(empty).generate_execution_plan(spec, tables=tdfs)
+
+
+def test_distortion_leaves_base_tables_truthful(spec, tdfs):
+    """factor**depth semantics: depth-0 (single table) estimates must be
+    undistorted so sensitivity curves start from truthful leaves."""
+    from postbound_spark.optimizer.cardinalities import (
+        CardinalityDistortion,
+        PreComputedCardinalities,
+    )
+
+    inner = PreComputedCardinalities(
+        {
+            frozenset({"orders"}): 100.0,
+            frozenset({"orders", "lineitem"}): 500.0,
+        }
+    )
+    dist = CardinalityDistortion(inner, 10.0)
+    assert dist.estimate_cardinality(spec, frozenset({"orders"}), tdfs) == 100.0
+    assert (
+        dist.estimate_cardinality(spec, frozenset({"orders", "lineitem"}), tdfs)
+        == 5000.0
+    )
+
+
+def test_dependent_subquery_precheck_sees_grandparent_correlation():
+    """A subquery two levels down referencing the outermost table is
+    dependent; the one-level check used to pass it."""
+    from postbound_spark.optimizer.validation import DependentSubqueryPreCheck
+    from postbound_spark.plans.parser import parse_query
+
+    q = parse_query(
+        "SELECT * FROM a WHERE a.x IN ("
+        "SELECT b.x FROM b WHERE b.y IN ("
+        "SELECT c.y FROM c WHERE c.z = a.z))"
+    )
+    result = DependentSubqueryPreCheck().check(q)
+    assert not result.passed
+    assert any("dependent" in r for r in result.reasons)
