@@ -28,10 +28,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator/query from SURVEY.md §2."""
-    from postbound_spark.queries import load_all
+    """One entry per implemented operator/query from SURVEY.md §2.
 
-    return {name: qdef.builder for name, qdef in load_all().items()}
+    Each builder is wrapped to release the PREVIOUS query's pipeline stage
+    caches first: the driver runs ~140 queries sequentially in one
+    session, and without the per-query release (the same lifecycle
+    bench.py and the pytest harness apply) every pipeline query's
+    persist()ed token/shingle/signature stages would stay pinned for the
+    whole run — an executor-memory leak at exactly the moment
+    correctness is being judged."""
+    from postbound_spark.queries import load_all
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    def wrapped(builder):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_stage_caches()
+            return builder(spark, sf_dir)
+
+        return run
+
+    return {name: wrapped(qdef.builder) for name, qdef in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:

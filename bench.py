@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -100,7 +101,10 @@ def main() -> None:
                 "queries": timings,
                 "rep_spread": spreads,
                 "reps": 3,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # strict numeric check: isdigit()-after-stripping-dots
+                # accepted "0.1.2" and float() then crashed AFTER all
+                # timings were collected, losing the run's one output line
+                "sf": float(sf) if re.fullmatch(r"\d+(\.\d+)?", sf) else sf,
             }
         )
     )

@@ -148,7 +148,23 @@ def register_views(
 ) -> dict[str, DataFrame]:
     """Register each table as a temp view so both the DataFrame and the
     ``spark.sql`` paths can reach it (the reference resolves tables against a
-    live catalog the same way, parser.py:117 SchemaCache)."""
+    live catalog the same way, parser.py:117 SchemaCache).
+
+    When a :class:`postbound_spark.database.Database` facade has BOUND the
+    session to a fixture dir, re-pointing the views at a different dir is
+    refused here — at the mutation point — so no code path (registry
+    builders, compare harnesses) can silently re-point the facade's tables
+    out from under it. Unbound sessions register freely."""
+    from postbound_spark.database import _BOUND_DIRS
+
+    bound = _BOUND_DIRS.get(spark)
+    if bound is not None and os.path.abspath(bound) != os.path.abspath(sf_dir):
+        raise ValueError(
+            f"this SparkSession's fixture views are bound to {bound!r} by a "
+            f"Database facade; registering views for {sf_dir!r} would "
+            "silently re-point its tables — use a separate session or "
+            "rebind the Database first"
+        )
     dfs = load_tables(spark, sf_dir, names)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)

@@ -41,8 +41,11 @@ _FLOAT_MARKER = re.compile(
 # parquet schemas at /root/testdata): summing these keeps DuckDB in DOUBLE,
 # so no HUGEINT widening can occur.
 _FLOAT_FIXTURE_COLS = re.compile(
+    # NOTE: no generic `value` entry — it would waive the lint for ANY
+    # alias named value (e.g. an integer count aliased AS value), letting
+    # the HUGEINT trap re-enter; events.value oracles cast explicitly
     r"(?<![a-z_])(c_acctbal|embedding|l_discount|l_extendedprice|l_quantity"
-    r"|l_tax|o_totalprice|p_retailprice|s_acctbal|value)(?![a-z_])",
+    r"|l_tax|o_totalprice|p_retailprice|s_acctbal)(?![a-z_])",
     re.IGNORECASE,
 )
 
@@ -112,8 +115,9 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # only a composite query can prove, and the parser-path entries — instead of
 # letting import order burn the slots on micro-operators that the composite
 # queries already exercise transitively (e.g. every TPC-H query proves
-# scan+filter+join+agg+sort).  Names not present in the registry are skipped
-# silently so the list can reference queries added later in a round.
+# scan+filter+join+agg+sort).  Every name here MUST exist in the registry —
+# load_all() raises on a missing one, because a silently skipped
+# renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-3 rotation: the 30 entries never driver-checked in r1∪r2 ---
     "opt_pgdp_regional_revenue",
@@ -188,10 +192,18 @@ def load_all() -> dict[str, QueryDef]:
         udf_demo,
     )
 
+    missing = [name for name in PRIORITY_WINDOW if name not in REGISTRY]
+    if missing:
+        # fail loudly: silently skipping a renamed/typo'd window name would
+        # shrink the driver-verified window and let an easier query slip
+        # into the freed slot unnoticed (the same guard bench.py applies
+        # to its HEADLINE set)
+        raise KeyError(
+            f"PRIORITY_WINDOW names missing from the registry: {missing}"
+        )
     ordered: dict[str, QueryDef] = {}
     for name in PRIORITY_WINDOW:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
+        ordered[name] = REGISTRY[name]
     for name, qdef in REGISTRY.items():
         if name not in ordered:
             ordered[name] = qdef

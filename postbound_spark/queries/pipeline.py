@@ -1348,7 +1348,7 @@ def events_asof_join(spark, sf_dir):
     oracle="""
 SELECT p.event_id AS purchase_id,
        count(v.event_id) AS views_in_window,
-       CAST(round(sum(v.value), 4) AS DOUBLE) AS viewed_value
+       CAST(round(sum(CAST(v.value AS DOUBLE)), 4) AS DOUBLE) AS viewed_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON v.user_id = p.user_id

@@ -919,8 +919,6 @@ def expr_array_agg(spark, sf_dir):
     The array is rendered as a '|'-joined string because the driver's
     pandas canonicalizer cannot sort raw list cells (the expr_array_ops
     r2 lesson); the aggregate itself is still array-valued pre-render."""
-    from pyspark.sql import functions as F
-
     from postbound_spark.catalog import load_table
 
     customer = load_table(spark, sf_dir, "customer")

@@ -284,24 +284,33 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT s.s_suppkey,
        s.s_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_revenue
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
 GROUP BY s.s_suppkey, s.s_name
-HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > 100000
+HAVING sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) > 100000
 ORDER BY total_revenue DESC, s.s_suppkey
 """,
 )
 def top_suppliers_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY + HAVING (ref clause: qal/_qal.py:7283) — HAVING compiles to a
-    post-aggregation filter."""
+    post-aggregation filter. The HAVING threshold compares a DECIMAL sum:
+    double summation is order-dependent, so a supplier whose revenue sits
+    within ulps of 100000 could flip membership between Spark's partial
+    aggregation and the oracle's sequential sum (the q11/q15/q20
+    boundary discipline)."""
     t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    )
     return (
         t["supplier"]
         .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_suppkey", "s_name")
-        .agg(F.round(revenue, 4).alias("total_revenue"), revenue.alias("_raw"))
+        .agg(
+            F.round(revenue, 4).cast("double").alias("total_revenue"),
+            revenue.alias("_raw"),
+        )
         .filter(F.col("_raw") > 100000)
         .drop("_raw")
         .orderBy(F.col("total_revenue").desc(), "s_suppkey")
@@ -876,7 +885,11 @@ ORDER BY part_value DESC, l_partkey
 """
 
 
-@query("q11_important_stock", oracle=_Q11_ORACLE)
+@query(
+    "q11_important_stock",
+    oracle=_Q11_ORACLE,
+    sum_lint_exempt="sums CTE alias `value` = DECIMAL(18,4) on both engines (no HUGEINT widening)",
+)
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: scalar subquery over the SAME aggregate (parts whose
     value exceeds a fraction of the total). The per-part aggregate is
@@ -1188,9 +1201,13 @@ SELECT c.c_nationkey AS cntrycode,
        round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
 FROM customer c
 WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-  AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
-                     WHERE c2.c_acctbal > 0.0
-                       AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND CAST(c.c_acctbal AS DECIMAL(18,2))
+      * (SELECT count(*) FROM customer c2
+         WHERE c2.c_acctbal > 0.0
+           AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+         WHERE c2.c_acctbal > 0.0
+           AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
   AND NOT EXISTS (SELECT * FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
@@ -1210,12 +1227,20 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders"])
     codes = [1, 3, 5, 7, 9, 11, 13]
     in_codes = t["customer"].filter(F.col("c_nationkey").isin(codes))
+    # AVG-threshold compare as exact cross-multiplication (bal * n > sum
+    # over DECIMAL): a double average is summation-order-dependent, so a
+    # customer whose balance sits within ulps of the mean could flip
+    # between Spark's partial aggregation and the oracle's sequential sum
     threshold = in_codes.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal_sum"),
+        F.count(F.lit(1)).alias("bal_cnt"),
     )
     return (
         in_codes.join(F.broadcast(threshold))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,2)") * F.col("bal_cnt")
+            > F.col("bal_sum")
+        )
         .join(
             t["orders"]
             .filter(F.col("o_orderpriority") == "1-URGENT")

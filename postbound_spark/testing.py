@@ -33,7 +33,11 @@ def _cells_close(a: Any, b: Any) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) or math.isnan(b):
             return math.isnan(a) and math.isnan(b)
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        # tight on purpose: registered queries round() their float outputs,
+        # so matched values agree to the last few ulps. A loose rel_tol
+        # (1e-9 of a ~1e9 aggregate tolerates ~1.0 absolute!) would pass
+        # locally what the driver's 9-decimal value hash flags red.
+        return math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_cells_close(x, y) for x, y in zip(a, b))
     return a == b
@@ -58,9 +62,18 @@ def _normalize_cell(value: Any) -> Any:
 
 
 def _normalize(df: pd.DataFrame) -> list[tuple]:
-    df = df[sorted(df.columns)]
+    # columns sort alphabetically (the driver's canonical order), but the
+    # ROW ordering for pairing puts float columns last: pairing is by
+    # sort-then-zip, so a leading float column whose two engines differ in
+    # the last ulp could order near-identical rows oppositely and mis-pair
+    # them — discrete columns (ids, names) dominate the sort instead
+    cols = sorted(df.columns)
+    df = df[cols]
+    non_float = [i for i, c in enumerate(cols) if _dtype_class(df[c].dtype) != "float"]
+    is_float = [i for i in range(len(cols)) if i not in non_float]
+    key_order = non_float + is_float
     rows = [tuple(_normalize_cell(v) for v in row) for row in df.itertuples(index=False)]
-    return sorted(rows, key=repr)
+    return sorted(rows, key=lambda r: repr(tuple(r[i] for i in key_order)))
 
 
 def _dtype_class(dtype: Any) -> str:
@@ -87,9 +100,11 @@ def _driver_compat_issues(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> st
     # must fail with this targeted message, not an opaque value mismatch
     for side, pdf in (("spark", spark_pdf), ("oracle", duck_pdf)):
         for col in pdf.columns:
+            # full-column scan (results at test SFs are small): a sparse
+            # array column whose first rows are NULL must not slip past
             if any(
                 isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
-                for v in pdf[col].head(20)
+                for v in pdf[col]
             ):
                 return (
                     f"{side} column {col!r} is array-typed: the driver's pandas "
