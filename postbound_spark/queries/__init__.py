@@ -168,12 +168,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sample_domain_cap",
     "corpus_mix_weights",
     "ann_quantized_rescore_topk",
+    "pipeline_keep_list",
     # --- regression representatives spanning r1∪r2 green families ---
     "flagship_regional_revenue",
     "q12_shipping_priority_split",
     "opt_ues_regional_revenue",
     "dedup_minhash_lsh",
-    "events_sessionize",
     "expr_window_frame",
 )
 

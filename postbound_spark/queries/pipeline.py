@@ -1828,3 +1828,96 @@ def ann_quantized_rescore_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", "label", "score8", F.round("c", 6).alias("cosine"))
     )
+
+
+@query(
+    "pipeline_keep_list",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, source, md5(text) AS th, {_WS_TOKS} AS ws
+  FROM documents
+),
+g AS (
+  SELECT *, {_BIGRAMS} AS bg,
+         row_number() OVER (PARTITION BY th ORDER BY doc_id) AS dup_rn
+  FROM t
+),
+survivors AS (
+  SELECT doc_id, lang, source
+  FROM g
+  WHERE dup_rn = 1
+    AND NOT (
+      list_max(list_transform(list_distinct(ws),
+                              u -> len(list_filter(ws, x -> x = u)))) * 8 >= len(ws)
+      OR (len(bg) > 0 AND (len(bg) - len(list_distinct(bg))) * 10 >= len(bg))
+    )
+),
+capped AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM survivors
+)
+SELECT doc_id, lang, source FROM capped WHERE rn <= 15
+""",
+)
+def pipeline_keep_list(spark, sf_dir):
+    """End-to-end curation keep list: exact dedup (keep the smallest
+    doc_id per content hash) → Gopher repetition filter → per-source cap
+    of 15 — the composite a real training-data pipeline materializes
+    before tokenization.
+
+    Three stages, three narrow shuffles (content-hash window, then the
+    source-cap window; the repetition filter is map-only in between), and
+    every intermediate column is dropped before the next exchange so the
+    shuffles carry only ids + keys. The stages are the same logic as the
+    individually-verified dedup_exact / text_repetition_filter /
+    sample_domain_cap operators — this query proves they COMPOSE, which
+    is what a user actually runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("th"),
+        toks.alias("ws"),
+        bigrams.alias("bg"),
+    )
+    n = F.size("ws")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("ws"),
+            lambda u: F.size(F.filter(F.col("ws"), lambda x: x == u)),
+        )
+    )
+    n_bg = F.size("bg")
+    dup_bg = n_bg - F.size(F.array_distinct("bg"))
+    repetitive = (top_cnt * 8 >= n) | ((n_bg > 0) & (dup_bg * 10 >= n_bg))
+    # repetition filter BEFORE the dedup window: identical texts share the
+    # flag, so the keep list is unchanged — but the content-hash exchange
+    # then carries (id, lang, source, th) instead of the token/bigram
+    # arrays (the BASELINE.md "narrow the shuffle" discipline, enforced by
+    # the plan gate)
+    dup_w = Window.partitionBy("th").orderBy("doc_id")
+    survivors = (
+        base.filter(~repetitive)
+        .select("doc_id", "lang", "source", "th")
+        .withColumn("dup_rn", F.row_number().over(dup_w))
+        .filter(F.col("dup_rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+    cap_w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(cap_w))
+        .filter(F.col("rn") <= 15)
+        .select("doc_id", "lang", "source")
+    )

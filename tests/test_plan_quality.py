@@ -333,3 +333,21 @@ def test_measured_memo_keys_distinguish_filtered_subtrees(spark, sf_small):
     c = ra.Relation(table="orders")
     keys = {pol._key(x) for x in (a, b, c)}
     assert len(keys) == 3, keys
+
+
+def test_keep_list_shuffles_carry_only_ids(registry, spark, sf_small):
+    """The composite keep list must drop token/bigram arrays before each
+    exchange: two narrow window shuffles (content hash, source cap), no
+    Python operators, no array columns crossing an exchange."""
+    plan = _formatted_plan(_build(registry, spark, sf_small, "pipeline_keep_list"))
+    assert plan.count("hashpartitioning(") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the exchanges' input schemas stay narrow (no ws/bg arrays shuffled)
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            continue
+    import re as _re
+
+    exchange_inputs = _re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    for cols in exchange_inputs:
+        assert "ws#" not in cols and "bg#" not in cols, cols
