@@ -937,3 +937,89 @@ def test_dependent_subquery_precheck_sees_grandparent_correlation():
     result = DependentSubqueryPreCheck().check(q)
     assert not result.passed
     assert any("dependent" in r for r in result.reasons)
+
+
+def test_ues_parallel_fk_edges_join_pk_leaf_once():
+    """Two FK edges from the same partner to the SAME PK table (parallel/
+    composite FK columns) must join the PK leaf into the defensive branch
+    exactly once — a stale free-table snapshot joined it twice (duplicate
+    alias / cross product downstream)."""
+    from collections import Counter
+
+    import postbound_spark.optimizer.joingraph as jg
+    from postbound_spark.optimizer.joingraph import JoinEdge
+    from postbound_spark.optimizer.stages import QuerySpec
+    from postbound_spark.optimizer.ues import (
+        MaxFrequencyStatsContainer,
+        UESJoinOrderOptimizer,
+    )
+
+    spec = QuerySpec(
+        tables=("fact1", "fact2", "dim", "fact3"),
+        edges=(
+            JoinEdge("fact1", "k", "fact3", "k"),
+            JoinEdge("fact3", "j", "fact2", "j"),
+            JoinEdge("fact2", "d", "dim", "id"),
+            JoinEdge("fact2", "d2", "dim", "id"),  # parallel FK edge
+        ),
+    )
+    stats = MaxFrequencyStatsContainer(
+        base_estimates={
+            "fact1": 1000.0, "fact2": 5000.0, "dim": 2000.0, "fact3": 800.0,
+        },
+        frequencies={
+            ("fact1", "k"): 2.0, ("fact3", "k"): 2.0,
+            ("fact3", "j"): 2.0, ("fact2", "j"): 2.0,
+            ("fact2", "d"): 1.0, ("fact2", "d2"): 1.0, ("dim", "id"): 1.0,
+        },
+    )
+    jg.PRIMARY_KEYS["dim"] = "id"
+    jg.FOREIGN_KEYS[("fact2", "d")] = ("dim", "id")
+    jg.FOREIGN_KEYS[("fact2", "d2")] = ("dim", "id")
+    try:
+        tree = UESJoinOrderOptimizer(spark=None).optimize_with_stats(spec, stats)
+        counts = Counter(tree.tables())
+        assert counts["dim"] == 1, tree
+        assert set(counts) == set(spec.tables)
+    finally:
+        del jg.PRIMARY_KEYS["dim"]
+        del jg.FOREIGN_KEYS[("fact2", "d")]
+        del jg.FOREIGN_KEYS[("fact2", "d2")]
+
+
+def test_ues_cross_product_fallback_bound_multiplies():
+    """Disconnected join graph: the cross-product fallback must multiply
+    the running bound by the joined table's cardinality — an unchanged
+    bound stops being an upper bound, the one guarantee UES makes."""
+    from postbound_spark.optimizer.joingraph import JoinEdge
+    from postbound_spark.optimizer.stages import QuerySpec
+    from postbound_spark.optimizer.ues import (
+        MaxFrequencyStatsContainer,
+        UESJoinOrderOptimizer,
+    )
+
+    spec = QuerySpec(
+        tables=("a", "b", "c", "d"),
+        edges=(
+            JoinEdge("a", "x", "b", "x"),
+            JoinEdge("c", "y", "d", "y"),  # disconnected component
+        ),
+    )
+    stats = MaxFrequencyStatsContainer(
+        base_estimates={"a": 10.0, "b": 20.0, "c": 30.0, "d": 40.0},
+        frequencies={
+            ("a", "x"): 2.0, ("b", "x"): 2.0,
+            ("c", "y"): 2.0, ("d", "y"): 2.0,
+        },
+    )
+    tree = UESJoinOrderOptimizer(spark=None).optimize_with_stats(spec, stats)
+    assert set(tree.tables()) == set(spec.tables)
+    # every join bound must be >= the product of its subtree's base rows /
+    # n:m bound logic can't undercut the cross-product component: at
+    # minimum the final bound must reflect BOTH components (> the bound of
+    # either component alone)
+    import math
+
+    bounds = [j.cardinality for j in tree.joins() if not math.isnan(j.cardinality)]
+    assert bounds, tree
+    assert max(bounds) > 40.0 * 2.0, bounds  # strictly above one component's bound
