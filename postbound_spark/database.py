@@ -58,8 +58,11 @@ class Database:
             )
         self.spark = spark
         self.sf_dir = sf_dir
-        register_views(spark, sf_dir)
+        # binding update BEFORE register_views: the mutation-point guard in
+        # catalog.register_views checks _BOUND_DIRS, and a rebind=True move
+        # must not trip over the stale binding it is deliberately replacing
         _BOUND_DIRS[spark] = sf_dir
+        register_views(spark, sf_dir)
 
     def execute_query(
         self, query: "str | DataFrame", *, raw: bool = False, native: bool = False

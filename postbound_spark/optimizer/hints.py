@@ -8,8 +8,10 @@ equivalents (SURVEY.md §4.3):
 - join **order**: build ``df.join`` calls in the JoinTree's shape with
   CBO join-reordering off — enforced *by construction*;
 - join **algorithm**: per-join hints ``broadcast`` / ``merge`` /
-  ``shuffle_hash`` / ``shuffle_replicate_nl`` (Catalyst honors an explicit
-  hint over its own cost pick, modulo AQE safety rules);
+  ``shuffle_hash`` (Catalyst honors an explicit hint over its own cost
+  pick, modulo AQE safety rules); BROADCAST_NL also rides the
+  ``broadcast`` hint — on the non-equi joins BNLJ is observed on, a
+  broadcast-hinted side becomes the BNLJ build side;
 - **build side**: which child the hint is attached to;
 - whole-query toggles: ``spark.sql.join.preferSortMergeJoin``,
   ``autoBroadcastJoinThreshold``, AQE flags — the analog of the

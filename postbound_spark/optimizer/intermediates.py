@@ -89,14 +89,16 @@ class IntermediateCardinalityInjector:
             # drop outer CTEs the body's OWN ctes shadow: prepending both
             # would render duplicate WITH names, which Spark rejects even
             # though the original query's inner definition legitimately won
-            own_names = {cte_name for cte_name, _ in sub.ctes}
+            # (SetQuery bodies have no ctes attribute — default empty)
+            own_ctes = getattr(sub, "ctes", ())
+            own_names = {cte_name for cte_name, _ in own_ctes}
             inherited = tuple(
                 (cte_name, cte_sub)
                 for cte_name, cte_sub in remaining
                 if cte_name not in own_names
             )
             body = (
-                sub.with_clause(ctes=inherited + sub.ctes) if inherited else sub
+                sub.with_clause(ctes=inherited + own_ctes) if inherited else sub
             )
             self.spark.sql(f"DROP TABLE IF EXISTS {name}")
             self.spark.sql(body.to_sql()).write.mode("overwrite").saveAsTable(name)

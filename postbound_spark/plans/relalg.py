@@ -124,8 +124,9 @@ class ThetaJoin(RelNode):
     """⋈_θ — join on an arbitrary predicate (ref: relalg.py:1139).
     Catalyst picks hash/sort-merge for equi-conditions and falls back to
     broadcast-nested-loop for pure theta conditions. ``hint`` optionally pins
-    the algorithm on the RIGHT side (broadcast / merge / shuffle_hash /
-    shuffle_replicate_nl) — the enforcement surface of SURVEY.md §4.3.
+    the algorithm on the RIGHT side (broadcast / merge / shuffle_hash;
+    broadcast also covers BNLJ on non-equi conditions) — the enforcement
+    surface of SURVEY.md §4.3.
 
     ``how`` extends the reference's inner-only algebra (relalg.py:1550) with
     outer semantics (``left``/``right``/``full``) so the qal layer's

@@ -343,9 +343,6 @@ def test_keep_list_shuffles_carry_only_ids(registry, spark, sf_small):
     assert plan.count("hashpartitioning(") == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the exchanges' input schemas stay narrow (no ws/bg arrays shuffled)
-    for line in plan.splitlines():
-        if "Arguments: hashpartitioning" in line:
-            continue
     import re as _re
 
     exchange_inputs = _re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)

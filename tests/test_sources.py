@@ -92,3 +92,20 @@ def test_database_schema_and_statistics_accessors(spark, sf_small):
     assert any(target[0] == "region" for target in fks.values())
     stats = db.statistics()
     assert stats.row_count(spark.table("nation")) == 25
+
+
+def test_database_rebind_moves_the_session(spark, sf_small):
+    """rebind=True must actually move the binding — the register_views
+    mutation-point guard used to fire on the facade's own rebind because
+    the binding was updated after the view registration."""
+    import pytest as _pytest
+
+    from postbound_spark.database import Database
+
+    Database(spark, sf_small)
+    with _pytest.raises(ValueError, match="bound"):
+        Database(spark, "/root/testdata/sf0.01")
+    moved = Database(spark, "/root/testdata/sf0.01", rebind=True)
+    assert moved.execute_query("SELECT count(*) FROM nation") == 25
+    # move back so sibling tests keep their sf_small views
+    Database(spark, sf_small, rebind=True)
