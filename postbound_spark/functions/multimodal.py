@@ -62,14 +62,23 @@ BINARY_FEATURES_SCHEMA = StructType(
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an HWC uint8 array.
 
-    STUB: the image codec stack (PIL / opencv) is not installed in this
-    environment. The Spark-side contract (binary in, array + metadata out
-    through a Pandas UDF) is exercised by :func:`binary_features` instead.
+    Import-gated: uses Pillow when the codec stack is installed (it is
+    not, in this environment — the call then raises with a clear message).
+    The Spark-side contract (binary in, array + metadata out through a
+    Pandas UDF) is exercised by :func:`binary_features` either way.
     """
-    raise NotImplementedError(
-        "image decoding requires a codec library not present in this "
-        "environment; wire PIL/cv2 here in production"
-    )
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image  # noqa: PLC0415 — deliberate runtime gate
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires a codec library (Pillow) not present "
+            "in this environment; install PIL/cv2 in production"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"), dtype="uint8")
 
 
 def binary_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
