@@ -14,9 +14,9 @@ Determinism notes (these expressions are oracle-checked against DuckDB):
   ``xxhash64`` (engine-private algorithms);
 - 64-bit integer hashes take the first 15 hex chars of the md5 (< 2^60,
   always non-negative, no sign-extension differences);
-- MinHash uses the *lexicographic* minimum of fixed-width md5 hex strings —
-  a valid uniform-permutation approximation that avoids integer conversion
-  entirely.
+- MinHash permutes a 31-bit base hash through a universal (a*h + b) mod P
+  family — ONE md5 kernel per shingle serves all k permutations, and the
+  integer arithmetic is bit-identical in any engine.
 
 Reference scope note: the reference system (rbergm/PostBOUND) has no text
 pipeline — this module is the training-data-pipeline extension surface
@@ -75,26 +75,60 @@ def token_hash64(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
 
 
-def minhash_signature(shingles: Column, k: int = 8) -> Column:
-    """MinHash signature: ``k`` seeded md5 minima over the shingle set,
-    as ``array<string>`` of length ``k``.
+#: universal-hash family for MinHash permutations: (a*h + b) mod P over a
+#: 31-bit base hash. P Mersenne-prime so products of two < 2^31 factors
+#: stay < 2^62 — no BIGINT overflow in either engine (Spark wraps
+#: silently, DuckDB errors; both are disqualifying).
+MINHASH_P = (1 << 31) - 1
+MINHASH_A = (1203983, 594603251, 1340049377, 2038074743,
+             102938477, 766245317, 1498765813, 909091373)
+MINHASH_B = (981766919, 123456791, 1719068887, 432109873,
+             1597334677, 207688333, 661041991, 1876543211)
 
-    Seeding = prefixing the shingle with the hash index, so one md5 kernel
-    serves all k "permutations"; lexicographic min over fixed-width hex ==
-    numeric min over the 128-bit hash. O(k·|shingles|) md5 calls per row,
-    all inside codegen — embarrassingly parallel, shuffle-free.
-    """
+
+def shingle_hashes31(shingles: Column) -> Column:
+    """31-bit integer hash per shingle — ONE md5 kernel per shingle,
+    shared by every MinHash permutation. Materialize this column (cache /
+    exchange boundary) before :func:`minhash_signature_from_hashes` in hot
+    paths, or projection collapse re-inlines the md5 per permutation."""
+    return F.transform(shingles, lambda sh: token_hash64(sh) % MINHASH_P)
+
+
+def minhash_signature_from_hashes(hashes: Column, k: int = 8) -> Column:
+    """MinHash signature from precomputed 31-bit shingle hashes:
+    ``sig[s] = min over shingles of (a_s * h + b_s) mod P`` — the standard
+    universal-permutation family, as ``array<long>`` of length ``k``.
+
+    Integer multiply/add/mod only (no hash kernels): O(k·|shingles|)
+    64-bit arithmetic inside codegen, vs the k md5 calls per shingle of
+    the naive seeded-hash scheme — the difference between 1 and k hash
+    kernels per row at corpus scale."""
+    if k > len(MINHASH_A):
+        raise ValueError(f"at most {len(MINHASH_A)} permutations are seeded")
+    a = F.array(*[F.lit(x).cast("long") for x in MINHASH_A[:k]])
+    b = F.array(*[F.lit(x).cast("long") for x in MINHASH_B[:k]])
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda s: F.array_min(
-            F.transform(shingles, lambda sh: F.md5(F.concat(s.cast("string"), F.lit("|"), sh)))
+            F.transform(
+                hashes,
+                lambda h: (F.element_at(a, s + 1) * h + F.element_at(b, s + 1))
+                % F.lit(MINHASH_P).cast("long"),
+            )
         ),
     )
 
 
+def minhash_signature(shingles: Column, k: int = 8) -> Column:
+    """MinHash signature straight from shingle strings (convenience
+    composition; hot paths should materialize :func:`shingle_hashes31`
+    first and call :func:`minhash_signature_from_hashes`)."""
+    return minhash_signature_from_hashes(shingle_hashes31(shingles), k)
+
+
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH banding: hash each signature band to one bucket key
-    (``array<string>`` of length ``bands``).
+    """LSH banding: hash each signature band (of integer MinHash values)
+    to one bucket key (``array<string>`` of length ``bands``).
 
     Docs sharing any band key become candidate pairs; the candidate join is
     an *equi*-join on the band key — the scalable alternative to the O(n²)
@@ -116,7 +150,9 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
                     ":",
                     F.lit(str(b)),
                     *[
-                        F.element_at(signature, b * rows_per_band + r + 1)
+                        F.element_at(signature, b * rows_per_band + r + 1).cast(
+                            "string"
+                        )
                         for r in range(rows_per_band)
                     ],
                 )

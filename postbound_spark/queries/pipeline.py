@@ -431,11 +431,22 @@ WITH d AS (
   FROM (SELECT doc_id, {_WS_TOKS} AS ws FROM documents)
 ),
 dd AS (SELECT * FROM d WHERE len(sh) >= 1),
+hh AS (
+  SELECT doc_id, sh,
+         list_transform(sh, x ->
+           CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 2147483647) AS hs
+  FROM dd
+),
 sg AS (
   SELECT doc_id, sh,
-         list_transform(generate_series(0, 7), s ->
-           list_min(list_transform(sh, x -> md5(s::VARCHAR || '|' || x)))) AS sig
-  FROM dd
+         list_transform(generate_series(1, 8), s ->
+           list_min(list_transform(hs, h ->
+             ([1203983, 594603251, 1340049377, 2038074743,
+               102938477, 766245317, 1498765813, 909091373][s] * h
+              + [981766919, 123456791, 1719068887, 432109873,
+                 1597334677, 207688333, 661041991, 1876543211][s])
+             % 2147483647))) AS sig
+  FROM hh
 ),
 bk AS (
   SELECT doc_id,
@@ -463,14 +474,20 @@ def _minhash_pairs(spark, sf_dir):
     """Verified near-dup pairs (doc_a < doc_b, exact Jaccard >= 0.3) via
     the MinHash-LSH pipeline — shared by the pair listing
     (``dedup_minhash_lsh``) and the cluster builder (``dedup_components``)."""
-    # shingle sets with staged materialization (see _shingle_sets); the
-    # persist lets the signature stage read materialized arrays
-    d = _shingle_sets(spark, sf_dir).transform(stage_cache)
+    # shingle sets + their 31-bit hashes with staged materialization (see
+    # _shingle_sets): the persist makes the ONE md5 kernel per shingle a
+    # materialized array, so all 8 MinHash permutations run as pure
+    # integer multiply/mod over it (functions/text.py universal family)
+    d = (
+        _shingle_sets(spark, sf_dir)
+        .withColumn("hs", T.shingle_hashes31(F.col("sh")))
+        .transform(stage_cache)
+    )
     # materialize signatures too: band-key extraction reads each signature
     # element individually and would otherwise inline (and recompute) the
-    # full k-hash MinHash per band
+    # full k-permutation MinHash per band
     sig = d.select(
-        "doc_id", T.minhash_signature(F.col("sh"), 8).alias("sig")
+        "doc_id", T.minhash_signature_from_hashes(F.col("hs"), 8).alias("sig")
     ).transform(stage_cache)
     exploded = sig.select(
         "doc_id", F.explode(T.lsh_band_keys(F.col("sig"), 4, 2)).alias("bkey")
