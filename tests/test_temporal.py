@@ -85,3 +85,23 @@ def test_xor_agg_all_null_group_is_null(spark):
         for r in df.groupBy("g").agg(F.expr("pb_xor_agg(v)").alias("x")).collect()
     }
     assert rows[1] is None and rows[2] == 5
+
+
+def test_minhash_universal_family_range_and_determinism(spark):
+    """Signature values stay in [0, P): the (a*h + b) mod P arithmetic must
+    never overflow BIGINT (Spark would wrap silently, DuckDB would error)
+    and identical shingle sets must produce identical signatures."""
+    from pyspark.sql import functions as F
+
+    from postbound_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [("a b c d e f",), ("a b c d e f",), ("x y z w v u t",)], ["text"]
+    )
+    sig = T.minhash_signature(T.word_shingles(T.tokens(F.col("text"))), 8)
+    rows = df.select(sig.alias("sig")).collect()
+    for r in rows:
+        assert len(r.sig) == 8
+        assert all(0 <= v < T.MINHASH_P for v in r.sig), r.sig
+    assert rows[0].sig == rows[1].sig  # identical text -> identical signature
+    assert rows[0].sig != rows[2].sig
