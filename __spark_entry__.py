@@ -40,14 +40,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from postbound_spark.queries import load_all
     from postbound_spark.queries.pipeline import release_stage_caches
 
-    def wrapped(builder):
+    last_query = {"name": None}
+
+    def wrapped(name: str, builder):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            release_stage_caches()
+            # release only when the QUERY changes: repeated reps of the
+            # same query must keep their warm stage caches (the lifecycle
+            # bench.py uses — release between queries, never between reps)
+            if last_query["name"] != name:
+                release_stage_caches()
+                last_query["name"] = name
             return builder(spark, sf_dir)
 
         return run
 
-    return {name: wrapped(qdef.builder) for name, qdef in load_all().items()}
+    return {name: wrapped(name, qdef.builder) for name, qdef in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:

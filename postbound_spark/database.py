@@ -60,9 +60,20 @@ class Database:
         self.sf_dir = sf_dir
         # binding update BEFORE register_views: the mutation-point guard in
         # catalog.register_views checks _BOUND_DIRS, and a rebind=True move
-        # must not trip over the stale binding it is deliberately replacing
+        # must not trip over the stale binding it is deliberately replacing.
+        # Restored on failure — a bad fixture dir must not leave the session
+        # bound to views that were never registered (which would then refuse
+        # re-registering the still-valid previous dir).
+        prev = _BOUND_DIRS.get(spark)
         _BOUND_DIRS[spark] = sf_dir
-        register_views(spark, sf_dir)
+        try:
+            register_views(spark, sf_dir)
+        except BaseException:
+            if prev is None:
+                _BOUND_DIRS.pop(spark, None)
+            else:
+                _BOUND_DIRS[spark] = prev
+            raise
 
     def execute_query(
         self, query: "str | DataFrame", *, raw: bool = False, native: bool = False

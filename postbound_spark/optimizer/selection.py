@@ -128,8 +128,15 @@ def estimated_row_bytes(df: DataFrame) -> int:
     total = _ROW_OVERHEAD
     for f in df.schema.fields:
         name = f.dataType.typeName()
-        if name in ("array", "map", "struct"):
-            total += 192
+        if name == "array":
+            # element-typed budget when the length is unknowable: a 64-dim
+            # double embedding is ~520 B in the hash relation — a flat
+            # small constant would inflate the limit-probe cap and pin
+            # broadcasts several times over the memory threshold
+            elem = f.dataType.elementType.typeName()
+            total += 64 * _WIDTH.get(elem, 24) + 16
+        elif name in ("map", "struct"):
+            total += 512
         else:
             total += _WIDTH.get(name, 48)
     return total

@@ -811,29 +811,29 @@ class _Converter:
         sort_in_output = bool(sort_keys) and all(
             o.expr.sql in output_names for o in q.order_by
         )
-        if sort_uses_alias or (prior and q.distinct and sort_in_output):
-            tree = sort(project(tree))
-            if q.distinct:
-                tree = ra.DuplicateElimination(tree)
-            return self._limit(tree, sort_keys)
-        if prior and sort_keys:
-            if q.distinct:
-                # valid SQL already forces DISTINCT sort keys into the
-                # select list (alias path above); anything else is refused
-                # rather than compiled into an unresolvable plan
+        if q.distinct:
+            # DISTINCT evaluates before ORDER BY, and Spark's dedup is an
+            # aggregate: a Sort placed BELOW it is eliminated outright
+            # (EliminateSorts), so Limit would then pick arbitrary rows.
+            # The sort must sit ABOVE the dedup — valid SQL forces DISTINCT
+            # sort keys into the select list, so they resolve above the
+            # projection; anything else fails loudly at analysis.
+            if prior and sort_keys and not (sort_uses_alias or sort_in_output):
                 raise UnsupportedSqlError(
                     "FETCH PRIOR/LAST with DISTINCT requires the ORDER BY "
                     "keys in the select list"
                 )
+            tree = ra.DuplicateElimination(project(tree))
+            return self._limit(sort(tree), sort_keys)
+        if sort_uses_alias:
+            return self._limit(sort(project(tree)), sort_keys)
+        if prior and sort_keys:
             # the whole inverted-window pipeline (sort → invert+limit →
             # restore) goes BELOW the projection: the ORDER BY may
             # reference columns the SELECT list drops, which an inverted
             # Sort placed above the projection could not resolve
             return project(self._limit(sort(tree), sort_keys))
-        tree = project(sort(tree))
-        if q.distinct:
-            tree = ra.DuplicateElimination(tree)
-        return self._limit(tree, sort_keys)
+        return self._limit(project(sort(tree)), sort_keys)
 
     def _limit(
         self, tree: ra.RelNode, sort_keys: tuple[ra.SortKey, ...] = ()

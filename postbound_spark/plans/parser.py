@@ -181,6 +181,28 @@ def _merge(sql: str, *parts: _Expr) -> _Expr:
 # ---------------------------------------------------------------------------
 
 
+def _resolve_ordinal(projections, expr, clause: str):
+    """ANSI ordinal references ("ORDER BY 1", "GROUP BY 2") resolve to
+    select-list positions at parse time: downstream the IR compiles
+    expressions verbatim, where a bare integer is a CONSTANT — a silent
+    no-op sort / single-group aggregation."""
+    if not expr.sql.isdigit():
+        return expr
+    idx = int(expr.sql)
+    if not 1 <= idx <= len(projections):
+        raise UnsupportedSqlError(
+            f"{clause} ordinal {idx} is outside the select list"
+        )
+    target = projections[idx - 1]
+    if target.expr.sql == "*":
+        raise UnsupportedSqlError(
+            f"{clause} ordinal cannot resolve through SELECT *"
+        )
+    if clause == "ORDER BY" and target.alias:
+        return Q.SqlExpression(target.alias)
+    return target.expr
+
+
 class _Parser:
     def __init__(self, text: str):
         self.t = _Tokens(text)
@@ -235,8 +257,20 @@ class _Parser:
                 op = Q.SetOperator.EXCEPT
             rhs = intersect_chain()
             q = Q.SetQuery(q, op, rhs)
+        # trailing ORDER BY / LIMIT / OFFSET / FETCH apply to the whole
+        # query (plain or set) — operands never consume them, so the
+        # clauses cannot mis-bind to the rightmost set operand. Ordinals
+        # resolve against the (leftmost) select list here, where the
+        # column source of the combined result is known.
+        order_by, limit, offset, fetch_direction = self._parse_order_limit()
+        leftmost = q
+        while isinstance(leftmost, Q.SetQuery):
+            leftmost = leftmost.left
+        order_by = tuple(
+            replace(o, expr=_resolve_ordinal(leftmost.select, o.expr, "ORDER BY"))
+            for o in order_by
+        )
         if isinstance(q, Q.SetQuery):
-            order_by, limit, offset, fetch_direction = self._parse_order_limit()
             if offset is not None:
                 raise UnsupportedSqlError("OFFSET on a set query is not modeled")
             if fetch_direction != "first":
@@ -245,6 +279,19 @@ class _Parser:
                 )
             if order_by or limit is not None:
                 q = replace(q, order_by=order_by, limit=limit)
+        elif (
+            order_by
+            or limit is not None
+            or offset is not None
+            or fetch_direction != "first"
+        ):
+            q = replace(
+                q,
+                order_by=order_by,
+                limit=limit,
+                offset=offset,
+                fetch_direction=fetch_direction,
+            )
         if ctes:
             if isinstance(q, Q.SetQuery):
                 raise UnsupportedSqlError("WITH over a set query is not modeled")
@@ -302,34 +349,13 @@ class _Parser:
             group_by = tuple(e.to_qal() for e in exprs)
 
         having = self._parse_predicate() if self.t.accept("having") else None
-        order_by, limit, offset, fetch_direction = self._parse_order_limit()
-
-        # ANSI ordinal references ("ORDER BY 1", "GROUP BY 2") resolve to
-        # select-list positions at parse time: downstream the IR compiles
-        # expressions verbatim, where a bare integer is a CONSTANT — a
-        # silent no-op sort / single-group aggregation. Rewriting here
-        # keeps every consumer (algebra, to_sql round-trips, oracles)
-        # position-correct.
-        def resolve_ordinal(expr: Q.SqlExpression, clause: str) -> Q.SqlExpression:
-            if not expr.sql.isdigit():
-                return expr
-            idx = int(expr.sql)
-            if not 1 <= idx <= len(projections):
-                raise UnsupportedSqlError(
-                    f"{clause} ordinal {idx} is outside the select list"
-                )
-            target = projections[idx - 1]
-            if target.expr.sql == "*":
-                raise UnsupportedSqlError(
-                    f"{clause} ordinal cannot resolve through SELECT *"
-                )
-            if clause == "ORDER BY" and target.alias:
-                return Q.SqlExpression(target.alias)
-            return target.expr
-
-        group_by = tuple(resolve_ordinal(e, "GROUP BY") for e in group_by)
-        order_by = tuple(
-            replace(o, expr=resolve_ordinal(o.expr, "ORDER BY")) for o in order_by
+        # ORDER BY / LIMIT / OFFSET / FETCH are NOT consumed here: a
+        # trailing clause after a set operand belongs to the WHOLE set
+        # query (ANSI), so parse_query owns them at the top level —
+        # consuming them per-select silently bound "a UNION b ORDER BY x"
+        # to b alone.
+        group_by = tuple(
+            _resolve_ordinal(tuple(projections), e, "GROUP BY") for e in group_by
         )
 
         return Q.SqlQuery(
@@ -338,10 +364,6 @@ class _Parser:
             where=where,
             group_by=group_by,
             having=having,
-            order_by=order_by,
-            limit=limit,
-            offset=offset,
-            fetch_direction=fetch_direction,
             distinct=distinct,
             distinct_on=distinct_on,
             joins=tuple(explicit_joins),

@@ -1428,6 +1428,45 @@ _BIGRAMS = (
 )
 
 
+def _ws_bigram_projection(docs: DataFrame, *extra) -> DataFrame:
+    """(extra..., ws, bg) projection — whitespace tokens + guarded bigram
+    list. Shared by the repetition filter and the keep list so the
+    tokenization cannot drift between the standalone operator and the
+    composite that claims to include it."""
+    toks = T.tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(*extra, toks.alias("ws"), bigrams.alias("bg"))
+
+
+def _repetition_metrics():
+    """(n_tokens, top_token_count, n_bigrams, dup_bigrams, repetitive)
+    column expressions over the ``ws``/``bg`` columns of
+    :func:`_ws_bigram_projection` — ONE definition of the Gopher-filter
+    thresholds for every consumer (and mirrored by the shared DuckDB
+    fragments)."""
+    n = F.size("ws")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("ws"),
+            lambda u: F.size(F.filter(F.col("ws"), lambda x: x == u)),
+        )
+    )
+    n_bg = F.size("bg")
+    dup_bg = n_bg - F.size(F.array_distinct("bg"))
+    # n_bg > 0 guard: 0 >= 0 is vacuously true, which would flag every
+    # doc too short to have bigrams as "repetitive"
+    repetitive = (top_cnt * 8 >= n) | ((n_bg > 0) & (dup_bg * 10 >= n_bg))
+    return n, top_cnt, n_bg, dup_bg, repetitive
+
+
 @query(
     "text_repetition_filter",
     oracle=f"""
@@ -1459,37 +1498,15 @@ def text_repetition_filter(spark, sf_dir):
     float ratios so both engines agree bit-for-bit. At 100 TB this is a
     single corpus scan emitting one narrow row per document."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    w = docs.select("doc_id", toks.alias("ws"), bigrams.alias("bg"))
-    n = F.size("ws")
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("ws"),
-            lambda u: F.size(F.filter(F.col("ws"), lambda x: x == u)),
-        )
-    )
-    n_bg = F.size("bg")
-    dup_bg = n_bg - F.size(F.array_distinct("bg"))
+    w = _ws_bigram_projection(docs, "doc_id")
+    n, top_cnt, n_bg, dup_bg, repetitive = _repetition_metrics()
     return w.select(
         "doc_id",
         n.alias("n_tokens"),
         top_cnt.alias("top_token_count"),
         n_bg.alias("n_bigrams"),
         dup_bg.alias("dup_bigrams"),
-        # n_bg > 0 guard: 0 >= 0 is vacuously true, which would flag every
-        # doc too short to have bigrams as "repetitive"
-        F.when((top_cnt * 8 >= n) | ((n_bg > 0) & (dup_bg * 10 >= n_bg)), 1)
-        .otherwise(0)
-        .alias("flagged"),
+        F.when(repetitive, 1).otherwise(0).alias("flagged"),
     )
 
 
@@ -1578,6 +1595,22 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+def _int8_quantized(emb: DataFrame, *extra, alias: str = "q8") -> DataFrame:
+    """(extra..., <alias>) — int8 quantization of ``embedding`` against the
+    broadcast global max-abs scale, floor(x + 0.5) half-up rounding. ONE
+    definition of the quantization recipe for every consumer (the rounding
+    and cast discipline is load-bearing for oracle parity)."""
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = emb.agg(F.max(absmax).alias("s"))
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127 / F.col("s") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return emb.crossJoin(F.broadcast(scale)).select(*extra, q8.alias(alias))
+
+
 @query(
     "emb_quantize_int8",
     oracle="""
@@ -1612,15 +1645,7 @@ def emb_quantize_int8(spark, sf_dir):
     Rounding is floor(x + 0.5) - identical half-up behavior in both
     engines, where round() half-even would diverge."""
     emb = load_table(spark, sf_dir, "embeddings")
-    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-    scale = emb.agg(F.max(absmax).alias("s"))
-    qv = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * 127 / F.col("s") + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
-    q = emb.crossJoin(F.broadcast(scale)).select("vec_id", qv.alias("qv"))
+    q = _int8_quantized(emb, "vec_id", alias="qv")
     zero = F.lit(0).cast("long")
     return q.select(
         "vec_id",
@@ -1809,18 +1834,7 @@ def ann_quantized_rescore_topk(spark, sf_dir):
     deterministic integer math with vec_id tie-breaks, so the DuckDB
     oracle reproduces the exact shortlist boundary."""
     emb = load_table(spark, sf_dir, "embeddings")
-    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-    scale = emb.agg(F.max(absmax).alias("s"))
-    q8 = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * 127 / F.col("s") + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
-    base = emb.crossJoin(F.broadcast(scale)).select(
-        "vec_id", "label", "embedding", q8.alias("q8")
-    )
-    base = stage_cache(base)
+    base = stage_cache(_int8_quantized(emb, "vec_id", "label", "embedding"))
     qrow = base.filter(F.col("vec_id") == 0).select(
         F.col("q8").alias("query_q8"), F.col("embedding").alias("qemb")
     )
@@ -1891,34 +1905,10 @@ def pipeline_keep_list(spark, sf_dir):
     sample_domain_cap operators — this query proves they COMPOSE, which
     is what a user actually runs."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.md5("text").alias("th"),
-        toks.alias("ws"),
-        bigrams.alias("bg"),
+    base = _ws_bigram_projection(
+        docs, "doc_id", "lang", "source", F.md5("text").alias("th")
     )
-    n = F.size("ws")
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("ws"),
-            lambda u: F.size(F.filter(F.col("ws"), lambda x: x == u)),
-        )
-    )
-    n_bg = F.size("bg")
-    dup_bg = n_bg - F.size(F.array_distinct("bg"))
-    repetitive = (top_cnt * 8 >= n) | ((n_bg > 0) & (dup_bg * 10 >= n_bg))
+    _n, _top, _nbg, _dbg, repetitive = _repetition_metrics()
     # repetition filter BEFORE the dedup window: identical texts share the
     # flag, so the keep list is unchanged — but the content-hash exchange
     # then carries (id, lang, source, th) instead of the token/bigram

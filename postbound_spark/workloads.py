@@ -39,13 +39,14 @@ QueryLike = "str | Callable[[SparkSession, str], DataFrame]"
 
 def _split_sql_statements(text: str) -> list[str]:
     """Split a SQL batch on ``;`` OUTSIDE single-quoted string literals
-    (with standard ``''`` escaping). Double-quoted identifiers are split
-    through on purpose — identifiers cannot contain statement separators
-    in any workload this loader serves, and literal safety is the case
-    real texts actually hit (``WHERE note = 'a;b'``)."""
+    (standard ``''`` escaping), ``--`` line comments, and ``/* */`` block
+    comments — real downloaded workload files carry semicolons in all
+    three. Double-quoted identifiers are split through on purpose —
+    identifiers cannot contain statement separators in any workload this
+    loader serves."""
     parts: list[str] = []
     buf: list[str] = []
-    in_str = False
+    in_str = in_line_comment = in_block_comment = False
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
@@ -57,8 +58,24 @@ def _split_sql_statements(text: str) -> list[str]:
                     i += 1
                 else:
                     in_str = False
+        elif in_line_comment:
+            buf.append(ch)
+            if ch == "\n":
+                in_line_comment = False
+        elif in_block_comment:
+            buf.append(ch)
+            if ch == "*" and i + 1 < n and text[i + 1] == "/":
+                buf.append("/")
+                i += 1
+                in_block_comment = False
         elif ch == "'":
             in_str = True
+            buf.append(ch)
+        elif ch == "-" and i + 1 < n and text[i + 1] == "-":
+            in_line_comment = True
+            buf.append(ch)
+        elif ch == "/" and i + 1 < n and text[i + 1] == "*":
+            in_block_comment = True
             buf.append(ch)
         elif ch == ";":
             parts.append("".join(buf))

@@ -681,3 +681,40 @@ def test_fetch_prior_with_distinct_on_output_keys(spark, sf_small):
         {r.n_regionkey for r in cat["nation"].collect()}
     )
     assert got == distinct_keys[-2:]
+
+
+def test_distinct_order_by_limit_keeps_the_order(spark, sf_small):
+    """DISTINCT compiles to an aggregate, which eliminates any Sort below
+    it — the sort must sit above the dedup or LIMIT returns arbitrary
+    rows."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    q = parse_query(
+        "SELECT DISTINCT n_regionkey FROM nation ORDER BY n_regionkey LIMIT 2"
+    )
+    cat = load_tables(spark, sf_small, ["nation"])
+    got = [r.n_regionkey for r in compile_plan(parse_relalg(q), spark, cat).collect()]
+    want = sorted({r.n_regionkey for r in cat["nation"].collect()})[:2]
+    assert got == want
+
+
+def test_trailing_order_limit_binds_to_the_whole_set_query(spark, sf_small):
+    """ANSI: `a UNION b ORDER BY 1 LIMIT n` sorts/limits the COMBINED
+    result — per-operand consumption silently bound the clauses to b."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans import qal as Q
+    from postbound_spark.plans.algebra import parse_relalg
+
+    q = parse_query(
+        "SELECT n_name FROM nation UNION SELECT r_name FROM region "
+        "ORDER BY 1 LIMIT 3"
+    )
+    assert isinstance(q, Q.SetQuery)
+    assert q.limit == 3 and len(q.order_by) == 1
+    assert q.left.limit is None and q.right.limit is None
+    cat = load_tables(spark, sf_small, ["nation", "region"])
+    got = [r[0] for r in compile_plan(parse_relalg(q), spark, cat).collect()]
+    assert got == sorted(got) and len(got) == 3
