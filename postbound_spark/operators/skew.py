@@ -35,16 +35,22 @@ def salted_join(
     on: list[str],
     how: str = "inner",
     salt: int = 8,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the left side's hot keys spread across ``salt``
     sub-partitions.
 
-    Left rows get a content-derived salt (xxhash64 over the full row —
-    deterministic, so retried tasks re-salt identically); the right side
-    is replicated once per salt value via ``explode`` (a narrow, map-side
-    operation — the replication happens *before* the shuffle, so each
-    reducer still receives exactly one copy of each right row per
-    sub-key). Result rows are identical to ``left.join(right, on, how)``.
+    Left rows get a content-derived salt — xxhash64 over ``salt_on``
+    (the join keys plus a stable row-identity column such as an id) —
+    deterministic, so retried tasks re-salt identically. ``salt_on``
+    must include at least one column beyond the join keys, otherwise
+    every row of a hot key hashes to the SAME salt bucket and nothing
+    spreads; it must also be stable across recomputation (ids, keys —
+    never floats derived per-attempt). The right side is replicated once
+    per salt value via ``explode`` (a narrow, map-side operation — the
+    replication happens *before* the shuffle, so each reducer still
+    receives exactly one copy of each right row per sub-key). Result
+    rows are identical to ``left.join(right, on, how)``.
 
     Only ``inner`` and ``left`` joins are supported: for right/full outer
     joins the replicated right rows that find no match would surface as
@@ -53,10 +59,17 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    if salt_on is None:
+        salt_on = list(left.columns)
+    if not set(salt_on) - set(on):
+        raise ValueError(
+            "salt_on must include a column beyond the join keys — salting "
+            "by the join keys alone maps each hot key to one salt bucket"
+        )
     if salt < 2:
         return left.join(right, on=on, how=how)
     salted_left = left.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(salt))
     )
     salted_right = right.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -259,7 +259,11 @@ def _physical_tree_with_tables(df: DataFrame):
                 # an InMemoryTableScan; the cached plan still carries it
                 try:
                     m = table_re.search(jnode.relation().cachedPlan().toString())
-                except Exception:
+                except Exception as exc:  # malformed/foreign cached plan
+                    logger.warning(
+                        "cached-plan table-name recovery failed for %s: %s "
+                        "(falling back to the node name)", name, exc
+                    )
                     m = None
             return ("scan", m.group(1) if m else name, [])
         return (name, None, [convert(c) for c in _jseq(jnode.children())])

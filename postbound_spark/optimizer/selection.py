@@ -39,7 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from postbound_spark.optimizer.hints import JoinOperator, PhysicalOperatorAssignment
 
-__all__ = ["StatsDrivenJoinSelection", "catalyst_size_bytes"]
+__all__ = [
+    "StatsDrivenJoinSelection",
+    "catalyst_size_bytes",
+    "MeasuredBuildSide",
+    "MeasuredJoinPolicy",
+    "estimated_row_bytes",
+]
 
 _SIZE_RE = re.compile(r"^(-?\d+)\s*([kmgt]?b?)$", re.I)
 _UNIT = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,

@@ -181,11 +181,20 @@ def _merge(sql: str, *parts: _Expr) -> _Expr:
 # ---------------------------------------------------------------------------
 
 
-def _resolve_ordinal(projections, expr, clause: str):
+_IDENT_CHAIN_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*")
+
+
+def _resolve_ordinal(projections, expr, clause: str, by_output_name: bool = False):
     """ANSI ordinal references ("ORDER BY 1", "GROUP BY 2") resolve to
     select-list positions at parse time: downstream the IR compiles
     expressions verbatim, where a bare integer is a CONSTANT — a silent
-    no-op sort / single-group aggregation."""
+    no-op sort / single-group aggregation.
+
+    ``by_output_name`` is for set queries: their ORDER BY sorts the
+    *combined* output, where the leftmost operand's raw expression (e.g.
+    a table-qualified ``n.n_name``) no longer resolves — the ordinal must
+    map to the output column name (alias, or the unqualified tail of a
+    plain column reference) instead."""
     if not expr.sql.isdigit():
         return expr
     idx = int(expr.sql)
@@ -200,6 +209,13 @@ def _resolve_ordinal(projections, expr, clause: str):
         )
     if clause == "ORDER BY" and target.alias:
         return Q.SqlExpression(target.alias)
+    if by_output_name:
+        if _IDENT_CHAIN_RE.fullmatch(target.expr.sql):
+            return Q.SqlExpression(target.expr.sql.rsplit(".", 1)[-1])
+        raise UnsupportedSqlError(
+            f"{clause} ordinal {idx} targets an unaliased computed "
+            "expression of a set query — alias the select item"
+        )
     return target.expr
 
 
@@ -267,7 +283,15 @@ class _Parser:
         while isinstance(leftmost, Q.SetQuery):
             leftmost = leftmost.left
         order_by = tuple(
-            replace(o, expr=_resolve_ordinal(leftmost.select, o.expr, "ORDER BY"))
+            replace(
+                o,
+                expr=_resolve_ordinal(
+                    leftmost.select,
+                    o.expr,
+                    "ORDER BY",
+                    by_output_name=isinstance(q, Q.SetQuery),
+                ),
+            )
             for o in order_by
         )
         if isinstance(q, Q.SetQuery):

@@ -441,11 +441,9 @@ sg AS (
   SELECT doc_id, sh,
          list_transform(generate_series(1, 8), s ->
            list_min(list_transform(hs, h ->
-             ([1203983, 594603251, 1340049377, 2038074743,
-               102938477, 766245317, 1498765813, 909091373][s] * h
-              + [981766919, 123456791, 1719068887, 432109873,
-                 1597334677, 207688333, 661041991, 1876543211][s])
-             % 2147483647))) AS sig
+             ([{", ".join(str(x) for x in T.MINHASH_A)}][s] * h
+              + [{", ".join(str(x) for x in T.MINHASH_B)}][s])
+             % {T.MINHASH_P}))) AS sig
   FROM hh
 ),
 bk AS (
@@ -500,7 +498,7 @@ def _minhash_pairs(spark, sf_dir):
     a = exploded.select(F.col("doc_id").alias("doc_a"), "bkey")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "bkey")
     cand = (
-        salted_join(a, b, on=["bkey"], salt=8)
+        salted_join(a, b, on=["bkey"], salt=8, salt_on=["doc_a", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -1601,7 +1599,9 @@ def _int8_quantized(emb: DataFrame, *extra, alias: str = "q8") -> DataFrame:
     definition of the quantization recipe for every consumer (the rounding
     and cast discipline is load-bearing for oracle parity)."""
     absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-    scale = emb.agg(F.max(absmax).alias("s"))
+    # greatest(·, tiny) guards the degenerate all-zero fixture: without it
+    # 127/s is NULL/NaN and the digests go silently NULL on both engines
+    scale = emb.agg(F.greatest(F.max(absmax), F.lit(1e-30)).alias("s"))
     q8 = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 127 / F.col("s") + F.lit(0.5)).cast(
@@ -1615,7 +1615,8 @@ def _int8_quantized(emb: DataFrame, *extra, alias: str = "q8") -> DataFrame:
     "emb_quantize_int8",
     oracle="""
 WITH scale AS (
-  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s
+  SELECT greatest(max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))),
+                  1e-30) AS s
   FROM embeddings
 ),
 q AS (
@@ -1792,7 +1793,8 @@ def corpus_mix_weights(spark, sf_dir):
     "ann_quantized_rescore_topk",
     oracle=f"""
 WITH scale AS (
-  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s
+  SELECT greatest(max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))),
+                  1e-30) AS s
   FROM embeddings
 ),
 b AS (

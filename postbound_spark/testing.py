@@ -61,7 +61,21 @@ def _normalize_cell(value: Any) -> Any:
     return value
 
 
-def _normalize(df: pd.DataFrame) -> list[tuple]:
+def _float_columns(*frames: pd.DataFrame) -> set[str]:
+    """A column is float-classed if it is float in ANY frame: the pairing
+    key order below must be identical for both frames, or the permitted
+    all-NaN dtype-class-mismatch case (float in one engine, object in the
+    other) sorts the two frames with different key orders and mis-pairs
+    rows into a spurious mismatch."""
+    return {
+        c
+        for df in frames
+        for c in df.columns
+        if _dtype_class(df[c].dtype) == "float"
+    }
+
+
+def _normalize(df: pd.DataFrame, float_cols: set[str] | None = None) -> list[tuple]:
     # columns sort alphabetically (the driver's canonical order), but the
     # ROW ordering for pairing puts float columns last: pairing is by
     # sort-then-zip, so a leading float column whose two engines differ in
@@ -69,7 +83,9 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
     # them — discrete columns (ids, names) dominate the sort instead
     cols = sorted(df.columns)
     df = df[cols]
-    non_float = [i for i, c in enumerate(cols) if _dtype_class(df[c].dtype) != "float"]
+    if float_cols is None:
+        float_cols = _float_columns(df)
+    non_float = [i for i, c in enumerate(cols) if c not in float_cols]
     is_float = [i for i in range(len(cols)) if i not in non_float]
     key_order = non_float + is_float
     rows = [tuple(_normalize_cell(v) for v in row) for row in df.itertuples(index=False)]
@@ -147,7 +163,8 @@ def compare_query(
         return False, f"driver-compat: {compat}"
     if len(spark_pdf) != len(duck_pdf):
         return False, f"row count mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}"
-    left, right = _normalize(spark_pdf), _normalize(duck_pdf)
+    float_cols = _float_columns(spark_pdf, duck_pdf)
+    left, right = _normalize(spark_pdf, float_cols), _normalize(duck_pdf, float_cols)
     mismatched = [
         (l, r) for l, r in zip(left, right) if not _rows_close(l, r)
     ]

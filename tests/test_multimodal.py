@@ -1,16 +1,127 @@
-"""Multimodal plumbing: schema, Arrow batch shapes, stubbed decode."""
+"""Multimodal plumbing: schema, Arrow batch shapes, real PNG decode."""
 
 from __future__ import annotations
 
+import struct
+import zlib
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from postbound_spark.functions import multimodal as MM
 
 
-def test_decode_image_is_stubbed():
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _filter_row(ftype, row, prev, channels):
+    """Forward PNG filter — an independent implementation of the spec's
+    encode side, so the round trip genuinely cross-checks the decoder."""
+    out = []
+    for i, v in enumerate(row):
+        left = row[i - channels] if i >= channels else 0
+        up = prev[i]
+        diag = prev[i - channels] if i >= channels else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        else:
+            pred = MM._paeth(left, up, diag)
+        out.append((v - pred) & 0xFF)
+    return out
+
+
+def _encode_png(pixels: np.ndarray, color_type: int, filters=None) -> bytes:
+    height, width, channels = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = [0] * (width * channels)
+    for y in range(height):
+        row = [int(v) for v in pixels[y].reshape(-1)]
+        ftype = filters[y % len(filters)] if filters else 0
+        raw.append(ftype)
+        raw.extend(_filter_row(ftype, row, prev, channels))
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_rejects_non_png_without_codec():
+    # without Pillow only PNG payloads decode; anything else fails loudly
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+        MM.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_decode_png_rgb_all_filter_types():
+    rng = np.random.RandomState(7)
+    pixels = rng.randint(0, 256, size=(5, 4, 3)).astype(np.uint8)
+    # one row per PNG filter type (None/Sub/Up/Average/Paeth)
+    payload = _encode_png(pixels, color_type=2, filters=[0, 1, 2, 3, 4])
+    decoded = MM.decode_image(payload)
+    assert decoded.shape == (5, 4, 3) and decoded.dtype == np.uint8
+    assert np.array_equal(decoded, pixels)
+
+
+def test_decode_png_gray_and_rgba():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    out = MM.decode_image(_encode_png(gray, color_type=0))
+    assert out.shape == (3, 4, 3)
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+
+    rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+    out = MM.decode_image(_encode_png(rgba, color_type=6, filters=[4]))
+    assert np.array_equal(out, rgba[:, :, :3])
+
+
+def test_decode_png_inside_pandas_batch(spark):
+    """The production shape: binary payloads through mapInPandas, decoded
+    per Arrow batch, fixed-schema stats out."""
+    import pandas as pd
+
+    imgs = {
+        1: np.full((2, 3, 3), 9, dtype=np.uint8),
+        2: np.full((4, 2, 3), 250, dtype=np.uint8),
+    }
+    rows = [(k, bytearray(_encode_png(v, color_type=2, filters=[1, 2]))) for k, v in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            decoded = [MM.decode_image(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "height": [d.shape[0] for d in decoded],
+                    "width": [d.shape[1] for d in decoded],
+                    "px_sum": [int(d.sum()) for d in decoded],
+                }
+            )
+
+    got = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            stats, "doc_id long, height int, width int, px_sum long"
+        ).collect()
+    }
+    for k, v in imgs.items():
+        assert (got[k].height, got[k].width) == v.shape[:2]
+        assert got[k].px_sum == int(v.sum())
 
 
 def test_media_meta_schema_fields():

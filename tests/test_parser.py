@@ -718,3 +718,31 @@ def test_trailing_order_limit_binds_to_the_whole_set_query(spark, sf_small):
     cat = load_tables(spark, sf_small, ["nation", "region"])
     got = [r[0] for r in compile_plan(parse_relalg(q), spark, cat).collect()]
     assert got == sorted(got) and len(got) == 3
+
+
+def test_set_query_ordinal_resolves_qualified_select_item(spark, sf_small):
+    """`SELECT n.n_name ... UNION ... ORDER BY 1`: the ordinal must map to
+    the OUTPUT column name (n_name) — the qualified `n.n_name` no longer
+    resolves against the combined set-query result."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    q = parse_query(
+        "SELECT n.n_name FROM nation n UNION SELECT r.r_name FROM region r "
+        "ORDER BY 1 LIMIT 4"
+    )
+    assert q.order_by[0].expr.sql == "n_name"
+    cat = load_tables(spark, sf_small, ["nation", "region"])
+    got = [r[0] for r in compile_plan(parse_relalg(q), spark, cat).collect()]
+    assert got == sorted(got) and len(got) == 4
+
+
+def test_set_query_ordinal_requires_alias_for_computed_items():
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError, match="alias the select item"):
+        parse_query(
+            "SELECT n_nationkey + 1 FROM nation UNION "
+            "SELECT r_regionkey FROM region ORDER BY 1"
+        )

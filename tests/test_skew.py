@@ -50,6 +50,31 @@ def test_salted_join_rejects_full_outer(spark, sf_small):
         salted_join(left, right, on=["k"], how="full")
 
 
+def test_salt_on_rejects_join_keys_only(spark, sf_small):
+    """Salting by the join keys alone maps every row of a hot key to ONE
+    salt bucket — nothing spreads; the API refuses the foot-gun."""
+    left, right = _skewed_sides(spark, sf_small)
+    with pytest.raises(ValueError, match="beyond the join keys"):
+        salted_join(left, right, on=["k"], salt_on=["k"])
+
+
+def test_salt_on_explicit_stable_columns(spark, sf_small):
+    """salt_on pins the salt derivation to caller-chosen stable columns, so
+    a volatile column elsewhere in the row cannot re-salt retried tasks
+    differently; results still match the plain join."""
+    left, right = _skewed_sides(spark, sf_small)
+    # a derived float column that salting must NOT touch
+    left_noisy = left.withColumn("noise", F.rand(seed=1))
+    plain = left_noisy.join(right, on=["k"], how="inner")
+    salted = salted_join(
+        left_noisy, right, on=["k"], how="inner", salt=8,
+        salt_on=["k", "event_id"],
+    )
+    assert _multiset(salted.select("k", "event_id", "n_type")) == _multiset(
+        plain.select("k", "event_id", "n_type")
+    )
+
+
 def test_salt_actually_spreads_hot_key(spark, sf_small):
     left, right = _skewed_sides(spark, sf_small)
     salted = salted_join(left, right, on=["k"], salt=8)
