@@ -119,6 +119,8 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
+    # --- round-4 capabilities ---
+    "opt_plantime_cards",
     # --- round-3 rotation: the 30 entries never driver-checked in r1∪r2 ---
     "opt_pgdp_regional_revenue",
     "parsed_ues_forced_order",

@@ -145,3 +145,45 @@ def opt_injected_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     params.set_cardinality(frozenset({"orders", "lineitem"}), 50.0)
     joined = compile_join_tree(tables, tree, edges, parameters=params)
     return _flagship_agg(joined)
+
+
+_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_line
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "opt_plantime_cards",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_line
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def opt_plantime_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-SQL aggregation planned under ZERO-WRITE plan-time
+    cardinality injection (optimizer/planstats.py — tag-carried Catalyst
+    ``Statistics`` seeded into the cloned plan's statsCache by an extra
+    planning strategy; pg_lab ``Card()`` parity, ref postgres.py:2343).
+    Adversarial single-table cards: customer and lineitem are declared
+    billions of rows, killing every broadcast the planner would normally
+    pick. The oracle asserts the reference's core invariant — statistics
+    steer the plan, never the results. Nothing is materialized: no Hive
+    catalog, no saveAsTable (contrast optimizer/intermediates.py)."""
+    from postbound_spark.catalog import register_views
+    from postbound_spark.optimizer.planstats import PlanTimeCardinalityInjector
+
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    injector = PlanTimeCardinalityInjector(spark)
+    return injector.plan(
+        _PRIORITY_SQL,
+        {("customer",): 3_000_000_000, ("lineitem",): 4_000_000_000},
+    )

@@ -1,0 +1,113 @@
+"""Zero-write plan-time cardinality injection (optimizer/planstats.py).
+
+The pg_lab parity gate (ref postbound/postgres.py:2343-2460): injected
+cardinalities must flip the PHYSICAL plan of an arbitrary (non-CTE) query
+with no table written, and injected plans must return identical results.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from postbound_spark.catalog import load_table
+from postbound_spark.optimizer.planstats import PlanTimeCardinalityInjector
+
+SQL = """
+SELECT o_orderpriority, count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > 0
+GROUP BY o_orderpriority
+"""
+
+
+@pytest.fixture(scope="module")
+def injector(spark, sf_small):
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_small, t).createOrReplaceTempView(t)
+    return PlanTimeCardinalityInjector(spark)
+
+
+def _join_lines(df) -> list[str]:
+    s = df._jdf.queryExecution().sparkPlan().toString()
+    return [line.strip() for line in s.splitlines() if "Join" in line]
+
+
+def _top_join(df) -> str:
+    return next(line for line in _join_lines(df) if "o_custkey" in line)
+
+
+def test_huge_injection_flips_broadcast_to_sort_merge(spark, injector):
+    tables_before = {t.name for t in spark.catalog.listTables()}
+    assert _top_join(spark.sql(SQL)).startswith("+- BroadcastHashJoin")
+    huge = injector.plan(
+        SQL,
+        {("lineitem", "orders"): 4_000_000_000, ("customer",): 3_000_000_000},
+        adaptive=False,
+    )
+    assert _top_join(huge).startswith("+- SortMergeJoin")
+    # zero writes: catalog unchanged, nothing materialized
+    assert {t.name for t in spark.catalog.listTables()} == tables_before
+
+
+def test_tiny_injection_flips_build_side(spark, injector):
+    """A 3-row (lineitem ⋈ orders) intermediate must become the broadcast
+    build side of the customer join (BuildLeft), instead of customer
+    (the default BuildRight)."""
+    assert "BuildRight" in _top_join(spark.sql(SQL))
+    tiny = injector.plan(SQL, {("lineitem", "orders"): 3}, adaptive=False)
+    assert "BuildLeft" in _top_join(tiny)
+
+
+def test_injected_plans_return_identical_results(spark, injector):
+    base = sorted(tuple(r) for r in spark.sql(SQL).collect())
+    huge = injector.plan(
+        SQL,
+        {("lineitem", "orders"): 4_000_000_000, ("customer",): 3_000_000_000},
+        adaptive=False,
+    )
+    tiny = injector.plan(SQL, {("lineitem", "orders"): 3}, adaptive=False)
+    assert sorted(tuple(r) for r in huge.collect()) == base
+    assert sorted(tuple(r) for r in tiny.collect()) == base
+
+
+def test_injection_does_not_leak_into_fresh_plans(spark, injector):
+    injector.plan(SQL, {("customer",): 3_000_000_000}, adaptive=False)
+    # a brand-new DataFrame for the same SQL must plan with real stats
+    assert _top_join(spark.sql(SQL)).startswith("+- BroadcastHashJoin")
+
+
+def test_visible_row_count_reports_injection(spark, injector):
+    df = injector.plan(SQL, {("lineitem", "orders"): 1234})
+    assert injector.visible_row_count(df, ("lineitem", "orders")) == 1234
+    assert math.isnan(injector.visible_row_count(df, ("nation",)))
+
+
+def test_unmatched_table_set_raises_with_plan_offer(spark, injector):
+    """Catalyst joined lineitem⋈orders first, so (customer, orders) is not
+    an intermediate of this plan — the error must say what is."""
+    with pytest.raises(KeyError, match="plan offers"):
+        injector.plan(SQL, {("customer", "orders"): 10})
+
+
+def test_self_join_is_rejected(spark, injector):
+    with pytest.raises(ValueError, match="self-join"):
+        injector.plan(
+            "SELECT a.c_custkey FROM customer a JOIN customer b "
+            "ON a.c_custkey = b.c_custkey",
+            {("customer",): 10},
+        )
+
+
+def test_size_bytes_override(spark, injector):
+    """An explicit tiny sizeInBytes keeps a huge row count broadcastable —
+    proving both statistics channels are independently injected."""
+    df = injector.plan(
+        SQL,
+        {("lineitem", "orders"): 4_000_000_000},
+        size_bytes={("lineitem", "orders"): 1024},
+        adaptive=False,
+    )
+    assert "BuildLeft" in _top_join(df)
