@@ -677,6 +677,26 @@ class _Converter:
         if map_exprs:
             tree = ra.Map(tree, tuple(map_exprs))
 
+        def dequalify_keys(text: str) -> str:
+            """Replace mapped group-key texts inside an expression body.
+
+            The Map above REPLACES a qualified key column (``orders.
+            o_orderstatus``) with an unqualified alias of the same data,
+            so any later reference to the qualified form — inside an
+            aggregate argument, HAVING, or the output projection — would
+            dangle (Spark drops the qualifier on the replaced attribute).
+            Word-boundary regex, longest key first, so one key text can
+            never mangle another's substring."""
+            for g in sorted(
+                (g for g, n in key_names.items() if g != n),
+                key=len,
+                reverse=True,
+            ):
+                text = re.sub(
+                    rf"(?<![\w$.]){re.escape(g)}(?![\w$])", key_names[g], text
+                )
+            return text
+
         # ---- collect aggregate calls from SELECT / HAVING / ORDER BY ------
         agg_names: dict[str, str] = {}
 
@@ -703,11 +723,13 @@ class _Converter:
         tree = ra.Grouping(
             tree,
             keys=tuple(key_names[g] for g in group_texts),
-            aggregates=tuple((name, call) for call, name in agg_names.items()),
+            aggregates=tuple(
+                (name, dequalify_keys(call)) for call, name in agg_names.items()
+            ),
         )
 
         if q.having is not None:
-            tree = ra.Selection(tree, rewrite(q.having.to_sql()))
+            tree = ra.Selection(tree, dequalify_keys(rewrite(q.having.to_sql())))
 
         # ---- final projection (PostAggregation phase) ---------------------
         out_cols: list[str] = []
@@ -717,7 +739,7 @@ class _Converter:
             if text in key_names:
                 base = key_names[text]
             else:
-                base = rewrite(text)
+                base = dequalify_keys(rewrite(text))
             name = p.alias or _output_name(text) or _output_name(base)
             if name is None:
                 name = self._gensym("col")
@@ -739,7 +761,7 @@ class _Converter:
                     or (rewrite(text) if text in agg_names else None)
                 )
                 if resolved is None:
-                    resolved = rewrite(text)
+                    resolved = dequalify_keys(rewrite(text))
                 keys.append(ra.SortKey(resolved, o.ascending, o.nulls_first))
             sort_keys = tuple(keys)
             tree = ra.Sort(tree, sort_keys)

@@ -1,0 +1,111 @@
+"""200-query generative sweep: every generated query must parse through the
+engine's own parser, compile through the algebra, execute on Spark, and
+match DuckDB running the identical SQL text (ref experiments/querygen.py —
+the reference's generator doubles as its parser stress test)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from postbound_spark.catalog import TABLES, load_tables, table_path
+from postbound_spark.operators.compiler import compile_plan
+from postbound_spark.plans.algebra import parse_relalg
+from postbound_spark.plans.parser import parse_query
+from postbound_spark.querygen import CAT_VALUES, EDGES, SCHEMA, QueryGenerator
+from postbound_spark.testing import _float_columns, _normalize, _rows_close
+
+N_QUERIES = 200
+SEED = 20260814
+
+
+def test_generator_is_deterministic():
+    a = QueryGenerator(seed=SEED).generate(25)
+    b = QueryGenerator(seed=SEED).generate(25)
+    assert a == b
+    c = QueryGenerator(seed=SEED + 1).generate(25)
+    assert a != c
+
+
+def test_schema_tables_exist_in_fixtures(sf_small):
+    assert set(SCHEMA) <= set(TABLES)
+    con = duckdb.connect()
+    real_cols = {
+        t: {
+            row[0]
+            for row in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{table_path(sf_small, t)}')"
+            ).fetchall()
+        }
+        for t in SCHEMA
+    }
+    for t1, c1, t2, c2 in EDGES:
+        assert c1 in real_cols[t1] and c2 in real_cols[t2]
+    for t, classes in SCHEMA.items():
+        for cols in classes.values():
+            assert set(cols) <= real_cols[t], (t, cols)
+    for col, values in CAT_VALUES.items():
+        assert values, col
+
+
+def test_generated_queries_match_duckdb(spark, sf_small):
+    gen = QueryGenerator(seed=SEED)
+    queries = gen.generate(N_QUERIES)
+    cat = load_tables(spark, sf_small, sorted(SCHEMA))
+    con = duckdb.connect()
+    for name in SCHEMA:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_small, name)}')"
+        )
+    failures = []
+    for label, sql in queries.items():
+        try:
+            parsed = parse_query(sql)
+            df = compile_plan(parse_relalg(parsed), spark, cat)
+            spark_pdf = df.toPandas()
+            duck_pdf = con.execute(sql).df()
+            if sorted(spark_pdf.columns) != sorted(
+                c.lower() for c in duck_pdf.columns
+            ):
+                failures.append((label, sql, "schema mismatch"))
+                continue
+            duck_pdf.columns = [c.lower() for c in duck_pdf.columns]
+            if len(spark_pdf) != len(duck_pdf):
+                failures.append(
+                    (label, sql, f"rows {len(spark_pdf)} vs {len(duck_pdf)}")
+                )
+                continue
+            fc = _float_columns(spark_pdf, duck_pdf)
+            left = _normalize(spark_pdf, fc)
+            right = _normalize(duck_pdf, fc)
+            bad = [
+                (l, r) for l, r in zip(left, right) if not _rows_close(l, r)
+            ]
+            if bad:
+                failures.append((label, sql, f"values {bad[:1]}"))
+        except Exception as exc:  # collect, don't abort the sweep
+            failures.append((label, sql, f"{type(exc).__name__}: {exc}"))
+    assert not failures, (
+        f"{len(failures)}/{len(queries)} generated queries failed; first 5:\n"
+        + "\n".join(f"{l}: {err}\n  {s}" for l, s, err in failures[:5])
+    )
+
+
+def test_generated_corpus_covers_the_grammar():
+    """The sweep only fuzzes what it generates — assert the corpus actually
+    exercises joins, aggregation, DISTINCT, subqueries, BETWEEN, LIKE."""
+    corpus = " ||| ".join(QueryGenerator(seed=SEED).generate(N_QUERIES).values())
+    for construct in (
+        "GROUP BY",
+        "HAVING",
+        "DISTINCT",
+        "ORDER BY",
+        "LIMIT",
+        "BETWEEN",
+        "LIKE",
+        " IN (SELECT",
+        "COUNT(*)",
+        "AVG(",
+    ):
+        assert construct in corpus, f"corpus never generates {construct}"
