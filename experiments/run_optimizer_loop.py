@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Run the optimizer-research loop over JOB-light and persist results.
+
+The reference's canonical experiment (ref
+``examples/experiment-job-true-card-runtimes.py``, ``bench.py:1019-1235``):
+execute a workload under several join-ordering strategies, record exec /
+optimization time and per-join q-errors, and keep the results as parquet
+for analysis.
+
+Usage:
+    python experiments/run_optimizer_loop.py [out.parquet] [--strategies native,ues,pgdp] [--titles 300]
+
+Offline-safe: runs on the deterministic IMDB-shaped fixture corpus (the
+real JOB-light texts are fetched by ``workloads.job_light(real=True)``
+when the host has network access, and are a drop-in replacement here).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {
+        a.split("=")[0].lstrip("-"): a.split("=", 1)[1]
+        for a in sys.argv[1:]
+        if a.startswith("--") and "=" in a
+    }
+    out_path = args[0] if args else "optimizer_loop_results.parquet"
+    strategies = tuple(opts.get("strategies", "native,ues").split(","))
+    n_titles = int(opts.get("titles", "300"))
+
+    from postbound_spark.experiments import (
+        imdb_shaped_frames,
+        register_frames,
+        run_optimizer_loop,
+    )
+    from postbound_spark.session import get_spark
+    from postbound_spark.workloads import job_light
+
+    spark = get_spark("optimizer-loop")
+    base = register_frames(spark, imdb_shaped_frames(n_titles))
+    corpus = dict(job_light())
+    results = run_optimizer_loop(
+        spark, corpus, base, strategies=strategies, out_path=out_path
+    )
+    by_strategy = results.groupby("strategy")[["exec_time", "optimization_time", "max_qerror"]].mean()
+    print(by_strategy.to_string())
+    bounded = results[results.strategy == "ues"]
+    ok = (bounded.ues_bound >= bounded.actual_card).sum()
+    print(f"UES bound >= actual on {ok}/{len(bounded)} queries")
+    print(f"results -> {out_path} ({len(results)} rows)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,267 @@
+"""The optimizer-research loop, end to end.
+
+The reference exists to *study* optimizers: run a workload through one or
+more optimizer stages, execute the resulting plans, and collect runtimes
+plus estimate-quality metrics per plan node (rbergm/PostBOUND
+``postbound/bench.py:1019-1235`` — ``execute_workload`` result rows with
+``exec_time``/``optimization_time``; ``postbound/_qep.py:1575`` —
+per-node q-error; ``examples/experiment-job-true-card-runtimes.py`` — the
+canonical experiment script). This module is that loop on Spark:
+
+- queries come from a :class:`~postbound_spark.workloads.Workload`-style
+  ``{label: sql}`` dict (JOB-light shaped corpus by default);
+- each query is parsed by the native parser, its join graph projected to
+  a ``QuerySpec``, per-table filters pushed onto aliased frames, and the
+  chosen strategy (Catalyst-native order, UES pessimistic order, or the
+  Postgres-style DP) decides the join order the algebra converter then
+  folds **by construction** — the reference's enforcement-first pattern;
+- execution measures wall-clock, and the executed Spark plan is read
+  back as a ``PlanNode`` tree whose per-node (estimate, actual) pairs
+  yield q-errors — the EXPLAIN ANALYZE analog;
+- rows land in a pandas frame and optionally a parquet file, mirroring
+  the reference's progressive result files.
+
+The UES invariant this loop exists to demonstrate (CIDR'21): the bound
+annotated at the join-tree root is a true *upper bound* of the actual
+join cardinality — checked for the whole 70-query corpus in
+``tests/test_experiments.py``.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from collections.abc import Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RESULT_COLUMNS = [
+    "label",
+    "strategy",
+    "optimization_time",
+    "exec_time",
+    "result_rows",
+    "actual_card",
+    "ues_bound",
+    "join_order",
+    "n_plan_nodes",
+    "max_qerror",
+    "mean_qerror",
+]
+
+
+def imdb_shaped_frames(n_titles: int = 300) -> dict[str, pd.DataFrame]:
+    """Deterministic IMDB-shaped fixture tables for the JOB-light corpus
+    (same schema the real workload queries; ref workloads.py:46-53). Kept
+    here so tests and experiment scripts share one data definition."""
+
+    def seq(i: int, mod: int) -> int:
+        return (i * 7919) % mod  # deterministic pseudo-spread
+
+    return {
+        "title": pd.DataFrame(
+            {
+                "id": range(n_titles),
+                "kind_id": [seq(i, 4) for i in range(n_titles)],
+                "production_year": [1980 + seq(i, 45) for i in range(n_titles)],
+            }
+        ),
+        "cast_info": pd.DataFrame(
+            {
+                "movie_id": [seq(i, n_titles) for i in range(900)],
+                "role_id": [seq(i, 11) for i in range(900)],
+                "person_id": [seq(i, 200) for i in range(900)],
+            }
+        ),
+        "movie_companies": pd.DataFrame(
+            {
+                "movie_id": [seq(i + 1, n_titles) for i in range(500)],
+                "company_type_id": [seq(i, 5) for i in range(500)],
+                "company_id": [seq(i, 60) for i in range(500)],
+            }
+        ),
+        "movie_info": pd.DataFrame(
+            {
+                "movie_id": [seq(i + 2, n_titles) for i in range(700)],
+                "info_type_id": [seq(i, 20) for i in range(700)],
+            }
+        ),
+        "movie_info_idx": pd.DataFrame(
+            {
+                "movie_id": [seq(i + 3, n_titles) for i in range(400)],
+                "info_type_id": [seq(i, 8) for i in range(400)],
+            }
+        ),
+        "movie_keyword": pd.DataFrame(
+            {
+                "movie_id": [seq(i + 4, n_titles) for i in range(800)],
+                "keyword_id": [seq(i, 90) for i in range(800)],
+            }
+        ),
+    }
+
+
+def register_frames(spark: SparkSession, frames: Mapping[str, pd.DataFrame]) -> dict[str, DataFrame]:
+    """Materialize pandas fixtures as cached temp views; returns the Spark
+    frames keyed by table name. Caching matters: every optimizer stage and
+    every repetition re-reads these, and re-converting pandas → JVM per
+    access would dominate the measured times."""
+    out = {}
+    for name, pdf in frames.items():
+        df = spark.createDataFrame(pdf)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _prepared_tables(parsed, base: Mapping[str, DataFrame]) -> dict[str, DataFrame]:
+    """Aliased frames with the query's single-table filters pushed down —
+    the placement every ordering stage assumes (filters below joins;
+    ref relalg.py:2813 EvaluationPhase)."""
+    preds = parsed.predicates()
+    out: dict[str, DataFrame] = {}
+    for tref in parsed.from_tables:
+        df = base[tref.full_name].alias(tref.identifier)
+        table_filters = preds.filters_for(tref.identifier)
+        if table_filters:
+            df = df.filter(F.expr(" AND ".join(p.to_sql() for p in table_filters)))
+        out[tref.identifier] = df
+    return out
+
+
+def _plan_order(spark, strategy: str, parsed, spec, tables):
+    """Returns (join_order | None, ues_root_bound). None = let Catalyst
+    order the joins (the 'native' baseline every study compares against)."""
+    if strategy == "native":
+        return None, math.nan
+    if strategy == "ues":
+        from postbound_spark.optimizer.ues import UESJoinOrderOptimizer
+
+        tree = UESJoinOrderOptimizer(spark).optimize_join_order(spec, tables)
+        return tree.tables(), tree.cardinality
+    if strategy == "pgdp":
+        from postbound_spark.optimizer import PostgresStyleDynProg, PreciseCardinalities
+
+        tree, _ = PostgresStyleDynProg(PreciseCardinalities()).generate_execution_plan(
+            spec, tables
+        )
+        return tree.tables(), math.nan
+    raise ValueError(f"unknown strategy {strategy!r} (native/ues/pgdp)")
+
+
+def join_qerrors(df: DataFrame) -> list[dict]:
+    """Per-JOIN q-error of an executed DataFrame: Catalyst's logical
+    estimate (``stats().rowCount``, or sizeInBytes/row-width when the
+    visitor yields no count) against the ``numOutputRows`` actual of the
+    matching physical join (ref ``_qep.py:1575`` — the reference computes
+    the same ratio from EXPLAIN ANALYZE pairs).
+
+    Logical and physical join nodes are matched POSITIONALLY in post-order:
+    physical planning maps each logical join to exactly one physical join
+    operator and never reorders across them (AQE may *replace* an operator
+    in place, which keeps the position), so position is a stable join
+    identity even for sources like LocalTableScan that carry no table name.
+    Run an action on ``df`` first, or every actual is NaN."""
+    from postbound_spark.optimizer.planstats import _jseq
+    from postbound_spark.optimizer.qep import executed_plan
+
+    logical_joins: list[float] = []
+
+    def walk_logical(jnode) -> None:
+        for child in _jseq(jnode.children()):
+            walk_logical(child)
+        if jnode.nodeName() == "Join":
+            stats = jnode.stats()
+            row_opt = stats.rowCount()
+            if row_opt.isDefined():
+                est = float(int(row_opt.get()))
+            else:
+                width = 8
+                for attr in _jseq(jnode.output()):
+                    width += attr.dataType().defaultSize()
+                est = float(int(stats.sizeInBytes())) / width
+            logical_joins.append(est)
+
+    walk_logical(df._jdf.queryExecution().optimizedPlan())
+
+    physical_joins: list[float] = []
+
+    def walk_physical(node) -> None:
+        for child in node.children:
+            walk_physical(child)
+        if "Join" in node.name or node.name == "CartesianProduct":
+            physical_joins.append(node.actual_rows)
+
+    walk_physical(executed_plan(df))
+
+    out = []
+    for i, (est, actual) in enumerate(zip(logical_joins, physical_joins)):
+        if math.isnan(est) or math.isnan(actual):
+            q = math.nan
+        else:
+            lo = max(min(est, actual), 1.0)
+            hi = max(est, actual, 1.0)
+            q = hi / lo
+        out.append({"join": i, "estimate": est, "actual": actual, "qerror": q})
+    return out
+
+
+def run_optimizer_loop(
+    spark: SparkSession,
+    queries: Mapping[str, str],
+    base_tables: Mapping[str, DataFrame],
+    strategies: tuple[str, ...] = ("native", "ues"),
+    out_path: str | None = None,
+) -> pd.DataFrame:
+    """Execute every (query, strategy) pair and collect the reference's
+    result-row schema (``bench.py:1095-1121``): optimization time, exec
+    time, result rows, the UES root bound, the enforced join order, and
+    executed-plan q-error aggregates. Optionally persists to parquet."""
+    from postbound_spark.operators.compiler import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import parse_query, to_query_spec
+
+    rows: list[dict] = []
+    for label, sql in queries.items():
+        parsed = parse_query(sql)
+        spec = to_query_spec(parsed)
+        tables = _prepared_tables(parsed, base_tables)
+        for strategy in strategies:
+            t0 = time.perf_counter()
+            order, bound = _plan_order(spark, strategy, parsed, spec, tables)
+            opt_time = time.perf_counter() - t0
+            tree = parse_relalg(parsed, join_order=order) if order else parse_relalg(parsed)
+            df = compile_plan(tree, spark)
+            t1 = time.perf_counter()
+            result = df.collect()
+            exec_time = time.perf_counter() - t1
+            # COUNT(*)-style workloads: the single scalar IS the join card
+            actual = (
+                float(result[0][0])
+                if len(result) == 1 and len(result[0]) == 1
+                else math.nan
+            )
+            qerrs = [
+                j["qerror"] for j in join_qerrors(df) if not math.isnan(j["qerror"])
+            ]
+            rows.append(
+                {
+                    "label": label,
+                    "strategy": strategy,
+                    "optimization_time": opt_time,
+                    "exec_time": exec_time,
+                    "result_rows": len(result),
+                    "actual_card": actual,
+                    "ues_bound": bound,
+                    "join_order": "" if order is None else " ".join(order),
+                    "n_plan_nodes": len(qerrs),
+                    "max_qerror": max(qerrs) if qerrs else math.nan,
+                    "mean_qerror": (sum(qerrs) / len(qerrs)) if qerrs else math.nan,
+                }
+            )
+    frame = pd.DataFrame(rows, columns=RESULT_COLUMNS)
+    if out_path:
+        frame.to_parquet(out_path, index=False)
+    return frame

@@ -65,45 +65,12 @@ def test_joblight_corpus_executes_and_matches_duckdb(spark):
     data — the reference's JOB regression pattern (tests/test_qal.py:601)
     at workload scale."""
     import duckdb
-    import pandas as pd
 
+    from postbound_spark.experiments import imdb_shaped_frames
     from postbound_spark.operators.compiler import compile_plan
     from postbound_spark.plans.algebra import parse_relalg
 
-    n_titles = 300
-
-    def seq(i, mod):
-        return (i * 7919) % mod  # deterministic pseudo-spread
-
-    frames = {
-        "title": pd.DataFrame({
-            "id": range(n_titles),
-            "kind_id": [seq(i, 4) for i in range(n_titles)],
-            "production_year": [1980 + seq(i, 45) for i in range(n_titles)],
-        }),
-        "cast_info": pd.DataFrame({
-            "movie_id": [seq(i, n_titles) for i in range(900)],
-            "role_id": [seq(i, 11) for i in range(900)],
-            "person_id": [seq(i, 200) for i in range(900)],
-        }),
-        "movie_companies": pd.DataFrame({
-            "movie_id": [seq(i + 1, n_titles) for i in range(500)],
-            "company_type_id": [seq(i, 5) for i in range(500)],
-            "company_id": [seq(i, 60) for i in range(500)],
-        }),
-        "movie_info": pd.DataFrame({
-            "movie_id": [seq(i + 2, n_titles) for i in range(700)],
-            "info_type_id": [seq(i, 20) for i in range(700)],
-        }),
-        "movie_info_idx": pd.DataFrame({
-            "movie_id": [seq(i + 3, n_titles) for i in range(400)],
-            "info_type_id": [seq(i, 8) for i in range(400)],
-        }),
-        "movie_keyword": pd.DataFrame({
-            "movie_id": [seq(i + 4, n_titles) for i in range(800)],
-            "keyword_id": [seq(i, 90) for i in range(800)],
-        }),
-    }
+    frames = imdb_shaped_frames()
 
     con = duckdb.connect()
     for name, pdf in frames.items():
