@@ -1,0 +1,72 @@
+"""Streaming keep-list == batch keep-list (VERDICT r3 item 9): the
+curation composite run incrementally over chunked arrivals must converge
+to exactly the batch query's result, in any arrival order."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postbound_spark.catalog import load_table
+from postbound_spark.queries import load_all
+from postbound_spark.streaming.curation import run_keep_list_stream
+
+
+def _chunked_input(spark, sf_dir, out_dir: str, n_chunks: int, *, reverse: bool = False):
+    """Split the documents fixture into n parquet files, one per future
+    micro-batch. ``reverse`` flips which chunk holds the low doc_ids, so
+    the dedup min-fold is exercised against arrival order."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id"), n_chunks)
+    order = range(n_chunks - 1, -1, -1) if reverse else range(n_chunks)
+    for i, b in enumerate(order):
+        docs.filter(bucket == b).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/chunk={i:02d}"
+        )
+    # flatten: move each chunk's part file up so the stream sees N files
+    import glob
+    import os
+    import shutil
+
+    flat = f"{out_dir}_flat"
+    os.makedirs(flat, exist_ok=True)
+    for i in range(n_chunks):
+        (part,) = glob.glob(f"{out_dir}/chunk={i:02d}/part-*.parquet")
+        shutil.copy(part, f"{flat}/{i:02d}.parquet")
+    return flat
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("reverse", [False, True], ids=["in-order", "reversed"])
+def test_streaming_keep_list_matches_batch(spark, sf_small, tmp_path, reverse):
+    batch = load_all()["pipeline_keep_list"].builder(spark, sf_small)
+    want = _rows(batch)
+
+    flat = _chunked_input(
+        spark, sf_small, str(tmp_path / "in"), n_chunks=4, reverse=reverse
+    )
+    sink = run_keep_list_stream(spark, flat, str(tmp_path / "state"))
+    got = _rows(sink.keep_list(per_source_cap=15))
+    assert got == want
+
+
+def test_streaming_batch_replay_is_idempotent(spark, sf_small, tmp_path):
+    """Crash-recovery property: re-processing an already-folded batch must
+    not change the pool (min-per-key is idempotent)."""
+    flat = _chunked_input(spark, sf_small, str(tmp_path / "in"), n_chunks=2)
+    sink = run_keep_list_stream(spark, flat, str(tmp_path / "state"))
+    before = _rows(sink.keep_list())
+    replay = spark.read.parquet(f"{flat}/00.parquet")
+    sink.process_batch(replay, batch_id=99)
+    assert _rows(sink.keep_list()) == before
+
+
+def test_keep_list_before_any_batch_raises(spark, tmp_path):
+    from postbound_spark.streaming.curation import StreamingKeepList
+
+    sink = StreamingKeepList(spark, str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        sink.keep_list()
