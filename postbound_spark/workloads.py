@@ -248,9 +248,13 @@ def job_light_using_variants() -> dict[str, str]:
 
 
 #: public workload archives (same sources the reference fetches at runtime,
-#: ref workloads.py:46-53)
+#: ref workloads.py:46-53 — Zenodo records, fetched on demand because the
+#: texts are public but not redistributable inside this repo)
 WORKLOAD_URLS = {
+    "job": "https://zenodo.org/records/19205561/files/job.zip?download=1",
+    "job-complex": "https://zenodo.org/records/19205561/files/job-complex.zip?download=1",
     "job-light": "https://zenodo.org/records/19205561/files/job-light.zip?download=1",
+    "stats": "https://zenodo.org/records/19131189/files/queries.zip?download=1",
 }
 
 _WORKLOAD_CACHE = os.path.expanduser("~/.cache/postbound_spark/workloads")
@@ -310,30 +314,38 @@ def job_light(directory: str | None = None, real: bool = False) -> Workload:
     return Workload(job_light_shaped_corpus())
 
 
-def _directory_workload(name: str):
-    def loader(directory: str) -> Workload:
-        if not directory:
-            raise ValueError(
-                f"the {name} workload texts are not bundled (the reference "
-                "downloads them on demand, ref workloads.py:936-1150); pass "
-                "the directory holding its *.sql files"
-            )
-        return Workload.read_workload(directory)
+def _directory_workload(name: str, fetch_name: str | None = None):
+    def loader(directory: str | None = None, real: bool = False) -> Workload:
+        if directory:
+            return Workload.read_workload(directory)
+        if real and fetch_name:
+            return Workload.read_workload(fetch_workload(fetch_name))
+        raise ValueError(
+            f"the {name} workload texts are not bundled (the reference "
+            "downloads them on demand, ref workloads.py:936-1150); pass "
+            "the directory holding its *.sql files"
+            + (f", or real=True to fetch the public archive" if fetch_name else "")
+        )
 
     loader.__name__ = name
     loader.__doc__ = (
         f"The {name.upper()} workload loaded from its *.sql directory "
-        "(ref workloads.py:46-53). Texts are not redistributable here, so "
-        "no synthetic fallback is provided."
+        "(ref workloads.py:46-53). Texts are not redistributable here"
+        + (
+            f"; ``real=True`` fetches the public archive on demand "
+            f"(cached; raises OSError offline)."
+            if fetch_name
+            else ", so no synthetic fallback is provided."
+        )
     )
     return loader
 
 
-job = _directory_workload("job")
-job_complex = _directory_workload("job_complex")
+job = _directory_workload("job", fetch_name="job")
+job_complex = _directory_workload("job_complex", fetch_name="job-complex")
 ssb = _directory_workload("ssb")
 stack = _directory_workload("stack")
-stats = _directory_workload("stats")
+stats = _directory_workload("stats", fetch_name="stats")
 
 
 @dataclass

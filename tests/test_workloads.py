@@ -206,3 +206,45 @@ def test_batch_file_split_is_string_literal_aware(tmp_path):
     assert len(w) == 3
     assert w["q-2"] == "SELECT * FROM t WHERE note = 'a;b'"
     assert "it''s; fine" in w["q-3"]
+
+
+def test_workload_catalog_covers_reference_families():
+    """Every fetchable workload the reference serves (JOB, JOB-complex,
+    JOB-light, Stats-CEB; ref workloads.py:46-53) has a fetch URL and a
+    real=True front door here; directory loading stays the fallback."""
+    import pytest
+
+    from postbound_spark import workloads as W
+
+    assert {"job", "job-complex", "job-light", "stats"} <= set(W.WORKLOAD_URLS)
+    for fn in (W.job, W.job_complex, W.stats):
+        with pytest.raises(ValueError, match="not bundled"):
+            fn("")
+
+
+def test_job_and_stats_real_texts_parse():
+    """With network access, the genuine JOB (113 q) and Stats-CEB (146 q)
+    corpora fetch, parse, and round-trip through the native parser —
+    the adversarial grammar test the shaped corpora cannot provide.
+    Offline this skips (the generative sweep in test_querygen.py and the
+    joblight corpus remain the grammar gates)."""
+    import pytest
+
+    from postbound_spark import workloads as W
+    from postbound_spark.plans.parser import UnsupportedSqlError, parse_query
+
+    try:
+        corpora = {"job": W.job(real=True), "stats": W.stats(real=True)}
+    except OSError as exc:
+        pytest.skip(f"offline, cannot fetch real workload texts: {exc}")
+    for name, wl in corpora.items():
+        assert len(wl) > 100, name
+        unparsed = []
+        for label, sql in wl.items():
+            try:
+                q = parse_query(sql)
+                assert parse_query(q.to_sql()) == q
+            except UnsupportedSqlError as exc:
+                unparsed.append((label, str(exc)[:80]))
+        # grammar gaps on the real corpus are filed as failures, not skips
+        assert not unparsed, f"{name}: {len(unparsed)} unparsed, first: {unparsed[:3]}"
