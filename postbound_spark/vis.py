@@ -1,0 +1,257 @@
+"""Visualization utilities for optimizer artifacts.
+
+The reference ships a ``vis/`` package (rbergm/PostBOUND
+``postbound/vis/`` — ``trees.py`` generic tree plotting, ``graphs.py``
+graph plotting, ``optimizer.py`` ``plot_join_tree`` / ``plot_join_graph``
+/ ``plot_query_plan`` / ``plot_analyze_plan`` / ``plot_relalg``,
+``tonic.py`` QEP-S rendering, ``fdl.py`` force-directed layouts) built on
+the ``graphviz`` Python package. This module re-expresses that surface as
+**plain DOT source strings**: DOT is a stable text format every graphviz
+install renders, so the research-convenience layer works in containers
+that ship neither the graphviz binary nor matplotlib — and the strings
+are trivially assertable in tests. ``render()`` gates the actual
+rasterization on a ``dot`` binary being present.
+
+Layout helpers use networkx (a declared dependency of the reference as
+well) and return plain ``{node: (x, y)}`` dicts.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import subprocess
+from collections.abc import Callable
+
+__all__ = [
+    "DotBuilder",
+    "plot_join_tree",
+    "plot_join_graph",
+    "plot_relalg",
+    "plot_query_plan",
+    "plot_analyze_plan",
+    "plot_tonic_qeps",
+    "force_directed_layout",
+    "render",
+]
+
+
+def _escape(text: str) -> str:
+    return text.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+class DotBuilder:
+    """Minimal DOT assembler (ref ``vis/trees.py`` — the generic
+    structure-to-graphviz transformer, minus the graphviz dependency)."""
+
+    def __init__(self, name: str = "G", directed: bool = False):
+        self.directed = directed
+        self.name = name
+        self._nodes: list[str] = []
+        self._edges: list[str] = []
+        self._ids: dict[int, str] = {}
+
+    def node(self, key: object, label: str, **attrs: str) -> str:
+        node_id = self._ids.get(id(key))
+        if node_id is None:
+            node_id = f"n{len(self._ids)}"
+            self._ids[id(key)] = node_id
+            parts = [f'label="{_escape(label)}"'] + [
+                f'{k}="{_escape(v)}"' for k, v in sorted(attrs.items())
+            ]
+            self._nodes.append(f"  {node_id} [{', '.join(parts)}];")
+        return node_id
+
+    def edge(self, a: str, b: str, label: str | None = None, **attrs: str) -> None:
+        arrow = "->" if self.directed else "--"
+        all_attrs = dict(attrs)
+        if label:
+            all_attrs["label"] = label
+        suffix = (
+            " [" + ", ".join(f'{k}="{_escape(v)}"' for k, v in sorted(all_attrs.items())) + "]"
+            if all_attrs
+            else ""
+        )
+        self._edges.append(f"  {a} {arrow} {b}{suffix};")
+
+    def source(self) -> str:
+        kind = "digraph" if self.directed else "graph"
+        body = "\n".join(self._nodes + self._edges)
+        return f"{kind} {self.name} {{\n  node [shape=box, fontname=monospace];\n{body}\n}}\n"
+
+
+def _card(value: float) -> str:
+    if value is None or (isinstance(value, float) and math.isnan(value)):
+        return "?"
+    return f"{value:,.0f}"
+
+
+def plot_join_tree(tree) -> str:
+    """Join tree → DOT (ref ``vis/optimizer.py:41`` ``plot_join_tree``):
+    leaves are base tables, inner nodes ``⋈`` with their cardinality
+    annotation (UES bounds, DP estimates, injected cards — whatever the
+    producing stage wrote)."""
+    dot = DotBuilder("join_tree")
+
+    def walk(node) -> str:
+        if node.is_leaf:
+            label = node.table
+            if not math.isnan(node.cardinality):
+                label += f"\n{_card(node.cardinality)}"
+            return dot.node(node, label)
+        label = "JOIN"
+        if not math.isnan(node.cardinality):
+            label += f"\ncard={_card(node.cardinality)}"
+        me = dot.node(node, label, shape="ellipse")
+        dot.edge(me, walk(node.outer))
+        dot.edge(me, walk(node.inner))
+        return me
+
+    walk(tree)
+    return dot.source()
+
+
+def plot_join_graph(spec) -> str:
+    """Join graph → DOT (ref ``vis/optimizer.py:131`` ``plot_join_graph``):
+    tables as nodes, equi-join predicates as edges; PK-FK edges render as
+    directed arrows FK → PK (the reference's primary/foreign key arrow
+    convention), n:m edges as plain lines."""
+    dot = DotBuilder("join_graph", directed=True)
+    for t in spec.tables:
+        dot.node(t, t)
+    for e in spec.edges:
+        a = dot.node(e.left_table, e.left_table)
+        b = dot.node(e.right_table, e.right_table)
+        label = f"{e.left_col} = {e.right_col}"
+        if e.is_pk_fk():
+            fk = e.fk_table()
+            src, dst = (a, b) if fk == e.left_table else (b, a)
+            dot.edge(src, dst, label)
+        else:
+            dot.edge(a, b, label, dir="none", style="dashed")
+    return dot.source()
+
+
+_RELALG_SYMBOLS = {
+    "Relation": "", "Selection": "σ", "Projection": "π", "Map": "χ",
+    "Rename": "ρ", "ThetaJoin": "⋈", "NaturalJoin": "⋈ (natural)",
+    "CrossProduct": "×", "SemiJoin": "⋉", "AntiJoin": "▷",
+    "Grouping": "γ", "DuplicateElimination": "δ", "Sort": "τ",
+    "Union": "∪", "Intersection": "∩", "Difference": "−",
+}
+
+
+def _relalg_label(node) -> str:
+    kind = type(node).__name__
+    symbol = _RELALG_SYMBOLS.get(kind, kind)
+    detail = ""
+    for attr in ("table", "predicate", "columns", "keys", "mapping", "alias"):
+        value = getattr(node, attr, None)
+        if value:
+            text = str(value)
+            detail = text if len(text) <= 40 else text[:37] + "..."
+            break
+    label = f"{symbol} {kind}" if symbol and symbol != kind else kind
+    return f"{label}\n{detail}" if detail else label
+
+
+def plot_relalg(relnode) -> str:
+    """Relational-algebra tree → DOT (ref ``vis/optimizer.py:524``
+    ``plot_relalg``) with the reference's operator symbols."""
+    dot = DotBuilder("relalg", directed=True)
+
+    def walk(node) -> str:
+        me = dot.node(node, _relalg_label(node))
+        for child in node.children():
+            dot.edge(me, walk(child))
+        return me
+
+    walk(relnode)
+    return dot.source()
+
+
+def _plan_dot(plan, annotate: Callable) -> str:
+    dot = DotBuilder("query_plan", directed=True)
+
+    def walk(node) -> str:
+        me = dot.node(node, annotate(node))
+        for child in node.children:
+            dot.edge(me, walk(child))
+        return me
+
+    walk(plan)
+    return dot.source()
+
+
+def plot_query_plan(plan) -> str:
+    """Physical/logical plan → DOT with cardinality estimates (ref
+    ``vis/optimizer.py:384`` ``plot_query_plan``). ``plan`` is a
+    :class:`~postbound_spark.optimizer.qep.PlanNode`."""
+    return _plan_dot(plan, lambda n: f"{n.name}\nest={_card(n.estimated_rows)}")
+
+
+def plot_analyze_plan(plan) -> str:
+    """EXPLAIN-ANALYZE-style plot: estimates, actuals, and per-node
+    q-error (ref ``vis/optimizer.py:429`` ``plot_analyze_plan``)."""
+
+    def annotate(n) -> str:
+        q = n.qerror()
+        qtext = "" if math.isnan(q) else f"\nq-err={q:.2f}"
+        return (
+            f"{n.name}\nest={_card(n.estimated_rows)} "
+            f"act={_card(n.actual_rows)}{qtext}"
+        )
+
+    return _plan_dot(plan, annotate)
+
+
+def plot_tonic_qeps(selection) -> str:
+    """TONIC QEP-S prefix trie → DOT (ref ``vis/tonic.py:40``
+    ``plot_tonic_qeps``): each node shows its path step and the
+    recommended operator with its mean observed cost."""
+    dot = DotBuilder("tonic_qeps", directed=True)
+
+    def label(step: str, node) -> str:
+        rec = node.recommendation()
+        if rec is None:
+            return step
+        total, count = node.operator_costs[rec]
+        return f"{step}\n{rec.name} (cost {total / count:.2f})"
+
+    def walk(step: str, node) -> str:
+        me = dot.node(node, label(step, node))
+        for child_step, child in sorted(node.children.items()):
+            dot.edge(me, walk(child_step, child))
+        return me
+
+    walk("QEP-S", selection.root)
+    return dot.source()
+
+
+def force_directed_layout(spec, iterations: int = 50, seed: int = 0) -> dict:
+    """Force-directed table positions for a join graph (ref ``vis/fdl.py:21``
+    ``force_directed_layout`` — delegates to networkx exactly like the
+    reference; returns ``{table: (x, y)}``)."""
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(spec.tables)
+    g.add_edges_from((e.left_table, e.right_table) for e in spec.edges)
+    pos = nx.spring_layout(g, iterations=iterations, seed=seed)
+    return {t: (float(x), float(y)) for t, (x, y) in pos.items()}
+
+
+def render(dot_source: str, out_path: str, fmt: str = "png") -> str:
+    """Rasterize DOT via the ``dot`` binary when installed; raises a clear
+    error otherwise (the DOT source itself is always usable)."""
+    if shutil.which("dot") is None:
+        raise RuntimeError(
+            "graphviz 'dot' binary not installed — save the DOT source and "
+            "render it where graphviz is available"
+        )
+    subprocess.run(
+        ["dot", f"-T{fmt}", "-o", out_path],
+        input=dot_source.encode(),
+        check=True,
+    )
+    return out_path
