@@ -1432,13 +1432,18 @@ def _ws_bigram_projection(docs: DataFrame, *extra) -> DataFrame:
     tokenization cannot drift between the standalone operator and the
     composite that claims to include it."""
     toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    # zip_with over two slices, NOT transform(element_at(toks, i)): the
+    # element_at form re-inlines the whole tokenization expression per
+    # position under projection collapse (BASELINE.md pitfall #1 — ~2
+    # regex splits per bigram, ~200 per doc); the slice form references
+    # the token array a constant number of times per row
     bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return docs.select(*extra, toks.alias("ws"), bigrams.alias("bg"))
@@ -1451,12 +1456,28 @@ def _repetition_metrics():
     thresholds for every consumer (and mirrored by the shared DuckDB
     fragments)."""
     n = F.size("ws")
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("ws"),
-            lambda u: F.size(F.filter(F.col("ws"), lambda x: x == u)),
-        )
+    # max token multiplicity via sort + one run-length pass: O(n log n)
+    # per doc instead of the O(n x distinct) transform-filter quadratic
+    # (≈100x less work at the fixture's 100-token docs; same value, and
+    # the same NULL on an empty array as array_max-over-empty produced)
+    run_best = F.aggregate(
+        F.array_sort("ws"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
+    top_cnt = F.when(n > 0, run_best)
     n_bg = F.size("bg")
     dup_bg = n_bg - F.size(F.array_distinct("bg"))
     # n_bg > 0 guard: 0 >= 0 is vacuously true, which would flag every
