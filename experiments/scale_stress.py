@@ -112,15 +112,27 @@ def build_scaled_dir(spark, src: str, factor: int) -> str:
     )
     doc_span = 1_000_000
     documents = read("documents")
+
+    def mutate_text(i):
+        # each copy gets a distinct character rotation, so cross-copy
+        # Jaccard ~ 0: duplicate CLUSTERS keep their sf0.1 size while the
+        # corpus grows xfactor — the real-crawl shape. Plain replication
+        # would grow every cluster xfactor and the pair OUTPUT xfactor^2,
+        # measuring the problem definition rather than the operator.
+        vowels = "aeiou"
+        cons = "rstln"
+        v = vowels[i % 5 :] + vowels[: i % 5]
+        c = cons[i // 5 % 5 :] + cons[: i // 5 % 5]
+        if i == 0:
+            return F.col("text")
+        return F.translate(F.col("text"), vowels + cons, v + c)
+
     write(
         copies(
             documents,
             lambda i: [
                 (F.col("doc_id") + F.lit(i * doc_span)).alias("doc_id"),
-                # the copy token breaks cross-copy near-duplication: the
-                # near-dup pair count grows ~linearly with the corpus, as
-                # in a real crawl, instead of x factor^2 from replication
-                F.concat(F.col("text"), F.lit(f" copytoken{i}")).alias("text"),
+                mutate_text(i).alias("text"),
                 "lang", "source", "n_chars",
             ],
         ),

@@ -265,3 +265,61 @@ def run_optimizer_loop(
     if out_path:
         frame.to_parquet(out_path, index=False)
     return frame
+
+
+def cardinality_sweep(
+    spark: SparkSession,
+    sql: str,
+    table_set,
+    cards: list[float],
+    *,
+    execute: bool = False,
+) -> pd.DataFrame:
+    """Sweep injected cardinalities for one intermediate and record the
+    physical plan Catalyst picks at each point — the reference's
+    misestimate-sensitivity experiment (pg_lab ``Card()`` sweeps, ref
+    ``postgres.py:2343-2460``), now affordable because plan-time injection
+    writes nothing: a sweep point costs one plan compilation
+    (milliseconds), not a table materialization.
+
+    Returns one row per card: the join operator chosen for the swept
+    intermediate's parent join, the full operator assignment, planning
+    wall-clock, and (with ``execute=True``) exec time + result row count —
+    plus the invariant material for tests: results must be identical at
+    every point."""
+    from postbound_spark.optimizer.planstats import PlanTimeCardinalityInjector
+    from postbound_spark.optimizer.qep import operators_from_plan
+
+    injector = PlanTimeCardinalityInjector(spark)
+    target = frozenset(
+        t.strip().lower()
+        for t in (table_set.split(",") if isinstance(table_set, str) else table_set)
+    )
+    rows = []
+    for card in cards:
+        t0 = time.perf_counter()
+        df = injector.plan(sql, {target: card}, adaptive=False)
+        ops = operators_from_plan(df)
+        planning_time = time.perf_counter() - t0
+        # the swept subtree's parent join: smallest operator key that
+        # strictly contains the target set
+        parent = min(
+            (k for k in ops if target < k),
+            key=len,
+            default=None,
+        )
+        row = {
+            "card": float(card),
+            "parent_join_operator": ops[parent].name if parent else "",
+            "n_joins": len(ops),
+            "planning_time": planning_time,
+            "assignment": " ".join(
+                f"{'+'.join(sorted(k))}:{v.name}" for k, v in sorted(ops.items(), key=lambda kv: sorted(kv[0]))
+            ),
+        }
+        if execute:
+            t1 = time.perf_counter()
+            row["result_rows"] = len(df.collect())
+            row["exec_time"] = time.perf_counter() - t1
+        rows.append(row)
+    return pd.DataFrame(rows)

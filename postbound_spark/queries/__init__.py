@@ -119,64 +119,61 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round-4 capabilities ---
+    # --- round-4: queries whose implementation changed this round ---
     "opt_plantime_cards",
-    # --- round-3 rotation: the 30 entries never driver-checked in r1∪r2 ---
-    "opt_pgdp_regional_revenue",
-    "parsed_ues_forced_order",
-    "dedup_canonical",
-    "ann_ivf_kmeans",
-    "sql_cte_with",
-    "sql_values_list",
-    "sql_table_function_range",
-    "sql_fetch_first",
-    "sql_fetch_prior",
-    "sql_rollup",
-    "sql_cube",
-    "expr_case",
-    "expr_cast",
-    "expr_extract_datetime",
-    "expr_string_functions",
-    "expr_math_functions",
-    "expr_window_rank",
-    "expr_window_lag",
-    "expr_quantifier_any",
-    "expr_all_quantifier",
-    "expr_bool_aggregates",
-    "expr_bit_aggregates",
-    "expr_stat_aggregates",
-    "expr_array_agg",
-    "expr_json_extract",
-    "pred_like_family",
-    "pred_between_in",
-    "pred_not_in_subquery",
-    "pred_compound",
-    "pred_null_tests",
-    # --- the three rows red in r2, re-verified after their oracle fixes ---
-    "sql_left_outer_join",
-    "parsed_values_table_function",
-    "expr_array_ops",
-    # --- new round-3 capabilities (registered later this round) ---
-    "parsed_join_using",
-    "parsed_fetch_prior",
-    "opt_injected_cards",
-    # --- round-3 corpus-curation operators (repetition/vocab/sampling/
-    #     quantization/decontamination/mixing; queries/pipeline.py) ---
     "text_repetition_filter",
-    "corpus_vocab_topk",
-    "sample_stratified",
-    "emb_quantize_int8",
-    "contamination_ngram_overlap",
-    "sample_domain_cap",
-    "corpus_mix_weights",
-    "ann_quantized_rescore_topk",
     "pipeline_keep_list",
-    # --- regression representatives spanning r1∪r2 green families ---
-    "flagship_regional_revenue",
-    "q12_shipping_priority_split",
-    "opt_ues_regional_revenue",
+    "emb_quantize_int8",
+    "ann_quantized_rescore_topk",
     "dedup_minhash_lsh",
-    "expr_window_frame",
+    # --- round-4 rotation: the 44 oldest green rows (last verified in
+    #     r1; every r2/r3 row is younger). op_relation_projection /
+    #     op_selection / op_map_expressions sit out — every composite
+    #     query exercises scan+filter+projection transitively ---
+    "ir_count_star_transform",
+    "ir_market_share",
+    "latest_order_per_customer",
+    "op_anti_join",
+    "op_cross_product",
+    "op_difference",
+    "op_duplicate_elimination",
+    "op_grouping",
+    "op_grouping_global",
+    "op_intersection",
+    "op_rename",
+    "op_semi_join",
+    "op_sort_limit_offset",
+    "op_subquery_scan",
+    "op_theta_join_nonequi",
+    "op_union",
+    "op_union_all",
+    "opt_forced_plan_regional_revenue",
+    "parsed_flagship_native",
+    "parsed_having_rewrite",
+    "parsed_not_in_native",
+    "parsed_semijoin_native",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "top_suppliers_having",
 )
 
 

@@ -219,8 +219,8 @@ class QueryGenerator:
         return out
 
     def _subquery_filter(self, tables: list[str]) -> str | None:
-        """IN-subquery along a join edge NOT already in the join set —
-        the shape that stresses semi-join planning."""
+        """IN- or EXISTS-subquery along a join edge NOT already in the
+        join set — the shapes that stress semi-join planning."""
         frontier = [
             (t1, c1, t2, c2)
             for t1, c1, t2, c2 in EDGES
@@ -233,6 +233,12 @@ class QueryGenerator:
             (t2, c2, f"{t1}.{c1}") if t1 in tables else (t1, c1, f"{t2}.{c2}")
         )
         inner_filter = self._one_filter(inner)
+        if self.rng.random() < 0.4:  # correlated EXISTS
+            conj = f" AND {inner_filter}" if inner_filter else ""
+            return (
+                f"EXISTS (SELECT 1 FROM {inner} "
+                f"WHERE {inner}.{icol} = {outer_col}{conj})"
+            )
         where = f" WHERE {inner_filter}" if inner_filter else ""
         return f"{outer_col} IN (SELECT {icol} FROM {inner}{where})"
 
@@ -246,6 +252,13 @@ class QueryGenerator:
         ]
         num_pool = [f"{t}.{c}" for t in tables for c in SCHEMA[t]["num"]]
         aggs = ["COUNT(*) AS n_rows"]
+        if self.rng.random() < 0.25:
+            cond = self._one_filter(self.rng.choice(tables))
+            if cond:
+                aggs.append(
+                    f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+                    " AS n_case"
+                )
         for i in range(self.rng.randint(0, 2)):
             fn = self.rng.choice(_AGGS)
             if fn == "count" or not num_pool:
@@ -293,15 +306,38 @@ class QueryGenerator:
 
     # ---- entry points ----------------------------------------------------
 
+    def _explicit_from(self, tables: list[str]) -> str:
+        """Explicit JOIN chain (occasionally LEFT) in the connection order
+        ``_pick_tables`` produced — each table joins something already in
+        the chain, so every ON clause is well-formed."""
+        used = [tables[0]]
+        parts = [tables[0]]
+        for t in tables[1:]:
+            ons = [
+                f"{t1}.{c1} = {t2}.{c2}"
+                for t1, c1, t2, c2 in EDGES
+                if (t1 == t and t2 in used) or (t2 == t and t1 in used)
+            ]
+            kind = "LEFT JOIN" if self.rng.random() < 0.25 else "JOIN"
+            parts.append(f"{kind} {t} ON {' AND '.join(ons)}")
+            used.append(t)
+        return " ".join(parts)
+
     def generate_one(self) -> str:
         tables = self._pick_tables()
-        preds = self._join_predicates(tables) + self._filters(tables)
+        explicit = len(tables) >= 2 and self.rng.random() < 0.3
+        preds = [] if explicit else self._join_predicates(tables)
+        filters = self._filters(tables)
+        if len(filters) >= 2 and self.rng.random() < 0.3:
+            b, a = filters.pop(), filters.pop()
+            filters.append(f"({a} OR {b})")
+        preds += filters
         if self.rng.random() < 0.2:
             sub = self._subquery_filter(tables)
             if sub:
                 preds.append(sub)
         where = f" WHERE {' AND '.join(preds)}" if preds else ""
-        from_ = ", ".join(sorted(tables))
+        from_ = self._explicit_from(tables) if explicit else ", ".join(sorted(tables))
         if self.rng.random() < 0.55:
             template = self._aggregate_query(tables, where)
         else:

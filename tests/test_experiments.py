@@ -87,3 +87,31 @@ def test_join_qerrors_pair_estimates_with_actuals(spark, base_tables):
     # estimates without column stats are product-like -> overestimates;
     # at least one join must show a measurable q-error signal
     assert any(p["qerror"] > 1 for p in pairs)
+
+
+def test_cardinality_sweep_finds_monotone_flip(spark, sf_small):
+    """The pg_lab sweep experiment: inject growing cardinalities for the
+    customer subtree and watch the parent join flip from broadcast to
+    sort-merge EXACTLY ONCE (monotone threshold) — with zero writes, so a
+    sweep point costs one plan compilation."""
+    from postbound_spark.catalog import register_views
+    from postbound_spark.experiments import cardinality_sweep
+
+    register_views(spark, sf_small, ["customer", "orders", "lineitem"])
+    sql = """
+    SELECT o_orderpriority, count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 0
+    GROUP BY o_orderpriority
+    """
+    res = cardinality_sweep(
+        spark, sql, ("customer",), [10.0**e for e in range(2, 10)]
+    )
+    ops = list(res.parent_join_operator)
+    assert ops[0] == "BROADCAST_HASH" and ops[-1] == "SORT_MERGE"
+    flips = sum(1 for a, b in zip(ops, ops[1:]) if a != b)
+    assert flips == 1, f"expected one monotone flip, got {ops}"
+    # zero-write sweeps are cheap: every point after the first (which pays
+    # helper load + session warm-up) plans in well under a second
+    assert res.planning_time.iloc[1:].max() < 2.0

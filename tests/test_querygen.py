@@ -107,5 +107,10 @@ def test_generated_corpus_covers_the_grammar():
         " IN (SELECT",
         "COUNT(*)",
         "AVG(",
+        "EXISTS (SELECT",
+        "LEFT JOIN",
+        " JOIN ",
+        " OR ",
+        "CASE WHEN",
     ):
         assert construct in corpus, f"corpus never generates {construct}"
