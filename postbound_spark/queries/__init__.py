@@ -119,6 +119,11 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
+    # --- round-4: new capabilities ---
+    "text_pattern_scrub",
+    "text_boilerplate_ngrams",
+    "corpus_seq_packing",
+    "quality_common_token_ratio",
     # --- round-4: queries whose implementation changed this round ---
     "opt_plantime_cards",
     "text_repetition_filter",

@@ -1951,3 +1951,214 @@ def pipeline_keep_list(spark, sf_dir):
         .filter(F.col("rn") <= 15)
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: scrubbing, boilerplate mining, sequence packing, commonness score
+# ---------------------------------------------------------------------------
+
+#: blocklisted terms for the scrub demo — the production variant swaps in
+#: PII regexes (emails/phones/IPs); the plumbing is identical
+_SCRUB_PATTERN = r"\b(customer|query|vector)\b"
+
+
+@query(
+    "text_pattern_scrub",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) AS n_redactions,
+       md5(regexp_replace(text, '{_SCRUB_PATTERN}', '<TERM>', 'g')) AS scrub_hash,
+       len(regexp_replace(text, '{_SCRUB_PATTERN}', '<TERM>', 'g')) AS n_chars_clean
+FROM documents
+""",
+)
+def text_pattern_scrub(spark, sf_dir):
+    """Pattern scrubbing: redact blocklisted terms, reporting the redaction
+    count and a digest of the cleaned text. Stands in for PII removal
+    (emails/phone numbers/IP addresses) — swap ``_SCRUB_PATTERN`` for the
+    PII regexes and the operator is unchanged.
+
+    Map-only: one ``regexp_replace`` + one ``regexp_count`` per row inside
+    whole-stage codegen, zero shuffles — at 100 TB this is a pure scan
+    whose cost is the regex engine, which is why the pattern is a single
+    alternation (one automaton pass) instead of one replace per term."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.col("text"), _SCRUB_PATTERN, "<TERM>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_SCRUB_PATTERN)).alias("n_redactions"),
+        F.md5(clean).alias("scrub_hash"),
+        F.length(clean).alias("n_chars_clean"),
+    )
+
+
+_FIVEGRAMS_SQL = (
+    "CASE WHEN len(ws) >= 5 THEN list_distinct(list_transform("
+    "generate_series(1, len(ws) - 4), i -> "
+    "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]"
+    ")) ELSE [] END"
+)
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS ws FROM documents),
+g AS (SELECT doc_id, unnest({_FIVEGRAMS_SQL}) AS ngram FROM t)
+SELECT ngram, count(*) AS n_docs
+FROM g
+GROUP BY ngram
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, ngram
+LIMIT 100
+""",
+)
+def text_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate mining: token 5-grams shared by >= 2 distinct documents
+    (headers, footers, license blocks, templated spans) — the C4-style
+    precursor to boilerplate-span removal, at n-gram granularity because
+    the corpus has no line structure.
+
+    Per-doc 5-grams are deduplicated BEFORE the explode (``array_distinct``
+    on the map side), so ``count(*)`` after the shuffle counts *distinct
+    documents* without a count-distinct aggregate, and a doc repeating its
+    own template never inflates the result. One wordcount-shaped shuffle
+    with map-side partial aggregation + TakeOrdered for the top slice; the
+    5-gram build zips five slices of the token array (constant references
+    per row — the projection-collapse discipline from BASELINE.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    s = [F.slice(toks, i + 1, n - 4) for i in range(5)]
+    z = F.zip_with(s[0], s[1], lambda a, b: F.concat_ws(" ", a, b))
+    for nxt in s[2:]:
+        z = F.zip_with(z, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(n >= 5, F.array_distinct(z)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(100)
+    )
+
+
+@query(
+    "corpus_seq_packing",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, len({_WS_TOKS}) AS n_tok FROM documents),
+o AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT),
+                  0) AS start_off
+  FROM t
+)
+SELECT source,
+       CAST(floor(start_off / 512) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM o
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+""",
+)
+def corpus_seq_packing(spark, sf_dir):
+    """Training-sequence packing: concatenate each source's documents in
+    doc_id order into a token stream and cut it into 512-token sequences
+    (documents may straddle a boundary — the GPT-style pack-then-split
+    regime). Reports docs-started and tokens contributed per sequence.
+
+    One shuffle: the running-offset window and the (source, seq_id)
+    aggregation share the same source partitioning, so the groupBy reuses
+    the window's exchange. Sequences are deterministic (doc_id order, not
+    arrival order) — re-runs and engines agree. At 100 TB you pack per
+    (source, shard) with shard = a hash of doc_id ranges to bound any one
+    window partition; the fixture's 20 sources stand in for those
+    shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens(F.col("text")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = docs.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "start_off", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    return (
+        staged.groupBy(
+            "source",
+            F.floor(F.col("start_off") / 512).cast("long").alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+@query(
+    "quality_common_token_ratio",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS ws FROM documents),
+hist AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest(ws) AS token FROM t)
+  GROUP BY token
+),
+v AS (
+  SELECT list(token) AS lst
+  FROM (SELECT token FROM hist ORDER BY cnt DESC, token LIMIT 25)
+)
+SELECT doc_id,
+       len(ws) AS n_tokens,
+       len(list_filter(ws, x -> list_contains(v.lst, x))) AS n_common,
+       CASE WHEN len(ws) = 0 THEN 0.0
+            ELSE round(CAST(len(list_filter(ws, x -> list_contains(v.lst, x))) AS DOUBLE)
+                       / len(ws), 6) END AS common_ratio
+FROM t, v
+""",
+)
+def quality_common_token_ratio(spark, sf_dir):
+    """Corpus-relative quality scoring: the fraction of each document's
+    tokens drawn from the corpus's own top-25 vocabulary — the
+    rational-arithmetic stand-in for an LM perplexity filter (CCNet-style:
+    documents made of globally common tokens score high, gibberish scores
+    low), computed against the corpus itself so no external model ships.
+
+    Two-phase plan that scales: (1) the wordcount histogram (map-side
+    partial agg, one shuffle on token) reduced to a 25-token top-k; (2) the
+    vocabulary collapses to a single-row array broadcast to a map-only
+    scoring pass (``filter`` + ``array_contains`` in codegen). The corpus
+    is scanned twice but shuffled only by token histogram — never by
+    document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    vocab = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(25)
+    )
+    vrow = vocab.agg(F.collect_set("token").alias("vset"))
+    ws = toks
+    n = F.size(ws)
+    n_common = F.size(F.filter(ws, lambda x: F.array_contains(F.col("vset"), x)))
+    return (
+        docs.crossJoin(F.broadcast(vrow))
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            n_common.alias("n_common"),
+            F.when(n == 0, F.lit(0.0))
+            .otherwise(F.round(n_common.cast("double") / n, 6))
+            .alias("common_ratio"),
+        )
+    )

@@ -348,3 +348,45 @@ def test_keep_list_shuffles_carry_only_ids(registry, spark, sf_small):
     exchange_inputs = _re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
     for cols in exchange_inputs:
         assert "ws#" not in cols and "bg#" not in cols, cols
+
+
+def test_pattern_scrub_is_map_only(registry, spark, sf_small):
+    plan = _formatted_plan(_build(registry, spark, sf_small, "text_pattern_scrub"))
+    # redaction is one regex pass per row inside codegen: no exchange, no
+    # Python evaluation — a pure corpus scan at any scale
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_ngrams_single_wordcount_shuffle(registry, spark, sf_small):
+    plan = _formatted_plan(
+        _build(registry, spark, sf_small, "text_boilerplate_ngrams")
+    )
+    # per-doc dedup happens map-side (array_distinct pre-explode), then one
+    # wordcount shuffle with partial agg and a TakeOrdered top slice
+    assert plan.count("hashpartitioning(") == 1
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_seq_packing_window_and_group_share_exchange(registry, spark, sf_small):
+    plan = _formatted_plan(_build(registry, spark, sf_small, "corpus_seq_packing"))
+    # the running-offset window partitions by source; the (source, seq_id)
+    # groupBy is satisfied by that same partitioning — exactly one hash
+    # exchange (the final orderBy's range partitioning is the only other)
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("rangepartitioning(") == 1
+    assert "Window" in plan
+
+
+def test_common_token_ratio_broadcasts_vocab(registry, spark, sf_small):
+    plan = _formatted_plan(
+        _build(registry, spark, sf_small, "quality_common_token_ratio")
+    )
+    # the 25-token vocabulary collapses to one row and broadcasts; the
+    # document side must never shuffle to meet it
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # only the token histogram shuffles
+    assert plan.count("hashpartitioning(") == 1
