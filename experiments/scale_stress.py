@@ -48,6 +48,11 @@ QUERIES = [
     "ann_quantized_rescore_topk",
     "events_sessionize",
     "dedup_exact",
+    # round-4 curation additions: the 5-gram explode (boilerplate) and the
+    # two-phase vocab broadcast (commonness) are the new shuffle shapes
+    "text_boilerplate_ngrams",
+    "corpus_seq_packing",
+    "quality_common_token_ratio",
 ]
 
 _DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -2162,3 +2162,148 @@ def quality_common_token_ratio(spark, sf_dir):
             .alias("common_ratio"),
         )
     )
+
+
+_PQ_D2_16 = (
+    "CAST(list_sum(list_transform(generate_series(1, 16), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+)
+_PQ_D2_64 = (
+    "CAST(list_sum(list_transform(generate_series(1, 64), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+)
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
+subs AS (
+  SELECT vec_id, label, sp.s AS s, qv[(sp.s*16+1):(sp.s*16+16)] AS sub
+  FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) sp
+),
+cb AS (SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE vec_id < 8),
+qsub AS (SELECT s, sub AS qs FROM subs WHERE vec_id = 0),
+adc AS (
+  SELECT c.s, c.cid, {_PQ_D2_16.format(a="c.csub", b="k.qs")} AS ad2
+  FROM cb c JOIN qsub k USING (s)
+),
+enc AS (
+  SELECT v.vec_id, v.label, v.s, c.cid AS code
+  FROM subs v JOIN cb c USING (s)
+  QUALIFY row_number() OVER (
+    PARTITION BY v.vec_id, v.s
+    ORDER BY {_PQ_D2_16.format(a="v.sub", b="c.csub")}, c.cid
+  ) = 1
+),
+approx AS (
+  SELECT e.vec_id, e.label, CAST(sum(a.ad2) AS BIGINT) AS adc_d2
+  FROM enc e JOIN adc a ON e.s = a.s AND e.code = a.cid
+  GROUP BY e.vec_id, e.label
+),
+short AS (
+  SELECT vec_id, label, adc_d2 FROM approx
+  WHERE vec_id <> 0
+  ORDER BY adc_d2, vec_id
+  LIMIT 50
+)
+SELECT sh.vec_id, sh.label, sh.adc_d2,
+       {_PQ_D2_64.format(a="v.qv", b="q0.qv")} AS exact_d2
+FROM short sh
+JOIN q v USING (vec_id)
+CROSS JOIN (SELECT qv FROM q WHERE vec_id = 0) q0
+ORDER BY exact_d2, sh.vec_id
+LIMIT 10
+""",
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization retrieval with asymmetric distance computation
+    (ADC), the Jegou/Douze/Schmid PQ index shape: 64-dim vectors split
+    into m=4 subspaces of 16 dims, each subspace coded against an 8-entry
+    codebook, queries scored by a per-subspace lookup table instead of
+    full-precision math, and the shortlist exactly re-ranked.
+
+    The codebooks here are deterministically seeded (subvectors of the 8
+    smallest vec_ids) so the oracle can replay them; the Lloyd-iteration
+    refinement that production trains per subspace is exactly
+    ``ann_ivf_kmeans``'s loop and drops in without changing this dataflow.
+
+    Scale shape: the codebook + ADC table is ONE broadcast row (m*k = 32
+    entries — in production, 256 entries/subspace is still kilobytes);
+    encoding and ADC scoring are a map-only fold per vector (the scan
+    reads 4 codes' worth of work per row, the PQ promise of ~d/m
+    compression in compute); the shortlist is TakeOrdered (no global
+    sort); the exact re-rank touches 50 rows. Nothing shuffles by vector:
+    at 100 TB this is a single pass over the embedding shards plus a
+    driver-side top-k merge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = V.quantize(F.col("embedding"))
+    base = emb.select("vec_id", "label", qv.alias("qv"))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    # codebook: (s, cid, csub) from the 8 seed vectors, 4 subspaces each;
+    # the query's subvectors join on s so each entry carries its ADC cell
+    seeds = base.filter(F.col("vec_id") < 8)
+    spaces = F.array(*[F.lit(i) for i in range(4)])
+    cb = seeds.select(
+        F.col("vec_id").alias("cid"),
+        F.explode(spaces).alias("s"),
+        F.col("qv"),
+    ).select("cid", "s", F.expr("slice(qv, s*16+1, 16)").alias("csub"))
+    qsub = (
+        base.filter(F.col("vec_id") == 0)
+        .select(F.explode(spaces).alias("s"), F.col("qv"))
+        .select("s", F.expr("slice(qv, s*16+1, 16)").alias("qs"))
+    )
+    cb_row = (
+        cb.join(qsub, "s")
+        .select("s", "cid", "csub", d2(F.col("csub"), F.col("qs")).alias("ad2"))
+        .agg(F.sort_array(F.collect_list(F.struct("s", "cid", "csub", "ad2"))).alias("pq"))
+    )
+
+    # encode + ADC in one map pass: per subspace, fold the 8 codebook
+    # entries to the nearest one (strict < keeps the smallest cid on
+    # ties, matching the oracle's ORDER BY d2, cid) and take its ADC cell
+    def best_ad2(s: int):
+        sub = F.slice(F.col("qv"), s * 16 + 1, 16)
+        entries = F.filter(F.col("pq"), lambda e: e["s"] == F.lit(s))
+        scored = F.transform(
+            entries,
+            lambda e: F.struct(d2(sub, e["csub"]).alias("d2"), e["ad2"].alias("ad2")),
+        )
+        return F.aggregate(
+            scored,
+            F.struct(
+                F.lit(1 << 62).cast("long").alias("d2"),
+                F.lit(0).cast("long").alias("ad2"),
+            ),
+            lambda acc, x: F.when(x["d2"] < acc["d2"], x).otherwise(acc),
+        )["ad2"]
+
+    adc_d2 = sum(best_ad2(s) for s in range(4))
+    shortlist = (
+        base.crossJoin(F.broadcast(cb_row))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", "qv", adc_d2.alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(50)
+    )
+    q0 = base.filter(F.col("vec_id") == 0).select(F.col("qv").alias("q0v"))
+    return (
+        shortlist.crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            "label",
+            "adc_d2",
+            d2(F.col("qv"), F.col("q0v")).alias("exact_d2"),
+        )
+        .orderBy("exact_d2", "vec_id")
+        .limit(10)
+    )
+

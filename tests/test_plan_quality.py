@@ -390,3 +390,15 @@ def test_common_token_ratio_broadcasts_vocab(registry, spark, sf_small):
     assert "SortMergeJoin" not in plan
     # only the token histogram shuffles
     assert plan.count("hashpartitioning(") == 1
+
+
+def test_pq_adc_never_shuffles_vectors(registry, spark, sf_small):
+    plan = _formatted_plan(_build(registry, spark, sf_small, "ann_pq_adc_topk"))
+    # codebook + ADC table broadcast as one row; encoding/scoring is a
+    # map-only fold; shortlist + re-rank are TakeOrdered — the vector
+    # corpus must never hash- or range-partition
+    assert plan.count("hashpartitioning(") == 0
+    assert plan.count("rangepartitioning(") == 0
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
