@@ -644,7 +644,31 @@ class _Converter:
 
     def _finish(self, tree: ra.RelNode) -> ra.RelNode:
         q = self.q
-        group_texts = [g.sql for g in q.group_by]
+        # GROUP BY <select alias> resolves to the aliased expression
+        # (Postgres/DuckDB output-name semantics; Spark's own
+        # groupByAliases). Only bare identifiers substitute, and only when
+        # the alias renames something (expression or qualified column).
+        # Known divergence from Postgres: when an alias shadows an
+        # unrelated input column of the same name, Postgres prefers the
+        # input column — here the alias wins; self-aliases (``x AS x``)
+        # fall through to the column either way.
+        alias_exprs = {
+            p.alias: p.expr.sql
+            for p in q.select
+            if p.alias and p.expr.sql != p.alias
+        }
+        group_texts: list[str] = []
+        # a substituted key keeps its alias as the key column name: two
+        # aliases of the same underlying column (nc.n_name AS c_nation,
+        # ns.n_name AS s_nation) must not collapse onto one derived name
+        preferred_names: dict[str, str] = {}
+        for g in q.group_by:
+            if re.fullmatch(r"\w+", g.sql) and g.sql in alias_exprs:
+                expr_text = alias_exprs[g.sql]
+                preferred_names[expr_text] = g.sql
+                group_texts.append(expr_text)
+            else:
+                group_texts.append(g.sql)
         select_texts = [p.expr.sql for p in q.select]
         has_aggs = any(_find_agg_calls(t) for t in select_texts) or bool(
             q.having is not None and _find_agg_calls(q.having.to_sql())
@@ -663,14 +687,19 @@ class _Converter:
         map_exprs: list[tuple[str, str]] = []
         used_names: set[str] = set()
         for g in group_texts:
-            name = _output_name(g)
+            preferred = preferred_names.get(g)
+            name = preferred or _output_name(g)
             if name is None or name in used_names:
                 # no derivable name, or two keys share one unqualified name
                 # (GROUP BY a.k, b.k — the Map would silently overwrite and
                 # the Grouping would collapse both keys onto one column)
                 name = self._gensym("key")
                 map_exprs.append((name, g))
-            elif "." in g:
+            elif preferred is not None or "." in g:
+                # an alias-substituted key always maps under its alias: the
+                # input may hold the same unqualified column from several
+                # tables (nc.n_name / ns.n_name), so grouping by the bare
+                # derived name would be ambiguous
                 map_exprs.append((name, g))
             used_names.add(name)
             key_names[g] = name

@@ -216,6 +216,152 @@ def job_light_shaped_corpus() -> dict[str, str]:
     return {f"jl{i + 1:02d}": sql for i, sql in enumerate(queries)}
 
 
+def ssb_shaped_corpus() -> dict[str, str]:
+    """The 13 Star Schema Benchmark queries (O'Neil, O'Neil & Chen, "The
+    Star Schema Benchmark", 2009; the reference serves the real texts on
+    demand, ref ``workloads.py:49``, ``:1039``) re-expressed over the
+    driver's TPC-H-shaped fixture tables. SSB denormalizes TPC-H into
+    ``lineorder`` + 4 dims; here ``lineitem ⋈ orders`` plays lineorder,
+    the date dimension becomes EXTRACT over ``o_orderdate``, and the SSB
+    columns the fixture lacks map to the nearest fixture column
+    (d_weeknuminyear → quarter, p_category → p_type, city → mktsegment /
+    supplier name, lo_supplycost → a quantity-proportional proxy). The
+    four query flights keep their defining shapes: flight 1 = scalar
+    revenue with date+discount+quantity selections, flight 2 = part ×
+    supplier-geography group-by, flight 3 = customer × supplier geography
+    over a year range, flight 4 = profit over the full star."""
+    rev = "CAST(SUM(l.l_extendedprice * l.l_discount) AS DOUBLE) AS revenue"
+    rev2 = "CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue"
+    profit = (
+        "CAST(SUM(l.l_extendedprice * (1 - l.l_discount)"
+        " - 100.0 * l.l_quantity) AS DOUBLE) AS profit"
+    )
+    lo = "lineitem l, orders o"
+    lo_join = "l.l_orderkey = o.o_orderkey"
+    year = "EXTRACT(YEAR FROM o.o_orderdate)"
+    supp_geo = (
+        "supplier s, nation ns, region rs",
+        "l.l_suppkey = s.s_suppkey AND s.s_nationkey = ns.n_nationkey"
+        " AND ns.n_regionkey = rs.r_regionkey",
+    )
+    cust_geo = (
+        "customer c, nation nc, region rc",
+        "o.o_custkey = c.c_custkey AND c.c_nationkey = nc.n_nationkey"
+        " AND nc.n_regionkey = rc.r_regionkey",
+    )
+    return {
+        "ssb_q1_1": (
+            f"SELECT {rev} FROM {lo} WHERE {lo_join}"
+            f" AND {year} = 1996"
+            " AND l.l_discount BETWEEN 0.01 AND 0.03 AND l.l_quantity < 25"
+        ),
+        "ssb_q1_2": (
+            f"SELECT {rev} FROM {lo} WHERE {lo_join}"
+            f" AND {year} = 1997 AND EXTRACT(MONTH FROM o.o_orderdate) = 1"
+            " AND l.l_discount BETWEEN 0.04 AND 0.06"
+            " AND l.l_quantity BETWEEN 26 AND 35"
+        ),
+        "ssb_q1_3": (
+            f"SELECT {rev} FROM {lo} WHERE {lo_join}"
+            f" AND {year} = 1997 AND EXTRACT(QUARTER FROM o.o_orderdate) = 2"
+            " AND l.l_discount BETWEEN 0.05 AND 0.07"
+            " AND l.l_quantity BETWEEN 26 AND 35"
+        ),
+        "ssb_q2_1": (
+            f"SELECT {rev2}, {year} AS order_year, p.p_brand"
+            f" FROM {lo}, part p, {supp_geo[0]}"
+            f" WHERE {lo_join} AND l.l_partkey = p.p_partkey AND {supp_geo[1]}"
+            " AND p.p_type = 'STANDARD' AND rs.r_name = 'ASIA'"
+            " GROUP BY order_year, p.p_brand ORDER BY order_year, p.p_brand"
+        ),
+        "ssb_q2_2": (
+            f"SELECT {rev2}, {year} AS order_year, p.p_brand"
+            f" FROM {lo}, part p, {supp_geo[0]}"
+            f" WHERE {lo_join} AND l.l_partkey = p.p_partkey AND {supp_geo[1]}"
+            " AND p.p_brand BETWEEN 'Brand#21' AND 'Brand#28'"
+            " AND rs.r_name = 'AMERICA'"
+            " GROUP BY order_year, p.p_brand ORDER BY order_year, p.p_brand"
+        ),
+        "ssb_q2_3": (
+            f"SELECT {rev2}, {year} AS order_year, p.p_brand"
+            f" FROM {lo}, part p, {supp_geo[0]}"
+            f" WHERE {lo_join} AND l.l_partkey = p.p_partkey AND {supp_geo[1]}"
+            " AND p.p_brand = 'Brand#23' AND rs.r_name = 'EUROPE'"
+            " GROUP BY order_year, p.p_brand ORDER BY order_year, p.p_brand"
+        ),
+        "ssb_q3_1": (
+            f"SELECT nc.n_name AS c_nation, ns.n_name AS s_nation,"
+            f" {year} AS order_year, {rev2}"
+            f" FROM {lo}, {cust_geo[0]}, {supp_geo[0]}"
+            f" WHERE {lo_join} AND {cust_geo[1]} AND {supp_geo[1]}"
+            " AND rc.r_name = 'ASIA' AND rs.r_name = 'ASIA'"
+            f" AND {year} BETWEEN 1995 AND 1998"
+            " GROUP BY c_nation, s_nation, order_year"
+            " ORDER BY order_year, revenue DESC, c_nation, s_nation"
+        ),
+        "ssb_q3_2": (
+            f"SELECT c.c_mktsegment, {year} AS order_year, {rev2}"
+            f" FROM {lo}, {cust_geo[0]}, {supp_geo[0]}"
+            f" WHERE {lo_join} AND {cust_geo[1]} AND {supp_geo[1]}"
+            " AND nc.n_name = 'NATION_3' AND ns.n_name = 'NATION_3'"
+            f" AND {year} BETWEEN 1995 AND 1998"
+            " GROUP BY c.c_mktsegment, order_year"
+            " ORDER BY order_year, revenue DESC, c_mktsegment"
+        ),
+        "ssb_q3_3": (
+            f"SELECT c.c_mktsegment, s.s_name, {year} AS order_year, {rev2}"
+            f" FROM {lo}, {cust_geo[0]}, {supp_geo[0]}"
+            f" WHERE {lo_join} AND {cust_geo[1]} AND {supp_geo[1]}"
+            " AND nc.n_name IN ('NATION_3', 'NATION_7')"
+            " AND ns.n_name IN ('NATION_3', 'NATION_7')"
+            f" AND {year} BETWEEN 1995 AND 1998"
+            " GROUP BY c.c_mktsegment, s.s_name, order_year"
+            " ORDER BY order_year, revenue DESC, c_mktsegment, s_name"
+        ),
+        "ssb_q3_4": (
+            f"SELECT c.c_mktsegment, s.s_name, {year} AS order_year, {rev2}"
+            f" FROM {lo}, {cust_geo[0]}, {supp_geo[0]}"
+            f" WHERE {lo_join} AND {cust_geo[1]} AND {supp_geo[1]}"
+            " AND nc.n_name IN ('NATION_3', 'NATION_7')"
+            " AND ns.n_name IN ('NATION_3', 'NATION_7')"
+            f" AND {year} = 1997 AND EXTRACT(MONTH FROM o.o_orderdate) = 12"
+            " GROUP BY c.c_mktsegment, s.s_name, order_year"
+            " ORDER BY order_year, revenue DESC, c_mktsegment, s_name"
+        ),
+        "ssb_q4_1": (
+            f"SELECT {year} AS order_year, nc.n_name AS c_nation, {profit}"
+            f" FROM {lo}, part p, {cust_geo[0]}, {supp_geo[0]}"
+            f" WHERE {lo_join} AND l.l_partkey = p.p_partkey"
+            f" AND {cust_geo[1]} AND {supp_geo[1]}"
+            " AND rc.r_name = 'AMERICA' AND rs.r_name = 'AMERICA'"
+            " AND p.p_type IN ('STANDARD', 'PROMO')"
+            " GROUP BY order_year, c_nation ORDER BY order_year, c_nation"
+        ),
+        "ssb_q4_2": (
+            f"SELECT {year} AS order_year, ns.n_name AS s_nation,"
+            f" p.p_type, {profit}"
+            f" FROM {lo}, part p, {cust_geo[0]}, {supp_geo[0]}"
+            f" WHERE {lo_join} AND l.l_partkey = p.p_partkey"
+            f" AND {cust_geo[1]} AND {supp_geo[1]}"
+            " AND rc.r_name = 'AMERICA' AND rs.r_name = 'AMERICA'"
+            f" AND {year} IN (1997, 1998)"
+            " AND p.p_type IN ('STANDARD', 'PROMO')"
+            " GROUP BY order_year, s_nation, p.p_type"
+            " ORDER BY order_year, s_nation, p_type"
+        ),
+        "ssb_q4_3": (
+            f"SELECT {year} AS order_year, s.s_name, p.p_brand, {profit}"
+            f" FROM {lo}, part p, {cust_geo[0]}, {supp_geo[0]}"
+            f" WHERE {lo_join} AND l.l_partkey = p.p_partkey"
+            f" AND {cust_geo[1]} AND {supp_geo[1]}"
+            " AND ns.n_name = 'NATION_3'"
+            f" AND {year} IN (1997, 1998) AND p.p_brand = 'Brand#14'"
+            " GROUP BY order_year, s.s_name, p.p_brand"
+            " ORDER BY order_year, s_name, p_brand"
+        ),
+    }
+
+
 def job_light_using_variants() -> dict[str, str]:
     """Respellings of JOB-light join shapes through the two FROM constructs
     real-world SQL hits first (round-2 verdict items 1 and 6): ``JOIN ...
@@ -255,6 +401,10 @@ WORKLOAD_URLS = {
     "job-complex": "https://zenodo.org/records/19205561/files/job-complex.zip?download=1",
     "job-light": "https://zenodo.org/records/19205561/files/job-light.zip?download=1",
     "stats": "https://zenodo.org/records/19131189/files/queries.zip?download=1",
+    # the Stack workload archive (ref workloads.py:50 — same public share
+    # the reference fetches; SSB's upstream URL is dead there, so ssb()
+    # falls back to the shaped corpus instead)
+    "stack": "https://datashare.tu-dresden.de/public.php/dav/files/JSaFxzzGHGABbxY",
 }
 
 _WORKLOAD_CACHE = os.path.expanduser("~/.cache/postbound_spark/workloads")
@@ -343,9 +493,20 @@ def _directory_workload(name: str, fetch_name: str | None = None):
 
 job = _directory_workload("job", fetch_name="job")
 job_complex = _directory_workload("job_complex", fetch_name="job-complex")
-ssb = _directory_workload("ssb")
-stack = _directory_workload("stack")
+stack = _directory_workload("stack", fetch_name="stack")
 stats = _directory_workload("stats", fetch_name="stats")
+
+
+def ssb(directory: str | None = None) -> Workload:
+    """The Star Schema Benchmark (13 queries; ref ``workloads.py:1039``).
+    ``directory`` points at the real ``*.sql`` files when available; the
+    reference's fetch URL for SSB is dead (commented out upstream,
+    ref ``workloads.py:49``), so without a directory the SSB-shaped
+    corpus over the fixture tables stands in (documented at
+    :func:`ssb_shaped_corpus`)."""
+    if directory:
+        return Workload.read_workload(directory)
+    return Workload(ssb_shaped_corpus())
 
 
 @dataclass

@@ -41,8 +41,9 @@ def test_named_workload_front_door():
     from postbound_spark import workloads as W
 
     assert len(job_light()) == 70
+    assert len(W.ssb()) == 13  # shaped fallback (tests/test_ssb_corpus.py)
     with pytest.raises(ValueError, match="not bundled"):
-        W.ssb("")
+        W.stack("")
 
 
 @pytest.mark.parametrize("sql", CORPUS.values(), ids=list(CORPUS))
