@@ -273,6 +273,17 @@ class QueryGenerator:
                 aggs.append(f"{fn.upper()}({col}) AS agg{i}")
         if group_pool and self.rng.random() < 0.6:
             keys = self.rng.sample(group_pool, self.rng.randint(1, min(2, len(group_pool))))
+            if self.rng.random() < 0.3:
+                # GROUP BY <select alias> (output-name resolution — the
+                # SSB corpus surfaced this path; generate it so the sweep
+                # keeps it honest)
+                aliased = [f"{k} AS gkey{i}" for i, k in enumerate(keys)]
+                names = [f"gkey{i}" for i in range(len(keys))]
+                select = ", ".join(aliased + aggs)
+                tail = f" GROUP BY {', '.join(names)}"
+                if self.rng.random() < 0.5:
+                    tail += f" ORDER BY {', '.join(names)}"
+                return f"SELECT {select} FROM {{from_}}{where}{tail}"
             select = ", ".join(keys + aggs)
             tail = f" GROUP BY {', '.join(keys)}"
             if self.rng.random() < 0.3:

@@ -112,5 +112,6 @@ def test_generated_corpus_covers_the_grammar():
         " JOIN ",
         " OR ",
         "CASE WHEN",
+        "GROUP BY gkey0",
     ):
         assert construct in corpus, f"corpus never generates {construct}"
