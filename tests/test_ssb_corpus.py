@@ -78,3 +78,51 @@ def test_ssb_corpus_executes_and_matches_duckdb(spark, sf_small):
             if diffs:
                 failures.append((label, "values", diffs[:2]))
     assert not failures, failures
+
+
+def test_ssb_strategies_agree_on_grouped_results(spark, sf_small):
+    """Join order is a performance choice, never a semantic one — now on
+    GROUPED star queries, not just COUNT(*): every SSB query executed
+    under the UES pessimistic order and the Postgres-style DP order must
+    return exactly the native order's rows (which the DuckDB test above
+    already verified)."""
+    from postbound_spark.catalog import load_table
+    from postbound_spark.experiments import _plan_order, _prepared_tables
+    from postbound_spark.operators.compiler import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import parse_query, to_query_spec
+
+    base = {
+        t: load_table(spark, sf_small, t)
+        for t in (
+            "lineitem", "orders", "customer", "supplier", "part",
+            "nation", "region",
+        )
+    }
+    for t, df in base.items():
+        df.createOrReplaceTempView(t)
+
+    from postbound_spark.testing import _float_columns, _normalize, _rows_close
+
+    failures = []
+    for label, sql in CORPUS.items():
+        parsed = parse_query(sql)
+        spec = to_query_spec(parsed)
+        tables = _prepared_tables(parsed, base)
+        native = compile_plan(parse_relalg(parsed), spark).toPandas()
+        for strategy in ("ues", "pgdp"):
+            order, _ = _plan_order(spark, strategy, parsed, spec, tables)
+            forced = compile_plan(
+                parse_relalg(parsed, join_order=list(order)), spark
+            ).toPandas()
+            # double SUMs accumulate in join-order-dependent sequence, so
+            # compare with the oracle harness's float tolerance, not ==
+            fc = _float_columns(native, forced)
+            diffs = [
+                (l, r)
+                for l, r in zip(_normalize(native, fc), _normalize(forced, fc))
+                if not _rows_close(l, r)
+            ]
+            if len(native) != len(forced) or diffs:
+                failures.append((label, strategy, diffs[:2]))
+    assert not failures, failures
