@@ -23,15 +23,16 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = {
-        a.split("=")[0].lstrip("-"): a.split("=", 1)[1]
-        for a in sys.argv[1:]
-        if a.startswith("--") and "=" in a
-    }
-    out_path = args[0] if args else "optimizer_loop_results.parquet"
-    strategies = tuple(opts.get("strategies", "native,ues").split(","))
-    n_titles = int(opts.get("titles", "300"))
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out_path", nargs="?", default="optimizer_loop_results.parquet")
+    ap.add_argument("--strategies", default="native,ues")
+    ap.add_argument("--titles", type=int, default=300)
+    ns = ap.parse_args()
+    out_path = ns.out_path
+    strategies = tuple(ns.strategies.split(","))
+    n_titles = ns.titles
 
     from postbound_spark.experiments import (
         imdb_shaped_frames,

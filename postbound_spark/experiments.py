@@ -106,11 +106,12 @@ def imdb_shaped_frames(n_titles: int = 300) -> dict[str, pd.DataFrame]:
 def register_frames(spark: SparkSession, frames: Mapping[str, pd.DataFrame]) -> dict[str, DataFrame]:
     """Materialize pandas fixtures as cached temp views; returns the Spark
     frames keyed by table name. Caching matters: every optimizer stage and
-    every repetition re-reads these, and re-converting pandas → JVM per
-    access would dominate the measured times."""
+    every repetition re-reads these, and re-building the LocalRelation per
+    access would pollute the measured times."""
     out = {}
     for name, pdf in frames.items():
-        df = spark.createDataFrame(pdf)
+        df = spark.createDataFrame(pdf).cache()
+        df.count()  # materialize now, not inside the first measured query
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
@@ -164,7 +165,7 @@ def join_qerrors(df: DataFrame) -> list[dict]:
     in place, which keeps the position), so position is a stable join
     identity even for sources like LocalTableScan that carry no table name.
     Run an action on ``df`` first, or every actual is NaN."""
-    from postbound_spark.optimizer.planstats import _jseq
+    from postbound_spark.optimizer.planstats import _jseq, _row_width_bytes
     from postbound_spark.optimizer.qep import executed_plan
 
     logical_joins: list[float] = []
@@ -178,10 +179,7 @@ def join_qerrors(df: DataFrame) -> list[dict]:
             if row_opt.isDefined():
                 est = float(int(row_opt.get()))
             else:
-                width = 8
-                for attr in _jseq(jnode.output()):
-                    width += attr.dataType().defaultSize()
-                est = float(int(stats.sizeInBytes())) / width
+                est = float(int(stats.sizeInBytes())) / _row_width_bytes(jnode)
             logical_joins.append(est)
 
     walk_logical(df._jdf.queryExecution().optimizedPlan())

@@ -59,6 +59,10 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    if salt < 2:
+        # salting disabled (callers tune salt down to 1 to mean "off") —
+        # no salt column is ever derived, so skip the salt_on validation
+        return left.join(right, on=on, how=how)
     if salt_on is None:
         salt_on = list(left.columns)
     if not set(salt_on) - set(on):
@@ -66,8 +70,6 @@ def salted_join(
             "salt_on must include a column beyond the join keys — salting "
             "by the join keys alone maps each hot key to one salt bucket"
         )
-    if salt < 2:
-        return left.join(right, on=on, how=how)
     salted_left = left.withColumn(
         _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(salt))
     )

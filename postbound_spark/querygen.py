@@ -98,9 +98,9 @@ EDGES: list[tuple[str, str, str, str]] = [
 #: categorical value domains (fixture-generator vocabulary)
 CAT_VALUES: dict[str, list[str]] = {
     "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
-    "n_name": ["CHINA", "FRANCE", "KENYA", "PERU", "JAPAN"],
+    "n_name": ["NATION_0", "NATION_3", "NATION_7", "NATION_12", "NATION_24"],
     "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
-    "p_brand": ["Brand#11", "Brand#13", "Brand#22", "Brand#34", "Brand#45"],
+    "p_brand": ["Brand#1", "Brand#11", "Brand#13", "Brand#22", "Brand#25"],
     "p_type": ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"],
     "o_orderstatus": ["F", "O", "P"],
     "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
@@ -189,7 +189,10 @@ class QueryGenerator:
                 picked = self.rng.sample(vals, min(2, len(vals)))
                 inlist = ", ".join(f"'{v}'" for v in sorted(picked))
                 return f"{q} IN ({inlist})"
-            return f"{q} LIKE '{self.rng.choice(vals)[0]}%'"
+            # prefix of varying length: single-char prefixes are all
+            # selectivity ~1 on this vocabulary (NATION_*, Brand#*)
+            v = self.rng.choice(vals)
+            return f"{q} LIKE '{v[: self.rng.randint(1, len(v))]}%'"
         if kind == "int":
             lo, hi = _INT_RANGES[col]
             v = self.rng.randint(lo, hi)

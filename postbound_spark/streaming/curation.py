@@ -64,9 +64,22 @@ class StreamingKeepList:
         self.state_dir = state_dir
         self._pool = os.path.join(state_dir, "pool")
         self._next = os.path.join(state_dir, "pool_next")
+        self._prev = os.path.join(state_dir, "pool_prev")
         os.makedirs(state_dir, exist_ok=True)
 
     def _read_pool(self) -> DataFrame | None:
+        # crash recovery, newest complete generation first: a crash in
+        # process_batch's swap can leave (a) pool_next complete (_SUCCESS
+        # present) with pool already retired to pool_prev — finish the
+        # swap; (b) pool_next partial — fall back to pool, or to pool_prev
+        # when the crash hit between the two renames. The streaming
+        # checkpoint then replays the unfolded batch into that state
+        # (min-per-key is idempotent), so no committed survivor is lost.
+        if not os.path.exists(self._pool):
+            if os.path.exists(os.path.join(self._next, "_SUCCESS")):
+                os.replace(self._next, self._pool)
+            elif os.path.exists(self._prev):
+                os.replace(self._prev, self._pool)
         if not os.path.exists(self._pool):
             return None
         return self.spark.read.parquet(self._pool)
@@ -84,8 +97,14 @@ class StreamingKeepList:
             .drop("rn")
         )
         compacted.write.mode("overwrite").parquet(self._next)
-        shutil.rmtree(self._pool, ignore_errors=True)
+        # swap via atomic renames only — there is no instant where every
+        # complete generation is gone (the rmtree-then-replace form had a
+        # window that lost the whole pool if the process died between)
+        shutil.rmtree(self._prev, ignore_errors=True)
+        if os.path.exists(self._pool):
+            os.replace(self._pool, self._prev)
         os.replace(self._next, self._pool)
+        shutil.rmtree(self._prev, ignore_errors=True)
 
     def keep_list(self, per_source_cap: int = 15) -> DataFrame:
         """The current keep list: per-source cap over the survivor pool

@@ -49,13 +49,30 @@ class DotBuilder:
         self.name = name
         self._nodes: list[str] = []
         self._edges: list[str] = []
-        self._ids: dict[int, str] = {}
+        self._ids: dict[object, str] = {}
+        # identity-keyed nodes must outlive their dict entry: a GC'd key
+        # would free its id() for reuse and silently merge two nodes
+        self._retained: list[object] = []
+
+    @staticmethod
+    def _node_key(key: object) -> object:
+        # dedup plain value keys (table names, (set, label) pairs) by
+        # VALUE — two equal but non-identical strings are the same graph
+        # node. Everything else (tree nodes, often value-hashable frozen
+        # dataclasses) keys by IDENTITY: two equal subtrees in one tree
+        # are still two distinct drawn nodes.
+        if isinstance(key, (str, bytes, int, float, tuple, frozenset)):
+            return ("v", key)
+        return id(key)
 
     def node(self, key: object, label: str, **attrs: str) -> str:
-        node_id = self._ids.get(id(key))
+        dedup = self._node_key(key)
+        node_id = self._ids.get(dedup)
         if node_id is None:
             node_id = f"n{len(self._ids)}"
-            self._ids[id(key)] = node_id
+            self._ids[dedup] = node_id
+            if not isinstance(dedup, tuple):  # identity-keyed → keep alive
+                self._retained.append(key)
             parts = [f'label="{_escape(label)}"'] + [
                 f'{k}="{_escape(v)}"' for k, v in sorted(attrs.items())
             ]

@@ -62,13 +62,24 @@ def _encode_png(pixels: np.ndarray, color_type: int, filters=None) -> bytes:
     )
 
 
-def test_decode_image_rejects_non_png_without_codec():
+@pytest.fixture
+def no_pillow(monkeypatch):
+    """Force decode_image onto the stdlib path regardless of whether the
+    host happens to have Pillow — these tests pin the stdlib decoder's
+    behavior, which would otherwise silently lose its only coverage on a
+    codec-equipped machine."""
+    import sys
+
+    monkeypatch.setitem(sys.modules, "PIL", None)
+
+
+def test_decode_image_rejects_non_png_without_codec(no_pillow):
     # without Pillow only PNG payloads decode; anything else fails loudly
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
-def test_decode_png_rgb_all_filter_types():
+def test_decode_png_rgb_all_filter_types(no_pillow):
     rng = np.random.RandomState(7)
     pixels = rng.randint(0, 256, size=(5, 4, 3)).astype(np.uint8)
     # one row per PNG filter type (None/Sub/Up/Average/Paeth)
@@ -78,7 +89,7 @@ def test_decode_png_rgb_all_filter_types():
     assert np.array_equal(decoded, pixels)
 
 
-def test_decode_png_gray_and_rgba():
+def test_decode_png_gray_and_rgba(no_pillow):
     gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
     out = MM.decode_image(_encode_png(gray, color_type=0))
     assert out.shape == (3, 4, 3)

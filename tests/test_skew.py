@@ -82,3 +82,15 @@ def test_salt_actually_spreads_hot_key(spark, sf_small):
     # up to 8 distinct shuffle keys instead of 1
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__pb_salt" in plan
+
+
+def test_salt_one_means_off_even_for_keys_only_frames(spark, sf_small):
+    """salt < 2 is the documented 'salting off' switch: it must degrade to
+    a plain join without tripping the salt_on validation, even when the
+    left frame carries nothing beyond the join keys."""
+    left = load_table(spark, sf_small, "orders").select("o_custkey")
+    right = load_table(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    plain = left.join(right, on=["o_custkey"]).count()
+    assert salted_join(left, right, on=["o_custkey"], salt=1).count() == plain

@@ -70,3 +70,37 @@ def test_keep_list_before_any_batch_raises(spark, tmp_path):
     sink = StreamingKeepList(spark, str(tmp_path / "empty"))
     with pytest.raises(FileNotFoundError):
         sink.keep_list()
+
+
+def test_pool_swap_recovers_from_crash_windows(spark, sf_small, tmp_path):
+    """The generation swap must never lose the whole pool: simulate each
+    crash window (pool retired to pool_prev before pool_next lands; a
+    partial pool_next without _SUCCESS) and assert _read_pool restores a
+    complete generation."""
+    import os
+    import shutil
+
+    from postbound_spark.streaming.curation import StreamingKeepList
+
+    flat = _chunked_input(spark, sf_small, str(tmp_path / "in"), n_chunks=2)
+    state = str(tmp_path / "state")
+    sink = run_keep_list_stream(spark, flat, state)
+    want = _rows(sink.keep_list())
+    pool, prev, nxt = sink._pool, sink._prev, sink._next
+
+    # window 1: crash between the two renames — pool retired, next complete
+    shutil.copytree(pool, nxt)
+    os.rename(pool, prev)
+    assert _rows(StreamingKeepList(spark, state).keep_list()) == want
+
+    # window 2: crash mid-write of pool_next — partial (no _SUCCESS),
+    # current pool already gone but the previous generation survives
+    # (recovery leaves pool_prev for process_batch's lazy cleanup — clear
+    # it here the way the next batch would before retiring the pool)
+    sink2 = StreamingKeepList(spark, state)
+    shutil.rmtree(sink2._prev, ignore_errors=True)
+    shutil.rmtree(sink2._next, ignore_errors=True)
+    shutil.copytree(sink2._pool, sink2._next)
+    os.remove(os.path.join(sink2._next, "_SUCCESS"))
+    os.rename(sink2._pool, sink2._prev)
+    assert _rows(StreamingKeepList(spark, state).keep_list()) == want
