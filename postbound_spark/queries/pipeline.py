@@ -972,6 +972,81 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@query(
+    "events_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT step_no, step, n_users FROM (
+  SELECT 1 AS step_no, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM s3
+) ORDER BY step_no
+""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel: users whose first 'view' precedes a
+    'click' that precedes a 'purchase' — strict temporal order, the
+    event-analytics staple (the min-milestone formulation: each step's
+    timestamp is the EARLIEST occurrence after the previous step, which
+    makes the result order-insensitive to event duplication and
+    deterministic across engines).
+
+    Per step: one user-keyed aggregation plus a join of the event scan
+    against the previous step's (user, milestone) pairs — every shuffle
+    is on user_id, so at scale the three steps reuse one co-partitioning
+    and never move the event log by anything else. Step frames shrink
+    monotonically (funnel!), so the later joins are the cheap side."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def level(no: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(no).alias("step_no"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        level(1, "view", s1)
+        .unionByName(level(2, "view>click", s2))
+        .unionByName(level(3, "view>click>purchase", s3))
+        .orderBy("step_no")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary plumbing
 # ---------------------------------------------------------------------------

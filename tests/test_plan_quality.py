@@ -402,3 +402,15 @@ def test_pq_adc_never_shuffles_vectors(registry, spark, sf_small):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_shuffles_only_on_user(registry, spark, sf_small):
+    import re as _re
+
+    plan = _formatted_plan(_build(registry, spark, sf_small, "events_funnel"))
+    # every exchange in the funnel is keyed on user_id — the event log is
+    # never re-shuffled by any other key, and the shrinking step frames
+    # ride broadcast joins
+    keys = set(_re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys <= {"user_id"}, keys
+    assert "CartesianProduct" not in plan
