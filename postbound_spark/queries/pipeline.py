@@ -973,6 +973,61 @@ def events_sessionize(spark, sf_dir):
 
 
 @query(
+    "corpus_chunk_windows",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS ws FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(g.i AS INT) AS chunk_idx,
+         ws[(g.i*16 + 1):(g.i*16 + 32)] AS chunk
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0,
+        CAST(greatest(ceil((len(ws) - 32) / 16.0), 0) AS BIGINT))) AS i
+  ) g
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS INT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM c
+ORDER BY doc_id, chunk_idx
+""",
+)
+def corpus_chunk_windows(spark, sf_dir):
+    """Sliding-window document chunking: 32-token windows with stride 16
+    (50% overlap) — the chunker every RAG index and long-document
+    pretraining pipeline runs before embedding/packing. Emits one row per
+    chunk with a content digest; the final (ragged) window keeps its
+    partial length.
+
+    Map-only 1→N expansion: the window count is ceil((n-32)/16)+1 per
+    doc, produced by a ``sequence``+``transform`` explode over slices of
+    the materialized token array — no shuffle (the output ORDER BY is
+    presentation-only and prunes to a range partition at most). At 100 TB
+    chunking is exactly this: a scan that emits ~n/stride rows per doc,
+    embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil((n - 32) / F.lit(16.0)), F.lit(0)).cast("int") + 1
+    staged = docs.select("doc_id", toks.alias("ws"), n_chunks.alias("nc"))
+    chunk = F.slice(F.col("ws"), F.col("i") * 16 + 1, 32)
+    return (
+        staged.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
     "events_funnel",
     oracle="""
 WITH s1 AS (

@@ -414,3 +414,14 @@ def test_funnel_shuffles_only_on_user(registry, spark, sf_small):
     keys = set(_re.findall(r"hashpartitioning\((\w+)#", plan))
     assert keys <= {"user_id"}, keys
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_windows_is_map_only_expansion(registry, spark, sf_small):
+    plan = _formatted_plan(
+        _build(registry, spark, sf_small, "corpus_chunk_windows")
+    )
+    # the 1→N chunk explode must not shuffle documents; only the
+    # presentation ORDER BY range-partitions the (narrow) output rows
+    assert plan.count("hashpartitioning(") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the explode expansion runs in-stage
