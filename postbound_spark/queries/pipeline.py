@@ -972,6 +972,95 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+_CM_A = ", ".join(str(x) for x in T.MINHASH_A[:4])
+_CM_B = ", ".join(str(x) for x in T.MINHASH_B[:4])
+_CM_H = "CAST(concat('0x', substr(md5({t}), 1, 15)) AS BIGINT) % 2147483647"
+_CM_BUCKET = (
+    f"((([{_CM_A}])[{{i}} + 1] * ({_CM_H.format(t='{t}')})"
+    f" + ([{_CM_B}])[{{i}} + 1]) % 2147483647) % 256"
+)
+
+
+@query(
+    "sketch_countmin_tokens",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_WS_TOKS}) AS token FROM documents),
+rows_ AS (
+  SELECT d.i, {_CM_BUCKET.format(i="d.i", t="tok.token")} AS bucket
+  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS i) d
+),
+sketch AS (
+  SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM rows_ GROUP BY i, bucket
+),
+top20 AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM tok GROUP BY token ORDER BY true_cnt DESC, token LIMIT 20
+),
+coords AS (
+  SELECT t.token, t.true_cnt, d.i,
+         {_CM_BUCKET.format(i="d.i", t="t.token")} AS bucket
+  FROM top20 t, (SELECT unnest([0, 1, 2, 3]) AS i) d
+)
+SELECT coords.token, coords.true_cnt, CAST(min(s.c) AS BIGINT) AS cm_est
+FROM coords JOIN sketch s USING (i, bucket)
+GROUP BY coords.token, coords.true_cnt
+ORDER BY true_cnt DESC, token
+""",
+)
+def sketch_countmin_tokens(spark, sf_dir):
+    """Count-min sketch of the corpus token stream (Cormode & Muthu-
+    krishnan 2005): depth 4 × width 256 with the repo's universal-hash
+    family (``text.MINHASH_A/B`` — one source of truth, the oracle's
+    array literals are f-stringed from the same constants), then the
+    top-20 true tokens estimated back from the sketch. Output carries
+    (true_cnt, cm_est) so the defining overestimate property
+    ``cm_est ≥ true_cnt`` is visible in the result and pinned in tests.
+
+    The sketch IS the scale story: a heavy-hitter histogram whose state is
+    d×w = 1024 counters regardless of corpus size — built here with one
+    map-side-combined shuffle of (row, bucket) pairs (4 per token
+    occurrence), exactly how you'd sketch per partition and merge by cell
+    at 100 TB. The md5 per (token, row) re-inlines under projection
+    collapse (4 kernels/token) — acceptable for a sketch build; heavy
+    reuse would stage the base hash like MinHash does."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    P = 2147483647
+    h = T.token_hash64(F.col("token")) % P
+
+    def bucket(i: int):
+        return ((F.lit(T.MINHASH_A[i]) * h + F.lit(T.MINHASH_B[i])) % P) % 256
+
+    coords_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket"))
+            for i in range(4)
+        ]
+    )
+    sketch = (
+        tok.select(F.explode(coords_arr).alias("c"))
+        .select("c.i", "c.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top20 = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    coords = top20.select(
+        "token", "true_cnt", F.explode(coords_arr).alias("c")
+    ).select("token", "true_cnt", "c.i", "c.bucket")
+    return (
+        coords.join(sketch, ["i", "bucket"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("c").alias("cm_est"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+    )
+
+
 @query(
     "corpus_chunk_windows",
     oracle=f"""

@@ -425,3 +425,16 @@ def test_chunk_windows_is_map_only_expansion(registry, spark, sf_small):
     assert plan.count("hashpartitioning(") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" in plan  # the explode expansion runs in-stage
+
+
+def test_countmin_overestimates_and_stays_keyed(registry, spark, sf_small):
+    df = _build(registry, spark, sf_small, "sketch_countmin_tokens")
+    rows = df.collect()
+    assert rows, "sketch produced no estimates"
+    # the count-min guarantee: estimates never undercount
+    assert all(r.cm_est >= r.true_cnt for r in rows)
+    plan = _formatted_plan(df)
+    # sketch build and histogram are map-side-combined keyed shuffles; the
+    # 1024-cell sketch and 20-token coord frames ride broadcast joins
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
