@@ -135,10 +135,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "emb_quantize_int8",
     "ann_quantized_rescore_topk",
     "dedup_minhash_lsh",
-    # --- round-4 rotation: the 44 oldest green rows (last verified in
+    # --- round-4 rotation: the oldest green rows (last verified in
     #     r1; every r2/r3 row is younger). op_relation_projection /
     #     op_selection / op_map_expressions sit out — every composite
-    #     query exercises scan+filter+projection transitively ---
+    #     query exercises scan+filter+projection transitively. The new
+    #     capabilities above push the tail of this list past the
+    #     driver's 50-slot window; the overflow (q3..q9 + top_suppliers,
+    #     all r1-green AND re-run every round by bench + pytest) rolls
+    #     to the round-5 rotation ---
     "ir_count_star_transform",
     "ir_market_share",
     "latest_order_per_customer",
