@@ -29,6 +29,14 @@ def main() -> None:
     ap.add_argument("out_path", nargs="?", default="optimizer_loop_results.parquet")
     ap.add_argument("--strategies", default="native,ues")
     ap.add_argument("--titles", type=int, default=300)
+    ap.add_argument(
+        "--training-data",
+        default=None,
+        metavar="PARQUET",
+        help="also emit per-query (runtime, cardinality, cost, plan) and "
+        "per-join (estimate, actual, q-error) training samples "
+        "(train.collect_*_samples) to PARQUET-prefixed files",
+    )
     ns = ap.parse_args()
     out_path = ns.out_path
     strategies = tuple(ns.strategies.split(","))
@@ -54,6 +62,22 @@ def main() -> None:
     ok = (bounded.ues_bound >= bounded.actual_card).sum()
     print(f"UES bound >= actual on {ok}/{len(bounded)} queries")
     print(f"results -> {out_path} ({len(results)} rows)")
+
+    if ns.training_data:
+        from postbound_spark.train import (
+            collect_cardinality_samples,
+            collect_query_samples,
+        )
+
+        stem = ns.training_data.removesuffix(".parquet")
+        qs = collect_query_samples(spark, corpus, base)
+        qs.to_parquet(f"{stem}_queries.parquet")
+        cs = collect_cardinality_samples(spark, corpus, base)
+        cs.to_parquet(f"{stem}_cardinalities.parquet")
+        print(
+            f"training data -> {stem}_queries.parquet ({len(qs)} samples), "
+            f"{stem}_cardinalities.parquet ({len(cs)} join labels)"
+        )
 
 
 if __name__ == "__main__":

@@ -53,6 +53,10 @@ QUERIES = [
     "text_boilerplate_ngrams",
     "corpus_seq_packing",
     "quality_common_token_ratio",
+    "ann_pq_adc_topk",
+    "events_funnel",
+    "corpus_chunk_windows",
+    "sketch_countmin_tokens",
 ]
 
 _DIMS = ["region", "nation", "customer", "supplier", "part"]
