@@ -438,3 +438,39 @@ def test_countmin_overestimates_and_stays_keyed(registry, spark, sf_small):
     # 1024-cell sketch and 20-token coord frames ride broadcast joins
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_counts_are_monotone(registry, spark, sf_small):
+    rows = _build(registry, spark, sf_small, "events_funnel").collect()
+    counts = [r.n_users for r in sorted(rows, key=lambda r: r.step_no)]
+    assert len(counts) == 3 and counts[0] > 0
+    # a funnel can only narrow
+    assert counts[0] >= counts[1] >= counts[2]
+
+
+def test_chunk_windows_cover_every_token(registry, spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from postbound_spark.catalog import load_table
+    from postbound_spark.functions import text as T
+
+    chunks = _build(registry, spark, sf_small, "corpus_chunk_windows")
+    per_doc = {
+        r.doc_id: (r.n_chunks, r.total)
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("total"),
+        )
+        .collect()
+    }
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n")
+    )
+    for r in docs.collect():
+        n_chunks, total = per_doc[r.doc_id]
+        # stride-16 windows of size 32: every token appears in >= 1 chunk
+        # and interior tokens in exactly 2, so total covered positions sit
+        # between n and 2n
+        assert n_chunks == max((r.n - 32 + 15) // 16, 0) + 1
+        assert r.n <= total <= 2 * r.n
