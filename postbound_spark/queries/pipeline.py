@@ -1191,6 +1191,54 @@ def events_funnel(spark, sf_dir):
     )
 
 
+@query(
+    "events_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(min(ts)) / 604800000000) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(a.active_week - f.cohort_week AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM first_seen f JOIN activity a USING (user_id)
+GROUP BY f.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each later week they were active — the (cohort, offset, n_users)
+    triangle behind every retention curve. Weeks are integer epoch-week
+    buckets (floor of epoch microseconds / one week), so bucket math is
+    exact and engine-independent.
+
+    Scale shape: both the first-seen aggregate and the distinct activity
+    set shuffle once on user_id, the join reuses that co-partitioning,
+    and the final (cohort, offset) rollup is a partial-agg shuffle over a
+    tiny key space. The event log is never moved by anything except
+    user_id."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = F.floor(F.unix_micros(F.col("ts")) / F.lit(604800000000)).cast("long")
+    first_seen = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary plumbing
 # ---------------------------------------------------------------------------

@@ -474,3 +474,23 @@ def test_chunk_windows_cover_every_token(registry, spark, sf_small):
         # between n and 2n
         assert n_chunks == max((r.n - 32 + 15) // 16, 0) + 1
         assert r.n <= total <= 2 * r.n
+
+
+def test_cohort_retention_keyed_on_user_then_tiny_rollup(registry, spark, sf_small):
+    import re as _re
+
+    df = _build(registry, spark, sf_small, "events_cohort_retention")
+    rows = df.collect()
+    # offset 0 row exists per cohort and dominates (every user is active
+    # in their own first week)
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_users
+    for offsets in by_cohort.values():
+        assert 0 in offsets
+        assert all(offsets[0] >= n for n in offsets.values())
+    plan = _formatted_plan(df)
+    keys = set(_re.findall(r"hashpartitioning\((\w+)#", plan))
+    # the event log shuffles only on user_id; the final rollup's key pair
+    # is the only other exchange
+    assert keys <= {"user_id", "cohort_week", "week_offset"}, keys
