@@ -115,3 +115,46 @@ def test_generated_corpus_covers_the_grammar():
         "GROUP BY gkey0",
     ):
         assert construct in corpus, f"corpus never generates {construct}"
+
+
+def test_generated_queries_are_join_order_invariant(spark, sf_small):
+    """Fuzzed join-order invariance: generated multi-table queries
+    executed under the UES pessimistic forced order must reproduce the
+    native order's results (float-tolerant — double SUMs accumulate in
+    order-dependent sequence). Subquery-bearing and explicit-JOIN texts
+    are skipped: forced orders re-fold the comma-FROM join graph only."""
+    from postbound_spark.experiments import _plan_order, _prepared_tables
+    from postbound_spark.plans.parser import to_query_spec
+
+    cat = load_tables(spark, sf_small, sorted(SCHEMA))
+    for name, df in cat.items():
+        df.createOrReplaceTempView(name)
+
+    gen = QueryGenerator(seed=SEED + 7)
+    checked, failures = 0, []
+    for label, sql in gen.generate(120).items():
+        if checked >= 40:
+            break
+        if "(SELECT" in sql or " JOIN " in sql:
+            continue
+        parsed = parse_query(sql)
+        if len(parsed.from_tables) < 2:
+            continue
+        spec = to_query_spec(parsed)
+        tables = _prepared_tables(parsed, cat)
+        order, _ = _plan_order(spark, "ues", parsed, spec, tables)
+        native = compile_plan(parse_relalg(parsed), spark, cat).toPandas()
+        forced = compile_plan(
+            parse_relalg(parsed, join_order=list(order)), spark, cat
+        ).toPandas()
+        fc = _float_columns(native, forced)
+        diffs = [
+            (l, r)
+            for l, r in zip(_normalize(native, fc), _normalize(forced, fc))
+            if not _rows_close(l, r)
+        ]
+        if len(native) != len(forced) or diffs:
+            failures.append((label, sql, diffs[:2]))
+        checked += 1
+    assert checked >= 30, f"only {checked} eligible queries generated"
+    assert not failures, failures[:3]
