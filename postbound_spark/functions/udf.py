@@ -63,6 +63,27 @@ def pb_xor_agg(values: pd.Series) -> int | None:
     return acc
 
 
+def xml_agg(fragments: pd.Series) -> str | None:
+    """Aggregate (GROUPED_AGG) UDF: ``xml_agg`` — concatenate XML
+    fragments per group (ref AggregateFunctions XML_AGG,
+    qal/_qal.py:770-792 — the one reference aggregate with no built-in
+    Spark spelling; SURVEY §2.3 previously carried it as the single
+    documented gap).
+
+    PostgreSQL's xml_agg without ORDER BY is input-order-nondeterministic;
+    a distributed engine cannot reproduce an unspecified order, so this
+    implementation ALWAYS sorts fragments lexicographically — equivalent
+    to ``xml_agg(x ORDER BY x)``, deterministic under any partitioning and
+    therefore oracle-checkable. Compose the fragments with concat
+    (``'<tag>' || v || '</tag>'``) in the query — PostgreSQL's
+    ``xmlelement`` — and the result is byte-equal to Postgres on sorted
+    input."""
+    non_null = fragments.dropna()
+    if non_null.empty:
+        return None
+    return "".join(sorted(non_null.astype(str)))
+
+
 _TOKEN_SPLIT = re.compile(r"\s+")
 
 
@@ -94,4 +115,5 @@ def register_all(spark: SparkSession) -> None:
 
     spark.udf.register("pb_doc_hash", pandas_udf(pb_doc_hash, "long"))
     spark.udf.register("pb_xor_agg", pandas_udf(pb_xor_agg, "long"))
+    spark.udf.register("xml_agg", pandas_udf(xml_agg, "string"))
     spark.udtf.register("pb_tokenize", udtf(pb_tokenize, returnType="pos int, token string"))

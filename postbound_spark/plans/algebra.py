@@ -59,6 +59,9 @@ AGGREGATE_FUNCTIONS = frozenset({
     "stddev_pop", "stddev_samp", "var_pop", "var_samp", "variance",
     "approx_count_distinct", "first", "last", "mean", "median", "mode",
     "percentile", "percentile_approx", "kurtosis", "skewness",
+    # xml_agg resolves to the registered GROUPED_AGG UDAF
+    # (functions/udf.py) — call register_all(spark) before compiling
+    "xml_agg",
 })
 
 _AGG_CALL_RE = re.compile(

@@ -158,3 +158,28 @@ def test_generated_queries_are_join_order_invariant(spark, sf_small):
         checked += 1
     assert checked >= 30, f"only {checked} eligible queries generated"
     assert not failures, failures[:3]
+
+
+def test_xml_agg_parses_and_compiles_natively(spark, sf_small):
+    """xml_agg through the FULL native pipeline (parse -> relalg ->
+    compile): the registered GROUPED_AGG UDAF resolves by name, closing
+    the last SURVEY §2.3 gap. Deterministic: the UDAF sorts fragments."""
+    from postbound_spark.functions.udf import register_all
+
+    register_all(spark)
+    cat = load_tables(spark, sf_small, ["nation"])
+    sql = (
+        "SELECT n_regionkey, xml_agg('<n>' || n_name || '</n>') AS nations "
+        "FROM nation GROUP BY n_regionkey"
+    )
+    rows = {
+        r.n_regionkey: r.nations
+        for r in compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect()
+    }
+    assert len(rows) == 5
+    for xml in rows.values():
+        assert xml.startswith("<n>NATION_") and xml.endswith("</n>")
+        # sorted fragments (full fragment text, suffix included):
+        # deterministic across partitionings
+        frags = [f"<n>{f}</n>" for f in xml.replace("</n>", "").split("<n>")[1:]]
+        assert frags == sorted(frags)
