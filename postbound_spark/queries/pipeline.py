@@ -1192,6 +1192,76 @@ def events_funnel(spark, sf_dir):
 
 
 @query(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH t AS (SELECT doc_id, unnest({_WS_TOKS}) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM tf GROUP BY token
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf FROM (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+ORDER BY doc_id, tfidf DESC, token
+""",
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Top-3 terms per document by TF-IDF with a rational idf surrogate
+    (``n_docs / df`` — no logarithm, so both engines agree bit-for-bit
+    before the single documented round; the log damps RANKING only when
+    candidates differ by idf alone, which the tf factor already
+    dominates here).
+
+    The inverted-index build every retrieval/keyword system runs: one
+    (doc, token) count shuffle, document frequencies as a map-side
+    partial agg OVER that frame (no second corpus scan), the df table
+    joined back by token, and a per-doc top-k window. At 100 TB the df
+    table is vocabulary-sized — orders smaller than the corpus — and
+    everything else is keyed on doc or token."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = stage_cache(tf)
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "token")
+    )
+
+
+@query(
     "events_cohort_retention",
     oracle="""
 WITH first_seen AS (

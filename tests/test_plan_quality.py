@@ -494,3 +494,17 @@ def test_cohort_retention_keyed_on_user_then_tiny_rollup(registry, spark, sf_sma
     # the event log shuffles only on user_id; the final rollup's key pair
     # is the only other exchange
     assert keys <= {"user_id", "cohort_week", "week_offset"}, keys
+
+
+def test_tfidf_builds_df_from_tf_not_second_scan(registry, spark, sf_small):
+    df = _build(registry, spark, sf_small, "text_tfidf_topk")
+    plan = _formatted_plan(df)
+    # document frequencies aggregate OVER the cached tf frame, not a
+    # second corpus explode: exactly one scan of documents' text column
+    # (the n_docs count reads no text) feeds the whole query
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "WindowGroupLimit" in plan  # per-doc top-3 cut pre-shuffle
+    assert "CartesianProduct" not in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
