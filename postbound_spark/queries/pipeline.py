@@ -1262,6 +1262,89 @@ def text_tfidf_topk(spark, sf_dir):
 
 
 @query(
+    "text_bm25_topk",
+    oracle=f"""
+WITH t AS (SELECT doc_id, unnest({_WS_TOKS}) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         avg(CAST(dl AS DOUBLE)) AS avgdl
+  FROM dl
+),
+qterm AS (SELECT unnest(['table', 'scan', 'fast']) AS token),
+df AS (
+  SELECT tf.token, CAST(count(*) AS BIGINT) AS df
+  FROM tf JOIN qterm USING (token) GROUP BY tf.token
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(CAST((stats.n_docs - df.df + 0.5) AS DOUBLE) / (df.df + 0.5)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM tf
+  JOIN df USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+""",
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (Robertson–Sparck Jones) for a fixed keyword query
+    — k1=1.2, b=0.75, and the RATIONAL idf variant
+    ``(N - df + 0.5)/(df + 0.5)`` (the log in standard BM25 is a
+    monotone damp; dropping it preserves per-term ranking and keeps the
+    arithmetic transcendental-free, so both engines agree to the last
+    bit before the single round).
+
+    The search-engine scoring shape at scale: the query's 3 terms prune
+    the df build to a broadcast-sized table, document lengths and the
+    (n_docs, avgdl) scalar broadcast alongside, and scoring touches only
+    postings of query terms — one (doc, token) count shuffle + one
+    per-doc sum, TakeOrdered for the top-10."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    tf = stage_cache(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qterm = spark.range(1).select(
+        F.explode(F.array(F.lit("table"), F.lit("scan"), F.lit("fast"))).alias("token")
+    )
+    df = tf.join(F.broadcast(qterm), "token").groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    term_score = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("s"))
+        .select("doc_id", F.round("s", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
     "events_cohort_retention",
     oracle="""
 WITH first_seen AS (

@@ -508,3 +508,16 @@ def test_tfidf_builds_df_from_tf_not_second_scan(registry, spark, sf_small):
     from postbound_spark.queries.pipeline import release_stage_caches
 
     release_stage_caches()
+
+
+def test_bm25_scores_only_query_term_postings(registry, spark, sf_small):
+    df = _build(registry, spark, sf_small, "text_bm25_topk")
+    plan = _formatted_plan(df)
+    # the 3-term query frame, its df table, and the (n_docs, avgdl)
+    # scalar all broadcast; the top-10 is TakeOrdered, never a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
