@@ -1158,36 +1158,43 @@ def events_funnel(spark, sf_dir):
     and never move the event log by anything else. Step frames shrink
     monotonically (funnel!), so the later joins are the cheap side."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        ev.join(s1, "user_id")
-        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.join(s2, "user_id")
-        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
 
-    def level(no: int, name: str, frame: DataFrame) -> DataFrame:
-        return frame.agg(
+    # fold the step chain: each stage keeps (user_id, milestone ts) for
+    # users whose first qualifying event follows the previous milestone
+    step = None
+    frames = []
+    for event_type in ("view", "click", "purchase"):
+        nxt = ev.filter(F.col("event_type") == event_type)
+        if step is not None:
+            nxt = nxt.join(step, "user_id").filter(F.col("ts") > F.col("milestone"))
+        step = nxt.groupBy("user_id").agg(F.min("ts").alias("milestone"))
+        frames.append(step)
+
+    names = ("view", "view>click", "view>click>purchase")
+    levels = [
+        frame.agg(
             F.lit(no).alias("step_no"),
             F.lit(name).alias("step"),
             F.count(F.lit(1)).alias("n_users"),
         )
+        for no, (name, frame) in enumerate(zip(names, frames), start=1)
+    ]
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out.orderBy("step_no")
 
-    return (
-        level(1, "view", s1)
-        .unionByName(level(2, "view>click", s2))
-        .unionByName(level(3, "view>click>purchase", s3))
-        .orderBy("step_no")
+
+def _token_counts(spark, sf_dir):
+    """(doc_id, token, tf) postings frame behind a stage cache — ONE
+    tokenization + one (doc, token) shuffle shared by the TF-IDF and
+    BM25 retrieval builds (the `_ws_bigram_projection` discipline: a
+    frame two operators claim to share is defined once)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stage_cache(
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
@@ -1233,12 +1240,7 @@ def text_tfidf_topk(spark, sf_dir):
     table is vocabulary-sized — orders smaller than the corpus — and
     everything else is keyed on doc or token."""
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    tf = stage_cache(tf)
+    tf = _token_counts(spark, sf_dir)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -1310,11 +1312,7 @@ def text_bm25_topk(spark, sf_dir):
     (n_docs, avgdl) scalar broadcast alongside, and scoring touches only
     postings of query terms — one (doc, token) count shuffle + one
     per-doc sum, TakeOrdered for the top-10."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
-    tf = stage_cache(
-        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = _token_counts(spark, sf_dir)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
