@@ -72,12 +72,15 @@ def xml_agg(fragments: pd.Series) -> str | None:
 
     PostgreSQL's xml_agg without ORDER BY is input-order-nondeterministic;
     a distributed engine cannot reproduce an unspecified order, so this
-    implementation ALWAYS sorts fragments lexicographically — equivalent
-    to ``xml_agg(x ORDER BY x)``, deterministic under any partitioning and
-    therefore oracle-checkable. Compose the fragments with concat
-    (``'<tag>' || v || '</tag>'``) in the query — PostgreSQL's
-    ``xmlelement`` — and the result is byte-equal to Postgres on sorted
-    input."""
+    implementation ALWAYS sorts the FRAGMENT TEXT lexicographically —
+    deterministic under any partitioning and therefore oracle-checkable.
+    NB: fragment order is the order of the composed strings, tag markup
+    included, which can differ from ordering by the inner value when one
+    value is a proper prefix of another (``<n>NATION_11</n>`` sorts
+    before ``<n>NATION_1</n>`` because ``'1' < '<'``) — an oracle must
+    spell ``ORDER BY <fragment expression>``, never ``ORDER BY <value>``.
+    Compose fragments with concat (``'<tag>' || v || '</tag>'``) in the
+    query — PostgreSQL's ``xmlelement`` for simple element content."""
     non_null = fragments.dropna()
     if non_null.empty:
         return None

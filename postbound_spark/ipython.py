@@ -38,7 +38,7 @@ def format_sql(query) -> str:
 
     def flush(newline_indent: str | None) -> None:
         chunk = "".join(buf).rstrip()
-        if not chunk.startswith("  AND"):  # keep the deliberate indent
+        if not chunk.startswith("  "):  # two spaces mark a deliberate indent
             chunk = chunk.lstrip()
         if chunk:
             out.append(chunk)
@@ -65,23 +65,30 @@ def format_sql(query) -> str:
         elif ch == ")":
             depth -= 1
         if depth == 0:
+            # identifier boundary includes '_': snake_case names embedding
+            # a keyword (o_limit, ship_from) must never tear; the appended
+            # text is the ORIGINAL slice, so case is preserved and the
+            # output stays lexically lossless
+            def _word(c: str) -> bool:
+                return c.isalnum() or c == "_"
+
             matched = next(
                 (
                     c
                     for c in _CLAUSES
                     if upper.startswith(c, i)
-                    and (i == 0 or not text[i - 1].isalnum())
-                    and not (i + len(c) < len(text) and text[i + len(c)].isalnum())
+                    and (i == 0 or not _word(text[i - 1]))
+                    and not (i + len(c) < len(text) and _word(text[i + len(c)]))
                 ),
                 None,
             )
             if matched and i > 0:
                 flush(None)
-                buf.append(matched)
+                buf.append(text[i : i + len(matched)])
                 i += len(matched)
                 continue
-            if upper.startswith("AND ", i) and not text[i - 1].isalnum():
-                flush("  AND")
+            if upper.startswith("AND ", i) and i > 0 and not _word(text[i - 1]):
+                flush("  " + text[i : i + 3])
                 i += 3
                 continue
         buf.append(ch)

@@ -1021,11 +1021,16 @@ def sketch_countmin_tokens(spark, sf_dir):
     d×w = 1024 counters regardless of corpus size — built here with one
     map-side-combined shuffle of (row, bucket) pairs (4 per token
     occurrence), exactly how you'd sketch per partition and merge by cell
-    at 100 TB. The md5 per (token, row) re-inlines under projection
-    collapse (4 kernels/token) — acceptable for a sketch build; heavy
-    reuse would stage the base hash like MinHash does."""
+    at 100 TB. The exploded token stream is staged so the sketch build
+    and the top-20 truth read one tokenization; the md5 per (token, row)
+    re-inlines under projection collapse (4 kernels/token) — acceptable
+    for a sketch build."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    # sketch build and top-20 truth both consume the exploded stream —
+    # stage it so the corpus is tokenized and scanned once
+    tok = stage_cache(
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    )
     P = 2147483647
     h = T.token_hash64(F.col("token")) % P
 

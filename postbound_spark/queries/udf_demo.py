@@ -94,7 +94,8 @@ def udf_tokenize_topk(spark, sf_dir):
     "expr_xml_agg",
     oracle="""
 SELECT c_nationkey,
-       string_agg('<seg>' || c_mktsegment || '</seg>', '' ORDER BY c_mktsegment) AS segments_xml
+       string_agg('<seg>' || c_mktsegment || '</seg>', ''
+                  ORDER BY '<seg>' || c_mktsegment || '</seg>') AS segments_xml
 FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) d
 GROUP BY c_nationkey
 ORDER BY c_nationkey
@@ -104,9 +105,11 @@ def expr_xml_agg(spark, sf_dir):
     """XML_AGG (ref AggregateFunctions XML_AGG — previously SURVEY §2.3's
     one documented gap): fragments built with `||` (PostgreSQL's
     xmlelement for simple element content) aggregated by the registered
-    ``xml_agg`` GROUPED_AGG UDAF, which sorts fragments so the result is
-    deterministic under any partitioning (== ``xml_agg(x ORDER BY x)``).
-    The DuckDB oracle reproduces it with an ordered string_agg."""
+    ``xml_agg`` GROUPED_AGG UDAF, which sorts the fragment TEXT so the
+    result is deterministic under any partitioning. The oracle must
+    ORDER BY the same fragment expression (NOT the bare value — markup
+    changes the sort when one value prefixes another; see the UDAF
+    docstring)."""
     from postbound_spark.functions.udf import register_all
 
     register_all(spark)

@@ -67,24 +67,32 @@ class StreamingKeepList:
         self._prev = os.path.join(state_dir, "pool_prev")
         os.makedirs(state_dir, exist_ok=True)
 
-    def _read_pool(self) -> DataFrame | None:
-        # crash recovery, newest complete generation first: a crash in
-        # process_batch's swap can leave (a) pool_next complete (_SUCCESS
-        # present) with pool already retired to pool_prev — finish the
-        # swap; (b) pool_next partial — fall back to pool, or to pool_prev
-        # when the crash hit between the two renames. The streaming
-        # checkpoint then replays the unfolded batch into that state
-        # (min-per-key is idempotent), so no committed survivor is lost.
+    def _recover(self) -> None:
+        """Finish an interrupted swap — newest complete generation first:
+        a crash in process_batch can leave (a) pool_next complete
+        (_SUCCESS present) with pool already retired to pool_prev —
+        finish the swap; (b) pool_next partial — restore pool_prev. The
+        streaming checkpoint then replays the unfolded batch into that
+        state (min-per-key is idempotent), so no committed survivor is
+        lost. Called ONLY from process_batch (single-threaded with the
+        swap): a reader performing these renames could steal pool_next
+        from under a concurrently swapping writer."""
         if not os.path.exists(self._pool):
             if os.path.exists(os.path.join(self._next, "_SUCCESS")):
                 os.replace(self._next, self._pool)
             elif os.path.exists(self._prev):
                 os.replace(self._prev, self._pool)
-        if not os.path.exists(self._pool):
-            return None
-        return self.spark.read.parquet(self._pool)
+
+    def _read_pool(self) -> DataFrame | None:
+        # pure read — serves the newest complete generation even inside a
+        # writer's swap window, without mutating any state
+        for candidate in (self._pool, self._next, self._prev):
+            if os.path.exists(os.path.join(candidate, "_SUCCESS")):
+                return self.spark.read.parquet(candidate)
+        return None
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self._recover()
         combined = _survivors(batch)
         pool = self._read_pool()
         if pool is not None:

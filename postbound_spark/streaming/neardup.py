@@ -39,24 +39,20 @@ from postbound_spark.streaming.curation import DOCS_SCHEMA
 __all__ = ["StreamingNearDup", "run_near_dup_stream"]
 
 
-def _batch_features(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(doc_id, sh) shingle sets and (doc_id, bkey) band postings for one
-    micro-batch — identical kernels and parameters (8 hashes, 4×2 bands)
-    to the batch operator."""
+def _batch_features(batch: DataFrame) -> DataFrame:
+    """(doc_id, sh, sig) per micro-batch document — identical kernels and
+    parameters (8 hashes, 4×2 bands) to the batch operator. Callers
+    persist this frame before deriving the shingle and posting shards so
+    the tokenize→shingle→md5→MinHash lineage evaluates once."""
     toks = batch.select("doc_id", T.tokens(F.col("text")).alias("toks")).filter(
         F.size(F.col("toks")) >= 3
     )
     d = toks.select("doc_id", T.word_shingles(F.col("toks")).alias("sh")).withColumn(
         "hs", T.shingle_hashes31(F.col("sh"))
     )
-    sig = d.select(
+    return d.select(
         "doc_id", "sh", T.minhash_signature_from_hashes(F.col("hs"), 8).alias("sig")
     )
-    shingles = sig.select("doc_id", "sh")
-    postings = sig.select(
-        "doc_id", F.explode(T.lsh_band_keys(F.col("sig"), 4, 2)).alias("bkey")
-    )
-    return shingles, postings
 
 
 class StreamingNearDup:
@@ -79,13 +75,26 @@ class StreamingNearDup:
         return os.path.join(self.state_dir, name, f"batch={batch_id:06d}")
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        shingles, postings = _batch_features(batch)
         # land this batch's index shards first (overwrite = idempotent
         # replay), then join the batch against the WHOLE index including
         # itself — within-batch pairs and batch-vs-history pairs fall out
-        # of one salted band join
-        shingles.write.mode("overwrite").parquet(self._batch_dir("shingles", batch_id))
-        postings.write.mode("overwrite").parquet(self._batch_dir("postings", batch_id))
+        # of one salted band join. The two shard writes derive from ONE
+        # persisted evaluation of the tokenize→shingle→md5→MinHash
+        # lineage — the kernel cost the module docstring calls the
+        # expensive part would otherwise be paid twice per batch
+        sig = _batch_features(batch).persist()
+        try:
+            sig.select("doc_id", "sh").write.mode("overwrite").parquet(
+                self._batch_dir("shingles", batch_id)
+            )
+            sig.select(
+                "doc_id",
+                F.explode(T.lsh_band_keys(F.col("sig"), 4, 2)).alias("bkey"),
+            ).write.mode("overwrite").parquet(
+                self._batch_dir("postings", batch_id)
+            )
+        finally:
+            sig.unpersist()
 
         new_post = self.spark.read.parquet(self._batch_dir("postings", batch_id))
         all_post = self._store("postings")

@@ -88,3 +88,21 @@ def test_setup_registers_with_ipython():
     rendered = pretty.pretty(q)
     assert rendered.splitlines()[0].startswith("SELECT")
     assert "WHERE" in rendered
+
+
+def test_format_sql_never_tears_snake_case_identifiers():
+    """Identifiers embedding a clause keyword after '_' must stay intact,
+    lowercase keywords keep their case, and a leading AND is untouched —
+    all under the lossless re-join guarantee."""
+    for sql in (
+        "SELECT o_limit, ship_from FROM t WHERE union_flag = 1",
+        "select a from t where x = 1 and y = 2",
+        "AND leading fragment",
+    ):
+        got = format_sql(sql)
+        assert " ".join(got.split()) == " ".join(sql.split()), (sql, got)
+    assert "o_limit, ship_from" in format_sql(
+        "SELECT o_limit, ship_from FROM t WHERE union_flag = 1"
+    )
+    lowered = format_sql("select a from t where x = 1 and y = 2")
+    assert "\nfrom t" in lowered and "\n  and y = 2" in lowered

@@ -88,19 +88,27 @@ def test_pool_swap_recovers_from_crash_windows(spark, sf_small, tmp_path):
     want = _rows(sink.keep_list())
     pool, prev, nxt = sink._pool, sink._prev, sink._next
 
-    # window 1: crash between the two renames — pool retired, next complete
+    # window 1: crash between the two renames — pool retired, next
+    # complete. A READER inside the window serves pool_next without
+    # mutating anything; the next batch's _recover() finishes the swap.
     shutil.copytree(pool, nxt)
     os.rename(pool, prev)
     assert _rows(StreamingKeepList(spark, state).keep_list()) == want
+    assert not os.path.exists(pool)  # the read stayed pure
+    writer = StreamingKeepList(spark, state)
+    writer._recover()
+    assert os.path.exists(pool) and not os.path.exists(nxt)
+    assert _rows(StreamingKeepList(spark, state).keep_list()) == want
 
     # window 2: crash mid-write of pool_next — partial (no _SUCCESS),
-    # current pool already gone but the previous generation survives
-    # (recovery leaves pool_prev for process_batch's lazy cleanup — clear
-    # it here the way the next batch would before retiring the pool)
-    sink2 = StreamingKeepList(spark, state)
-    shutil.rmtree(sink2._prev, ignore_errors=True)
-    shutil.rmtree(sink2._next, ignore_errors=True)
-    shutil.copytree(sink2._pool, sink2._next)
-    os.remove(os.path.join(sink2._next, "_SUCCESS"))
-    os.rename(sink2._pool, sink2._prev)
+    # current pool already retired; readers and recovery both fall back
+    # to the previous generation
+    shutil.rmtree(prev, ignore_errors=True)
+    shutil.rmtree(nxt, ignore_errors=True)
+    shutil.copytree(pool, nxt)
+    os.remove(os.path.join(nxt, "_SUCCESS"))
+    os.rename(pool, prev)
+    assert _rows(StreamingKeepList(spark, state).keep_list()) == want
+    StreamingKeepList(spark, state)._recover()
+    assert os.path.exists(pool)
     assert _rows(StreamingKeepList(spark, state).keep_list()) == want

@@ -30,8 +30,9 @@ def test_streaming_neardup_matches_batch(spark, sf_small, tmp_path, reverse):
     sink = run_near_dup_stream(spark, flat, str(tmp_path / "state"))
     got_rows = sink.pairs().collect()
     assert _pair_set(got_rows) == want
-    # exactly once: no pair appears in two batch directories
-    assert len(got_rows) == len(want)
+    # exactly once: the PRE-distinct store holds each pair in exactly one
+    # batch directory (pairs() applies distinct, so count it raw)
+    assert sink._store("pairs").count() == len(want)
 
 
 def test_streaming_neardup_replay_is_idempotent(spark, sf_small, tmp_path):
