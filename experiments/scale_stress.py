@@ -57,6 +57,9 @@ QUERIES = [
     "events_funnel",
     "corpus_chunk_windows",
     "sketch_countmin_tokens",
+    "text_tfidf_topk",
+    "text_bm25_topk",
+    "events_cohort_retention",
 ]
 
 _DIMS = ["region", "nation", "customer", "supplier", "part"]
