@@ -224,3 +224,46 @@ def test_generator_output_merges_across_corpora(spark, imdb_tables, tmp_path):
     )
     assert len(merged) == 2 and merged.spec == spec
     assert not math.isnan(merged.as_df().runtime_ms.sum())
+
+
+# ---------------------------------------------------------------------------
+# spec algebra properties
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_features = st.lists(
+    st.sampled_from(["query", "runtime_ms", "cardinality", "query_plan", "cost", "custom_x"]),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_features)
+def test_spec_satisfies_is_reflexive(feats):
+    spec = TrainingSpec(feats)
+    assert bool(spec.satisfies(spec))
+
+
+@settings(max_examples=50, deadline=None)
+@given(_features, _features)
+def test_spec_satisfies_iff_subset(a, b):
+    provider, required = TrainingSpec(a), TrainingSpec(b)
+    assert bool(provider.satisfies(required)) == (
+        set(required.features) <= set(provider.features)
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(_features, _features)
+def test_conform_is_idempotent_and_exact(a, b):
+    provider = TrainingSpec(a + b)  # guarantees b ⊆ provider
+    df = pd.DataFrame({f: [1] for f in provider.features})
+    data = TrainingData.from_df(df)
+    target = TrainingSpec(b)
+    shaped = data.conform_to(target)
+    assert shaped.spec == target
+    assert shaped.conform_to(target).spec == target
+    assert list(shaped.as_df().columns) == list(target.features)
