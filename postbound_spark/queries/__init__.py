@@ -120,6 +120,8 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-4: new capabilities ---
+    "parsed_ssb_partbrand",
+    "parsed_ssb_geography",
     "text_bm25_topk",
     "text_tfidf_topk",
     "expr_xml_agg",

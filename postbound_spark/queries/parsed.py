@@ -302,3 +302,32 @@ def parsed_fetch_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-subquery spelling, since no mainstream engine runs FETCH
     PRIOR outside a cursor."""
     return _native(spark, sf_dir, _FETCH_PRIOR_SQL, ["orders"])
+
+
+def _ssb_text(name: str) -> str:
+    from postbound_spark.workloads import ssb_shaped_corpus
+
+    return ssb_shaped_corpus()[name]
+
+
+@query("parsed_ssb_partbrand", oracle=_ssb_text("ssb_q2_1"))
+def parsed_ssb_partbrand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSB flight-2 query (part × supplier geography, GROUP BY a select
+    ALIAS of an EXTRACT expression — the output-name resolution the SSB
+    corpus surfaced) through the fully native pipeline; the oracle is the
+    identical corpus text on DuckDB."""
+    return _native(
+        spark, sf_dir, _ssb_text("ssb_q2_1"),
+        ["lineitem", "orders", "part", "supplier", "nation", "region"],
+    )
+
+
+@query("parsed_ssb_geography", oracle=_ssb_text("ssb_q3_1"))
+def parsed_ssb_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSB flight-3 query (customer AND supplier geography: nation/region
+    joined twice under different aliases, two aliased n_name group keys
+    that must not collide) through the fully native pipeline."""
+    return _native(
+        spark, sf_dir, _ssb_text("ssb_q3_1"),
+        ["lineitem", "orders", "customer", "supplier", "nation", "region"],
+    )
