@@ -521,3 +521,14 @@ def test_bm25_scores_only_query_term_postings(registry, spark, sf_small):
     from postbound_spark.queries.pipeline import release_stage_caches
 
     release_stage_caches()
+
+
+def test_ssb_native_path_broadcasts_every_dimension(registry, spark, sf_small):
+    for name in ("parsed_ssb_partbrand", "parsed_ssb_geography"):
+        plan = _formatted_plan(_build(registry, spark, sf_small, name))
+        # the star's dimension chains (incl. nation/region joined twice)
+        # all broadcast against the lineitem⋈orders fact; the region
+        # selection reaches the parquet scan
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "PushedFilters: [" in plan, name
