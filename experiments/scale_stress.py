@@ -132,11 +132,16 @@ def build_scaled_dir(spark, src: str, factor: int) -> str:
         # would grow every cluster xfactor and the pair OUTPUT xfactor^2,
         # measuring the problem definition rather than the operator.
         vowels = "aeiou"
-        cons = "rstln"
+        cons = "rstlnmdpgb"  # 5 x 10 rotation pairs: distinct for factor <= 50
         v = vowels[i % 5 :] + vowels[: i % 5]
-        c = cons[i // 5 % 5 :] + cons[: i // 5 % 5]
+        c = cons[i // 5 % 10 :] + cons[: i // 5 % 10]
         if i == 0:
             return F.col("text")
+        if i >= 50:  # rotation space exhausted — salt with a copy token
+            return F.concat(
+                F.translate(F.col("text"), vowels + cons, v + c),
+                F.lit(f" copyslice{i}"),
+            )
         return F.translate(F.col("text"), vowels + cons, v + c)
 
     write(
