@@ -120,6 +120,7 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-4: new capabilities ---
+    "profile_key_skew",
     "parsed_ssb_partbrand",
     "parsed_ssb_geography",
     "text_bm25_topk",

@@ -1395,6 +1395,68 @@ def events_cohort_retention(spark, sf_dir):
     )
 
 
+@query(
+    "profile_key_skew",
+    oracle="""
+SELECT join_col, key, cnt, share_ppm FROM (
+  SELECT join_col, key, cnt,
+         CAST(floor(cnt * 1000000.0
+                    / CAST(sum(cnt) OVER (PARTITION BY join_col) AS DOUBLE))
+              AS BIGINT) AS share_ppm,
+         row_number() OVER (PARTITION BY join_col ORDER BY cnt DESC, key) AS rn
+  FROM (
+    SELECT 'l_orderkey' AS join_col, CAST(l_orderkey AS BIGINT) AS key,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_orderkey
+    UNION ALL
+    SELECT 'l_partkey', CAST(l_partkey AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM lineitem GROUP BY l_partkey
+    UNION ALL
+    SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM lineitem GROUP BY l_suppkey
+  )
+)
+WHERE rn <= 5
+ORDER BY join_col, cnt DESC, key
+""",
+)
+def profile_key_skew(spark, sf_dir):
+    """Join-key skew profile: the 5 heaviest keys of each lineitem join
+    column with their row counts and corpus share (ppm) — the diagnostic
+    a salting/AQE-skew decision is made from (`operators/skew.py` docs:
+    salt when one key's share makes a single reducer the critical path).
+
+    One scan, one multi-key pass: the three histograms are independent
+    partial-agg shuffles over the same fact scan, each reduced to a
+    per-column top-5 by a WindowGroupLimit-able rank. At 100 TB this is
+    the profiling query you run BEFORE choosing a join strategy — its
+    own cost is three wordcount-shaped aggregations, never a join."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def hist(col: str) -> DataFrame:
+        return (
+            li.groupBy(F.col(col).cast("long").alias("key"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(col).alias("join_col"), "key", "cnt")
+        )
+
+    hists = hist("l_orderkey").unionByName(hist("l_partkey")).unionByName(
+        hist("l_suppkey")
+    )
+    w = Window.partitionBy("join_col")
+    rank_w = Window.partitionBy("join_col").orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        hists.withColumn(
+            "share_ppm",
+            F.floor(F.col("cnt") * 1000000.0 / F.sum("cnt").over(w)).cast("long"),
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 5)
+        .select("join_col", "key", "cnt", "share_ppm")
+        .orderBy("join_col", F.desc("cnt"), "key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary plumbing
 # ---------------------------------------------------------------------------
