@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import sys
 import time
 
@@ -70,9 +71,15 @@ def build_scaled_dir(spark, src: str, factor: int) -> str:
     from pyspark.sql import functions as F
 
     dst = os.path.join(CACHE_ROOT, f"x{factor}")
+    # the marker encodes the GENERATOR version: a fixture built by an
+    # older mutation scheme must rebuild, not silently serve — mixing
+    # corpora across schemes would skew exactly the dedup/n-gram
+    # exponents this harness gates
     marker = os.path.join(dst, ".complete")
-    if os.path.exists(marker):
+    stamp = f"factor={factor} src={src} mutation=v2-rot5x10\n"
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return dst
+    shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst, exist_ok=True)
 
     def copies(df, exprs_per_copy):
@@ -133,15 +140,19 @@ def build_scaled_dir(spark, src: str, factor: int) -> str:
         # measuring the problem definition rather than the operator.
         vowels = "aeiou"
         cons = "rstlnmdpgb"  # 5 x 10 rotation pairs: distinct for factor <= 50
+        if i >= 50:
+            # a copy token would only break EXACT duplication — copies 50
+            # apart would stay ~0.99-Jaccard near-dups and the pair
+            # output would go quadratic again, measuring the problem
+            # definition instead of the operator
+            raise ValueError(
+                "factor > 50 exhausts the rotation space — widen the "
+                "consonant alphabet before scaling further"
+            )
         v = vowels[i % 5 :] + vowels[: i % 5]
         c = cons[i // 5 % 10 :] + cons[: i // 5 % 10]
         if i == 0:
             return F.col("text")
-        if i >= 50:  # rotation space exhausted — salt with a copy token
-            return F.concat(
-                F.translate(F.col("text"), vowels + cons, v + c),
-                F.lit(f" copyslice{i}"),
-            )
         return F.translate(F.col("text"), vowels + cons, v + c)
 
     write(
@@ -185,7 +196,7 @@ def build_scaled_dir(spark, src: str, factor: int) -> str:
         "events",
     )
     with open(marker, "w") as fh:
-        fh.write(f"factor={factor} src={src}\n")
+        fh.write(stamp)
     return dst
 
 

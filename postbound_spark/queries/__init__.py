@@ -147,9 +147,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #     op_selection / op_map_expressions sit out — every composite
     #     query exercises scan+filter+projection transitively. The new
     #     capabilities above push the tail of this list past the
-    #     driver's 50-slot window; the overflow (q3..q9 + top_suppliers,
-    #     all r1-green AND re-run every round by bench + pytest) rolls
-    #     to the round-5 rotation ---
+    #     driver's 50-slot window; the overflow (the trailing TPC-H
+    #     family from q18 onward — all r1-green AND re-run every round
+    #     by bench + pytest) rolls to the round-5 rotation ---
     "ir_count_star_transform",
     "ir_market_share",
     "latest_order_per_customer",

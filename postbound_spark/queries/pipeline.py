@@ -1398,26 +1398,29 @@ def events_cohort_retention(spark, sf_dir):
 @query(
     "profile_key_skew",
     oracle="""
-SELECT join_col, key, cnt, share_ppm FROM (
+WITH kv AS (
+  SELECT u.join_col,
+         CASE u.join_col WHEN 'l_orderkey' THEN l_orderkey
+                         WHEN 'l_partkey' THEN l_partkey
+                         ELSE l_suppkey END AS key
+  FROM lineitem,
+       (SELECT unnest(['l_orderkey', 'l_partkey', 'l_suppkey']) AS join_col) u
+),
+hist AS (
+  SELECT join_col, CAST(key AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM kv GROUP BY join_col, key
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+ranked AS (
   SELECT join_col, key, cnt,
-         CAST(floor(cnt * 1000000.0
-                    / CAST(sum(cnt) OVER (PARTITION BY join_col) AS DOUBLE))
-              AS BIGINT) AS share_ppm,
          row_number() OVER (PARTITION BY join_col ORDER BY cnt DESC, key) AS rn
-  FROM (
-    SELECT 'l_orderkey' AS join_col, CAST(l_orderkey AS BIGINT) AS key,
-           CAST(count(*) AS BIGINT) AS cnt
-    FROM lineitem GROUP BY l_orderkey
-    UNION ALL
-    SELECT 'l_partkey', CAST(l_partkey AS BIGINT), CAST(count(*) AS BIGINT)
-    FROM lineitem GROUP BY l_partkey
-    UNION ALL
-    SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT), CAST(count(*) AS BIGINT)
-    FROM lineitem GROUP BY l_suppkey
-  )
+  FROM hist
 )
-WHERE rn <= 5
-ORDER BY join_col, cnt DESC, key
+SELECT r.join_col, r.key, r.cnt,
+       CAST(floor(r.cnt * 1000000.0 / CAST(t.n AS DOUBLE)) AS BIGINT) AS share_ppm
+FROM ranked r CROSS JOIN total t
+WHERE r.rn <= 5
+ORDER BY r.join_col, r.cnt DESC, r.key
 """,
 )
 def profile_key_skew(spark, sf_dir):
@@ -1426,33 +1429,44 @@ def profile_key_skew(spark, sf_dir):
     a salting/AQE-skew decision is made from (`operators/skew.py` docs:
     salt when one key's share makes a single reducer the critical path).
 
-    One scan, one multi-key pass: the three histograms are independent
-    partial-agg shuffles over the same fact scan, each reduced to a
-    per-column top-5 by a WindowGroupLimit-able rank. At 100 TB this is
-    the profiling query you run BEFORE choosing a join strategy — its
-    own cost is three wordcount-shaped aggregations, never a join."""
+    Single fact scan: the three columns melt into (join_col, key) pairs
+    map-side (explode of a 3-struct array — 3× rows, zero extra scans),
+    one partial-agg shuffle on the pair builds all histograms at once,
+    and the rank filter sits DIRECTLY on the window so WindowGroupLimit
+    cuts each partition to its top 5 before the 3-partition rank
+    exchange — no per-column-total window that would funnel every
+    distinct key through one task (the share denominator is the corpus
+    row count, one broadcast scalar)."""
     li = load_table(spark, sf_dir, "lineitem")
-
-    def hist(col: str) -> DataFrame:
-        return (
-            li.groupBy(F.col(col).cast("long").alias("key"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.lit(col).alias("join_col"), "key", "cnt")
-        )
-
-    hists = hist("l_orderkey").unionByName(hist("l_partkey")).unionByName(
-        hist("l_suppkey")
-    )
-    w = Window.partitionBy("join_col")
+    cols = ("l_orderkey", "l_partkey", "l_suppkey")
+    kv = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("join_col"),
+                        F.col(c).cast("long").alias("key"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("e")
+    ).select("e.join_col", "e.key")
+    hist = kv.groupBy("join_col", "key").agg(F.count(F.lit(1)).alias("cnt"))
+    total = li.agg(F.count(F.lit(1)).alias("n"))
     rank_w = Window.partitionBy("join_col").orderBy(F.desc("cnt"), F.asc("key"))
     return (
-        hists.withColumn(
-            "share_ppm",
-            F.floor(F.col("cnt") * 1000000.0 / F.sum("cnt").over(w)).cast("long"),
-        )
-        .withColumn("rn", F.row_number().over(rank_w))
+        hist.withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") <= 5)
-        .select("join_col", "key", "cnt", "share_ppm")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "join_col",
+            "key",
+            "cnt",
+            F.floor(F.col("cnt") * 1000000.0 / F.col("n").cast("double"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
         .orderBy("join_col", F.desc("cnt"), "key")
     )
 

@@ -528,7 +528,10 @@ def test_ssb_native_path_broadcasts_every_dimension(registry, spark, sf_small):
         plan = _formatted_plan(_build(registry, spark, sf_small, name))
         # the star's dimension chains (incl. nation/region joined twice)
         # all broadcast against the lineitem⋈orders fact; the region
-        # selection reaches the parquet scan
+        # selection reaches the parquet scan (assert the CONCRETE filter —
+        # a bare "PushedFilters: [" also matches the empty list every
+        # scan prints)
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
-        assert "PushedFilters: [" in plan, name
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert any("r_name" in l for l in pushed), name
