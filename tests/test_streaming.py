@@ -81,3 +81,77 @@ def test_output_mode_detection_ignores_aggregate_like_aliases(spark, sf_small):
     )
     got = run_available_now(s, "t_alias_mode")
     assert got.count() > 0  # append mode started and drained successfully
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """The late-data semantics the watermark exists for, pinned end to
+    end: an event arriving AFTER the watermark passed its window is
+    dropped from the appended aggregate; the identical batch aggregate
+    (no watermark) still counts it — so a regression that stops
+    advancing or applying the watermark flips this test."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from postbound_spark.streaming.windows import run_available_now
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def rows(*minutes):
+        return [(i, t0 + dt.timedelta(minutes=m), "view") for i, m in enumerate(minutes)]
+
+    schema = "event_id long, ts timestamp, event_type string"
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch 0: five on-time events (10:00 window) + one at 10:20 that
+    # advances the watermark to 10:10 for the NEXT batch
+    spark.createDataFrame(rows(0, 1, 2, 3, 4, 20), schema).coalesce(1).write.parquet(
+        str(src / "b0"), mode="overwrite"
+    )
+    # batch 1: a late event inside the already-closed 10:00 window
+    spark.createDataFrame(rows(2), schema).coalesce(1).write.parquet(
+        str(src / "b1"), mode="overwrite"
+    )
+    # batch 2: sentinel far in the future so every window finalizes
+    spark.createDataFrame(rows(60), schema).coalesce(1).write.parquet(
+        str(src / "b2"), mode="overwrite"
+    )
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i in range(3):
+        (part,) = glob.glob(str(src / f"b{i}" / "part-*.parquet"))
+        shutil.copy(part, str(flat / f"{i:02d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    got = {
+        r.start: r.n
+        for r in run_available_now(agg, "t_late", output_mode="append").collect()
+    }
+    # the 10:00 window closed at watermark 10:10 — the batch-1 replay of
+    # minute 2 was DROPPED: 5 on-time events, not 6
+    assert got[t0] == 5
+    assert got[t0 + dt.timedelta(minutes=20)] == 1
+
+    # the batch path (no watermark) counts all 7 rows including the late one
+    batch = spark.read.parquet(str(flat))
+    batch_counts = {
+        r.start: r.n
+        for r in batch.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+        .collect()
+    }
+    assert batch_counts[t0] == 6
