@@ -210,3 +210,27 @@ def test_distinct_on_fixpoint(query):
     q1 = parse_query(query.to_sql())
     assert parse_query(q1.to_sql()) == q1
     assert len(q1.distinct_on) == 1 and not q1.distinct
+
+
+def test_truncated_inputs_fail_controlled_never_crash():
+    """Parser robustness: random prefixes of valid queries either parse
+    (a prefix can be complete SQL) or raise the parser's own error types
+    — never an internal IndexError/AttributeError/RecursionError. 600
+    fragments per run."""
+    import random
+
+    from postbound_spark.plans.parser import UnsupportedSqlError, parse_query
+    from postbound_spark.querygen import QueryGenerator
+
+    rng = random.Random(42)
+    crashes = []
+    for _label, sql in QueryGenerator(seed=77).generate(150).items():
+        for _ in range(4):
+            frag = sql[: rng.randrange(5, len(sql))]
+            try:
+                parse_query(frag)
+            except (UnsupportedSqlError, ValueError):
+                pass  # controlled rejection
+            except Exception as exc:  # pragma: no cover - the regression
+                crashes.append((type(exc).__name__, frag[-60:]))
+    assert not crashes, crashes[:5]
