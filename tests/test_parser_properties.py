@@ -234,3 +234,29 @@ def test_truncated_inputs_fail_controlled_never_crash():
             except Exception as exc:  # pragma: no cover - the regression
                 crashes.append((type(exc).__name__, frag[-60:]))
     assert not crashes, crashes[:5]
+
+
+def test_mutated_inputs_fail_controlled_never_crash():
+    """Single-character mutations of valid queries (the complement of the
+    truncation sweep above): parse or controlled rejection, never an
+    internal crash."""
+    import random
+    import string
+
+    from postbound_spark.plans.parser import UnsupportedSqlError, parse_query
+    from postbound_spark.querygen import QueryGenerator
+
+    rng = random.Random(7)
+    crashes = []
+    for _label, sql in QueryGenerator(seed=88).generate(150).items():
+        for _ in range(4):
+            pos = rng.randrange(len(sql))
+            ch = rng.choice(string.ascii_letters + "()',.%*= ")
+            frag = sql[:pos] + ch + sql[pos + 1 :]
+            try:
+                parse_query(frag)
+            except (UnsupportedSqlError, ValueError):
+                pass
+            except Exception as exc:  # pragma: no cover - the regression
+                crashes.append((type(exc).__name__, frag[:80]))
+    assert not crashes, crashes[:5]
