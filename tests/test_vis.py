@@ -108,3 +108,29 @@ def test_render_gates_on_missing_dot_binary(tmp_path):
     else:  # pragma: no cover - environment-dependent
         out = vis.render(dot, str(tmp_path / "g.png"))
         assert (tmp_path / "g.png").exists() and out.endswith("g.png")
+
+
+def test_join_graph_dedups_value_equal_runtime_strings():
+    """Regression (round-4 review): table names arriving as NON-interned
+    runtime-built strings (config/JSON) must dedup by VALUE — one node
+    per table, edges attached to it, never disconnected duplicates."""
+    t = ["".join(c for c in name) for name in ("customer", "orders")]  # non-interned
+    spec = QuerySpec(
+        tables=tuple(t),
+        edges=(JoinEdge("ord" + "ers", "o_custkey", "custo" + "mer", "c_custkey"),),
+    )
+    dot = vis.plot_join_graph(spec)
+    node_lines = [
+        l for l in dot.splitlines()
+        if "label=" in l and "->" not in l and "--" not in l
+    ]
+    assert len(node_lines) == 2, dot  # exactly one node per table
+    assert dot.count("->") == 1
+
+
+def test_join_tree_keeps_equal_subtrees_distinct():
+    """The inverse guarantee: two value-equal LEAVES in one tree (a
+    self-join) stay two drawn nodes — tree nodes key by identity."""
+    tree = JoinTree.join(JoinTree.leaf("nation"), JoinTree.leaf("nation"))
+    dot = vis.plot_join_tree(tree)
+    assert dot.count('label="nation"') == 2, dot
