@@ -103,27 +103,39 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     schema = "event_id long, ts timestamp, event_type string"
     src = tmp_path / "in"
     src.mkdir()
-    # batch 0: five on-time events (10:00 window) + one at 10:20 that
-    # advances the watermark to 10:10 for the NEXT batch
-    spark.createDataFrame(rows(0, 1, 2, 3, 4, 20), schema).coalesce(1).write.parquet(
-        str(src / "b0"), mode="overwrite"
-    )
-    # batch 1: a late event inside the already-closed 10:00 window
-    spark.createDataFrame(rows(2), schema).coalesce(1).write.parquet(
-        str(src / "b1"), mode="overwrite"
-    )
-    # batch 2: sentinel far in the future so every window finalizes
-    spark.createDataFrame(rows(60), schema).coalesce(1).write.parquet(
-        str(src / "b2"), mode="overwrite"
-    )
+    # measured Spark semantics (traced via numRowsDroppedByWatermark):
+    # a late row is DROPPED only once its window's state has been evicted
+    # in an EARLIER batch — a late row landing in the same batch as the
+    # eviction still merges. So the sequence needs five batches:
+    #   b0 on-time events -> b1 advances the watermark past the window ->
+    #   b2 evicts + emits the window (n=5) -> b3 late arrival (dropped) ->
+    #   b4 sentinel flushes the remaining windows
+    batches = [
+        (0, 1, 2, 3, 4),  # the 10:00 window
+        (40,),            # watermark -> 10:30 for the next batch
+        (41,),            # eviction batch: 10:00 window emitted here
+        (2,),             # LATE: state gone -> dropped by watermark
+        (90,),            # flush sentinel
+    ]
+    for i, ms in enumerate(batches):
+        spark.createDataFrame(rows(*ms), schema).coalesce(1).write.parquet(
+            str(src / f"b{i}"), mode="overwrite"
+        )
     import glob
     import shutil
 
     flat = tmp_path / "flat"
     flat.mkdir()
-    for i in range(3):
+    import os
+
+    for i in range(len(batches)):
         (part,) = glob.glob(str(src / f"b{i}" / "part-*.parquet"))
-        shutil.copy(part, str(flat / f"{i:02d}.parquet"))
+        dst = flat / f"{i:02d}.parquet"
+        shutil.copy(part, str(dst))
+        # FileStreamSource orders batches by MODIFICATION TIME, not name;
+        # fast copies can tie mtimes and flip the late file ahead of the
+        # watermark-advancing one — pin strictly increasing mtimes
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
 
     stream = (
         spark.readStream.schema(schema)
@@ -140,12 +152,12 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
         r.start: r.n
         for r in run_available_now(agg, "t_late", output_mode="append").collect()
     }
-    # the 10:00 window closed at watermark 10:10 — the batch-1 replay of
-    # minute 2 was DROPPED: 5 on-time events, not 6
+    # the 10:00 window was emitted at eviction with its on-time count;
+    # the later replay of minute 2 was dropped by the watermark
     assert got[t0] == 5
-    assert got[t0 + dt.timedelta(minutes=20)] == 1
+    assert got[t0 + dt.timedelta(minutes=40)] == 2  # advancer + evictor
 
-    # the batch path (no watermark) counts all 7 rows including the late one
+    # the batch path (no watermark) counts all 8 rows including the late one
     batch = spark.read.parquet(str(flat))
     batch_counts = {
         r.start: r.n
