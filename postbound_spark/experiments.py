@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 import time
+import warnings
 from collections.abc import Mapping
 
 import pandas as pd
@@ -194,6 +195,20 @@ def join_qerrors(df: DataFrame) -> list[dict]:
 
     walk_physical(executed_plan(df))
 
+    if len(logical_joins) != len(physical_joins):
+        # AQE can eliminate a join outright (empty-relation propagation)
+        # or a rewrite can collapse one; from that point on positional
+        # pairing is meaningless and every (estimate, actual) pair would
+        # silently mispair — these pairs feed training labels
+        # (train.collect_cardinality_samples), so fail loudly instead.
+        raise ValueError(
+            f"logical/physical join count mismatch "
+            f"({len(logical_joins)} logical vs {len(physical_joins)} "
+            f"physical) — positional pairing would mispair q-errors; "
+            f"the plan was likely rewritten at runtime (AQE "
+            f"empty-relation propagation or join elimination)"
+        )
+
     out = []
     for i, (est, actual) in enumerate(zip(logical_joins, physical_joins)):
         if math.isnan(est) or math.isnan(actual):
@@ -241,8 +256,13 @@ def run_optimizer_loop(
                 if len(result) == 1 and len(result[0]) == 1
                 else math.nan
             )
+            try:
+                pairs = join_qerrors(df)
+            except ValueError as exc:  # runtime plan rewrite → no pairing
+                warnings.warn(f"{label}/{strategy}: {exc}")
+                pairs = []
             qerrs = [
-                j["qerror"] for j in join_qerrors(df) if not math.isnan(j["qerror"])
+                j["qerror"] for j in pairs if not math.isnan(j["qerror"])
             ]
             rows.append(
                 {

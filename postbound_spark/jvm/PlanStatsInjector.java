@@ -106,6 +106,36 @@ public final class PlanStatsInjector extends SparkStrategy {
                 scala.jdk.javaapi.CollectionConverters.asScala(next).toSeq());
     }
 
+    /** Remove every registered copy of this strategy class, restoring the
+     *  session's planner to its pre-injection state. Without this, the
+     *  strategy keeps walking every plan tree on every planning pass for
+     *  the rest of the session even after the experiment ends. */
+    public void deregister(ExperimentalMethods experimental) {
+        Seq<SparkStrategy> current = experimental.extraStrategies();
+        java.util.ArrayList<SparkStrategy> next = new java.util.ArrayList<>();
+        for (int i = 0; i < current.size(); i++) {
+            SparkStrategy s = current.apply(i);
+            if (!s.getClass().getName().equals(getClass().getName())) {
+                next.add(s);
+            }
+        }
+        experimental.extraStrategies_$eq(
+                scala.jdk.javaapi.CollectionConverters.asScala(next).toSeq());
+    }
+
+    /** Number of registered copies of this strategy class (test hook). */
+    public int registeredCount(ExperimentalMethods experimental) {
+        Seq<SparkStrategy> current = experimental.extraStrategies();
+        int n = 0;
+        for (int i = 0; i < current.size(); i++) {
+            if (current.apply(i).getClass().getName()
+                    .equals(getClass().getName())) {
+                n++;
+            }
+        }
+        return n;
+    }
+
     // ---- introspection (decimal strings keep BigInt JVM-side) ----
 
     /** The row count the planner would see for {@code plan} after tag

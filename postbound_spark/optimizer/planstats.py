@@ -38,9 +38,19 @@ the job of the join-tree/hint machinery (``optimizer/hints.py``,
 ``compile_join_tree``), exactly the split the reference uses (join order
 via pg_hint_plan ``Leading``, cardinalities via pg_lab ``Card``).
 
-Self-joins are out of scope: table sets are keyed by base-table name, so
-a query touching the same table twice has ambiguous intermediates (the
-optimizer erases aliases); use the CTE-based injector for those.
+Self-joins are keyed by leaf OCCURRENCE: Spark's optimizer erases the
+SQL aliases that pg_lab uses to disambiguate (ref
+``postgres.py:2343-2460``), so leaves of the same base table are
+numbered in the optimized plan's left-to-right order —
+``movie_info#1``, ``movie_info#2`` — and keys may use those qualifiers
+(a bare name still works whenever the table is scanned once).
+:meth:`PlanTimeCardinalityInjector.describe_leaves` lists each
+occurrence with the pushed filters above it, which after pushdown is
+exactly the fingerprint of the original alias.
+
+Scope hygiene: the helper registers a session-global extra strategy, so
+use the injector as a context manager (or call ``close()``) to
+deregister it and strip the tags once the experiment ends.
 
 No Hive catalog, no writes — works on the plain in-memory-catalog session.
 """
@@ -106,10 +116,24 @@ def ensure_helper_compiled() -> str:
     return _CLASSES_DIR
 
 
+_HELPER_CACHE: dict[int, object] = {}
+
+
 def _load_helper(spark: SparkSession):
     """Load the compiled helper into the live driver JVM via a
     URLClassLoader child of Spark's context classloader (parent-first, so
-    every Catalyst type resolves from Spark's own loader)."""
+    every Catalyst type resolves from Spark's own loader).
+
+    One helper instance per JVM: py4j's reflection engine caches Method
+    objects by class NAME, so two copies of the class from separate
+    URLClassLoaders poison each other's dispatch ("object is not an
+    instance of declaring class") — every injector on a session shares
+    the singleton."""
+    key = id(spark.sparkContext._gateway)
+    if key in _HELPER_CACHE:
+        helper = _HELPER_CACHE[key]
+        helper.register(spark._jsparkSession.experimental())
+        return helper
     classes_dir = ensure_helper_compiled()
     jvm = spark._jvm
     gw = spark.sparkContext._gateway
@@ -118,13 +142,16 @@ def _load_helper(spark: SparkSession):
     parent = jvm.Thread.currentThread().getContextClassLoader()
     loader = jvm.java.net.URLClassLoader(urls, parent)
     cls = loader.loadClass(_HELPER_CLASS)
-    # getDeclaredConstructor() is varargs — py4j would need an explicit
-    # empty Class[]; the no-arg Class.newInstance is simpler over the bridge
-    helper = cls.newInstance()
+    # Class.newInstance() is deprecated since Java 9 (and rethrows checked
+    # exceptions unguarded) — go through the explicit no-arg Constructor,
+    # passing py4j-built empty arrays for both varargs parameters
+    ctor = cls.getDeclaredConstructor(gw.new_array(jvm.java.lang.Class, 0))
+    helper = ctor.newInstance(gw.new_array(jvm.java.lang.Object, 0))
     # the helper doubles as a planning strategy that re-seeds statsCache
     # from tags on the CLONED plan every pass (QueryExecution.sparkPlan
     # clones the optimized plan, which wipes caches but keeps tags)
     helper.register(spark._jsparkSession.experimental())
+    _HELPER_CACHE[key] = helper
     return helper
 
 
@@ -163,14 +190,55 @@ def _row_width_bytes(jnode) -> int:
     return width
 
 
-def _normalize_key(key) -> frozenset[str]:
+def _key_parts(key) -> list[str]:
     if isinstance(key, str):
         parts = [p.strip() for p in key.split(",")]
     elif isinstance(key, Iterable):
         parts = list(key)
     else:
         raise TypeError(f"table-set key must be str or iterable, got {type(key)}")
-    return frozenset(p.lower() for p in parts)
+    return [p.lower() for p in parts]
+
+
+def _qualify_parts(parts: list[str], occurrences: Mapping[str, int]) -> frozenset[str]:
+    """Resolve user-facing key parts to occurrence-qualified leaf names
+    (``movie_info`` → ``movie_info#1`` when the table is scanned once;
+    explicit ``movie_info#2`` addresses the second scan of a self-join)."""
+    out = []
+    for part in parts:
+        if "#" in part:
+            base, _, idx = part.partition("#")
+            if not idx.isdigit() or int(idx) < 1:
+                raise ValueError(f"bad occurrence qualifier {part!r}")
+            if int(idx) > occurrences.get(base, 0):
+                raise KeyError(
+                    f"{part!r} addresses occurrence {idx} but the plan "
+                    f"scans {base!r} {occurrences.get(base, 0)} time(s)"
+                )
+            out.append(part)
+        else:
+            n = occurrences.get(part, 0)
+            if n > 1:
+                raise ValueError(
+                    f"table {part!r} is scanned {n} times in this plan "
+                    f"(self-join) — qualify the occurrence as "
+                    f"{part}#1..{part}#{n}; occurrences are numbered in "
+                    f"the optimized plan's left-to-right leaf order, and "
+                    f"describe_leaves() shows each occurrence's pushed "
+                    f"filters for identification"
+                )
+            out.append(f"{part}#1")
+    return frozenset(out)
+
+
+def _display_set(tabs: frozenset[str], occurrences: Mapping[str, int]) -> str:
+    """Render a qualified table set for error messages, hiding the ``#1``
+    qualifier for tables that occur only once."""
+    names = []
+    for t in sorted(tabs):
+        base, _, idx = t.partition("#")
+        names.append(base if occurrences.get(base, 0) <= 1 else t)
+    return ",".join(names)
 
 
 class PlanTimeCardinalityInjector:
@@ -186,6 +254,92 @@ class PlanTimeCardinalityInjector:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._helper = _load_helper(spark)
+        self._tagged: list = []  # optimized plans we tagged (for close())
+
+    # -- lifecycle -------------------------------------------------------
+    # The registered strategy walks every plan tree on every planning pass
+    # for as long as it stays registered, and a tagged DataFrame replanned
+    # later silently keeps its doctored statistics. close() (or the
+    # context-manager form) bounds both to the experiment.
+
+    def close(self) -> None:
+        """Deregister the planning strategy and strip injection tags from
+        every plan this injector touched, restoring the session planner."""
+        for opt in self._tagged:
+            self._helper.clearAll(opt)
+        self._tagged.clear()
+        self._helper.deregister(self.spark._jsparkSession.experimental())
+
+    def __enter__(self) -> "PlanTimeCardinalityInjector":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.close()
+        return False
+
+    # -- plan introspection ----------------------------------------------
+
+    def _walk_table_sets(self, opt):
+        """Post-order (node, qualified-table-set) pairs plus the per-base
+        occurrence counts. Leaves of the same base table are numbered in
+        left-to-right plan order: ``movie_info#1``, ``movie_info#2``, … —
+        a stable identity the optimizer cannot erase the way it erases
+        aliases, which is what makes self-join injection unambiguous
+        (ref ``postgres.py:2343-2460`` handles self-joins at plan time
+        via aliases; occurrence indices are the Spark-side analog)."""
+        nodes: list[tuple[object, frozenset[str]]] = []
+        occurrences: dict[str, int] = {}
+
+        def walk(jnode) -> frozenset[str]:
+            children = _jseq(jnode.children())
+            if not children:
+                leaf = _leaf_table(jnode)
+                if leaf:
+                    occurrences[leaf] = occurrences.get(leaf, 0) + 1
+                    tabs = frozenset([f"{leaf}#{occurrences[leaf]}"])
+                else:
+                    tabs = frozenset()
+            else:
+                parts = [walk(c) for c in children]
+                tabs = frozenset().union(*parts)
+            nodes.append((jnode, tabs))
+            return tabs
+
+        walk(opt)
+        return nodes, occurrences
+
+    def describe_leaves(self, query: str | DataFrame) -> list[dict]:
+        """One row per base-table scan of the optimized plan, in the same
+        left-to-right order the occurrence qualifiers use: the qualified
+        name (``movie_info#2``) and the conjunction of Filter conditions
+        sitting above that scan — after predicate pushdown those filters
+        are exactly what distinguishes the occurrences of a self-join, so
+        researchers can map ``#k`` back to their SQL aliases."""
+        df = self.spark.sql(query) if isinstance(query, str) else query
+        opt = df._jdf.queryExecution().optimizedPlan()
+        out: list[dict] = []
+        occurrences: dict[str, int] = {}
+
+        def walk(jnode, filters: tuple[str, ...]) -> None:
+            if jnode.nodeName() == "Filter":
+                filters = filters + (jnode.condition().sql(),)
+            children = _jseq(jnode.children())
+            if not children:
+                leaf = _leaf_table(jnode)
+                if leaf:
+                    occurrences[leaf] = occurrences.get(leaf, 0) + 1
+                    out.append(
+                        {
+                            "leaf": f"{leaf}#{occurrences[leaf]}",
+                            "table": leaf,
+                            "filters": " AND ".join(filters),
+                        }
+                    )
+            for child in children:
+                walk(child, filters)
+
+        walk(opt, ())
+        return out
 
     def plan(
         self,
@@ -208,34 +362,20 @@ class PlanTimeCardinalityInjector:
         qe = df._jdf.queryExecution()
         opt = qe.optimizedPlan()
 
-        targets = {_normalize_key(k): float(v) for k, v in cards.items()}
+        nodes, occurrences = self._walk_table_sets(opt)
+        targets = {
+            _qualify_parts(_key_parts(k), occurrences): float(v)
+            for k, v in cards.items()
+        }
         sizes = {
-            _normalize_key(k): int(v) for k, v in (size_bytes or {}).items()
+            _qualify_parts(_key_parts(k), occurrences): int(v)
+            for k, v in (size_bytes or {}).items()
         }
 
-        nodes: list[tuple[object, frozenset[str]]] = []
-
-        def walk(jnode) -> frozenset[str]:
-            children = _jseq(jnode.children())
-            if not children:
-                leaf = _leaf_table(jnode)
-                tabs = frozenset([leaf]) if leaf else frozenset()
-            else:
-                tabs = frozenset().union(*(walk(c) for c in children))
-            nodes.append((jnode, tabs))
-            return tabs
-
-        walk(opt)
-
-        # duplicate base names ⇒ self-join ⇒ table sets are ambiguous
-        leaf_names = [t for jn, tabs in nodes if not _jseq(jn.children()) for t in tabs]
-        if len(leaf_names) != len(set(leaf_names)):
-            dupes = sorted({t for t in leaf_names if leaf_names.count(t) > 1})
-            raise ValueError(
-                f"query scans {dupes} more than once — table-set keyed "
-                "injection is ambiguous for self-joins; use the CTE-based "
-                "IntermediateCardinalityInjector"
-            )
+        # re-assert the strategy (idempotent) in case close() ran earlier
+        # on this session — otherwise tags would never be seeded and the
+        # injection would silently become a no-op
+        self._helper.register(self.spark._jsparkSession.experimental())
 
         # wipe stale tags/caches BEFORE tagging, so earlier injections on a
         # reused DataFrame and optimizer-phase caches cannot shadow these
@@ -248,15 +388,16 @@ class PlanTimeCardinalityInjector:
                 size = sizes.get(tabs, max(1, rows) * _row_width_bytes(jnode))
                 self._helper.tag(jnode, str(max(1, size)), str(rows))
                 matched.add(tabs)
+        self._tagged.append(opt)
 
         missing = set(targets) - matched
         if missing:
             available = sorted(
-                {",".join(sorted(tabs)) for _, tabs in nodes if tabs}
+                {_display_set(tabs, occurrences) for _, tabs in nodes if tabs}
             )
             raise KeyError(
                 f"no intermediate covers table set(s) "
-                f"{[','.join(sorted(m)) for m in sorted(missing, key=sorted)]}; "
+                f"{[_display_set(m, occurrences) for m in sorted(missing, key=sorted)]}; "
                 f"plan offers: {available}"
             )
 
@@ -272,28 +413,16 @@ class PlanTimeCardinalityInjector:
 
     def visible_row_count(self, df: DataFrame, table_set) -> float:
         """The row count the planner sees for the lowest intermediate
-        covering exactly ``table_set`` (NaN when no estimate)."""
+        covering exactly ``table_set`` (NaN when no estimate). Accepts the
+        same occurrence-qualified keys as :meth:`plan`."""
         import math
 
-        target = _normalize_key(table_set)
-        qe = df._jdf.queryExecution()
-
-        def walk(jnode) -> frozenset[str]:
-            children = _jseq(jnode.children())
-            if not children:
-                leaf = _leaf_table(jnode)
-                return frozenset([leaf]) if leaf else frozenset()
-            tabs = frozenset().union(*(walk(c) for c in children))
-            return tabs
-
-        def find(jnode):
-            for child in _jseq(jnode.children()):
-                hit = find(child)
-                if hit is not None:
-                    return hit
-            return jnode if walk(jnode) == target else None
-
-        node = find(qe.optimizedPlan())
+        nodes, occurrences = self._walk_table_sets(
+            df._jdf.queryExecution().optimizedPlan()
+        )
+        target = _qualify_parts(_key_parts(table_set), occurrences)
+        # nodes is post-order, so the first exact cover is the lowest one
+        node = next((jn for jn, tabs in nodes if tabs == target), None)
         if node is None:
             return math.nan
         text = self._helper.visibleRowCount(node)

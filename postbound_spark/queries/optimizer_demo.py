@@ -187,3 +187,37 @@ def opt_plantime_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PRIORITY_SQL,
         {("customer",): 3_000_000_000, ("lineitem",): 4_000_000_000},
     )
+
+
+_SELFJOIN_SQL = """
+SELECT c1.c_mktsegment AS segment, count(*) AS n_pairs
+FROM customer c1 JOIN customer c2
+  ON c1.c_nationkey = c2.c_nationkey
+ AND c1.c_mktsegment = c2.c_mktsegment
+ AND c1.c_custkey < c2.c_custkey
+WHERE c2.c_acctbal > 1000
+GROUP BY c1.c_mktsegment
+ORDER BY segment
+"""
+
+
+@query("opt_plantime_selfjoin", oracle=_SELFJOIN_SQL)
+def opt_plantime_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-write plan-time injection on a SELF-JOIN — the case pg_lab
+    disambiguates through SQL aliases (ref postgres.py:2343-2460), which
+    Spark's optimizer erases. The injector keys leaves by OCCURRENCE
+    (``customer#1``/``customer#2``, left-to-right optimized-plan order;
+    ``describe_leaves`` maps them back to aliases via their pushed
+    filters) — closing the r4 gap where duplicate base tables raised and
+    fell back to the write-per-intermediate CTE route. Both occurrences
+    are declared billions of rows, killing the self-join's broadcast;
+    the oracle asserts statistics never change results."""
+    from postbound_spark.catalog import register_views
+    from postbound_spark.optimizer.planstats import PlanTimeCardinalityInjector
+
+    register_views(spark, sf_dir, ["customer"])
+    injector = PlanTimeCardinalityInjector(spark)
+    return injector.plan(
+        _SELFJOIN_SQL,
+        {("customer#1",): 3_000_000_000, ("customer#2",): 4_000_000_000},
+    )

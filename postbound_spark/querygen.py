@@ -265,12 +265,14 @@ class QueryGenerator:
         for i in range(self.rng.randint(0, 2)):
             fn = self.rng.choice(_AGGS)
             if fn == "count" or not num_pool:
-                col = self.rng.choice(
-                    group_pool or [f"{tables[0]}.{SCHEMA[tables[0]]['key'][0]}"]
-                    if SCHEMA[tables[0]]["key"]
-                    else group_pool
+                keys = SCHEMA[tables[0]]["key"]
+                pool = group_pool + (
+                    [f"{tables[0]}.{keys[0]}"] if keys else []
                 )
-                aggs.append(f"COUNT({col}) AS agg{i}")
+                if pool:
+                    aggs.append(f"COUNT({self.rng.choice(pool)}) AS agg{i}")
+                else:  # keyless table with no cat/int columns
+                    aggs.append(f"COUNT(*) AS agg{i}")
             else:
                 col = self.rng.choice(num_pool)
                 aggs.append(f"{fn.upper()}({col}) AS agg{i}")

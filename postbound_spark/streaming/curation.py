@@ -109,6 +109,16 @@ class StreamingKeepList:
         # complete generation is gone (the rmtree-then-replace form had a
         # window that lost the whole pool if the process died between)
         shutil.rmtree(self._prev, ignore_errors=True)
+        if os.path.exists(self._prev):
+            # a held file handle (e.g. an uncollected keep_list frame)
+            # survived the rmtree; os.replace onto the non-empty directory
+            # would raise ENOTEMPTY and wedge the stream with an opaque
+            # error — name the stuck generation instead
+            raise RuntimeError(
+                f"cannot retire pool generation: {self._prev} is still "
+                f"populated after cleanup (an open reader is pinning it); "
+                f"collect keep_list() results before the next batch"
+            )
         if os.path.exists(self._pool):
             os.replace(self._pool, self._prev)
         os.replace(self._next, self._pool)
@@ -116,7 +126,13 @@ class StreamingKeepList:
 
     def keep_list(self, per_source_cap: int = 15) -> DataFrame:
         """The current keep list: per-source cap over the survivor pool
-        (identical semantics to the batch ``pipeline_keep_list``)."""
+        (identical semantics to the batch ``pipeline_keep_list``).
+
+        The result is eagerly materialized (``localCheckpoint``) so the
+        returned frame is detached from the pool path — a later
+        ``process_batch`` swaps generations and deletes the directory a
+        lazy frame would still be bound to, which could fail mid-collect
+        or silently serve a newer generation."""
         pool = self._read_pool()
         if pool is None:
             raise FileNotFoundError("no batches processed yet — pool is empty")
@@ -125,6 +141,7 @@ class StreamingKeepList:
             pool.withColumn("rn", F.row_number().over(cap_w))
             .filter(F.col("rn") <= per_source_cap)
             .select("doc_id", "lang", "source")
+            .localCheckpoint(eager=True)
         )
 
 

@@ -27,6 +27,7 @@ self-describing files that round-trip without a sidecar.
 from __future__ import annotations
 
 import time
+import warnings
 from collections.abc import Iterable, Mapping, Sequence
 
 import pandas as pd
@@ -351,7 +352,12 @@ def collect_cardinality_samples(
         parsed = parse_query(sql)
         df = compile_plan(parse_relalg(parsed), spark, catalog=dict(base_tables))
         df.collect()
-        for pair in join_qerrors(df):
+        try:
+            pairs = join_qerrors(df)
+        except ValueError as exc:  # AQE rewrote the plan → pairing unsafe
+            warnings.warn(f"{label}: skipping q-error samples — {exc}")
+            continue
+        for pair in pairs:
             rows.append(
                 {
                     "label": label,
