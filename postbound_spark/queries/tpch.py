@@ -470,7 +470,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(CAST(volume AS DOUBLE)), 2) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          extract(year FROM l.l_shipdate) AS l_year,
@@ -487,7 +488,7 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
-@query("q7_volume_shipping", oracle=_Q7_ORACLE, sum_lint_exempt="sums subquery alias volume = l_extendedprice*(1-l_discount), DOUBLE on both engines")
+@query("q7_volume_shipping", oracle=_Q7_ORACLE)
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: the same dimension table in two roles (supplier's nation
     vs customer's nation) with a disjunctive cross-role filter. Both nation
@@ -754,8 +755,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = """
 SELECT o_year,
-       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       round(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                     AS DECIMAL(18,6)))
+             / sum(CAST(volume AS DECIMAL(18,6))), 6) AS mkt_share
 FROM (
   SELECT extract(year FROM o.o_orderdate) AS o_year,
          CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume,
@@ -775,7 +777,7 @@ ORDER BY o_year
 """
 
 
-@query("q8_market_share", oracle=_Q8_ORACLE, sum_lint_exempt="sums CASE over subquery alias volume (DOUBLE); ELSE 0 widens to DOUBLE on both engines")
+@query("q8_market_share", oracle=_Q8_ORACLE)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: national market share — nation in two roles again (customer
     region filter vs supplier nation in the numerator CASE). Volumes are
@@ -827,7 +829,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q9_ORACLE = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year,
+       round(sum(CAST(amount AS DECIMAL(18,6))), 2) AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          extract(year FROM o.o_orderdate) AS o_year,
@@ -843,7 +846,7 @@ ORDER BY nation, o_year DESC
 """
 
 
-@query("q9_product_type_profit", oracle=_Q9_ORACLE, sum_lint_exempt="sums subquery alias amount = l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity, DOUBLE on both engines")
+@query("q9_product_type_profit", oracle=_Q9_ORACLE)
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit per supplier-nation per year (0.1 *
     p_retailprice stands in for ps_supplycost — the fixture has no
@@ -884,16 +887,12 @@ WITH partval AS (
   GROUP BY l.l_partkey)
 SELECT l_partkey, round(CAST(value AS DOUBLE), 2) AS part_value
 FROM partval
-WHERE value > (SELECT sum(value) * 0.005 FROM partval)
+WHERE value > (SELECT sum(CAST(value AS DECIMAL(18,4))) * 0.005 FROM partval)
 ORDER BY part_value DESC, l_partkey
 """
 
 
-@query(
-    "q11_important_stock",
-    oracle=_Q11_ORACLE,
-    sum_lint_exempt="sums CTE alias `value` = DECIMAL(18,4) on both engines (no HUGEINT widening)",
-)
+@query("q11_important_stock", oracle=_Q11_ORACLE)
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: scalar subquery over the SAME aggregate (parts whose
     value exceeds a fraction of the total). The per-part aggregate is
