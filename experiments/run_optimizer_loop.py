@@ -39,11 +39,24 @@ def main() -> None:
     )
     ap.add_argument(
         "--workload",
-        choices=("job-light", "ssb"),
+        choices=("job-light", "ssb", "job"),
         default="job-light",
         help="job-light runs the IMDB-shaped fixture corpus; ssb runs the "
         "13-query Star Schema corpus on the TPC-H-shaped parquet at "
-        "$SPARK_GRAFT_SF_DIR (default sf0.01)",
+        "$SPARK_GRAFT_SF_DIR (default sf0.01); job runs the committed JOB "
+        "fixture corpus (workloads/fixtures/job) on the downscaled "
+        "IMDB-shaped parquet dataset",
+    )
+    ap.add_argument(
+        "--distort",
+        default=None,
+        metavar="FACTORS",
+        help="comma list of cardinality distortion factors (e.g. "
+        "0.01,0.1,1,10,100): plans every query under true base-table "
+        "cardinalities scaled by each factor through the ZERO-WRITE "
+        "plan-time injector and persists (factor, plan-choice, exec-time, "
+        "q-error) rows — the reference's CardinalityDistortion sweep "
+        "(opt/_cardinalities.py:306) at plan-compilation cost",
     )
     ns = ap.parse_args()
     out_path = ns.out_path
@@ -71,9 +84,47 @@ def main() -> None:
             base[t] = load_table(spark, sf_dir, t)
             base[t].createOrReplaceTempView(t)
         corpus = dict(ssb())
+    elif ns.workload == "job":
+        import os
+        import tempfile
+
+        from postbound_spark.sources.imdb_fixture import (
+            IMDB_TABLES,
+            generate_imdb_fixture,
+        )
+        from postbound_spark.workloads import Workload, fetch_workload
+
+        data_dir = os.path.join(tempfile.gettempdir(), "postbound_spark_imdb")
+        if not os.path.exists(os.path.join(data_dir, "title.parquet")):
+            generate_imdb_fixture(data_dir)
+        base = {}
+        for t in IMDB_TABLES:
+            base[t] = spark.read.parquet(os.path.join(data_dir, f"{t}.parquet"))
+            base[t].createOrReplaceTempView(t)
+        corpus = {
+            label: sql.strip().rstrip(";")
+            for label, sql in Workload.read_workload(fetch_workload("job")).items()
+        }
     else:
         base = register_frames(spark, imdb_shaped_frames(n_titles))
         corpus = dict(job_light())
+
+    if ns.distort:
+        from postbound_spark.experiments import distortion_sweep
+
+        factors = [float(f) for f in ns.distort.split(",")]
+        frame = distortion_sweep(spark, corpus, factors)
+        frame.to_parquet(out_path)
+        census = frame.groupby("distortion_factor")[
+            ["n_broadcast_joins", "n_sortmerge_joins", "exec_time", "max_qerror"]
+        ].mean()
+        print(census.to_string())
+        print(
+            f"distortion sweep -> {out_path} ({len(frame)} rows, "
+            f"{frame.label.nunique()} queries x {len(factors)} factors)"
+        )
+        return
+
     results = run_optimizer_loop(
         spark, corpus, base, strategies=strategies, out_path=out_path
     )

@@ -341,3 +341,96 @@ def cardinality_sweep(
             row["exec_time"] = time.perf_counter() - t1
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+def distortion_sweep(
+    spark: SparkSession,
+    queries: Mapping[str, str],
+    factors: list[float],
+    *,
+    table_counts: Mapping[str, int] | None = None,
+    execute: bool = True,
+) -> pd.DataFrame:
+    """Plan (and execute) every query under TRUE base-table cardinalities
+    distorted by each factor — the reference's canonical
+    misestimate-sensitivity experiment (``CardinalityDistortion``
+    decorating a true-cardinality estimator, ref ``opt/_cardinalities.py:
+    306`` + ``examples/experiment-job-true-card-runtimes.py``), run
+    through the ZERO-WRITE plan-time injector: a sweep point costs one
+    plan compilation, so a workload x factor grid is affordable where the
+    CTE/materialization route was not.
+
+    Every leaf occurrence (self-joins included — occurrence-qualified
+    keys) is injected with ``count(table) * factor``; factors < 1
+    simulate underestimation (more broadcasts), factors > 1
+    overestimation (broadcasts die off). One row per (query, factor):
+    the broadcast/sort-merge operator census of the chosen plan, the
+    planning time, and with ``execute=True`` the runtime, result rows,
+    and per-join q-error summary — the (distortion-factor, plan-choice,
+    exec-time, q-error) record the optimizer-research loop persists.
+
+    Monotone invariant (pinned by ``tests/test_distortion_sweep.py``):
+    as the factor grows, the number of broadcast joins in the chosen
+    plan can only fall — size estimates scale monotonically with the
+    injected rows, and Spark's broadcast decision is a threshold on
+    size."""
+    from postbound_spark.optimizer.planstats import PlanTimeCardinalityInjector
+
+    injector = PlanTimeCardinalityInjector(spark)
+    counts: dict[str, int] = dict(table_counts or {})
+
+    def table_count(name: str) -> int:
+        if name not in counts:
+            counts[name] = spark.table(name).count()
+        return counts[name]
+
+    rows = []
+    for label, sql in queries.items():
+        leaves = injector.describe_leaves(sql)
+        for factor in factors:
+            cards = {
+                (leaf["leaf"],): max(1.0, table_count(leaf["table"]) * factor)
+                for leaf in leaves
+            }
+            t0 = time.perf_counter()
+            df = injector.plan(sql, cards, adaptive=False)
+            planning_time = time.perf_counter() - t0
+            plan_text = df._jdf.queryExecution().sparkPlan().toString()
+            row = {
+                "label": label,
+                "distortion_factor": float(factor),
+                "n_leaves": len(leaves),
+                "n_broadcast_joins": plan_text.count("BroadcastHashJoin"),
+                "n_sortmerge_joins": plan_text.count("SortMergeJoin"),
+                "n_shuffled_hash_joins": plan_text.count("ShuffledHashJoin"),
+                "planning_time": planning_time,
+            }
+            if execute:
+                t1 = time.perf_counter()
+                collected = df.collect()
+                row["exec_time"] = time.perf_counter() - t1
+                row["result_rows"] = len(collected)
+                # physical planning seeds the injected stats into a CLONE
+                # of the optimized plan; re-seed the original tree from its
+                # tags so the recorded q-errors measure the DISTORTED
+                # estimates against the executed actuals — the estimate the
+                # planner actually consulted (ref CardinalityDistortion
+                # records the distorted value, not the clean one)
+                injector._helper.visibleRowCount(
+                    df._jdf.queryExecution().optimizedPlan()
+                )
+                try:
+                    qerrs = [
+                        j["qerror"]
+                        for j in join_qerrors(df)
+                        if not math.isnan(j["qerror"])
+                    ]
+                except ValueError:  # runtime rewrite → pairing unsafe
+                    qerrs = []
+                row["max_qerror"] = max(qerrs) if qerrs else math.nan
+                row["mean_qerror"] = (
+                    sum(qerrs) / len(qerrs) if qerrs else math.nan
+                )
+            rows.append(row)
+    injector.close()  # experiment-scoped: deregister + strip tags
+    return pd.DataFrame(rows)

@@ -285,8 +285,9 @@ class _Converter:
                 node = ra.Selection(node, Q.and_(*preds).to_sql())
             bases[tab.identifier] = node
 
-        # left-deep fold in FROM (or forced) order
-        order = self.join_order or [t.identifier for t in plain_tables]
+        # left-deep fold in connectivity-refined FROM order (or the
+        # caller-forced order, which is an enforcement hook and stays exact)
+        order = self.join_order or self._connected_order(plain_tables, joins)
         if set(order) != set(bases):
             raise UnsupportedSqlError(
                 f"join order {order} does not cover FROM tables {sorted(bases)}"
@@ -339,6 +340,43 @@ class _Converter:
         if self.text_subs:
             self._rewrite_consuming_clauses()
         return self._finish(tree)
+
+    @staticmethod
+    def _connected_order(plain_tables, joins) -> list[str]:
+        """FROM order refined to avoid ACCIDENTAL cross products: the next
+        table folded into the left-deep tree must share a join predicate
+        with the already-joined set whenever any such table remains (greedy;
+        FROM order breaks ties, so a FROM list that is already connected at
+        every step keeps its exact order). Real-world workloads — JOB lists
+        its dimension tables alphabetically with no predicates between them
+        (``FROM company_type ct, info_type it, movie_companies mc, ...``) —
+        would otherwise cross-product every dimension pair before the first
+        fact table arrives, which is catastrophic at any scale and times out
+        even on test fixtures. Deliberately cartesian queries still work:
+        a disconnected component falls back to the next table in FROM order.
+        Inner joins over a conjunctive WHERE are freely reorderable, so the
+        result set is unchanged (the reference's optimizer makes the same
+        connectivity guarantee via its join-graph traversal,
+        ``opt/_joingraph.py``)."""
+        idents = [t.identifier for t in plain_tables]
+        if len(idents) < 3 or not joins:
+            return idents
+        adj: dict[str, set[str]] = {i: set() for i in idents}
+        for p in joins:
+            tabs = [t for t in p.tables() if t in adj]
+            for a in tabs:
+                for b in tabs:
+                    if a != b:
+                        adj[a].add(b)
+        remaining = list(idents)
+        order = [remaining.pop(0)]
+        connected = set(adj[order[0]])
+        while remaining:
+            nxt = next((t for t in remaining if t in connected), remaining[0])
+            remaining.remove(nxt)
+            order.append(nxt)
+            connected |= adj[nxt]
+        return order
 
     def _subst(self, text: str) -> str:
         for old, new in self.text_subs.items():

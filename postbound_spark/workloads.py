@@ -409,20 +409,39 @@ WORKLOAD_URLS = {
 
 _WORKLOAD_CACHE = os.path.expanduser("~/.cache/postbound_spark/workloads")
 
+#: committed offline fixtures (``workloads/fixtures/<name>/*.sql``):
+#: JOB is an offline transcription of the public corpus (all 33 families;
+#: see its README for provenance + fidelity notes), stats a deterministic
+#: corpus in the real Stats-CEB grammar over the real schema.
+_FIXTURE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "workloads",
+    "fixtures",
+)
 
-def fetch_workload(name: str, timeout: float = 30.0) -> str:
-    """Download + unzip a public workload archive into the local cache and
-    return the directory of its ``*.sql`` files (ref ``_fetch_workload``,
-    workloads.py:55 — the reference fetches on demand for the same reason:
-    the texts are public but not redistributable inside the repo).
 
-    Raises ``OSError`` when the host is offline — callers decide whether
-    that is fatal (an experiment run) or a skip (the test suite).
+def fetch_workload(
+    name: str, timeout: float = 30.0, prefer_fixture: bool = True
+) -> str:
+    """Resolve a public workload's ``*.sql`` directory: the committed
+    offline fixture when present (``prefer_fixture=True``, the default —
+    this host is usually offline), else download + unzip the public
+    archive into the local cache (ref ``_fetch_workload``,
+    workloads.py:55 — the reference fetches on demand for the same
+    reason: the texts are public but not redistributable inside the
+    repo). ``prefer_fixture=False`` forces the canonical archive.
+
+    Raises ``OSError`` when no fixture exists and the host is offline —
+    callers decide whether that is fatal (an experiment run) or a skip
+    (the test suite).
     """
     import io
     import urllib.request
     import zipfile
 
+    fixture = os.path.join(_FIXTURE_ROOT, name)
+    if prefer_fixture and glob.glob(os.path.join(fixture, "*.sql")):
+        return fixture
     if name not in WORKLOAD_URLS:
         raise KeyError(f"no fetch URL for workload {name!r}")
     target = os.path.join(_WORKLOAD_CACHE, name)

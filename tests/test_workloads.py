@@ -222,29 +222,39 @@ def test_workload_catalog_covers_reference_families():
             fn("")
 
 
-def test_job_and_stats_real_texts_parse():
-    """With network access, the genuine JOB (113 q) and Stats-CEB (146 q)
-    corpora fetch, parse, and round-trip through the native parser —
-    the adversarial grammar test the shaped corpora cannot provide.
-    Offline this skips (the generative sweep in test_querygen.py and the
-    joblight corpus remain the grammar gates)."""
-    import pytest
-
+def test_job_and_stats_corpora_parse():
+    """The JOB and Stats-CEB corpora parse and round-trip through the
+    native parser — the adversarial real-world-grammar test the shaped
+    corpora cannot provide. Offline, ``real=True`` resolves the COMMITTED
+    fixtures (``workloads/fixtures/job`` — transcription of the public
+    corpus covering all 33 families incl. every self-join pattern;
+    ``workloads/fixtures/stats`` — 146 queries in the real Stats-CEB
+    grammar over the real schema), so this asserts instead of skipping;
+    with network, the canonical archives are fetched and asserted too."""
     from postbound_spark import workloads as W
     from postbound_spark.plans.parser import UnsupportedSqlError, parse_query
 
-    try:
-        corpora = {"job": W.job(real=True), "stats": W.stats(real=True)}
-    except OSError as exc:
-        pytest.skip(f"offline, cannot fetch real workload texts: {exc}")
+    corpora = {"job": W.job(real=True), "stats": W.stats(real=True)}
+    assert len(corpora["job"]) >= 70  # all 33 families, a + b/c/d variants
+    assert len(corpora["stats"]) >= 146
+    try:  # network available → the canonical texts join the sweep
+        corpora["job-canonical"] = Workload.read_workload(
+            W.fetch_workload("job", prefer_fixture=False)
+        )
+        corpora["stats-canonical"] = Workload.read_workload(
+            W.fetch_workload("stats", prefer_fixture=False)
+        )
+    except OSError:
+        pass  # offline — the fixture assertions above already ran
     for name, wl in corpora.items():
-        assert len(wl) > 100, name
         unparsed = []
         for label, sql in wl.items():
+            if not sql.strip():
+                continue
             try:
-                q = parse_query(sql)
+                q = parse_query(sql.strip().rstrip(";"))
                 assert parse_query(q.to_sql()) == q
             except UnsupportedSqlError as exc:
                 unparsed.append((label, str(exc)[:80]))
-        # grammar gaps on the real corpus are filed as failures, not skips
+        # grammar gaps on the corpus are filed as failures, not skips
         assert not unparsed, f"{name}: {len(unparsed)} unparsed, first: {unparsed[:3]}"

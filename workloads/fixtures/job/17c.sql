@@ -1,0 +1,6 @@
+SELECT MIN(n.name) AS member_in_charnamed_american_movie, MIN(n.name) AS a1
+FROM cast_info ci, company_name cn, keyword k, movie_companies mc, movie_keyword mk, name n, title t
+WHERE cn.country_code = '[us]' AND k.keyword = 'character-name-in-title' AND n.name LIKE 'X%'
+  AND n.id = ci.person_id AND ci.movie_id = t.id AND t.id = mk.movie_id
+  AND mk.keyword_id = k.id AND t.id = mc.movie_id AND mc.company_id = cn.id
+  AND ci.movie_id = mc.movie_id AND ci.movie_id = mk.movie_id AND mc.movie_id = mk.movie_id;

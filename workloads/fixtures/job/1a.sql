@@ -1,0 +1,8 @@
+SELECT MIN(mc.note) AS production_note, MIN(t.title) AS movie_title,
+       MIN(t.production_year) AS movie_year
+FROM company_type ct, info_type it, movie_companies mc, movie_info_idx mi_idx, title t
+WHERE ct.kind = 'production companies' AND it.info = 'top 250 rank'
+  AND mc.note NOT LIKE '%(as Metro-Goldwyn-Mayer Pictures)%'
+  AND (mc.note LIKE '%(co-production)%' OR mc.note LIKE '%(presents)%')
+  AND ct.id = mc.company_type_id AND t.id = mc.movie_id AND t.id = mi_idx.movie_id
+  AND mc.movie_id = mi_idx.movie_id AND it.id = mi_idx.info_type_id;

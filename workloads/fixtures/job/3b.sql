@@ -1,0 +1,5 @@
+SELECT MIN(t.title) AS movie_title
+FROM keyword k, movie_info mi, movie_keyword mk, title t
+WHERE k.keyword LIKE '%sequel%' AND mi.info IN ('Bulgaria')
+  AND t.production_year > 2010 AND t.id = mi.movie_id AND t.id = mk.movie_id
+  AND mk.movie_id = mi.movie_id AND k.id = mk.keyword_id;

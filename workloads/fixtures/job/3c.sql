@@ -1,0 +1,5 @@
+SELECT MIN(t.title) AS movie_title
+FROM keyword k, movie_info mi, movie_keyword mk, title t
+WHERE k.keyword LIKE '%sequel%' AND mi.info IN ('Sweden','Norway','Germany','Denmark','Swedish','Denish','Norwegian','German','USA','American')
+  AND t.production_year > 1990 AND t.id = mi.movie_id AND t.id = mk.movie_id
+  AND mk.movie_id = mi.movie_id AND k.id = mk.keyword_id;

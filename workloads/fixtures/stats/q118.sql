@@ -1,0 +1,1 @@
+SELECT COUNT(*) FROM users as u, badges as b, comments as c WHERE b.UserId = u.Id AND c.UserId = u.Id AND u.Views>=208 AND u.UpVotes<=338;
