@@ -77,3 +77,107 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return salted_left.join(salted_right, on=on + [_SALT], how=how).drop(_SALT)
+
+
+def decide_salt(
+    hot_share: float,
+    shuffle_partitions: int,
+    *,
+    target_imbalance: float = 4.0,
+    max_salt: int = 32,
+) -> int:
+    """Salt factor for a measured hot-key share — the policy that turns
+    ``profile_key_skew``'s report into a decision.
+
+    A shuffle join hashes each key to one of ``shuffle_partitions``
+    reducers, so the hottest reducer runs at roughly
+    ``hot_share x shuffle_partitions`` times the average ("imbalance").
+    Below ``target_imbalance`` the skew is noise (and AQE's skew-join
+    split handles residual sort-merge cases at runtime); above it, the
+    hot key IS the wall clock and we salt just enough to push the
+    imbalance back under target — rounded up to a power of two, capped
+    at ``max_salt`` because the right side is replicated ``salt``x.
+    Returns 1 ("don't salt") for uniform keys."""
+    if shuffle_partitions < 1 or not 0.0 <= hot_share <= 1.0:
+        raise ValueError("need shuffle_partitions >= 1 and hot_share in [0, 1]")
+    imbalance = hot_share * shuffle_partitions
+    if imbalance <= target_imbalance:
+        return 1
+    salt = 2
+    while salt < max_salt and imbalance / salt > target_imbalance:
+        salt *= 2
+    return salt
+
+
+def plan_skew_mitigation(
+    left: DataFrame,
+    on: list[str],
+    *,
+    sample_fraction: float | None = None,
+    target_imbalance: float = 4.0,
+    max_salt: int = 32,
+) -> dict:
+    """Measure the left side's join-key skew and recommend a salt factor.
+
+    The measurement is the hot-key share — the same statistic the
+    ``profile_key_skew`` registry query reports (top keys with corpus
+    share); this helper closes the loop by CONSUMING it: one
+    partial-aggregated count per key (map-side combine, narrow result)
+    and a single-row max. At warehouse scale pass ``sample_fraction``
+    (hot-key shares are exactly what uniform sampling estimates well —
+    a key holding 10%% of 100 TB still holds ~10%% of a 1%% sample).
+
+    Returns ``{"hot_share", "hot_key", "salt", "shuffle_partitions"}``.
+    """
+    probe = left.sample(fraction=sample_fraction) if sample_fraction else left
+    counts = probe.groupBy(*on).agg(F.count(F.lit(1)).alias("__pb_cnt"))
+    top = (
+        counts.orderBy(F.desc("__pb_cnt")).limit(1).collect()
+    )  # TakeOrdered: no full sort, one driver row
+    total = probe.count()
+    if not top or total == 0:
+        return {"hot_share": 0.0, "hot_key": None, "salt": 1,
+                "shuffle_partitions": 1}
+    spark = left.sparkSession
+    shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hot_share = top[0]["__pb_cnt"] / total
+    return {
+        "hot_share": hot_share,
+        "hot_key": tuple(top[0][k] for k in on),
+        "salt": decide_salt(
+            hot_share,
+            shuffle_partitions,
+            target_imbalance=target_imbalance,
+            max_salt=max_salt,
+        ),
+        "shuffle_partitions": shuffle_partitions,
+    }
+
+
+def skew_aware_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    *,
+    salt_on: list[str] | None = None,
+    sample_fraction: float | None = None,
+    target_imbalance: float = 4.0,
+    max_salt: int = 32,
+) -> DataFrame:
+    """Join that profiles the left side's key distribution and salts
+    automatically when one hot key would dominate a reducer — the
+    end-to-end composition of ``profile_key_skew`` (measure) →
+    ``decide_salt`` (policy) → ``salted_join`` (mechanism). Uniform keys
+    take the plain join path with zero overhead beyond the profile scan;
+    results are identical either way."""
+    decision = plan_skew_mitigation(
+        left,
+        on,
+        sample_fraction=sample_fraction,
+        target_imbalance=target_imbalance,
+        max_salt=max_salt,
+    )
+    return salted_join(
+        left, right, on, how=how, salt=decision["salt"], salt_on=salt_on
+    )

@@ -94,3 +94,95 @@ def test_salt_one_means_off_even_for_keys_only_frames(spark, sf_small):
     )
     plain = left.join(right, on=["o_custkey"]).count()
     assert salted_join(left, right, on=["o_custkey"], salt=1).count() == plain
+
+
+# ---------------------------------------------------------------------------
+# round 5: the measure -> policy -> mechanism loop closed
+# (profile_key_skew's report now has an automatic consumer)
+# ---------------------------------------------------------------------------
+
+from postbound_spark.operators.skew import (  # noqa: E402
+    decide_salt,
+    plan_skew_mitigation,
+    skew_aware_join,
+)
+
+
+def _skewed_pair(spark, n=20_000, hot_frac=0.3):
+    """Left frame where one key holds ~hot_frac of all rows + a dim."""
+    left = spark.range(n).select(
+        F.when(
+            (F.col("id") % F.lit(int(1 / hot_frac))) == 0, F.lit(7)
+        ).otherwise(F.pmod(F.xxhash64("id"), F.lit(500))).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    right = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("payload")
+    )
+    return left, right
+
+
+def test_decide_salt_policy():
+    # uniform: hottest reducer ~= average -> no salt
+    assert decide_salt(1 / 500, 32) == 1
+    # 30% on one key over 32 reducers -> imbalance ~9.6 -> salt 4
+    assert decide_salt(0.3, 32) == 4
+    # extreme skew is capped
+    assert decide_salt(1.0, 4096, max_salt=32) == 32
+    with pytest.raises(ValueError):
+        decide_salt(1.5, 32)
+
+
+def test_plan_skew_mitigation_measures_hot_share(spark):
+    left, _ = _skewed_pair(spark)
+    # the dev session runs 8 shuffle partitions -> imbalance ~2.7; pin the
+    # threshold so the decision is deterministic across session presets
+    plan = plan_skew_mitigation(left, ["k"], target_imbalance=2.0)
+    assert 0.25 <= plan["hot_share"] <= 0.35
+    assert plan["hot_key"] == (7,)
+    assert plan["salt"] >= 2
+    uniform = spark.range(10_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(5000)).alias("k"), F.col("id").alias("row_id")
+    )
+    assert plan_skew_mitigation(uniform, ["k"])["salt"] == 1
+
+
+def test_plan_skew_mitigation_sampled_estimate(spark):
+    """At warehouse scale the profile runs on a sample — a 30% hot key
+    is still ~30% of a 10% sample."""
+    left, _ = _skewed_pair(spark, n=50_000)
+    plan = plan_skew_mitigation(
+        left, ["k"], sample_fraction=0.1, target_imbalance=2.0
+    )
+    assert 0.2 <= plan["hot_share"] <= 0.4
+    assert plan["salt"] >= 2
+
+
+def test_skew_aware_join_matches_plain_join(spark):
+    left, right = _skewed_pair(spark)
+    auto = skew_aware_join(left, right, ["k"], salt_on=["k", "row_id"])
+    plain = left.join(right, on=["k"], how="inner")
+    assert auto.count() == plain.count()
+    assert (
+        auto.agg(F.sum("payload").alias("s")).collect()[0]["s"]
+        == plain.agg(F.sum("payload").alias("s")).collect()[0]["s"]
+    )
+
+
+def test_skew_aware_join_salts_only_when_skewed(spark):
+    left, right = _skewed_pair(spark)
+    salted_plan = skew_aware_join(
+        left, right, ["k"], salt_on=["k", "row_id"], target_imbalance=2.0
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in salted_plan  # the salt column made it into the join
+    uniform = spark.range(10_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(5000)).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    # materialize first so the profile's xxhash64 (used to BUILD the key
+    # column) does not appear in the join plan we inspect
+    uniform = uniform.localCheckpoint(eager=True)
+    plain_plan = skew_aware_join(
+        uniform, right, ["k"], salt_on=["k", "row_id"]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" not in plain_plan
