@@ -119,40 +119,61 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round-4: new capabilities ---
-    "profile_key_skew",
+    # --- round-5: new capability (occurrence-keyed self-join injection) ---
+    "opt_plantime_selfjoin",
+    # --- round-5: queries whose implementation changed this round.
+    #     q7/q8/q9/q11: oracle sums gained explicit no-op casts (the
+    #     sum-lint waiver burndown). opt_plantime_cards: injector
+    #     lifecycle + occurrence keying rework. Every parsed_* entry:
+    #     the algebra converter now folds implicit FROM lists in
+    #     connectivity-refined order (cross-product avoidance for the
+    #     JOB corpus), so all native-parser-path queries re-verify ---
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "opt_plantime_cards",
+    "parsed_flagship_native",
+    "parsed_semijoin_native",
+    "parsed_not_in_native",
+    "parsed_having_rewrite",
+    "parsed_ues_forced_order",
+    "parsed_values_table_function",
+    "parsed_left_outer_join",
+    "parsed_distinct_on",
+    "parsed_lateral",
+    "parsed_hinted_merge_join",
+    "parsed_join_using",
+    "parsed_fetch_prior",
     "parsed_ssb_partbrand",
     "parsed_ssb_geography",
-    "text_bm25_topk",
-    "text_tfidf_topk",
-    "expr_xml_agg",
-    "events_cohort_retention",
-    "sketch_countmin_tokens",
-    "corpus_chunk_windows",
-    "events_funnel",
-    "ann_pq_adc_topk",
-    "text_pattern_scrub",
-    "text_boilerplate_ngrams",
-    "corpus_seq_packing",
-    "quality_common_token_ratio",
-    # --- round-4: queries whose implementation changed this round ---
-    "opt_plantime_cards",
-    "text_repetition_filter",
-    "pipeline_keep_list",
-    "emb_quantize_int8",
-    "ann_quantized_rescore_topk",
-    "dedup_minhash_lsh",
-    # --- round-4 rotation: the oldest green rows (last verified in
-    #     r1; every r2/r3 row is younger). op_relation_projection /
-    #     op_selection / op_map_expressions sit out — every composite
-    #     query exercises scan+filter+projection transitively. The new
-    #     capabilities above push the tail of this list past the
-    #     driver's 50-slot window; the overflow (the trailing TPC-H
-    #     family from q18 onward — all r1-green AND re-run every round
-    #     by bench + pytest) rolls to the round-5 rotation ---
+    # --- round-5 rotation: last round's overflow — the trailing TPC-H
+    #     family from q18 onward plus q3..q9/top_suppliers (their last
+    #     driver row is r1), then the oldest remaining r1-green rows.
+    #     The round-4 head (profile_key_skew … dedup_minhash_lsh) is
+    #     freshly green in CORRECTNESS_r04 and rolls to the tail ---
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "top_suppliers_having",
+    "q1_pricing_summary",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
     "ir_count_star_transform",
     "ir_market_share",
     "latest_order_per_customer",
+    "opt_forced_plan_regional_revenue",
     "op_anti_join",
     "op_cross_product",
     "op_difference",
@@ -167,33 +188,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "op_theta_join_nonequi",
     "op_union",
     "op_union_all",
-    "opt_forced_plan_regional_revenue",
-    "parsed_flagship_native",
-    "parsed_having_rewrite",
-    "parsed_not_in_native",
-    "parsed_semijoin_native",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "top_suppliers_having",
 )
 
 
