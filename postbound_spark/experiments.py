@@ -385,52 +385,56 @@ def distortion_sweep(
         return counts[name]
 
     rows = []
-    for label, sql in queries.items():
-        leaves = injector.describe_leaves(sql)
-        for factor in factors:
-            cards = {
-                (leaf["leaf"],): max(1.0, table_count(leaf["table"]) * factor)
-                for leaf in leaves
-            }
-            t0 = time.perf_counter()
-            df = injector.plan(sql, cards, adaptive=False)
-            planning_time = time.perf_counter() - t0
-            plan_text = df._jdf.queryExecution().sparkPlan().toString()
-            row = {
-                "label": label,
-                "distortion_factor": float(factor),
-                "n_leaves": len(leaves),
-                "n_broadcast_joins": plan_text.count("BroadcastHashJoin"),
-                "n_sortmerge_joins": plan_text.count("SortMergeJoin"),
-                "n_shuffled_hash_joins": plan_text.count("ShuffledHashJoin"),
-                "planning_time": planning_time,
-            }
-            if execute:
-                t1 = time.perf_counter()
-                collected = df.collect()
-                row["exec_time"] = time.perf_counter() - t1
-                row["result_rows"] = len(collected)
-                # physical planning seeds the injected stats into a CLONE
-                # of the optimized plan; re-seed the original tree from its
-                # tags so the recorded q-errors measure the DISTORTED
-                # estimates against the executed actuals — the estimate the
-                # planner actually consulted (ref CardinalityDistortion
-                # records the distorted value, not the clean one)
-                injector._helper.visibleRowCount(
-                    df._jdf.queryExecution().optimizedPlan()
-                )
-                try:
-                    qerrs = [
-                        j["qerror"]
-                        for j in join_qerrors(df)
-                        if not math.isnan(j["qerror"])
-                    ]
-                except ValueError:  # runtime rewrite → pairing unsafe
-                    qerrs = []
-                row["max_qerror"] = max(qerrs) if qerrs else math.nan
-                row["mean_qerror"] = (
-                    sum(qerrs) / len(qerrs) if qerrs else math.nan
-                )
-            rows.append(row)
-    injector.close()  # experiment-scoped: deregister + strip tags
+    try:
+        for label, sql in queries.items():
+            leaves = injector.describe_leaves(sql)
+            for factor in factors:
+                cards = {
+                    (leaf["leaf"],): max(
+                        1.0, table_count(leaf["table"]) * factor
+                    )
+                    for leaf in leaves
+                }
+                t0 = time.perf_counter()
+                df = injector.plan(sql, cards, adaptive=False)
+                planning_time = time.perf_counter() - t0
+                plan_text = df._jdf.queryExecution().sparkPlan().toString()
+                row = {
+                    "label": label,
+                    "distortion_factor": float(factor),
+                    "n_leaves": len(leaves),
+                    "n_broadcast_joins": plan_text.count("BroadcastHashJoin"),
+                    "n_sortmerge_joins": plan_text.count("SortMergeJoin"),
+                    "n_shuffled_hash_joins": plan_text.count("ShuffledHashJoin"),
+                    "planning_time": planning_time,
+                }
+                if execute:
+                    t1 = time.perf_counter()
+                    collected = df.collect()
+                    row["exec_time"] = time.perf_counter() - t1
+                    row["result_rows"] = len(collected)
+                    # physical planning seeds the injected stats into a
+                    # CLONE of the optimized plan; re-seed the original
+                    # tree from its tags so the recorded q-errors measure
+                    # the DISTORTED estimates against the executed actuals
+                    # — the estimate the planner actually consulted (ref
+                    # CardinalityDistortion records the distorted value)
+                    injector._helper.visibleRowCount(
+                        df._jdf.queryExecution().optimizedPlan()
+                    )
+                    try:
+                        qerrs = [
+                            j["qerror"]
+                            for j in join_qerrors(df)
+                            if not math.isnan(j["qerror"])
+                        ]
+                    except ValueError:  # runtime rewrite → pairing unsafe
+                        qerrs = []
+                    row["max_qerror"] = max(qerrs) if qerrs else math.nan
+                    row["mean_qerror"] = (
+                        sum(qerrs) / len(qerrs) if qerrs else math.nan
+                    )
+                rows.append(row)
+    finally:
+        injector.close()  # experiment-scoped even when a query raises
     return pd.DataFrame(rows)

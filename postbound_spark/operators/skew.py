@@ -105,7 +105,7 @@ def decide_salt(
         return 1
     salt = 2
     while salt < max_salt and imbalance / salt > target_imbalance:
-        salt *= 2
+        salt = min(salt * 2, max_salt)  # honor non-power-of-two caps too
     return salt
 
 

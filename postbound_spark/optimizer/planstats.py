@@ -116,7 +116,10 @@ def ensure_helper_compiled() -> str:
     return _CLASSES_DIR
 
 
-_HELPER_CACHE: dict[int, object] = {}
+_HELPER_CACHE: dict[object, object] = {}  # gateway -> helper (the key
+# holds the gateway alive, so a recycled id() after session restart can
+# never alias a dead JVM's helper)
+_ACTIVE_INJECTORS: dict[object, int] = {}  # gateway -> live injector count
 
 
 def _load_helper(spark: SparkSession):
@@ -129,7 +132,7 @@ def _load_helper(spark: SparkSession):
     URLClassLoaders poison each other's dispatch ("object is not an
     instance of declaring class") — every injector on a session shares
     the singleton."""
-    key = id(spark.sparkContext._gateway)
+    key = spark.sparkContext._gateway
     if key in _HELPER_CACHE:
         helper = _HELPER_CACHE[key]
         helper.register(spark._jsparkSession.experimental())
@@ -215,7 +218,7 @@ def _qualify_parts(parts: list[str], occurrences: Mapping[str, int]) -> frozense
                     f"{part!r} addresses occurrence {idx} but the plan "
                     f"scans {base!r} {occurrences.get(base, 0)} time(s)"
                 )
-            out.append(part)
+            out.append(f"{base}#{int(idx)}")  # normalize '#02' -> '#2' 
         else:
             n = occurrences.get(part, 0)
             if n > 1:
@@ -255,6 +258,11 @@ class PlanTimeCardinalityInjector:
         self.spark = spark
         self._helper = _load_helper(spark)
         self._tagged: list = []  # optimized plans we tagged (for close())
+        self._gateway_key = spark.sparkContext._gateway
+        self._closed = False
+        _ACTIVE_INJECTORS[self._gateway_key] = (
+            _ACTIVE_INJECTORS.get(self._gateway_key, 0) + 1
+        )
 
     # -- lifecycle -------------------------------------------------------
     # The registered strategy walks every plan tree on every planning pass
@@ -263,12 +271,22 @@ class PlanTimeCardinalityInjector:
     # context-manager form) bounds both to the experiment.
 
     def close(self) -> None:
-        """Deregister the planning strategy and strip injection tags from
-        every plan this injector touched, restoring the session planner."""
+        """Strip injection tags from every plan this injector touched and,
+        when this is the LAST live injector on the session, deregister the
+        shared planning strategy. The strategy object is one singleton per
+        JVM (see ``_load_helper``), so an unconditional deregister here
+        would silently disable injection for every OTHER experiment still
+        holding un-collected doctored plans."""
+        if self._closed:
+            return
+        self._closed = True
         for opt in self._tagged:
             self._helper.clearAll(opt)
         self._tagged.clear()
-        self._helper.deregister(self.spark._jsparkSession.experimental())
+        remaining = _ACTIVE_INJECTORS.get(self._gateway_key, 1) - 1
+        _ACTIVE_INJECTORS[self._gateway_key] = max(remaining, 0)
+        if remaining <= 0:
+            self._helper.deregister(self.spark._jsparkSession.experimental())
 
     def __enter__(self) -> "PlanTimeCardinalityInjector":
         return self

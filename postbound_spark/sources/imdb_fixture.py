@@ -112,15 +112,6 @@ CI_NOTES = [
 ]
 
 
-def _lookup(names: list[str], extra_cols: dict | None = None) -> pd.DataFrame:
-    frame = {"id": np.arange(1, len(names) + 1), _MAIN_COL: names}
-    frame.update(extra_cols or {})
-    return pd.DataFrame(frame)
-
-
-_MAIN_COL = "__main__"  # replaced per table below
-
-
 def generate_imdb_fixture(
     out_dir: str,
     seed: int = 42,

@@ -160,14 +160,26 @@ def test_bad_occurrence_qualifier_raises(spark, injector):
 
 
 def test_close_scopes_injection_to_experiment(spark, injector, sf_small):
-    """Context exit must deregister the extra strategy AND strip tags, so
-    neither the session planner nor a tagged DataFrame keeps doctored
-    state after the experiment (VERDICT r4 weak #1)."""
+    """Context exit strips this experiment's tags immediately, but the
+    session-shared strategy (one JVM singleton for ALL injectors) only
+    deregisters when the LAST live injector closes — an unconditional
+    deregister would silently disable injection for other experiments
+    still holding un-collected doctored plans (VERDICT r4 weak #1 +
+    round-5 review finding)."""
     exp = spark._jsparkSession.experimental()
     with PlanTimeCardinalityInjector(spark) as inj:
         df = inj.plan(SQL, {("lineitem", "orders"): 1234})
         assert inj.visible_row_count(df, ("lineitem", "orders")) == 1234
         assert inj._helper.registeredCount(exp) == 1
-    assert inj._helper.registeredCount(exp) == 0
-    # tags stripped: the very same DataFrame no longer reports doctored stats
+    # the module-level injector is still live -> strategy stays registered
+    assert inj._helper.registeredCount(exp) == 1
+    # ...but THIS experiment's tags are stripped: the very same DataFrame
+    # no longer reports doctored stats
     assert inj.visible_row_count(df, ("lineitem", "orders")) != 1234
+    inj.close()  # idempotent — a second close must not over-decrement
+    assert inj._helper.registeredCount(exp) == 1
+    # when the last live injector closes, the strategy deregisters (this
+    # is the final test in the module, so retiring the fixture is safe —
+    # any later plan() re-registers)
+    injector.close()
+    assert inj._helper.registeredCount(exp) == 0

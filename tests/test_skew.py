@@ -109,13 +109,16 @@ from postbound_spark.operators.skew import (  # noqa: E402
 
 
 def _skewed_pair(spark, n=20_000, hot_frac=0.3):
-    """Left frame where one key holds ~hot_frac of all rows + a dim."""
+    """Left frame where one key holds ~hot_frac of all rows + a dim.
+    Materialized so the key-building xxhash64 never appears in downstream
+    join plans — the salts-only-when-skewed test greps plans for the salt
+    hash and must not match the data generator's."""
     left = spark.range(n).select(
         F.when(
             (F.col("id") % F.lit(int(1 / hot_frac))) == 0, F.lit(7)
         ).otherwise(F.pmod(F.xxhash64("id"), F.lit(500))).alias("k"),
         F.col("id").alias("row_id"),
-    )
+    ).localCheckpoint(eager=True)
     right = spark.range(500).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("payload")
     )
@@ -174,7 +177,7 @@ def test_skew_aware_join_salts_only_when_skewed(spark):
     salted_plan = skew_aware_join(
         left, right, ["k"], salt_on=["k", "row_id"], target_imbalance=2.0
     )._jdf.queryExecution().optimizedPlan().toString()
-    assert "xxhash64" in salted_plan  # the salt column made it into the join
+    assert "__pb_salt" in salted_plan and "xxhash64" in salted_plan
     uniform = spark.range(10_000).select(
         F.pmod(F.xxhash64("id"), F.lit(5000)).alias("k"),
         F.col("id").alias("row_id"),
@@ -185,4 +188,4 @@ def test_skew_aware_join_salts_only_when_skewed(spark):
     plain_plan = skew_aware_join(
         uniform, right, ["k"], salt_on=["k", "row_id"]
     )._jdf.queryExecution().optimizedPlan().toString()
-    assert "xxhash64" not in plain_plan
+    assert "__pb_salt" not in plain_plan and "xxhash64" not in plain_plan
