@@ -61,6 +61,10 @@ QUERIES = [
     "text_tfidf_topk",
     "text_bm25_topk",
     "events_cohort_retention",
+    # round-5 additions: the bigram-explode + broadcast-LM scoring path
+    # and the dual-ranking (brute force + LSH) recall measurement
+    "quality_lm_score",
+    "ann_recall_at_k",
 ]
 
 _DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -119,8 +119,10 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round-5: new capability (occurrence-keyed self-join injection) ---
+    # --- round-5: new capabilities ---
     "opt_plantime_selfjoin",
+    "quality_lm_score",
+    "ann_recall_at_k",
     # --- round-5: queries whose implementation changed this round.
     #     q7/q8/q9/q11: oracle sums gained explicit no-op casts (the
     #     sum-lint waiver burndown). opt_plantime_cards: injector

@@ -2806,3 +2806,216 @@ def ann_pq_adc_topk(spark, sf_dir):
         .limit(10)
     )
 
+
+
+# ---------------------------------------------------------------------------
+# round 5: LM-based quality filtering + ANN quality measurement
+# ---------------------------------------------------------------------------
+
+_LM_SCORE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_WS_TOKS} AS ws,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 5 AS bucket
+  FROM documents
+),
+doc_bi AS (
+  SELECT doc_id, bucket,
+         unnest(CASE WHEN len(ws) >= 2
+                     THEN list_transform(generate_series(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1])
+                     ELSE [] END) AS bg
+  FROM t
+),
+ref_bi AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c2
+  FROM doc_bi WHERE bucket = 0 GROUP BY bg
+),
+ref_uni AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+  FROM ref_bi GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(COALESCE(CAST(r.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE), 0.0))
+             / count(*), 6) AS lm_score
+FROM doc_bi d
+LEFT JOIN ref_bi r ON d.bg = r.bg
+LEFT JOIN ref_uni u ON split_part(d.bg, ' ', 1) = u.w1
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("quality_lm_score", oracle=_LM_SCORE_ORACLE)
+def quality_lm_score(spark, sf_dir):
+    """CCNet-style language-model quality scoring: train a bigram LM on a
+    reference slice of the corpus, score every document by its mean
+    in-LM bigram probability (Wenzek et al., "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data", LREC 2020 — there
+    a KenLM 5-gram; here a bigram continuation model whose arithmetic is
+    rational, so the DuckDB oracle reproduces it exactly: no logs, no
+    perplexity transcendentals, just c(w1,w2)/c(w1,*) averaged per doc;
+    unseen bigrams contribute 0, which preserves the ranking a perplexity
+    would give).
+
+    Scale shape (the CCNet deployment pattern): the reference slice is a
+    DETERMINISTIC md5 hash bucket (20% — reproducible across engines and
+    runs, unlike a seeded sample), the LM tables are vocabulary-bounded
+    (not corpus-bounded) and BROADCAST, so scoring the full corpus is
+    map-only — one shuffle each to build the two LM tables, one partial-
+    aggregated doc_id shuffle for the per-doc mean, and nothing that
+    grows with corpus size on the scoring path."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = T.tokens(F.col("text"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 5
+    )
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bi = docs.select(
+        "doc_id", bucket.alias("bucket"), F.explode(bigrams).alias("bg")
+    ).transform(stage_cache)
+    ref_bi = (
+        doc_bi.filter(F.col("bucket") == 0)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ref_uni = (
+        ref_bi.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c2").cast("long").alias("c1"))
+    )
+    prob = F.coalesce(
+        F.col("c2").cast("double") / F.col("c1").cast("double"), F.lit(0.0)
+    )
+    return (
+        doc_bi.join(F.broadcast(ref_bi), "bg", "left")
+        .join(
+            F.broadcast(ref_uni),
+            F.substring_index(F.col("bg"), " ", 1) == F.col("w1"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum(prob) / F.count(F.lit(1)), 6).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_RECALL_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+b AS (SELECT vec_id, qv, CAST({_bucket_sql(_PLANES)} AS BIGINT) AS bucket FROM q),
+qs AS (SELECT vec_id AS query_id, qv AS q_qv, bucket AS q_bucket FROM b WHERE vec_id < 5),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qs.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY qs.query_id
+                              ORDER BY {_cos_sql("a.qv", "qs.q_qv")} DESC, a.vec_id) AS rn
+    FROM b a, qs WHERE a.vec_id != qs.query_id)
+  WHERE rn <= 10),
+probes AS (
+  SELECT query_id, q_qv, xor(q_bucket, m.m) AS bucket
+  FROM qs, (SELECT unnest({_PROBE_MASKS}) AS m) m),
+lsh AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {_cos_sql("a.qv", "p.q_qv")} DESC, a.vec_id) AS rn
+    FROM b a JOIN probes p ON a.bucket = p.bucket
+    WHERE a.vec_id != p.query_id)
+  WHERE rn <= 10)
+SELECT e.query_id,
+       CAST(count(l.vec_id) AS BIGINT) AS n_hits,
+       round(count(l.vec_id) / 10.0, 6) AS recall_at_10
+FROM exact e LEFT JOIN lsh l ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_at_k", oracle=_RECALL_ORACLE)
+def ann_recall_at_k(spark, sf_dir):
+    """Recall@10 of the multi-probe LSH ANN against exact brute force,
+    per query vector — the measurement that tunes every approximate
+    index (band count, probe radius, nlist) before it ships: an ANN
+    variant without a recall gauge is a guess, not an operator.
+
+    Both rankings share one cached (qv, norm, bucket) pass. Exact top-10
+    per query is a crossJoin against the 5-row BROADCAST query set +
+    per-query window top-k (WindowGroupLimit cuts partitions before the
+    rank exchange — never a global sort); the LSH side joins the
+    corpus's bucket column against a 45-row broadcast probe list
+    (Hamming ≤ 1), so at scale it touches ~9/256 of the corpus. Recall
+    is a left-semi-style count of the overlap keyed on (query_id,
+    vec_id) — top-k frames are k x queries rows, trivially small."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", V.quantize(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", V.norm_q(F.col("qv")))
+        .withColumn(
+            "bucket", V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=8)
+        )
+        .transform(stage_cache)
+    )
+    queries = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = V.dot_q(F.col("qv"), F.col("q_qv")).cast("double") / (
+        F.col("nrm") * F.col("q_nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    exact = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    probes = queries.select(
+        "query_id",
+        "q_qv",
+        "q_nrm",
+        F.explode(
+            F.array(
+                *[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS]
+            )
+        ).alias("bucket"),
+    )
+    lsh = (
+        base.join(F.broadcast(probes), on="bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    return (
+        exact.join(lsh.withColumnRenamed("vec_id", "lsh_vec_id"),
+                   on=["query_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vec_id") == F.col("lsh_vec_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

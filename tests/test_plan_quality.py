@@ -535,3 +535,37 @@ def test_ssb_native_path_broadcasts_every_dimension(registry, spark, sf_small):
         assert "BroadcastHashJoin" in plan, name
         pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
         assert any("r_name" in l for l in pushed), name
+
+
+def test_lm_score_broadcasts_the_model_and_stays_jvm(registry, spark, sf_small):
+    df = _build(registry, spark, sf_small, "quality_lm_score")
+    plan = _formatted_plan(df)
+    # the CCNet deployment shape: both LM tables (bigram + continuation
+    # counts) are vocabulary-bounded and BROADCAST, so the corpus-sized
+    # scoring path never shuffles document rows on a model key; the
+    # whole computation is built-in expressions (no Python eval operator
+    # in the hot path)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
+
+
+def test_ann_recall_prunes_and_never_sorts_globally(registry, spark, sf_small):
+    df = _build(registry, spark, sf_small, "ann_recall_at_k")
+    plan = _formatted_plan(df)
+    # exact side: corpus x 5 broadcast query rows (BroadcastNestedLoop,
+    # never a shuffled CartesianProduct); LSH side: bucket equi-join
+    # against the 45-row broadcast probe list; both top-10s are window
+    # group limits cut before the rank exchange — no global sort of the
+    # corpus appears anywhere
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
