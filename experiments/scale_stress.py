@@ -80,7 +80,7 @@ def build_scaled_dir(spark, src: str, factor: int) -> str:
     # corpora across schemes would skew exactly the dedup/n-gram
     # exponents this harness gates
     marker = os.path.join(dst, ".complete")
-    stamp = f"factor={factor} src={src} mutation=v2-rot5x10\n"
+    stamp = f"factor={factor} src={src} mutation=v3-rot5x20\n"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return dst
     shutil.rmtree(dst, ignore_errors=True)
@@ -143,18 +143,20 @@ def build_scaled_dir(spark, src: str, factor: int) -> str:
         # would grow every cluster xfactor and the pair OUTPUT xfactor^2,
         # measuring the problem definition rather than the operator.
         vowels = "aeiou"
-        cons = "rstlnmdpgb"  # 5 x 10 rotation pairs: distinct for factor <= 50
-        if i >= 50:
-            # a copy token would only break EXACT duplication — copies 50
+        # 5 x 20 rotation pairs: distinct for factor <= 100 (widened from
+        # 10 consonants for the x100 confirmation point)
+        cons = "rstlnmdpgbcfhjkqvwxz"
+        if i >= 100:
+            # a copy token would only break EXACT duplication — copies 100
             # apart would stay ~0.99-Jaccard near-dups and the pair
             # output would go quadratic again, measuring the problem
             # definition instead of the operator
             raise ValueError(
-                "factor > 50 exhausts the rotation space — widen the "
+                "factor > 100 exhausts the rotation space — widen the "
                 "consonant alphabet before scaling further"
             )
         v = vowels[i % 5 :] + vowels[: i % 5]
-        c = cons[i // 5 % 10 :] + cons[: i // 5 % 10]
+        c = cons[i // 5 % 20 :] + cons[: i // 5 % 20]
         if i == 0:
             return F.col("text")
         return F.translate(F.col("text"), vowels + cons, v + c)
@@ -229,24 +231,30 @@ def main() -> None:
     factor = int(opts.get("factor", "10"))
     reps = int(opts.get("reps", "2"))
     out_path = opts.get("out", "scale_stress.json")
+    # --queries=a,b,c restricts the sweep (e.g. the x100 confirmation run
+    # on the two rising-exponent dedups — building the full query set at
+    # x100 wastes an hour confirming already-flat exponents)
+    queries = opts.get("queries")
+    queries = queries.split(",") if queries else None
 
     from postbound_spark.queries import load_all
     from postbound_spark.session import get_spark
 
     registry = load_all()
-    missing = [n for n in QUERIES if n not in registry]
+    selected = queries or QUERIES
+    missing = [n for n in selected if n not in registry]
     if missing:
         raise KeyError(f"scale-stress queries missing from registry: {missing}")
     spark = get_spark("scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
 
     big_dir = build_scaled_dir(spark, SRC_DIR, factor)
-    small = time_queries(spark, registry, SRC_DIR, QUERIES, reps)
-    big = time_queries(spark, registry, big_dir, QUERIES, reps)
+    small = time_queries(spark, registry, SRC_DIR, selected, reps)
+    big = time_queries(spark, registry, big_dir, selected, reps)
 
     exponents = {
         n: round(math.log(max(big[n], 1e-9) / max(small[n], 1e-9)) / math.log(factor), 3)
-        for n in QUERIES
+        for n in selected
     }
     result = {
         "metric": "scale_stress",
