@@ -489,6 +489,12 @@ def _directory_workload(name: str, fetch_name: str | None = None):
             return Workload.read_workload(directory)
         if real and fetch_name:
             return Workload.read_workload(fetch_workload(fetch_name))
+        # committed offline fixture (workloads/fixtures/<name>) — the
+        # no-argument front door works out of the box where one exists
+        if fetch_name:
+            fixture = os.path.join(_FIXTURE_ROOT, fetch_name)
+            if glob.glob(os.path.join(fixture, "*.sql")):
+                return Workload.read_workload(fixture)
         raise ValueError(
             f"the {name} workload texts are not bundled (the reference "
             "downloads them on demand, ref workloads.py:936-1150); pass "

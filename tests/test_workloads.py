@@ -217,9 +217,12 @@ def test_workload_catalog_covers_reference_families():
     from postbound_spark import workloads as W
 
     assert {"job", "job-complex", "job-light", "stats"} <= set(W.WORKLOAD_URLS)
-    for fn in (W.job, W.job_complex, W.stats):
-        with pytest.raises(ValueError, match="not bundled"):
-            fn("")
+    # committed fixtures serve the no-argument front door out of the box
+    assert len(W.job()) >= 70
+    assert len(W.stats()) >= 146
+    # job-complex has no fixture → still refuses politely without texts
+    with pytest.raises(ValueError, match="not bundled"):
+        W.job_complex("")
 
 
 def test_job_and_stats_corpora_parse():
