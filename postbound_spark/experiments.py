@@ -314,32 +314,36 @@ def cardinality_sweep(
         for t in (table_set.split(",") if isinstance(table_set, str) else table_set)
     )
     rows = []
-    for card in cards:
-        t0 = time.perf_counter()
-        df = injector.plan(sql, {target: card}, adaptive=False)
-        ops = operators_from_plan(df)
-        planning_time = time.perf_counter() - t0
-        # the swept subtree's parent join: smallest operator key that
-        # strictly contains the target set
-        parent = min(
-            (k for k in ops if target < k),
-            key=len,
-            default=None,
-        )
-        row = {
-            "card": float(card),
-            "parent_join_operator": ops[parent].name if parent else "",
-            "n_joins": len(ops),
-            "planning_time": planning_time,
-            "assignment": " ".join(
-                f"{'+'.join(sorted(k))}:{v.name}" for k, v in sorted(ops.items(), key=lambda kv: sorted(kv[0]))
-            ),
-        }
-        if execute:
-            t1 = time.perf_counter()
-            row["result_rows"] = len(df.collect())
-            row["exec_time"] = time.perf_counter() - t1
-        rows.append(row)
+    try:
+        for card in cards:
+            t0 = time.perf_counter()
+            df = injector.plan(sql, {target: card}, adaptive=False)
+            ops = operators_from_plan(df)
+            planning_time = time.perf_counter() - t0
+            # the swept subtree's parent join: smallest operator key that
+            # strictly contains the target set
+            parent = min(
+                (k for k in ops if target < k),
+                key=len,
+                default=None,
+            )
+            row = {
+                "card": float(card),
+                "parent_join_operator": ops[parent].name if parent else "",
+                "n_joins": len(ops),
+                "planning_time": planning_time,
+                "assignment": " ".join(
+                    f"{'+'.join(sorted(k))}:{v.name}"
+                    for k, v in sorted(ops.items(), key=lambda kv: sorted(kv[0]))
+                ),
+            }
+            if execute:
+                t1 = time.perf_counter()
+                row["result_rows"] = len(df.collect())
+                row["exec_time"] = time.perf_counter() - t1
+            rows.append(row)
+    finally:
+        injector.close()  # experiment-scoped strategy + tags
     return pd.DataFrame(rows)
 
 
