@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import os
 import subprocess
+import weakref
 from typing import Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,7 +120,11 @@ def ensure_helper_compiled() -> str:
 _HELPER_CACHE: dict[object, object] = {}  # gateway -> helper (the key
 # holds the gateway alive, so a recycled id() after session restart can
 # never alias a dead JVM's helper)
-_ACTIVE_INJECTORS: dict[object, int] = {}  # gateway -> live injector count
+# gateway -> the live, not-yet-closed injectors on that session. Weak
+# references: an injector abandoned without close() (e.g. built inside a
+# registry query builder) drops out when garbage-collected, so it cannot
+# permanently block the last-user deregistration below.
+_ACTIVE_INJECTORS: dict[object, "weakref.WeakSet"] = {}
 
 
 def _load_helper(spark: SparkSession):
@@ -260,8 +265,8 @@ class PlanTimeCardinalityInjector:
         self._tagged: list = []  # optimized plans we tagged (for close())
         self._gateway_key = spark.sparkContext._gateway
         self._closed = False
-        _ACTIVE_INJECTORS[self._gateway_key] = (
-            _ACTIVE_INJECTORS.get(self._gateway_key, 0) + 1
+        _ACTIVE_INJECTORS.setdefault(self._gateway_key, weakref.WeakSet()).add(
+            self
         )
 
     # -- lifecycle -------------------------------------------------------
@@ -283,9 +288,10 @@ class PlanTimeCardinalityInjector:
         for opt in self._tagged:
             self._helper.clearAll(opt)
         self._tagged.clear()
-        remaining = _ACTIVE_INJECTORS.get(self._gateway_key, 1) - 1
-        _ACTIVE_INJECTORS[self._gateway_key] = max(remaining, 0)
-        if remaining <= 0:
+        live = _ACTIVE_INJECTORS.get(self._gateway_key)
+        if live is not None:
+            live.discard(self)
+        if not live:
             self._helper.deregister(self.spark._jsparkSession.experimental())
 
     def __enter__(self) -> "PlanTimeCardinalityInjector":
