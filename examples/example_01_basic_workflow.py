@@ -23,7 +23,8 @@ def main(spark=None, sf_dir=None):
 
     spark, sf_dir, tables = bootstrap(spark, sf_dir)
 
-    from postbound_spark.experiments import _prepared_tables
+    from pyspark.sql import functions as F
+
     from postbound_spark.optimizer.presets import apply_standard_settings
     from postbound_spark.plans.parser import parse_query, to_query_spec
 
@@ -32,14 +33,23 @@ def main(spark=None, sf_dir=None):
     print("tables in the join graph:", sorted(spec.tables))
 
     pipeline = apply_standard_settings(spark, "ues")
-    prepared = _prepared_tables(parsed, tables)
+    # aliased frames with each table's own filters pushed below the joins
+    # — the placement every ordering stage assumes
+    preds = parsed.predicates()
+    prepared = {}
+    for tref in parsed.from_tables:
+        df = tables[tref.full_name].alias(tref.identifier)
+        table_filters = preds.filters_for(tref.identifier)
+        if table_filters:
+            df = df.filter(
+                F.expr(" AND ".join(p.to_sql() for p in table_filters))
+            )
+        prepared[tref.identifier] = df
     planned = pipeline.optimize_query(spec, prepared)
     print("UES join order:", " -> ".join(planned.join_order.tables()))
 
     df = planned.to_dataframe(prepared)
     # the ordering/grouping clauses live in the IR; apply the tail here
-    from pyspark.sql import functions as F
-
     out = (
         df.groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_orders"))

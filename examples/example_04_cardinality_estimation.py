@@ -28,7 +28,6 @@ def main(spark=None, sf_dir=None):
         CardinalityDistortion,
         PreciseCardinalities,
     )
-    from postbound_spark.optimizer.stages import QuerySpec
     from postbound_spark.plans.parser import parse_query, to_query_spec
 
     spec = to_query_spec(parse_query(SQL))

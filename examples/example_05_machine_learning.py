@@ -30,9 +30,10 @@ def main(spark=None, sf_dir=None):
     from postbound_spark.train import TrainingSpec, collect_cardinality_samples
 
     data = collect_cardinality_samples(spark, QUERIES, tables)
-    spec = TrainingSpec("estimated_cardinality", "cardinality")
-    violations = data.spec.satisfies(spec)
-    print("spec satisfied:", not violations, "| samples:", len(data.samples))
+    required = TrainingSpec("estimated_cardinality", "cardinality")
+    # SpecViolations is truthy when the provider satisfies the requirement
+    check = data.spec.satisfies(required)
+    print("spec satisfied:", bool(check), "| samples:", len(data.samples))
 
     frame = data.samples.dropna(subset=["estimated_cardinality", "cardinality"])
     frame = frame[(frame.estimated_cardinality > 0) & (frame.cardinality > 0)]

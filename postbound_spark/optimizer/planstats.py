@@ -117,14 +117,24 @@ def ensure_helper_compiled() -> str:
     return _CLASSES_DIR
 
 
-_HELPER_CACHE: dict[object, object] = {}  # gateway -> helper (the key
-# holds the gateway alive, so a recycled id() after session restart can
-# never alias a dead JVM's helper)
+# gateway -> helper. Weak keys: the live SparkContext holds its gateway,
+# so entries survive exactly as long as the session — a stopped session's
+# gateway (and helper proxy) can be collected instead of pinned for
+# process lifetime, and a recycled address can never alias a dead JVM
+# because identity, not id(), is the key.
+_HELPER_CACHE: "weakref.WeakKeyDictionary" = None  # initialized below
 # gateway -> the live, not-yet-closed injectors on that session. Weak
 # references: an injector abandoned without close() (e.g. built inside a
 # registry query builder) drops out when garbage-collected, so it cannot
-# permanently block the last-user deregistration below.
-_ACTIVE_INJECTORS: dict[object, "weakref.WeakSet"] = {}
+# permanently block the last-user deregistration below. Every DataFrame
+# an injector plans holds a strong reference back to it (see plan()), so
+# "live" extends to exactly the window in which an un-collected doctored
+# plan still needs the strategy.
+_ACTIVE_INJECTORS: "weakref.WeakKeyDictionary" = None  # initialized below
+
+
+_HELPER_CACHE = weakref.WeakKeyDictionary()
+_ACTIVE_INJECTORS = weakref.WeakKeyDictionary()
 
 
 def _load_helper(spark: SparkSession):
@@ -425,6 +435,10 @@ class PlanTimeCardinalityInjector:
                 f"plan offers: {available}"
             )
 
+        # the DataFrame pins its injector: a builder that returns df and
+        # drops the injector must not lose strategy registration while the
+        # (lazily planned) doctored frame is still collectible
+        df._pb_injector = self
         if adaptive is not None:
             key = "spark.sql.adaptive.enabled"
             prev = self.spark.conf.get(key)

@@ -420,6 +420,14 @@ _FIXTURE_ROOT = os.path.join(
 )
 
 
+def _fixture_dir(name: str) -> str | None:
+    """The committed fixture directory for ``name`` when it has queries."""
+    fixture = os.path.join(_FIXTURE_ROOT, name)
+    if glob.glob(os.path.join(fixture, "*.sql")):
+        return fixture
+    return None
+
+
 def fetch_workload(
     name: str, timeout: float = 30.0, prefer_fixture: bool = True
 ) -> str:
@@ -439,8 +447,8 @@ def fetch_workload(
     import urllib.request
     import zipfile
 
-    fixture = os.path.join(_FIXTURE_ROOT, name)
-    if prefer_fixture and glob.glob(os.path.join(fixture, "*.sql")):
+    fixture = _fixture_dir(name)
+    if prefer_fixture and fixture:
         return fixture
     if name not in WORKLOAD_URLS:
         raise KeyError(f"no fetch URL for workload {name!r}")
@@ -491,10 +499,8 @@ def _directory_workload(name: str, fetch_name: str | None = None):
             return Workload.read_workload(fetch_workload(fetch_name))
         # committed offline fixture (workloads/fixtures/<name>) — the
         # no-argument front door works out of the box where one exists
-        if fetch_name:
-            fixture = os.path.join(_FIXTURE_ROOT, fetch_name)
-            if glob.glob(os.path.join(fixture, "*.sql")):
-                return Workload.read_workload(fixture)
+        if fetch_name and _fixture_dir(fetch_name):
+            return Workload.read_workload(_fixture_dir(fetch_name))
         raise ValueError(
             f"the {name} workload texts are not bundled (the reference "
             "downloads them on demand, ref workloads.py:936-1150); pass "
