@@ -746,3 +746,66 @@ def test_set_query_ordinal_requires_alias_for_computed_items():
             "SELECT n_nationkey + 1 FROM nation UNION "
             "SELECT r_regionkey FROM region ORDER BY 1"
         )
+
+
+# ---------------------------------------------------------------------------
+# round 5: connectivity-refined implicit-join ordering (plans/algebra.py)
+# ---------------------------------------------------------------------------
+
+
+def _order_for(sql: str) -> list[str]:
+    from postbound_spark.plans.algebra import _Converter
+    from postbound_spark.plans.parser import parse_query
+
+    q = parse_query(sql)
+    conv = _Converter(q, None, {})
+    joins = [p for p in q.predicates().joins()]
+    return conv._connected_order(list(q.from_tables), joins)
+
+
+def test_connected_order_keeps_already_connected_from_lists():
+    """A FROM list that is connected at every step folds in its exact
+    written order — the refinement must be invisible for well-ordered
+    queries (every TPC-H/SSB/JOB-light text)."""
+    order = _order_for(
+        "SELECT count(*) AS n FROM lineitem l, orders o, customer c "
+        "WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey"
+    )
+    assert order == ["l", "o", "c"]
+
+
+def test_connected_order_defers_unlinked_dimensions():
+    """JOB's shape: dimensions listed alphabetically with no predicates
+    between them must fold only once a join predicate connects them."""
+    order = _order_for(
+        "SELECT count(*) AS n "
+        "FROM region r, nation n, customer c "
+        "WHERE c.c_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey"
+    )
+    # region first (FROM order), then nation (joins region), then customer
+    assert order == ["r", "n", "c"]
+    order2 = _order_for(
+        "SELECT count(*) AS n "
+        "FROM region r, customer c, nation n "
+        "WHERE c.c_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey"
+    )
+    # customer cannot join region directly -> nation is pulled forward
+    assert order2 == ["r", "n", "c"]
+
+
+def test_connected_order_preserves_deliberate_cartesians():
+    """A genuinely disconnected component still folds (cross product by
+    intent), falling back to FROM order for the unreachable table."""
+    order = _order_for(
+        "SELECT count(*) AS n FROM region r, nation n, part p "
+        "WHERE n.n_regionkey = r.r_regionkey"
+    )
+    assert order == ["r", "n", "p"]
+
+
+def test_connected_order_is_deterministic_for_self_joins():
+    order = _order_for(
+        "SELECT count(*) AS n FROM nation n1, region r, nation n2 "
+        "WHERE n1.n_regionkey = r.r_regionkey AND n2.n_regionkey = r.r_regionkey"
+    )
+    assert order == ["n1", "r", "n2"]
