@@ -250,12 +250,14 @@ def run_optimizer_loop(
             t1 = time.perf_counter()
             result = df.collect()
             exec_time = time.perf_counter() - t1
-            # COUNT(*)-style workloads: the single scalar IS the join card
-            actual = (
-                float(result[0][0])
-                if len(result) == 1 and len(result[0]) == 1
-                else math.nan
-            )
+            # COUNT(*)-style workloads: the single NUMERIC scalar IS the
+            # join cardinality; 1x1 string results (JOB's MIN(t.title))
+            # simply carry no readable actual
+            actual = math.nan
+            if len(result) == 1 and len(result[0]) == 1:
+                value = result[0][0]
+                if isinstance(value, (int, float)) and not isinstance(value, bool):
+                    actual = float(value)
             try:
                 pairs = join_qerrors(df)
             except ValueError as exc:  # runtime plan rewrite → no pairing

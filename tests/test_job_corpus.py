@@ -108,3 +108,23 @@ def test_self_join_family_resolves_roles(engines):
     got = tuple(compile_plan(parse_relalg(parse_query(sql)), spark).collect()[0])
     want = tuple(con.execute(sql).fetchone())
     assert got == want
+
+
+def test_optimizer_loop_runs_ues_over_self_join_corpus(spark, engines):
+    """The optimizer-research loop handles the real JOB grammar end to
+    end: UES pessimistic ordering plans queries with self-joined
+    dimensions (12a: info_type x2; 33a: six self-joined pairs) and must
+    reproduce native results — the strategy changes the plan, never the
+    answer."""
+    from postbound_spark.experiments import run_optimizer_loop
+
+    base = {t: spark.table(t) for t in IMDB_TABLES}
+    corpus = {label: CORPUS[label] for label in ("12a", "32a", "33a")}
+    results = run_optimizer_loop(
+        spark, corpus, base, strategies=("native", "ues")
+    )
+    assert len(results) == 6
+    assert (results.result_rows == 1).all()
+    for label, group in results.groupby("label"):
+        orders = set(group.join_order) - {""}
+        assert orders, label  # UES actually produced a forced order
