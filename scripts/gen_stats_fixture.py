@@ -87,7 +87,7 @@ def generate(n: int = 146, seed: int = 7) -> dict[str, str]:
             for s in rng.sample(sats_p, rng.randint(0, 2)):
                 tables.append(s)
                 joins.append(f"{ALIAS[s]}.{TO_POSTS[s]} = p.Id")
-        elif shape == "pp":  # postLinks chain: two roles of posts
+        elif shape == "pp":  # posts + postLinks (+ comments)
             tables += ["posts", "postLinks"]
             joins.append("pl.PostId = p.Id")
             if rng.random() < 0.5:
