@@ -65,6 +65,7 @@ QUERIES = [
     # and the dual-ranking (brute force + LSH) recall measurement
     "quality_lm_score",
     "ann_recall_at_k",
+    "ann_jl_rescore_topk",
 ]
 
 _DIMS = ["region", "nation", "customer", "supplier", "part"]

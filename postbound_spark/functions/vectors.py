@@ -118,3 +118,27 @@ def plane_signs_sql(dims: int, n_planes: int = 8) -> list[list[int]]:
         ]
         for p in range(n_planes)
     ]
+
+
+def signed_projection(qvec: Column, dims: int, n_planes: int = 16) -> Column:
+    """Johnson-Lindenstrauss-style ±1 projection of a quantized vector:
+    an ``array<long>`` of ``n_planes`` EXACT integer dot products with
+    the same md5-parity plane matrix as :func:`hyperplane_bucket`
+    (Achlioptas, "Database-friendly random projections", JCSS 2003 — ±1
+    entries preserve pairwise distances in expectation like Gaussian
+    ones, and keep the arithmetic integer, so both engines agree
+    bit-for-bit). Same HOF construction as the bucket — the matrix rides
+    as one array literal, never an unrolled expression tree."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"{s}L" for s in row) + ")"
+        for row in plane_signs_sql(dims, n_planes)
+    )
+    planes = F.expr(f"array({rows})")
+    return F.transform(
+        planes,
+        lambda plane: F.aggregate(
+            F.zip_with(qvec, plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )

@@ -123,6 +123,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "opt_plantime_selfjoin",
     "quality_lm_score",
     "ann_recall_at_k",
+    "ann_jl_rescore_topk",
     # --- round-5: queries whose implementation changed this round.
     #     q7/q8/q9/q11: oracle sums gained explicit no-op casts (the
     #     sum-lint waiver burndown). opt_plantime_cards: injector

@@ -3019,3 +3019,87 @@ def ann_recall_at_k(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+_JL_PLANES = V.plane_signs_sql(dims=64, n_planes=16)
+_JL_MAT = (
+    "["
+    + ", ".join("[" + ", ".join(str(s) for s in row) + "]" for row in _JL_PLANES)
+    + "]"
+)
+_JL_SHORTLIST = 50
+
+_JL_ORACLE = f"""
+WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
+p AS (
+  SELECT vec_id, label, qv,
+         list_transform({_JL_MAT}, row ->
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                                          i -> row[i] * qv[i])) AS BIGINT)) AS pv
+  FROM q
+),
+qq AS (SELECT qv, pv FROM p WHERE vec_id = 0),
+coarse AS (
+  SELECT a.vec_id, a.label, a.qv, {_cos_sql("a.pv", "qq.pv")} AS c_coarse, qq.qv AS q_qv
+  FROM p a, qq
+  WHERE a.vec_id != 0
+  ORDER BY c_coarse DESC, a.vec_id
+  LIMIT {_JL_SHORTLIST}
+)
+SELECT vec_id, label, round({_cos_sql("qv", "q_qv")}, 6) AS cosine
+FROM coarse
+ORDER BY {_cos_sql("qv", "q_qv")} DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("ann_jl_rescore_topk", oracle=_JL_ORACLE)
+def ann_jl_rescore_topk(spark, sf_dir):
+    """Two-stage ANN via Johnson-Lindenstrauss dimensionality reduction:
+    coarse ranking in a ±1-projected 16-dim space (Achlioptas 2003 —
+    database-friendly projections; the 64→16 reduction cuts per-pair
+    math 4× while approximately preserving angles), then EXACT cosine
+    rescoring of the 50-vector shortlist. The dim-reduction counterpart
+    of the int8 (`ann_quantized_rescore_topk`) and PQ/ADC
+    (`ann_pq_adc_topk`) two-stage indexes — the three standard coarse
+    representations, all with the same rescore discipline.
+
+    Scale shape: the projection is map-only (one array-literal matrix,
+    HOF zip-sum — exact integer dot products, so both engines agree
+    bit-for-bit before any division), the coarse top-50 is
+    TakeOrdered (never a global sort), and the shortlist carries its own
+    full-precision vectors so the rescore needs no join back to the
+    corpus — zero vector shuffles end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = (
+        emb.select(
+            "vec_id", "label", V.quantize(F.col("embedding")).alias("qv")
+        )
+        .withColumn("pv", V.signed_projection(F.col("qv"), dims=64, n_planes=16))
+        .transform(stage_cache)
+    )
+    qvec = p.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("q_qv"),
+        F.col("pv").alias("q_pv"),
+        V.norm_q(F.col("qv")).alias("q_nrm"),
+        V.norm_q(F.col("pv")).alias("q_pnrm"),
+    )
+    coarse_cos = V.dot_q(F.col("pv"), F.col("q_pv")).cast("double") / (
+        V.norm_q(F.col("pv")) * F.col("q_pnrm")
+    )
+    shortlist = (
+        p.crossJoin(F.broadcast(qvec))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", "qv", "q_qv", "q_nrm", coarse_cos.alias("c_coarse"))
+        .orderBy(F.desc("c_coarse"), "vec_id")
+        .limit(_JL_SHORTLIST)
+    )
+    exact_cos = V.dot_q(F.col("qv"), F.col("q_qv")).cast("double") / (
+        V.norm_q(F.col("qv")) * F.col("q_nrm")
+    )
+    return (
+        shortlist.select("vec_id", "label", exact_cos.alias("c"))
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", F.round("c", 6).alias("cosine"))
+    )

@@ -569,3 +569,18 @@ def test_ann_recall_prunes_and_never_sorts_globally(registry, spark, sf_small):
     from postbound_spark.queries.pipeline import release_stage_caches
 
     release_stage_caches()
+
+
+def test_jl_rescore_is_map_only_with_takeordered(registry, spark, sf_small):
+    df = _build(registry, spark, sf_small, "ann_jl_rescore_topk")
+    plan = _formatted_plan(df)
+    # projection + coarse scoring are map-side against the broadcast
+    # query row; both top-k cuts are TakeOrdered; the shortlist carries
+    # its own vectors, so no join back to the corpus appears
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # broadcast of the 1-row query side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
