@@ -3103,3 +3103,107 @@ def ann_jl_rescore_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", "label", F.round("c", 6).alias("cosine"))
     )
+
+
+_HLL_M = 64  # registers (b = 6 bucket bits of the 60-bit md5 token hash)
+
+_HLL_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT unnest({_WS_TOKS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th FROM toks
+),
+registers AS (
+  SELECT th % {_HLL_M} AS bucket,
+         max(CASE WHEN th // {_HLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(th // {_HLL_M})) END) AS r
+  FROM hashed GROUP BY 1
+),
+summary AS (
+  SELECT CAST(sum(power(2.0, -r)) AS DOUBLE) AS sum_observed,
+         CAST(count(*) AS BIGINT) AS n_observed
+  FROM registers
+),
+exact AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM hashed)
+SELECT {_HLL_M} AS m,
+       ({_HLL_M} - n_observed) AS zero_registers,
+       round(sum_observed + ({_HLL_M} - n_observed), 6) AS sum_inv,
+       round(CASE WHEN n_observed < {_HLL_M}
+                   AND 0.709 * {_HLL_M} * {_HLL_M}
+                       / (sum_observed + ({_HLL_M} - n_observed))
+                       <= 2.5 * {_HLL_M}
+             THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                / ({_HLL_M} - n_observed))
+             ELSE 0.709 * {_HLL_M} * {_HLL_M}
+                  / (sum_observed + ({_HLL_M} - n_observed)) END, 2)
+           AS est_distinct,
+       n_exact AS exact_distinct
+FROM summary, exact
+"""
+
+
+@query("sketch_hll_distinct_tokens", oracle=_HLL_ORACLE)
+def sketch_hll_distinct_tokens(spark, sf_dir):
+    """HyperLogLog distinct-token estimate with DETERMINISTIC registers
+    (Flajolet et al., AofA 2007): bucket = low 6 bits of the 60-bit md5
+    token hash, register = leading-zero rank of the remaining 54 bits
+    (computed as 55 - length(bin(w)) — an exact string-length identity
+    both engines share, instead of a float log2 whose boundary rounding
+    could differ). Engine-native approx_count_distinct sketches are NOT
+    cross-engine comparable; building the registers from the shared md5
+    idiom makes the estimate itself oracle-checkable, alongside the
+    exact count for the error readout.
+
+    Scale shape: the only state is 64 registers — constant at any corpus
+    size, merged associatively (max per bucket survives partial
+    aggregation), which is the entire point of HLL at 100 TB: the
+    distinct count of a petabyte token stream costs one 64-row
+    aggregate. Register sums are dyadic rationals (2^-r), so the
+    harmonic mean is exact until the final division; the standard
+    small-range linear-counting correction kicks in below 2.5m (the
+    synthetic corpus has a tiny vocabulary, squarely in that regime —
+    estimate within a few % of exact instead of the raw 2x)."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    hashed = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .select(th.alias("th"))
+        .transform(stage_cache)
+    )
+    w = F.expr(f"th div {_HLL_M}")
+    rank = F.when(w == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(w))
+    )
+    registers = (
+        hashed.select((F.col("th") % _HLL_M).alias("bucket"), rank.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    summary = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).cast("double").alias("sum_observed"),
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+    )
+    exact = hashed.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    sum_inv = F.col("sum_observed") + (_HLL_M - F.col("n_observed"))
+    raw = 0.709 * _HLL_M * _HLL_M / sum_inv
+    zeros = _HLL_M - F.col("n_observed")
+    # standard small-range correction: linear counting over the empty
+    # registers when the raw estimate is under 2.5m. ln() of the few
+    # rationals 64/zeros rounds identically on both engines at the 2dp
+    # the result keeps (libm log agrees to <1 ulp; 2dp needs ~8e-5).
+    est = F.when(
+        (zeros > 0) & (raw <= 2.5 * _HLL_M),
+        _HLL_M * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return (
+        summary.crossJoin(exact)
+        .select(
+            F.lit(_HLL_M).cast("int").alias("m"),
+            zeros.cast("long").alias("zero_registers"),
+            F.round(sum_inv, 6).alias("sum_inv"),
+            F.round(est, 2).alias("est_distinct"),
+            F.col("n_exact").alias("exact_distinct"),
+        )
+    )

@@ -584,3 +584,17 @@ def test_jl_rescore_is_map_only_with_takeordered(registry, spark, sf_small):
     from postbound_spark.queries.pipeline import release_stage_caches
 
     release_stage_caches()
+
+
+def test_hll_registers_combine_map_side(registry, spark, sf_small):
+    df = _build(registry, spark, sf_small, "sketch_hll_distinct_tokens")
+    plan = _formatted_plan(df)
+    # the whole sketch is 64 registers: the per-bucket max must partial-
+    # aggregate before its shuffle (constant state at any corpus size),
+    # and nothing leaves the JVM
+    assert "partial_max" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # 1-row x 1-row is broadcast NL
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
