@@ -125,6 +125,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "ann_recall_at_k",
     "ann_jl_rescore_topk",
     "sketch_hll_distinct_tokens",
+    "tokenizer_bpe_pair_counts",
     # --- round-5: queries whose implementation changed this round.
     #     q7/q8/q9/q11: oracle sums gained explicit no-op casts (the
     #     sum-lint waiver burndown). opt_plantime_cards: injector

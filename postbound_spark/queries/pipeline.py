@@ -3207,3 +3207,59 @@ def sketch_hll_distinct_tokens(spark, sf_dir):
             F.col("n_exact").alias("exact_distinct"),
         )
     )
+
+
+_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT unnest({_WS_TOKS}) AS w FROM documents
+),
+vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM words WHERE len(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> substr(w, i, 2))) AS pair,
+         freq
+  FROM vocab
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+"""
+
+
+@query("tokenizer_bpe_pair_counts", oracle=_BPE_ORACLE)
+def tokenizer_bpe_pair_counts(spark, sf_dir):
+    """The first step of BPE tokenizer training: adjacent-symbol pair
+    counts over the corpus (Sennrich et al., "Neural Machine Translation
+    of Rare Words with Subword Units", ACL 2016) — the top pair is the
+    first merge rule; production trainers iterate this loop.
+
+    Scale shape is the classic BPE trick: counting pairs directly over
+    the corpus would explode every document, so the corpus reduces to
+    the (word, frequency) VOCABULARY first (one wordcount shuffle,
+    vocab-bounded output), and pair extraction + weighting by frequency
+    runs over the vocabulary — at 100 TB the second stage touches
+    millions of rows, not trillions of tokens. Top-20 is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )

@@ -598,3 +598,14 @@ def test_hll_registers_combine_map_side(registry, spark, sf_small):
     from postbound_spark.queries.pipeline import release_stage_caches
 
     release_stage_caches()
+
+
+def test_bpe_pairs_count_over_vocab_not_corpus(registry, spark, sf_small):
+    df = _build(registry, spark, sf_small, "tokenizer_bpe_pair_counts")
+    plan = _formatted_plan(df)
+    # the BPE trick: pair explosion happens AFTER the wordcount reduction,
+    # so the expensive stage is vocab-sized; both aggs partial-combine and
+    # the top-20 is TakeOrdered, never a global sort
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
