@@ -85,25 +85,29 @@ def hyperplane_bucket(qvec: Column, dims: int, n_planes: int = 8) -> Column:
     ~0.05 s), and that analysis tax is per-plan, paid again every time a
     query embeds the bucket expression.
     """
-    # one F.expr call, not n_planes × dims F.lit py4j round-trips — the
-    # literal-by-literal construction costs ~0.9 s of driver time per plan
-    rows = ", ".join(
-        "array(" + ", ".join(f"{s}L" for s in row) + ")"
-        for row in plane_signs_sql(dims, n_planes)
-    )
-    planes = F.expr(f"array({rows})")
+    planes = _planes_literal(dims, n_planes)
     bit = lambda plane, p: F.when(  # noqa: E731
-        F.aggregate(
-            F.zip_with(qvec, plane, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        >= 0,
+        dot_q(qvec, plane) >= 0,
         F.call_function("shiftleft", F.lit(1), p).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
     return F.aggregate(
         F.transform(planes, bit), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
+
+
+def _planes_literal(dims: int, n_planes: int) -> Column:
+    """The ±1 plane matrix as ONE array-of-arrays literal via a single
+    F.expr call — not n_planes x dims F.lit py4j round-trips (the
+    literal-by-literal construction costs ~0.9 s of driver time per
+    plan) and not an unrolled expression tree (~1.8 s of Catalyst
+    analysis per plan at 8x64; the HOF form is ~0.05 s). Shared by the
+    LSH bucket and the JL projection so the matrix semantics cannot
+    diverge."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"{s}L" for s in row) + ")"
+        for row in plane_signs_sql(dims, n_planes)
+    )
+    return F.expr(f"array({rows})")
 
 
 def plane_signs_sql(dims: int, n_planes: int = 8) -> list[list[int]]:
@@ -129,16 +133,5 @@ def signed_projection(qvec: Column, dims: int, n_planes: int = 16) -> Column:
     ones, and keep the arithmetic integer, so both engines agree
     bit-for-bit). Same HOF construction as the bucket — the matrix rides
     as one array literal, never an unrolled expression tree."""
-    rows = ", ".join(
-        "array(" + ", ".join(f"{s}L" for s in row) + ")"
-        for row in plane_signs_sql(dims, n_planes)
-    )
-    planes = F.expr(f"array({rows})")
-    return F.transform(
-        planes,
-        lambda plane: F.aggregate(
-            F.zip_with(qvec, plane, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ),
-    )
+    planes = _planes_literal(dims, n_planes)
+    return F.transform(planes, lambda plane: dot_q(qvec, plane))

@@ -188,16 +188,15 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "op_intersection",
     "op_rename",
     "op_semi_join",
-    # --- overflow past the driver's 50-slot window (entries 51-60 —
-    #     the five round-5 operators above pushed five TPC-H/op rows
-    #     out): op_grouping, op_grouping_global, op_intersection,
-    #     op_rename, op_semi_join, op_sort_limit_offset,
-    #     op_subquery_scan, op_theta_join_nonequi, op_union,
-    #     op_union_all — verify against the window computed by
-    #     list(load_all())[50:] at rotation time rather than this prose;
-    #     all are r4-green AND re-oracled every round by
-    #     tests/test_queries_oracle.py, and they lead the round-6
-    #     rotation so no row ages out silently ---
+    # --- entries from index 50 on sit past the driver's 50-slot window.
+    #     Do NOT enumerate them here (a hand-kept list went stale twice
+    #     this round): the overflow is ALWAYS PRIORITY_WINDOW[50:],
+    #     pinned as the registry prefix by
+    #     tests/test_queries_oracle.py::test_priority_window_is_the_
+    #     registry_prefix. All overflow rows are r4-green AND re-oracled
+    #     every round by the full-suite oracle sweep; rotate
+    #     PRIORITY_WINDOW[50:] to the round-6 head so no row ages out
+    #     silently ---
     "op_sort_limit_offset",
     "op_subquery_scan",
     "op_theta_join_nonequi",

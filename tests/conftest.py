@@ -28,3 +28,28 @@ def sf_small() -> str:
 @pytest.fixture(scope="session")
 def sf_oracle() -> str:
     return SF_ORACLE
+
+
+@pytest.fixture(scope="session")
+def imdb_engines(spark, tmp_path_factory):
+    """The downscaled IMDB dataset registered in BOTH engines (Spark temp
+    views + DuckDB read_parquet views) — shared by the JOB corpus and the
+    IMDB CEB-template tests so the fixture generates once per session."""
+    import duckdb
+
+    from postbound_spark.sources.imdb_fixture import (
+        IMDB_TABLES,
+        generate_imdb_fixture,
+    )
+
+    d = str(tmp_path_factory.mktemp("imdb"))
+    generate_imdb_fixture(d)
+    con = duckdb.connect()
+    for t in IMDB_TABLES:
+        path = f"{d}/{t}.parquet"
+        spark.read.parquet(path).createOrReplaceTempView(t)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield spark, con
+    con.close()
+    for t in IMDB_TABLES:
+        spark.catalog.dropTempView(t)

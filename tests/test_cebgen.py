@@ -168,48 +168,25 @@ def test_options_list_needs_no_session():
     assert sql in ("SELECT * FROM t WHERE c = 'x'", "SELECT * FROM t WHERE c = 'y'")
 
 
-def test_imdb_template_generates_oracle_checked_variants(spark, tmp_path_factory):
+def test_imdb_template_generates_oracle_checked_variants(imdb_engines):
     """The original CEB generates variants over the IMDB schema — the
     committed IMDB template samples keywords (weighted by usage),
     countries, a rating bound, and a year window from the live views,
     and 40 generated variants must match DuckDB on the IMDB-shaped
-    fixture."""
-    import duckdb as _duckdb
-
-    from postbound_spark.sources.imdb_fixture import (
-        IMDB_TABLES,
-        generate_imdb_fixture,
+    fixture (shared session views, tests/conftest.py)."""
+    spark, con = imdb_engines
+    template_dir = os.path.join(os.path.dirname(TEMPLATE_DIR), "templates_imdb")
+    workload = generate_workload(
+        template_dir, spark=spark, queries_per_template=40, seed=3
     )
-
-    d = str(tmp_path_factory.mktemp("imdb_ceb"))
-    generate_imdb_fixture(d)
-    con = _duckdb.connect()
-    for t in IMDB_TABLES:
-        spark.read.parquet(os.path.join(d, f"{t}.parquet")).createOrReplaceTempView(t)
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
-        )
-    try:
-        template_dir = os.path.join(
-            os.path.dirname(TEMPLATE_DIR), "templates_imdb"
-        )
-        workload = generate_workload(
-            template_dir, spark=spark, queries_per_template=40, seed=3
-        )
-        assert len(workload) == 40
-        failures = 0
-        for label, sql in workload.items():
-            got = [
-                tuple(r)
-                for r in compile_plan(
-                    parse_relalg(parse_query(sql)), spark
-                ).collect()
-            ]
-            want = [tuple(r) for r in con.execute(sql).fetchall()]
-            if not _match(got, want):
-                failures += 1
-        assert failures == 0
-    finally:
-        con.close()
-        for t in IMDB_TABLES:
-            spark.catalog.dropTempView(t)
+    assert len(workload) == 40
+    failures = 0
+    for label, sql in workload.items():
+        got = [
+            tuple(r)
+            for r in compile_plan(parse_relalg(parse_query(sql)), spark).collect()
+        ]
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        if not _match(got, want):
+            failures += 1
+    assert failures == 0

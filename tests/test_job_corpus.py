@@ -21,13 +21,12 @@ from __future__ import annotations
 import glob
 import os
 
-import duckdb
 import pytest
 
 from postbound_spark.operators.compiler import compile_plan
 from postbound_spark.plans.algebra import parse_relalg
 from postbound_spark.plans.parser import parse_query
-from postbound_spark.sources.imdb_fixture import IMDB_TABLES, generate_imdb_fixture
+from postbound_spark.sources.imdb_fixture import IMDB_TABLES
 
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -56,23 +55,10 @@ def test_corpus_covers_all_33_families():
 
 
 @pytest.fixture(scope="module")
-def imdb_dir(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("imdb"))
-    generate_imdb_fixture(d)
-    return d
-
-
-@pytest.fixture(scope="module")
-def engines(spark, imdb_dir):
-    con = duckdb.connect()
-    for t in IMDB_TABLES:
-        path = os.path.join(imdb_dir, f"{t}.parquet")
-        spark.read.parquet(path).createOrReplaceTempView(t)
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    yield spark, con
-    con.close()
-    for t in IMDB_TABLES:
-        spark.catalog.dropTempView(t)
+def engines(imdb_engines):
+    # session-scoped dual-engine IMDB views (tests/conftest.py) — shared
+    # with the IMDB CEB-template test so the fixture generates once
+    return imdb_engines
 
 
 def test_job_corpus_executes_and_matches_duckdb(engines):
