@@ -31,22 +31,32 @@ def sf_oracle() -> str:
 
 
 @pytest.fixture(scope="session")
-def imdb_engines(spark, tmp_path_factory):
-    """The downscaled IMDB dataset registered in BOTH engines (Spark temp
-    views + DuckDB read_parquet views) — shared by the JOB corpus and the
-    IMDB CEB-template tests so the fixture generates once per session."""
-    import duckdb
-
-    from postbound_spark.sources.imdb_fixture import (
-        IMDB_TABLES,
-        generate_imdb_fixture,
-    )
+def imdb_dir(tmp_path_factory):
+    """The downscaled IMDB parquet dataset, generated ONCE per session
+    (the expensive part). View registration stays per-module via
+    imdb_engines: other test modules legitimately register temp views
+    under the same names (imdb_shaped_frames uses title/cast_info/...),
+    so session-lived views would be silently overwritten between a
+    session fixture's creation and a later module's use."""
+    from postbound_spark.sources.imdb_fixture import generate_imdb_fixture
 
     d = str(tmp_path_factory.mktemp("imdb"))
     generate_imdb_fixture(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def imdb_engines(spark, imdb_dir):
+    """Dual-engine views over the shared IMDB dataset, registered fresh
+    per module (cheap) so view-name collisions cannot leak across
+    modules."""
+    import duckdb
+
+    from postbound_spark.sources.imdb_fixture import IMDB_TABLES
+
     con = duckdb.connect()
     for t in IMDB_TABLES:
-        path = f"{d}/{t}.parquet"
+        path = f"{imdb_dir}/{t}.parquet"
         spark.read.parquet(path).createOrReplaceTempView(t)
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     yield spark, con
