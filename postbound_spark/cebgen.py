@@ -116,7 +116,13 @@ class PredicateGenerator:
         sql = _PLACEHOLDER.sub(lambda m: chosen[m.group(1)], self.sql)
         if sql not in self._cache:  # candidate lists are tiny; memoize per
             rows = spark.sql(sql).collect()  # substituted text so a 200-query
-            self._cache[sql] = [tuple(r) for r in rows]  # sweep stays cheap
+            # sorted: collect() order is engine/partitioning-dependent, and
+            # rng.choice indexes into this list — "deterministic in seed"
+            # must hold across machines, not just within one session
+            self._cache[sql] = sorted(
+                (tuple(r) for r in rows),
+                key=lambda t: tuple((v is None, str(v)) for v in t),
+            )  # sweep stays cheap
         candidates = self._cache[sql]
         if not candidates:
             raise SamplingError(

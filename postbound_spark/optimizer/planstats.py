@@ -123,13 +123,19 @@ def ensure_helper_compiled() -> str:
 # process lifetime, and a recycled address can never alias a dead JVM
 # because identity, not id(), is the key.
 _HELPER_CACHE: "weakref.WeakKeyDictionary" = None  # initialized below
-# gateway -> the live, not-yet-closed injectors on that session. Weak
-# references: an injector abandoned without close() (e.g. built inside a
-# registry query builder) drops out when garbage-collected, so it cannot
-# permanently block the last-user deregistration below. Every DataFrame
-# an injector plans holds a strong reference back to it (see plan()), so
-# "live" extends to exactly the window in which an un-collected doctored
-# plan still needs the strategy.
+# SparkSession -> the live, not-yet-closed injectors on that session.
+# Keyed by the SESSION, not the gateway: ExperimentalMethods (where the
+# strategy is registered) is per-session state, and spark.newSession()
+# shares one gateway across many sessions — a gateway-wide live set would
+# let session B's injectors block session A's deregistration and vice
+# versa. Weak keys: the injector holds its session strongly, so the entry
+# lives exactly as long as some injector (or doctored plan) needs it.
+# Weak set members: an injector abandoned without close() (e.g. built
+# inside a registry query builder) drops out when garbage-collected, so
+# it cannot permanently block the last-user deregistration below. Every
+# DataFrame an injector plans holds a strong reference back to it (see
+# plan()), so "live" extends to exactly the window in which an
+# un-collected doctored plan still needs the strategy.
 _ACTIVE_INJECTORS: "weakref.WeakKeyDictionary" = None  # initialized below
 
 
@@ -249,6 +255,31 @@ def _qualify_parts(parts: list[str], occurrences: Mapping[str, int]) -> frozense
     return frozenset(out)
 
 
+def _qualified_unique(
+    mapping: Mapping,
+    occurrences: Mapping[str, int],
+    cast,
+    what: str,
+) -> dict[frozenset[str], object]:
+    """Qualify every user key and refuse silent collisions: for a table
+    scanned once, ``customer`` and ``customer#1`` qualify to the same
+    leaf set, and a dict containing both would otherwise keep whichever
+    entry iteration saw last."""
+    out: dict[frozenset[str], object] = {}
+    first_key: dict[frozenset[str], object] = {}
+    for key, value in mapping.items():
+        qualified = _qualify_parts(_key_parts(key), occurrences)
+        if qualified in out:
+            raise ValueError(
+                f"{what} keys {first_key[qualified]!r} and {key!r} both "
+                f"address intermediate "
+                f"{{{_display_set(qualified, occurrences)}}} — remove one"
+            )
+        out[qualified] = cast(value)
+        first_key[qualified] = key
+    return out
+
+
 def _display_set(tabs: frozenset[str], occurrences: Mapping[str, int]) -> str:
     """Render a qualified table set for error messages, hiding the ``#1``
     qualifier for tables that occur only once."""
@@ -273,11 +304,8 @@ class PlanTimeCardinalityInjector:
         self.spark = spark
         self._helper = _load_helper(spark)
         self._tagged: list = []  # optimized plans we tagged (for close())
-        self._gateway_key = spark.sparkContext._gateway
         self._closed = False
-        _ACTIVE_INJECTORS.setdefault(self._gateway_key, weakref.WeakSet()).add(
-            self
-        )
+        _ACTIVE_INJECTORS.setdefault(self.spark, weakref.WeakSet()).add(self)
 
     # -- lifecycle -------------------------------------------------------
     # The registered strategy walks every plan tree on every planning pass
@@ -287,18 +315,21 @@ class PlanTimeCardinalityInjector:
 
     def close(self) -> None:
         """Strip injection tags from every plan this injector touched and,
-        when this is the LAST live injector on the session, deregister the
-        shared planning strategy. The strategy object is one singleton per
-        JVM (see ``_load_helper``), so an unconditional deregister here
-        would silently disable injection for every OTHER experiment still
-        holding un-collected doctored plans."""
+        when this is the LAST live injector on THIS session, deregister
+        the shared planning strategy from this session's
+        ExperimentalMethods. The strategy object is one singleton per JVM
+        (see ``_load_helper``) but its registration is per-session, so the
+        last-user check is scoped per session: closing the last injector
+        on session A must deregister A's copy even while session B (same
+        gateway) still has live injectors, and must NOT touch B's
+        registration."""
         if self._closed:
             return
         self._closed = True
         for opt in self._tagged:
             self._helper.clearAll(opt)
         self._tagged.clear()
-        live = _ACTIVE_INJECTORS.get(self._gateway_key)
+        live = _ACTIVE_INJECTORS.get(self.spark)
         if live is not None:
             live.discard(self)
         if not live:
@@ -397,19 +428,23 @@ class PlanTimeCardinalityInjector:
         opt = qe.optimizedPlan()
 
         nodes, occurrences = self._walk_table_sets(opt)
-        targets = {
-            _qualify_parts(_key_parts(k), occurrences): float(v)
-            for k, v in cards.items()
-        }
-        sizes = {
-            _qualify_parts(_key_parts(k), occurrences): int(v)
-            for k, v in (size_bytes or {}).items()
-        }
+        targets = _qualified_unique(cards, occurrences, float, "cards")
+        sizes = _qualified_unique(
+            size_bytes or {}, occurrences, int, "size_bytes"
+        )
 
         # re-assert the strategy (idempotent) in case close() ran earlier
         # on this session — otherwise tags would never be seeded and the
-        # injection would silently become a no-op
+        # injection would silently become a no-op. Planning on a closed
+        # injector REVIVES it: _closed is reset and it rejoins the live
+        # set, so the eventual second close() cleans these new tags and
+        # re-runs the last-user deregistration instead of no-opping.
         self._helper.register(self.spark._jsparkSession.experimental())
+        if self._closed:
+            self._closed = False
+            _ACTIVE_INJECTORS.setdefault(self.spark, weakref.WeakSet()).add(
+                self
+            )
 
         # wipe stale tags/caches BEFORE tagging, so earlier injections on a
         # reused DataFrame and optimizer-phase caches cannot shadow these

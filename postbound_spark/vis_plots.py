@@ -109,9 +109,17 @@ def qerror_ecdf_svg(
     """Empirical CDF of per-query q-errors, one line per group on a log
     x-axis — the distribution figure optimizer papers lead with."""
     ml, mr, mt, mb = 56, 96, 40, 44
+    all_groups = _groups(df, group_col)
+    # colors keyed by the UNFILTERED group list: a group whose values are
+    # all NaN is dropped from the plot but must not shift the colors of
+    # every later group between figures
+    colors = {
+        name: PALETTE[i % len(PALETTE)]
+        for i, (name, _) in enumerate(all_groups)
+    }
     groups = [
         (name, sorted(v for v in g[value_col].dropna() if v > 0))
-        for name, g in _groups(df, group_col)
+        for name, g in all_groups
     ]
     groups = [(n, vs) for n, vs in groups if vs]
     if not groups:
@@ -145,7 +153,7 @@ def qerror_ecdf_svg(
             f'fill="{_INK_2}" text-anchor="end">{int(frac * 100)}%</text>'
         )
     for i, (name, values) in enumerate(groups):
-        color = PALETTE[i % len(PALETTE)]
+        color = colors[name]
         n = len(values)
         pts = [f"{sx(values[0]):.1f},{sy(0.0):.1f}"]
         for j, v in enumerate(values):
@@ -193,9 +201,14 @@ def qerror_box_svg(
     """Min/quartile/median/max box per group, log x — the compact
     strategy-comparison figure."""
     ml, mr, mt, mb = 110, 24, 40, 44
+    all_groups = _groups(df, group_col)
+    colors = {  # unfiltered assignment — see qerror_ecdf_svg
+        name: PALETTE[i % len(PALETTE)]
+        for i, (name, _) in enumerate(all_groups)
+    }
     groups = [
         (name, [v for v in g[value_col].dropna() if v > 0])
-        for name, g in _groups(df, group_col)
+        for name, g in all_groups
     ]
     groups = [(n, vs) for n, vs in groups if vs]
     if not groups:
@@ -218,7 +231,7 @@ def qerror_box_svg(
             f'fill="{_INK_2}" text-anchor="middle">{_fmt(tick)}</text>'
         )
     for i, (name, values) in enumerate(groups):
-        color = PALETTE[i % len(PALETTE)]
+        color = colors[name]
         cy = mt + (i + 0.5) * row_h
         v_min, q1, med, q3, v_max = _quartiles(values)
         half = min(row_h * 0.28, 14)

@@ -190,3 +190,29 @@ def test_imdb_template_generates_oracle_checked_variants(imdb_engines):
         if not _match(got, want):
             failures += 1
     assert failures == 0
+
+
+def test_candidate_order_is_row_order_independent(spark):
+    """'Deterministic in seed' must hold across machines: collect() has
+    no ordering guarantee, so the cached candidate list is sorted before
+    rng.choice indexes into it. Two views holding the same rows in
+    opposite physical order must yield identical draws (round-5 advisor
+    finding)."""
+    import random
+
+    rows = [(v,) for v in ("delta", "alpha", "echo", "bravo", "carol")]
+    spark.createDataFrame(rows, "val string").coalesce(1).createOrReplaceTempView(
+        "cand_fwd"
+    )
+    spark.createDataFrame(rows[::-1], "val string").coalesce(1).createOrReplaceTempView(
+        "cand_rev"
+    )
+    draws = []
+    for view in ("cand_fwd", "cand_rev"):
+        gen = PredicateGenerator(
+            "p", keys=["v"], pred_type="eq",
+            sql=f"SELECT DISTINCT val FROM {view}",
+        )
+        rng = random.Random(42)
+        draws.append([gen.choose(rng, spark, {})["v"] for _ in range(8)])
+    assert draws[0] == draws[1]

@@ -183,3 +183,55 @@ def test_close_scopes_injection_to_experiment(spark, injector, sf_small):
     # any later plan() re-registers)
     injector.close()
     assert inj._helper.registeredCount(exp) == 0
+
+
+def test_duplicate_qualified_keys_raise(spark):
+    """For a single-scan table, 'customer' and 'customer#1' address the
+    same leaf set — a cards dict containing both must fail loudly instead
+    of keeping whichever entry dict iteration saw last (round-5 advisor
+    finding)."""
+    with PlanTimeCardinalityInjector(spark) as inj:
+        with pytest.raises(ValueError, match="both address"):
+            inj.plan(SQL, {"customer": 10, "customer#1": 20})
+
+
+def test_plan_after_close_revives_injector(spark):
+    """plan() on a closed injector re-registers the strategy AND revives
+    the lifecycle: the injector rejoins the live set so the second
+    close() cleans the new tags and deregisters again, instead of
+    no-opping on the stale _closed flag (round-5 advisor finding)."""
+    exp = spark._jsparkSession.experimental()
+    inj = PlanTimeCardinalityInjector(spark)
+    inj.close()
+    assert inj._helper.registeredCount(exp) == 0
+    df = inj.plan(SQL, {("lineitem", "orders"): 4321})
+    assert inj._helper.registeredCount(exp) == 1
+    assert inj.visible_row_count(df, ("lineitem", "orders")) == 4321
+    inj.close()  # must act, not no-op
+    assert inj._helper.registeredCount(exp) == 0
+    assert inj.visible_row_count(df, ("lineitem", "orders")) != 4321
+
+
+def test_injector_lifecycle_is_per_session(spark, sf_small):
+    """spark.newSession() shares one py4j gateway but has its OWN
+    ExperimentalMethods. Closing the last injector on session A must
+    deregister A's strategy even while session B still has a live
+    injector — and closing B's later must deregister B's own copy (the
+    round-5 advisor's medium finding: a gateway-wide live set got both
+    directions wrong)."""
+    other = spark.newSession()
+    for t in ("customer", "orders", "lineitem"):
+        load_table(other, sf_small, t).createOrReplaceTempView(t)
+    exp_a = spark._jsparkSession.experimental()
+    exp_b = other._jsparkSession.experimental()
+    inj_a = PlanTimeCardinalityInjector(spark)
+    inj_b = PlanTimeCardinalityInjector(other)
+    assert inj_a._helper.registeredCount(exp_a) == 1
+    assert inj_b._helper.registeredCount(exp_b) == 1
+    inj_a.close()  # B being live must not block A's deregistration
+    assert inj_a._helper.registeredCount(exp_a) == 0
+    assert inj_b._helper.registeredCount(exp_b) == 1
+    df = inj_b.plan(SQL, {("lineitem", "orders"): 777})
+    assert inj_b.visible_row_count(df, ("lineitem", "orders")) == 777
+    inj_b.close()  # ...and B's own close must clean B's session
+    assert inj_b._helper.registeredCount(exp_b) == 0

@@ -136,3 +136,22 @@ def test_png_backend_gates_on_matplotlib():
     else:
         png = qerror_ecdf_png(loop_frame())
         assert png.startswith(b"\x89PNG")
+
+
+def test_palette_pinned_to_unfiltered_group_order():
+    """A group whose values are all NaN is dropped from the figure, but
+    it must NOT shift the colors of every later group — a strategy's
+    color stays fixed across figures whether or not a sibling strategy
+    produced plottable values (round-5 advisor finding)."""
+    full = pd.DataFrame(
+        {
+            "strategy": ["a", "b", "c"] * 4,
+            "max_qerror": [float("nan"), 2.0, 8.0] * 4,
+        }
+    )
+    for render in (qerror_ecdf_svg, qerror_box_svg):
+        svg = render(full, value_col="max_qerror", group_col="strategy")
+        text = svg.decode()
+        assert PALETTE[0] not in text  # 'a' plotted nothing
+        assert PALETTE[1] in text  # 'b' keeps slot 1 ...
+        assert PALETTE[2] in text  # ... and 'c' keeps slot 2
