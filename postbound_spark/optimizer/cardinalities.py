@@ -106,3 +106,87 @@ class CardinalityDistortion(CardinalityEstimator):
         # gets factor**0 == no distortion, so sensitivity curves actually
         # start from truthful leaves and compound per join as documented
         return true * (self.factor ** (len(intermediate) - 1))
+
+
+class StatsCardinalityEstimator(CardinalityEstimator):
+    """Textbook System-R statistics estimates — the estimator that makes
+    corpus-scale DP affordable.
+
+        |S|  =  Π_{T∈S} |σ(T)|  ×  Π_{edge⊆S} 1 / max(ndv(l), ndv(r))
+
+    (attribute independence + containment of value sets — the classical
+    formula every Selinger-style optimizer runs on). One aggregation job
+    per (table, join-column-set) collects COUNT(*) plus HLL
+    ``approx_count_distinct`` for every join column the spec touches;
+    after that, every subset estimate is O(1) arithmetic. The 3^n DP
+    enumerations (:mod:`~postbound_spark.optimizer.dynprog`,
+    :mod:`~postbound_spark.optimizer.pgdp`) call the estimator once per
+    connected subset — :class:`PreciseCardinalities` would pay one
+    COUNT(*) *job* per call, which is why it cannot plan a corpus.
+
+    Statistics are computed on the PREPARED (filter-pushed) frames, so
+    base selectivities are exact; only join-result sizes are modeled. At
+    cluster scale the same numbers come from ANALYZE'd catalog stats
+    (Spark CBO) with zero jobs; computing them on the fly keeps the
+    research loop free of warehouse state. The stats pass itself is a
+    map-side partial aggregation (COUNT + HLL sketches merge
+    associatively), so it scales to any table size.
+
+    Mirrors the role of the reference's native estimator
+    (``opt/native.py:413``) for DP inputs, served from statistics instead
+    of per-subset backend plans.
+    """
+
+    def __init__(self):
+        # (name, id, cols) -> (count, {col: ndv}, weakref-to-frame)
+        self._stats: dict[tuple, tuple[float, dict[str, float], object]] = {}
+
+    def _table_stats(
+        self, name: str, df: DataFrame, cols: tuple[str, ...]
+    ) -> tuple[float, dict[str, float]]:
+        key = (name, id(df), cols)
+        hit = self._stats.get(key)
+        if hit is not None and hit[2]() is df:  # id not recycled
+            return hit[0], hit[1]
+        from pyspark.sql import functions as F
+
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        aggs += [
+            F.approx_count_distinct(c).alias(f"__ndv_{i}")
+            for i, c in enumerate(cols)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        count = float(row["__n"])
+        ndv = {c: max(1.0, float(row[f"__ndv_{i}"])) for i, c in enumerate(cols)}
+        self._stats[key] = (
+            count,
+            ndv,
+            weakref.ref(df, lambda _r, k=key: self._stats.pop(k, None)),
+        )
+        return count, ndv
+
+    def estimate_cardinality(
+        self,
+        spec: QuerySpec,
+        intermediate: frozenset[str],
+        tables: dict[str, DataFrame],
+    ) -> float:
+        join_cols: dict[str, set[str]] = {t: set() for t in spec.tables}
+        for e in spec.edges:
+            join_cols.setdefault(e.left_table, set()).add(e.left_col)
+            join_cols.setdefault(e.right_table, set()).add(e.right_col)
+        est = 1.0
+        stats: dict[str, tuple[float, dict[str, float]]] = {}
+        for t in intermediate:
+            stats[t] = self._table_stats(
+                t, tables[t], tuple(sorted(join_cols.get(t, ())))
+            )
+            est *= stats[t][0]
+        for e in spec.edges:
+            if e.left_table in intermediate and e.right_table in intermediate:
+                ndv_l = stats[e.left_table][1].get(e.left_col, 1.0)
+                ndv_r = stats[e.right_table][1].get(e.right_col, 1.0)
+                est /= max(ndv_l, ndv_r)
+        # an empty filtered base table genuinely yields 0-row joins; any
+        # non-empty product is floored at one row (the planner convention)
+        return est if est == 0.0 else max(1.0, est)

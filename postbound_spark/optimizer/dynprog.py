@@ -56,19 +56,39 @@ class DynamicProgrammingEnumerator(JoinOrderOptimization):
         self.cost_model = cost_model
 
     def optimize_join_order(self, spec: QuerySpec, tables: dict[str, DataFrame]) -> JoinTree:
+        """Bitmask subset DP. Subsets are integer masks over the sorted
+        table list, connectivity checks are adjacency-mask intersections,
+        and the linear (``bushy=False``) mode enumerates only splits with
+        a single-table side — O(n·2^n) instead of the 3^n submask walk —
+        which is what lets the DP plan 14-17-table JOB queries instead of
+        topping out at ~10 (the corpus-scale gap the frozenset version
+        had)."""
         names = sorted(spec.tables)
-        edges = list(spec.edges)
+        n = len(names)
+        index = {t: i for i, t in enumerate(names)}
+        adjacency = [0] * n
+        for e in spec.edges:
+            ts = sorted(e.tables())
+            if len(ts) == 2 and ts[0] in index and ts[1] in index:
+                i, j = index[ts[0]], index[ts[1]]
+                adjacency[i] |= 1 << j
+                adjacency[j] |= 1 << i
 
-        def connected(left: frozenset[str], right: frozenset[str]) -> bool:
-            return any(
-                len(e.tables() & left) == 1 and len(e.tables() & right) == 1
-                for e in edges
-            )
+        def bit_indices(mask: int):
+            while mask:
+                low = mask & -mask
+                yield low.bit_length() - 1
+                mask ^= low
 
-        card: dict[frozenset[str], float] = {}
+        def connected(left: int, right: int) -> bool:
+            # any edge crossing the cut ⟺ some right table neighbors left
+            return any(adjacency[i] & left for i in bit_indices(right))
 
-        def cardinality(subset: frozenset[str]) -> float:
-            if subset not in card:
+        card: dict[int, float] = {}
+
+        def cardinality(mask: int) -> float:
+            if mask not in card:
+                subset = frozenset(names[i] for i in bit_indices(mask))
                 got = self.estimator.estimate_cardinality(spec, subset, tables)
                 if math.isnan(got):
                     # NaN poisons every cost comparison: min() would then
@@ -78,47 +98,74 @@ class DynamicProgrammingEnumerator(JoinOrderOptimization):
                         f"{sorted(subset)} — DP cannot rank plans on "
                         "unknown cardinalities; fix the estimator input"
                     )
-                card[subset] = got
-            return card[subset]
+                card[mask] = got
+            return card[mask]
 
-        # best[S] = (cost, tree); cost = C_out = Σ |intermediate|
-        best: dict[frozenset[str], tuple[float, JoinTree]] = {}
-        for t in names:
-            s = frozenset((t,))
-            best[s] = (0.0, JoinTree.leaf(t, cardinality(s)))
+        # best[mask] = (cost, tree); cost = C_out = Σ |intermediate|
+        best: dict[int, tuple[float, JoinTree]] = {}
+        for i, t in enumerate(names):
+            best[1 << i] = (0.0, JoinTree.leaf(t, cardinality(1 << i)))
 
-        for size in range(2, len(names) + 1):
-            for combo in itertools.combinations(names, size):
-                subset = frozenset(combo)
-                candidates: list[tuple[float, JoinTree]] = []
-                for left_tuple in _proper_subsets(combo):
-                    left = frozenset(left_tuple)
-                    right = subset - left
-                    if left not in best or right not in best:
-                        continue
-                    if not self.bushy and len(right) > 1 and len(left) > 1:
-                        continue
-                    if not connected(left, right):
-                        continue  # never enumerate cross products (ref :92)
-                    out_rows = cardinality(subset)
+        full = (1 << n) - 1
+        # increasing int order: every proper submask of m is < m, so all
+        # subproblems are solved before m is reached — no popcount sort
+        for mask in range(3, full + 1):
+            if mask & (mask - 1) == 0:
+                continue  # singleton — already seeded
+            if self.bushy:
+                sub = (mask - 1) & mask
+                splits = []
+                while sub:
+                    splits.append((sub, mask ^ sub))
+                    sub = (sub - 1) & mask
+            else:
+                # linear trees: one side is always a single table (covers
+                # left-deep AND right-deep steps, i.e. zig-zag shapes —
+                # the same space the old both-sides>1 filter admitted)
+                splits = []
+                for i in bit_indices(mask):
+                    single = 1 << i
+                    rest = mask ^ single
+                    splits.append((rest, single))
+                    splits.append((single, rest))
+            candidates: list[tuple[float, int, int]] = []
+            for left, right in splits:
+                if left not in best or right not in best:
+                    continue
+                if not connected(left, right):
+                    continue  # never enumerate cross products (ref :92)
+                out_rows = cardinality(mask)
+                if self.cost_model is None:
+                    cost = best[left][0] + best[right][0] + out_rows
+                else:
+                    from postbound_spark.optimizer.stages import (
+                        PlanParameterization,
+                    )
+
                     tree = JoinTree.join(best[left][1], best[right][1], out_rows)
-                    if self.cost_model is None:
-                        cost = best[left][0] + best[right][0] + out_rows
-                    else:
-                        from postbound_spark.optimizer.stages import (
-                            PlanParameterization,
+                    params = PlanParameterization()
+                    for j in tree.joins():
+                        jmask = 0
+                        for t in j.tables():
+                            jmask |= 1 << index[t]
+                        params.set_cardinality(
+                            frozenset(j.tables()), cardinality(jmask)
                         )
+                    cost = self.cost_model.cost(tree, params)
+                candidates.append((cost, left, right))
+            if candidates:
+                # min by cost, then by the tree's string form among ties —
+                # the deterministic tie-break of the frozenset version,
+                # but trees are only BUILT for cost-tied candidates
+                low = min(c for c, _, _ in candidates)
+                tied = [
+                    JoinTree.join(best[l][1], best[r][1], cardinality(mask))
+                    for c, l, r in candidates
+                    if c == low
+                ]
+                tree = min(tied, key=str) if len(tied) > 1 else tied[0]
+                best[mask] = (low, tree)
 
-                        params = PlanParameterization()
-                        for j in tree.joins():
-                            key = frozenset(j.tables())
-                            params.set_cardinality(key, cardinality(key))
-                        cost = self.cost_model.cost(tree, params)
-                    candidates.append((cost, tree))
-                if candidates:
-                    best[subset] = min(candidates, key=lambda ct: (ct[0], str(ct[1])))
-
-        full = frozenset(names)
         if full not in best:
             raise ValueError("join graph is disconnected — DP needs a connected SPJ query")
         return best[full][1]

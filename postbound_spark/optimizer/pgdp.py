@@ -109,12 +109,18 @@ class PostgresStyleDynProg(PlanEnumerator):
         enable_materialize: bool = True,
         enable_sort: bool = True,
         required_ordering: tuple[tuple[str, str], ...] = (),
+        linear: bool = False,
     ):
         self.estimator = cardinality_estimator
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self.enable_materialize = enable_materialize
         self.enable_sort = enable_sort
         self.required_ordering = required_ordering
+        #: restrict the search to linear (zig-zag) trees: every split has a
+        #: single-table side, O(n·2^n) splits instead of 3^n — PG itself
+        #: switches search modes above join_collapse_limit; this is the
+        #: corpus-scale knob for 14-17-table JOB queries
+        self.linear = linear
 
     # -- the DP -------------------------------------------------------------
 
@@ -123,6 +129,16 @@ class PostgresStyleDynProg(PlanEnumerator):
     ) -> Path:
         names = sorted(spec.tables)
         edges = list(spec.edges)
+        # per-table incident edges: a split scan only walks the smaller
+        # side's incidence lists (O(deg)) instead of every edge (O(E)) —
+        # at 17 tables the full-scan version dominated the whole DP
+        incident: dict[str, list] = {t: [] for t in names}
+        edge_pos = {id(e): i for i, e in enumerate(edges)}
+        for e in edges:
+            ts = e.tables()
+            if len(ts) == 2:
+                for t in ts:
+                    incident.setdefault(t, []).append(e)
         card_cache: dict[frozenset[str], float] = {}
 
         def rows(subset: frozenset[str]) -> float:
@@ -148,7 +164,18 @@ class PostgresStyleDynProg(PlanEnumerator):
             # collide across tables (every JOB satellite joins on movie_id),
             # and an ordering on a.col must not satisfy one on b.col
             out = []
-            for e in edges:
+            small = left if len(left) <= len(right) else right
+            scan_ids: set[int] = set()
+            scan = []
+            for t in small:
+                for e in incident.get(t, ()):
+                    if id(e) not in scan_ids:
+                        scan_ids.add(id(e))
+                        scan.append(e)
+            # original spec-edge order: the emitted key order feeds the
+            # ordering tuples, so it must not depend on set iteration
+            scan.sort(key=lambda e: edge_pos[id(e)])
+            for e in scan:
                 ts = e.tables()
                 if len(ts & left) == 1 and len(ts & right) == 1:
                     lkey = (
@@ -173,7 +200,15 @@ class PostgresStyleDynProg(PlanEnumerator):
             for combo in itertools.combinations(names, size):
                 subset = frozenset(combo)
                 paths: list[Path] = []
-                for left_tuple in _proper_subsets(combo):
+                if self.linear:
+                    split_lefts = [
+                        s
+                        for t in combo
+                        for s in ((t,), tuple(x for x in combo if x != t))
+                    ]
+                else:
+                    split_lefts = _proper_subsets(combo)
+                for left_tuple in split_lefts:
                     left = frozenset(left_tuple)
                     right = subset - left
                     if left not in pathlists or right not in pathlists:
@@ -188,6 +223,15 @@ class PostgresStyleDynProg(PlanEnumerator):
                             ):
                                 _add_path(paths, cand)
                 if paths:
+                    if not self.required_ordering:
+                        # PG's own rule: with no useful pathkeys (the query
+                        # has no ORDER BY to satisfy), an ordered path can
+                        # never pay for itself — keep only the cheapest
+                        # total path per relation. This is also what keeps
+                        # the DP corpus-scale: order-differentiated
+                        # pathlists cross-multiply (~40 path pairs per
+                        # split at 14 tables before this cut)
+                        paths = [min(paths, key=lambda p: (p.cost, str(p.tree)))]
                     pathlists[subset] = paths
 
         full = frozenset(names)

@@ -1023,3 +1023,120 @@ def test_ues_cross_product_fallback_bound_multiplies():
     bounds = [j.cardinality for j in tree.joins() if not math.isnan(j.cardinality)]
     assert bounds, tree
     assert max(bounds) > 40.0 * 2.0, bounds  # strictly above one component's bound
+
+
+def test_stats_estimator_matches_true_counts_on_keys(spark, sf_small):
+    """System-R formula sanity on a real PK/FK join: |orders ⋈ customer|
+    on o_custkey = c_custkey is |orders| (every order has a customer), and
+    the stats estimate |O|·|C| / max(ndv(o_custkey), ndv(c_custkey)) must
+    land within HLL error of that truth. Base-table estimates are exact
+    counts by construction."""
+    from postbound_spark.catalog import load_table
+    from postbound_spark.optimizer.cardinalities import StatsCardinalityEstimator
+    from postbound_spark.optimizer.joingraph import JoinEdge
+    from postbound_spark.optimizer.stages import QuerySpec
+
+    tables = {
+        "orders": load_table(spark, sf_small, "orders"),
+        "customer": load_table(spark, sf_small, "customer"),
+    }
+    spec = QuerySpec(
+        ("customer", "orders"),
+        (JoinEdge("orders", "o_custkey", "customer", "c_custkey"),),
+    )
+    est = StatsCardinalityEstimator()
+    n_orders = tables["orders"].count()
+    assert est.estimate_cardinality(spec, frozenset(["orders"]), tables) == n_orders
+    got = est.estimate_cardinality(spec, frozenset(["customer", "orders"]), tables)
+    assert got == pytest.approx(n_orders, rel=0.15)  # HLL ndv error bound
+    # second call is served from the stats cache — no further jobs; the
+    # DP calls this once per connected subset, so O(1) replay is the
+    # property that makes corpus-scale enumeration affordable
+    assert est.estimate_cardinality(
+        spec, frozenset(["customer", "orders"]), tables
+    ) == got
+
+
+def test_dp_linear_mode_plans_17_tables_fast():
+    """The corpus-scale gate for the bitmask DP: a 17-table star query
+    (JOB 29a/b's table count) must plan in seconds under linear mode —
+    the frozenset 3^n version could not get past ~10 tables."""
+    import time as _time
+
+    from postbound_spark.optimizer.dynprog import DynamicProgrammingEnumerator
+    from postbound_spark.optimizer.joingraph import JoinEdge
+    from postbound_spark.optimizer.stages import CardinalityEstimator, QuerySpec
+
+    class Fixed(CardinalityEstimator):
+        def estimate_cardinality(self, spec, subset, tables):
+            return float(10 * len(subset))
+
+    names = [f"t{i:02d}" for i in range(17)]
+    edges = tuple(JoinEdge(names[0], "id", names[i], "fk") for i in range(1, 17))
+    spec = QuerySpec(tuple(names), edges)
+    t0 = _time.perf_counter()
+    tree = DynamicProgrammingEnumerator(Fixed(), bushy=False).optimize_join_order(
+        spec, {}
+    )
+    assert _time.perf_counter() - t0 < 30.0
+    assert sorted(tree.tables()) == names
+    assert tree.is_linear()
+
+
+def test_dp_linear_and_bushy_agree_on_chain():
+    """On a chain join with monotone cardinalities the optimal plan is
+    linear, so both search modes must find the same order and cost."""
+    from postbound_spark.optimizer.dynprog import DynamicProgrammingEnumerator
+    from postbound_spark.optimizer.joingraph import JoinEdge
+    from postbound_spark.optimizer.stages import CardinalityEstimator, QuerySpec
+
+    class Sized(CardinalityEstimator):
+        SIZES = {"a": 10.0, "b": 100.0, "c": 1000.0, "d": 10000.0}
+
+        def estimate_cardinality(self, spec, subset, tables):
+            out = 1.0
+            for t in subset:
+                out *= self.SIZES[t]
+            return out / (10.0 ** (len(subset) - 1))
+
+    spec = QuerySpec(
+        ("a", "b", "c", "d"),
+        (
+            JoinEdge("a", "x", "b", "x"),
+            JoinEdge("b", "y", "c", "y"),
+            JoinEdge("c", "z", "d", "z"),
+        ),
+    )
+    est = Sized()
+    linear = DynamicProgrammingEnumerator(est, bushy=False).optimize_join_order(spec, {})
+    bushy = DynamicProgrammingEnumerator(est, bushy=True).optimize_join_order(spec, {})
+    assert linear.tables() == bushy.tables()
+
+
+def test_pgdp_linear_mode_matches_full_search_on_small_query(spark, sf_small):
+    """linear=True restricts the pathlist DP to zig-zag trees; on a
+    3-table query every tree is linear, so both modes must pick the same
+    plan — and the no-ORDER-BY cheapest-path cut must not change it."""
+    from postbound_spark.catalog import load_table
+    from postbound_spark.optimizer.cardinalities import PreciseCardinalities
+    from postbound_spark.optimizer.joingraph import JoinEdge
+    from postbound_spark.optimizer.pgdp import PostgresStyleDynProg
+    from postbound_spark.optimizer.stages import QuerySpec
+
+    tables = {
+        t: load_table(spark, sf_small, t)
+        for t in ("customer", "orders", "nation")
+    }
+    spec = QuerySpec(
+        ("customer", "nation", "orders"),
+        (
+            JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+            JoinEdge("customer", "c_nationkey", "nation", "n_nationkey"),
+        ),
+    )
+    full = PostgresStyleDynProg(PreciseCardinalities()).enumerate(spec, tables)
+    lin = PostgresStyleDynProg(PreciseCardinalities(), linear=True).enumerate(
+        spec, tables
+    )
+    assert full.tree.tables() == lin.tree.tables()
+    assert full.cost == pytest.approx(lin.cost)
