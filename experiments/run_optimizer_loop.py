@@ -27,7 +27,26 @@ def main() -> None:
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("out_path", nargs="?", default="optimizer_loop_results.parquet")
-    ap.add_argument("--strategies", default="native,ues")
+    ap.add_argument(
+        "--strategies",
+        default="native,ues",
+        help="comma list drawn from native,ues,dp,pgdp,pgdp-precise,tonic "
+        "(tonic replays operators learned from the earlier forced-order "
+        "strategies — list it last)",
+    )
+    ap.add_argument(
+        "--trie-path",
+        default=None,
+        help="persist the TONIC QEP-S trie here; every tonic replay then "
+        "round-trips through save→load",
+    )
+    ap.add_argument(
+        "--plots",
+        default=None,
+        metavar="PREFIX",
+        help="write PREFIX_qerror_ecdf.svg / PREFIX_runtime_bars.svg from "
+        "the result frame (vis_plots renderers)",
+    )
     ap.add_argument("--titles", type=int, default=300)
     ap.add_argument(
         "--training-data",
@@ -126,10 +145,36 @@ def main() -> None:
         return
 
     results = run_optimizer_loop(
-        spark, corpus, base, strategies=strategies, out_path=out_path
+        spark,
+        corpus,
+        base,
+        strategies=strategies,
+        out_path=out_path,
+        trie_path=ns.trie_path,
+        on_error="skip",
     )
     by_strategy = results.groupby("strategy")[["exec_time", "optimization_time", "max_qerror"]].mean()
     print(by_strategy.to_string())
+    invariance = results.groupby("label").result_fingerprint.nunique()
+    broken = invariance[invariance > 1]
+    print(
+        f"result invariance: {len(invariance) - len(broken)}/{len(invariance)} "
+        f"queries identical across strategies"
+        + (f"; MISMATCHED: {sorted(broken.index)}" if len(broken) else "")
+    )
+    if ns.plots:
+        from postbound_spark.vis_plots import qerror_ecdf_svg, runtime_bars_svg
+
+        with open(f"{ns.plots}_qerror_ecdf.svg", "wb") as fh:
+            fh.write(qerror_ecdf_svg(results, title="q-error ECDF by strategy"))
+        with open(f"{ns.plots}_runtime_bars.svg", "wb") as fh:
+            fh.write(
+                runtime_bars_svg(
+                    results.sort_values("exec_time", ascending=False),
+                    title="runtime by strategy",
+                )
+            )
+        print(f"plots -> {ns.plots}_qerror_ecdf.svg, {ns.plots}_runtime_bars.svg")
     bounded = results[(results.strategy == "ues") & results.actual_card.notna()]
     if len(bounded):
         ok = (bounded.ues_bound >= bounded.actual_card).sum()

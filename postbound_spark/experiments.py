@@ -50,7 +50,24 @@ RESULT_COLUMNS = [
     "n_plan_nodes",
     "max_qerror",
     "mean_qerror",
+    "result_fingerprint",
 ]
+
+
+def _result_fingerprint(rows) -> str:
+    """Order-insensitive hash of a collected result: floats rounded to 6
+    significant digits (join order perturbs double accumulation order),
+    rows sorted textually. Two strategies executing the same query MUST
+    produce the same fingerprint — the matrix's result-invariance gate."""
+    import hashlib
+
+    def norm(v):
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        return repr(v)
+
+    lines = sorted("\x1f".join(norm(v) for v in row) for row in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
 def imdb_shaped_frames(n_titles: int = 300) -> dict[str, pd.DataFrame]:
@@ -133,24 +150,94 @@ def _prepared_tables(parsed, base: Mapping[str, DataFrame]) -> dict[str, DataFra
     return out
 
 
-def _plan_order(spark, strategy: str, parsed, spec, tables):
-    """Returns (join_order | None, ues_root_bound). None = let Catalyst
-    order the joins (the 'native' baseline every study compares against)."""
+#: above this table count the DP strategies switch from bushy/full search
+#: to the linear (zig-zag) space — the same pragmatic cliff PG's own
+#: join_collapse_limit models (3^n full search tops out around here)
+LINEAR_SEARCH_ABOVE = 10
+
+
+class _MatrixContext:
+    """Shared per-run state for the strategy loop: the stats estimator
+    (its per-table statistics are reused across strategies of a query),
+    the TONIC trie being trained, and the last forced JoinTree per query
+    (TONIC replays operators onto it)."""
+
+    def __init__(self, trie_path: str | None = None):
+        from postbound_spark.optimizer.cardinalities import (
+            StatsCardinalityEstimator,
+        )
+        from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+        self.stats_estimator = StatsCardinalityEstimator()
+        self.tonic = TonicOperatorSelection()
+        self.trie_path = trie_path
+        self.last_tree = None  # most recent forced JoinTree (current query)
+
+    def replay_tonic(self):
+        """The trie TONIC replays from: round-tripped through save/load
+        when a path is configured (pinning serialization inside the loop,
+        the reference's train→persist→replay cycle), else the live one."""
+        from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+        if self.trie_path is None:
+            return self.tonic
+        self.tonic.save(self.trie_path)
+        return TonicOperatorSelection.load(self.trie_path)
+
+
+def _plan_order(spark, strategy: str, parsed, spec, tables, context=None):
+    """Returns (join_order | None, ues_root_bound, assignment | None,
+    jointree | None). ``order=None`` = let Catalyst order the joins (the
+    'native' baseline every study compares against); a non-None
+    ``assignment`` additionally pins per-join physical operators through
+    relalg hints."""
     if strategy == "native":
-        return None, math.nan
+        return None, math.nan, None, None
     if strategy == "ues":
         from postbound_spark.optimizer.ues import UESJoinOrderOptimizer
 
         tree = UESJoinOrderOptimizer(spark).optimize_join_order(spec, tables)
-        return tree.tables(), tree.cardinality
-    if strategy == "pgdp":
-        from postbound_spark.optimizer import PostgresStyleDynProg, PreciseCardinalities
-
-        tree, _ = PostgresStyleDynProg(PreciseCardinalities()).generate_execution_plan(
-            spec, tables
+        return tree.tables(), tree.cardinality, None, tree
+    context = context or _MatrixContext()
+    if strategy == "dp":
+        from postbound_spark.optimizer.dynprog import (
+            DynamicProgrammingEnumerator,
         )
-        return tree.tables(), math.nan
-    raise ValueError(f"unknown strategy {strategy!r} (native/ues/pgdp)")
+
+        bushy = len(spec.tables) <= LINEAR_SEARCH_ABOVE
+        tree = DynamicProgrammingEnumerator(
+            context.stats_estimator, bushy=bushy
+        ).optimize_join_order(spec, tables)
+        return tree.tables(), math.nan, None, tree
+    if strategy in ("pgdp", "pgdp-precise"):
+        from postbound_spark.optimizer import PostgresStyleDynProg
+
+        if strategy == "pgdp-precise":
+            from postbound_spark.optimizer import PreciseCardinalities
+
+            estimator = PreciseCardinalities()
+        else:
+            estimator = context.stats_estimator
+        tree, assignment = PostgresStyleDynProg(
+            estimator, linear=len(spec.tables) > LINEAR_SEARCH_ABOVE
+        ).generate_execution_plan(spec, tables)
+        return tree.tables(), math.nan, assignment, tree
+    if strategy == "tonic":
+        if context.last_tree is None:
+            raise ValueError(
+                "the 'tonic' strategy replays learned operators onto the "
+                "query's last forced join order — run it after a forced-"
+                "order strategy (ues/dp/pgdp) in the strategies tuple"
+            )
+        tree = context.last_tree
+        assignment = context.replay_tonic().select_physical_operators(
+            spec, tree
+        )
+        return tree.tables(), math.nan, assignment, tree
+    raise ValueError(
+        f"unknown strategy {strategy!r} "
+        "(native/ues/dp/pgdp/pgdp-precise/tonic)"
+    )
 
 
 def join_qerrors(df: DataFrame) -> list[dict]:
@@ -227,29 +314,82 @@ def run_optimizer_loop(
     base_tables: Mapping[str, DataFrame],
     strategies: tuple[str, ...] = ("native", "ues"),
     out_path: str | None = None,
+    trie_path: str | None = None,
+    on_error: str = "raise",
 ) -> pd.DataFrame:
     """Execute every (query, strategy) pair and collect the reference's
     result-row schema (``bench.py:1095-1121``): optimization time, exec
-    time, result rows, the UES root bound, the enforced join order, and
-    executed-plan q-error aggregates. Optionally persists to parquet."""
+    time, result rows, the UES root bound, the enforced join order,
+    executed-plan q-error aggregates, and a result fingerprint (the
+    cross-strategy invariance gate). Optionally persists to parquet.
+
+    Strategies: ``native`` (Catalyst decides), ``ues`` (pessimistic upper
+    bounds), ``dp`` (textbook DP over statistics estimates; bushy up to
+    ``LINEAR_SEARCH_ABOVE`` tables, linear beyond), ``pgdp`` (pathlist DP
+    with physical-operator choice, statistics estimates),
+    ``pgdp-precise`` (pathlist DP under true COUNT(*) cardinalities —
+    expensive, small corpora only), ``tonic`` (replay QEP-S-learned
+    operators onto the query's last forced order — list it AFTER
+    ues/dp/pgdp; those executions are its training set, filed positionally
+    from the executed plans). ``trie_path`` persists the TONIC trie and
+    round-trips every replay through save→load. ``on_error='skip'``
+    records a failed (query, strategy) pair as a warning and moves on —
+    corpus sweeps should not die on one pathological query."""
     from postbound_spark.operators.compiler import compile_plan
+    from postbound_spark.optimizer.hints import apply_join_hints_to_relalg
+    from postbound_spark.optimizer.qep import observed_join_steps
     from postbound_spark.plans.algebra import parse_relalg
     from postbound_spark.plans.parser import parse_query, to_query_spec
 
+    context = _MatrixContext(trie_path)
     rows: list[dict] = []
     for label, sql in queries.items():
         parsed = parse_query(sql)
         spec = to_query_spec(parsed)
         tables = _prepared_tables(parsed, base_tables)
+        context.last_tree = None  # TONIC never replays across queries
         for strategy in strategies:
             t0 = time.perf_counter()
-            order, bound = _plan_order(spark, strategy, parsed, spec, tables)
+            try:
+                order, bound, assignment, jointree = _plan_order(
+                    spark, strategy, parsed, spec, tables, context
+                )
+            except Exception as exc:
+                if on_error != "skip":
+                    raise
+                warnings.warn(f"{label}/{strategy}: planning failed: {exc}")
+                continue
             opt_time = time.perf_counter() - t0
             tree = parse_relalg(parsed, join_order=order) if order else parse_relalg(parsed)
+            if assignment is not None:
+                tree = apply_join_hints_to_relalg(tree, assignment)
             df = compile_plan(tree, spark)
             t1 = time.perf_counter()
             result = df.collect()
             exec_time = time.perf_counter() - t1
+            if jointree is not None and strategy != "tonic":
+                # file this execution into the QEP-S trie: positional
+                # pairing of the forced tree's joins with the executed
+                # physical joins (the join_qerrors invariant) gives
+                # alias-keyed (operator, cost) even across self-joins
+                steps = observed_join_steps(df)
+                tree_joins = list(jointree.joins())
+                if len(steps) == len(tree_joins):
+                    operators = {}
+                    costs = {}
+                    for (op, actual), tj in zip(steps, tree_joins):
+                        key = frozenset(tj.tables())
+                        operators[key] = op
+                        if not math.isnan(actual):
+                            costs[key] = actual
+                    context.tonic.record_plan(jointree, operators, costs)
+                else:
+                    warnings.warn(
+                        f"{label}/{strategy}: {len(steps)} physical joins "
+                        f"vs {len(tree_joins)} tree joins — skipping TONIC "
+                        "training for this execution"
+                    )
+                context.last_tree = jointree
             # COUNT(*)-style workloads: the single NUMERIC scalar IS the
             # join cardinality; 1x1 string results (JOB's MIN(t.title))
             # simply carry no readable actual
@@ -279,6 +419,7 @@ def run_optimizer_loop(
                     "n_plan_nodes": len(qerrs),
                     "max_qerror": max(qerrs) if qerrs else math.nan,
                     "mean_qerror": (sum(qerrs) / len(qerrs)) if qerrs else math.nan,
+                    "result_fingerprint": _result_fingerprint(result),
                 }
             )
     frame = pd.DataFrame(rows, columns=RESULT_COLUMNS)

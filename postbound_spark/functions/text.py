@@ -85,6 +85,15 @@ MINHASH_A = (1203983, 594603251, 1340049377, 2038074743,
 MINHASH_B = (981766919, 123456791, 1719068887, 432109873,
              1597334677, 207688333, 661041991, 1876543211)
 
+#: bigram-LM vocabulary cap (quality_lm_score): keep only the top-K
+#: reference bigrams by count — CCNet's own model pruning. The cap is
+#: what bounds the broadcast LM tables BY CONSTRUCTION at any corpus
+#: size: a web-scale crawl has billions of distinct bigrams, and an
+#: unpruned model would OOM the broadcast long before 100 TB. Sized to
+#: bite on the test fixtures too (their reference slice has ~900
+#: distinct bigrams), so the pruning path is what the oracle checks.
+LM_VOCAB_K = 512
+
 
 def shingle_hashes31(shingles: Column) -> Column:
     """31-bit integer hash per shingle — ONE md5 kernel per shingle,

@@ -179,3 +179,46 @@ def compile_join_tree(
 
     df, _ = build(tree)
     return df
+
+
+def apply_join_hints_to_relalg(node, assignment: PhysicalOperatorAssignment):
+    """Rebuild a relalg tree with per-join algorithm hints from an
+    operator assignment: every inner ThetaJoin whose covered base-relation
+    identifier set (aliases when present) has an operator in
+    ``assignment`` gets its ``hint`` field set; the compiler attaches the
+    hint to the join's build (right) side.
+
+    This is the enforcement bridge from the optimizer artifacts to the
+    parse→relalg→compile path — the reference's equivalent step renders
+    pg_hint_plan ``HashJoin(a b)`` blocks (``postgres.py:2210-2341``);
+    here the hint rides the IR node the forced join order already built.
+    Frozen dataclass trees are rebuilt structurally; untouched subtrees
+    are shared, and an explicit pre-existing hint is preserved (explicit
+    wins over the learned/derived assignment)."""
+    from dataclasses import fields, replace as _dc_replace
+
+    from postbound_spark.plans import relalg as ra
+
+    def rebuild(n):
+        if not isinstance(n, ra.RelNode):
+            return n, frozenset()
+        kwargs = {}
+        covered: frozenset[str] = frozenset()
+        for f in fields(n):
+            value = getattr(n, f.name)
+            if isinstance(value, ra.RelNode):
+                new_child, child_covered = rebuild(value)
+                covered |= child_covered
+                if new_child is not value:
+                    kwargs[f.name] = new_child
+        if isinstance(n, ra.Relation):
+            ident = n.alias or n.table
+            covered = frozenset([ident]) if ident else covered
+        if isinstance(n, ra.ThetaJoin) and n.how == "inner" and n.hint is None:
+            op = assignment.operator_for(covered)
+            if op is not None:
+                kwargs["hint"] = op.spark_hint
+        return (_dc_replace(n, **kwargs) if kwargs else n), covered
+
+    rebuilt, _ = rebuild(node)
+    return rebuilt

@@ -326,3 +326,32 @@ def operators_from_plan(df: DataFrame) -> dict[frozenset, "JoinOperator"]:
 
     walk(_physical_tree_with_tables(df))
     return out
+
+
+def observed_join_steps(df: DataFrame) -> list[tuple["JoinOperator", float]]:
+    """Post-order (physical join operator, actual output rows) per join of
+    the EXECUTED plan — the training signal the TONIC loop files into its
+    QEP-S trie (operator used + cardinality-as-cost).
+
+    Pair these POSITIONALLY with a forced JoinTree's ``joins()``: the
+    compiler materializes a JoinTree's joins post-order and physical
+    planning maps each logical join to exactly one physical join without
+    reordering across them (the same invariant ``join_qerrors`` relies
+    on), so position is a join identity that stays unambiguous even for
+    self-joins — where name-based matching (``operators_from_plan``)
+    collapses the duplicate base-table scans into one key. Run an action
+    on ``df`` first, or every actual is NaN."""
+    from postbound_spark.optimizer.hints import JoinOperator
+
+    steps: list[tuple[JoinOperator, float]] = []
+
+    def walk(node: PlanNode) -> None:
+        for child in node.children:
+            walk(child)
+        for prefix, op_name in _JOIN_NODE_TO_OPERATOR.items():
+            if prefix in node.name:
+                steps.append((JoinOperator[op_name], node.actual_rows))
+                break
+
+    walk(executed_plan(df))
+    return steps

@@ -2829,6 +2829,7 @@ doc_bi AS (
 ref_bi AS (
   SELECT bg, CAST(count(*) AS BIGINT) AS c2
   FROM doc_bi WHERE bucket = 0 GROUP BY bg
+  ORDER BY c2 DESC, bg LIMIT {T.LM_VOCAB_K}
 ),
 ref_uni AS (
   SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
@@ -2860,9 +2861,16 @@ def quality_lm_score(spark, sf_dir):
 
     Scale shape (the CCNet deployment pattern): the reference slice is a
     DETERMINISTIC md5 hash bucket (20% — reproducible across engines and
-    runs, unlike a seeded sample), the LM tables are vocabulary-bounded
-    (not corpus-bounded) and BROADCAST, so scoring the full corpus is
-    map-only — one shuffle each to build the two LM tables, one partial-
+    runs, unlike a seeded sample), and the LM is PRUNED to the top-K
+    bigrams by count (``T.LM_VOCAB_K``, deterministic count-then-text
+    tie-break) — CCNet's own model pruning, and the property that makes
+    the broadcast safe at ANY corpus size: without the cap the distinct-
+    bigram vocabulary of a web-scale crawl is billions of rows and the
+    broadcast would OOM long before 100 TB. The top-K is a
+    TakeOrderedAndProject (per-partition heads merged on the driver — K
+    rows, never a global sort), the continuation counts are derived from
+    the pruned table, both LM tables are BROADCAST, and scoring the full
+    corpus is map-only — one shuffle to build the LM, one partial-
     aggregated doc_id shuffle for the per-doc mean, and nothing that
     grows with corpus size on the scoring path."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2886,6 +2894,8 @@ def quality_lm_score(spark, sf_dir):
         doc_bi.filter(F.col("bucket") == 0)
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c2"))
+        .orderBy(F.col("c2").desc(), "bg")
+        .limit(T.LM_VOCAB_K)
     )
     ref_uni = (
         ref_bi.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
@@ -3206,6 +3216,85 @@ def sketch_hll_distinct_tokens(spark, sf_dir):
             F.round(est, 2).alias("est_distinct"),
             F.col("n_exact").alias("exact_distinct"),
         )
+    )
+
+
+_HLL_ESTIMATE_ORACLE = f"""
+WITH hashed AS (
+  SELECT CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM (SELECT unnest({_WS_TOKS}) AS tok FROM documents)
+),
+registers AS (
+  SELECT th % {_HLL_M} AS bucket,
+         max(CASE WHEN th // {_HLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(th // {_HLL_M})) END) AS r
+  FROM hashed GROUP BY 1
+),
+summary AS (
+  SELECT CAST(sum(power(2.0, -r)) AS DOUBLE) AS sum_observed,
+         CAST(count(*) AS BIGINT) AS n_observed
+  FROM registers
+)
+SELECT {_HLL_M} AS m,
+       ({_HLL_M} - n_observed) AS zero_registers,
+       round(sum_observed + ({_HLL_M} - n_observed), 6) AS sum_inv,
+       round(CASE WHEN n_observed < {_HLL_M}
+                   AND 0.709 * {_HLL_M} * {_HLL_M}
+                       / (sum_observed + ({_HLL_M} - n_observed))
+                       <= 2.5 * {_HLL_M}
+             THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                / ({_HLL_M} - n_observed))
+             ELSE 0.709 * {_HLL_M} * {_HLL_M}
+                  / (sum_observed + ({_HLL_M} - n_observed)) END, 2)
+           AS est_distinct
+FROM summary
+"""
+
+
+@query("sketch_hll_estimate_only", oracle=_HLL_ESTIMATE_ORACLE)
+def sketch_hll_estimate_only(spark, sf_dir):
+    """The production form of the HLL distinct-token sketch: registers
+    built from the RAW token stream — no ``.distinct()``, no exact
+    companion count, and therefore provably NO distinct exchange in the
+    plan (``sketch_hll_distinct_tokens`` stays as the accuracy gauge; a
+    round-5 audit flagged its full distinct-token shuffle as the wrong
+    default for a production caller).
+
+    Correctness rests on max() idempotence: duplicate tokens hash to the
+    same (bucket, rank), so register maxima over the raw stream equal
+    maxima over the distinct set — which is the entire point of HLL. The
+    plan is one map-side partial max per partition (64 registers of
+    state), one 64-key exchange, one single-row summary: a petabyte
+    token stream's distinct estimate costs 64 longs per partition and
+    two exchanges, nothing keyed by token."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    hashed = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok")).select(
+        th.alias("th")
+    )
+    w = F.expr(f"th div {_HLL_M}")
+    rank = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    registers = (
+        hashed.select((F.col("th") % _HLL_M).alias("bucket"), rank.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    summary = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).cast("double").alias("sum_observed"),
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+    )
+    sum_inv = F.col("sum_observed") + (_HLL_M - F.col("n_observed"))
+    raw = 0.709 * _HLL_M * _HLL_M / sum_inv
+    zeros = _HLL_M - F.col("n_observed")
+    est = F.when(
+        (zeros > 0) & (raw <= 2.5 * _HLL_M),
+        _HLL_M * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return summary.select(
+        F.lit(_HLL_M).cast("int").alias("m"),
+        zeros.cast("long").alias("zero_registers"),
+        F.round(sum_inv, 6).alias("sum_inv"),
+        F.round(est, 2).alias("est_distinct"),
     )
 
 

@@ -547,6 +547,14 @@ def test_lm_score_broadcasts_the_model_and_stays_jvm(registry, spark, sf_small):
     # in the hot path)
     assert plan.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in plan
+    # the LM is BOUNDED BY CONSTRUCTION: the top-K vocabulary cut is a
+    # TakeOrderedAndProject (per-partition heads, K rows on the driver),
+    # never a global Sort — this is what keeps the broadcast safe when
+    # the corpus's distinct-bigram vocabulary is billions of rows
+    assert "TakeOrderedAndProject" in plan
+    from postbound_spark.functions.text import LM_VOCAB_K
+
+    assert f"limit={LM_VOCAB_K}" in plan or str(LM_VOCAB_K) in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     from postbound_spark.queries.pipeline import release_stage_caches
@@ -598,6 +606,30 @@ def test_hll_registers_combine_map_side(registry, spark, sf_small):
     from postbound_spark.queries.pipeline import release_stage_caches
 
     release_stage_caches()
+
+
+def test_hll_estimate_only_has_no_distinct_exchange(registry, spark, sf_small):
+    """The production HLL variant (round-5 advisory #2): registers come
+    from the raw token stream via partial max — the plan must contain NO
+    token-keyed exchange at all. The accuracy-gauge sibling pays a full
+    distinct-token shuffle for its exact companion column; this one's
+    exchanges are exactly (a) the 64-key bucket exchange and (b) the
+    single-partition summary — constant width at any corpus size."""
+    df = _build(registry, spark, sf_small, "sketch_hll_estimate_only")
+    plan = _formatted_plan(df)
+    assert "partial_max" in plan
+    # no distinct: neither a HashAggregate keyed by the token/hash column
+    # nor more than the two constant-width exchanges may appear (the
+    # formatted plan names each operator once in its detail section)
+    import re as _re
+
+    detail_exchanges = _re.findall(r"^\(\d+\) Exchange\b.*$", plan, _re.M)
+    assert len(detail_exchanges) == 2, detail_exchanges
+    assert "hashpartitioning(bucket" in plan  # (a) the 64-key exchange
+    assert "SinglePartition" in plan  # (b) the 1-row summary
+    # never keyed by the raw token hash — that would be the distinct
+    assert not _re.search(r"hashpartitioning\(th#", plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_bpe_pairs_count_over_vocab_not_corpus(registry, spark, sf_small):
