@@ -585,3 +585,108 @@ def distortion_sweep(
     finally:
         injector.close()  # experiment-scoped even when a query raises
     return pd.DataFrame(rows)
+
+
+TRUE_CARD_MODES = ("native", "truecards", "distorted")
+
+
+def true_card_runtime_experiment(
+    spark: SparkSession,
+    queries: Mapping[str, str],
+    base_tables: Mapping[str, DataFrame],
+    *,
+    distort_factor: float = 100.0,
+    reps: int = 2,
+    out_path: str | None = None,
+) -> pd.DataFrame:
+    """THE signature PostBOUND experiment (ref
+    ``examples/experiment-job-true-card-runtimes.py``): execute a workload
+    under (a) the planner's native estimates, (b) TRUE cardinalities
+    injected for EVERY intermediate the optimized plan offers, and (c)
+    true cardinalities distorted by ``factor**(|S|-1)`` — and compare
+    runtimes and plan censuses. "How much faster would the plan be if the
+    optimizer knew the truth?" is the research question the reference was
+    built to answer; the zero-write injector makes it affordable here
+    (one plan compilation per mode, no materialized intermediates).
+
+    True counts come from :class:`PreciseCardinalities` over the query's
+    prepared (filter-pushed) tables and equi-join edges — the same
+    intermediate definition the enforcement machinery uses. Queries whose
+    FROM list repeats a base table are skipped with a warning (mapping
+    plan-side occurrence qualifiers back to SQL aliases is ambiguous
+    without per-occurrence filters; the reference skips none because
+    pg_lab keys by alias natively).
+
+    One row per (query, mode): min-of-``reps`` runtime, broadcast/
+    sort-merge census of the AQE-off physical plan, injected-set count,
+    and a result fingerprint (modes must agree — injection steers the
+    plan, never the answer)."""
+    from postbound_spark.optimizer.cardinalities import PreciseCardinalities
+    from postbound_spark.optimizer.planstats import PlanTimeCardinalityInjector
+    from postbound_spark.plans.parser import parse_query, to_query_spec
+
+    precise = PreciseCardinalities()
+    rows: list[dict] = []
+    with PlanTimeCardinalityInjector(spark) as injector:
+        for label, sql in queries.items():
+            parsed = parse_query(sql)
+            full_names = [t.full_name for t in parsed.from_tables]
+            if len(set(full_names)) != len(full_names):
+                warnings.warn(
+                    f"{label}: self-join (repeated base table) — skipping "
+                    "(occurrence→alias mapping is ambiguous)"
+                )
+                continue
+            spec = to_query_spec(parsed)
+            tables = _prepared_tables(parsed, base_tables)
+            base_to_alias = {
+                t.full_name.lower(): t.identifier for t in parsed.from_tables
+            }
+            truth: dict[frozenset[str], float] = {}
+            for tabs in injector.table_sets(sql):
+                aliases = frozenset(
+                    base_to_alias[t.partition("#")[0]] for t in tabs
+                )
+                truth[tabs] = precise.estimate_cardinality(spec, aliases, tables)
+            cards_by_mode: dict[str, Mapping | None] = {
+                "native": None,
+                "truecards": truth,
+                # exponent |S| (not |S|-1): leaves are distorted too, the
+                # leaf convention of distortion_sweep — otherwise a plan
+                # whose build sides are all base tables (the common shape
+                # after Catalyst's own reordering) would be immune to any
+                # distortion and the census comparison would be vacuous
+                "distorted": {
+                    tabs: max(1.0, n * distort_factor ** len(tabs))
+                    for tabs, n in truth.items()
+                },
+            }
+            for mode in TRUE_CARD_MODES:
+                cards = cards_by_mode[mode]
+                t0 = time.perf_counter()
+                df = injector.plan(sql, cards or {}, adaptive=False)
+                planning_time = time.perf_counter() - t0
+                plan_text = df._jdf.queryExecution().sparkPlan().toString()
+                times = []
+                result = None
+                for _ in range(max(1, reps)):
+                    t1 = time.perf_counter()
+                    result = df.collect()
+                    times.append(time.perf_counter() - t1)
+                rows.append(
+                    {
+                        "label": label,
+                        "mode": mode,
+                        "n_injected_sets": 0 if cards is None else len(cards),
+                        "planning_time": planning_time,
+                        "exec_time": min(times),
+                        "n_broadcast_joins": plan_text.count("BroadcastHashJoin"),
+                        "n_sortmerge_joins": plan_text.count("SortMergeJoin"),
+                        "result_rows": len(result),
+                        "result_fingerprint": _result_fingerprint(result),
+                    }
+                )
+    frame = pd.DataFrame(rows)
+    if out_path:
+        frame.to_parquet(out_path, index=False)
+    return frame

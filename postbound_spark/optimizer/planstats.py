@@ -373,6 +373,24 @@ class PlanTimeCardinalityInjector:
         walk(opt)
         return nodes, occurrences
 
+    def table_sets(self, query: str | DataFrame) -> list[frozenset[str]]:
+        """The distinct exact-cover table sets the optimized plan offers
+        for injection, bottom-up (occurrence-qualified: ``movie_info#1``).
+        Every key passed to :meth:`plan` must be one of these; experiment
+        loops use this to enumerate "all intermediates" the way the
+        reference's true-card experiment walks a query's join order."""
+        df = self.spark.sql(query) if isinstance(query, str) else query
+        nodes, _ = self._walk_table_sets(
+            df._jdf.queryExecution().optimizedPlan()
+        )
+        seen: set[frozenset[str]] = set()
+        out: list[frozenset[str]] = []
+        for _jnode, tabs in nodes:
+            if tabs and tabs not in seen:
+                seen.add(tabs)
+                out.append(tabs)
+        return out
+
     def describe_leaves(self, query: str | DataFrame) -> list[dict]:
         """One row per base-table scan of the optimized plan, in the same
         left-to-right order the occurrence qualifiers use: the qualified
