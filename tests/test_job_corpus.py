@@ -48,10 +48,25 @@ def _corpus() -> dict[str, str]:
 CORPUS = _corpus()
 
 
-def test_corpus_covers_all_33_families():
-    families = {label.rstrip("abcdef") for label in CORPUS}
-    assert families == {str(i) for i in range(1, 34)}
-    assert len(CORPUS) >= 70
+#: variants per canonical JOB family (Leis et al., PVLDB 9(3) — 113 total)
+CANONICAL_VARIANTS = {
+    1: "abcd", 2: "abcd", 3: "abc", 4: "abc", 5: "abc", 6: "abcdef",
+    7: "abc", 8: "abcd", 9: "abcd", 10: "abc", 11: "abcd", 12: "abc",
+    13: "abcd", 14: "abc", 15: "abcd", 16: "abcd", 17: "abcdef",
+    18: "abc", 19: "abcd", 20: "abc", 21: "abc", 22: "abcd", 23: "abc",
+    24: "ab", 25: "abc", 26: "abc", 27: "abc", 28: "abc", 29: "abc",
+    30: "abc", 31: "abc", 32: "ab", 33: "abc",
+}
+
+
+def test_corpus_covers_all_113_canonical_queries():
+    want = {
+        f"{family}{variant}"
+        for family, variants in CANONICAL_VARIANTS.items()
+        for variant in variants
+    }
+    assert len(want) == 113
+    assert set(CORPUS) == want
 
 
 @pytest.fixture(scope="module")
@@ -62,7 +77,7 @@ def engines(imdb_engines):
 
 
 def test_job_corpus_executes_and_matches_duckdb(engines):
-    """Every fixture query (74 incl. every self-join family: 12/13/18/…/33
+    """Every fixture query (all 113 incl. every self-join family: 12/13/18/…/33
     with info_type x2, comp_cast_type x2, title x2, movie_companies x2,
     movie_info_idx x2) produces the identical single aggregate row on both
     engines. The fixture data is shaped so the corpus is not vacuous —

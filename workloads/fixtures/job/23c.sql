@@ -1,0 +1,12 @@
+SELECT MIN(kt.kind) AS movie_kind, MIN(t.title) AS complete_us_internet_movie
+FROM complete_cast cc, comp_cast_type cct1, company_name cn, company_type ct,
+     info_type it1, keyword k, kind_type kt, movie_companies mc, movie_info mi, movie_keyword mk, title t
+WHERE cct1.kind = 'complete+verified' AND cn.country_code = '[us]' AND it1.info = 'release dates'
+  AND kt.kind IN ('movie','tv movie','video movie','video game') AND mi.note LIKE '%internet%'
+  AND mi.info IS NOT NULL AND (mi.info LIKE 'USA:% 199%' OR mi.info LIKE 'USA:% 200%')
+  AND t.production_year > 1990
+  AND kt.id = t.kind_id AND t.id = mi.movie_id AND t.id = mk.movie_id AND t.id = mc.movie_id
+  AND t.id = cc.movie_id AND mk.movie_id = mi.movie_id AND mk.movie_id = mc.movie_id
+  AND mk.movie_id = cc.movie_id AND mi.movie_id = mc.movie_id AND mi.movie_id = cc.movie_id
+  AND mc.movie_id = cc.movie_id AND k.id = mk.keyword_id AND it1.id = mi.info_type_id
+  AND cn.id = mc.company_id AND ct.id = mc.company_type_id AND cct1.id = cc.status_id;
