@@ -730,13 +730,20 @@ class _Converter:
         for g in group_texts:
             preferred = preferred_names.get(g)
             name = preferred or _output_name(g)
-            if name is None or name in used_names:
-                # no derivable name, or two keys share one unqualified name
-                # (GROUP BY a.k, b.k — the Map would silently overwrite and
-                # the Grouping would collapse both keys onto one column)
+            if name is None or name in used_names or (
+                preferred is None and "." in g
+            ):
+                # gensym when: no derivable name; two keys share one
+                # unqualified name (GROUP BY a.k, b.k); or the key is a
+                # QUALIFIED column — its bare name may exist on several
+                # joined tables (it.info with mi.info also in scope), and
+                # both the Map's withColumns and the groupBy would then
+                # hit AMBIGUOUS_REFERENCE. The post-aggregation projection
+                # renames the gensym to the SQL-visible output name, so
+                # result schemas are unaffected.
                 name = self._gensym("key")
                 map_exprs.append((name, g))
-            elif preferred is not None or "." in g:
+            elif preferred is not None:
                 # an alias-substituted key always maps under its alias: the
                 # input may hold the same unqualified column from several
                 # tables (nc.n_name / ns.n_name), so grouping by the bare

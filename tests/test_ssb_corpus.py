@@ -111,7 +111,7 @@ def test_ssb_strategies_agree_on_grouped_results(spark, sf_small):
         tables = _prepared_tables(parsed, base)
         native = compile_plan(parse_relalg(parsed), spark).toPandas()
         for strategy in ("ues", "pgdp"):
-            order, _ = _plan_order(spark, strategy, parsed, spec, tables)
+            order, _, _, _ = _plan_order(spark, strategy, parsed, spec, tables)
             forced = compile_plan(
                 parse_relalg(parsed, join_order=list(order)), spark
             ).toPandas()
