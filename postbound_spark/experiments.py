@@ -690,3 +690,76 @@ def true_card_runtime_experiment(
     if out_path:
         frame.to_parquet(out_path, index=False)
     return frame
+
+
+VARIATION_COLUMNS = [
+    "label", "round", "position", "phase", "exec_time",
+]
+
+
+def runtime_variation(
+    builders: Mapping[str, object],
+    *,
+    reps: int = 3,
+    seed: int = 17,
+    out_path: str | None = None,
+) -> pd.DataFrame:
+    """Repeated-execution runtime-variance harness (ref
+    ``examples/experiment-query-runtime-variation.py``): every query
+    executes once COLD (first contact: plan compilation, code
+    generation, cache population) and then ``reps`` WARM rounds, with
+    the execution ORDER reshuffled every round (seeded — a fixed order
+    would alias one query's cache effects onto its fixed successor).
+
+    ``builders`` maps label -> zero-arg callable returning a DataFrame;
+    each measurement times build + ``collect()``. One row per execution:
+    (label, round, position-in-round, phase, exec_time). Round 0 is the
+    cold pass; rounds 1..reps are warm. Use :func:`variation_summary`
+    for the per-query spread statistics BASELINE.md's rep-spread notes
+    record informally."""
+    import random
+
+    rng = random.Random(seed)
+    labels = list(builders)
+    rows: list[dict] = []
+    for rnd in range(reps + 1):
+        order = list(labels)
+        if rnd > 0:
+            rng.shuffle(order)
+        for pos, label in enumerate(order):
+            t0 = time.perf_counter()
+            builders[label]().collect()
+            rows.append(
+                {
+                    "label": label,
+                    "round": rnd,
+                    "position": pos,
+                    "phase": "cold" if rnd == 0 else "warm",
+                    "exec_time": time.perf_counter() - t0,
+                }
+            )
+    frame = pd.DataFrame(rows, columns=VARIATION_COLUMNS)
+    if out_path:
+        frame.to_parquet(out_path, index=False)
+    return frame
+
+
+def variation_summary(frame: pd.DataFrame) -> pd.DataFrame:
+    """Per-query spread statistics over a :func:`runtime_variation`
+    frame: warm min/mean/max, the max/min spread ratio (the number the
+    rep-spread notes quote), warm stdev, and the cold/warm-mean penalty
+    (JIT + cache population cost of first contact)."""
+    warm = frame[frame.phase == "warm"]
+    cold = frame[frame.phase == "cold"].set_index("label").exec_time
+    g = warm.groupby("label").exec_time
+    out = pd.DataFrame(
+        {
+            "warm_min": g.min(),
+            "warm_mean": g.mean(),
+            "warm_max": g.max(),
+            "spread": g.max() / g.min(),
+            "warm_std": g.std(),
+            "cold_penalty": cold / g.mean(),
+        }
+    )
+    return out.sort_index()

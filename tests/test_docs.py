@@ -1,0 +1,58 @@
+"""docs/10minutes.md stays in lockstep with its runnable counterpart.
+
+Round-5 verdict item 8: the walkthrough doc must be CI-backed, not
+prose that rots. The executable half is
+``examples/example_10_ten_minutes.py`` (run by ``test_examples.py``);
+this module pins that the doc quotes the exact calls the script makes
+and that every file the doc links exists.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOC = os.path.join(REPO, "docs", "10minutes.md")
+SCRIPT = os.path.join(REPO, "examples", "example_10_ten_minutes.py")
+
+
+def _doc() -> str:
+    with open(DOC) as fh:
+        return fh.read()
+
+
+def test_doc_quotes_the_scripts_calls():
+    doc = _doc()
+    for call in (
+        "parse_query(SQL)",
+        "to_query_spec(parsed)",
+        "parse_relalg(parsed)",
+        "compile_plan(tree, spark)",
+        "optimize_join_order(spec, tables)",
+        "join_order=jointree.tables()",
+        'injector.plan(SQL, {("customer", "nation"): 3}, adaptive=False)',
+        "duckdb.connect()",
+    ):
+        assert call in doc, f"doc no longer shows {call!r}"
+        with open(SCRIPT) as fh:
+            # whitespace-normalized: the script may wrap a call across
+            # lines that the doc shows on one
+            script = re.sub(r"\s+", " ", fh.read())
+            assert call in script, f"script no longer makes {call!r}"
+
+
+def test_doc_links_resolve():
+    doc = _doc()
+    for target in re.findall(r"\]\(([^)#]+)\)", doc):
+        if target.startswith("http"):
+            continue
+        path = os.path.normpath(os.path.join(os.path.dirname(DOC), target))
+        assert os.path.exists(path), f"dangling doc link: {target}"
+
+
+def test_readme_links_the_doc():
+    with open(os.path.join(REPO, "README.md")) as fh:
+        assert "docs/10minutes.md" in fh.read(), (
+            "README must link the 10-minutes walkthrough"
+        )

@@ -115,3 +115,41 @@ def test_cardinality_sweep_finds_monotone_flip(spark, sf_small):
     # zero-write sweeps are cheap: every point after the first (which pays
     # helper load + session warm-up) plans in well under a second
     assert res.planning_time.iloc[1:].max() < 2.0
+
+
+def test_runtime_variation_harness(spark, sf_small):
+    """Round-5 verdict item 7: the variance harness executes a cold pass
+    plus reshuffled warm rounds and produces the spread statistics
+    BASELINE.md's rep-spread notes quote. Pinned on a 3-query subset:
+    schema, execution counts, phase split, reshuffling actually varies
+    the order, and summary invariants (spread >= 1, all times > 0)."""
+    from postbound_spark.experiments import (
+        VARIATION_COLUMNS,
+        runtime_variation,
+        variation_summary,
+    )
+    from postbound_spark.queries import load_all
+
+    registry = load_all()
+    names = ["q6_revenue_forecast", "q1_pricing_summary", "op_semi_join"]
+    builders = {
+        n: (lambda n=n: registry[n].builder(spark, sf_small)) for n in names
+    }
+    frame = runtime_variation(builders, reps=3, seed=23)
+    assert list(frame.columns) == VARIATION_COLUMNS
+    assert len(frame) == len(names) * 4  # 1 cold + 3 warm rounds
+    assert (frame[frame["round"] == 0].phase == "cold").all()
+    assert (frame[frame["round"] > 0].phase == "warm").all()
+    assert (frame.exec_time > 0).all()
+    # the warm rounds reshuffle: at least one round ran in a different
+    # order than the label list (seeded, so this is deterministic)
+    orders = {
+        tuple(g.sort_values("position").label)
+        for _, g in frame[frame["round"] > 0].groupby("round")
+    }
+    assert len(orders | {tuple(names)}) > 1
+    summary = variation_summary(frame)
+    assert sorted(summary.index) == sorted(names)
+    assert (summary.spread >= 1.0).all()
+    assert (summary.warm_min > 0).all()
+    assert summary.cold_penalty.notna().all()
