@@ -119,89 +119,78 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round-5: new capabilities ---
-    "opt_plantime_selfjoin",
-    "quality_lm_score",
-    "ann_recall_at_k",
-    "ann_jl_rescore_topk",
-    "sketch_hll_distinct_tokens",
-    "tokenizer_bpe_pair_counts",
-    # --- round-5: queries whose implementation changed this round.
-    #     q7/q8/q9/q11: oracle sums gained explicit no-op casts (the
-    #     sum-lint waiver burndown). opt_plantime_cards: injector
-    #     lifecycle + occurrence keying rework. Every parsed_* entry:
-    #     the algebra converter now folds implicit FROM lists in
-    #     connectivity-refined order (cross-product avoidance for the
-    #     JOB corpus), so all native-parser-path queries re-verify ---
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "opt_plantime_cards",
-    "parsed_flagship_native",
-    "parsed_semijoin_native",
-    "parsed_not_in_native",
-    "parsed_having_rewrite",
-    "parsed_ues_forced_order",
-    "parsed_values_table_function",
-    "parsed_left_outer_join",
-    "parsed_distinct_on",
-    "parsed_lateral",
-    "parsed_hinted_merge_join",
-    "parsed_join_using",
-    "parsed_fetch_prior",
-    "parsed_ssb_partbrand",
-    "parsed_ssb_geography",
-    # --- round-5 rotation: last round's overflow — the trailing TPC-H
-    #     family from q18 onward plus q3..q9/top_suppliers (their last
-    #     driver row is r1), then the oldest remaining r1-green rows.
-    #     The round-4 head (profile_key_skew … dedup_minhash_lsh) is
-    #     freshly green in CORRECTNESS_r04 and rolls to the tail ---
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "top_suppliers_having",
-    "q1_pricing_summary",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "ir_count_star_transform",
-    "ir_market_share",
-    "latest_order_per_customer",
-    "opt_forced_plan_regional_revenue",
-    "op_anti_join",
-    "op_cross_product",
-    "op_difference",
+    # --- round-6: new/changed capabilities ---
+    "sketch_hll_estimate_only",  # new: estimate-only HLL, zero distinct exchange
+    "quality_lm_score",  # changed: top-K-pruned (bounded-broadcast) LM vocab
+    # --- round-6 rotation: last round's overflow (PRIORITY_WINDOW[50:],
+    #     last driver rows r4) ---
     "op_duplicate_elimination",
     "op_grouping",
     "op_grouping_global",
     "op_intersection",
     "op_rename",
     "op_semi_join",
-    # --- entries from index 50 on sit past the driver's 50-slot window.
-    #     Do NOT enumerate them here (a hand-kept list went stale twice
-    #     this round): the overflow is ALWAYS PRIORITY_WINDOW[50:],
-    #     pinned as the registry prefix by
-    #     tests/test_queries_oracle.py::test_priority_window_is_the_
-    #     registry_prefix. All overflow rows are r4-green AND re-oracled
-    #     every round by the full-suite oracle sweep; rotate
-    #     PRIORITY_WINDOW[50:] to the round-6 head so no row ages out
-    #     silently ---
     "op_sort_limit_offset",
     "op_subquery_scan",
     "op_theta_join_nonequi",
     "op_union",
     "op_union_all",
+    # --- oldest driver rows next: the r1 trio, then the r2 cohort in
+    #     their r2 verification order — no row ages past this rotation.
+    #     (The r5 head — opt_plantime_selfjoin, ann_recall_at_k, every
+    #     parsed_* entry, the TPC-H tail — is freshly green in
+    #     CORRECTNESS_r05 and rolls behind the overflow; the full-suite
+    #     oracle sweep still re-checks all of them every round.) ---
+    "op_map_expressions",
+    "op_relation_projection",
+    "op_selection",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucket_histogram",
+    "ann_lsh_topk",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_asof_join",
+    "events_json_props",
+    "events_range_join_binned",
+    "events_sessionize",
+    "events_window_agg",
+    "expr_agg_filter",
+    "expr_quantifier_all",
+    "expr_scalar_subquery",
+    "expr_string_agg",
+    "mm_binary_features",
+    "mm_frame_sample",
+    "pred_array_operators",
+    "pred_exists_correlated",
+    "pred_is_distinct_from",
+    "pred_not_in_null_aware",
+    "sql_distinct_on",
+    "sql_full_outer_join",
+    "sql_grouping_sets",
+    "sql_lateral_subquery",
+    "sql_natural_join",
+    "sql_right_outer_join",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    # --- entries from index 50 on sit past the driver's 50-slot window:
+    #     the next-oldest r2 rows, first in line for the round-7 head.
+    #     Do NOT enumerate the overflow in prose (a hand-kept list went
+    #     stale twice in round 5): it is ALWAYS PRIORITY_WINDOW[50:],
+    #     pinned as the registry prefix by
+    #     tests/test_queries_oracle.py::test_priority_window_is_the_
+    #     registry_prefix, and every overflow row is re-oracled each
+    #     round by the full-suite sweep ---
+    "text_winnow_segments",
+    "udf_doc_hash",
+    "udf_tokenize_topk",
+    "udf_xor_checksum",
+    "ann_ivf_kmeans",
 )
 
 
