@@ -37,13 +37,17 @@ def test_corpus_size_matches_workload():
 
 def test_named_workload_front_door():
     """workloads.job_light() is the catalog entry (ref workloads.py:48);
-    directory-only workloads refuse politely without texts."""
+    every catalog workload now has a committed offline fixture, so the
+    no-argument front door works for all of them (round 6 closed the
+    last two fetch-only entries, stack and job-complex)."""
     from postbound_spark import workloads as W
 
     assert len(job_light()) == 70
     assert len(W.ssb()) == 13  # shaped fallback (tests/test_ssb_corpus.py)
-    with pytest.raises(ValueError, match="not bundled"):
-        W.stack("")
+    assert len(W.job()) == 113  # canonical grid (tests/test_job_corpus.py)
+    assert len(W.stats()) == 146
+    assert len(W.stack()) >= 20
+    assert len(W.job_complex()) >= 20
 
 
 @pytest.mark.parametrize("sql", CORPUS.values(), ids=list(CORPUS))
