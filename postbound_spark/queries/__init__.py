@@ -120,6 +120,9 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-6: new/changed capabilities ---
+    "dedup_semantic_clusters",  # new: SemDeDup cluster-local semantic dedup
+    "sample_importance_dsir",  # new: DSIR hashed-bigram importance resampling
+    "quality_char_entropy",  # new: character-entropy quality filter
     "sketch_hll_estimate_only",  # new: estimate-only HLL, zero distinct exchange
     "quality_lm_score",  # changed: top-K-pruned (bounded-broadcast) LM vocab
     # --- round-6 rotation: last round's overflow (PRIORITY_WINDOW[50:],

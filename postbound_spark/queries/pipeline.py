@@ -3352,3 +3352,289 @@ def tokenizer_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: semantic dedup, importance resampling, entropy filtering
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35  # intra-cluster cosine threshold (mirrored in oracle)
+
+_SEMDEDUP_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, qv, cid AS cluster FROM (
+    SELECT v.vec_id, v.qv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(v.qv)),
+               i -> (v.qv[i] - c.cqv[i]) * (v.qv[i] - c.cqv[i]))), c.cid) AS rn
+    FROM q v, cents c) s
+  WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_cos_sql("a.qv", "b.qv")} >= {_SEMDEDUP_TAU}
+)
+SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+GROUP BY a.cluster ORDER BY a.cluster
+"""
+
+
+@query("dedup_semantic_clusters", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    2023): cluster the embedding space, then call two documents semantic
+    duplicates only if they land in the SAME cluster and their cosine
+    exceeds tau — the clustering is what turns an O(n^2) corpus problem
+    into sum-of-squares-of-cluster-sizes. Keep-one rule: the smallest
+    vec_id of a duplicate pair survives (min-id canonicalization, same
+    convention as dedup_canonical). Output is the per-cluster audit a
+    pipeline run reports: members vs semantically-dropped.
+
+    Scale shape: centroids collapse to ONE broadcast row and assignment
+    is a map-only ``F.aggregate`` argmin fold (the ann_ivf_topk skeleton
+    — a k-means refinement drops in via ann_ivf_kmeans's loop without
+    changing this dataflow); the pair search is an EQUI-join on the
+    cluster id, so candidate pairs are cluster-local — never all-pairs
+    (dedup_embedding_cosine is the O(n^2) verifier tier this replaces at
+    scale). At 100 TB the cluster count grows with the corpus (SemDeDup
+    uses ~100k clusters for LAION), keeping buckets bounded; a hot
+    cluster would take the salted-join path (operators/skew.py).
+
+    All assignment math is exact integer arithmetic on quantized vectors
+    (squared L2, strict-< fold = smallest-cid tie-break), so the
+    partition — and therefore the duplicate census — is bit-identical in
+    the DuckDB oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", V.quantize(F.col("embedding")).alias("qv")
+    ).transform(stage_cache)
+    cents = q.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+    )
+    cent_arr = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cqv"))).alias("cents")
+    )
+    assigned = (
+        _assign_to_centroids(q, cent_arr)
+        .withColumn("nrm", V.norm_q(F.col("qv")))
+        .transform(stage_cache)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = V.dot_q(F.col("a.qv"), F.col("b.qv")).cast("double") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("is_dup", F.lit(1)), "vec_id", "left"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("is_dup").alias("n_dropped"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_DSIR_B = 256  # hashed-feature buckets (bounds both model tables)
+
+_DSIR_BIGRAMS = (
+    "CASE WHEN len(ws) >= 2 THEN list_transform("
+    "generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]"
+    ") ELSE [] END"
+)
+
+_DSIR_ORACLE = f"""
+WITH bg AS (
+  SELECT doc_id, lang, unnest({_DSIR_BIGRAMS}) AS b
+  FROM (SELECT doc_id, lang, {_WS_TOKS} AS ws FROM documents)
+),
+feat AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(b), 1, 15)) AS BIGINT) % {_DSIR_B} AS bucket
+  FROM bg
+),
+raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM feat GROUP BY bucket),
+tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+        FROM feat WHERE lang = 'en' GROUP BY bucket),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tr,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tt
+        FROM feat),
+score AS (
+  SELECT r.bucket, COALESCE(t.ct, 0) * tot.tr - r.cr * tot.tt AS w
+  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket, tot
+)
+SELECT f.doc_id, min(f.lang) AS lang,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(s.w) AS BIGINT) AS weight
+FROM feat f JOIN score s ON f.bucket = s.bucket
+GROUP BY f.doc_id
+ORDER BY weight DESC, f.doc_id
+LIMIT 20
+"""
+
+
+@query("sample_importance_dsir", oracle=_DSIR_ORACLE)
+def sample_importance_dsir(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score raw
+    documents by how target-like their hashed n-gram features are, then
+    keep the top of the ranking. Features are word bigrams hashed into
+    B={_DSIR_B} buckets; the target distribution comes from the lang='en'
+    slice, the raw distribution from the whole corpus. DSIR's weight is
+    a log-likelihood ratio; here the per-bucket score is its integer
+    linear form ct[b]*T_raw - cr[b]*T_tgt (positive exactly when the
+    bucket is over-represented in the target), so every weight is exact
+    BIGINT arithmetic and the oracle match is bitwise, with the identical
+    ranking semantics: documents whose features skew target-ward rise.
+
+    Scale shape (the property that makes DSIR deployable at 100 TB): BOTH
+    model tables are bounded by construction at B buckets regardless of
+    corpus size — no vocabulary ever materializes. Building them is two
+    B-bounded partial-aggregated shuffles over the feature stream; the
+    totals are one scalar row; scoring joins the BROADCAST score table
+    onto the feature stream map-side, and the only corpus-sized shuffle
+    is the per-doc partial-agg sum. Final top-20 is TakeOrdered (k-row
+    driver merge, never a global sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = T.tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feat = (
+        docs.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long")
+                % _DSIR_B
+            ).alias("bucket"),
+        )
+        .transform(stage_cache)
+    )
+    raw = feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        feat.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = feat.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+    )
+    score = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("ct"), F.lit(0)) * F.col("tr")
+                - F.col("cr") * F.col("tt")
+            ).alias("w"),
+        )
+    )
+    return (
+        feat.join(F.broadcast(score), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").cast("long").alias("weight"),
+        )
+        .orderBy(F.desc("weight"), "doc_id")
+        .limit(20)
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(text)), i -> text[i])) AS c
+  FROM documents
+),
+hist AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+  FROM ch GROUP BY doc_id, c
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_chars_seen,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       round(log2(CAST(CAST(sum(n) AS BIGINT) AS DOUBLE))
+             - sum(n * log2(CAST(n AS DOUBLE))) / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE),
+             4) AS entropy,
+       CAST(round(log2(CAST(CAST(sum(n) AS BIGINT) AS DOUBLE))
+             - sum(n * log2(CAST(n AS DOUBLE))) / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE),
+             4) >= 3.5 AS INT) AS keep
+FROM hist
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("quality_char_entropy", oracle=_ENTROPY_ORACLE)
+def quality_char_entropy(spark, sf_dir):
+    """Character-entropy quality filter: per-document Shannon entropy of
+    the character distribution — the classic cheap signal for boiler-
+    plate, key-mash, and encoding garbage (low-entropy docs repeat a few
+    symbols; natural language sits around 4 bits/char). The keep flag
+    applies the threshold to the ROUNDED entropy so the boolean is
+    decided on a value both engines agree on bit-for-bit, never on a
+    raw-double boundary.
+
+    Entropy is computed in the algebraically stable form
+    H = log2(n) - sum(c*log2(c))/n over the per-(doc, char) histogram —
+    log2 of INTEGERS only, so the only float work is one product+sum per
+    distinct character. Scale shape: the explode is immediately partial-
+    aggregated map-side, so the (doc_id, char) shuffle carries at most
+    alphabet-size rows per document (~100), NOT one row per character —
+    the corpus-sized token stream never crosses the network; the second
+    doc_id-keyed agg is alphabet-bounded per doc. Map-only end to end
+    otherwise, no joins, no broadcast state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+    )
+    hist = (
+        docs.select("doc_id", F.explode(chars).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_tot = F.sum("n").cast("long")
+    ent = F.round(
+        F.log2(n_tot.cast("double"))
+        - F.sum(F.col("n") * F.log2(F.col("n").cast("double")))
+        / n_tot.cast("double"),
+        4,
+    )
+    return hist.groupBy("doc_id").agg(
+        n_tot.alias("n_chars_seen"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        ent.alias("entropy"),
+        (ent >= 3.5).cast("int").alias("keep"),
+    ).orderBy("doc_id")

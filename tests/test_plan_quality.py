@@ -641,3 +641,50 @@ def test_bpe_pairs_count_over_vocab_not_corpus(registry, spark, sf_small):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_pairs_cluster_local(registry, spark, sf_small):
+    """dedup_semantic_clusters: assignment is map-only behind ONE
+    broadcast centroid row, and the candidate-pair join is an EQUI-join
+    on the cluster id — never a cartesian all-pairs (that is exactly the
+    O(n^2) dedup_embedding_cosine tier this operator replaces at scale)."""
+    df = _build(registry, spark, sf_small, "dedup_semantic_clusters")
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # cluster-keyed pair search: an equi-join whose key is the cluster id
+    assert "cluster" in plan and (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
+
+
+def test_dsir_model_tables_bounded_and_broadcast(registry, spark, sf_small):
+    """sample_importance_dsir: the score table is bucket-bounded (B=256
+    regardless of corpus size) and BROADCAST onto the feature stream; the
+    feature counts partial-aggregate map-side; top-20 is TakeOrdered."""
+    df = _build(registry, spark, sf_small, "sample_importance_dsir")
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan  # score table joins broadcast-side
+    assert "partial_count" in plan  # bucket counts combine map-side
+    assert "TakeOrderedAndProject" in plan  # k-row driver merge, no sort
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
+
+
+def test_char_entropy_shuffle_is_alphabet_bounded(registry, spark, sf_small):
+    """quality_char_entropy: the char explode partial-aggregates BEFORE
+    its shuffle, so what crosses the network is the per-(doc, char)
+    histogram (alphabet-bounded per doc), never the raw character stream;
+    the whole pipeline stays JVM-side with zero joins."""
+    df = _build(registry, spark, sf_small, "quality_char_entropy")
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -142,7 +142,7 @@ def test_generated_queries_are_join_order_invariant(spark, sf_small):
             continue
         spec = to_query_spec(parsed)
         tables = _prepared_tables(parsed, cat)
-        order, _ = _plan_order(spark, "ues", parsed, spec, tables)
+        order, _, _, _ = _plan_order(spark, "ues", parsed, spec, tables)
         native = compile_plan(parse_relalg(parsed), spark, cat).toPandas()
         forced = compile_plan(
             parse_relalg(parsed, join_order=list(order)), spark, cat
