@@ -58,13 +58,15 @@ def main() -> None:
     )
     ap.add_argument(
         "--workload",
-        choices=("job-light", "ssb", "job"),
+        choices=("job-light", "ssb", "job", "stats"),
         default="job-light",
         help="job-light runs the IMDB-shaped fixture corpus; ssb runs the "
         "13-query Star Schema corpus on the TPC-H-shaped parquet at "
         "$SPARK_GRAFT_SF_DIR (default sf0.01); job runs the committed JOB "
         "fixture corpus (workloads/fixtures/job) on the downscaled "
-        "IMDB-shaped parquet dataset",
+        "IMDB-shaped parquet dataset; stats runs the 146-query Stats-CEB "
+        "fixture corpus (workloads/fixtures/stats) on the downscaled "
+        "Stack-stats-shaped parquet dataset",
     )
     ap.add_argument(
         "--distort",
@@ -103,6 +105,32 @@ def main() -> None:
             base[t] = load_table(spark, sf_dir, t)
             base[t].createOrReplaceTempView(t)
         corpus = dict(ssb())
+    elif ns.workload == "stats":
+        import os
+        import tempfile
+
+        from postbound_spark.sources.stats_fixture import (
+            STATS_TABLES,
+            generate_stats_fixture,
+        )
+        from postbound_spark.workloads import Workload, fetch_workload
+
+        data_dir = os.path.join(tempfile.gettempdir(), "postbound_spark_stats")
+        if not os.path.exists(os.path.join(data_dir, f"{STATS_TABLES[0]}.parquet")):
+            generate_stats_fixture(data_dir)
+        base = {}
+        for t in STATS_TABLES:
+            df = spark.read.parquet(os.path.join(data_dir, f"{t}.parquet"))
+            df.createOrReplaceTempView(t)
+            # the parser canonicalizes unquoted identifiers to lowercase
+            # (postHistory -> posthistory); key both spellings
+            base[t] = base[t.lower()] = df
+        corpus = {
+            label: sql.strip().rstrip(";")
+            for label, sql in Workload.read_workload(
+                fetch_workload("stats")
+            ).items()
+        }
     elif ns.workload == "job":
         import os
         import tempfile
