@@ -66,6 +66,12 @@ QUERIES = [
     "quality_lm_score",
     "ann_recall_at_k",
     "ann_jl_rescore_topk",
+    # round-6 additions: cluster-local semantic dedup (the quadratic risk
+    # is intra-cluster pair search — adaptive K must keep it linear), the
+    # bucket-bounded DSIR scorer, and the alphabet-bounded entropy filter
+    "dedup_semantic_clusters",
+    "sample_importance_dsir",
+    "quality_char_entropy",
 ]
 
 _DIMS = ["region", "nation", "customer", "supplier", "part"]

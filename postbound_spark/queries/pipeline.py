@@ -3359,10 +3359,18 @@ def tokenizer_bpe_pair_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.35  # intra-cluster cosine threshold (mirrored in oracle)
+#: target mean cluster population: K = max(16, ceil(n / _SEMDEDUP_CSIZE))
+#: clusters. Scaling K WITH the corpus (SemDeDup uses ~100k clusters for
+#: LAION) is what keeps the intra-cluster pair search linear in n — a
+#: fixed K would make cluster sizes grow with the corpus and the
+#: cluster-local O(|c|^2) verify quadratic again.
+_SEMDEDUP_CSIZE = 64
 
 _SEMDEDUP_ORACLE = f"""
 WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
-cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 16),
+k AS (SELECT greatest(16, CAST(ceil(count(*) / {_SEMDEDUP_CSIZE}.0) AS BIGINT)) AS k
+      FROM embeddings),
+cents AS (SELECT vec_id AS cid, qv AS cqv FROM q, k WHERE vec_id < k.k),
 assigned AS (
   SELECT vec_id, qv, cid AS cluster FROM (
     SELECT v.vec_id, v.qv, c.cid,
@@ -3403,9 +3411,13 @@ def dedup_semantic_clusters(spark, sf_dir):
     changing this dataflow); the pair search is an EQUI-join on the
     cluster id, so candidate pairs are cluster-local — never all-pairs
     (dedup_embedding_cosine is the O(n^2) verifier tier this replaces at
-    scale). At 100 TB the cluster count grows with the corpus (SemDeDup
-    uses ~100k clusters for LAION), keeping buckets bounded; a hot
-    cluster would take the salted-join path (operators/skew.py).
+    scale). The cluster count scales WITH the corpus (K = n/64, sized
+    from one plan-time count — SemDeDup itself uses ~100k clusters for
+    LAION), so mean cluster population is constant and the cluster-local
+    O(|c|^2) verify stays linear in n; a hot cluster would take the
+    salted-join path (operators/skew.py). Past ~10M rows the flat argmin
+    over K centroids wants the two-level (coarse-then-fine) assignment
+    of a real IVF build — ann_ivf_kmeans's loop is that refinement.
 
     All assignment math is exact integer arithmetic on quantized vectors
     (squared L2, strict-< fold = smallest-cid tie-break), so the
@@ -3416,7 +3428,11 @@ def dedup_semantic_clusters(spark, sf_dir):
     q = emb.select(
         "vec_id", V.quantize(F.col("embedding")).alias("qv")
     ).transform(stage_cache)
-    cents = q.filter(F.col("vec_id") < 16).select(
+    # plan-time statistic (one metadata-cheap count): size the cluster
+    # count WITH the corpus so mean cluster population stays ~_SEMDEDUP_CSIZE
+    n = q.count()
+    k = max(16, -(-n // _SEMDEDUP_CSIZE))
+    cents = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
     )
     cent_arr = cents.agg(

@@ -56,3 +56,45 @@ def test_readme_links_the_doc():
         assert "docs/10minutes.md" in fh.read(), (
             "README must link the 10-minutes walkthrough"
         )
+
+
+COOKBOOK = os.path.join(REPO, "docs", "cookbook.md")
+COOKBOOK_SCRIPT = os.path.join(REPO, "examples", "example_11_cookbook.py")
+
+
+def test_cookbook_quotes_the_scripts_calls():
+    with open(COOKBOOK) as fh:
+        doc = fh.read()
+    with open(COOKBOOK_SCRIPT) as fh:
+        script = re.sub(r"\s+", " ", fh.read())
+    for call in (
+        "estimate_cardinality(spec, key, prep)",
+        "injector.table_sets(SQL)",
+        "injector.plan(SQL, cards, adaptive=False)",
+        'set_join_operator(frozenset({"c", "n"}), JoinOperator.SORT_MERGE)',
+        'parse_relalg(parsed, join_order=["c", "n", "r"])',
+        "apply_join_hints_to_relalg(tree, operators)",
+        "optimized_plan(hinted_df)",
+        "executed_plan(hinted_df)",
+        "join_qerrors(hinted_df)",
+        "json.dumps(dataclasses.asdict(qep))",
+    ):
+        assert call in doc, f"cookbook no longer shows {call!r}"
+        assert call in script, f"cookbook script no longer makes {call!r}"
+
+
+def test_cookbook_links_resolve():
+    with open(COOKBOOK) as fh:
+        doc = fh.read()
+    for target in re.findall(r"\]\(([^)#]+)\)", doc):
+        if target.startswith("http"):
+            continue
+        path = os.path.normpath(os.path.join(os.path.dirname(COOKBOOK), target))
+        assert os.path.exists(path), f"dangling cookbook link: {target}"
+
+
+def test_readme_links_the_cookbook():
+    with open(os.path.join(REPO, "README.md")) as fh:
+        assert "docs/cookbook.md" in fh.read(), (
+            "README must link the cookbook"
+        )
