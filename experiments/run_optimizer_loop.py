@@ -17,9 +17,33 @@ when the host has network access, and are a drop-in replacement here).
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, ".")
+
+
+def _cached_fixture(name: str, generate) -> str:
+    """Idempotent fixture-dataset cache under the tempdir. Generation
+    happens in a staging directory that is renamed into place only when
+    complete — a crash mid-generation can never leave a half-written
+    cache that later runs mistake for a full one (the same
+    staging+rename discipline fetch_workload uses for archives)."""
+    import shutil
+    import tempfile
+
+    data_dir = os.path.join(tempfile.gettempdir(), name)
+    done = os.path.join(data_dir, ".complete")
+    if os.path.exists(done):
+        return data_dir
+    shutil.rmtree(data_dir, ignore_errors=True)  # stale / partial cache
+    staging = data_dir + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    generate(staging)
+    with open(os.path.join(staging, ".complete"), "w") as fh:
+        fh.write("ok\n")
+    os.replace(staging, data_dir)
+    return data_dir
 
 
 def main() -> None:
@@ -94,8 +118,6 @@ def main() -> None:
 
     spark = get_spark("optimizer-loop")
     if ns.workload == "ssb":
-        import os
-
         from postbound_spark.catalog import load_table
 
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -106,18 +128,13 @@ def main() -> None:
             base[t].createOrReplaceTempView(t)
         corpus = dict(ssb())
     elif ns.workload == "stats":
-        import os
-        import tempfile
-
         from postbound_spark.sources.stats_fixture import (
             STATS_TABLES,
             generate_stats_fixture,
         )
-        from postbound_spark.workloads import Workload, fetch_workload
+        from postbound_spark.workloads import stats
 
-        data_dir = os.path.join(tempfile.gettempdir(), "postbound_spark_stats")
-        if not os.path.exists(os.path.join(data_dir, f"{STATS_TABLES[0]}.parquet")):
-            generate_stats_fixture(data_dir)
+        data_dir = _cached_fixture("postbound_spark_stats", generate_stats_fixture)
         base = {}
         for t in STATS_TABLES:
             df = spark.read.parquet(os.path.join(data_dir, f"{t}.parquet"))
@@ -125,32 +142,25 @@ def main() -> None:
             # the parser canonicalizes unquoted identifiers to lowercase
             # (postHistory -> posthistory); key both spellings
             base[t] = base[t.lower()] = df
+        # the catalog front door (committed offline fixture corpus)
         corpus = {
-            label: sql.strip().rstrip(";")
-            for label, sql in Workload.read_workload(
-                fetch_workload("stats")
-            ).items()
+            label: sql.strip().rstrip(";") for label, sql in stats().items()
         }
     elif ns.workload == "job":
-        import os
-        import tempfile
-
         from postbound_spark.sources.imdb_fixture import (
             IMDB_TABLES,
             generate_imdb_fixture,
         )
-        from postbound_spark.workloads import Workload, fetch_workload
+        from postbound_spark.workloads import job
 
-        data_dir = os.path.join(tempfile.gettempdir(), "postbound_spark_imdb")
-        if not os.path.exists(os.path.join(data_dir, "title.parquet")):
-            generate_imdb_fixture(data_dir)
+        data_dir = _cached_fixture("postbound_spark_imdb", generate_imdb_fixture)
         base = {}
         for t in IMDB_TABLES:
             base[t] = spark.read.parquet(os.path.join(data_dir, f"{t}.parquet"))
             base[t].createOrReplaceTempView(t)
+        # the catalog front door (committed offline fixture corpus)
         corpus = {
-            label: sql.strip().rstrip(";")
-            for label, sql in Workload.read_workload(fetch_workload("job")).items()
+            label: sql.strip().rstrip(";") for label, sql in job().items()
         }
     else:
         base = register_frames(spark, imdb_shaped_frames(n_titles))

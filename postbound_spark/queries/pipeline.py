@@ -3495,15 +3495,23 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS tr,
                CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tt
         FROM feat),
 score AS (
-  SELECT r.bucket, COALESCE(t.ct, 0) * tot.tr - r.cr * tot.tt AS w
-  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket, tot
+  SELECT r.bucket, COALESCE(t.ct, 0) AS ct, r.cr AS cr
+  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket
+),
+mass AS (
+  SELECT f.doc_id, min(f.lang) AS lang,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(s.ct) AS BIGINT) AS tgt_mass,
+         CAST(sum(s.cr) AS BIGINT) AS raw_mass
+  FROM feat f JOIN score s ON f.bucket = s.bucket
+  GROUP BY f.doc_id
 )
-SELECT f.doc_id, min(f.lang) AS lang,
-       CAST(count(*) AS BIGINT) AS n_feats,
-       CAST(sum(s.w) AS BIGINT) AS weight
-FROM feat f JOIN score s ON f.bucket = s.bucket
-GROUP BY f.doc_id
-ORDER BY weight DESC, f.doc_id
+SELECT doc_id, lang, n_feats, tgt_mass, raw_mass,
+       round(CAST(tgt_mass AS DOUBLE) / tot.tt
+             - CAST(raw_mass AS DOUBLE) / tot.tr, 12) AS weight
+FROM mass, tot
+ORDER BY CAST(tgt_mass AS DOUBLE) / tot.tt
+         - CAST(raw_mass AS DOUBLE) / tot.tr DESC, doc_id
 LIMIT 20
 """
 
@@ -3516,11 +3524,16 @@ def sample_importance_dsir(spark, sf_dir):
     keep the top of the ranking. Features are word bigrams hashed into
     B={_DSIR_B} buckets; the target distribution comes from the lang='en'
     slice, the raw distribution from the whole corpus. DSIR's weight is
-    a log-likelihood ratio; here the per-bucket score is its integer
-    linear form ct[b]*T_raw - cr[b]*T_tgt (positive exactly when the
-    bucket is over-represented in the target), so every weight is exact
-    BIGINT arithmetic and the oracle match is bitwise, with the identical
-    ranking semantics: documents whose features skew target-ward rise.
+    a log-likelihood ratio; here the ranking key is its linear form —
+    the per-doc probability-mass difference sum_b n[b]*(ct[b]/T_tgt -
+    cr[b]/T_raw), positive exactly when the doc's features skew
+    target-ward. The per-doc masses sum(n*ct) / sum(n*cr) are exact
+    BIGINT, bounded by n_feats * T — no overflow at any corpus size
+    (the cross-multiplied ct*T_raw - cr*T_tgt form would grow as T^2
+    and wrap int64 silently past ~3e9 features); the final key is one
+    division per total plus one subtraction on identical integer
+    operands — each IEEE-correctly-rounded, so both engines produce the
+    bit-identical double with NO float accumulation order anywhere.
 
     Scale shape (the property that makes DSIR deployable at 100 TB): BOTH
     model tables are bounded by construction at B buckets regardless of
@@ -3546,10 +3559,7 @@ def sample_importance_dsir(spark, sf_dir):
         .select(
             "doc_id",
             "lang",
-            (
-                F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long")
-                % _DSIR_B
-            ).alias("bucket"),
+            (T.token_hash64(F.col("bg")) % _DSIR_B).alias("bucket"),
         )
         .transform(stage_cache)
     )
@@ -3563,27 +3573,32 @@ def sample_importance_dsir(spark, sf_dir):
         F.count(F.lit(1)).alias("tr"),
         F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
     )
-    score = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            (
-                F.coalesce(F.col("ct"), F.lit(0)) * F.col("tr")
-                - F.col("cr") * F.col("tt")
-            ).alias("w"),
-        )
+    score = raw.join(tgt, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("ct"), F.lit(0)).alias("ct"), "cr"
     )
+    # per-doc feature masses stay exact BIGINT (bounded by n_feats * T,
+    # safe at any corpus size); the ratio difference is ONE division per
+    # total + one subtraction on identical operands — deterministic IEEE,
+    # no float accumulation order anywhere
+    w = F.col("tgt_mass").cast("double") / F.col("tt") - F.col(
+        "raw_mass"
+    ).cast("double") / F.col("tr")
     return (
         feat.join(F.broadcast(score), "bucket")
         .groupBy("doc_id")
         .agg(
             F.min("lang").alias("lang"),
             F.count(F.lit(1)).alias("n_feats"),
-            F.sum("w").cast("long").alias("weight"),
+            F.sum("ct").cast("long").alias("tgt_mass"),
+            F.sum("cr").cast("long").alias("raw_mass"),
         )
-        .orderBy(F.desc("weight"), "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .orderBy(F.desc(w), "doc_id")
         .limit(20)
+        .select(
+            "doc_id", "lang", "n_feats", "tgt_mass", "raw_mass",
+            F.round(w, 12).alias("weight"),
+        )
     )
 
 
@@ -3633,8 +3648,14 @@ def quality_char_entropy(spark, sf_dir):
     otherwise, no joins, no broadcast state.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Spark's sequence(1, stop) runs DESCENDING when stop < 1 (same trap
+    # functions/text.py:65 guards): an empty text would yield ['', '']
+    # instead of no rows, diverging from the oracle's empty
+    # generate_series — short-circuit to an empty char array explicitly
     chars = F.expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+        "CASE WHEN length(text) >= 1 THEN "
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1)) "
+        "ELSE CAST(array() AS array<string>) END"
     )
     hist = (
         docs.select("doc_id", F.explode(chars).alias("c"))

@@ -218,11 +218,11 @@ def test_workload_catalog_covers_reference_families():
 
     assert {"job", "job-complex", "job-light", "stats"} <= set(W.WORKLOAD_URLS)
     # committed fixtures serve the no-argument front door out of the box
+    # for the whole catalog (round 6 bundled the last two)
     assert len(W.job()) >= 70
     assert len(W.stats()) >= 146
-    # job-complex has no fixture → still refuses politely without texts
-    with pytest.raises(ValueError, match="not bundled"):
-        W.job_complex("")
+    assert len(W.job_complex()) >= 20
+    assert len(W.stack()) >= 20
 
 
 def test_job_and_stats_corpora_parse():
@@ -261,3 +261,23 @@ def test_job_and_stats_corpora_parse():
                 unparsed.append((label, str(exc)[:80]))
         # grammar gaps on the corpus are filed as failures, not skips
         assert not unparsed, f"{name}: {len(unparsed)} unparsed, first: {unparsed[:3]}"
+
+
+def test_directory_workload_refuses_without_fixture():
+    """The polite-refusal path of _directory_workload (round-6 review:
+    bundling fixtures for all four catalog workloads deleted the only
+    coverage of this branch): a workload with no committed fixture and
+    no directory argument must raise the explanatory ValueError, not
+    fail obscurely downstream."""
+    import pytest
+
+    from postbound_spark import workloads as W
+
+    loader = W._directory_workload("phantom")
+    with pytest.raises(ValueError, match="not bundled"):
+        loader()
+    # fetch-capable spelling without a fixture on disk refuses the same
+    # way when real=False (it must NOT silently fetch)
+    loader2 = W._directory_workload("phantom", fetch_name="no-such-fixture")
+    with pytest.raises(ValueError, match="not bundled"):
+        loader2()
