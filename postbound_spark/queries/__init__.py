@@ -120,6 +120,8 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-6: new/changed capabilities ---
+    "dedup_substring_spans",  # new: exact substring-span dedup (Lee et al.)
+    "sample_temperature_mix",  # new: temperature-scaled mixture sampling
     "dedup_semantic_clusters",  # new: SemDeDup cluster-local semantic dedup
     "sample_importance_dsir",  # new: DSIR hashed-bigram importance resampling
     "quality_char_entropy",  # new: character-entropy quality filter

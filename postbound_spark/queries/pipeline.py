@@ -3675,3 +3675,192 @@ def quality_char_entropy(spark, sf_dir):
         ent.alias("entropy"),
         (ent >= 3.5).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+_SPAN_K = 4  #: span width in tokens (production: ~50, per Lee et al. 2022)
+
+_SPANS_SQL = (
+    f"CASE WHEN len(ws) >= {_SPAN_K} THEN "
+    f"list_transform(generate_series(1, len(ws) - {_SPAN_K - 1}), i -> "
+    "{'pos': i, 'gram': "
+    + " || ' ' || ".join(f"ws[i+{j}]" for j in range(_SPAN_K))
+    + "}) ELSE [] END"
+)
+
+_SUBSTRING_SPANS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS ws FROM documents),
+spans AS (
+  SELECT doc_id, unnest({_SPANS_SQL}, recursive := true) FROM t
+),
+occ AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n_occ FROM spans
+),
+covered AS (
+  SELECT DISTINCT o.doc_id, o.pos + u.o AS p
+  FROM occ o, UNNEST(generate_series(0, {_SPAN_K - 1})) AS u(o)
+  WHERE o.n_occ >= 2
+),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+            FROM covered GROUP BY doc_id),
+base AS (SELECT doc_id, CAST(len({_WS_TOKS}) AS BIGINT) AS n_tokens
+         FROM documents)
+SELECT base.doc_id, base.n_tokens,
+       COALESCE(per_doc.dup_tokens, 0) AS dup_tokens,
+       CAST(COALESCE(per_doc.dup_tokens, 0) * 2 >= base.n_tokens AS INT)
+         AS flagged
+FROM base LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("dedup_substring_spans", oracle=_SUBSTRING_SPANS_ORACLE)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact substring-span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a token span is
+    *duplicated* when its k-gram occurs at least twice anywhere in the
+    corpus (across documents or repeated within one); each document
+    reports how many of its token positions are covered by at least one
+    duplicated span, plus a flag when half or more of the document is
+    duplicated material. k=4 here so the fixture corpus exercises every
+    branch; production uses k≈50 — the operator is unchanged.
+
+    The reference paper builds a corpus-wide suffix array; the
+    distributed re-expression is span hashing: positional k-grams from a
+    single higher-order projection (no per-token explode — one struct
+    array per row), a window ``count() OVER (PARTITION BY gram)`` so the
+    occurrence census and the span stream share ONE gram-keyed shuffle
+    (no second corpus scan, no gram self-join, nothing cached), then
+    position-coverage union as a (doc_id, pos) distinct — the span→
+    position explode is a constant k× of the *surviving* duplicated
+    spans only. Every shuffle is keyed (gram, then doc_id); nothing is
+    ever all-pairs, and the gram key space shards arbitrarily wide at
+    100 TB. Matches the scale contract of `dedup_minhash_lsh` (near-dup
+    tier) with exact-substring semantics instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    structs = F.transform(
+        F.sequence(F.lit(1), n - (_SPAN_K - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(_SPAN_K)]
+            ).alias("gram"),
+        ),
+    )
+    # sequence(1, stop) runs DESCENDING when stop < 1 — short docs must
+    # short-circuit to an empty span set (same trap as word_shingles)
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(n >= _SPAN_K, structs).otherwise(
+                F.array().cast("array<struct<pos:int,gram:string>>")
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.gram")
+    occ = spans.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
+    covered = (
+        occ.filter(F.col("n_occ") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_SPAN_K - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    per_doc = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_tokens")
+    )
+    base = docs.select("doc_id", n.cast("long").alias("n_tokens"))
+    dup = F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup.alias("dup_tokens"),
+            (dup * 2 >= F.col("n_tokens")).cast("int").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TEMPERATURE_ORACLE = f"""
+WITH grp AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_WS_TOKS})) AS BIGINT) AS tok_total
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, tok_total,
+         CAST(floor(sqrt(CAST(tok_total AS DOUBLE))) AS BIGINT) AS temp_weight
+  FROM grp
+),
+tot AS (
+  SELECT CAST(sum(temp_weight) AS BIGINT) AS wsum,
+         CAST(sum(tok_total) AS BIGINT) AS grand
+  FROM w
+)
+SELECT w.source, w.n_docs, w.tok_total, w.temp_weight,
+       (w.tok_total * 1000000) // tot.grand AS raw_share_ppm,
+       (w.temp_weight * 1000000) // tot.wsum AS temp_share_ppm,
+       (w.temp_weight * 100000) // tot.wsum AS sampled_docs_per_100k
+FROM w, tot
+ORDER BY w.source
+"""
+
+
+@query("sample_temperature_mix", oracle=_TEMPERATURE_ORACLE)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-scaled mixture sampling (Lample & Conneau 2019, XLM
+    §3.1; the multilingual-sampling rule q_i ∝ p_i^α): per-source
+    sampling shares at temperature α=1/2, flattening the raw token-mass
+    distribution toward uniform so low-resource sources are not drowned
+    out. The companion to `corpus_mix_weights` (α=1, the raw shares) —
+    a mixing run reads both to pick its per-domain rates.
+
+    α is fixed at 1/2 because p^0.5 is ``sqrt``, the one power IEEE-754
+    guarantees correctly rounded — both engines agree bit-for-bit with
+    no rounding escape hatch. The weight is then *floored to BIGINT*
+    (integer square root) and every share is BIGINT-multiplied and
+    integer-divided, so the whole operator is exact integer arithmetic
+    after one deterministic sqrt per source. Shape: one partial-agg
+    shuffle on the low-cardinality source key, a one-row total derived
+    from the grouped result (not a second corpus scan) broadcast back —
+    identical to the `corpus_mix_weights` scale contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    grp = (
+        docs.select("source", F.size(T.tokens(F.col("text"))).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("tok_total"),
+        )
+        .withColumn(
+            "temp_weight",
+            F.floor(F.sqrt(F.col("tok_total").cast("double"))).cast("long"),
+        )
+    )
+    grp = stage_cache(grp)
+    tot = grp.agg(
+        F.sum("temp_weight").cast("long").alias("wsum"),
+        F.sum("tok_total").cast("long").alias("grand"),
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tok_total",
+            "temp_weight",
+            F.expr("tok_total * 1000000 div grand").alias("raw_share_ppm"),
+            F.expr("temp_weight * 1000000 div wsum").alias("temp_share_ppm"),
+            F.expr("temp_weight * 100000 div wsum").alias(
+                "sampled_docs_per_100k"
+            ),
+        )
+        .orderBy("source")
+    )

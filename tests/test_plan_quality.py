@@ -688,3 +688,43 @@ def test_char_entropy_shuffle_is_alphabet_bounded(registry, spark, sf_small):
     assert "partial_count" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_spans_share_one_gram_shuffle(registry, spark, sf_small):
+    """dedup_substring_spans: the occurrence census is a window count
+    OVER (PARTITION BY gram), so the census and the span stream share
+    ONE gram-keyed exchange — no gram self-join, no second corpus scan,
+    no stage cache; the coverage union is a keyed (doc_id, pos)
+    distinct; nothing is ever all-pairs."""
+    df = _build(registry, spark, sf_small, "dedup_substring_spans")
+    plan = _formatted_plan(df)
+    import re as _re
+
+    assert "CartesianProduct" not in plan
+    # exactly one gram-keyed exchange (the shared window shuffle)
+    gram_exchanges = _re.findall(r"hashpartitioning\(gram#", plan)
+    assert len(gram_exchanges) == 1, gram_exchanges
+    assert "Window" in plan
+    # the only join is the final doc-keyed LEFT join back onto base docs
+    join_nodes = _re.findall(r"^\(\d+\) \w*Join\w*", plan, _re.M)
+    assert len(join_nodes) == 1, join_nodes
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_single_scan_broadcast_total(registry, spark, sf_small):
+    """sample_temperature_mix: one partial-agg shuffle on the source key;
+    the one-row weight total derives from the grouped (cached) result —
+    never a second corpus scan — and is BROADCAST back for the integer
+    share division."""
+    df = _build(registry, spark, sf_small, "sample_temperature_mix")
+    plan = _formatted_plan(df)
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the weight total must come from the cached grouped aggregate (same
+    # discipline as the corpus_mix_weights gate), not a second corpus scan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
