@@ -121,6 +121,7 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-6: new/changed capabilities ---
     "dedup_substring_spans",  # new: exact substring-span dedup (Lee et al.)
+    "tokenizer_bpe_merge_round",  # new: full BPE iteration (apply + recount)
     "sample_temperature_mix",  # new: temperature-scaled mixture sampling
     "dedup_semantic_clusters",  # new: SemDeDup cluster-local semantic dedup
     "sample_importance_dsir",  # new: DSIR hashed-bigram importance resampling

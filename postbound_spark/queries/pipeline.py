@@ -3354,6 +3354,116 @@ def tokenizer_bpe_pair_counts(spark, sf_dir):
     )
 
 
+_BPE_MERGE_ORACLE = f"""
+WITH words AS (
+  SELECT unnest({_WS_TOKS}) AS w FROM documents
+),
+vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM words WHERE len(w) >= 2 AND w NOT LIKE '%0%' GROUP BY w
+),
+p1 AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> substr(w, i, 2))) AS pair,
+         freq
+  FROM vocab
+),
+best AS (
+  SELECT pair AS rule, CAST(sum(freq) AS BIGINT) AS n
+  FROM p1 GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+),
+merged AS (
+  SELECT replace(v.w, best.rule, '0') AS w2, v.freq, best.rule
+  FROM vocab v, best
+),
+p2 AS (
+  SELECT rule,
+         unnest(list_transform(generate_series(1, len(w2) - 1),
+                               i -> substr(w2, i, 2))) AS pair,
+         freq
+  FROM merged WHERE len(w2) >= 2
+)
+SELECT rule AS merge_rule,
+       CASE WHEN substr(pair, 1, 1) = '0' THEN rule
+            ELSE substr(pair, 1, 1) END AS pair_left,
+       CASE WHEN substr(pair, 2, 1) = '0' THEN rule
+            ELSE substr(pair, 2, 1) END AS pair_right,
+       CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM p2
+GROUP BY rule, pair
+ORDER BY n_occurrences DESC, pair_left, pair_right
+LIMIT 20
+"""
+
+
+@query("tokenizer_bpe_merge_round", oracle=_BPE_MERGE_ORACLE)
+def tokenizer_bpe_merge_round(spark, sf_dir):
+    """One full BPE training iteration (Sennrich et al. 2016): pick the
+    most frequent adjacent pair, APPLY the merge across the vocabulary,
+    and recount pairs over the merged symbol sequences — the loop body a
+    production tokenizer trainer repeats ~50k times; the sibling
+    `tokenizer_bpe_pair_counts` is its first half only.
+
+    The merge is greedy leftmost non-overlapping, exactly ``replace()``'s
+    contract in both engines (a run 'aaa' under rule 'aa' yields one
+    merged symbol + one leftover 'a'); the merged symbol is rewritten to
+    the single placeholder char '0' (never in the corpus alphabet, and
+    guarded by the vocab filter) so round-2 symbols stay width-1 and the
+    pair recount is the same two-char substring projection as round 1 —
+    output maps the placeholder back via pair_left/pair_right, which is
+    injective per position, so no two symbol pairs ever collapse.
+
+    Scale shape is the BPE trick twice over: both counting rounds and
+    the merge application run on the (word, freq) VOCABULARY (corpus
+    reduces once through a wordcount shuffle into a reused cached
+    stage), the argmax rule is a 1-row TakeOrdered broadcast onto the
+    vocab, and the merge itself is a map-only string rewrite — per
+    iteration at 100 TB the corpus is touched zero times; only
+    vocab-bounded stages repeat."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .filter((F.length("w") >= 2) & (~F.col("w").contains("0")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = stage_cache(vocab)
+    two_grams = "transform(sequence(1, length({0}) - 1), i -> substring({0}, i, 2))"
+    best = (
+        vocab.select(
+            F.explode(F.expr(two_grams.format("w"))).alias("pair"), "freq"
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("rule"))
+    )
+    merged = vocab.crossJoin(F.broadcast(best)).select(
+        F.expr("replace(w, rule, '0')").alias("w2"), "freq", "rule"
+    )
+    p2 = merged.filter(F.length("w2") >= 2).select(
+        "rule", F.explode(F.expr(two_grams.format("w2"))).alias("pair"), "freq"
+    )
+
+    def disp(i: int):
+        sym = F.substring(F.col("pair"), i, 1)
+        return F.when(sym == "0", F.col("rule")).otherwise(sym)
+
+    return (
+        p2.groupBy("rule", "pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .select(
+            F.col("rule").alias("merge_rule"),
+            disp(1).alias("pair_left"),
+            disp(2).alias("pair_right"),
+            "n_occurrences",
+        )
+        .orderBy(F.desc("n_occurrences"), "pair_left", "pair_right")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # round 6: semantic dedup, importance resampling, entropy filtering
 # ---------------------------------------------------------------------------

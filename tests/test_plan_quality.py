@@ -728,3 +728,21 @@ def test_temperature_mix_single_scan_broadcast_total(registry, spark, sf_small):
     from postbound_spark.queries.pipeline import release_stage_caches
 
     release_stage_caches()
+
+
+def test_bpe_merge_round_corpus_touched_once(registry, spark, sf_small):
+    """tokenizer_bpe_merge_round: the corpus reduces to the cached
+    (word, freq) vocabulary through ONE wordcount shuffle; the argmax
+    rule is a 1-row broadcast and the merge is a map-only rewrite, so
+    every per-iteration stage is vocab-bounded — the property that
+    makes a 50k-iteration trainer affordable."""
+    df = _build(registry, spark, sf_small, "tokenizer_bpe_merge_round")
+    plan = _formatted_plan(df)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # both top-k cuts, never a sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
