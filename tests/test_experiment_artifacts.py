@@ -1,0 +1,93 @@
+"""Committed experiment artifacts must track the committed corpora.
+
+Round-6 lesson: the strategy matrix was committed while the JOB fixture
+had 82 queries, then the corpus grew to 113 and the parquet silently
+went stale. These gates recompute each artifact's expected label set
+from the CURRENT fixture directories (and, for the true-card
+experiment, from the same parse-level self-join rule the runner
+applies), so any future corpus growth fails the suite until the
+experiment is re-run.
+
+Pure pandas + parser — no Spark session.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(ROOT, "experiments", "results")
+JOB_DIR = os.path.join(ROOT, "workloads", "fixtures", "job")
+STATS_DIR = os.path.join(ROOT, "workloads", "fixtures", "stats")
+
+STRATEGIES = {"native", "ues", "dp", "pgdp", "tonic"}
+
+
+def _labels(fixture_dir: str) -> set[str]:
+    return {
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(fixture_dir, "*.sql"))
+    }
+
+
+def _invariant(df: pd.DataFrame) -> None:
+    fingerprints = df.groupby("label").result_fingerprint.nunique()
+    broken = fingerprints[fingerprints > 1]
+    assert broken.empty, f"fingerprint drift: {sorted(broken.index)}"
+
+
+def test_job_strategy_matrix_covers_full_corpus():
+    df = pd.read_parquet(os.path.join(RESULTS, "job_strategy_matrix.parquet"))
+    assert set(df.label) == _labels(JOB_DIR)
+    per_query = df.groupby("label").strategy.agg(set)
+    assert (per_query == STRATEGIES).all(), "missing strategy rows"
+    _invariant(df)
+
+
+def test_stats_strategy_matrix_covers_full_corpus():
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "stats_strategy_matrix.parquet")
+    )
+    assert set(df.label) == _labels(STATS_DIR)
+    per_query = df.groupby("label").strategy.agg(set)
+    assert (per_query == STRATEGIES).all(), "missing strategy rows"
+    _invariant(df)
+
+
+def _self_join_free_job_labels() -> set[str]:
+    """The true-card runner's own skip rule (experiments.py:
+    true_card_runtime_experiment): a query whose FROM list repeats a
+    base table is excluded because occurrence→alias mapping is
+    ambiguous; everything else must be covered."""
+    from postbound_spark.plans.parser import parse_query
+
+    keep = set()
+    for label in _labels(JOB_DIR):
+        with open(os.path.join(JOB_DIR, f"{label}.sql")) as fh:
+            sql = fh.read().strip().rstrip(";")
+        names = [t.full_name for t in parse_query(sql).from_tables]
+        if len(set(names)) == len(names):
+            keep.add(label)
+    return keep
+
+
+def test_true_card_covers_self_join_free_corpus():
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "job_true_card_runtimes.parquet")
+    )
+    assert set(df.label) == _self_join_free_job_labels()
+    modes = df.groupby("label")["mode"].agg(set)
+    assert (modes == {"native", "truecards", "distorted"}).all()
+    _invariant(df)
+
+
+def test_distortion_sweep_covers_full_corpus():
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "job_distortion_sweep.parquet")
+    )
+    assert set(df.label) == _labels(JOB_DIR)
+    factors = df.groupby("label").distortion_factor.nunique()
+    assert (factors == 5).all()
