@@ -120,6 +120,9 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-6: new/changed capabilities ---
+    "dedup_cluster_sources",  # new: cross-source duplication matrix
+    "sample_token_budget_fill",  # new: two-level prefix-scan budget fill
+    "tokenizer_fertility",  # new: per-lang subword fertility / bytes-per-token
     "dedup_substring_spans",  # new: exact substring-span dedup (Lee et al.)
     "tokenizer_bpe_merge_round",  # new: full BPE iteration (apply + recount)
     "sample_temperature_mix",  # new: temperature-scaled mixture sampling

@@ -3974,3 +3974,243 @@ def sample_temperature_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication, token-budget fill, tokenizer fertility
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SOURCES_ORACLE = f"""{_MINHASH_PAIRS_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE j >= 0.3),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+ms AS (
+  SELECT DISTINCT c.component, d.source
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM ms a JOIN ms b ON a.component = b.component AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+
+@query("dedup_cluster_sources", oracle=_CLUSTER_SOURCES_ORACLE)
+def dedup_cluster_sources(spark, sf_dir):
+    """Cross-source duplication matrix: for every unordered pair of
+    sources, how many near-duplicate clusters span both — the overlap
+    census a corpus team runs before mixing snapshots (e.g. two crawl
+    dumps or a curated set vs a crawl: high overlap means the second
+    source adds duplicates, not data). Builds on the same MinHash-
+    verified connected components as ``dedup_components``.
+
+    Scale shape: the component labels join ``documents`` on doc_id (a
+    keyed shuffle over only the LABELED docs — near-duplicates, a small
+    fraction of any corpus), then one DISTINCT bounded by
+    clusters x sources, a self-join keyed on component whose per-key
+    fan-out is capped at C(n_sources, 2) — source count, never corpus
+    size — and a final aggregate bounded at n_sources^2 rows. No step
+    carries corpus-sized data past the first projection."""
+    labels = _duplicate_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    member_src = (
+        labels.join(docs, labels["node"] == docs["doc_id"])
+        .select(F.col("lbl").alias("component"), "source")
+        .distinct()
+    )
+    member_src = stage_cache(member_src)
+    return (
+        member_src.alias("a")
+        .join(
+            member_src.alias("b"),
+            (F.col("a.component") == F.col("b.component"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+_BUDGET_BUCKET = 64  #: docs per prefix-scan bucket (tune up at scale)
+
+_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id, len({_WS_TOKS}) AS n_toks FROM documents
+),
+a AS (
+  SELECT source,
+         CAST(sum(n_toks) AS BIGINT) AS tok_total,
+         (CAST(sum(n_toks) AS BIGINT) * 2) // 5 AS alloc_tokens
+  FROM t GROUP BY source
+),
+c AS (
+  SELECT source, doc_id, n_toks,
+         CAST(sum(n_toks) OVER (
+           PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cum
+  FROM t
+)
+SELECT c.source, a.tok_total, a.alloc_tokens,
+       CAST(count(CASE WHEN cum <= alloc_tokens THEN 1 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(sum(CASE WHEN cum <= alloc_tokens THEN n_toks ELSE 0 END)
+         AS BIGINT) AS tokens_kept,
+       CASE WHEN a.alloc_tokens = 0 THEN 0
+            ELSE (CAST(sum(CASE WHEN cum <= alloc_tokens THEN n_toks
+                              ELSE 0 END) AS BIGINT) * 1000000)
+                 // a.alloc_tokens END AS fill_ppm
+FROM c JOIN a USING (source)
+GROUP BY c.source, a.tok_total, a.alloc_tokens
+ORDER BY source
+"""
+
+
+@query("sample_token_budget_fill", oracle=_BUDGET_ORACLE)
+def sample_token_budget_fill(spark, sf_dir):
+    """Token-budget fill: give every source a 2/5 token allocation and
+    keep documents greedily in doc_id order until the allocation is
+    exhausted — the operation that packs a fixed training-token budget
+    from an over-sized corpus (the per-source rates come from a mixing
+    policy like ``sample_temperature_mix``; the fraction is fixed at an
+    exact integer 2/5 here so both engines agree bit-for-bit).
+
+    The greedy cut needs a per-source RUNNING token sum, and the naive
+    ``Window.partitionBy(source)`` puts an entire source — terabytes —
+    into one task. This implements the distributed two-level prefix
+    scan instead: docs bucket by ``doc_id div 64``; bucket token sums
+    aggregate map-side; each bucket's OFFSET (sum of all earlier
+    buckets) comes from a window over the bucket-level rows (metadata:
+    three longs per 64 docs, 10^6 rows where the naive window carries
+    10^8 documents); the within-bucket running sum is a window whose
+    partitions are 64 rows by construction. Every per-doc step is
+    keyed on (source, bucket) — parallelism scales with corpus size,
+    not source count. Allocations are a broadcast source-level table;
+    arithmetic is exact BIGINT (`* 2 div 5`, ppm by integer division),
+    no float anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = stage_cache(
+        docs.select(
+            "source",
+            "doc_id",
+            F.size(T.tokens(F.col("text"))).alias("n_toks"),
+            F.expr(f"doc_id div {_BUDGET_BUCKET}").alias("bucket"),
+        )
+    )
+    bkt = per_doc.groupBy("source", "bucket").agg(
+        F.sum("n_toks").cast("long").alias("bt")
+    )
+    off_win = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bkt.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("bt").over(off_win), F.lit(0)).cast("long").alias("off"),
+    )
+    alloc = bkt.groupBy("source").agg(
+        F.sum("bt").cast("long").alias("tok_total")
+    ).withColumn("alloc_tokens", F.expr("tok_total * 2 div 5"))
+    cum_win = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        per_doc.join(offs, ["source", "bucket"])
+        .withColumn(
+            "cum",
+            (F.col("off") + F.sum("n_toks").over(cum_win)).cast("long"),
+        )
+        .join(F.broadcast(alloc), "source")
+    )
+    kept = F.col("cum") <= F.col("alloc_tokens")
+    return (
+        cum.groupBy("source", "tok_total", "alloc_tokens")
+        .agg(
+            F.count(F.when(kept, 1)).alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .withColumn(
+            # BIGINT-exact; the x1e6 product overflows only past 9.2e12
+            # kept tokens PER SOURCE (both engines overflow identically
+            # rather than silently diverging) — switch to per-mille
+            # before running a >9-trillion-token single source
+            "fill_ppm",
+            F.expr(
+                "CASE WHEN alloc_tokens = 0 THEN 0 "
+                "ELSE tokens_kept * 1000000 div alloc_tokens END"
+            ).cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+_FERTILITY_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         len({_WS_TOKS}) AS nws,
+         len(regexp_extract_all(text,
+             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS nbpe,
+         strlen(text) AS nbytes
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nws) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(nbpe) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(CAST(sum(nbpe) AS BIGINT) AS DOUBLE)
+             / CAST(sum(nws) AS BIGINT), 6) AS fertility,
+       round(CAST(CAST(sum(nbytes) AS BIGINT) AS DOUBLE)
+             / CAST(sum(nbpe) AS BIGINT), 6) AS bytes_per_bpe_token
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+@query("tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: subword tokens per word
+    (fertility — THE standard metric for how well a tokenizer fits a
+    language; multilingual BPE papers report it per language) and UTF-8
+    bytes per subword token, over the BPE-ish segmentation the token
+    counter uses. High fertility = the tokenizer shreds that language
+    into fragments; bytes/token gauges compression.
+
+    Shape: one narrow corpus scan (lang, text), all counting inside
+    whole-stage codegen, one partial-aggregated shuffle on the
+    low-cardinality lang key. The only float work is two divisions of
+    exact BIGINTs per output row, rounded identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.size(T.tokens(F.col("text"))).alias("nws"),
+        F.size(T.bpe_ish_tokens(F.col("text"))).alias("nbpe"),
+        F.octet_length("text").alias("nbytes"),
+    )
+    nws = F.sum("nws").cast("long")
+    nbpe = F.sum("nbpe").cast("long")
+    nbytes = F.sum("nbytes").cast("long")
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        nws.alias("n_ws_tokens"),
+        nbpe.alias("n_bpe_tokens"),
+        F.round(nbpe.cast("double") / nws, 6).alias("fertility"),
+        F.round(nbytes.cast("double") / nbpe, 6).alias("bytes_per_bpe_token"),
+    ).orderBy("lang")

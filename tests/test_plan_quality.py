@@ -746,3 +746,61 @@ def test_bpe_merge_round_corpus_touched_once(registry, spark, sf_small):
     from postbound_spark.queries.pipeline import release_stage_caches
 
     release_stage_caches()
+
+
+def test_cluster_sources_matrix_is_keyed_never_allpairs(registry, spark, sf_small):
+    """dedup_cluster_sources: the (component, source) membership list
+    self-joins KEYED on component (fan-out capped at source count), the
+    labels->documents attach is a keyed join, and the final matrix
+    aggregate partial-counts map-side — no cartesian step anywhere, no
+    Python in the plan."""
+    df = _build(registry, spark, sf_small, "dedup_cluster_sources")
+    plan = _formatted_plan(df)
+    assert "Join" in plan  # keyed join nodes present ...
+    assert "CartesianProduct" not in plan  # ... and never all-pairs
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
+
+
+def test_budget_fill_prefix_scan_is_two_level(registry, spark, sf_small):
+    """sample_token_budget_fill: the running token sum must NOT be a
+    single window partitioned by source alone (one task per source =
+    terabytes per task). The gate pins the two-level scan: the per-doc
+    window partitions by (source, bucket) — 64-row partitions by
+    construction — with the bucket OFFSET window running over the
+    bucket-level metadata rows only; allocations join broadcast; bucket
+    sums partial-aggregate map-side; exact-integer arithmetic means no
+    Python anywhere."""
+    df = _build(registry, spark, sf_small, "sample_token_budget_fill")
+    plan = _formatted_plan(df)
+    perdoc_windows = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition(source#" in l and ", bucket#" in l
+    ]
+    assert perdoc_windows, "per-doc running sum must partition by (source, bucket)"
+    assert plan.count(") Window") == 2  # offset window + within-bucket window
+    assert "BroadcastHashJoin" in plan  # allocation table broadcast
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
+
+
+def test_fertility_single_narrow_scan(registry, spark, sf_small):
+    """tokenizer_fertility: one corpus scan reading ONLY (lang, text) —
+    column pruning reaches parquet — one partial-aggregated shuffle on
+    the lang key, zero joins, zero windows, JVM-only expressions."""
+    df = _build(registry, spark, sf_small, "tokenizer_fertility")
+    plan = _formatted_plan(df)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" not in read_schema and "n_chars" not in read_schema
+    assert "source" not in read_schema
+    assert "partial_sum" in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
