@@ -3320,6 +3320,11 @@ LIMIT 20
 """
 
 
+#: adjacent-symbol 2-gram projection over a word column — shared by both
+#: BPE stages so pair semantics can never drift between them
+_TWO_GRAMS = "transform(sequence(1, length({0}) - 1), i -> substring({0}, i, 2))"
+
+
 @query("tokenizer_bpe_pair_counts", oracle=_BPE_ORACLE)
 def tokenizer_bpe_pair_counts(spark, sf_dir):
     """The first step of BPE tokenizer training: adjacent-symbol pair
@@ -3341,9 +3346,7 @@ def tokenizer_bpe_pair_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     pairs = vocab.select(
-        F.explode(
-            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-        ).alias("pair"),
+        F.explode(F.expr(_TWO_GRAMS.format("w"))).alias("pair"),
         "freq",
     )
     return (
@@ -3428,10 +3431,9 @@ def tokenizer_bpe_merge_round(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     vocab = stage_cache(vocab)
-    two_grams = "transform(sequence(1, length({0}) - 1), i -> substring({0}, i, 2))"
     best = (
         vocab.select(
-            F.explode(F.expr(two_grams.format("w"))).alias("pair"), "freq"
+            F.explode(F.expr(_TWO_GRAMS.format("w"))).alias("pair"), "freq"
         )
         .groupBy("pair")
         .agg(F.sum("freq").cast("long").alias("n"))
@@ -3443,7 +3445,7 @@ def tokenizer_bpe_merge_round(spark, sf_dir):
         F.expr("replace(w, rule, '0')").alias("w2"), "freq", "rule"
     )
     p2 = merged.filter(F.length("w2") >= 2).select(
-        "rule", F.explode(F.expr(two_grams.format("w2"))).alias("pair"), "freq"
+        "rule", F.explode(F.expr(_TWO_GRAMS.format("w2"))).alias("pair"), "freq"
     )
 
     def disp(i: int):
@@ -4149,9 +4151,10 @@ def sample_token_budget_fill(spark, sf_dir):
             .alias("tokens_kept"),
         )
         .withColumn(
-            # BIGINT-exact; the x1e6 product overflows only past 9.2e12
-            # kept tokens PER SOURCE (both engines overflow identically
-            # rather than silently diverging) — switch to per-mille
+            # BIGINT-exact; the x1e6 product overflows past 9.2e12 kept
+            # tokens PER SOURCE — and NOT symmetrically: DuckDB raises
+            # OutOfRange while Spark's non-ANSI long multiply wraps
+            # silently. Switch to per-mille (or pre-divide alloc)
             # before running a >9-trillion-token single source
             "fill_ppm",
             F.expr(

@@ -23,6 +23,18 @@ def _formatted_plan(df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+@pytest.fixture(autouse=True)
+def _release_stage_caches():
+    """Failure-safe stage-cache teardown: several gated queries persist()
+    stage boundaries; releasing in-test leaks the cache when an assertion
+    fails before the trailing call, distorting memory and the
+    InMemoryTableScan-sensitive assertions of later tests."""
+    yield
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    release_stage_caches()
+
+
 @pytest.fixture(scope="module")
 def registry():
     return load_all()
@@ -255,9 +267,6 @@ def test_mix_weights_grand_total_reuses_grouped_agg(registry, spark, sf_small):
     # InMemoryTableScan feeding a broadcast), not a second corpus scan
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_flagship_fact_table_is_not_the_broadcast_side(registry, spark, sf_small):
@@ -505,9 +514,6 @@ def test_tfidf_builds_df_from_tf_not_second_scan(registry, spark, sf_small):
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     assert "WindowGroupLimit" in plan  # per-doc top-3 cut pre-shuffle
     assert "CartesianProduct" not in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_bm25_scores_only_query_term_postings(registry, spark, sf_small):
@@ -518,9 +524,6 @@ def test_bm25_scores_only_query_term_postings(registry, spark, sf_small):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_ssb_native_path_broadcasts_every_dimension(registry, spark, sf_small):
@@ -557,9 +560,6 @@ def test_lm_score_broadcasts_the_model_and_stays_jvm(registry, spark, sf_small):
     assert f"limit={LM_VOCAB_K}" in plan or str(LM_VOCAB_K) in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_ann_recall_prunes_and_never_sorts_globally(registry, spark, sf_small):
@@ -574,9 +574,6 @@ def test_ann_recall_prunes_and_never_sorts_globally(registry, spark, sf_small):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_jl_rescore_is_map_only_with_takeordered(registry, spark, sf_small):
@@ -589,9 +586,6 @@ def test_jl_rescore_is_map_only_with_takeordered(registry, spark, sf_small):
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2  # broadcast of the 1-row query side
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_hll_registers_combine_map_side(registry, spark, sf_small):
@@ -603,9 +597,6 @@ def test_hll_registers_combine_map_side(registry, spark, sf_small):
     assert "partial_max" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan  # 1-row x 1-row is broadcast NL
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_hll_estimate_only_has_no_distinct_exchange(registry, spark, sf_small):
@@ -657,9 +648,6 @@ def test_semantic_dedup_pairs_cluster_local(registry, spark, sf_small):
         or "BroadcastHashJoin" in plan
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_dsir_model_tables_bounded_and_broadcast(registry, spark, sf_small):
@@ -673,9 +661,6 @@ def test_dsir_model_tables_bounded_and_broadcast(registry, spark, sf_small):
     assert "TakeOrderedAndProject" in plan  # k-row driver merge, no sort
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_char_entropy_shuffle_is_alphabet_bounded(registry, spark, sf_small):
@@ -725,9 +710,6 @@ def test_temperature_mix_single_scan_broadcast_total(registry, spark, sf_small):
     # discipline as the corpus_mix_weights gate), not a second corpus scan
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_bpe_merge_round_corpus_touched_once(registry, spark, sf_small):
@@ -743,9 +725,6 @@ def test_bpe_merge_round_corpus_touched_once(registry, spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # both top-k cuts, never a sort
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_cluster_sources_matrix_is_keyed_never_allpairs(registry, spark, sf_small):
@@ -760,9 +739,6 @@ def test_cluster_sources_matrix_is_keyed_never_allpairs(registry, spark, sf_smal
     assert "CartesianProduct" not in plan  # ... and never all-pairs
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_budget_fill_prefix_scan_is_two_level(registry, spark, sf_small):
@@ -787,9 +763,6 @@ def test_budget_fill_prefix_scan_is_two_level(registry, spark, sf_small):
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    from postbound_spark.queries.pipeline import release_stage_caches
-
-    release_stage_caches()
 
 
 def test_fertility_single_narrow_scan(registry, spark, sf_small):
