@@ -65,6 +65,14 @@ def main() -> None:
         "round-trips through save→load",
     )
     ap.add_argument(
+        "--tonic-filter-aware",
+        action="store_true",
+        help="key the TONIC QEP-S trie by (table, filter fingerprint) "
+        "instead of bare table names — the reference's filter-aware "
+        "variant (same table, different filters -> separate learned "
+        "operators)",
+    )
+    ap.add_argument(
         "--plots",
         default=None,
         metavar="PREFIX",
@@ -190,6 +198,7 @@ def main() -> None:
         out_path=out_path,
         trie_path=ns.trie_path,
         on_error="skip",
+        tonic_filter_aware=ns.tonic_filter_aware,
     )
     by_strategy = results.groupby("strategy")[["exec_time", "optimization_time", "max_qerror"]].mean()
     print(by_strategy.to_string())

@@ -162,16 +162,28 @@ class _MatrixContext:
     the TONIC trie being trained, and the last forced JoinTree per query
     (TONIC replays operators onto it)."""
 
-    def __init__(self, trie_path: str | None = None):
+    def __init__(
+        self, trie_path: str | None = None, tonic_filter_aware: bool = False
+    ):
         from postbound_spark.optimizer.cardinalities import (
             StatsCardinalityEstimator,
         )
         from postbound_spark.optimizer.tonic import TonicOperatorSelection
 
         self.stats_estimator = StatsCardinalityEstimator()
-        self.tonic = TonicOperatorSelection()
+        self.tonic = TonicOperatorSelection(filter_aware=tonic_filter_aware)
         self.trie_path = trie_path
         self.last_tree = None  # most recent forced JoinTree (current query)
+
+    def tonic_filters(self, parsed):
+        """Per-identifier filter fingerprints for the trie, or None in
+        plain (non-filter-aware) mode — one derivation shared by the
+        train and replay sides so their keys can never diverge."""
+        if not self.tonic.filter_aware:
+            return None
+        from postbound_spark.optimizer.tonic import filter_fingerprints
+
+        return filter_fingerprints(parsed)
 
     def replay_tonic(self):
         """The trie TONIC replays from: round-tripped through save/load
@@ -231,7 +243,7 @@ def _plan_order(spark, strategy: str, parsed, spec, tables, context=None):
             )
         tree = context.last_tree
         assignment = context.replay_tonic().select_physical_operators(
-            spec, tree
+            spec, tree, filters=context.tonic_filters(parsed)
         )
         return tree.tables(), math.nan, assignment, tree
     raise ValueError(
@@ -316,6 +328,7 @@ def run_optimizer_loop(
     out_path: str | None = None,
     trie_path: str | None = None,
     on_error: str = "raise",
+    tonic_filter_aware: bool = False,
 ) -> pd.DataFrame:
     """Execute every (query, strategy) pair and collect the reference's
     result-row schema (``bench.py:1095-1121``): optimization time, exec
@@ -334,14 +347,18 @@ def run_optimizer_loop(
     from the executed plans). ``trie_path`` persists the TONIC trie and
     round-trips every replay through save→load. ``on_error='skip'``
     records a failed (query, strategy) pair as a warning and moves on —
-    corpus sweeps should not die on one pathological query."""
+    corpus sweeps should not die on one pathological query.
+    ``tonic_filter_aware=True`` keys the QEP-S trie by (table, filter
+    fingerprint) instead of bare table names — the reference's
+    filter-aware QEP-S variant, where the same table under different
+    filters learns separate operator recommendations."""
     from postbound_spark.operators.compiler import compile_plan
     from postbound_spark.optimizer.hints import apply_join_hints_to_relalg
     from postbound_spark.optimizer.qep import observed_join_steps
     from postbound_spark.plans.algebra import parse_relalg
     from postbound_spark.plans.parser import parse_query, to_query_spec
 
-    context = _MatrixContext(trie_path)
+    context = _MatrixContext(trie_path, tonic_filter_aware)
     rows: list[dict] = []
     for label, sql in queries.items():
         parsed = parse_query(sql)
@@ -382,7 +399,12 @@ def run_optimizer_loop(
                         operators[key] = op
                         if not math.isnan(actual):
                             costs[key] = actual
-                    context.tonic.record_plan(jointree, operators, costs)
+                    context.tonic.record_plan(
+                        jointree,
+                        operators,
+                        costs,
+                        filters=context.tonic_filters(parsed),
+                    )
                 else:
                     warnings.warn(
                         f"{label}/{strategy}: {len(steps)} physical joins "

@@ -1,54 +1,106 @@
 """TONIC-style learned physical-operator selection (QEP-S prefix trie).
 
-Re-implements the *idea* of the reference's TONIC stage
+Re-implements the *ideas* of the reference's TONIC stage
 (rbergm/PostBOUND ``postbound/opt/tonic.py:1270`` ``TonicOperatorSelection``
-over a QEP-S trie ``:196-1019``; Hertzschuch et al.): learn, per join
-*prefix* (the sequence of intermediates a left-deep plan builds), which
-physical join operator was cheapest in past executions, and recommend those
-operators for new queries sharing the prefix. Nothing is copied — this is
-the published trie-of-prefixes recommendation scheme over our
+over a QEP-S trie ``:196-1019``; Hertzschuch et al., "Turbo-Charging SPJ
+Query Plans with Learned Physical Join Operator Selections", VLDB 2022):
+learn, per join *prefix* (the sequence of intermediates a plan builds),
+which physical join operator was cheapest in past executions, and
+recommend those operators for new queries sharing the prefix. Nothing is
+copied — this is the published recommendation scheme over our
 JoinTree/PhysicalOperatorAssignment artifacts.
 
+Reference capabilities mirrored here (each ref-cited inline):
+
+- **Recency-weighted costs** (``update_costs`` ref ``:716-734``): a node
+  stores ``cost + gamma * previous`` per operator — a discounted
+  accumulation that biases toward recent observations (workloads drift;
+  a regressed operator must be able to win back).
+- **Filter-aware QEP-S** (``QepsIdentifier.filter_predicate`` ref
+  ``:257-266``, ``_make_identifier`` ref ``:798``): trie child keys can
+  carry the base table's filter fingerprint, so ``title[kind=movie]``
+  and ``title[kind=tv]`` learn separate recommendations — the same
+  physical table behaves like different relations under different
+  selectivities.
+- **Unknown-cost detection + exploration feedback**
+  (``detect_unknown_costs`` ref ``:604``, ``simulate_feedback`` ref
+  ``:1369``): walk a join order, report which (prefix, operator) cells
+  have never been costed — the active-learning signal TONIC uses to
+  decide what to execute next — and optionally fill them from a cost
+  estimate instead of an execution.
+- **Trie inspection** (``inspect`` ref ``:736``): indented dump for
+  debugging a learned model.
+
 Training signal: any per-join cost — measured runtimes from
-``executed_plan`` metrics, or cardinalities as a proxy. Recommendations are
-enforced through the standard hint path (hints.py), so an experiment loop
-is: run → record → re-optimize → compare, exactly the reference's
-train/replay cycle (``tests/test_tonic_optimization.py`` pattern).
+``executed_plan`` metrics, or cardinalities as a proxy. Recommendations
+are enforced through the standard hint path (hints.py), so an experiment
+loop is: run → record → re-optimize → compare, exactly the reference's
+train/replay cycle (the five-strategy matrices over the JOB and
+Stats-CEB corpora, ``experiments.run_optimizer_loop``).
+
+One deliberate divergence: the reference's ``current_recommendation``
+returns ``None`` unless a node has costs for MORE THAN ONE operator
+("not enough information", ref ``:704-714``). Our experiment loop
+trains from executed Spark plans where most prefixes see one operator
+(Catalyst already picked the winner), so the default here recommends
+from a single observation; pass ``min_operators=2`` for the
+reference-faithful conservative behavior.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
+from collections.abc import Iterable, Mapping
 from dataclasses import dataclass, field
 
 from postbound_spark.optimizer.hints import JoinOperator, PhysicalOperatorAssignment
 from postbound_spark.optimizer.jointree import JoinTree
 from postbound_spark.optimizer.stages import PhysicalOperatorSelection, QuerySpec
 
+#: the operators exploration considers when hunting un-costed cells
+DEFAULT_CANDIDATES: tuple[JoinOperator, ...] = (
+    JoinOperator.BROADCAST_HASH,
+    JoinOperator.SHUFFLE_HASH,
+    JoinOperator.SORT_MERGE,
+)
+
 
 @dataclass
 class QepsNode:
     """One trie node = one join prefix; children keyed by the next base
-    table joined in; per-operator cost observations at this step."""
+    table joined in (plus its filter fingerprint in filter-aware mode);
+    per-operator discounted cost + observation count at this step."""
 
     children: dict[str, "QepsNode"] = field(default_factory=dict)
-    operator_costs: dict[JoinOperator, tuple[float, int]] = field(default_factory=dict)
+    operator_costs: dict[JoinOperator, float] = field(default_factory=dict)
+    observations: dict[JoinOperator, int] = field(default_factory=dict)
 
-    def observe(self, operator: JoinOperator, cost: float) -> None:
-        total, count = self.operator_costs.get(operator, (0.0, 0))
-        self.operator_costs[operator] = (total + cost, count + 1)
+    def observe(self, operator: JoinOperator, cost: float, gamma: float = 0.8) -> None:
+        """Recency-weighted update (ref ``update_costs`` opt/tonic.py:716):
+        ``cost + gamma * previous``. Rejects NaN/inf like the reference —
+        a poisoned cell would silently win or lose every comparison."""
+        if math.isnan(cost) or math.isinf(cost):
+            raise ValueError(f"cost for {operator} must be finite, got {cost!r}")
+        prev = self.operator_costs.get(operator, 0.0)
+        self.operator_costs[operator] = cost + gamma * prev
+        self.observations[operator] = self.observations.get(operator, 0) + 1
 
-    def recommendation(self) -> JoinOperator | None:
-        if not self.operator_costs:
+    def recommendation(self, min_operators: int = 1) -> JoinOperator | None:
+        if len(self.operator_costs) < max(1, min_operators):
             return None
         return min(
             self.operator_costs,
-            key=lambda op: (
-                self.operator_costs[op][0] / self.operator_costs[op][1],
-                op.value,
-            ),
+            key=lambda op: (self.operator_costs[op], op.value),
         )
+
+    def missing_operators(
+        self, candidates: Iterable[JoinOperator]
+    ) -> list[JoinOperator]:
+        """Operators with no cost at this node (ref ``detect_unknown_costs``
+        opt/tonic.py:604) — the cells an exploration run should fill."""
+        return [op for op in candidates if op not in self.operator_costs]
 
     # -- persistence (ref: QEP-S save/load, opt/tonic.py:196-1019) ----------
 
@@ -56,25 +108,31 @@ class QepsNode:
         return {
             "children": {name: c.to_dict() for name, c in self.children.items()},
             "operator_costs": {
-                op.value: [total, count]
-                for op, (total, count) in self.operator_costs.items()
+                op.value: [self.operator_costs[op], self.observations.get(op, 1)]
+                for op in self.operator_costs
             },
         }
 
     @classmethod
-    def from_dict(cls, data: dict) -> "QepsNode":
+    def from_dict(cls, data: dict, *, legacy_mean: bool = False) -> "QepsNode":
         node = cls()
         node.children = {
-            name: cls.from_dict(c) for name, c in data.get("children", {}).items()
+            name: cls.from_dict(c, legacy_mean=legacy_mean)
+            for name, c in data.get("children", {}).items()
         }
-        node.operator_costs = {
+        for op_value, (first, second) in data.get("operator_costs", {}).items():
             # legacy persisted files spelled BROADCAST_NL by its old
             # (incorrect) hint string — map it forward on load
-            JoinOperator(
-                "broadcast_nl" if op == "shuffle_replicate_nl" else op
-            ): (float(total), int(count))
-            for op, (total, count) in data.get("operator_costs", {}).items()
-        }
+            op = JoinOperator(
+                "broadcast_nl" if op_value == "shuffle_replicate_nl" else op_value
+            )
+            count = int(second)
+            # v2 tries stored (total, count) mean-cost pairs; seed the
+            # discounted cost with the mean so old models keep their
+            # learned ranking and smooth forward from there
+            cost = float(first) / count if legacy_mean and count else float(first)
+            node.operator_costs[op] = cost
+            node.observations[op] = count
         return node
 
 
@@ -104,9 +162,44 @@ def _prefix_steps(
     return steps
 
 
+def filter_fingerprints(parsed) -> dict[str, str]:
+    """Per-FROM-identifier filter fingerprints for filter-aware tries
+    (ref ``QepsIdentifier.filter_predicate`` opt/tonic.py:257): the
+    table's single-table filter conjuncts, rendered to SQL and sorted so
+    the fingerprint is independent of predicate order. Identifiers with
+    no filters get no entry — their trie key stays the bare name."""
+    preds = parsed.predicates()
+    out: dict[str, str] = {}
+    for table in parsed.from_tables:
+        ident = table.identifier
+        filters = sorted(p.to_sql() for p in preds.filters_for(ident))
+        if filters:
+            out[ident] = " AND ".join(filters)
+    return out
+
+
 class TonicOperatorSelection(PhysicalOperatorSelection):
-    def __init__(self):
+    def __init__(
+        self,
+        filter_aware: bool = False,
+        gamma: float = 0.8,
+        *,
+        min_operators: int = 1,
+    ):
         self.root = QepsNode()
+        self.filter_aware = filter_aware
+        self.gamma = gamma
+        self.min_operators = min_operators
+
+    def _child_key(self, table: str, filters: Mapping[str, str] | None) -> str:
+        """Trie key for the next table (ref ``_make_identifier``
+        opt/tonic.py:798): the bare name, or ``name[filter]`` in
+        filter-aware mode when the table carries a filter."""
+        if self.filter_aware and filters:
+            fp = filters.get(table)
+            if fp:
+                return f"{table}[{fp}]"
+        return table
 
     # -- training -----------------------------------------------------------
 
@@ -115,46 +208,140 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
         join_order: JoinTree,
         operators: dict[frozenset[str], JoinOperator],
         costs: dict[frozenset[str], float],
+        *,
+        filters: Mapping[str, str] | None = None,
     ) -> None:
         """Insert one executed plan: per join step, file the used operator
-        and its observed cost under the prefix node."""
+        and its observed cost under the prefix node (discounted by
+        ``gamma`` against earlier observations)."""
         node = self.root
         start = join_order.tables()[0]
-        node = node.children.setdefault(start, QepsNode())
+        node = node.children.setdefault(self._child_key(start, filters), QepsNode())
         for table, joined in _prefix_steps(join_order, start):
-            node = node.children.setdefault(table, QepsNode())
+            node = node.children.setdefault(
+                self._child_key(table, filters), QepsNode()
+            )
             op = operators.get(joined)
             if op is not None and joined in costs:
-                node.observe(op, costs[joined])
+                node.observe(op, costs[joined], self.gamma)
 
     # -- recommendation (the PhysicalOperatorSelection stage) ---------------
 
     def select_physical_operators(
-        self, spec: QuerySpec, join_order: JoinTree
+        self,
+        spec: QuerySpec,
+        join_order: JoinTree,
+        *,
+        filters: Mapping[str, str] | None = None,
     ) -> PhysicalOperatorAssignment:
         assignment = PhysicalOperatorAssignment()
         start = join_order.tables()[0]
-        node = self.root.children.get(start)
+        node = self.root.children.get(self._child_key(start, filters))
         if node is None:
             return assignment  # unseen prefix — defer to Catalyst
         for table, joined in _prefix_steps(join_order, start):
-            node = node.children.get(table)
+            node = node.children.get(self._child_key(table, filters))
             if node is None:
                 break  # prefix diverges from everything learned
-            rec = node.recommendation()
+            rec = node.recommendation(self.min_operators)
             if rec is not None:
                 assignment.set_join_operator(joined, rec)
         return assignment
 
+    # -- exploration (ref detect_unknown_costs :604, simulate_feedback :1369)
+
+    def unknown_costs(
+        self,
+        join_order: JoinTree,
+        *,
+        candidates: Iterable[JoinOperator] = DEFAULT_CANDIDATES,
+        filters: Mapping[str, str] | None = None,
+    ) -> dict[frozenset[str], list[JoinOperator]]:
+        """Which (prefix, operator) cells along ``join_order`` have never
+        been costed — the signal an exploration run uses to pick what to
+        force-execute next. Like the reference, walking an unseen path
+        CREATES its trie nodes so later costs have a place to land."""
+        candidates = tuple(candidates)
+        out: dict[frozenset[str], list[JoinOperator]] = {}
+        start = join_order.tables()[0]
+        node = self.root.children.setdefault(
+            self._child_key(start, filters), QepsNode()
+        )
+        for table, joined in _prefix_steps(join_order, start):
+            node = node.children.setdefault(
+                self._child_key(table, filters), QepsNode()
+            )
+            missing = node.missing_operators(candidates)
+            if missing:
+                out[joined] = missing
+        return out
+
+    def simulate_feedback(
+        self,
+        join_order: JoinTree,
+        cost_of,
+        *,
+        candidates: Iterable[JoinOperator] = DEFAULT_CANDIDATES,
+        filters: Mapping[str, str] | None = None,
+    ) -> int:
+        """Fill every un-costed cell along ``join_order`` from a cost
+        estimate instead of an execution (ref ``simulate_feedback``
+        opt/tonic.py:1369 — the affordable warm-start when forcing every
+        unexplored operator is too expensive). ``cost_of(joined_set,
+        operator) -> float`` supplies the estimate; returns how many
+        cells were filled."""
+        filled = 0
+        unknown = self.unknown_costs(
+            join_order, candidates=candidates, filters=filters
+        )
+        start = join_order.tables()[0]
+        node = self.root.children[self._child_key(start, filters)]
+        for table, joined in _prefix_steps(join_order, start):
+            node = node.children[self._child_key(table, filters)]
+            for op in unknown.get(joined, ()):
+                node.observe(op, float(cost_of(joined, op)), self.gamma)
+                filled += 1
+        return filled
+
+    # -- introspection (ref inspect, opt/tonic.py:736) -----------------------
+
+    def inspect(self) -> str:
+        """Indented dump of the learned trie: one line per node with its
+        per-operator discounted costs and observation counts, the
+        recommended operator starred."""
+        lines: list[str] = []
+
+        def walk(node: QepsNode, name: str, depth: int) -> None:
+            rec = node.recommendation(self.min_operators)
+            costs = ", ".join(
+                f"{op.value}={node.operator_costs[op]:.4g}"
+                f"(n={node.observations.get(op, 0)})"
+                + ("*" if op is rec else "")
+                for op in sorted(node.operator_costs, key=lambda o: o.value)
+            )
+            lines.append("  " * depth + name + (f" :: {costs}" if costs else ""))
+            for child_name in sorted(node.children):
+                walk(node.children[child_name], child_name, depth + 1)
+
+        for child_name in sorted(self.root.children):
+            walk(self.root.children[child_name], child_name, 0)
+        return "\n".join(lines)
+
     # -- persistence: the train -> save -> load -> replay loop survives
     #    sessions (ref QEP-S serialization, opt/tonic.py:196-1019) ----------
 
-    FORMAT_VERSION = 2  # v2: first-join trie keys fixed (no start-table collision)
+    FORMAT_VERSION = 3  # v3: gamma-discounted costs (+gamma/filter_aware);
+    #                      v2 (mean-cost pairs) still loads, upgraded
 
     def save(self, path: str) -> None:
         """Write the trie as JSON (atomic: temp file + rename, so a crashed
         writer never leaves a torn trie for the next session)."""
-        payload = {"version": self.FORMAT_VERSION, "root": self.root.to_dict()}
+        payload = {
+            "version": self.FORMAT_VERSION,
+            "gamma": self.gamma,
+            "filter_aware": self.filter_aware,
+            "root": self.root.to_dict(),
+        }
         tmp = f"{path}.tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -165,10 +352,15 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
         with open(path) as fh:
             payload = json.load(fh)
         version = payload.get("version")
-        if version != cls.FORMAT_VERSION:
+        if version not in (2, cls.FORMAT_VERSION):
             raise ValueError(
                 f"unsupported QEP-S trie version {version!r} in {path}"
             )
-        selection = cls()
-        selection.root = QepsNode.from_dict(payload["root"])
+        selection = cls(
+            filter_aware=bool(payload.get("filter_aware", False)),
+            gamma=float(payload.get("gamma", 0.8)),
+        )
+        selection.root = QepsNode.from_dict(
+            payload["root"], legacy_mean=(version == 2)
+        )
         return selection

@@ -225,15 +225,14 @@ def plot_analyze_plan(plan) -> str:
 def plot_tonic_qeps(selection) -> str:
     """TONIC QEP-S prefix trie → DOT (ref ``vis/tonic.py:40``
     ``plot_tonic_qeps``): each node shows its path step and the
-    recommended operator with its mean observed cost."""
+    recommended operator with its gamma-discounted cost."""
     dot = DotBuilder("tonic_qeps", directed=True)
 
     def label(step: str, node) -> str:
         rec = node.recommendation()
         if rec is None:
             return step
-        total, count = node.operator_costs[rec]
-        return f"{step}\n{rec.name} (cost {total / count:.2f})"
+        return f"{step}\n{rec.name} (cost {node.operator_costs[rec]:.2f})"
 
     def walk(step: str, node) -> str:
         me = dot.node(node, label(step, node))

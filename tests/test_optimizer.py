@@ -594,9 +594,12 @@ def test_tonic_trie_persistence_roundtrip(tmp_path, spec):
     replay = revived.select_physical_operators(q, order)
     assert replay.operator_for(key) is live.operator_for(key) is JoinOperator.SORT_MERGE
 
-    # training continues on the revived trie: flood with cheap shuffle-hash
-    # observations and the recommendation flips
-    for _ in range(10):
+    # training continues on the revived trie: keep observing cheap
+    # shuffle-hash runs and the gamma-discounted cost (cost + 0.8*prev,
+    # ref update_costs opt/tonic.py:716) decays the old expensive
+    # observation below sort-merge's 1.0 — the recommendation flips.
+    # 25 rounds leave shuffle-hash at ~9*0.8^25 + 0.01/(1-0.8) ≈ 0.08.
+    for _ in range(25):
         revived.record_plan(order, {key: JoinOperator.SHUFFLE_HASH}, {key: 0.01})
     flipped = revived.select_physical_operators(q, order)
     assert flipped.operator_for(key) is JoinOperator.SHUFFLE_HASH
@@ -1140,3 +1143,175 @@ def test_pgdp_linear_mode_matches_full_search_on_small_query(spark, sf_small):
     )
     assert full.tree.tables() == lin.tree.tables()
     assert full.cost == pytest.approx(lin.cost)
+
+
+# -- TONIC round-6 depth: filter-aware paths, exploration, v2 upgrade -------
+
+
+def test_tonic_filter_aware_paths_learn_separately(spec):
+    """Filter-aware QEP-S (ref QepsIdentifier.filter_predicate
+    opt/tonic.py:257): the same table under different filters keys
+    different trie paths, so each filter context learns its own
+    operator — the plain trie would overwrite one with the other."""
+    from postbound_spark.optimizer.tonic import (
+        TonicOperatorSelection,
+        filter_fingerprints,
+    )
+    from postbound_spark.plans.parser import parse_query
+
+    tonic = TonicOperatorSelection(filter_aware=True)
+    # fingerprints key FROM identifiers (aliases here); the join orders a
+    # strategy loop feeds TONIC use the same identifier vocabulary
+    order = JoinTree.left_deep(["o", "l"])
+    key = frozenset({"o", "l"})
+    filtered = filter_fingerprints(
+        parse_query(
+            "SELECT count(*) FROM orders o, lineitem l "
+            "WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 100"
+        )
+    )
+    unfiltered = filter_fingerprints(
+        parse_query(
+            "SELECT count(*) FROM orders o, lineitem l "
+            "WHERE o.o_orderkey = l.l_orderkey"
+        )
+    )
+    assert "o" in filtered and not unfiltered  # join preds never count
+    tonic.record_plan(
+        order, {key: JoinOperator.SORT_MERGE}, {key: 1.0}, filters=filtered
+    )
+    tonic.record_plan(
+        order, {key: JoinOperator.SHUFFLE_HASH}, {key: 1.0}, filters=unfiltered
+    )
+    q = QuerySpec(("o", "l"), ())
+    assert (
+        tonic.select_physical_operators(q, order, filters=filtered).operator_for(key)
+        is JoinOperator.SORT_MERGE
+    )
+    assert (
+        tonic.select_physical_operators(q, order, filters=unfiltered).operator_for(key)
+        is JoinOperator.SHUFFLE_HASH
+    )
+    # a plain (non-filter-aware) trie keys both contexts identically
+    plain = TonicOperatorSelection()
+    plain.record_plan(
+        order, {key: JoinOperator.SORT_MERGE}, {key: 1.0}, filters=filtered
+    )
+    assert (
+        plain.select_physical_operators(q, order, filters=unfiltered).operator_for(key)
+        is JoinOperator.SORT_MERGE
+    )
+
+
+def test_tonic_unknown_costs_and_simulated_feedback(spec):
+    """Exploration loop (ref detect_unknown_costs opt/tonic.py:604 +
+    simulate_feedback :1369): un-costed (prefix, operator) cells are
+    reported, fillable from an estimator, and gone afterwards."""
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+    tonic = TonicOperatorSelection()
+    order = JoinTree.left_deep(["orders", "lineitem"])
+    key = frozenset({"orders", "lineitem"})
+    tonic.record_plan(order, {key: JoinOperator.BROADCAST_HASH}, {key: 5.0})
+    unknown = tonic.unknown_costs(order)
+    assert unknown == {
+        key: [JoinOperator.SHUFFLE_HASH, JoinOperator.SORT_MERGE]
+    }
+    filled = tonic.simulate_feedback(order, lambda joined, op: 1.0)
+    assert filled == 2
+    assert tonic.unknown_costs(order) == {}
+    # both simulated cells cost 1.0 < broadcast's 5.0; deterministic
+    # tie-break on the operator value picks merge
+    q = QuerySpec(("orders", "lineitem"), spec.edges)
+    rec = tonic.select_physical_operators(q, order).operator_for(key)
+    assert rec is JoinOperator.SORT_MERGE
+    # walking an UNSEEN order prepares its nodes (reference behavior):
+    # every candidate is unknown there
+    other = JoinTree.left_deep(["customer", "orders"])
+    missing = tonic.unknown_costs(other)
+    assert missing and all(len(v) == 3 for v in missing.values())
+
+
+def test_tonic_reference_min_operators_rule(spec):
+    """The reference recommends nothing from a single-operator node
+    (current_recommendation opt/tonic.py:704 requires >1); our default
+    recommends from one observation — min_operators=2 restores the
+    conservative rule."""
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+    tonic = TonicOperatorSelection(min_operators=2)
+    order = JoinTree.left_deep(["orders", "lineitem"])
+    key = frozenset({"orders", "lineitem"})
+    q = QuerySpec(("orders", "lineitem"), spec.edges)
+    tonic.record_plan(order, {key: JoinOperator.SORT_MERGE}, {key: 1.0})
+    assert not tonic.select_physical_operators(q, order).join_operators
+    tonic.record_plan(order, {key: JoinOperator.SHUFFLE_HASH}, {key: 9.0})
+    assert (
+        tonic.select_physical_operators(q, order).operator_for(key)
+        is JoinOperator.SORT_MERGE
+    )
+
+
+def test_tonic_loads_v2_trie_with_mean_seed(tmp_path):
+    """v2 tries (mean-cost [total, count] pairs — the committed round-6
+    matrix artifacts) still load: the mean seeds the discounted cost so
+    the learned ranking survives the format upgrade."""
+    import json as _json
+
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+    v2 = {
+        "version": 2,
+        "root": {
+            "children": {
+                "orders": {
+                    "children": {
+                        "lineitem": {
+                            "children": {},
+                            # merge mean = 4/4 = 1.0 beats shuffle 9.0
+                            "operator_costs": {
+                                "merge": [4.0, 4],
+                                "shuffle_hash": [9.0, 1],
+                            },
+                        }
+                    },
+                    "operator_costs": {},
+                }
+            },
+            "operator_costs": {},
+        },
+    }
+    path = str(tmp_path / "v2.json")
+    with open(path, "w") as fh:
+        _json.dump(v2, fh)
+    revived = TonicOperatorSelection.load(path)
+    node = revived.root.children["orders"].children["lineitem"]
+    assert node.operator_costs[JoinOperator.SORT_MERGE] == 1.0
+    assert node.observations[JoinOperator.SORT_MERGE] == 4
+    assert node.recommendation() is JoinOperator.SORT_MERGE
+    # and the committed round-6 matrix tries themselves still load
+    import os
+
+    for name in ("job_qeps_trie.json", "stats_qeps_trie.json"):
+        committed = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "experiments",
+            "results",
+            name,
+        )
+        loaded = TonicOperatorSelection.load(committed)
+        assert loaded.root.children  # non-empty learned model
+
+
+def test_tonic_inspect_renders_recommendations():
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+    tonic = TonicOperatorSelection()
+    order = JoinTree.left_deep(["orders", "lineitem"])
+    key = frozenset({"orders", "lineitem"})
+    tonic.record_plan(order, {key: JoinOperator.SORT_MERGE}, {key: 1.0})
+    tonic.record_plan(order, {key: JoinOperator.SHUFFLE_HASH}, {key: 9.0})
+    dump = tonic.inspect()
+    assert "orders" in dump and "  lineitem" in dump
+    assert "merge=1(n=1)*" in dump  # the recommended operator is starred
+    assert "shuffle_hash=9(n=1)" in dump

@@ -122,3 +122,35 @@ def test_tonic_optimization_is_cheap(matrix):
     by = frame.groupby("strategy").optimization_time.mean()
     assert by["tonic"] < by["dp"]
     assert by["tonic"] < by["pgdp"]
+
+
+def test_filter_aware_tonic_keys_carry_fingerprints(imdb_engines, tmp_path):
+    """run_optimizer_loop(tonic_filter_aware=True): the persisted trie
+    keys base tables by (name, filter fingerprint) — JOB 1a filters
+    company_type/info_type/title, so bracketed keys must appear — and
+    the filter-aware replay still returns native-identical results."""
+    spark, _con = imdb_engines
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+    from postbound_spark.sources.imdb_fixture import IMDB_TABLES
+
+    base = {t: spark.table(t) for t in IMDB_TABLES}
+    trie_path = str(tmp_path / "fa_trie.json")
+    frame = run_optimizer_loop(
+        spark,
+        {"1a": _corpus()["1a"]},
+        base,
+        strategies=("native", "ues", "tonic"),
+        trie_path=trie_path,
+        tonic_filter_aware=True,
+    )
+    assert frame.groupby("label").result_fingerprint.nunique().eq(1).all()
+    trie = TonicOperatorSelection.load(trie_path)
+    assert trie.filter_aware
+
+    def keys(node):
+        for name, child in node.children.items():
+            yield name
+            yield from keys(child)
+
+    all_keys = list(keys(trie.root))
+    assert any("[" in k for k in all_keys), all_keys
