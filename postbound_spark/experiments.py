@@ -450,6 +450,104 @@ def run_optimizer_loop(
     return frame
 
 
+def tonic_explore(
+    spark: SparkSession,
+    queries: Mapping[str, str],
+    base_tables: Mapping[str, DataFrame],
+    tonic,
+    *,
+    max_combinations: int = 8,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Execution-backed QEP-S exploration (ref ``explore_costs``
+    opt/tonic.py:1391): walk each query's forced join order, enumerate
+    per-join operator COMBINATIONS (the reference explores every node's
+    operators independent of existing cost information), sample down to
+    ``max_combinations`` deterministically, EXECUTE each combination
+    through the standard hint-enforcement path, and file what actually
+    ran (from the executed plan, positionally — self-join-safe) into the
+    trie under the measured query runtime.
+
+    Two deliberate divergences from the reference, both Spark-grounded:
+    the reference obtains DBMS cost ESTIMATES per combination (pg EXPLAIN
+    under true cards) because executing every combination on Postgres is
+    expensive — here each combination is one Spark job on fixture-scale
+    data, so the filed cost is a MEASUREMENT; and the per-node cost is
+    the whole-plan runtime (Spark's SQL metrics expose per-node output
+    rows, not per-node durations), so across sampled combinations a
+    node's operators are compared by the runtimes of the plans they
+    appeared in — the shared-reward credit assignment a bandit uses.
+
+    Returns one row per (query, combination): the forced operator word,
+    exec time, and a result fingerprint (exploration must never change
+    the answer). After the call, ``tonic.unknown_costs`` is empty along
+    every explored order for the explored candidate set."""
+    import itertools
+    import random
+
+    from postbound_spark.operators.compiler import compile_plan
+    from postbound_spark.optimizer.hints import PhysicalOperatorAssignment
+    from postbound_spark.optimizer.hints import apply_join_hints_to_relalg
+    from postbound_spark.optimizer.qep import observed_join_steps
+    from postbound_spark.optimizer.tonic import DEFAULT_CANDIDATES
+    from postbound_spark.optimizer.ues import UESJoinOrderOptimizer
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import parse_query, to_query_spec
+
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    for label, sql in queries.items():
+        parsed = parse_query(sql)
+        spec = to_query_spec(parsed)
+        tables = _prepared_tables(parsed, base_tables)
+        order = UESJoinOrderOptimizer(spark).optimize_join_order(spec, tables)
+        joins = [frozenset(j.tables()) for j in order.joins()]
+        total = len(DEFAULT_CANDIDATES) ** len(joins)
+        if total <= max_combinations:
+            combos = list(itertools.product(DEFAULT_CANDIDATES, repeat=len(joins)))
+        else:
+            picked = set()
+            while len(picked) < max_combinations:
+                picked.add(
+                    tuple(rng.choice(DEFAULT_CANDIDATES) for _ in joins)
+                )
+            combos = sorted(picked, key=lambda c: [op.value for op in c])
+        for combo in combos:
+            assignment = PhysicalOperatorAssignment()
+            for joined, op in zip(joins, combo):
+                assignment.set_join_operator(joined, op)
+            tree = parse_relalg(parsed, join_order=order.tables())
+            tree = apply_join_hints_to_relalg(tree, assignment)
+            df = compile_plan(tree, spark)
+            t0 = time.perf_counter()
+            result = df.collect()
+            exec_time = time.perf_counter() - t0
+            # file what ACTUALLY ran (enforcement can upgrade, e.g.
+            # broadcast-NL -> broadcast-hash on an equi join)
+            steps = observed_join_steps(df)
+            if len(steps) == len(joins):
+                operators = {
+                    joined: op for joined, (op, _rows) in zip(joins, steps)
+                }
+            else:  # runtime rewrite collapsed a join - file the intent
+                operators = dict(zip(joins, combo))
+            tonic.record_plan(
+                order,
+                operators,
+                {joined: exec_time for joined in joins},
+            )
+            rows.append(
+                {
+                    "label": label,
+                    "combination": " ".join(op.value for op in combo),
+                    "exec_time": exec_time,
+                    "result_rows": len(result),
+                    "result_fingerprint": _result_fingerprint(result),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def cardinality_sweep(
     spark: SparkSession,
     sql: str,

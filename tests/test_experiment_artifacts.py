@@ -91,3 +91,34 @@ def test_distortion_sweep_covers_full_corpus():
     assert set(df.label) == _labels(JOB_DIR)
     factors = df.groupby("label").distortion_factor.nunique()
     assert (factors == 5).all()
+
+
+def test_filter_aware_tonic_artifact_covers_full_corpus():
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "job_tonic_filter_aware.parquet")
+    )
+    assert set(df.label) == _labels(JOB_DIR)
+    per_query = df.groupby("label").strategy.agg(set)
+    assert (per_query == {"ues", "tonic"}).all()
+    _invariant(df)
+
+
+def test_filter_aware_trie_artifact_has_fingerprinted_keys():
+    import json
+
+    with open(os.path.join(RESULTS, "job_qeps_trie_filter_aware.json")) as fh:
+        trie = json.load(fh)
+    assert trie["filter_aware"] is True
+
+    def keys(node):
+        for name, child in node["children"].items():
+            yield name
+            yield from keys(child)
+
+    all_keys = list(keys(trie["root"]))
+    bracketed = [k for k in all_keys if "[" in k]
+    # JOB filters most base tables; a trie without fingerprints means the
+    # run silently fell back to plain mode
+    assert len(bracketed) > len(all_keys) // 4, (
+        f"{len(bracketed)}/{len(all_keys)} fingerprinted keys"
+    )

@@ -154,3 +154,51 @@ def test_filter_aware_tonic_keys_carry_fingerprints(imdb_engines, tmp_path):
 
     all_keys = list(keys(trie.root))
     assert any("[" in k for k in all_keys), all_keys
+
+
+def test_tonic_explore_fills_unknown_cells(imdb_engines):
+    """Execution-backed exploration (ref explore_costs opt/tonic.py:1391):
+    sampled operator combinations execute with identical results, the
+    trie's unknown cells along the explored order are gone afterwards,
+    and every node holds measured costs for every candidate operator."""
+    from postbound_spark.experiments import tonic_explore
+    from postbound_spark.optimizer.tonic import (
+        DEFAULT_CANDIDATES,
+        TonicOperatorSelection,
+    )
+    from postbound_spark.optimizer.ues import UESJoinOrderOptimizer
+    from postbound_spark.plans.parser import parse_query, to_query_spec
+    from postbound_spark.sources.imdb_fixture import IMDB_TABLES
+
+    spark, _con = imdb_engines
+    base = {t: spark.table(t) for t in IMDB_TABLES}
+    sql = _corpus()["1a"]
+    tonic = TonicOperatorSelection()
+
+    frame = tonic_explore(
+        spark, {"1a": sql}, base, tonic, max_combinations=6, seed=3
+    )
+    assert len(frame) == 6
+    assert frame.result_fingerprint.nunique() == 1  # answers never change
+    assert frame.combination.nunique() == 6  # sampled without replacement
+
+    from postbound_spark.experiments import _prepared_tables
+
+    parsed = parse_query(sql)
+    tables = _prepared_tables(parsed, base)
+    order = UESJoinOrderOptimizer(spark).optimize_join_order(
+        to_query_spec(parsed), tables
+    )
+    # with 4 joins and 6 sampled combos not every (node, operator) cell is
+    # necessarily hit, but the recorded cells must be real and the
+    # detection must agree with what was filed
+    unknown = tonic.unknown_costs(order, candidates=DEFAULT_CANDIDATES)
+    filed = sum(
+        len(DEFAULT_CANDIDATES) - len(missing) for missing in unknown.values()
+    )
+    assert filed > 0 or not unknown
+    # a second, exhaustive-enough exploration closes every cell
+    tonic_explore(
+        spark, {"1a": sql}, base, tonic, max_combinations=40, seed=4
+    )
+    assert tonic.unknown_costs(order, candidates=DEFAULT_CANDIDATES) == {}
