@@ -120,6 +120,8 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-6: new/changed capabilities ---
+    "events_anomaly_zscore",  # new: hourly volume z-scores, exact moments
+    "events_topk_per_window",  # new: per-window leaderboard, WindowGroupLimit
     "dedup_cluster_sources",  # new: cross-source duplication matrix
     "sample_token_budget_fill",  # new: two-level prefix-scan budget fill
     "tokenizer_fertility",  # new: per-lang subword fertility / bytes-per-token

@@ -4217,3 +4217,146 @@ def tokenizer_fertility(spark, sf_dir):
         F.round(nbpe.cast("double") / nws, 6).alias("fertility"),
         F.round(nbytes.cast("double") / nbpe, 6).alias("bytes_per_bpe_token"),
     ).orderBy("lang")
+
+
+_ANOMALY_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL '1 hour', ts),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS ss
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.window_start, c.n_events,
+       round(CASE WHEN m.ss * m.n - m.s * m.s <= 0 THEN 0
+                  ELSE (c.n_events * m.n - m.s)
+                       / sqrt(CAST(m.ss * m.n - m.s * m.s AS DOUBLE)) END,
+             4) AS zscore,
+       CAST(abs(round(CASE WHEN m.ss * m.n - m.s * m.s <= 0 THEN 0
+                  ELSE (c.n_events * m.n - m.s)
+                       / sqrt(CAST(m.ss * m.n - m.s * m.s AS DOUBLE)) END,
+             4)) >= 2 AS INT) AS is_anomaly
+FROM c JOIN m USING (event_type)
+ORDER BY event_type, window_start
+"""
+
+
+@query("events_anomaly_zscore", oracle=_ANOMALY_ORACLE)
+def events_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly detection: hourly event counts z-scored against
+    each event type's own hourly distribution, |z| >= 2 flagged — the
+    monitoring query every event pipeline runs (traffic spikes, outage
+    troughs).
+
+    The z-score is computed in the algebraically exact form
+    z = (x*n - s) / sqrt(ss*n - s^2) over the per-type moment triple
+    (n, s=Σx, ss=Σx²) — every term is exact BIGINT, the sqrt is the one
+    float op IEEE guarantees correctly rounded, and there is ONE
+    division, so both engines agree bit-for-bit (no mean/stddev
+    accumulation-order drift). The flag thresholds the ROUNDED z.
+    Shape: one partial-aggregated (type, hour) count shuffle; the moment
+    table is one row per event type, broadcast back onto the hourly
+    counts; at 100 TB the hourly-count relation is time-bounded (rows =
+    types x hours), never event-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(
+                F.window("ts", "1 hour").getField("start"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    counts = stage_cache(counts)
+    moments = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("ss"),
+    )
+    z = F.round(
+        F.when(F.col("ss") * F.col("n") - F.col("s") * F.col("s") <= 0, F.lit(0.0))
+        .otherwise(
+            (F.col("n_events") * F.col("n") - F.col("s"))
+            / F.sqrt((F.col("ss") * F.col("n") - F.col("s") * F.col("s")).cast("double"))
+        ),
+        4,
+    )
+    return (
+        counts.join(F.broadcast(moments), "event_type")
+        .select(
+            "event_type",
+            "window_start",
+            "n_events",
+            z.alias("zscore"),
+            (F.abs(z) >= 2).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+_TOPK_WINDOW_ORACLE = """
+WITH per_user AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         user_id,
+         sum(CAST(value AS DECIMAL(18,2))) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, user_id,
+       round(CAST(total AS DOUBLE), 2) AS total_value,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY window_start ORDER BY total DESC, user_id
+  ) AS rnk
+  FROM per_user
+)
+WHERE rnk <= 3
+ORDER BY window_start, rnk
+"""
+
+
+@query("events_topk_per_window", oracle=_TOPK_WINDOW_ORACLE)
+def events_topk_per_window(spark, sf_dir):
+    """Per-window leaderboard: top-3 users by spend inside every hourly
+    window — the group-wise top-k every analytics surface serves.
+
+    Ranking floats is a cross-engine trap (summation order can flip
+    near-ties), so the per-(window, user) totals accumulate in exact
+    DECIMAL(18,2) and the rank orders on the exact value with a user_id
+    tie-break. Shape: one partial-aggregated (window, user) shuffle,
+    then a rank-filter the optimizer executes as WindowGroupLimit —
+    each window partition keeps 3 rows per partial sort, no global
+    sort, no per-window full materialization (gated in
+    test_plan_quality.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        F.date_format(
+            F.window("ts", "1 hour").getField("start"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("window_start"),
+        "user_id",
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("total"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "window_start",
+            "user_id",
+            F.round(F.col("total").cast("double"), 2).alias("total_value"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("window_start", "rnk")
+    )

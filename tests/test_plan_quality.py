@@ -777,3 +777,33 @@ def test_fertility_single_narrow_scan(registry, spark, sf_small):
     assert "partial_sum" in plan
     assert "Join" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anomaly_zscore_moments_broadcast(registry, spark, sf_small):
+    """events_anomaly_zscore: the per-type moment triple is a tiny
+    broadcast side onto the hourly counts; both aggregations partial-
+    aggregate map-side; scan reads only (ts, event_type); no Python."""
+    df = _build(registry, spark, sf_small, "events_anomaly_zscore")
+    plan = _formatted_plan(df)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "value" not in read_schema and "props" not in read_schema
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topk_per_window_uses_window_group_limit(registry, spark, sf_small):
+    """events_topk_per_window: the rank<=3 filter must execute as
+    WindowGroupLimit (partial + final — each window partition keeps 3
+    rows per sort, never materializing the full per-window ordering),
+    with the per-(window, user) totals partial-aggregated in exact
+    decimal before the one keyed shuffle."""
+    df = _build(registry, spark, sf_small, "events_topk_per_window")
+    plan = _formatted_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert "partial_sum" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read_schema and "event_type" not in read_schema
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
