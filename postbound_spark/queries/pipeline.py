@@ -4276,8 +4276,23 @@ def events_anomaly_zscore(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    counts = stage_cache(counts)
-    moments = counts.groupBy("event_type").agg(
+    return anomaly_zscores_over_counts(stage_cache(counts))
+
+
+def anomaly_zscores_over_counts(counts: DataFrame) -> DataFrame:
+    """z-score readout over an (event_type, window_start, n_events)
+    relation — shared by the batch query above and the streaming path
+    (``streaming/windows.py``), so the exact-moment formula and the
+    anomaly threshold can never drift between the two.
+
+    The moments side re-keys its grouping column (``mtype``) so the
+    self-join never emits overlapping attribute ids — plain-named
+    grouping keeps the child's attribute, and on view-backed inputs
+    (the streaming memory sink) Catalyst's relation dedup does not fire,
+    failing analysis with "conflicting references"."""
+    moments = counts.groupBy(
+        F.col("event_type").alias("mtype")
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_events").cast("long").alias("s"),
         F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("ss"),
@@ -4291,7 +4306,9 @@ def events_anomaly_zscore(spark, sf_dir):
         4,
     )
     return (
-        counts.join(F.broadcast(moments), "event_type")
+        counts.join(
+            F.broadcast(moments), F.col("event_type") == F.col("mtype")
+        )
         .select(
             "event_type",
             "window_start",

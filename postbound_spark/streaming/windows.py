@@ -83,6 +83,38 @@ def windowed_event_counts(
     )
 
 
+def windowed_type_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Hourly event counts per type with late-data handling — the
+    streaming half of the volume-anomaly detector.
+
+    The split matters: counts are the ASSOCIATIVE state (windowed
+    partial aggregates merge by sum across micro-batches, watermark
+    evicts finalized windows), while the z-score readout is a derived
+    view over the drained counts computed by the SAME helper the batch
+    registry query uses
+    (:func:`postbound_spark.queries.pipeline.anomaly_zscores_over_counts`
+    — shared code, so formula and threshold cannot drift). The per-type
+    normalization is deliberately NOT part of the stream: it is a second
+    stateful aggregation Structured Streaming cannot chain behind a
+    windowed agg in this mode, and statistically it must see every
+    window anyway — re-scoring history as the distribution shifts is the
+    correct semantics for a population z-score."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame, query_name: str | None = None, output_mode: str | None = None
 ) -> DataFrame:

@@ -167,3 +167,30 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
         .collect()
     }
     assert batch_counts[t0] == 6
+
+
+def test_streaming_anomaly_scores_match_batch(spark, sf_small):
+    """The anomaly detector's stream/batch split: hourly counts stream
+    incrementally (associative, watermarked), the z-score readout runs
+    on the drained counts through the SAME helper as the batch registry
+    query — outputs must be identical."""
+    from postbound_spark.queries.pipeline import anomaly_zscores_over_counts
+    from postbound_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+        windowed_type_counts,
+    )
+
+    stream = stream_events(spark, sf_small)
+    counts = windowed_type_counts(stream)
+    assert counts.isStreaming
+    drained = run_available_now(counts, "t_stream_anomaly")
+    got = sorted(
+        tuple(r) for r in anomaly_zscores_over_counts(drained).collect()
+    )
+
+    batch = load_all()["events_anomaly_zscore"].builder(spark, sf_small)
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) > 0
+    # the flag column is live on the fixture: at least one anomaly exists
+    assert any(r[-1] == 1 for r in got)
