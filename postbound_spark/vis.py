@@ -32,6 +32,8 @@ __all__ = [
     "plot_analyze_plan",
     "plot_tonic_qeps",
     "force_directed_layout",
+    "kamada_kawai_layout",
+    "fruchterman_reingold_layout",
     "render",
 ]
 
@@ -128,14 +130,20 @@ def plot_join_tree(tree) -> str:
     return dot.source()
 
 
-def plot_join_graph(spec) -> str:
+def plot_join_graph(spec, card_of=None) -> str:
     """Join graph → DOT (ref ``vis/optimizer.py:131`` ``plot_join_graph``):
     tables as nodes, equi-join predicates as edges; PK-FK edges render as
     directed arrows FK → PK (the reference's primary/foreign key arrow
-    convention), n:m edges as plain lines."""
+    convention), n:m edges as plain lines.
+
+    ``card_of(table) -> float`` optionally annotates each node with its
+    cardinality (ref ``annotate_cards``/``estimated_cards``
+    ``vis/optimizer.py:176-303`` — the reference threads an estimator or
+    the true counts into the node labels the same way)."""
     dot = DotBuilder("join_graph", directed=True)
     for t in spec.tables:
-        dot.node(t, t)
+        label = t if card_of is None else f"{t}\n|R| = {_card(card_of(t))}"
+        dot.node(t, label)
     for e in spec.edges:
         a = dot.node(e.left_table, e.left_table)
         b = dot.node(e.right_table, e.right_table)
@@ -255,6 +263,28 @@ def force_directed_layout(spec, iterations: int = 50, seed: int = 0) -> dict:
     g.add_edges_from((e.left_table, e.right_table) for e in spec.edges)
     pos = nx.spring_layout(g, iterations=iterations, seed=seed)
     return {t: (float(x), float(y)) for t, (x, y) in pos.items()}
+
+
+def kamada_kawai_layout(spec) -> dict:
+    """Kamada-Kawai table positions (ref ``vis/fdl.py:33`` — same
+    networkx delegation; deterministic, no seed needed). networkx
+    implements it on scipy — absent scipy this raises the scipy
+    ImportError (actionable: install scipy), matching the module's
+    import-gate discipline."""
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(spec.tables)
+    g.add_edges_from((e.left_table, e.right_table) for e in spec.edges)
+    pos = nx.kamada_kawai_layout(g)
+    return {t: (float(x), float(y)) for t, (x, y) in pos.items()}
+
+
+def fruchterman_reingold_layout(spec, iterations: int = 50, seed: int = 0) -> dict:
+    """Fruchterman-Reingold positions (ref ``vis/fdl.py:54``). networkx's
+    ``spring_layout`` IS this algorithm — the reference exposes both
+    names and so do we, sharing one implementation."""
+    return force_directed_layout(spec, iterations=iterations, seed=seed)
 
 
 def render(dot_source: str, out_path: str, fmt: str = "png") -> str:

@@ -134,3 +134,22 @@ def test_join_tree_keeps_equal_subtrees_distinct():
     tree = JoinTree.join(JoinTree.leaf("nation"), JoinTree.leaf("nation"))
     dot = vis.plot_join_tree(tree)
     assert dot.count('label="nation"') == 2, dot
+
+
+def test_alternate_layouts_and_card_annotations():
+    """ref vis/fdl.py:33/:54 (kamada-kawai, fruchterman-reingold) and
+    vis/optimizer.py:176-303 (cardinality node annotations)."""
+    fr = vis.fruchterman_reingold_layout(SPEC, seed=7)
+    assert set(fr) == set(SPEC.tables)
+    # kamada-kawai needs scipy underneath networkx; in environments
+    # without it the helper must fail with the actionable ImportError,
+    # not something opaque
+    try:
+        import scipy  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="scipy"):
+            vis.kamada_kawai_layout(SPEC)
+    else:
+        assert set(vis.kamada_kawai_layout(SPEC)) == set(SPEC.tables)
+    dot = vis.plot_join_graph(SPEC, card_of=lambda t: 1500.0)
+    assert "|R| = 1,500" in dot
