@@ -29,6 +29,7 @@ join cardinality — checked for the whole 70-query corpus in
 
 from __future__ import annotations
 
+import itertools
 import math
 import time
 import warnings
@@ -450,6 +451,119 @@ def run_optimizer_loop(
     return frame
 
 
+def iter_intermediates(parsed):
+    """Join-connected table subsets (size >= 2) of an implicit query,
+    each with its COUNT(*) fragment — the generator at the heart of the
+    reference's ``experiment-intermediate-cardinalities.py``
+    (``iter_intermediates`` + ``extract_query_fragment`` +
+    ``as_count_star_query``). Yields ``(tables_tuple, fragment_sql)``
+    sorted for determinism."""
+    from postbound_spark.plans.transform import (
+        as_count_star_query,
+        extract_query_fragment,
+    )
+
+    idents = sorted(t.identifier for t in parsed.from_tables)
+    adjacency: dict[str, set[str]] = {i: set() for i in idents}
+    for join in parsed.predicates().joins():
+        tabs = sorted(join.tables())
+        for a in tabs:
+            for b in tabs:
+                if a != b and a in adjacency and b in adjacency:
+                    adjacency[a].add(b)
+
+    def connected(subset: tuple[str, ...]) -> bool:
+        todo, seen = [subset[0]], {subset[0]}
+        members = set(subset)
+        while todo:
+            for nxt in adjacency[todo.pop()] & members - seen:
+                seen.add(nxt)
+                todo.append(nxt)
+        return seen == members
+
+    for size in range(2, len(idents) + 1):
+        for subset in itertools.combinations(idents, size):
+            if not connected(subset):
+                continue
+            fragment = extract_query_fragment(parsed, subset)
+            yield subset, as_count_star_query(fragment).to_sql()
+
+
+def intermediate_cardinalities(
+    spark: SparkSession,
+    queries: Mapping[str, str],
+    *,
+    max_tables: int | None = None,
+) -> pd.DataFrame:
+    """TRUE cardinalities of every join-connected intermediate of a
+    workload — the reference's ``experiment-intermediate-cardinalities``
+    (``examples/experiment-intermediate-cardinalities.py``): the ground-
+    truth file that feeds :class:`PreComputedCardinalities` replays and
+    cardinality-estimator training.
+
+    Like the reference, identical fragments are EXECUTED ONCE and fanned
+    back to every query that contains them (JOB's shared join cores make
+    this a large saving); unlike the reference's 12-thread Postgres pool,
+    each unique fragment is one Spark COUNT(*) job over the registered
+    views. ``max_tables`` caps the subset size (the powerset of a
+    17-table query is 131k fragments); the cap is LOGGED per query via
+    the dropped counter, never silent. Returns one row per
+    (label, intermediate): the sorted table tuple, the fragment SQL, and
+    its true cardinality."""
+    from postbound_spark.plans.parser import parse_query
+
+    per_query: list[tuple[str, tuple[str, ...], str]] = []
+    dropped = 0
+    for label, sql in queries.items():
+        parsed = parse_query(sql.strip().rstrip(";"))
+        for subset, fragment_sql in iter_intermediates(parsed):
+            if max_tables is not None and len(subset) > max_tables:
+                dropped += 1
+                continue
+            per_query.append((label, subset, fragment_sql))
+
+    unique: dict[str, float] = {}
+    for _label, _subset, fragment_sql in per_query:
+        unique.setdefault(fragment_sql, math.nan)
+    for fragment_sql in unique:
+        unique[fragment_sql] = float(spark.sql(fragment_sql).collect()[0][0])
+    if dropped:
+        warnings.warn(
+            f"intermediate_cardinalities: {dropped} fragments above "
+            f"max_tables={max_tables} skipped (raise the cap for full "
+            "powerset coverage)"
+        )
+
+    rows = [
+        {
+            "label": label,
+            "tables": " ".join(subset),
+            "n_tables": len(subset),
+            "fragment_sql": fragment_sql,
+            "cardinality": unique[fragment_sql],
+        }
+        for label, subset, fragment_sql in per_query
+    ]
+    frame = pd.DataFrame(rows).sort_values(["label", "n_tables", "tables"])
+    frame.attrs["n_unique_fragments"] = len(unique)
+    return frame.reset_index(drop=True)
+
+
+def precomputed_from_frame(frame: pd.DataFrame, label: str):
+    """Build the :class:`PreComputedCardinalities` replay stage for one
+    query from an ``intermediate_cardinalities`` dump — the consumption
+    side of the reference experiment (ref ``opt/_cardinalities.py:95``)."""
+    from postbound_spark.optimizer.cardinalities import PreComputedCardinalities
+
+    sub = frame[frame.label == label]
+    return PreComputedCardinalities(
+        {
+            frozenset(row.tables.split()): float(row.cardinality)
+            for row in sub.itertuples()
+        }
+    )
+
+
 def tonic_explore(
     spark: SparkSession,
     queries: Mapping[str, str],
@@ -482,7 +596,6 @@ def tonic_explore(
     exec time, and a result fingerprint (exploration must never change
     the answer). After the call, ``tonic.unknown_costs`` is empty along
     every explored order for the explored candidate set."""
-    import itertools
     import random
 
     from postbound_spark.operators.compiler import compile_plan

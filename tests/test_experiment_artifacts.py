@@ -122,3 +122,23 @@ def test_filter_aware_trie_artifact_has_fingerprinted_keys():
     assert len(bracketed) > len(all_keys) // 4, (
         f"{len(bracketed)}/{len(all_keys)} fingerprinted keys"
     )
+
+
+def test_intermediate_cards_cover_joblight():
+    """The intermediate-cardinality ground-truth dump (ref
+    examples/experiment-intermediate-cardinalities.py) covers every
+    JOB-light query, including each query's full join as the largest
+    fragment."""
+    from postbound_spark.plans.parser import parse_query
+    from postbound_spark.workloads import job_light
+
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "joblight_intermediate_cards.parquet")
+    )
+    corpus = dict(job_light())
+    assert set(df.label) == set(corpus)
+    top = df.groupby("label").n_tables.max()
+    for label, sql in corpus.items():
+        n_from = len(parse_query(sql.strip().rstrip(";")).from_tables)
+        assert top[label] == n_from, label
+    assert (df.cardinality >= 0).all()

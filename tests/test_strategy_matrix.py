@@ -202,3 +202,48 @@ def test_tonic_explore_fills_unknown_cells(imdb_engines):
         spark, {"1a": sql}, base, tonic, max_combinations=40, seed=4
     )
     assert tonic.unknown_costs(order, candidates=DEFAULT_CANDIDATES) == {}
+
+
+def test_intermediate_cardinalities_experiment(imdb_engines):
+    """The intermediate-cardinalities ground-truth dump (ref
+    examples/experiment-intermediate-cardinalities.py): join-connected
+    subsets only, identical fragments executed once and fanned back to
+    every containing query, every cardinality equal to the fragment's
+    direct COUNT(*) on DuckDB, and the dump replays through
+    PreComputedCardinalities."""
+    import warnings as _warnings
+
+    from postbound_spark.experiments import (
+        intermediate_cardinalities,
+        precomputed_from_frame,
+    )
+    from postbound_spark.plans.parser import parse_query, to_query_spec
+
+    spark, con = imdb_engines
+    sql = _corpus()["1a"]
+    frame = intermediate_cardinalities(
+        spark, {"1a": sql, "1a_again": sql}
+    )
+    # fragment dedup across queries: two identical queries, every
+    # fragment executed once
+    assert frame.attrs["n_unique_fragments"] * 2 == len(frame)
+    assert (frame.groupby("label").size().nunique()) == 1
+    # ground truth: each fragment's cardinality is its COUNT(*) — checked
+    # on the second engine
+    for row in frame[frame.label == "1a"].itertuples():
+        want = con.execute(row.fragment_sql).fetchone()[0]
+        assert row.cardinality == float(want), row.tables
+    # replay side: the dump feeds PreComputedCardinalities
+    est = precomputed_from_frame(frame, "1a")
+    spec = to_query_spec(parse_query(sql))
+    top = frozenset(spec.tables)
+    full_row = frame[(frame.label == "1a") & (frame.n_tables == len(spec.tables))]
+    assert est.estimate_cardinality(spec, top, {}) == float(
+        full_row.cardinality.iloc[0]
+    )
+    # the size cap is loud, never silent
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        capped = intermediate_cardinalities(spark, {"1a": sql}, max_tables=2)
+    assert capped.n_tables.max() == 2
+    assert any("skipped" in str(w.message) for w in caught)
