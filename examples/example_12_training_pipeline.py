@@ -39,6 +39,7 @@ def main(spark=None, sf_dir=None):
         release_stage_caches,
         sample_temperature_mix,
         sample_token_budget_fill,
+        stage_cache,
         tokenizer_fertility,
     )
 
@@ -52,7 +53,10 @@ def main(spark=None, sf_dir=None):
     # their own id. Drop lists are duplicate-sized, hence broadcast.
     labels = dedup_components(spark, sf_dir)  # (doc_id, component)
     drop = labels.filter("doc_id != component").select("doc_id")
-    deduped = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    # stage_cache: three actions read this frame (two counts + the
+    # quality join) — without it each one would re-run the LSH +
+    # connected-components chain, the pipeline's most expensive stage
+    deduped = stage_cache(docs.join(F.broadcast(drop), "doc_id", "left_anti"))
     n_dedup = deduped.count()
 
     # -- stage 2: quality gate -------------------------------------------
@@ -60,7 +64,9 @@ def main(spark=None, sf_dir=None):
     # The keep list is corpus-sized: no broadcast hint (at scale, compute
     # the flag inline on `deduped` instead of joining it back).
     keep = quality_char_entropy(spark, sf_dir).filter("keep = 1")
-    curated = deduped.join(keep.select("doc_id"), "doc_id", "left_semi")
+    curated = stage_cache(
+        deduped.join(keep.select("doc_id"), "doc_id", "left_semi")
+    )
     n_quality = curated.count()
 
     # -- stage 3: provenance censuses --------------------------------------

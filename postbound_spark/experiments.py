@@ -592,10 +592,18 @@ def tonic_explore(
     node's operators are compared by the runtimes of the plans they
     appeared in — the shared-reward credit assignment a bandit uses.
 
-    Returns one row per (query, combination): the forced operator word,
-    exec time, and a result fingerprint (exploration must never change
-    the answer). After the call, ``tonic.unknown_costs`` is empty along
-    every explored order for the explored candidate set."""
+    Costs file as ``unit="runtime"`` — a trie trained by
+    ``run_optimizer_loop`` holds per-join output-row costs
+    ("cardinality") and will refuse the mix; explore into a fresh or
+    ``reset()`` trie. Filter-aware tries get their fingerprints passed
+    through, so explored costs land on the same keyed paths replay
+    reads. Returns one row per (query, combination): the forced
+    operator word, exec time, and a result fingerprint (exploration
+    must never change the answer). After the call,
+    ``tonic.unknown_costs`` (with the same ``filters``) is empty along
+    every explored order for the explored candidate set, except where a
+    runtime plan rewrite made the executed operators unknowable (those
+    combinations are skipped with a warning, never mis-filed)."""
     import random
 
     from postbound_spark.operators.compiler import compile_plan
@@ -613,6 +621,12 @@ def tonic_explore(
         parsed = parse_query(sql)
         spec = to_query_spec(parsed)
         tables = _prepared_tables(parsed, base_tables)
+        if tonic.filter_aware:
+            from postbound_spark.optimizer.tonic import filter_fingerprints
+
+            filters = filter_fingerprints(parsed)
+        else:
+            filters = None
         order = UESJoinOrderOptimizer(spark).optimize_join_order(spec, tables)
         joins = [frozenset(j.tables()) for j in order.joins()]
         total = len(DEFAULT_CANDIDATES) ** len(joins)
@@ -642,13 +656,23 @@ def tonic_explore(
                 operators = {
                     joined: op for joined, (op, _rows) in zip(joins, steps)
                 }
-            else:  # runtime rewrite collapsed a join - file the intent
-                operators = dict(zip(joins, combo))
-            tonic.record_plan(
-                order,
-                operators,
-                {joined: exec_time for joined in joins},
-            )
+                tonic.record_plan(
+                    order,
+                    operators,
+                    {joined: exec_time for joined in joins},
+                    filters=filters,
+                    unit="runtime",
+                )
+            else:
+                # a runtime rewrite (AQE empty-relation propagation)
+                # collapsed a join: positional pairing is broken, so we
+                # cannot know which forced operators actually ran — skip
+                # training, same integrity rule as run_optimizer_loop
+                warnings.warn(
+                    f"{label}: {len(steps)} physical joins vs "
+                    f"{len(joins)} forced joins — combination executed "
+                    "but not filed into the trie"
+                )
             rows.append(
                 {
                     "label": label,

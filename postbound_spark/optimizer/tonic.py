@@ -59,6 +59,14 @@ from postbound_spark.optimizer.hints import JoinOperator, PhysicalOperatorAssign
 from postbound_spark.optimizer.jointree import JoinTree
 from postbound_spark.optimizer.stages import PhysicalOperatorSelection, QuerySpec
 
+def _weight_sum(n: int, gamma: float) -> float:
+    """Σ γ^i for i in [0, n): the total weight a gamma-discounted
+    accumulation of n observations carries (n itself when γ=1)."""
+    if gamma == 1.0:
+        return float(max(n, 1))
+    return (1.0 - gamma ** max(n, 1)) / (1.0 - gamma)
+
+
 #: the operators exploration considers when hunting un-costed cells
 DEFAULT_CANDIDATES: tuple[JoinOperator, ...] = (
     JoinOperator.BROADCAST_HASH,
@@ -87,12 +95,28 @@ class QepsNode:
         self.operator_costs[operator] = cost + gamma * prev
         self.observations[operator] = self.observations.get(operator, 0) + 1
 
-    def recommendation(self, min_operators: int = 1) -> JoinOperator | None:
+    def normalized_cost(self, operator: JoinOperator, gamma: float = 0.8) -> float:
+        """The discounted accumulation divided by its total weight
+        Σγ^i — an exponentially-weighted AVERAGE. Comparing the raw
+        accumulations (as the reference's argmin does) biases toward
+        rarely-observed operators: a steady cost c observed n times
+        accumulates toward c/(1-γ) (5c at γ=0.8) while a single
+        observation sits at c, so the reference formula can prefer a
+        once-observed 2×-more-expensive operator over a proven one.
+        Normalizing keeps the recency weighting and removes the
+        observation-count bias — a deliberate, documented divergence."""
+        return self.operator_costs[operator] / _weight_sum(
+            self.observations.get(operator, 1), gamma
+        )
+
+    def recommendation(
+        self, min_operators: int = 1, gamma: float = 0.8
+    ) -> JoinOperator | None:
         if len(self.operator_costs) < max(1, min_operators):
             return None
         return min(
             self.operator_costs,
-            key=lambda op: (self.operator_costs[op], op.value),
+            key=lambda op: (self.normalized_cost(op, gamma), op.value),
         )
 
     def missing_operators(
@@ -114,10 +138,12 @@ class QepsNode:
         }
 
     @classmethod
-    def from_dict(cls, data: dict, *, legacy_mean: bool = False) -> "QepsNode":
+    def from_dict(
+        cls, data: dict, *, legacy_mean: bool = False, gamma: float = 0.8
+    ) -> "QepsNode":
         node = cls()
         node.children = {
-            name: cls.from_dict(c, legacy_mean=legacy_mean)
+            name: cls.from_dict(c, legacy_mean=legacy_mean, gamma=gamma)
             for name, c in data.get("children", {}).items()
         }
         for op_value, (first, second) in data.get("operator_costs", {}).items():
@@ -127,10 +153,14 @@ class QepsNode:
                 "broadcast_nl" if op_value == "shuffle_replicate_nl" else op_value
             )
             count = int(second)
-            # v2 tries stored (total, count) mean-cost pairs; seed the
-            # discounted cost with the mean so old models keep their
-            # learned ranking and smooth forward from there
-            cost = float(first) / count if legacy_mean and count else float(first)
+            if legacy_mean and count:
+                # v2 tries stored (total, count) mean-cost pairs; seed the
+                # accumulation at mean x Σγ^i so the NORMALIZED cost (the
+                # comparison quantity) equals the old mean exactly and new
+                # observations smooth forward from there
+                cost = (float(first) / count) * _weight_sum(count, gamma)
+            else:
+                cost = float(first)
             node.operator_costs[op] = cost
             node.observations[op] = count
         return node
@@ -190,6 +220,28 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
         self.filter_aware = filter_aware
         self.gamma = gamma
         self.min_operators = min_operators
+        #: the unit of every cost in the trie ("cardinality", "runtime",
+        #: ...) — set by the first cost filed; mixing units in one trie
+        #: makes every comparison meaningless, so a mismatch raises
+        self.cost_unit: str | None = None
+
+    def _check_unit(self, unit: str) -> None:
+        if self.cost_unit is None:
+            self.cost_unit = unit
+        elif self.cost_unit != unit:
+            raise ValueError(
+                f"trie already holds {self.cost_unit!r} costs; filing "
+                f"{unit!r} costs into the same trie would make every "
+                "operator comparison meaningless — reset() it or use a "
+                "separate TonicOperatorSelection for the other unit"
+            )
+
+    def reset(self) -> None:
+        """Drop every learned cost and the unit (ref ``reset``
+        opt/tonic.py:1459) — configuration (gamma, filter_aware,
+        min_operators) survives."""
+        self.root = QepsNode()
+        self.cost_unit = None
 
     def _child_key(self, table: str, filters: Mapping[str, str] | None) -> str:
         """Trie key for the next table (ref ``_make_identifier``
@@ -210,10 +262,16 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
         costs: dict[frozenset[str], float],
         *,
         filters: Mapping[str, str] | None = None,
+        unit: str = "cardinality",
     ) -> None:
         """Insert one executed plan: per join step, file the used operator
         and its observed cost under the prefix node (discounted by
-        ``gamma`` against earlier observations)."""
+        ``gamma`` against earlier observations). ``unit`` names what the
+        costs measure — the loop files per-join output rows
+        ("cardinality"), exploration files wall-clock ("runtime") — and
+        the trie refuses to mix units."""
+        if costs:
+            self._check_unit(unit)
         node = self.root
         start = join_order.tables()[0]
         node = node.children.setdefault(self._child_key(start, filters), QepsNode())
@@ -243,7 +301,7 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
             node = node.children.get(self._child_key(table, filters))
             if node is None:
                 break  # prefix diverges from everything learned
-            rec = node.recommendation(self.min_operators)
+            rec = node.recommendation(self.min_operators, self.gamma)
             if rec is not None:
                 assignment.set_join_operator(joined, rec)
         return assignment
@@ -283,13 +341,16 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
         *,
         candidates: Iterable[JoinOperator] = DEFAULT_CANDIDATES,
         filters: Mapping[str, str] | None = None,
+        unit: str = "cardinality",
     ) -> int:
         """Fill every un-costed cell along ``join_order`` from a cost
         estimate instead of an execution (ref ``simulate_feedback``
         opt/tonic.py:1369 — the affordable warm-start when forcing every
         unexplored operator is too expensive). ``cost_of(joined_set,
         operator) -> float`` supplies the estimate; returns how many
-        cells were filled."""
+        cells were filled. ``unit`` must match what the trie already
+        holds (see :meth:`record_plan`)."""
+        self._check_unit(unit)
         filled = 0
         unknown = self.unknown_costs(
             join_order, candidates=candidates, filters=filters
@@ -312,9 +373,9 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
         lines: list[str] = []
 
         def walk(node: QepsNode, name: str, depth: int) -> None:
-            rec = node.recommendation(self.min_operators)
+            rec = node.recommendation(self.min_operators, self.gamma)
             costs = ", ".join(
-                f"{op.value}={node.operator_costs[op]:.4g}"
+                f"{op.value}={node.normalized_cost(op, self.gamma):.4g}"
                 f"(n={node.observations.get(op, 0)})"
                 + ("*" if op is rec else "")
                 for op in sorted(node.operator_costs, key=lambda o: o.value)
@@ -340,6 +401,8 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
             "version": self.FORMAT_VERSION,
             "gamma": self.gamma,
             "filter_aware": self.filter_aware,
+            "min_operators": self.min_operators,
+            "cost_unit": self.cost_unit,
             "root": self.root.to_dict(),
         }
         tmp = f"{path}.tmp"
@@ -359,8 +422,10 @@ class TonicOperatorSelection(PhysicalOperatorSelection):
         selection = cls(
             filter_aware=bool(payload.get("filter_aware", False)),
             gamma=float(payload.get("gamma", 0.8)),
+            min_operators=int(payload.get("min_operators", 1)),
         )
+        selection.cost_unit = payload.get("cost_unit")
         selection.root = QepsNode.from_dict(
-            payload["root"], legacy_mean=(version == 2)
+            payload["root"], legacy_mean=(version == 2), gamma=selection.gamma
         )
         return selection

@@ -233,14 +233,18 @@ def plot_analyze_plan(plan) -> str:
 def plot_tonic_qeps(selection) -> str:
     """TONIC QEP-S prefix trie → DOT (ref ``vis/tonic.py:40``
     ``plot_tonic_qeps``): each node shows its path step and the
-    recommended operator with its gamma-discounted cost."""
+    recommended operator with its normalized (weight-averaged) cost —
+    computed with the SELECTION's own min_operators/gamma so the plot
+    never shows a recommendation the stage would not emit."""
     dot = DotBuilder("tonic_qeps", directed=True)
+    min_ops = getattr(selection, "min_operators", 1)
+    gamma = getattr(selection, "gamma", 0.8)
 
     def label(step: str, node) -> str:
-        rec = node.recommendation()
+        rec = node.recommendation(min_ops, gamma)
         if rec is None:
             return step
-        return f"{step}\n{rec.name} (cost {node.operator_costs[rec]:.2f})"
+        return f"{step}\n{rec.name} (cost {node.normalized_cost(rec, gamma):.2f})"
 
     def walk(step: str, node) -> str:
         me = dot.node(node, label(step, node))

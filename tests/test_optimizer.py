@@ -1286,7 +1286,9 @@ def test_tonic_loads_v2_trie_with_mean_seed(tmp_path):
         _json.dump(v2, fh)
     revived = TonicOperatorSelection.load(path)
     node = revived.root.children["orders"].children["lineitem"]
-    assert node.operator_costs[JoinOperator.SORT_MERGE] == 1.0
+    # the v2 mean seeds the accumulation at mean x weight-sum, so the
+    # NORMALIZED cost (the comparison quantity) equals the old mean
+    assert abs(node.normalized_cost(JoinOperator.SORT_MERGE) - 1.0) < 1e-12
     assert node.observations[JoinOperator.SORT_MERGE] == 4
     assert node.recommendation() is JoinOperator.SORT_MERGE
     # and the committed round-6 matrix tries themselves still load
@@ -1315,3 +1317,71 @@ def test_tonic_inspect_renders_recommendations():
     assert "orders" in dump and "  lineitem" in dump
     assert "merge=1(n=1)*" in dump  # the recommended operator is starred
     assert "shuffle_hash=9(n=1)" in dump
+
+
+def test_tonic_normalized_costs_remove_observation_count_bias(spec):
+    """Review repro: a cheap operator observed three times must beat a
+    2x-more-expensive operator observed once. Raw gamma-discounted
+    accumulations (the reference's literal argmin) flip this — 100 x3
+    accumulates to 244 while 200 x1 sits at 200 — so comparisons run on
+    the weight-NORMALIZED cost (exponentially weighted average)."""
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+    tonic = TonicOperatorSelection()
+    order = JoinTree.left_deep(["orders", "lineitem"])
+    key = frozenset({"orders", "lineitem"})
+    for _ in range(3):
+        tonic.record_plan(order, {key: JoinOperator.SORT_MERGE}, {key: 100.0})
+    tonic.record_plan(order, {key: JoinOperator.SHUFFLE_HASH}, {key: 200.0})
+    q = QuerySpec(("orders", "lineitem"), spec.edges)
+    assert (
+        tonic.select_physical_operators(q, order).operator_for(key)
+        is JoinOperator.SORT_MERGE
+    )
+    node = tonic.root.children["orders"].children["lineitem"]
+    assert abs(node.normalized_cost(JoinOperator.SORT_MERGE) - 100.0) < 1e-9
+    assert abs(node.normalized_cost(JoinOperator.SHUFFLE_HASH) - 200.0) < 1e-9
+
+
+def test_tonic_refuses_mixed_cost_units(spec):
+    """A trie trained on per-join cardinalities (run_optimizer_loop)
+    must reject wall-clock costs (tonic_explore) — mixed units make
+    every operator comparison meaningless. reset() clears the unit."""
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+    tonic = TonicOperatorSelection()
+    order = JoinTree.left_deep(["orders", "lineitem"])
+    key = frozenset({"orders", "lineitem"})
+    tonic.record_plan(order, {key: JoinOperator.SORT_MERGE}, {key: 1000.0})
+    assert tonic.cost_unit == "cardinality"
+    with pytest.raises(ValueError, match="cardinality"):
+        tonic.record_plan(
+            order, {key: JoinOperator.SORT_MERGE}, {key: 0.2}, unit="runtime"
+        )
+    tonic.reset()
+    assert tonic.cost_unit is None and not tonic.root.children
+    tonic.record_plan(
+        order, {key: JoinOperator.SORT_MERGE}, {key: 0.2}, unit="runtime"
+    )
+    assert tonic.cost_unit == "runtime"
+
+
+def test_tonic_config_survives_persistence(tmp_path):
+    """min_operators and the cost unit round-trip through save/load —
+    a reloaded conservative (>=2 operators) model must not silently
+    start recommending from single observations."""
+    from postbound_spark.optimizer.tonic import TonicOperatorSelection
+
+    tonic = TonicOperatorSelection(min_operators=2)
+    order = JoinTree.left_deep(["orders", "lineitem"])
+    key = frozenset({"orders", "lineitem"})
+    tonic.record_plan(
+        order, {key: JoinOperator.SORT_MERGE}, {key: 0.5}, unit="runtime"
+    )
+    path = str(tmp_path / "conservative.json")
+    tonic.save(path)
+    revived = TonicOperatorSelection.load(path)
+    assert revived.min_operators == 2
+    assert revived.cost_unit == "runtime"
+    q = QuerySpec(("orders", "lineitem"), ())
+    assert not revived.select_physical_operators(q, order).join_operators
