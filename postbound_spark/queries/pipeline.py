@@ -4377,3 +4377,82 @@ def events_topk_per_window(spark, sf_dir):
         )
         .orderBy("window_start", "rnk")
     )
+
+
+_EPOCH_ORACLE = f"""
+WITH g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_WS_TOKS})) AS BIGINT) AS tok_total
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *,
+         CAST(floor(sqrt(CAST(tok_total AS DOUBLE))) AS BIGINT) AS temp_weight
+  FROM g
+),
+t AS (
+  SELECT CAST(sum(temp_weight) AS BIGINT) AS wsum,
+         CAST(sum(tok_total) AS BIGINT) * 2 AS budget
+  FROM w
+)
+SELECT w.source, w.n_docs, w.tok_total,
+       (t.budget // t.wsum) * w.temp_weight AS target_tokens,
+       CASE WHEN w.tok_total = 0 THEN 0
+            ELSE ((t.budget // t.wsum) * w.temp_weight * 1000)
+                 // w.tok_total END AS epochs_permille
+FROM w CROSS JOIN t
+ORDER BY w.source
+"""
+
+
+@query("sample_epoch_schedule", oracle=_EPOCH_ORACLE)
+def sample_epoch_schedule(spark, sf_dir):
+    """Epoch scheduling: turn temperature-mix shares plus a global token
+    budget (2x the corpus here) into per-source repeat factors — "how
+    many epochs of each source does this run see?", the upsampling
+    counterpart of ``sample_token_budget_fill``'s truncation
+    (multilingual pretraining runs low-resource sources for >1 epoch,
+    epochs_permille > 1000, and big sources fractionally).
+
+    Arithmetic is exact and overflow-safe BY ORDERING: budget x weight
+    would overflow BIGINT at web scale, so both engines compute
+    ``(budget div wsum) * weight`` — the division first, the identical
+    expression on both sides, so the floor losses agree bit-for-bit.
+    Shape: the same one-shuffle + broadcast-totals contract as
+    ``sample_temperature_mix`` (grouped source stats, a one-row total
+    derived from the grouped result, never a second corpus scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grp = (
+        docs.select("source", F.size(T.tokens(F.col("text"))).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("tok_total"),
+        )
+        .withColumn(
+            "temp_weight",
+            F.floor(F.sqrt(F.col("tok_total").cast("double"))).cast("long"),
+        )
+    )
+    grp = stage_cache(grp)
+    tot = grp.agg(
+        F.sum("temp_weight").cast("long").alias("wsum"),
+        (F.sum("tok_total").cast("long") * 2).alias("budget"),
+    )
+    target = F.expr("(budget div wsum) * temp_weight")
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tok_total",
+            target.alias("target_tokens"),
+            F.expr(
+                "CASE WHEN tok_total = 0 THEN 0 "
+                "ELSE ((budget div wsum) * temp_weight * 1000) div tok_total "
+                "END"
+            ).alias("epochs_permille"),
+        )
+        .orderBy("source")
+    )

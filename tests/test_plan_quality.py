@@ -807,3 +807,17 @@ def test_topk_per_window_uses_window_group_limit(registry, spark, sf_small):
     assert "props" not in read_schema and "event_type" not in read_schema
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_schedule_single_scan_broadcast_total(registry, spark, sf_small):
+    """sample_epoch_schedule: same contract as the temperature-mix gate —
+    one partial-agg shuffle on source, the budget/weight total derived
+    from the cached grouped result (not a second corpus scan) and
+    broadcast back, all-integer arithmetic so no Python anywhere."""
+    df = _build(registry, spark, sf_small, "sample_epoch_schedule")
+    plan = _formatted_plan(df)
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
