@@ -98,3 +98,28 @@ def test_readme_links_the_cookbook():
         assert "docs/cookbook.md" in fh.read(), (
             "README must link the cookbook"
         )
+
+
+def test_every_docs_page_links_resolve_and_is_linked_from_readme():
+    """Generalized link hygiene: EVERY docs/*.md page (not just the two
+    CI-pinned walkthroughs) must have resolvable relative links and a
+    README pointer — a page nobody can reach or whose links dangle is
+    doc rot."""
+    import glob
+
+    with open(os.path.join(REPO, "README.md")) as fh:
+        readme = fh.read()
+    pages = sorted(glob.glob(os.path.join(REPO, "docs", "*.md")))
+    assert pages, "docs/ must not be empty"
+    for page in pages:
+        rel = os.path.relpath(page, REPO)
+        assert rel in readme, f"README does not link {rel}"
+        with open(page) as fh:
+            text = fh.read()
+        for target in re.findall(r"\]\(([^)#]+)\)", text):
+            if target.startswith("http"):
+                continue
+            path = os.path.normpath(
+                os.path.join(os.path.dirname(page), target)
+            )
+            assert os.path.exists(path), f"dangling link in {rel}: {target}"

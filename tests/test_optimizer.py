@@ -1385,3 +1385,36 @@ def test_tonic_config_survives_persistence(tmp_path):
     assert revived.cost_unit == "runtime"
     q = QuerySpec(("orders", "lineitem"), ())
     assert not revived.select_physical_operators(q, order).join_operators
+
+
+def test_tonic_normalized_cost_properties():
+    """Property (hypothesis): observing a CONSTANT cost any number of
+    times leaves the normalized cost exactly that constant — so two
+    operators with equal true costs tie regardless of how often each
+    was observed, and the tie breaks deterministically on the operator
+    value. The recency property still holds: after a level shift, the
+    normalized cost moves strictly toward the new level."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from postbound_spark.optimizer.tonic import QepsNode
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        cost=st.floats(min_value=1e-6, max_value=1e9),
+        n=st.integers(min_value=1, max_value=50),
+        gamma=st.floats(min_value=0.1, max_value=0.99),
+    )
+    def check(cost, n, gamma):
+        node = QepsNode()
+        for _ in range(n):
+            node.observe(JoinOperator.SORT_MERGE, cost, gamma)
+        norm = node.normalized_cost(JoinOperator.SORT_MERGE, gamma)
+        assert abs(norm - cost) <= 1e-6 * cost
+        # level shift: one higher observation pulls the average up but
+        # never past the new level
+        node.observe(JoinOperator.SORT_MERGE, cost * 10, gamma)
+        shifted = node.normalized_cost(JoinOperator.SORT_MERGE, gamma)
+        assert cost < shifted < cost * 10
+
+    check()
