@@ -96,6 +96,81 @@ def jointree_similarity(a: JoinTree, b: JoinTree) -> float:
     return len(ia & ib) / max(len(ia), len(ib))
 
 
+def jointree_similarity_topdown(
+    a: JoinTree, b: JoinTree, *, symmetric: bool = False, gamma: float = 1.1
+) -> float:
+    """Top-down recursive similarity (ref ``jointree_similarity_topdown``
+    opt/_analysis.py:241): compare the two root splits by Jaccard
+    overlap of their child table sets, recurse into the matched pair,
+    and amplify deeper levels by ``gamma`` (earlier joins matter more —
+    they move the most data). ``symmetric=True`` additionally tries the
+    crossover pairing (outer↔inner), so commuted branches are not
+    penalized. Scores are relative (gamma compounds); compare trees of
+    the same query, not across queries."""
+
+    def jaccard(x, y) -> float:
+        x, y = set(x), set(y)
+        return len(x & y) / len(x | y) if (x or y) else 1.0
+
+    tables_a, tables_b = set(a.tables()), set(b.tables())
+    norm = 1.0 / len(tables_a | tables_b)
+
+    if len(tables_a) == 1 and len(tables_b) == 1:
+        return 1.0 if tables_a == tables_b else 0.0
+    if len(tables_a) == 1 or len(tables_b) == 1:
+        leaf, inner_tree = (a, b) if len(tables_a) == 1 else (b, a)
+        return norm * max(
+            jaccard(leaf.tables(), inner_tree.inner.tables()),
+            jaccard(leaf.tables(), inner_tree.outer.tables()),
+        )
+
+    straight = jaccard(a.inner.tables(), b.inner.tables()) + jaccard(
+        a.outer.tables(), b.outer.tables()
+    )
+    crossover = (
+        jaccard(a.inner.tables(), b.outer.tables())
+        + jaccard(a.outer.tables(), b.inner.tables())
+        if symmetric
+        else 0.0
+    )
+    node_score = norm * max(straight, crossover)
+    if symmetric and crossover > straight:
+        child_score = jointree_similarity_topdown(
+            a.inner, b.outer, symmetric=symmetric, gamma=gamma
+        ) + jointree_similarity_topdown(
+            a.outer, b.inner, symmetric=symmetric, gamma=gamma
+        )
+    else:
+        child_score = jointree_similarity_topdown(
+            a.inner, b.inner, symmetric=symmetric, gamma=gamma
+        ) + jointree_similarity_topdown(
+            a.outer, b.outer, symmetric=symmetric, gamma=gamma
+        )
+    return node_score + gamma * child_score
+
+
+def jointree_levenshtein(a: JoinTree, b: JoinTree) -> int:
+    """Levenshtein distance of the two trees' linearized table sequences
+    (ref ``linearized_levenshtein_distance`` opt/_analysis.py:345) —
+    the cheap order-sensitive complement of the set-based measures.
+    Plain O(nm) DP over the table lists; join queries are dozens of
+    tables at most, never worth more machinery."""
+    sa, sb = list(a.tables()), list(b.tables())
+    prev = list(range(len(sb) + 1))
+    for i, ta in enumerate(sa, 1):
+        cur = [i]
+        for j, tb in enumerate(sb, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ta != tb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
 def plan_diff(a: JoinTree, b: JoinTree) -> dict[str, list[frozenset[str]]]:
     """Intermediates unique to each plan (ref plan diffing ``:562``)."""
     ia = {frozenset(j.tables()) for j in a.joins()}

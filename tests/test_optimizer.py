@@ -1418,3 +1418,37 @@ def test_tonic_normalized_cost_properties():
         assert cost < shifted < cost * 10
 
     check()
+
+
+def test_jointree_similarity_topdown_and_levenshtein():
+    """ref opt/_analysis.py:241 (top-down gamma-amplified similarity)
+    and :345 (linearized levenshtein): identity maximal, near orders
+    between, reversals minimal; symmetric mode stops penalizing a
+    commuted root."""
+    from postbound_spark.optimizer.analysis import (
+        jointree_levenshtein,
+        jointree_similarity_topdown,
+    )
+
+    a = JoinTree.left_deep(["a", "b", "c", "d"])
+    near = JoinTree.left_deep(["a", "b", "d", "c"])
+    far = JoinTree.left_deep(["d", "c", "b", "a"])
+    self_score = jointree_similarity_topdown(a, a)
+    assert self_score > jointree_similarity_topdown(a, near) > (
+        jointree_similarity_topdown(a, far)
+    )
+    assert jointree_levenshtein(a, a) == 0
+    assert jointree_levenshtein(a, near) == 2
+    assert jointree_levenshtein(a, far) == 4
+    # symmetric crossover: comparing a tree against itself with the top
+    # branches swapped scores higher when commutation is not penalized
+    bushy = JoinTree.join(
+        JoinTree.left_deep(["a", "b"]), JoinTree.left_deep(["c", "d"])
+    )
+    swapped = JoinTree.join(
+        JoinTree.left_deep(["c", "d"]), JoinTree.left_deep(["a", "b"])
+    )
+    plain = jointree_similarity_topdown(bushy, swapped)
+    sym = jointree_similarity_topdown(bushy, swapped, symmetric=True)
+    assert sym > plain
+    assert sym == jointree_similarity_topdown(bushy, bushy, symmetric=True)
