@@ -142,3 +142,21 @@ def test_intermediate_cards_cover_joblight():
         n_from = len(parse_query(sql.strip().rstrip(";")).from_tables)
         assert top[label] == n_from, label
     assert (df.cardinality >= 0).all()
+
+
+def test_runtime_variation_covers_the_bench_headline():
+    """The variance-characterization artifact must track bench.py's
+    HEADLINE set — a headline change without a re-run leaves spread
+    statistics for queries the bench no longer times."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "headline_runtime_variation.parquet")
+    )
+    assert set(df.label) == set(bench.HEADLINE)
+    assert {"warm", "cold"} >= set(df.phase.unique())
