@@ -4456,3 +4456,100 @@ def sample_epoch_schedule(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_SUMMARY_CARD_ORACLE = f"""
+SELECT base.n_docs, base.n_tokens, base.n_sources, base.n_langs,
+       base.exact_dup_docs, nd.near_dup_docs, nd.near_dup_removable,
+       q.low_entropy_docs, src.top_source_token_ppm
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_WS_TOKS})) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(*) AS BIGINT)
+           - CAST(count(DISTINCT md5(lower(trim(regexp_replace(text,
+                 '\\s+', ' ', 'g'))))) AS BIGINT) AS exact_dup_docs
+  FROM documents
+) base
+CROSS JOIN (
+  SELECT (CAST(max(st) AS BIGINT) * 1000000) // CAST(sum(st) AS BIGINT)
+           AS top_source_token_ppm
+  FROM (
+    SELECT CAST(sum(len({_WS_TOKS})) AS BIGINT) AS st
+    FROM documents GROUP BY source
+  )
+) src
+CROSS JOIN (
+  SELECT CAST(count(*) AS BIGINT) AS near_dup_docs,
+         CAST(count(*) AS BIGINT)
+           - CAST(count(DISTINCT component) AS BIGINT) AS near_dup_removable
+  FROM ({_COMPONENTS_ORACLE}) comp
+) nd
+CROSS JOIN (
+  SELECT CAST(count(CASE WHEN keep = 0 THEN 1 END) AS BIGINT)
+           AS low_entropy_docs
+  FROM ({_ENTROPY_ORACLE}) ent
+) q
+"""
+
+
+@query("corpus_summary_card", oracle=_SUMMARY_CARD_ORACLE)
+def corpus_summary_card(spark, sf_dir):
+    """The dataset datasheet in one row: corpus size (docs, tokens,
+    sources, languages), exact- and near-duplicate exposure, the
+    low-entropy quality-fail count, and source concentration (top
+    source's token share) — the stats card every corpus release ships
+    and every curation run reads first.
+
+    Composition discipline: the near-dup and entropy counts aggregate
+    the REGISTERED builders' own outputs (``_duplicate_components``,
+    ``quality_char_entropy``) and the oracle embeds those entries'
+    oracle texts as subqueries, so the card can never drift from the
+    operators it summarizes. Shape: four independent single-row
+    aggregates cross-joined as broadcasts — each component keeps its
+    own documented scale contract; the card adds zero new shuffles of
+    corpus-sized data."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    base = docs.select(
+        "source", "lang",
+        F.size(T.tokens(F.col("text"))).alias("n_toks"),
+        th.alias("th"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("th")).alias("exact_dup_docs"),
+    )
+    src = (
+        docs.select("source", F.size(T.tokens(F.col("text"))).alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("long").alias("st"))
+        .agg(
+            F.expr("(max(st) * 1000000) div CAST(sum(st) AS BIGINT)").alias(
+                "top_source_token_ppm"
+            )
+        )
+    )
+    labels = _duplicate_components(spark, sf_dir)
+    nd = labels.agg(
+        F.count(F.lit(1)).alias("near_dup_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("lbl")).alias(
+            "near_dup_removable"
+        ),
+    )
+    q = quality_char_entropy(spark, sf_dir).agg(
+        F.count(F.when(F.col("keep") == 0, 1)).alias("low_entropy_docs")
+    )
+    return (
+        base.crossJoin(F.broadcast(src))
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "n_docs", "n_tokens", "n_sources", "n_langs", "exact_dup_docs",
+            "near_dup_docs", "near_dup_removable", "low_entropy_docs",
+            "top_source_token_ppm",
+        )
+    )

@@ -821,3 +821,16 @@ def test_epoch_schedule_single_scan_broadcast_total(registry, spark, sf_small):
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_summary_card_broadcast_composition(registry, spark, sf_small):
+    """corpus_summary_card: four single-row aggregates composed by
+    BROADCAST nested-loop joins (1-row sides — the only sane cross
+    shape), every aggregate partial-aggregated map-side, no
+    CartesianProduct, no Python."""
+    df = _build(registry, spark, sf_small, "corpus_summary_card")
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
