@@ -121,6 +121,7 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-6: new/changed capabilities ---
     "corpus_summary_card",  # new: one-row dataset datasheet composite
+    "text_lang_confusion",  # new: lang-ID confusion matrix w/ recall ppm
     "sample_epoch_schedule",  # new: per-source epoch/upsampling plan
     "events_anomaly_zscore",  # new: hourly volume z-scores, exact moments
     "events_topk_per_window",  # new: per-window leaderboard, WindowGroupLimit

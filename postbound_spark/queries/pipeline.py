@@ -4553,3 +4553,77 @@ def corpus_summary_card(spark, sf_dir):
             "top_source_token_ppm",
         )
     )
+
+
+_CONFUSION_ORACLE = """
+WITH v AS (
+  SELECT lang,
+         CASE WHEN vr >= 0.40 THEN 'es'
+              WHEN vr >= 0.37 THEN 'en'
+              WHEN vr >= 0.34 THEN 'fr'
+              WHEN vr >= 0.31 THEN 'de'
+              ELSE 'zh' END AS lang_pred
+  FROM (
+    SELECT lang,
+           CAST(len(text) - len(regexp_replace(text, '[aeiou]', '', 'g'))
+                AS DOUBLE) / len(text) AS vr
+    FROM documents
+  )
+),
+cells AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM v GROUP BY lang, lang_pred
+),
+tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total FROM cells GROUP BY lang)
+SELECT c.lang, c.lang_pred, c.n,
+       (c.n * 1000000) // t.lang_total AS cell_ppm,
+       CAST(c.lang = c.lang_pred AS INT) AS is_correct
+FROM cells c JOIN tot t USING (lang)
+ORDER BY lang, lang_pred
+"""
+
+
+@query("text_lang_confusion", oracle=_CONFUSION_ORACLE)
+def text_lang_confusion(spark, sf_dir):
+    """Classifier evaluation primitive: the confusion matrix of the
+    lang-ID heuristic against the labeled language — per (labeled,
+    predicted) cell count and its row-normalized share. Every model
+    swap in a curation pipeline reads this table first (which languages
+    leak into which); the diagonal's cell_ppm is per-language recall.
+
+    Uses the SAME decision-list expression as ``text_lang_id`` (one
+    per-row character statistic, shuffle-free), then one partial-
+    aggregated (lang, pred) shuffle — the matrix is bounded at
+    n_langs², never corpus-sized — and a broadcast of the per-lang
+    totals for the exact-integer ppm normalization."""
+    docs = load_table(spark, sf_dir, "documents")
+    vr = T.vowel_count("text").cast("double") / F.length("text")
+    pred = (
+        F.when(vr >= 0.40, "es")
+        .when(vr >= 0.37, "en")
+        .when(vr >= 0.34, "fr")
+        .when(vr >= 0.31, "de")
+        .otherwise("zh")
+    )
+    cells = (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = stage_cache(cells)
+    tot = cells.groupBy(F.col("lang").alias("tlang")).agg(
+        F.sum("n").cast("long").alias("lang_total")
+    )
+    return (
+        cells.join(F.broadcast(tot), F.col("lang") == F.col("tlang"))
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr("(n * 1000000) div lang_total").alias("cell_ppm"),
+            (F.col("lang") == F.col("lang_pred")).cast("int").alias(
+                "is_correct"
+            ),
+        )
+        .orderBy("lang", "lang_pred")
+    )

@@ -834,3 +834,18 @@ def test_summary_card_broadcast_composition(registry, spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lang_confusion_matrix_is_bounded(registry, spark, sf_small):
+    """text_lang_confusion: the per-row decision list stays JVM-side,
+    the (lang, pred) matrix partial-aggregates before its one shuffle
+    (bounded at n_langs^2 rows), and the per-lang totals derive from
+    the CACHED cell matrix (broadcast back) — never a second corpus
+    scan."""
+    df = _build(registry, spark, sf_small, "text_lang_confusion")
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
