@@ -160,3 +160,23 @@ def test_runtime_variation_covers_the_bench_headline():
     )
     assert set(df.label) == set(bench.HEADLINE)
     assert {"warm", "cold"} >= set(df.phase.unique())
+
+
+def test_tonic_explore_artifact_is_invariant_and_runtime_tagged():
+    """The committed exploration run: every sampled operator combination
+    returned the same answer per query, the trained trie is tagged with
+    the runtime cost unit (it must never merge into a cardinality-
+    trained trie), and the per-query runtime spread across combinations
+    is the signal exploration exists to measure."""
+    import json
+
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "job_tonic_explore.parquet")
+    )
+    assert df.label.nunique() == 10 and len(df) == 80
+    _invariant(df)
+    spread = df.groupby("label").exec_time.agg(["min", "max"])
+    assert (spread["max"] > spread["min"]).all()
+    with open(os.path.join(RESULTS, "job_qeps_trie_explored.json")) as fh:
+        trie = json.load(fh)
+    assert trie["cost_unit"] == "runtime"
