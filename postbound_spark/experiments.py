@@ -572,6 +572,7 @@ def tonic_explore(
     *,
     max_combinations: int = 8,
     seed: int = 0,
+    reps: int = 1,
 ) -> pd.DataFrame:
     """Execution-backed QEP-S exploration (ref ``explore_costs``
     opt/tonic.py:1391): walk each query's forced join order, enumerate
@@ -649,6 +650,14 @@ def tonic_explore(
             t0 = time.perf_counter()
             result = df.collect()
             exec_time = time.perf_counter() - t0
+            # reps > 1: min-of-reps per combination removes single-shot
+            # host noise — REQUIRED for optimality comparisons (a min
+            # over N single-shot combinations is selection-biased low,
+            # so replay-vs-explored_min is only fair at equal reps)
+            for _ in range(reps - 1):
+                t0 = time.perf_counter()
+                df.collect()
+                exec_time = min(exec_time, time.perf_counter() - t0)
             # file what ACTUALLY ran (enforcement can upgrade, e.g.
             # broadcast-NL -> broadcast-hash on an equi join)
             steps = observed_join_steps(df)
