@@ -120,6 +120,9 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-6: new/changed capabilities ---
+    "sample_split_assign",  # new: leakage-safe group-hash train/valid/test split
+    "corpus_source_kl",  # new: per-source KL vs corpus over the top-K vocab head
+    "text_zipf_fit",  # new: Zipf slope + r^2 corpus fingerprint
     "corpus_summary_card",  # new: one-row dataset datasheet composite
     "text_lang_confusion",  # new: lang-ID confusion matrix w/ recall ppm
     "sample_epoch_schedule",  # new: per-source epoch/upsampling plan

@@ -4627,3 +4627,266 @@ def text_lang_confusion(spark, sf_dir):
         )
         .orderBy("lang", "lang_pred")
     )
+
+_SPLIT_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5(source), 1, 6)) AS BIGINT) % 100 AS bucket,
+         len({_WS_TOKS}) AS nws
+  FROM documents
+),
+a AS (
+  SELECT CASE WHEN bucket < 60 THEN 'train'
+              WHEN bucket < 90 THEN 'valid'
+              ELSE 'test' END AS split,
+         source, nws
+  FROM d
+)
+SELECT split,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nws) AS BIGINT) AS n_ws_tokens,
+       (count(*) * 1000000) // (SELECT count(*) FROM documents) AS doc_ppm
+FROM a
+GROUP BY split
+ORDER BY split
+"""
+
+
+@query("sample_split_assign", oracle=_SPLIT_ORACLE)
+def sample_split_assign(spark, sf_dir):
+    """Leakage-safe train/valid/test split assignment: every document is
+    routed by a deterministic md5 bucket of its LEAKAGE GROUP (here
+    ``source`` — in a web corpus, the registered domain), never of the
+    document itself, so near-duplicates that share a group can never
+    straddle the split boundary and leak evaluation data into training
+    (the failure mode behind benchmark contamination). The 60/30/10 cut
+    is a configuration choice; the mechanism (group-hash mod 100 against
+    fixed thresholds) is the operator.
+
+    Scale shape: the bucket is one md5 per row computed map-side (no
+    dictionary of groups is ever materialized or broadcast — the hash IS
+    the routing table, which is what makes this work when the group key
+    has billions of distinct values); the only shuffle is the final
+    3-row aggregate with map-side partials. COUNT(DISTINCT source)
+    expands within that bounded aggregate only. The total-doc count for
+    the ppm share is a 1-row broadcast.
+
+    Reference anchor: splits/keep-lists live in the reference's workload
+    tooling (``workloads.py`` filters); the group-hash split is the
+    LLM-pipeline extension of the same deterministic-routing idea as
+    ``sample_stratified``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("source"), 1, 6), 16, 10).cast("long") % 100
+    split = (
+        F.when(bucket < 60, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    per_split = (
+        docs.select(
+            split.alias("split"),
+            "source",
+            F.size(T.tokens(F.col("text"))).alias("nws"),
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nws").cast("long").alias("n_ws_tokens"),
+        )
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        per_split.crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_sources",
+            "n_docs",
+            "n_ws_tokens",
+            F.expr("(n_docs * 1000000) div total_docs").alias("doc_ppm"),
+        )
+        .orderBy("split")
+    )
+
+
+_KL_K = 32
+
+_SOURCE_KL_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_WS_TOKS}) AS token FROM documents
+),
+sc AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, token
+),
+corpus AS (SELECT token, CAST(sum(c) AS BIGINT) AS cc FROM sc GROUP BY token),
+topk AS (SELECT token, cc FROM corpus ORDER BY cc DESC, token LIMIT {_KL_K}),
+ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM topk),
+grid AS (
+  SELECT s.source, t.token, t.cc, COALESCE(sc.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM sc) s
+  CROSS JOIN topk t
+  LEFT JOIN sc ON sc.source = s.source AND sc.token = t.token
+),
+stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM grid GROUP BY source)
+SELECT g.source,
+       st.ns AS n_tokens_topk,
+       round(CAST(sum(((g.c + 1.0) / (st.ns + {_KL_K}.0))
+                 * log2(((g.c + 1.0) / (st.ns + {_KL_K}.0))
+                        / ((g.cc + 1.0) / (ct.nc + {_KL_K}.0)))) AS DOUBLE), 6) AS kl_bits
+FROM grid g JOIN stot st USING (source) CROSS JOIN ctot ct
+GROUP BY g.source, st.ns
+ORDER BY source
+"""
+
+
+@query("corpus_source_kl", oracle=_SOURCE_KL_ORACLE)
+def corpus_source_kl(spark, sf_dir):
+    """Domain-shift scoring for data mixing: per-source KL divergence of
+    the source's token distribution from the corpus-wide distribution,
+    restricted to the corpus top-K (K=32) vocabulary with add-one
+    smoothing. This is the signal a mixture designer reads to decide
+    which sources are interchangeable and which are genuinely novel
+    (high-KL sources carry distribution mass the rest of the corpus
+    lacks); restricting support to the shared top-K head is what CCNet /
+    DSIR-style pipelines do to keep the statistic stable across corpora
+    of very different sizes.
+
+    Scale shape: one (source, token) wordcount shuffle with map-side
+    partials (never one row per occurrence over the wire), then
+    EVERYTHING downstream is bounded by construction — the top-K head is
+    a TakeOrdered (per-partition heaps, no global sort), the per-source
+    restricted counts come from a broadcast semi-join against the K-row
+    head (so the n_sources x vocab table is cut to n_sources x K BEFORE
+    any further joins), and the dense source x K grid is a crossJoin of
+    two broadcast-small sides. No corpus-sized state ever reaches the
+    driver or a broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sc = (
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sc = stage_cache(sc)
+    corpus = sc.groupBy("token").agg(F.sum("c").cast("long").alias("cc"))
+    topk = corpus.orderBy(F.desc("cc"), F.asc("token")).limit(_KL_K)
+    topk = stage_cache(topk)
+    nc = topk.agg(F.sum("cc").cast("long").alias("nc"))
+    # cut the (source, token) table to the K-token head FIRST (broadcast
+    # semi-join) so every later join handles n_sources x K rows at most
+    sck = sc.join(F.broadcast(topk.select("token")), "token")
+    sources = sc.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(topk))
+    g = (
+        grid.join(F.broadcast(sck.select("source", "token", "c")),
+                  ["source", "token"], "left")
+        .na.fill({"c": 0})
+        .crossJoin(F.broadcast(nc))
+    )
+    w = Window.partitionBy("source")
+    g = g.withColumn("ns", F.sum("c").over(w).cast("long"))
+    p_s = (F.col("c") + F.lit(1.0)) / (F.col("ns") + F.lit(float(_KL_K)))
+    p_c = (F.col("cc") + F.lit(1.0)) / (F.col("nc") + F.lit(float(_KL_K)))
+    term = p_s * F.log2(p_s / p_c)
+    return (
+        g.groupBy("source", "ns")
+        .agg(F.round(F.sum(term), 6).alias("kl_bits"))
+        .select("source", F.col("ns").alias("n_tokens_topk"), "kl_bits")
+        .orderBy("source")
+    )
+
+
+_ZIPF_N = 100
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (SELECT unnest({_WS_TOKS}) AS token FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY c DESC, token) AS r, c
+  FROM cnt ORDER BY c DESC, token LIMIT {_ZIPF_N}
+),
+pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM ranked),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+         CAST(sum(x*y) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT n AS n_points,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
+       round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+FROM s
+"""
+
+
+@query("text_zipf_fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark, sf_dir):
+    """Vocabulary-shape diagnostic: least-squares fit of log-frequency
+    against log-rank over the top-100 tokens — the Zipf slope.
+    Natural-language corpora sit near slope -1 with r² close to 1;
+    machine-generated or template-heavy corpora flatten the head or
+    break the linearity, so (slope, r²) is a two-number corpus
+    fingerprint used to compare crawls and spot synthetic contamination.
+
+    Both engines compute the IDENTICAL closed-form normal equations
+    (slope = (nΣxy-ΣxΣy)/(nΣxx-Σx²), r² = Pearson²) over ln() of
+    integers, rounded at 6 dp — no engine-specific regression function
+    is trusted on either side.
+
+    Scale shape: the wordcount shuffle is the only corpus-sized stage
+    (map-side partials), the top-100 cut is TakeOrdered, and the
+    regression runs over 100 rows in a single reduce — constant
+    state regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = (
+        cnt.orderBy(F.desc("c"), F.asc("token"))
+        .limit(_ZIPF_N)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("token")))
+            .alias("r"),
+            "c",
+        )
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -849,3 +849,46 @@ def test_lang_confusion_matrix_is_bounded(registry, spark, sf_small):
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_assign_is_map_side_routed(registry, spark, sf_small):
+    """sample_split_assign: the split route is a per-row md5 computed
+    map-side (no dictionary of groups joined or broadcast for ROUTING —
+    the hash is the routing table), the only corpus-keyed stage is the
+    3-row aggregate with map-side partials, and the total-doc share
+    joins a 1-row broadcast. No Python, no cartesian blowup."""
+    df = _build(registry, spark, sf_small, "sample_split_assign")
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total share join
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_kl_bounded_after_wordcount(registry, spark, sf_small):
+    """corpus_source_kl: ONE corpus-sized wordcount shuffle with map-side
+    partials; everything after the top-K head cut is broadcast-joined
+    (the n_sources x vocab table is semi-joined down to n_sources x K
+    BEFORE the dense grid), the head itself is a TakeOrdered, and the
+    cached (source, token) stage feeds both the corpus histogram and
+    the restricted counts without a second scan."""
+    df = _build(registry, spark, sf_small, "corpus_source_kl")
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_fit_constant_state_after_topk(registry, spark, sf_small):
+    """text_zipf_fit: the wordcount is the only corpus-sized stage
+    (map-side partial agg), the top-100 cut is TakeOrderedAndProject
+    (per-partition heaps — never a global Sort over the vocabulary),
+    and the regression reduces 100 rows to one. No Python."""
+    df = _build(registry, spark, sf_small, "text_zipf_fit")
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
