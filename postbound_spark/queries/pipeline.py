@@ -4890,3 +4890,99 @@ def text_zipf_fit(spark, sf_dir):
             6,
         ).alias("r2"),
     )
+
+
+_OUTLIER_BOTTOM = 5
+
+_EMB_OUTLIER_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         CAST(floor(CAST(CAST(sum(val) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+  FROM qv GROUP BY label, pos
+),
+scored AS (
+  SELECT v.vec_id, v.label,
+         CAST(sum(v.val * c.cval) AS BIGINT) AS dot,
+         CAST(sum(v.val * v.val) AS BIGINT) AS n2v,
+         CAST(sum(c.cval * c.cval) AS BIGINT) AS n2c
+  FROM qv v JOIN cent c ON v.label = c.label AND v.pos = c.pos
+  GROUP BY v.vec_id, v.label
+),
+cos AS (
+  SELECT vec_id, label,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))) AS cos_raw
+  FROM scored
+)
+SELECT label, vec_id, round(cos_raw, 6) AS centroid_cos, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos_raw, vec_id) AS rnk
+  FROM cos
+)
+WHERE rnk <= {_OUTLIER_BOTTOM}
+ORDER BY label, rnk
+"""
+
+
+@query("emb_outlier_centroid", oracle=_EMB_OUTLIER_ORACLE)
+def emb_outlier_centroid(spark, sf_dir):
+    """Embedding-quality screening: the bottom-5 vectors per label by
+    cosine similarity to their label centroid — the standard first pass
+    for mislabeled rows, encoder failures, and garbage inputs before a
+    corpus's embeddings are trusted for semantic dedup or retrieval
+    (SemDeDup-style pipelines run exactly this screen per cluster).
+
+    Determinism contract: vectors are integer-quantized (x1e6) and the
+    centroid is the FLOOR-OF-MEAN integer vector (floor of a double
+    division — identical in both engines, unlike `div`'s truncation
+    toward zero on negatives), so every dot product and norm is exact
+    integer arithmetic and the one cosine double is bit-identical across
+    engines — safe to ORDER BY raw, rounded only in the output column.
+    Using the mean rather than the raw centroid SUM also bounds the
+    per-dimension magnitude at quantization scale regardless of label
+    group size (a billion-vector label cannot overflow int64 products).
+
+    Scale shape: the centroid is a (label, pos) partial-agg shuffle
+    bounded at n_labels x dim rows; the assembled centroid table
+    (n_labels rows) broadcasts onto a map-only scoring pass over the
+    vectors; the bottom-5 executes as a per-label WindowGroupLimit —
+    no global sort, no pairwise joins, no driver-side state.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
+    q = stage_cache(q)
+    ex = q.select("label", F.posexplode("qv").alias("pos", "val"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.floor(
+            F.sum("val").cast("double") / F.count(F.lit(1))
+        ).cast("long").alias("cval")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("cvec")
+    )
+    scored = q.join(F.broadcast(cent_arr), "label").select(
+        "label",
+        "vec_id",
+        V.cosine_q(F.col("qv"), F.col("cvec")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _OUTLIER_BOTTOM)
+        .select(
+            "label",
+            "vec_id",
+            F.round("cos_raw", 6).alias("centroid_cos"),
+            "rnk",
+        )
+        .orderBy("label", "rnk")
+    )

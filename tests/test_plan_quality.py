@@ -892,3 +892,20 @@ def test_zipf_fit_constant_state_after_topk(registry, spark, sf_small):
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_emb_outlier_broadcast_centroids_and_group_limit(registry, spark, sf_small):
+    """emb_outlier_centroid: the (label, pos) centroid shuffle partial-
+    aggregates map-side (bounded at n_labels x dim), the n_labels-row
+    centroid table broadcasts onto a map-only scoring pass over the
+    CACHED quantized vectors, and the bottom-5 runs as a per-label
+    WindowGroupLimit — never a global sort over the scored corpus.
+    No pairwise join, no Python."""
+    df = _build(registry, spark, sf_small, "emb_outlier_centroid")
+    plan = _formatted_plan(df)
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
