@@ -221,3 +221,34 @@ def opt_plantime_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SELFJOIN_SQL,
         {("customer#1",): 3_000_000_000, ("customer#2",): 4_000_000_000},
     )
+
+
+@query("opt_dp_regional_revenue", oracle=FLAGSHIP_ORACLE)
+def opt_dp_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregation planned by the TEXTBOOK bottom-up DP
+    (optimizer/dynprog.py: Selinger access-path x join-path enumeration,
+    ref ``opt/dynprog.py:79``) under the C_out cost model over precise
+    cardinalities, physical operators chosen by the enumerator's
+    broadcast-threshold rule and enforced through the standard hint
+    path. Completes the driver-checked optimizer-strategy set (ues /
+    forced / pgdp / injected / plan-time / dp) — same invariant as every
+    optimizer entry: the chosen plan must hash-match the plain-SQL
+    oracle."""
+    from postbound_spark.optimizer import PreciseCardinalities
+    from postbound_spark.optimizer.dynprog import SelingerPlanEnumerator
+    from postbound_spark.optimizer.stages import (
+        CoutCostModel,
+        TextbookOptimizationPipeline,
+    )
+
+    tables = _filtered_tables(spark, sf_dir)
+    spec = QuerySpec(tuple(_TABLES), tuple(pk_fk_edges_for(_TABLES)))
+    estimator = PreciseCardinalities()
+    pipeline = TextbookOptimizationPipeline(
+        spark,
+        SelingerPlanEnumerator(),
+        CoutCostModel(spec, tables, estimator),
+        estimator,
+    )
+    planned = pipeline.optimize_query(spec, tables)
+    return _flagship_agg(planned.to_dataframe(tables))
