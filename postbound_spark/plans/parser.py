@@ -95,7 +95,7 @@ _KEYWORDS_STOP = {
     "when", "else", "end", "union", "intersect", "except", "asc", "desc",
     "nulls", "by", "distinct", "all", "any", "some", "exists", "over",
     "partition", "filter", "rows", "row", "only", "with", "using",
-    "lateral", "outer",
+    "lateral", "outer", "window",
 }
 
 
@@ -174,6 +174,27 @@ class _Expr:
 
 def _merge(sql: str, *parts: _Expr) -> _Expr:
     return _Expr(sql, tuple(c for p in parts for c in p.cols))
+
+
+#: marker rendered for `OVER wname` until the WINDOW clause is parsed
+_WINREF_PREFIX = "__WINREF__"
+
+
+def _resolve_winrefs(
+    proj: Q.BaseProjection, named: dict[str, _Expr]
+) -> Q.BaseProjection:
+    """Inline named-window definitions into a projection's
+    ``OVER __WINREF__name__`` markers (text + referenced columns)."""
+    sql = proj.expr.sql
+    if _WINREF_PREFIX not in sql:
+        return proj
+    cols = list(proj.expr.columns)
+    for wname, spec in named.items():
+        marker = f"OVER {_WINREF_PREFIX}{wname}__"
+        if marker in sql:
+            sql = sql.replace(marker, f"OVER ({spec.sql})")
+            cols.extend(spec.cols)
+    return Q.BaseProjection(Q.SqlExpression(sql, tuple(cols)), proj.alias)
 
 
 # ---------------------------------------------------------------------------
@@ -373,6 +394,29 @@ class _Parser:
             group_by = tuple(e.to_qal() for e in exprs)
 
         having = self._parse_predicate() if self.t.accept("having") else None
+
+        # WINDOW name AS (spec), ... — named windows (ANSI; ref pglast
+        # grammar WindowClause). Normalized away at parse time by inlining
+        # each definition into its `OVER name` references, the same
+        # normalize-at-the-door treatment as explicit-JOIN ON conditions.
+        if self.t.accept("window"):
+            named: dict[str, _Expr] = {}
+            while True:
+                wname = _ident(self.t.next())
+                if wname in named:
+                    raise ParserError(f"duplicate WINDOW name {wname!r}")
+                self.t.expect("as")
+                self.t.expect("(")
+                named[wname] = self._parse_window_body()
+                self.t.expect(")")
+                if not self.t.accept(","):
+                    break
+            projections = [_resolve_winrefs(p, named) for p in projections]
+        for p in projections:
+            if _WINREF_PREFIX in p.expr.sql:
+                bad = p.expr.sql.split(_WINREF_PREFIX, 1)[1].split("__", 1)[0]
+                raise ParserError(f"window {bad!r} is not defined")
+
         # ORDER BY / LIMIT / OFFSET / FETCH are NOT consumed here: a
         # trailing clause after a set operand belongs to the WHOLE set
         # query (ANSI), so parse_query owns them at the top level —
@@ -1120,54 +1164,68 @@ class _Parser:
             for leaf in cond.iterpredicates():
                 cols.extend(leaf.columns())
             body = f"{body} FILTER (WHERE {cond.to_sql()})"
-        # OVER (window) — ref WindowExpression :1308 (no frame spec in the
-        # reference model; frames are accepted here as text for execution)
+        # OVER (window) | OVER wname — ref WindowExpression :1308 (no frame
+        # spec in the reference model; frames are accepted here as text for
+        # execution). A bare identifier is a NAMED-window reference: it
+        # renders as an `OVER __WINREF__name__` marker that _parse_select
+        # substitutes once the trailing WINDOW clause has been parsed.
         if self.t.accept("over"):
-            self.t.expect("(")
-            wparts: list[str] = []
-            if self.t.accept("partition", "by"):
-                pexprs = [self._parse_expression()]
-                while self.t.accept(","):
-                    pexprs.append(self._parse_expression())
-                for p in pexprs:
-                    cols.extend(p.cols)
-                wparts.append(
-                    "PARTITION BY " + ", ".join(p.sql for p in pexprs)
-                )
-            if self.t.accept("order", "by"):
-                oitems: list[str] = []
-                while True:
-                    oexpr = self._parse_expression()
-                    cols.extend(oexpr.cols)
-                    otxt = oexpr.sql
-                    if self.t.accept("desc"):
-                        otxt += " DESC"
-                    elif self.t.accept("asc"):
-                        otxt += " ASC"
-                    if self.t.accept("nulls", "first"):
-                        otxt += " NULLS FIRST"
-                    elif self.t.accept("nulls", "last"):
-                        otxt += " NULLS LAST"
-                    oitems.append(otxt)
-                    if not self.t.accept(","):
-                        break
-                wparts.append("ORDER BY " + ", ".join(oitems))
-            if self.t.peek_kw() in ("rows", "range"):
-                frame = [self.t.next().upper()]
-                depth = 0
-                while self.t.peek() is not None:
-                    nxt = self.t.peek()
-                    if nxt == "(":
-                        depth += 1
-                    elif nxt == ")":
-                        if depth == 0:
-                            break
-                        depth -= 1
-                    frame.append(self.t.next().upper())
-                wparts.append(" ".join(frame))
-            self.t.expect(")")
-            body = f"{body} OVER ({' '.join(wparts)})"
+            if self.t.accept("("):
+                spec = self._parse_window_body()
+                cols.extend(spec.cols)
+                self.t.expect(")")
+                body = f"{body} OVER ({spec.sql})"
+            else:
+                wname = _ident(self.t.next())
+                body = f"{body} OVER {_WINREF_PREFIX}{wname}__"
         return _Expr(body, tuple(cols))
+
+    def _parse_window_body(self) -> _Expr:
+        """The inside of a window specification — shared by inline
+        ``OVER (...)`` and the named ``WINDOW w AS (...)`` clause."""
+        cols: list[Q.ColumnReference] = []
+        wparts: list[str] = []
+        if self.t.accept("partition", "by"):
+            pexprs = [self._parse_expression()]
+            while self.t.accept(","):
+                pexprs.append(self._parse_expression())
+            for p in pexprs:
+                cols.extend(p.cols)
+            wparts.append(
+                "PARTITION BY " + ", ".join(p.sql for p in pexprs)
+            )
+        if self.t.accept("order", "by"):
+            oitems: list[str] = []
+            while True:
+                oexpr = self._parse_expression()
+                cols.extend(oexpr.cols)
+                otxt = oexpr.sql
+                if self.t.accept("desc"):
+                    otxt += " DESC"
+                elif self.t.accept("asc"):
+                    otxt += " ASC"
+                if self.t.accept("nulls", "first"):
+                    otxt += " NULLS FIRST"
+                elif self.t.accept("nulls", "last"):
+                    otxt += " NULLS LAST"
+                oitems.append(otxt)
+                if not self.t.accept(","):
+                    break
+            wparts.append("ORDER BY " + ", ".join(oitems))
+        if self.t.peek_kw() in ("rows", "range"):
+            frame = [self.t.next().upper()]
+            depth = 0
+            while self.t.peek() is not None:
+                nxt = self.t.peek()
+                if nxt == "(":
+                    depth += 1
+                elif nxt == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                frame.append(self.t.next().upper())
+            wparts.append(" ".join(frame))
+        return _Expr(" ".join(wparts), tuple(cols))
 
 
 def _inline(q: Q.SqlQuery | Q.SetQuery) -> str:

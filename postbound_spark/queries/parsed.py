@@ -343,3 +343,30 @@ def parsed_ssb_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _ssb_text("ssb_q3_1"),
         ["lineitem", "orders", "customer", "supplier", "nation", "region"],
     )
+
+
+_NAMED_WINDOW_SQL = """
+SELECT o_orderstatus, o_orderkey, rn, running
+FROM (SELECT o_orderstatus, o_orderkey,
+             row_number() OVER w AS rn,
+             round(sum(o_totalprice) OVER w, 2) AS running
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)) t
+WHERE rn <= 5
+ORDER BY o_orderstatus, rn
+"""
+
+
+@query("parsed_named_window", oracle=_NAMED_WINDOW_SQL)
+def parsed_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause through the native parser (ANSI windows; the
+    reference's pglast grammar carries a WindowClause the same way). The
+    parser normalizes at the door — each ``OVER w`` reference inlines the
+    named definition (text + referenced columns), mirroring how explicit
+    JOIN ON conditions merge into WHERE — so the algebra/compile path
+    sees ordinary inline windows and Spark executes the per-partition
+    row_number as a WindowGroupLimit-eligible shape. The running sum
+    accumulates in deterministic frame order (unique ORDER BY key), so
+    the rounded doubles agree across engines. DuckDB runs the identical
+    text natively."""
+    return _native(spark, sf_dir, _NAMED_WINDOW_SQL, ["orders"])

@@ -809,3 +809,60 @@ def test_connected_order_is_deterministic_for_self_joins():
         "WHERE n1.n_regionkey = r.r_regionkey AND n2.n_regionkey = r.r_regionkey"
     )
     assert order == ["n1", "r", "n2"]
+
+
+class TestNamedWindows:
+    """WINDOW clause (ANSI named windows; the reference's pglast grammar
+    models a WindowClause). The parser normalizes at the door: every
+    `OVER w` inlines the named definition — text AND referenced columns —
+    so downstream layers only ever see inline windows."""
+
+    def test_inlines_definition_into_both_references(self):
+        q = parse_query(
+            "SELECT o_custkey, rank() OVER w AS r, sum(o_totalprice) OVER w AS s "
+            "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)"
+        )
+        sql = q.to_sql()
+        assert sql.count("OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)") == 2
+        assert "WINDOW" not in sql and "__WINREF__" not in sql
+
+    def test_multiple_named_windows(self):
+        q = parse_query(
+            "SELECT rank() OVER w AS r, avg(o_totalprice) OVER v AS a FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice), "
+            "v AS (PARTITION BY o_orderstatus)"
+        )
+        sql = q.to_sql()
+        assert "OVER (PARTITION BY o_custkey ORDER BY o_totalprice)" in sql
+        assert "OVER (PARTITION BY o_orderstatus)" in sql
+
+    def test_window_columns_tracked_for_binding(self):
+        q = parse_query(
+            "SELECT rank() OVER w AS r FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)"
+        )
+        cols = {c.name for c in q.select[0].expr.columns}
+        assert {"o_custkey", "o_totalprice"} <= cols
+
+    def test_undefined_window_raises(self):
+        with pytest.raises(ParserError, match="not defined"):
+            parse_query("SELECT rank() OVER w AS r FROM orders")
+        with pytest.raises(ParserError, match="not defined"):
+            parse_query(
+                "SELECT rank() OVER w AS r FROM orders "
+                "WINDOW v AS (ORDER BY o_orderkey)"
+            )
+
+    def test_duplicate_window_name_raises(self):
+        with pytest.raises(ParserError, match="duplicate WINDOW"):
+            parse_query(
+                "SELECT rank() OVER w AS r FROM orders "
+                "WINDOW w AS (ORDER BY o_orderkey), w AS (ORDER BY o_custkey)"
+            )
+
+    def test_named_window_with_frame_spec(self):
+        q = parse_query(
+            "SELECT sum(o_totalprice) OVER w AS s FROM orders "
+            "WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        )
+        assert "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW" in q.to_sql()
