@@ -804,6 +804,32 @@ class _Parser:
                 self.t.i = mark
             else:
                 nxt = self.t.peek_kw()
+                # (pred) IS [NOT] TRUE/FALSE/UNKNOWN — the ANSI boolean
+                # test over a parenthesized predicate; only this IS form
+                # keeps the predicate reading ((x) IS NULL needs the
+                # expression re-parse below)
+                if nxt == "is" and self.t.peek_kw(1) in (
+                    "true", "false", "unknown",
+                ) or (
+                    nxt == "is"
+                    and self.t.peek_kw(1) == "not"
+                    and self.t.peek_kw(2) in ("true", "false", "unknown")
+                ):
+                    self.t.next()
+                    is_not = self.t.accept("not")
+                    word = self.t.next().lower()
+                    op = Q.UnaryOperation[
+                        f"IS_{'NOT_' if is_not else ''}{word.upper()}"
+                    ]
+                    wrapped = Q.SqlExpression(
+                        f"({inner.to_sql()})",
+                        tuple(
+                            c
+                            for leaf in inner.iterpredicates()
+                            for c in leaf.columns()
+                        ),
+                    )
+                    return Q.UnaryPredicate(op, wrapped)
                 expr_ops = {
                     "=", "<>", "!=", "<", "<=", ">", ">=", "+", "-", "*",
                     "/", "%", "||", "::", "[", "between", "in", "like",
@@ -883,7 +909,15 @@ class _Parser:
                     else Q.LogicalOperator.IS_DISTINCT_FROM
                 )
                 return Q.BinaryPredicate(op, expr.to_qal(), rhs.to_qal())
-            raise ParserError("expected NULL or DISTINCT FROM after IS")
+            for word in ("true", "false", "unknown"):
+                if self.t.accept(word):
+                    op = Q.UnaryOperation[
+                        f"IS_{'NOT_' if is_not else ''}{word.upper()}"
+                    ]
+                    return Q.UnaryPredicate(op, expr.to_qal())
+            raise ParserError(
+                "expected NULL, DISTINCT FROM, TRUE, FALSE or UNKNOWN after IS"
+            )
 
         comparison = {
             "=": Q.LogicalOperator.EQ,
@@ -1137,7 +1171,11 @@ class _Parser:
         name = _ident(self.t.next())
         self.t.expect("(")
         cols: list[Q.ColumnReference] = []
-        if self.t.peek() == "*":
+        special = self._parse_special_call_body(name)
+        if special is not None:
+            body, scols = special
+            cols.extend(scols)
+        elif self.t.peek() == "*":
             self.t.next()
             self.t.expect(")")
             body = f"{name}(*)"
@@ -1179,6 +1217,58 @@ class _Parser:
                 wname = _ident(self.t.next())
                 body = f"{body} OVER {_WINREF_PREFIX}{wname}__"
         return _Expr(body, tuple(cols))
+
+    def _parse_special_call_body(
+        self, name: str
+    ) -> tuple[str, tuple[Q.ColumnReference, ...]] | None:
+        """ANSI keyword-argument call forms (ref pglast grammar; both
+        Spark SQL and DuckDB execute these spellings verbatim, so the
+        text is carried as written): ``POSITION(a IN b)``,
+        ``substring(s FROM start [FOR len])``, and
+        ``TRIM([BOTH|LEADING|TRAILING] chars FROM s)``. Returns None
+        when the call is the ordinary comma form — the caller falls
+        through to the generic argument list."""
+        if name == "position":
+            a = self._parse_expression()
+            self.t.expect("in")
+            b = self._parse_expression()
+            self.t.expect(")")
+            return f"position({a.sql} IN {b.sql})", a.cols + b.cols
+        if name in ("substring", "substr"):
+            mark = self.t.i
+            s = self._parse_expression()
+            if not self.t.accept("from"):
+                self.t.i = mark  # comma form — generic path re-parses
+                return None
+            start = self._parse_expression()
+            body = f"{name}({s.sql} FROM {start.sql}"
+            cols = s.cols + start.cols
+            if self.t.accept("for"):
+                ln = self._parse_expression()
+                body += f" FOR {ln.sql}"
+                cols += ln.cols
+            self.t.expect(")")
+            return body + ")", cols
+        if name == "trim":
+            mode = ""
+            if self.t.peek_kw() in ("both", "leading", "trailing"):
+                mode = self.t.next().upper() + " "
+            mark = self.t.i
+            chars = self._parse_expression()
+            if not self.t.accept("from"):
+                if mode:
+                    raise ParserError(
+                        "expected FROM in TRIM(BOTH|LEADING|TRAILING ...)"
+                    )
+                self.t.i = mark  # plain trim(args...) — generic path
+                return None
+            s = self._parse_expression()
+            self.t.expect(")")
+            return (
+                f"trim({mode}{chars.sql} FROM {s.sql})",
+                chars.cols + s.cols,
+            )
+        return None
 
     def _parse_window_body(self) -> _Expr:
         """The inside of a window specification — shared by inline

@@ -400,6 +400,14 @@ class UnaryOperation(enum.Enum):
     EXISTS = "EXISTS"
     NOT_EXISTS = "NOT EXISTS"
     BARE = ""  # bare boolean expression / UDF filter (tests/test_qal.py:475)
+    # ANSI boolean tests (pg BooleanTest; Spark SQL and DuckDB both
+    # execute the postfix spelling verbatim)
+    IS_TRUE = "IS TRUE"
+    IS_NOT_TRUE = "IS NOT TRUE"
+    IS_FALSE = "IS FALSE"
+    IS_NOT_FALSE = "IS NOT FALSE"
+    IS_UNKNOWN = "IS UNKNOWN"
+    IS_NOT_UNKNOWN = "IS NOT UNKNOWN"
 
 
 @dataclass(frozen=True)

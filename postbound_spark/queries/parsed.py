@@ -370,3 +370,28 @@ def parsed_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rounded doubles agree across engines. DuckDB runs the identical
     text natively."""
     return _native(spark, sf_dir, _NAMED_WINDOW_SQL, ["orders"])
+
+
+_ANSI_FORMS_SQL = """
+SELECT c_custkey,
+       CAST(position('a' IN c_name) AS BIGINT) AS pos_a,
+       substring(c_name FROM 2 FOR 5) AS mid,
+       trim(BOTH ' ' FROM c_name) AS trimmed
+FROM customer
+WHERE (c_acctbal > 0) IS TRUE AND (c_acctbal IS NULL) IS NOT TRUE
+ORDER BY c_custkey
+LIMIT 50
+"""
+
+
+@query("parsed_ansi_call_forms", oracle=_ANSI_FORMS_SQL)
+def parsed_ansi_call_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI keyword-argument call forms and boolean tests through the
+    native parser (ref pglast grammar: BooleanTest, the POSITION /
+    SUBSTRING FROM-FOR / TRIM BOTH-FROM special productions): both
+    Spark SQL and DuckDB execute these spellings verbatim, so the parser
+    carries the text as written and the identical query runs on both
+    engines. The boolean tests exercise both the expression-tail path
+    (`x IS NULL ... IS NOT TRUE`) and the parenthesized-predicate path
+    (`(a > 0) IS TRUE`)."""
+    return _native(spark, sf_dir, _ANSI_FORMS_SQL, ["customer"])

@@ -180,3 +180,26 @@ def test_tonic_explore_artifact_is_invariant_and_runtime_tagged():
     with open(os.path.join(RESULTS, "job_qeps_trie_explored.json")) as fh:
         trie = json.load(fh)
     assert trie["cost_unit"] == "runtime"
+
+
+def test_tonic_explore_replay_artifact_equal_noise_floors():
+    """The min-of-reps exploration+replay run (run_tonic_explore.py,
+    reps=3): the committed artifact resolves the round-6 characterization
+    caveat — at EQUAL noise floors the trained trie's replay lands inside
+    the explored spread on every query and within a few percent of the
+    per-query explored minimum on average (sometimes below it, which is
+    the discrimination limit: warm fixture-scale runtimes differ by
+    single-digit milliseconds between operator combinations, so the
+    residual gap is host noise, not recommender error). Answers remain
+    invariant across all explored combinations AND the replay."""
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "job_tonic_explore_reps.parquet")
+    )
+    explore = df[df.phase == "explore"]
+    replay = df[df.phase == "replay"]
+    assert len(explore) == 80 and len(replay) == 10
+    assert (df.groupby("label").result_fingerprint.nunique() == 1).all()
+    assert replay.within_spread.all()
+    assert replay.gap_to_min.mean() < 1.15
+    # replay was produced by a trie recommendation at every join
+    assert not replay.combination.str.contains(r"\?").any()

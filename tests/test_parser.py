@@ -866,3 +866,61 @@ class TestNamedWindows:
             "WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
         )
         assert "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW" in q.to_sql()
+
+
+class TestAnsiCallFormsAndBooleanTests:
+    """POSITION(a IN b), substring(s FROM p FOR n), TRIM(BOTH c FROM s),
+    and IS [NOT] TRUE/FALSE/UNKNOWN — pglast-grammar forms both engines
+    execute verbatim, so the parser carries the spelling as written."""
+
+    @pytest.mark.parametrize("sql,frag", [
+        ("SELECT POSITION('a' IN c_name) AS p FROM customer",
+         "position('a' IN c_name)"),
+        ("SELECT substring(c_name FROM 2 FOR 3) AS s FROM customer",
+         "substring(c_name FROM 2 FOR 3)"),
+        ("SELECT substring(c_name FROM 2) AS s FROM customer",
+         "substring(c_name FROM 2)"),
+        ("SELECT TRIM(BOTH ' ' FROM c_name) AS t FROM customer",
+         "trim(BOTH ' ' FROM c_name)"),
+        ("SELECT TRIM(LEADING 'x' FROM c_name) AS t FROM customer",
+         "trim(LEADING 'x' FROM c_name)"),
+        ("SELECT TRIM(' ' FROM c_name) AS t FROM customer",
+         "trim(' ' FROM c_name)"),
+    ])
+    def test_keyword_argument_calls_round_trip(self, sql, frag):
+        q = parse_query(sql)
+        assert frag in q.to_sql()
+        # re-parse of the rendered SQL is stable
+        assert frag in parse_query(q.to_sql()).to_sql()
+
+    def test_keyword_call_columns_tracked(self):
+        q = parse_query("SELECT POSITION('a' IN c_name) AS p FROM customer")
+        assert {c.name for c in q.select[0].expr.columns} == {"c_name"}
+
+    @pytest.mark.parametrize("sql,frag", [
+        ("SELECT c_name FROM customer WHERE (c_acctbal > 0) IS TRUE",
+         "(c_acctbal > 0) IS TRUE"),
+        ("SELECT c_name FROM customer WHERE (c_acctbal > 0) IS NOT UNKNOWN",
+         "(c_acctbal > 0) IS NOT UNKNOWN"),
+        ("SELECT c_name FROM customer WHERE (c_acctbal IS NULL) IS FALSE",
+         "(c_acctbal IS NULL) IS FALSE"),
+        ("SELECT c_name FROM customer WHERE c_acctbal > 0 AND (c_nationkey = 1) IS NOT FALSE",
+         "(c_nationkey = 1) IS NOT FALSE"),
+    ])
+    def test_boolean_tests_round_trip(self, sql, frag):
+        q = parse_query(sql)
+        assert frag in q.to_sql()
+        assert frag in parse_query(q.to_sql()).to_sql()
+
+    def test_boolean_test_columns_tracked(self):
+        q = parse_query(
+            "SELECT c_name FROM customer WHERE (c_acctbal > 0) IS TRUE"
+        )
+        cols = {c.name for leaf in q.where.iterpredicates() for c in leaf.columns()}
+        assert "c_acctbal" in cols
+
+    def test_plain_parenthesized_expr_unaffected(self):
+        q = parse_query(
+            "SELECT c_name FROM customer WHERE (c_acctbal) IS NOT NULL"
+        )
+        assert "c_acctbal IS NOT NULL" in q.to_sql().replace("(c_acctbal)", "c_acctbal")
