@@ -123,3 +123,38 @@ def test_every_docs_page_links_resolve_and_is_linked_from_readme():
                 os.path.join(os.path.dirname(page), target)
             )
             assert os.path.exists(path), f"dangling link in {rel}: {target}"
+
+
+def test_pipeline_catalog_names_exist_in_registry():
+    """docs/pipeline.md lists operators by registry name (backticked
+    table cells); every listed name must exist in the registry, and
+    every registry entry of the catalog's families must be listed —
+    the catalog cannot silently go stale in either direction."""
+    from postbound_spark.queries import load_all
+
+    with open(os.path.join(REPO, "docs", "pipeline.md")) as fh:
+        doc = fh.read()
+    registry = set(load_all())
+    listed = {
+        name
+        for name in re.findall(r"`([a-z0-9_]+)`", doc)
+        if re.fullmatch(r"[a-z0-9]+(_[a-z0-9]+)+", name)
+    }
+    missing_from_registry = {
+        n for n in listed if n not in registry and "_" in n
+        and n.split("_")[0] in (
+            "dedup", "ann", "emb", "text", "quality", "contamination",
+            "sample", "corpus", "tokenizer", "sketch", "events", "mm",
+            "pipeline",
+        )
+    }
+    assert not missing_from_registry, missing_from_registry
+    families = (
+        "dedup_", "ann_", "emb_", "text_", "quality_", "contamination_",
+        "sample_", "corpus_", "tokenizer_", "sketch_", "events_", "mm_",
+        "pipeline_",
+    )
+    unlisted = {
+        n for n in registry if n.startswith(families) and n not in listed
+    }
+    assert not unlisted, f"registry entries missing from docs/pipeline.md: {unlisted}"
