@@ -103,6 +103,26 @@ GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
 """
 
 
+_GROUPING_MARKER_SQL = """
+SELECT n.n_name, c.c_mktsegment,
+       CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+       CAST(GROUPING(c.c_mktsegment) AS INT) AS g_segment,
+       count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+"""
+
+
+@query("sql_grouping_marker", oracle=_GROUPING_MARKER_SQL)
+def sql_grouping_marker(spark, sf_dir):
+    """GROUPING() markers over ROLLUP — the companion that makes
+    super-aggregate rows distinguishable from genuine NULL group keys
+    (without it, a rollup over a nullable column is ambiguous). Both
+    engines run the identical spelling; the CAST pins the flag dtype
+    (Spark grouping() is byte, DuckDB's is wider)."""
+    return _sql(spark, sf_dir, _GROUPING_MARKER_SQL, ["customer", "nation"])
+
+
 @query("sql_rollup", oracle=_ROLLUP_SQL)
 def sql_rollup(spark, sf_dir):
     """ROLLUP — engine extension beyond the reference (it rejects
