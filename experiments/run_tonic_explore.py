@@ -30,31 +30,13 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SLICE = ["1a", "3a", "5a", "8a", "10a", "14a", "17a", "22a", "26a", "32a"]
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "workloads", "fixtures", "job",
 )
-
-
-def _cached_fixture(name: str, generate) -> str:
-    """Same staging+rename idempotent cache as run_optimizer_loop."""
-    import shutil
-    import tempfile
-
-    data_dir = os.path.join(tempfile.gettempdir(), name)
-    done = os.path.join(data_dir, ".complete")
-    if os.path.exists(done):
-        return data_dir
-    shutil.rmtree(data_dir, ignore_errors=True)
-    staging = data_dir + ".staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    generate(staging)
-    with open(os.path.join(staging, ".complete"), "w") as fh:
-        fh.write("ok\n")
-    os.replace(staging, data_dir)
-    return data_dir
 
 
 def main() -> None:
@@ -91,9 +73,13 @@ def main() -> None:
         generate_imdb_fixture,
     )
 
+    # the one shared fixture cache every experiment runner uses — same
+    # helper, same cache name, so the dataset generates once per machine
+    from run_optimizer_loop import _cached_fixture
+
     spark = get_spark("tonic-explore", cpus=8, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
-    data_dir = _cached_fixture("pbspark_imdb_fixture", generate_imdb_fixture)
+    data_dir = _cached_fixture("postbound_spark_imdb", generate_imdb_fixture)
     base = {}
     for t in IMDB_TABLES:
         df = spark.read.parquet(os.path.join(data_dir, f"{t}.parquet"))
@@ -159,7 +145,7 @@ def main() -> None:
 
     replay = pd.DataFrame(replay_rows)
     frame = pd.concat([explored, replay], ignore_index=True)
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     frame.to_parquet(out_path, index=False)
     tonic.save(trie_path)
 

@@ -176,21 +176,35 @@ def _merge(sql: str, *parts: _Expr) -> _Expr:
     return _Expr(sql, tuple(c for p in parts for c in p.cols))
 
 
-#: marker rendered for `OVER wname` until the WINDOW clause is parsed
-_WINREF_PREFIX = "__WINREF__"
+#: marker rendered for `OVER wname` until the WINDOW clause is parsed.
+#: NUL-delimited on BOTH sides: a NUL cannot appear in tokenized SQL text
+#: (so a string literal can never false-positive the leftover check) and
+#: the terminal NUL makes one window name never a prefix of another's
+#: marker (`w` vs `w__x`).
+_WINREF_PREFIX = "\x00WINREF\x00"
+_WINREF_SUFFIX = "\x00"
+
+
+def _winref_marker(name: str) -> str:
+    return f"{_WINREF_PREFIX}{name}{_WINREF_SUFFIX}"
+
+
+def _winref_name(sql: str) -> str:
+    """The window name of the first unresolved marker in ``sql``."""
+    return sql.split(_WINREF_PREFIX, 1)[1].split(_WINREF_SUFFIX, 1)[0]
 
 
 def _resolve_winrefs(
     proj: Q.BaseProjection, named: dict[str, _Expr]
 ) -> Q.BaseProjection:
     """Inline named-window definitions into a projection's
-    ``OVER __WINREF__name__`` markers (text + referenced columns)."""
+    ``OVER <marker>`` references (text + referenced columns)."""
     sql = proj.expr.sql
     if _WINREF_PREFIX not in sql:
         return proj
     cols = list(proj.expr.columns)
     for wname, spec in named.items():
-        marker = f"OVER {_WINREF_PREFIX}{wname}__"
+        marker = f"OVER {_winref_marker(wname)}"
         if marker in sql:
             sql = sql.replace(marker, f"OVER ({spec.sql})")
             cols.extend(spec.cols)
@@ -414,8 +428,9 @@ class _Parser:
             projections = [_resolve_winrefs(p, named) for p in projections]
         for p in projections:
             if _WINREF_PREFIX in p.expr.sql:
-                bad = p.expr.sql.split(_WINREF_PREFIX, 1)[1].split("__", 1)[0]
-                raise ParserError(f"window {bad!r} is not defined")
+                raise ParserError(
+                    f"window {_winref_name(p.expr.sql)!r} is not defined"
+                )
 
         # ORDER BY / LIMIT / OFFSET / FETCH are NOT consumed here: a
         # trailing clause after a set operand belongs to the WHOLE set
@@ -445,6 +460,17 @@ class _Parser:
         if self.t.accept("order", "by"):
             while True:
                 expr = self._parse_expression()
+                if _WINREF_PREFIX in expr.sql:
+                    # named windows are resolved inside _parse_select; a
+                    # reference here (top-level ORDER BY) has no defining
+                    # scope — reject rather than leak the marker (order
+                    # by the window function's select-list ALIAS instead)
+                    raise UnsupportedSqlError(
+                        f"named window {_winref_name(expr.sql)!r} referenced "
+                        "in ORDER BY — named-window references are supported "
+                        "in the SELECT list only; order by the select-item "
+                        "alias instead"
+                    )
                 ascending = True
                 if self.t.accept("desc"):
                     ascending = False
@@ -1215,7 +1241,7 @@ class _Parser:
                 body = f"{body} OVER ({spec.sql})"
             else:
                 wname = _ident(self.t.next())
-                body = f"{body} OVER {_WINREF_PREFIX}{wname}__"
+                body = f"{body} OVER {_winref_marker(wname)}"
         return _Expr(body, tuple(cols))
 
     def _parse_special_call_body(
@@ -1229,8 +1255,11 @@ class _Parser:
         when the call is the ordinary comma form — the caller falls
         through to the generic argument list."""
         if name == "position":
+            mark = self.t.i
             a = self._parse_expression()
-            self.t.expect("in")
+            if not self.t.accept("in"):
+                self.t.i = mark  # comma form position(a, b) — generic path
+                return None
             b = self._parse_expression()
             self.t.expect(")")
             return f"position({a.sql} IN {b.sql})", a.cols + b.cols
@@ -1253,6 +1282,13 @@ class _Parser:
             mode = ""
             if self.t.peek_kw() in ("both", "leading", "trailing"):
                 mode = self.t.next().upper() + " "
+                if self.t.accept("from"):
+                    # TRIM(BOTH FROM s) — ANSI default trim-chars
+                    # (Spark accepts this form; bare TRIM(FROM s) it
+                    # does not, so that stays the generic-path error)
+                    s = self._parse_expression()
+                    self.t.expect(")")
+                    return f"trim({mode}FROM {s.sql})", s.cols
             mark = self.t.i
             chars = self._parse_expression()
             if not self.t.accept("from"):
@@ -1453,6 +1489,17 @@ def parse_query(
         if m and "'" not in text[: m.start()]:
             hint = m.group(1).strip()
     result = _Parser(text).parse()
+    # catch-all for named-window markers that escaped every resolving
+    # scope (e.g. `OVER w` inside WHERE/GROUP BY/HAVING, where window
+    # functions are illegal anyway) — the NUL-delimited marker must
+    # never leak into rendered SQL
+    rendered = result.to_sql()
+    if _WINREF_PREFIX in rendered:
+        raise ParserError(
+            f"window {_winref_name(rendered)!r} is not defined (named-"
+            "window references resolve in the SELECT list of the query "
+            "level that declares the WINDOW clause)"
+        )
     if hint and isinstance(result, Q.SqlQuery):
         result = replace(result, hint=hint)
     if isinstance(result, Q.SqlQuery) and schema:

@@ -824,7 +824,7 @@ class TestNamedWindows:
         )
         sql = q.to_sql()
         assert sql.count("OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)") == 2
-        assert "WINDOW" not in sql and "__WINREF__" not in sql
+        assert "WINDOW" not in sql and "\x00" not in sql
 
     def test_multiple_named_windows(self):
         q = parse_query(
@@ -924,3 +924,61 @@ class TestAnsiCallFormsAndBooleanTests:
             "SELECT c_name FROM customer WHERE (c_acctbal) IS NOT NULL"
         )
         assert "c_acctbal IS NOT NULL" in q.to_sql().replace("(c_acctbal)", "c_acctbal")
+
+
+class TestReviewRegressionsRound6:
+    """Regression pins for the round-6 review findings on the named-window
+    and ANSI-call-form additions."""
+
+    def test_position_comma_form_still_parses(self):
+        q = parse_query("SELECT position('a', c_name) AS p FROM customer")
+        assert "position('a', c_name)" in q.to_sql()
+
+    def test_order_by_named_window_rejected_not_leaked(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises((UnsupportedSqlError, ParserError), match="window"):
+            parse_query(
+                "SELECT o_orderkey FROM orders "
+                "WINDOW w AS (ORDER BY o_orderkey) ORDER BY rank() OVER w"
+            )
+        with pytest.raises((UnsupportedSqlError, ParserError), match="window"):
+            parse_query("SELECT o_orderkey FROM orders ORDER BY rank() OVER w")
+
+    def test_window_name_prefix_collision_resolves_both(self):
+        q = parse_query(
+            "SELECT rank() OVER w AS r, dense_rank() OVER wx AS d FROM orders "
+            "WINDOW w AS (ORDER BY o_orderkey), wx AS (ORDER BY o_custkey)"
+        )
+        sql = q.to_sql()
+        assert "rank() OVER (ORDER BY o_orderkey)" in sql
+        assert "dense_rank() OVER (ORDER BY o_custkey)" in sql
+        assert "\x00" not in sql
+
+    def test_undefined_window_with_underscore_name_raises(self):
+        with pytest.raises(ParserError, match="not defined"):
+            parse_query(
+                "SELECT rank() OVER w_x AS r FROM orders "
+                "WINDOW w AS (ORDER BY o_orderkey)"
+            )
+
+    def test_string_literal_cannot_fake_a_marker(self):
+        q = parse_query("SELECT 'x__WINREF__y__' AS s FROM customer")
+        assert "x__WINREF__y__" in q.to_sql()
+
+    def test_window_in_where_clause_rejected(self):
+        with pytest.raises(ParserError, match="not defined"):
+            parse_query(
+                "SELECT o_orderkey FROM orders WHERE rank() OVER w > 1 "
+                "WINDOW w AS (ORDER BY o_orderkey)"
+            )
+
+    def test_trim_mode_with_default_chars(self):
+        q = parse_query("SELECT TRIM(BOTH FROM c_name) AS t FROM customer")
+        assert "trim(BOTH FROM c_name)" in q.to_sql()
+
+    def test_quoted_window_identifier_still_usable(self):
+        # WINDOW is reserved (as in the reference's PostgreSQL grammar);
+        # the quoted spelling remains available for columns named window
+        q = parse_query('SELECT "window" FROM events')
+        assert q.select
