@@ -4986,3 +4986,66 @@ def emb_outlier_centroid(spark, sf_dir):
         )
         .orderBy("label", "rnk")
     )
+
+
+_BURST_N = 20
+
+_BURSTINESS_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({_WS_TOKS}) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+tok AS (
+  SELECT token,
+         CAST(sum(c) AS BIGINT) AS cf,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(max(c) AS BIGINT) AS max_in_doc
+  FROM dt GROUP BY token
+)
+SELECT token, cf, df, max_in_doc,
+       round(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+FROM tok
+ORDER BY cf DESC, token
+LIMIT {_BURST_N}
+"""
+
+
+@query("corpus_burstiness", oracle=_BURSTINESS_ORACLE)
+def corpus_burstiness(spark, sf_dir):
+    """Token burstiness over the vocabulary head: collection frequency
+    (total occurrences), document frequency (documents containing the
+    token), their ratio (mean occurrences per containing document — the
+    classic Church/Gale burstiness statistic), and the single-document
+    maximum. Natural function words spread evenly (ratio near cf/n_docs);
+    templated or spammy tokens concentrate (high ratio, high max_in_doc)
+    — the per-token companion to the per-document repetition filter.
+
+    Scale shape: the (doc_id, token) histogram partial-aggregates
+    map-side before its one shuffle (at most distinct-tokens-per-doc
+    rows per document, never one row per occurrence), the per-token
+    rollup is vocabulary-bounded, and the head cut is TakeOrdered.
+    Everything after the first aggregate is exact integer arithmetic;
+    the one division happens in the output row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok = dt.groupBy("token").agg(
+        F.sum("c").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.max("c").cast("long").alias("max_in_doc"),
+    )
+    return (
+        tok.orderBy(F.desc("cf"), F.asc("token"))
+        .limit(_BURST_N)
+        .select(
+            "token", "cf", "df", "max_in_doc",
+            F.round(F.col("cf").cast("double") / F.col("df"), 6).alias(
+                "burstiness"
+            ),
+        )
+    )

@@ -909,3 +909,16 @@ def test_emb_outlier_broadcast_centroids_and_group_limit(registry, spark, sf_sma
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_burstiness_vocab_bounded_after_histogram(registry, spark, sf_small):
+    """corpus_burstiness: the (doc_id, token) histogram partial-
+    aggregates map-side before its one corpus-sized shuffle, the
+    per-token rollup is vocabulary-bounded, and the head cut is
+    TakeOrderedAndProject — never a global sort. No Python."""
+    df = _build(registry, spark, sf_small, "corpus_burstiness")
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
