@@ -3251,6 +3251,27 @@ FROM summary
 """
 
 
+def hll_token_registers(docs: DataFrame) -> DataFrame:
+    """(bucket, r) HLL registers over a documents relation's raw token
+    stream — the shared kernel of ``sketch_hll_estimate_only`` and the
+    streaming register drain (``streaming.windows.hll_register_stream``):
+    one definition, so the batch sketch and the incremental sketch can
+    never drift. Works on batch AND streaming inputs because every step
+    is a narrow projection until the single max-aggregate (whose partial
+    max is exactly the streaming state update)."""
+    th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    hashed = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok")).select(
+        th.alias("th")
+    )
+    w = F.expr(f"th div {_HLL_M}")
+    rank = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    return (
+        hashed.select((F.col("th") % _HLL_M).alias("bucket"), rank.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
 @query("sketch_hll_estimate_only", oracle=_HLL_ESTIMATE_ORACLE)
 def sketch_hll_estimate_only(spark, sf_dir):
     """The production form of the HLL distinct-token sketch: registers
@@ -3268,17 +3289,7 @@ def sketch_hll_estimate_only(spark, sf_dir):
     token stream's distinct estimate costs 64 longs per partition and
     two exchanges, nothing keyed by token."""
     docs = load_table(spark, sf_dir, "documents")
-    th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    hashed = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok")).select(
-        th.alias("th")
-    )
-    w = F.expr(f"th div {_HLL_M}")
-    rank = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
-    registers = (
-        hashed.select((F.col("th") % _HLL_M).alias("bucket"), rank.alias("r"))
-        .groupBy("bucket")
-        .agg(F.max("r").alias("r"))
-    )
+    registers = hll_token_registers(docs)
     summary = registers.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).cast("double").alias("sum_observed"),
         F.count(F.lit(1)).cast("long").alias("n_observed"),

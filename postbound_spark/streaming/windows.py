@@ -231,3 +231,31 @@ def stream_stream_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {join_window}")),
         "inner",
     )
+
+
+def hll_register_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Incremental HLL distinct-token registers over a document stream.
+
+    Same kernel as the batch sketch
+    (:func:`postbound_spark.queries.pipeline.hll_token_registers` — one
+    definition, zero drift): tokens hash map-side into (bucket, rank) and
+    the streaming aggregation keeps the per-bucket MAX as its state.
+    max() is associative, commutative, and idempotent, so arrival order
+    and micro-batch boundaries cannot change the registers — the sketch
+    over a drained stream equals the batch sketch over the same corpus,
+    whatever the file/trigger split. State is exactly 64 longs no matter
+    how many tokens stream through, the cheapest stateful operator in
+    the module.
+
+    ``maxFilesPerTrigger=1`` makes every input file its own micro-batch,
+    so a multi-file corpus genuinely exercises cross-batch state merge.
+    """
+    from postbound_spark.queries.pipeline import hll_token_registers
+
+    raw = spark.read.parquet(docs_dir)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_dir)
+    )
+    return hll_token_registers(stream)

@@ -194,3 +194,35 @@ def test_streaming_anomaly_scores_match_batch(spark, sf_small):
     assert got == want and len(got) > 0
     # the flag column is live on the fixture: at least one anomaly exists
     assert any(r[-1] == 1 for r in got)
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_small, tmp_path):
+    """The incremental HLL sketch: documents split across 4 parquet files,
+    drained one file per micro-batch (maxFilesPerTrigger=1), must produce
+    EXACTLY the batch registers — max() state merge is order- and
+    batching-invariant, which is the property that makes the sketch
+    streamable at all. The register kernel is shared with the batch
+    registry entry, so the two cannot drift."""
+    from postbound_spark.catalog import load_table
+    from postbound_spark.queries.pipeline import hll_token_registers
+    from postbound_spark.streaming.windows import (
+        hll_register_stream,
+        run_available_now,
+    )
+
+    docs_dir = str(tmp_path / "docs_multi")
+    docs = load_table(spark, sf_small, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(docs_dir)
+
+    stream = hll_register_stream(spark, docs_dir)
+    assert stream.isStreaming
+    got = sorted(
+        tuple(r) for r in run_available_now(stream, "t_hll_stream").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in hll_token_registers(
+            spark.read.parquet(docs_dir)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
