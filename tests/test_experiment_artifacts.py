@@ -203,3 +203,28 @@ def test_tonic_explore_replay_artifact_equal_noise_floors():
     assert replay.gap_to_min.mean() < 1.15
     # replay was produced by a trie recommendation at every join
     assert not replay.combination.str.contains(r"\?").any()
+
+
+def test_tonic_explore_replay_svgs_render_from_artifact():
+    """The two committed figures regenerate from the committed parquet —
+    the artifact and its plots cannot drift apart."""
+    from postbound_spark.vis_plots import qerror_box_svg, runtime_bars_svg
+
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "job_tonic_explore_reps.parquet")
+    )
+    bars = runtime_bars_svg(
+        df, time_col="exec_time", label_col="label", group_col="phase",
+        title="QEP-S exploration vs trie replay (min-of-3 per execution)",
+    )
+    box = qerror_box_svg(
+        df[df.phase == "explore"], value_col="exec_time", group_col="label",
+        title="explored runtime spread per query (8 combos, min-of-3 each)",
+    )
+    assert bars.startswith(b"<svg") and box.startswith(b"<svg")
+    for name, fresh in (
+        ("job_tonic_explore_reps_bars.svg", bars),
+        ("job_tonic_explore_reps_spread.svg", box),
+    ):
+        with open(os.path.join(RESULTS, name), "rb") as fh:
+            assert fh.read() == fresh, f"{name} drifted from its parquet"
