@@ -5060,3 +5060,74 @@ def corpus_burstiness(spark, sf_dir):
             ),
         )
     )
+
+
+_RFM_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+         max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+q AS (
+  SELECT user_id,
+         ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r_q,
+         ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+         ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+  FROM p
+)
+SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+       CAST(m_q AS INT) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM q
+GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+"""
+
+
+@query("events_rfm_segments", oracle=_RFM_ORACLE)
+def events_rfm_segments(spark, sf_dir):
+    """RFM segmentation — the classic recency/frequency/monetary customer
+    quartiles, reported as the 4x4x4 segment census (quartile 1 = most
+    recent / most frequent / highest spend). Determinism contract:
+    monetary totals accumulate in exact DECIMAL (float summation order
+    can flip near-tie quartile boundaries between engines) and every
+    ntile ordering carries user_id as the total tiebreak.
+
+    Scale shape: the corpus-sized stage is the event->user aggregate
+    (one user-keyed shuffle with map-side partials); the ntile windows
+    then run over the USER relation — many orders of magnitude smaller
+    than the event stream — and the final census is bounded at 64 rows.
+    At truly extreme user counts the exact global ntile becomes the
+    bottleneck and a production caller would switch to approx-percentile
+    boundaries; the exact form is what an oracle can verify.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary"),
+    )
+    q = per_user.select(
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
+        .cast("int")
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), F.asc("user_id")))
+        .cast("int")
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .cast("int")
+        .alias("m_q"),
+    )
+    return (
+        q.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
