@@ -90,7 +90,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--workload",
-        choices=("job-light", "ssb", "job", "stats"),
+        choices=("job-light", "ssb", "job", "stats", "job-complex"),
         default="job-light",
         help="job-light runs the IMDB-shaped fixture corpus; ssb runs the "
         "13-query Star Schema corpus on the TPC-H-shaped parquet at "
@@ -98,7 +98,9 @@ def main() -> None:
         "fixture corpus (workloads/fixtures/job) on the downscaled "
         "IMDB-shaped parquet dataset; stats runs the 146-query Stats-CEB "
         "fixture corpus (workloads/fixtures/stats) on the downscaled "
-        "Stack-stats-shaped parquet dataset",
+        "Stack-stats-shaped parquet dataset; job-complex runs the 22-query "
+        "aggregate-bearing fixture (GROUP BY/HAVING/COUNT DISTINCT/"
+        "EXISTS/UNION ALL) on the same IMDB-shaped dataset",
     )
     ap.add_argument(
         "--distort",
@@ -154,12 +156,12 @@ def main() -> None:
         corpus = {
             label: sql.strip().rstrip(";") for label, sql in stats().items()
         }
-    elif ns.workload == "job":
+    elif ns.workload in ("job", "job-complex"):
         from postbound_spark.sources.imdb_fixture import (
             IMDB_TABLES,
             generate_imdb_fixture,
         )
-        from postbound_spark.workloads import job
+        from postbound_spark.workloads import job, job_complex
 
         data_dir = _cached_fixture("postbound_spark_imdb", generate_imdb_fixture)
         base = {}
@@ -167,8 +169,9 @@ def main() -> None:
             base[t] = spark.read.parquet(os.path.join(data_dir, f"{t}.parquet"))
             base[t].createOrReplaceTempView(t)
         # the catalog front door (committed offline fixture corpus)
+        loader = job if ns.workload == "job" else job_complex
         corpus = {
-            label: sql.strip().rstrip(";") for label, sql in job().items()
+            label: sql.strip().rstrip(";") for label, sql in loader().items()
         }
     else:
         base = register_frames(spark, imdb_shaped_frames(n_titles))

@@ -363,8 +363,18 @@ def run_optimizer_loop(
     rows: list[dict] = []
     for label, sql in queries.items():
         parsed = parse_query(sql)
-        spec = to_query_spec(parsed)
-        tables = _prepared_tables(parsed, base_tables)
+        try:
+            # set-operation queries (UNION/INTERSECT/EXCEPT) have no single
+            # join graph to force an order on — the reference optimizes per
+            # SELECT block too; under on_error='skip' they are recorded as
+            # a warning, not a corpus-sweep abort
+            spec = to_query_spec(parsed)
+            tables = _prepared_tables(parsed, base_tables)
+        except Exception as exc:
+            if on_error != "skip":
+                raise
+            warnings.warn(f"{label}: spec extraction failed: {exc}")
+            continue
         context.last_tree = None  # TONIC never replays across queries
         for strategy in strategies:
             t0 = time.perf_counter()

@@ -1514,6 +1514,12 @@ def to_query_spec(query: Q.SqlQuery):
     from postbound_spark.optimizer.joingraph import JoinEdge
     from postbound_spark.optimizer.stages import QuerySpec
 
+    if not isinstance(query, Q.SqlQuery):
+        raise UnsupportedSqlError(
+            "a set-operation query has no single join graph — extract a "
+            "QuerySpec per SELECT operand instead (the reference optimizes "
+            "per SELECT block too)"
+        )
     edges = []
     for pred in query.predicates().joins():
         if not (

@@ -228,3 +228,24 @@ def test_tonic_explore_replay_svgs_render_from_artifact():
     ):
         with open(os.path.join(RESULTS, name), "rb") as fh:
             assert fh.read() == fresh, f"{name} drifted from its parquet"
+
+
+def test_jobcomplex_strategy_matrix_covers_corpus():
+    """The third corpus stress of the DP/pgdp/TONIC stages: the 22-query
+    aggregate-bearing JOB-complex fixture (GROUP BY/HAVING/COUNT
+    DISTINCT/EXISTS/CASE/LEFT JOIN) × 5 strategies. The one UNION ALL
+    query is legitimately absent — a set-operation query has no single
+    join graph to force (to_query_spec rejects it with
+    UnsupportedSqlError; the runner records the skip). Results identical
+    across strategies for every covered query."""
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "jobcomplex_strategy_matrix.parquet")
+    )
+    jc_dir = os.path.join(ROOT, "workloads", "fixtures", "job-complex")
+    covered = set(df.label)
+    all_labels = _labels(jc_dir)
+    assert len(all_labels - covered) <= 1  # the UNION ALL query
+    assert len(covered) >= 21
+    per_query = df.groupby("label").strategy.agg(set)
+    assert (per_query == STRATEGIES).all(), "missing strategy rows"
+    _invariant(df)

@@ -982,3 +982,14 @@ class TestReviewRegressionsRound6:
         # the quoted spelling remains available for columns named window
         q = parse_query('SELECT "window" FROM events')
         assert q.select
+
+
+def test_query_spec_rejects_set_queries_clearly():
+    """to_query_spec on a UNION query raises UnsupportedSqlError with an
+    actionable message, never AttributeError (surfaced by the JOB-complex
+    strategy-matrix run: one UNION ALL query aborted the corpus sweep)."""
+    q = parse_query(
+        "SELECT n_name FROM nation UNION ALL SELECT n_name FROM nation"
+    )
+    with pytest.raises(UnsupportedSqlError, match="set-operation"):
+        to_query_spec(q)
