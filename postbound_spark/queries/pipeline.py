@@ -5131,3 +5131,76 @@ def events_rfm_segments(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+_LEN_PCTL_ORACLE = """
+WITH h AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY n_chars
+),
+cum AS (
+  SELECT n_chars, c,
+         CAST(sum(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum_c,
+         (SELECT CAST(sum(c) AS BIGINT) FROM h) AS total
+  FROM h
+)
+SELECT
+  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+  CAST((SELECT min(n_chars) FROM documents) AS BIGINT) AS min_chars,
+  CAST(min(CASE WHEN cum_c * 10 >= total THEN n_chars END) AS BIGINT) AS p10,
+  CAST(min(CASE WHEN cum_c * 2 >= total THEN n_chars END) AS BIGINT) AS p50,
+  CAST(min(CASE WHEN cum_c * 10 >= total * 9 THEN n_chars END) AS BIGINT) AS p90,
+  CAST(min(CASE WHEN cum_c * 100 >= total * 99 THEN n_chars END) AS BIGINT) AS p99,
+  CAST((SELECT max(n_chars) FROM documents) AS BIGINT) AS max_chars
+FROM cum
+"""
+
+
+@query("corpus_length_percentiles", oracle=_LEN_PCTL_ORACLE)
+def corpus_length_percentiles(spark, sf_dir):
+    """Exact document-length percentiles (p10/p50/p90/p99 with min/max)
+    by the HISTOGRAM method — the length-distribution row of a dataset
+    datasheet, and the filter-threshold source for length-based quality
+    cuts. The percentile definition is the discrete lower bound
+    (smallest length whose cumulative count reaches the rank), stated in
+    exact integer cross-multiplication (``cum*10 >= total`` etc.) so
+    both engines agree bit-for-bit with no float rank arithmetic.
+
+    Scale shape: the corpus reduces to a (n_chars, count) histogram
+    with map-side partials — bounded by the number of DISTINCT lengths,
+    not documents — and the cumulative walk + percentile picks run over
+    that bounded histogram (the window is a single partition of
+    histogram rows, never of documents). The classic way percentiles
+    stay exact AND cheap at any corpus size when the value domain is
+    bounded; for unbounded domains the production fallback is
+    approx_percentile, which an oracle cannot pin."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    h = h.withColumn(
+        "cum_c", F.sum("c").over(Window.orderBy("n_chars")).cast("long")
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+    cum = h.crossJoin(F.broadcast(tot))
+
+    def pick(cond):
+        return F.min(F.when(cond, F.col("n_chars"))).cast("long")
+
+    total = F.col("n_docs")
+    return cum.groupBy().agg(
+        F.first("n_docs").alias("nd"),
+        F.first("min_chars").alias("mn"),
+        pick(F.col("cum_c") * 10 >= total).alias("p10"),
+        pick(F.col("cum_c") * 2 >= total).alias("p50"),
+        pick(F.col("cum_c") * 10 >= total * 9).alias("p90"),
+        pick(F.col("cum_c") * 100 >= total * 99).alias("p99"),
+        F.first("max_chars").alias("mx"),
+    ).select(
+        F.col("nd").alias("n_docs"),
+        F.col("mn").alias("min_chars"),
+        "p10", "p50", "p90", "p99",
+        F.col("mx").alias("max_chars"),
+    )
