@@ -126,6 +126,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "corpus_burstiness",  # new: cf/df burstiness over the vocab head
     "events_rfm_segments",  # new: RFM quartile census, exact-DECIMAL totals
     "corpus_length_percentiles",  # new: exact histogram-method percentiles
+    "dedup_shingle_containment",  # new: asymmetric containment near-dup pairs
     "opt_dp_regional_revenue",  # new: textbook-DP planned flagship, Cout costed
     "emb_outlier_centroid",  # new: per-label centroid-cosine outlier screen
     "sample_split_assign",  # new: leakage-safe group-hash train/valid/test split

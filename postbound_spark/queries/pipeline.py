@@ -5204,3 +5204,79 @@ def corpus_length_percentiles(spark, sf_dir):
         "p10", "p50", "p90", "p99",
         F.col("mx").alias("max_chars"),
     )
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_WS_TOKS} AS ws FROM documents)
+),
+ss AS (SELECT * FROM s WHERE len(sh) >= 1),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         CAST(len(a.sh) AS BIGINT) AS la,
+         CAST(len(b.sh) AS BIGINT) AS lb
+  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / la, 6) AS cont_a_in_b,
+       round(CAST(inter AS DOUBLE) / lb, 6) AS cont_b_in_a,
+       round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+FROM p
+WHERE inter * 2 >= la OR inter * 2 >= lb
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_shingle_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_shingle_containment(spark, sf_dir):
+    """Asymmetric near-dup detection via shingle CONTAINMENT (Broder's
+    second resemblance measure): C(A,B) = |A∩B| / |A| — how much of
+    document A lives inside document B. Jaccard misses the
+    quote/aggregate/superset relations a crawl is full of (a short doc
+    fully quoted inside a long one can have Jaccard ~0.1 but containment
+    1.0); dedup pipelines keep the containing doc and drop the
+    contained. Reports both directions plus the Jaccard for contrast;
+    the keep threshold (max containment >= 1/2) is an exact integer
+    cross-multiplication, so the pair set is bit-identical across
+    engines, and the ratios are rounded only in the output.
+
+    Scale shape: same verifier-tier contract as dedup_ngram_jaccard —
+    the all-pairs join is the fixture-scale ground-truth form; at corpus
+    scale this comparison runs only WITHIN LSH candidate buckets
+    (dedup_minhash_lsh generates the candidates), which containment
+    shares with Jaccard since both read the same shingle sets.
+    """
+    d = (
+        _shingle_sets(spark, sf_dir)
+        .filter(F.size("sh") >= 1)
+        .transform(stage_cache)
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("long")
+    la = F.size(F.col("a.sh")).cast("long")
+    lb = F.size(F.col("b.sh")).cast("long")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("inter"),
+            la.alias("la"),
+            lb.alias("lb"),
+        )
+        .filter((F.col("inter") * 2 >= F.col("la")) | (F.col("inter") * 2 >= F.col("lb")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter").cast("double") / F.col("la"), 6).alias("cont_a_in_b"),
+            F.round(F.col("inter").cast("double") / F.col("lb"), 6).alias("cont_b_in_a"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("la") + F.col("lb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
