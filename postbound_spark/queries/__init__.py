@@ -127,6 +127,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_rfm_segments",  # new: RFM quartile census, exact-DECIMAL totals
     "corpus_length_percentiles",  # new: exact histogram-method percentiles
     "dedup_shingle_containment",  # new: asymmetric containment near-dup pairs
+    "events_markov_transitions",  # new: event-type transition matrix, exact ppm
     "opt_dp_regional_revenue",  # new: textbook-DP planned flagship, Cout costed
     "emb_outlier_centroid",  # new: per-label centroid-cosine outlier screen
     "sample_split_assign",  # new: leakage-safe group-hash train/valid/test split

@@ -5280,3 +5280,71 @@ def dedup_shingle_containment(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+),
+cells AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+  FROM cells GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       (c.n * 1000000) // t.row_total AS p_ppm
+FROM cells c JOIN tot t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+@query("events_markov_transitions", oracle=_MARKOV_ORACLE)
+def events_markov_transitions(spark, sf_dir):
+    """First-order event-flow model: the per-user event-type transition
+    matrix — count and exact-integer ppm probability of each (from, to)
+    step over every user's time-ordered stream. The flow map behind
+    funnels (which steps actually follow which), churn analysis (what
+    precedes 'error'), and next-event prediction baselines. Ordering
+    carries event_id as the within-timestamp tiebreak so consecutive
+    pairs are identical across engines; normalization is integer div,
+    rounded nowhere.
+
+    Scale shape: one user-keyed shuffle for the lead() window (the same
+    partitioning sessionization uses — state per user, never global),
+    then the matrix partial-aggregates to at most n_types² rows and the
+    row totals derive from the bounded matrix itself. At 100 TB the only
+    corpus-sized stage is the per-user sort inside the exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    cells = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = stage_cache(cells)
+    tot = cells.groupBy(F.col("from_type").alias("ft")).agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return (
+        cells.join(F.broadcast(tot), F.col("from_type") == F.col("ft"))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(n * 1000000) div row_total").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

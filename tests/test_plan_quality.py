@@ -922,3 +922,18 @@ def test_burstiness_vocab_bounded_after_histogram(registry, spark, sf_small):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_markov_transitions_user_keyed_then_bounded(registry, spark, sf_small):
+    """events_markov_transitions: one user-keyed window exchange (the
+    sessionization partitioning — per-user state, never a global sort),
+    the matrix partial-aggregates to n_types^2 rows, and the row totals
+    broadcast back from the CACHED matrix (no second corpus scan).
+    No Python, no cartesian blowup."""
+    df = _build(registry, spark, sf_small, "events_markov_transitions")
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
