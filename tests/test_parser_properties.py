@@ -260,3 +260,92 @@ def test_mutated_inputs_fail_controlled_never_crash():
             except Exception as exc:  # pragma: no cover - the regression
                 crashes.append((type(exc).__name__, frag[:80]))
     assert not crashes, crashes[:5]
+
+
+@st.composite
+def named_window_query(draw):
+    """Queries with 1-3 named windows referenced by 1-4 window calls —
+    the WINDOW-clause inlining must be a fixpoint whatever the
+    name/reference pattern (incl. names that are prefixes of each other,
+    the round-6 marker-collision regression)."""
+    tables = [TABLES[1]]  # orders
+    names = draw(
+        st.lists(
+            st.sampled_from(["w", "win", "w2", "w_x", "wx"]),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    defs = []
+    for nm in names:
+        part = draw(st.sampled_from(["", "PARTITION BY o.o_custkey "]))
+        key = draw(st.sampled_from(["o.o_orderkey", "o.o_totalprice"]))
+        defs.append(f"{nm} AS ({part}ORDER BY {key})")
+    fns = draw(
+        st.lists(
+            st.sampled_from(["rank()", "dense_rank()", "row_number()",
+                             "sum(o.o_totalprice)"]),
+            min_size=1, max_size=4,
+        )
+    )
+    items = ", ".join(
+        f"{fn} OVER {draw(st.sampled_from(names))} AS a{i}"
+        for i, fn in enumerate(fns)
+    )
+    return (
+        f"SELECT o.o_orderkey, {items} FROM orders o WINDOW {', '.join(defs)}"
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(named_window_query())
+def test_named_window_inlining_fixpoint(sql):
+    """Every OVER reference inlines its definition, no marker survives,
+    and the rendered SQL is a parse fixpoint."""
+    q1 = parse_query(sql)
+    rendered = q1.to_sql()
+    assert "WINDOW" not in rendered and "\x00" not in rendered
+    assert "OVER (" in rendered
+    q2 = parse_query(rendered)
+    assert q1 == q2
+
+
+@st.composite
+def ansi_call_query(draw):
+    """The keyword-argument call forms mixed with their comma twins."""
+    col = draw(st.sampled_from(["c_name", "c_mktsegment"]))
+    call = draw(
+        st.sampled_from(
+            [
+                f"POSITION('a' IN {col})",
+                f"position('a', {col})",
+                f"substring({col} FROM 2 FOR 3)",
+                f"substring({col} FROM 2)",
+                f"substring({col}, 2, 3)",
+                f"TRIM(BOTH 'x' FROM {col})",
+                f"TRIM(LEADING 'x' FROM {col})",
+                f"TRIM(BOTH FROM {col})",
+                f"TRIM('x' FROM {col})",
+                f"trim({col})",
+            ]
+        )
+    )
+    bool_test = draw(
+        st.sampled_from(
+            [
+                "",
+                " WHERE (c_acctbal > 0) IS TRUE",
+                " WHERE (c_acctbal > 0) IS NOT UNKNOWN",
+                " WHERE c_acctbal IS NOT NULL",
+            ]
+        )
+    )
+    return f"SELECT {call} AS v FROM customer{bool_test}"
+
+
+@settings(max_examples=120, deadline=None)
+@given(ansi_call_query())
+def test_ansi_call_forms_fixpoint(sql):
+    q1 = parse_query(sql)
+    q2 = parse_query(q1.to_sql())
+    assert q1 == q2
+    assert q1.to_sql() == q2.to_sql()
