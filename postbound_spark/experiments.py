@@ -362,18 +362,19 @@ def run_optimizer_loop(
     context = _MatrixContext(trie_path, tonic_filter_aware)
     rows: list[dict] = []
     for label, sql in queries.items():
-        parsed = parse_query(sql)
         try:
-            # set-operation queries (UNION/INTERSECT/EXCEPT) have no single
-            # join graph to force an order on — the reference optimizes per
-            # SELECT block too; under on_error='skip' they are recorded as
-            # a warning, not a corpus-sweep abort
+            # the parse AND the spec extraction ride the skip policy: an
+            # unparseable query or a set-operation query (no single join
+            # graph to force — the reference optimizes per SELECT block
+            # too) is a warning under on_error='skip', never a
+            # corpus-sweep abort that discards every prior result
+            parsed = parse_query(sql)
             spec = to_query_spec(parsed)
             tables = _prepared_tables(parsed, base_tables)
         except Exception as exc:
             if on_error != "skip":
                 raise
-            warnings.warn(f"{label}: spec extraction failed: {exc}")
+            warnings.warn(f"{label}: parse/spec extraction failed: {exc}")
             continue
         context.last_tree = None  # TONIC never replays across queries
         for strategy in strategies:

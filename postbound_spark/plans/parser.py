@@ -256,8 +256,17 @@ def _resolve_ordinal(projections, expr, clause: str, by_output_name: bool = Fals
 
 class _Parser:
     def __init__(self, text: str):
+        if "\x00" in text:
+            # SQL text never legitimately carries NUL (engines reject it
+            # too); rejecting it here makes the NUL-delimited named-window
+            # marker genuinely un-fakeable by string-literal content
+            raise ParserError("NUL byte in SQL text")
         self.t = _Tokens(text)
         self._cte_counter = 0
+        #: set when `OVER wname` emits a named-window marker — gates the
+        #: leftover-marker scan so marker-free queries (the overwhelming
+        #: majority) never pay a full to_sql() render at parse exit
+        self.emitted_winref = False
 
     # ---- queries ---------------------------------------------------------
 
@@ -1231,8 +1240,9 @@ class _Parser:
         # OVER (window) | OVER wname — ref WindowExpression :1308 (no frame
         # spec in the reference model; frames are accepted here as text for
         # execution). A bare identifier is a NAMED-window reference: it
-        # renders as an `OVER __WINREF__name__` marker that _parse_select
-        # substitutes once the trailing WINDOW clause has been parsed.
+        # renders as a NUL-delimited `OVER <marker>` (_winref_marker) that
+        # _parse_select substitutes once the trailing WINDOW clause has
+        # been parsed.
         if self.t.accept("over"):
             if self.t.accept("("):
                 spec = self._parse_window_body()
@@ -1241,6 +1251,7 @@ class _Parser:
                 body = f"{body} OVER ({spec.sql})"
             else:
                 wname = _ident(self.t.next())
+                self.emitted_winref = True
                 body = f"{body} OVER {_winref_marker(wname)}"
         return _Expr(body, tuple(cols))
 
@@ -1488,18 +1499,21 @@ def parse_query(
         # never asked for; real hint blocks precede any literal
         if m and "'" not in text[: m.start()]:
             hint = m.group(1).strip()
-    result = _Parser(text).parse()
+    parser = _Parser(text)
+    result = parser.parse()
     # catch-all for named-window markers that escaped every resolving
     # scope (e.g. `OVER w` inside WHERE/GROUP BY/HAVING, where window
     # functions are illegal anyway) — the NUL-delimited marker must
-    # never leak into rendered SQL
-    rendered = result.to_sql()
-    if _WINREF_PREFIX in rendered:
-        raise ParserError(
-            f"window {_winref_name(rendered)!r} is not defined (named-"
-            "window references resolve in the SELECT list of the query "
-            "level that declares the WINDOW clause)"
-        )
+    # never leak into rendered SQL. Gated on the parser having emitted a
+    # marker at all, so marker-free queries skip the render entirely.
+    if parser.emitted_winref:
+        rendered = result.to_sql()
+        if _WINREF_PREFIX in rendered:
+            raise ParserError(
+                f"window {_winref_name(rendered)!r} is not defined (named-"
+                "window references resolve in the SELECT list of the query "
+                "level that declares the WINDOW clause)"
+            )
     if hint and isinstance(result, Q.SqlQuery):
         result = replace(result, hint=hint)
     if isinstance(result, Q.SqlQuery) and schema:

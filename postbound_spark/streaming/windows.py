@@ -251,10 +251,13 @@ def hll_register_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
     so a multi-file corpus genuinely exercises cross-batch state merge.
     """
     from postbound_spark.queries.pipeline import hll_token_registers
+    from postbound_spark.streaming.curation import DOCS_SCHEMA
 
-    raw = spark.read.parquet(docs_dir)
+    # the one documents schema every streaming reader declares
+    # (curation/neardup use the same constant) — no eager batch read just
+    # to infer it, so an empty not-yet-populated directory starts cleanly
     stream = (
-        spark.readStream.schema(raw.schema)
+        spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(docs_dir)
     )

@@ -963,8 +963,13 @@ class TestReviewRegressionsRound6:
             )
 
     def test_string_literal_cannot_fake_a_marker(self):
+        # innocuous marker-LOOKING text passes through as data...
         q = parse_query("SELECT 'x__WINREF__y__' AS s FROM customer")
         assert "x__WINREF__y__" in q.to_sql()
+        # ...and the real NUL-delimited marker is un-fakeable because NUL
+        # bytes are rejected at the parser door (engines reject them too)
+        with pytest.raises(ParserError, match="NUL"):
+            parse_query("SELECT '\x00WINREF\x00y\x00' AS s FROM customer")
 
     def test_window_in_where_clause_rejected(self):
         with pytest.raises(ParserError, match="not defined"):

@@ -247,3 +247,30 @@ def test_intermediate_cardinalities_experiment(imdb_engines):
         capped = intermediate_cardinalities(spark, {"1a": sql}, max_tables=2)
     assert capped.n_tables.max() == 2
     assert any("skipped" in str(w.message) for w in caught)
+
+
+def test_optimizer_loop_skips_unparseable_and_set_queries(imdb_engines):
+    """on_error='skip' covers the PARSE too (review regression: an
+    unparseable corpus query used to abort the whole sweep and discard
+    every prior result), and a set-operation query (no single join
+    graph) skips the same way."""
+    import warnings as _warnings
+
+    from postbound_spark.sources.imdb_fixture import IMDB_TABLES
+
+    spark, _con = imdb_engines
+    base = {t: spark.table(t) for t in IMDB_TABLES}
+    corpus = {
+        "good": _corpus()["1a"],
+        "bad_syntax": "SELEKT nope FROM nowhere",
+        "set_query": "SELECT kind FROM kind_type UNION ALL SELECT kind FROM kind_type",
+    }
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        frame = run_optimizer_loop(
+            spark, corpus, base, strategies=("native",), on_error="skip"
+        )
+    assert set(frame.label) == {"good"}
+    skipped = [str(w.message) for w in caught if "extraction failed" in str(w.message)]
+    assert any("bad_syntax" in m for m in skipped)
+    assert any("set_query" in m for m in skipped)
