@@ -320,6 +320,40 @@ class QueryGenerator:
             sql += f" ORDER BY {', '.join(cols)}"
         return sql
 
+    def _window_query(self, table: str, where: str) -> str | None:
+        """Single-table named-WINDOW query (row-deterministic: the window
+        orders by the table's unique key, and only row_number — never a
+        tie-sensitive rank — is generated) with an occasional ANSI
+        keyword-argument call form (POSITION/substring FROM/TRIM BOTH) on
+        a categorical column. Exercises the round-6 parser surfaces in
+        every fuzz sweep built on this generator."""
+        keys = SCHEMA[table]["key"]
+        if not keys:
+            return None
+        key = f"{table}.{keys[0]}"
+        part = ""
+        if SCHEMA[table]["cat"] and self.rng.random() < 0.5:
+            part = f"PARTITION BY {table}.{SCHEMA[table]['cat'][0]} "
+        items = [key, f"row_number() OVER w AS rn"]
+        if SCHEMA[table]["num"] and self.rng.random() < 0.5:
+            items.append(
+                f"sum({table}.{SCHEMA[table]['num'][0]}) OVER w AS running"
+            )
+        if SCHEMA[table]["cat"] and self.rng.random() < 0.5:
+            cat = f"{table}.{SCHEMA[table]['cat'][0]}"
+            call = self.rng.choice(
+                [
+                    f"CAST(position('A' IN {cat}) AS BIGINT)",
+                    f"substring({cat} FROM 1 FOR 3)",
+                    f"TRIM(BOTH 'A' FROM {cat})",
+                ]
+            )
+            items.append(f"{call} AS f0")
+        return (
+            f"SELECT {', '.join(items)} FROM {table}{where} "
+            f"WINDOW w AS ({part}ORDER BY {key})"
+        )
+
     # ---- entry points ----------------------------------------------------
 
     def _explicit_from(self, tables: list[str]) -> str:
@@ -353,6 +387,10 @@ class QueryGenerator:
             if sub:
                 preds.append(sub)
         where = f" WHERE {' AND '.join(preds)}" if preds else ""
+        if len(tables) == 1 and self.rng.random() < 0.15:
+            win = self._window_query(tables[0], where)
+            if win is not None:
+                return win
         from_ = self._explicit_from(tables) if explicit else ", ".join(sorted(tables))
         if self.rng.random() < 0.55:
             template = self._aggregate_query(tables, where)

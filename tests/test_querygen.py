@@ -113,6 +113,8 @@ def test_generated_corpus_covers_the_grammar():
         " OR ",
         "CASE WHEN",
         "GROUP BY gkey0",
+        "WINDOW w AS (",   # named windows (round-6 parser surface)
+        "OVER w",
     ):
         assert construct in corpus, f"corpus never generates {construct}"
 
