@@ -10,6 +10,7 @@ the way a corpus team actually runs them on a crawl:
       -> cross-source duplication census (which snapshots overlap?)
       -> temperature-scaled mixing report + per-source token-budget fill
       -> tokenizer fertility readout per language
+      -> leakage-safe train/valid/test split by source hash
 
 Every stage is a registry query with its own DuckDB oracle and a
 physical-plan gate in ``tests/test_plan_quality.py``; the composition
@@ -37,6 +38,7 @@ def main(spark=None, sf_dir=None):
         dedup_components,
         quality_char_entropy,
         release_stage_caches,
+        sample_split_assign,
         sample_temperature_mix,
         sample_token_budget_fill,
         stage_cache,
@@ -86,6 +88,16 @@ def main(spark=None, sf_dir=None):
     fert = tokenizer_fertility(spark, sf_dir)
     print("tokenizer fertility by language:")
     fert.show()
+
+    # -- stage 6: leakage-safe split --------------------------------------
+    # The LAST stage of every curation run: route documents to
+    # train/valid/test by a hash of the LEAKAGE GROUP (source), so the
+    # near-duplicates stages 1-2 could not remove can still never
+    # straddle a split boundary. The hash IS the routing table — nothing
+    # is broadcast, however many groups exist.
+    split = sample_split_assign(spark, sf_dir)
+    print("leakage-safe split census (group-hash routing):")
+    split.show()
 
     summary = spark.createDataFrame(
         [
