@@ -128,6 +128,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "corpus_length_percentiles",  # new: exact histogram-method percentiles
     "dedup_shingle_containment",  # new: asymmetric containment near-dup pairs
     "events_markov_transitions",  # new: event-type transition matrix, exact ppm
+    "corpus_length_buckets",  # new: pow2 length buckets + padding-waste ppm
     "opt_dp_regional_revenue",  # new: textbook-DP planned flagship, Cout costed
     "emb_outlier_centroid",  # new: per-label centroid-cosine outlier screen
     "sample_split_assign",  # new: leakage-safe group-hash train/valid/test split

@@ -5348,3 +5348,75 @@ def events_markov_transitions(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+_LEN_BUCKET_ORACLE = f"""
+WITH d AS (
+  SELECT len({_WS_TOKS}) AS n_tok FROM documents
+),
+b AS (
+  SELECT n_tok,
+         CAST(CASE WHEN n_tok <= 1 THEN 1
+              ELSE power(2, ceil(ln(CAST(n_tok AS DOUBLE)) / ln(2.0))) END
+              AS BIGINT) AS bucket
+  FROM d
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+       CAST(count(*) AS BIGINT) * bucket AS padded_tokens,
+       (CAST(count(*) AS BIGINT) * bucket - CAST(sum(n_tok) AS BIGINT))
+         * 1000000 // (CAST(count(*) AS BIGINT) * bucket) AS waste_ppm
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("corpus_length_buckets", oracle=_LEN_BUCKET_ORACLE)
+def corpus_length_buckets(spark, sf_dir):
+    """Batch-packing efficiency census: documents bucketed by the
+    power-of-two token-length ceiling (the standard length-bucketing
+    scheme for padded batching), with per-bucket real vs padded token
+    counts and the exact padding-waste ppm — the number that decides
+    between pad-to-bucket batching and ``corpus_seq_packing``-style
+    concatenation for a given corpus.
+
+    Determinism contract: the bucket is 2^ceil(log2(n)) computed as
+    ln-ratio on an INTEGER input (both engines agree bit-for-bit on
+    ln/ceil of exact integers — the Zipf/entropy precedent) and the
+    waste share is integer cross-multiplied ppm, rounded nowhere.
+
+    Scale shape: one map-only projection (token count per doc, no
+    explode) into a partial-aggregated shuffle bounded by the number of
+    DISTINCT buckets (~log2(max_len) rows) — constant output at any
+    corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens(F.col("text")))
+    bucket = (
+        F.when(n_tok <= 1, F.lit(1))
+        .otherwise(
+            F.pow(F.lit(2.0), F.ceil(F.log(n_tok.cast("double")) / F.log(F.lit(2.0))))
+        )
+        .cast("long")
+    )
+    padded = F.col("n_docs") * F.col("bucket")
+    return (
+        docs.select(bucket.alias("bucket"), n_tok.alias("n_tok"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("real_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "real_tokens",
+            padded.alias("padded_tokens"),
+            F.expr(
+                "(n_docs * bucket - real_tokens) * 1000000 div (n_docs * bucket)"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("bucket")
+    )
