@@ -5420,3 +5420,163 @@ def corpus_length_buckets(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+_HUBNESS_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, {_QUANT} AS q FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_cos_sql("a.q", "b.q")} AS cos
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT src, dst
+  FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+    FROM pairs
+  )
+  WHERE rnk <= 5
+),
+indeg AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS in_degree
+  FROM knn GROUP BY dst
+)
+SELECT in_degree,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM indeg
+GROUP BY in_degree
+ORDER BY in_degree
+"""
+
+
+@query("ann_hubness_indegree", oracle=_HUBNESS_ORACLE)
+def ann_hubness_indegree(spark, sf_dir):
+    """Hubness diagnostic for the embedding space: the in-degree
+    histogram of the exact 5-NN graph. In healthy geometry in-degrees
+    concentrate near k; heavy right tails ("hub" vectors that appear in
+    everyone's neighbor list) are the classic symptom of degraded
+    high-dimensional embeddings and poison both ANN recall and
+    semantic-dedup precision — this histogram is the first thing to
+    read before trusting either. Cosines are exact integer-quantized
+    (bit-identical across engines) and the k-NN cut ties on dst, so the
+    graph — not just the histogram — is deterministic.
+
+    Scale shape: the pairwise join is the exact ground-truth tier
+    (verifier contract, like dedup_ngram_jaccard) — at corpus scale the
+    same diagnostic runs over an LSH/IVF candidate graph instead of
+    all pairs; the top-k executes as a per-src WindowGroupLimit, and
+    both the in-degree aggregate and the final histogram are
+    vector-bounded, never pair-bounded.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    q = stage_cache(q)
+    a, b = q.alias("a"), q.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        V.cosine_q(F.col("a.q"), F.col("b.q")).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    knn = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("src", "dst")
+    )
+    indeg = knn.groupBy("dst").agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        indeg.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("in_degree")
+    )
+
+
+_PARETO_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, n_events,
+         CAST(sum(n_events) OVER (
+           ORDER BY n_events DESC, user_id
+         ) AS BIGINT) AS cum_events,
+         row_number() OVER (ORDER BY n_events DESC, user_id) AS rnk,
+         (SELECT CAST(sum(n_events) AS BIGINT) FROM u) AS total_events,
+         (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_users
+  FROM u
+)
+SELECT
+  CAST(max(n_users) AS BIGINT) AS n_users,
+  CAST(max(total_events) AS BIGINT) AS total_events,
+  CAST(min(CASE WHEN cum_events * 10 >= total_events * 5 THEN rnk END) AS BIGINT)
+    AS users_for_50pct,
+  CAST(min(CASE WHEN cum_events * 10 >= total_events * 8 THEN rnk END) AS BIGINT)
+    AS users_for_80pct,
+  CAST(min(CASE WHEN cum_events * 100 >= total_events * 95 THEN rnk END) AS BIGINT)
+    AS users_for_95pct,
+  (CAST(min(CASE WHEN cum_events * 10 >= total_events * 8 THEN rnk END) AS BIGINT)
+     * 1000000) // CAST(max(n_users) AS BIGINT) AS share_80pct_ppm
+FROM ranked
+"""
+
+
+@query("events_pareto_concentration", oracle=_PARETO_ORACLE)
+def events_pareto_concentration(spark, sf_dir):
+    """Activity concentration (the Pareto/Lorenz readout): how many of
+    the heaviest users account for 50% / 80% / 95% of all events, and
+    the 80%-cohort's share of the user base in exact ppm — the
+    "does 20% of the base generate 80% of the load" number that sizes
+    rate limits, hot-key mitigations, and per-user state budgets.
+    Thresholds are exact integer cross-multiplications on the cumulative
+    walk (ORDER BY count DESC with user_id tiebreak), so every cutoff
+    rank is bit-identical across engines.
+
+    Scale shape: the event stream reduces user-keyed with map-side
+    partials (the only corpus-sized stage); the cumulative window and
+    the threshold picks run over the USER relation. For extreme user
+    counts the same statistic comes from a count-histogram walk (the
+    corpus_length_percentiles pattern) — the user-relation window is the
+    exactness tier an oracle can pin.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    u = stage_cache(u)
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    ranked = (
+        u.withColumn("cum_events", F.sum("n_events").over(w).cast("long"))
+        .withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def cutoff(mul_c: int, mul_t: int):
+        return F.min(
+            F.when(
+                F.col("cum_events") * mul_c >= F.col("total_events") * mul_t,
+                F.col("rnk"),
+            )
+        ).cast("long")
+
+    return ranked.groupBy().agg(
+        F.max("n_users").cast("long").alias("n_users"),
+        F.max("total_events").cast("long").alias("total_events"),
+        cutoff(10, 5).alias("users_for_50pct"),
+        cutoff(10, 8).alias("users_for_80pct"),
+        cutoff(100, 95).alias("users_for_95pct"),
+    ).select(
+        "n_users",
+        "total_events",
+        "users_for_50pct",
+        "users_for_80pct",
+        "users_for_95pct",
+        F.expr("(users_for_80pct * 1000000) div n_users").alias(
+            "share_80pct_ppm"
+        ),
+    )
