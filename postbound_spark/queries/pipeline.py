@@ -5580,3 +5580,76 @@ def events_pareto_concentration(spark, sf_dir):
             "share_80pct_ppm"
         ),
     )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT CAST(date_diff('second',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+              ts) AS BIGINT) AS gap_s
+  FROM events
+),
+h AS (
+  SELECT gap_s, CAST(count(*) AS BIGINT) AS c
+  FROM g WHERE gap_s IS NOT NULL GROUP BY gap_s
+),
+cum AS (
+  SELECT gap_s, c,
+         CAST(sum(c) OVER (ORDER BY gap_s) AS BIGINT) AS cum_c,
+         (SELECT CAST(sum(c) AS BIGINT) FROM h) AS total
+  FROM h
+)
+SELECT
+  CAST(max(total) AS BIGINT) AS n_gaps,
+  CAST(min(CASE WHEN cum_c * 2 >= total THEN gap_s END) AS BIGINT) AS p50_s,
+  CAST(min(CASE WHEN cum_c * 10 >= total * 9 THEN gap_s END) AS BIGINT) AS p90_s,
+  CAST(min(CASE WHEN cum_c * 100 >= total * 99 THEN gap_s END) AS BIGINT) AS p99_s,
+  CAST(max(gap_s) AS BIGINT) AS max_s
+FROM cum
+"""
+
+
+@query("events_interarrival_gaps", oracle=_INTERARRIVAL_ORACLE)
+def events_interarrival_gaps(spark, sf_dir):
+    """Per-user inter-event gap percentiles (p50/p90/p99/max, whole
+    seconds) — the distribution a team reads to CHOOSE the
+    sessionization gap threshold instead of cargo-culting 30 minutes:
+    the session boundary belongs in the valley past p99 of within-user
+    gaps. Gaps are exact integer seconds and the percentiles use the
+    histogram method with integer cross-multiplied ranks (the
+    corpus_length_percentiles pattern), so every statistic is
+    bit-identical across engines.
+
+    Scale shape: one user-keyed window exchange for lag() (the same
+    partitioning sessionize itself uses), then the gap stream reduces
+    map-side to a (gap, count) histogram bounded by distinct gap values
+    and the cumulative walk runs over that bounded histogram only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            (
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            ).alias("gap_s")
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    h = gaps.groupBy("gap_s").agg(F.count(F.lit(1)).alias("c"))
+    h = h.withColumn(
+        "cum_c", F.sum("c").over(Window.orderBy("gap_s")).cast("long")
+    )
+    tot = h.agg(F.sum("c").cast("long").alias("total"))
+    cum = h.crossJoin(F.broadcast(tot))
+
+    def pick(cond):
+        return F.min(F.when(cond, F.col("gap_s"))).cast("long")
+
+    total = F.col("total")
+    return cum.groupBy().agg(
+        F.max("total").cast("long").alias("n_gaps"),
+        pick(F.col("cum_c") * 2 >= total).alias("p50_s"),
+        pick(F.col("cum_c") * 10 >= total * 9).alias("p90_s"),
+        pick(F.col("cum_c") * 100 >= total * 99).alias("p99_s"),
+        F.max("gap_s").cast("long").alias("max_s"),
+    )
