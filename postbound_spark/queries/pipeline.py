@@ -5653,3 +5653,166 @@ def events_interarrival_gaps(spark, sf_dir):
         pick(F.col("cum_c") * 100 >= total * 99).alias("p99_s"),
         F.max("gap_s").cast("long").alias("max_s"),
     )
+
+
+_HEAPS_POINTS = 8
+
+_HEAPS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_WS_TOKS} AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+  FROM t WHERE len(ws) >= 3
+),
+mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mxid FROM g),
+first_occ AS (
+  SELECT tg, CAST(min(doc_id) AS BIGINT) AS fd FROM g GROUP BY tg
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tg FROM g GROUP BY doc_id
+),
+pts AS (
+  SELECT k,
+         (SELECT CAST(sum(n_tg) AS BIGINT) FROM per_doc, mx
+          WHERE doc_id <= (mxid * k) // {_HEAPS_POINTS}) AS n_tokens,
+         (SELECT CAST(count(*) AS BIGINT) FROM first_occ, mx
+          WHERE fd <= (mxid * k) // {_HEAPS_POINTS}) AS v_types
+  FROM generate_series(1, {_HEAPS_POINTS}) AS s(k)
+),
+l AS (
+  SELECT ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(v_types AS DOUBLE)) AS y
+  FROM pts
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+         CAST(sum(x*y) AS DOUBLE) AS sxy
+  FROM l
+)
+SELECT n AS n_points,
+       (SELECT CAST(max(n_tokens) AS BIGINT) FROM pts) AS n_tokens_full,
+       (SELECT CAST(max(v_types) AS BIGINT) FROM pts) AS v_types_full,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS heaps_beta,
+       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS heaps_logk,
+       round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+FROM s
+"""
+
+
+@query("corpus_heaps_fit", oracle=_HEAPS_ORACLE)
+def corpus_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over word-3-gram types:
+    V(N) = k·N^β estimated by closed-form least squares on 8 exact
+    corpus-prefix points — the companion diagnostic to text_zipf_fit
+    (natural language grows β≈0.5-0.7; a saturating β→0 means the
+    corpus is template/vocabulary-bounded, a β→1 means near-total
+    novelty, e.g. serial numbers). Prefixes are doc_id thresholds at
+    exact integer fractions of max(doc_id).
+
+    The scale trick: vocabulary growth needs NO cumulative pass over
+    the corpus — V(T) is just a conditional count over each type's
+    FIRST-OCCURRENCE doc (one type-keyed min aggregate, vocab-bounded
+    forever after) and N(T) a conditional sum over per-doc counts
+    (doc-bounded). Both engines fit identical normal equations on ln()
+    of exact integers, rounded only in the output row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    # NON-distinct trigram occurrences (unlike T.word_shingles' distinct
+    # sets): Heaps' N(T) counts every occurrence, V(T) every type
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ws", i + 1),
+                    F.element_at("ws", i + 2),
+                    F.element_at("ws", i + 3),
+                ),
+            )
+        ).alias("tg"),
+    )
+    g = stage_cache(g)
+    mxid = g.agg(F.max("doc_id").cast("long").alias("mxid"))
+    first_occ = g.groupBy("tg").agg(F.min("doc_id").cast("long").alias("fd"))
+    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tg"))
+    ks = list(range(1, _HEAPS_POINTS + 1))
+    v_aggs = first_occ.crossJoin(F.broadcast(mxid)).agg(
+        *[
+            F.count(
+                F.when(
+                    F.col("fd") <= F.expr(f"(mxid * {k}) div {_HEAPS_POINTS}"), 1
+                )
+            ).cast("long").alias(f"v{k}")
+            for k in ks
+        ]
+    )
+    n_aggs = per_doc.crossJoin(F.broadcast(mxid)).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("doc_id") <= F.expr(f"(mxid * {k}) div {_HEAPS_POINTS}"),
+                    F.col("n_tg"),
+                )
+            ).cast("long").alias(f"n{k}")
+            for k in ks
+        ]
+    )
+    wide = v_aggs.crossJoin(F.broadcast(n_aggs))
+    pts = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.log(F.col(f"n{k}").cast("double")).alias("x"),
+                        F.log(F.col(f"v{k}").cast("double")).alias("y"),
+                        F.col(f"n{k}").alias("nt"),
+                        F.col(f"v{k}").alias("vt"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("p")
+    ).select("p.x", "p.y", "p.nt", "p.vt")
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("nt").cast("long").alias("n_tokens_full"),
+        F.max("vt").cast("long").alias("v_types_full"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        "n_tokens_full",
+        "v_types_full",
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "heaps_logk"
+        ),
+        F.round(
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
