@@ -133,6 +133,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_pareto_concentration",  # new: 50/80/95% activity concentration
     "events_interarrival_gaps",  # new: gap percentiles -> session threshold
     "corpus_heaps_fit",  # new: Heaps-law vocab growth via first occurrences
+    "sketch_bloom_tokens",  # new: Bloom membership sketch + probe readout
     "opt_dp_regional_revenue",  # new: textbook-DP planned flagship, Cout costed
     "emb_outlier_centroid",  # new: per-label centroid-cosine outlier screen
     "sample_split_assign",  # new: leakage-safe group-hash train/valid/test split

@@ -5816,3 +5816,100 @@ def corpus_heaps_fit(spark, sf_dir):
             6,
         ).alias("r2"),
     )
+
+
+_BLOOM_M = 256
+_BLOOM_PROBES = ("query", "vector", "zzz_absent", "table", "nonsense_tok")
+
+_BLOOM_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT unnest({_WS_TOKS}) AS token FROM documents
+),
+bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % {_BLOOM_M} AS bit FROM tok
+    UNION
+    SELECT CAST(concat('0x', substr(md5(token), 9, 8)) AS BIGINT) % {_BLOOM_M} AS bit FROM tok
+  )
+),
+fill AS (SELECT CAST(count(*) AS BIGINT) AS n_set FROM bits),
+probes AS (
+  SELECT p.token,
+         CAST(
+           EXISTS (SELECT 1 FROM bits WHERE bit =
+             CAST(concat('0x', substr(md5(p.token), 1, 8)) AS BIGINT) % {_BLOOM_M})
+           AND EXISTS (SELECT 1 FROM bits WHERE bit =
+             CAST(concat('0x', substr(md5(p.token), 9, 8)) AS BIGINT) % {_BLOOM_M})
+         AS INT) AS maybe_member,
+         CAST(EXISTS (SELECT 1 FROM tok t WHERE t.token = p.token) AS INT)
+           AS truly_member
+  FROM (VALUES {", ".join(f"('{p}')" for p in _BLOOM_PROBES)}) AS p(token)
+)
+SELECT pr.token, pr.maybe_member, pr.truly_member,
+       f.n_set AS bits_set,
+       (f.n_set * 1000000) // {_BLOOM_M} AS fill_ppm
+FROM probes pr CROSS JOIN fill f
+ORDER BY pr.token
+"""
+
+
+@query("sketch_bloom_tokens", oracle=_BLOOM_ORACLE)
+def sketch_bloom_tokens(spark, sf_dir):
+    """Bloom-filter membership sketch over the corpus vocabulary
+    (m=256 bits, k=2 md5-derived hashes) probed with a fixed
+    5-token list — the approximate-membership companion to the count-min
+    (frequency) and HLL (cardinality) sketches: no false negatives
+    (every truly_member token reads maybe_member=1), false positives at
+    a rate set by the fill. The bit positions derive from two disjoint
+    md5 substrings, so the filter — not just its summary — is
+    bit-identical across engines, and the fill share is exact integer
+    ppm.
+
+    Scale shape: bit construction is map-side hashing partial-aggregated
+    to at most m=256 distinct bits (the dedup happens inside the
+    aggregate — the token stream never shuffles token-keyed); the probe
+    list and the m-bounded bit set broadcast. Production form: the m-bit
+    array itself, merged with bit-OR — the per-partition state here is
+    already exactly that."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+
+    def bit(col, start):
+        return (
+            F.conv(F.substring(F.md5(col), start, 8), 16, 10).cast("long")
+            % _BLOOM_M
+        )
+
+    bits = (
+        tok.select(bit(F.col("token"), 1).alias("bit"))
+        .union(tok.select(bit(F.col("token"), 9).alias("bit")))
+        .distinct()
+    )
+    bits = stage_cache(bits)
+    fill = bits.agg(F.count(F.lit(1)).cast("long").alias("n_set"))
+    probes = spark.createDataFrame(
+        [(p,) for p in _BLOOM_PROBES], "token string"
+    )
+    b1 = bits.select(F.col("bit").alias("b1"))
+    b2 = bits.select(F.col("bit").alias("b2"))
+    truly = (
+        tok.distinct()
+        .select(F.col("token").alias("t_tok"), F.lit(1).alias("t_flag"))
+    )
+    joined = (
+        probes.withColumn("h1", bit(F.col("token"), 1))
+        .withColumn("h2", bit(F.col("token"), 9))
+        .join(F.broadcast(b1), F.col("h1") == F.col("b1"), "left")
+        .join(F.broadcast(b2), F.col("h2") == F.col("b2"), "left")
+        .join(F.broadcast(truly), F.col("token") == F.col("t_tok"), "left")
+        .crossJoin(F.broadcast(fill))
+    )
+    return joined.select(
+        "token",
+        (F.col("b1").isNotNull() & F.col("b2").isNotNull())
+        .cast("int")
+        .alias("maybe_member"),
+        F.coalesce(F.col("t_flag"), F.lit(0)).cast("int").alias("truly_member"),
+        F.col("n_set").alias("bits_set"),
+        F.expr(f"(n_set * 1000000) div {_BLOOM_M}").alias("fill_ppm"),
+    ).orderBy("token")
