@@ -211,6 +211,35 @@ def _resolve_winrefs(
     return Q.BaseProjection(Q.SqlExpression(sql, tuple(cols)), proj.alias)
 
 
+def _resolve_order_winrefs(
+    order_by: tuple[Q.OrderByExpression, ...], named: dict[str, _Expr]
+) -> tuple[Q.OrderByExpression, ...]:
+    """Inline named-window definitions into top-level ORDER BY keys.
+
+    ANSI (and the reference's pglast grammar) scope a ``WINDOW w AS
+    (...)`` clause over the declaring SELECT's own ORDER BY, so
+    ``SELECT x FROM t WINDOW w AS (...) ORDER BY rank() OVER w`` is
+    legal — but our ORDER BY parses at the set-query level where the
+    SELECT's window map is no longer on the stack. ``parse_query``
+    captures the map when its operand is a single SELECT and resolves
+    here; markers that survive (set queries, undefined names) fall
+    through to the caller's UnsupportedSqlError."""
+    out = []
+    for o in order_by:
+        sql = o.expr.sql
+        if _WINREF_PREFIX not in sql:
+            out.append(o)
+            continue
+        cols = list(o.expr.columns)
+        for wname, spec in named.items():
+            marker = f"OVER {_winref_marker(wname)}"
+            if marker in sql:
+                sql = sql.replace(marker, f"OVER ({spec.sql})")
+                cols.extend(spec.cols)
+        out.append(replace(o, expr=Q.SqlExpression(sql, tuple(cols))))
+    return tuple(out)
+
+
 # ---------------------------------------------------------------------------
 # parser
 # ---------------------------------------------------------------------------
@@ -267,6 +296,12 @@ class _Parser:
         #: leftover-marker scan so marker-free queries (the overwhelming
         #: majority) never pay a full to_sql() render at parse exit
         self.emitted_winref = False
+        #: the most recently completed _parse_select's WINDOW clause map —
+        #: captured by parse_query (whose ORDER BY parses after the SELECT
+        #: scope has closed) to resolve `OVER wname` in top-level ORDER BY.
+        #: _parse_select always overwrites it on exit, so a nested
+        #: subquery's map can never leak into its enclosing select.
+        self._last_named_windows: dict[str, _Expr] = {}
 
     # ---- queries ---------------------------------------------------------
 
@@ -322,7 +357,24 @@ class _Parser:
         # clauses cannot mis-bind to the rightmost set operand. Ordinals
         # resolve against the (leftmost) select list here, where the
         # column source of the combined result is known.
+        # capture the (single-SELECT) operand's WINDOW map BEFORE parsing
+        # ORDER BY — a scalar subquery inside an ORDER BY key would
+        # overwrite _last_named_windows with its own (empty) map
+        named_windows = (
+            self._last_named_windows if not isinstance(q, Q.SetQuery) else {}
+        )
         order_by, limit, offset, fetch_direction = self._parse_order_limit()
+        if named_windows:
+            order_by = _resolve_order_winrefs(order_by, named_windows)
+        for o in order_by:
+            if _WINREF_PREFIX in o.expr.sql:
+                raise UnsupportedSqlError(
+                    f"named window {_winref_name(o.expr.sql)!r} referenced "
+                    "in ORDER BY is not defined in this scope — a WINDOW "
+                    "clause scopes over its own SELECT's ORDER BY only "
+                    "(set-query ORDER BY cannot see operand windows; "
+                    "order by the select-item alias instead)"
+                )
         leftmost = q
         while isinstance(leftmost, Q.SetQuery):
             leftmost = leftmost.left
@@ -422,8 +474,8 @@ class _Parser:
         # grammar WindowClause). Normalized away at parse time by inlining
         # each definition into its `OVER name` references, the same
         # normalize-at-the-door treatment as explicit-JOIN ON conditions.
+        named: dict[str, _Expr] = {}
         if self.t.accept("window"):
-            named: dict[str, _Expr] = {}
             while True:
                 wname = _ident(self.t.next())
                 if wname in named:
@@ -435,6 +487,7 @@ class _Parser:
                 if not self.t.accept(","):
                     break
             projections = [_resolve_winrefs(p, named) for p in projections]
+        self._last_named_windows = named
         for p in projections:
             if _WINREF_PREFIX in p.expr.sql:
                 raise ParserError(
@@ -469,17 +522,10 @@ class _Parser:
         if self.t.accept("order", "by"):
             while True:
                 expr = self._parse_expression()
-                if _WINREF_PREFIX in expr.sql:
-                    # named windows are resolved inside _parse_select; a
-                    # reference here (top-level ORDER BY) has no defining
-                    # scope — reject rather than leak the marker (order
-                    # by the window function's select-list ALIAS instead)
-                    raise UnsupportedSqlError(
-                        f"named window {_winref_name(expr.sql)!r} referenced "
-                        "in ORDER BY — named-window references are supported "
-                        "in the SELECT list only; order by the select-item "
-                        "alias instead"
-                    )
+                # a named-window marker here is legal when the query is a
+                # single SELECT (its WINDOW map is captured on self) —
+                # parse_query resolves or rejects once the operand shape
+                # is known
                 ascending = True
                 if self.t.accept("desc"):
                     ascending = False

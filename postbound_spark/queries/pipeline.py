@@ -5357,7 +5357,7 @@ WITH d AS (
 b AS (
   SELECT n_tok,
          CAST(CASE WHEN n_tok <= 1 THEN 1
-              ELSE power(2, ceil(ln(CAST(n_tok AS DOUBLE)) / ln(2.0))) END
+              ELSE (1 << length(bin(n_tok - 1))) END
               AS BIGINT) AS bucket
   FROM d
 )
@@ -5382,10 +5382,12 @@ def corpus_length_buckets(spark, sf_dir):
     between pad-to-bucket batching and ``corpus_seq_packing``-style
     concatenation for a given corpus.
 
-    Determinism contract: the bucket is 2^ceil(log2(n)) computed as
-    ln-ratio on an INTEGER input (both engines agree bit-for-bit on
-    ln/ceil of exact integers — the Zipf/entropy precedent) and the
-    waste share is integer cross-multiplied ppm, rounded nowhere.
+    Determinism contract: the bucket is the smallest power of two
+    >= n, computed in EXACT integer arithmetic as 1 << bit_length(n-1)
+    (Spark ``shiftleft(1, length(bin(n-1)))`` == DuckDB
+    ``1 << length(bin(n-1))``) — no floating log whose 1-ulp
+    cross-libm wobble could flip the ceil at exact powers of two —
+    and the waste share is integer cross-multiplied ppm.
 
     Scale shape: one map-only projection (token count per doc, no
     explode) into a partial-aggregated shuffle bounded by the number of
@@ -5397,7 +5399,9 @@ def corpus_length_buckets(spark, sf_dir):
     bucket = (
         F.when(n_tok <= 1, F.lit(1))
         .otherwise(
-            F.pow(F.lit(2.0), F.ceil(F.log(n_tok.cast("double")) / F.log(F.lit(2.0))))
+            F.call_function(
+                "shiftleft", F.lit(1), F.length(F.bin((n_tok - 1).cast("long")))
+            )
         )
         .cast("long")
     )
@@ -5683,8 +5687,12 @@ pts AS (
   FROM generate_series(1, {_HEAPS_POINTS}) AS s(k)
 ),
 l AS (
+  -- prefix points with zero tokens/types (tiny corpora whose first
+  -- doc_id fraction holds no >=3-token doc) are dropped on BOTH
+  -- engines: DuckDB would raise on ln(0) where Spark yields NULL
   SELECT ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(v_types AS DOUBLE)) AS y
   FROM pts
+  WHERE coalesce(n_tokens, 0) > 0 AND coalesce(v_types, 0) > 0
 ),
 s AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
@@ -5783,6 +5791,12 @@ def corpus_heaps_fit(spark, sf_dir):
             )
         ).alias("p")
     ).select("p.x", "p.y", "p.nt", "p.vt")
+    # mirror the oracle's zero-point guard: drop prefix points with no
+    # tokens/types instead of letting log(0)→NULL skew the sums
+    pts = pts.filter(
+        (F.coalesce(F.col("nt"), F.lit(0)) > 0)
+        & (F.coalesce(F.col("vt"), F.lit(0)) > 0)
+    )
     s = pts.agg(
         F.count(F.lit(1)).alias("n"),
         F.max("nt").cast("long").alias("n_tokens_full"),
@@ -5868,7 +5882,9 @@ def sketch_bloom_tokens(spark, sf_dir):
     Scale shape: bit construction is map-side hashing partial-aggregated
     to at most m=256 distinct bits (the dedup happens inside the
     aggregate — the token stream never shuffles token-keyed); the probe
-    list and the m-bounded bit set broadcast. Production form: the m-bit
+    list and the m-bounded bit set broadcast, and ground-truth
+    membership comes from broadcasting the probes into the token stream
+    (never the vocabulary out of it). Production form: the m-bit
     array itself, merged with bit-OR — the per-partition state here is
     already exactly that."""
     docs = load_table(spark, sf_dir, "documents")
@@ -5892,9 +5908,16 @@ def sketch_bloom_tokens(spark, sf_dir):
     )
     b1 = bits.select(F.col("bit").alias("b1"))
     b2 = bits.select(F.col("bit").alias("b2"))
+    # ground-truth membership WITHOUT materializing the vocabulary:
+    # broadcast the 5-row probe list INTO the token stream (broadcast
+    # semi-join) and aggregate existence per probe — the only broadcasts
+    # in this plan are the m<=256 bit set, the probes, and this <=5-row
+    # hit table, exactly as the scale contract documents
     truly = (
-        tok.distinct()
-        .select(F.col("token").alias("t_tok"), F.lit(1).alias("t_flag"))
+        tok.join(F.broadcast(probes), "token")
+        .groupBy("token")
+        .agg(F.max(F.lit(1)).alias("t_flag"))
+        .select(F.col("token").alias("t_tok"), "t_flag")
     )
     joined = (
         probes.withColumn("h1", bit(F.col("token"), 1))

@@ -934,16 +934,43 @@ class TestReviewRegressionsRound6:
         q = parse_query("SELECT position('a', c_name) AS p FROM customer")
         assert "position('a', c_name)" in q.to_sql()
 
+    def test_order_by_named_window_resolves_in_declaring_select(self):
+        # ANSI scopes WINDOW w over the declaring SELECT's own ORDER BY
+        # (ref pglast grammar WindowClause) — round-7 fix per ADVICE.md
+        q = parse_query(
+            "SELECT o_orderkey FROM orders "
+            "WINDOW w AS (ORDER BY o_orderkey) ORDER BY rank() OVER w"
+        )
+        sql = q.to_sql()
+        assert "rank() OVER (ORDER BY o_orderkey)" in sql
+        assert "\x00" not in sql
+
     def test_order_by_named_window_rejected_not_leaked(self):
         from postbound_spark.plans.parser import UnsupportedSqlError
 
+        # no WINDOW clause anywhere — undefined name still rejected
+        with pytest.raises((UnsupportedSqlError, ParserError), match="window"):
+            parse_query("SELECT o_orderkey FROM orders ORDER BY rank() OVER w")
+        # set-query ORDER BY cannot see an operand's WINDOW scope
         with pytest.raises((UnsupportedSqlError, ParserError), match="window"):
             parse_query(
                 "SELECT o_orderkey FROM orders "
-                "WINDOW w AS (ORDER BY o_orderkey) ORDER BY rank() OVER w"
+                "WINDOW w AS (ORDER BY o_orderkey) "
+                "UNION ALL SELECT o_orderkey FROM orders "
+                "ORDER BY rank() OVER w"
             )
-        with pytest.raises((UnsupportedSqlError, ParserError), match="window"):
-            parse_query("SELECT o_orderkey FROM orders ORDER BY rank() OVER w")
+
+    def test_order_by_named_window_subquery_does_not_clobber_scope(self):
+        # a scalar subquery inside the ORDER BY key parses its own (empty)
+        # select scope — the outer WINDOW map must survive the excursion
+        q = parse_query(
+            "SELECT o_orderkey FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice) "
+            "ORDER BY rank() OVER w, (SELECT max(o_orderkey) FROM orders)"
+        )
+        sql = q.to_sql()
+        assert "rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)" in sql
+        assert "\x00" not in sql
 
     def test_window_name_prefix_collision_resolves_both(self):
         q = parse_query(
