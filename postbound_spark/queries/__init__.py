@@ -119,6 +119,9 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
+    # --- round-7: new/changed capabilities ---
+    "dedup_containment_lsh",  # new: bucket-local containment (scale tier)
+    "ann_hubness_candidates",  # new: hubness over the LSH candidate graph
     # --- round-6: new/changed capabilities ---
     "parsed_named_window",  # new: ANSI WINDOW clause, inlined at the door
     "parsed_ansi_call_forms",  # new: POSITION/SUBSTRING-FROM/TRIM-BOTH + IS TRUE

@@ -468,10 +468,12 @@ SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.3
 """
 
 
-def _minhash_pairs(spark, sf_dir):
-    """Verified near-dup pairs (doc_a < doc_b, exact Jaccard >= 0.3) via
-    the MinHash-LSH pipeline — shared by the pair listing
-    (``dedup_minhash_lsh``) and the cluster builder (``dedup_components``)."""
+def _lsh_candidates(spark, sf_dir):
+    """LSH band-colliding candidate pairs, joined back to both shingle
+    sets: (doc_a, doc_b, sh_a, sh_b) with doc_a < doc_b — the shared
+    candidate-generation stage of every bucket-local dedup tier
+    (Jaccard verification in ``_minhash_pairs``, asymmetric containment
+    in ``dedup_containment_lsh``)."""
     # shingle sets + their 31-bit hashes with staged materialization (see
     # _shingle_sets): the persist makes the ONE md5 kernel per shingle a
     # materialized array, so all 8 MinHash permutations run as pure
@@ -505,14 +507,17 @@ def _minhash_pairs(spark, sf_dir):
     )
     x = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return cand.join(x, "doc_a").join(y, "doc_b")
+
+
+def _minhash_pairs(spark, sf_dir):
+    """Verified near-dup pairs (doc_a < doc_b, exact Jaccard >= 0.3) via
+    the MinHash-LSH pipeline — shared by the pair listing
+    (``dedup_minhash_lsh``) and the cluster builder (``dedup_components``)."""
+    cand = _lsh_candidates(spark, sf_dir)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     j = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select("doc_a", "doc_b", j.alias("j"))
-        .filter(F.col("j") >= 0.3)
-    )
+    return cand.select("doc_a", "doc_b", j.alias("j")).filter(F.col("j") >= 0.3)
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -530,6 +535,79 @@ def dedup_minhash_lsh(spark, sf_dir):
     """
     return _minhash_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.round("j", 6).alias("jaccard")
+    )
+
+
+_CONTAINMENT_LSH_ORACLE = f"""{_MINHASH_PAIRS_CTE},
+cont AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+         CAST(len(x.sh) AS BIGINT) AS la,
+         CAST(len(y.sh) AS BIGINT) AS lb
+  FROM cand JOIN dd x ON x.doc_id = doc_a JOIN dd y ON y.doc_id = doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / la, 6) AS cont_a_in_b,
+       round(CAST(inter AS DOUBLE) / lb, 6) AS cont_b_in_a,
+       round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+FROM cont
+WHERE inter * 2 >= la OR inter * 2 >= lb
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_containment_lsh", oracle=_CONTAINMENT_LSH_ORACLE)
+def dedup_containment_lsh(spark, sf_dir):
+    """Asymmetric shingle containment (Broder's C(A,B) = |A∩B| / |A|)
+    evaluated ONLY over MinHash-LSH candidate pairs — the *scale* tier
+    of ``dedup_shingle_containment``, realizing the bucket-local
+    contract that entry documents (quote/superset relations within
+    band-colliding documents; keep the containing doc, drop the
+    contained). The keep threshold (max containment >= 1/2) is an exact
+    integer cross-multiplication; ratios round only in the output.
+
+    Scale shape: identical to ``dedup_minhash_lsh`` — map-only MinHash
+    signatures, salted band equi-join for candidates, then containment
+    arithmetic touches ONLY colliding pairs (never an all-pairs theta
+    self-join; the plan gate pins zero nested-loop joins). The recall
+    caveat is inherent to the measure: LSH bands key on *Jaccard*
+    resemblance, so a tiny doc fully contained in a huge one can miss
+    candidacy — production pipelines catch that tail with the
+    substring-span tier (``dedup_substring_spans``), which shares no
+    resemblance assumption.
+    """
+    cand = _lsh_candidates(spark, sf_dir)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    la = F.size("sh_a").cast("long")
+    lb = F.size("sh_b").cast("long")
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            la.alias("la"),
+            lb.alias("lb"),
+        )
+        .filter(
+            (F.col("inter") * 2 >= F.col("la"))
+            | (F.col("inter") * 2 >= F.col("lb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter").cast("double") / F.col("la"), 6).alias(
+                "cont_a_in_b"
+            ),
+            F.round(F.col("inter").cast("double") / F.col("lb"), 6).alias(
+                "cont_b_in_a"
+            ),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("la") + F.col("lb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -887,6 +965,113 @@ def ann_lsh_topk(spark, sf_dir):
         .orderBy(F.desc("c"), "vec_id")
         .limit(5)
         .select("vec_id", "label", "bucket", F.round("c", 6).alias("cosine"))
+    )
+
+
+_HUBNESS_CAND_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+b AS (
+  SELECT vec_id, qv, CAST({_bucket_sql(_PLANES)} AS BIGINT) AS bucket FROM q
+),
+pr AS (
+  SELECT vec_id AS src, qv AS src_qv, xor(bucket, m.m) AS probe_bucket
+  FROM b, (SELECT unnest({_PROBE_MASKS}) AS m) m
+),
+pairs AS (
+  SELECT pr.src, d.vec_id AS dst, {_cos_sql("pr.src_qv", "d.qv")} AS cos
+  FROM pr JOIN b d ON d.bucket = pr.probe_bucket AND d.vec_id <> pr.src
+),
+knn AS (
+  SELECT src, dst
+  FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+    FROM pairs
+  )
+  WHERE rnk <= 5
+),
+indeg AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS in_degree
+  FROM knn GROUP BY dst
+)
+SELECT in_degree,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM indeg
+GROUP BY in_degree
+ORDER BY in_degree
+"""
+
+
+@query("ann_hubness_candidates", oracle=_HUBNESS_CAND_ORACLE)
+def ann_hubness_candidates(spark, sf_dir):
+    """Hubness in-degree histogram over the multi-probe LSH *candidate*
+    graph — the scale tier of ``ann_hubness_indegree``. Every vector's
+    neighbor candidates are the vectors in buckets within Hamming
+    distance <= 1 of its own sign-random-projection bucket (the same
+    9-probe scheme ``ann_lsh_topk`` uses for queries, applied
+    all-sources); the 5-NN cut and the in-degree histogram then read
+    exactly like the ground-truth tier, just over bucket-local pairs.
+    Cosines are exact integer-quantized and the k-NN cut ties on dst,
+    so the graph is deterministic cross-engine.
+
+    Scale shape: candidate generation is a bucket-keyed EQUI-join (9
+    probe rows per vector against the bucket-keyed table — salted, since
+    projection buckets skew), never an all-pairs theta join; pair volume
+    is n x avg-bucket-size x 9 where bucket size is the tunable knob
+    (n_planes grows with log2(n / target bucket) at corpus scale — 20
+    planes ~ 1M buckets). The top-5 executes as a per-src
+    WindowGroupLimit inside the bucket-local pair stream, and both final
+    aggregates are vector-bounded. Hub scores read off a candidate graph
+    are the production-honest measure anyway: ANN serves from the same
+    buckets, so candidate-graph in-degree is what actually poisons
+    recall.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", V.quantize(F.col("embedding")).alias("qv")
+    ).transform(stage_cache)
+    b = q.withColumn(
+        "bucket", V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=8)
+    ).transform(stage_cache)
+    pr = b.select(
+        F.col("vec_id").alias("src"),
+        F.col("qv").alias("src_qv"),
+        F.explode(
+            F.array(
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
+                    for m in _PROBE_MASKS
+                ]
+            )
+        ).alias("bucket"),
+    )
+    d = b.select(
+        F.col("vec_id").alias("dst"),
+        F.col("qv").alias("dst_qv"),
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+    # hot buckets (sign-projection buckets skew on clustered embeddings)
+    # would serialize one reducer; the salted equi-join spreads each
+    # bucket's pair generation across 8 tasks (same discipline as the
+    # MinHash band join)
+    pairs = (
+        salted_join(pr, d, on=["bucket"], salt=8, salt_on=["src", "bucket"])
+        .filter(F.col("dst") != F.col("src"))
+        .select(
+            "src", "dst", V.cosine_q(F.col("src_qv"), F.col("dst_qv")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    knn = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("src", "dst")
+    )
+    indeg = knn.groupBy("dst").agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        indeg.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("in_degree")
     )
 
 

@@ -937,3 +937,30 @@ def test_markov_transitions_user_keyed_then_bounded(registry, spark, sf_small):
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_lsh_is_bucket_local(registry, spark, sf_small):
+    """dedup_containment_lsh (round-7 scale tier): containment must ride
+    the MinHash band EQUI-join candidate stream — zero nested-loop or
+    cartesian operators anywhere in the plan (the all-pairs theta
+    self-join lives only in the dedup_shingle_containment verifier
+    tier), shingle sets reused from cache, no Python."""
+    df = _build(registry, spark, sf_small, "dedup_containment_lsh")
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hubness_candidates_is_bucket_local(registry, spark, sf_small):
+    """ann_hubness_candidates (round-7 scale tier): the candidate graph
+    must come from the bucket-keyed equi-join (salted), the 5-NN cut
+    from a per-src WindowGroupLimit — never an all-pairs theta join or
+    a global sort over the pair stream. No Python."""
+    df = _build(registry, spark, sf_small, "ann_hubness_candidates")
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
