@@ -65,11 +65,18 @@ from postbound_spark.optimizer.native import (
     CatalystCostModel,
     CatalystNativeOptimizer,
 )
+from postbound_spark.optimizer.learned import (
+    CardCorrector,
+    LearnedCardinalityEstimator,
+    fit_card_corrector,
+    training_samples_from_intermediates,
+)
 from postbound_spark.optimizer.stats import ColumnStats, EmulatedStatistics, NativeStatistics
 from postbound_spark.optimizer.pgdp import PostgresStyleDynProg
 from postbound_spark.optimizer.ues import UESJoinOrderOptimizer
 
 __all__ = [
+    "CardCorrector",
     "CardinalityDistortion",
     "CardinalityInjector",
     "CardinalityEstimator",
@@ -88,6 +95,7 @@ __all__ = [
     "JoinOperator",
     "JoinOrderOptimization",
     "JoinTree",
+    "LearnedCardinalityEstimator",
     "IncrementalOptimizationPipeline",
     "IntegratedOptimizationPipeline",
     "MultiStageOptimizationPipeline",
@@ -112,6 +120,7 @@ __all__ = [
     "all_linear_join_orders",
     "compile_join_tree",
     "executed_plan",
+    "fit_card_corrector",
     "join_order_signature",
     "jointree_similarity",
     "optimized_plan",
@@ -119,4 +128,5 @@ __all__ = [
     "plan_diff",
     "possible_plans_bound",
     "random_bushy_join_order",
+    "training_samples_from_intermediates",
 ]

@@ -171,22 +171,47 @@ class StatsCardinalityEstimator(CardinalityEstimator):
         intermediate: frozenset[str],
         tables: dict[str, DataFrame],
     ) -> float:
+        return self.estimate_components(spec, intermediate, tables)["est"]
+
+    def estimate_components(
+        self,
+        spec: QuerySpec,
+        intermediate: frozenset[str],
+        tables: dict[str, DataFrame],
+    ) -> dict[str, float]:
+        """The estimate together with the quantities it was derived from
+        — the feature surface learned correctors train on
+        (:mod:`~postbound_spark.optimizer.learned`): ``est`` the System-R
+        estimate, ``prod`` the filtered cross product (pre-division
+        size), ``min_base``/``max_base`` the extreme filtered base
+        cardinalities, ``n_edges`` the join edges inside the subset."""
         join_cols: dict[str, set[str]] = {t: set() for t in spec.tables}
         for e in spec.edges:
             join_cols.setdefault(e.left_table, set()).add(e.left_col)
             join_cols.setdefault(e.right_table, set()).add(e.right_col)
         est = 1.0
+        counts: list[float] = []
         stats: dict[str, tuple[float, dict[str, float]]] = {}
         for t in intermediate:
             stats[t] = self._table_stats(
                 t, tables[t], tuple(sorted(join_cols.get(t, ())))
             )
             est *= stats[t][0]
+            counts.append(stats[t][0])
+        prod = est
+        n_edges = 0
         for e in spec.edges:
             if e.left_table in intermediate and e.right_table in intermediate:
                 ndv_l = stats[e.left_table][1].get(e.left_col, 1.0)
                 ndv_r = stats[e.right_table][1].get(e.right_col, 1.0)
                 est /= max(ndv_l, ndv_r)
+                n_edges += 1
         # an empty filtered base table genuinely yields 0-row joins; any
         # non-empty product is floored at one row (the planner convention)
-        return est if est == 0.0 else max(1.0, est)
+        return {
+            "est": est if est == 0.0 else max(1.0, est),
+            "prod": prod,
+            "min_base": min(counts) if counts else 0.0,
+            "max_base": max(counts) if counts else 0.0,
+            "n_edges": n_edges,
+        }

@@ -248,6 +248,50 @@ def _resolve_order_winrefs(
 _IDENT_CHAIN_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*")
 
 
+def _expand_grouping_sets(
+    q: "Q.SqlQuery", sets: list[list[_Expr]]
+) -> "Q.SqlQuery | Q.SetQuery":
+    """Desugar ``GROUP BY GROUPING SETS (s1, s2, ...)`` into the textbook
+    UNION ALL of one grouped aggregate per set, with grouping columns
+    absent from a set projected as NULL (same output name, so the
+    branches align positionally). Set elements must be plain column
+    references — computed grouping-set expressions would need alias
+    plumbing through every branch and are rejected with a clear error.
+    A single set degenerates to an ordinary GROUP BY."""
+    for s in sets:
+        for e in s:
+            if not _IDENT_CHAIN_RE.fullmatch(e.sql):
+                raise UnsupportedSqlError(
+                    "GROUPING SETS elements must be plain column "
+                    f"references, got {e.sql!r}"
+                )
+    all_group = {e.sql for s in sets for e in s}
+    clones: list[Q.SqlQuery] = []
+    for s in sets:
+        in_set = {e.sql for e in s}
+        select = []
+        for p in q.select:
+            sql = p.expr.sql
+            if sql in all_group and sql not in in_set:
+                out_name = p.alias or sql.rsplit(".", 1)[-1]
+                select.append(
+                    Q.BaseProjection(Q.SqlExpression("NULL"), out_name)
+                )
+            else:
+                select.append(p)
+        clones.append(
+            replace(
+                q,
+                select=tuple(select),
+                group_by=tuple(e.to_qal() for e in s),
+            )
+        )
+    out: Q.SqlQuery | Q.SetQuery = clones[0]
+    for c in clones[1:]:
+        out = Q.SetQuery(out, Q.SetOperator.UNION_ALL, c)
+    return out
+
+
 def _resolve_ordinal(projections, expr, clause: str, by_output_name: bool = False):
     """ANSI ordinal references ("ORDER BY 1", "GROUP BY 2") resolve to
     select-list positions at parse time: downstream the IR compiles
@@ -302,6 +346,10 @@ class _Parser:
         #: _parse_select always overwrites it on exit, so a nested
         #: subquery's map can never leak into its enclosing select.
         self._last_named_windows: dict[str, _Expr] = {}
+        #: set by _parse_select on `GROUP BY GROUPING SETS (...)`;
+        #: consumed (and reset) by the nearest enclosing parse_query,
+        #: which expands the select into a UNION ALL chain
+        self._pending_grouping_sets: list[list[_Expr]] | None = None
 
     # ---- queries ---------------------------------------------------------
 
@@ -352,6 +400,15 @@ class _Parser:
                 op = Q.SetOperator.EXCEPT
             rhs = intersect_chain()
             q = Q.SetQuery(q, op, rhs)
+        pending_sets = self._pending_grouping_sets
+        self._pending_grouping_sets = None
+        if pending_sets is not None:
+            if isinstance(q, Q.SetQuery):
+                raise UnsupportedSqlError(
+                    "GROUPING SETS inside a set operation is not modeled — "
+                    "write the per-set UNION ALL expansion directly"
+                )
+            q = _expand_grouping_sets(q, pending_sets)
         # trailing ORDER BY / LIMIT / OFFSET / FETCH apply to the whole
         # query (plain or set) — operands never consume them, so the
         # clauses cannot mis-bind to the rightmost set operand. Ordinals
@@ -463,10 +520,36 @@ class _Parser:
 
         group_by: tuple[Q.SqlExpression, ...] = ()
         if self.t.accept("group", "by"):
-            exprs = [self._parse_expression()]
-            while self.t.accept(","):
-                exprs.append(self._parse_expression())
-            group_by = tuple(e.to_qal() for e in exprs)
+            if self.t.accept("grouping", "sets"):
+                # GROUP BY GROUPING SETS ((a, b), (a), ()) — desugared at
+                # the parse_query level into a UNION ALL of per-set
+                # grouped aggregates with NULL-padded grouping columns
+                # (the textbook expansion; the reference's IR model
+                # excludes grouping sets, qal/_qal.py:8438 — this engine
+                # executes them, matching its native ROLLUP/CUBE support)
+                self.t.expect("(")
+                sets: list[list[_Expr]] = []
+                while True:
+                    if self.t.accept("("):
+                        one: list[_Expr] = []
+                        if not self.t.accept(")"):
+                            one.append(self._parse_expression())
+                            while self.t.accept(","):
+                                one.append(self._parse_expression())
+                            self.t.expect(")")
+                        sets.append(one)
+                    else:
+                        # bare element = singleton set (ANSI shorthand)
+                        sets.append([self._parse_expression()])
+                    if not self.t.accept(","):
+                        break
+                self.t.expect(")")
+                self._pending_grouping_sets = sets
+            else:
+                exprs = [self._parse_expression()]
+                while self.t.accept(","):
+                    exprs.append(self._parse_expression())
+                group_by = tuple(e.to_qal() for e in exprs)
 
         having = self._parse_predicate() if self.t.accept("having") else None
 

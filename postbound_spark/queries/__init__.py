@@ -122,6 +122,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-7: new/changed capabilities ---
     "dedup_containment_lsh",  # new: bucket-local containment (scale tier)
     "ann_hubness_candidates",  # new: hubness over the LSH candidate graph
+    "opt_learned_cards",  # new: learned-estimator loop closed (train->DP)
+    "parsed_grouping_sets",  # new: GROUPING SETS desugar == DuckDB native
     # --- round-6: new/changed capabilities ---
     "parsed_named_window",  # new: ANSI WINDOW clause, inlined at the door
     "parsed_ansi_call_forms",  # new: POSITION/SUBSTRING-FROM/TRIM-BOTH + IS TRUE

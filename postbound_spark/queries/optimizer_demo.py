@@ -252,3 +252,103 @@ def opt_dp_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planned = pipeline.optimize_query(spec, tables)
     return _flagship_agg(planned.to_dataframe(tables))
+
+
+_TRAIN_SQLS = {
+    # 2/3-way FK joins DISJOINT from the flagship's 5-table chain as a
+    # whole (shared base tables, different join graphs + filters) — the
+    # cross-query generalization a learned stage must deliver
+    # columns table-qualified so the parser's alias binding attributes
+    # every equi-join edge without a schema dict
+    "t1": """SELECT count(*) AS n FROM lineitem, orders, customer
+             WHERE lineitem.l_orderkey = orders.o_orderkey
+               AND orders.o_custkey = customer.c_custkey
+               AND customer.c_acctbal > 0""",
+    "t2": """SELECT count(*) AS n FROM supplier, nation, region
+             WHERE supplier.s_nationkey = nation.n_nationkey
+               AND nation.n_regionkey = region.r_regionkey
+               AND region.r_name = 'ASIA'""",
+    "t3": """SELECT count(*) AS n FROM part, lineitem
+             WHERE part.p_partkey = lineitem.l_partkey
+               AND part.p_size < 30""",
+    "t4": """SELECT count(*) AS n FROM customer, nation, region
+             WHERE customer.c_nationkey = nation.n_nationkey
+               AND nation.n_regionkey = region.r_regionkey""",
+}
+
+
+@query("opt_learned_cards", oracle=FLAGSHIP_ORACLE)
+def opt_learned_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregation planned under a LEARNED cardinality
+    estimator — the reference's ML loop (collect training data, ref
+    ``examples/example-05-machine-learning.py``; estimator stage slot,
+    ``opt/_stages.py:592``) closed inside one registry entry:
+
+    1. TRAIN: enumerate the join-connected intermediates of four
+       training queries (join graphs disjoint from the flagship's),
+       label them with :class:`PreciseCardinalities` COUNT(*) actuals,
+       featurize with :class:`StatsCardinalityEstimator` components,
+       and fit the closed-form per-arity ridge corrector
+       (optimizer/learned.py — deterministic, no RNG);
+    2. DEPLOY: wrap the fit as a ``LearnedCardinalityEstimator`` and
+       hand it to the textbook DP as its estimator stage (C_out costs
+       computed over corrected estimates);
+    3. ENFORCE: compile the chosen plan through the standard hint path.
+
+    The oracle asserts the loop's invariant: a learned estimator steers
+    the plan, never the results. The corpus-scale version of this loop
+    (113-query JOB sweep, leave-family-out CV, zero-write injection)
+    lives in ``experiments/run_learned_cards.py`` with committed
+    artifacts.
+    """
+    from postbound_spark.experiments import (
+        _prepared_tables,
+        iter_intermediates,
+    )
+    from postbound_spark.optimizer import PreciseCardinalities
+    from postbound_spark.optimizer.cardinalities import (
+        StatsCardinalityEstimator,
+    )
+    from postbound_spark.optimizer.dynprog import SelingerPlanEnumerator
+    from postbound_spark.optimizer.learned import (
+        LearnedCardinalityEstimator,
+        fit_card_corrector,
+    )
+    from postbound_spark.optimizer.stages import (
+        CoutCostModel,
+        TextbookOptimizationPipeline,
+    )
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.plans.parser import parse_query, to_query_spec
+
+    base = load_tables(
+        spark, sf_dir, _TABLES + ["supplier", "part"]
+    )
+    precise = PreciseCardinalities()
+    stats = StatsCardinalityEstimator()
+    samples = []
+    for sql in _TRAIN_SQLS.values():
+        parsed = parse_query(sql)
+        tspec = to_query_spec(parsed)
+        ttabs = _prepared_tables(parsed, base)
+        for subset, _fragment in iter_intermediates(parsed):
+            inter = frozenset(subset)
+            actual = precise.estimate_cardinality(tspec, inter, ttabs)
+            c = stats.estimate_components(tspec, inter, ttabs)
+            samples.append(
+                (len(inter), c["est"], c["prod"], c["min_base"],
+                 c["max_base"], c["n_edges"], actual)
+            )
+    corrector = fit_card_corrector(samples, min_arity_samples=3)
+    learned = LearnedCardinalityEstimator(corrector, stats)
+
+    tables = _filtered_tables(spark, sf_dir)
+    spec = QuerySpec(tuple(_TABLES), tuple(pk_fk_edges_for(_TABLES)))
+    pipeline = TextbookOptimizationPipeline(
+        spark,
+        SelingerPlanEnumerator(),
+        CoutCostModel(spec, tables, learned),
+        learned,
+    )
+    planned = pipeline.optimize_query(spec, tables)
+    return _flagship_agg(planned.to_dataframe(tables))

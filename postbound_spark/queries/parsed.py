@@ -395,3 +395,34 @@ def parsed_ansi_call_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`x IS NULL ... IS NOT TRUE`) and the parenthesized-predicate path
     (`(a > 0) IS TRUE`)."""
     return _native(spark, sf_dir, _ANSI_FORMS_SQL, ["customer"])
+
+
+_GROUPING_SETS_SQL = """
+SELECT o.o_orderpriority, o.o_orderstatus, count(*) AS n
+FROM orders o
+GROUP BY GROUPING SETS ((o.o_orderpriority, o.o_orderstatus),
+                        (o.o_orderpriority), ())
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+@query("parsed_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def parsed_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS through the native parser, desugared at
+    the parse_query level into the textbook UNION ALL of per-set grouped
+    aggregates with NULL-padded grouping columns (plans/parser.py
+    ``_expand_grouping_sets``; the reference's IR model excludes
+    grouping sets, ref qal/_qal.py:8438 — this engine executes them,
+    like its native ROLLUP/CUBE surface entries). DuckDB runs the
+    IDENTICAL text through its native grouping-sets implementation, so
+    the oracle proves desugar == native semantics, NULL padding
+    included. The ORDER BY pins NULLS FIRST explicitly because the
+    engines' defaults differ (Spark NULLS FIRST vs DuckDB NULLS LAST
+    on ASC).
+
+    Scale shape: each branch is an independent partial-aggregated
+    groupBy over the same scan (Spark reuses the exchange where AQE
+    allows); the branch count is the set-list length — a constant —
+    never data-dependent.
+    """
+    return _native(spark, sf_dir, _GROUPING_SETS_SQL, ["orders"])

@@ -1025,3 +1025,64 @@ def test_query_spec_rejects_set_queries_clearly():
     )
     with pytest.raises(UnsupportedSqlError, match="set-operation"):
         to_query_spec(q)
+
+
+class TestGroupingSets:
+    """Round-7: GROUP BY GROUPING SETS desugars to a UNION ALL chain
+    (the reference's IR excludes grouping sets, qal/_qal.py:8438 — the
+    engine executes them via the textbook expansion)."""
+
+    def test_desugars_to_union_all(self):
+        q = parse_query(
+            "SELECT n_regionkey, count(*) AS n FROM nation "
+            "GROUP BY GROUPING SETS ((n_regionkey), ())"
+        )
+        sql = q.to_sql()
+        assert "UNION ALL" in sql
+        assert "GROUP BY n_regionkey" in sql
+        assert "NULL AS n_regionkey" in sql
+
+    def test_bare_element_is_singleton_set(self):
+        q = parse_query(
+            "SELECT n_regionkey, n_name, count(*) AS n FROM nation "
+            "GROUP BY GROUPING SETS (n_regionkey, n_name)"
+        )
+        sql = q.to_sql()
+        assert sql.count("UNION ALL") == 1
+        assert "NULL AS n_name" in sql and "NULL AS n_regionkey" in sql
+
+    def test_single_set_degenerates_to_group_by(self):
+        q = parse_query(
+            "SELECT n_regionkey, count(*) AS n FROM nation "
+            "GROUP BY GROUPING SETS ((n_regionkey))"
+        )
+        sql = q.to_sql()
+        assert "UNION" not in sql and "GROUP BY n_regionkey" in sql
+
+    def test_computed_set_element_rejected_cleanly(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="plain column"):
+            parse_query(
+                "SELECT count(*) AS n FROM nation "
+                "GROUP BY GROUPING SETS ((n_regionkey + 1))"
+            )
+
+    def test_inside_set_operation_rejected_cleanly(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="set operation"):
+            parse_query(
+                "SELECT n_regionkey, count(*) AS n FROM nation "
+                "GROUP BY GROUPING SETS ((n_regionkey), ()) "
+                "UNION ALL SELECT 1, 2"
+            )
+
+    def test_subquery_scope_does_not_leak(self):
+        # grouping sets inside a FROM subquery expand there, not at the
+        # outer level
+        q = parse_query(
+            "SELECT sub.n FROM (SELECT n_regionkey, count(*) AS n "
+            "FROM nation GROUP BY GROUPING SETS ((n_regionkey), ())) sub"
+        )
+        assert "UNION ALL" in q.to_sql()
