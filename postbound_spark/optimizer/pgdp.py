@@ -110,8 +110,17 @@ class PostgresStyleDynProg(PlanEnumerator):
         enable_sort: bool = True,
         required_ordering: tuple[tuple[str, str], ...] = (),
         linear: bool = False,
+        cost_constants=None,
     ):
         self.estimator = cardinality_estimator
+        if cost_constants is not None:
+            # measured per-operator constants override the asserted class
+            # factors (optimizer/costmodel.py — the reference's
+            # NativeCostModel role, ref opt/native.py:57): the DP's cost
+            # unit stays "output rows", so the constants render as
+            # out_row-relative factors
+            for name, value in cost_constants.pgdp_factors().items():
+                setattr(self, name, value)
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self.enable_materialize = enable_materialize
         self.enable_sort = enable_sort

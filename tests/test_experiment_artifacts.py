@@ -249,3 +249,57 @@ def test_jobcomplex_strategy_matrix_covers_corpus():
     per_query = df.groupby("label").strategy.agg(set)
     assert (per_query == STRATEGIES).all(), "missing strategy rows"
     _invariant(df)
+
+
+# ---- round-7: the learned-cardinality loop ------------------------------
+
+
+def test_job_intermediate_cards_cover_all_queries():
+    """The JOB ground-truth dump (the learned estimator's training/eval
+    frame) must cover every fixture query."""
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "job_intermediate_cards_mt4.parquet")
+    )
+    assert set(df.label) == _labels(JOB_DIR)
+    assert (df.n_tables <= 4).all()
+    assert (df.cardinality >= 0).all()
+
+
+def test_learned_qerror_gate_holds():
+    """The committed CV artifact must still satisfy the round-7 gate:
+    learned beats the statistics estimator on median q-error AND on the
+    per-query maximum (the planner-relevant statistic)."""
+    df = pd.read_parquet(os.path.join(RESULTS, "job_learned_qerror.parquet"))
+    assert set(df.label) == _labels(JOB_DIR)
+    assert df.qerr_learned.median() < df.qerr_stats.median()
+    per_q = df.groupby("label")[["qerr_stats", "qerr_learned"]].max()
+    assert per_q.qerr_learned.median() < per_q.qerr_stats.median()
+    # the headline failure mode: catastrophic tails must be cut by >10x
+    assert df.qerr_learned.quantile(0.9) * 10 < df.qerr_stats.quantile(0.9)
+
+
+def test_learned_corrector_artifact_deploys():
+    """The committed model must load and correct — the deployable half
+    of the loop (ref opt/_stages.py:592)."""
+    from postbound_spark.optimizer.learned import CardCorrector
+
+    with open(os.path.join(RESULTS, "learned_card_corrector.json")) as fh:
+        cor = CardCorrector.from_json(fh.read())
+    assert cor.max_arity == 4
+    assert set(cor.models) == {2, 3, 4}
+    # within support the correction is live, beyond it the base passes
+    assert cor.correct(3, 10.0, 1e9, 100.0, 1e4, 2) != 10.0
+    assert cor.correct(9, 10.0, 1e30, 100.0, 1e4, 8) == 10.0
+
+
+def test_learned_runtime_sweep_invariant():
+    """All four estimator arms must agree on every result fingerprint —
+    statistics (learned or not) steer plans, never answers."""
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "job_learned_runtimes.parquet")
+    )
+    assert set(df["mode"]) == {"native", "stats", "learned", "truecards"}
+    inv = df.groupby("label").result_fingerprint.nunique()
+    assert (inv == 1).all()
+    # every non-skipped query ran all four arms
+    assert (df.groupby("label")["mode"].count() == 4).all()
