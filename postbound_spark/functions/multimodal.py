@@ -316,3 +316,108 @@ def sample_frames(
             )
 
     return df.mapInPandas(do_sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def encode_png(array) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit RGB, filter 0 rows, one IDAT)
+    — the write half of :func:`_decode_png_stdlib`, used to build
+    genuine video-frame containers in codec-less environments. The
+    encode→decode round trip is pixel-exact (``tests/test_multimodal``)
+    and the ``mm_video_decode`` oracle pins it cross-engine."""
+    import numpy as np
+
+    arr = np.asarray(array, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png expects an HWC RGB uint8 array")
+    height, width, _ = arr.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(height))
+    return (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+FRAME_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_count", LongType()),
+        StructField("first_pixel", IntegerType()),
+        StructField("last_pixel", IntegerType()),
+    ]
+)
+
+
+def decode_video_frames(
+    df: DataFrame,
+    *,
+    stride: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GENUINE frame decode over a video-container column: each payload
+    is a concatenation of ``[4-byte BE length][PNG bytes]`` frames; the
+    stage splits the container, decodes every ``stride``-th frame with
+    the spec-compliant stdlib PNG decoder (zlib inflate + scanline
+    unfiltering), and emits per-frame digests of the DECODED pixels
+    (sum / count / first / last) — numbers that only come out right if
+    the decode is bit-correct end to end.
+
+    Scale shape: map-only inside ``mapInPandas`` (Arrow batches in,
+    fixed-schema records out, no shuffle); stride-sampling drops whole
+    frames before any pixel work. Production swaps the per-frame PNG
+    decode for an ffmpeg/pyav batch call with the identical dataflow."""
+
+    def do_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "width", "height",
+                                   "pixel_sum", "pixel_count",
+                                   "first_pixel", "last_pixel")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = payload if payload is not None else b""
+                pos, idx = 0, 0
+                while pos + 4 <= len(payload):
+                    (length,) = struct.unpack(">I", payload[pos : pos + 4])
+                    png = payload[pos + 4 : pos + 4 + length]
+                    pos += 4 + length
+                    if idx % stride == 0:
+                        img = _decode_png_stdlib(png)
+                        flat = img.reshape(-1)
+                        out["doc_id"].append(int(doc_id))
+                        out["frame_idx"].append(idx)
+                        out["width"].append(int(img.shape[1]))
+                        out["height"].append(int(img.shape[0]))
+                        out["pixel_sum"].append(int(flat.sum(dtype="int64")))
+                        out["pixel_count"].append(int(flat.size))
+                        out["first_pixel"].append(int(flat[0]))
+                        out["last_pixel"].append(int(flat[-1]))
+                    idx += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "pixel_sum": pd.Series(out["pixel_sum"], dtype="int64"),
+                    "pixel_count": pd.Series(out["pixel_count"], dtype="int64"),
+                    "first_pixel": pd.Series(out["first_pixel"], dtype="int32"),
+                    "last_pixel": pd.Series(out["last_pixel"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(do_decode, schema=FRAME_DECODE_SCHEMA)

@@ -124,6 +124,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "ann_hubness_candidates",  # new: hubness over the LSH candidate graph
     "opt_learned_cards",  # new: learned-estimator loop closed (train->DP)
     "parsed_grouping_sets",  # new: GROUPING SETS desugar == DuckDB native
+    "mm_video_decode",  # new: GENUINE PNG frame decode, pixel-digest oracle
     # --- round-6: new/changed capabilities ---
     "parsed_named_window",  # new: ANSI WINDOW clause, inlined at the door
     "parsed_ansi_call_forms",  # new: POSITION/SUBSTRING-FROM/TRIM-BOTH + IS TRUE

@@ -1970,7 +1970,10 @@ def mm_frame_sample(spark, sf_dir):
     the 1→N expansion pattern with a STUBBED decoder
     (functions/multimodal.sample_frames). The oracle reproduces the exact
     expansion and per-frame checksums with generate_series over the same
-    md5 arithmetic — the Python batch loop is fully pinned by SQL."""
+    md5 arithmetic — the Python batch loop is fully pinned by SQL.
+    ``mm_video_decode`` is the genuine-decode sibling: real PNG frames,
+    real spec-compliant decode, pixel digests under the same oracle
+    discipline."""
     from postbound_spark.functions.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
@@ -1980,6 +1983,130 @@ def mm_frame_sample(spark, sf_dir):
         F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("duration_ms"),
     )
     return sample_frames(videos, interval_ms=250)
+
+
+_VIDEO_DECODE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 200
+),
+f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, n_chars % 3)) AS frame_idx
+  FROM d
+),
+sampled AS (SELECT * FROM f WHERE frame_idx % 2 = 0),
+b AS (
+  SELECT doc_id, frame_idx, text,
+         unnest(generate_series(0, 191)) AS s
+  FROM sampled
+),
+vals AS (
+  SELECT doc_id, frame_idx, s,
+         CAST(concat('0x', substr(
+           md5(text || '|' || CAST(frame_idx AS VARCHAR)
+                    || '|' || CAST(s // 16 AS VARCHAR)),
+           (s % 16) * 2 + 1, 2)) AS BIGINT) AS byte
+  FROM b
+)
+SELECT doc_id, frame_idx,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(sum(byte) AS BIGINT) AS pixel_sum,
+       CAST(count(*) AS BIGINT) AS pixel_count,
+       CAST(max(CASE WHEN s = 0 THEN byte END) AS INT) AS first_pixel,
+       CAST(max(CASE WHEN s = 191 THEN byte END) AS INT) AS last_pixel
+FROM vals
+GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+"""
+
+
+@query("mm_video_decode", oracle=_VIDEO_DECODE_ORACLE)
+def mm_video_decode(spark, sf_dir):
+    """GENUINE video-frame decode (closing the round-6 stub flag on
+    mm_frame_sample): each document becomes a video CONTAINER of 1-3
+    real PNG frames (8x8 RGB, pixels drawn from an md5 chain over the
+    text, encoded by the stdlib PNG writer), and the decode stage
+    splits the container, runs the spec-compliant stdlib PNG decoder
+    (zlib inflate + scanline unfiltering) on every 2nd frame inside
+    mapInPandas, and digests the DECODED pixel array (sum / count /
+    first / last byte).
+
+    The DuckDB oracle reproduces the digests from the SAME md5 chain
+    directly — so the entry hashes green only if encode -> container ->
+    split -> PNG decode is the pixel-exact identity. A corrupted IDAT,
+    a broken unfilter branch, or an off-by-one in the container walk
+    all surface as value mismatches, not just row counts. Pillow-free
+    by construction.
+
+    Scale shape: two chained mapInPandas stages (encode, decode), both
+    map-only over Arrow batches — no shuffle anywhere; the frame digest
+    aggregate happens inside the decode batch loop, bounded by frames
+    per batch. Production swaps the PNG codec for an ffmpeg batch call
+    with the identical dataflow and oracle discipline (digests of
+    decoded pixels, engine-independent).
+    """
+    import hashlib
+    import struct as _struct
+    from collections.abc import Iterator as _Iterator
+
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from postbound_spark.functions.multimodal import (
+        decode_video_frames,
+        encode_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id", "text", "n_chars")
+
+    container_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def build_containers(batches: "_Iterator[_pd.DataFrame]"):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                text = text or ""
+                n_frames = 1 + int(n_chars) % 3
+                parts = []
+                for i in range(n_frames):
+                    raw = b"".join(
+                        hashlib.md5(
+                            f"{text}|{i}|{j}".encode()
+                        ).digest()
+                        for j in range(12)
+                    )
+                    png = encode_png(
+                        _np.frombuffer(raw, dtype=_np.uint8).reshape(8, 8, 3)
+                    )
+                    parts.append(_struct.pack(">I", len(png)) + png)
+                ids.append(int(doc_id))
+                payloads.append(b"".join(parts))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    videos = docs.mapInPandas(build_containers, schema=container_schema)
+    return decode_video_frames(videos, stride=2).orderBy(
+        "doc_id", "frame_idx"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -208,3 +208,62 @@ def test_sample_frames_expansion(spark, sf_small):
         by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     for idxs in by_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+class TestPngEncodeDecodeRoundtrip:
+    """Round-7: the stdlib PNG encoder (encode_png) paired with the
+    stdlib decoder must be a pixel-exact identity — the property the
+    mm_video_decode oracle pins cross-engine."""
+
+    def test_roundtrip_pixel_exact(self):
+        import numpy as np
+
+        from postbound_spark.functions.multimodal import (
+            _decode_png_stdlib,
+            encode_png,
+        )
+
+        rng = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(_decode_png_stdlib(encode_png(rng)), rng)
+        # non-square + extreme values
+        arr = np.full((3, 5, 3), 255, dtype=np.uint8)
+        arr[0, 0] = [0, 1, 2]
+        assert np.array_equal(_decode_png_stdlib(encode_png(arr)), arr)
+
+    def test_encoder_rejects_non_rgb(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from postbound_spark.functions.multimodal import encode_png
+
+        with _pytest.raises(ValueError, match="HWC RGB"):
+            encode_png(np.zeros((4, 4), dtype=np.uint8))
+
+    def test_decode_video_frames_stride_and_digests(self, spark):
+        import struct
+
+        import numpy as np
+
+        from postbound_spark.functions.multimodal import (
+            decode_video_frames,
+            encode_png,
+        )
+
+        frames = [
+            np.full((2, 2, 3), v, dtype=np.uint8) for v in (10, 20, 30)
+        ]
+        container = b"".join(
+            struct.pack(">I", len(p)) + p
+            for p in (encode_png(f) for f in frames)
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(container))], "doc_id long, payload binary"
+        )
+        rows = {
+            r.frame_idx: r
+            for r in decode_video_frames(df, stride=2).collect()
+        }
+        assert set(rows) == {0, 2}  # stride drops frame 1
+        assert rows[0].pixel_sum == 10 * 12 and rows[2].pixel_sum == 30 * 12
+        assert rows[0].pixel_count == 12
+        assert rows[0].width == 2 and rows[0].height == 2
