@@ -303,3 +303,36 @@ def test_learned_runtime_sweep_invariant():
     assert (inv == 1).all()
     # every non-skipped query ran all four arms
     assert (df.groupby("label")["mode"].count() == 4).all()
+
+
+def test_cost_constants_artifact_loads_and_orders():
+    """The measured constants must load and preserve the measured family
+    ordering at probe shapes (broadcast cheapest end-to-end on the
+    fact⋈dim probes, sort ≈ shuffle)."""
+    from postbound_spark.optimizer.costmodel import CostConstants
+
+    cc = CostConstants.load(os.path.join(RESULTS, "cost_constants.json"))
+    assert cc.out_row > 0 and cc.shuffle_row > 0
+    factors = cc.pgdp_factors()
+    assert set(factors) == {
+        "SHUFFLE_FACTOR", "SORT_FACTOR", "BROADCAST_FACTOR",
+    }
+    assert all(v > 0 for v in factors.values())
+    probes = pd.read_parquet(
+        os.path.join(RESULTS, "cost_calibration_probes.parquet")
+    )
+    assert set(probes.family) == {"broadcast_hash", "shuffle_hash", "sort_merge"}
+    # each probe ran all three families on identical inputs
+    assert (probes.groupby("probe").family.nunique() == 3).all()
+
+
+def test_calibrated_dp_sweep_invariant_and_majority():
+    """The committed default-vs-calibrated DP sweep must stay result
+    invariant and keep the round-7 acceptance: calibrated runtime <=
+    default on a majority of JOB queries."""
+    df = pd.read_parquet(os.path.join(RESULTS, "job_calibrated_dp.parquet"))
+    assert set(df.label) == _labels(JOB_DIR)
+    inv = df.groupby("label").result_fingerprint.nunique()
+    assert (inv == 1).all()
+    piv = df.pivot_table(index="label", columns="mode", values="exec_time")
+    assert (piv["calibrated"] <= piv["default"]).mean() > 0.5
