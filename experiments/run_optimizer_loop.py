@@ -32,16 +32,28 @@ def _cached_fixture(name: str, generate) -> str:
     import shutil
     import tempfile
 
+    # the marker embeds the GENERATOR's data version: a cache built by an
+    # older generator regenerates instead of silently serving stale data
+    # (round-7 lesson: fixture v2 seeds witness rows for every JOB query)
+    version = getattr(generate, "__module__", "")
+    try:
+        import importlib
+
+        mod = importlib.import_module(generate.__module__)
+        version = f"v{getattr(mod, 'FIXTURE_VERSION', 1)}"
+    except Exception:
+        version = "v1"
+    stamp = f"ok {version}\n"
     data_dir = os.path.join(tempfile.gettempdir(), name)
     done = os.path.join(data_dir, ".complete")
-    if os.path.exists(done):
+    if os.path.exists(done) and open(done).read() == stamp:
         return data_dir
     shutil.rmtree(data_dir, ignore_errors=True)  # stale / partial cache
     staging = data_dir + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     generate(staging)
     with open(os.path.join(staging, ".complete"), "w") as fh:
-        fh.write("ok\n")
+        fh.write(stamp)
     os.replace(staging, data_dir)
     return data_dir
 

@@ -27,10 +27,15 @@ import os
 import numpy as np
 import pandas as pd
 
+#: bump when the generated DATA changes (experiment fixture caches embed
+#: this in their done-markers so a stale cache regenerates, never serves)
+FIXTURE_VERSION = 2
+
 INFO_TYPES = [
     "top 250 rank", "bottom 10 rank", "genres", "rating", "release dates",
     "countries", "budget", "votes", "mini biography", "trivia",
     "color info", "languages",
+    "height",  # appended (ids above are load-bearing): JOB 29b pins it
 ]
 KIND_TYPES = [
     "movie", "tv series", "tv movie", "video movie", "tv mini series",
@@ -454,10 +459,317 @@ def generate_imdb_fixture(
         }
     )
 
+    _seed_job_witnesses(tables, it_id)
+
     os.makedirs(out_dir, exist_ok=True)
     for name, frame in tables.items():
         frame.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)
     return tables
+
+
+def _seed_job_witnesses(tables: dict[str, pd.DataFrame], it_id: dict[str, int]) -> None:
+    """Append WITNESS bundles so every JOB fixture query's predicate
+    conjunction matches at least one row (fixture v2, round-7 audit:
+    42/113 queries matched nothing because random data rarely satisfies
+    a 6-table conjunction like keyword='marvel-cinematic-universe' AND
+    name LIKE '%%Downey%%Robert%%' AND year>2014 simultaneously).
+
+    Each witness is a handcrafted movie bundle — title + the satellite
+    rows one query family pins — constructed directly from the fixture
+    corpus's literals (``workloads/fixtures/job``), so the corpus stops
+    being vacuous: an optimizer that silently drops a join or misbinds a
+    self-join alias now changes real aggregate VALUES, not just NULL
+    rows. Appending (never mutating) keeps every previously-matching
+    query matching; ids continue from each table's max."""
+
+    counters = {name: int(frame["id"].max()) for name, frame in tables.items()}
+    added: dict[str, list[dict]] = {name: [] for name in tables}
+
+    def add(table: str, **cols) -> int:
+        counters[table] += 1
+        added[table].append({"id": counters[table], **cols})
+        return counters[table]
+
+    def dim_id(table: str, col: str, value: str) -> int:
+        frame = tables[table]
+        hit = frame.loc[frame[col] == value, "id"]
+        if not len(hit):
+            raise ValueError(f"fixture dim {table}.{col} lacks {value!r}")
+        return int(hit.iloc[0])
+
+    def title_id(name: str) -> int:
+        return dim_id("title", "title", name)
+
+    kw = lambda k: dim_id("keyword", "keyword", k)  # noqa: E731
+    kind = lambda k: dim_id("kind_type", "kind", k)  # noqa: E731
+    role = lambda r: dim_id("role_type", "role", r)  # noqa: E731
+    cct = lambda k: dim_id("comp_cast_type", "kind", k)  # noqa: E731
+    link = lambda l: dim_id("link_type", "link", l)  # noqa: E731
+
+    def person(name: str, gender: str, pcode: str) -> int:
+        return add(
+            "name", name=name, imdb_index=None, imdb_id=None, gender=gender,
+            name_pcode_cf=pcode, name_pcode_nf=name[:4].upper(),
+            surname_pcode=name.split(",")[0][:3].upper(), md5sum="f" * 32,
+        )
+
+    def company(name: str, country: str) -> int:
+        return add(
+            "company_name", name=name, country_code=country, imdb_id=None,
+            name_pcode_nf=name[:4].upper(), name_pcode_sf=name[:3].upper(),
+            md5sum="e" * 32,
+        )
+
+    def title(name: str, year: int, kind_name: str = "movie") -> int:
+        return add(
+            "title", title=name, imdb_index=None, kind_id=kind(kind_name),
+            production_year=year, imdb_id=None,
+            phonetic_code=name[:4].upper(), episode_of_id=None,
+            season_nr=None, episode_nr=None, series_years=None,
+            md5sum="d" * 32,
+        )
+
+    def mc(movie: int, comp: int, ctype: int = 1, note=None) -> int:
+        return add(
+            "movie_companies", movie_id=movie, company_id=comp,
+            company_type_id=ctype, note=note,
+        )
+
+    def mi(movie: int, info_name: str, info: str, note=None) -> int:
+        return add(
+            "movie_info", movie_id=movie, info_type_id=it_id[info_name],
+            info=info, note=note,
+        )
+
+    def mix(movie: int, info_name: str, info: str) -> int:
+        return add(
+            "movie_info_idx", movie_id=movie, info_type_id=it_id[info_name],
+            info=info, note=None,
+        )
+
+    def ci(movie: int, pers: int, note, role_name: str, char: int | None) -> int:
+        return add(
+            "cast_info", person_id=pers, movie_id=movie, person_role_id=char,
+            note=note, nr_order=1, role_id=role(role_name),
+        )
+
+    def mk(movie: int, keyword: str) -> int:
+        return add("movie_keyword", movie_id=movie, keyword_id=kw(keyword))
+
+    def cc(movie: int, subject: str, status: str) -> int:
+        return add(
+            "complete_cast", movie_id=movie, subject_id=cct(subject),
+            status_id=cct(status),
+        )
+
+    def ml(movie: int, linked: int, link_name: str) -> int:
+        return add(
+            "movie_link", movie_id=movie, linked_movie_id=linked,
+            link_type_id=link(link_name),
+        )
+
+    def an(pers: int, name: str) -> int:
+        return add(
+            "aka_name", person_id=pers, name=name, imdb_index=None,
+            name_pcode_cf="A100", name_pcode_nf="B100", surname_pcode="C10",
+            md5sum="c" * 32,
+        )
+
+    def pi(pers: int, info_name: str, info: str, note=None) -> int:
+        return add(
+            "person_info", person_id=pers, info_type_id=it_id[info_name],
+            info=info, note=note,
+        )
+
+    def chn(name: str) -> int:
+        frame = tables["char_name"]
+        hit = frame.loc[frame["name"] == name, "id"]
+        if len(hit):
+            return int(hit.iloc[0])
+        return add(
+            "char_name", name=name, imdb_index=None, imdb_id=None,
+            name_pcode_nf=name[:4].upper(), surname_pcode=name[:3].upper(),
+            md5sum="b" * 32,
+        )
+
+    us_co = company("Secret Studios", "[us]")
+    dreamworks = company("DreamWorks Animation", "[us]")
+    youtube = company("YouTube", "[us]")
+    film_de = company("Storm Film AB", "[de]")
+    fox = company("Twentieth Century Fox Film Corporation", "[de]")
+    jp_co = company("Tokyo Pictures", "[jp]")
+    ru_co = company("Moscow Pictures", "[ru]")
+    nl_co = company("Polder Film BV", "[nl]")
+    lionsgate = dim_id("company_name", "name", "Lionsgate Films") \
+        if (tables["company_name"]["name"] == "Lionsgate Films").any() \
+        else company("Lionsgate Films", "[us]")
+
+    downey = person("Downey Jr., Robert", "m", "D632")
+    bergman = person("Bergman, David", "m", "D450")
+    yoko = person("Yoshida, Yoko", "f", "Y230")
+    angelina = person("Jolie, Angelina", "f", "J450")
+    timothy = person("Underwood, Timothy", "m", "U536")
+    frank = person("Anderson, Frank", "m", "A536")
+
+    # -- family 6 + 20: Marvel movie with Downey as Tony Stark ----------
+    marvel = title("Iron Man 4", 2015)
+    for k in ("marvel-cinematic-universe", "superhero", "sequel",
+              "marvel-comics"):
+        mk(marvel, k)
+    ci(marvel, downey, "(producer)", "actor", chn("Tony Stark"))
+    cc(marvel, "cast", "complete")
+    mc(marvel, us_co, 1, "(2015) (USA)")
+
+    # -- family 7: featured biography movie (ml.linked_movie_id = t.id) --
+    bio = title("The Journey of the Legend", 1982)
+    other = title("The Return of the Legend", 1985)
+    ci(bio, bergman, None, "director", None)
+    pi(bergman, "mini biography", "Born in 1950; director.", "Volker Boehm")
+    an(bergman, "David A. Bergman")
+    ml(other, bio, "features")
+
+    # -- family 8: Japanese dub (t LIKE 'One Piece%', 2006-2007) ---------
+    onepiece = title("One Piece Film Gold", 2007)
+    ci(onepiece, yoko, "(voice: English version)", "actress", None)
+    an(yoko, "Yoko Y. Yoshida")
+    mc(onepiece, jp_co, 1, "(2007) (Japan)")
+
+    # -- families 9/19 on Kung Fu Panda (2008) ---------------------------
+    kfp = title_id("Kung Fu Panda")
+    ci(kfp, angelina, "(voice)", "actress", chn("Tigress"))
+    an(angelina, "Angelina J.")
+    mc(kfp, dreamworks, 1, "(2008) (USA)")
+    mi(kfp, "release dates", "USA: 6 June 2008", "(theatrical)")
+
+    # -- family 24 (+9c/19c year-open forms): Kung Fu Panda 3 (2012) -----
+    kfp3 = title("Kung Fu Panda 3", 2012)
+    ci(kfp3, angelina, "(voice)", "actress", chn("Tigress"))
+    mc(kfp3, dreamworks, 1, "(2012) (USA)")
+    mi(kfp3, "release dates", "USA: 5 March 2012", "(theatrical)")
+    for k in ("hero", "martial-arts", "hand-to-hand-combat"):
+        mk(kfp3, k)
+
+    # -- family 10: uncredited voice in a Russian movie ------------------
+    ru_movie = title("The Storm of the Palace", 2010)
+    ci(ru_movie, frank, "(voice) (uncredited)", "actor", chn("Captain"))
+    mc(ru_movie, ru_co, 1, "(2010)")
+
+    # -- family 5b: VHS USA 1994 note + USA country info -----------------
+    vhs = title("The Dream of the Ocean", 2005)
+    mc(vhs, us_co, 1, "(1994) (USA) (VHS)")
+    mi(vhs, "countries", "USA")
+
+    # -- families 11/21/27: linked sequels from a Film company -----------
+    money = title("The Money of the Storm", 1998)
+    money2 = title("The Money of the Storm II", 2001)
+    mk(money, "sequel")
+    mc(money, film_de, 1, None)  # mc.note IS NULL
+    mi(money, "countries", "Germany")
+    mi(money, "countries", "Sweden")
+    ml(money, money2, "follows")
+    cc(money, "cast", "complete")
+    garden = title("The Garden of the Storm", 2005)
+    mk(garden, "sequel")
+    mc(garden, film_de, 1, None)
+    mi(garden, "countries", "Germany")
+    ml(garden, money2, "follows")
+    cc(garden, "cast", "complete")
+    # 11c: Fox distributor with a note, sequel keyword, linked
+    foxm = title("The Empire of the Quest", 1990)
+    mk(foxm, "sequel")
+    mc(foxm, fox, 2, "(theatrical)")
+    ml(foxm, money2, "followed by")
+
+    # -- family 12b: Birdemic budget + bottom-10 rank --------------------
+    birdemic = title_id("Birdemic")
+    mi(birdemic, "budget", "$10,000")
+    mix(birdemic, "bottom 10 rank", "3")
+    mc(birdemic, us_co, 1, "(2010) (USA)")
+
+    # -- family 13: Champion movie with rating + release date ------------
+    champ = title("Champion of the Ocean", 2001)
+    mi(champ, "release dates", "USA: 3 March 2001")
+    mix(champ, "rating", "7.2")
+    mc(champ, us_co, 1, "(2001)")
+
+    # -- family 14b: murder-in-title nordic thriller ---------------------
+    murder = title("Murder of the Winter", 2012)
+    mk(murder, "murder")
+    mk(murder, "murder-in-title")
+    mi(murder, "countries", "Sweden")
+    mix(murder, "rating", "7.5")
+
+    # -- family 15: internet release via YouTube -------------------------
+    web = title("The Secret of the Web", 2006)
+    mc(web, youtube, 1, "(2006) (worldwide)")
+    mi(web, "release dates", "USA: 12 June 2006", "(internet release)")
+    mk(web, "web")
+    add(
+        "aka_title", movie_id=web, title="AKA Secret Web", imdb_index=None,
+        kind_id=kind("movie"), production_year=2006, phonetic_code="P100",
+        episode_of_id=None, season_nr=None, episode_nr=None,
+        note=None, md5sum="a" * 32,
+    )
+
+    # -- family 18: male producer Tim with budget + votes ----------------
+    prod = title("The Tower of the Night", 2005)
+    ci(prod, timothy, "(producer)", "producer", None)
+    mi(prod, "budget", "$25,000,000")
+    mix(prod, "votes", "125000")
+
+    # -- family 23: complete+verified internet US movie ------------------
+    inet = title("The Mirror of the Island", 2005)
+    cc(inet, "cast", "complete+verified")
+    mi(inet, "release dates", "USA: 14 March 2005", "(internet release)")
+    mk(inet, "nerd")
+    mc(inet, us_co, 1, "(2005)")
+
+    # -- families 25b/31b: horror writer movie ---------------------------
+    vamp = title("Vampire Diary 2", 2012)
+    ci(vamp, frank, "(written by)", "writer", None)
+    mi(vamp, "genres", "Horror")
+    mix(vamp, "votes", "1500")
+    for k in ("murder", "blood", "gore"):
+        mk(vamp, k)
+    mc(vamp, lionsgate, 1, "(2011) (Blu-ray)")
+
+    # -- family 29 on Shrek 2: the full 17-table witness -----------------
+    shrek = title_id("Shrek 2")
+    ci(shrek, angelina, "(voice)", "actress", chn("Queen"))
+    mi(shrek, "release dates", "USA: 19 May 2004")
+    mc(shrek, us_co, 1, "(2004) (USA)")
+    mk(shrek, "computer-animation")
+    cc(shrek, "cast", "complete+verified")
+    pi(angelina, "trivia", "Voices the Queen.", None)
+    pi(angelina, "height", "5' 7\"", None)
+
+    # -- family 33: linked tv-series pair with ratings -------------------
+    series1 = title("The Storm Kingdom", 2004, "tv series")
+    series2 = title("The Storm Kingdom II", 2007, "tv series")
+    ml(series1, series2, "follows")
+    mix(series1, "rating", "8.1")
+    mix(series2, "rating", "2.5")
+    mc(series1, us_co, 1, "(2004)")
+    mc(series1, nl_co, 1, "(2004) (Netherlands)")
+    mc(series2, film_de, 1, "(2007)")
+
+    for name, rows in added.items():
+        if not rows:
+            continue
+        frame = tables[name]
+        patch = pd.DataFrame(rows)
+        # align to the table's schema: absent columns become NULL, dtypes
+        # follow the existing frame (nullable ints stay Int64)
+        for col in frame.columns:
+            if col not in patch.columns:
+                patch[col] = None
+        patch = patch[list(frame.columns)]
+        for col in frame.columns:
+            try:
+                patch[col] = patch[col].astype(frame[col].dtype)
+            except (TypeError, ValueError):
+                pass
+        tables[name] = pd.concat([frame, patch], ignore_index=True)
 
 
 IMDB_TABLES = [

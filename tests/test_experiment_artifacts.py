@@ -336,3 +336,20 @@ def test_calibrated_dp_sweep_invariant_and_majority():
     assert (inv == 1).all()
     piv = df.pivot_table(index="label", columns="mode", values="exec_time")
     assert (piv["calibrated"] <= piv["default"]).mean() > 0.5
+
+
+def test_job_selectivity_audit_non_vacuous():
+    """The committed selectivity audit (round-7: bounds the fixture's
+    literal drift) must cover every query, agree across engines, and
+    show zero empty predicates under fixture v2's witness bundles."""
+    df = pd.read_parquet(
+        os.path.join(RESULTS, "job_fixture_selectivity.parquet")
+    )
+    assert set(df.label) == _labels(JOB_DIR)
+    assert set(df.literal_confidence) == {
+        "canonical", "transcribed", "reconstructed",
+    }
+    assert (df.spark_rows == df.duckdb_rows).all()
+    assert (df.spark_rows > 0).all()
+    # all 33 a-variants carry canonical confidence
+    assert (df[df.variant == "a"].literal_confidence == "canonical").all()

@@ -93,9 +93,14 @@ def test_job_corpus_executes_and_matches_duckdb(engines):
         if any(v is not None for v in got):
             nonempty += 1
     assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:3]}"
-    assert nonempty >= len(CORPUS) // 3, (
-        f"only {nonempty}/{len(CORPUS)} queries matched any data — fixture "
-        "distributions have drifted away from the corpus literals"
+    # fixture v2 seeds a witness bundle per family
+    # (sources/imdb_fixture.py:_seed_job_witnesses), so EVERY query must
+    # match at least one row — a NULL aggregate means a broken predicate
+    # or a drifted literal, never an expected gap (round-7 audit,
+    # experiments/run_job_selectivity.py)
+    assert nonempty == len(CORPUS), (
+        f"only {nonempty}/{len(CORPUS)} queries matched any data — a "
+        "witness bundle regressed or a literal drifted"
     )
 
 
