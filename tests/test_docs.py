@@ -158,3 +158,41 @@ def test_pipeline_catalog_names_exist_in_registry():
         n for n in registry if n.startswith(families) and n not in listed
     }
     assert not unlisted, f"registry entries missing from docs/pipeline.md: {unlisted}"
+
+
+def test_api_reference_is_current():
+    """docs/api is the BUILT artifact (the reference ships a Sphinx
+    tree; this repo's sandbox has no doc toolchain, so
+    scripts/gen_api_docs.py is the builder and this test is the CI
+    build gate): regenerate into a tempdir and diff — any public
+    docstring/signature change without a re-run fails here."""
+    import importlib
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    try:
+        gen = importlib.import_module("gen_api_docs")
+    finally:
+        sys.path.pop(0)
+    fresh = {}
+    for module in sorted(gen.iter_modules(), key=lambda m: m.__name__):
+        fresh[module.__name__.replace(".", "_") + ".md"] = gen.render_module(
+            module
+        )
+    api_dir = os.path.join(root, "docs", "api")
+    committed = {
+        f for f in os.listdir(api_dir) if f.endswith(".md")
+    }
+    stale = [
+        f
+        for f, text in fresh.items()
+        if not os.path.exists(os.path.join(api_dir, f))
+        or open(os.path.join(api_dir, f)).read() != text
+    ]
+    orphaned = committed - set(fresh) - {"index.md"}
+    assert not stale and not orphaned, (
+        f"docs/api is stale (run scripts/gen_api_docs.py): "
+        f"stale={stale[:5]} orphaned={sorted(orphaned)[:5]}"
+    )
