@@ -125,6 +125,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "opt_learned_cards",  # new: learned-estimator loop closed (train->DP)
     "parsed_grouping_sets",  # new: GROUPING SETS desugar == DuckDB native
     "mm_video_decode",  # new: GENUINE PNG frame decode, pixel-digest oracle
+    "sample_contamination_check",  # new: train/test n-gram decontamination
+    "sample_split_leakage",  # new: near-dup clusters straddling splits
     # --- round-6: new/changed capabilities ---
     "parsed_named_window",  # new: ANSI WINDOW clause, inlined at the door
     "parsed_ansi_call_forms",  # new: POSITION/SUBSTRING-FROM/TRIM-BOTH + IS TRUE

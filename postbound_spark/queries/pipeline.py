@@ -6248,3 +6248,190 @@ def sketch_bloom_tokens(spark, sf_dir):
         F.col("n_set").alias("bits_set"),
         F.expr(f"(n_set * 1000000) div {_BLOOM_M}").alias("fill_ppm"),
     ).orderBy("token")
+
+
+_G5 = (
+    "CASE WHEN len(ws) >= 5 THEN list_distinct(list_transform("
+    "generate_series(1, len(ws) - 4), i -> "
+    "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
+    " || ' ' || ws[i+4])) ELSE [] END"
+)
+
+_CONTAMINATION_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_WS_TOKS} AS ws FROM documents
+),
+g5 AS (SELECT doc_id, {_G5} AS gs FROM d),
+test AS (SELECT doc_id, gs FROM g5 WHERE doc_id % 17 = 0 AND len(gs) >= 1),
+train_grams AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g5 WHERE doc_id % 17 <> 0
+),
+tg AS (SELECT doc_id, unnest(gs) AS gram FROM test),
+shared AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM tg WHERE gram IN (SELECT gram FROM train_grams)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.gs) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+       (CAST(coalesce(s.n_shared, 0) AS BIGINT) * 1000000)
+         // CAST(len(t.gs) AS BIGINT) AS shared_ppm,
+       CAST(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM test t LEFT JOIN shared s USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@query("sample_contamination_check", oracle=_CONTAMINATION_ORACLE)
+def sample_contamination_check(spark, sf_dir):
+    """Train/test contamination detection (the GPT-3-appendix
+    decontamination pattern, Brown et al. 2020: benchmark examples whose
+    n-grams appear in the training corpus poison evaluation): every
+    held-out document (deterministic pseudo-split ``doc_id % 17 = 0``)
+    is scored by how many of its distinct word-5-grams appear ANYWHERE
+    in the training split — exact counts, integer-ppm share, and a
+    contaminated flag per held-out doc. Real pipelines run exactly this
+    before reporting benchmark numbers, with the benchmark set as the
+    held-out side.
+
+    Determinism contract: gram sets are distinct-by-construction
+    (shingle helper), counts and the ppm share are exact integers,
+    split membership is integer modulo — nothing floats.
+
+    Scale shape: the train side reduces to its DISTINCT gram vocabulary
+    (one gram-keyed partial-agg shuffle — the same wordcount shape every
+    sketch op uses), then membership is a gram-keyed LEFT SEMI join of
+    the (much smaller) held-out gram stream against it — linear in
+    corpus size, never pairwise in documents. At 100 TB the benchmark
+    side is tiny (thousands of eval docs), so the semi-join probes are
+    broadcast-bounded while the train vocabulary never leaves its
+    partitions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g5 = docs.select(
+        "doc_id",
+        T.word_shingles(T.tokens(F.col("text")), 5).alias("gs"),
+    ).transform(stage_cache)
+    test = g5.filter((F.col("doc_id") % 17 == 0) & (F.size("gs") >= 1))
+    train_grams = (
+        g5.filter(F.col("doc_id") % 17 != 0)
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    tg = test.select("doc_id", F.explode("gs").alias("gram"))
+    shared = (
+        tg.join(train_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        test.select("doc_id", F.size("gs").cast("long").alias("n_grams"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias(
+                "n_shared"
+            ),
+            F.expr(
+                "(CAST(coalesce(n_shared, 0) AS BIGINT) * 1000000)"
+                " div n_grams"
+            ).alias("shared_ppm"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPLIT_LEAKAGE_ORACLE = f"""{_MINHASH_PAIRS_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE j >= 0.3),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+assigned AS (
+  SELECT component,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(node AS VARCHAR)), 1, 6))
+                   AS BIGINT) % 100 < 60 THEN 'train'
+              WHEN CAST(concat('0x', substr(md5(CAST(node AS VARCHAR)), 1, 6))
+                   AS BIGINT) % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM comp
+),
+per_c AS (
+  SELECT component,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT split) AS BIGINT) AS n_splits
+  FROM assigned GROUP BY component
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling,
+       (CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000) // CAST(count(*) AS BIGINT) AS straddle_ppm,
+       CAST(sum(CASE WHEN n_splits > 1 THEN n_members ELSE 0 END) AS BIGINT)
+         AS n_leaky_docs
+FROM per_c
+"""
+
+
+@query("sample_split_leakage", oracle=_SPLIT_LEAKAGE_ORACLE)
+def sample_split_leakage(spark, sf_dir):
+    """Split-leakage audit: how many near-duplicate CLUSTERS straddle a
+    train/valid/test boundary under naive PER-DOCUMENT hash routing —
+    the number that justifies ``sample_split_assign``'s group-hash
+    design (a cluster with members in both train and test leaks
+    evaluation content into training even after within-split dedup).
+    Composes the MinHash-LSH component labels (``dedup_components``)
+    with the md5-bucket split rule applied per doc_id; reports cluster
+    count, straddling clusters, their exact-integer ppm share, and the
+    total documents inside leaky clusters.
+
+    Scale shape: rides the components pipeline (salted band join +
+    bounded label propagation), then ONE component-keyed partial-agg
+    shuffle over the (clusters-only) label table and a single-row
+    readout — nothing new at scale beyond what dedup_components already
+    pays. The audit's answer at 100 TB is the go/no-go for shipping a
+    split: a nonzero straddle count means re-route by leakage group.
+    """
+    labels = _duplicate_components(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("node").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 60, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    per_c = (
+        labels.select(F.col("lbl").alias("component"), split.alias("split"))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.countDistinct("split").cast("long").alias("n_splits"),
+        )
+    )
+    straddling = F.sum((F.col("n_splits") > 1).cast("long")).cast("long")
+    return per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        straddling.alias("n_straddling"),
+        F.expr(
+            "(CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            " * 1000000) div count(*)"
+        ).alias("straddle_ppm"),
+        F.sum(
+            F.when(F.col("n_splits") > 1, F.col("n_members")).otherwise(0)
+        ).cast("long").alias("n_leaky_docs"),
+    )

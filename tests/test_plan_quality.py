@@ -964,3 +964,29 @@ def test_hubness_candidates_is_bucket_local(registry, spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_check_is_gram_keyed(registry, spark, sf_small):
+    """sample_contamination_check: train-vocabulary reduction must
+    partial-aggregate map-side and membership must be a gram-keyed
+    LEFT SEMI join — never a document-pairwise comparison. Gram sets
+    ride the cached tokenization; no Python."""
+    df = _build(registry, spark, sf_small, "sample_contamination_check")
+    plan = _formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_leakage_rides_component_pipeline(registry, spark, sf_small):
+    """sample_split_leakage: after the components loop, the audit is ONE
+    component-keyed partial aggregate + single-row readout — no extra
+    corpus scan, no cross product, no Python."""
+    df = _build(registry, spark, sf_small, "sample_split_leakage")
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
