@@ -127,6 +127,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "mm_video_decode",  # new: GENUINE PNG frame decode, pixel-digest oracle
     "sample_contamination_check",  # new: train/test n-gram decontamination
     "sample_split_leakage",  # new: near-dup clusters straddling splits
+    "dedup_rate_curve",  # new: pair counts per exact Jaccard decile
+    "events_seasonality_profile",  # new: dow x hour load heat-map, exact ppm
+    "emb_dim_health",  # new: per-dimension exact moments (dead-dim screen)
     # --- round-6: new/changed capabilities ---
     "parsed_named_window",  # new: ANSI WINDOW clause, inlined at the door
     "parsed_ansi_call_forms",  # new: POSITION/SUBSTRING-FROM/TRIM-BOTH + IS TRUE

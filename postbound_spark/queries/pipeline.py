@@ -6435,3 +6435,187 @@ def sample_split_leakage(spark, sf_dir):
             F.when(F.col("n_splits") > 1, F.col("n_members")).otherwise(0)
         ).cast("long").alias("n_leaky_docs"),
     )
+
+
+_DEDUP_CURVE_ORACLE = f"""{_MINHASH_PAIRS_CTE},
+cont AS (
+  SELECT CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+         CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
+              AS BIGINT) AS un
+  FROM cand JOIN dd x ON x.doc_id = doc_a JOIN dd y ON y.doc_id = doc_b
+),
+b AS (
+  SELECT CASE WHEN inter = un THEN 9 ELSE (inter * 10) // un END AS decile
+  FROM cont WHERE inter * 10 >= un * 3
+)
+SELECT CAST(decile AS BIGINT) AS jaccard_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(count(*)) OVER (ORDER BY decile DESC) AS BIGINT)
+         AS pairs_at_or_above
+FROM b GROUP BY decile ORDER BY decile
+"""
+
+
+@query("dedup_rate_curve", oracle=_DEDUP_CURVE_ORACLE)
+def dedup_rate_curve(spark, sf_dir):
+    """Dedup-threshold tuning curve: LSH-candidate pair counts per exact
+    Jaccard DECILE plus the cumulative pairs-at-or-above count — the
+    curve a pipeline reads to pick its near-dup threshold (0.8 for
+    conservative, 0.5 aggressive; the knee is corpus-specific). Deciles
+    come from EXACT integer cross-multiplication ((inter*10) div union,
+    with the j=1.0 edge folded into the top decile), never from
+    float-bucketing a ratio whose last ulp differs across engines.
+
+    Scale shape: rides the MinHash-LSH candidate stream
+    (``_lsh_candidates`` — salted band equi-join, colliding pairs only),
+    then one 7-row aggregate; the cumulative readout is a window over
+    the decile table, not the pair stream.
+    """
+    cand = _lsh_candidates(spark, sf_dir)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    un = (
+        F.size("sh_a") + F.size("sh_b")
+        - F.size(F.array_intersect("sh_a", "sh_b"))
+    ).cast("long")
+    b = (
+        cand.select(inter.alias("inter"), un.alias("un"))
+        .filter(F.col("inter") * 10 >= F.col("un") * 3)
+        .select(
+            F.when(F.col("inter") == F.col("un"), F.lit(9))
+            .otherwise(F.expr("(inter * 10) div un"))
+            .cast("long")
+            .alias("jaccard_decile")
+        )
+    )
+    per = b.groupBy("jaccard_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    w = Window.orderBy(F.desc("jaccard_decile")).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "jaccard_decile",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
+    ).orderBy("jaccard_decile")
+
+
+_SEASONALITY_ORACLE = """
+WITH e AS (
+  SELECT isodow(ts) - 1 AS dow, hour(ts) AS hod FROM events
+),
+cells AS (
+  SELECT dow, hod, CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY dow, hod
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod, n_events,
+       (n_events * 1000000) // (SELECT CAST(count(*) AS BIGINT) FROM events)
+         AS share_ppm
+FROM cells ORDER BY dow, hod
+"""
+
+
+@query("events_seasonality_profile", oracle=_SEASONALITY_ORACLE)
+def events_seasonality_profile(spark, sf_dir):
+    """Weekly seasonality heat-map: event volume per (day-of-week,
+    hour-of-day) cell with exact-integer ppm shares — the load profile
+    behind capacity planning, anomaly baselines (events_anomaly_zscore
+    normalizes against it at scale), and bot detection (human traffic
+    has a diurnal shape; uniform cells scream automation). Day-of-week
+    is Monday=0 on both engines (Spark ``weekday()`` == DuckDB
+    ``isodow()-1`` — Spark's ``dayofweek`` and DuckDB's ``dayofweek``
+    disagree on the week start, the cross-engine trap this entry pins).
+
+    Scale shape: map-only (dow, hod) projection into a partial-agg
+    shuffle bounded at 168 cells forever; the total broadcasts from a
+    1-row aggregate. Nothing grows with the corpus but the map side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.weekday("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    total = ev.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            F.expr("(n_events * 1000000) div total").alias("share_ppm"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+_DIM_HEALTH_ORACLE = f"""
+WITH q AS (SELECT {_QUANT} AS qv FROM embeddings),
+d AS (
+  SELECT unnest(generate_series(1, 64)) AS dim, qv FROM q
+),
+v AS (SELECT dim, qv[dim] AS val FROM d),
+s AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(val) AS BIGINT) AS sum_q,
+         CAST(sum(val * val) AS BIGINT) AS sumsq_q,
+         CAST(min(val) AS BIGINT) AS min_q,
+         CAST(max(val) AS BIGINT) AS max_q
+  FROM v GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n_vecs, sum_q, sumsq_q, min_q, max_q,
+       round(CAST(sum_q AS DOUBLE) / n_vecs, 6) AS mean_q,
+       round(CAST(sumsq_q AS DOUBLE) / n_vecs
+             - (CAST(sum_q AS DOUBLE) / n_vecs)
+               * (CAST(sum_q AS DOUBLE) / n_vecs), 4) AS var_q
+FROM s ORDER BY dim
+"""
+
+
+@query("emb_dim_health", oracle=_DIM_HEALTH_ORACLE)
+def emb_dim_health(spark, sf_dir):
+    """Per-dimension embedding health: exact integer moments (sum, sum
+    of squares, min/max over the quantized values) plus derived mean and
+    variance for each of the 64 dimensions — the "dead dimension"
+    screen (variance ~ 0 means the dimension carries no signal;
+    grossly unequal variances mean the space needs whitening before
+    cosine ANN is trustworthy). Moment sums are exact BIGINT arithmetic
+    over quantized integers, so the histogram is bit-identical across
+    engines; mean/variance are single IEEE divisions of exact sums,
+    rounded only in the output.
+
+    Scale shape: posexplode is map-side (64 rows per vector, no data
+    movement), then ONE dimension-keyed partial-agg shuffle bounded at
+    64 groups forever — per-executor state is 64 accumulator rows no
+    matter the corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(V.quantize(F.col("embedding")).alias("qv"))
+    v = q.select(F.posexplode("qv").alias("pos", "val")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("val").cast("long").alias("val"),
+    )
+    s = v.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("val").cast("long").alias("sum_q"),
+        F.sum(F.col("val") * F.col("val")).cast("long").alias("sumsq_q"),
+        F.min("val").cast("long").alias("min_q"),
+        F.max("val").cast("long").alias("max_q"),
+    )
+    mean = F.col("sum_q").cast("double") / F.col("n_vecs")
+    return s.select(
+        "dim",
+        "n_vecs",
+        "sum_q",
+        "sumsq_q",
+        "min_q",
+        "max_q",
+        F.round(mean, 6).alias("mean_q"),
+        F.round(
+            F.col("sumsq_q").cast("double") / F.col("n_vecs") - mean * mean, 4
+        ).alias("var_q"),
+    ).orderBy("dim")

@@ -990,3 +990,37 @@ def test_split_leakage_rides_component_pipeline(registry, spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rate_curve_is_bucket_local_and_windows_deciles(registry, spark, sf_small):
+    """dedup_rate_curve: the decile census rides the LSH candidate
+    equi-join stream; the cumulative readout windows the 7-row decile
+    table, never the pair stream. No nested-loop, no Python."""
+    df = _build(registry, spark, sf_small, "dedup_rate_curve")
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_seasonality_is_bounded_cells(registry, spark, sf_small):
+    """events_seasonality_profile: map-only projection into a 168-cell
+    partial-agg shuffle; the total broadcasts. No Python."""
+    df = _build(registry, spark, sf_small, "events_seasonality_profile")
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dim_health_is_64_group_aggregate(registry, spark, sf_small):
+    """emb_dim_health: posexplode is map-side; the only shuffle is the
+    64-group partial aggregate of exact integer moments. No Python."""
+    df = _build(registry, spark, sf_small, "emb_dim_health")
+    plan = _formatted_plan(df)
+    assert "partial_sum" in plan
+    assert "Generate" in plan  # posexplode, map-side
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
