@@ -36,9 +36,9 @@ it:
   fixture, yielding the training rows.
 
 Measured on the JOB fixture corpus (leave-one-family-out CV,
-``experiments/run_learned_cards.py``): the correction cuts the
-per-intermediate q-error p90 from ~850 to ~3.5 and the per-query MAX
-q-error median from ~2500 to ~5 while also improving the median —
+``experiments/run_learned_cards.py``, fixture v2): the correction cuts
+the per-intermediate q-error p90 from ~1900 to ~9 and the per-query MAX
+q-error median from ~5700 to ~20 while also improving the median —
 the System-R estimator's catastrophic failure mode (multi-edge
 intermediates dividing to ~1 while actuals are thousands) is exactly
 what the product/edge features expose.
