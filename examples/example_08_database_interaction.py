@@ -68,6 +68,9 @@ def main(spark=None, sf_dir=None):
         native=True,
     )
     print("native-pipeline result:", native)
+    # end the facade's session claim so later code (tests share one
+    # session) can register views for other fixture dirs
+    db.release()
     return db
 
 

@@ -97,6 +97,16 @@ class Database:
         rows = [tuple(r) for r in df.collect()]
         return rows if raw else simplify_result(rows)
 
+    def release(self) -> None:
+        """End this facade's claim on the session (ref ``close``
+        semantics, db/_db.py — the reference's Database closes its
+        connection): the fixture-dir BINDING is dropped so other code may
+        re-register views for a different dir; already-registered views
+        stay (temp views are session-scoped and harmless once unclaimed).
+        Idempotent."""
+        if _BOUND_DIRS.get(self.spark) == self.sf_dir:
+            del _BOUND_DIRS[self.spark]
+
     def optimizer(self):
         """Entry to the instrumentation layer (mirrors the reference's
         ``database.optimizer()`` accessor shape)."""

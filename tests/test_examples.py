@@ -40,3 +40,25 @@ def test_every_example_is_listed_in_readme():
         readme = fh.read()
     for module_name in MODULES:
         assert f"{module_name}.py" in readme, module_name
+
+
+def test_example_08_releases_session_binding(spark, sf_small):
+    """Regression (round 7): example_08's Database facade must not leave
+    the shared session BOUND to its fixture dir — later modules
+    legitimately register views for other dirs and would trip the
+    mutation-point guard."""
+    import importlib
+    import sys
+
+    from postbound_spark.catalog import register_views
+
+    sys.path.insert(0, EXAMPLES_DIR)
+    try:
+        importlib.import_module("example_08_database_interaction").main(
+            spark, sf_small
+        )
+    finally:
+        sys.path.remove(EXAMPLES_DIR)
+    # would raise ValueError if the binding leaked
+    register_views(spark, "/root/testdata/sf0.01", ["region"])
+    register_views(spark, sf_small, ["region"])  # restore
