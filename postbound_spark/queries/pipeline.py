@@ -6619,3 +6619,215 @@ def emb_dim_health(spark, sf_dir):
             F.col("sumsq_q").cast("double") / F.col("n_vecs") - mean * mean, 4
         ).alias("var_q"),
     ).orderBy("dim")
+
+
+_KMV_K = 16  #: sketch size; a power of two keeps matches/k dyadic-exact
+
+_KMV_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest({_WS_TOKS}) AS token FROM documents
+),
+hashed AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS th
+  FROM tok
+),
+sk AS (
+  SELECT source, th FROM (
+    SELECT source, th,
+           row_number() OVER (PARTITION BY source ORDER BY th) AS rn
+    FROM hashed)
+  WHERE rn <= {_KMV_K}
+),
+stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sk, max(th) AS vk
+  FROM sk GROUP BY source
+),
+est AS (
+  SELECT source,
+         CASE WHEN n_sk < {_KMV_K} THEN CAST(n_sk AS DOUBLE)
+              ELSE ({_KMV_K} - 1) * power(2.0, 60) / vk END AS est_d
+  FROM stats
+),
+mem AS (
+  SELECT least(s.source, o.source) AS src_a,
+         greatest(s.source, o.source) AS src_b,
+         s.source AS source, s.th
+  FROM sk s CROSS JOIN (SELECT DISTINCT source FROM hashed) o(source)
+  WHERE s.source <> o.source
+),
+g AS (
+  SELECT src_a, src_b, th,
+         max(CASE WHEN source = src_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN source = src_b THEN 1 ELSE 0 END) AS in_b
+  FROM mem GROUP BY 1, 2, 3
+),
+usk AS (
+  SELECT src_a, src_b, th, in_a, in_b,
+         row_number() OVER (PARTITION BY src_a, src_b ORDER BY th) AS rn
+  FROM g
+),
+pstats AS (
+  SELECT src_a, src_b,
+         CAST(count(*) AS BIGINT) AS n_union_sketch,
+         max(th) AS uvk,
+         CAST(sum(in_a * in_b) AS BIGINT) AS matches
+  FROM usk WHERE rn <= {_KMV_K} GROUP BY 1, 2
+),
+pe AS (
+  SELECT src_a, src_b, n_union_sketch, matches,
+         CASE WHEN n_union_sketch < {_KMV_K}
+              THEN CAST(n_union_sketch AS DOUBLE)
+              ELSE ({_KMV_K} - 1) * power(2.0, 60) / uvk END AS est_u
+  FROM pstats
+),
+exact AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS exact_overlap
+  FROM hashed a JOIN hashed b ON a.th = b.th AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.n_union_sketch, p.matches,
+       (p.matches * 1000000) // p.n_union_sketch AS jaccard_ppm,
+       round(ea.est_d, 2) AS est_a,
+       round(eb.est_d, 2) AS est_b,
+       round(p.est_u, 2) AS est_union,
+       round(p.est_u * p.matches / p.n_union_sketch, 2) AS est_overlap,
+       CAST(coalesce(x.exact_overlap, 0) AS BIGINT) AS exact_overlap
+FROM pe p
+JOIN est ea ON ea.source = p.src_a
+JOIN est eb ON eb.source = p.src_b
+LEFT JOIN exact x ON x.src_a = p.src_a AND x.src_b = p.src_b
+ORDER BY p.src_a, p.src_b
+"""
+
+
+@query("sketch_kmv_source_overlap", oracle=_KMV_ORACLE)
+def sketch_kmv_source_overlap(spark, sf_dir):
+    """KMV (bottom-k / theta) sketch set operations across sources: for
+    every unordered source pair, estimate the vocabulary overlap from
+    k=16-minimum-value sketches alone — distinct estimate per source
+    ((k-1)/v_k, Bar-Yossef et al. RANDOM 2002), union estimate from the
+    combined sketch, Jaccard from the match share inside the union
+    sketch, and the intersection as their product (the multiset-
+    operation synopsis of Beyer et al. SIGMOD 2007). This is the
+    capability HLL does NOT have — HLL registers estimate one set's
+    cardinality; KMV sketches COMPOSE under union/intersection, which is
+    what a corpus team needs to size cross-snapshot vocabulary overlap
+    without a distinct-join. The exact overlap rides along as the
+    accuracy gauge (same pattern as ``sketch_hll_distinct_tokens``; a
+    production caller drops the exact companion and keeps only
+    sketch-space arithmetic).
+
+    Determinism: hashes are the shared 60-bit md5 idiom, estimates are
+    single IEEE divisions of exact integers rounded only in the output,
+    and the Jaccard share is exact integer ppm over the union-sketch
+    count (k is a power of two, and the full-sketch case divides by a
+    dyadic denominator).
+
+    Scale shape: the per-source bottom-k is a rank-filtered window that
+    Spark executes as WindowGroupLimit — PARTIAL per input partition
+    before the exchange, which is precisely the sketch's mergeability
+    realized by the engine (each partition keeps its own k smallest,
+    the final pass merges k-lists; the token stream itself shuffles
+    once, token-distinct). Everything after lives in sketch space:
+    S*k rows fanned out by a broadcast of the S-row source list (S =
+    source count, never corpus size), window-limited per pair, and
+    joined to the k-bounded per-source stats — at 100 TB the pairwise
+    overlap matrix costs S*k*(S-1) tiny rows regardless of data volume.
+    The exact-overlap gauge is the one corpus-sized step (a token-keyed
+    equi-join), exactly what the sketch exists to replace."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    hashed = (
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .distinct()
+        .select("source", th.alias("th"))
+        .transform(stage_cache)
+    )
+    w = Window.partitionBy("source").orderBy("th")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+        .transform(stage_cache)
+    )
+    est_expr = F.when(
+        F.col("n_sk") < _KMV_K, F.col("n_sk").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(2.0**60) / F.col("vk"))
+    est = sk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sk"),
+        F.max("th").alias("vk"),
+    ).select("source", est_expr.alias("est_d"))
+    other = hashed.select("source").distinct().select(
+        F.col("source").alias("other")
+    )
+    mem = (
+        sk.crossJoin(F.broadcast(other))
+        .filter(F.col("source") != F.col("other"))
+        .select(
+            F.least("source", "other").alias("src_a"),
+            F.greatest("source", "other").alias("src_b"),
+            "source",
+            "th",
+        )
+    )
+    g = mem.groupBy("src_a", "src_b", "th").agg(
+        F.max((F.col("source") == F.col("src_a")).cast("int")).alias("in_a"),
+        F.max((F.col("source") == F.col("src_b")).cast("int")).alias("in_b"),
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("th")
+    usk = g.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    pstats = usk.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.max("th").alias("uvk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("matches"),
+    )
+    est_u = F.when(
+        F.col("n_union_sketch") < _KMV_K,
+        F.col("n_union_sketch").cast("double"),
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(2.0**60) / F.col("uvk"))
+    pe = pstats.select(
+        "src_a", "src_b", "n_union_sketch", "matches", est_u.alias("est_u")
+    )
+    exact = (
+        hashed.select(F.col("source").alias("xa"), "th")
+        .join(
+            hashed.select(F.col("source").alias("xb"), F.col("th").alias("thb")),
+            (F.col("th") == F.col("thb")) & (F.col("xa") < F.col("xb")),
+        )
+        .groupBy(F.col("xa"), F.col("xb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x_overlap"))
+    )
+    ea = est.select(F.col("source").alias("ea_src"), F.col("est_d").alias("ea_d"))
+    eb = est.select(F.col("source").alias("eb_src"), F.col("est_d").alias("eb_d"))
+    return (
+        pe.join(F.broadcast(ea), F.col("src_a") == F.col("ea_src"))
+        .join(F.broadcast(eb), F.col("src_b") == F.col("eb_src"))
+        .join(
+            F.broadcast(exact),
+            (F.col("src_a") == F.col("xa")) & (F.col("src_b") == F.col("xb")),
+            "left",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_union_sketch",
+            "matches",
+            F.expr("(matches * 1000000) div n_union_sketch").alias(
+                "jaccard_ppm"
+            ),
+            F.round(F.col("ea_d"), 2).alias("est_a"),
+            F.round(F.col("eb_d"), 2).alias("est_b"),
+            F.round(F.col("est_u"), 2).alias("est_union"),
+            F.round(
+                F.col("est_u") * F.col("matches") / F.col("n_union_sketch"), 2
+            ).alias("est_overlap"),
+            F.coalesce(F.col("x_overlap"), F.lit(0)).cast("long").alias(
+                "exact_overlap"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )

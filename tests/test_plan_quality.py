@@ -1024,3 +1024,17 @@ def test_dim_health_is_64_group_aggregate(registry, spark, sf_small):
     assert "Generate" in plan  # posexplode, map-side
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_sketch_is_window_group_limited(registry, spark, sf_small):
+    """sketch_kmv_source_overlap: the bottom-k cut must run as
+    WindowGroupLimit (partial per input partition BEFORE the exchange —
+    the sketch's mergeability realized by the engine); the source-list
+    fan-out is a broadcast of an S-row side, never a shuffled cross
+    product; no Python in the plan."""
+    df = _build(registry, spark, sf_small, "sketch_kmv_source_overlap")
+    plan = _formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
