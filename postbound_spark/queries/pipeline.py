@@ -6702,6 +6702,34 @@ ORDER BY p.src_a, p.src_b
 """
 
 
+def kmv_source_hashes(docs: DataFrame) -> DataFrame:
+    """(source, th) distinct 60-bit md5 token hashes per source — the
+    shared kernel of ``sketch_kmv_source_overlap`` and the incremental
+    sketch maintainer (``streaming.sketches.StreamingKmvSketch``): one
+    definition, so the batch sketch and the streamed sketch cannot
+    drift."""
+    th = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .distinct()
+        .select("source", th.alias("th"))
+    )
+
+
+def kmv_bottom_k(hashed: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """Per-source bottom-k of (source, th) — the KMV sketch itself. The
+    rank-filtered window executes as WindowGroupLimit (partial per input
+    partition before the exchange). bottom-k over a union of inputs is
+    associative, commutative, and idempotent, which is exactly the merge
+    the incremental maintainer replays per micro-batch."""
+    w = Window.partitionBy("source").orderBy("th")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 @query("sketch_kmv_source_overlap", oracle=_KMV_ORACLE)
 def sketch_kmv_source_overlap(spark, sf_dir):
     """KMV (bottom-k / theta) sketch set operations across sources: for
@@ -6738,20 +6766,8 @@ def sketch_kmv_source_overlap(spark, sf_dir):
     The exact-overlap gauge is the one corpus-sized step (a token-keyed
     equi-join), exactly what the sketch exists to replace."""
     docs = load_table(spark, sf_dir, "documents")
-    th = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
-    hashed = (
-        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("token"))
-        .distinct()
-        .select("source", th.alias("th"))
-        .transform(stage_cache)
-    )
-    w = Window.partitionBy("source").orderBy("th")
-    sk = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KMV_K)
-        .drop("rn")
-        .transform(stage_cache)
-    )
+    hashed = kmv_source_hashes(docs).transform(stage_cache)
+    sk = kmv_bottom_k(hashed, _KMV_K).transform(stage_cache)
     est_expr = F.when(
         F.col("n_sk") < _KMV_K, F.col("n_sk").cast("double")
     ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(2.0**60) / F.col("vk"))
