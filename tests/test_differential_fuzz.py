@@ -1,0 +1,158 @@
+"""Differential EXECUTION fuzzing: hypothesis-generated SQL, run through
+the repo's own front door (parse_query → parse_relalg → compile_plan →
+Spark) AND through DuckDB on identical text over identical parquet, with
+multiset result equality.
+
+The 206 registry oracles pin hand-written queries; the parser property
+tests pin IR round-trips without executing. This module closes the gap
+between them — the combinatorial selection/projection/join/aggregation
+space is sampled and every sample must produce the same rows on both
+engines. Query generation is constrained by the repo's cross-engine
+conventions (`memory: oracle-hash-traps`): integer and string columns
+only (no float aggregates), no LIMIT without a unique order key, and
+comparison by sorted multiset so ORDER BY ties cannot flake."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from postbound_spark.operators.compiler import compile_plan
+from postbound_spark.plans.algebra import parse_relalg
+from postbound_spark.plans.parser import parse_query
+
+TABLES = {
+    "customer": ["c_custkey", "c_nationkey", "c_name"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    "nation": ["n_nationkey", "n_regionkey", "n_name"],
+    "region": ["r_regionkey", "r_name"],
+}
+INT_COLS = {
+    "customer": ["c_custkey", "c_nationkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "region": ["r_regionkey"],
+}
+STR_COLS = {
+    "customer": ["c_name"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "nation": ["n_name"],
+    "region": ["r_name"],
+}
+#: PK-FK join pairs (left table, right table, join predicate)
+JOINS = [
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("nation", "region", "n_regionkey = r_regionkey"),
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark, sf_small):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_small}/{t}.parquet"
+        spark.read.parquet(path).createOrReplaceTempView(t)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield spark, con
+    con.close()
+    for t in TABLES:
+        spark.catalog.dropTempView(t)
+
+
+@st.composite
+def predicate(draw, tables: list[str]) -> str:
+    table = draw(st.sampled_from(tables))
+    kind = draw(st.sampled_from(["cmp", "between", "in", "str_eq", "like"]))
+    if kind in ("cmp", "between", "in"):
+        col = draw(st.sampled_from(INT_COLS[table]))
+        if kind == "cmp":
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]))
+            return f"{col} {op} {draw(st.integers(0, 30))}"
+        if kind == "between":
+            lo = draw(st.integers(0, 25))
+            return f"{col} BETWEEN {lo} AND {lo + draw(st.integers(0, 20))}"
+        vals = draw(st.lists(st.integers(0, 30), min_size=1, max_size=4))
+        return f"{col} IN ({', '.join(map(str, vals))})"
+    col = draw(st.sampled_from(STR_COLS[table]))
+    if kind == "str_eq":
+        val = draw(st.sampled_from(["ASIA", "EUROPE", "KENYA", "O", "F", "P"]))
+        return f"{col} = '{val}'"
+    pat = draw(st.sampled_from(["A%", "%a%", "_-HIGH", "%e"]))
+    return f"{col} LIKE '{pat}'"
+
+
+@st.composite
+def sql_query(draw) -> str:
+    if draw(st.booleans()):
+        left, right, cond = draw(st.sampled_from(JOINS))
+        tables = [left, right]
+        from_clause = f"{left} JOIN {right} ON {cond}"
+    else:
+        tables = [draw(st.sampled_from(sorted(TABLES)))]
+        from_clause = tables[0]
+    preds = draw(st.lists(predicate(tables), max_size=2))
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+
+    if draw(st.booleans()):  # grouped aggregate
+        key_table = draw(st.sampled_from(tables))
+        key = draw(st.sampled_from(INT_COLS[key_table] + STR_COLS[key_table]))
+        val = draw(st.sampled_from(INT_COLS[key_table]))
+        aggs = draw(
+            st.lists(
+                st.sampled_from(
+                    [
+                        "count(*) AS n",
+                        f"sum({val}) AS s",
+                        f"min({val}) AS lo",
+                        f"max({val}) AS hi",
+                        f"count(distinct {val}) AS nd",
+                    ]
+                ),
+                min_size=1,
+                max_size=3,
+                unique=True,
+            )
+        )
+        having = (
+            " HAVING count(*) >= 1" if draw(st.booleans()) else ""
+        )
+        return (
+            f"SELECT {key}, {', '.join(aggs)} FROM {from_clause}{where} "
+            f"GROUP BY {key}{having} ORDER BY {key}"
+        )
+
+    cols = draw(
+        st.lists(
+            st.sampled_from([c for t in tables for c in TABLES[t]]),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    distinct = "DISTINCT " if draw(st.booleans()) else ""
+    return f"SELECT {distinct}{', '.join(cols)} FROM {from_clause}{where}"
+
+
+def _norm(rows) -> list[tuple]:
+    out = []
+    for row in rows:
+        out.append(
+            tuple(
+                int(v) if isinstance(v, (Decimal, bool)) else v for v in row
+            )
+        )
+    return sorted(out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(sql=sql_query())
+def test_generated_queries_match_duckdb(engines, sql):
+    spark, con = engines
+    got = _norm(tuple(r) for r in compile_plan(parse_relalg(parse_query(sql)), spark).collect())
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"divergence on: {sql}"

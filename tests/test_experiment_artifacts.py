@@ -14,6 +14,7 @@ Pure pandas + parser — no Spark session.
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import pandas as pd
@@ -361,3 +362,31 @@ def test_job_selectivity_audit_non_vacuous():
     assert (df.spark_rows > 0).all()
     # all 33 a-variants carry canonical confidence
     assert (df[df.variant == "a"].literal_confidence == "canonical").all()
+
+
+def test_shuffle_scaling_volume_is_linear_or_explained():
+    """Shuffle-VOLUME exponents (bytes, from Spark's own stage metrics):
+    every measured query must shuffle linearly (±AQE noise); the one
+    documented exception is text_tfidf_topk, whose partial
+    WindowGroupLimit keeps 3-per-doc-per-partition — its window input is
+    bounded by the tf relation (a linear quantity), so the elevated
+    exponent is a small-baseline artifact, not a pair blow-up
+    (BASELINE.md §F). Queries shuffling < 1 MiB at the small scale
+    (broadcast-only / sketch-space plans) legitimately have no exponent
+    but must still be present with raw byte counts."""
+    with open(os.path.join(RESULTS, "shuffle_scaling.json")) as fh:
+        d = json.load(fh)
+    assert d["factor"] == 10
+    exps = d["byte_exponent"]
+    assert set(exps) == set(d["small"]) == set(d["big"])
+    for name, e in exps.items():
+        if e is None:
+            assert d["small"][name]["shuffle_write_bytes"] < (1 << 20)
+            continue
+        bound = 1.35 if name == "text_tfidf_topk" else 1.1
+        assert e <= bound, f"{name} shuffle volume exponent {e} > {bound}"
+    # the sketch is the bounded-state control: its big-scale shuffle must
+    # stay metadata-sized while the corpus grew x10
+    assert d["big"]["sketch_kmv_source_overlap"]["shuffle_write_bytes"] < (
+        8 << 20
+    )
