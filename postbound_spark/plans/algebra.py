@@ -664,6 +664,20 @@ class _Converter:
         )
         sub_tree = parse_relalg(stripped, scope_ctes=self.ctes)
         if not correlated:
+            # an UNBOUND reference here is ambiguous, not uncorrelated: the
+            # name may belong to the outer scope (ANSI resolution), which
+            # this layer cannot decide without bound tables. parse_query's
+            # schema binding resolves subquery names against the enclosing
+            # scope, so with schema= the split is exact.
+            if any(
+                c.table is None for conj in local for c in conj.columns()
+            ):
+                raise UnsupportedSqlError(
+                    "cannot decide whether EXISTS is correlated: unqualified "
+                    "column inside the subquery — qualify the outer columns "
+                    "or parse with parse_query(..., schema=...) so names "
+                    "bind to their scopes"
+                )
             raise UnsupportedSqlError(
                 "uncorrelated EXISTS needs no join — phrase as LIMIT/COUNT check"
             )

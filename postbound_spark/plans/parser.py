@@ -1504,10 +1504,21 @@ def _inline(q: Q.SqlQuery | Q.SetQuery) -> str:
 
 
 def _bind(
-    query: Q.SqlQuery, schema: dict[str, list[str]] | None = None
+    query: Q.SqlQuery,
+    schema: dict[str, list[str]] | None = None,
+    *,
+    outer_columns: dict[str, list[Q.TableReference]] | None = None,
+    outer_namespace: dict[str, Q.TableReference] | None = None,
 ) -> Q.SqlQuery:
     """Resolve column references against the FROM namespace (always) and an
-    optional ``{table: [columns]}`` schema (the live-binding analog)."""
+    optional ``{table: [columns]}`` schema (the live-binding analog).
+
+    ``outer_columns``/``outer_namespace`` carry the ENCLOSING scope into
+    subquery binding (ANSI scoping: a name resolves against the
+    subquery's own FROM first, then the outer query's) — this is what
+    lets ``WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey =
+    c_custkey)`` classify ``c_custkey`` as a correlated reference without
+    an explicit qualifier (found by the differential execution fuzzer)."""
     namespace: dict[str, Q.TableReference] = {}
     cte_names = {name for name, _sub in query.ctes}
     for name in cte_names:
@@ -1542,11 +1553,28 @@ def _bind(
     def rebind_col(ref: Q.ColumnReference) -> Q.ColumnReference:
         if ref.table is not None:
             resolved = namespace.get(ref.table.identifier)
+            if resolved is None and outer_namespace:
+                resolved = outer_namespace.get(ref.table.identifier)
             return Q.ColumnReference(ref.name, resolved) if resolved else ref
         owners = by_column.get(ref.name, [])
         if len(owners) == 1:
             return Q.ColumnReference(ref.name, owners[0])
+        if not owners and outer_columns:
+            outer_owners = outer_columns.get(ref.name, [])
+            if len(outer_owners) == 1:
+                return Q.ColumnReference(ref.name, outer_owners[0])
         return ref
+
+    def bind_subquery(sub):
+        if not isinstance(sub, Q.SqlQuery):
+            return sub
+        # inner scope shadows outer on collision (ANSI); merge so deeper
+        # nesting keeps seeing every enclosing level
+        merged_cols = {**(outer_columns or {}), **by_column}
+        merged_ns = {**(outer_namespace or {}), **namespace}
+        return _bind(
+            sub, schema, outer_columns=merged_cols, outer_namespace=merged_ns
+        )
 
     def rebind_expr(e: Q.SqlExpression) -> Q.SqlExpression:
         return Q.SqlExpression(e.sql, tuple(rebind_col(c) for c in e.columns))
@@ -1570,12 +1598,12 @@ def _bind(
             return Q.InPredicate(
                 rebind_expr(p.expr),
                 tuple(rebind_expr(v) for v in p.values),
-                p.subquery,
+                bind_subquery(p.subquery),
                 p.negated,
             )
         if isinstance(p, Q.UnaryPredicate):
             expr = rebind_expr(p.expr) if p.expr is not None else None
-            return Q.UnaryPredicate(p.operation, expr, p.subquery)
+            return Q.UnaryPredicate(p.operation, expr, bind_subquery(p.subquery))
         return p
 
     return replace(

@@ -86,16 +86,34 @@ def predicate(draw, tables: list[str]) -> str:
     return f"{col} LIKE '{pat}'"
 
 
+#: correlated EXISTS shapes per outer table (semi/anti-join compilation)
+EXISTS = {
+    "customer": "SELECT 1 FROM orders WHERE o_custkey = c_custkey",
+    "nation": "SELECT 1 FROM customer WHERE c_nationkey = n_nationkey",
+    "region": "SELECT 1 FROM nation WHERE n_regionkey = r_regionkey",
+}
+
+
 @st.composite
 def sql_query(draw) -> str:
     if draw(st.booleans()):
         left, right, cond = draw(st.sampled_from(JOINS))
         tables = [left, right]
-        from_clause = f"{left} JOIN {right} ON {cond}"
+        jt = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+        from_clause = f"{left} {jt} {right} ON {cond}"
+        # LEFT JOIN + WHERE on the right side would null-filter back to
+        # inner — keep predicates on the LEFT table so the outer
+        # semantics stay observable
+        pred_tables = [left] if jt == "LEFT JOIN" else tables
     else:
         tables = [draw(st.sampled_from(sorted(TABLES)))]
         from_clause = tables[0]
-    preds = draw(st.lists(predicate(tables), max_size=2))
+        pred_tables = tables
+    preds = draw(st.lists(predicate(pred_tables), max_size=2))
+    outer = tables[0]
+    if outer in EXISTS and draw(st.integers(0, 3)) == 0:
+        neg = draw(st.sampled_from(["EXISTS", "NOT EXISTS"]))
+        preds.append(f"{neg} ({EXISTS[outer]})")
     where = f" WHERE {' AND '.join(preds)}" if preds else ""
 
     if draw(st.booleans()):  # grouped aggregate
@@ -134,8 +152,20 @@ def sql_query(draw) -> str:
             unique=True,
         )
     )
+    if draw(st.integers(0, 3)) == 0:  # CASE projection
+        ic = draw(st.sampled_from(INT_COLS[tables[0]]))
+        cut = draw(st.integers(0, 20))
+        cols = cols + [
+            f"CASE WHEN {ic} < {cut} THEN 'low' ELSE 'high' END AS band"
+        ]
     distinct = "DISTINCT " if draw(st.booleans()) else ""
-    return f"SELECT {distinct}{', '.join(cols)} FROM {from_clause}{where}"
+    sql = f"SELECT {distinct}{', '.join(cols)} FROM {from_clause}{where}"
+    # LIMIT only under a UNIQUE order key — ties would make the cut
+    # nondeterministic across engines
+    pk = {"customer": "c_custkey", "orders": "o_orderkey"}.get(tables[0])
+    if pk and not distinct and draw(st.integers(0, 3)) == 0:
+        sql += f" ORDER BY {pk} LIMIT {draw(st.integers(1, 20))}"
+    return sql
 
 
 def _norm(rows) -> list[tuple]:
@@ -153,6 +183,14 @@ def _norm(rows) -> list[tuple]:
 @given(sql=sql_query())
 def test_generated_queries_match_duckdb(engines, sql):
     spark, con = engines
-    got = _norm(tuple(r) for r in compile_plan(parse_relalg(parse_query(sql)), spark).collect())
+    # schema binding resolves unqualified subquery references against the
+    # enclosing scope (ANSI) — required for the generated correlated
+    # EXISTS shapes, and exactly what a live Database binding provides
+    got = _norm(
+        tuple(r)
+        for r in compile_plan(
+            parse_relalg(parse_query(sql, schema=TABLES)), spark
+        ).collect()
+    )
     want = _norm(con.execute(sql).fetchall())
     assert got == want, f"divergence on: {sql}"

@@ -390,3 +390,19 @@ def test_shuffle_scaling_volume_is_linear_or_explained():
     assert d["big"]["sketch_kmv_source_overlap"]["shuffle_write_bytes"] < (
         8 << 20
     )
+
+
+def test_shuffle_scaling_x30_confirms_tfidf_saturation():
+    """The ×30 confirmation point: text_tfidf_topk's elevated ×10 byte
+    exponent must COLLAPSE once the partition count stops growing
+    (sf0.1→×30 ≤ 1.1) — the empirical proof that the ×10 reading was the
+    partial-WindowGroupLimit baseline artifact, not quadratic volume."""
+    with open(os.path.join(RESULTS, "shuffle_scaling_x30.json")) as fh:
+        d = json.load(fh)
+    assert d["factor"] == 30
+    assert d["byte_exponent"]["text_tfidf_topk"] <= 1.1
+    assert d["byte_exponent"]["flagship_regional_revenue"] <= 1.1
+    # sketch state stays metadata-sized at x30
+    assert d["big"]["sketch_kmv_source_overlap"]["shuffle_write_bytes"] < (
+        16 << 20
+    )

@@ -107,6 +107,45 @@ def test_schema_binding():
     assert joins[0].tables() == {"customer", "orders"}
 
 
+def test_schema_binding_descends_into_subqueries_with_outer_scope():
+    """ANSI scoping under schema binding: an unqualified column inside an
+    EXISTS/IN subquery resolves against the subquery's own FROM first,
+    then the ENCLOSING scope — so `o_custkey = c_custkey` inside EXISTS
+    classifies c_custkey as a correlated outer reference (found by the
+    differential execution fuzzer: this used to stay unbound and the
+    algebra layer misdiagnosed the EXISTS as uncorrelated)."""
+    schema = {
+        "customer": ["c_custkey", "c_name"],
+        "orders": ["o_orderkey", "o_custkey"],
+    }
+    q = parse_query(
+        "SELECT c_name FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+        schema=schema,
+    )
+    sub = q.where.subquery
+    (conj,) = [p for p in sub.predicates().filters() + sub.predicates().joins()]
+    bound = {c.name: c.table.full_name for c in conj.columns() if c.table}
+    assert bound == {"o_custkey": "orders", "c_custkey": "customer"}
+
+
+def test_unbound_exists_correlation_raises_decidable_error():
+    """Without schema binding, an unqualified name inside EXISTS is
+    AMBIGUOUS (it may belong to the outer scope) — the algebra layer must
+    say so instead of misdiagnosing the query as uncorrelated."""
+    import pytest
+
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    q = parse_query(
+        "SELECT c_name FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    )
+    with pytest.raises(UnsupportedSqlError, match="cannot decide"):
+        parse_relalg(q)
+
+
 def test_alias_binding_always_on():
     q = parse_query("SELECT x.c_name FROM customer x")
     (ref,) = q.select[0].expr.columns
