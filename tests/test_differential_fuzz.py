@@ -94,8 +94,16 @@ EXISTS = {
 }
 
 
+#: IN-subquery shapes: (outer table, membership expression)
+IN_SUBQ = {
+    "customer": "c_custkey {neg}IN (SELECT o_custkey FROM orders{w})",
+    "nation": "n_nationkey {neg}IN (SELECT c_nationkey FROM customer{w})",
+    "region": "r_regionkey {neg}IN (SELECT n_regionkey FROM nation{w})",
+}
+
+
 @st.composite
-def sql_query(draw) -> str:
+def select_stmt(draw) -> str:
     if draw(st.booleans()):
         left, right, cond = draw(st.sampled_from(JOINS))
         tables = [left, right]
@@ -111,12 +119,30 @@ def sql_query(draw) -> str:
         pred_tables = tables
     preds = draw(st.lists(predicate(pred_tables), max_size=2))
     outer = tables[0]
-    if outer in EXISTS and draw(st.integers(0, 3)) == 0:
+    subq_kind = draw(st.integers(0, 5))
+    if outer in EXISTS and subq_kind == 0:
         neg = draw(st.sampled_from(["EXISTS", "NOT EXISTS"]))
         preds.append(f"{neg} ({EXISTS[outer]})")
+    elif outer in IN_SUBQ and subq_kind == 1:
+        inner_pred = draw(st.one_of(st.none(), predicate(["orders"])))
+        # the inner predicate only applies where its table matches
+        w = (
+            f" WHERE {inner_pred}"
+            if inner_pred and outer == "customer"
+            else ""
+        )
+        neg = draw(st.sampled_from(["", "NOT "]))
+        preds.append(IN_SUBQ[outer].format(neg=neg, w=w))
     where = f" WHERE {' AND '.join(preds)}" if preds else ""
 
-    if draw(st.booleans()):  # grouped aggregate
+    shape = draw(st.integers(0, 3))
+    if shape == 0:  # global aggregate (no GROUP BY)
+        val = draw(st.sampled_from(INT_COLS[tables[0]]))
+        return (
+            f"SELECT count(*) AS n, sum({val}) AS s, min({val}) AS lo, "
+            f"max({val}) AS hi FROM {from_clause}{where}"
+        )
+    if shape == 1:  # grouped aggregate
         key_table = draw(st.sampled_from(tables))
         key = draw(st.sampled_from(INT_COLS[key_table] + STR_COLS[key_table]))
         val = draw(st.sampled_from(INT_COLS[key_table]))
@@ -166,6 +192,29 @@ def sql_query(draw) -> str:
     if pk and not distinct and draw(st.integers(0, 3)) == 0:
         sql += f" ORDER BY {pk} LIMIT {draw(st.integers(1, 20))}"
     return sql
+
+
+@st.composite
+def set_query(draw) -> str:
+    """UNION / UNION ALL / INTERSECT / EXCEPT of two type-compatible
+    single-table selects over the integer key columns."""
+    op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+
+    def side(draw):
+        t = draw(st.sampled_from(sorted(TABLES)))
+        col = draw(st.sampled_from(INT_COLS[t]))
+        preds = draw(st.lists(predicate([t]), max_size=1))
+        w = f" WHERE {preds[0]}" if preds else ""
+        return f"SELECT {col} AS k FROM {t}{w}"
+
+    return f"{side(draw)} {op} {side(draw)}"
+
+
+@st.composite
+def sql_query(draw) -> str:
+    if draw(st.integers(0, 4)) == 0:
+        return draw(set_query())
+    return draw(select_stmt())
 
 
 def _norm(rows) -> list[tuple]:
