@@ -725,6 +725,19 @@ class _Converter:
             else:
                 group_texts.append(g.sql)
         select_texts = [p.expr.sql for p in q.select]
+        # scalar subqueries in PROJECTION position: F.expr cannot evaluate
+        # them against another relation, and letting them through mangles
+        # the aggregate scope (found by probing: the inner max() resolved
+        # against the OUTER frame). Same clean rejection the predicate
+        # path gives — the spark.sql path executes these fine.
+        for text in select_texts:
+            if "(select " in text.lower():
+                raise UnsupportedSqlError(
+                    "scalar subqueries in the SELECT list are not "
+                    "compilable by the algebra path; execute via "
+                    "spark.sql / the registry SQL path "
+                    "(e.g. expr_scalar_subquery)"
+                )
         has_aggs = any(_find_agg_calls(t) for t in select_texts) or bool(
             q.having is not None and _find_agg_calls(q.having.to_sql())
         )

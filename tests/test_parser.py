@@ -1125,3 +1125,25 @@ class TestGroupingSets:
             "FROM nation GROUP BY GROUPING SETS ((n_regionkey), ())) sub"
         )
         assert "UNION ALL" in q.to_sql()
+
+
+def test_select_list_scalar_subquery_rejected_cleanly():
+    """A scalar subquery in PROJECTION position must get the same clean
+    UnsupportedSqlError the predicate path gives (found by probing: the
+    algebra compiler used to let it through and Spark resolved the inner
+    aggregate against the OUTER frame — a raw AnalysisException at best,
+    a wrong scope at worst). The spark.sql path executes these fine
+    (registry entry expr_scalar_subquery)."""
+    import pytest
+
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    for sql in (
+        "SELECT c_custkey, (SELECT max(o_orderkey) FROM orders) AS mx "
+        "FROM customer",
+        "SELECT c_custkey, (SELECT count(*) FROM orders "
+        "WHERE o_custkey = c_custkey) AS n FROM customer",
+    ):
+        with pytest.raises(UnsupportedSqlError, match="SELECT list"):
+            parse_relalg(parse_query(sql))
