@@ -142,32 +142,43 @@ def select_stmt(draw) -> str:
             f"SELECT count(*) AS n, sum({val}) AS s, min({val}) AS lo, "
             f"max({val}) AS hi FROM {from_clause}{where}"
         )
-    if shape == 1:  # grouped aggregate
+    if shape == 1:  # grouped aggregate (1-2 keys)
         key_table = draw(st.sampled_from(tables))
-        key = draw(st.sampled_from(INT_COLS[key_table] + STR_COLS[key_table]))
-        val = draw(st.sampled_from(INT_COLS[key_table]))
-        aggs = draw(
+        keys = draw(
             st.lists(
                 st.sampled_from(
-                    [
-                        "count(*) AS n",
-                        f"sum({val}) AS s",
-                        f"min({val}) AS lo",
-                        f"max({val}) AS hi",
-                        f"count(distinct {val}) AS nd",
-                    ]
+                    INT_COLS[key_table] + STR_COLS[key_table]
                 ),
                 min_size=1,
-                max_size=3,
+                max_size=2,
                 unique=True,
             )
         )
-        having = (
-            " HAVING count(*) >= 1" if draw(st.booleans()) else ""
+        val = draw(st.sampled_from(INT_COLS[key_table]))
+        agg_pool = [
+            "count(*) AS n",
+            f"sum({val}) AS s",
+            f"min({val}) AS lo",
+            f"max({val}) AS hi",
+            f"count(distinct {val}) AS nd",
+        ]
+        if len(tables) == 2:
+            # count(col) vs count(*): under LEFT JOIN the right side's
+            # nulls must NOT count — the null-semantics divergence trap
+            rc = draw(st.sampled_from(INT_COLS[tables[1]]))
+            agg_pool.append(f"count({rc}) AS cnn")
+        aggs = draw(
+            st.lists(st.sampled_from(agg_pool), min_size=1, max_size=3, unique=True)
         )
+        having = (
+            f" HAVING count(*) >= {draw(st.integers(1, 3))}"
+            if draw(st.booleans())
+            else ""
+        )
+        key_list = ", ".join(keys)
         return (
-            f"SELECT {key}, {', '.join(aggs)} FROM {from_clause}{where} "
-            f"GROUP BY {key}{having} ORDER BY {key}"
+            f"SELECT {key_list}, {', '.join(aggs)} FROM {from_clause}{where} "
+            f"GROUP BY {key_list}{having} ORDER BY {key_list}"
         )
 
     cols = draw(
@@ -178,12 +189,20 @@ def select_stmt(draw) -> str:
             unique=True,
         )
     )
-    if draw(st.integers(0, 3)) == 0:  # CASE projection
+    extra = draw(st.integers(0, 5))
+    if extra == 0:  # CASE projection
         ic = draw(st.sampled_from(INT_COLS[tables[0]]))
         cut = draw(st.integers(0, 20))
         cols = cols + [
             f"CASE WHEN {ic} < {cut} THEN 'low' ELSE 'high' END AS band"
         ]
+    elif extra == 1:  # integer arithmetic (non-negative operands only:
+        # negative %-semantics differ across engines by convention)
+        ic = draw(st.sampled_from(INT_COLS[tables[0]]))
+        op, rhs = draw(
+            st.sampled_from([("+", 7), ("-", 3), ("*", 2), ("%", 5)])
+        )
+        cols = cols + [f"{ic} {op} {rhs} AS calc"]
     distinct = "DISTINCT " if draw(st.booleans()) else ""
     sql = f"SELECT {distinct}{', '.join(cols)} FROM {from_clause}{where}"
     # LIMIT only under a UNIQUE order key — ties would make the cut
