@@ -1,0 +1,103 @@
+"""Differential fuzzing of the OPTIMIZER loop: generated multi-join
+queries planned by every strategy (native / UES / textbook DP / pgdp /
+TONIC replay) must return the identical result — the strategy changes
+the plan, never the answer. The committed strategy matrices pin this on
+280 fixed corpus queries; this samples the combinatorial space of join
+chains × filters the corpora don't cover. Runs the REAL harness
+(``experiments.run_optimizer_loop``) end to end with on_error='raise',
+so planning failures are findings, not skips."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+TABLES = ("customer", "orders", "nation", "region")
+
+#: implicit-FROM join chains (join order is the optimizer's to choose)
+CHAINS = [
+    (
+        "customer c, nation n",
+        "c.c_nationkey = n.n_nationkey",
+    ),
+    (
+        "customer c, nation n, region r",
+        "c.c_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey",
+    ),
+    (
+        "orders o, customer c, nation n",
+        "o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey",
+    ),
+    (
+        "orders o, customer c, nation n, region r",
+        "o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey "
+        "AND n.n_regionkey = r.r_regionkey",
+    ),
+]
+
+#: alias → (int column, sum column) pools for filters and aggregates
+INT_OF = {
+    "c": ["c.c_custkey", "c.c_nationkey"],
+    "o": ["o.o_orderkey", "o.o_custkey"],
+    "n": ["n.n_nationkey", "n.n_regionkey"],
+    "r": ["r.r_regionkey"],
+}
+
+
+def _aliases(from_clause: str) -> list[str]:
+    return [part.strip().split()[-1] for part in from_clause.split(",")]
+
+
+@st.composite
+def join_query(draw) -> str:
+    from_clause, join_cond = draw(st.sampled_from(CHAINS))
+    aliases = _aliases(from_clause)
+    conds = [join_cond]
+    for _ in range(draw(st.integers(0, 2))):
+        a = draw(st.sampled_from(aliases))
+        col = draw(st.sampled_from(INT_OF[a]))
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "<>"]))
+        conds.append(f"{col} {op} {draw(st.integers(0, 25))}")
+    val = draw(st.sampled_from(INT_OF[draw(st.sampled_from(aliases))]))
+    return (
+        f"SELECT count(*) AS n, sum({val}) AS s, min({val}) AS lo "
+        f"FROM {from_clause} WHERE {' AND '.join(conds)}"
+    )
+
+
+@pytest.fixture(scope="module")
+def base_tables(spark, sf_small):
+    base = {}
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_small}/{t}.parquet")
+        df.createOrReplaceTempView(t)
+        base[t] = df
+    yield base
+    for t in TABLES:
+        spark.catalog.dropTempView(t)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=join_query())
+def test_every_strategy_returns_identical_results(spark, base_tables, sql):
+    from postbound_spark.experiments import run_optimizer_loop
+
+    frame = run_optimizer_loop(
+        spark,
+        {"fuzz": sql},
+        base_tables,
+        strategies=("native", "ues", "dp", "pgdp", "tonic"),
+    )
+    assert len(frame) == 5, f"missing strategy rows for: {sql}"
+    fingerprints = frame.result_fingerprint.nunique()
+    assert fingerprints == 1, (
+        f"strategies disagree on: {sql}\n"
+        f"{frame[['strategy', 'result_rows', 'result_fingerprint']]}"
+    )
+    forced = set(frame.join_order) - {""}
+    assert forced, f"no strategy produced a forced order for: {sql}"
