@@ -230,9 +230,34 @@ def set_query(draw) -> str:
 
 
 @st.composite
+def derived_table_query(draw) -> str:
+    """Aggregate over a derived table — as a WITH CTE or a FROM
+    subquery (same relational content, two parser/algebra paths)."""
+    t = draw(st.sampled_from(sorted(TABLES)))
+    cols = draw(
+        st.lists(st.sampled_from(INT_COLS[t]), min_size=1, max_size=2, unique=True)
+    )
+    inner_preds = draw(st.lists(predicate([t]), max_size=1))
+    iw = f" WHERE {inner_preds[0]}" if inner_preds else ""
+    inner = f"SELECT {', '.join(cols)} FROM {t}{iw}"
+    outer_pred = (
+        f" WHERE {cols[0]} >= {draw(st.integers(0, 10))}"
+        if draw(st.booleans())
+        else ""
+    )
+    body = f"SELECT count(*) AS n, sum({cols[0]}) AS s FROM {{src}}{outer_pred}"
+    if draw(st.booleans()):
+        return f"WITH v AS ({inner}) " + body.format(src="v")
+    return body.format(src=f"({inner}) v")
+
+
+@st.composite
 def sql_query(draw) -> str:
-    if draw(st.integers(0, 4)) == 0:
+    kind = draw(st.integers(0, 9))
+    if kind == 0:
         return draw(set_query())
+    if kind == 1:
+        return draw(derived_table_query())
     return draw(select_stmt())
 
 
