@@ -34,6 +34,18 @@ CHAINS = [
         "o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey "
         "AND n.n_regionkey = r.r_regionkey",
     ),
+    # self-join: same-customer order pairs — the shape that used to
+    # collide trie keys / mispair positional q-errors (round-6 fixes)
+    (
+        "orders o1, orders o2, customer c",
+        "o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey "
+        "AND o2.o_custkey = c.c_custkey",
+    ),
+    (
+        "customer c1, customer c2, nation n",
+        "c1.c_nationkey = c2.c_nationkey AND c1.c_custkey < c2.c_custkey "
+        "AND c2.c_nationkey = n.n_nationkey",
+    ),
 ]
 
 #: alias → (int column, sum column) pools for filters and aggregates
@@ -42,6 +54,10 @@ INT_OF = {
     "o": ["o.o_orderkey", "o.o_custkey"],
     "n": ["n.n_nationkey", "n.n_regionkey"],
     "r": ["r.r_regionkey"],
+    "o1": ["o1.o_orderkey", "o1.o_custkey"],
+    "o2": ["o2.o_orderkey", "o2.o_custkey"],
+    "c1": ["c1.c_custkey", "c1.c_nationkey"],
+    "c2": ["c2.c_custkey", "c2.c_nationkey"],
 }
 
 
