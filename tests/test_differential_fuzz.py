@@ -135,13 +135,38 @@ def select_stmt(draw) -> str:
         preds.append(IN_SUBQ[outer].format(neg=neg, w=w))
     where = f" WHERE {' AND '.join(preds)}" if preds else ""
 
-    shape = draw(st.integers(0, 3))
+    shape = draw(st.integers(0, 4))
     if shape == 0:  # global aggregate (no GROUP BY)
         val = draw(st.sampled_from(INT_COLS[tables[0]]))
         return (
             f"SELECT count(*) AS n, sum({val}) AS s, min({val}) AS lo, "
             f"max({val}) AS hi FROM {from_clause}{where}"
         )
+    if shape == 4 and len(tables) == 1:  # window functions (deterministic
+        # variants only: frame-order-independent aggregates, or ranking
+        # over a UNIQUE key; ties under rank() share a value, so that is
+        # deterministic too)
+        t = tables[0]
+        pk = {
+            "customer": "c_custkey",
+            "orders": "o_orderkey",
+            "nation": "n_nationkey",
+            "region": "r_regionkey",
+        }[t]
+        key = draw(st.sampled_from(INT_COLS[t] + STR_COLS[t]))
+        val = draw(st.sampled_from(INT_COLS[t]))
+        wf = draw(
+            st.sampled_from(
+                [
+                    f"sum({val}) OVER (PARTITION BY {key})",
+                    f"count(*) OVER (PARTITION BY {key})",
+                    f"row_number() OVER (PARTITION BY {key} ORDER BY {pk})",
+                    f"rank() OVER (ORDER BY {key})",
+                    f"min({val}) OVER (PARTITION BY {key})",
+                ]
+            )
+        )
+        return f"SELECT {pk}, {key}, {wf} AS w FROM {from_clause}{where}"
     if shape == 1:  # grouped aggregate (1-2 keys)
         key_table = draw(st.sampled_from(tables))
         keys = draw(
