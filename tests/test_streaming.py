@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from postbound_spark.queries import load_all
 from postbound_spark.streaming.windows import (
     run_available_now,
@@ -228,20 +230,23 @@ def test_streaming_hll_registers_match_batch(spark, sf_small, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_streaming_kmv_sketch_matches_batch(spark, sf_small, tmp_path):
-    """The incremental KMV sketch: documents split across 4 parquet
+@pytest.mark.parametrize("n_files", [1, 4, 7])
+def test_streaming_kmv_sketch_matches_batch(spark, sf_small, tmp_path, n_files):
+    """The incremental KMV sketch: documents split across n parquet
     files, drained one per micro-batch, must produce EXACTLY the batch
     bottom-k sketch — bottom-k-of-union is associative, commutative and
     idempotent, the property that makes the sketch maintainable with
-    k rows per source of durable state. Kernels shared with the batch
-    registry entry, so the two cannot drift."""
+    k rows per source of durable state. Parametrized over the
+    single-batch edge (the merge's identity case) and uneven many-batch
+    splits (every source present in every batch vs. only some). Kernels
+    shared with the batch registry entry, so the two cannot drift."""
     from postbound_spark.catalog import load_table
     from postbound_spark.queries.pipeline import kmv_bottom_k, kmv_source_hashes
     from postbound_spark.streaming.sketches import run_kmv_stream
 
     docs_dir = str(tmp_path / "docs_multi_kmv")
     docs = load_table(spark, sf_small, "documents")
-    docs.repartition(4).write.mode("overwrite").parquet(docs_dir)
+    docs.repartition(n_files).write.mode("overwrite").parquet(docs_dir)
 
     sink = run_kmv_stream(spark, docs_dir, str(tmp_path / "kmv_state"))
     got = sorted(tuple(r) for r in sink.sketch().collect())
