@@ -196,3 +196,46 @@ def test_api_reference_is_current():
         f"docs/api is stale (run scripts/gen_api_docs.py): "
         f"stale={stale[:5]} orphaned={sorted(orphaned)[:5]}"
     )
+
+
+def test_prototyping_example_runs(spark, sf_small):
+    """docs/prototyping.md's complete-prototype block, executed verbatim
+    in spirit: a custom CardinalityEstimator driving the textbook DP
+    through TextbookOptimizationPipeline, enforced via to_dataframe —
+    the guide cannot drift from the stage/pipeline API."""
+    from postbound_spark.optimizer.dynprog import SelingerPlanEnumerator
+    from postbound_spark.optimizer.stages import (
+        CardinalityEstimator,
+        CoutCostModel,
+        TextbookOptimizationPipeline,
+    )
+    from postbound_spark.plans.parser import parse_query, to_query_spec
+
+    class HalvingEstimator(CardinalityEstimator):
+        def estimate_cardinality(self, spec, intermediate, tables):
+            base = min(tables[t].count() for t in intermediate)
+            return base / (2 ** (len(intermediate) - 1))
+
+    sql = """SELECT c.c_custkey FROM customer c, nation n, region r
+             WHERE c.c_nationkey = n.n_nationkey
+               AND n.n_regionkey = r.r_regionkey"""
+    spec = to_query_spec(parse_query(sql))
+    tables = {
+        ident: spark.read.parquet(f"{sf_small}/{name}.parquet")
+        for ident, name in (
+            ("c", "customer"),
+            ("n", "nation"),
+            ("r", "region"),
+        )
+    }
+    estimator = HalvingEstimator()
+    pipeline = TextbookOptimizationPipeline(
+        spark,
+        SelingerPlanEnumerator(),
+        CoutCostModel(spec, tables, estimator),
+        estimator,
+    )
+    planned = pipeline.optimize_query(spec, tables)
+    assert set(planned.join_order.tables()) == {"c", "n", "r"}
+    joined = planned.to_dataframe(tables)
+    assert joined.count() == tables["c"].count()  # PK-FK chain preserves customers
