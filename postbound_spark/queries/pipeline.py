@@ -40,6 +40,7 @@ from postbound_spark.catalog import load_table
 from postbound_spark.functions import text as T
 from postbound_spark.functions import vectors as V
 from postbound_spark.operators.skew import salted_join
+from postbound_spark.optimizer.selection import MeasuredBuildSide
 from postbound_spark.queries import query
 
 #: stage caches created since the last release (per-query lifecycle)
@@ -504,9 +505,27 @@ def _lsh_candidates(spark, sf_dir):
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .transform(stage_cache)
     )
-    x = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # verify ONLY colliding docs' shingles: semi-join the shingle store
+    # down to candidate members before the pair join. Without this, the
+    # x100 shuffle-volume stress caught the verify join moving the FULL
+    # shingle table twice (412 MB x 2 for 139k candidate pairs) once it
+    # outgrew auto-broadcast — the prefilter keeps shingle movement
+    # proportional to the COLLIDING set. The candidate doc list's own
+    # broadcast is a MEASURED decision (capped limit-probe): a heavily
+    # duplicated corpus can make the candidate set itself too big to
+    # broadcast, in which case the semi-join correctly falls back to a
+    # keyed shuffle and costs what the unfiltered join cost before.
+    cand_docs = MeasuredBuildSide(spark).build_side(
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct(),
+        f"lsh_cand_docs@{sf_dir}",
+    )
+    live = d.join(cand_docs, "doc_id", "leftsemi")
+    x = live.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = live.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return cand.join(x, "doc_a").join(y, "doc_b")
 
 
@@ -1428,10 +1447,23 @@ def text_tfidf_topk(spark, sf_dir):
     partial agg OVER that frame (no second corpus scan), the df table
     joined back by token, and a per-doc top-k window. At 100 TB the df
     table is vocabulary-sized — orders smaller than the corpus — and
-    everything else is keyed on doc or token."""
+    everything else is keyed on doc or token.
+
+    The df side's broadcast decision is MEASURED (capped limit-probe,
+    the flagship pattern): Catalyst's plan-time estimate for an
+    aggregate over the cached tf inflates with the corpus and flipped
+    this join to a SortMergeJoin at the ×100 stress point, adding a
+    full tf-sized re-shuffle (143 MB for a 3.35 MB actual build side —
+    the per-stage breakdown in BASELINE.md §F). The probe broadcasts a
+    vocabulary that truly fits and leaves a genuinely large one to the
+    shuffle family, which is the correct call at real 100-TB vocabulary
+    sizes."""
     docs = load_table(spark, sf_dir, "documents")
     tf = _token_counts(spark, sf_dir)
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df = MeasuredBuildSide(spark).build_side(
+        tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")),
+        f"tfidf_df@{sf_dir}",
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "token")
@@ -6844,6 +6876,158 @@ def sketch_kmv_source_overlap(spark, sf_dir):
             F.coalesce(F.col("x_overlap"), F.lit(0)).cast("long").alias(
                 "exact_overlap"
             ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_KMV_ESTIMATE_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest({_WS_TOKS}) AS token FROM documents
+),
+hashed AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS th
+  FROM tok
+),
+sk AS (
+  SELECT source, th FROM (
+    SELECT source, th,
+           row_number() OVER (PARTITION BY source ORDER BY th) AS rn
+    FROM hashed)
+  WHERE rn <= {_KMV_K}
+),
+stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sk, max(th) AS vk
+  FROM sk GROUP BY source
+),
+est AS (
+  SELECT source,
+         CASE WHEN n_sk < {_KMV_K} THEN CAST(n_sk AS DOUBLE)
+              ELSE ({_KMV_K} - 1) * power(2.0, 60) / vk END AS est_d
+  FROM stats
+),
+mem AS (
+  SELECT least(s.source, o.source) AS src_a,
+         greatest(s.source, o.source) AS src_b,
+         s.source AS source, s.th
+  FROM sk s CROSS JOIN (SELECT DISTINCT source FROM hashed) o(source)
+  WHERE s.source <> o.source
+),
+g AS (
+  SELECT src_a, src_b, th,
+         max(CASE WHEN source = src_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN source = src_b THEN 1 ELSE 0 END) AS in_b
+  FROM mem GROUP BY 1, 2, 3
+),
+usk AS (
+  SELECT src_a, src_b, th, in_a, in_b,
+         row_number() OVER (PARTITION BY src_a, src_b ORDER BY th) AS rn
+  FROM g
+),
+pstats AS (
+  SELECT src_a, src_b,
+         CAST(count(*) AS BIGINT) AS n_union_sketch,
+         max(th) AS uvk,
+         CAST(sum(in_a * in_b) AS BIGINT) AS matches
+  FROM usk WHERE rn <= {_KMV_K} GROUP BY 1, 2
+),
+pe AS (
+  SELECT src_a, src_b, n_union_sketch, matches,
+         CASE WHEN n_union_sketch < {_KMV_K}
+              THEN CAST(n_union_sketch AS DOUBLE)
+              ELSE ({_KMV_K} - 1) * power(2.0, 60) / uvk END AS est_u
+  FROM pstats
+)
+SELECT p.src_a, p.src_b, p.n_union_sketch, p.matches,
+       (p.matches * 1000000) // p.n_union_sketch AS jaccard_ppm,
+       round(ea.est_d, 2) AS est_a,
+       round(eb.est_d, 2) AS est_b,
+       round(p.est_u, 2) AS est_union,
+       round(p.est_u * p.matches / p.n_union_sketch, 2) AS est_overlap
+FROM pe p
+JOIN est ea ON ea.source = p.src_a
+JOIN est eb ON eb.source = p.src_b
+ORDER BY p.src_a, p.src_b
+"""
+
+
+@query("sketch_kmv_estimate_only", oracle=_KMV_ESTIMATE_ORACLE)
+def sketch_kmv_estimate_only(spark, sf_dir):
+    """The production form of the KMV overlap matrix: every estimate of
+    ``sketch_kmv_source_overlap`` WITHOUT the exact-overlap companion —
+    and therefore provably no corpus-sized token equi-join anywhere in
+    the plan (the gauge entry keeps the exact column for accuracy
+    readout, same division of labor as ``sketch_hll_distinct_tokens``
+    vs ``sketch_hll_estimate_only``). After the WindowGroupLimit
+    bottom-k, every operator touches only sketch-space rows (S·k), so
+    this is the form a 100-TB caller runs: the full pairwise vocabulary
+    overlap matrix for the cost of one token-distinct pass plus
+    metadata-sized arithmetic. A plan gate pins that this plan is
+    strictly smaller than the gauge's (fewer exchanges — the exact
+    join's shuffles are gone)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = kmv_source_hashes(docs).transform(stage_cache)
+    sk = kmv_bottom_k(hashed, _KMV_K).transform(stage_cache)
+    est_expr = F.when(
+        F.col("n_sk") < _KMV_K, F.col("n_sk").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(2.0**60) / F.col("vk"))
+    est = sk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sk"),
+        F.max("th").alias("vk"),
+    ).select("source", est_expr.alias("est_d"))
+    other = hashed.select("source").distinct().select(
+        F.col("source").alias("other")
+    )
+    mem = (
+        sk.crossJoin(F.broadcast(other))
+        .filter(F.col("source") != F.col("other"))
+        .select(
+            F.least("source", "other").alias("src_a"),
+            F.greatest("source", "other").alias("src_b"),
+            "source",
+            "th",
+        )
+    )
+    g = mem.groupBy("src_a", "src_b", "th").agg(
+        F.max((F.col("source") == F.col("src_a")).cast("int")).alias("in_a"),
+        F.max((F.col("source") == F.col("src_b")).cast("int")).alias("in_b"),
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("th")
+    usk = g.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    pstats = usk.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.max("th").alias("uvk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("matches"),
+    )
+    est_u = F.when(
+        F.col("n_union_sketch") < _KMV_K,
+        F.col("n_union_sketch").cast("double"),
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(2.0**60) / F.col("uvk"))
+    pe = pstats.select(
+        "src_a", "src_b", "n_union_sketch", "matches", est_u.alias("est_u")
+    )
+    ea = est.select(F.col("source").alias("ea_src"), F.col("est_d").alias("ea_d"))
+    eb = est.select(F.col("source").alias("eb_src"), F.col("est_d").alias("eb_d"))
+    return (
+        pe.join(F.broadcast(ea), F.col("src_a") == F.col("ea_src"))
+        .join(F.broadcast(eb), F.col("src_b") == F.col("eb_src"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_union_sketch",
+            "matches",
+            F.expr("(matches * 1000000) div n_union_sketch").alias(
+                "jaccard_ppm"
+            ),
+            F.round(F.col("ea_d"), 2).alias("est_a"),
+            F.round(F.col("eb_d"), 2).alias("est_b"),
+            F.round(F.col("est_u"), 2).alias("est_union"),
+            F.round(
+                F.col("est_u") * F.col("matches") / F.col("n_union_sketch"), 2
+            ).alias("est_overlap"),
         )
         .orderBy("src_a", "src_b")
     )

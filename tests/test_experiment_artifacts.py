@@ -393,10 +393,10 @@ def test_shuffle_scaling_volume_is_linear_or_explained():
 
 
 def test_shuffle_scaling_x30_confirms_tfidf_saturation():
-    """The ×30 confirmation point: text_tfidf_topk's elevated ×10 byte
-    exponent must COLLAPSE once the partition count stops growing
-    (sf0.1→×30 ≤ 1.1) — the empirical proof that the ×10 reading was the
-    partial-WindowGroupLimit baseline artifact, not quadratic volume."""
+    """The ×30 point: with the measured df broadcast in place,
+    text_tfidf_topk's byte exponent stays ≤ 1.1 (the pre-fix history —
+    1.27 at ×10 from the partial-WindowGroupLimit baseline artifact plus
+    the estimate-driven join flip — is narrated in BASELINE.md §F)."""
     with open(os.path.join(RESULTS, "shuffle_scaling_x30.json")) as fh:
         d = json.load(fh)
     assert d["factor"] == 30
@@ -406,3 +406,22 @@ def test_shuffle_scaling_x30_confirms_tfidf_saturation():
     assert d["big"]["sketch_kmv_source_overlap"]["shuffle_write_bytes"] < (
         16 << 20
     )
+
+
+def test_shuffle_scaling_x100_definitive_points():
+    """The ×100 shuffle-volume points after the round-7 fixes: flagship
+    and tfidf byte exponents ≤ 1.05 at two orders of magnitude (tfidf's
+    df-join broadcast decision is measured, so the estimate-driven
+    SortMergeJoin flip is gone); both KMV tiers shuffle metadata-sized
+    state; dedup's total is bounded by the linear postings exchange
+    (shingle movement prefiltered to colliding docs — BASELINE.md §F)."""
+    with open(os.path.join(RESULTS, "shuffle_scaling_x100.json")) as fh:
+        d = json.load(fh)
+    assert d["factor"] == 100
+    assert d["byte_exponent"]["flagship_regional_revenue"] <= 1.05
+    assert d["byte_exponent"]["text_tfidf_topk"] <= 1.05
+    for q in ("sketch_kmv_source_overlap", "sketch_kmv_estimate_only"):
+        assert d["big"][q]["shuffle_write_bytes"] < (48 << 20)
+    # 16M postings rows x ~45 B dominate; the verify join's shingle
+    # movement must stay well under the pre-fix 825 MB
+    assert d["big"]["dedup_minhash_lsh"]["shuffle_write_bytes"] < (1 << 30)

@@ -1038,3 +1038,21 @@ def test_kmv_sketch_is_window_group_limited(registry, spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_estimate_only_drops_the_exact_join(registry, spark, sf_small):
+    """The production KMV plan must be strictly lighter than the gauge's:
+    the exact-overlap token equi-join (the corpus-sized step the sketch
+    exists to replace) is gone, so the estimate-only plan has FEWER
+    exchanges; the bottom-k WindowGroupLimit and the broadcast-only pair
+    fan-out remain."""
+    prod = _formatted_plan(
+        _build(registry, spark, sf_small, "sketch_kmv_estimate_only")
+    )
+    gauge = _formatted_plan(
+        _build(registry, spark, sf_small, "sketch_kmv_source_overlap")
+    )
+    assert "WindowGroupLimit" in prod
+    assert "CartesianProduct" not in prod
+    assert prod.count("Exchange") < gauge.count("Exchange")
+    assert "BatchEvalPython" not in prod and "ArrowEvalPython" not in prod
