@@ -91,11 +91,30 @@ class Database:
             from postbound_spark.plans.algebra import parse_relalg
             from postbound_spark.plans.parser import parse_query
 
-            df = compile_plan(parse_relalg(parse_query(query)), self.spark)
+            # live schema binding (ref parse_query's bind_columns against
+            # the connected database, parser.py:2272): unqualified columns
+            # — including outer references inside EXISTS/IN subqueries —
+            # resolve against the catalog, so the facade accepts the same
+            # unbound SQL the reference does
+            df = compile_plan(
+                parse_relalg(parse_query(query, schema=self._live_schema())),
+                self.spark,
+            )
         else:
             df = self.spark.sql(query) if isinstance(query, str) else query
         rows = [tuple(r) for r in df.collect()]
         return rows if raw else simplify_result(rows)
+
+    def _live_schema(self) -> dict[str, list[str]]:
+        """{table: columns} over the session's registered views, memoized
+        per facade (the view set is fixed for the lifetime of a binding;
+        a rebind constructs a new Database)."""
+        cached = getattr(self, "_schema_cache", None)
+        if cached is None:
+            s = self.schema()
+            cached = {t: s.columns(t) for t in s.tables()}
+            self._schema_cache = cached
+        return cached
 
     def release(self) -> None:
         """End this facade's claim on the session (ref ``close``

@@ -77,6 +77,28 @@ def test_database_facade_simplification(spark, sf_small):
     assert simplify_result([]) == []
 
 
+def test_database_facade_binds_live_schema_on_native_path(spark, sf_small):
+    """The facade's native path binds unqualified columns against the live
+    catalog (ref parse_query's bind_columns, parser.py:2272) — including
+    OUTER references inside a subquery, which need schema to classify as
+    correlated. Without live binding this exact query raises the
+    cannot-decide-correlation error; through the facade it must run and
+    agree with the spark.sql path."""
+    from postbound_spark.database import Database
+
+    db = Database(spark, sf_small)
+    try:
+        sql = (
+            "SELECT count(*) AS n FROM customer WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        )
+        native = db.execute_query(sql, native=True)
+        via_sql = db.execute_query(sql)
+        assert native == via_sql and native > 0
+    finally:
+        db.release()
+
+
 def test_read_batch_file(tmp_path):
     p = tmp_path / "batch.sql"
     p.write_text("SELECT 1;\n\nSELECT 2;\nSELECT 3")
