@@ -67,7 +67,15 @@ def engines(spark, sf_small):
 @st.composite
 def predicate(draw, tables: list[str]) -> str:
     table = draw(st.sampled_from(tables))
-    kind = draw(st.sampled_from(["cmp", "between", "in", "str_eq", "like"]))
+    kinds = ["cmp", "between", "in", "str_eq", "like"]
+    if table == "orders":
+        kinds.append("ts_cmp")
+    kind = draw(st.sampled_from(kinds))
+    if kind == "ts_cmp":
+        op = draw(st.sampled_from(["<", ">=", ">"]))
+        y = draw(st.integers(1995, 2000))
+        m = draw(st.sampled_from([1, 4, 7, 10]))
+        return f"o_orderdate {op} TIMESTAMP '{y}-{m:02d}-01'"
     if kind in ("cmp", "between", "in"):
         col = draw(st.sampled_from(INT_COLS[table]))
         if kind == "cmp":
