@@ -1176,6 +1176,59 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+def countmin_coords(token) -> "F.Column":
+    """d=4 (row, bucket) coordinates of a token in the count-min sketch
+    (universal-hash family ``text.MINHASH_A/B``) as one array expression
+    — shared by the sketch build, the top-k readback, and the streaming
+    drain so the three can never hash apart."""
+    P = 2147483647
+    h = T.token_hash64(token) % P
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (((F.lit(T.MINHASH_A[i]) * h + F.lit(T.MINHASH_B[i])) % P) % 256).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(4)
+        ]
+    )
+
+
+def countmin_cells(tok: DataFrame) -> DataFrame:
+    """(i, bucket) → count cells of the 4×256 count-min sketch over a
+    token stream — the shared kernel of ``sketch_countmin_tokens`` and
+    the incremental drain (``streaming.sketches.countmin_cell_stream``).
+    count() partial-aggregates per cell, and cell-wise SUM is the sketch
+    merge, so on a streaming input the identical expression is a bounded
+    stateful aggregation: d×w = 1024 counters of state forever."""
+    return (
+        tok.select(F.explode(countmin_coords(F.col("token"))).alias("c"))
+        .select("c.i", "c.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bloom_bit_stream(tok: DataFrame) -> DataFrame:
+    """Raw (bit) stream — both md5-derived positions per token — shared
+    by ``sketch_bloom_tokens`` (DISTINCT → the filter) and the
+    incremental drain (groupBy-count → the same bit set, merged by
+    bit-OR which the grouped count subsumes). State on a stream is
+    bounded by m=256 bits by construction."""
+
+    def bit(start):
+        return (
+            F.conv(F.substring(F.md5(F.col("token")), start, 8), 16, 10).cast(
+                "long"
+            )
+            % _BLOOM_M
+        )
+
+    return tok.select(bit(1).alias("bit")).union(tok.select(bit(9).alias("bit")))
+
+
 _CM_A = ", ".join(str(x) for x in T.MINHASH_A[:4])
 _CM_B = ", ".join(str(x) for x in T.MINHASH_B[:4])
 _CM_H = "CAST(concat('0x', substr(md5({t}), 1, 15)) AS BIGINT) % 2147483647"
@@ -1235,24 +1288,7 @@ def sketch_countmin_tokens(spark, sf_dir):
     tok = stage_cache(
         docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
     )
-    P = 2147483647
-    h = T.token_hash64(F.col("token")) % P
-
-    def bucket(i: int):
-        return ((F.lit(T.MINHASH_A[i]) * h + F.lit(T.MINHASH_B[i])) % P) % 256
-
-    coords_arr = F.array(
-        *[
-            F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket"))
-            for i in range(4)
-        ]
-    )
-    sketch = (
-        tok.select(F.explode(coords_arr).alias("c"))
-        .select("c.i", "c.bucket")
-        .groupBy("i", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    sketch = countmin_cells(tok)
     top20 = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
@@ -1260,7 +1296,7 @@ def sketch_countmin_tokens(spark, sf_dir):
         .limit(20)
     )
     coords = top20.select(
-        "token", "true_cnt", F.explode(coords_arr).alias("c")
+        "token", "true_cnt", F.explode(countmin_coords(F.col("token"))).alias("c")
     ).select("token", "true_cnt", "c.i", "c.bucket")
     return (
         coords.join(sketch, ["i", "bucket"])
@@ -6240,11 +6276,7 @@ def sketch_bloom_tokens(spark, sf_dir):
             % _BLOOM_M
         )
 
-    bits = (
-        tok.select(bit(F.col("token"), 1).alias("bit"))
-        .union(tok.select(bit(F.col("token"), 9).alias("bit")))
-        .distinct()
-    )
+    bits = bloom_bit_stream(tok).distinct()
     bits = stage_cache(bits)
     fill = bits.agg(F.count(F.lit(1)).cast("long").alias("n_set"))
     probes = spark.createDataFrame(

@@ -25,8 +25,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from postbound_spark.functions import text as T
 from postbound_spark.queries.pipeline import (
     _KMV_K,
+    bloom_bit_stream,
+    countmin_cells,
     kmv_bottom_k,
     kmv_source_hashes,
 )
@@ -98,3 +103,38 @@ def run_kmv_stream(
     )
     query.awaitTermination()
     return sink
+
+
+def _token_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """The document stream's raw token column, one file per micro-batch —
+    the common front of the built-in-aggregation sketch drains below."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_dir)
+    )
+    return stream.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+
+
+def countmin_cell_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Incremental count-min cells over a document stream: the SAME cell
+    kernel as the batch sketch (``queries.pipeline.countmin_cells`` —
+    one definition, zero drift) run as a streaming aggregation. Count is
+    associative and commutative, so arrival order and micro-batch splits
+    cannot change the cells, and state is d×w = 1024 counters no matter
+    how many tokens stream through — cell-wise sum IS the count-min
+    merge, performed by the state store itself."""
+    return countmin_cells(_token_stream(spark, docs_dir))
+
+
+def bloom_bit_count_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Incremental Bloom bit set over a document stream: the SAME bit
+    kernel as the batch filter (``queries.pipeline.bloom_bit_stream``),
+    grouped-counted so state is bounded by m=256 bits. The bit SET
+    (projection of the keys) equals the batch filter's distinct bits —
+    bit-OR merge subsumed by the grouped count; the counts additionally
+    give the per-bit collision load a deployment watches to decide when
+    to grow m."""
+    return bloom_bit_stream(_token_stream(spark, docs_dir)).groupBy("bit").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )

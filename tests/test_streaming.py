@@ -257,3 +257,64 @@ def test_streaming_kmv_sketch_matches_batch(spark, sf_small, tmp_path, n_files):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_countmin_cells_match_batch(spark, sf_small, tmp_path):
+    """The incremental count-min sketch: documents split across 4 files,
+    drained one per micro-batch, must produce EXACTLY the batch cells —
+    cell-wise count is associative/commutative, so batching cannot change
+    the sketch, and state is d×w = 1024 counters. Kernel shared with
+    sketch_countmin_tokens."""
+    from postbound_spark.catalog import load_table
+    from postbound_spark.queries.pipeline import countmin_cells
+    from postbound_spark.streaming.sketches import countmin_cell_stream
+    from postbound_spark.streaming.windows import run_available_now
+
+    docs_dir = str(tmp_path / "docs_multi_cm")
+    load_table(spark, sf_small, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+
+    stream = countmin_cell_stream(spark, docs_dir)
+    assert stream.isStreaming
+    got = sorted(tuple(r) for r in run_available_now(stream, "t_cm").collect())
+    from pyspark.sql import functions as F
+    from postbound_spark.functions import text as T
+
+    tok = spark.read.parquet(docs_dir).select(
+        F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    want = sorted(tuple(r) for r in countmin_cells(tok).collect())
+    assert got == want and len(got) > 0
+
+
+def test_streaming_bloom_bits_match_batch(spark, sf_small, tmp_path):
+    """The incremental Bloom filter: the drained stream's bit SET equals
+    the batch filter's distinct bits (bit-OR merge subsumed by the
+    grouped count; state bounded by m=256), and per-bit hit counts sum
+    to exactly 2 hashes x token occurrences."""
+    from postbound_spark.catalog import load_table
+    from postbound_spark.queries.pipeline import bloom_bit_stream
+    from postbound_spark.streaming.sketches import bloom_bit_count_stream
+    from postbound_spark.streaming.windows import run_available_now
+
+    docs_dir = str(tmp_path / "docs_multi_bloom")
+    load_table(spark, sf_small, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+
+    stream = bloom_bit_count_stream(spark, docs_dir)
+    drained = run_available_now(stream, "t_bloom")
+    got_bits = sorted(r[0] for r in drained.select("bit").collect())
+    from pyspark.sql import functions as F
+    from postbound_spark.functions import text as T
+
+    tok = spark.read.parquet(docs_dir).select(
+        F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    want_bits = sorted(
+        r[0] for r in bloom_bit_stream(tok).distinct().collect()
+    )
+    assert got_bits == want_bits and len(got_bits) > 0
+    n_tok = tok.count()
+    assert drained.agg(F.sum("n_hits")).collect()[0][0] == 2 * n_tok
