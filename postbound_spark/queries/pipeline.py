@@ -6710,7 +6710,7 @@ stats AS (
 est AS (
   SELECT source,
          CASE WHEN n_sk < {_KMV_K} THEN CAST(n_sk AS DOUBLE)
-              ELSE ({_KMV_K} - 1) * power(2.0, 60) / vk END AS est_d
+              ELSE ({_KMV_K} - 1) * 1152921504606846976.0 / vk END AS est_d
   FROM stats
 ),
 mem AS (
@@ -6742,7 +6742,7 @@ pe AS (
   SELECT src_a, src_b, n_union_sketch, matches,
          CASE WHEN n_union_sketch < {_KMV_K}
               THEN CAST(n_union_sketch AS DOUBLE)
-              ELSE ({_KMV_K} - 1) * power(2.0, 60) / uvk END AS est_u
+              ELSE ({_KMV_K} - 1) * 1152921504606846976.0 / uvk END AS est_u
   FROM pstats
 ),
 exact AS (
@@ -6936,7 +6936,7 @@ stats AS (
 est AS (
   SELECT source,
          CASE WHEN n_sk < {_KMV_K} THEN CAST(n_sk AS DOUBLE)
-              ELSE ({_KMV_K} - 1) * power(2.0, 60) / vk END AS est_d
+              ELSE ({_KMV_K} - 1) * 1152921504606846976.0 / vk END AS est_d
   FROM stats
 ),
 mem AS (
@@ -6968,7 +6968,7 @@ pe AS (
   SELECT src_a, src_b, n_union_sketch, matches,
          CASE WHEN n_union_sketch < {_KMV_K}
               THEN CAST(n_union_sketch AS DOUBLE)
-              ELSE ({_KMV_K} - 1) * power(2.0, 60) / uvk END AS est_u
+              ELSE ({_KMV_K} - 1) * 1152921504606846976.0 / uvk END AS est_u
   FROM pstats
 )
 SELECT p.src_a, p.src_b, p.n_union_sketch, p.matches,
