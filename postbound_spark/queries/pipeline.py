@@ -6829,6 +6829,52 @@ def sketch_kmv_source_overlap(spark, sf_dir):
     overlap matrix costs S*k*(S-1) tiny rows regardless of data volume.
     The exact-overlap gauge is the one corpus-sized step (a token-keyed
     equi-join), exactly what the sketch exists to replace."""
+    hashed, estimates = _kmv_overlap_estimates(spark, sf_dir)
+    exact = (
+        hashed.select(F.col("source").alias("xa"), "th")
+        .join(
+            hashed.select(F.col("source").alias("xb"), F.col("th").alias("thb")),
+            (F.col("th") == F.col("thb")) & (F.col("xa") < F.col("xb")),
+        )
+        .groupBy(F.col("xa"), F.col("xb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x_overlap"))
+    )
+    return (
+        estimates.join(
+            F.broadcast(exact),
+            (F.col("src_a") == F.col("xa")) & (F.col("src_b") == F.col("xb")),
+            "left",
+        )
+        .select(
+            *_KMV_EST_COLS,
+            F.coalesce(F.col("x_overlap"), F.lit(0)).cast("long").alias(
+                "exact_overlap"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+#: the estimate columns both KMV entries emit, in oracle order
+_KMV_EST_COLS = (
+    "src_a",
+    "src_b",
+    "n_union_sketch",
+    "matches",
+    "jaccard_ppm",
+    "est_a",
+    "est_b",
+    "est_union",
+    "est_overlap",
+)
+
+
+def _kmv_overlap_estimates(spark, sf_dir):
+    """The sketch-space overlap pipeline shared by the gauge and
+    production KMV entries: per-source bottom-k sketches, pairwise
+    union sketches, and every estimate column — everything except the
+    gauge's exact companion. Returns ``(hashed, estimates)`` so the
+    gauge can build its exact join from the same cached hash frame."""
     docs = load_table(spark, sf_dir, "documents")
     hashed = kmv_source_hashes(docs).transform(stage_cache)
     sk = kmv_bottom_k(hashed, _KMV_K).transform(stage_cache)
@@ -6872,25 +6918,11 @@ def sketch_kmv_source_overlap(spark, sf_dir):
     pe = pstats.select(
         "src_a", "src_b", "n_union_sketch", "matches", est_u.alias("est_u")
     )
-    exact = (
-        hashed.select(F.col("source").alias("xa"), "th")
-        .join(
-            hashed.select(F.col("source").alias("xb"), F.col("th").alias("thb")),
-            (F.col("th") == F.col("thb")) & (F.col("xa") < F.col("xb")),
-        )
-        .groupBy(F.col("xa"), F.col("xb"))
-        .agg(F.count(F.lit(1)).cast("long").alias("x_overlap"))
-    )
     ea = est.select(F.col("source").alias("ea_src"), F.col("est_d").alias("ea_d"))
     eb = est.select(F.col("source").alias("eb_src"), F.col("est_d").alias("eb_d"))
-    return (
+    estimates = (
         pe.join(F.broadcast(ea), F.col("src_a") == F.col("ea_src"))
         .join(F.broadcast(eb), F.col("src_b") == F.col("eb_src"))
-        .join(
-            F.broadcast(exact),
-            (F.col("src_a") == F.col("xa")) & (F.col("src_b") == F.col("xb")),
-            "left",
-        )
         .select(
             "src_a",
             "src_b",
@@ -6905,12 +6937,9 @@ def sketch_kmv_source_overlap(spark, sf_dir):
             F.round(
                 F.col("est_u") * F.col("matches") / F.col("n_union_sketch"), 2
             ).alias("est_overlap"),
-            F.coalesce(F.col("x_overlap"), F.lit(0)).cast("long").alias(
-                "exact_overlap"
-            ),
         )
-        .orderBy("src_a", "src_b")
     )
+    return hashed, estimates
 
 
 _KMV_ESTIMATE_ORACLE = f"""
@@ -6998,68 +7027,5 @@ def sketch_kmv_estimate_only(spark, sf_dir):
     metadata-sized arithmetic. A plan gate pins that this plan is
     strictly smaller than the gauge's (fewer exchanges — the exact
     join's shuffles are gone)."""
-    docs = load_table(spark, sf_dir, "documents")
-    hashed = kmv_source_hashes(docs).transform(stage_cache)
-    sk = kmv_bottom_k(hashed, _KMV_K).transform(stage_cache)
-    est_expr = F.when(
-        F.col("n_sk") < _KMV_K, F.col("n_sk").cast("double")
-    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(2.0**60) / F.col("vk"))
-    est = sk.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sk"),
-        F.max("th").alias("vk"),
-    ).select("source", est_expr.alias("est_d"))
-    other = hashed.select("source").distinct().select(
-        F.col("source").alias("other")
-    )
-    mem = (
-        sk.crossJoin(F.broadcast(other))
-        .filter(F.col("source") != F.col("other"))
-        .select(
-            F.least("source", "other").alias("src_a"),
-            F.greatest("source", "other").alias("src_b"),
-            "source",
-            "th",
-        )
-    )
-    g = mem.groupBy("src_a", "src_b", "th").agg(
-        F.max((F.col("source") == F.col("src_a")).cast("int")).alias("in_a"),
-        F.max((F.col("source") == F.col("src_b")).cast("int")).alias("in_b"),
-    )
-    wu = Window.partitionBy("src_a", "src_b").orderBy("th")
-    usk = g.withColumn("rn", F.row_number().over(wu)).filter(
-        F.col("rn") <= _KMV_K
-    )
-    pstats = usk.groupBy("src_a", "src_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
-        F.max("th").alias("uvk"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("matches"),
-    )
-    est_u = F.when(
-        F.col("n_union_sketch") < _KMV_K,
-        F.col("n_union_sketch").cast("double"),
-    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(2.0**60) / F.col("uvk"))
-    pe = pstats.select(
-        "src_a", "src_b", "n_union_sketch", "matches", est_u.alias("est_u")
-    )
-    ea = est.select(F.col("source").alias("ea_src"), F.col("est_d").alias("ea_d"))
-    eb = est.select(F.col("source").alias("eb_src"), F.col("est_d").alias("eb_d"))
-    return (
-        pe.join(F.broadcast(ea), F.col("src_a") == F.col("ea_src"))
-        .join(F.broadcast(eb), F.col("src_b") == F.col("eb_src"))
-        .select(
-            "src_a",
-            "src_b",
-            "n_union_sketch",
-            "matches",
-            F.expr("(matches * 1000000) div n_union_sketch").alias(
-                "jaccard_ppm"
-            ),
-            F.round(F.col("ea_d"), 2).alias("est_a"),
-            F.round(F.col("eb_d"), 2).alias("est_b"),
-            F.round(F.col("est_u"), 2).alias("est_union"),
-            F.round(
-                F.col("est_u") * F.col("matches") / F.col("n_union_sketch"), 2
-            ).alias("est_overlap"),
-        )
-        .orderBy("src_a", "src_b")
-    )
+    _, estimates = _kmv_overlap_estimates(spark, sf_dir)
+    return estimates.select(*_KMV_EST_COLS).orderBy("src_a", "src_b")
