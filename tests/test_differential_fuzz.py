@@ -126,6 +126,11 @@ def select_stmt(draw) -> str:
         from_clause = tables[0]
         pred_tables = tables
     preds = draw(st.lists(predicate(pred_tables), max_size=2))
+    if len(preds) == 2 and draw(st.booleans()):
+        # OR-compound: different pushdown/CNF path than the AND chain
+        preds = [f"({preds[0]} OR {preds[1]})"]
+    if preds and draw(st.integers(0, 5)) == 0:
+        preds[0] = f"NOT ({preds[0]})"
     outer = tables[0]
     subq_kind = draw(st.integers(0, 5))
     if outer in EXISTS and subq_kind == 0:
