@@ -46,6 +46,16 @@ CHAINS = [
         "c1.c_nationkey = c2.c_nationkey AND c1.c_custkey < c2.c_custkey "
         "AND c2.c_nationkey = n.n_nationkey",
     ),
+    # outer join in the chain: the LEFT JOIN constrains reordering to the
+    # inner component; strategies may only force what is legal to move
+    # and must never change the answer (a comma item next to an outer
+    # chain is rejected by the parser's re-association guard, so this is
+    # one explicit chain)
+    (
+        "customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey",
+        "",
+    ),
 ]
 
 #: alias → (int column, sum column) pools for filters and aggregates
@@ -61,24 +71,32 @@ INT_OF = {
 }
 
 
+_ALIAS_RE = __import__("re").compile(r"\b(?:customer|orders|nation|region)\s+(\w+)")
+
+
 def _aliases(from_clause: str) -> list[str]:
-    return [part.strip().split()[-1] for part in from_clause.split(",")]
+    return _ALIAS_RE.findall(from_clause)
 
 
 @st.composite
 def join_query(draw) -> str:
     from_clause, join_cond = draw(st.sampled_from(CHAINS))
     aliases = _aliases(from_clause)
-    conds = [join_cond]
+    outer = "LEFT JOIN" in from_clause
+    # under an outer join, WHERE predicates stay on the preserved side
+    # (a filter on the null-supplied side would collapse it to inner)
+    filter_aliases = [aliases[0]] if outer else aliases
+    conds = [join_cond] if join_cond else []
     for _ in range(draw(st.integers(0, 2))):
-        a = draw(st.sampled_from(aliases))
+        a = draw(st.sampled_from(filter_aliases))
         col = draw(st.sampled_from(INT_OF[a]))
         op = draw(st.sampled_from(["<", "<=", ">", ">=", "<>"]))
         conds.append(f"{col} {op} {draw(st.integers(0, 25))}")
-    val = draw(st.sampled_from(INT_OF[draw(st.sampled_from(aliases))]))
+    val = draw(st.sampled_from(INT_OF[draw(st.sampled_from(filter_aliases))]))
+    where = f" WHERE {' AND '.join(conds)}" if conds else ""
     return (
         f"SELECT count(*) AS n, sum({val}) AS s, min({val}) AS lo "
-        f"FROM {from_clause} WHERE {' AND '.join(conds)}"
+        f"FROM {from_clause}{where}"
     )
 
 
