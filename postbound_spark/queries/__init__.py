@@ -120,6 +120,7 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-7: new/changed capabilities ---
+    "sample_priority_weighted",  # new: priority sampling (weighted top-k)
     "sketch_kmv_estimate_only",  # new: production KMV (no exact-join gauge)
     "sketch_kmv_source_overlap",  # new: KMV bottom-k sketch set operations
     "dedup_containment_lsh",  # new: bucket-local containment (scale tier)

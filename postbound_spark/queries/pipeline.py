@@ -7029,3 +7029,80 @@ def sketch_kmv_estimate_only(spark, sf_dir):
     join's shuffles are gone)."""
     _, estimates = _kmv_overlap_estimates(spark, sf_dir)
     return estimates.select(*_KMV_EST_COLS).orderBy("src_a", "src_b")
+
+
+_PRIORITY_K = 3  #: docs kept per source
+_POW60 = "1152921504606846976.0"  # 2^60, exactly representable
+
+_PRIORITY_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len({_WS_TOKS}) AS BIGINT) AS n_toks,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS th
+  FROM documents
+),
+p AS (
+  SELECT source, doc_id, n_toks,
+         n_toks * {_POW60} / th AS priority
+  FROM d WHERE th > 0
+),
+r AS (
+  SELECT source, doc_id, n_toks, priority,
+         row_number() OVER (
+           PARTITION BY source ORDER BY priority DESC, doc_id
+         ) AS rn
+  FROM p
+)
+SELECT source, doc_id, n_toks, round(priority, 4) AS priority
+FROM r WHERE rn <= {_PRIORITY_K}
+ORDER BY source, doc_id
+"""
+
+
+@query("sample_priority_weighted", oracle=_PRIORITY_ORACLE)
+def sample_priority_weighted(spark, sf_dir):
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): keep, per
+    source, the k documents with the largest priority w/u — w the
+    document's token count (longer docs carry more training signal), u a
+    deterministic md5-uniform in (0,1]. Priority sampling is THE
+    weighted without-replacement scheme with near-optimal variance for
+    subset-sum estimation, and the deterministic-u variant makes the
+    "random" subset reproducible across runs and engines — the property
+    a training-data pipeline needs for auditable sampling decisions
+    (complements the family: stratified = per-group uniform counts, DSIR
+    = distribution matching, temperature mix = source rates; this is
+    importance-weighted row SELECTION).
+
+    Determinism: u derives from the 60-bit md5 of doc_id, so the
+    priority w·2⁶⁰/u_int is one IEEE division of exact integers —
+    identical on both engines — ordered under a doc_id tiebreak and
+    rounded only in the output. The th>0 guard excludes the 2⁻⁶⁰
+    zero-hash corner symmetrically rather than diverging on a division
+    by zero.
+
+    Scale shape: map-only weight/hash projection, then ONE source-keyed
+    exchange whose rank cut runs as WindowGroupLimit (k per source per
+    partition pre-exchange) — the same mergeable top-k execution as the
+    KMV sketch; state is k rows per source forever."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_toks"),
+        th.alias("th"),
+    ).filter(F.col("th") > 0)
+    priority = F.col("n_toks") * F.lit(float(2**60)) / F.col("th")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("priority"), F.asc("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", "n_toks", priority.alias("priority"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PRIORITY_K)
+        .select("source", "doc_id", "n_toks", F.round("priority", 4).alias("priority"))
+        .orderBy("source", "doc_id")
+    )

@@ -1056,3 +1056,15 @@ def test_kmv_estimate_only_drops_the_exact_join(registry, spark, sf_small):
     assert "CartesianProduct" not in prod
     assert prod.count("Exchange") < gauge.count("Exchange")
     assert "BatchEvalPython" not in prod and "ArrowEvalPython" not in prod
+
+
+def test_priority_sampling_is_window_group_limited(registry, spark, sf_small):
+    """sample_priority_weighted: map-only weight/hash projection into one
+    source-keyed exchange; the k-per-source cut must run as
+    WindowGroupLimit (partial pre-exchange); no Python, no cross
+    product."""
+    df = _build(registry, spark, sf_small, "sample_priority_weighted")
+    plan = _formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
