@@ -227,7 +227,7 @@ def select_stmt(draw) -> str:
             unique=True,
         )
     )
-    extra = draw(st.integers(0, 5))
+    extra = draw(st.integers(0, 6))
     if extra == 0:  # CASE projection
         ic = draw(st.sampled_from(INT_COLS[tables[0]]))
         cut = draw(st.integers(0, 20))
@@ -241,6 +241,21 @@ def select_stmt(draw) -> str:
             st.sampled_from([("+", 7), ("-", 3), ("*", 2), ("%", 5)])
         )
         cols = cols + [f"{ic} {op} {rhs} AS calc"]
+    elif extra == 2:  # string functions (ASCII data: case/length/substr
+        # semantics agree; substr is 1-based on both engines)
+        sc = draw(st.sampled_from(STR_COLS[tables[0]]))
+        expr = draw(
+            st.sampled_from(
+                [
+                    f"upper({sc}) AS u",
+                    f"lower({sc}) AS lo_s",
+                    f"length({sc}) AS len_s",
+                    f"substr({sc}, 1, 3) AS s3",
+                    f"{sc} || '-x' AS tagged",
+                ]
+            )
+        )
+        cols = cols + [expr]
     distinct = "DISTINCT " if draw(st.booleans()) else ""
     sql = f"SELECT {distinct}{', '.join(cols)} FROM {from_clause}{where}"
     # LIMIT only under a UNIQUE order key — ties would make the cut
