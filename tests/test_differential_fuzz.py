@@ -148,7 +148,15 @@ def select_stmt(draw) -> str:
         preds.append(IN_SUBQ[outer].format(neg=neg, w=w))
     where = f" WHERE {' AND '.join(preds)}" if preds else ""
 
-    shape = draw(st.integers(0, 4))
+    shape = draw(st.integers(0, 5))
+    if shape == 5 and "orders" in tables:  # temporal grouping: the
+        # cross-engine timestamp path (UTC session, microsecond parquet)
+        val = draw(st.sampled_from(INT_COLS["orders"]))
+        return (
+            f"SELECT extract(year FROM o_orderdate) AS yr, count(*) AS n, "
+            f"min({val}) AS lo FROM {from_clause}{where} "
+            f"GROUP BY extract(year FROM o_orderdate) ORDER BY yr"
+        )
     if shape == 0:  # global aggregate (no GROUP BY)
         val = draw(st.sampled_from(INT_COLS[tables[0]]))
         return (
