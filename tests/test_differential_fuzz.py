@@ -188,7 +188,7 @@ def select_stmt(draw) -> str:
             )
         )
         return f"SELECT {pk}, {key}, {wf} AS w FROM {from_clause}{where}"
-    if shape == 1:  # grouped aggregate (1-2 keys)
+    if shape == 1:  # grouped aggregate (1-2 keys, possibly an expression)
         key_table = draw(st.sampled_from(tables))
         keys = draw(
             st.lists(
@@ -200,6 +200,10 @@ def select_stmt(draw) -> str:
                 unique=True,
             )
         )
+        if draw(st.integers(0, 3)) == 0 and keys[0] in INT_COLS[key_table]:
+            # expression key: exact integer arithmetic (grouping on a
+            # computed key exercises the expression-key rewrite path)
+            keys = [f"{keys[0]} % {draw(st.integers(2, 7))}"] + keys[1:]
         val = draw(st.sampled_from(INT_COLS[key_table]))
         agg_pool = [
             "count(*) AS n",
