@@ -297,7 +297,23 @@ def set_query(draw) -> str:
 @st.composite
 def derived_table_query(draw) -> str:
     """Aggregate over a derived table — as a WITH CTE or a FROM
-    subquery (same relational content, two parser/algebra paths)."""
+    subquery (same relational content, two parser/algebra paths); the
+    derived table may itself be a join."""
+    if draw(st.integers(0, 2)) == 0:  # join inside the derived table
+        left, right, cond = draw(st.sampled_from(JOINS))
+        cols = [draw(st.sampled_from(INT_COLS[left]))]
+        inner_preds = draw(st.lists(predicate([left, right]), max_size=1))
+        iw = f" WHERE {inner_preds[0]}" if inner_preds else ""
+        inner = (
+            f"SELECT {cols[0]} FROM {left} JOIN {right} ON {cond}{iw}"
+        )
+        outer_pred = ""
+        body = (
+            f"SELECT count(*) AS n, sum({cols[0]}) AS s FROM {{src}}"
+        )
+        if draw(st.booleans()):
+            return f"WITH v AS ({inner}) " + body.format(src="v")
+        return body.format(src=f"({inner}) v")
     t = draw(st.sampled_from(sorted(TABLES)))
     cols = draw(
         st.lists(st.sampled_from(INT_COLS[t]), min_size=1, max_size=2, unique=True)
