@@ -44,8 +44,12 @@ from postbound_spark.queries.pipeline import release_stage_caches, stage_cache
 
 
 def _hubness(spark, sf_dir: str, n_planes: int):
-    """The ann_hubness_candidates pipeline with a parametric plane count
-    (queries/pipeline.py keeps 8 for oracle parity)."""
+    """The ann_hubness_candidates pipeline with a parametric plane count.
+    Since round 8 the operator itself is parametric
+    (``queries.pipeline.hubness_candidate_histogram``; the contract is
+    registered as ``ann_hubness_adaptive`` with a full SQL oracle) — this
+    local copy additionally exposes the intermediate ``pairs`` frame so
+    the experiment can record candidate-pair volume."""
     probe_masks = [0] + [1 << p for p in range(n_planes)]
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(

@@ -35,7 +35,6 @@ def _cached_fixture(name: str, generate) -> str:
     # the marker embeds the GENERATOR's data version: a cache built by an
     # older generator regenerates instead of silently serving stale data
     # (round-7 lesson: fixture v2 seeds witness rows for every JOB query)
-    version = getattr(generate, "__module__", "")
     try:
         import importlib
 

@@ -36,6 +36,11 @@ class _Compiler(ra.RelNodeVisitor):
         #: the PhysicalOperatorSelection hook of the compile path; explicit
         #: node hints always win over the policy
         self.selection = selection
+        #: MATERIALIZED-CTE share table: compiled frames memoized by node
+        #: VALUE (frozen dataclasses hash structurally), so every reference
+        #: to the same CTE returns the SAME cached DataFrame object and the
+        #: cache is populated once
+        self._materialized: dict[ra.Materialize, DataFrame] = {}
 
     def _compile(self, node: ra.RelNode) -> DataFrame:
         return node.accept(self)
@@ -90,6 +95,18 @@ class _Compiler(ra.RelNodeVisitor):
 
     def visit_singlerow(self, node: ra.SingleRow) -> DataFrame:
         return self.spark.range(1).select()
+
+    def visit_materialize(self, node: ra.Materialize) -> DataFrame:
+        # `WITH name AS MATERIALIZED (…)` → df.cache(): lazy like the
+        # reference's flag (nothing runs until a consumer does), shared
+        # across references via the value-keyed memo, and executor-local
+        # after the first action — at cluster scale this is what stops a
+        # reused CTE from being recomputed per reference
+        cached = self._materialized.get(node)
+        if cached is None:
+            cached = self._compile(node.child).cache()
+            self._materialized[node] = cached
+        return cached
 
     # --- unary ------------------------------------------------------------
     def visit_selection(self, node: ra.Selection) -> DataFrame:

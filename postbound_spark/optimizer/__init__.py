@@ -27,6 +27,7 @@ from postbound_spark.optimizer.dynprog import DynamicProgrammingEnumerator
 from postbound_spark.optimizer.injection import CardinalityInjector
 from postbound_spark.optimizer.hints import (
     FORCED_ORDER_CONF,
+    DirectionalJoinAssignment,
     JoinOperator,
     PhysicalOperatorAssignment,
     ScanOperator,
@@ -89,6 +90,7 @@ __all__ = [
     "CatalystCostModel",
     "CatalystNativeOptimizer",
     "EquiJoinPreCheck",
+    "DirectionalJoinAssignment",
     "FORCED_ORDER_CONF",
     "JoinEdge",
     "JoinGraph",

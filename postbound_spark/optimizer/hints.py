@@ -66,6 +66,45 @@ class ScanOperator(enum.Enum):
     BITMAP = "bitmap_scan"
 
 
+@dataclass(frozen=True)
+class DirectionalJoinAssignment:
+    """Per-join operator choice WITH forced build/probe roles (ref
+    ``DirectionalJoinOperatorAssignment``, ``_hints.py:1119``).
+
+    Spark vocabulary: ``build`` is the side the executor materializes —
+    the hash table of a (broadcast/shuffled) hash join, the broadcast
+    relation of a BNLJ — and ``probe`` is the streamed side. Enforcement
+    is hint-side placement: Spark builds on whichever child carries the
+    ``broadcast``/``shuffle_hash`` hint (BuildLeft/BuildRight in the
+    physical plan), so forcing roles costs nothing beyond the hint the
+    non-directional assignment already emits.
+
+    :meth:`from_inner_outer` accepts the reference's inner/outer wording
+    and applies its per-operator convention (``_hints.py:1119``
+    docstring): hash joins aggregate the OUTER relation into the hash
+    table and probe it with the inner; nested-loop joins re-scan the
+    INNER per outer row (the side Spark must broadcast); for sort-merge
+    the direction is irrelevant on both systems."""
+
+    operator: JoinOperator
+    build: frozenset[str]
+    probe: frozenset[str]
+
+    def __post_init__(self):
+        if not self.build or not self.probe:
+            raise ValueError("both build and probe relations must be given")
+
+    @classmethod
+    def from_inner_outer(cls, operator: JoinOperator, inner, outer):
+        inner, outer = frozenset(inner), frozenset(outer)
+        if operator in (JoinOperator.BROADCAST_HASH, JoinOperator.SHUFFLE_HASH):
+            return cls(operator, build=outer, probe=inner)
+        return cls(operator, build=inner, probe=outer)
+
+    def tables(self) -> frozenset[str]:
+        return self.build | self.probe
+
+
 @dataclass
 class PhysicalOperatorAssignment:
     """Per-join operator choices + global toggles (ref:
@@ -78,15 +117,29 @@ class PhysicalOperatorAssignment:
     #: the reference's Materialize operator, ``_core.py:444`` — enforced by
     #: compile_join_tree)
     materialize: set = field(default_factory=set)
+    #: per-join FORCED build/probe roles (ref directional assignments,
+    #: ``_hints.py:1119``), keyed like ``join_operators`` by the union of
+    #: joined base tables; wins over ``join_operators`` on the same join
+    directional_joins: dict[frozenset[str], DirectionalJoinAssignment] = field(
+        default_factory=dict
+    )
 
     def set_join_operator(self, tables: frozenset[str], op: JoinOperator) -> None:
         self.join_operators[frozenset(tables)] = op
+
+    def set_directional_join(self, direction: DirectionalJoinAssignment) -> None:
+        self.directional_joins[direction.tables()] = direction
 
     def set_materialize(self, tables: frozenset[str]) -> None:
         self.materialize.add(frozenset(tables))
 
     def operator_for(self, joined: frozenset[str]) -> JoinOperator | None:
         return self.join_operators.get(frozenset(joined))
+
+    def directional_for(
+        self, joined: frozenset[str]
+    ) -> DirectionalJoinAssignment | None:
+        return self.directional_joins.get(frozenset(joined))
 
     def apply_globals(self, spark: SparkSession) -> None:
         for key, value in self.global_settings.items():
@@ -166,11 +219,25 @@ def compile_join_tree(
             # Materialize → persist (ref _core.py:444 mapping, SURVEY §2.7):
             # the NL costing assumes the inner is computed once, so enforce it
             right_df = right_df.persist()
-        op = assignment.operator_for(frozenset(left_tables | right_tables))
-        if op is None:
-            op = injected_operator(right_tables)
-        if op is not None:
-            right_df = right_df.hint(op.spark_hint)
+        direction = assignment.directional_for(
+            frozenset(left_tables | right_tables)
+        )
+        if direction is not None and direction.build == frozenset(left_tables):
+            # forced build side is the LEFT subtree: hint-side placement
+            # flips Spark to BuildLeft (ref DirectionalJoinOperatorAssignment
+            # enforcement, _hints.py:1119)
+            left_df = left_df.hint(direction.operator.spark_hint)
+        elif direction is not None and direction.build == frozenset(right_tables):
+            right_df = right_df.hint(direction.operator.spark_hint)
+        else:
+            # (a direction whose build set matches NEITHER subtree cannot
+            # correspond to this tree shape — fall back to the
+            # non-directional assignment rather than mis-hint a side)
+            op = assignment.operator_for(frozenset(left_tables | right_tables))
+            if op is None:
+                op = injected_operator(right_tables)
+            if op is not None:
+                right_df = right_df.hint(op.spark_hint)
         if cond is None:
             joined = left_df.crossJoin(right_df)
         else:

@@ -115,6 +115,17 @@ def _find_agg_calls(text: str) -> list[str]:
     return calls
 
 
+#: string literals (with '' escapes) — stripped before scanning rendered
+#: SQL for structural markers, so literal DATA containing "(select " can
+#: never be mistaken for a scalar subquery (advisor-found false positive:
+#: SELECT '(select ' AS s FROM t was rejected by the algebra path)
+_STRING_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _has_scalar_subquery(text: str) -> bool:
+    return "(select " in _STRING_LITERAL_RE.sub("''", text).lower()
+
+
 _SIMPLE_COL_RE = re.compile(r"^[a-z_][\w$]*$")
 _QUALIFIED_COL_RE = re.compile(r"^([a-z_][\w$]*)\.([a-z_][\w$]*)$")
 
@@ -180,9 +191,19 @@ class _Converter:
         self.q = query
         self.join_order = join_order
         self.counter = 0
-        # local CTEs shadow enclosing-scope ones of the same name
-        self.ctes = dict(scope_ctes or {})
-        self.ctes.update({name: sub for name, sub in query.ctes})
+        # local CTEs shadow enclosing-scope ones of the same name. Values
+        # are (body, materialized) pairs; bare bodies from external callers
+        # are normalized so the scope dict can be passed down opaquely.
+        self.ctes = {
+            k: v if isinstance(v, tuple) else (v, False)
+            for k, v in (scope_ctes or {}).items()
+        }
+        self.ctes.update(
+            {
+                cte[0]: (cte[1], bool(getattr(cte, "materialized", False)))
+                for cte in query.ctes
+            }
+        )
         # text substitutions consuming clauses must apply (e.g. LATERAL
         # count columns → coalesce(col, 0) after the decorrelating left join)
         self.text_subs: dict[str, str] = {}
@@ -214,7 +235,10 @@ class _Converter:
             # siblings must stay visible inside the CTE body (minus the
             # body's own name — self-reference would be recursion)
             scope = {k: v for k, v in self.ctes.items() if k != tab.full_name}
-            sub = parse_relalg(self.ctes[tab.full_name], scope_ctes=scope)
+            body, materialized = self.ctes[tab.full_name]
+            sub = parse_relalg(body, scope_ctes=scope)
+            if materialized:
+                sub = ra.Materialize(sub, name=tab.full_name)
             return ra.Relation(subquery=sub, alias=tab.identifier)
         return ra.Relation(table=tab.full_name, alias=tab.identifier)
 
@@ -258,7 +282,7 @@ class _Converter:
             if kind is not None:
                 subquery_preds.append((kind, conj))
                 continue
-            if "(select " in conj.to_sql().lower():
+            if _has_scalar_subquery(conj.to_sql()):
                 # scalar/quantified subquery in expression position —
                 # F.expr cannot evaluate it; the SQL path (spark.sql) can
                 raise UnsupportedSqlError(
@@ -267,7 +291,18 @@ class _Converter:
                     "SQL path (e.g. expr_scalar_subquery)"
                 )
             tabs = conj.tables() & all_ids
-            if has_outer or (tabs and not tabs <= own_ids):
+            # fail-safe placement under PARTIAL binding: a conjunct whose
+            # column set contains ANY unbound column (no table resolved —
+            # e.g. an incomplete caller schema) must never be classified
+            # by its *bound* columns alone. NOT(o_orderdate < … OR
+            # c_custkey IN (0)) with o_orderdate unbound collapses to
+            # {customer} and was pushed onto the customer scan, where
+            # o_orderdate cannot resolve (fuzzer-found, round 7). Residual
+            # placement is always correct — the filter sits on the joined
+            # frame where every column resolves — and costs nothing
+            # physically: Catalyst re-pushes it to the right scan.
+            unbound = any(c.table is None for c in conj.columns())
+            if has_outer or unbound or (tabs and not tabs <= own_ids):
                 residual.append(conj)
             elif len(tabs) == 1:
                 filters.setdefault(next(iter(tabs)), []).append(conj)
@@ -731,7 +766,7 @@ class _Converter:
         # against the OUTER frame). Same clean rejection the predicate
         # path gives — the spark.sql path executes these fine.
         for text in select_texts:
-            if "(select " in text.lower():
+            if _has_scalar_subquery(text):
                 raise UnsupportedSqlError(
                     "scalar subqueries in the SELECT list are not "
                     "compilable by the algebra path; execute via "

@@ -292,6 +292,34 @@ def _expand_grouping_sets(
     return out
 
 
+def _apply_cte_target_columns(
+    name: str, body, cols: list[str]
+):
+    """Desugar ``WITH name(col, …) AS (SELECT …)`` by positionally
+    re-aliasing the body's projections (ref ``WithQuery`` target columns,
+    qal/_qal.py:5304). For a set-operation body the LEFTMOST operand
+    carries the output names on every engine, so that is where the
+    aliases land."""
+    if isinstance(body, Q.SetQuery):
+        return replace(
+            body, left=_apply_cte_target_columns(name, body.left, cols)
+        )
+    if any(p.expr.sql == "*" or p.expr.sql.endswith(".*") for p in body.select):
+        raise UnsupportedSqlError(
+            f"CTE {name!r} has a target-column list over a * projection — "
+            "positional aliasing needs explicit select items"
+        )
+    if len(body.select) != len(cols):
+        raise ParserError(
+            f"CTE {name!r} target-column list has {len(cols)} names but "
+            f"the body selects {len(body.select)} columns"
+        )
+    new_select = tuple(
+        Q.BaseProjection(p.expr, alias=c) for p, c in zip(body.select, cols)
+    )
+    return replace(body, select=new_select)
+
+
 def _resolve_ordinal(projections, expr, clause: str, by_output_name: bool = False):
     """ANSI ordinal references ("ORDER BY 1", "GROUP BY 2") resolve to
     select-list positions at parse time: downstream the IR compiles
@@ -360,6 +388,20 @@ class _Parser:
         return q
 
     def parse_query(self) -> Q.SqlQuery | Q.SetQuery:
+        # Grouping sets are threaded through parser state between
+        # _parse_select (producer) and the enclosing parse_query
+        # (consumer).  A NESTED parse_query — a subquery parsed after the
+        # outer GROUP BY, e.g. in HAVING or a later set-operand's WHERE —
+        # must not steal the outer query's pending sets, so the outer
+        # value is saved here and restored on every exit path.
+        outer_pending = self._pending_grouping_sets
+        self._pending_grouping_sets = None
+        try:
+            return self._parse_query_inner()
+        finally:
+            self._pending_grouping_sets = outer_pending
+
+    def _parse_query_inner(self) -> Q.SqlQuery | Q.SetQuery:
         ctes: list[tuple[str, Q.SqlQuery | Q.SetQuery]] = []
         if self.t.accept("with"):
             if self.t.accept("recursive"):
@@ -368,10 +410,55 @@ class _Parser:
                 )
             while True:
                 name = _ident(self.t.next())
+                # target-column list: WITH v(a, b) AS (…) — desugared into
+                # the body's projection aliases (ref WithQuery target
+                # columns, qal/_qal.py:5304); VALUES bodies route through
+                # a ValuesTableSource subselect (ref ValuesWithQuery :5469)
+                cols: list[str] = []
+                if self.t.accept("("):
+                    cols.append(_ident(self.t.next()))
+                    while self.t.accept(","):
+                        cols.append(_ident(self.t.next()))
+                    self.t.expect(")")
                 self.t.expect("as")
+                materialized = False
+                if self.t.accept("not"):
+                    # NOT MATERIALIZED = the default inline treatment
+                    self.t.expect("materialized")
+                elif self.t.accept("materialized"):
+                    materialized = True
                 self.t.expect("(")
-                ctes.append((name, self.parse_query()))
+                if self.t.peek_kw() == "values":
+                    if not cols:
+                        raise UnsupportedSqlError(
+                            "a VALUES-backed CTE needs a target-column "
+                            "list — WITH v(a, b) AS (VALUES …) — engines "
+                            "disagree on default VALUES column names"
+                        )
+                    rows = self._parse_values()
+                    width = len(rows[0])
+                    if any(len(r) != width for r in rows) or width != len(cols):
+                        raise ParserError(
+                            f"VALUES rows and target columns of CTE "
+                            f"{name!r} disagree on width"
+                        )
+                    body: Q.SqlQuery | Q.SetQuery = Q.SqlQuery(
+                        select=(Q.star(),),
+                        from_tables=(
+                            Q.ValuesTableSource(
+                                rows,
+                                alias=f"__values_{name}",
+                                columns=tuple(cols),
+                            ),
+                        ),
+                    )
+                else:
+                    body = self.parse_query()
+                    if cols:
+                        body = _apply_cte_target_columns(name, body, cols)
                 self.t.expect(")")
+                cls = Q.MaterializedCte if materialized else Q.CommonTableExpression
+                ctes.append(cls(name, body))
                 if not self.t.accept(","):
                     break
         # set operations combine at this level (ref SetQuery :9396); ANSI

@@ -783,6 +783,52 @@ def star() -> BaseProjection:
     return BaseProjection(SqlExpression("*"))
 
 
+class CommonTableExpression(tuple):
+    """A ``WITH`` entry: a ``(name, query)`` pair plus the MATERIALIZED
+    flag (ref ``CommonTableExpression`` qal/_qal.py:5605 — target-column
+    lists are desugared into the body's projection aliases at parse time,
+    ref ``WithQuery`` :5304, so only the flag needs carrying).
+
+    Subclasses ``tuple`` so every existing ``for name, sub in q.ctes``
+    consumer keeps working unchanged; equality/hash stay value-based on
+    the pair (MATERIALIZED does not change the relation's content, only
+    its execution — ``df.cache()`` on the Spark side)."""
+
+    __slots__ = ()
+
+    def __new__(cls, name: str, query):
+        return super().__new__(cls, (name, query))
+
+    # the flag is encoded by the SUBCLASS (MaterializedCte) — a __slots__
+    # tuple subclass cannot hold instance attributes, and keeping the pair
+    # hash/eq-identical to a plain (name, query) tuple is the compatibility
+    # contract
+    @property
+    def name(self) -> str:
+        return self[0]
+
+    @property
+    def query(self):
+        return self[1]
+
+    @property
+    def materialized(self) -> bool:
+        return False
+
+
+class MaterializedCte(CommonTableExpression):
+    """``WITH name AS MATERIALIZED (…)`` — the engine compiles the CTE
+    subtree once and ``.cache()``\\ s it so every reference shares the
+    materialized result (the survey's mapping of the reference's
+    MATERIALIZED flag onto Spark)."""
+
+    __slots__ = ()
+
+    @property
+    def materialized(self) -> bool:
+        return True
+
+
 @dataclass(frozen=True)
 class OrderByExpression:
     """ref ``:7342`` — per-key direction + NULLS FIRST/LAST."""
@@ -847,7 +893,12 @@ class SqlQuery:
     def to_sql(self) -> str:
         parts: list[str] = []
         if self.ctes:
-            rendered = ", ".join(f"{name} AS ({q.to_sql()})" for name, q in self.ctes)
+            rendered = ", ".join(
+                f"{cte[0]} AS "
+                f"{'MATERIALIZED ' if getattr(cte, 'materialized', False) else ''}"
+                f"({cte[1].to_sql()})"
+                for cte in self.ctes
+            )
             parts.append(f"WITH {rendered}")
         if self.distinct_on:
             on = ", ".join(e.to_sql() for e in self.distinct_on)

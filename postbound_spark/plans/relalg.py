@@ -304,6 +304,20 @@ class TableFunction(RelNode):
 
 
 @dataclass(frozen=True)
+class Materialize(RelNode):
+    """A MATERIALIZED CTE body (ref ``CommonTableExpression`` flag,
+    qal/_qal.py:5605): compiled once and ``.cache()``\\ d so every
+    reference shares the stored result. ``name`` keys the share — two
+    references to the same CTE produce value-equal Materialize nodes, and
+    the compiler memoizes compiled frames by node value, so both
+    references return the SAME cached DataFrame (one Spark job populates
+    it, the second read is a cache hit on every executor)."""
+
+    child: RelNode = None  # type: ignore[assignment]
+    name: str = ""
+
+
+@dataclass(frozen=True)
 class SingleRow(RelNode):
     """Leaf: the one-row relation behind FROM-less SELECTs. Extension node
     (the reference parses FROM-less queries through pglast the same way)."""

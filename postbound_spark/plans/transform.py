@@ -139,6 +139,32 @@ def remove_predicate(query: SqlQuery, target: AbstractPredicate) -> SqlQuery:
     return replace(query, where=prune(query.where) if query.where else None)
 
 
+def replace_predicate(
+    query: SqlQuery,
+    target: AbstractPredicate,
+    replacement: AbstractPredicate,
+) -> SqlQuery:
+    """ref transform.py:1281 — swap one predicate (leaf OR compound
+    subtree) for another, in both WHERE and HAVING. Matching is by value
+    equality on the IR; like the reference, the replacement may be a
+    different predicate type entirely (e.g. a conjunction in place of a
+    single join condition), the rewrite is top-level only (subqueries and
+    CTE bodies are untouched), and a missing target is a no-op."""
+
+    def swap(pred: AbstractPredicate | None) -> AbstractPredicate | None:
+        if pred is None:
+            return None
+        if pred == target:
+            return replacement
+        if isinstance(pred, CompoundPredicate):
+            return CompoundPredicate(
+                pred.operation, tuple(swap(c) for c in pred.children)
+            )
+        return pred
+
+    return replace(query, where=swap(query.where), having=swap(query.having))
+
+
 def add_where(query: SqlQuery, pred: AbstractPredicate) -> SqlQuery:
     """ref transform.py:833 (add_clause for WHERE) — thin delegate."""
     return add_clause(query, "where", pred)

@@ -119,6 +119,12 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
+    # --- round-8: new/changed capabilities ---
+    "parsed_cte_target_columns",  # new: WITH v(a,b) AS (SELECT ...) rename
+    "parsed_values_cte",  # new: VALUES-backed CTE as banding dimension
+    "parsed_materialized_cte",  # new: MATERIALIZED flag -> shared df.cache()
+    "opt_directional_build_sides",  # new: forced build/probe roles per join
+    "ann_hubness_adaptive",  # new: plane-count contract in-operator, full oracle
     # --- round-7: new/changed capabilities ---
     "sample_priority_weighted",  # new: priority sampling (weighted top-k)
     "sketch_kmv_estimate_only",  # new: production KMV (no exact-join gauge)

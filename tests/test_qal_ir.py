@@ -120,6 +120,38 @@ def test_clause_surgery(t):
     assert nowhere.where is None
 
 
+def test_replace_predicate(t):
+    """ref transform.py:1281 — round-8 addition closing §2.6 to 19/19."""
+    r, n = t
+    join = Q.eq(Q.col("r_regionkey", r), Q.col("n_regionkey", n))
+    filt = Q.eq(Q.col("r_name", r), Q.lit("ASIA"))
+    q = _query(r, n, Q.and_(join, filt))
+    new_filt = Q.eq(Q.col("r_name", r), Q.lit("EUROPE"))
+    swapped = X.replace_predicate(q, filt, new_filt)
+    assert "EUROPE" in swapped.where.to_sql()
+    assert "ASIA" not in swapped.where.to_sql()
+    # join predicate untouched; a different type may replace (conjunction
+    # for a single predicate — the reference's documented use)
+    both = X.replace_predicate(q, filt, Q.and_(filt, new_filt))
+    assert len(list(both.where.iterpredicates())) >= 3
+    # missing target is a no-op, same query back
+    assert X.replace_predicate(q, new_filt, filt) == q
+    # HAVING is rewritten too
+    hq = parse_query(
+        "SELECT n_regionkey, count(*) AS c FROM nation "
+        "GROUP BY n_regionkey HAVING count(*) > 3"
+    )
+    target = hq.having
+    bumped = X.replace_predicate(
+        hq,
+        target,
+        Q.BinaryPredicate(
+            Q.LogicalOperator.GT, Q.SqlExpression("count(*)"), Q.lit(5)
+        ),
+    )
+    assert "5" in bumped.having.to_sql()
+
+
 def test_sql_rendering_runs_on_both_engines(spark, sf_oracle):
     """The IR's ANSI rendering is executable by Spark *and* DuckDB on the
     same data with identical results — the property that lets IR-built
