@@ -43,6 +43,7 @@ relalg.py:1550). Set queries compile via ``Union``/``Intersection``/
 from __future__ import annotations
 
 import re
+from dataclasses import replace
 
 from postbound_spark.plans import qal as Q
 from postbound_spark.plans import relalg as ra
@@ -126,6 +127,26 @@ def _has_scalar_subquery(text: str) -> bool:
     return "(select " in _STRING_LITERAL_RE.sub("''", text).lower()
 
 
+def _scalar_subquery_spans(text: str) -> list[str]:
+    """The outermost ``(SELECT …)`` balanced-paren spans of ``text``
+    (string literals blanked first so literal data can never look like a
+    subquery; nested subqueries stay inside their enclosing span)."""
+    blanked = _STRING_LITERAL_RE.sub(
+        lambda m: " " * len(m.group(0)), text
+    ).lower()
+    spans: list[str] = []
+    pos = 0
+    while True:
+        j = blanked.find("(select ", pos)
+        if j < 0:
+            return spans
+        end = _balanced_end(text, j)
+        if end is None:
+            return spans
+        spans.append(text[j:end])
+        pos = end
+
+
 _SIMPLE_COL_RE = re.compile(r"^[a-z_][\w$]*$")
 _QUALIFIED_COL_RE = re.compile(r"^([a-z_][\w$]*)\.([a-z_][\w$]*)$")
 
@@ -207,10 +228,107 @@ class _Converter:
         # text substitutions consuming clauses must apply (e.g. LATERAL
         # count columns → coalesce(col, 0) after the decorrelating left join)
         self.text_subs: dict[str, str] = {}
+        #: lifted UNCORRELATED scalar subqueries: 1-row subplans cross-
+        #: joined onto the tree; `preagg` before the residual Selection
+        #: (WHERE references), `postagg` after the Grouping (SELECT/
+        #: HAVING/ORDER BY references — Grouping would drop a pre-agg
+        #: column)
+        self._scalar_preagg: list[ra.RelNode] = []
+        self._scalar_postagg: list[ra.RelNode] = []
 
     def _gensym(self, prefix: str) -> str:
         self.counter += 1
         return f"__{prefix}{self.counter}"
+
+    # -- scalar subqueries ----------------------------------------------------
+
+    def _lift_scalar_spans(self, text: str, plans: list[ra.RelNode]) -> None:
+        """Lift every ``(SELECT …)`` span of ``text`` into a 1-row subplan
+        + a text substitution to its synthetic column.
+
+        Supported: UNCORRELATED subqueries with a structural single-row
+        guarantee — a FROM-less SELECT, or a global aggregate (single
+        projection containing an aggregate call, no GROUP BY / HAVING /
+        OFFSET). Everything else keeps the historical clean rejection:
+        correlated scalar subqueries run via spark.sql (registry entry
+        ``expr_scalar_subquery``). An unqualified column inside the
+        subquery binds to the INNER scope first (ANSI); a genuinely outer
+        reference fails loudly at Spark analysis, never silently.
+
+        Scale shape: each subplan is one row — Catalyst broadcasts it, so
+        the cross product is a map-side constant attach at any scale."""
+        from postbound_spark.plans.parser import parse_query as _parse
+
+        for span in _scalar_subquery_spans(text):
+            # a span preceded by a quantifier / membership keyword is NOT
+            # a scalar expression — `x > ALL (…)`, `y IN (…)` inside an OR
+            # branch, `EXISTS (…)` under a compound — substituting it
+            # would leave invalid SQL, so these keep the clean rejection
+            prefix = text[: text.find(span)].rstrip().lower()
+            last_word = re.search(r"(\w+)\s*$", prefix)
+            if last_word and last_word.group(1) in (
+                "any", "all", "some", "in", "exists"
+            ):
+                raise UnsupportedSqlError(
+                    "quantified / membership subqueries in this predicate "
+                    "position are not compilable by the algebra path; "
+                    "execute via spark.sql / the registry SQL path"
+                )
+            if span in self.text_subs:
+                # already lifted for this query (NOTE: a span lifted for
+                # WHERE and reused in HAVING of an AGGREGATED query is a
+                # modeling hole — the Grouping drops the pre-agg column
+                # and Spark rejects the plan loudly)
+                continue
+            try:
+                inner = _parse(span[1:-1])
+            except Exception as exc:
+                raise UnsupportedSqlError(
+                    f"cannot re-parse scalar subquery {span!r}: {exc}"
+                ) from exc
+            if not isinstance(inner, Q.SqlQuery):
+                raise UnsupportedSqlError(
+                    "scalar set-query subqueries are not compilable by the "
+                    "algebra path; execute via spark.sql"
+                )
+            if len(inner.select) != 1:
+                raise UnsupportedSqlError(
+                    "a scalar subquery must project exactly one column"
+                )
+            single_row = not inner.from_tables or (
+                not inner.group_by
+                and inner.having is None
+                and inner.offset is None
+                and bool(_find_agg_calls(inner.select[0].expr.sql))
+            )
+            if not single_row:
+                raise UnsupportedSqlError(
+                    "scalar subqueries without a structural single-row "
+                    "guarantee (FROM-less or global aggregate) are not "
+                    "compilable by the algebra path; execute via "
+                    "spark.sql / the registry SQL path "
+                    "(e.g. expr_scalar_subquery)"
+                )
+            inner_ids = {t.identifier for t in inner.from_tables} | {
+                j.source.identifier for j in inner.joins
+            } | {name for name, _sub in inner.ctes} | set(self.ctes)
+            refs = list(inner.select[0].expr.columns)
+            if inner.where is not None:
+                refs.extend(inner.where.columns())
+            for c in refs:
+                if c.table is not None and c.table.identifier not in inner_ids:
+                    raise UnsupportedSqlError(
+                        "correlated scalar subqueries are not compilable by "
+                        "the algebra path; execute via spark.sql / the "
+                        "registry SQL path (e.g. expr_scalar_subquery)"
+                    )
+            name = self._gensym("scalar")
+            inner = replace(
+                inner,
+                select=(Q.BaseProjection(inner.select[0].expr, name),),
+            )
+            plans.append(parse_relalg(inner, scope_ctes=self.ctes))
+            self.text_subs[span] = name
 
     # -- leaves -------------------------------------------------------------
 
@@ -282,14 +400,17 @@ class _Converter:
             if kind is not None:
                 subquery_preds.append((kind, conj))
                 continue
-            if _has_scalar_subquery(conj.to_sql()):
-                # scalar/quantified subquery in expression position —
-                # F.expr cannot evaluate it; the SQL path (spark.sql) can
-                raise UnsupportedSqlError(
-                    "scalar subqueries in predicates are not compilable by "
-                    "the algebra path; execute via spark.sql / the registry "
-                    "SQL path (e.g. expr_scalar_subquery)"
-                )
+            conj_text = conj.to_sql()
+            if _has_scalar_subquery(conj_text):
+                # scalar subquery in expression position: F.expr cannot
+                # evaluate it in place, so LIFT it — each uncorrelated
+                # single-row subquery becomes a 1-row cross-joined subplan
+                # and the conjunct a residual filter over its synthetic
+                # column (unsupported shapes keep the clean rejection and
+                # the spark.sql route)
+                self._lift_scalar_spans(conj_text, self._scalar_preagg)
+                residual.append(conj)
+                continue
             tabs = conj.tables() & all_ids
             # fail-safe placement under PARTIAL binding: a conjunct whose
             # column set contains ANY unbound column (no table resolved —
@@ -361,6 +482,11 @@ class _Converter:
         for j in self.q.joins:
             tree = self._apply_explicit_join(tree, j)
 
+        # lifted scalar subqueries referenced by WHERE: 1-row cross
+        # products attached before the residual filter that consumes them
+        for sub in self._scalar_preagg:
+            tree = ra.CrossProduct(tree, sub)
+
         # residual predicates (PostJoin phase) — substituted, so WHERE
         # conditions over LATERAL count columns see coalesce(…, 0), not the
         # null-extended raw column
@@ -371,6 +497,17 @@ class _Converter:
         # IN/EXISTS subqueries → semi/anti joins
         for kind, pred in subquery_preds:
             tree = self._apply_subquery(tree, kind, pred, own_ids)
+
+        # scalar subqueries in SELECT / HAVING / ORDER BY lift to
+        # post-aggregation cross products (_finish attaches them — the
+        # Grouping would drop a pre-agg constant column)
+        for text in (
+            [p.expr.sql for p in self.q.select]
+            + ([self.q.having.to_sql()] if self.q.having is not None else [])
+            + [o.expr.sql for o in self.q.order_by]
+        ):
+            if _has_scalar_subquery(text):
+                self._lift_scalar_spans(text, self._scalar_postagg)
 
         if self.text_subs:
             self._rewrite_consuming_clauses()
@@ -778,6 +915,8 @@ class _Converter:
         )
 
         if not group_texts and not has_aggs:
+            for sub in self._scalar_postagg:
+                tree = ra.CrossProduct(tree, sub)
             return self._finish_plain(tree)
 
         if q.distinct_on:
@@ -866,6 +1005,12 @@ class _Converter:
                 (name, dequalify_keys(call)) for call, name in agg_names.items()
             ),
         )
+
+        # scalar subqueries referenced by HAVING / SELECT / ORDER BY attach
+        # AFTER the aggregate (1-row broadcast cross products), where their
+        # synthetic columns are consumed
+        for sub in self._scalar_postagg:
+            tree = ra.CrossProduct(tree, sub)
 
         if q.having is not None:
             tree = ra.Selection(tree, dequalify_keys(rewrite(q.having.to_sql())))

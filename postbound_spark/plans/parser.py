@@ -1196,13 +1196,9 @@ class _Parser:
                 return Q.BinaryPredicate(
                     op, expr.to_qal(), Q.SqlExpression(rhs_sql)
                 )
-            if self.t.peek() == "(" and self.t.peek_kw(1) in ("select", "with"):
-                self.t.next()
-                sub = self.parse_query()
-                self.t.expect(")")
-                return Q.BinaryPredicate(
-                    op, expr.to_qal(), Q.SqlExpression(f"({_inline(sub)})")
-                )
+            # a scalar-subquery RHS parses through the ordinary expression
+            # grammar (_parse_primary handles `(SELECT …)`), so arithmetic
+            # tails — `x >= (SELECT min(y) FROM t) + 1` — compose naturally
             rhs = self._parse_expression()
             return Q.BinaryPredicate(op, expr.to_qal(), rhs.to_qal())
 

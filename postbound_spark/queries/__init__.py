@@ -125,6 +125,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_materialized_cte",  # new: MATERIALIZED flag -> shared df.cache()
     "opt_directional_build_sides",  # new: forced build/probe roles per join
     "ann_hubness_adaptive",  # new: plane-count contract in-operator, full oracle
+    "parsed_scalar_subquery_lift",  # new: scalar subqueries via 1-row crossjoin
+    # (sample_contamination_check — r8 gram-hash exchange change — already
+    # sits in the round-7 block below)
     # --- round-7: new/changed capabilities ---
     "sample_priority_weighted",  # new: priority sampling (weighted top-k)
     "sketch_kmv_estimate_only",  # new: production KMV (no exact-join gauge)

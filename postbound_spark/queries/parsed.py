@@ -516,3 +516,36 @@ def parsed_materialized_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every executor instead of re-scanning the base table twice — at
     100 TB the cache turns a second full scan+shuffle into a local read."""
     return _native(spark, sf_dir, _MATERIALIZED_CTE_SQL, ["customer"])
+
+
+_SCALAR_LIFT_SQL = """
+SELECT o.o_orderpriority,
+       count(*) AS n,
+       (SELECT max(c_custkey) FROM customer) AS max_cust
+FROM orders o
+WHERE o.o_totalprice >= (SELECT min(o_totalprice) FROM orders) + 1
+GROUP BY o.o_orderpriority
+HAVING count(*) > (SELECT count(*) FROM region)
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("parsed_scalar_subquery_lift", oracle=_SCALAR_LIFT_SQL)
+def parsed_scalar_subquery_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8: uncorrelated scalar subqueries through the NATIVE
+    algebra path in all three expression positions at once — WHERE
+    (lifted to a pre-aggregation 1-row cross product), SELECT list and
+    HAVING (lifted to post-aggregation cross products, where the
+    Grouping's output consumes them). Each subquery must carry a
+    structural single-row guarantee (global aggregate / FROM-less);
+    correlated forms keep the clean rejection and the spark.sql route
+    (``expr_scalar_subquery``). DuckDB runs the identical text through
+    its native scalar-subquery machinery, so the lift is value-checked
+    end to end (plans/algebra.py ``_lift_scalar_spans``).
+
+    Scale shape: each lifted subplan aggregates to ONE row, so every
+    cross product is a broadcast constant attach — the subquery costs
+    one scan+partial-agg regardless of how many rows reference it."""
+    return _native(
+        spark, sf_dir, _SCALAR_LIFT_SQL, ["orders", "customer", "region"]
+    )

@@ -6438,9 +6438,16 @@ train_grams AS (
   SELECT DISTINCT unnest(gs) AS gram FROM g5 WHERE doc_id % 17 <> 0
 ),
 tg AS (SELECT doc_id, unnest(gs) AS gram FROM test),
+-- membership on the 60-bit md5 gram hash, not the gram string: the
+-- exchanges carry 8-byte longs instead of ~30-byte 5-gram strings (the
+-- engine does the same; both engines hash identically, so a collision —
+-- P ~ 1e-9 — is counted the same on both sides)
 shared AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-  FROM tg WHERE gram IN (SELECT gram FROM train_grams)
+  FROM tg WHERE CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) IN (
+    SELECT DISTINCT CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+    FROM train_grams
+  )
   GROUP BY doc_id
 )
 SELECT t.doc_id,
@@ -6486,14 +6493,25 @@ def sample_contamination_check(spark, sf_dir):
         T.word_shingles(T.tokens(F.col("text")), 5).alias("gs"),
     ).transform(stage_cache)
     test = g5.filter((F.col("doc_id") % 17 == 0) & (F.size("gs") >= 1))
+    # the vocabulary exchange and the membership join run on the 60-bit
+    # md5 gram HASH (the KMV convention), not the gram string: 8-byte
+    # longs instead of ~30-byte 5-grams through BOTH shuffles — the
+    # round-8 ×30 point showed this operator is shuffle-throughput-bound
+    # once the fixed overhead amortizes, and bytes are the knob. The
+    # oracle hashes identically, so the astronomically rare collision
+    # (P ~ 1e-9) is counted the same on both engines.
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
     train_grams = (
         g5.filter(F.col("doc_id") % 17 != 0)
         .select(F.explode("gs").alias("gram"))
+        .select(gh.alias("gh"))
         .distinct()
     )
-    tg = test.select("doc_id", F.explode("gs").alias("gram"))
+    tg = test.select("doc_id", F.explode("gs").alias("gram")).select(
+        "doc_id", gh.alias("gh")
+    )
     shared = (
-        tg.join(train_grams, "gram", "left_semi")
+        tg.join(train_grams, "gh", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )

@@ -80,10 +80,20 @@ def engines(spark, sf_small):
 @st.composite
 def predicate(draw, tables: list[str]) -> str:
     table = draw(st.sampled_from(tables))
-    kinds = ["cmp", "between", "in", "str_eq", "like"]
+    kinds = ["cmp", "between", "in", "str_eq", "like", "scalar_cmp"]
     if table == "orders":
         kinds.append("ts_cmp")
     kind = draw(st.sampled_from(kinds))
+    if kind == "scalar_cmp":
+        # grammar v13: uncorrelated scalar subquery in a comparison —
+        # lifted by the algebra path into a 1-row cross product
+        col = draw(st.sampled_from(INT_COLS[table]))
+        op = draw(st.sampled_from(["<", ">=", ">"]))
+        sub_t = draw(st.sampled_from(["region", "nation"]))
+        fn = draw(st.sampled_from(["min", "max", "count"]))
+        arg = "*" if fn == "count" else draw(st.sampled_from(INT_COLS[sub_t]))
+        off = draw(st.integers(0, 5))
+        return f"{col} {op} (SELECT {fn}({arg}) FROM {sub_t}) + {off}"
     if kind == "ts_cmp":
         op = draw(st.sampled_from(["<", ">=", ">"]))
         y = draw(st.integers(1995, 2000))
@@ -233,11 +243,27 @@ def select_stmt(draw) -> str:
         aggs = draw(
             st.lists(st.sampled_from(agg_pool), min_size=1, max_size=3, unique=True)
         )
-        having = (
-            f" HAVING count(*) >= {draw(st.integers(1, 3))}"
-            if draw(st.booleans())
-            else ""
-        )
+        # grammar v13: scalar subquery in the SELECT list of a grouped
+        # aggregate (uncorrelated global aggregate — the shape the algebra
+        # path lifts into a post-aggregation 1-row cross product)
+        if draw(st.integers(0, 3)) == 0:
+            sub_t = draw(st.sampled_from(["region", "nation"]))
+            sub_c = draw(st.sampled_from(INT_COLS[sub_t]))
+            sub_fn = draw(st.sampled_from(["min", "max"]))
+            aggs = aggs + [f"(SELECT {sub_fn}({sub_c}) FROM {sub_t}) AS sub_m"]
+        having_kind = draw(st.integers(0, 3))
+        if having_kind == 0:
+            having = f" HAVING count(*) >= {draw(st.integers(1, 3))}"
+        elif having_kind == 1:
+            # grammar v13: scalar subquery in HAVING (post-agg lift)
+            sub_t = draw(st.sampled_from(["region", "nation"]))
+            op2 = draw(st.sampled_from([">=", "<", ">"]))
+            off = draw(st.integers(0, 3))
+            having = (
+                f" HAVING count(*) {op2} (SELECT count(*) FROM {sub_t}) - {off}"
+            )
+        else:
+            having = ""
         key_list = ", ".join(keys)
         return (
             f"SELECT {key_list}, {', '.join(aggs)} FROM {from_clause}{where} "
@@ -266,6 +292,11 @@ def select_stmt(draw) -> str:
             st.sampled_from([("+", 7), ("-", 3), ("*", 2), ("%", 5)])
         )
         cols = cols + [f"{ic} {op} {rhs} AS calc"]
+    elif extra == 3:  # grammar v13: scalar subquery projection
+        sub_t = draw(st.sampled_from(["region", "nation"]))
+        fn = draw(st.sampled_from(["min", "max"]))
+        sub_c = draw(st.sampled_from(INT_COLS[sub_t]))
+        cols = cols + [f"(SELECT {fn}({sub_c}) FROM {sub_t}) AS sub_m"]
     elif extra == 2:  # string functions (ASCII data: case/length/substr
         # semantics agree; substr is 1-based on both engines)
         sc = draw(st.sampled_from(STR_COLS[tables[0]]))

@@ -1272,26 +1272,46 @@ class TestGroupingSets:
             )
 
 
-def test_select_list_scalar_subquery_rejected_cleanly():
-    """A scalar subquery in PROJECTION position must get the same clean
-    UnsupportedSqlError the predicate path gives (found by probing: the
-    algebra compiler used to let it through and Spark resolved the inner
-    aggregate against the OUTER frame — a raw AnalysisException at best,
-    a wrong scope at worst). The spark.sql path executes these fine
-    (registry entry expr_scalar_subquery)."""
+def test_select_list_scalar_subquery_lift_boundaries():
+    """Round-8: UNCORRELATED single-row scalar subqueries in projection
+    position are LIFTED by the algebra path (1-row cross product,
+    registry entry parsed_scalar_subquery_lift); shapes without the
+    structural guarantee, and QUALIFIED correlated references, keep the
+    clean rejection and the spark.sql route (expr_scalar_subquery).
+    Unqualified correlated references bind optimistically to the inner
+    scope (ANSI) and fail loudly at Spark analysis, never silently."""
     import pytest
 
+    from postbound_spark.plans import relalg as ra
     from postbound_spark.plans.algebra import parse_relalg
     from postbound_spark.plans.parser import UnsupportedSqlError
 
-    for sql in (
-        "SELECT c_custkey, (SELECT max(o_orderkey) FROM orders) AS mx "
-        "FROM customer",
-        "SELECT c_custkey, (SELECT count(*) FROM orders "
-        "WHERE o_custkey = c_custkey) AS n FROM customer",
-    ):
-        with pytest.raises(UnsupportedSqlError, match="SELECT list"):
-            parse_relalg(parse_query(sql))
+    # uncorrelated global aggregate: lifted, CrossProduct in the tree
+    tree = parse_relalg(
+        parse_query(
+            "SELECT c_custkey, (SELECT max(o_orderkey) FROM orders) AS mx "
+            "FROM customer"
+        )
+    )
+    assert any(isinstance(n, ra.CrossProduct) for n in tree.walk())
+
+    # QUALIFIED correlated reference: clean rejection
+    with pytest.raises(UnsupportedSqlError, match="correlated"):
+        parse_relalg(
+            parse_query(
+                "SELECT c.c_custkey, (SELECT count(*) FROM orders o "
+                "WHERE o.o_custkey = c.c_custkey) AS n FROM customer c"
+            )
+        )
+
+    # no single-row guarantee: clean rejection
+    with pytest.raises(UnsupportedSqlError, match="single-row"):
+        parse_relalg(
+            parse_query(
+                "SELECT c_custkey, (SELECT o_orderkey FROM orders) AS x "
+                "FROM customer"
+            )
+        )
 
 
 def test_subquery_guard_ignores_string_literals(spark, sf_small):
