@@ -60,3 +60,97 @@ def write_bucketed(
         .sortBy(*bucket_cols)
         .saveAsTable(table_name)
     )
+
+
+# ---------------------------------------------------------------------------
+# extension-dispatched single-FILE result exchange (ref util/_df.py:12-47)
+# ---------------------------------------------------------------------------
+
+#: suffix → (pandas reader name, pandas writer method, optional import)
+_PANDAS_IO = {
+    ".csv": ("read_csv", "to_csv", None),
+    ".parquet": ("read_parquet", "to_parquet", None),
+    ".json": ("read_json", "to_json", None),
+    ".orc": ("read_orc", "to_orc", None),
+    ".feather": ("read_feather", "to_feather", None),
+    ".xlsx": ("read_excel", "to_excel", "openpyxl"),
+    ".xls": ("read_excel", "to_excel", "openpyxl"),
+    ".hdf": ("read_hdf", "to_hdf", "tables"),
+    ".h5": ("read_hdf", "to_hdf", "tables"),
+    ".hdf5": ("read_hdf", "to_hdf", "tables"),
+}
+
+
+def _pandas_io_for(path: str):
+    import os
+
+    suffix = os.path.splitext(path)[1].lower()
+    entry = _PANDAS_IO.get(suffix)
+    if entry is None:
+        raise ValueError(
+            f"unsupported file format {suffix!r}; one of {sorted(_PANDAS_IO)}"
+        )
+    reader, writer, dep = entry
+    if dep is not None:
+        try:
+            __import__(dep)
+        except ImportError as exc:
+            raise ImportError(
+                f"{suffix} I/O needs the optional {dep!r} package "
+                f"(pip install {dep}); parquet/feather/csv/json/orc work "
+                "without extras"
+            ) from exc
+    return reader, writer
+
+
+def write_df(df: DataFrame, path: str, *, index: bool = False, **kwargs) -> None:
+    """Single-FILE experiment-result writer with extension dispatch (ref
+    ``util/_df.py:49`` ``write_df``): CSV / Parquet / JSON / ORC / Feather
+    out of the box, Excel and HDF behind their optional pandas engines
+    (openpyxl / tables) with an informative ImportError when absent.
+
+    The frame is collected to the driver first — this is the reference's
+    pandas-artifact exchange for EXPERIMENT RESULTS (strategy matrices,
+    sweeps: thousands of rows), not a dataset sink; datasets stream
+    distributed through :func:`write_result`. Like the reference, complex
+    object cells are jsonized so every format can hold them."""
+    import json
+    import os
+
+    _reader, writer = _pandas_io_for(path)
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    pdf = df.toPandas()
+    for col in pdf.columns:
+        if pdf[col].dtype != "object":
+            continue
+        if all(isinstance(v, str) or v is None for v in pdf[col]):
+            continue
+        # toPandas yields numpy arrays for Spark array columns — tolist()
+        # first so they jsonize as JSON arrays, not stringified ndarrays
+        pdf[col] = pdf[col].map(
+            lambda v: json.dumps(
+                v.tolist() if hasattr(v, "tolist") else v, default=str
+            )
+        )
+    if writer == "to_hdf":
+        kwargs.setdefault("key", "df")
+        pdf.to_hdf(path, index=index, **kwargs)
+    elif writer in ("to_feather", "to_parquet"):
+        # these writers have no index kwarg; the index is dropped by
+        # reset_drop below for parity with index=False default
+        getattr(pdf.reset_index(drop=not index), writer)(path, **kwargs)
+    else:
+        getattr(pdf, writer)(path, index=index, **kwargs)
+
+
+def read_df(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """Single-FILE reader matching :func:`write_df` (ref ``util/_df.py:12``
+    ``read_df``): pandas reads by extension on the driver, then the frame
+    enters Spark via ``createDataFrame`` — the ingest direction for small
+    artifacts (workload manifests, spreadsheets from collaborators)."""
+    import pandas as pd
+
+    reader, _writer = _pandas_io_for(path)
+    pdf = getattr(pd, reader)(path, **kwargs)
+    return spark.createDataFrame(pdf)

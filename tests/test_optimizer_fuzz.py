@@ -92,11 +92,30 @@ def join_query(draw) -> str:
         col = draw(st.sampled_from(INT_OF[a]))
         op = draw(st.sampled_from(["<", "<=", ">", ">=", "<>"]))
         conds.append(f"{col} {op} {draw(st.integers(0, 25))}")
+    if draw(st.integers(0, 3)) == 0:
+        # grammar v13: uncorrelated scalar subquery in WHERE — the lifted
+        # 1-row cross product must not perturb any strategy's answer or
+        # confuse the forced-order enforcement (the subplan sits outside
+        # the FROM join fold)
+        a = draw(st.sampled_from(filter_aliases))
+        col = draw(st.sampled_from(INT_OF[a]))
+        op = draw(st.sampled_from(["<", ">=", ">"]))
+        sub_t = draw(st.sampled_from(["region", "nation"]))
+        sub_c = {"region": "r_regionkey", "nation": "n_nationkey"}[sub_t]
+        conds.append(
+            f"{col} {op} (SELECT max({sub_c}) FROM {sub_t}) "
+            f"- {draw(st.integers(0, 4))}"
+        )
     val = draw(st.sampled_from(INT_OF[draw(st.sampled_from(filter_aliases))]))
     where = f" WHERE {' AND '.join(conds)}" if conds else ""
+    having = ""
+    if draw(st.integers(0, 3)) == 0:
+        # grammar v13: scalar subquery in HAVING over the global aggregate
+        op = draw(st.sampled_from([">=", "<", ">"]))
+        having = f" HAVING count(*) {op} (SELECT count(*) FROM region)"
     return (
         f"SELECT count(*) AS n, sum({val}) AS s, min({val}) AS lo "
-        f"FROM {from_clause}{where}"
+        f"FROM {from_clause}{where}{having}"
     )
 
 
