@@ -100,8 +100,34 @@ class Database:
                 parse_relalg(parse_query(query, schema=self._live_schema())),
                 self.spark,
             )
+        elif isinstance(query, str):
+            try:
+                df = self.spark.sql(query)
+            except Exception as spark_exc:
+                # dialect gap fallback: SQL the engine models but Spark's
+                # parser rejects (e.g. `WITH v AS MATERIALIZED (…)`,
+                # FETCH PRIOR) routes through the native pipeline; if the
+                # native parser cannot handle it either, the ORIGINAL
+                # Spark error surfaces (it names the actual syntax issue)
+                from pyspark.errors import ParseException
+
+                if not isinstance(spark_exc, ParseException):
+                    raise
+                try:
+                    from postbound_spark.operators.compiler import compile_plan
+                    from postbound_spark.plans.algebra import parse_relalg
+                    from postbound_spark.plans.parser import parse_query
+
+                    df = compile_plan(
+                        parse_relalg(
+                            parse_query(query, schema=self._live_schema())
+                        ),
+                        self.spark,
+                    )
+                except Exception:
+                    raise spark_exc from None
         else:
-            df = self.spark.sql(query) if isinstance(query, str) else query
+            df = query
         rows = [tuple(r) for r in df.collect()]
         return rows if raw else simplify_result(rows)
 

@@ -235,6 +235,10 @@ class _Converter:
         #: column)
         self._scalar_preagg: list[ra.RelNode] = []
         self._scalar_postagg: list[ra.RelNode] = []
+        #: CORRELATED scalar aggregate subqueries from WHERE, rewritten as
+        #: synthetic LATERAL sources (decorrelated by _apply_lateral into
+        #: GROUP-BY-correlation-keys + LEFT join, counts coalesced to 0)
+        self._scalar_laterals: list[Q.SubqueryTableSource] = []
 
     def _gensym(self, prefix: str) -> str:
         self.counter += 1
@@ -242,21 +246,35 @@ class _Converter:
 
     # -- scalar subqueries ----------------------------------------------------
 
-    def _lift_scalar_spans(self, text: str, plans: list[ra.RelNode]) -> None:
-        """Lift every ``(SELECT …)`` span of ``text`` into a 1-row subplan
-        + a text substitution to its synthetic column.
+    def _lift_scalar_spans(
+        self,
+        text: str,
+        plans: list[ra.RelNode],
+        laterals: list | None = None,
+    ) -> None:
+        """Lift every ``(SELECT …)`` span of ``text`` into a subplan +
+        a text substitution to its synthetic column.
 
-        Supported: UNCORRELATED subqueries with a structural single-row
-        guarantee — a FROM-less SELECT, or a global aggregate (single
-        projection containing an aggregate call, no GROUP BY / HAVING /
-        OFFSET). Everything else keeps the historical clean rejection:
-        correlated scalar subqueries run via spark.sql (registry entry
-        ``expr_scalar_subquery``). An unqualified column inside the
-        subquery binds to the INNER scope first (ANSI); a genuinely outer
-        reference fails loudly at Spark analysis, never silently.
+        UNCORRELATED subqueries with a structural single-row guarantee —
+        a FROM-less SELECT, or a global aggregate (single projection
+        containing an aggregate call, no GROUP BY / HAVING / OFFSET) —
+        become 1-row subplans appended to ``plans`` (cross-joined by the
+        caller; Catalyst broadcasts one row, a map-side constant attach
+        at any scale).
 
-        Scale shape: each subplan is one row — Catalyst broadcasts it, so
-        the cross product is a map-side constant attach at any scale."""
+        CORRELATED scalar AGGREGATES — ``(SELECT agg(…) FROM t WHERE
+        t.k = outer.k)`` with table-QUALIFIED outer references — are
+        rewritten as synthetic LATERAL sources when ``laterals`` is
+        given: :meth:`_apply_lateral` decorrelates them into GROUP BY
+        correlation keys + LEFT join (counts coalesced to 0), Catalyst's
+        own DecorrelateInnerQuery rewrite expressed in the IR. Per-group
+        one row = the scalar guarantee.
+
+        Everything else keeps the clean rejection + the spark.sql route
+        (registry entry ``expr_scalar_subquery``). An UNQUALIFIED column
+        inside the subquery binds to the INNER scope first (ANSI); a
+        genuinely outer unqualified reference fails loudly at Spark
+        analysis, never silently."""
         from postbound_spark.plans.parser import parse_query as _parse
 
         for span in _scalar_subquery_spans(text):
@@ -315,13 +333,34 @@ class _Converter:
             refs = list(inner.select[0].expr.columns)
             if inner.where is not None:
                 refs.extend(inner.where.columns())
-            for c in refs:
-                if c.table is not None and c.table.identifier not in inner_ids:
+            correlated = any(
+                c.table is not None and c.table.identifier not in inner_ids
+                for c in refs
+            )
+            if correlated:
+                if (
+                    laterals is None
+                    or not inner.from_tables
+                    or inner.joins
+                    or not _find_agg_calls(inner.select[0].expr.sql)
+                ):
                     raise UnsupportedSqlError(
-                        "correlated scalar subqueries are not compilable by "
-                        "the algebra path; execute via spark.sql / the "
-                        "registry SQL path (e.g. expr_scalar_subquery)"
+                        "correlated scalar subqueries in this position are "
+                        "not compilable by the algebra path; execute via "
+                        "spark.sql / the registry SQL path "
+                        "(e.g. expr_scalar_subquery)"
                     )
+                name = self._gensym("scalar")
+                alias = self._gensym("lat")
+                sub_q = replace(
+                    inner,
+                    select=(Q.BaseProjection(inner.select[0].expr, name),),
+                )
+                laterals.append(
+                    Q.SubqueryTableSource(sub_q, alias, lateral=True)
+                )
+                self.text_subs[span] = f"{alias}.{name}"
+                continue
             name = self._gensym("scalar")
             inner = replace(
                 inner,
@@ -408,7 +447,9 @@ class _Converter:
                 # and the conjunct a residual filter over its synthetic
                 # column (unsupported shapes keep the clean rejection and
                 # the spark.sql route)
-                self._lift_scalar_spans(conj_text, self._scalar_preagg)
+                self._lift_scalar_spans(
+                    conj_text, self._scalar_preagg, laterals=self._scalar_laterals
+                )
                 residual.append(conj)
                 continue
             tabs = conj.tables() & all_ids
@@ -473,9 +514,13 @@ class _Converter:
         if tree is None:
             tree = ra.SingleRow()  # FROM-less scalar SELECT
 
-        # correlated LATERAL subqueries → decorrelated joins
+        # correlated LATERAL subqueries → decorrelated joins; synthetic
+        # LATERALs from correlated scalar subqueries in WHERE ride the
+        # same machinery (GROUP BY correlation keys + LEFT join)
         for lat in laterals:
             tree = self._apply_lateral(tree, lat, own_ids)
+        for src in self._scalar_laterals:
+            tree = self._apply_lateral(tree, src, own_ids)
 
         # explicit outer/natural/cross join chain (ref ExplicitFromClause
         # qal/_qal.py:7074) — joined in written order onto the implicit tree
@@ -500,14 +545,34 @@ class _Converter:
 
         # scalar subqueries in SELECT / HAVING / ORDER BY lift to
         # post-aggregation cross products (_finish attaches them — the
-        # Grouping would drop a pre-agg constant column)
-        for text in (
+        # Grouping would drop a pre-agg constant column). In a
+        # NON-aggregated query, correlated spans may additionally lift as
+        # LATERAL left joins attached right here; an AGGREGATED outer
+        # query would need the decorrelated join above its own Grouping
+        # on possibly-non-key columns — kept on the clean-rejection path.
+        def _span_free(t: str) -> str:
+            for s in _scalar_subquery_spans(t):
+                t = t.replace(s, "__span")
+            return t
+
+        consuming = (
             [p.expr.sql for p in self.q.select]
             + ([self.q.having.to_sql()] if self.q.having is not None else [])
             + [o.expr.sql for o in self.q.order_by]
-        ):
+        )
+        is_aggregated = bool(self.q.group_by) or any(
+            _find_agg_calls(_span_free(t)) for t in consuming
+        )
+        postagg_laterals: list[Q.SubqueryTableSource] = []
+        for text in consuming:
             if _has_scalar_subquery(text):
-                self._lift_scalar_spans(text, self._scalar_postagg)
+                self._lift_scalar_spans(
+                    text,
+                    self._scalar_postagg,
+                    laterals=None if is_aggregated else postagg_laterals,
+                )
+        for src in postagg_laterals:
+            tree = self._apply_lateral(tree, src, own_ids)
 
         if self.text_subs:
             self._rewrite_consuming_clauses()

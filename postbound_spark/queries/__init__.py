@@ -126,6 +126,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "opt_directional_build_sides",  # new: forced build/probe roles per join
     "ann_hubness_adaptive",  # new: plane-count contract in-operator, full oracle
     "parsed_scalar_subquery_lift",  # new: scalar subqueries via 1-row crossjoin
+    "parsed_correlated_scalar",  # new: correlated scalars via LATERAL decorrelation
     # (sample_contamination_check — r8 gram-hash exchange change — already
     # sits in the round-7 block below)
     # --- round-7: new/changed capabilities ---

@@ -549,3 +549,43 @@ def parsed_scalar_subquery_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(
         spark, sf_dir, _SCALAR_LIFT_SQL, ["orders", "customer", "region"]
     )
+
+
+_CORRELATED_SCALAR_SQL = """
+SELECT c.c_custkey,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01') AS recent_orders,
+       (SELECT max(o.o_totalprice) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_price
+FROM customer c
+WHERE c.c_custkey <= (SELECT count(*) FROM customer) / 2
+ORDER BY c.c_custkey
+"""
+
+
+@query(
+    "parsed_correlated_scalar",
+    oracle=_CORRELATED_SCALAR_SQL,
+    sum_lint_exempt="no sums; correlated count/max only",
+)
+def parsed_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8: CORRELATED scalar aggregate subqueries through the
+    native algebra path — each ``(SELECT agg(…) FROM t WHERE t.k =
+    outer.k)`` decorrelates into GROUP BY correlation keys + LEFT join
+    via the LATERAL machinery (plans/algebra.py ``_lift_scalar_spans`` →
+    ``_apply_lateral``), with counts coalesced to 0 on match-less outer
+    rows and NULL max preserved — exactly Catalyst's
+    DecorrelateInnerQuery semantics, expressed in the IR. The
+    uncorrelated half-guard (``(SELECT count(*) FROM customer) / 2``)
+    rides the 1-row cross-product lift in the same query. DuckDB runs
+    the identical text through its native correlated-subquery rewrite.
+
+    Scale shape: ONE grouped aggregate over the inner table per distinct
+    subquery (never per outer row) + a keyed LEFT join — the textbook
+    decorrelation that turns O(outer × inner) nested evaluation into two
+    shuffles; at 100 TB this is the difference between a feasible plan
+    and none."""
+    return _native(
+        spark, sf_dir, _CORRELATED_SCALAR_SQL, ["customer", "orders"]
+    )

@@ -56,6 +56,16 @@ STR_COLS = {
     "nation": ["n_name"],
     "region": ["r_name"],
 }
+#: correlated-scalar shapes: outer table -> (inner table, inner correlation
+#: key, outer correlation key). Outer references are TABLE-QUALIFIED — the
+#: form the algebra path's lateral decorrelation recognizes (an unqualified
+#: outer name inside the subquery is inner-first per ANSI).
+CORR = {
+    "customer": ("orders", "o_custkey", "c_custkey"),
+    "nation": ("customer", "c_nationkey", "n_nationkey"),
+    "region": ("nation", "n_regionkey", "r_regionkey"),
+}
+
 #: PK-FK join pairs (left table, right table, join predicate)
 JOINS = [
     ("customer", "nation", "c_nationkey = n_nationkey"),
@@ -83,7 +93,24 @@ def predicate(draw, tables: list[str]) -> str:
     kinds = ["cmp", "between", "in", "str_eq", "like", "scalar_cmp"]
     if table == "orders":
         kinds.append("ts_cmp")
+    if table in CORR and CORR[table][0] not in tables:
+        # (inner table must not collide with an outer identifier — the
+        # engine's clean rejection asks for explicit aliases there)
+        kinds.append("corr_scalar")
     kind = draw(st.sampled_from(kinds))
+    if kind == "corr_scalar":
+        # grammar v14: CORRELATED scalar aggregate in a comparison —
+        # decorrelated by the algebra path into GROUP BY correlation
+        # keys + LEFT join (counts coalesce to 0, empty max is NULL)
+        inner_t, ik, ok = CORR[table]
+        lhs = draw(st.sampled_from(INT_COLS[table]))
+        op = draw(st.sampled_from(["<", ">=", ">"]))
+        fn = draw(st.sampled_from(["count(*)", f"max({ik})", f"min({ik})"]))
+        off = draw(st.integers(0, 5))
+        return (
+            f"{lhs} {op} (SELECT {fn} FROM {inner_t} "
+            f"WHERE {ik} = {table}.{ok}) + {off}"
+        )
     if kind == "scalar_cmp":
         # grammar v13: uncorrelated scalar subquery in a comparison —
         # lifted by the algebra path into a 1-row cross product
@@ -292,6 +319,14 @@ def select_stmt(draw) -> str:
             st.sampled_from([("+", 7), ("-", 3), ("*", 2), ("%", 5)])
         )
         cols = cols + [f"{ic} {op} {rhs} AS calc"]
+    elif extra == 4 and tables[0] in CORR and CORR[tables[0]][0] not in tables:
+        # grammar v14: CORRELATED scalar aggregate projection
+        inner_t, ik, ok = CORR[tables[0]]
+        fn = draw(st.sampled_from(["count(*)", f"max({ik})"]))
+        cols = cols + [
+            f"(SELECT {fn} FROM {inner_t} "
+            f"WHERE {ik} = {tables[0]}.{ok}) AS corr_m"
+        ]
     elif extra == 3:  # grammar v13: scalar subquery projection
         sub_t = draw(st.sampled_from(["region", "nation"]))
         fn = draw(st.sampled_from(["min", "max"]))
@@ -339,6 +374,50 @@ def set_query(draw) -> str:
 
 
 @st.composite
+def cte_surface_query(draw) -> str:
+    """Grammar v14: the round-8 CTE surfaces — target-column lists
+    (positional re-aliasing of the body) and VALUES-backed CTEs (banding
+    dimension joined to a base table)."""
+    if draw(st.booleans()):  # WITH v(a, b) AS (SELECT …) target columns
+        t = draw(st.sampled_from(sorted(TABLES)))
+        cols = draw(
+            st.lists(
+                st.sampled_from(INT_COLS[t]), min_size=1, max_size=2, unique=True
+            )
+        )
+        names = [f"k{i}" for i in range(len(cols))]
+        preds = draw(st.lists(predicate([t]), max_size=1))
+        w = f" WHERE {preds[0]}" if preds else ""
+        inner = f"SELECT {', '.join(cols)} FROM {t}{w}"
+        key = names[0]
+        return (
+            f"WITH v({', '.join(names)}) AS ({inner}) "
+            f"SELECT {key}, count(*) AS n FROM v "
+            f"GROUP BY {key} ORDER BY {key}"
+        )
+    # VALUES-backed CTE as a banding dimension over an integer key
+    t = draw(st.sampled_from(["customer", "orders"]))
+    col = draw(st.sampled_from(INT_COLS[t]))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(0, 40), min_size=2, max_size=4, unique=True
+            )
+        )
+    )
+    rows = ", ".join(
+        f"('b{i}', {lo}, {hi})"
+        for i, (lo, hi) in enumerate(zip(cuts, cuts[1:] + [1000000]))
+    )
+    return (
+        f"WITH band(name, lo, hi) AS (VALUES {rows}) "
+        f"SELECT band.name AS band_name, count(*) AS n FROM {t} "
+        f"JOIN band ON {col} >= band.lo AND {col} < band.hi "
+        f"GROUP BY band.name ORDER BY band.name"
+    )
+
+
+@st.composite
 def derived_table_query(draw) -> str:
     """Aggregate over a derived table — as a WITH CTE or a FROM
     subquery (same relational content, two parser/algebra paths); the
@@ -383,6 +462,8 @@ def sql_query(draw) -> str:
         return draw(set_query())
     if kind == 1:
         return draw(derived_table_query())
+    if kind == 2:
+        return draw(cte_surface_query())
     return draw(select_stmt())
 
 

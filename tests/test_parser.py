@@ -1295,12 +1295,28 @@ def test_select_list_scalar_subquery_lift_boundaries():
     )
     assert any(isinstance(n, ra.CrossProduct) for n in tree.walk())
 
-    # QUALIFIED correlated reference: clean rejection
+    # QUALIFIED correlated aggregate in a NON-aggregated outer:
+    # decorrelated into a LATERAL left join (round-8b)
+    tree = parse_relalg(
+        parse_query(
+            "SELECT c.c_custkey, (SELECT count(*) FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey) AS n FROM customer c"
+        )
+    )
+    assert any(
+        isinstance(n, ra.ThetaJoin) and n.how == "left" for n in tree.walk()
+    )
+
+    # QUALIFIED correlated aggregate in an AGGREGATED outer: the
+    # decorrelated join would have to sit above the outer Grouping on
+    # non-key columns — clean rejection, spark.sql route
     with pytest.raises(UnsupportedSqlError, match="correlated"):
         parse_relalg(
             parse_query(
-                "SELECT c.c_custkey, (SELECT count(*) FROM orders o "
-                "WHERE o.o_custkey = c.c_custkey) AS n FROM customer c"
+                "SELECT c.c_nationkey, count(*) AS n, "
+                "(SELECT max(o.o_orderkey) FROM orders o "
+                "WHERE o.o_custkey = c.c_custkey) AS m "
+                "FROM customer c GROUP BY c.c_nationkey"
             )
         )
 

@@ -991,6 +991,25 @@ def test_directional_build_sides_flips_on_command(registry, spark, sf_small):
     assert "BroadcastHashJoin" in plan
 
 
+def test_correlated_scalar_decorrelates_to_keyed_join(registry, spark, sf_small):
+    """parsed_correlated_scalar (round-8): each correlated scalar
+    aggregate must execute as GROUP-BY-key + LEFT equi-join (hash or
+    sort-merge), NEVER per-outer-row nested evaluation. The single
+    uncorrelated guard is allowed its one-row BroadcastNestedLoopJoin
+    (a constant attach); no CartesianProduct anywhere; no Python."""
+    df = _build(registry, spark, sf_small, "parsed_correlated_scalar")
+    import re as _re
+
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # formatted explain names each node twice (tree + detail) — count
+    # the numbered detail entries
+    assert len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "LeftOuter" in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_contamination_check_is_gram_keyed(registry, spark, sf_small):
     """sample_contamination_check: train-vocabulary reduction must
     partial-aggregate map-side and membership must be a gram-keyed

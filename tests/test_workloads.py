@@ -303,3 +303,26 @@ def test_directory_workload_refuses_without_fixture():
     loader2 = W._directory_workload("phantom", fetch_name="no-such-fixture")
     with pytest.raises(ValueError, match="not bundled"):
         loader2()
+
+
+def test_database_facade_dialect_gap_fallback(spark, sf_small):
+    """Round-8: SQL the engine models but Spark's parser rejects (the
+    MATERIALIZED CTE flag) falls back to the native pipeline; genuinely
+    broken SQL still surfaces the ORIGINAL Spark ParseException."""
+    import pytest as _pytest
+    from pyspark.errors import ParseException
+
+    from postbound_spark.database import Database
+
+    db = Database(spark, sf_small, rebind=True)
+    try:
+        rows = db.execute_query(
+            "WITH v AS MATERIALIZED (SELECT n_regionkey AS k, count(*) AS c "
+            "FROM nation GROUP BY n_regionkey) SELECT count(*) FROM v",
+            raw=True,
+        )
+        assert rows == [(5,)]
+        with _pytest.raises(ParseException):
+            db.execute_query("SELECTT 1")
+    finally:
+        db.release()
