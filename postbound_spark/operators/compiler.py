@@ -171,7 +171,12 @@ class _Compiler(ra.RelNodeVisitor):
         left = self._compile(node.left)
         right = self._compile(node.right)
         if getattr(node, "hint", None):
-            right = right.hint(node.hint)
+            # hint-side placement IS build-side forcing: Spark builds on
+            # the hinted child (ref DirectionalJoinAssignment)
+            if getattr(node, "hint_side", "right") == "left":
+                left = left.hint(node.hint)
+            else:
+                right = right.hint(node.hint)
         return left, right
 
     def visit_thetajoin(self, node: ra.ThetaJoin) -> DataFrame:

@@ -271,20 +271,37 @@ def apply_join_hints_to_relalg(node, assignment: PhysicalOperatorAssignment):
             return n, frozenset()
         kwargs = {}
         covered: frozenset[str] = frozenset()
+        child_covers: dict[str, frozenset[str]] = {}
         for f in fields(n):
             value = getattr(n, f.name)
             if isinstance(value, ra.RelNode):
                 new_child, child_covered = rebuild(value)
                 covered |= child_covered
+                child_covers[f.name] = child_covered
                 if new_child is not value:
                     kwargs[f.name] = new_child
         if isinstance(n, ra.Relation):
             ident = n.alias or n.table
             covered = frozenset([ident]) if ident else covered
         if isinstance(n, ra.ThetaJoin) and n.how == "inner" and n.hint is None:
-            op = assignment.operator_for(covered)
-            if op is not None:
-                kwargs["hint"] = op.spark_hint
+            direction = assignment.directional_for(covered)
+            if direction is not None and direction.build in (
+                child_covers.get("left"),
+                child_covers.get("right"),
+            ):
+                # forced build/probe roles ride the hint SIDE (ref
+                # DirectionalJoinAssignment, _hints.py:1119) — the
+                # compiler hints whichever child is named
+                kwargs["hint"] = direction.operator.spark_hint
+                kwargs["hint_side"] = (
+                    "left"
+                    if direction.build == child_covers.get("left")
+                    else "right"
+                )
+            else:
+                op = assignment.operator_for(covered)
+                if op is not None:
+                    kwargs["hint"] = op.spark_hint
         return (_dc_replace(n, **kwargs) if kwargs else n), covered
 
     rebuilt, _ = rebuild(node)

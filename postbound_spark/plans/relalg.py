@@ -138,6 +138,11 @@ class ThetaJoin(RelNode):
     predicate: str = ""
     hint: str | None = None
     how: str = "inner"
+    #: which child receives ``hint`` — "right" (default: build side of a
+    #: left-deep fold) or "left"; Spark builds on the hinted side
+    #: (BuildLeft/BuildRight), so this is the relalg surface of the
+    #: DirectionalJoinAssignment artifact (ref _hints.py:1119)
+    hint_side: str = "right"
 
 
 @dataclass(frozen=True)

@@ -169,6 +169,44 @@ def test_directional_assignment_flips_build_side(spec, tdfs, op):
     assert sides == {"orders": "BuildLeft", "lineitem": "BuildRight"}, sides
 
 
+def test_directional_assignment_on_relalg_bridge(spec, tdfs):
+    """apply_join_hints_to_relalg honors directional assignments: the
+    hint lands on whichever CHILD holds the forced build set (hint_side),
+    and the compiled plan shows the flipped build (round-8)."""
+    from postbound_spark.operators.compiler import compile_plan
+    from postbound_spark.optimizer.hints import (
+        DirectionalJoinAssignment,
+        apply_join_hints_to_relalg,
+    )
+    from postbound_spark.plans import relalg as ra
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import parse_query
+
+    tree = parse_relalg(
+        parse_query(
+            "SELECT count(*) AS n FROM orders, lineitem "
+            "WHERE orders.o_orderkey = lineitem.l_orderkey"
+        )
+    )
+    assignment = PhysicalOperatorAssignment()
+    assignment.set_directional_join(
+        DirectionalJoinAssignment(
+            JoinOperator.SHUFFLE_HASH,
+            build=frozenset({"orders"}),
+            probe=frozenset({"lineitem"}),
+        )
+    )
+    hinted = apply_join_hints_to_relalg(tree, assignment)
+    joins = [n for n in hinted.walk() if isinstance(n, ra.ThetaJoin)]
+    assert joins and joins[0].hint == "shuffle_hash"
+    assert joins[0].hint_side == "left"  # orders is the left leaf
+    spark = tdfs["orders"].sparkSession
+    cat = {"orders": tdfs["orders"], "lineitem": tdfs["lineitem"]}
+    df = compile_plan(hinted, spark, cat)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BuildLeft" in plan, plan[:400]
+
+
 def test_directional_inner_outer_convention():
     """from_inner_outer applies the reference's per-operator wording:
     hash joins build on the OUTER, nested-loop joins materialize the
