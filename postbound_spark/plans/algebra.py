@@ -239,6 +239,10 @@ class _Converter:
         #: synthetic LATERAL sources (decorrelated by _apply_lateral into
         #: GROUP-BY-correlation-keys + LEFT join, counts coalesced to 0)
         self._scalar_laterals: list[Q.SubqueryTableSource] = []
+        #: span → phase ("pre"/"post") of its lift: the SAME subquery text
+        #: reused across the aggregation boundary needs a SECOND lift (the
+        #: Grouping drops the pre-agg constant column — fuzzer-found)
+        self._span_phase: dict[str, str] = {}
 
     def _gensym(self, prefix: str) -> str:
         self.counter += 1
@@ -251,6 +255,8 @@ class _Converter:
         text: str,
         plans: list[ra.RelNode],
         laterals: list | None = None,
+        phase: str = "pre",
+        relift_pre: bool = False,
     ) -> None:
         """Lift every ``(SELECT …)`` span of ``text`` into a subplan +
         a text substitution to its synthetic column.
@@ -293,11 +299,22 @@ class _Converter:
                     "execute via spark.sql / the registry SQL path"
                 )
             if span in self.text_subs:
-                # already lifted for this query (NOTE: a span lifted for
-                # WHERE and reused in HAVING of an AGGREGATED query is a
-                # modeling hole — the Grouping drops the pre-agg column
-                # and Spark rejects the plan loudly)
-                continue
+                if not (
+                    phase == "post"
+                    and relift_pre
+                    and self._span_phase.get(span) == "pre"
+                ):
+                    # already lifted in a phase the consumer can see
+                    continue
+                # the SAME subquery reused ACROSS the aggregation
+                # boundary (WHERE + SELECT/HAVING of a grouped query):
+                # the pre-agg constant column is dropped by the
+                # Grouping, so lift a SECOND 1-row subplan post-agg.
+                # Re-pointing text_subs is safe — the residual WHERE
+                # text was already rendered with the pre-agg name.
+                # (A CORRELATED pre-agg span cannot reach here: an
+                # aggregated outer rejects correlated post-agg
+                # references before lifting.)
             try:
                 inner = _parse(span[1:-1])
             except Exception as exc:
@@ -360,6 +377,7 @@ class _Converter:
                     Q.SubqueryTableSource(sub_q, alias, lateral=True)
                 )
                 self.text_subs[span] = f"{alias}.{name}"
+                self._span_phase[span] = phase
                 continue
             name = self._gensym("scalar")
             inner = replace(
@@ -368,6 +386,7 @@ class _Converter:
             )
             plans.append(parse_relalg(inner, scope_ctes=self.ctes))
             self.text_subs[span] = name
+            self._span_phase[span] = phase
 
     # -- leaves -------------------------------------------------------------
 
@@ -570,6 +589,8 @@ class _Converter:
                     text,
                     self._scalar_postagg,
                     laterals=None if is_aggregated else postagg_laterals,
+                    phase="post",
+                    relift_pre=is_aggregated,
                 )
         for src in postagg_laterals:
             tree = self._apply_lateral(tree, src, own_ids)

@@ -456,14 +456,64 @@ def derived_table_query(draw) -> str:
 
 
 @st.composite
+def grouping_sets_query(draw) -> str:
+    """Grammar v15: GROUP BY GROUPING SETS — the engine desugars to a
+    NULL-padded UNION ALL at parse time; DuckDB runs its NATIVE grouping
+    sets on the identical text, so every sampled shape proves
+    desugar == native semantics (NULL padding included)."""
+    t = draw(st.sampled_from(sorted(TABLES)))
+    keys = draw(
+        st.lists(
+            st.sampled_from(INT_COLS[t] + STR_COLS[t]),
+            min_size=2,
+            max_size=2,
+            unique=True,
+        )
+    )
+    preds = draw(st.lists(predicate([t]), max_size=1))
+    w = f" WHERE {preds[0]}" if preds else ""
+    sets_pool = [
+        f"(({keys[0]}, {keys[1]}), ({keys[0]}), ())",
+        f"(({keys[0]}), ({keys[1]}))",
+        f"(({keys[0]}, {keys[1]}), ())",
+    ]
+    sets = draw(st.sampled_from(sets_pool))
+    val = draw(st.sampled_from(INT_COLS[t]))
+    return (
+        f"SELECT {keys[0]}, {keys[1]}, count(*) AS n, min({val}) AS lo "
+        f"FROM {t}{w} GROUP BY GROUPING SETS {sets}"
+    )
+
+
+@st.composite
+def full_outer_query(draw) -> str:
+    """Grammar v15: FULL OUTER JOIN — both sides null-extend; count(col)
+    must skip the nulls while count(*) keeps them."""
+    left, right, cond = draw(st.sampled_from(JOINS))
+    lc = draw(st.sampled_from(INT_COLS[left]))
+    rc = draw(st.sampled_from(INT_COLS[right]))
+    # a filter would null-reject one side back to inner — generate the
+    # pure outer shape and read both null-sensitivity counters
+    return (
+        f"SELECT count(*) AS n, count({lc}) AS nl, count({rc}) AS nr, "
+        f"CAST(sum(coalesce({lc}, 0)) AS BIGINT) AS sl "
+        f"FROM {left} FULL JOIN {right} ON {cond}"
+    )
+
+
+@st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 9))
+    kind = draw(st.integers(0, 11))
     if kind == 0:
         return draw(set_query())
     if kind == 1:
         return draw(derived_table_query())
     if kind == 2:
         return draw(cte_surface_query())
+    if kind == 3:
+        return draw(grouping_sets_query())
+    if kind == 4:
+        return draw(full_outer_query())
     return draw(select_stmt())
 
 
@@ -475,7 +525,10 @@ def _norm(rows) -> list[tuple]:
                 int(v) if isinstance(v, (Decimal, bool)) else v for v in row
             )
         )
-    return sorted(out)
+    # repr-keyed sort: a consistent total order even when cells hold
+    # NULLs / mixed types (FULL JOIN null-extends both sides; grouping
+    # sets NULL-pad their keys) — equality still compares real values
+    return sorted(out, key=repr)
 
 
 #: fuzzer-found divergences, pinned forever (each entry once crashed or
@@ -486,6 +539,14 @@ REGRESSIONS = [
     # tables() collapsed to {customer}; now fail-safe residual placement
     "SELECT count(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey "
     "WHERE NOT ((o_orderdate < TIMESTAMP '1995-01-01' OR c_custkey IN (0)))",
+    # round-8: the SAME scalar subquery reused across the aggregation
+    # boundary (WHERE + SELECT + HAVING of a grouped query) — the pre-agg
+    # lifted column is dropped by the Grouping, so the post-agg
+    # references need a SECOND lift under a fresh name (v15 soak find)
+    "SELECT c_nationkey, count(*) AS n, (SELECT count(*) FROM region) AS r1 "
+    "FROM customer WHERE c_custkey > (SELECT count(*) FROM region) "
+    "GROUP BY c_nationkey HAVING count(*) > (SELECT count(*) FROM region) - 4 "
+    "ORDER BY c_nationkey",
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
