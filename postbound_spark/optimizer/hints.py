@@ -123,6 +123,19 @@ class PhysicalOperatorAssignment:
     directional_joins: dict[frozenset[str], DirectionalJoinAssignment] = field(
         default_factory=dict
     )
+    #: per-join parallel workers (ref ``JoinOperatorAssignment.
+    #: parallel_workers``, ``_hints.py:1050``): enforced by hash-
+    #: repartitioning BOTH join inputs on their join keys into N
+    #: partitions, so the shuffle join runs with N tasks — Spark's
+    #: genuine per-operator degree-of-parallelism control (the global
+    #: shuffle-partition conf can only set one number for the whole
+    #: query). Semantics measured on Spark 4.1: N above the session's
+    #: ``spark.sql.shuffle.partitions`` is honored exactly; N at or
+    #: below it is CLAMPED up to the session default by
+    #: EnsureRequirements (downward sizing belongs to AQE coalescing).
+    #: Meaningless for broadcast joins (no exchange); applied only when
+    #: the join has equi-keys.
+    parallel_workers: dict[frozenset[str], int] = field(default_factory=dict)
 
     def set_join_operator(self, tables: frozenset[str], op: JoinOperator) -> None:
         self.join_operators[frozenset(tables)] = op
@@ -132,6 +145,11 @@ class PhysicalOperatorAssignment:
 
     def set_materialize(self, tables: frozenset[str]) -> None:
         self.materialize.add(frozenset(tables))
+
+    def set_parallel_workers(self, tables: frozenset[str], n: int) -> None:
+        if n < 1:
+            raise ValueError("parallel_workers must be >= 1")
+        self.parallel_workers[frozenset(tables)] = n
 
     def operator_for(self, joined: frozenset[str]) -> JoinOperator | None:
         return self.join_operators.get(frozenset(joined))
@@ -207,6 +225,8 @@ def compile_join_tree(
         left_df, left_tables = build(node.outer)
         right_df, right_tables = build(node.inner)
         cond = None
+        left_keys: list[str] = []
+        right_keys: list[str] = []
         for e in edges:
             ts = e.tables()
             if len(ts & left_tables) == 1 and len(ts & right_tables) == 1:
@@ -215,10 +235,36 @@ def compile_join_tree(
                     lt, lc, rt, rc = rt, rc, lt, lc
                 clause = F.col(f"{lt}.{lc}") == F.col(f"{rt}.{rc}")
                 cond = clause if cond is None else (cond & clause)
+                left_keys.append(f"{lt}.{lc}")
+                right_keys.append(f"{rt}.{rc}")
         if frozenset(right_tables) in assignment.materialize:
             # Materialize → persist (ref _core.py:444 mapping, SURVEY §2.7):
             # the NL costing assumes the inner is computed once, so enforce it
             right_df = right_df.persist()
+        joined_key = frozenset(left_tables | right_tables)
+        workers = assignment.parallel_workers.get(joined_key)
+        forced_op = assignment.operator_for(joined_key)
+        forced_dir = assignment.directional_for(joined_key)
+        broadcast_forced = (
+            forced_op in (JoinOperator.BROADCAST_HASH, JoinOperator.BROADCAST_NL)
+            or (
+                forced_dir is not None
+                and forced_dir.operator
+                in (JoinOperator.BROADCAST_HASH, JoinOperator.BROADCAST_NL)
+            )
+        )
+        if workers and cond is not None and left_keys and not broadcast_forced:
+            # per-join degree of parallelism (ref parallel_workers,
+            # _hints.py:1050): hash-repartition BOTH inputs on the join
+            # keys into exactly N partitions — the shuffle join then runs
+            # with N tasks. Skipped for forced-broadcast joins (no
+            # exchange to size).
+            left_df = left_df.repartition(
+                workers, *[F.col(k) for k in left_keys]
+            )
+            right_df = right_df.repartition(
+                workers, *[F.col(k) for k in right_keys]
+            )
         direction = assignment.directional_for(
             frozenset(left_tables | right_tables)
         )

@@ -390,8 +390,11 @@ def cte_surface_query(draw) -> str:
         w = f" WHERE {preds[0]}" if preds else ""
         inner = f"SELECT {', '.join(cols)} FROM {t}{w}"
         key = names[0]
+        # MATERIALIZED (shared df.cache() on the engine, native flag on
+        # DuckDB) must never change results
+        mat = draw(st.sampled_from(["", "MATERIALIZED "]))
         return (
-            f"WITH v({', '.join(names)}) AS ({inner}) "
+            f"WITH v({', '.join(names)}) AS {mat}({inner}) "
             f"SELECT {key}, count(*) AS n FROM v "
             f"GROUP BY {key} ORDER BY {key}"
         )

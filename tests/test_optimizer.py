@@ -207,6 +207,41 @@ def test_directional_assignment_on_relalg_bridge(spec, tdfs):
     assert "ShuffledHashJoin" in plan and "BuildLeft" in plan, plan[:400]
 
 
+def test_parallel_workers_sizes_the_join_exchange(spec, tdfs):
+    """Round-8: per-join parallel_workers (ref _hints.py:1050) enforces
+    an N-way hash partitioning on both join inputs. Above the session's
+    shuffle-partition default the number is honored exactly
+    (REPARTITION_BY_NUM at N); at or below it, Spark's
+    EnsureRequirements clamps up to the default (measured on 4.1, pinned
+    here so a behavior change surfaces). Results unchanged either way."""
+    tree = JoinTree.left_deep(["orders", "lineitem"])
+    sub = {t: tdfs[t] for t in ("orders", "lineitem")}
+    expected_rows = tdfs["lineitem"].count()
+    default = int(
+        tdfs["orders"].sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    def plan_for(n: int) -> str:
+        assignment = PhysicalOperatorAssignment()
+        assignment.set_join_operator(
+            frozenset({"orders", "lineitem"}), JoinOperator.SORT_MERGE
+        )
+        assignment.set_parallel_workers(frozenset({"orders", "lineitem"}), n)
+        df = compile_join_tree(sub, tree, list(spec.edges), assignment)
+        assert df.count() == expected_rows
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    above = plan_for(default + 5)
+    assert f", {default + 5})" in above and "REPARTITION_BY_NUM" in above
+    below = plan_for(max(1, default - 1))
+    assert f", {default})" in below and "REPARTITION_BY_NUM" in below
+
+    with pytest.raises(ValueError, match=">= 1"):
+        PhysicalOperatorAssignment().set_parallel_workers(
+            frozenset({"a", "b"}), 0
+        )
+
+
 def test_directional_inner_outer_convention():
     """from_inner_outer applies the reference's per-operator wording:
     hash joins build on the OUTER, nested-loop joins materialize the
