@@ -257,6 +257,7 @@ class _Converter:
         laterals: list | None = None,
         phase: str = "pre",
         relift_pre: bool = False,
+        subs_out: dict[str, str] | None = None,
     ) -> None:
         """Lift every ``(SELECT …)`` span of ``text`` into a subplan +
         a text substitution to its synthetic column.
@@ -280,8 +281,16 @@ class _Converter:
         (registry entry ``expr_scalar_subquery``). An UNQUALIFIED column
         inside the subquery binds to the INNER scope first (ANSI); a
         genuinely outer unqualified reference fails loudly at Spark
-        analysis, never silently."""
+        analysis, never silently.
+
+        ``subs_out`` redirects the span→column substitutions into a
+        LOCAL dict instead of :attr:`text_subs` — the occurrence-scoped
+        mode for spans inside aggregate ARGUMENTS, where the same span
+        text may need a different (pre-agg) column than its post-agg
+        uses elsewhere in the query."""
         from postbound_spark.plans.parser import parse_query as _parse
+
+        subs = self.text_subs if subs_out is None else subs_out
 
         for span in _scalar_subquery_spans(text):
             # a span preceded by a quantifier / membership keyword is NOT
@@ -298,9 +307,10 @@ class _Converter:
                     "position are not compilable by the algebra path; "
                     "execute via spark.sql / the registry SQL path"
                 )
-            if span in self.text_subs:
+            if span in subs:
                 if not (
-                    phase == "post"
+                    subs_out is None
+                    and phase == "post"
                     and relift_pre
                     and self._span_phase.get(span) == "pre"
                 ):
@@ -376,8 +386,9 @@ class _Converter:
                 laterals.append(
                     Q.SubqueryTableSource(sub_q, alias, lateral=True)
                 )
-                self.text_subs[span] = f"{alias}.{name}"
-                self._span_phase[span] = phase
+                subs[span] = f"{alias}.{name}"
+                if subs_out is None:
+                    self._span_phase[span] = phase
                 continue
             name = self._gensym("scalar")
             inner = replace(
@@ -385,8 +396,9 @@ class _Converter:
                 select=(Q.BaseProjection(inner.select[0].expr, name),),
             )
             plans.append(parse_relalg(inner, scope_ctes=self.ctes))
-            self.text_subs[span] = name
-            self._span_phase[span] = phase
+            subs[span] = name
+            if subs_out is None:
+                self._span_phase[span] = phase
 
     # -- leaves -------------------------------------------------------------
 
@@ -582,6 +594,79 @@ class _Converter:
         is_aggregated = bool(self.q.group_by) or any(
             _find_agg_calls(_span_free(t)) for t in consuming
         )
+        # pass 1 — spans INSIDE aggregate arguments (sum(x + (SELECT …))):
+        # the Grouping evaluates the call, so these columns must exist
+        # pre-aggregation. They lift under DEDICATED names (occurrence-
+        # scoped: the SAME span text outside any aggregate still gets its
+        # own post-agg lift in pass 2), and the agg-call substrings are
+        # rewritten in the query up front.
+        if is_aggregated and any(_has_scalar_subquery(t) for t in consuming):
+            agg_subs: dict[str, str] = {}
+            pre_plans: list[ra.RelNode] = []
+            for text in consuming:
+                for call in _find_agg_calls(text):
+                    for s in _scalar_subquery_spans(call):
+                        if s not in agg_subs:
+                            self._lift_scalar_spans(
+                                s, pre_plans, subs_out=agg_subs
+                            )
+            if pre_plans:
+                for sub in pre_plans:
+                    tree = ra.CrossProduct(tree, sub)
+
+                def fix_calls(text: str) -> str:
+                    out = text
+                    for call in _find_agg_calls(text):
+                        new_call = call
+                        for s, name in agg_subs.items():
+                            new_call = new_call.replace(s, name)
+                        if new_call != call:
+                            out = out.replace(call, new_call)
+                    return out
+
+                self.q = self.q.with_clause(
+                    select=tuple(
+                        Q.BaseProjection(
+                            Q.SqlExpression(
+                                fix_calls(p.expr.sql), p.expr.columns
+                            ),
+                            p.alias,
+                        )
+                        for p in self.q.select
+                    ),
+                    having=(
+                        Q.UnaryPredicate(
+                            Q.UnaryOperation.BARE,
+                            Q.SqlExpression(fix_calls(self.q.having.to_sql())),
+                        )
+                        if self.q.having is not None
+                        and fix_calls(self.q.having.to_sql())
+                        != self.q.having.to_sql()
+                        else self.q.having
+                    ),
+                    order_by=tuple(
+                        Q.OrderByExpression(
+                            Q.SqlExpression(
+                                fix_calls(o.expr.sql), o.expr.columns
+                            ),
+                            o.ascending,
+                            o.nulls_first,
+                        )
+                        for o in self.q.order_by
+                    ),
+                )
+                consuming = (
+                    [p.expr.sql for p in self.q.select]
+                    + (
+                        [self.q.having.to_sql()]
+                        if self.q.having is not None
+                        else []
+                    )
+                    + [o.expr.sql for o in self.q.order_by]
+                )
+
+        # pass 2 — spans OUTSIDE aggregates lift post-aggregation (or as
+        # LATERAL left joins in a non-aggregated query)
         postagg_laterals: list[Q.SubqueryTableSource] = []
         for text in consuming:
             if _has_scalar_subquery(text):

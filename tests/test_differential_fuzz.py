@@ -261,6 +261,10 @@ def select_stmt(draw) -> str:
             f"min({val}) AS lo",
             f"max({val}) AS hi",
             f"count(distinct {val}) AS nd",
+            # v15: scalar span INSIDE the aggregate argument — evaluated
+            # BY the Grouping, so the lift must attach pre-aggregation
+            f"CAST(sum({val} + (SELECT min(r_regionkey) FROM region)) "
+            "AS BIGINT) AS sps",
         ]
         if len(tables) == 2:
             # count(col) vs count(*): under LEFT JOIN the right side's
@@ -550,6 +554,19 @@ REGRESSIONS = [
     "FROM customer WHERE c_custkey > (SELECT count(*) FROM region) "
     "GROUP BY c_nationkey HAVING count(*) > (SELECT count(*) FROM region) - 4 "
     "ORDER BY c_nationkey",
+    # round-8: scalar span INSIDE an aggregate argument — the Grouping
+    # evaluates it, so the 1-row attach must happen pre-aggregation
+    "SELECT c_nationkey, CAST(sum(c_custkey * (SELECT count(*) FROM region)) "
+    "AS BIGINT) AS s FROM customer GROUP BY c_nationkey "
+    "HAVING count(*) > (SELECT min(n_nationkey) FROM nation) "
+    "ORDER BY c_nationkey",
+    # round-8: the SAME span inside an agg argument AND outside it AND in
+    # WHERE/HAVING — occurrence-scoped lifting (dedicated pre-agg name for
+    # the agg-call occurrences, independent lifts for the rest)
+    "SELECT c_nationkey, CAST(sum(c_custkey + (SELECT count(*) FROM region)) "
+    "AS BIGINT) AS s, (SELECT count(*) FROM region) AS r1 FROM customer "
+    "WHERE c_custkey > (SELECT count(*) FROM region) GROUP BY c_nationkey "
+    "HAVING count(*) > (SELECT count(*) FROM region) - 4 ORDER BY c_nationkey",
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
