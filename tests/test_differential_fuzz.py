@@ -509,8 +509,62 @@ def full_outer_query(draw) -> str:
 
 
 @st.composite
+def distinct_on_query(draw) -> str:
+    """Grammar v16: DISTINCT ON — DuckDB runs it natively, the engine
+    compiles a row_number window filter; a TOTAL order inside each group
+    (unique tiebreak key) makes the kept row deterministic."""
+    t, pk = draw(
+        st.sampled_from(
+            [("customer", "c_custkey"), ("orders", "o_orderkey")]
+        )
+    )
+    group = draw(
+        st.sampled_from(
+            [c for c in INT_COLS[t] + STR_COLS[t] if c != pk]
+        )
+    )
+    preds = draw(st.lists(predicate([t]), max_size=1))
+    w = f" WHERE {preds[0]}" if preds else ""
+    direction = draw(st.sampled_from(["", " DESC"]))
+    return (
+        f"SELECT DISTINCT ON ({group}) {group}, {pk} FROM {t}{w} "
+        f"ORDER BY {group}, {pk}{direction}"
+    )
+
+
+@st.composite
+def joined_window_query(draw) -> str:
+    """Grammar v16: window functions over a JOINED frame (the previous
+    window shapes were single-table) — deterministic variants only."""
+    left, right, cond = draw(st.sampled_from(JOINS))
+    pk = {"customer": "c_custkey", "orders": "o_orderkey", "nation": "n_nationkey"}[left]
+    part = draw(st.sampled_from(INT_COLS[right] + STR_COLS[right]))
+    val = draw(st.sampled_from(INT_COLS[left]))
+    wf = draw(
+        st.sampled_from(
+            [
+                f"CAST(sum({val}) OVER (PARTITION BY {part}) AS BIGINT)",
+                f"count(*) OVER (PARTITION BY {part})",
+                f"row_number() OVER (PARTITION BY {part} ORDER BY {pk})",
+                f"min({val}) OVER (PARTITION BY {part})",
+            ]
+        )
+    )
+    preds = draw(st.lists(predicate([left]), max_size=1))
+    w = f" WHERE {preds[0]}" if preds else ""
+    return (
+        f"SELECT {pk}, {part}, {wf} AS w "
+        f"FROM {left} JOIN {right} ON {cond}{w}"
+    )
+
+
+@st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 11))
+    kind = draw(st.integers(0, 13))
+    if kind == 5:
+        return draw(distinct_on_query())
+    if kind == 6:
+        return draw(joined_window_query())
     if kind == 0:
         return draw(set_query())
     if kind == 1:
