@@ -207,7 +207,18 @@ class MeasuredBuildSide:
         self._memo[key] = ("gt", cap)
         return float("inf")
 
-    def build_side(self, build: DataFrame, key: str) -> DataFrame:
+    def build_side(
+        self, build: DataFrame, key: str, pin_shuffle: bool = False
+    ) -> DataFrame:
+        """``build`` hinted ``broadcast`` when MEASURED under the
+        threshold; otherwise unhinted — or, with ``pin_shuffle``, hinted
+        into the shuffle family (``merge``). Pinning is for sides whose
+        Catalyst ESTIMATE can come in deflated (aggregates of exploded
+        streams: a DISTINCT gram vocabulary estimated from its input's
+        compressed bytes): unhinted, the static planner broadcast an
+        80M-row vocabulary at ×100 and died building the table — the
+        measured "does not fit" verdict must then FORCE the exchange,
+        not merely decline to bless a broadcast."""
         thr = self._selection.threshold_bytes
         if thr < 0:
             return build
@@ -215,7 +226,7 @@ class MeasuredBuildSide:
         cap = max(thr // width, 1)
         if self.rows_capped(build, key, cap) * width <= thr:
             return build.hint("broadcast")
-        return build
+        return build.hint("merge") if pin_shuffle else build
 
 
 class MeasuredJoinPolicy:

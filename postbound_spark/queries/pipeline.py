@@ -6507,6 +6507,14 @@ def sample_contamination_check(spark, sf_dir):
         .select(gh.alias("gh"))
         .distinct()
     )
+    # the vocabulary's Catalyst estimate comes in DEFLATED (a distinct of
+    # an exploded stream, sized from the input's compressed bytes) — at
+    # ×100 the static planner broadcast an 80M-gram vocabulary and died.
+    # Measured decision, with the large verdict PINNING the shuffle
+    # family so the estimate cannot flip the semi-join back to broadcast.
+    train_grams = MeasuredBuildSide(spark).build_side(
+        train_grams, f"contam_vocab@{sf_dir}", pin_shuffle=True
+    )
     tg = test.select("doc_id", F.explode("gs").alias("gram")).select(
         "doc_id", gh.alias("gh")
     )
