@@ -86,6 +86,13 @@ class Database:
         ``spark.sql`` — the reference's parse-then-execute loop."""
         if hasattr(query, "to_sql"):
             query = query.to_sql()
+        # statement-scoped MATERIALIZED-CTE cache lifecycle: the compiler
+        # cache()s each Materialize node; the facade owns the statement
+        # boundary, so it unpersists them after the collect (mirror of the
+        # pipeline's release_stage_caches) — without this a long-lived
+        # session issuing many MATERIALIZED-CTE statements accumulates
+        # InMemoryRelations until LRU eviction
+        cte_caches: list = []
         if isinstance(query, str) and native:
             from postbound_spark.operators.compiler import compile_plan
             from postbound_spark.plans.algebra import parse_relalg
@@ -99,6 +106,7 @@ class Database:
             df = compile_plan(
                 parse_relalg(parse_query(query, schema=self._live_schema())),
                 self.spark,
+                materialized_out=cte_caches,
             )
         elif isinstance(query, str):
             try:
@@ -123,12 +131,17 @@ class Database:
                             parse_query(query, schema=self._live_schema())
                         ),
                         self.spark,
+                        materialized_out=cte_caches,
                     )
                 except Exception:
                     raise spark_exc from None
         else:
             df = query
-        rows = [tuple(r) for r in df.collect()]
+        try:
+            rows = [tuple(r) for r in df.collect()]
+        finally:
+            for cached in cte_caches:
+                cached.unpersist()
         return rows if raw else simplify_result(rows)
 
     def _live_schema(self) -> dict[str, list[str]]:

@@ -23,6 +23,64 @@ from pyspark.sql import functions as F
 from postbound_spark.plans import relalg as ra
 
 
+def _to_spark_array_calls(text: str) -> str:
+    """Postgres ``ARRAY[...]`` constructors → Spark ``array(...)`` calls.
+
+    The IR keeps the Postgres spelling (DuckDB-ready, reference parity:
+    ArrayExpression qal/_qal.py:1099); Spark's parser only accepts the
+    call form. Single literal-aware scan with a bracket stack, so nested
+    constructors, subscripts inside a constructor (``array[x[1], y]``)
+    and ``]`` inside string literals all convert correctly — the flat
+    regex the unnest path used could not see through those."""
+    if "[" not in text:
+        return text
+    out: list[str] = []
+    stack: list[str] = []  # "array" | "plain" per open bracket
+    i, n = 0, len(text)
+    low = text.lower()
+    while i < n:
+        ch = text[i]
+        if ch == "'":  # string literal with '' escapes — copy verbatim
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if (
+            low.startswith("array[", i)
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_$"))
+        ):
+            out.append("array(")
+            stack.append("array")
+            i += 6
+            continue
+        if ch == "[":
+            out.append("[")
+            stack.append("plain")
+            i += 1
+            continue
+        if ch == "]" and stack:
+            out.append(")" if stack.pop() == "array" else "]")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _expr(text: str):
+    """``F.expr`` over IR expression text (applies the array-literal
+    spelling conversion — the single Spark-dialect gap in the IR's
+    otherwise ANSI expression surface)."""
+    return F.expr(_to_spark_array_calls(text))
+
+
 class _Compiler(ra.RelNodeVisitor):
     def __init__(
         self,
@@ -73,21 +131,10 @@ class _Compiler(ra.RelNodeVisitor):
             # ANSI/Postgres unnest → Spark's explode TVF (same set-returning
             # semantics; ref FunctionTableSource qal/_qal.py:6584). The IR
             # keeps the Postgres ARRAY[...] literal spelling (DuckDB-ready);
-            # Spark spells it array(...)
-            import re as _re
-
-            if "'" in inner or inner.lower().count("array[") > 1:
-                # the flat rewrite cannot see through string literals or
-                # nested array constructors — refuse rather than emit
-                # corrupted SQL
-                raise NotImplementedError(
-                    "unnest over nested arrays or string-literal elements "
-                    "is not supported by the algebra path; use the registry "
-                    "SQL path"
-                )
-            inner = _re.sub(
-                r"\barray\[([^\]]*)\]", r"array(\1)", inner, flags=_re.I
-            )
+            # Spark spells it array(...) — the literal-aware converter
+            # handles nested constructors and string-literal elements the
+            # old flat regex had to refuse
+            inner = _to_spark_array_calls(inner)
             sql = f"SELECT * FROM explode({inner}) AS {alias}({node.column})"
         else:
             raise NotImplementedError(f"table function {node.function!r}")
@@ -110,14 +157,14 @@ class _Compiler(ra.RelNodeVisitor):
 
     # --- unary ------------------------------------------------------------
     def visit_selection(self, node: ra.Selection) -> DataFrame:
-        return self._compile(node.child).filter(F.expr(node.predicate))
+        return self._compile(node.child).filter(_expr(node.predicate))
 
     def visit_projection(self, node: ra.Projection) -> DataFrame:
-        return self._compile(node.child).select(*(F.expr(c) for c in node.columns))
+        return self._compile(node.child).select(*(_expr(c) for c in node.columns))
 
     def visit_map(self, node: ra.Map) -> DataFrame:
         df = self._compile(node.child)
-        return df.withColumns({name: F.expr(expr) for name, expr in node.expressions})
+        return df.withColumns({name: _expr(expr) for name, expr in node.expressions})
 
     def visit_rename(self, node: ra.Rename) -> DataFrame:
         return self._compile(node.child).withColumnsRenamed(dict(node.mapping))
@@ -128,7 +175,7 @@ class _Compiler(ra.RelNodeVisitor):
     def visit_sort(self, node: ra.Sort) -> DataFrame:
         cols = []
         for key in node.keys:
-            col = F.expr(key.expression)
+            col = _expr(key.expression)
             if key.ascending:
                 col = (
                     col.asc()
@@ -146,13 +193,13 @@ class _Compiler(ra.RelNodeVisitor):
 
     def visit_grouping(self, node: ra.Grouping) -> DataFrame:
         df = self._compile(node.child)
-        aggs = [F.expr(expr).alias(name) for name, expr in node.aggregates]
+        aggs = [_expr(expr).alias(name) for name, expr in node.aggregates]
         if not node.keys:
             return df.agg(*aggs)
         if not aggs:
             # pure dedup-grouping (ref: relalg.py:1386-1389)
-            return df.select(*(F.expr(k) for k in node.keys)).distinct()
-        return df.groupBy(*(F.expr(k) for k in node.keys)).agg(*aggs)
+            return df.select(*(_expr(k) for k in node.keys)).distinct()
+        return df.groupBy(*(_expr(k) for k in node.keys)).agg(*aggs)
 
     def visit_subqueryscan(self, node: ra.SubqueryScan) -> DataFrame:
         df = self._compile(node.child)
@@ -200,7 +247,7 @@ class _Compiler(ra.RelNodeVisitor):
                 # shuffle family (Spark ignores merge on non-equi joins
                 # with a warning, which is the right degradation)
                 right = right.hint("merge")
-        return left.join(right, on=F.expr(node.predicate), how=node.how)
+        return left.join(right, on=_expr(node.predicate), how=node.how)
 
     def visit_naturaljoin(self, node: ra.NaturalJoin) -> DataFrame:
         left, right = self._join_sides(node)
@@ -229,11 +276,11 @@ class _Compiler(ra.RelNodeVisitor):
 
     def visit_semijoin(self, node: ra.SemiJoin) -> DataFrame:
         left, right = self._join_sides(node)
-        return left.join(right, on=F.expr(node.predicate), how="left_semi")
+        return left.join(right, on=_expr(node.predicate), how="left_semi")
 
     def visit_antijoin(self, node: ra.AntiJoin) -> DataFrame:
         left, right = self._join_sides(node)
-        return left.join(right, on=F.expr(node.predicate), how="left_anti")
+        return left.join(right, on=_expr(node.predicate), how="left_anti")
 
     def visit_union(self, node: ra.Union) -> DataFrame:
         out = self._compile(node.left).union(self._compile(node.right))
@@ -252,11 +299,23 @@ def compile_plan(
     spark: SparkSession,
     catalog: dict[str, DataFrame] | None = None,
     selection=None,
+    materialized_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Compile ``node`` to a DataFrame. ``catalog`` maps table names to
     DataFrames; missing names fall back to ``spark.table`` (temp views).
     ``selection`` optionally supplies a per-join build-side policy (e.g.
     :class:`postbound_spark.optimizer.selection.MeasuredJoinPolicy`) — the
     operator-selection stage of the compile path; explicit node hints
-    always take precedence."""
-    return _Compiler(spark, catalog, selection)._compile(node)
+    always take precedence.
+
+    ``materialized_out``, if given, receives the ``cache()``\\ d frames of
+    any MATERIALIZED CTEs in the plan so the CALLER can ``unpersist()``
+    them once the result is consumed — statement-scoped cache lifecycle
+    (the facade does this per execute_query); without it the caches live
+    until Spark's LRU eviction, which creeps executor memory in
+    long-lived sessions issuing many MATERIALIZED-CTE statements."""
+    compiler = _Compiler(spark, catalog, selection)
+    df = compiler._compile(node)
+    if materialized_out is not None:
+        materialized_out.extend(compiler._materialized.values())
+    return df

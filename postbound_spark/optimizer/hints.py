@@ -244,30 +244,33 @@ def compile_join_tree(
         joined_key = frozenset(left_tables | right_tables)
         workers = assignment.parallel_workers.get(joined_key)
         forced_op = assignment.operator_for(joined_key)
-        forced_dir = assignment.directional_for(joined_key)
-        broadcast_forced = (
-            forced_op in (JoinOperator.BROADCAST_HASH, JoinOperator.BROADCAST_NL)
-            or (
-                forced_dir is not None
-                and forced_dir.operator
-                in (JoinOperator.BROADCAST_HASH, JoinOperator.BROADCAST_NL)
-            )
+        direction = assignment.directional_for(joined_key)
+        # Resolve the EFFECTIVE operator once (explicit assignment, then
+        # directional assignment, then the cardinality-injected
+        # derivation) — the workers block must see the injected operator
+        # too, or an injected broadcast still repartition()s both inputs
+        # into two useless shuffles in front of a broadcast join
+        # (advisor-found, round 8).
+        fallback_op = (
+            forced_op if forced_op is not None
+            else injected_operator(right_tables)
+        )
+        _BCAST = (JoinOperator.BROADCAST_HASH, JoinOperator.BROADCAST_NL)
+        broadcast_forced = fallback_op in _BCAST or (
+            direction is not None and direction.operator in _BCAST
         )
         if workers and cond is not None and left_keys and not broadcast_forced:
             # per-join degree of parallelism (ref parallel_workers,
             # _hints.py:1050): hash-repartition BOTH inputs on the join
             # keys into exactly N partitions — the shuffle join then runs
-            # with N tasks. Skipped for forced-broadcast joins (no
-            # exchange to size).
+            # with N tasks. Skipped for broadcast joins, forced or
+            # injected (no exchange to size).
             left_df = left_df.repartition(
                 workers, *[F.col(k) for k in left_keys]
             )
             right_df = right_df.repartition(
                 workers, *[F.col(k) for k in right_keys]
             )
-        direction = assignment.directional_for(
-            frozenset(left_tables | right_tables)
-        )
         if direction is not None and direction.build == frozenset(left_tables):
             # forced build side is the LEFT subtree: hint-side placement
             # flips Spark to BuildLeft (ref DirectionalJoinOperatorAssignment
@@ -275,15 +278,12 @@ def compile_join_tree(
             left_df = left_df.hint(direction.operator.spark_hint)
         elif direction is not None and direction.build == frozenset(right_tables):
             right_df = right_df.hint(direction.operator.spark_hint)
-        else:
+        elif fallback_op is not None:
             # (a direction whose build set matches NEITHER subtree cannot
             # correspond to this tree shape — fall back to the
-            # non-directional assignment rather than mis-hint a side)
-            op = assignment.operator_for(frozenset(left_tables | right_tables))
-            if op is None:
-                op = injected_operator(right_tables)
-            if op is not None:
-                right_df = right_df.hint(op.spark_hint)
+            # non-directional assignment, then the injected derivation,
+            # rather than mis-hint a side)
+            right_df = right_df.hint(fallback_op.spark_hint)
         if cond is None:
             joined = left_df.crossJoin(right_df)
         else:

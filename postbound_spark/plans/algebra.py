@@ -140,7 +140,11 @@ def _scalar_subquery_spans(text: str) -> list[str]:
         j = blanked.find("(select ", pos)
         if j < 0:
             return spans
-        end = _balanced_end(text, j)
+        # balance over the BLANKED text too — a ')' inside a string
+        # literal within the subquery must not truncate the span
+        # (advisor-found: "(SELECT max(y) FROM t WHERE s = ':)')").
+        # Blanking is same-length, so indices map 1:1 to the original.
+        end = _balanced_end(blanked, j)
         if end is None:
             return spans
         spans.append(text[j:end])
@@ -177,6 +181,20 @@ def parse_relalg(
     conversions (a CTE referencing a sibling CTE, or a subquery referencing
     any CTE, must resolve it instead of scanning a nonexistent base table)."""
     if isinstance(query, Q.SetQuery):
+        if query.ctes:
+            # a WITH over the whole set query scopes over BOTH operands
+            # (ref SetQuery cte_clause, qal/_qal.py:9423); local CTEs
+            # shadow enclosing-scope ones, same as the SqlQuery path
+            scope_ctes = {
+                **{
+                    k: v if isinstance(v, tuple) else (v, False)
+                    for k, v in (scope_ctes or {}).items()
+                },
+                **{
+                    cte[0]: (cte[1], bool(getattr(cte, "materialized", False)))
+                    for cte in query.ctes
+                },
+            }
         left = parse_relalg(query.left, scope_ctes=scope_ctes)
         right = parse_relalg(query.right, scope_ctes=scope_ctes)
         node: ra.RelNode
@@ -196,8 +214,8 @@ def parse_relalg(
                     for o in query.order_by
                 ),
             )
-        if query.limit is not None:
-            node = ra.Limit(node, limit=query.limit)
+        if query.limit is not None or query.offset is not None:
+            node = ra.Limit(node, limit=query.limit, offset=query.offset)
         return node
     return _Converter(query, join_order, scope_ctes).convert()
 
@@ -340,11 +358,19 @@ class _Converter:
                 raise UnsupportedSqlError(
                     "a scalar subquery must project exactly one column"
                 )
-            single_row = not inner.from_tables or (
-                not inner.group_by
-                and inner.having is None
-                and inner.offset is None
-                and bool(_find_agg_calls(inner.select[0].expr.sql))
+            # LIMIT/OFFSET break the structural single-row guarantee in
+            # BOTH branches: '(SELECT max(b) FROM s LIMIT 0)' and
+            # '(SELECT 5 OFFSET 1)' are zero-row, and lifting them as a
+            # cross product would silently empty the outer result where
+            # SQL says the scalar is NULL (advisor-found, round 8).
+            unclamped = inner.limit is None and inner.offset is None
+            single_row = unclamped and (
+                not inner.from_tables
+                or (
+                    not inner.group_by
+                    and inner.having is None
+                    and bool(_find_agg_calls(inner.select[0].expr.sql))
+                )
             )
             if not single_row:
                 raise UnsupportedSqlError(
@@ -1288,6 +1314,63 @@ class _Converter:
         sort_in_output = bool(sort_keys) and all(
             o.expr.sql in output_names for o in q.order_by
         )
+        # window functions in the SELECT list: the window's own exchange
+        # (hash partitioning on its PARTITION BY keys) destroys any row
+        # order established BELOW the projection, so `project(sort(...))`
+        # silently feeds LIMIT arbitrary rows (grammar-v17 probe find,
+        # round 9). The Sort must sit ABOVE a window-bearing projection.
+        has_window = any(
+            re.search(
+                r"\bover\s*\(", _STRING_LITERAL_RE.sub("''", p.expr.sql), re.I
+            )
+            for p in q.select
+        )
+        if has_window and sort_keys and not q.distinct:
+            if prior:
+                # the inverted-limit pipeline cuts BELOW the projection,
+                # which would compute the windows over the limited subset
+                raise UnsupportedSqlError(
+                    "FETCH PRIOR/LAST with window functions in the select "
+                    "list is not modeled; use the registry SQL path"
+                )
+            if sort_in_output:
+                return self._limit(sort(project(tree)), sort_keys)
+            # ORDER BY references columns the projection drops (possibly
+            # mixed with alias keys — the helper map leaves resolvable
+            # keys untouched): carry
+            # them through under generated names, sort+limit above the
+            # windows, then strip the helpers
+            out_names = []
+            for p in q.select:
+                name = p.alias or _output_name(p.expr.sql)
+                if name is None:
+                    raise UnsupportedSqlError(
+                        "window functions with ORDER BY on non-output "
+                        "columns need aliases on every computed select "
+                        "item"
+                    )
+                out_names.append(name)
+            helpers = {
+                o.expr.sql: self._gensym("ord")
+                for o in q.order_by
+                if o.expr.sql not in output_names
+            }
+            ext_cols = tuple(
+                f"{p.expr.sql} AS {p.alias}" if p.alias else p.expr.sql
+                for p in q.select
+            ) + tuple(f"{expr} AS {name}" for expr, name in helpers.items())
+            ext_keys = tuple(
+                ra.SortKey(
+                    helpers.get(o.expr.sql, o.expr.sql),
+                    o.ascending,
+                    o.nulls_first,
+                )
+                for o in q.order_by
+            )
+            limited = self._limit(
+                ra.Sort(ra.Projection(tree, ext_cols), ext_keys), ext_keys
+            )
+            return ra.Projection(limited, tuple(out_names))
         if q.distinct:
             # DISTINCT evaluates before ORDER BY, and Spark's dedup is an
             # aggregate: a Sort placed BELOW it is eliminated outright

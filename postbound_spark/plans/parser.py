@@ -82,7 +82,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<qid>"[^"]*")
     | (?P<id>[A-Za-z_][A-Za-z_0-9$]*)
-    | (?P<op>\|\||::|<=|>=|<>|!=|[=<>(),.\[\]*/+\-%:])
+    | (?P<op>\|\||::|@>|<@|&&|<=|>=|<>|!=|[=<>(),.\[\]*/+\-%:])
     """,
     re.X | re.S,
 )
@@ -535,14 +535,15 @@ class _Parser:
             for o in order_by
         )
         if isinstance(q, Q.SetQuery):
-            if offset is not None:
-                raise UnsupportedSqlError("OFFSET on a set query is not modeled")
             if fetch_direction != "first":
+                # FETCH PRIOR/LAST is this parser's extension for plain
+                # queries (inverted-window rewrite); the reference's
+                # SetQuery Limit clause has no direction concept either
                 raise UnsupportedSqlError(
                     "FETCH PRIOR/LAST on a set query is not modeled"
                 )
-            if order_by or limit is not None:
-                q = replace(q, order_by=order_by, limit=limit)
+            if order_by or limit is not None or offset is not None:
+                q = replace(q, order_by=order_by, limit=limit, offset=offset)
         elif (
             order_by
             or limit is not None
@@ -557,8 +558,8 @@ class _Parser:
                 fetch_direction=fetch_direction,
             )
         if ctes:
-            if isinstance(q, Q.SetQuery):
-                raise UnsupportedSqlError("WITH over a set query is not modeled")
+            # both query kinds carry a WITH clause (ref SetQuery
+            # cte_clause, qal/_qal.py:9423)
             q = replace(q, ctes=tuple(ctes) + q.ctes)
         if isinstance(q, Q.SqlQuery):
             q = _bind(q)
@@ -1084,7 +1085,7 @@ class _Parser:
                 expr_ops = {
                     "=", "<>", "!=", "<", "<=", ">", ">=", "+", "-", "*",
                     "/", "%", "||", "::", "[", "between", "in", "like",
-                    "ilike", "is", "not",
+                    "ilike", "is", "not", "@>", "<@", "&&",
                 }
                 if nxt not in expr_ops:
                     return inner
@@ -1178,6 +1179,12 @@ class _Parser:
             "<=": Q.LogicalOperator.LE,
             ">": Q.LogicalOperator.GT,
             ">=": Q.LogicalOperator.GE,
+            # Postgres array operators (ref qal/_qal.py:55-58) — modeled
+            # as ordinary binary predicates; the IR's to_sql() lowers
+            # them to Spark's array_except/arrays_overlap spellings
+            "@>": Q.LogicalOperator.CONTAINS,
+            "<@": Q.LogicalOperator.CONTAINED_BY,
+            "&&": Q.LogicalOperator.OVERLAPS,
         }
         tok = self.t.peek()
         if tok in comparison:

@@ -286,6 +286,13 @@ class LogicalOperator(enum.Enum):
     NOT_ILIKE = "NOT ILIKE"
     IS_DISTINCT_FROM = "IS DISTINCT FROM"
     IS_NOT_DISTINCT_FROM = "IS NOT DISTINCT FROM"
+    # Postgres-style array operators (ref qal/_qal.py:55-58: Contains,
+    # ContainedBy, Overlaps) — first-class binary predicates in the IR;
+    # to_sql() renders their Spark lowering since Spark's dialect has no
+    # operator spelling (SURVEY §2.5, pred_array_operators)
+    CONTAINS = "@>"
+    CONTAINED_BY = "<@"
+    OVERLAPS = "&&"
 
 
 class CompoundOperator(enum.Enum):
@@ -356,7 +363,20 @@ class BinaryPredicate(AbstractPredicate):
         return self.lhs.columns + self.rhs.columns
 
     def to_sql(self) -> str:
-        return f"{self.lhs.to_sql()} {self.operation.value} {self.rhs.to_sql()}"
+        # The Postgres array operators have no Spark spelling — render
+        # the lambda-free lowering (Spark-parsable, and re-parsable by
+        # the native parser): containment via array_except emptiness,
+        # overlap via arrays_overlap. The IR keeps the operator; only
+        # the execution-facing text lowers. Duplicate elements are
+        # irrelevant to containment, so array_except's dedup is exact.
+        lhs, rhs = self.lhs.to_sql(), self.rhs.to_sql()
+        if self.operation is LogicalOperator.CONTAINS:
+            return f"size(array_except(({rhs}), ({lhs}))) = 0"
+        if self.operation is LogicalOperator.CONTAINED_BY:
+            return f"size(array_except(({lhs}), ({rhs}))) = 0"
+        if self.operation is LogicalOperator.OVERLAPS:
+            return f"arrays_overlap(({lhs}), ({rhs}))"
+        return f"{lhs} {self.operation.value} {rhs}"
 
 
 @dataclass(frozen=True)
@@ -958,19 +978,32 @@ class SetOperator(enum.Enum):
 class SetQuery:
     """Set-operation query (ref ``SetQuery`` qal/_qal.py:9396): two operand
     queries combined by UNION [ALL] / INTERSECT / EXCEPT, with optional
-    outer ORDER BY / LIMIT applying to the combined result."""
+    outer ORDER BY / LIMIT / OFFSET and a WITH clause applying to the
+    combined result (the reference's SetQuery carries a full
+    ``limit_clause`` incl. offset, :9425/:9449, and a ``cte_clause``)."""
 
     left: "SqlQuery | SetQuery"
     operator: SetOperator
     right: "SqlQuery | SetQuery"
     order_by: tuple[OrderByExpression, ...] = ()
     limit: int | None = None
+    offset: int | None = None
+    ctes: tuple[tuple[str, "SqlQuery"], ...] = ()
 
     def tables(self) -> frozenset[str]:
         return self.left.tables() | self.right.tables()
 
     def to_sql(self) -> str:
-        parts = [
+        parts: list[str] = []
+        if self.ctes:
+            rendered = ", ".join(
+                f"{cte[0]} AS "
+                f"{'MATERIALIZED ' if getattr(cte, 'materialized', False) else ''}"
+                f"({cte[1].to_sql()})"
+                for cte in self.ctes
+            )
+            parts.append(f"WITH {rendered}")
+        parts += [
             f"({self.left.to_sql()})",
             self.operator.value,
             f"({self.right.to_sql()})",
@@ -979,4 +1012,6 @@ class SetQuery:
             parts.append("ORDER BY " + ", ".join(o.to_sql() for o in self.order_by))
         if self.limit is not None:
             parts.append(f"LIMIT {self.limit}")
+        if self.offset is not None:
+            parts.append(f"OFFSET {self.offset}")
         return "\n".join(parts)

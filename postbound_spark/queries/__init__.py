@@ -119,6 +119,9 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
+    # --- round-9: new/changed capabilities ---
+    "parsed_array_operators",  # new: @> <@ && spellings via the native parser
+    "parsed_set_offset",  # new: OFFSET + WITH on set queries (ref SetQuery parity)
     # --- round-8: new/changed capabilities ---
     "parsed_cte_target_columns",  # new: WITH v(a,b) AS (SELECT ...) rename
     "parsed_values_cte",  # new: VALUES-backed CTE as banding dimension

@@ -1113,14 +1113,19 @@ def adaptive_plane_count(n_vectors: int, target_bucket: int = 32) -> int:
     ``target_bucket * 2^k >= n`` — i.e. ~log2(n / target_bucket) planes,
     holding the expected bucket population ~constant as the corpus
     grows. Pure integer arithmetic so the DuckDB oracle can reproduce it
-    bit-exactly (its SQL spells the identical min-k scan)."""
-    return next(k for k in range(4, 21) if (target_bucket << k) >= n_vectors)
+    bit-exactly (its SQL spells the identical min-k scan, with the same
+    clamp). Clamped to 20 above ~33.5M vectors (32 * 2^20) — without the
+    default, next() raised StopIteration exactly at production scale
+    (advisor-found, round 8)."""
+    return next(
+        (k for k in range(4, 21) if (target_bucket << k) >= n_vectors), 20
+    )
 
 
 _HUBNESS_ADAPTIVE_ORACLE = f"""
 WITH params AS (
-  SELECT (SELECT min(k) FROM range(4, 21) t(k)
-          WHERE (32::BIGINT << k) >= (SELECT count(*) FROM embeddings)) AS np
+  SELECT coalesce((SELECT min(k) FROM range(4, 21) t(k)
+          WHERE (32::BIGINT << k) >= (SELECT count(*) FROM embeddings)), 20) AS np
 ),
 q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
 planes AS (

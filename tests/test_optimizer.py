@@ -242,6 +242,30 @@ def test_parallel_workers_sizes_the_join_exchange(spec, tdfs):
         )
 
 
+def test_parallel_workers_skips_repartition_for_injected_broadcast(spec, tdfs):
+    """Round-9 (advisor): when the join operator comes from the
+    cardinality INJECTION (not an explicit assignment) and resolves to a
+    broadcast family, parallel_workers must NOT repartition the inputs —
+    there is no shuffle exchange to size, so the two REPARTITION_BY_NUM
+    exchanges were pure waste in front of the broadcast join."""
+    from postbound_spark.optimizer.stages import PlanParameterization
+
+    tree = JoinTree.left_deep(["orders", "lineitem"])
+    sub = {t: tdfs[t] for t in ("orders", "lineitem")}
+    params = PlanParameterization()
+    # tiny injected build side -> injected_operator says BROADCAST_HASH
+    params.set_cardinality(frozenset({"lineitem"}), 10.0)
+    assignment = PhysicalOperatorAssignment()
+    assignment.set_parallel_workers(frozenset({"orders", "lineitem"}), 40)
+    df = compile_join_tree(
+        sub, tree, list(spec.edges), assignment, parameters=params
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:400]
+    assert "REPARTITION_BY_NUM" not in plan, plan[:400]
+    assert df.count() == tdfs["lineitem"].count()
+
+
 def test_directional_inner_outer_convention():
     """from_inner_outer applies the reference's per-operator wording:
     hash joins build on the OUTER, nested-loop joins materialize the

@@ -1330,6 +1330,50 @@ def test_select_list_scalar_subquery_lift_boundaries():
         )
 
 
+def test_scalar_subquery_limit_offset_blocks_the_lift():
+    """Round-9 (advisor, medium): LIMIT/OFFSET break the single-row
+    guarantee in BOTH lift branches — '(SELECT max(b) FROM s LIMIT 0)'
+    and '(SELECT 5 OFFSET 1)' are ZERO-row, and lifting them as a cross
+    product silently emptied the whole outer result where SQL semantics
+    say the scalar is NULL. Clean rejection -> spark.sql route."""
+    import pytest
+
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    for sub in (
+        "(SELECT max(o_orderkey) FROM orders LIMIT 0)",
+        "(SELECT max(o_orderkey) FROM orders LIMIT 1)",
+        "(SELECT max(o_orderkey) FROM orders OFFSET 1)",
+        "(SELECT 5 LIMIT 0)",
+        "(SELECT 5 OFFSET 1)",
+    ):
+        with pytest.raises(UnsupportedSqlError, match="single-row"):
+            parse_relalg(
+                parse_query(f"SELECT c_custkey, {sub} AS x FROM customer")
+            )
+
+
+def test_scalar_subquery_span_survives_paren_in_literal(spark, sf_small):
+    """Round-9 (advisor): a ')' INSIDE a string literal within a real
+    scalar subquery must not truncate the balanced-paren span — the span
+    scan now balances over the literal-blanked text (same-length
+    blanking, indices map 1:1)."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators.compiler import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    cat = load_tables(spark, sf_small, ["region", "nation"])
+    sql = (
+        "SELECT r_regionkey, "
+        "(SELECT max(n_name) FROM nation WHERE n_name <> ':)') AS m "
+        "FROM region ORDER BY r_regionkey LIMIT 1"
+    )
+    df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 1 and rows[0][0] == 0 and rows[0][1] is not None
+
+
 def test_subquery_guard_ignores_string_literals(spark, sf_small):
     """A string LITERAL containing "(select " is data, not a subquery —
     the guard strips literals before matching (advisor-found false
@@ -1346,3 +1390,93 @@ def test_subquery_guard_ignores_string_literals(spark, sf_small):
     df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
     rows = [tuple(r) for r in df.collect()]
     assert rows == [(0, "(select "), (1, "(select ")]
+
+
+class TestArrayOperatorSpellings:
+    """Round-9: Postgres array operators @> / <@ / && as first-class
+    binary predicates (ref qal/_qal.py:55-58 Contains/ContainedBy/
+    Overlaps) — tokenized, modeled in the IR, lowered to Spark's
+    lambda-free collection functions by to_sql()."""
+
+    def test_ir_models_the_operators(self):
+        from postbound_spark.plans import qal as Q
+
+        q = parse_query(
+            "SELECT doc_id FROM documents "
+            "WHERE toks @> ARRAY['a'] AND toks <@ ARRAY['b'] "
+            "AND toks && ARRAY['c']"
+        )
+        ops = [
+            p.operation
+            for p in q.where.iterpredicates()
+            if isinstance(p, Q.BinaryPredicate)
+        ]
+        assert Q.LogicalOperator.CONTAINS in ops
+        assert Q.LogicalOperator.CONTAINED_BY in ops
+        assert Q.LogicalOperator.OVERLAPS in ops
+
+    def test_to_sql_lowers_to_spark_spellings(self):
+        q = parse_query("SELECT 1 AS x WHERE a @> b")
+        assert q.where.to_sql() == "size(array_except((b), (a))) = 0"
+        q = parse_query("SELECT 1 AS x WHERE a <@ b")
+        assert q.where.to_sql() == "size(array_except((a), (b))) = 0"
+        q = parse_query("SELECT 1 AS x WHERE a && b")
+        assert q.where.to_sql() == "arrays_overlap((a), (b))"
+
+    def test_parenthesized_lhs_reparses_as_expression(self):
+        # the (expr) OP tail disambiguation covers the new operators
+        q = parse_query("SELECT 1 AS x WHERE (a || b) && c")
+        assert "arrays_overlap" in q.where.to_sql()
+
+
+class TestSetQueryOffsetAndCte:
+    """Round-9: OFFSET and WITH on set queries (ref SetQuery full Limit
+    clause qal/_qal.py:9425/:9449 and cte_clause :9423)."""
+
+    def test_offset_parses_and_renders(self):
+        from postbound_spark.plans import qal as Q
+
+        q = parse_query(
+            "SELECT r_name FROM region UNION ALL SELECT n_name FROM nation "
+            "ORDER BY r_name LIMIT 5 OFFSET 3"
+        )
+        assert isinstance(q, Q.SetQuery)
+        assert q.limit == 5 and q.offset == 3
+        assert "OFFSET 3" in q.to_sql()
+
+    def test_offset_without_limit(self):
+        from postbound_spark.plans import qal as Q
+
+        q = parse_query(
+            "SELECT r_name FROM region UNION SELECT n_name FROM nation "
+            "ORDER BY r_name OFFSET 7"
+        )
+        assert isinstance(q, Q.SetQuery)
+        assert q.limit is None and q.offset == 7
+
+    def test_with_over_set_query_scopes_both_operands(self, spark, sf_small):
+        from postbound_spark.catalog import load_tables
+        from postbound_spark.operators.compiler import compile_plan
+        from postbound_spark.plans import qal as Q
+        from postbound_spark.plans.algebra import parse_relalg
+
+        sql = (
+            "WITH t AS (SELECT r_regionkey AS k FROM region) "
+            "SELECT k FROM t WHERE k < 2 "
+            "UNION ALL SELECT k + 10 FROM t WHERE k >= 3 "
+            "ORDER BY 1 OFFSET 1"
+        )
+        q = parse_query(sql)
+        assert isinstance(q, Q.SetQuery) and q.ctes
+        cat = load_tables(spark, sf_small, ["region"])
+        df = compile_plan(parse_relalg(q), spark, cat)
+        assert [r[0] for r in df.collect()] == [1, 13, 14]
+
+    def test_fetch_prior_on_set_query_still_rejected(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="PRIOR"):
+            parse_query(
+                "SELECT r_name FROM region UNION SELECT n_name FROM nation "
+                "ORDER BY r_name FETCH PRIOR 3 ROWS ONLY"
+            )

@@ -56,3 +56,17 @@ def edge_dir(tmp_path_factory):
 def test_edge_corpus_oracle_parity(spark, edge_dir, name):
     ok, msg = compare_query(spark, name, edge_dir)
     assert ok, f"{name} diverged on the edge corpus: {msg}"
+
+
+def test_adaptive_plane_count_clamps_at_production_scale():
+    """Round-9 (advisor): above 32 * 2^20 (~33.5M) vectors the min-k scan
+    has no satisfying k in [4, 20] — next() without a default raised a
+    bare StopIteration exactly at the scale the production mode exists
+    for. Clamped to 20; the DuckDB oracle spells the same clamp via
+    coalesce(min(k), 20)."""
+    from postbound_spark.queries.pipeline import adaptive_plane_count
+
+    assert adaptive_plane_count(100) == 4
+    assert adaptive_plane_count(32 << 20) == 20        # exact boundary
+    assert adaptive_plane_count((32 << 20) + 1) == 20  # past it: clamp
+    assert adaptive_plane_count(10**12) == 20

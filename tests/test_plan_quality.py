@@ -1112,3 +1112,31 @@ def test_priority_sampling_is_window_group_limited(registry, spark, sf_small):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_array_operators_stay_in_codegen(registry, spark, sf_small):
+    """parsed_array_operators: the @>/<@/&& lowering must execute as
+    built-in collection functions inside whole-stage codegen — a
+    map-side filter over one scan, no shuffle for the predicate, no
+    lambda falling off to Python, no join of any kind."""
+    df = _build(registry, spark, sf_small, "parsed_array_operators")
+    plan = _formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # the lowering's built-ins sit IN the Filter condition over the scan
+    assert "array_except" in plan and "arrays_overlap" in plan
+    # exactly one exchange (the ORDER BY's range partitioning) — the
+    # predicate itself is map-side
+    assert plan.count("Exchange") <= 2  # plan node + detail section
+
+
+def test_set_offset_is_bounded_not_global_sort(registry, spark, sf_small):
+    """parsed_set_offset: ORDER BY + LIMIT/OFFSET over the union must
+    execute as a limit+offset-bounded TakeOrdered, never a full global
+    sort of the combined result; the filters still reach both scans."""
+    df = _build(registry, spark, sf_small, "parsed_set_offset")
+    plan = _formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+    assert "PushedFilters: [" in plan
+    assert "BatchEvalPython" not in plan

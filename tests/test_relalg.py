@@ -152,3 +152,18 @@ def test_mutate_and_walk():
     assert changed.predicate == "r_name = 'EUROPE'" and plan.predicate == "r_name = 'ASIA'"
     assert plan.tables() == {"region"}
     assert len(list(plan.walk())) == 2
+
+
+def test_array_literal_converter_edge_cases():
+    """Round-9: the literal-aware ARRAY[...] -> array(...) converter —
+    nested constructors, subscripts inside a constructor, ']' inside
+    string literals, and word-boundary safety (``myarray[1]`` is a
+    subscript on an identifier, never a constructor)."""
+    from postbound_spark.operators.compiler import _to_spark_array_calls as c
+
+    assert c("array['a,b', 'c]d']") == "array('a,b', 'c]d')"
+    assert c("array[x[1], array[2,3]]") == "array(x[1], array(2,3))"
+    assert c("myarray[1]") == "myarray[1]"
+    assert c("ARRAY[1] || Array[2]") == "array(1) || array(2)"
+    assert c("no brackets") == "no brackets"
+    assert c("s = 'array[not me]'") == "s = 'array[not me]'"

@@ -326,3 +326,35 @@ def test_database_facade_dialect_gap_fallback(spark, sf_small):
             db.execute_query("SELECTT 1")
     finally:
         db.release()
+
+
+def test_facade_releases_materialized_cte_caches(spark, sf_small):
+    """Round-9 (verdict hygiene watch #1): MATERIALIZED-CTE caches are
+    statement-scoped in the facade — after execute_query returns, no
+    InMemoryRelation from the statement survives in the cache manager
+    (mirror of the pipeline's release_stage_caches lifecycle)."""
+    from postbound_spark.database import Database
+
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    db = Database(spark, sf_small, rebind=True)
+    try:
+        before = jcm.cachedData().size()
+        rows = db.execute_query(
+            "WITH v AS MATERIALIZED (SELECT n_regionkey AS k, count(*) AS c "
+            "FROM nation GROUP BY n_regionkey) "
+            "SELECT count(*) FROM v WHERE c > 0",
+            raw=True,
+        )
+        assert rows == [(5,)]
+        # the statement's cache is gone — entry count back to baseline
+        assert jcm.cachedData().size() == before
+        # and the native=True route releases too
+        db.execute_query(
+            "WITH v AS MATERIALIZED (SELECT r_regionkey AS k FROM region) "
+            "SELECT count(*) FROM v",
+            raw=True,
+            native=True,
+        )
+        assert jcm.cachedData().size() == before
+    finally:
+        db.release()
