@@ -558,9 +558,146 @@ def joined_window_query(draw) -> str:
     )
 
 
+#: v17: single-row scalar-subquery snippets the lift machinery accepts
+#: (global aggregate over a small table) — embedded as ARGUMENTS below
+def _scalar_snippet(draw) -> str:
+    t = draw(st.sampled_from(["region", "nation"]))
+    fn = draw(st.sampled_from(["min", "max", "count"]))
+    c = "*" if fn == "count" else draw(st.sampled_from(INT_COLS[t]))
+    return f"(SELECT {fn}({c}) FROM {t})"
+
+
+@st.composite
+def scalar_argument_query(draw) -> str:
+    """Grammar v17: scalar subqueries INSIDE CASE and BETWEEN arguments —
+    the lift must find spans in condition/branch/bound position, not just
+    as a whole select item or comparison operand (round-8 verdict: the
+    recently-added surfaces interact in ways the suite misses)."""
+    t = draw(st.sampled_from(["customer", "orders"]))
+    pk = {"customer": "c_custkey", "orders": "o_orderkey"}[t]
+    ic = draw(st.sampled_from(INT_COLS[t]))
+    shape = draw(st.integers(0, 2))
+    if shape == 0:  # CASE condition
+        return (
+            f"SELECT {pk}, CASE WHEN {ic} < {_scalar_snippet(draw)} "
+            f"THEN 'lo' ELSE 'hi' END AS band FROM {t} "
+            f"ORDER BY {pk} LIMIT {draw(st.integers(5, 30))}"
+        )
+    if shape == 1:  # CASE result branch
+        return (
+            f"SELECT {pk}, CASE WHEN {ic} < {draw(st.integers(3, 15))} "
+            f"THEN {_scalar_snippet(draw)} ELSE {draw(st.integers(50, 99))} "
+            f"END AS v FROM {t} ORDER BY {pk} LIMIT {draw(st.integers(5, 30))}"
+        )
+    # BETWEEN bound (with an arithmetic tail half the time)
+    tail = f" + {draw(st.integers(0, 4))}" if draw(st.booleans()) else ""
+    return (
+        f"SELECT {pk} FROM {t} WHERE {pk} BETWEEN "
+        f"{_scalar_snippet(draw)}{tail} AND {draw(st.integers(20, 60))} "
+        f"ORDER BY {pk}"
+    )
+
+
+@st.composite
+def array_predicate_query(draw) -> str:
+    """Grammar v17: the Postgres array-operator spellings @> / <@ / &&
+    over arrays CONSTRUCTED from table string columns and literals —
+    DuckDB executes the operators natively, the engine lowers them to
+    array_except-emptiness / arrays_overlap."""
+    t = draw(st.sampled_from(sorted(TABLES)))
+    pk = INT_COLS[t][0]
+    sc = draw(st.sampled_from(STR_COLS[t]))
+    lits = {
+        "r_name": ["ASIA", "EUROPE", "AFRICA"],
+        "n_name": ["KENYA", "PERU", "JAPAN"],
+        "c_name": ["x"],
+        "o_orderstatus": ["O", "F", "P"],
+        "o_orderpriority": ["1-URGENT", "5-LOW"],
+    }[sc]
+    pool = draw(
+        st.lists(st.sampled_from(lits), min_size=1, max_size=3, unique=True)
+    )
+    arr = "ARRAY[" + ", ".join(f"'{v}'" for v in pool) + "]"
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        pred = f"ARRAY[{sc}] <@ {arr}"
+    elif kind == 1:
+        pred = f"{arr} @> ARRAY[{sc}]"
+    elif kind == 2:
+        pred = f"ARRAY[{sc}, {sc}] && {arr}"
+    else:  # compound mixing two operators
+        pred = f"ARRAY[{sc}] <@ {arr} OR ARRAY[{sc}] && ARRAY['{pool[0]}']"
+    return f"SELECT {pk}, {sc} FROM {t} WHERE {pred} ORDER BY {pk}"
+
+
+@st.composite
+def window_limit_query(draw) -> str:
+    """Grammar v17: window functions in the SELECT list combined with
+    ORDER BY + LIMIT (the round-9 sort-below-window bug class), named or
+    inline, optionally with a lifted scalar subquery riding along, and
+    sometimes ordering on a column the projection DROPS."""
+    t = draw(st.sampled_from(["customer", "orders"]))
+    pk = {"customer": "c_custkey", "orders": "o_orderkey"}[t]
+    part = draw(st.sampled_from(STR_COLS[t] + INT_COLS[t]))
+    val = draw(st.sampled_from(INT_COLS[t]))
+    wf = draw(
+        st.sampled_from(
+            [
+                f"CAST(sum({val}) OVER (PARTITION BY {part}) AS BIGINT)",
+                f"count(*) OVER (PARTITION BY {part})",
+                f"min({val}) OVER (PARTITION BY {part})",
+            ]
+        )
+    )
+    named = draw(st.booleans())
+    if named:
+        wf = wf.replace(f"(PARTITION BY {part})", "w")
+        window = f" WINDOW w AS (PARTITION BY {part})"
+    else:
+        window = ""
+    scalar = (
+        f", {_scalar_snippet(draw)} AS m" if draw(st.booleans()) else ""
+    )
+    drop_key = draw(st.booleans())
+    sel_key = part if drop_key else pk  # pk dropped -> helper-column path
+    order_key = pk
+    return (
+        f"SELECT {sel_key} AS k, {wf} AS w{scalar} FROM {t}{window} "
+        f"ORDER BY {order_key} LIMIT {draw(st.integers(3, 25))}"
+    )
+
+
+@st.composite
+def set_cte_offset_query(draw) -> str:
+    """Grammar v17: set operations INSIDE a CTE body with a target-column
+    list, and OFFSET / WITH on set queries (the round-9 parser surfaces).
+    UNION-distinct keys keep the OFFSET cut deterministic."""
+    t1, t2 = draw(
+        st.lists(st.sampled_from(sorted(TABLES)), min_size=2, max_size=2,
+                 unique=True)
+    )
+    c1 = draw(st.sampled_from(INT_COLS[t1]))
+    c2 = draw(st.sampled_from(INT_COLS[t2]))
+    if draw(st.booleans()):
+        # set op inside a CTE body, target-column rename, grouped consumer
+        op = draw(st.sampled_from(["UNION", "UNION ALL"]))
+        return (
+            f"WITH v(k) AS (SELECT {c1} FROM {t1} {op} SELECT {c2} FROM {t2}) "
+            f"SELECT k, count(*) AS n FROM v GROUP BY k ORDER BY k"
+        )
+    # WITH over the whole set query + ORDER BY/OFFSET[/LIMIT] on the set
+    off = draw(st.integers(1, 10))
+    lim = draw(st.sampled_from(["", f" LIMIT {draw(st.integers(3, 15))}"]))
+    return (
+        f"WITH a AS (SELECT {c1} AS k FROM {t1}) "
+        f"SELECT k FROM a UNION SELECT {c2} FROM {t2} "
+        f"ORDER BY k{lim} OFFSET {off}"
+    )
+
+
 @st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 13))
+    kind = draw(st.integers(0, 17))
     if kind == 5:
         return draw(distinct_on_query())
     if kind == 6:
@@ -575,6 +712,14 @@ def sql_query(draw) -> str:
         return draw(grouping_sets_query())
     if kind == 4:
         return draw(full_outer_query())
+    if kind == 7:
+        return draw(scalar_argument_query())
+    if kind == 8:
+        return draw(array_predicate_query())
+    if kind == 9:
+        return draw(window_limit_query())
+    if kind == 10:
+        return draw(set_cte_offset_query())
     return draw(select_stmt())
 
 
@@ -621,6 +766,22 @@ REGRESSIONS = [
     "AS BIGINT) AS s, (SELECT count(*) FROM region) AS r1 FROM customer "
     "WHERE c_custkey > (SELECT count(*) FROM region) GROUP BY c_nationkey "
     "HAVING count(*) > (SELECT count(*) FROM region) - 4 ORDER BY c_nationkey",
+    # round-9: window function in the SELECT list + ORDER BY + LIMIT —
+    # the window's hash exchange destroys a Sort placed BELOW the
+    # projection, so `project(sort(...))` fed LIMIT arbitrary rows
+    # (grammar-v17 probe find); the Sort must sit ABOVE a window-bearing
+    # projection
+    "SELECT c_custkey, count(*) OVER (PARTITION BY c_mktsegment) AS cnt "
+    "FROM customer ORDER BY c_custkey LIMIT 5",
+    # round-9: same, ORDER BY on a column the projection DROPS — the
+    # sort keys ride through under generated helper names and are
+    # stripped above the limit
+    "SELECT c_name, count(*) OVER (PARTITION BY c_mktsegment) AS cnt "
+    "FROM customer ORDER BY c_custkey LIMIT 5",
+    # round-9: window + lifted scalar subquery + ORDER BY/LIMIT together
+    "SELECT c_custkey, count(*) OVER (PARTITION BY c_mktsegment) AS cnt, "
+    "(SELECT max(n_regionkey) FROM nation) AS m "
+    "FROM customer ORDER BY c_custkey LIMIT 5",
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
