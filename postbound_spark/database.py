@@ -47,7 +47,11 @@ class Database:
     deliberately)."""
 
     def __init__(
-        self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, rebind: bool = False
+        self,
+        spark: SparkSession,
+        sf_dir: str = DEFAULT_SF_DIR,
+        rebind: bool = False,
+        session_cte_cache: bool = False,
     ):
         bound = _BOUND_DIRS.get(spark)
         if bound is not None and bound != sf_dir and not rebind:
@@ -58,6 +62,17 @@ class Database:
             )
         self.spark = spark
         self.sf_dir = sf_dir
+        #: opt-in SESSION-scoped MATERIALIZED-CTE sharing: identical
+        #: Materialize nodes (value-keyed frozen dataclasses) reuse one
+        #: cached frame ACROSS statements — the multi-action case where
+        #: df.cache() actually pays (within one statement/action, AQE
+        #: exchange reuse already covers it; see
+        #: experiments/materialized_cte_multistatement.py). Default OFF:
+        #: Postgres MATERIALIZED semantics are statement-scoped, and the
+        #: default lifecycle unpersists at statement end. release()
+        #: drops the session cache.
+        self.session_cte_cache = session_cte_cache
+        self._cte_memo: dict = {}
         # binding update BEFORE register_views: the mutation-point guard in
         # catalog.register_views checks _BOUND_DIRS, and a rebind=True move
         # must not trip over the stale binding it is deliberately replacing.
@@ -93,6 +108,11 @@ class Database:
         # session issuing many MATERIALIZED-CTE statements accumulates
         # InMemoryRelations until LRU eviction
         cte_caches: list = []
+        # session_cte_cache=True instead SHARES the cache table across
+        # statements (value-keyed Materialize nodes) and defers release
+        # to release() — the opt-in multi-action mode
+        memo = self._cte_memo if self.session_cte_cache else None
+        out = None if self.session_cte_cache else cte_caches
         if isinstance(query, str) and native:
             from postbound_spark.operators.compiler import compile_plan
             from postbound_spark.plans.algebra import parse_relalg
@@ -106,7 +126,8 @@ class Database:
             df = compile_plan(
                 parse_relalg(parse_query(query, schema=self._live_schema())),
                 self.spark,
-                materialized_out=cte_caches,
+                materialized_out=out,
+                materialized_memo=memo,
             )
         elif isinstance(query, str):
             try:
@@ -131,7 +152,8 @@ class Database:
                             parse_query(query, schema=self._live_schema())
                         ),
                         self.spark,
-                        materialized_out=cte_caches,
+                        materialized_out=out,
+                        materialized_memo=memo,
                     )
                 except Exception:
                     raise spark_exc from None
@@ -161,7 +183,11 @@ class Database:
         connection): the fixture-dir BINDING is dropped so other code may
         re-register views for a different dir; already-registered views
         stay (temp views are session-scoped and harmless once unclaimed).
-        Idempotent."""
+        Idempotent. Also unpersists any session-scoped MATERIALIZED-CTE
+        caches (``session_cte_cache=True``)."""
+        for cached in self._cte_memo.values():
+            cached.unpersist()
+        self._cte_memo.clear()
         if _BOUND_DIRS.get(self.spark) == self.sf_dir:
             del _BOUND_DIRS[self.spark]
 

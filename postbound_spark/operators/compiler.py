@@ -87,6 +87,7 @@ class _Compiler(ra.RelNodeVisitor):
         spark: SparkSession,
         catalog: dict[str, DataFrame] | None,
         selection=None,
+        materialized_memo: dict | None = None,
     ):
         self.spark = spark
         self.catalog = catalog or {}
@@ -97,8 +98,11 @@ class _Compiler(ra.RelNodeVisitor):
         #: MATERIALIZED-CTE share table: compiled frames memoized by node
         #: VALUE (frozen dataclasses hash structurally), so every reference
         #: to the same CTE returns the SAME cached DataFrame object and the
-        #: cache is populated once
-        self._materialized: dict[ra.Materialize, DataFrame] = {}
+        #: cache is populated once. A caller-supplied memo extends the
+        #: sharing across compilations (the facade's opt-in session cache)
+        self._materialized: dict[ra.Materialize, DataFrame] = (
+            materialized_memo if materialized_memo is not None else {}
+        )
 
     def _compile(self, node: ra.RelNode) -> DataFrame:
         return node.accept(self)
@@ -300,6 +304,7 @@ def compile_plan(
     catalog: dict[str, DataFrame] | None = None,
     selection=None,
     materialized_out: list[DataFrame] | None = None,
+    materialized_memo: dict | None = None,
 ) -> DataFrame:
     """Compile ``node`` to a DataFrame. ``catalog`` maps table names to
     DataFrames; missing names fall back to ``spark.table`` (temp views).
@@ -313,8 +318,14 @@ def compile_plan(
     them once the result is consumed — statement-scoped cache lifecycle
     (the facade does this per execute_query); without it the caches live
     until Spark's LRU eviction, which creeps executor memory in
-    long-lived sessions issuing many MATERIALIZED-CTE statements."""
-    compiler = _Compiler(spark, catalog, selection)
+    long-lived sessions issuing many MATERIALIZED-CTE statements.
+
+    ``materialized_memo`` instead SHARES the MATERIALIZED-CTE cache table
+    across compile_plan calls (value-keyed Materialize nodes): identical
+    CTEs in later statements reuse the cached frame — the multi-action
+    case where ``cache()`` actually pays. The memo's owner is
+    responsible for unpersisting (the facade's ``release()``)."""
+    compiler = _Compiler(spark, catalog, selection, materialized_memo)
     df = compiler._compile(node)
     if materialized_out is not None:
         materialized_out.extend(compiler._materialized.values())

@@ -1032,12 +1032,18 @@ def hubness_candidate_histogram(spark, sf_dir, n_planes: int):
     q = emb.select(
         "vec_id", V.quantize(F.col("embedding")).alias("qv")
     ).transform(stage_cache)
+    # norms are a per-row property: compute them ONCE on the n-row frame
+    # (norm_q's own contract), never per candidate pair — cosine_q's
+    # inline form re-runs BOTH 64-element norm folds for every pair,
+    # which at the ×100 candidate volume (~68M pairs) is 2/3 of the
+    # pair-scoring compute for identical results (round-9 ×100 cut)
     b = q.withColumn(
         "bucket", V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=n_planes)
-    ).transform(stage_cache)
+    ).withColumn("nrm", V.norm_q(F.col("qv"))).transform(stage_cache)
     pr = b.select(
         F.col("vec_id").alias("src"),
         F.col("qv").alias("src_qv"),
+        F.col("nrm").alias("src_nrm"),
         F.explode(
             F.array(
                 *[
@@ -1050,6 +1056,7 @@ def hubness_candidate_histogram(spark, sf_dir, n_planes: int):
     d = b.select(
         F.col("vec_id").alias("dst"),
         F.col("qv").alias("dst_qv"),
+        F.col("nrm").alias("dst_nrm"),
         F.col("bucket").cast("long").alias("bucket"),
     )
     # hot buckets (sign-projection buckets skew on clustered embeddings)
@@ -1060,7 +1067,15 @@ def hubness_candidate_histogram(spark, sf_dir, n_planes: int):
         salted_join(pr, d, on=["bucket"], salt=8, salt_on=["src", "bucket"])
         .filter(F.col("dst") != F.col("src"))
         .select(
-            "src", "dst", V.cosine_q(F.col("src_qv"), F.col("dst_qv")).alias("cos")
+            "src",
+            "dst",
+            # dot/(sqrt(na)*sqrt(nb)) with the sqrts precomputed — the
+            # identical IEEE expression cosine_q evaluates, so values
+            # stay bit-deterministic vs the DuckDB oracle
+            (
+                V.dot_q(F.col("src_qv"), F.col("dst_qv")).cast("double")
+                / (F.col("src_nrm") * F.col("dst_nrm"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
