@@ -119,71 +119,115 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round-9: new/changed capabilities ---
-    "parsed_array_operators",  # new: @> <@ && spellings via the native parser
-    "parsed_set_offset",  # new: OFFSET + WITH on set queries (ref SetQuery parity)
-    # --- round-8: new/changed capabilities ---
-    "parsed_cte_target_columns",  # new: WITH v(a,b) AS (SELECT ...) rename
-    "parsed_values_cte",  # new: VALUES-backed CTE as banding dimension
-    "parsed_materialized_cte",  # new: MATERIALIZED flag -> shared df.cache()
-    "opt_directional_build_sides",  # new: forced build/probe roles per join
-    "ann_hubness_adaptive",  # new: plane-count contract in-operator, full oracle
-    "parsed_scalar_subquery_lift",  # new: scalar subqueries via 1-row crossjoin
-    "parsed_correlated_scalar",  # new: correlated scalars via LATERAL decorrelation
-    # (sample_contamination_check — r8 gram-hash exchange change — already
-    # sits in the round-7 block below)
-    # --- round-7: new/changed capabilities ---
-    "sample_priority_weighted",  # new: priority sampling (weighted top-k)
-    "sketch_kmv_estimate_only",  # new: production KMV (no exact-join gauge)
-    "sketch_kmv_source_overlap",  # new: KMV bottom-k sketch set operations
-    "dedup_containment_lsh",  # new: bucket-local containment (scale tier)
-    "ann_hubness_candidates",  # new: hubness over the LSH candidate graph
-    "opt_learned_cards",  # new: learned-estimator loop closed (train->DP)
-    "parsed_grouping_sets",  # new: GROUPING SETS desugar == DuckDB native
-    "mm_video_decode",  # new: GENUINE PNG frame decode, pixel-digest oracle
-    "sample_contamination_check",  # new: train/test n-gram decontamination
-    "sample_split_leakage",  # new: near-dup clusters straddling splits
-    "dedup_rate_curve",  # new: pair counts per exact Jaccard decile
-    "events_seasonality_profile",  # new: dow x hour load heat-map, exact ppm
-    "emb_dim_health",  # new: per-dimension exact moments (dead-dim screen)
-    # --- round-6: new/changed capabilities ---
-    "parsed_named_window",  # new: ANSI WINDOW clause, inlined at the door
-    "parsed_ansi_call_forms",  # new: POSITION/SUBSTRING-FROM/TRIM-BOTH + IS TRUE
-    "sql_grouping_marker",  # new: GROUPING() flags over ROLLUP
-    "corpus_burstiness",  # new: cf/df burstiness over the vocab head
-    "events_rfm_segments",  # new: RFM quartile census, exact-DECIMAL totals
-    "corpus_length_percentiles",  # new: exact histogram-method percentiles
-    "dedup_shingle_containment",  # new: asymmetric containment near-dup pairs
-    "events_markov_transitions",  # new: event-type transition matrix, exact ppm
-    "corpus_length_buckets",  # new: pow2 length buckets + padding-waste ppm
-    "ann_hubness_indegree",  # new: exact 5-NN in-degree histogram (hubness)
-    "events_pareto_concentration",  # new: 50/80/95% activity concentration
-    "events_interarrival_gaps",  # new: gap percentiles -> session threshold
-    "corpus_heaps_fit",  # new: Heaps-law vocab growth via first occurrences
-    "sketch_bloom_tokens",  # new: Bloom membership sketch + probe readout
-    "opt_dp_regional_revenue",  # new: textbook-DP planned flagship, Cout costed
-    "emb_outlier_centroid",  # new: per-label centroid-cosine outlier screen
-    "sample_split_assign",  # new: leakage-safe group-hash train/valid/test split
-    "corpus_source_kl",  # new: per-source KL vs corpus over the top-K vocab head
-    "text_zipf_fit",  # new: Zipf slope + r^2 corpus fingerprint
-    "corpus_summary_card",  # new: one-row dataset datasheet composite
-    "text_lang_confusion",  # new: lang-ID confusion matrix w/ recall ppm
-    "sample_epoch_schedule",  # new: per-source epoch/upsampling plan
-    "events_anomaly_zscore",  # new: hourly volume z-scores, exact moments
-    "events_topk_per_window",  # new: per-window leaderboard, WindowGroupLimit
-    "dedup_cluster_sources",  # new: cross-source duplication matrix
-    "sample_token_budget_fill",  # new: two-level prefix-scan budget fill
-    "tokenizer_fertility",  # new: per-lang subword fertility / bytes-per-token
-    "dedup_substring_spans",  # new: exact substring-span dedup (Lee et al.)
-    "tokenizer_bpe_merge_round",  # new: full BPE iteration (apply + recount)
-    "sample_temperature_mix",  # new: temperature-scaled mixture sampling
-    "dedup_semantic_clusters",  # new: SemDeDup cluster-local semantic dedup
-    "sample_importance_dsir",  # new: DSIR hashed-bigram importance resampling
-    "quality_char_entropy",  # new: character-entropy quality filter
-    "sketch_hll_estimate_only",  # new: estimate-only HLL, zero distinct exchange
-    "quality_lm_score",  # changed: top-K-pruned (bounded-broadcast) LM vocab
-    # --- round-6 rotation: last round's overflow (PRIORITY_WINDOW[50:],
-    #     last driver rows r4) ---
+    # --- round-9: new/changed capabilities (driver re-verifies first) ---
+    "parsed_array_operators",  # new r9: @> <@ && spellings via the native parser
+    "parsed_set_offset",  # new r9: OFFSET + WITH on set queries (ref SetQuery parity)
+    "ann_hubness_adaptive",  # changed r9: per-pair norm folds hoisted (-42% at x100)
+    "ann_hubness_candidates",  # changed r9: shares the hoisted-norm kernel
+    "parsed_named_window",  # changed r9: sort-above-window fix touches its plan
+    "parsed_materialized_cte",  # changed r9: statement-scoped cache lifecycle
+    "parsed_scalar_subquery_lift",  # changed r9: LIMIT/OFFSET single-row guard
+    # --- round-9 rotation (verdict item 8): the driver verifies the
+    #     first 50 registry entries each round; these are the rows the
+    #     driver has gone LONGEST without sampling (last seen r2/r3 —
+    #     union coverage stays 215/215 via the judge's full sweep, this
+    #     keeps the DRIVER cycling through the whole registry too) ---
+    "ann_ivf_topk",  # last driver-sampled r2
+    "ann_lsh_bucket_histogram",  # last driver-sampled r2
+    "ann_lsh_topk",  # last driver-sampled r2
+    "dedup_components",  # last driver-sampled r2
+    "dedup_embedding_cosine",  # last driver-sampled r2
+    "dedup_exact",  # last driver-sampled r2
+    "dedup_ngram_jaccard",  # last driver-sampled r2
+    "dedup_simhash",  # last driver-sampled r2
+    "events_asof_join",  # last driver-sampled r2
+    "events_json_props",  # last driver-sampled r2
+    "events_range_join_binned",  # last driver-sampled r2
+    "events_sessionize",  # last driver-sampled r2
+    "events_window_agg",  # last driver-sampled r2
+    "expr_agg_filter",  # last driver-sampled r2
+    "expr_quantifier_all",  # last driver-sampled r2
+    "expr_scalar_subquery",  # last driver-sampled r2
+    "expr_string_agg",  # last driver-sampled r2
+    "mm_binary_features",  # last driver-sampled r2
+    "mm_frame_sample",  # last driver-sampled r2
+    "pred_array_operators",  # last driver-sampled r2
+    "pred_exists_correlated",  # last driver-sampled r2
+    "pred_is_distinct_from",  # last driver-sampled r2
+    "pred_not_in_null_aware",  # last driver-sampled r2
+    "sql_distinct_on",  # last driver-sampled r2
+    "sql_full_outer_join",  # last driver-sampled r2
+    "sql_grouping_sets",  # last driver-sampled r2
+    "sql_lateral_subquery",  # last driver-sampled r2
+    "sql_natural_join",  # last driver-sampled r2
+    "sql_right_outer_join",  # last driver-sampled r2
+    "text_fingerprint",  # last driver-sampled r2
+    "text_lang_id",  # last driver-sampled r2
+    "text_quality_score",  # last driver-sampled r2
+    "text_token_stats",  # last driver-sampled r2
+    "text_winnow_segments",  # last driver-sampled r2
+    "udf_doc_hash",  # last driver-sampled r2
+    "udf_tokenize_topk",  # last driver-sampled r2
+    "udf_xor_checksum",  # last driver-sampled r2
+    "ann_ivf_kmeans",  # last driver-sampled r3
+    "contamination_ngram_overlap",  # last driver-sampled r3
+    "corpus_mix_weights",  # last driver-sampled r3
+    "corpus_vocab_topk",  # last driver-sampled r3
+    "dedup_canonical",  # last driver-sampled r3
+    "expr_all_quantifier",  # last driver-sampled r3
+    # --- overflow (PRIORITY_WINDOW[50:]) — recently driver-verified
+    #     r8/r7/r6 blocks and the operator demos, pushed behind the
+    #     rotation; every row re-oracled by the full sweep each round ---
+    "parsed_cte_target_columns",
+    "parsed_values_cte",
+    "opt_directional_build_sides",
+    "parsed_correlated_scalar",
+    "sample_priority_weighted",
+    "sketch_kmv_estimate_only",
+    "sketch_kmv_source_overlap",
+    "dedup_containment_lsh",
+    "opt_learned_cards",
+    "parsed_grouping_sets",
+    "mm_video_decode",
+    "sample_contamination_check",
+    "sample_split_leakage",
+    "dedup_rate_curve",
+    "events_seasonality_profile",
+    "emb_dim_health",
+    "parsed_ansi_call_forms",
+    "sql_grouping_marker",
+    "corpus_burstiness",
+    "events_rfm_segments",
+    "corpus_length_percentiles",
+    "dedup_shingle_containment",
+    "events_markov_transitions",
+    "corpus_length_buckets",
+    "ann_hubness_indegree",
+    "events_pareto_concentration",
+    "events_interarrival_gaps",
+    "corpus_heaps_fit",
+    "sketch_bloom_tokens",
+    "opt_dp_regional_revenue",
+    "emb_outlier_centroid",
+    "sample_split_assign",
+    "corpus_source_kl",
+    "text_zipf_fit",
+    "corpus_summary_card",
+    "text_lang_confusion",
+    "sample_epoch_schedule",
+    "events_anomaly_zscore",
+    "events_topk_per_window",
+    "dedup_cluster_sources",
+    "sample_token_budget_fill",
+    "tokenizer_fertility",
+    "dedup_substring_spans",
+    "tokenizer_bpe_merge_round",
+    "sample_temperature_mix",
+    "dedup_semantic_clusters",
+    "sample_importance_dsir",
+    "quality_char_entropy",
+    "sketch_hll_estimate_only",
+    "quality_lm_score",
     "op_duplicate_elimination",
     "op_grouping",
     "op_grouping_global",
@@ -195,62 +239,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "op_theta_join_nonequi",
     "op_union",
     "op_union_all",
-    # --- oldest driver rows next: the r1 trio, then the r2 cohort in
-    #     their r2 verification order — no row ages past this rotation.
-    #     (The r5 head — opt_plantime_selfjoin, ann_recall_at_k, every
-    #     parsed_* entry, the TPC-H tail — is freshly green in
-    #     CORRECTNESS_r05 and rolls behind the overflow; the full-suite
-    #     oracle sweep still re-checks all of them every round.) ---
     "op_map_expressions",
     "op_relation_projection",
     "op_selection",
     "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_bucket_histogram",
-    "ann_lsh_topk",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_asof_join",
-    "events_json_props",
-    "events_range_join_binned",
-    "events_sessionize",
-    "events_window_agg",
-    "expr_agg_filter",
-    "expr_quantifier_all",
-    "expr_scalar_subquery",
-    "expr_string_agg",
-    "mm_binary_features",
-    "mm_frame_sample",
-    "pred_array_operators",
-    "pred_exists_correlated",
-    "pred_is_distinct_from",
-    "pred_not_in_null_aware",
-    "sql_distinct_on",
-    "sql_full_outer_join",
-    "sql_grouping_sets",
-    "sql_lateral_subquery",
-    "sql_natural_join",
-    "sql_right_outer_join",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    # --- entries from index 50 on sit past the driver's 50-slot window:
-    #     the next-oldest r2 rows, first in line for the round-7 head.
-    #     Do NOT enumerate the overflow in prose (a hand-kept list went
-    #     stale twice in round 5): it is ALWAYS PRIORITY_WINDOW[50:],
-    #     pinned as the registry prefix by
-    #     tests/test_queries_oracle.py::test_priority_window_is_the_
-    #     registry_prefix, and every overflow row is re-oracled each
-    #     round by the full-suite sweep ---
-    "text_winnow_segments",
-    "udf_doc_hash",
-    "udf_tokenize_topk",
-    "udf_xor_checksum",
-    "ann_ivf_kmeans",
 )
 
 
