@@ -78,18 +78,13 @@ class IntermediateCardinalityInjector:
                     "the CTE so the materialized intermediate cannot "
                     "clobber or be shadowed by catalog state"
                 )
-            # earlier, still-inline CTEs must stay visible to this body;
-            # earlier *materialized* ones already resolve as catalog tables
-            if remaining and not hasattr(sub, "with_clause"):
-                raise ValueError(
-                    f"CTE {name!r} has a set-query body that cannot absorb "
-                    "earlier inline CTEs — target the earlier CTEs too, or "
-                    "reorder so set-query CTEs come first"
-                )
-            # drop outer CTEs the body's OWN ctes shadow: prepending both
+            # earlier, still-inline CTEs must stay visible to this body —
+            # both query kinds absorb them via with_clause (SetQuery
+            # carries a cte_clause since round 9, ref qal/_qal.py:9423);
+            # earlier *materialized* ones already resolve as catalog tables.
+            # Drop outer CTEs the body's OWN ctes shadow: prepending both
             # would render duplicate WITH names, which Spark rejects even
             # though the original query's inner definition legitimately won
-            # (SetQuery bodies have no ctes attribute — default empty)
             own_ctes = getattr(sub, "ctes", ())
             own_names = {cte_name for cte_name, _ in own_ctes}
             inherited = tuple(

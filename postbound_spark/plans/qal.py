@@ -1015,3 +1015,8 @@ class SetQuery:
         if self.offset is not None:
             parts.append(f"OFFSET {self.offset}")
         return "\n".join(parts)
+
+    # -- mutation helper (immutable; mirrors SqlQuery.with_clause) ----------
+
+    def with_clause(self, **changes) -> "SetQuery":
+        return replace(self, **changes)

@@ -128,18 +128,24 @@ def main() -> int:
             "(source table survives)",
         )
 
-    # set-query CTE bodies cannot absorb earlier inline CTEs — loud error,
-    # not an AttributeError from deep inside with_clause
+    # round-9: SetQuery carries a cte_clause (ref qal/_qal.py:9423), so a
+    # set-query CTE body now ABSORBS earlier inline CTEs it references —
+    # the old loud refusal is lifted and the materialization succeeds
     try:
-        inj.plan(
+        df = inj.plan(
             "WITH a AS (SELECT 1 AS x), "
-            "b AS (SELECT 1 AS x UNION SELECT 2 AS x) "
-            "SELECT * FROM a, b",
+            "b AS (SELECT x FROM a UNION SELECT 2 AS x) "
+            "SELECT count(*) AS n FROM a, b",
             {"b": 10},
         )
-        check("set-query-cte-body-refused", False)
-    except ValueError:
-        check("set-query-cte-body-refused", True)
+        check(
+            "set-query-cte-body-absorbs",
+            [tuple(r) for r in df.collect()] == [(2,)],
+        )
+    except Exception as exc:  # noqa: BLE001
+        check("set-query-cte-body-absorbs", False, f"({exc})")
+    finally:
+        inj.cleanup()
 
     print(f"{9 - failures}/9 passed", flush=True)
     return 1 if failures else 0

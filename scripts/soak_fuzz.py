@@ -31,7 +31,7 @@ from hypothesis import HealthCheck, given, seed, settings
 from postbound_spark.operators.compiler import compile_plan
 from postbound_spark.plans.algebra import parse_relalg
 from postbound_spark.plans.parser import parse_query
-from test_differential_fuzz import TABLES, _norm, sql_query
+from test_differential_fuzz import TABLES, _norm, _same_result, sql_query
 
 
 def main() -> int:
@@ -62,16 +62,16 @@ def main() -> int:
     )
     @given(sql=sql_query())
     def soak(sql: str) -> None:
-        got = _norm(
-            tuple(r)
-            for r in compile_plan(
-                parse_relalg(parse_query(sql, schema=TABLES)), spark
-            ).collect()
-        )
-        want = _norm(con.execute(sql).fetchall())
-        if got != want:
+        got = compile_plan(
+            parse_relalg(parse_query(sql, schema=TABLES)), spark
+        ).collect()
+        want = con.execute(sql).fetchall()
+        if not _same_result(sql, got, want):
             state["fail"] += 1
-            print(f"DIVERGENCE: {sql}\n  spark={got[:5]}\n  duck ={want[:5]}")
+            print(
+                f"DIVERGENCE: {sql}\n  spark={_norm(got)[:5]}\n"
+                f"  duck ={_norm(want)[:5]}"
+            )
             raise AssertionError(sql)
         state["ok"] += 1
         if state["ok"] % 100 == 0:

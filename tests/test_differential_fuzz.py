@@ -10,7 +10,12 @@ space is sampled and every sample must produce the same rows on both
 engines. Query generation is constrained by the repo's cross-engine
 conventions (`memory: oracle-hash-traps`): integer and string columns
 only (no float aggregates), no LIMIT without a unique order key, and
-comparison by sorted multiset so ORDER BY ties cannot flake."""
+comparison by sorted multiset so ORDER BY ties cannot flake.
+
+Round-9 addition: strategies whose ORDER BY is a TOTAL order tag their
+SQL with ``/*ordered*/`` and the comparator checks the ordered SEQUENCE
+— the window-sort bug proved row ORDER is a semantics class multiset
+comparison only sees through a LIMIT cut."""
 
 from __future__ import annotations
 
@@ -205,7 +210,7 @@ def select_stmt(draw) -> str:
         return (
             f"SELECT extract(year FROM o_orderdate) AS yr, count(*) AS n, "
             f"min({val}) AS lo FROM {from_clause}{where} "
-            f"GROUP BY extract(year FROM o_orderdate) ORDER BY yr"
+            f"GROUP BY extract(year FROM o_orderdate) ORDER BY yr" + ORDERED
         )
     if shape == 0:  # global aggregate (no GROUP BY)
         val = draw(st.sampled_from(INT_COLS[tables[0]]))
@@ -296,9 +301,14 @@ def select_stmt(draw) -> str:
         else:
             having = ""
         key_list = ", ".join(keys)
+        # ordered compare only when group keys cannot be NULL: under
+        # LEFT JOIN a right-table key null-extends, and the engines'
+        # DEFAULT null ordering differs (Spark NULLS FIRST, DuckDB
+        # NULLS LAST) — implementation-defined, not a divergence
+        marker = ORDERED if "LEFT JOIN" not in from_clause else ""
         return (
             f"SELECT {key_list}, {', '.join(aggs)} FROM {from_clause}{where} "
-            f"GROUP BY {key_list}{having} ORDER BY {key_list}"
+            f"GROUP BY {key_list}{having} ORDER BY {key_list}" + marker
         )
 
     cols = draw(
@@ -357,7 +367,7 @@ def select_stmt(draw) -> str:
     # nondeterministic across engines
     pk = {"customer": "c_custkey", "orders": "o_orderkey"}.get(tables[0])
     if pk and not distinct and draw(st.integers(0, 3)) == 0:
-        sql += f" ORDER BY {pk} LIMIT {draw(st.integers(1, 20))}"
+        sql += f" ORDER BY {pk} LIMIT {draw(st.integers(1, 20))}" + ORDERED
     return sql
 
 
@@ -400,7 +410,7 @@ def cte_surface_query(draw) -> str:
         return (
             f"WITH v({', '.join(names)}) AS {mat}({inner}) "
             f"SELECT {key}, count(*) AS n FROM v "
-            f"GROUP BY {key} ORDER BY {key}"
+            f"GROUP BY {key} ORDER BY {key}" + ORDERED
         )
     # VALUES-backed CTE as a banding dimension over an integer key
     t = draw(st.sampled_from(["customer", "orders"]))
@@ -420,7 +430,7 @@ def cte_surface_query(draw) -> str:
         f"WITH band(name, lo, hi) AS (VALUES {rows}) "
         f"SELECT band.name AS band_name, count(*) AS n FROM {t} "
         f"JOIN band ON {col} >= band.lo AND {col} < band.hi "
-        f"GROUP BY band.name ORDER BY band.name"
+        f"GROUP BY band.name ORDER BY band.name" + ORDERED
     )
 
 
@@ -581,20 +591,20 @@ def scalar_argument_query(draw) -> str:
         return (
             f"SELECT {pk}, CASE WHEN {ic} < {_scalar_snippet(draw)} "
             f"THEN 'lo' ELSE 'hi' END AS band FROM {t} "
-            f"ORDER BY {pk} LIMIT {draw(st.integers(5, 30))}"
+            f"ORDER BY {pk} LIMIT {draw(st.integers(5, 30))}" + ORDERED
         )
     if shape == 1:  # CASE result branch
         return (
             f"SELECT {pk}, CASE WHEN {ic} < {draw(st.integers(3, 15))} "
             f"THEN {_scalar_snippet(draw)} ELSE {draw(st.integers(50, 99))} "
-            f"END AS v FROM {t} ORDER BY {pk} LIMIT {draw(st.integers(5, 30))}"
+            f"END AS v FROM {t} ORDER BY {pk} LIMIT {draw(st.integers(5, 30))}" + ORDERED
         )
     # BETWEEN bound (with an arithmetic tail half the time)
     tail = f" + {draw(st.integers(0, 4))}" if draw(st.booleans()) else ""
     return (
         f"SELECT {pk} FROM {t} WHERE {pk} BETWEEN "
         f"{_scalar_snippet(draw)}{tail} AND {draw(st.integers(20, 60))} "
-        f"ORDER BY {pk}"
+        f"ORDER BY {pk}" + ORDERED
     )
 
 
@@ -627,7 +637,7 @@ def array_predicate_query(draw) -> str:
         pred = f"ARRAY[{sc}, {sc}] && {arr}"
     else:  # compound mixing two operators
         pred = f"ARRAY[{sc}] <@ {arr} OR ARRAY[{sc}] && ARRAY['{pool[0]}']"
-    return f"SELECT {pk}, {sc} FROM {t} WHERE {pred} ORDER BY {pk}"
+    return f"SELECT {pk}, {sc} FROM {t} WHERE {pred} ORDER BY {pk}" + ORDERED
 
 
 @st.composite
@@ -663,7 +673,7 @@ def window_limit_query(draw) -> str:
     order_key = pk
     return (
         f"SELECT {sel_key} AS k, {wf} AS w{scalar} FROM {t}{window} "
-        f"ORDER BY {order_key} LIMIT {draw(st.integers(3, 25))}"
+        f"ORDER BY {order_key} LIMIT {draw(st.integers(3, 25))}" + ORDERED
     )
 
 
@@ -683,7 +693,7 @@ def set_cte_offset_query(draw) -> str:
         op = draw(st.sampled_from(["UNION", "UNION ALL"]))
         return (
             f"WITH v(k) AS (SELECT {c1} FROM {t1} {op} SELECT {c2} FROM {t2}) "
-            f"SELECT k, count(*) AS n FROM v GROUP BY k ORDER BY k"
+            f"SELECT k, count(*) AS n FROM v GROUP BY k ORDER BY k" + ORDERED
         )
     # WITH over the whole set query + ORDER BY/OFFSET[/LIMIT] on the set
     off = draw(st.integers(1, 10))
@@ -691,7 +701,7 @@ def set_cte_offset_query(draw) -> str:
     return (
         f"WITH a AS (SELECT {c1} AS k FROM {t1}) "
         f"SELECT k FROM a UNION SELECT {c2} FROM {t2} "
-        f"ORDER BY k{lim} OFFSET {off}"
+        f"ORDER BY k{lim} OFFSET {off}" + ORDERED
     )
 
 
@@ -723,18 +733,33 @@ def sql_query(draw) -> str:
     return draw(select_stmt())
 
 
+def _cells(rows) -> list[tuple]:
+    return [
+        tuple(int(v) if isinstance(v, (Decimal, bool)) else v for v in row)
+        for row in rows
+    ]
+
+
 def _norm(rows) -> list[tuple]:
-    out = []
-    for row in rows:
-        out.append(
-            tuple(
-                int(v) if isinstance(v, (Decimal, bool)) else v for v in row
-            )
-        )
     # repr-keyed sort: a consistent total order even when cells hold
     # NULLs / mixed types (FULL JOIN null-extends both sides; grouping
     # sets NULL-pad their keys) — equality still compares real values
-    return sorted(out, key=repr)
+    return sorted(_cells(rows), key=repr)
+
+
+#: strategies whose ORDER BY forms a TOTAL order (unique key / full
+#: group-key list) append this marker; the comparator then checks the
+#: ordered SEQUENCE, not the sorted multiset. Round-9 lesson: the
+#: window-sort bug produced wrong ROW ORDER that multiset comparison
+#: can only see through a LIMIT cut — ordering is its own semantics
+#: class and gets its own check. Both engines ignore the comment.
+ORDERED = " /*ordered*/"
+
+
+def _same_result(sql: str, got_rows, want_rows) -> bool:
+    if ORDERED in sql:
+        return _cells(got_rows) == _cells(want_rows)
+    return _norm(got_rows) == _norm(want_rows)
 
 
 #: fuzzer-found divergences, pinned forever (each entry once crashed or
@@ -772,16 +797,16 @@ REGRESSIONS = [
     # (grammar-v17 probe find); the Sort must sit ABOVE a window-bearing
     # projection
     "SELECT c_custkey, count(*) OVER (PARTITION BY c_mktsegment) AS cnt "
-    "FROM customer ORDER BY c_custkey LIMIT 5",
+    "FROM customer ORDER BY c_custkey LIMIT 5" + ORDERED,
     # round-9: same, ORDER BY on a column the projection DROPS — the
     # sort keys ride through under generated helper names and are
     # stripped above the limit
     "SELECT c_name, count(*) OVER (PARTITION BY c_mktsegment) AS cnt "
-    "FROM customer ORDER BY c_custkey LIMIT 5",
+    "FROM customer ORDER BY c_custkey LIMIT 5" + ORDERED,
     # round-9: window + lifted scalar subquery + ORDER BY/LIMIT together
     "SELECT c_custkey, count(*) OVER (PARTITION BY c_mktsegment) AS cnt, "
     "(SELECT max(n_regionkey) FROM nation) AS m "
-    "FROM customer ORDER BY c_custkey LIMIT 5",
+    "FROM customer ORDER BY c_custkey LIMIT 5" + ORDERED,
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
@@ -802,14 +827,11 @@ def test_fuzzer_regressions_pinned(engines, sql, schema):
     at all. A predicate containing any unbound column must never be
     classified as a single-table filter (plans/algebra.py fail-safe)."""
     spark, con = engines
-    got = _norm(
-        tuple(r)
-        for r in compile_plan(
-            parse_relalg(parse_query(sql, schema=schema)), spark
-        ).collect()
-    )
-    want = _norm(con.execute(sql).fetchall())
-    assert got == want, f"divergence on: {sql}"
+    got = compile_plan(
+        parse_relalg(parse_query(sql, schema=schema)), spark
+    ).collect()
+    want = con.execute(sql).fetchall()
+    assert _same_result(sql, got, want), f"divergence on: {sql}"
 
 
 @settings(max_examples=30, deadline=None)
@@ -819,11 +841,8 @@ def test_generated_queries_match_duckdb(engines, sql):
     # schema binding resolves unqualified subquery references against the
     # enclosing scope (ANSI) — required for the generated correlated
     # EXISTS shapes, and exactly what a live Database binding provides
-    got = _norm(
-        tuple(r)
-        for r in compile_plan(
-            parse_relalg(parse_query(sql, schema=TABLES)), spark
-        ).collect()
-    )
-    want = _norm(con.execute(sql).fetchall())
-    assert got == want, f"divergence on: {sql}"
+    got = compile_plan(
+        parse_relalg(parse_query(sql, schema=TABLES)), spark
+    ).collect()
+    want = con.execute(sql).fetchall()
+    assert _same_result(sql, got, want), f"divergence on: {sql}"
