@@ -123,12 +123,29 @@ class Database:
             # — including outer references inside EXISTS/IN subqueries —
             # resolve against the catalog, so the facade accepts the same
             # unbound SQL the reference does
+            parsed = parse_query(query, schema=self._live_schema())
+            explain = getattr(parsed, "explain", None)
+            if explain is not None:
+                from dataclasses import replace as _dc_replace
+
+                parsed = _dc_replace(parsed, explain=None)
             df = compile_plan(
-                parse_relalg(parse_query(query, schema=self._live_schema())),
+                parse_relalg(parsed),
                 self.spark,
                 materialized_out=out,
                 materialized_memo=memo,
             )
+            if explain is not None:
+                # EXPLAIN returns the PLAN, not the rows (ref Explain
+                # clause execution; Spark's own EXPLAIN output shape —
+                # one row holding the plan text). ANALYZE maps to the
+                # cost-annotated mode (transform.as_explain_analyze).
+                mode = "cost" if explain.analyze else "simple"
+                jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    mode
+                )
+                plan = df._jdf.queryExecution().explainString(jmode)
+                return [(plan,)] if raw else plan
         elif isinstance(query, str):
             try:
                 df = self.spark.sql(query)

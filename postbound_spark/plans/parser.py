@@ -382,10 +382,43 @@ class _Parser:
     # ---- queries ---------------------------------------------------------
 
     def parse(self) -> Q.SqlQuery | Q.SetQuery:
+        explain = self._parse_explain()
         q = self.parse_query()
         if self.t.peek() is not None:
             raise ParserError(f"trailing tokens at {self.t.peek()!r}")
+        if explain is not None:
+            q = replace(q, explain=explain)
         return q
+
+    def _parse_explain(self) -> Q.Explain | None:
+        """Leading ``EXPLAIN [ANALYZE] [(option, ...)]`` (ref ExplainStmt
+        parse, parser.py:1996: ANALYZE flag + FORMAT option; unknown
+        options are a loud ParserError exactly like the reference)."""
+        if self.t.peek_kw() != "explain":
+            return None
+        self.t.next()
+        analyze, fmt = False, "TEXT"
+        if self.t.peek_kw() == "analyze":
+            self.t.next()
+            analyze = True
+        elif self.t.peek() == "(" and self.t.peek_kw(1) not in ("select", "with"):
+            # parens after EXPLAIN are an option list unless they open a
+            # query — ref ExplainStmt options (unknown option = loud error)
+            self.t.next()
+            while True:
+                opt = self.t.next().lower()
+                if opt == "analyze":
+                    analyze = True
+                elif opt == "format":
+                    fmt = self.t.next().upper()
+                elif opt == "verbose":
+                    pass  # accepted, no IR effect (plan text is already full)
+                else:
+                    raise ParserError(f"unknown explain option: {opt!r}")
+                if not self.t.accept(","):
+                    break
+            self.t.expect(")")
+        return Q.Explain(analyze, fmt)
 
     def parse_query(self) -> Q.SqlQuery | Q.SetQuery:
         # Grouping sets are threaded through parser state between

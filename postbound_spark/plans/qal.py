@@ -865,6 +865,27 @@ class OrderByExpression:
 
 
 @dataclass(frozen=True)
+class Explain:
+    """EXPLAIN clause (ref ``Explain`` qal/_qal.py:5161, parsed by
+    ``_pglast_parse_explain`` parser.py:1996): ANALYZE flag + output
+    format. Execution maps to Spark's plan introspection — the facade
+    returns the formatted plan text as the statement's result."""
+
+    analyze: bool = False
+    format: str = "TEXT"
+
+    def to_sql(self) -> str:
+        opts = []
+        if self.analyze:
+            opts.append("ANALYZE")
+        if self.format.upper() != "TEXT":
+            opts.append(f"FORMAT {self.format}")
+        if self.format.upper() != "TEXT":
+            return f"EXPLAIN ({', '.join(opts)})"
+        return "EXPLAIN ANALYZE" if self.analyze else "EXPLAIN"
+
+
+@dataclass(frozen=True)
 class SqlQuery:
     """Clause-structured immutable SELECT (ref ``SqlQuery`` qal/_qal.py:8390;
     no DDL/DML, no recursive CTEs — same scope limits, ``:8433-8437``)."""
@@ -897,6 +918,9 @@ class SqlQuery:
     # (/*+ BROADCAST(t) */ etc.), DuckDB treats it as a comment, so hinted
     # renderings stay oracle-safe
     hint: str | None = None
+    # EXPLAIN clause (ref explain_clause qal/_qal.py:8420) — the facade
+    # executes the inner query's PLAN introspection instead of its rows
+    explain: "Explain | None" = None
 
     # -- introspection ------------------------------------------------------
 
@@ -912,6 +936,8 @@ class SqlQuery:
 
     def to_sql(self) -> str:
         parts: list[str] = []
+        if self.explain is not None:
+            parts.append(self.explain.to_sql())
         if self.ctes:
             rendered = ", ".join(
                 f"{cte[0]} AS "
@@ -989,12 +1015,16 @@ class SetQuery:
     limit: int | None = None
     offset: int | None = None
     ctes: tuple[tuple[str, "SqlQuery"], ...] = ()
+    # EXPLAIN clause (ref SetQuery explain_clause qal/_qal.py:9434)
+    explain: "Explain | None" = None
 
     def tables(self) -> frozenset[str]:
         return self.left.tables() | self.right.tables()
 
     def to_sql(self) -> str:
         parts: list[str] = []
+        if self.explain is not None:
+            parts.append(self.explain.to_sql())
         if self.ctes:
             rendered = ", ".join(
                 f"{cte[0]} AS "

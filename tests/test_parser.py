@@ -1480,3 +1480,62 @@ class TestSetQueryOffsetAndCte:
                 "SELECT r_name FROM region UNION SELECT n_name FROM nation "
                 "ORDER BY r_name FETCH PRIOR 3 ROWS ONLY"
             )
+
+
+class TestExplainClause:
+    """Round-9: EXPLAIN [ANALYZE] [(options)] parsed into the IR (ref
+    Explain qal/_qal.py:5161 / ExplainStmt parse parser.py:1996) — the
+    reference's pglast parser accepts the statement form; ours now does
+    too, for both query kinds."""
+
+    def test_plain_explain(self):
+        from postbound_spark.plans import qal as Q
+
+        q = parse_query("EXPLAIN SELECT r_name FROM region")
+        assert q.explain == Q.Explain(False, "TEXT")
+        assert q.to_sql().startswith("EXPLAIN\nSELECT")
+
+    def test_explain_analyze_and_options(self):
+        from postbound_spark.plans import qal as Q
+
+        q = parse_query("EXPLAIN ANALYZE SELECT r_name FROM region")
+        assert q.explain == Q.Explain(True, "TEXT")
+        q = parse_query(
+            "EXPLAIN (ANALYZE, FORMAT JSON) SELECT r_name FROM region"
+        )
+        assert q.explain == Q.Explain(True, "JSON")
+        with pytest.raises(ParserError, match="explain option"):
+            parse_query("EXPLAIN (WIBBLE) SELECT 1")
+
+    def test_explain_set_query(self):
+        from postbound_spark.plans import qal as Q
+
+        q = parse_query(
+            "EXPLAIN SELECT r_name FROM region UNION SELECT n_name FROM nation"
+        )
+        assert isinstance(q, Q.SetQuery)
+        assert q.explain is not None
+
+    def test_explain_parenthesized_query_not_options(self):
+        # EXPLAIN (SELECT ...) — parens open a query, not an option list
+        q = parse_query("EXPLAIN (SELECT r_name FROM region)")
+        assert q.explain is not None
+
+    def test_facade_returns_plan_text(self, spark, sf_small):
+        from postbound_spark.database import Database
+
+        db = Database(spark, sf_small, rebind=True)
+        try:
+            plan = db.execute_query(
+                "EXPLAIN SELECT count(*) AS n FROM nation WHERE n_regionkey = 1",
+                native=True,
+            )
+            assert isinstance(plan, str) and "Physical Plan" in plan
+            rows = db.execute_query(
+                "EXPLAIN ANALYZE SELECT count(*) AS n FROM nation",
+                native=True,
+                raw=True,
+            )
+            assert len(rows) == 1 and "Cost" in rows[0][0] or "Statistics" in rows[0][0]
+        finally:
+            db.release()
