@@ -78,6 +78,7 @@ class UnsupportedSqlError(ParserError):
 _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+    | (?P<estr>[eE]'(?:[^'\\]|\\.|'')*')
     | (?P<str>'(?:[^']|'')*')
     | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<qid>"[^"]*")
@@ -99,6 +100,32 @@ _KEYWORDS_STOP = {
 }
 
 
+_E_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+    "\\": "\\", "'": "'",
+}
+
+
+def _decode_estring(tok: str) -> str:
+    """Postgres escape-string literal ``E'…'`` → standard SQL literal
+    (pglast normalizes these to plain string constants, so the reference
+    accepts them transparently; we decode at tokenize time so the rest
+    of the pipeline — and both engines — only ever see ANSI literals)."""
+    body, out, i = tok[2:-1], [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            out.append(_E_ESCAPES.get(body[i + 1], body[i + 1]))
+            i += 2
+        elif c == "'":  # '' escape
+            out.append("'")
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "'" + "".join(out).replace("'", "''") + "'"
+
+
 class _Tokens:
     def __init__(self, text: str):
         self.toks: list[str] = []
@@ -108,7 +135,9 @@ class _Tokens:
             if m is None:
                 raise ParserError(f"cannot tokenize at: {text[pos:pos + 25]!r}")
             pos = m.end()
-            if m.lastgroup != "ws":
+            if m.lastgroup == "estr":
+                self.toks.append(_decode_estring(m.group()))
+            elif m.lastgroup != "ws":
                 self.toks.append(m.group())
         self.i = 0
 
@@ -604,6 +633,17 @@ class _Parser:
             q = self.parse_query()
             self.t.expect(")")
             return q
+        if self.t.peek_kw() == "table":
+            # Postgres `TABLE name` shorthand ≡ SELECT * FROM name —
+            # pglast normalizes it to a SelectStmt, so the reference's
+            # parser accepts it transparently; composes with set ops
+            # (`TABLE a UNION TABLE b`) by construction here
+            self.t.next()
+            name = _ident(self.t.next())
+            return Q.SqlQuery(
+                select=(Q.BaseProjection(Q.SqlExpression("*"), None),),
+                from_tables=(Q.TableReference(name),),
+            )
         return self._parse_select()
 
     def _parse_select(self) -> Q.SqlQuery:

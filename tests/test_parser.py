@@ -1539,3 +1539,29 @@ class TestExplainClause:
             assert len(rows) == 1 and "Cost" in rows[0][0] or "Statistics" in rows[0][0]
         finally:
             db.release()
+
+
+def test_table_shorthand_and_estrings(spark, sf_small):
+    """Round-9 probe battery: `TABLE name` shorthand and E'' escape
+    strings — pglast normalizes both to plain forms, so the reference's
+    parser accepts them transparently; ours now does too."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators.compiler import compile_plan
+    from postbound_spark.plans import qal as Q
+    from postbound_spark.plans.algebra import parse_relalg
+
+    q = parse_query("TABLE region")
+    assert isinstance(q, Q.SqlQuery) and q.select[0].expr.sql == "*"
+    cat = load_tables(spark, sf_small, ["region"])
+    assert compile_plan(parse_relalg(q), spark, cat).count() == 5
+
+    # set-op composition
+    q2 = parse_query("TABLE region UNION ALL TABLE region")
+    assert compile_plan(parse_relalg(q2), spark, cat).count() == 10
+
+    # E-string escapes decode to ANSI literals at tokenize time
+    q3 = parse_query(r"SELECT E'a\nb' AS s, E'it\'s' AS t")
+    rendered = q3.to_sql()
+    assert "'a\nb'" in rendered and "'it''s'" in rendered
+    rows = compile_plan(parse_relalg(q3), spark, {}).collect()
+    assert rows[0].s == "a\nb" and rows[0].t == "it's"
