@@ -291,11 +291,16 @@ class _Compiler(ra.RelNodeVisitor):
         return out.distinct() if node.distinct else out
 
     def visit_intersection(self, node: ra.Intersection) -> DataFrame:
-        return self._compile(node.left).intersect(self._compile(node.right))
+        left, right = self._compile(node.left), self._compile(node.right)
+        # bag semantics (INTERSECT ALL, extension) → native intersectAll;
+        # both forms are a single left-semi-style hash join under Catalyst
+        return left.intersect(right) if node.distinct else left.intersectAll(right)
 
     def visit_difference(self, node: ra.Difference) -> DataFrame:
-        # set semantics (ref: relalg.py:893) — Spark's subtract == EXCEPT DISTINCT
-        return self._compile(node.left).subtract(self._compile(node.right))
+        # set semantics (ref: relalg.py:893) — Spark's subtract == EXCEPT DISTINCT;
+        # bag semantics (EXCEPT ALL, extension) → native exceptAll
+        left, right = self._compile(node.left), self._compile(node.right)
+        return left.subtract(right) if node.distinct else left.exceptAll(right)
 
 
 def compile_plan(

@@ -204,6 +204,10 @@ def parse_relalg(
             node = ra.Union(left, right, distinct=False)
         elif query.operator is Q.SetOperator.INTERSECT:
             node = ra.Intersection(left, right)
+        elif query.operator is Q.SetOperator.INTERSECT_ALL:
+            node = ra.Intersection(left, right, distinct=False)
+        elif query.operator is Q.SetOperator.EXCEPT_ALL:
+            node = ra.Difference(left, right, distinct=False)
         else:
             node = ra.Difference(left, right)
         if query.order_by:

@@ -532,8 +532,13 @@ class _Parser:
             operand = self._parse_set_operand()
             while self.t.peek_kw() == "intersect":
                 self.t.next()
+                op = (
+                    Q.SetOperator.INTERSECT_ALL
+                    if self.t.accept("all")
+                    else Q.SetOperator.INTERSECT
+                )
                 rhs = self._parse_set_operand()
-                operand = Q.SetQuery(operand, Q.SetOperator.INTERSECT, rhs)
+                operand = Q.SetQuery(operand, op, rhs)
             return operand
 
         q = intersect_chain()
@@ -546,7 +551,11 @@ class _Parser:
                     else Q.SetOperator.UNION
                 )
             else:
-                op = Q.SetOperator.EXCEPT
+                op = (
+                    Q.SetOperator.EXCEPT_ALL
+                    if self.t.accept("all")
+                    else Q.SetOperator.EXCEPT
+                )
             rhs = intersect_chain()
             q = Q.SetQuery(q, op, rhs)
         pending_sets = self._pending_grouping_sets

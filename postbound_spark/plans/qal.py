@@ -992,12 +992,17 @@ class SqlQuery:
 
 
 class SetOperator(enum.Enum):
-    """ref ``SetOperator`` qal/_qal.py:79-86."""
+    """ref ``SetOperator`` qal/_qal.py:79-86. The ALL bag-semantics
+    variants of INTERSECT/EXCEPT are an extension beyond the reference
+    (its enum stops at UNION ALL); Spark executes them natively via
+    ``intersectAll``/``exceptAll``."""
 
     UNION = "UNION"
     UNION_ALL = "UNION ALL"
     INTERSECT = "INTERSECT"
+    INTERSECT_ALL = "INTERSECT ALL"
     EXCEPT = "EXCEPT"
+    EXCEPT_ALL = "EXCEPT ALL"
 
 
 @dataclass(frozen=True)

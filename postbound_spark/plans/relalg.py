@@ -252,18 +252,22 @@ class Union(RelNode):
 
 @dataclass(frozen=True)
 class Intersection(RelNode):
-    """∩ (ref: relalg.py:780)."""
+    """∩ (ref: relalg.py:780). ``distinct=False`` is the bag-semantics
+    INTERSECT ALL extension (beyond the reference's node set)."""
 
     left: RelNode = None  # type: ignore[assignment]
     right: RelNode = None  # type: ignore[assignment]
+    distinct: bool = True
 
 
 @dataclass(frozen=True)
 class Difference(RelNode):
-    """− (ref: relalg.py:892)."""
+    """− (ref: relalg.py:892). ``distinct=False`` is the bag-semantics
+    EXCEPT ALL extension (beyond the reference's node set)."""
 
     left: RelNode = None  # type: ignore[assignment]
     right: RelNode = None  # type: ignore[assignment]
+    distinct: bool = True
 
 
 @dataclass(frozen=True)

@@ -120,6 +120,8 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-9: new/changed capabilities (driver re-verifies first) ---
+    "parsed_intersect_all",  # new r9b: INTERSECT ALL bag semantics (beyond reference)
+    "parsed_except_all",  # new r9b: EXCEPT ALL + ANSI precedence vs INTERSECT ALL
     "parsed_array_operators",  # new r9: @> <@ && spellings via the native parser
     "parsed_set_offset",  # new r9: OFFSET + WITH on set queries (ref SetQuery parity)
     "ann_hubness_adaptive",  # changed r9: per-pair norm folds hoisted (-42% at x100)

@@ -633,6 +633,58 @@ def test_intersect_binds_tighter_than_union():
     assert q.right.operator is Q.SetOperator.INTERSECT
 
 
+def test_intersect_except_all_parse_and_roundtrip():
+    """INTERSECT ALL / EXCEPT ALL (bag-semantics extension beyond the
+    reference's SetOperator) parse, keep ANSI precedence, and round-trip."""
+    from postbound_spark.plans import qal as Q
+
+    q = parse_query(
+        "SELECT a FROM t EXCEPT ALL SELECT a FROM u INTERSECT ALL SELECT a FROM v"
+    )
+    assert isinstance(q, Q.SetQuery)
+    assert q.operator is Q.SetOperator.EXCEPT_ALL
+    assert isinstance(q.right, Q.SetQuery)
+    assert q.right.operator is Q.SetOperator.INTERSECT_ALL
+    rt = parse_query(q.to_sql())
+    assert isinstance(rt, Q.SetQuery) and rt.operator is Q.SetOperator.EXCEPT_ALL
+    assert rt.right.operator is Q.SetOperator.INTERSECT_ALL
+
+
+def test_intersect_all_bag_semantics(spark, sf_small):
+    """INTERSECT ALL keeps min(m, n) duplicates — strictly more rows than
+    the set-semantics INTERSECT on a multiset input."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    cat = load_tables(spark, sf_small, ["orders"])
+
+    def run(sql: str) -> list:
+        return sorted(
+            r.k for r in compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect()
+        )
+
+    base = (
+        "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000 "
+        "{op} SELECT o_custkey AS k FROM orders"
+    )
+    bag = run(base.format(op="INTERSECT ALL"))
+    dedup = run(base.format(op="INTERSECT"))
+    assert set(bag) == set(dedup)
+    assert len(bag) > len(dedup)  # duplicates survive the ALL form
+    # EXCEPT ALL: subtracting one copy of each value leaves m-1 copies
+    left = run("SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000")
+    minus_one = run(
+        "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 50000 "
+        "EXCEPT ALL SELECT DISTINCT o_custkey AS k FROM orders"
+    )
+    from collections import Counter
+
+    want = Counter(left)
+    want.subtract(Counter(set(left)))
+    assert Counter(minus_one) == +want
+
+
 def test_order_by_ordinal_resolves_to_select_position(spark, sf_small):
     """ORDER BY 1 must sort by the first output column, not the constant 1."""
     from postbound_spark.catalog import load_tables
