@@ -151,6 +151,50 @@ def _scalar_subquery_spans(text: str) -> list[str]:
         pos = end
 
 
+_TIES_COUNTER = [0]
+
+
+def _ties_cutoff(
+    tree: ra.RelNode, sort_keys: tuple[ra.SortKey, ...], limit: int
+) -> ra.RelNode:
+    """FETCH FIRST n ROWS WITH TIES — rank()-window cutoff (extension
+    beyond the reference's Limit clause, which models ONLY). The rank is
+    computed over the exact presentation order (null placement made
+    explicit to match the Sort compilation's Spark defaults), rows with
+    rank <= n survive (ties of the last row included), the helper column
+    is dropped, and presentation order is restored on top. Spark's
+    InferWindowGroupLimit turns the rank-filter-over-window shape into a
+    WindowGroupLimit — a per-partition partial top-n before the single
+    exchange — so the cutoff scales like any other top-n, not like a
+    global sort."""
+    if not sort_keys:
+        raise UnsupportedSqlError(
+            "FETCH ... WITH TIES requires ORDER BY for a tie group"
+        )
+    # a Sort directly below the rank window is semantically dead (the
+    # window defines its own order) but Catalyst keeps its global
+    # range-exchange — unwrap it so the plan is Partial-WindowGroupLimit →
+    # single exchange → Final, with no extra global sort underneath
+    if isinstance(tree, ra.Sort):
+        tree = tree.child
+    rendered = []
+    for k in sort_keys:
+        direction = "ASC" if k.ascending else "DESC"
+        nulls_first = (
+            k.nulls_first if k.nulls_first is not None else k.ascending
+        )  # Spark defaults: ASC → NULLS FIRST, DESC → NULLS LAST
+        nulls = "NULLS FIRST" if nulls_first else "NULLS LAST"
+        rendered.append(f"{k.expression} {direction} {nulls}")
+    _TIES_COUNTER[0] += 1
+    helper = f"__ties_rank{_TIES_COUNTER[0]}"
+    tree = ra.Map(
+        tree, ((helper, f"rank() OVER (ORDER BY {', '.join(rendered)})"),)
+    )
+    tree = ra.Selection(tree, f"{helper} <= {limit}")
+    tree = ra.Drop(tree, (helper,))
+    return ra.Sort(tree, sort_keys)
+
+
 _SIMPLE_COL_RE = re.compile(r"^[a-z_][\w$]*$")
 _QUALIFIED_COL_RE = re.compile(r"^([a-z_][\w$]*)\.([a-z_][\w$]*)$")
 
@@ -210,14 +254,18 @@ def parse_relalg(
             node = ra.Difference(left, right, distinct=False)
         else:
             node = ra.Difference(left, right)
-        if query.order_by:
-            node = ra.Sort(
-                node,
-                tuple(
-                    ra.SortKey(o.expr.sql, o.ascending, o.nulls_first)
-                    for o in query.order_by
-                ),
-            )
+        set_keys = tuple(
+            ra.SortKey(o.expr.sql, o.ascending, o.nulls_first)
+            for o in query.order_by
+        )
+        if query.fetch_ties and query.limit is not None:
+            if query.offset is not None:
+                raise UnsupportedSqlError(
+                    "OFFSET with FETCH ... WITH TIES is not modeled"
+                )
+            return _ties_cutoff(node, set_keys, query.limit)
+        if set_keys:
+            node = ra.Sort(node, set_keys)
         if query.limit is not None or query.offset is not None:
             node = ra.Limit(node, limit=query.limit, offset=query.offset)
         return node
@@ -1397,6 +1445,10 @@ class _Converter:
             # reference columns the SELECT list drops, which an inverted
             # Sort placed above the projection could not resolve
             return project(self._limit(sort(tree), sort_keys))
+        if q.fetch_ties and q.limit is not None and sort_keys:
+            # same placement rule as PRIOR: the rank()-window cutoff must
+            # see the ORDER BY columns, which the projection may drop
+            return project(self._limit(sort(tree), sort_keys))
         return self._limit(project(sort(tree)), sort_keys)
 
     def _limit(
@@ -1405,6 +1457,12 @@ class _Converter:
         q = self.q
         if q.limit is None and q.offset is None:
             return tree
+        if q.fetch_ties and q.limit is not None:
+            if q.offset is not None:
+                raise UnsupportedSqlError(
+                    "OFFSET with FETCH ... WITH TIES is not modeled"
+                )
+            return _ties_cutoff(tree, sort_keys, q.limit)
         if q.fetch_direction in ("prior", "last") and q.limit is not None:
             # FETCH PRIOR/LAST n — select from the END of the result order
             # (ref FetchDirection qal/_qal.py:7548): invert every sort key,

@@ -578,7 +578,14 @@ class _Parser:
         named_windows = (
             self._last_named_windows if not isinstance(q, Q.SetQuery) else {}
         )
-        order_by, limit, offset, fetch_direction = self._parse_order_limit()
+        order_by, limit, offset, fetch_direction, fetch_ties = (
+            self._parse_order_limit()
+        )
+        if fetch_ties and not order_by:
+            raise UnsupportedSqlError(
+                "FETCH ... WITH TIES requires an ORDER BY clause — without "
+                "one there is no tie group to extend"
+            )
         if named_windows:
             order_by = _resolve_order_winrefs(order_by, named_windows)
         for o in order_by:
@@ -614,7 +621,13 @@ class _Parser:
                     "FETCH PRIOR/LAST on a set query is not modeled"
                 )
             if order_by or limit is not None or offset is not None:
-                q = replace(q, order_by=order_by, limit=limit, offset=offset)
+                q = replace(
+                    q,
+                    order_by=order_by,
+                    limit=limit,
+                    offset=offset,
+                    fetch_ties=fetch_ties,
+                )  # SetQuery carries fetch_ties too (ANSI allows it)
         elif (
             order_by
             or limit is not None
@@ -627,6 +640,7 @@ class _Parser:
                 limit=limit,
                 offset=offset,
                 fetch_direction=fetch_direction,
+                fetch_ties=fetch_ties,
             )
         if ctes:
             # both query kinds carry a WITH clause (ref SetQuery
@@ -797,6 +811,7 @@ class _Parser:
         limit: int | None = None
         offset: int | None = None
         fetch_direction = "first"
+        fetch_ties = False
         # OFFSET may precede or follow LIMIT/FETCH (ANSI allows OFFSET first)
         if self.t.accept("offset"):
             offset = int(self.t.next())
@@ -819,11 +834,24 @@ class _Parser:
                 )
             limit = int(self.t.next())
             self.t.accept("rows") or self.t.accept("row")
-            self.t.expect("only")
+            # WITH TIES (extension beyond the reference's Limit clause,
+            # which models ONLY, qal/_qal.py:7552): also return rows tied
+            # with the last in-window row under the ORDER BY. ANSI allows
+            # it only for the forward direction.
+            if self.t.accept("with"):
+                self.t.expect("ties")
+                if fetch_direction != "first":
+                    raise UnsupportedSqlError(
+                        "FETCH PRIOR/LAST ... WITH TIES is not modeled — "
+                        "ANSI ties apply to FETCH FIRST/NEXT only"
+                    )
+                fetch_ties = True
+            else:
+                self.t.expect("only")
         if offset is None and self.t.accept("offset"):
             offset = int(self.t.next())
             self.t.accept("rows") or self.t.accept("row")
-        return tuple(order_by), limit, offset, fetch_direction
+        return tuple(order_by), limit, offset, fetch_direction, fetch_ties
 
     # ---- FROM ------------------------------------------------------------
 

@@ -902,6 +902,11 @@ class SqlQuery:
     # LIMIT-equivalent default; "prior"/"last" select from the END of the
     # result order (compiled via the sort-inversion rewrite, SURVEY §2.4)
     fetch_direction: str = "first"
+    # FETCH FIRST n ROWS WITH TIES (extension beyond the reference's Limit
+    # clause, which models ONLY): the result also includes every row tied
+    # with the last in-window row under the ORDER BY; compiled to a
+    # rank()-window filter (SURVEY §2.4)
+    fetch_ties: bool = False
     distinct: bool = False
     # DISTINCT ON (exprs) — Postgres extension the reference models in the
     # Select ctor (ref qal/_qal.py:5867); rendered natively (DuckDB supports
@@ -979,6 +984,8 @@ class SqlQuery:
                 parts.append(
                     f"FETCH {self.fetch_direction.upper()} {self.limit} ROWS ONLY"
                 )
+            elif self.fetch_ties:
+                parts.append(f"FETCH FIRST {self.limit} ROWS WITH TIES")
             else:
                 parts.append(f"LIMIT {self.limit}")
         if self.offset is not None:
@@ -1019,6 +1026,9 @@ class SetQuery:
     order_by: tuple[OrderByExpression, ...] = ()
     limit: int | None = None
     offset: int | None = None
+    # FETCH FIRST n ROWS WITH TIES on the combined result (extension — see
+    # SqlQuery.fetch_ties); ANSI allows ties on set queries too
+    fetch_ties: bool = False
     ctes: tuple[tuple[str, "SqlQuery"], ...] = ()
     # EXPLAIN clause (ref SetQuery explain_clause qal/_qal.py:9434)
     explain: "Explain | None" = None
@@ -1046,7 +1056,10 @@ class SetQuery:
         if self.order_by:
             parts.append("ORDER BY " + ", ".join(o.to_sql() for o in self.order_by))
         if self.limit is not None:
-            parts.append(f"LIMIT {self.limit}")
+            if self.fetch_ties:
+                parts.append(f"FETCH FIRST {self.limit} ROWS WITH TIES")
+            else:
+                parts.append(f"LIMIT {self.limit}")
         if self.offset is not None:
             parts.append(f"OFFSET {self.offset}")
         return "\n".join(parts)

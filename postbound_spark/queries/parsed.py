@@ -674,6 +674,47 @@ def parsed_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(spark, sf_dir, _EXCEPT_ALL_SQL, ["orders", "customer"])
 
 
+_FETCH_TIES_SQL = """
+SELECT o_orderpriority AS prio, o_custkey AS cust
+FROM orders
+WHERE o_totalprice > 100000
+ORDER BY prio
+FETCH FIRST 50 ROWS WITH TIES
+"""
+
+# DuckDB has no WITH TIES spelling — the oracle is the ANSI-equivalent
+# rank() cutoff over the identical inner query and ORDER BY
+_FETCH_TIES_ORACLE = """
+SELECT prio, cust FROM (
+  SELECT o_orderpriority AS prio, o_custkey AS cust,
+         rank() OVER (ORDER BY o_orderpriority) AS r
+  FROM orders
+  WHERE o_totalprice > 100000
+) WHERE r <= 50
+"""
+
+
+@query("parsed_fetch_ties", oracle=_FETCH_TIES_ORACLE)
+def parsed_fetch_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FETCH FIRST n ROWS WITH TIES — extension beyond the reference's
+    Limit clause (qal/_qal.py:7552 models ONLY; FetchDirection has no
+    ties concept). The parser accepts the ANSI spelling (forward
+    direction only, ORDER BY required), the IR carries ``fetch_ties``,
+    and the algebra compiles a rank()-window cutoff: rows ranked <= n
+    under the exact presentation order survive, so every row tied with
+    the last in-window row is returned. The 50-row cutoff lands inside a
+    large priority tie group at sf0.01, so the result is genuinely
+    larger than LIMIT 50 — the ties semantics are exercised, not just
+    parsed.
+
+    Scale shape: Spark's InferWindowGroupLimit rewrites the
+    rank-filter-over-window into WindowGroupLimit(Partial) per input
+    partition before the single exchange — each task forwards at most n
+    rows (plus local ties), so the cutoff scales like a top-n, not a
+    global sort; pinned in tests/test_plan_quality.py."""
+    return _native(spark, sf_dir, _FETCH_TIES_SQL, ["orders"])
+
+
 _SET_OFFSET_SQL = """
 WITH big AS (SELECT o_custkey AS k, o_totalprice AS v FROM orders
              WHERE o_totalprice > 100000)

@@ -31,7 +31,8 @@ from hypothesis import HealthCheck, given, seed, settings
 from postbound_spark.operators.compiler import compile_plan
 from postbound_spark.plans.algebra import parse_relalg
 from postbound_spark.plans.parser import parse_query
-from test_differential_fuzz import TABLES, _norm, _same_result, sql_query
+from test_differential_fuzz import (TABLES, _duck_text, _norm,
+                                    _same_result, sql_query)
 
 
 def main() -> int:
@@ -65,7 +66,7 @@ def main() -> int:
         got = compile_plan(
             parse_relalg(parse_query(sql, schema=TABLES)), spark
         ).collect()
-        want = con.execute(sql).fetchall()
+        want = con.execute(_duck_text(sql)).fetchall()
         if not _same_result(sql, got, want):
             state["fail"] += 1
             print(

@@ -15,10 +15,16 @@ comparison by sorted multiset so ORDER BY ties cannot flake.
 Round-9 addition: strategies whose ORDER BY is a TOTAL order tag their
 SQL with ``/*ordered*/`` and the comparator checks the ordered SEQUENCE
 — the window-sort bug proved row ORDER is a semantics class multiset
-comparison only sees through a LIMIT cut."""
+comparison only sees through a LIMIT cut.
+
+Grammar v18 (round-9b): INTERSECT ALL / EXCEPT ALL bag-semantics chains
+(duplicate multiplicities + ANSI precedence) and FETCH FIRST n ROWS
+WITH TIES (DuckDB lacks the spelling — ``_duck_text`` rewrites the
+oracle side into the equivalent rank() cutoff over the same body)."""
 
 from __future__ import annotations
 
+import re
 from decimal import Decimal
 
 import duckdb
@@ -706,8 +712,85 @@ def set_cte_offset_query(draw) -> str:
 
 
 @st.composite
+def bag_set_query(draw) -> str:
+    """Grammar v18: INTERSECT ALL / EXCEPT ALL (bag semantics, round-9b
+    extension) — duplicate multiplicities must match DuckDB exactly
+    (min(m,n) / max(0, m−n)), including a third operand that pins ANSI
+    precedence (INTERSECT binds tighter than EXCEPT)."""
+    t1, t2 = draw(
+        st.lists(st.sampled_from(sorted(TABLES)), min_size=2, max_size=2,
+                 unique=True)
+    )
+    c1 = draw(st.sampled_from(INT_COLS[t1]))
+    c2 = draw(st.sampled_from(INT_COLS[t2]))
+    op = draw(st.sampled_from(["INTERSECT ALL", "EXCEPT ALL"]))
+    w1 = f" WHERE {draw(predicate([t1]))}" if draw(st.booleans()) else ""
+    sql = f"SELECT {c1} AS k FROM {t1}{w1} {op} SELECT {c2} FROM {t2}"
+    if draw(st.booleans()):
+        t3 = draw(st.sampled_from(sorted(TABLES)))
+        c3 = draw(st.sampled_from(INT_COLS[t3]))
+        sql += f" INTERSECT ALL SELECT {c3} FROM {t3}"
+    return sql
+
+
+@st.composite
+def ties_query(draw) -> str:
+    """Grammar v18: FETCH FIRST n ROWS WITH TIES (round-9b extension) —
+    the rank()-window cutoff must include exactly DuckDB's tie group.
+    DuckDB has no WITH TIES spelling, so the comparator rewrites the
+    oracle text via ``_duck_text`` (rank wrapper over the same body);
+    the ORDER BY key is always an output column so the rewrite is
+    mechanical. Ties results are deterministic as multisets even though
+    the order key is non-unique — the whole tie group is in or out."""
+    if draw(st.booleans()):
+        # single table, non-unique order key → real tie groups
+        t = draw(st.sampled_from(sorted(TABLES)))
+        key = draw(st.sampled_from(TABLES[t]))
+        pk = INT_COLS[t][0]
+        w = f" WHERE {draw(predicate([t]))}" if draw(st.booleans()) else ""
+        body = f"SELECT {key} AS k, {pk} AS p FROM {t}{w}"
+    else:
+        # set-query body: ties on the combined result
+        t1, t2 = draw(
+            st.lists(st.sampled_from(sorted(TABLES)), min_size=2,
+                     max_size=2, unique=True)
+        )
+        c1 = draw(st.sampled_from(INT_COLS[t1]))
+        c2 = draw(st.sampled_from(INT_COLS[t2]))
+        op = draw(st.sampled_from(["UNION ALL", "INTERSECT ALL"]))
+        body = f"SELECT {c1} AS k FROM {t1} {op} SELECT {c2} AS k FROM {t2}"
+    n = draw(st.integers(1, 40))
+    return f"{body} ORDER BY k FETCH FIRST {n} ROWS WITH TIES"
+
+
+#: WITH TIES has no DuckDB spelling: rewrite `... ORDER BY k FETCH FIRST
+#: n ROWS WITH TIES` into the ANSI-equivalent rank() cutoff over the same
+#: body. Only texts produced by ties_query (output-column order key) are
+#: rewritten; everything else passes through verbatim.
+_TIES_RE = re.compile(
+    r"^(?P<body>.+) ORDER BY (?P<key>[\w]+(?:, [\w]+)*) "
+    r"FETCH FIRST (?P<n>\d+) ROWS WITH TIES\s*(?:/\*ordered\*/)?$",
+    re.S,
+)
+
+
+def _duck_text(sql: str) -> str:
+    m = _TIES_RE.match(sql)
+    if not m:
+        return sql
+    return (
+        f"SELECT * EXCLUDE (__r) FROM (SELECT *, rank() OVER "
+        f"(ORDER BY {m['key']}) AS __r FROM ({m['body']})) WHERE __r <= {m['n']}"
+    )
+
+
+@st.composite
 def sql_query(draw) -> str:
     kind = draw(st.integers(0, 17))
+    if kind == 11:
+        return draw(bag_set_query())
+    if kind == 12:
+        return draw(ties_query())
     if kind == 5:
         return draw(distinct_on_query())
     if kind == 6:
@@ -830,7 +913,7 @@ def test_fuzzer_regressions_pinned(engines, sql, schema):
     got = compile_plan(
         parse_relalg(parse_query(sql, schema=schema)), spark
     ).collect()
-    want = con.execute(sql).fetchall()
+    want = con.execute(_duck_text(sql)).fetchall()
     assert _same_result(sql, got, want), f"divergence on: {sql}"
 
 
@@ -844,5 +927,5 @@ def test_generated_queries_match_duckdb(engines, sql):
     got = compile_plan(
         parse_relalg(parse_query(sql, schema=TABLES)), spark
     ).collect()
-    want = con.execute(sql).fetchall()
+    want = con.execute(_duck_text(sql)).fetchall()
     assert _same_result(sql, got, want), f"divergence on: {sql}"

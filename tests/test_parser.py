@@ -685,6 +685,64 @@ def test_intersect_all_bag_semantics(spark, sf_small):
     assert Counter(minus_one) == +want
 
 
+def test_fetch_with_ties_semantics(spark, sf_small):
+    """WITH TIES keeps every row tied with the last in-window row; the
+    ORDER BY column may be dropped by the projection; set queries carry
+    ties too."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    cat = load_tables(spark, sf_small, ["orders", "nation"])
+
+    def run(sql: str):
+        return compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+
+    # cutoff lands inside a tie group → strictly more rows than LIMIT n
+    ties = run(
+        "SELECT o_orderpriority AS p FROM orders ORDER BY p "
+        "FETCH FIRST 5 ROWS WITH TIES"
+    ).collect()
+    assert len(ties) > 5
+    assert len({r.p for r in ties}) == 1  # all rows from the first tie group
+    # ORDER BY column dropped by the projection still drives the cutoff
+    named = run(
+        "SELECT n_name FROM nation ORDER BY n_regionkey "
+        "FETCH FIRST 2 ROWS WITH TIES"
+    ).collect()
+    assert len(named) == 5  # every nation of the lowest region ties in
+    # set query: ties on the combined result
+    su = run(
+        "SELECT n_regionkey AS k FROM nation UNION ALL "
+        "SELECT n_regionkey AS k FROM nation "
+        "ORDER BY k FETCH FIRST 1 ROWS WITH TIES"
+    ).collect()
+    assert len(su) == 10 and {r.k for r in su} == {0}
+
+
+def test_fetch_with_ties_rejections():
+    """Ties without ORDER BY, with OFFSET, or with PRIOR/LAST are refused
+    loudly (ANSI requires ORDER BY; the others are not modeled)."""
+    import pytest
+
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError, match="ORDER BY"):
+        parse_query("SELECT a FROM t FETCH FIRST 3 ROWS WITH TIES")
+    with pytest.raises(UnsupportedSqlError, match="PRIOR"):
+        parse_query(
+            "SELECT a FROM t ORDER BY a FETCH PRIOR 3 ROWS WITH TIES"
+        )
+    with pytest.raises(UnsupportedSqlError, match="OFFSET"):
+        parse_relalg(
+            parse_query(
+                "SELECT a FROM t ORDER BY a OFFSET 2 "
+                "FETCH FIRST 3 ROWS WITH TIES"
+            )
+        )
+
+
 def test_order_by_ordinal_resolves_to_select_position(spark, sf_small):
     """ORDER BY 1 must sort by the first output column, not the constant 1."""
     from postbound_spark.catalog import load_tables

@@ -1140,3 +1140,15 @@ def test_set_offset_is_bounded_not_global_sort(registry, spark, sf_small):
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
     assert "PushedFilters: [" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_fetch_ties_partial_windowgrouplimit(registry, spark, sf_small):
+    """WITH TIES compiles to the scale-safe top-n shape: a Partial
+    WindowGroupLimit per input partition BEFORE the single exchange (each
+    task forwards at most n rows plus local ties), no global range sort
+    below the rank window."""
+    df = _build(registry, spark, sf_small, "parsed_fetch_ties")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # the dead below-window Sort is unwrapped — no range exchange remains
+    assert "rangepartitioning" not in plan.split("WindowGroupLimit")[-1]
