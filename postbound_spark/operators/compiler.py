@@ -103,6 +103,10 @@ class _Compiler(ra.RelNodeVisitor):
         self._materialized: dict[ra.Materialize, DataFrame] = (
             materialized_memo if materialized_memo is not None else {}
         )
+        #: WITH RECURSIVE working tables, keyed by CTE name — bound by
+        #: visit_recursiveunion around each step compilation so that
+        #: RecursiveRef leaves resolve to the previous iteration's rows
+        self._recursive_frames: dict[str, DataFrame] = {}
 
     def _compile(self, node: ra.RelNode) -> DataFrame:
         return node.accept(self)
@@ -285,6 +289,66 @@ class _Compiler(ra.RelNodeVisitor):
     def visit_antijoin(self, node: ra.AntiJoin) -> DataFrame:
         left, right = self._join_sides(node)
         return left.join(right, on=_expr(node.predicate), how="left_anti")
+
+    def visit_recursiveref(self, node: ra.RecursiveRef) -> DataFrame:
+        df = self._recursive_frames.get(node.name)
+        if df is None:
+            raise RuntimeError(
+                f"recursive reference {node.name!r} outside its fixpoint"
+            )
+        return df.alias(node.alias) if node.alias else df
+
+    def visit_recursiveunion(self, node: ra.RecursiveUnion) -> DataFrame:
+        """WITH RECURSIVE fixpoint — the iterative driver loop that is
+        Spark's canonical recursion shape (same pattern as the engine's
+        connected-components rollup, queries/pipeline.py). Scale notes:
+        every intermediate is ``localCheckpoint(eager=True)``-ed so
+        lineage stays O(1) per iteration instead of growing into an
+        exponential re-execution tree; the UNION-distinct dedup
+        (``step.distinct().subtract(seen)``) is the ANSI cycle guard and
+        shuffles only the step's output, never the accumulated result's
+        lineage. Termination: empty step (both forms) or no NEW rows
+        (UNION); ``max_iterations`` turns a non-converging UNION ALL
+        into a loud error instead of a silent truncation."""
+        seed = self._compile(node.base)
+        if node.distinct:
+            seed = seed.distinct()
+        seed = seed.localCheckpoint(eager=True)
+        frames = [seed]
+        result = seed
+        working = seed
+        for _ in range(node.max_iterations):
+            if working.isEmpty():
+                break
+            prev = self._recursive_frames.get(node.name)
+            self._recursive_frames[node.name] = working
+            try:
+                step = self._compile(node.step)
+            finally:
+                if prev is None:
+                    self._recursive_frames.pop(node.name, None)
+                else:
+                    self._recursive_frames[node.name] = prev
+            # ANSI set-operation semantics: operands combine BY POSITION,
+            # and the working table keeps the base term's column names —
+            # without this a step like `SELECT n + 1 FROM seq` would feed
+            # iteration 2 a column named `(n + 1)`
+            step = step.toDF(*seed.columns)
+            if node.distinct:
+                step = step.distinct().subtract(result)
+            new = step.localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            frames.append(new)
+            result = result.union(new)
+            working = new
+        else:
+            raise RuntimeError(
+                f"recursive CTE {node.name!r} did not converge within "
+                f"{node.max_iterations} iterations — raise "
+                "RecursiveUnion.max_iterations if the depth is intended"
+            )
+        return result
 
     def visit_union(self, node: ra.Union) -> DataFrame:
         out = self._compile(node.left).union(self._compile(node.right))

@@ -151,6 +151,54 @@ def _scalar_subquery_spans(text: str) -> list[str]:
         pos = end
 
 
+def _cte_flag(cte) -> bool | str:
+    """CTE execution flag carried through the scope dict: ``True`` =
+    MATERIALIZED (shared cache), ``False`` = plain inline, ``"recursive"``
+    = WITH RECURSIVE fixpoint (extension — ref excludes recursion,
+    qal/_qal.py:8436). The step term's scope additionally carries
+    ``"recursive-ref"``, resolving the self-reference to the working
+    table instead of inlining the body (which would never terminate)."""
+    if getattr(cte, "recursive", False):
+        return "recursive"
+    return bool(getattr(cte, "materialized", False))
+
+
+def _convert_recursive_cte(
+    name: str, body, scope: dict
+) -> ra.RecursiveUnion:
+    """WITH RECURSIVE body → RecursiveUnion. ANSI shape: the body is a
+    set query ``base UNION [ALL] step`` where only the step references
+    ``name``; the base seeds the working table, the step converts with
+    the self-reference bound to a :class:`ra.RecursiveRef` leaf."""
+    if not isinstance(body, Q.SetQuery) or body.operator not in (
+        Q.SetOperator.UNION,
+        Q.SetOperator.UNION_ALL,
+    ):
+        raise UnsupportedSqlError(
+            f"recursive CTE {name!r} must be 'base UNION [ALL] step'"
+        )
+    if body.order_by or body.limit is not None or body.offset is not None:
+        raise UnsupportedSqlError(
+            f"ORDER BY/LIMIT on the recursive CTE body {name!r} is not "
+            "modeled — apply them in the consuming query"
+        )
+    if Q.references_table(body.left, name):
+        raise UnsupportedSqlError(
+            f"recursive CTE {name!r} references itself in the BASE term — "
+            "only the step (right) operand may recurse"
+        )
+    base = parse_relalg(body.left, scope_ctes=scope)
+    step_scope = dict(scope)
+    step_scope[name] = (None, "recursive-ref")
+    step = parse_relalg(body.right, scope_ctes=step_scope)
+    return ra.RecursiveUnion(
+        base=base,
+        step=step,
+        name=name,
+        distinct=body.operator is Q.SetOperator.UNION,
+    )
+
+
 _TIES_COUNTER = [0]
 
 
@@ -235,7 +283,7 @@ def parse_relalg(
                     for k, v in (scope_ctes or {}).items()
                 },
                 **{
-                    cte[0]: (cte[1], bool(getattr(cte, "materialized", False)))
+                    cte[0]: (cte[1], _cte_flag(cte))
                     for cte in query.ctes
                 },
             }
@@ -291,7 +339,7 @@ class _Converter:
         }
         self.ctes.update(
             {
-                cte[0]: (cte[1], bool(getattr(cte, "materialized", False)))
+                cte[0]: (cte[1], _cte_flag(cte))
                 for cte in query.ctes
             }
         )
@@ -501,9 +549,20 @@ class _Converter:
             # siblings must stay visible inside the CTE body (minus the
             # body's own name — self-reference would be recursion)
             scope = {k: v for k, v in self.ctes.items() if k != tab.full_name}
-            body, materialized = self.ctes[tab.full_name]
+            body, flag = self.ctes[tab.full_name]
+            if flag == "recursive-ref":
+                # self-reference inside a recursive step term: a leaf the
+                # compiler binds to the working table each iteration
+                return ra.RecursiveRef(
+                    name=tab.full_name, alias=tab.identifier
+                )
+            if flag == "recursive":
+                sub: ra.RelNode = _convert_recursive_cte(
+                    tab.full_name, body, scope
+                )
+                return ra.Relation(subquery=sub, alias=tab.identifier)
             sub = parse_relalg(body, scope_ctes=scope)
-            if materialized:
+            if flag:
                 sub = ra.Materialize(sub, name=tab.full_name)
             return ra.Relation(subquery=sub, alias=tab.identifier)
         return ra.Relation(table=tab.full_name, alias=tab.identifier)

@@ -466,10 +466,11 @@ class _Parser:
     def _parse_query_inner(self) -> Q.SqlQuery | Q.SetQuery:
         ctes: list[tuple[str, Q.SqlQuery | Q.SetQuery]] = []
         if self.t.accept("with"):
-            if self.t.accept("recursive"):
-                raise UnsupportedSqlError(
-                    "recursive CTEs are out of scope (ref qal/_qal.py:8436)"
-                )
+            # WITH RECURSIVE (extension — the reference excludes recursion,
+            # qal/_qal.py:8436): the keyword scopes over the whole WITH
+            # list; an entry becomes a RecursiveCte only when its body
+            # actually references its own name (ANSI)
+            recursive_with = bool(self.t.accept("recursive"))
             while True:
                 name = _ident(self.t.next())
                 # target-column list: WITH v(a, b) AS (…) — desugared into
@@ -519,7 +520,18 @@ class _Parser:
                     if cols:
                         body = _apply_cte_target_columns(name, body, cols)
                 self.t.expect(")")
-                cls = Q.MaterializedCte if materialized else Q.CommonTableExpression
+                if recursive_with and Q.references_table(body, name):
+                    if materialized:
+                        raise UnsupportedSqlError(
+                            "MATERIALIZED on a recursive CTE is not modeled"
+                        )
+                    cls = Q.RecursiveCte
+                else:
+                    cls = (
+                        Q.MaterializedCte
+                        if materialized
+                        else Q.CommonTableExpression
+                    )
                 ctes.append(cls(name, body))
                 if not self.t.accept(","):
                     break

@@ -849,6 +849,39 @@ class MaterializedCte(CommonTableExpression):
         return True
 
 
+def references_table(query, name: str) -> bool:
+    """True when ``name`` appears as a FULL table name in the query's FROM
+    surface (implicit list or explicit join chain), descending through set
+    operations. ``tables()`` is unsuitable here: it returns identifiers,
+    so an aliased self-reference (``FROM reach r``) would hide. Used for
+    WITH RECURSIVE self-reference detection."""
+    if isinstance(query, SetQuery):
+        return references_table(query.left, name) or references_table(
+            query.right, name
+        )
+    if any(getattr(t, "full_name", None) == name for t in query.from_tables):
+        return True
+    return any(
+        getattr(j.source, "full_name", None) == name for j in query.joins
+    )
+
+
+class RecursiveCte(CommonTableExpression):
+    """``WITH RECURSIVE name AS (base UNION [ALL] step)`` — extension
+    beyond the reference, which excludes recursion outright
+    (qal/_qal.py:8436). The body is a SetQuery whose right operand
+    references ``name``; the algebra converts it to a RecursiveUnion
+    fixpoint and the compiler iterates with ANSI working-table semantics
+    (each step sees only the previous iteration's rows; UNION dedups
+    globally and is cycle-safe)."""
+
+    __slots__ = ()
+
+    @property
+    def recursive(self) -> bool:
+        return True
+
+
 @dataclass(frozen=True)
 class OrderByExpression:
     """ref ``:7342`` — per-key direction + NULLS FIRST/LAST."""
@@ -950,7 +983,12 @@ class SqlQuery:
                 f"({cte[1].to_sql()})"
                 for cte in self.ctes
             )
-            parts.append(f"WITH {rendered}")
+            kw = (
+                "WITH RECURSIVE"
+                if any(getattr(c, "recursive", False) for c in self.ctes)
+                else "WITH"
+            )
+            parts.append(f"{kw} {rendered}")
         if self.distinct_on:
             on = ", ".join(e.to_sql() for e in self.distinct_on)
             distinct = f"DISTINCT ON ({on}) "
@@ -1047,7 +1085,12 @@ class SetQuery:
                 f"({cte[1].to_sql()})"
                 for cte in self.ctes
             )
-            parts.append(f"WITH {rendered}")
+            kw = (
+                "WITH RECURSIVE"
+                if any(getattr(c, "recursive", False) for c in self.ctes)
+                else "WITH"
+            )
+            parts.append(f"{kw} {rendered}")
         parts += [
             f"({self.left.to_sql()})",
             self.operator.value,

@@ -271,6 +271,35 @@ class Difference(RelNode):
 
 
 @dataclass(frozen=True)
+class RecursiveRef(RelNode):
+    """Leaf standing for a recursive CTE's WORKING TABLE inside the step
+    term of a :class:`RecursiveUnion` — the compiler substitutes the
+    previous iteration's rows on every pass. Extension node (the
+    reference excludes recursion, qal/_qal.py:8436)."""
+
+    name: str = ""
+    alias: str | None = None
+
+
+@dataclass(frozen=True)
+class RecursiveUnion(RelNode):
+    """WITH RECURSIVE fixpoint (extension — see :class:`RecursiveRef`).
+    ``base`` seeds the working table; ``step`` is re-evaluated each
+    iteration against ONLY the previous iteration's rows (ANSI
+    working-table semantics). ``distinct=True`` (UNION) dedups each step
+    against everything seen so far — cycle-safe, terminates when a step
+    adds nothing new; UNION ALL terminates when a step yields zero rows.
+    ``max_iterations`` is the runaway guard for non-converging UNION ALL
+    recursions: the compiler raises instead of silently truncating."""
+
+    base: RelNode = None  # type: ignore[assignment]
+    step: RelNode = None  # type: ignore[assignment]
+    name: str = ""
+    distinct: bool = True
+    max_iterations: int = 200
+
+
+@dataclass(frozen=True)
 class SubqueryScan(RelNode):
     """Marker wrapping a subquery subtree (ref: relalg.py:2316-2334); carries
     an alias, otherwise a no-op at runtime."""

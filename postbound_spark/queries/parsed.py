@@ -674,6 +674,69 @@ def parsed_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(spark, sf_dir, _EXCEPT_ALL_SQL, ["orders", "customer"])
 
 
+_RECURSIVE_CLOSURE_SQL = """
+WITH RECURSIVE hop(src, dst) AS (VALUES (0, 1), (1, 2), (2, 0), (2, 3), (3, 4)),
+  reach(node) AS (
+    SELECT 0
+    UNION
+    SELECT h.dst FROM hop h, reach r WHERE h.src = r.node
+  )
+SELECT r.node AS node, count(*) AS n_nations
+FROM reach r, nation
+WHERE n_regionkey = r.node
+GROUP BY r.node
+ORDER BY node
+"""
+
+
+@query("parsed_recursive_closure", oracle=_RECURSIVE_CLOSURE_SQL)
+def parsed_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — extension beyond the reference, which excludes
+    recursion outright (qal/_qal.py:8436). A transitive closure over a
+    CYCLIC edge list (0→1→2→0) proves the UNION-distinct cycle guard:
+    each step dedups against everything seen, so the fixpoint terminates
+    despite the loop; the closure then joins a real table. DuckDB runs
+    the identical text natively — the strongest oracle form.
+
+    Execution is the iterative driver loop that is Spark's canonical
+    recursion shape (same pattern as the connected-components rollup):
+    every iteration's delta is localCheckpoint-ed so lineage stays O(1)
+    per step instead of compounding, the step re-plans against only the
+    previous delta (ANSI working-table semantics), and a max_iterations
+    guard turns non-convergence into a loud error. At 100 TB the
+    recursion depth — not data size — bounds the loop; each step is an
+    ordinary shuffled join over the delta only."""
+    return _native(spark, sf_dir, _RECURSIVE_CLOSURE_SQL, ["nation"])
+
+
+_RECURSIVE_SEQ_SQL = """
+WITH RECURSIVE bucket(lo) AS (
+  SELECT 0
+  UNION ALL
+  SELECT lo + 50000 FROM bucket WHERE lo < 450000
+)
+SELECT b.lo AS bucket_lo, count(o_orderkey) AS n_orders
+FROM bucket b LEFT OUTER JOIN orders
+  ON o_totalprice >= b.lo AND o_totalprice < b.lo + 50000
+GROUP BY b.lo
+ORDER BY bucket_lo
+"""
+
+
+@query("parsed_recursive_seq", oracle=_RECURSIVE_SEQ_SQL)
+def parsed_recursive_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE as a generator (UNION ALL, FROM-less base): a
+    price-bucket ladder built by the fixpoint, then LEFT-joined against
+    orders as a histogram — the recursive relation drives a real
+    range-bucketing aggregation. UNION ALL terminates when the step's
+    WHERE empties the delta.
+
+    Scale shape: the generated ladder is 10 rows — broadcast side of the
+    range join — while orders streams map-side; the recursion cost is
+    O(depth) tiny driver rounds, independent of fact-table size."""
+    return _native(spark, sf_dir, _RECURSIVE_SEQ_SQL, ["orders"])
+
+
 _FETCH_TIES_SQL = """
 SELECT o_orderpriority AS prio, o_custkey AS cust
 FROM orders

@@ -165,7 +165,6 @@ def test_query_spec_extraction():
 @pytest.mark.parametrize(
     "sql",
     [
-        "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r",
         "SELECT * FROM json_table(x, '$')",
         # ON referencing a table outside its join-chain scope — rejected by
         # Postgres/DuckDB too (joins bind tighter than the FROM comma)
@@ -741,6 +740,100 @@ def test_fetch_with_ties_rejections():
                 "FETCH FIRST 3 ROWS WITH TIES"
             )
         )
+
+
+def test_recursive_cte_fixpoint(spark, sf_small):
+    """WITH RECURSIVE (extension — ref excludes recursion): generator,
+    cyclic closure (UNION dedup terminates the loop), and ANSI
+    working-table semantics (each step sees only the previous delta)."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    cat = load_tables(spark, sf_small, ["nation"])
+
+    def run(sql: str):
+        return compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+
+    seq = run(
+        "WITH RECURSIVE s(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM s "
+        "WHERE n < 7) SELECT n FROM s ORDER BY n"
+    ).collect()
+    assert [r.n for r in seq] == list(range(1, 8))
+    # cycle 1→2→3→1: UNION dedup must terminate and visit each node once
+    closure = run(
+        "WITH RECURSIVE e(a, b) AS (VALUES (1, 2), (2, 3), (3, 1)), "
+        "r(x) AS (SELECT 1 UNION SELECT e.b FROM e, r WHERE e.a = r.x) "
+        "SELECT x FROM r ORDER BY x"
+    ).collect()
+    assert [r.x for r in closure] == [1, 2, 3]
+    # non-recursive CTE in a RECURSIVE WITH stays a plain inline CTE
+    q = parse_query(
+        "WITH RECURSIVE plain AS (SELECT n_nationkey FROM nation) "
+        "SELECT count(*) AS c FROM plain"
+    )
+    from postbound_spark.plans import qal as Q
+
+    assert not any(getattr(c, "recursive", False) for c in q.ctes)
+    assert isinstance(q.ctes[0], Q.CommonTableExpression)
+
+
+def test_recursive_cte_rejections_and_guard(spark):
+    """Malformed recursive bodies are refused loudly; a non-converging
+    UNION ALL hits the max_iterations guard instead of looping forever."""
+    import pytest
+
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans import relalg as ra
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError, match="base UNION"):
+        # self-referencing body with no set operation at all
+        parse_relalg(
+            parse_query(
+                "WITH RECURSIVE s(n) AS (SELECT n + 1 FROM s) "
+                "SELECT n FROM s"
+            )
+        )
+    with pytest.raises(UnsupportedSqlError, match="BASE term"):
+        parse_relalg(
+            parse_query(
+                "WITH RECURSIVE s(n) AS (SELECT n FROM s UNION ALL "
+                "SELECT 1) SELECT n FROM s"
+            )
+        )
+    with pytest.raises(UnsupportedSqlError, match="MATERIALIZED"):
+        parse_query(
+            "WITH RECURSIVE s(n) AS MATERIALIZED (SELECT 1 UNION ALL "
+            "SELECT n + 1 FROM s WHERE n < 3) SELECT n FROM s"
+        )
+    # runaway guard: UNION ALL with no terminating WHERE
+    tree = parse_relalg(
+        parse_query(
+            "WITH RECURSIVE s(n) AS (SELECT 1 UNION ALL SELECT n + 1 "
+            "FROM s) SELECT n FROM s"
+        )
+    )
+
+    def clamp(node):
+        if isinstance(node, ra.RecursiveUnion):
+            return node.mutate(
+                max_iterations=3,
+                base=clamp(node.base),
+                step=clamp(node.step),
+            )
+        changes = {}
+        from dataclasses import fields
+
+        for f in fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, ra.RelNode):
+                changes[f.name] = clamp(v)
+        return node.mutate(**changes) if changes else node
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        compile_plan(clamp(tree), spark).collect()
 
 
 def test_order_by_ordinal_resolves_to_select_position(spark, sf_small):
