@@ -18,9 +18,11 @@ SQL with ``/*ordered*/`` and the comparator checks the ordered SEQUENCE
 comparison only sees through a LIMIT cut.
 
 Grammar v18 (round-9b): INTERSECT ALL / EXCEPT ALL bag-semantics chains
-(duplicate multiplicities + ANSI precedence) and FETCH FIRST n ROWS
-WITH TIES (DuckDB lacks the spelling — ``_duck_text`` rewrites the
-oracle side into the equivalent rank() cutoff over the same body)."""
+(duplicate multiplicities + ANSI precedence), FETCH FIRST n ROWS WITH
+TIES (DuckDB lacks the spelling — ``_duck_text`` rewrites the oracle
+side into the equivalent rank() cutoff over the same body), and WITH
+RECURSIVE (bounded UNION ALL ladders + UNION-distinct closures over
+random cyclic digraphs; DuckDB runs the identical text)."""
 
 from __future__ import annotations
 
@@ -763,6 +765,46 @@ def ties_query(draw) -> str:
     return f"{body} ORDER BY k FETCH FIRST {n} ROWS WITH TIES"
 
 
+@st.composite
+def recursive_query(draw) -> str:
+    """Grammar v18: WITH RECURSIVE (round-9b extension) — bounded UNION
+    ALL generators (arithmetic ladders, optionally joined to a base
+    table) and UNION-distinct closures over random VALUES edge lists
+    (cycles included — the dedup guard must terminate the fixpoint).
+    DuckDB executes the identical text natively."""
+    if draw(st.booleans()):
+        # arithmetic ladder, optionally aggregated against a real table
+        start = draw(st.integers(0, 3))
+        step = draw(st.integers(1, 4))
+        bound = start + step * draw(st.integers(1, 12))
+        gen = (
+            f"WITH RECURSIVE g(n) AS (SELECT {start} UNION ALL "
+            f"SELECT n + {step} FROM g WHERE n < {bound}) "
+        )
+        if draw(st.booleans()):
+            return gen + "SELECT n FROM g ORDER BY n" + ORDERED
+        return (
+            gen + "SELECT g.n AS n, count(*) AS c FROM g, nation "
+            "WHERE n_regionkey < g.n GROUP BY g.n ORDER BY g.n" + ORDERED
+        )
+    # closure over a random digraph on nodes 0..5 (cycles allowed)
+    edges = draw(
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 5)),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    rows = ", ".join(f"({a}, {b})" for a, b in edges)
+    src = draw(st.integers(0, 5))
+    return (
+        f"WITH RECURSIVE e(a, b) AS (VALUES {rows}), "
+        f"r(x) AS (SELECT {src} UNION SELECT e.b FROM e, r "
+        "WHERE e.a = r.x) SELECT x FROM r ORDER BY x" + ORDERED
+    )
+
+
 #: WITH TIES has no DuckDB spelling: rewrite `... ORDER BY k FETCH FIRST
 #: n ROWS WITH TIES` into the ANSI-equivalent rank() cutoff over the same
 #: body. Only texts produced by ties_query (output-column order key) are
@@ -791,6 +833,8 @@ def sql_query(draw) -> str:
         return draw(bag_set_query())
     if kind == 12:
         return draw(ties_query())
+    if kind == 13:
+        return draw(recursive_query())
     if kind == 5:
         return draw(distinct_on_query())
     if kind == 6:
