@@ -81,6 +81,14 @@ def _expr(text: str):
     return F.expr(_to_spark_array_calls(text))
 
 
+def _contains_recursive_ref(node: ra.RelNode) -> bool:
+    """True when any descendant is a RecursiveRef — such a subtree reads
+    the recursion's working table and must never be memoized."""
+    if isinstance(node, ra.RecursiveRef):
+        return True
+    return any(_contains_recursive_ref(c) for c in node.children())
+
+
 class _Compiler(ra.RelNodeVisitor):
     def __init__(
         self,
@@ -157,6 +165,12 @@ class _Compiler(ra.RelNodeVisitor):
         # across references via the value-keyed memo, and executor-local
         # after the first action — at cluster scale this is what stops a
         # reused CTE from being recomputed per reference
+        if _contains_recursive_ref(node.child):
+            # a materialized subtree that reads the recursive WORKING
+            # TABLE must re-evaluate every iteration — the value-keyed
+            # memo would freeze iteration 1's rows (same node value each
+            # pass) and silently corrupt the fixpoint
+            return self._compile(node.child)
         cached = self._materialized.get(node)
         if cached is None:
             cached = self._compile(node.child).cache()

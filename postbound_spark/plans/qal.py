@@ -852,18 +852,34 @@ class MaterializedCte(CommonTableExpression):
 def references_table(query, name: str) -> bool:
     """True when ``name`` appears as a FULL table name in the query's FROM
     surface (implicit list or explicit join chain), descending through set
-    operations. ``tables()`` is unsuitable here: it returns identifiers,
-    so an aliased self-reference (``FROM reach r``) would hide. Used for
-    WITH RECURSIVE self-reference detection."""
+    operations, FROM-subqueries, and nested CTE bodies. ``tables()`` is
+    unsuitable here: it returns identifiers, so an aliased self-reference
+    (``FROM reach r``) would hide. Used for WITH RECURSIVE self-reference
+    detection (DuckDB/Postgres accept nested recursive refs in derived
+    tables, so the detection must see through them)."""
     if isinstance(query, SetQuery):
         return references_table(query.left, name) or references_table(
             query.right, name
         )
-    if any(getattr(t, "full_name", None) == name for t in query.from_tables):
-        return True
-    return any(
-        getattr(j.source, "full_name", None) == name for j in query.joins
-    )
+    # local CTEs first, in declaration order: one named `name` SHADOWS the
+    # outer relation for this query's FROM (and later siblings) — a scope
+    # where the name is rebound cannot recurse; bodies declared BEFORE the
+    # shadowing entry still see the outer name
+    for cte in query.ctes:
+        if cte[0] == name:
+            return False
+        if references_table(cte[1], name):
+            return True
+    sources = list(query.from_tables) + [j.source for j in query.joins]
+    for src in sources:
+        if getattr(src, "full_name", None) == name and not isinstance(
+            src, SubqueryTableSource
+        ):
+            return True
+        sub = getattr(src, "query", None)
+        if sub is not None and references_table(sub, name):
+            return True
+    return False
 
 
 class RecursiveCte(CommonTableExpression):

@@ -778,6 +778,42 @@ def test_recursive_cte_fixpoint(spark, sf_small):
     assert isinstance(q.ctes[0], Q.CommonTableExpression)
 
 
+def test_recursive_ref_through_derived_tables(spark):
+    """The self-reference may hide inside a FROM-subquery or a nested
+    CTE body (DuckDB/Postgres accept both): detection must see through
+    them, and a MATERIALIZED subtree reading the working table must NOT
+    be memoized across iterations (the value-keyed cache would freeze
+    iteration 1's rows — silent fixpoint corruption)."""
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    def run(sql: str):
+        df = compile_plan(parse_relalg(parse_query(sql)), spark)
+        return sorted(r.n for r in df.collect())
+
+    nested = run(
+        "WITH RECURSIVE s(n) AS (SELECT 1 UNION ALL "
+        "SELECT x + 1 FROM (SELECT n AS x FROM s) WHERE x < 6) "
+        "SELECT n FROM s ORDER BY n"
+    )
+    assert nested == [1, 2, 3, 4, 5, 6]
+    materialized = run(
+        "WITH RECURSIVE s(n) AS (SELECT 1 UNION ALL "
+        "SELECT x + 1 FROM (WITH m AS MATERIALIZED (SELECT n AS x FROM s) "
+        "SELECT x FROM m) WHERE x < 6) SELECT n FROM s ORDER BY n"
+    )
+    assert materialized == [1, 2, 3, 4, 5, 6]
+    # a nested WITH that SHADOWS the name is not a recursive reference
+    from postbound_spark.plans import qal as Q
+
+    q = parse_query(
+        "WITH RECURSIVE s(n) AS (SELECT 1 UNION ALL "
+        "SELECT x FROM (WITH s AS (SELECT 2 AS x) SELECT x FROM s)) "
+        "SELECT n FROM s"
+    )
+    assert not any(getattr(c, "recursive", False) for c in q.ctes)
+
+
 def test_recursive_cte_rejections_and_guard(spark):
     """Malformed recursive bodies are refused loudly; a non-converging
     UNION ALL hits the max_iterations guard instead of looping forever."""
