@@ -304,6 +304,16 @@ class _Compiler(ra.RelNodeVisitor):
         left, right = self._join_sides(node)
         return left.join(right, on=_expr(node.predicate), how="left_anti")
 
+    def visit_sample(self, node: ra.Sample) -> DataFrame:
+        df = self._compile(node.child)
+        if node.rows is not None:
+            # TABLESAMPLE (n ROWS) — Spark's own SQL semantics: an n-row
+            # cut, not a randomized pick
+            return df.limit(node.rows)
+        return df.sample(
+            fraction=(node.percent or 0.0) / 100.0, seed=node.seed
+        )
+
     def visit_recursiveref(self, node: ra.RecursiveRef) -> DataFrame:
         df = self._recursive_frames.get(node.name)
         if df is None:

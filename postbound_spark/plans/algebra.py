@@ -565,7 +565,20 @@ class _Converter:
             if flag:
                 sub = ra.Materialize(sub, name=tab.full_name)
             return ra.Relation(subquery=sub, alias=tab.identifier)
-        return ra.Relation(table=tab.full_name, alias=tab.identifier)
+        node: ra.RelNode = ra.Relation(
+            table=tab.full_name, alias=tab.identifier
+        )
+        if (
+            getattr(tab, "sample_percent", None) is not None
+            or getattr(tab, "sample_rows", None) is not None
+        ):
+            node = ra.Sample(
+                node,
+                percent=tab.sample_percent,
+                rows=tab.sample_rows,
+                seed=tab.sample_seed,
+            )
+        return node
 
     # -- WHERE conjunct classification ---------------------------------------
 

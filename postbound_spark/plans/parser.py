@@ -867,6 +867,41 @@ class _Parser:
 
     # ---- FROM ------------------------------------------------------------
 
+    def _parse_tablesample(
+        self,
+    ) -> tuple[float | None, int | None, int | None] | None:
+        """``TABLESAMPLE [BERNOULLI] (p [PERCENT] | n ROWS)
+        [REPEATABLE(seed)]`` — extension beyond the reference (which does
+        not model sampling). Returns (percent, rows, seed) or None.
+        SYSTEM is accepted as a synonym: Spark's ``df.sample`` is
+        row-level Bernoulli, the right semantics at any partition count
+        (block sampling is a storage-locality artifact)."""
+        if self.t.peek_kw() != "tablesample":
+            return None
+        self.t.next()
+        if self.t.peek_kw() in ("bernoulli", "system"):
+            self.t.next()
+        self.t.expect("(")
+        value = self.t.next()
+        pct: float | None = None
+        rows: int | None = None
+        if self.t.accept("rows") or self.t.accept("row"):
+            rows = int(value)
+        else:
+            self.t.accept("percent")
+            pct = float(value)
+            if not 0 <= pct <= 100:
+                raise ParserError(
+                    f"TABLESAMPLE percentage {pct} outside [0, 100]"
+                )
+        self.t.expect(")")
+        seed: int | None = None
+        if self.t.accept("repeatable"):
+            self.t.expect("(")
+            seed = int(self.t.next())
+            self.t.expect(")")
+        return pct, rows, seed
+
     def _parse_from(
         self,
     ) -> tuple[
@@ -949,10 +984,22 @@ class _Parser:
                     )
                 return Q.FunctionTableSource(name, tuple(exprs), alias, cols)
             alias = None
+            sample = self._parse_tablesample()  # Spark order: before alias
             if self.t.accept("as"):
                 alias = _ident(self.t.next())
             elif self.t.at_ident():
                 alias = _ident(self.t.next())
+            if sample is None:
+                sample = self._parse_tablesample()  # Postgres order: after
+            if sample is not None:
+                pct, rows, seed = sample
+                return Q.TableReference(
+                    name,
+                    alias,
+                    sample_percent=pct,
+                    sample_rows=rows,
+                    sample_seed=seed,
+                )
             return Q.TableReference(name, alias)
 
         def join_type() -> Q.JoinType | None:

@@ -39,11 +39,16 @@ def _norm(name: str) -> str:
 @dataclass(frozen=True)
 class TableReference:
     """ref ``_core.py:624``: named reference, not the data; ``virtual`` marks
-    subquery/CTE aliases."""
+    subquery/CTE aliases. The ``sample_*`` fields carry a TABLESAMPLE
+    suffix (extension — the reference does not model sampling): either a
+    Bernoulli percentage (+ optional REPEATABLE seed) or an n-ROWS cut."""
 
     full_name: str
     alias: str | None = None
     virtual: bool = False
+    sample_percent: float | None = None
+    sample_rows: int | None = None
+    sample_seed: int | None = None
 
     def __post_init__(self):
         object.__setattr__(self, "full_name", _norm(self.full_name))
@@ -55,7 +60,14 @@ class TableReference:
         return self.alias or self.full_name
 
     def to_sql(self) -> str:
-        return f"{self.full_name} {self.alias}" if self.alias else self.full_name
+        out = f"{self.full_name} {self.alias}" if self.alias else self.full_name
+        if self.sample_percent is not None:
+            out += f" TABLESAMPLE ({self.sample_percent:g} PERCENT)"
+            if self.sample_seed is not None:
+                out += f" REPEATABLE({self.sample_seed})"
+        elif self.sample_rows is not None:
+            out += f" TABLESAMPLE ({self.sample_rows} ROWS)"
+        return out
 
 
 @dataclass(frozen=True)

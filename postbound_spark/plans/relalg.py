@@ -271,6 +271,22 @@ class Difference(RelNode):
 
 
 @dataclass(frozen=True)
+class Sample(RelNode):
+    """TABLESAMPLE over a base relation (extension — the reference does
+    not model sampling). ``percent`` → Bernoulli row sampling
+    (``df.sample``; deterministic for a fixed seed and input layout),
+    ``rows`` → an n-row cut (Spark's TABLESAMPLE(n ROWS) semantics).
+    Map-side only: sampling evaluates inside the scan stage, before any
+    shuffle, so a 1% sample of 100 TB reads all splits but exchanges
+    only the sampled rows."""
+
+    child: RelNode = None  # type: ignore[assignment]
+    percent: float | None = None
+    rows: int | None = None
+    seed: int | None = None
+
+
+@dataclass(frozen=True)
 class RecursiveRef(RelNode):
     """Leaf standing for a recursive CTE's WORKING TABLE inside the step
     term of a :class:`RecursiveUnion` — the compiler substitutes the

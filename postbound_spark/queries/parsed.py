@@ -674,6 +674,35 @@ def parsed_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(spark, sf_dir, _EXCEPT_ALL_SQL, ["orders", "customer"])
 
 
+_TABLESAMPLE_SQL = """
+SELECT count(*) AS n_sampled
+FROM orders TABLESAMPLE (500 ROWS)
+"""
+
+_TABLESAMPLE_ORACLE = """
+SELECT count(*) AS n_sampled
+FROM (SELECT * FROM orders LIMIT 500)
+"""
+
+
+@query("parsed_tablesample", oracle=_TABLESAMPLE_ORACLE)
+def parsed_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE — extension beyond the reference (which does not model
+    sampling). The native parser accepts ``TABLESAMPLE [BERNOULLI|SYSTEM]
+    (p [PERCENT] | n ROWS) [REPEATABLE(seed)]`` in both the Spark
+    (sample-before-alias) and Postgres (alias-before-sample) orders. The
+    n-ROWS variant is deterministic in count (Spark's own TABLESAMPLE(n
+    ROWS) semantics: an n-row cut), so it carries an exact oracle; the
+    Bernoulli-percent variant is inherently engine-specific in WHICH rows
+    it picks, so its guarantees — repeatability under a fixed seed,
+    sample size inside the binomial band — are pinned by unit tests
+    (tests/test_parser.py) instead of a cross-engine hash.
+
+    Scale shape: sampling evaluates map-side inside the scan stage —
+    a 1% Bernoulli sample of 100 TB exchanges only the sampled rows."""
+    return _native(spark, sf_dir, _TABLESAMPLE_SQL, ["orders"])
+
+
 _RECURSIVE_CLOSURE_SQL = """
 WITH RECURSIVE hop(src, dst) AS (VALUES (0, 1), (1, 2), (2, 0), (2, 3), (3, 4)),
   reach(node) AS (

@@ -742,6 +742,48 @@ def test_fetch_with_ties_rejections():
         )
 
 
+def test_tablesample_semantics(spark, sf_small):
+    """TABLESAMPLE (extension): repeatable under a fixed seed, sample
+    size inside a generous binomial band, n-ROWS exact, both alias
+    orders accepted, IR round-trips."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    cat = load_tables(spark, sf_small, ["orders"])
+
+    def count(sql: str) -> int:
+        df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+        return df.count()
+
+    total = count("SELECT o_orderkey FROM orders")
+    sql10 = (
+        "SELECT o_orderkey FROM orders "
+        "TABLESAMPLE BERNOULLI (10 PERCENT) REPEATABLE(42)"
+    )
+    a, b = count(sql10), count(sql10)
+    assert a == b  # fixed seed + fixed input layout => deterministic
+    assert 0.03 * total < a < 0.25 * total  # generous band around 10%
+    assert count("SELECT o_orderkey FROM orders TABLESAMPLE (25 ROWS)") == 25
+    # Postgres order: alias BEFORE the sample clause
+    assert (
+        count(
+            "SELECT o.o_orderkey FROM orders o "
+            "TABLESAMPLE (30 ROWS) WHERE o.o_orderkey >= 0"
+        )
+        == 30
+    )
+    q = parse_query(sql10)
+    rt = parse_query(q.to_sql()).from_tables[0]
+    assert (rt.sample_percent, rt.sample_seed) == (10.0, 42)
+    import pytest
+
+    from postbound_spark.plans.parser import ParserError
+
+    with pytest.raises(ParserError, match="outside"):
+        parse_query("SELECT 1 FROM orders TABLESAMPLE (150 PERCENT)")
+
+
 def test_recursive_cte_fixpoint(spark, sf_small):
     """WITH RECURSIVE (extension — ref excludes recursion): generator,
     cyclic closure (UNION dedup terminates the loop), and ANSI
