@@ -163,6 +163,13 @@ def _cte_flag(cte) -> bool | str:
     return bool(getattr(cte, "materialized", False))
 
 
+#: recursive CTE names currently being converted — re-entering one means
+#: MUTUAL recursion (a's body reads b, b's body reads a), which neither
+#: the reference nor Postgres models; without the guard the conversion
+#: itself would recurse forever
+_RECURSION_STACK: set[str] = set()
+
+
 def _convert_recursive_cte(
     name: str, body, scope: dict
 ) -> ra.RecursiveUnion:
@@ -170,6 +177,12 @@ def _convert_recursive_cte(
     set query ``base UNION [ALL] step`` where only the step references
     ``name``; the base seeds the working table, the step converts with
     the self-reference bound to a :class:`ra.RecursiveRef` leaf."""
+    if name in _RECURSION_STACK:
+        raise UnsupportedSqlError(
+            f"mutually recursive CTEs are not modeled (re-entered "
+            f"{name!r} while converting its own body) — fold the mutual "
+            "step into a single recursive CTE"
+        )
     if not isinstance(body, Q.SetQuery) or body.operator not in (
         Q.SetOperator.UNION,
         Q.SetOperator.UNION_ALL,
@@ -187,10 +200,14 @@ def _convert_recursive_cte(
             f"recursive CTE {name!r} references itself in the BASE term — "
             "only the step (right) operand may recurse"
         )
-    base = parse_relalg(body.left, scope_ctes=scope)
-    step_scope = dict(scope)
-    step_scope[name] = (None, "recursive-ref")
-    step = parse_relalg(body.right, scope_ctes=step_scope)
+    _RECURSION_STACK.add(name)
+    try:
+        base = parse_relalg(body.left, scope_ctes=scope)
+        step_scope = dict(scope)
+        step_scope[name] = (None, "recursive-ref")
+        step = parse_relalg(body.right, scope_ctes=step_scope)
+    finally:
+        _RECURSION_STACK.discard(name)
     return ra.RecursiveUnion(
         base=base,
         step=step,
