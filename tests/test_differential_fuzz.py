@@ -782,6 +782,14 @@ def recursive_query(draw) -> str:
             f"SELECT n + {step} FROM g WHERE n < {bound}) "
         )
         if draw(st.booleans()):
+            if draw(st.booleans()):
+                # ties cutoff over the recursive consumer (interaction:
+                # CTE scope resolution below the rank()-window rewrite)
+                k = draw(st.integers(1, 6))
+                return (
+                    gen + f"SELECT n % 3 AS k, n AS p FROM g ORDER BY k "
+                    f"FETCH FIRST {k} ROWS WITH TIES"
+                )
             return gen + "SELECT n FROM g ORDER BY n" + ORDERED
         return (
             gen + "SELECT g.n AS n, count(*) AS c FROM g, nation "
