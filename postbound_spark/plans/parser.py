@@ -544,11 +544,13 @@ class _Parser:
             operand = self._parse_set_operand()
             while self.t.peek_kw() == "intersect":
                 self.t.next()
-                op = (
-                    Q.SetOperator.INTERSECT_ALL
-                    if self.t.accept("all")
-                    else Q.SetOperator.INTERSECT
-                )
+                if self.t.accept("distinct"):
+                    # explicit DISTINCT is the ANSI default spelling
+                    op = Q.SetOperator.INTERSECT
+                elif self.t.accept("all"):
+                    op = Q.SetOperator.INTERSECT_ALL
+                else:
+                    op = Q.SetOperator.INTERSECT
                 rhs = self._parse_set_operand()
                 operand = Q.SetQuery(operand, op, rhs)
             return operand
@@ -556,7 +558,13 @@ class _Parser:
         q = intersect_chain()
         while self.t.peek_kw() in ("union", "except"):
             kw = self.t.next().lower()
-            if kw == "union":
+            if self.t.accept("distinct"):
+                op = (
+                    Q.SetOperator.UNION
+                    if kw == "union"
+                    else Q.SetOperator.EXCEPT
+                )
+            elif kw == "union":
                 op = (
                     Q.SetOperator.UNION_ALL
                     if self.t.accept("all")
@@ -844,7 +852,11 @@ class _Parser:
                 raise UnsupportedSqlError(
                     "FETCH requires a direction: FIRST/NEXT/PRIOR/LAST"
                 )
-            limit = int(self.t.next())
+            # ANSI: the count may be omitted — FETCH FIRST ROW ONLY = 1
+            if self.t.peek_kw() in ("row", "rows"):
+                limit = 1
+            else:
+                limit = int(self.t.next())
             self.t.accept("rows") or self.t.accept("row")
             # WITH TIES (extension beyond the reference's Limit clause,
             # which models ONLY, qal/_qal.py:7552): also return rows tied

@@ -1846,3 +1846,22 @@ def test_table_shorthand_and_estrings(spark, sf_small):
     assert "'a\nb'" in rendered and "'it''s'" in rendered
     rows = compile_plan(parse_relalg(q3), spark, {}).collect()
     assert rows[0].s == "a\nb" and rows[0].t == "it's"
+
+
+def test_ansi_set_distinct_spellings_and_countless_fetch():
+    """UNION/INTERSECT/EXCEPT DISTINCT are the explicit ANSI spellings of
+    the default; FETCH FIRST ROW ONLY defaults the count to 1."""
+    from postbound_spark.plans import qal as Q
+
+    q = parse_query(
+        "SELECT a FROM t UNION DISTINCT SELECT a FROM u "
+        "INTERSECT DISTINCT SELECT a FROM v"
+    )
+    assert q.operator is Q.SetOperator.UNION
+    assert q.right.operator is Q.SetOperator.INTERSECT
+    e = parse_query("SELECT a FROM t EXCEPT DISTINCT SELECT a FROM u")
+    assert e.operator is Q.SetOperator.EXCEPT
+    one = parse_query("SELECT a FROM t ORDER BY a FETCH FIRST ROW ONLY")
+    assert one.limit == 1 and not one.fetch_ties
+    ties = parse_query("SELECT a FROM t ORDER BY a FETCH NEXT ROWS WITH TIES")
+    assert ties.limit == 1 and ties.fetch_ties
