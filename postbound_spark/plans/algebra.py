@@ -220,7 +220,10 @@ _TIES_COUNTER = [0]
 
 
 def _ties_cutoff(
-    tree: ra.RelNode, sort_keys: tuple[ra.SortKey, ...], limit: int
+    tree: ra.RelNode,
+    sort_keys: tuple[ra.SortKey, ...],
+    limit: int,
+    offset: int | None = None,
 ) -> ra.RelNode:
     """FETCH FIRST n ROWS WITH TIES — rank()-window cutoff (extension
     beyond the reference's Limit clause, which models ONLY). The rank is
@@ -231,7 +234,16 @@ def _ties_cutoff(
     InferWindowGroupLimit turns the rank-filter-over-window shape into a
     WindowGroupLimit — a per-partition partial top-n before the single
     exchange — so the cutoff scales like any other top-n, not like a
-    global sort."""
+    global sort.
+
+    With OFFSET m (Postgres-legal): skip the first m rows, return the
+    next n plus every row tied with the one at position m+n. The tie
+    threshold is the RANK at ROW_NUMBER m+n (a global-window max over a
+    single marked row; NULL when fewer than m+n rows exist → no upper
+    cut, ANSI short-result semantics). This form needs true row
+    positions, so it costs one single-partition window pass — inherent
+    to deep OFFSET pagination on any engine; keyset pagination remains
+    the documented scale path."""
     if not sort_keys:
         raise UnsupportedSqlError(
             "FETCH ... WITH TIES requires ORDER BY for a tie group"
@@ -250,13 +262,41 @@ def _ties_cutoff(
         )  # Spark defaults: ASC → NULLS FIRST, DESC → NULLS LAST
         nulls = "NULLS FIRST" if nulls_first else "NULLS LAST"
         rendered.append(f"{k.expression} {direction} {nulls}")
+    order = ", ".join(rendered)
     _TIES_COUNTER[0] += 1
-    helper = f"__ties_rank{_TIES_COUNTER[0]}"
+    tag = _TIES_COUNTER[0]
+    rank_col = f"__ties_rank{tag}"
+    if not offset:
+        tree = ra.Map(tree, ((rank_col, f"rank() OVER (ORDER BY {order})"),))
+        tree = ra.Selection(tree, f"{rank_col} <= {limit}")
+        tree = ra.Drop(tree, (rank_col,))
+        return ra.Sort(tree, sort_keys)
+    rn_col = f"__ties_rn{tag}"
+    thr_col = f"__ties_thr{tag}"
+    cut = offset + limit
     tree = ra.Map(
-        tree, ((helper, f"rank() OVER (ORDER BY {', '.join(rendered)})"),)
+        tree,
+        (
+            (rank_col, f"rank() OVER (ORDER BY {order})"),
+            (rn_col, f"row_number() OVER (ORDER BY {order})"),
+        ),
     )
-    tree = ra.Selection(tree, f"{helper} <= {limit}")
-    tree = ra.Drop(tree, (helper,))
+    tree = ra.Map(
+        tree,
+        (
+            (
+                thr_col,
+                f"max(CASE WHEN {rn_col} = {cut} THEN {rank_col} END) "
+                "OVER ()",
+            ),
+        ),
+    )
+    tree = ra.Selection(
+        tree,
+        f"{rn_col} > {offset} AND "
+        f"({thr_col} IS NULL OR {rank_col} <= {thr_col})",
+    )
+    tree = ra.Drop(tree, (rank_col, rn_col, thr_col))
     return ra.Sort(tree, sort_keys)
 
 
@@ -324,11 +364,7 @@ def parse_relalg(
             for o in query.order_by
         )
         if query.fetch_ties and query.limit is not None:
-            if query.offset is not None:
-                raise UnsupportedSqlError(
-                    "OFFSET with FETCH ... WITH TIES is not modeled"
-                )
-            return _ties_cutoff(node, set_keys, query.limit)
+            return _ties_cutoff(node, set_keys, query.limit, query.offset)
         if set_keys:
             node = ra.Sort(node, set_keys)
         if query.limit is not None or query.offset is not None:
@@ -1547,11 +1583,7 @@ class _Converter:
         if q.limit is None and q.offset is None:
             return tree
         if q.fetch_ties and q.limit is not None:
-            if q.offset is not None:
-                raise UnsupportedSqlError(
-                    "OFFSET with FETCH ... WITH TIES is not modeled"
-                )
-            return _ties_cutoff(tree, sort_keys, q.limit)
+            return _ties_cutoff(tree, sort_keys, q.limit, q.offset)
         if q.fetch_direction in ("prior", "last") and q.limit is not None:
             # FETCH PRIOR/LAST n — select from the END of the result order
             # (ref FetchDirection qal/_qal.py:7548): invert every sort key,

@@ -720,11 +720,10 @@ def test_fetch_with_ties_semantics(spark, sf_small):
 
 
 def test_fetch_with_ties_rejections():
-    """Ties without ORDER BY, with OFFSET, or with PRIOR/LAST are refused
-    loudly (ANSI requires ORDER BY; the others are not modeled)."""
+    """Ties without ORDER BY or with PRIOR/LAST are refused loudly
+    (ANSI requires ORDER BY; PRIOR/LAST ties are not modeled)."""
     import pytest
 
-    from postbound_spark.plans.algebra import parse_relalg
     from postbound_spark.plans.parser import UnsupportedSqlError
 
     with pytest.raises(UnsupportedSqlError, match="ORDER BY"):
@@ -733,13 +732,34 @@ def test_fetch_with_ties_rejections():
         parse_query(
             "SELECT a FROM t ORDER BY a FETCH PRIOR 3 ROWS WITH TIES"
         )
-    with pytest.raises(UnsupportedSqlError, match="OFFSET"):
-        parse_relalg(
-            parse_query(
-                "SELECT a FROM t ORDER BY a OFFSET 2 "
-                "FETCH FIRST 3 ROWS WITH TIES"
-            )
-        )
+
+
+def test_fetch_with_ties_offset(spark):
+    """OFFSET m FETCH FIRST n ROWS WITH TIES (Postgres-legal): skip m,
+    keep n plus the ties of the row at position m+n. Membership within a
+    tie group straddling the OFFSET boundary is ANSI-unspecified (same
+    as Postgres), so the pins use group-aligned offsets where the result
+    is fully determined."""
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    def run(sql: str):
+        df = compile_plan(parse_relalg(parse_query(sql)), spark)
+        return sorted(r.k for r in df.collect())
+
+    base = (
+        "WITH v(k) AS (VALUES (1), (1), (2), (2), (3), (3), (4)) "
+        "SELECT k FROM v ORDER BY k OFFSET {m} "
+        "FETCH FIRST {n} ROWS WITH TIES"
+    )
+    # skip both 1s; take one 2 -> its tie comes along
+    assert run(base.format(m=2, n=1)) == [2, 2]
+    # skip the 1s and 2s; take 2 -> both 3s, no tie spill into 4
+    assert run(base.format(m=4, n=2)) == [3, 3]
+    # offset+limit beyond the row count -> ANSI short result, no upper cut
+    assert run(base.format(m=5, n=10)) == [3, 4]
+    # offset alone past everything -> empty
+    assert run(base.format(m=7, n=2)) == []
 
 
 def test_tablesample_semantics(spark, sf_small):
