@@ -1152,3 +1152,35 @@ def test_fetch_ties_partial_windowgrouplimit(registry, spark, sf_small):
     assert "WindowGroupLimit" in plan and "Partial" in plan
     # the dead below-window Sort is unwrapped — no range exchange remains
     assert "rangepartitioning" not in plan.split("WindowGroupLimit")[-1]
+
+
+def test_tablesample_stays_map_side(registry, spark, sf_small):
+    """TABLESAMPLE keeps the ANSI evaluation order — Sample directly
+    above the scan, WHERE above the sample (the sample is taken BEFORE
+    filtering, so Catalyst rightly does not push the filter through it)
+    — and the whole sample+filter pipeline is map-side: the only
+    exchange is the count aggregation's partial->final."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import parse_query
+
+    cat = load_tables(spark, sf_small, ["orders"])
+    df = compile_plan(
+        parse_relalg(
+            parse_query(
+                "SELECT count(*) AS c FROM orders "
+                "TABLESAMPLE BERNOULLI (10 PERCENT) REPEATABLE(3) "
+                "WHERE o_totalprice > 1000"
+            )
+        ),
+        spark,
+        cat,
+    )
+    plan = _formatted_plan(df)
+    assert "Sample" in plan
+    # ANSI order: Filter evaluates above Sample, Sample sits on the scan
+    assert plan.index("Filter") < plan.index("Sample") < plan.index("Scan parquet")
+    # one exchange node only (tree line "Exchange (n)"): the
+    # partial->final count aggregation
+    assert plan.count("Exchange (") <= 1
