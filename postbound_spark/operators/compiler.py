@@ -17,6 +17,8 @@ algorithm with a per-join hint).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,11 +76,32 @@ def _to_spark_array_calls(text: str) -> str:
     return "".join(out)
 
 
+_STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+#: length-less character types: ANSI/Postgres/DuckDB treat bare VARCHAR /
+#: TEXT as an unbounded string; Spark's parser demands VARCHAR(n), so the
+#: bare spellings map to STRING at the expression boundary (literal-aware:
+#: words inside string literals are untouched; VARCHAR(n) keeps its length)
+_BARE_CHARTYPE_RE = re.compile(r"\b(varchar|text)\b(?!\s*\()", re.I)
+
+
+def _to_spark_chartypes(text: str) -> str:
+    if not _BARE_CHARTYPE_RE.search(text):
+        return text
+    parts: list[str] = []
+    pos = 0
+    for m in _STRING_LIT_RE.finditer(text):
+        parts.append(_BARE_CHARTYPE_RE.sub("STRING", text[pos : m.start()]))
+        parts.append(m.group(0))
+        pos = m.end()
+    parts.append(_BARE_CHARTYPE_RE.sub("STRING", text[pos:]))
+    return "".join(parts)
+
+
 def _expr(text: str):
-    """``F.expr`` over IR expression text (applies the array-literal
-    spelling conversion — the single Spark-dialect gap in the IR's
-    otherwise ANSI expression surface)."""
-    return F.expr(_to_spark_array_calls(text))
+    """``F.expr`` over IR expression text (applies the array-literal and
+    length-less-character-type spelling conversions — the two
+    Spark-dialect gaps in the IR's otherwise ANSI expression surface)."""
+    return F.expr(_to_spark_chartypes(_to_spark_array_calls(text)))
 
 
 def _contains_recursive_ref(node: ra.RelNode) -> bool:

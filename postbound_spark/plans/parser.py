@@ -191,11 +191,19 @@ def _ident(tok: str) -> str:
 
 
 class _Expr:
-    __slots__ = ("sql", "cols")
+    __slots__ = ("sql", "cols", "row")
 
-    def __init__(self, sql: str, cols: tuple[Q.ColumnReference, ...] = ()):
+    def __init__(
+        self,
+        sql: str,
+        cols: tuple[Q.ColumnReference, ...] = (),
+        row: "tuple[_Expr, ...] | None" = None,
+    ):
         self.sql = sql
         self.cols = cols
+        #: row-value constructor elements — `(a, b)` in comparison/IN
+        #: position; the predicate layer expands row ops structurally
+        self.row = row
 
     def to_qal(self) -> Q.SqlExpression:
         return Q.SqlExpression(self.sql, self.cols)
@@ -1294,6 +1302,11 @@ class _Parser:
             if self.t.peek_kw() in ("select", "with"):
                 sub = self.parse_query()
                 self.t.expect(")")
+                if expr.row is not None:
+                    raise UnsupportedSqlError(
+                        "row-valued IN over a subquery is not modeled — "
+                        "rewrite as EXISTS with the pairwise equality"
+                    )
                 return Q.InPredicate(
                     expr.to_qal(), subquery=sub, negated=negated
                 )
@@ -1301,6 +1314,19 @@ class _Parser:
             while self.t.accept(","):
                 values.append(self._parse_expression())
             self.t.expect(")")
+            if expr.row is not None:
+                # `(a, b) IN ((1, 2), (3, 4))` — OR over the expanded
+                # row equalities (ANSI row-membership semantics)
+                alts = tuple(
+                    self._row_compare(Q.LogicalOperator.EQ, expr, v)
+                    for v in values
+                )
+                pred = (
+                    alts[0]
+                    if len(alts) == 1
+                    else Q.CompoundPredicate(Q.CompoundOperator.OR, alts)
+                )
+                return self._negate(pred, negated)
             return Q.InPredicate(
                 expr.to_qal(),
                 values=tuple(v.to_qal() for v in values),
@@ -1310,6 +1336,12 @@ class _Parser:
         if kw in ("like", "ilike"):
             self.t.next()
             pattern = self._parse_expression()
+            rhs = pattern.to_qal()
+            if self.t.accept("escape"):
+                # ESCAPE binds directly to the LIKE — carried on the rhs
+                # fragment (ANSI text both Spark SQL and DuckDB accept)
+                esc = self.t.next()
+                rhs = Q.SqlExpression(f"{rhs.sql} ESCAPE {esc}", rhs.columns)
             ops = {
                 (False, "like"): Q.LogicalOperator.LIKE,
                 (True, "like"): Q.LogicalOperator.NOT_LIKE,
@@ -1317,7 +1349,7 @@ class _Parser:
                 (True, "ilike"): Q.LogicalOperator.NOT_ILIKE,
             }
             return Q.BinaryPredicate(
-                ops[(negated, kw)], expr.to_qal(), pattern.to_qal()
+                ops[(negated, kw)], expr.to_qal(), rhs
             )
 
         if negated:
@@ -1380,6 +1412,17 @@ class _Parser:
                 sub = self.parse_query()
                 self.t.expect(")")
                 quant = "ANY" if qkw == "some" else qkw.upper()
+                # the ANSI identities `= ANY (sub)` ≡ IN and `<> ALL
+                # (sub)` ≡ NOT IN route through InPredicate so the
+                # algebra's semi/anti-join machinery (incl. the
+                # null-aware NOT IN) executes them; other op/quantifier
+                # mixes keep the textual QuantifierExpression form
+                if op is Q.LogicalOperator.EQ and quant == "ANY":
+                    return Q.InPredicate(expr.to_qal(), subquery=sub)
+                if op is Q.LogicalOperator.NE and quant == "ALL":
+                    return Q.InPredicate(
+                        expr.to_qal(), subquery=sub, negated=True
+                    )
                 rhs_sql = f"{quant} ({_inline(sub)})"
                 return Q.BinaryPredicate(
                     op, expr.to_qal(), Q.SqlExpression(rhs_sql)
@@ -1388,10 +1431,42 @@ class _Parser:
             # grammar (_parse_primary handles `(SELECT …)`), so arithmetic
             # tails — `x >= (SELECT min(y) FROM t) + 1` — compose naturally
             rhs = self._parse_expression()
+            if expr.row is not None or rhs.row is not None:
+                return self._row_compare(op, expr, rhs)
             return Q.BinaryPredicate(op, expr.to_qal(), rhs.to_qal())
 
         # bare boolean expression / UDF filter (ref tests/test_qal.py:475)
         return Q.UnaryPredicate(Q.UnaryOperation.BARE, expr.to_qal())
+
+    @staticmethod
+    def _row_compare(op, lhs: _Expr, rhs: _Expr) -> Q.AbstractPredicate:
+        """Row-value comparison `(a, b) = (c, d)` — expanded to the AND of
+        element equalities (ANSI: row equality is pairwise with UNKNOWN
+        propagation, which the conjunction preserves); `<>` is its
+        three-valued negation. Ordering comparisons on rows
+        (lexicographic) are not modeled."""
+        if lhs.row is None or rhs.row is None or len(lhs.row) != len(rhs.row):
+            raise UnsupportedSqlError(
+                "row-value comparison needs row constructors of equal "
+                "width on both sides"
+            )
+        if op not in (Q.LogicalOperator.EQ, Q.LogicalOperator.NE):
+            raise UnsupportedSqlError(
+                "lexicographic row-value ordering comparisons are not "
+                "modeled — spell the element comparison explicitly"
+            )
+        pairs = tuple(
+            Q.BinaryPredicate(Q.LogicalOperator.EQ, l.to_qal(), r.to_qal())
+            for l, r in zip(lhs.row, rhs.row)
+        )
+        conj: Q.AbstractPredicate = (
+            pairs[0]
+            if len(pairs) == 1
+            else Q.CompoundPredicate(Q.CompoundOperator.AND, pairs)
+        )
+        if op is Q.LogicalOperator.EQ:
+            return conj
+        return Q.CompoundPredicate(Q.CompoundOperator.NOT, (conj,))
 
     @staticmethod
     def _negate(pred: Q.AbstractPredicate, negated: bool) -> Q.AbstractPredicate:
@@ -1500,11 +1575,20 @@ class _Parser:
             return _Expr(low.upper())
 
         if low in ("timestamp", "date", "time", "interval") and (
-            self.t.peek(1) or ""
-        ).startswith("'"):
-            # typed literal; INTERVAL may carry a trailing unit keyword
+            (self.t.peek(1) or "").startswith("'")
+            or (
+                low == "interval"
+                and re.match(r"^\d", self.t.peek(1) or "")
+            )
+        ):
+            # typed literal; INTERVAL may carry a trailing unit keyword,
+            # and accepts the unquoted count spelling (INTERVAL 30 DAY —
+            # Spark and DuckDB both take it; normalized to the quoted
+            # form so the IR text stays engine-portable)
             self.t.next()
             value = self.t.next()
+            if low == "interval" and not value.startswith("'"):
+                value = f"'{value}'"
             body = f"{low.upper()} {value}"
             if low == "interval" and self.t.at_ident():
                 unit = self.t.peek() or ""
@@ -1554,6 +1638,20 @@ class _Parser:
                 # scalar subquery (ref SubqueryExpression :1244)
                 return _Expr(f"({_inline(sub)})")
             inner = self._parse_expression()
+            if self.t.peek() == ",":
+                # row-value constructor (ANSI): `(a, b[, ...])` — legal in
+                # comparison and IN position, expanded structurally by the
+                # predicate layer (portable: no engine-specific struct
+                # spellings reach the IR)
+                elems = [inner]
+                while self.t.accept(","):
+                    elems.append(self._parse_expression())
+                self.t.expect(")")
+                return _Expr(
+                    "(" + ", ".join(e.sql for e in elems) + ")",
+                    tuple(c for e in elems for c in e.cols),
+                    row=tuple(elems),
+                )
             self.t.expect(")")
             return _Expr(f"({inner.sql})", inner.cols)
 

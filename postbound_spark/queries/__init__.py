@@ -120,6 +120,8 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-9: new/changed capabilities (driver re-verifies first) ---
+    "parsed_row_values",  # new r9b: row constructors, =ANY identity, LIKE ESCAPE
+    "parsed_interval_arith",  # new r9b: INTERVAL literal arithmetic (both spellings)
     "parsed_tablesample",  # new r9b: TABLESAMPLE rows/percent/repeatable
     "parsed_recursive_closure",  # new r9b: WITH RECURSIVE cyclic closure (UNION guard)
     "parsed_recursive_seq",  # new r9b: WITH RECURSIVE generator + range-bucket join

@@ -674,6 +674,55 @@ def parsed_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(spark, sf_dir, _EXCEPT_ALL_SQL, ["orders", "customer"])
 
 
+_ROW_VALUES_SQL = """
+SELECT n_name || '-' || CAST(n_regionkey AS VARCHAR) AS tag
+FROM nation
+WHERE (n_regionkey, n_nationkey) NOT IN ((0, 0), (1, 1))
+  AND (n_regionkey, substring(n_name, 1, 1)) <> (4, 'X')
+  AND n_regionkey = ANY (SELECT r_regionkey FROM region
+                         WHERE r_name NOT LIKE 'AF!_%' ESCAPE '!')
+ORDER BY tag
+"""
+
+
+@query("parsed_row_values", oracle=_ROW_VALUES_SQL)
+def parsed_row_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9b probe-battery closures, one composite query: row-value
+    constructors in comparison and IN-list position (expanded
+    structurally to AND/OR of element equalities — ANSI three-valued
+    semantics preserved, no engine-specific struct spellings reach the
+    IR), the `= ANY (subquery)` ≡ IN identity routed through the
+    semi-join machinery, `LIKE ... ESCAPE`, and the length-less
+    `CAST(x AS VARCHAR)` spelling (mapped to STRING at the Spark
+    expression boundary; DuckDB takes it natively). DuckDB runs the
+    identical text.
+
+    Scale shape: everything here is a map-side filter or a broadcast
+    semi-join on a 5-row dimension — no new shuffle classes."""
+    return _native(spark, sf_dir, _ROW_VALUES_SQL, ["nation", "region"])
+
+
+_INTERVAL_ARITH_SQL = """
+SELECT count(*) AS n, min(o_orderdate + INTERVAL 30 DAY) AS first_due,
+       max(o_orderdate - INTERVAL '2' MONTH) AS last_window
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' - INTERVAL '1' YEAR
+"""
+
+
+@query("parsed_interval_arith", oracle=_INTERVAL_ARITH_SQL)
+def parsed_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL literal arithmetic through the native parser, both the
+    quoted (`INTERVAL '2' MONTH`) and unquoted (`INTERVAL 30 DAY`,
+    normalized to the quoted form so the IR text stays engine-portable)
+    spellings, in filter and projection position. DuckDB runs the
+    identical text.
+
+    Scale shape: constant-folded timestamp arithmetic — the WHERE bound
+    reaches the parquet scan as a pushed filter."""
+    return _native(spark, sf_dir, _INTERVAL_ARITH_SQL, ["orders"])
+
+
 _TABLESAMPLE_SQL = """
 SELECT count(*) AS n_sampled
 FROM orders TABLESAMPLE (500 ROWS)

@@ -1885,3 +1885,64 @@ def test_ansi_set_distinct_spellings_and_countless_fetch():
     assert one.limit == 1 and not one.fetch_ties
     ties = parse_query("SELECT a FROM t ORDER BY a FETCH NEXT ROWS WITH TIES")
     assert ties.limit == 1 and ties.fetch_ties
+
+
+def test_probe_battery_closures(spark, sf_small):
+    """Round-9b probe-battery closures: row-value constructors (=, <>,
+    IN-list), the = ANY / <> ALL subquery identities (routed through the
+    semi/anti-join machinery), LIKE ... ESCAPE, unquoted INTERVAL
+    literals, and the length-less VARCHAR/TEXT casts (mapped to STRING
+    at the Spark boundary)."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    cat = load_tables(spark, sf_small, ["nation", "region", "orders"])
+
+    def one(sql: str):
+        rows = compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect()
+        return rows[0][0]
+
+    assert one(
+        "SELECT count(*) AS n FROM nation WHERE (n_nationkey, n_regionkey) = (0, 0)"
+    ) == 1
+    assert one(
+        "SELECT count(*) AS n FROM nation "
+        "WHERE (n_regionkey, n_nationkey) IN ((0, 0), (1, 1), (0, 20))"
+    ) == 3
+    assert one(
+        "SELECT count(*) AS n FROM nation "
+        "WHERE (n_regionkey, n_nationkey) NOT IN ((0, 0), (1, 1))"
+    ) == 23
+    # = ANY (sub) == IN (sub); <> ALL (sub) == null-aware NOT IN
+    assert one(
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey = ANY "
+        "(SELECT r_regionkey FROM region WHERE r_regionkey < 2)"
+    ) == one(
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey IN "
+        "(SELECT r_regionkey FROM region WHERE r_regionkey < 2)"
+    )
+    assert one(
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey <> ALL "
+        "(SELECT r_regionkey FROM region WHERE r_regionkey < 2)"
+    ) == 15
+    # LIKE ESCAPE: literal underscore via escape char
+    assert one(
+        "SELECT count(*) AS n FROM nation WHERE n_name LIKE '%!_%' ESCAPE '!'"
+    ) == 0
+    # unquoted INTERVAL normalizes to the quoted portable form
+    q = parse_query("SELECT o_orderdate + INTERVAL 30 DAY AS d FROM orders")
+    assert "INTERVAL '30' DAY" in q.to_sql()
+    # bare VARCHAR / TEXT casts execute (Spark demands VARCHAR(n))
+    assert isinstance(
+        one("SELECT CAST(n_nationkey AS VARCHAR) AS s FROM nation LIMIT 1"),
+        str,
+    )
+    import pytest
+
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError, match="equal"):
+        parse_query("SELECT 1 FROM t WHERE (a, b) = (1, 2, 3)")
+    with pytest.raises(UnsupportedSqlError, match="lexicographic"):
+        parse_query("SELECT 1 FROM t WHERE (a, b) < (1, 2)")
