@@ -1926,10 +1926,13 @@ def test_probe_battery_closures(spark, sf_small):
         "SELECT count(*) AS n FROM nation WHERE n_regionkey <> ALL "
         "(SELECT r_regionkey FROM region WHERE r_regionkey < 2)"
     ) == 15
-    # LIKE ESCAPE: literal underscore via escape char
+    # LIKE ESCAPE: '!_' is a literal underscore (fixture names are
+    # NATION_0..24, so exactly one row matches; if the ESCAPE clause
+    # were dropped, the literal '!' in the pattern would match nothing)
     assert one(
-        "SELECT count(*) AS n FROM nation WHERE n_name LIKE '%!_%' ESCAPE '!'"
-    ) == 0
+        "SELECT count(*) AS n FROM nation "
+        "WHERE n_name LIKE 'NATION!_1' ESCAPE '!'"
+    ) == 1
     # unquoted INTERVAL normalizes to the quoted portable form
     q = parse_query("SELECT o_orderdate + INTERVAL 30 DAY AS d FROM orders")
     assert "INTERVAL '30' DAY" in q.to_sql()
