@@ -684,6 +684,29 @@ class _Parser:
             q = self.parse_query()
             self.t.expect(")")
             return q
+        if self.t.peek_kw() == "values":
+            # top-level VALUES statement (ANSI table-value constructor):
+            # `VALUES (1, 'a'), (2, 'b')` ≡ SELECT * over an inline
+            # relation; columns named col0..colN-1 (DuckDB's own default,
+            # so identical text stays oracle-comparable). Composes with
+            # set ops and the trailing ORDER BY/LIMIT by construction.
+            rows = self._parse_values()
+            width = len(rows[0])
+            if any(len(r) != width for r in rows):
+                raise ParserError("VALUES rows disagree on width")
+            names = tuple(f"col{i}" for i in range(width))
+            return Q.SqlQuery(
+                # explicit select list (not *) so ORDER BY ordinals and
+                # output-name references resolve against the VALUES row
+                select=tuple(
+                    Q.BaseProjection(Q.SqlExpression(n), None) for n in names
+                ),
+                from_tables=(
+                    Q.ValuesTableSource(
+                        rows, alias="__values_stmt", columns=names
+                    ),
+                ),
+            )
         if self.t.peek_kw() == "table":
             # Postgres `TABLE name` shorthand ≡ SELECT * FROM name —
             # pglast normalizes it to a SelectStmt, so the reference's

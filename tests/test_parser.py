@@ -1949,3 +1949,25 @@ def test_probe_battery_closures(spark, sf_small):
         parse_query("SELECT 1 FROM t WHERE (a, b) = (1, 2, 3)")
     with pytest.raises(UnsupportedSqlError, match="lexicographic"):
         parse_query("SELECT 1 FROM t WHERE (a, b) < (1, 2)")
+
+
+def test_top_level_values_statement(spark):
+    """ANSI table-value constructor as a standalone statement: columns
+    named col0..colN-1 (DuckDB's default, so identical text stays
+    oracle-comparable), composing with ORDER BY ordinals and set ops."""
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    def run(sql: str):
+        return [
+            tuple(r)
+            for r in compile_plan(parse_relalg(parse_query(sql)), spark).collect()
+        ]
+
+    assert run("VALUES (2, 'b'), (1, 'a') ORDER BY 1") == [(1, "a"), (2, "b")]
+    assert run("VALUES (3), (1) UNION ALL VALUES (2) ORDER BY col0") == [
+        (1,), (2,), (3,)
+    ]
+    assert run(
+        "VALUES (5), (6) INTERSECT ALL VALUES (6), (7) ORDER BY col0"
+    ) == [(6,)]
