@@ -644,6 +644,30 @@ class _Converter:
         return [w]
 
     def convert(self) -> ra.RelNode:
+        # HAVING-position membership subqueries (EXISTS / IN and their
+        # negations) compile as semi/anti joins ABOVE the aggregate — carve
+        # them out of the HAVING conjunction before the scalar-lift scan
+        # (which would otherwise reject the whole clause) and apply them
+        # in _finish once the grouped frame exists
+        self._having_memberships: list[tuple[str, Q.AbstractPredicate]] = []
+        if self.q.having is not None:
+            h = self.q.having
+            conjs = (
+                list(h.children)
+                if isinstance(h, Q.CompoundPredicate)
+                and h.operation is Q.CompoundOperator.AND
+                else [h]
+            )
+            rest = [c for c in conjs if self._subquery_kind(c) is None]
+            self._having_memberships = [
+                (self._subquery_kind(c), c)
+                for c in conjs
+                if self._subquery_kind(c) is not None
+            ]
+            if self._having_memberships:
+                self.q = self.q.with_clause(
+                    having=Q.and_(*rest) if rest else None
+                )
         plain_tables = [
             t for t in self.q.from_tables
             if not (isinstance(t, Q.SubqueryTableSource) and t.lateral)
@@ -1155,7 +1179,13 @@ class _Converter:
         kind: str,
         pred: Q.AbstractPredicate,
         outer_ids: set[str],
+        cond_transform=None,
     ) -> ra.RelNode:
+        # cond_transform rewrites OUTER-side expression text before it
+        # lands in the join condition — the HAVING path maps aggregate
+        # calls to their grouped column names and strips qualifiers the
+        # aggregate output no longer carries
+        f = cond_transform or (lambda s: s)
         pred = self._unwrap_not(pred)
         if isinstance(pred, Q.InPredicate):
             sub = pred.subquery
@@ -1178,7 +1208,7 @@ class _Converter:
             uniq = f"{alias}_key"
             sub_tree = ra.Projection(sub_tree, (f"{out_col} AS {uniq}",))
             sub_tree = ra.SubqueryScan(sub_tree, alias=alias)
-            lhs = pred.expr.sql
+            lhs = f(pred.expr.sql)
             rhs = f"{alias}.{uniq}"
             if kind == "in":
                 return ra.SemiJoin(tree, sub_tree, f"{lhs} = {rhs}")
@@ -1227,7 +1257,7 @@ class _Converter:
             raise UnsupportedSqlError(
                 "uncorrelated EXISTS needs no join — phrase as LIMIT/COUNT check"
             )
-        cond = Q.and_(*correlated).to_sql()
+        cond = f(Q.and_(*correlated).to_sql())
         if kind == "exists":
             return ra.SemiJoin(tree, sub_tree, cond)
         return ra.AntiJoin(tree, sub_tree, cond)
@@ -1289,6 +1319,11 @@ class _Converter:
         )
 
         if not group_texts and not has_aggs:
+            if self._having_memberships:
+                raise UnsupportedSqlError(
+                    "HAVING with subquery predicates but no aggregation is "
+                    "not modeled — phrase the condition in WHERE"
+                )
             for sub in self._scalar_postagg:
                 tree = ra.CrossProduct(tree, sub)
             return self._finish_plain(tree)
@@ -1388,6 +1423,63 @@ class _Converter:
 
         if q.having is not None:
             tree = ra.Selection(tree, dequalify_keys(rewrite(q.having.to_sql())))
+
+        if self._having_memberships:
+            # HAVING EXISTS / IN(subquery) → semi/anti join on the grouped
+            # frame. Outer references inside the subquery must name group
+            # keys (qualified or via select alias) or aggregate calls —
+            # the transform maps them to the aggregate's output columns;
+            # anything else fails loudly at Spark analysis, never silently
+            grouped_cols = set(key_names.values()) | set(agg_names.values())
+            outer_ids = {t.identifier for t in q.from_tables} | {
+                j.source.identifier for j in q.joins
+            }
+            alias_to_key = {
+                p.alias: key_names[p.expr.sql]
+                for p in q.select
+                if p.alias and p.expr.sql in key_names
+            }
+
+            # bare source-column text -> grouped output name (covers keys
+            # grouped under a select alias: GROUP BY k with k = n_regionkey
+            # outputs column k, so t.n_regionkey must map to k)
+            bare_to_key: dict[str, str] = {}
+            for g, kn in key_names.items():
+                m = re.fullmatch(r"(?:([\w$]+)\.)?([\w$]+)", g)
+                if m:
+                    bare_to_key[m.group(2)] = kn
+
+            def degroup(text: str) -> str:
+                text = dequalify_keys(rewrite(text))
+                # outer-qualified references to grouped columns lose their
+                # qualifier above the aggregate (t.col -> its key name)
+                text = re.sub(
+                    r"(?<![\w$])([\w$]+)\.([\w$]+)",
+                    lambda m: bare_to_key.get(m.group(2), m.group(2))
+                    if m.group(1) in outer_ids
+                    and (
+                        m.group(2) in grouped_cols
+                        or m.group(2) in bare_to_key
+                    )
+                    else m.group(0),
+                    text,
+                )
+                # select-alias references resolve to their key columns
+                for a, k in alias_to_key.items():
+                    if a != k:
+                        text = re.sub(
+                            rf"(?<![\w$.]){re.escape(a)}(?![\w$])", k, text
+                        )
+                return text
+
+            for kind, conj in self._having_memberships:
+                tree = self._apply_subquery(
+                    tree,
+                    kind,
+                    conj,
+                    outer_ids,
+                    cond_transform=degroup,
+                )
 
         # ---- final projection (PostAggregation phase) ---------------------
         out_cols: list[str] = []

@@ -674,6 +674,35 @@ def parsed_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(spark, sf_dir, _EXCEPT_ALL_SQL, ["orders", "customer"])
 
 
+_HAVING_EXISTS_SQL = """
+SELECT c_nationkey AS k, count(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+HAVING EXISTS (SELECT 1 FROM nation
+               WHERE n_nationkey = customer.c_nationkey AND n_regionkey < 3)
+   AND count(*) NOT IN (SELECT r_regionkey FROM region)
+ORDER BY k
+"""
+
+
+@query("parsed_having_exists", oracle=_HAVING_EXISTS_SQL)
+def parsed_having_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership subqueries in HAVING position — EXISTS correlated on
+    the group key plus an aggregate NOT IN (subquery) — compiled as
+    semi/anti joins ABOVE the aggregate (the carve-out splits the HAVING
+    conjunction; ordinary conjuncts stay a post-aggregate Selection).
+    Outer references map through the group-key/aggregate rename table
+    (qualified refs and select aliases both resolve); the NOT IN keeps
+    the null-aware anti-join form. DuckDB runs the identical text.
+
+    Scale shape: the joins sit on the grouped frame (one row per key),
+    so the semi/anti sides join against an already-reduced relation —
+    both dimension sides broadcast here."""
+    return _native(
+        spark, sf_dir, _HAVING_EXISTS_SQL, ["customer", "nation", "region"]
+    )
+
+
 _ROW_VALUES_SQL = """
 SELECT n_name || '-' || CAST(n_regionkey AS VARCHAR) AS tag
 FROM nation

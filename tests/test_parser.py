@@ -1971,3 +1971,51 @@ def test_top_level_values_statement(spark):
     assert run(
         "VALUES (5), (6) INTERSECT ALL VALUES (6), (7) ORDER BY col0"
     ) == [(6,)]
+
+
+def test_having_membership_subqueries(spark, sf_small):
+    """EXISTS / NOT EXISTS / IN / NOT IN subqueries in HAVING position
+    compile as semi/anti joins above the aggregate; correlation may use
+    the qualified source column or the select alias; the plain-query
+    guard rejects HAVING memberships with no aggregation."""
+    import pytest
+
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    cat = load_tables(spark, sf_small, ["nation", "region", "customer"])
+
+    def run(sql: str):
+        df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+        return sorted(tuple(r) for r in df.collect())
+
+    got = run(
+        "SELECT n_regionkey AS k, count(*) AS n FROM nation "
+        "GROUP BY n_regionkey HAVING EXISTS (SELECT 1 FROM region "
+        "WHERE r_regionkey = nation.n_regionkey AND r_regionkey < 2) "
+        "ORDER BY k"
+    )
+    assert got == [(0, 5), (1, 5)]
+    # alias-correlated + mixed with an ordinary aggregate conjunct
+    alias_form = run(
+        "SELECT n_regionkey AS k, count(*) AS n FROM nation n2 GROUP BY k "
+        "HAVING EXISTS (SELECT 1 FROM region WHERE r_regionkey = "
+        "n2.n_regionkey) AND count(*) > 3 ORDER BY k"
+    )
+    assert len(alias_form) == 5
+    # aggregate NOT IN subquery (null-aware anti join)
+    anti = run(
+        "SELECT c_nationkey AS k, count(*) AS n FROM customer "
+        "GROUP BY c_nationkey HAVING count(*) NOT IN "
+        "(SELECT r_regionkey FROM region) ORDER BY k"
+    )
+    assert all(n not in range(5) for _k, n in anti)
+    with pytest.raises(UnsupportedSqlError, match="no aggregation"):
+        parse_relalg(
+            parse_query(
+                "SELECT n_name FROM nation HAVING EXISTS "
+                "(SELECT 1 FROM region)"
+            )
+        )
