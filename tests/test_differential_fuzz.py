@@ -813,6 +813,103 @@ def recursive_query(draw) -> str:
     )
 
 
+@st.composite
+def having_membership_query(draw) -> str:
+    """Grammar v19: EXISTS / NOT EXISTS / IN / NOT IN subqueries in
+    HAVING position — semi/anti joins above the aggregate, correlation
+    through qualified columns or select aliases, aggregate-call lhs for
+    the IN family."""
+    outer, (inner, icol) = draw(
+        st.sampled_from(
+            [
+                ("nation", ("region", "r_regionkey")),
+                ("customer", ("nation", "n_nationkey")),
+            ]
+        )
+    )
+    key = {"nation": "n_regionkey", "customer": "c_nationkey"}[outer]
+    use_alias = draw(st.booleans())
+    qual = "t0" if use_alias else outer
+    from_clause = f"{outer} t0" if use_alias else outer
+    group_expr = draw(st.sampled_from([key, f"{key} AS k"]))
+    group_key = "k" if group_expr.endswith(" AS k") else key
+    out_key = "k" if group_key == "k" else key
+    if draw(st.booleans()):
+        neg = draw(st.sampled_from(["", "NOT "]))
+        lim = draw(st.integers(0, 24))
+        member = (
+            f"{neg}EXISTS (SELECT 1 FROM {inner} WHERE {icol} = "
+            f"{qual}.{key} AND {icol} < {lim})"
+        )
+    else:
+        neg = draw(st.sampled_from(["", "NOT "]))
+        lim = draw(st.integers(1, 24))
+        member = (
+            f"count(*) {neg}IN (SELECT {icol} FROM {inner} "
+            f"WHERE {icol} < {lim})"
+        )
+    extra = (
+        f" AND count(*) {draw(st.sampled_from(['>', '<=']))} "
+        f"{draw(st.integers(0, 8))}"
+        if draw(st.booleans())
+        else ""
+    )
+    return (
+        f"SELECT {group_expr}, count(*) AS n FROM {from_clause} "
+        f"GROUP BY {group_key} HAVING {member}{extra} "
+        f"ORDER BY {out_key}" + ORDERED
+    )
+
+
+@st.composite
+def row_values_query(draw) -> str:
+    """Grammar v19: row-value constructors in =/<>/IN-list position and
+    the = ANY / <> ALL subquery identities."""
+    t = draw(st.sampled_from(sorted(TABLES)))
+    cols = INT_COLS[t]
+    a = draw(st.sampled_from(cols))
+    b = draw(st.sampled_from(cols))
+    if draw(st.booleans()):
+        op = draw(st.sampled_from(["=", "<>"]))
+        va, vb = draw(st.integers(0, 20)), draw(st.integers(0, 20))
+        cond = f"({a}, {b}) {op} ({va}, {vb})"
+    elif draw(st.booleans()):
+        neg = draw(st.sampled_from(["", "NOT "]))
+        rows = ", ".join(
+            f"({draw(st.integers(0, 20))}, {draw(st.integers(0, 20))})"
+            for _ in range(draw(st.integers(1, 3)))
+        )
+        cond = f"({a}, {b}) {neg}IN ({rows})"
+    else:
+        sub_t = draw(st.sampled_from(["region", "nation"]))
+        sc = draw(st.sampled_from(INT_COLS[sub_t]))
+        lim = draw(st.integers(0, 20))
+        form = draw(st.sampled_from(["= ANY", "<> ALL"]))
+        cond = f"{a} {form} (SELECT {sc} FROM {sub_t} WHERE {sc} < {lim})"
+    return f"SELECT count(*) AS n FROM {t} WHERE {cond}"
+
+
+@st.composite
+def values_stmt_query(draw) -> str:
+    """Grammar v19: top-level VALUES statements, optionally set-combined,
+    with ORDER BY over the col0.. default names."""
+    def rows(k: int) -> str:
+        return ", ".join(
+            f"({draw(st.integers(0, 9))}, {draw(st.integers(0, 9))})"
+            for _ in range(k)
+        )
+
+    sql = f"VALUES {rows(draw(st.integers(1, 4)))}"
+    if draw(st.booleans()):
+        op = draw(
+            st.sampled_from(
+                ["UNION", "UNION ALL", "INTERSECT ALL", "EXCEPT ALL"]
+            )
+        )
+        sql += f" {op} VALUES {rows(draw(st.integers(1, 4)))}"
+    return sql + " ORDER BY col0, col1"
+
+
 #: WITH TIES has no DuckDB spelling: rewrite `... ORDER BY k FETCH FIRST
 #: n ROWS WITH TIES` into the ANSI-equivalent rank() cutoff over the same
 #: body. Only texts produced by ties_query (output-column order key) are
@@ -843,6 +940,12 @@ def sql_query(draw) -> str:
         return draw(ties_query())
     if kind == 13:
         return draw(recursive_query())
+    if kind == 14:
+        return draw(having_membership_query())
+    if kind == 15:
+        return draw(row_values_query())
+    if kind == 16:
+        return draw(values_stmt_query())
     if kind == 5:
         return draw(distinct_on_query())
     if kind == 6:
