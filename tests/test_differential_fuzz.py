@@ -881,7 +881,11 @@ def row_values_query(draw) -> str:
         )
         cond = f"({a}, {b}) {neg}IN ({rows})"
     else:
-        sub_t = draw(st.sampled_from(["region", "nation"]))
+        # inner table must differ from the outer — an unaliased reuse is
+        # the engine's documented clean rejection, not a target shape
+        sub_t = draw(
+            st.sampled_from([x for x in ("region", "nation") if x != t])
+        )
         sc = draw(st.sampled_from(INT_COLS[sub_t]))
         lim = draw(st.integers(0, 20))
         form = draw(st.sampled_from(["= ANY", "<> ALL"]))
