@@ -780,9 +780,43 @@ class _Parser:
                         break
                 self.t.expect(")")
                 self._pending_grouping_sets = sets
+            elif self.t.peek_kw() in ("rollup", "cube"):
+                # GROUP BY ROLLUP(a, b) / CUBE(a, b) — desugared into the
+                # same GROUPING SETS expansion (ROLLUP = the prefix
+                # hierarchy incl. the grand total, CUBE = the power set);
+                # Spark's own rollup()/cube() are the DataFrame-API
+                # spellings, the native path executes the textbook
+                # per-set UNION ALL so DuckDB runs identical text
+                form = self.t.next().lower()
+                self.t.expect("(")
+                cols = [self._parse_expression()]
+                while self.t.accept(","):
+                    cols.append(self._parse_expression())
+                self.t.expect(")")
+                if form == "rollup":
+                    sets = [cols[:i] for i in range(len(cols), -1, -1)]
+                else:
+                    from itertools import combinations
+
+                    sets = [
+                        list(c)
+                        for r in range(len(cols), -1, -1)
+                        for c in combinations(cols, r)
+                    ]
+                self._pending_grouping_sets = sets
+                if self.t.peek() == ",":
+                    raise UnsupportedSqlError(
+                        "mixing ROLLUP/CUBE with plain GROUP BY items is "
+                        "not modeled — spell the full GROUPING SETS"
+                    )
             else:
                 exprs = [self._parse_expression()]
                 while self.t.accept(","):
+                    if self.t.peek_kw() in ("rollup", "cube"):
+                        raise UnsupportedSqlError(
+                            "mixing plain GROUP BY items with ROLLUP/CUBE "
+                            "is not modeled — spell the full GROUPING SETS"
+                        )
                     exprs.append(self._parse_expression())
                 group_by = tuple(e.to_qal() for e in exprs)
 

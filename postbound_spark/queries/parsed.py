@@ -674,6 +674,32 @@ def parsed_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(spark, sf_dir, _EXCEPT_ALL_SQL, ["orders", "customer"])
 
 
+_ROLLUP_NATIVE_SQL = """
+SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS n
+FROM orders
+WHERE o_totalprice > 50000
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+HAVING count(*) > 10
+ORDER BY s NULLS FIRST, p NULLS FIRST, n
+"""
+
+
+@query("parsed_rollup_native", oracle=_ROLLUP_NATIVE_SQL)
+def parsed_rollup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP through the NATIVE parser — desugared into the
+    textbook GROUPING SETS expansion (prefix hierarchy + grand total as
+    a UNION ALL of per-set aggregates with NULL-padded keys), composing
+    with HAVING and NULLS FIRST ordering; CUBE desugars to the power set
+    the same way. Probe-battery find: the spelling previously parsed as
+    a function call and crashed at Spark analysis. DuckDB runs the
+    identical text natively.
+
+    Scale shape: one scan feeding k+1 partial-aggregated branches —
+    each branch map-side combines before its shuffle; Catalyst reuses
+    the shared scan via exchange reuse."""
+    return _native(spark, sf_dir, _ROLLUP_NATIVE_SQL, ["orders"])
+
+
 _HAVING_EXISTS_SQL = """
 SELECT c_nationkey AS k, count(*) AS n_customers
 FROM customer

@@ -2019,3 +2019,42 @@ def test_having_membership_subqueries(spark, sf_small):
                 "(SELECT 1 FROM region)"
             )
         )
+
+
+def test_rollup_cube_desugar(spark, sf_small):
+    """GROUP BY ROLLUP/CUBE desugar into the GROUPING SETS expansion
+    (probe-battery find: the spellings previously parsed as function
+    calls and crashed at analysis); mixing with plain items is refused."""
+    import pytest
+
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    cat = load_tables(spark, sf_small, ["nation"])
+
+    def run(sql: str):
+        df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    rollup = run(
+        "SELECT n_regionkey AS k, count(*) AS n FROM nation "
+        "GROUP BY ROLLUP (n_regionkey)"
+    )
+    assert (None, 25) in rollup and len(rollup) == 6  # 5 regions + total
+    cube = run(
+        "SELECT n_regionkey AS k, n_nationkey AS i, count(*) AS n "
+        "FROM nation GROUP BY CUBE (n_regionkey, n_nationkey)"
+    )
+    # power set: (k,i) 25 + k 5 + i 25 + total 1
+    assert len(cube) == 56
+    havg = run(
+        "SELECT n_regionkey AS k, count(*) AS n FROM nation "
+        "GROUP BY ROLLUP(n_regionkey) HAVING count(*) > 3"
+    )
+    assert (None, 25) in havg and len(havg) == 6
+    with pytest.raises(UnsupportedSqlError, match="mixing"):
+        parse_query("SELECT a, b FROM t GROUP BY a, ROLLUP(b)")
+    with pytest.raises(UnsupportedSqlError, match="mixing"):
+        parse_query("SELECT a, b FROM t GROUP BY ROLLUP(a), b")
