@@ -1189,14 +1189,35 @@ class _Converter:
         pred = self._unwrap_not(pred)
         if isinstance(pred, Q.InPredicate):
             sub = pred.subquery
-            if not isinstance(sub, Q.SqlQuery):
-                raise UnsupportedSqlError("set-query inside IN is not supported")
-            self._check_alias_collisions(sub, outer_ids)
-            if len(sub.select) != 1:
-                raise UnsupportedSqlError("IN subquery must project one column")
-            sub_tree = parse_relalg(sub, scope_ctes=self.ctes)
-            alias = self._gensym("insub")
-            out_col = sub.select[0].alias or _output_name(sub.select[0].expr.sql)
+            if isinstance(sub, Q.SetQuery):
+                # IN over a set query: the membership column is the
+                # LEFTMOST operand's single projection (set-op output
+                # naming); the combined tree joins like any subquery
+                leftmost = sub
+                while isinstance(leftmost, Q.SetQuery):
+                    leftmost = leftmost.left
+                if len(leftmost.select) != 1:
+                    raise UnsupportedSqlError(
+                        "IN set-query must project one column"
+                    )
+                sub_tree = parse_relalg(sub, scope_ctes=self.ctes)
+                alias = self._gensym("insub")
+                out_col = leftmost.select[0].alias or _output_name(
+                    leftmost.select[0].expr.sql
+                )
+            elif not isinstance(sub, Q.SqlQuery):
+                raise UnsupportedSqlError("IN without a query operand")
+            else:
+                self._check_alias_collisions(sub, outer_ids)
+                if len(sub.select) != 1:
+                    raise UnsupportedSqlError(
+                        "IN subquery must project one column"
+                    )
+                sub_tree = parse_relalg(sub, scope_ctes=self.ctes)
+                alias = self._gensym("insub")
+                out_col = sub.select[0].alias or _output_name(
+                    sub.select[0].expr.sql
+                )
             if out_col is None:
                 raise UnsupportedSqlError(
                     "IN subquery projection needs a derivable column name"

@@ -2058,3 +2058,28 @@ def test_rollup_cube_desugar(spark, sf_small):
         parse_query("SELECT a, b FROM t GROUP BY a, ROLLUP(b)")
     with pytest.raises(UnsupportedSqlError, match="mixing"):
         parse_query("SELECT a, b FROM t GROUP BY ROLLUP(a), b")
+
+
+def test_in_over_set_query(spark, sf_small):
+    """IN / NOT IN over a SET-QUERY subquery (probe-battery find — was a
+    documented rejection): the membership column is the leftmost
+    operand's projection; NOT IN keeps the null-aware anti-join form."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    cat = load_tables(spark, sf_small, ["nation", "region"])
+
+    def one(sql: str):
+        return compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect()[0][0]
+
+    assert one(
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey IN "
+        "(SELECT r_regionkey FROM region WHERE r_regionkey < 2 "
+        "UNION SELECT 4)"
+    ) == 15
+    assert one(
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey NOT IN "
+        "(SELECT r_regionkey FROM region WHERE r_regionkey < 1 "
+        "UNION ALL SELECT 3)"
+    ) == 15
