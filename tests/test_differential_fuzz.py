@@ -914,6 +914,45 @@ def values_stmt_query(draw) -> str:
     return sql + " ORDER BY col0, col1"
 
 
+@st.composite
+def rollup_cube_query(draw) -> str:
+    """Grammar v20: GROUP BY ROLLUP/CUBE (desugared to the grouping-sets
+    expansion) with optional HAVING, and IN over set-query subqueries."""
+    if draw(st.booleans()):
+        t = draw(st.sampled_from(["nation", "customer", "orders"]))
+        cols = {
+            "nation": ["n_regionkey", "n_nationkey"],
+            "customer": ["c_nationkey", "c_mktsegment"],
+            "orders": ["o_orderstatus", "o_orderpriority"],
+        }[t]
+        k = draw(st.integers(1, 2))
+        form = draw(st.sampled_from(["ROLLUP", "CUBE"]))
+        keys = cols[:k]
+        having = (
+            f" HAVING count(*) {draw(st.sampled_from(['>', '<=']))} "
+            f"{draw(st.integers(0, 20))}"
+            if draw(st.booleans())
+            else ""
+        )
+        sel = ", ".join(keys)
+        return (
+            f"SELECT {sel}, count(*) AS n FROM {t} "
+            f"GROUP BY {form} ({sel}){having}"
+        )
+    # IN / NOT IN over a set-query subquery
+    t = draw(st.sampled_from(["nation", "customer"]))
+    col = draw(st.sampled_from(INT_COLS[t]))
+    neg = draw(st.sampled_from(["", "NOT "]))
+    s1 = draw(st.integers(0, 8))
+    s2 = draw(st.integers(0, 24))
+    op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT"]))
+    return (
+        f"SELECT count(*) AS n FROM {t} WHERE {col} {neg}IN "
+        f"(SELECT r_regionkey FROM region WHERE r_regionkey < {s1} "
+        f"{op} SELECT {s2})"
+    )
+
+
 #: WITH TIES has no DuckDB spelling: rewrite `... ORDER BY k FETCH FIRST
 #: n ROWS WITH TIES` into the ANSI-equivalent rank() cutoff over the same
 #: body. Only texts produced by ties_query (output-column order key) are
@@ -950,6 +989,8 @@ def sql_query(draw) -> str:
         return draw(row_values_query())
     if kind == 16:
         return draw(values_stmt_query())
+    if kind == 17:
+        return draw(rollup_cube_query())
     if kind == 5:
         return draw(distinct_on_query())
     if kind == 6:
