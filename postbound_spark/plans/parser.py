@@ -219,6 +219,11 @@ def _merge(sql: str, *parts: _Expr) -> _Expr:
 #: the terminal NUL makes one window name never a prefix of another's
 #: marker (`w` vs `w__x`).
 _WINREF_PREFIX = "\x00WINREF\x00"
+
+#: sentinel for ORDER BY ALL — expanded at the parse_query level (the
+#: select list of the leftmost operand is known there); NUL-delimited so
+#: no tokenized SQL text can collide with it
+_ORDER_ALL_MARKER = "\x00ORDERALL\x00"
 _WINREF_SUFFIX = "\x00"
 
 
@@ -628,6 +633,24 @@ class _Parser:
         leftmost = q
         while isinstance(leftmost, Q.SetQuery):
             leftmost = leftmost.left
+        if order_by and order_by[0].expr.sql == _ORDER_ALL_MARKER:
+            # ORDER BY ALL → one key per select item, list order, shared
+            # direction/null placement
+            tmpl = order_by[0]
+            expanded: list[Q.OrderByExpression] = []
+            for p in leftmost.select:
+                text = p.alias or p.expr.sql
+                if text == "*" or text.endswith(".*"):
+                    raise UnsupportedSqlError(
+                        "ORDER BY ALL with a star select is not modeled — "
+                        "name the columns"
+                    )
+                expanded.append(
+                    replace(
+                        tmpl, expr=Q.SqlExpression(text, p.expr.columns)
+                    )
+                )
+            order_by = tuple(expanded)
         order_by = tuple(
             replace(
                 o,
@@ -755,7 +778,36 @@ class _Parser:
 
         group_by: tuple[Q.SqlExpression, ...] = ()
         if self.t.accept("group", "by"):
-            if self.t.accept("grouping", "sets"):
+            if self.t.peek_kw() == "all":
+                # GROUP BY ALL (DuckDB/Spark modern-dialect shorthand):
+                # group by every select item that contains no aggregate
+                # call — expanded at parse time so the IR stays explicit
+                # and both engines see equivalent text via to_sql()
+                self.t.next()
+                from postbound_spark.plans.algebra import _find_agg_calls
+
+                keys: list[Q.SqlExpression] = []
+                for p in projections:
+                    text = p.expr.sql
+                    blanked = re.sub(r"'(?:[^']|'')*'", "''", text)
+                    if text == "*" or text.endswith(".*"):
+                        raise UnsupportedSqlError(
+                            "GROUP BY ALL with a star select is not modeled"
+                        )
+                    if _find_agg_calls(text):
+                        continue
+                    if re.search(r"\bover\s*\(", blanked, re.I):
+                        raise UnsupportedSqlError(
+                            "GROUP BY ALL with window functions in the "
+                            "select list is not modeled"
+                        )
+                    keys.append(p.expr)
+                if not keys:
+                    raise UnsupportedSqlError(
+                        "GROUP BY ALL found no non-aggregate select items"
+                    )
+                group_by = tuple(keys)
+            elif self.t.accept("grouping", "sets"):
                 # GROUP BY GROUPING SETS ((a, b), (a), ()) — desugared at
                 # the parse_query level into a UNION ALL of per-set
                 # grouped aggregates with NULL-padded grouping columns
@@ -872,27 +924,48 @@ class _Parser:
     ) -> tuple[tuple[Q.OrderByExpression, ...], int | None, int | None, str]:
         order_by: list[Q.OrderByExpression] = []
         if self.t.accept("order", "by"):
-            while True:
-                expr = self._parse_expression()
-                # a named-window marker here is legal when the query is a
-                # single SELECT (its WINDOW map is captured on self) —
-                # parse_query resolves or rejects once the operand shape
-                # is known
-                ascending = True
-                if self.t.accept("desc"):
-                    ascending = False
-                else:
+            if self.t.peek_kw() == "all":
+                # ORDER BY ALL (DuckDB/Spark shorthand): sort by every
+                # select item in list order; expanded at the parse_query
+                # level where the (leftmost) select list is known
+                self.t.next()
+                ascending = not self.t.accept("desc")
+                if ascending:
                     self.t.accept("asc")
-                nulls_first: bool | None = None
+                nf: bool | None = None
                 if self.t.accept("nulls", "first"):
-                    nulls_first = True
+                    nf = True
                 elif self.t.accept("nulls", "last"):
-                    nulls_first = False
+                    nf = False
                 order_by.append(
-                    Q.OrderByExpression(expr.to_qal(), ascending, nulls_first)
+                    Q.OrderByExpression(
+                        Q.SqlExpression(_ORDER_ALL_MARKER), ascending, nf
+                    )
                 )
-                if not self.t.accept(","):
-                    break
+            else:
+                while True:
+                    expr = self._parse_expression()
+                    # a named-window marker here is legal when the query
+                    # is a single SELECT (its WINDOW map is captured on
+                    # self) — parse_query resolves or rejects once the
+                    # operand shape is known
+                    ascending = True
+                    if self.t.accept("desc"):
+                        ascending = False
+                    else:
+                        self.t.accept("asc")
+                    nulls_first: bool | None = None
+                    if self.t.accept("nulls", "first"):
+                        nulls_first = True
+                    elif self.t.accept("nulls", "last"):
+                        nulls_first = False
+                    order_by.append(
+                        Q.OrderByExpression(
+                            expr.to_qal(), ascending, nulls_first
+                        )
+                    )
+                    if not self.t.accept(","):
+                        break
         limit: int | None = None
         offset: int | None = None
         fetch_direction = "first"

@@ -674,6 +674,30 @@ def parsed_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(spark, sf_dir, _EXCEPT_ALL_SQL, ["orders", "customer"])
 
 
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus AS s, o_orderpriority AS p,
+       count(*) AS n, round(sum(o_totalprice), 2) AS vol
+FROM orders
+WHERE o_totalprice > 25000
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("parsed_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def parsed_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the modern-dialect shorthands both
+    Spark (3.4+) and DuckDB support natively. The native parser expands
+    them explicitly at parse time: every non-aggregate select item
+    becomes a group key, and ORDER BY ALL becomes one key per select
+    item in list order — so the IR stays fully explicit and the DuckDB
+    oracle runs the identical text.
+
+    Scale shape: identical to the explicit spelling — one partial-agg
+    shuffle keyed on the expanded columns."""
+    return _native(spark, sf_dir, _GROUP_BY_ALL_SQL, ["orders"])
+
+
 _ROLLUP_NATIVE_SQL = """
 SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS n
 FROM orders

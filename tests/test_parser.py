@@ -2083,3 +2083,31 @@ def test_in_over_set_query(spark, sf_small):
         "(SELECT r_regionkey FROM region WHERE r_regionkey < 1 "
         "UNION ALL SELECT 3)"
     ) == 15
+
+
+def test_group_by_all_order_by_all(spark, sf_small):
+    """GROUP BY ALL expands to every non-aggregate select item; ORDER BY
+    ALL expands to one key per select item in list order; rejections for
+    star selects and window-bearing items are loud."""
+    import pytest
+
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    cat = load_tables(spark, sf_small, ["nation"])
+    q = parse_query(
+        "SELECT n_regionkey AS k, count(*) AS n FROM nation "
+        "GROUP BY ALL ORDER BY ALL"
+    )
+    assert [e.sql for e in q.group_by] == ["n_regionkey"]
+    assert [o.expr.sql for o in q.order_by] == ["k", "n"]
+    rows = compile_plan(parse_relalg(q), spark, cat).collect()
+    assert [tuple(r) for r in rows] == [(i, 5) for i in range(5)]
+    desc = parse_query("SELECT a, b FROM t ORDER BY ALL DESC")
+    assert all(not o.ascending for o in desc.order_by)
+    with pytest.raises(UnsupportedSqlError, match="star"):
+        parse_query("SELECT * FROM t GROUP BY ALL")
+    with pytest.raises(UnsupportedSqlError, match="no non-aggregate"):
+        parse_query("SELECT count(*) FROM t GROUP BY ALL")
