@@ -917,7 +917,17 @@ def values_stmt_query(draw) -> str:
 @st.composite
 def rollup_cube_query(draw) -> str:
     """Grammar v20: GROUP BY ROLLUP/CUBE (desugared to the grouping-sets
-    expansion) with optional HAVING, and IN over set-query subqueries."""
+    expansion) with optional HAVING, IN over set-query subqueries, and
+    the GROUP BY ALL / ORDER BY ALL shorthands."""
+    if draw(st.integers(0, 3)) == 3:
+        t = draw(st.sampled_from(sorted(TABLES)))
+        k1 = draw(st.sampled_from(INT_COLS[t]))
+        k2 = draw(st.sampled_from(STR_COLS[t]))
+        w = f" WHERE {draw(predicate([t]))}" if draw(st.booleans()) else ""
+        return (
+            f"SELECT {k1}, {k2}, count(*) AS n FROM {t}{w} "
+            "GROUP BY ALL ORDER BY ALL" + ORDERED
+        )
     if draw(st.booleans()):
         t = draw(st.sampled_from(["nation", "customer", "orders"]))
         cols = {
