@@ -1570,6 +1570,48 @@ class _Converter:
             )
             tree = ra.Selection(tree, f"{rn} = 1")
         aliases = {p.alias for p in q.select if p.alias}
+        # an ORDER BY EXPRESSION over an output alias (`ORDER BY CAST(num
+        # AS INT)` where num is a select alias) cannot resolve below the
+        # projection — inline the alias's defining expression (word-
+        # boundary, renaming aliases only), matching DuckDB's output-name
+        # resolution; bare alias keys keep the above-projection path
+        alias_expr = {
+            p.alias: p.expr.sql
+            for p in q.select
+            if p.alias and p.expr.sql != p.alias
+        }
+        if alias_expr and any(
+            o.expr.sql not in aliases
+            and re.search(
+                r"(?<![\w$.])(" + "|".join(map(re.escape, alias_expr)) + r")(?![\w$])",
+                o.expr.sql,
+            )
+            for o in q.order_by
+        ):
+            def _inline_alias(text: str) -> str:
+                if text in aliases:
+                    return text
+                for a, ex in alias_expr.items():
+                    text = re.sub(
+                        rf"(?<![\w$.]){re.escape(a)}(?![\w$])",
+                        f"({ex})",
+                        text,
+                    )
+                return text
+
+            q = replace(
+                q,
+                order_by=tuple(
+                    replace(
+                        o,
+                        expr=Q.SqlExpression(
+                            _inline_alias(o.expr.sql), o.expr.columns
+                        ),
+                    )
+                    for o in q.order_by
+                ),
+            )
+            self.q = q
         sort_uses_alias = any(
             o.expr.sql in aliases for o in q.order_by
         )

@@ -311,6 +311,22 @@ def _expand_grouping_sets(
     clones: list[Q.SqlQuery] = []
     for s in sets:
         in_set = {e.sql for e in s}
+        in_set_bare = {c.rsplit(".", 1)[-1] for c in in_set}
+
+        def mark_grouping(text: str) -> str:
+            # GROUPING(col) is a per-set CONSTANT under the expansion:
+            # 1 when col is absent from this set (super-aggregate row),
+            # 0 when present — rewritten to the literal on BOTH engines,
+            # which also sidesteps the Spark-byte/DuckDB-int dtype gap
+            return re.sub(
+                r"\bgrouping\s*\(\s*([\w$.]+)\s*\)",
+                lambda m: "0"
+                if m.group(1).rsplit(".", 1)[-1] in in_set_bare
+                else "1",
+                text,
+                flags=re.I,
+            )
+
         select = []
         for p in q.select:
             sql = p.expr.sql
@@ -320,11 +336,32 @@ def _expand_grouping_sets(
                     Q.BaseProjection(Q.SqlExpression("NULL"), out_name)
                 )
             else:
-                select.append(p)
+                marked = mark_grouping(sql)
+                if marked != sql and p.alias is None:
+                    raise UnsupportedSqlError(
+                        "GROUPING() select items need an alias under the "
+                        "grouping-sets expansion (engines disagree on the "
+                        "default name)"
+                    )
+                select.append(
+                    p
+                    if marked == sql
+                    else Q.BaseProjection(
+                        Q.SqlExpression(marked, p.expr.columns), p.alias
+                    )
+                )
+        having = q.having
+        if having is not None:
+            marked = mark_grouping(having.to_sql())
+            if marked != having.to_sql():
+                having = Q.UnaryPredicate(
+                    Q.UnaryOperation.BARE, Q.SqlExpression(marked)
+                )
         clones.append(
             replace(
                 q,
                 select=tuple(select),
+                having=having,
                 group_by=tuple(e.to_qal() for e in s),
             )
         )

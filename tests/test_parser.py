@@ -2111,3 +2111,32 @@ def test_group_by_all_order_by_all(spark, sf_small):
         parse_query("SELECT * FROM t GROUP BY ALL")
     with pytest.raises(UnsupportedSqlError, match="no non-aggregate"):
         parse_query("SELECT count(*) FROM t GROUP BY ALL")
+
+
+def test_grouping_marker_under_desugar_and_alias_order_expr(spark, sf_small):
+    """Wave-3 probe closures: GROUPING(col) under the grouping-sets
+    desugar becomes the per-set 0/1 constant (no Spark grouping() call
+    outside a native GROUPING SETS context), and ORDER BY expressions
+    over output aliases inline the defining expression."""
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+    from postbound_spark.plans.algebra import parse_relalg
+
+    cat = load_tables(spark, sf_small, ["nation"])
+
+    def run(sql: str):
+        df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+        return [tuple(r) for r in df.collect()]
+
+    marks = run(
+        "SELECT n_regionkey AS k, count(*) AS n, "
+        "CAST(grouping(n_regionkey) AS INT) AS g FROM nation "
+        "GROUP BY ROLLUP(n_regionkey) ORDER BY k NULLS FIRST"
+    )
+    assert marks[0] == (None, 25, 1)  # the super-aggregate row marks 1
+    assert all(g == 0 for _k, _n, g in marks[1:])
+    ordered = run(
+        "SELECT split_part(n_name, '_', 2) AS num FROM nation "
+        "ORDER BY CAST(num AS INTEGER) LIMIT 3"
+    )
+    assert [r[0] for r in ordered] == ["0", "1", "2"]
