@@ -121,6 +121,7 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round-9: new/changed capabilities (driver re-verifies first) ---
     "parsed_group_by_all",  # new r9b: GROUP BY ALL / ORDER BY ALL shorthands
+    "parsed_grouping_marker_native",  # new r9b: grouping() 0/1 under the desugar
     "parsed_rollup_native",  # new r9b: GROUP BY ROLLUP/CUBE desugar (probe find)
     "parsed_having_exists",  # new r9b: HAVING EXISTS/IN(subquery) as joins above the agg
     "parsed_row_values",  # new r9b: row constructors, =ANY identity, LIKE ESCAPE

@@ -724,6 +724,27 @@ def parsed_rollup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(spark, sf_dir, _ROLLUP_NATIVE_SQL, ["orders"])
 
 
+_GROUPING_MARKER_NATIVE_SQL = """
+SELECT o_orderstatus AS s, count(*) AS n,
+       CAST(grouping(o_orderstatus) AS INT) AS is_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus)
+ORDER BY is_total, s NULLS FIRST
+"""
+
+
+@query("parsed_grouping_marker_native", oracle=_GROUPING_MARKER_NATIVE_SQL)
+def parsed_grouping_marker_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers over a desugared ROLLUP on the NATIVE path —
+    the expansion rewrites each marker to its per-set 0/1 constant
+    (wave-3 probe find: the call previously leaked to Spark outside a
+    native GROUPING SETS context and crashed at analysis), while DuckDB
+    executes the identical text with its real grouping() — the constants
+    must agree row-for-row, which is exactly what distinguishes
+    super-aggregate rows from genuine NULL keys."""
+    return _native(spark, sf_dir, _GROUPING_MARKER_NATIVE_SQL, ["orders"])
+
+
 _HAVING_EXISTS_SQL = """
 SELECT c_nationkey AS k, count(*) AS n_customers
 FROM customer
