@@ -79,22 +79,56 @@ def _to_spark_array_calls(text: str) -> str:
 _STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
 #: length-less character types: ANSI/Postgres/DuckDB treat bare VARCHAR /
 #: TEXT as an unbounded string; Spark's parser demands VARCHAR(n), so the
-#: bare spellings map to STRING at the expression boundary (literal-aware:
-#: words inside string literals are untouched; VARCHAR(n) keeps its length)
+#: bare spellings map to STRING at the expression boundary. The rewrite is
+#: anchored to cast-target position ONLY — ``CAST(… AS text)`` at the
+#: cast's own paren depth and the ``x::text`` spelling — so a column named
+#: ``text``/``varchar`` or an ``… AS text`` output alias is left alone.
 _BARE_CHARTYPE_RE = re.compile(r"\b(varchar|text)\b(?!\s*\()", re.I)
+_CAST_OPEN_RE = re.compile(r"\b(?:try_)?cast\s*\(", re.I)
+_COLONCOLON_TYPE_RE = re.compile(r"(::\s*)(varchar|text)\b(?!\s*\()", re.I)
+_AS_TYPE_RE = re.compile(r"\bas\s+(varchar|text)\b(?!\s*\()", re.I)
 
 
 def _to_spark_chartypes(text: str) -> str:
-    if not _BARE_CHARTYPE_RE.search(text):
+    if not _BARE_CHARTYPE_RE.search(text) and "::" not in text:
         return text
-    parts: list[str] = []
+    # positions come from the literal-blanked shadow (same length, literal
+    # bodies spaced out) so quoted 'text' never matches and cast-body scans
+    # can still cross a literal argument; replacements apply to the original
+    blanked = _STRING_LIT_RE.sub(lambda m: " " * len(m.group(0)), text)
+    spans: set[tuple[int, int]] = set()
+    for m in _COLONCOLON_TYPE_RE.finditer(blanked):
+        spans.add((m.start(2), m.end(2)))
+    for m in _CAST_OPEN_RE.finditer(blanked):
+        start = m.end()  # just past the cast's open paren
+        depth, i = 1, start
+        while i < len(blanked):
+            c = blanked[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        body = blanked[start:i]
+        for t in _AS_TYPE_RE.finditer(body):
+            prefix = body[: t.start()]
+            # depth 0 relative to this cast's parens — an ``AS text`` in a
+            # nested subquery (an alias) is deeper and stays untouched;
+            # nested casts get their own pass from the outer finditer
+            if prefix.count("(") == prefix.count(")"):
+                spans.add((start + t.start(1), start + t.end(1)))
+    if not spans:
+        return text
+    out: list[str] = []
     pos = 0
-    for m in _STRING_LIT_RE.finditer(text):
-        parts.append(_BARE_CHARTYPE_RE.sub("STRING", text[pos : m.start()]))
-        parts.append(m.group(0))
-        pos = m.end()
-    parts.append(_BARE_CHARTYPE_RE.sub("STRING", text[pos:]))
-    return "".join(parts)
+    for s, e in sorted(spans):
+        out.append(text[pos:s])
+        out.append("STRING")
+        pos = e
+    out.append(text[pos:])
+    return "".join(out)
 
 
 def _expr(text: str):
@@ -361,10 +395,13 @@ class _Compiler(ra.RelNodeVisitor):
         if node.distinct:
             seed = seed.distinct()
         seed = seed.localCheckpoint(eager=True)
-        frames = [seed]
         result = seed
         working = seed
-        for _ in range(node.max_iterations):
+        # the +1th pass is the convergence CHECK: after exactly
+        # max_iterations productive steps the fixpoint may already have
+        # closed, which only the next step's emptiness can prove — raise
+        # solely when that extra step still produces rows
+        for i in range(node.max_iterations + 1):
             if working.isEmpty():
                 break
             prev = self._recursive_frames.get(node.name)
@@ -386,15 +423,14 @@ class _Compiler(ra.RelNodeVisitor):
             new = step.localCheckpoint(eager=True)
             if new.isEmpty():
                 break
-            frames.append(new)
+            if i == node.max_iterations:
+                raise RuntimeError(
+                    f"recursive CTE {node.name!r} did not converge within "
+                    f"{node.max_iterations} iterations — raise "
+                    "RecursiveUnion.max_iterations if the depth is intended"
+                )
             result = result.union(new)
             working = new
-        else:
-            raise RuntimeError(
-                f"recursive CTE {node.name!r} did not converge within "
-                f"{node.max_iterations} iterations — raise "
-                "RecursiveUnion.max_iterations if the depth is intended"
-            )
         return result
 
     def visit_union(self, node: ra.Union) -> DataFrame:

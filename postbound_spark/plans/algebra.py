@@ -42,7 +42,9 @@ relalg.py:1550). Set queries compile via ``Union``/``Intersection``/
 
 from __future__ import annotations
 
+import itertools
 import re
+import threading
 from dataclasses import replace
 
 from postbound_spark.plans import qal as Q
@@ -123,6 +125,21 @@ def _find_agg_calls(text: str) -> list[str]:
 _STRING_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
 
 
+def _sub_outside_literals(pattern, repl, text: str) -> str:
+    """``re.sub`` applied only to the segments of ``text`` outside string
+    literals — identifier/alias rewrites must never touch quoted data
+    (advisor-found: an alias named ``n`` inside ``... = 'n'`` was
+    rewritten, silently changing the literal)."""
+    out: list[str] = []
+    pos = 0
+    for m in _STRING_LITERAL_RE.finditer(text):
+        out.append(re.sub(pattern, repl, text[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(re.sub(pattern, repl, text[pos:]))
+    return "".join(out)
+
+
 def _has_scalar_subquery(text: str) -> bool:
     return "(select " in _STRING_LITERAL_RE.sub("''", text).lower()
 
@@ -166,8 +183,17 @@ def _cte_flag(cte) -> bool | str:
 #: recursive CTE names currently being converted — re-entering one means
 #: MUTUAL recursion (a's body reads b, b's body reads a), which neither
 #: the reference nor Postgres models; without the guard the conversion
-#: itself would recurse forever
-_RECURSION_STACK: set[str] = set()
+#: itself would recurse forever. Thread-local so concurrent parses on
+#: different threads cannot see each other's in-flight names (the nested
+#: same-thread entries ARE the guard's signal).
+_TLS = threading.local()
+
+
+def _recursion_stack() -> set[str]:
+    stack = getattr(_TLS, "recursion_stack", None)
+    if stack is None:
+        stack = _TLS.recursion_stack = set()
+    return stack
 
 
 def _convert_recursive_cte(
@@ -177,7 +203,7 @@ def _convert_recursive_cte(
     set query ``base UNION [ALL] step`` where only the step references
     ``name``; the base seeds the working table, the step converts with
     the self-reference bound to a :class:`ra.RecursiveRef` leaf."""
-    if name in _RECURSION_STACK:
+    if name in _recursion_stack():
         raise UnsupportedSqlError(
             f"mutually recursive CTEs are not modeled (re-entered "
             f"{name!r} while converting its own body) — fold the mutual "
@@ -200,14 +226,14 @@ def _convert_recursive_cte(
             f"recursive CTE {name!r} references itself in the BASE term — "
             "only the step (right) operand may recurse"
         )
-    _RECURSION_STACK.add(name)
+    _recursion_stack().add(name)
     try:
         base = parse_relalg(body.left, scope_ctes=scope)
         step_scope = dict(scope)
         step_scope[name] = (None, "recursive-ref")
         step = parse_relalg(body.right, scope_ctes=step_scope)
     finally:
-        _RECURSION_STACK.discard(name)
+        _recursion_stack().discard(name)
     return ra.RecursiveUnion(
         base=base,
         step=step,
@@ -216,7 +242,10 @@ def _convert_recursive_cte(
     )
 
 
-_TIES_COUNTER = [0]
+#: helper-column uniquifier for the ties cutoff — ``next()`` on an
+#: itertools.count is atomic under the GIL, so concurrent parses never
+#: mint the same tag (names only need uniqueness within one query tree)
+_TIES_COUNTER = itertools.count(1)
 
 
 def _ties_cutoff(
@@ -263,8 +292,7 @@ def _ties_cutoff(
         nulls = "NULLS FIRST" if nulls_first else "NULLS LAST"
         rendered.append(f"{k.expression} {direction} {nulls}")
     order = ", ".join(rendered)
-    _TIES_COUNTER[0] += 1
-    tag = _TIES_COUNTER[0]
+    tag = next(_TIES_COUNTER)
     rank_col = f"__ties_rank{tag}"
     if not offset:
         tree = ra.Map(tree, ((rank_col, f"rank() OVER (ORDER BY {order})"),))
@@ -1474,7 +1502,7 @@ class _Converter:
                 text = dequalify_keys(rewrite(text))
                 # outer-qualified references to grouped columns lose their
                 # qualifier above the aggregate (t.col -> its key name)
-                text = re.sub(
+                text = _sub_outside_literals(
                     r"(?<![\w$])([\w$]+)\.([\w$]+)",
                     lambda m: bare_to_key.get(m.group(2), m.group(2))
                     if m.group(1) in outer_ids
@@ -1488,7 +1516,7 @@ class _Converter:
                 # select-alias references resolve to their key columns
                 for a, k in alias_to_key.items():
                     if a != k:
-                        text = re.sub(
+                        text = _sub_outside_literals(
                             rf"(?<![\w$.]){re.escape(a)}(?![\w$])", k, text
                         )
                 return text
@@ -1592,9 +1620,9 @@ class _Converter:
                 if text in aliases:
                     return text
                 for a, ex in alias_expr.items():
-                    text = re.sub(
+                    text = _sub_outside_literals(
                         rf"(?<![\w$.]){re.escape(a)}(?![\w$])",
-                        f"({ex})",
+                        f"({ex})".replace("\\", "\\\\"),
                         text,
                     )
                 return text

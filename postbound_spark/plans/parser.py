@@ -576,6 +576,15 @@ class _Parser:
                             "MATERIALIZED on a recursive CTE is not modeled"
                         )
                     cls = Q.RecursiveCte
+                elif recursive_with and Q.references_table_deep(body, name):
+                    # self-reference hides inside a WHERE/SELECT subquery of
+                    # the step — reject loudly (Postgres rejects this shape
+                    # too) rather than resolve the name against the catalog
+                    raise UnsupportedSqlError(
+                        f"recursive reference to {name!r} appears only inside "
+                        "a subquery of the recursive step; move the "
+                        "self-reference into the step's FROM clause"
+                    )
                 else:
                     cls = (
                         Q.MaterializedCte
@@ -958,7 +967,9 @@ class _Parser:
 
     def _parse_order_limit(
         self,
-    ) -> tuple[tuple[Q.OrderByExpression, ...], int | None, int | None, str]:
+    ) -> tuple[
+        tuple[Q.OrderByExpression, ...], int | None, int | None, str, bool
+    ]:
         order_by: list[Q.OrderByExpression] = []
         if self.t.accept("order", "by"):
             if self.t.peek_kw() == "all":

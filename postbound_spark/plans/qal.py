@@ -23,6 +23,7 @@ mutation via ``replace``-style helpers returning new trees.
 from __future__ import annotations
 
 import enum
+import re
 from dataclasses import dataclass, field, replace
 from typing import Iterator
 
@@ -892,6 +893,89 @@ def references_table(query, name: str) -> bool:
         if sub is not None and references_table(sub, name):
             return True
     return False
+
+
+_QAL_STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _expr_texts(query) -> Iterator[str]:
+    """Raw SQL texts of a query's expressions and predicates (select items,
+    WHERE/HAVING rendered, group/order keys) — the places a scalar
+    subquery can hide as uninterpreted text."""
+    for p in query.select:
+        yield p.expr.sql
+    for e in query.group_by:
+        yield e.sql
+    for o in query.order_by:
+        yield o.expr.sql
+    if query.where is not None:
+        yield query.where.to_sql()
+    if query.having is not None:
+        yield query.having.to_sql()
+
+
+def _iter_structural_subqueries(pred) -> Iterator["SqlQuery"]:
+    """IN-/EXISTS-carried subqueries of a predicate tree."""
+    if pred is None:
+        return
+    if isinstance(pred, CompoundPredicate):
+        for c in pred.children:
+            yield from _iter_structural_subqueries(c)
+        return
+    sub = getattr(pred, "subquery", None)
+    if sub is not None:
+        yield sub
+
+
+def references_table_deep(query, name: str) -> bool:
+    """:func:`references_table` extended BELOW the FROM surface: descends
+    into the structural predicate subqueries (IN / EXISTS bodies in WHERE
+    and HAVING) and text-scans expression-embedded scalar subqueries for a
+    ``FROM``/``JOIN`` mention of ``name``. Purpose: a WITH RECURSIVE
+    self-reference hiding inside a subquery of the step must be REJECTED
+    loudly (Postgres does too — "recursive reference to query must not
+    appear within a subquery") instead of silently resolving the name
+    against the catalog (advisor finding, round 10). Heuristic on the
+    raw-text side by design: a miss falls back to the resolver's
+    unknown-table error, never to silent data."""
+    if references_table(query, name):
+        return True
+    if isinstance(query, SetQuery):
+        return references_table_deep(query.left, name) or references_table_deep(
+            query.right, name
+        )
+    for cte in query.ctes:
+        if cte[0] == name:
+            return False  # rebound: this scope cannot recurse on `name`
+        if references_table_deep(cte[1], name):
+            return True
+
+    token_re = re.compile(
+        rf"(?i)\b(?:from|join)\s+((?:[\w$]+\.)?[\w$]+"
+        rf"(?:\s+(?:as\s+)?[\w$]+)?(?:\s*,\s*(?:[\w$]+\.)?[\w$]+"
+        rf"(?:\s+(?:as\s+)?[\w$]+)?)*)"
+    )
+
+    def text_hit(sql_text: str) -> bool:
+        blanked = _QAL_STRING_LIT_RE.sub("''", sql_text)
+        if "(select" not in blanked.lower().replace("( ", "("):
+            return False  # no embedded subquery → nothing below the surface
+        for m in token_re.finditer(blanked):
+            for item in m.group(1).split(","):
+                t = re.match(r"\s*((?:[\w$]+\.)?[\w$]+)", item)
+                if t and t.group(1).split(".")[-1].lower() == name.lower():
+                    return True
+        return False
+
+    for pred in (query.where, query.having):
+        for sub in _iter_structural_subqueries(pred):
+            if references_table_deep(sub, name) or references_table(sub, name):
+                return True
+    for src in list(query.from_tables) + [j.source for j in query.joins]:
+        sub = getattr(src, "query", None)
+        if sub is not None and references_table_deep(sub, name):
+            return True
+    return any(text_hit(t) for t in _expr_texts(query))
 
 
 class RecursiveCte(CommonTableExpression):

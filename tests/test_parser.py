@@ -2140,3 +2140,49 @@ def test_grouping_marker_under_desugar_and_alias_order_expr(spark, sf_small):
         "ORDER BY CAST(num AS INTEGER) LIMIT 3"
     )
     assert [r[0] for r in ordered] == ["0", "1", "2"]
+
+
+def test_recursive_self_ref_in_subquery_rejected():
+    """Round-10 advisor fix: a WITH RECURSIVE self-reference appearing
+    only inside a WHERE/SELECT subquery of the step must be rejected
+    loudly (Postgres rejects the shape too), never resolved against the
+    catalog as a plain table."""
+    with pytest.raises(UnsupportedSqlError, match="subquery of the recursive step"):
+        parse_query(
+            "WITH RECURSIVE r(n) AS (SELECT 1 AS n UNION ALL "
+            "SELECT n+1 FROM nation WHERE n IN (SELECT n FROM r)) "
+            "SELECT * FROM r"
+        )
+    with pytest.raises(UnsupportedSqlError, match="subquery of the recursive step"):
+        parse_query(
+            "WITH RECURSIVE r(n) AS (SELECT 1 AS n UNION ALL "
+            "SELECT (SELECT max(n) FROM r) + 1 FROM nation) SELECT * FROM r"
+        )
+    # plain CTE under the RECURSIVE keyword and a true recursive CTE both
+    # still classify
+    q = parse_query("WITH RECURSIVE r AS (SELECT 1 AS n) SELECT * FROM r")
+    assert type(q.ctes[0]).__name__ == "CommonTableExpression"
+    q = parse_query(
+        "WITH RECURSIVE r(n) AS (SELECT 1 AS n UNION ALL "
+        "SELECT n+1 FROM r WHERE n < 5) SELECT * FROM r"
+    )
+    assert type(q.ctes[0]).__name__ == "RecursiveCte"
+
+
+def test_order_by_alias_inlining_is_literal_safe(spark, sf_small):
+    """Round-10 advisor fix: ORDER-BY-expression alias inlining must not
+    rewrite an alias name that appears inside a string literal."""
+    sql = (
+        "SELECT n_name AS n, CASE WHEN substr(n_name, 1, 1) = 'n' "
+        "THEN 1 ELSE 2 END AS c FROM nation "
+        "ORDER BY concat(n, 'n') DESC LIMIT 5"
+    )
+    tables = load_tables(spark, sf_small, ["nation"])
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, tables)
+    got = [tuple(r) for r in got_df.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{sf_small}/nation.parquet')"
+    )
+    want = con.execute(sql).fetchall()
+    assert got == [tuple(r) for r in want] and len(got) == 5

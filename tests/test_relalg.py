@@ -167,3 +167,24 @@ def test_array_literal_converter_edge_cases():
     assert c("ARRAY[1] || Array[2]") == "array(1) || array(2)"
     assert c("no brackets") == "no brackets"
     assert c("s = 'array[not me]'") == "s = 'array[not me]'"
+
+
+def test_chartype_rewrite_cast_anchored():
+    """Round-10 advisor fix: bare VARCHAR/TEXT map to STRING only in
+    cast-target position (``CAST(.. AS text)`` at the cast's own depth,
+    ``x::text``) — a column named ``text`` or an ``AS text`` output alias
+    must pass through untouched."""
+    from postbound_spark.operators.compiler import _to_spark_chartypes as c
+
+    assert c("CAST(x AS text)") == "CAST(x AS STRING)"
+    assert c("TRY_CAST(x AS TEXT)") == "TRY_CAST(x AS STRING)"
+    assert c("cast('a' as varchar)") == "cast('a' as STRING)"
+    assert c("x::text || y::varchar") == "x::STRING || y::STRING"
+    assert c("CAST(CAST(x AS text) AS int)") == "CAST(CAST(x AS STRING) AS int)"
+    # identifiers and aliases named like the types stay untouched
+    assert c("t.text") == "t.text"
+    assert c("substr(doc, 1, 3) AS text") == "substr(doc, 1, 3) AS text"
+    assert c("CAST((SELECT x AS text FROM t) AS int)") == "CAST((SELECT x AS text FROM t) AS int)"
+    # length-ful spellings keep their length; literals are never rewritten
+    assert c("CAST(x AS varchar(10))") == "CAST(x AS varchar(10))"
+    assert c("'cast(x as text)'") == "'cast(x as text)'"
