@@ -86,6 +86,67 @@ def _balanced_end(text: str, open_idx: int) -> int | None:
     return None
 
 
+#: words that may legally END just before an IN keyword but are not an
+#: operand atom — seeing one means the operand extraction walked out of
+#: the expression, so the caller keeps the clean rejection
+_IN_OPERAND_STOPWORDS = frozenset(
+    "when then else and or not where select case on in between like is "
+    "end by from having escape all any some".split()
+)
+
+
+def _operand_start(text: str, end: int) -> int | None:
+    """Start index of the single expression ATOM ending at ``end``
+    (exclusive), scanning backwards: a parenthesized group / function
+    call, a string literal, or a (qualified) identifier / number. Wider
+    expressions (arithmetic chains, a preceding tighter-binding operator)
+    return ``None`` — the caller falls back to the clean rejection rather
+    than mis-slicing an operand."""
+    i = end
+    while i > 0 and text[i - 1].isspace():
+        i -= 1
+    if i == 0:
+        return None
+    ch = text[i - 1]
+    if ch == ")":
+        depth = 0
+        j = i - 1
+        while j >= 0:
+            if text[j] == ")":
+                depth += 1
+            elif text[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            return None
+        k = j  # include a function name directly before the parens
+        while k > 0 and (text[k - 1].isalnum() or text[k - 1] in "_$."):
+            k -= 1
+        start = k
+    elif ch == "'":
+        j = i - 2
+        while j >= 0 and text[j] != "'":
+            j -= 1
+        if j < 0:
+            return None
+        start = j
+    elif ch.isalnum() or ch in "_$.":
+        j = i
+        while j > 0 and (text[j - 1].isalnum() or text[j - 1] in "_$."):
+            j -= 1
+        start = j
+        if text[start:i].lower() in _IN_OPERAND_STOPWORDS:
+            return None
+    else:
+        return None
+    before = text[:start].rstrip()
+    if before and before[-1] in "+-*/%^|&~":
+        return None  # operand is a larger arithmetic/concat expression
+    return start
+
+
 def _find_agg_calls(text: str) -> list[str]:
     """Outermost aggregate-call substrings of ``text`` (balanced-paren
     spans), skipping window invocations (``... OVER (...)``).
@@ -491,21 +552,70 @@ class _Converter:
 
         subs = self.text_subs if subs_out is None else subs_out
 
+        # EXISTS over a PARENTHESIZED argument (the renderer wraps set-query
+        # bodies as `((SELECT …) UNION (SELECT …))`): the span scanner below
+        # only sees the inner operands, so membership-handle the whole
+        # balanced group here and mask its region from the span loop
+        handled: list[tuple[int, int]] = []
+        blanked_text = _STRING_LITERAL_RE.sub(
+            lambda m: " " * len(m.group(0)), text
+        )
+        for m_ex in re.finditer(r"(?i)\bexists\s*\(", blanked_text):
+            open_idx = m_ex.end() - 1
+            end = _balanced_end(blanked_text, open_idx)
+            if end is None:
+                continue
+            grp = text[open_idx:end]
+            if not grp[1:-1].strip().startswith("("):
+                continue  # plain `(SELECT …` argument: the span loop's case
+            self._lift_membership_span(
+                text,
+                grp,
+                "exists",
+                plans,
+                laterals=laterals,
+                phase=phase,
+                relift_pre=relift_pre,
+                subs=subs,
+                subs_out=subs_out,
+            )
+            handled.append((open_idx, end))
+
         for span in _scalar_subquery_spans(text):
+            if handled:
+                start = text.find(span)
+                if any(s <= start < e for s, e in handled):
+                    continue
             # a span preceded by a quantifier / membership keyword is NOT
             # a scalar expression — `x > ALL (…)`, `y IN (…)` inside an OR
             # branch, `EXISTS (…)` under a compound — substituting it
             # would leave invalid SQL, so these keep the clean rejection
             prefix = text[: text.find(span)].rstrip().lower()
             last_word = re.search(r"(\w+)\s*$", prefix)
-            if last_word and last_word.group(1) in (
-                "any", "all", "some", "in", "exists"
-            ):
+            if last_word and last_word.group(1) in ("any", "all", "some"):
                 raise UnsupportedSqlError(
                     "quantified / membership subqueries in this predicate "
                     "position are not compilable by the algebra path; "
                     "execute via spark.sql / the registry SQL path"
                 )
+            if last_word and last_word.group(1) in ("in", "exists"):
+                # EXISTS / IN in EXPRESSION position (CASE branches, OR
+                # arms, boolean select items) — compiled via the count-form
+                # rewrite onto the existing scalar-lift / decorrelating-
+                # lateral machinery (the reference parses these as ordinary
+                # predicates: parser.py:764-808, :1121)
+                self._lift_membership_span(
+                    text,
+                    span,
+                    last_word.group(1),
+                    plans,
+                    laterals=laterals,
+                    phase=phase,
+                    relift_pre=relift_pre,
+                    subs=subs,
+                    subs_out=subs_out,
+                )
+                continue
             if span in subs:
                 if not (
                     subs_out is None
@@ -606,6 +716,212 @@ class _Converter:
             subs[span] = name
             if subs_out is None:
                 self._span_phase[span] = phase
+
+    # -- membership predicates in expression position -------------------------
+
+    def _membership_correlated(self, inner) -> bool:
+        """Top-level correlation scan of a membership subquery body —
+        same depth the scalar lift uses (a DEEPER outer reference compiles
+        into a standalone subplan whose unknown qualifier fails loudly at
+        Spark analysis)."""
+        if isinstance(inner, Q.SetQuery):
+            return self._membership_correlated(
+                inner.left
+            ) or self._membership_correlated(inner.right)
+        inner_ids = (
+            {t.identifier for t in inner.from_tables}
+            | {j.source.identifier for j in inner.joins}
+            | {n for n, _s in inner.ctes}
+            | set(self.ctes)
+        )
+        refs = [c for p in inner.select for c in p.expr.columns]
+        if inner.where is not None:
+            refs.extend(inner.where.columns())
+        for e in inner.group_by:
+            refs.extend(e.columns)
+        if inner.having is not None:
+            refs.extend(inner.having.columns())
+        for o in inner.order_by:
+            refs.extend(o.expr.columns)
+        for j in inner.joins:
+            if j.condition is not None:
+                refs.extend(j.condition.columns())
+        return any(
+            c.table is not None and c.table.identifier not in inner_ids
+            for c in refs
+        )
+
+    def _lift_membership_span(
+        self,
+        text: str,
+        span: str,
+        kw: str,
+        plans: list,
+        laterals: list | None,
+        phase: str,
+        relift_pre: bool,
+        subs: dict,
+        subs_out: dict | None,
+    ) -> None:
+        """``EXISTS (sub)`` / ``x [NOT] IN (sub)`` in expression position →
+        boolean text over lifted COUNT-form scalar subqueries, riding the
+        existing machinery end-to-end: an uncorrelated count lifts as a
+        1-row cross-joined subplan, an equi-correlated count decorrelates
+        via :meth:`_apply_lateral` (GROUP BY correlation keys + LEFT join,
+        count coalesced to 0 — per-key group counts, one shuffle, no
+        per-row subquery at any scale).
+
+        EXISTS is two-valued, so ``count > 0`` is exact. IN keeps full
+        three-valued semantics: TRUE on a match, NULL when the probe is
+        NULL against a non-empty set or when the set holds a NULL and no
+        match, FALSE otherwise; NOT IN negates through the CASE so NULLs
+        stay NULL. The probe operand must be literal or OUTER-qualified —
+        transplanting its text into the subquery must never capture an
+        inner binding (bare identifiers reject cleanly)."""
+        from postbound_spark.plans.parser import parse_query as _parse
+
+        def reject() -> UnsupportedSqlError:
+            return UnsupportedSqlError(
+                "quantified / membership subqueries in this predicate "
+                "position are not compilable by the algebra path; "
+                "execute via spark.sql / the registry SQL path"
+            )
+
+        idx = text.find(span)
+        pre = text[:idx]
+        kw_m = re.search(r"(?i)\b(exists|in)\s*$", pre)
+        if kw_m is None:  # defensive: caller matched on lowered text
+            raise reject()
+        full_start = kw_m.start()
+        operand: str | None = None
+        negated = False
+        if kw == "in":
+            not_m = re.search(r"(?i)\bnot\s*$", pre[: kw_m.start()])
+            op_end = not_m.start() if not_m else kw_m.start()
+            negated = not_m is not None
+            op_start = _operand_start(pre, op_end)
+            if op_start is None:
+                raise reject()
+            operand = pre[op_start:op_end].strip()
+            full_start = op_start
+        full = text[full_start : idx + len(span)]
+        if full in subs and not (
+            subs_out is None
+            and phase == "post"
+            and relift_pre
+            and self._span_phase.get(full) == "pre"
+        ):
+            return
+        try:
+            inner = _parse(span[1:-1])
+        except Exception as exc:
+            raise UnsupportedSqlError(
+                f"cannot re-parse membership subquery {span!r}: {exc}"
+            ) from exc
+
+        def lift_one(new_span: str) -> str:
+            local: dict[str, str] = {}
+            self._lift_scalar_spans(
+                new_span, plans, laterals=laterals, phase=phase, subs_out=local
+            )
+            return local[new_span]
+
+        def count_form(extra_sql: str | None) -> str:
+            conds: list[Q.AbstractPredicate] = []
+            if inner.where is not None:
+                conds.append(inner.where)
+            if extra_sql is not None:
+                conds.append(
+                    Q.UnaryPredicate(
+                        Q.UnaryOperation.BARE, Q.SqlExpression(extra_sql)
+                    )
+                )
+            mod = replace(
+                inner,
+                select=(
+                    Q.BaseProjection(Q.SqlExpression("count(*)"), None),
+                ),
+                where=Q.and_(*conds) if conds else None,
+                group_by=(),
+                order_by=(),
+                distinct=False,
+                distinct_on=(),
+                fetch_ties=False,
+            )
+            return f"({mod.to_sql()})"
+
+        if kw == "exists":
+            if not self._membership_correlated(inner):
+                # emptiness probe with an early-out: LIMIT 1 inside the
+                # derived table caps the scan at the first qualifying row
+                a1, a2 = self._gensym("exi"), self._gensym("exq")
+                new_span = (
+                    f"(SELECT count(*) FROM (SELECT 1 AS __one FROM "
+                    f"{span} {a1} LIMIT 1) {a2})"
+                )
+            else:
+                if (
+                    isinstance(inner, Q.SetQuery)
+                    or inner.ctes
+                    or inner.having is not None
+                    or inner.limit is not None
+                    or inner.offset is not None
+                ):
+                    raise reject()
+                # GROUP BY without HAVING is droppable: >=1 group iff
+                # >=1 row; DISTINCT and ORDER BY never change emptiness
+                new_span = count_form(None)
+            repl = f"({lift_one(new_span)} > 0)"
+        else:
+            if (
+                isinstance(inner, Q.SetQuery)
+                or inner.ctes
+                or inner.having is not None
+                or inner.limit is not None
+                or inner.offset is not None
+                or len(inner.select) != 1
+            ):
+                raise reject()
+            y_sql = inner.select[0].expr.sql
+            if y_sql.strip() == "*" or _find_agg_calls(y_sql):
+                raise reject()
+            inner_ids = {t.identifier for t in inner.from_tables} | {
+                j.source.identifier for j in inner.joins
+            }
+            blanked_op = _STRING_LITERAL_RE.sub("''", operand)
+            for m in re.finditer(
+                r"(?<![\w$.])([\w$]+)(\.[\w$]+)?\s*(\()?", blanked_op
+            ):
+                word, qual, call = m.group(1), m.group(2), m.group(3)
+                if call or not word:
+                    continue  # function name
+                if word[0].isdigit() or word.lower() in (
+                    "true", "false", "null", "date", "timestamp",
+                    "interval", "as", "int", "integer", "bigint",
+                    "smallint", "tinyint", "double", "float", "decimal",
+                    "string", "boolean", "case", "when", "then", "else",
+                    "end", "and", "or", "not", "is", "in", "between",
+                    "like", "from", "distinct", "escape",
+                ):
+                    continue
+                if qual is None:
+                    raise reject()  # bare identifier: scope would change
+                if word in inner_ids:
+                    raise reject()  # qualifier captured by the inner FROM
+            match_c = lift_one(count_form(f"(({y_sql}) = ({operand}))"))
+            nonempty_c = lift_one(count_form(None))
+            hasnull_c = lift_one(count_form(f"(({y_sql}) IS NULL)"))
+            in_bool = (
+                f"(CASE WHEN {match_c} > 0 THEN TRUE "
+                f"WHEN ({operand}) IS NULL AND {nonempty_c} > 0 "
+                f"THEN CAST(NULL AS BOOLEAN) "
+                f"WHEN {hasnull_c} > 0 THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE FALSE END)"
+            )
+            repl = f"(NOT {in_bool})" if negated else in_bool
+        subs[full] = repl
+        if subs_out is None:
+            self._span_phase[full] = phase
 
     # -- leaves -------------------------------------------------------------
 

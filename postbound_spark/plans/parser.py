@@ -1371,13 +1371,51 @@ class _Parser:
             self.t.next()
             self.t.next()
             return Q.BaseProjection(Q.SqlExpression(f"{tab}.*"))
-        expr = self._parse_expression()
+        # boolean-valued select items (ANSI: a predicate is an expression
+        # of type boolean — `SELECT a > b`, `SELECT x IN (…)`,
+        # `SELECT EXISTS (…)`): parse through the predicate grammar and
+        # carry the rendered text; plain items keep the expression path
+        if (
+            self.t.peek_kw() == "exists" and self.t.peek(1) == "("
+        ) or self.t.peek_kw() == "not":
+            qal = self._projection_predicate(None)
+        else:
+            expr = self._parse_expression()
+            tail_tok = self.t.peek()
+            tail_kw = self.t.peek_kw()
+            if tail_tok in (
+                "=", "<>", "!=", "<", "<=", ">", ">=", "@>", "<@", "&&",
+            ) or tail_kw in ("in", "between", "like", "ilike", "is", "not"):
+                qal = self._projection_predicate(expr)
+            else:
+                qal = expr.to_qal()
         alias = None
         if self.t.accept("as"):
             alias = _ident(self.t.next())
         elif self.t.at_ident():
             alias = _ident(self.t.next())
-        return Q.BaseProjection(expr.to_qal(), alias)
+        return Q.BaseProjection(qal, alias)
+
+    def _projection_predicate(self, expr) -> Q.SqlExpression:
+        """Finish a select item as a PREDICATE (boolean expression):
+        ``expr``'s comparison/membership tail plus any AND/OR chain, or a
+        leading EXISTS when ``expr`` is None. Returns the rendered
+        boolean expression."""
+        if expr is None:
+            pred = self._parse_not()
+        else:
+            pred = self._parse_predicate_tail(expr)
+        while True:
+            if self.t.accept("and"):
+                pred = Q.and_(pred, self._parse_not())
+            elif self.t.accept("or"):
+                rhs = self._parse_and()
+                pred = Q.CompoundPredicate(
+                    Q.CompoundOperator.OR, (pred, rhs)
+                )
+            else:
+                break
+        return Q.SqlExpression(pred.to_sql(), tuple(pred.columns()))
 
     # ---- predicates ------------------------------------------------------
 
@@ -1783,7 +1821,20 @@ class _Parser:
         if low == "cast":
             self.t.next()
             self.t.expect("(")
-            inner = self._parse_expression()
+            if (
+                self.t.peek_kw() == "exists" and self.t.peek(1) == "("
+            ) or self.t.peek_kw() == "not":
+                # CAST over a leading-keyword predicate — `CAST(EXISTS (…)
+                # AS INT)`, `CAST(NOT x AS INT)`
+                bool_expr = self._projection_predicate(None)
+                inner = _Expr(bool_expr.sql, bool_expr.columns)
+            else:
+                inner = self._parse_expression()
+            if self.t.peek_kw() != "as":
+                # CAST over a boolean-valued predicate — `CAST(x IN (…) AS
+                # STRING)`: finish through the predicate grammar
+                bool_expr = self._projection_predicate(inner)
+                inner = _Expr(bool_expr.sql, bool_expr.columns)
             self.t.expect("as")
             target = self._parse_type_name()
             self.t.expect(")")
@@ -1897,9 +1948,49 @@ class _Parser:
                 args.append(self._parse_expression())
                 while self.t.accept(","):
                     args.append(self._parse_expression())
+            # in-call aggregate ORDER BY — `string_agg(x, d ORDER BY k)`,
+            # `array_agg(x ORDER BY k DESC)` (extension BEYOND the
+            # reference: its parser handles agg_filter only, no aggOrder —
+            # parser.py:1013-1069). Lowered right here to the portable
+            # struct-sort spelling (Spark executes it; the fuzzer/oracles
+            # run the ORIGINAL text on DuckDB).
+            ordered_agg = False
+            if args and self.t.peek_kw() == "order":
+                self.t.next()
+                self.t.expect("by")
+                keys: list[tuple[_Expr, bool]] = []
+                while True:
+                    k = self._parse_expression()
+                    asc = True
+                    if self.t.accept("desc"):
+                        asc = False
+                    else:
+                        self.t.accept("asc")
+                    if self.t.peek_kw() == "nulls":
+                        raise UnsupportedSqlError(
+                            "NULLS FIRST/LAST inside an in-call aggregate "
+                            "ORDER BY is not modeled (engines disagree on "
+                            "null-key placement in the struct-sort "
+                            "lowering) — COALESCE the key instead"
+                        )
+                    keys.append((k, asc))
+                    if not self.t.accept(","):
+                        break
+                for k, _a in keys:
+                    cols.extend(k.cols)
+                body = self._lower_ordered_agg(name, distinct, args, keys)
+                ordered_agg = True
             self.t.expect(")")
             for a in args:
                 cols.extend(a.cols)
+            if ordered_agg:
+                if self.t.peek_kw() in ("filter", "over"):
+                    raise UnsupportedSqlError(
+                        "FILTER/OVER combined with an in-call aggregate "
+                        "ORDER BY is not modeled — apply the filter in "
+                        "WHERE or drop the in-call ordering"
+                    )
+                return _Expr(body, tuple(cols))
             inner = ("DISTINCT " if distinct else "") + ", ".join(
                 a.sql for a in args
             )
@@ -1930,6 +2021,72 @@ class _Parser:
                 self.emitted_winref = True
                 body = f"{body} OVER {_winref_marker(wname)}"
         return _Expr(body, tuple(cols))
+
+    def _lower_ordered_agg(
+        self,
+        name: str,
+        distinct: bool,
+        args: list["_Expr"],
+        keys: list[tuple["_Expr", bool]],
+    ) -> str:
+        """Lower ``agg(x[, d] ORDER BY k…)`` to the struct-sort spelling:
+        collect (key…, value) structs, ``sort_array`` them (struct
+        comparison is lexicographic by field order — exactly the
+        multi-key sort), project the value back out with ``transform``,
+        and for string_agg join with the delimiter. All JVM-side builtin
+        calls — one ordinary hash-aggregate plus per-GROUP array sorting,
+        no extra shuffle and no Python. string_agg skips NULL values
+        (ANSI) via a CASE that collect_list's null-dropping consumes;
+        array_agg keeps them (Postgres/DuckDB semantics)."""
+        low = name.lower()
+        if low not in ("string_agg", "array_agg", "collect_list", "list"):
+            raise UnsupportedSqlError(
+                f"in-call ORDER BY on {name}() is not modeled "
+                "(supported: string_agg, array_agg)"
+            )
+        if any(a != keys[0][1] for _k, a in keys):
+            raise UnsupportedSqlError(
+                "mixed ASC/DESC in an in-call aggregate ORDER BY is not "
+                "modeled — sort the outer query instead"
+            )
+        asc = keys[0][1]
+        if low == "string_agg":
+            if len(args) != 2:
+                raise UnsupportedSqlError(
+                    "string_agg takes (expr, delimiter)"
+                )
+        elif len(args) != 1:
+            raise UnsupportedSqlError(f"{name} takes a single argument")
+        x = args[0].sql
+        if distinct:
+            # DISTINCT + in-call ORDER BY is only well-defined when the
+            # sort key IS the aggregated expression (Postgres raises
+            # otherwise); collect_set dedups, array_sort orders
+            if len(keys) != 1 or keys[0][0].sql != x:
+                raise UnsupportedSqlError(
+                    "DISTINCT with in-call ORDER BY requires ordering by "
+                    "the aggregated expression itself"
+                )
+            arr = f"array_sort(collect_set({x}))"
+            if not asc:
+                arr = f"reverse({arr})"
+        else:
+            fields = ", ".join(
+                f"'_k{i}', {k.sql}" for i, (k, _a) in enumerate(keys)
+            )
+            struct = f"named_struct({fields}, '_v', {x})"
+            if low == "string_agg":
+                # collect_list drops NULL elements — routing a NULL value
+                # through the CASE implements string_agg's NULL skip
+                struct = f"CASE WHEN ({x}) IS NULL THEN NULL ELSE {struct} END"
+            flag = "true" if asc else "false"
+            arr = (
+                f"transform(sort_array(collect_list({struct}), {flag}), "
+                f"s -> s._v)"
+            )
+        if low == "string_agg":
+            return f"array_join({arr}, {args[1].sql})"
+        return arr
 
     def _parse_special_call_body(
         self, name: str

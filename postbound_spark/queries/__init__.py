@@ -119,81 +119,39 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round-9: new/changed capabilities (driver re-verifies first) ---
-    "parsed_group_by_all",  # new r9b: GROUP BY ALL / ORDER BY ALL shorthands
-    "parsed_grouping_marker_native",  # new r9b: grouping() 0/1 under the desugar
-    "parsed_rollup_native",  # new r9b: GROUP BY ROLLUP/CUBE desugar (probe find)
-    "parsed_having_exists",  # new r9b: HAVING EXISTS/IN(subquery) as joins above the agg
-    "parsed_row_values",  # new r9b: row constructors, =ANY identity, LIKE ESCAPE
-    "parsed_interval_arith",  # new r9b: INTERVAL literal arithmetic (both spellings)
-    "parsed_tablesample",  # new r9b: TABLESAMPLE rows/percent/repeatable
-    "parsed_recursive_closure",  # new r9b: WITH RECURSIVE cyclic closure (UNION guard)
-    "parsed_recursive_seq",  # new r9b: WITH RECURSIVE generator + range-bucket join
-    "parsed_fetch_ties",  # new r9b: FETCH FIRST n ROWS WITH TIES (rank cutoff)
-    "parsed_intersect_all",  # new r9b: INTERSECT ALL bag semantics (beyond reference)
-    "parsed_except_all",  # new r9b: EXCEPT ALL + ANSI precedence vs INTERSECT ALL
-    "parsed_array_operators",  # new r9: @> <@ && spellings via the native parser
-    "parsed_set_offset",  # new r9: OFFSET + WITH on set queries (ref SetQuery parity)
-    "ann_hubness_adaptive",  # changed r9: per-pair norm folds hoisted (-42% at x100)
-    "ann_hubness_candidates",  # changed r9: shares the hoisted-norm kernel
-    "parsed_named_window",  # changed r9: sort-above-window fix touches its plan
-    "parsed_materialized_cte",  # changed r9: statement-scoped cache lifecycle
-    "parsed_scalar_subquery_lift",  # changed r9: LIMIT/OFFSET single-row guard
-    # --- round-9 rotation (verdict item 8): the driver verifies the
-    #     first 50 registry entries each round; these are the rows the
-    #     driver has gone LONGEST without sampling (last seen r2/r3 —
-    #     union coverage stays 215/215 via the judge's full sweep, this
-    #     keeps the DRIVER cycling through the whole registry too) ---
-    "ann_ivf_topk",  # last driver-sampled r2
-    "ann_lsh_bucket_histogram",  # last driver-sampled r2
-    "ann_lsh_topk",  # last driver-sampled r2
-    "dedup_components",  # last driver-sampled r2
-    "dedup_embedding_cosine",  # last driver-sampled r2
-    "dedup_exact",  # last driver-sampled r2
-    "dedup_ngram_jaccard",  # last driver-sampled r2
-    "dedup_simhash",  # last driver-sampled r2
-    "events_asof_join",  # last driver-sampled r2
-    "events_json_props",  # last driver-sampled r2
-    "events_range_join_binned",  # last driver-sampled r2
-    "events_sessionize",  # last driver-sampled r2
-    "events_window_agg",  # last driver-sampled r2
-    "expr_agg_filter",  # last driver-sampled r2
-    "expr_quantifier_all",  # last driver-sampled r2
-    "expr_scalar_subquery",  # last driver-sampled r2
-    "expr_string_agg",  # last driver-sampled r2
-    "mm_binary_features",  # last driver-sampled r2
-    "mm_frame_sample",  # last driver-sampled r2
-    "pred_array_operators",  # last driver-sampled r2
-    "pred_exists_correlated",  # last driver-sampled r2
-    "pred_is_distinct_from",  # last driver-sampled r2
-    "pred_not_in_null_aware",  # last driver-sampled r2
-    "sql_distinct_on",  # last driver-sampled r2
-    "sql_full_outer_join",  # last driver-sampled r2
-    "sql_grouping_sets",  # last driver-sampled r2
-    "sql_lateral_subquery",  # last driver-sampled r2
-    "sql_natural_join",  # last driver-sampled r2
-    "sql_right_outer_join",  # last driver-sampled r2
-    "text_fingerprint",  # last driver-sampled r2
-    "text_lang_id",  # last driver-sampled r2
-    "text_quality_score",  # last driver-sampled r2
-    "text_token_stats",  # last driver-sampled r2
-    "text_winnow_segments",  # last driver-sampled r2
-    "udf_doc_hash",  # last driver-sampled r2
-    "udf_tokenize_topk",  # last driver-sampled r2
-    "udf_xor_checksum",  # last driver-sampled r2
-    "ann_ivf_kmeans",  # last driver-sampled r3
-    "contamination_ngram_overlap",  # last driver-sampled r3
-    "corpus_mix_weights",  # last driver-sampled r3
-    "corpus_vocab_topk",  # last driver-sampled r3
-    "dedup_canonical",  # last driver-sampled r3
-    "expr_all_quantifier",  # last driver-sampled r3
-    # --- overflow (PRIORITY_WINDOW[50:]) — recently driver-verified
-    #     r8/r7/r6 blocks and the operator demos, pushed behind the
-    #     rotation; every row re-oracled by the full sweep each round ---
+    # --- round-10: new/changed capabilities (driver re-verifies first):
+    #     expression-position EXISTS/IN (new), recursive-fixpoint
+    #     convergence check, ties-counter/scalar-lift/chartype and
+    #     literal-safety advisor fixes ---
+    "parsed_case_exists",
+    "parsed_expr_in_membership",
+    "parsed_or_exists",
+    "parsed_ordered_agg",
+    "parsed_recursive_closure",
+    "parsed_recursive_seq",
+    "parsed_fetch_ties",
+    "parsed_scalar_subquery_lift",
+    "parsed_correlated_scalar",
+    "op_map_expressions",
+    "parsed_having_exists",
+    # --- round-10 rotation (verdict item 8): rows the driver has gone
+    #     longest without sampling move forward; union coverage stays
+    #     exact via the judge's full sweep each round ---
+    "text_quality_score",
+    "text_token_stats",
+    "text_winnow_segments",
+    "udf_doc_hash",
+    "udf_tokenize_topk",
+    "udf_xor_checksum",
+    "ann_ivf_kmeans",
+    "contamination_ngram_overlap",
+    "corpus_mix_weights",
+    "corpus_vocab_topk",
+    "dedup_canonical",
+    "expr_all_quantifier",
     "parsed_cte_target_columns",
     "parsed_values_cte",
     "opt_directional_build_sides",
-    "parsed_correlated_scalar",
     "sample_priority_weighted",
     "sketch_kmv_estimate_only",
     "sketch_kmv_source_overlap",
@@ -251,10 +209,56 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "op_theta_join_nonequi",
     "op_union",
     "op_union_all",
-    "op_map_expressions",
     "op_relation_projection",
     "op_selection",
     "ann_cosine_topk",
+    # --- recently driver-verified (round-9 window, incl. its r2/r3
+    #     rotation rows) — pushed to the back of the list ---
+    "parsed_group_by_all",
+    "parsed_grouping_marker_native",
+    "parsed_rollup_native",
+    "parsed_row_values",
+    "parsed_interval_arith",
+    "parsed_tablesample",
+    "parsed_intersect_all",
+    "parsed_except_all",
+    "parsed_array_operators",
+    "parsed_set_offset",
+    "ann_hubness_adaptive",
+    "ann_hubness_candidates",
+    "parsed_named_window",
+    "parsed_materialized_cte",
+    "ann_ivf_topk",
+    "ann_lsh_bucket_histogram",
+    "ann_lsh_topk",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_asof_join",
+    "events_json_props",
+    "events_range_join_binned",
+    "events_sessionize",
+    "events_window_agg",
+    "expr_agg_filter",
+    "expr_quantifier_all",
+    "expr_scalar_subquery",
+    "expr_string_agg",
+    "mm_binary_features",
+    "mm_frame_sample",
+    "pred_array_operators",
+    "pred_exists_correlated",
+    "pred_is_distinct_from",
+    "pred_not_in_null_aware",
+    "sql_distinct_on",
+    "sql_full_outer_join",
+    "sql_grouping_sets",
+    "sql_lateral_subquery",
+    "sql_natural_join",
+    "sql_right_outer_join",
+    "text_fingerprint",
+    "text_lang_id",
 )
 
 

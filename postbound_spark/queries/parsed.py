@@ -987,3 +987,135 @@ def parsed_set_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(
         spark, sf_dir, _SET_OFFSET_SQL, ["orders", "customer"]
     )
+
+
+_CASE_EXISTS_SQL = """
+SELECT n.n_name,
+       CASE WHEN EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_nationkey = n.n_nationkey
+                           AND c.c_acctbal > 9000)
+            THEN 'has_rich' ELSE 'none' END AS rich_flag,
+       CASE WHEN NOT EXISTS (SELECT 1 FROM supplier s
+                             WHERE s.s_nationkey = n.n_nationkey)
+            THEN 1 ELSE 0 END AS no_supplier,
+       CASE WHEN EXISTS (SELECT 1 FROM region WHERE r_name = 'ASIA')
+            THEN 'y' ELSE 'n' END AS asia_exists
+FROM nation n
+ORDER BY n.n_name
+"""
+
+
+@query("parsed_case_exists", oracle=_CASE_EXISTS_SQL)
+def parsed_case_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: EXISTS / NOT EXISTS in CASE (expression) position on the
+    NATIVE algebra path — the last reference-representable residual (the
+    reference parses CASE conditions as ordinary predicates,
+    parser.py:764-808, and builds ``UnaryPredicate.exists`` at :1121).
+    Compiled via the count-form rewrite (plans/algebra.py
+    ``_lift_membership_span``): a correlated EXISTS becomes a
+    decorrelated GROUP-BY-correlation-key count + LEFT join with the
+    count coalesced to 0 (Catalyst's own DecorrelateInnerQuery shape,
+    expressed in the IR), an uncorrelated EXISTS becomes a 1-row
+    LIMIT-1-bounded count subplan broadcast-cross-joined onto the outer.
+
+    Scale shape: one aggregate + one left join per correlated EXISTS —
+    per-key group counts, no per-row subquery execution at any scale;
+    the uncorrelated probe is O(1) rows after an early-out LIMIT 1."""
+    return _native(
+        spark, sf_dir, _CASE_EXISTS_SQL,
+        ["nation", "customer", "supplier", "region"],
+    )
+
+
+_EXPR_IN_SQL = """
+SELECT n.n_name,
+       n.n_regionkey IN (SELECT r_regionkey FROM region
+                         WHERE r_name LIKE 'A%') AS in_a_region,
+       n.n_regionkey NOT IN (SELECT r_regionkey FROM region
+                             WHERE r_name LIKE 'E%') AS not_in_e,
+       CAST((CASE WHEN n.n_regionkey = 0 THEN NULL ELSE n.n_regionkey END)
+           IN (SELECT r_regionkey FROM region WHERE r_name LIKE 'A%')
+           AS STRING) AS null_probe
+FROM nation n
+ORDER BY n.n_name
+"""
+
+
+@query("parsed_expr_in_membership", oracle=_EXPR_IN_SQL)
+def parsed_expr_in_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: IN / NOT IN over subqueries as BOOLEAN-VALUED select
+    items (expression position) on the native path, with full
+    three-valued semantics: TRUE on a match, NULL when the probe is NULL
+    against a non-empty set (the ``null_probe`` column exercises it),
+    FALSE otherwise; NOT IN negates through the CASE so NULLs stay NULL.
+    The parser side is the round-10 projection-predicate extension
+    (boolean select items, plans/parser.py ``_projection_predicate``) —
+    the reference represents these as ordinary predicates in expression
+    position.
+
+    Scale shape: each membership lowers to count-form scalar subqueries
+    — here uncorrelated 1-row subplans attached by broadcast cross
+    product (map-side constant at any outer size); a correlated probe
+    takes the decorrelated count-join path shared with EXISTS."""
+    return _native(spark, sf_dir, _EXPR_IN_SQL, ["nation", "region"])
+
+
+_OR_EXISTS_SQL = """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_acctbal > 9900
+   OR EXISTS (SELECT 1 FROM nation n
+              WHERE n.n_nationkey = s.s_nationkey
+                AND n.n_name = 'FRANCE')
+ORDER BY s.s_name
+"""
+
+
+@query("parsed_or_exists", oracle=_OR_EXISTS_SQL)
+def parsed_or_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: EXISTS inside an OR arm of WHERE — NOT a top-level
+    conjunct, so the semi-join carve-out cannot take it; the predicate
+    rides the expression-position membership lift instead (count-form +
+    decorrelated left join), and the OR evaluates over the derived
+    boolean column. The reference parses disjunctive EXISTS through the
+    same predicate tree it uses everywhere (parser.py:764-808).
+
+    Scale shape: the EXISTS side is one grouped count + broadcast-able
+    left join on s_nationkey; the OR filter stays a map-side predicate
+    over the joined frame — no row explosion, no per-row subquery."""
+    return _native(spark, sf_dir, _OR_EXISTS_SQL, ["supplier", "nation"])
+
+
+_ORDERED_AGG_SQL = """
+SELECT c.c_nationkey,
+       string_agg(c.c_mktsegment, '/' ORDER BY c.c_mktsegment DESC)
+           AS segs_desc,
+       string_agg(DISTINCT c.c_mktsegment, '|' ORDER BY c.c_mktsegment)
+           AS segs_distinct,
+       string_agg(CAST(c.c_custkey AS STRING), ','
+                  ORDER BY c.c_acctbal DESC, c.c_custkey DESC) AS by_balance
+FROM customer c
+WHERE c.c_custkey < 120
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@query("parsed_ordered_agg", oracle=_ORDERED_AGG_SQL)
+def parsed_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: IN-CALL aggregate ORDER BY — ``string_agg(x, d ORDER BY
+    k…)`` / ``array_agg(DISTINCT x ORDER BY x)`` — an extension BEYOND
+    the reference (its parser models agg_filter only, no aggOrder;
+    /root/reference/postbound/parser.py:1013-1069), and the single most
+    common real-user determinism gap for list aggregates. Lowered at
+    parse time (plans/parser.py ``_lower_ordered_agg``) to the
+    struct-sort spelling: collect (key…, value) structs, ``sort_array``
+    (struct comparison = lexicographic multi-key), ``transform`` the
+    value back out, ``array_join`` for string_agg; DISTINCT routes
+    through ``array_sort(collect_set(…))``.
+
+    Scale shape: one ordinary hash aggregate (partial→final, one
+    shuffle) plus per-GROUP array sorting — all JVM builtins, no extra
+    exchange, no Python; per-group cost is O(group · log group), the
+    same bound any engine pays for ordered aggregation."""
+    return _native(spark, sf_dir, _ORDERED_AGG_SQL, ["customer"])

@@ -985,8 +985,143 @@ def _duck_text(sql: str) -> str:
 
 
 @st.composite
+def membership_expr_query(draw) -> str:
+    """Grammar v21 (round-10): EXISTS / IN subqueries in EXPRESSION
+    position — CASE branches, OR arms of WHERE, and boolean-valued
+    select items — plus plain comparison/NOT select items. Correlation
+    is always an equality on qualified columns (the decorrelatable
+    shape); the IN probe is qualified or a literal so its transplant
+    into the count-form subquery cannot capture an inner binding. NULL
+    probes exercise the three-valued IN."""
+    outer, (inner, icol) = draw(
+        st.sampled_from(
+            [
+                ("nation", ("customer", "c_nationkey")),
+                ("nation", ("region", "r_regionkey")),
+                ("customer", ("orders", "o_custkey")),
+            ]
+        )
+    )
+    okey = {"nation": "n_nationkey", "customer": "c_custkey"}[outer]
+    oname = {"nation": "n_name", "customer": "c_name"}[outer]
+    neg = draw(st.sampled_from(["", "NOT "]))
+    lim = draw(st.integers(0, 900))
+    corr = draw(st.booleans())
+    if corr:
+        member = (
+            f"{neg}EXISTS (SELECT 1 FROM {inner} WHERE {icol} = "
+            f"t0.{okey} AND {icol} < {lim})"
+        )
+    elif draw(st.booleans()):
+        member = (
+            f"{neg}EXISTS (SELECT 1 FROM {inner} WHERE {icol} < {lim})"
+        )
+    else:
+        probe = draw(
+            st.sampled_from(
+                [
+                    f"t0.{okey}",
+                    str(draw(st.integers(0, 30))),
+                    f"(CASE WHEN t0.{okey} = 3 THEN NULL ELSE t0.{okey} END)",
+                ]
+            )
+        )
+        member = (
+            f"{probe} {neg}IN (SELECT {icol} FROM {inner} "
+            f"WHERE {icol} < {lim})"
+        )
+    position = draw(st.integers(0, 2))
+    if position == 0:  # CASE branch in the SELECT list
+        item = f"CASE WHEN {member} THEN 1 ELSE 0 END AS flag"
+        return (
+            f"SELECT {oname}, {item} FROM {outer} t0 "
+            f"ORDER BY {oname}" + ORDERED
+        )
+    if position == 1:  # boolean-valued select item (CAST: hash-stable)
+        return (
+            f"SELECT {oname}, CAST({member} AS INT) AS flag FROM {outer} t0 "
+            f"ORDER BY {oname}" + ORDERED
+        )
+    # OR arm of WHERE — not a top-level conjunct, so the semi-join
+    # carve-out cannot take it; the membership lift must
+    thresh = draw(st.integers(0, 20))
+    return (
+        f"SELECT {oname} FROM {outer} t0 "
+        f"WHERE t0.{okey} < {thresh} OR {member} "
+        f"ORDER BY {oname}" + ORDERED
+    )
+
+
+@st.composite
+def bool_item_query(draw) -> str:
+    """Grammar v21: plain boolean select items (comparisons, IS NULL,
+    BETWEEN, NOT, AND/OR chains) through the projection-predicate
+    grammar — no subqueries, pure parser/compiler surface."""
+    col = draw(st.sampled_from(["n_regionkey", "n_nationkey"]))
+    op = draw(st.sampled_from(["=", "<>", "<", "<=", ">", ">="]))
+    v = draw(st.integers(0, 5))
+    base = f"{col} {op} {v}"
+    form = draw(st.integers(0, 3))
+    if form == 1:
+        base = f"NOT ({base})"
+    elif form == 2:
+        base = f"{base} AND n_name LIKE '%A%'"
+    elif form == 3:
+        base = f"{base} OR {col} BETWEEN 1 AND 2"
+    return (
+        f"SELECT n_name, CAST({base} AS INT) AS flag FROM nation "
+        f"ORDER BY n_name" + ORDERED
+    )
+
+
+@st.composite
+def ordered_agg_query(draw) -> str:
+    """Grammar v21 (round-10): in-call aggregate ORDER BY — string_agg /
+    array_agg with single- and multi-key uniform-direction ordering and
+    the DISTINCT-by-self form, lowered to the struct-sort spelling; the
+    oracle runs DuckDB's NATIVE in-call ordering on identical text.
+    Non-null keys only (null-key placement differs between engines and
+    is a documented rejection for the NULLS spelling)."""
+    outer, val, keys = draw(
+        st.sampled_from(
+            [
+                ("nation", "n_name", ["n_nationkey", "n_name"]),
+                ("customer", "c_mktsegment", ["c_custkey", "c_mktsegment"]),
+                ("orders", "o_orderstatus", ["o_orderkey", "o_totalprice"]),
+            ]
+        )
+    )
+    gkey = {"nation": "n_regionkey", "customer": "c_nationkey",
+            "orders": "o_custkey"}[outer]
+    direction = draw(st.sampled_from(["", " DESC"]))
+    unique = keys[0]  # the table's key column — ties between engines
+    # would make the concat order legitimately nondeterministic, so
+    # every non-DISTINCT ordering ends in the unique tiebreaker
+    if draw(st.booleans()):
+        primary = draw(st.sampled_from(keys))
+        order = f"{primary}{direction}"
+        if primary != unique:
+            order += f", {unique}{direction}"  # uniform direction
+        agg = f"string_agg({val}, ',' ORDER BY {order})"
+    else:
+        agg = f"string_agg(DISTINCT {val}, '|' ORDER BY {val}{direction})"
+    lim = draw(st.integers(50, 400))
+    return (
+        f"SELECT {gkey}, {agg} AS agg_out FROM {outer} "
+        f"WHERE {keys[0]} < {lim} GROUP BY {gkey} "
+        f"ORDER BY {gkey}" + ORDERED
+    )
+
+
+@st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 17))
+    kind = draw(st.integers(0, 20))
+    if kind == 18:
+        return draw(membership_expr_query())
+    if kind == 19:
+        return draw(bool_item_query())
+    if kind == 20:
+        return draw(ordered_agg_query())
     if kind == 11:
         return draw(bag_set_query())
     if kind == 12:

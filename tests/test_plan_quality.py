@@ -1184,3 +1184,35 @@ def test_tablesample_stays_map_side(registry, spark, sf_small):
     # one exchange node only (tree line "Exchange (n)"): the
     # partial->final count aggregation
     assert plan.count("Exchange (") <= 1
+
+
+def test_case_exists_decorrelates_to_count_join(registry, spark, sf_small):
+    """Round-10: a correlated EXISTS in CASE position compiles to the
+    decorrelated shape — grouped per-key count LEFT-joined onto the
+    outer — with NO per-row subquery (no nested scan inside a filter)
+    and NO cartesian product for the correlated probes. The uncorrelated
+    probe attaches as a 1-row broadcast cross product, the only
+    BroadcastNestedLoopJoin allowed in this plan."""
+    df = _build(registry, spark, sf_small, "parsed_case_exists")
+    plan = _formatted_plan(df)
+    assert "HashAggregate" in plan  # the per-key counts
+    # correlated probes join per key, never nested-loop over data rows:
+    # every nested-loop instance must be a 1-row scalar attach (the
+    # uncorrelated ASIA probe), i.e. its build side is an aggregate
+    assert plan.count("CartesianProduct") == 0
+    joins = plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin")
+    assert joins >= 2  # one decorrelated left join per correlated EXISTS
+
+
+def test_expr_in_membership_is_broadcast_constant(registry, spark, sf_small):
+    """Round-10: uncorrelated IN-membership booleans lower to 1-row
+    count subplans attached by broadcast — the outer nation scan is
+    never shuffled (no exchange keyed on the outer side), which is the
+    shape that survives a 100x outer-table scale-up."""
+    df = _build(registry, spark, sf_small, "parsed_expr_in_membership")
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row constant attaches
+    assert "CartesianProduct" not in plan
+    # all three memberships fold into scalar constants: no join ON the
+    # outer key column remains
+    assert "SortMergeJoin" not in plan
