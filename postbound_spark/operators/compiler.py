@@ -445,9 +445,64 @@ class _Compiler(ra.RelNodeVisitor):
 
     def visit_difference(self, node: ra.Difference) -> DataFrame:
         # set semantics (ref: relalg.py:893) — Spark's subtract == EXCEPT DISTINCT;
-        # bag semantics (EXCEPT ALL, extension) → native exceptAll
+        # bag semantics (EXCEPT ALL, extension) → count-difference form
         left, right = self._compile(node.left), self._compile(node.right)
-        return left.subtract(right) if node.distinct else left.exceptAll(right)
+        if node.distinct:
+            return left.subtract(right)
+        return _bag_except_all(left, right)
+
+
+def _bag_except_all(left: DataFrame, right: DataFrame) -> DataFrame:
+    """EXCEPT ALL via the count-difference form (round-10, verdict item 5
+    measured at ×100: median 1.59 s vs 2.34 s for Spark's union-rewrite —
+    experiments/results/bag_setops_countform.json + the interleaved A/B
+    rerun). Spark's own RewriteExceptAll unions BOTH inputs' full rows
+    into one exchange before counting; this form partial-aggregates each
+    side to (value, count) FIRST, so the value-keyed join moves two
+    already-compacted frames, and a skewed duplicate value rides the
+    aggregation (map-side combine) instead of replicating join rows.
+    Replication back to bag multiplicities is a two-level explode so the
+    materialized sequence array stays bounded even for a value duplicated
+    10^8 times (Spark's replicaterows streams; one flat sequence() would
+    materialize the whole array per row). NULL rows compare equal, same
+    as the native op (groupBy groups them; the join is null-safe)."""
+    cols = list(left.columns)
+    if len(set(cols)) != len(cols):
+        # duplicate output names make the per-column join ambiguous —
+        # fall back to the native rewrite for this (degenerate) shape
+        return left.exceptAll(right)
+    right = right.toDF(*cols)  # ANSI: set operands combine BY POSITION
+    lc = left.groupBy(*cols).agg(F.count(F.lit(1)).alias("__ea_lc"))
+    rc = right.groupBy(*cols).agg(F.count(F.lit(1)).alias("__ea_rc"))
+    cond = lc[cols[0]].eqNullSafe(rc[cols[0]])
+    for c in cols[1:]:
+        cond = cond & lc[c].eqNullSafe(rc[c])
+    j = lc.join(rc, cond, "left").select(
+        *[lc[c] for c in cols], lc["__ea_lc"], rc["__ea_rc"]
+    )
+    j = j.withColumn(
+        "__ea_n", F.col("__ea_lc") - F.coalesce(F.col("__ea_rc"), F.lit(0))
+    ).where(F.col("__ea_n") > 0)
+    batch = 10_000
+    j = j.withColumn(
+        "__ea_o",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("__ea_n") - 1) / batch))
+        ),
+    )
+    j = j.withColumn(
+        "__ea_i",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(
+                    F.lit(batch),
+                    F.col("__ea_n") - F.col("__ea_o") * batch,
+                ),
+            )
+        ),
+    )
+    return j.select(*cols)
 
 
 def compile_plan(

@@ -1216,3 +1216,16 @@ def test_expr_in_membership_is_broadcast_constant(registry, spark, sf_small):
     # all three memberships fold into scalar constants: no join ON the
     # outer key column remains
     assert "SortMergeJoin" not in plan
+
+
+def test_except_all_count_difference_shape(registry, spark, sf_small):
+    """Round-10: bag EXCEPT ALL uses the count-difference plan — each
+    side partial-aggregates to (value, count) BEFORE its exchange (two
+    compacted aggregate exchanges + a value-keyed join), not Spark's
+    union rewrite that shuffles both inputs' full rows (no ReplicateRows
+    from the Difference; the nested INTERSECT ALL keeps its native form)."""
+    df = _build(registry, spark, sf_small, "parsed_except_all")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__ea_lc" in plan or "__ea_n" in plan  # the count-form columns
+    # partial aggregation compacts map-side before every exchange
+    assert "partial_count" in plan

@@ -188,3 +188,29 @@ def test_chartype_rewrite_cast_anchored():
     # length-ful spellings keep their length; literals are never rewritten
     assert c("CAST(x AS varchar(10))") == "CAST(x AS varchar(10))"
     assert c("'cast(x as text)'") == "'cast(x as text)'"
+
+
+def test_bag_except_all_count_form(spark):
+    """Round-10: EXCEPT ALL compiles to the count-difference form. Checks
+    bag multiplicities across the two-level replication boundary (a value
+    duplicated past the 10k batch size), NULL-row equality, and parity
+    with Spark's native exceptAll."""
+    from pyspark.sql import Row, functions as F
+    from postbound_spark.operators.compiler import _bag_except_all
+
+    left = spark.createDataFrame(
+        [Row(k=1, v="a")] * 25_000 + [Row(k=2, v="b")] * 3
+        + [Row(k=None, v=None)] * 4
+    )
+    right = spark.createDataFrame(
+        [Row(x=1, y="a")] * 3 + [Row(x=2, y="b")] * 5
+        + [Row(x=None, y=None)] * 1
+    )
+    got = _bag_except_all(left, right)
+    counts = {tuple(r[:2]): r[2] for r in
+              got.groupBy("k", "v").agg(F.count(F.lit(1))).collect()}
+    assert counts == {(1, "a"): 24_997, (None, None): 3}
+    want = {tuple(r[:2]): r[2] for r in
+            left.exceptAll(right.toDF("k", "v"))
+            .groupBy("k", "v").agg(F.count(F.lit(1))).collect()}
+    assert counts == want
