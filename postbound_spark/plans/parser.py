@@ -55,6 +55,7 @@ reference's live ``DatabaseSchema`` binding — and left unbound otherwise.
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import replace
 
@@ -96,7 +97,7 @@ _KEYWORDS_STOP = {
     "when", "else", "end", "union", "intersect", "except", "asc", "desc",
     "nulls", "by", "distinct", "all", "any", "some", "exists", "over",
     "partition", "filter", "rows", "row", "only", "with", "using",
-    "lateral", "outer", "window",
+    "lateral", "outer", "window", "qualify",
 }
 
 
@@ -218,6 +219,9 @@ def _merge(sql: str, *parts: _Expr) -> _Expr:
 #: (so a string literal can never false-positive the leftover check) and
 #: the terminal NUL makes one window name never a prefix of another's
 #: marker (`w` vs `w__x`).
+#: uniquifier for QUALIFY's marker/source names (atomic under the GIL)
+_QUALIFY_COUNTER = itertools.count(1)
+
 _WINREF_PREFIX = "\x00WINREF\x00"
 
 #: sentinel for ORDER BY ALL — expanded at the parse_query level (the
@@ -944,6 +948,15 @@ class _Parser:
                     f"window {_winref_name(p.expr.sql)!r} is not defined"
                 )
 
+        # QUALIFY pred — the post-window filter (DuckDB/Snowflake/BigQuery;
+        # Spark has no native clause). Desugared at parse time into the
+        # textbook rewrite: project the predicate as a marker column next
+        # to the windows, filter on it one level up, return the original
+        # output columns.
+        qualify: Q.AbstractPredicate | None = None
+        if self.t.accept("qualify"):
+            qualify = self._parse_predicate()
+
         # ORDER BY / LIMIT / OFFSET / FETCH are NOT consumed here: a
         # trailing clause after a set operand belongs to the WHOLE set
         # query (ANSI), so parse_query owns them at the top level —
@@ -953,7 +966,7 @@ class _Parser:
             _resolve_ordinal(tuple(projections), e, "GROUP BY") for e in group_by
         )
 
-        return Q.SqlQuery(
+        q = Q.SqlQuery(
             select=tuple(projections),
             from_tables=tuple(tables),
             where=where,
@@ -963,6 +976,68 @@ class _Parser:
             distinct_on=distinct_on,
             joins=tuple(explicit_joins),
             ctes=tuple(lifted_ctes),
+        )
+        if qualify is not None:
+            q = self._desugar_qualify(q, qualify, named)
+        return q
+
+    def _desugar_qualify(
+        self,
+        q: Q.SqlQuery,
+        pred: Q.AbstractPredicate,
+        named: dict[str, "_Expr"],
+    ) -> Q.SqlQuery:
+        """QUALIFY → the textbook two-level rewrite: the inner query keeps
+        the full select list plus the predicate as a boolean marker column
+        (window functions evaluate there; a select-alias reference inside
+        the predicate resolves as a lateral column alias), the outer level
+        filters on the marker and projects the original output names.
+        Requires derivable output names — plain/qualified columns or
+        explicit aliases (star selects reject loudly)."""
+        names: list[str] = []
+        for p in q.select:
+            text = p.expr.sql
+            name = p.alias
+            if name is None:
+                m = re.fullmatch(r"(?:[\w$]+\.)?([\w$]+)", text)
+                if m is None:
+                    raise UnsupportedSqlError(
+                        "QUALIFY requires every select item to be a plain "
+                        "column or carry an alias (output names feed the "
+                        "post-filter projection)"
+                    )
+                name = m.group(1)
+            names.append(name)
+        if len(set(names)) != len(names):
+            raise UnsupportedSqlError(
+                "QUALIFY with duplicate output column names is not modeled"
+            )
+        pred_sql = pred.to_sql()
+        for wname, spec in named.items():
+            pred_sql = pred_sql.replace(
+                f"OVER {_winref_marker(wname)}", f"OVER ({spec.sql})"
+            )
+        tag = next(_QUALIFY_COUNTER)
+        marker = f"__qualify{tag}"
+        src = f"__qualify_src{tag}"
+        inner = replace(
+            q,
+            select=tuple(q.select)
+            + (
+                Q.BaseProjection(
+                    Q.SqlExpression(pred_sql, tuple(pred.columns())), marker
+                ),
+            ),
+        )
+        return Q.SqlQuery(
+            select=tuple(
+                Q.BaseProjection(Q.SqlExpression(n)) for n in names
+            ),
+            from_tables=(Q.TableReference(src, virtual=True),),
+            where=Q.UnaryPredicate(
+                Q.UnaryOperation.BARE, Q.SqlExpression(marker)
+            ),
+            ctes=(Q.CommonTableExpression(src, inner),),
         )
 
     def _parse_order_limit(
@@ -992,7 +1067,7 @@ class _Parser:
                 )
             else:
                 while True:
-                    expr = self._parse_expression()
+                    expr = self._parse_value_or_predicate()
                     # a named-window marker here is legal when the query
                     # is a single SELECT (its WINDOW map is captured on
                     # self) — parse_query resolves or rejects once the
@@ -1904,6 +1979,26 @@ class _Parser:
 
         raise ParserError(f"unexpected token {t!r} in expression")
 
+    def _parse_value_or_predicate(self) -> _Expr:
+        """An expression that may be BOOLEAN-VALUED: a leading EXISTS/NOT,
+        or a comparison/membership/AND-OR tail after the expression —
+        shared by CASE result values and ORDER BY keys (ANSI: a predicate
+        is just an expression of type boolean)."""
+        if (
+            self.t.peek_kw() == "exists" and self.t.peek(1) == "("
+        ) or self.t.peek_kw() == "not":
+            q = self._projection_predicate(None)
+            return _Expr(q.sql, q.columns)
+        expr = self._parse_expression()
+        if self.t.peek() in (
+            "=", "<>", "!=", "<", "<=", ">", ">=", "@>", "<@", "&&",
+        ) or self.t.peek_kw() in (
+            "in", "between", "like", "ilike", "is", "not", "and", "or",
+        ):
+            q = self._projection_predicate(expr)
+            return _Expr(q.sql, q.columns)
+        return expr
+
     def _parse_case(self) -> _Expr:
         self.t.expect("case")
         parts = ["CASE"]
@@ -1918,11 +2013,11 @@ class _Parser:
             for leaf in cond.iterpredicates():
                 cols.extend(leaf.columns())
             self.t.expect("then")
-            val = self._parse_expression()
+            val = self._parse_value_or_predicate()
             cols.extend(val.cols)
             parts.append(f"WHEN {cond.to_sql()} THEN {val.sql}")
         if self.t.accept("else"):
-            alt = self._parse_expression()
+            alt = self._parse_value_or_predicate()
             cols.extend(alt.cols)
             parts.append(f"ELSE {alt.sql}")
         self.t.expect("end")
@@ -1933,6 +2028,9 @@ class _Parser:
         name = _ident(self.t.next())
         self.t.expect("(")
         cols: list[Q.ColumnReference] = []
+        star = False
+        distinct = False
+        gen_args: list[_Expr] | None = None
         special = self._parse_special_call_body(name)
         if special is not None:
             body, scols = special
@@ -1941,6 +2039,8 @@ class _Parser:
             self.t.next()
             self.t.expect(")")
             body = f"{name}(*)"
+            star = True
+            gen_args = []
         else:
             distinct = self.t.accept("distinct")
             args: list[_Expr] = []
@@ -1995,7 +2095,9 @@ class _Parser:
                 a.sql for a in args
             )
             body = f"{name}({inner})"
+            gen_args = args
         # FILTER (WHERE pred) — ref FunctionExpression :814-817
+        filter_sql: str | None = None
         if self.t.accept("filter"):
             self.t.expect("(")
             self.t.expect("where")
@@ -2003,7 +2105,17 @@ class _Parser:
             self.t.expect(")")
             for leaf in cond.iterpredicates():
                 cols.extend(leaf.columns())
-            body = f"{body} FILTER (WHERE {cond.to_sql()})"
+            filter_sql = cond.to_sql()
+        wrap: str | None = None
+        if self.t.peek_kw() == "over" and (filter_sql is not None or distinct):
+            # WINDOW position: Spark supports neither FILTER nor DISTINCT
+            # on window aggregates — lower to NULL-skipping CASE arguments
+            # (aggregates ignore NULLs) and the collect_set spelling
+            body, wrap = self._lower_window_agg(
+                name, star, distinct, gen_args, filter_sql
+            )
+        elif filter_sql is not None:
+            body = f"{body} FILTER (WHERE {filter_sql})"
         # OVER (window) | OVER wname — ref WindowExpression :1308 (no frame
         # spec in the reference model; frames are accepted here as text for
         # execution). A bare identifier is a NAMED-window reference: it
@@ -2020,7 +2132,59 @@ class _Parser:
                 wname = _ident(self.t.next())
                 self.emitted_winref = True
                 body = f"{body} OVER {_winref_marker(wname)}"
+            if wrap is not None:
+                body = f"{wrap}({body})"
         return _Expr(body, tuple(cols))
+
+    def _lower_window_agg(
+        self,
+        name: str,
+        star: bool,
+        distinct: bool,
+        args: list["_Expr"] | None,
+        filter_sql: str | None,
+    ) -> tuple[str, str | None]:
+        """FILTER / DISTINCT on an aggregate in WINDOW position, which
+        Spark's WindowExec rejects outright — lowered to equivalents it
+        executes: FILTER routes the argument through a CASE (window
+        aggregates skip NULLs, so ``agg(CASE WHEN p THEN x END) OVER w``
+        ≡ ``agg(x) FILTER (WHERE p) OVER w``; ``count(*)`` counts a
+        CASE-guarded constant), and ``count(DISTINCT x)`` becomes
+        ``size(collect_set(x) OVER w)`` (collect_set dedups and skips
+        NULLs — exactly count-distinct semantics). Returns (call body,
+        optional wrapper applied AROUND the attached OVER text)."""
+        if args is None:
+            raise UnsupportedSqlError(
+                "FILTER/DISTINCT on a keyword-form call in window "
+                "position is not modeled"
+            )
+        low = name.lower()
+        if filter_sql is not None:
+            if star:
+                if low != "count":
+                    raise UnsupportedSqlError(
+                        f"FILTER on {name}(*) in window position is not "
+                        "modeled"
+                    )
+                arg_sqls = [f"CASE WHEN {filter_sql} THEN 1 END"]
+            elif len(args) == 1:
+                arg_sqls = [f"CASE WHEN {filter_sql} THEN {args[0].sql} END"]
+            else:
+                raise UnsupportedSqlError(
+                    "FILTER on a multi-argument window aggregate is not "
+                    "modeled"
+                )
+        else:
+            arg_sqls = ["*"] if star else [a.sql for a in args]
+        if distinct:
+            if low != "count" or star or len(arg_sqls) != 1:
+                raise UnsupportedSqlError(
+                    "only count(DISTINCT x) is modeled in window position "
+                    "— spell sum/avg over a distinct set via "
+                    "aggregate(collect_set(x) OVER w, ...)"
+                )
+            return f"collect_set({arg_sqls[0]})", "size"
+        return f"{name}({', '.join(arg_sqls)})", None
 
     def _lower_ordered_agg(
         self,

@@ -127,6 +127,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_expr_in_membership",
     "parsed_or_exists",
     "parsed_ordered_agg",
+    "parsed_qualify",
+    "parsed_window_filter_distinct",
     "parsed_recursive_closure",
     "parsed_recursive_seq",
     "parsed_fetch_ties",

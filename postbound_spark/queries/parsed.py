@@ -1119,3 +1119,64 @@ def parsed_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, no Python; per-group cost is O(group · log group), the
     same bound any engine pays for ordered aggregation."""
     return _native(spark, sf_dir, _ORDERED_AGG_SQL, ["customer"])
+
+
+_QUALIFY_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+                    o_orderkey) AS r
+FROM orders
+WHERE o_orderkey < 4000
+QUALIFY r <= 2
+ORDER BY o_custkey, r, o_orderkey
+"""
+
+
+@query("parsed_qualify", oracle=_QUALIFY_SQL)
+def parsed_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 (probe wave 4): the QUALIFY clause — the post-window
+    filter DuckDB/Snowflake/BigQuery support and Spark lacks — desugared
+    at parse time into the textbook rewrite (plans/parser.py
+    ``_desugar_qualify``): the predicate becomes a boolean marker column
+    computed NEXT TO the windows (select-alias references resolve as
+    lateral column aliases), one level up filters on the marker and
+    projects the original output names. DuckDB runs the identical text
+    natively — the strongest oracle form.
+
+    Scale shape: identical to any window + filter — the rank's single
+    hash exchange on the PARTITION BY key; Spark's InferWindowGroupLimit
+    turns the rank<=k filter into a per-partition WindowGroupLimit, so
+    the marker filter costs a map-side projection, never a second pass."""
+    return _native(spark, sf_dir, _QUALIFY_SQL, ["orders"])
+
+
+_WINDOW_FILTER_DISTINCT_SQL = """
+SELECT o_orderkey,
+       count(*) FILTER (WHERE o_totalprice > 150000)
+           OVER (PARTITION BY o_orderstatus) AS n_big,
+       count(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus) AS n_cust,
+       count(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT')
+           OVER (PARTITION BY o_orderstatus) AS n_urgent_cust
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
+@query("parsed_window_filter_distinct", oracle=_WINDOW_FILTER_DISTINCT_SQL)
+def parsed_window_filter_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 (probe wave 4): FILTER and DISTINCT on aggregates in
+    WINDOW position — shapes Spark's WindowExec rejects outright
+    ("Window aggregate function with filter predicate is not supported",
+    DISTINCT_WINDOW_FUNCTION_UNSUPPORTED) — lowered at parse time
+    (plans/parser.py ``_lower_window_agg``): FILTER routes the argument
+    through a CASE (window aggregates skip NULLs, exactly FILTER
+    semantics; count(*) counts a CASE-guarded constant), count(DISTINCT
+    x) becomes ``size(collect_set(x) OVER w)``, and the combination
+    composes. DuckDB executes all three spellings natively on identical
+    text.
+
+    Scale shape: same single exchange on the PARTITION BY key as any
+    window aggregate; the collect_set state is bounded by the per-key
+    distinct count (the same bound any engine's distinct-window pays)."""
+    return _native(spark, sf_dir, _WINDOW_FILTER_DISTINCT_SQL, ["orders"])

@@ -1114,8 +1114,57 @@ def ordered_agg_query(draw) -> str:
 
 
 @st.composite
+def qualify_window_query(draw) -> str:
+    """Grammar v21 (wave-4 closures): QUALIFY (parse-time desugar) and
+    FILTER / DISTINCT on window aggregates (CASE-argument / collect_set
+    lowering) — DuckDB executes all spellings natively on identical
+    text."""
+    outer, key, val, name = draw(
+        st.sampled_from(
+            [
+                ("nation", "n_regionkey", "n_nationkey", "n_name"),
+                ("orders", "o_orderstatus", "o_custkey", "o_orderkey"),
+            ]
+        )
+    )
+    form = draw(st.integers(0, 3))
+    lim = draw(st.integers(1, 3))
+    if form == 0:  # QUALIFY on an inline window
+        return (
+            f"SELECT {name}, {key} FROM {outer} "
+            f"QUALIFY row_number() OVER (PARTITION BY {key} "
+            f"ORDER BY {name}) <= {lim} ORDER BY {name}" + ORDERED
+        )
+    if form == 1:  # QUALIFY over a select alias
+        return (
+            f"SELECT {name}, rank() OVER (PARTITION BY {key} "
+            f"ORDER BY {name}) AS r FROM {outer} "
+            f"QUALIFY r <= {lim} ORDER BY {name}" + ORDERED
+        )
+    thresh = draw(st.integers(0, 20))
+    if form == 2:  # FILTER on a window aggregate
+        agg = draw(st.sampled_from(["count(*)", f"sum({val})", f"count({val})"]))
+        return (
+            f"SELECT {name}, {agg} FILTER (WHERE {val} > {thresh}) "
+            f"OVER (PARTITION BY {key}) AS w FROM {outer} "
+            f"ORDER BY {name}" + ORDERED
+        )
+    # DISTINCT window count, optionally with FILTER
+    filt = (
+        f" FILTER (WHERE {val} > {thresh})" if draw(st.booleans()) else ""
+    )
+    return (
+        f"SELECT {name}, count(DISTINCT {val}){filt} "
+        f"OVER (PARTITION BY {key}) AS d FROM {outer} "
+        f"ORDER BY {name}" + ORDERED
+    )
+
+
+@st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 20))
+    kind = draw(st.integers(0, 21))
+    if kind == 21:
+        return draw(qualify_window_query())
     if kind == 18:
         return draw(membership_expr_query())
     if kind == 19:

@@ -2272,3 +2272,38 @@ def test_in_call_order_by_rejections():
     ]:
         with pytest.raises(UnsupportedSqlError, match=msg):
             parse_query(sql)
+
+
+WAVE4_CASES = {
+    "qualify_rownum": "SELECT n_name, n_regionkey FROM nation QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) = 1 ORDER BY n_name",
+    "qualify_alias": "SELECT o_custkey, o_totalprice, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS r FROM orders WHERE o_orderkey < 2000 QUALIFY r <= 2 ORDER BY o_custkey, o_totalprice DESC",
+    "qualify_named_window": "SELECT n_name, n_regionkey FROM nation WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name) QUALIFY row_number() OVER w = 1 ORDER BY n_name",
+    "window_filter": "SELECT n_name, count(*) FILTER (WHERE n_regionkey > 1) OVER (PARTITION BY n_regionkey) AS c FROM nation ORDER BY n_name",
+    "window_filter_arg": "SELECT n_name, sum(n_nationkey) FILTER (WHERE n_regionkey <> 2) OVER (PARTITION BY n_regionkey) AS s FROM nation ORDER BY n_name",
+    "window_distinct": "SELECT n_name, count(DISTINCT n_regionkey) OVER () AS d FROM nation ORDER BY n_name",
+    "window_filter_distinct": "SELECT o_orderkey, count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000) OVER (PARTITION BY o_orderstatus) AS d FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey",
+    "case_result_predicate": "SELECT n_name, CASE WHEN n_regionkey > 2 THEN n_nationkey > 10 ELSE n_nationkey < 5 END AS f FROM nation ORDER BY n_name",
+    "exists_in_order_by": "SELECT n_name FROM nation n ORDER BY EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9500) DESC, n_name",
+    "recursive_refs_outer_cte": "WITH RECURSIVE lim(m) AS (SELECT 4), seq(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM seq, lim WHERE n < m) SELECT n FROM seq ORDER BY n",
+}
+
+
+@pytest.mark.parametrize("name", sorted(WAVE4_CASES))
+def test_probe_wave4_closures(name, spark, sf_small):
+    """Round-10 probe-battery wave-4 closures: QUALIFY (parse-time
+    desugar), FILTER/DISTINCT on window aggregates (CASE-argument /
+    collect_set lowering), predicates as CASE result values, EXISTS in
+    ORDER BY keys, a recursive CTE reading an earlier CTE. Differential
+    vs DuckDB on identical text."""
+    sql = WAVE4_CASES[name]
+    tables = ["nation", "region", "customer", "orders"]
+    cat = load_tables(spark, sf_small, tables)
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    got = sorted(map(repr, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+    assert got == want and len(got) > 0
