@@ -1236,6 +1236,36 @@ class _Converter:
                     + [o.expr.sql for o in self.q.order_by]
                 )
 
+        # pass 1.5 — spans inside GROUP BY KEY texts evaluate
+        # PRE-aggregation (the key is an input to the Grouping), so their
+        # lifts — including decorrelated membership laterals (GROUP BY
+        # over an EXISTS boolean) — attach below the aggregate. Phase
+        # "key" keeps pass 2 from re-lifting them post-agg: a group key
+        # SURVIVES the Grouping, unlike a pre-agg constant column.
+        if is_aggregated:
+            gb_plans: list[ra.RelNode] = []
+            gb_laterals: list[Q.SubqueryTableSource] = []
+            # GROUP BY <select alias> keys resolve to the aliased
+            # expression (same rule _finish applies) — the SPAN lives in
+            # the select text, but the KEY is what evaluates pre-agg
+            alias_exprs = {
+                p.alias: p.expr.sql
+                for p in self.q.select
+                if p.alias and p.expr.sql != p.alias
+            }
+            for e in self.q.group_by:
+                text = e.sql
+                if re.fullmatch(r"\w+", text) and text in alias_exprs:
+                    text = alias_exprs[text]
+                if _has_scalar_subquery(text):
+                    self._lift_scalar_spans(
+                        text, gb_plans, laterals=gb_laterals, phase="key"
+                    )
+            for sub in gb_plans:
+                tree = ra.CrossProduct(tree, sub)
+            for src in gb_laterals:
+                tree = self._apply_lateral(tree, src, own_ids)
+
         # pass 2 — spans OUTSIDE aggregates lift post-aggregation (or as
         # LATERAL left joins in a non-aggregated query)
         postagg_laterals: list[Q.SubqueryTableSource] = []
@@ -1320,6 +1350,10 @@ class _Converter:
         self.q = self.q.with_clause(
             select=tuple(new_select),
             having=having,
+            group_by=tuple(
+                Q.SqlExpression(self._subst(e.sql), e.columns)
+                for e in self.q.group_by
+            ),
             order_by=tuple(
                 Q.OrderByExpression(
                     Q.SqlExpression(self._subst(o.expr.sql), o.expr.columns),

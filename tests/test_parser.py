@@ -2307,3 +2307,31 @@ def test_probe_wave4_closures(name, spark, sf_small):
         )
     want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
     assert got == want and len(got) > 0
+
+
+GROUP_BY_SUBQUERY_CASES = {
+    "group_by_exists_alias": "SELECT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9500) AS has_rich, count(*) AS c FROM nation n GROUP BY has_rich ORDER BY has_rich",
+    "group_by_in_alias": "SELECT n.n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name LIKE 'A%') AS in_a, count(*) AS c FROM nation n GROUP BY in_a ORDER BY in_a",
+    "group_by_scalar_alias": "SELECT (SELECT max(r_regionkey) FROM region) AS m, count(*) AS c FROM nation GROUP BY m ORDER BY m",
+    "group_by_case_exists": "SELECT CASE WHEN EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9500) THEN 'rich' ELSE 'poor' END AS cls, count(*) AS c FROM nation n GROUP BY cls ORDER BY cls",
+}
+
+
+@pytest.mark.parametrize("name", sorted(GROUP_BY_SUBQUERY_CASES))
+def test_group_by_over_subquery_booleans(name, spark, sf_small):
+    """Round-10 (wave-4 follow-up): GROUP BY over a membership/scalar
+    select alias — the key evaluates PRE-aggregation, so its lifts
+    (decorrelated membership laterals, 1-row scalar attaches) compile
+    below the Grouping (pass 1.5 in plans/algebra.py convert())."""
+    sql = GROUP_BY_SUBQUERY_CASES[name]
+    tables = ["nation", "region", "customer"]
+    cat = load_tables(spark, sf_small, tables)
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    got = sorted(map(repr, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+    assert got == want and len(got) > 0
