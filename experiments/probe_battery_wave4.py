@@ -44,10 +44,12 @@ PROBES = {
     ),
     # --- correlated EXISTS in SELECT position (round-10 surface) ---
     "select_corr_exists_agg_outer": (
-        "SELECT n_regionkey, count(*) AS n, "
-        "CASE WHEN EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey "
-        "AND r_name LIKE 'A%') THEN 1 ELSE 0 END AS flag "
-        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
+        # qualified correlation keys (the documented rule; a bare outer
+        # ref inside the subquery text stays a loud analysis failure)
+        "SELECT n.n_regionkey, count(*) AS n, "
+        "CASE WHEN EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey "
+        "AND r.r_name LIKE 'A%') THEN 1 ELSE 0 END AS flag "
+        "FROM nation n GROUP BY n.n_regionkey ORDER BY n.n_regionkey"
     ),
     "select_exists_of_exists": (
         "SELECT n.n_name, CASE WHEN EXISTS (SELECT 1 FROM customer c WHERE "

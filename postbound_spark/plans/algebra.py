@@ -499,6 +499,11 @@ class _Converter:
         #: synthetic LATERAL sources (decorrelated by _apply_lateral into
         #: GROUP-BY-correlation-keys + LEFT join, counts coalesced to 0)
         self._scalar_laterals: list[Q.SubqueryTableSource] = []
+        #: decorrelated membership-count laterals whose OUTER is an
+        #: aggregated query: applied in _finish ABOVE the Grouping, with
+        #: the correlation keys degrouped to the aggregate's output
+        #: columns (round-10 wave-4 closure)
+        self._agg_member_laterals: list[Q.SubqueryTableSource] = []
         #: span → phase ("pre"/"post") of its lift: the SAME subquery text
         #: reused across the aggregation boundary needs a SECOND lift (the
         #: Grouping drops the pre-agg constant column — fuzzer-found)
@@ -819,12 +824,25 @@ class _Converter:
                 f"cannot re-parse membership subquery {span!r}: {exc}"
             ) from exc
 
+        lat_sink = laterals
+        if lat_sink is None and relift_pre:
+            # aggregated outer query: the decorrelated count lateral
+            # attaches ABOVE the Grouping in _finish, its correlation
+            # keys degrouped to the aggregate's output columns — the
+            # membership may only correlate on GROUP KEYS (anything else
+            # fails loudly at Spark analysis, never silently)
+            lat_sink = self._agg_member_laterals
+
         def lift_one(new_span: str) -> str:
             local: dict[str, str] = {}
             self._lift_scalar_spans(
-                new_span, plans, laterals=laterals, phase=phase, subs_out=local
+                new_span, plans, laterals=lat_sink, phase=phase, subs_out=local
             )
-            return local[new_span]
+            # every lifted quantity here is a COUNT: a match-less outer
+            # row of the decorrelating left join must read 0, not NULL —
+            # coalesce inline, because laterals applied in _finish attach
+            # after the consuming-clause rewrite has already run
+            return f"coalesce({local[new_span]}, 0)"
 
         def count_form(extra_sql: str | None) -> str:
             conds: list[Q.AbstractPredicate] = []
@@ -1393,7 +1411,11 @@ class _Converter:
     # -- LATERAL decorrelation ----------------------------------------------
 
     def _apply_lateral(
-        self, tree: ra.RelNode, src: "Q.SubqueryTableSource", outer_ids: set[str]
+        self,
+        tree: ra.RelNode,
+        src: "Q.SubqueryTableSource",
+        outer_ids: set[str],
+        outer_transform=None,
     ) -> ra.RelNode:
         """Decorrelate ``, LATERAL (SELECT ... WHERE inner.k = outer.k)`` into
         a grouped join — the Spark-first execution of the reference's lateral
@@ -1478,7 +1500,8 @@ class _Converter:
             )
             inner_tree = ra.SubqueryScan(inner_tree, alias=src.alias)
             cond = " AND ".join(
-                f"{outer} = {src.alias}.{k}"
+                f"{outer_transform(outer) if outer_transform else outer} "
+                f"= {src.alias}.{k}"
                 for (outer, _i), k in zip(corr_eqs, key_names)
             )
             tree = ra.ThetaJoin(tree, inner_tree, cond, how="left")
@@ -1508,7 +1531,8 @@ class _Converter:
             parse_relalg(inner_query, scope_ctes=self.ctes), alias=src.alias
         )
         cond = " AND ".join(
-            f"{outer} = {src.alias}.{k}"
+            f"{outer_transform(outer) if outer_transform else outer} "
+            f"= {src.alias}.{k}"
             for (outer, _i), k in zip(corr_eqs, key_names)
         )
         tree = ra.ThetaJoin(tree, inner_tree, cond, how="inner")
@@ -1823,62 +1847,70 @@ class _Converter:
         if q.having is not None:
             tree = ra.Selection(tree, dequalify_keys(rewrite(q.having.to_sql())))
 
-        if self._having_memberships:
-            # HAVING EXISTS / IN(subquery) → semi/anti join on the grouped
-            # frame. Outer references inside the subquery must name group
-            # keys (qualified or via select alias) or aggregate calls —
-            # the transform maps them to the aggregate's output columns;
-            # anything else fails loudly at Spark analysis, never silently
-            grouped_cols = set(key_names.values()) | set(agg_names.values())
-            outer_ids = {t.identifier for t in q.from_tables} | {
-                j.source.identifier for j in q.joins
-            }
-            alias_to_key = {
-                p.alias: key_names[p.expr.sql]
-                for p in q.select
-                if p.alias and p.expr.sql in key_names
-            }
+        # outer-reference rename machinery for subtrees attached ABOVE the
+        # aggregate (HAVING memberships, select-position membership-count
+        # laterals): outer references must name group keys (qualified or
+        # via select alias) or aggregate calls — the transform maps them
+        # to the aggregate's output columns; anything else fails loudly
+        # at Spark analysis, never silently
+        grouped_cols = set(key_names.values()) | set(agg_names.values())
+        outer_ids = {t.identifier for t in q.from_tables} | {
+            j.source.identifier for j in q.joins
+        }
+        alias_to_key = {
+            p.alias: key_names[p.expr.sql]
+            for p in q.select
+            if p.alias and p.expr.sql in key_names
+        }
 
-            # bare source-column text -> grouped output name (covers keys
-            # grouped under a select alias: GROUP BY k with k = n_regionkey
-            # outputs column k, so t.n_regionkey must map to k)
-            bare_to_key: dict[str, str] = {}
-            for g, kn in key_names.items():
-                m = re.fullmatch(r"(?:([\w$]+)\.)?([\w$]+)", g)
-                if m:
-                    bare_to_key[m.group(2)] = kn
+        # bare source-column text -> grouped output name (covers keys
+        # grouped under a select alias: GROUP BY k with k = n_regionkey
+        # outputs column k, so t.n_regionkey must map to k)
+        bare_to_key: dict[str, str] = {}
+        for g, kn in key_names.items():
+            m = re.fullmatch(r"(?:([\w$]+)\.)?([\w$]+)", g)
+            if m:
+                bare_to_key[m.group(2)] = kn
 
-            def degroup(text: str) -> str:
-                text = dequalify_keys(rewrite(text))
-                # outer-qualified references to grouped columns lose their
-                # qualifier above the aggregate (t.col -> its key name)
-                text = _sub_outside_literals(
-                    r"(?<![\w$])([\w$]+)\.([\w$]+)",
-                    lambda m: bare_to_key.get(m.group(2), m.group(2))
-                    if m.group(1) in outer_ids
-                    and (
-                        m.group(2) in grouped_cols
-                        or m.group(2) in bare_to_key
+        def degroup(text: str) -> str:
+            text = dequalify_keys(rewrite(text))
+            # outer-qualified references to grouped columns lose their
+            # qualifier above the aggregate (t.col -> its key name)
+            text = _sub_outside_literals(
+                r"(?<![\w$])([\w$]+)\.([\w$]+)",
+                lambda m: bare_to_key.get(m.group(2), m.group(2))
+                if m.group(1) in outer_ids
+                and (
+                    m.group(2) in grouped_cols
+                    or m.group(2) in bare_to_key
+                )
+                else m.group(0),
+                text,
+            )
+            # select-alias references resolve to their key columns
+            for a, k in alias_to_key.items():
+                if a != k:
+                    text = _sub_outside_literals(
+                        rf"(?<![\w$.]){re.escape(a)}(?![\w$])", k, text
                     )
-                    else m.group(0),
-                    text,
-                )
-                # select-alias references resolve to their key columns
-                for a, k in alias_to_key.items():
-                    if a != k:
-                        text = _sub_outside_literals(
-                            rf"(?<![\w$.]){re.escape(a)}(?![\w$])", k, text
-                        )
-                return text
+            return text
 
-            for kind, conj in self._having_memberships:
-                tree = self._apply_subquery(
-                    tree,
-                    kind,
-                    conj,
-                    outer_ids,
-                    cond_transform=degroup,
-                )
+        for kind, conj in self._having_memberships:
+            tree = self._apply_subquery(
+                tree,
+                kind,
+                conj,
+                outer_ids,
+                cond_transform=degroup,
+            )
+
+        # membership-count laterals from SELECT/ORDER BY of this
+        # aggregated query: decorrelated LEFT joins keyed on the grouped
+        # output columns (wave-4 closure — was a clean rejection)
+        for src in self._agg_member_laterals:
+            tree = self._apply_lateral(
+                tree, src, outer_ids, outer_transform=degroup
+            )
 
         # ---- final projection (PostAggregation phase) ---------------------
         out_cols: list[str] = []

@@ -1180,3 +1180,35 @@ def parsed_window_filter_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     window aggregate; the collect_set state is bounded by the per-key
     distinct count (the same bound any engine's distinct-window pays)."""
     return _native(spark, sf_dir, _WINDOW_FILTER_DISTINCT_SQL, ["orders"])
+
+
+_GROUP_BY_MEMBERSHIP_SQL = """
+SELECT EXISTS (SELECT 1 FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+                 AND c.c_acctbal > 7500) AS has_rich,
+       n.n_regionkey IN (SELECT r_regionkey FROM region
+                         WHERE r_name LIKE 'A%') AS in_a,
+       count(*) AS n_nations
+FROM nation n
+GROUP BY has_rich, in_a
+ORDER BY has_rich, in_a
+"""
+
+
+@query("parsed_group_by_membership", oracle=_GROUP_BY_MEMBERSHIP_SQL)
+def parsed_group_by_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 (wave-4 follow-up): GROUP BY over MEMBERSHIP select
+    aliases — the keys are subquery-derived booleans, so their lifts
+    must land BELOW the aggregate (pass 1.5 in plans/algebra.py
+    ``convert()``): the correlated EXISTS decorrelates into a per-key
+    count LEFT join under the Grouping, the uncorrelated IN attaches as
+    1-row broadcast constants, and the Grouping then groups by the two
+    derived booleans. DuckDB runs identical text.
+
+    Scale shape: one grouped count + left join below the aggregate
+    (per correlation key, never per row) and a broadcast constant —
+    then the ordinary partial→final hash aggregate on two boolean keys."""
+    return _native(
+        spark, sf_dir, _GROUP_BY_MEMBERSHIP_SQL,
+        ["nation", "customer", "region"],
+    )

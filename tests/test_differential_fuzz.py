@@ -1030,12 +1030,22 @@ def membership_expr_query(draw) -> str:
             f"{probe} {neg}IN (SELECT {icol} FROM {inner} "
             f"WHERE {icol} < {lim})"
         )
-    position = draw(st.integers(0, 2))
+    position = draw(st.integers(0, 3))
     if position == 0:  # CASE branch in the SELECT list
         item = f"CASE WHEN {member} THEN 1 ELSE 0 END AS flag"
         return (
             f"SELECT {oname}, {item} FROM {outer} t0 "
             f"ORDER BY {oname}" + ORDERED
+        )
+    if position == 3:
+        # AGGREGATED outer: the decorrelated count lateral attaches
+        # ABOVE the Grouping with degrouped correlation keys — every
+        # outer reference the member makes is t0.{okey}, the group key
+        return (
+            f"SELECT t0.{okey}, count(*) AS c, "
+            f"CASE WHEN {member} THEN 1 ELSE 0 END AS flag "
+            f"FROM {outer} t0 GROUP BY t0.{okey} "
+            f"ORDER BY t0.{okey}" + ORDERED
         )
     if position == 1:  # boolean-valued select item (CAST: hash-stable)
         return (

@@ -2335,3 +2335,31 @@ def test_group_by_over_subquery_booleans(name, spark, sf_small):
         )
     want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
     assert got == want and len(got) > 0
+
+
+AGG_MEMBERSHIP_CASES = {
+    "agg_case_exists_groupkey": "SELECT n.n_regionkey, count(*) AS n_nations, CASE WHEN EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey AND r.r_name LIKE 'A%') THEN 1 ELSE 0 END AS flag FROM nation n GROUP BY n.n_regionkey ORDER BY n.n_regionkey",
+    "agg_exists_alias_key": "SELECT n.n_regionkey AS rk, count(*) AS c, EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey AND r.r_name LIKE 'E%') AS is_e FROM nation n GROUP BY rk ORDER BY rk",
+    "agg_in_probe_groupkey": "SELECT c.c_nationkey, count(*) AS c, c.c_nationkey IN (SELECT s.s_nationkey FROM supplier s WHERE s.s_acctbal > 5000) AS has_sup FROM customer c GROUP BY c.c_nationkey ORDER BY c.c_nationkey",
+    "agg_order_by_exists": "SELECT n.n_regionkey, count(*) AS c FROM nation n GROUP BY n.n_regionkey ORDER BY EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey AND r.r_name LIKE 'A%') DESC, n.n_regionkey",
+}
+
+
+@pytest.mark.parametrize("name", sorted(AGG_MEMBERSHIP_CASES))
+def test_membership_above_the_aggregate(name, spark, sf_small):
+    """Round-10: correlated memberships in SELECT/ORDER BY of an
+    AGGREGATED query — the count lateral decorrelates ABOVE the
+    Grouping, its correlation keys degrouped to the aggregate's output
+    columns (the same rename table HAVING memberships use)."""
+    sql = AGG_MEMBERSHIP_CASES[name]
+    tables = ["nation", "region", "customer", "supplier"]
+    cat = load_tables(spark, sf_small, tables)
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    got = sorted(map(repr, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+    assert got == want and len(got) > 0
