@@ -1589,7 +1589,7 @@ class _Converter:
         # aggregate output no longer carries
         f = cond_transform or (lambda s: s)
         pred = self._unwrap_not(pred)
-        if isinstance(pred, Q.InPredicate):
+        if isinstance(pred, Q.InPredicate) and not pred.row_elems:
             sub = pred.subquery
             if isinstance(sub, Q.SetQuery):
                 # IN over a set query: the membership column is the
@@ -1639,6 +1639,55 @@ class _Converter:
             return ra.AntiJoin(
                 tree, sub_tree, f"({lhs} = {rhs}) OR isnull({lhs} = {rhs})"
             )
+
+        if isinstance(pred, Q.InPredicate):  # row-valued membership
+            sub = pred.subquery
+            if not isinstance(sub, Q.SqlQuery):
+                raise UnsupportedSqlError(
+                    "row-valued IN over a set query is not modeled"
+                )
+            self._check_alias_collisions(sub, outer_ids)
+            if len(sub.select) != len(pred.row_elems):
+                raise UnsupportedSqlError(
+                    "row-valued IN needs the subquery to project exactly "
+                    f"{len(pred.row_elems)} columns"
+                )
+            if any(p.expr.sql.strip() == "*" for p in sub.select):
+                raise UnsupportedSqlError(
+                    "row-valued IN subquery must project explicit columns"
+                )
+            alias = self._gensym("insub")
+            uniq_cols = [f"{alias}_key{i}" for i in range(len(sub.select))]
+            # re-alias the subquery's own projections (positional, ANSI)
+            # so both unnamed expressions and outer-colliding names join
+            # unambiguously
+            sub = replace(
+                sub,
+                select=tuple(
+                    Q.BaseProjection(p.expr, u)
+                    for p, u in zip(sub.select, uniq_cols)
+                ),
+            )
+            sub_tree = parse_relalg(sub, scope_ctes=self.ctes)
+            sub_tree = ra.SubqueryScan(sub_tree, alias=alias)
+            if kind == "in":
+                # ANSI: a row matches when EVERY pair compares TRUE —
+                # NULL elements never match, which the plain equality
+                # conjunction preserves
+                cond = " AND ".join(
+                    f"{f(e.sql)} = {alias}.{u}"
+                    for e, u in zip(pred.row_elems, uniq_cols)
+                )
+                return ra.SemiJoin(tree, sub_tree, cond)
+            # null-aware row NOT IN: an outer row survives only when NO
+            # inner row's equality is TRUE or UNKNOWN; row equality is
+            # not-definitely-false iff every pair is TRUE-or-UNKNOWN
+            cond = " AND ".join(
+                f"(({f(e.sql)} = {alias}.{u}) OR "
+                f"isnull({f(e.sql)} = {alias}.{u}))"
+                for e, u in zip(pred.row_elems, uniq_cols)
+            )
+            return ra.AntiJoin(tree, sub_tree, cond)
 
         assert isinstance(pred, Q.UnaryPredicate)
         sub = pred.subquery

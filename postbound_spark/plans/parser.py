@@ -1594,9 +1594,14 @@ class _Parser:
                 sub = self.parse_query()
                 self.t.expect(")")
                 if expr.row is not None:
-                    raise UnsupportedSqlError(
-                        "row-valued IN over a subquery is not modeled — "
-                        "rewrite as EXISTS with the pairwise equality"
+                    # row-valued IN over a subquery (round-10, beyond the
+                    # reference — its parser has no RowExpr handling):
+                    # the algebra compiles a multi-column semi/anti join
+                    return Q.InPredicate(
+                        expr.to_qal(),
+                        subquery=sub,
+                        negated=negated,
+                        row_elems=tuple(e.to_qal() for e in expr.row),
                     )
                 return Q.InPredicate(
                     expr.to_qal(), subquery=sub, negated=negated
@@ -1708,11 +1713,19 @@ class _Parser:
                 # algebra's semi/anti-join machinery (incl. the
                 # null-aware NOT IN) executes them; other op/quantifier
                 # mixes keep the textual QuantifierExpression form
+                row = (
+                    tuple(e.to_qal() for e in expr.row)
+                    if expr.row is not None
+                    else ()
+                )
                 if op is Q.LogicalOperator.EQ and quant == "ANY":
-                    return Q.InPredicate(expr.to_qal(), subquery=sub)
+                    return Q.InPredicate(
+                        expr.to_qal(), subquery=sub, row_elems=row
+                    )
                 if op is Q.LogicalOperator.NE and quant == "ALL":
                     return Q.InPredicate(
-                        expr.to_qal(), subquery=sub, negated=True
+                        expr.to_qal(), subquery=sub, negated=True,
+                        row_elems=row,
                     )
                 rhs_sql = f"{quant} ({_inline(sub)})"
                 return Q.BinaryPredicate(
@@ -1734,17 +1747,48 @@ class _Parser:
         """Row-value comparison `(a, b) = (c, d)` — expanded to the AND of
         element equalities (ANSI: row equality is pairwise with UNKNOWN
         propagation, which the conjunction preserves); `<>` is its
-        three-valued negation. Ordering comparisons on rows
-        (lexicographic) are not modeled."""
+        three-valued negation. Ordering comparisons expand to the ANSI
+        LEXICOGRAPHIC recursion — `(a, rest) < (b, rest')` ≡
+        `a < b OR (a = b AND rest < rest')` — whose OR/AND three-valued
+        algebra reproduces the standard's UNKNOWN propagation exactly
+        (round-10, beyond the reference: no RowExpr in its parser)."""
         if lhs.row is None or rhs.row is None or len(lhs.row) != len(rhs.row):
             raise UnsupportedSqlError(
                 "row-value comparison needs row constructors of equal "
                 "width on both sides"
             )
+        ordering = {
+            Q.LogicalOperator.LT: Q.LogicalOperator.LT,
+            Q.LogicalOperator.LE: Q.LogicalOperator.LT,
+            Q.LogicalOperator.GT: Q.LogicalOperator.GT,
+            Q.LogicalOperator.GE: Q.LogicalOperator.GT,
+        }
+        if op in ordering:
+            strict = ordering[op]
+
+            def lex(pairs) -> Q.AbstractPredicate:
+                (l, r), rest = pairs[0], pairs[1:]
+                if not rest:
+                    # the LAST element carries the original operator —
+                    # this is what distinguishes <= from <
+                    return Q.BinaryPredicate(op, l.to_qal(), r.to_qal())
+                return Q.CompoundPredicate(
+                    Q.CompoundOperator.OR,
+                    (
+                        Q.BinaryPredicate(strict, l.to_qal(), r.to_qal()),
+                        Q.and_(
+                            Q.BinaryPredicate(
+                                Q.LogicalOperator.EQ, l.to_qal(), r.to_qal()
+                            ),
+                            lex(rest),
+                        ),
+                    ),
+                )
+
+            return lex(list(zip(lhs.row, rhs.row)))
         if op not in (Q.LogicalOperator.EQ, Q.LogicalOperator.NE):
             raise UnsupportedSqlError(
-                "lexicographic row-value ordering comparisons are not "
-                "modeled — spell the element comparison explicitly"
+                f"row-value comparison with {op.value!r} is not modeled"
             )
         pairs = tuple(
             Q.BinaryPredicate(Q.LogicalOperator.EQ, l.to_qal(), r.to_qal())
@@ -2468,6 +2512,7 @@ def _bind(
                 tuple(rebind_expr(v) for v in p.values),
                 bind_subquery(p.subquery),
                 p.negated,
+                row_elems=tuple(rebind_expr(e) for e in p.row_elems),
             )
         if isinstance(p, Q.UnaryPredicate):
             expr = rebind_expr(p.expr) if p.expr is not None else None

@@ -415,6 +415,10 @@ class InPredicate(AbstractPredicate):
     values: tuple[SqlExpression, ...] = ()
     subquery: "SqlQuery | None" = None
     negated: bool = False
+    #: row-constructor membership `(a, b) IN (subquery)` — the element
+    #: expressions, so the algebra can build the multi-column semi/anti
+    #: join (extension beyond the reference: no RowExpr in its parser)
+    row_elems: tuple[SqlExpression, ...] = ()
 
     def columns(self):
         return self.expr.columns + tuple(c for v in self.values for c in v.columns)

@@ -130,6 +130,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_qualify",
     "parsed_window_filter_distinct",
     "parsed_group_by_membership",
+    "parsed_row_in_subquery",
     "parsed_recursive_closure",
     "parsed_recursive_seq",
     "parsed_fetch_ties",

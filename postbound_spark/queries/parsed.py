@@ -1212,3 +1212,44 @@ def parsed_group_by_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _GROUP_BY_MEMBERSHIP_SQL,
         ["nation", "customer", "region"],
     )
+
+
+_ROW_IN_SQL = """
+SELECT c.c_name, c.c_nationkey
+FROM customer c
+WHERE (c.c_nationkey, c.c_mktsegment) IN
+      (SELECT s.s_nationkey, 'BUILDING' FROM supplier s
+       WHERE s.s_acctbal > 2000)
+  AND (c.c_nationkey, c.c_custkey) >= (20, 100)
+ORDER BY c.c_name
+"""
+
+#: DuckDB has no multi-column IN subquery — the oracle spells the
+#: row membership as the equivalent EXISTS (same rows, ANSI semantics);
+#: the lexicographic >= runs as identical text (no NULL elements, where
+#: DuckDB's struct-compare would diverge from ANSI)
+_ROW_IN_ORACLE = """
+SELECT c.c_name, c.c_nationkey
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM supplier s
+              WHERE s.s_acctbal > 2000
+                AND s.s_nationkey = c.c_nationkey
+                AND 'BUILDING' = c.c_mktsegment)
+  AND (c.c_nationkey, c.c_custkey) >= (20, 100)
+ORDER BY c.c_name
+"""
+
+
+@query("parsed_row_in_subquery", oracle=_ROW_IN_ORACLE)
+def parsed_row_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10, beyond the reference (its parser has no RowExpr —
+    verified absent in /root/reference/postbound/parser.py) AND beyond
+    DuckDB (no multi-column IN subquery): row-valued IN over a subquery,
+    compiled as a MULTI-COLUMN semi join (NOT IN generalizes the
+    null-aware anti-join condition per column), plus a lexicographic row
+    ordering comparison desugared to the ANSI recursion.
+
+    Scale shape: one semi join keyed on both row columns — a single
+    shuffle, broadcast-able when the subquery side is small, no
+    row explosion; exactly the plan a hand-written EXISTS gets."""
+    return _native(spark, sf_dir, _ROW_IN_SQL, ["customer", "supplier"])

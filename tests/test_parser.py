@@ -1947,8 +1947,10 @@ def test_probe_battery_closures(spark, sf_small):
 
     with pytest.raises(UnsupportedSqlError, match="equal"):
         parse_query("SELECT 1 FROM t WHERE (a, b) = (1, 2, 3)")
-    with pytest.raises(UnsupportedSqlError, match="lexicographic"):
-        parse_query("SELECT 1 FROM t WHERE (a, b) < (1, 2)")
+    # round-10: lexicographic row ordering now desugars to the ANSI
+    # recursion instead of rejecting
+    q = parse_query("SELECT 1 FROM t WHERE (a, b) < (1, 2)")
+    assert "a < 1" in q.where.to_sql() and "b < 2" in q.where.to_sql()
 
 
 def test_top_level_values_statement(spark):
@@ -2363,3 +2365,76 @@ def test_membership_above_the_aggregate(name, spark, sf_small):
         )
     want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
     assert got == want and len(got) > 0
+
+
+ROW_VALUE_CASES = {
+    # (engine SQL, DuckDB oracle SQL) — DuckDB has no multi-column IN
+    # subquery, so those oracles use the equivalent EXISTS spelling
+    "row_in_subquery": (
+        "SELECT n_name FROM nation WHERE (n_regionkey, n_nationkey) IN (SELECT r_regionkey, r_regionkey * 5 FROM region) ORDER BY n_name",
+        "SELECT n_name FROM nation WHERE EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey AND r_regionkey * 5 = n_nationkey) ORDER BY n_name",
+    ),
+    "row_not_in_null_aware": (
+        "SELECT n_name FROM nation WHERE (n_regionkey, n_nationkey) NOT IN (SELECT r_regionkey, CASE WHEN r_name LIKE 'A%' THEN NULL ELSE r_regionkey * 5 END FROM region) ORDER BY n_name",
+        "SELECT n_name FROM nation WHERE NOT EXISTS (SELECT 1 FROM region WHERE ((r_regionkey = n_regionkey) OR (r_regionkey = n_regionkey) IS NULL) AND (((CASE WHEN r_name LIKE 'A%' THEN NULL ELSE r_regionkey * 5 END) = n_nationkey) OR ((CASE WHEN r_name LIKE 'A%' THEN NULL ELSE r_regionkey * 5 END) = n_nationkey) IS NULL)) ORDER BY n_name",
+    ),
+    "row_any_identity": (
+        "SELECT n_name FROM nation WHERE (n_regionkey, n_nationkey) = ANY (SELECT r_regionkey, r_regionkey * 5 FROM region) ORDER BY n_name",
+        "SELECT n_name FROM nation WHERE EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey AND r_regionkey * 5 = n_nationkey) ORDER BY n_name",
+    ),
+    "row_lex_lt": (
+        "SELECT n_name FROM nation WHERE (n_regionkey, n_name) < (2, 'KENYA') ORDER BY n_name",
+        None,  # DuckDB runs identical text
+    ),
+    "row_lex_ge": (
+        "SELECT n_name FROM nation WHERE (n_regionkey, n_name) >= (3, 'INDIA') ORDER BY n_name",
+        None,
+    ),
+    "row_lex_col_vs_col": (
+        "SELECT o_orderkey FROM orders WHERE (o_custkey, o_orderkey) > (o_orderkey, o_custkey) AND o_orderkey < 300 ORDER BY o_orderkey",
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROW_VALUE_CASES))
+def test_row_value_subqueries_and_ordering(name, spark, sf_small):
+    """Round-10, beyond the reference (no RowExpr in its parser): row
+    IN/NOT IN over subqueries (multi-column semi/anti join, NOT IN with
+    the per-column null-aware generalization) and LEXICOGRAPHIC row
+    ordering comparisons (ANSI recursion a<b OR (a=b AND rest))."""
+    sql, oracle = ROW_VALUE_CASES[name]
+    tables = ["nation", "region", "orders"]
+    cat = load_tables(spark, sf_small, tables)
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    got = sorted(map(repr, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = sorted(map(repr, (tuple(r) for r in con.execute(oracle or sql).fetchall())))
+    assert got == want and len(got) > 0
+
+
+def test_row_lex_null_element_is_ansi(spark, sf_small):
+    """NULL row elements follow ANSI/Postgres three-valued semantics
+    (UNKNOWN rows drop): the engine matches DuckDB's DESUGARED form.
+    DuckDB's own columnar struct-compare instead treats NULL as highest
+    (total order) — a documented engine divergence, not ours."""
+    sql = (
+        "SELECT count(*) AS c FROM nation WHERE (CASE WHEN n_regionkey = 2 "
+        "THEN NULL ELSE n_regionkey END, n_nationkey) > (1, 3)"
+    )
+    cat = load_tables(spark, sf_small, ["nation"])
+    got = compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect()[0][0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{sf_small}/nation.parquet')"
+    )
+    want = con.execute(
+        "SELECT count(*) FROM nation WHERE (CASE WHEN n_regionkey = 2 THEN "
+        "NULL ELSE n_regionkey END) > 1 OR ((CASE WHEN n_regionkey = 2 THEN "
+        "NULL ELSE n_regionkey END) = 1 AND n_nationkey > 3)"
+    ).fetchall()[0][0]
+    assert got == want
