@@ -597,13 +597,9 @@ class _Converter:
             # would leave invalid SQL, so these keep the clean rejection
             prefix = text[: text.find(span)].rstrip().lower()
             last_word = re.search(r"(\w+)\s*$", prefix)
-            if last_word and last_word.group(1) in ("any", "all", "some"):
-                raise UnsupportedSqlError(
-                    "quantified / membership subqueries in this predicate "
-                    "position are not compilable by the algebra path; "
-                    "execute via spark.sql / the registry SQL path"
-                )
-            if last_word and last_word.group(1) in ("in", "exists"):
+            if last_word and last_word.group(1) in (
+                "in", "exists", "any", "all", "some",
+            ):
                 # EXISTS / IN in EXPRESSION position (CASE branches, OR
                 # arms, boolean select items) — compiled via the count-form
                 # rewrite onto the existing scalar-lift / decorrelating-
@@ -794,11 +790,12 @@ class _Converter:
 
         idx = text.find(span)
         pre = text[:idx]
-        kw_m = re.search(r"(?i)\b(exists|in)\s*$", pre)
+        kw_m = re.search(r"(?i)\b(exists|in|any|all|some)\s*$", pre)
         if kw_m is None:  # defensive: caller matched on lowered text
             raise reject()
         full_start = kw_m.start()
         operand: str | None = None
+        quant_op: str | None = None
         negated = False
         if kw == "in":
             not_m = re.search(r"(?i)\bnot\s*$", pre[: kw_m.start()])
@@ -808,6 +805,17 @@ class _Converter:
             if op_start is None:
                 raise reject()
             operand = pre[op_start:op_end].strip()
+            full_start = op_start
+        elif kw in ("any", "all", "some"):
+            # quantified comparison: <operand> <op> ANY/ALL (sub)
+            op_m = re.search(r"(=|<>|!=|<=|>=|<|>)\s*$", pre[: kw_m.start()])
+            if op_m is None:
+                raise reject()
+            quant_op = "<>" if op_m.group(1) == "!=" else op_m.group(1)
+            op_start = _operand_start(pre, op_m.start())
+            if op_start is None:
+                raise reject()
+            operand = pre[op_start : op_m.start()].strip()
             full_start = op_start
         full = text[full_start : idx + len(span)]
         if full in subs and not (
@@ -833,18 +841,22 @@ class _Converter:
             # fails loudly at Spark analysis, never silently)
             lat_sink = self._agg_member_laterals
 
-        def lift_one(new_span: str) -> str:
+        def lift_one(new_span: str, coalesce_zero: bool = True) -> str:
             local: dict[str, str] = {}
             self._lift_scalar_spans(
                 new_span, plans, laterals=lat_sink, phase=phase, subs_out=local
             )
-            # every lifted quantity here is a COUNT: a match-less outer
-            # row of the decorrelating left join must read 0, not NULL —
-            # coalesce inline, because laterals applied in _finish attach
-            # after the consuming-clause rewrite has already run
+            if not coalesce_zero:  # min/max extremes: NULL means "no rows"
+                return local[new_span]
+            # COUNT quantities: a match-less outer row of the
+            # decorrelating left join must read 0, not NULL — coalesce
+            # inline, because laterals applied in _finish attach after
+            # the consuming-clause rewrite has already run
             return f"coalesce({local[new_span]}, 0)"
 
-        def count_form(extra_sql: str | None) -> str:
+        def count_form(
+            extra_sql: str | None, select_sql: str = "count(*)"
+        ) -> str:
             conds: list[Q.AbstractPredicate] = []
             if inner.where is not None:
                 conds.append(inner.where)
@@ -857,7 +869,7 @@ class _Converter:
             mod = replace(
                 inner,
                 select=(
-                    Q.BaseProjection(Q.SqlExpression("count(*)"), None),
+                    Q.BaseProjection(Q.SqlExpression(select_sql), None),
                 ),
                 where=Q.and_(*conds) if conds else None,
                 group_by=(),
@@ -890,6 +902,76 @@ class _Converter:
                 # >=1 row; DISTINCT and ORDER BY never change emptiness
                 new_span = count_form(None)
             repl = f"({lift_one(new_span)} > 0)"
+        elif kw in ("any", "all", "some"):
+            if (
+                isinstance(inner, Q.SetQuery)
+                or inner.ctes
+                or inner.having is not None
+                or inner.limit is not None
+                or inner.offset is not None
+                or len(inner.select) != 1
+            ):
+                raise reject()
+            y_sql = inner.select[0].expr.sql
+            if y_sql.strip() == "*" or _find_agg_calls(y_sql):
+                raise reject()
+            is_all = kw == "all"
+            if (quant_op == "=" and not is_all) or (
+                quant_op == "<>" and is_all
+            ):
+                # the = ANY ≡ IN and <> ALL ≡ NOT IN identities are
+                # applied at parse time; raw text reaching here keeps the
+                # rejection with the actionable spelling
+                raise UnsupportedSqlError(
+                    "spell = ANY (subquery) as IN and <> ALL (subquery) "
+                    "as NOT IN — the identities compile natively"
+                )
+            # min/max form: the quantified comparison reduces to the
+            # subquery's extremes plus row/null counts — four 1-row
+            # aggregates instead of a per-row nested-loop, with exact
+            # ANSI three-valued semantics (empty set, NULL probe, NULL
+            # elements). min/max ignore NULLs, matching "non-null y".
+            cnt = lift_one(count_form(None))
+            nulls = lift_one(count_form(f"(({y_sql}) IS NULL)"))
+            lo = lift_one(
+                count_form(None, select_sql=f"min({y_sql})"),
+                coalesce_zero=False,
+            )
+            hi = lift_one(
+                count_form(None, select_sql=f"max({y_sql})"),
+                coalesce_zero=False,
+            )
+            nonnull = f"({cnt} - {nulls})"
+            if quant_op in ("<", "<="):
+                ext_any, ext_all = hi, lo  # x < ANY ⟺ x < max; ALL ⟺ < min
+            elif quant_op in (">", ">="):
+                ext_any, ext_all = lo, hi
+            else:
+                ext_any = ext_all = None
+            if is_all:
+                if quant_op == "=":
+                    holds = f"((({operand}) = {lo}) AND ({lo} = {hi}))"
+                else:
+                    holds = f"(({operand}) {quant_op} {ext_all})"
+                repl = (
+                    f"(CASE WHEN {cnt} = 0 THEN TRUE "
+                    f"WHEN ({operand}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                    f"WHEN {nonnull} > 0 AND NOT {holds} THEN FALSE "
+                    f"WHEN {nulls} > 0 THEN CAST(NULL AS BOOLEAN) "
+                    f"ELSE TRUE END)"
+                )
+            else:
+                if quant_op == "<>":
+                    holds = f"(({lo} <> {hi}) OR (({operand}) <> {lo}))"
+                else:
+                    holds = f"(({operand}) {quant_op} {ext_any})"
+                repl = (
+                    f"(CASE WHEN {cnt} = 0 THEN FALSE "
+                    f"WHEN ({operand}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                    f"WHEN {nonnull} > 0 AND {holds} THEN TRUE "
+                    f"WHEN {nulls} > 0 THEN CAST(NULL AS BOOLEAN) "
+                    f"ELSE FALSE END)"
+                )
         else:
             if (
                 isinstance(inner, Q.SetQuery)

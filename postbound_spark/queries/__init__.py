@@ -131,6 +131,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_window_filter_distinct",
     "parsed_group_by_membership",
     "parsed_row_in_subquery",
+    "parsed_quantified_comparisons",
     "parsed_recursive_closure",
     "parsed_recursive_seq",
     "parsed_fetch_ties",

@@ -1253,3 +1253,44 @@ def parsed_row_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, broadcast-able when the subquery side is small, no
     row explosion; exactly the plan a hand-written EXISTS gets."""
     return _native(spark, sf_dir, _ROW_IN_SQL, ["customer", "supplier"])
+
+
+_QUANTIFIED_CMP_SQL = """
+SELECT n.n_name,
+       CAST(n.n_regionkey > ALL (SELECT r_regionkey FROM region
+                                 WHERE r_name LIKE 'A%') AS STRING)
+           AS gt_all_a,
+       CAST(n.n_regionkey < ANY (SELECT CASE WHEN r_name LIKE 'E%'
+                                             THEN NULL ELSE r_regionkey END
+                                 FROM region) AS STRING) AS lt_any_nullable,
+       CAST(n.n_regionkey >= ALL (SELECT r_regionkey FROM region
+                                  WHERE r_name = 'NOPE') AS STRING)
+           AS ge_all_empty
+FROM nation n
+WHERE n.n_nationkey <= ALL (SELECT n2.n_nationkey + 20 FROM nation n2
+                            WHERE n2.n_regionkey = n.n_regionkey)
+ORDER BY n.n_name
+"""
+
+
+@query("parsed_quantified_comparisons", oracle=_QUANTIFIED_CMP_SQL)
+def parsed_quantified_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: ANY/ALL/SOME quantified comparisons with ordering
+    operators, in WHERE and EXPRESSION position — the last documented
+    rejection on the native path (the reference's QuantifierExpression,
+    qal/_qal.py:1589, is now fully covered incl. the non-identity
+    operators). Lowering (plans/algebra.py ``_lift_membership_span``):
+    the comparison reduces to the subquery's MIN/MAX plus row and null
+    counts — four 1-row aggregates instead of a per-row nested loop —
+    composed into a CASE with exact ANSI three-valued semantics (empty
+    set, NULL probe, NULL elements). An equality-correlated quantifier
+    (the WHERE clause here: per-region max) rides the decorrelating
+    lateral: per-key extremes, one LEFT join.
+
+    Scale shape: uncorrelated quantifiers cost one aggregate scan and a
+    broadcast constant regardless of outer size; correlated ones one
+    grouped aggregate + join per quantifier — the same bound a
+    hand-decorrelated rewrite gets, with no nested-loop anywhere."""
+    return _native(
+        spark, sf_dir, _QUANTIFIED_CMP_SQL, ["nation", "region"]
+    )

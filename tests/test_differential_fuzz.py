@@ -891,7 +891,13 @@ def row_values_query(draw) -> str:
         )
         sc = draw(st.sampled_from(INT_COLS[sub_t]))
         lim = draw(st.integers(0, 20))
-        form = draw(st.sampled_from(["= ANY", "<> ALL"]))
+        # v21: the full quantifier surface — ordering operators lower to
+        # the min/max form, the =ANY/<>ALL identities to semi/anti joins
+        form = draw(st.sampled_from([
+            "= ANY", "<> ALL", "< ANY", "<= ANY", "> ANY", ">= ANY",
+            "< ALL", "<= ALL", "> ALL", ">= ALL", "= ALL", "<> ANY",
+            ">= SOME",
+        ]))
         cond = f"{a} {form} (SELECT {sc} FROM {sub_t} WHERE {sc} < {lim})"
     return f"SELECT count(*) AS n FROM {t} WHERE {cond}"
 

@@ -2438,3 +2438,40 @@ def test_row_lex_null_element_is_ansi(spark, sf_small):
         "NULL ELSE n_regionkey END) = 1 AND n_nationkey > 3)"
     ).fetchall()[0][0]
     assert got == want
+
+
+QUANTIFIER_EXPR_CASES = {
+    "all_where_top": "SELECT n_name FROM nation WHERE n_regionkey > ALL (SELECT r_regionkey FROM region WHERE r_name LIKE 'A%') ORDER BY n_name",
+    "any_or_arm": "SELECT n_name FROM nation WHERE n_regionkey < ANY (SELECT r_regionkey FROM region WHERE r_name LIKE 'E%') OR n_nationkey = 0 ORDER BY n_name",
+    "all_expr_pos": "SELECT n_name, CAST(n_regionkey >= ALL (SELECT r_regionkey FROM region) AS STRING) AS f FROM nation ORDER BY n_name",
+    "any_null_probe": "SELECT n_name, CAST((CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END) > ANY (SELECT r_regionkey FROM region WHERE r_name LIKE 'A%') AS STRING) AS f FROM nation ORDER BY n_name",
+    "all_null_elements": "SELECT n_name, CAST(n_regionkey <= ALL (SELECT CASE WHEN r_name LIKE 'A%' THEN NULL ELSE r_regionkey END FROM region) AS STRING) AS f FROM nation ORDER BY n_name",
+    "any_null_elements": "SELECT n_name, CAST(n_regionkey < ANY (SELECT CASE WHEN r_name LIKE 'A%' THEN NULL ELSE r_regionkey END FROM region) AS STRING) AS f FROM nation ORDER BY n_name",
+    "empty_set_both": "SELECT n_name, CAST(n_regionkey > ALL (SELECT r_regionkey FROM region WHERE r_name = 'NOPE') AS STRING) AS a, CAST(n_regionkey > ANY (SELECT r_regionkey FROM region WHERE r_name = 'NOPE') AS STRING) AS b FROM nation ORDER BY n_name",
+    "eq_all": "SELECT n_name, CAST(n_regionkey = ALL (SELECT r_regionkey FROM region WHERE r_name = 'ASIA') AS STRING) AS f FROM nation ORDER BY n_name",
+    "ne_any": "SELECT n_name, CAST(n_regionkey <> ANY (SELECT r_regionkey FROM region) AS STRING) AS f FROM nation ORDER BY n_name",
+    "all_correlated": "SELECT c.c_name FROM customer c WHERE c.c_acctbal > ALL (SELECT s.s_acctbal FROM supplier s WHERE s.s_nationkey = c.c_nationkey) AND c.c_custkey < 200 ORDER BY c.c_name",
+    "some_is_any": "SELECT n_name FROM nation WHERE n_regionkey >= SOME (SELECT r_regionkey FROM region WHERE r_name LIKE 'M%') ORDER BY n_name",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUANTIFIER_EXPR_CASES))
+def test_quantified_comparisons_minmax_form(name, spark, sf_small):
+    """Round-10: ANY/ALL/SOME quantified comparisons on the native path
+    — the LAST documented rejection. Lowered to the min/max form (four
+    1-row aggregates: count, null-count, min, max — no per-row
+    nested-loop at any scale) with exact ANSI three-valued semantics:
+    empty set, NULL probe, NULL elements, = ALL / <> ANY identities,
+    and equality-correlated ALL via the decorrelating lateral."""
+    sql = QUANTIFIER_EXPR_CASES[name]
+    tables = ["nation", "region", "customer", "supplier"]
+    cat = load_tables(spark, sf_small, tables)
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    got = sorted(map(repr, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+    assert got == want and len(got) > 0
