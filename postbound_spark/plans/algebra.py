@@ -683,8 +683,46 @@ class _Converter:
                 for c in refs
             )
             if correlated:
+                lat_sink = laterals
+                if lat_sink is None and relift_pre:
+                    # AGGREGATED outer (HAVING / grouped SELECT): the
+                    # decorrelated lateral attaches above the Grouping in
+                    # _finish, correlation keys degrouped to the output
+                    # columns (round-10 wave-5 closure). Above the
+                    # aggregate only GROUP KEYS survive — a correlation on
+                    # any other outer column keeps the clean rejection
+                    # instead of a confusing analysis failure.
+                    key_bare = set()
+                    alias_exprs = {
+                        p.alias: p.expr.sql
+                        for p in self.q.select
+                        if p.alias and p.expr.sql != p.alias
+                    }
+                    for g in self.q.group_by:
+                        g_text = g.sql
+                        if re.fullmatch(r"\w+", g_text):
+                            key_bare.add(g_text)
+                            g_text = alias_exprs.get(g_text, g_text)
+                        m = re.fullmatch(r"(?:[\w$]+\.)?([\w$]+)", g_text)
+                        if m:
+                            key_bare.add(m.group(1))
+                    outer_refs = [
+                        c
+                        for c in refs
+                        if c.table is not None
+                        and c.table.identifier not in inner_ids
+                    ]
+                    if any(c.name not in key_bare for c in outer_refs):
+                        raise UnsupportedSqlError(
+                            "correlated scalar subqueries above an "
+                            "aggregate may only correlate on GROUP KEYS; "
+                            "this position is not compilable by the "
+                            "algebra path — execute via spark.sql / the "
+                            "registry SQL path"
+                        )
+                    lat_sink = self._agg_member_laterals
                 if (
-                    laterals is None
+                    lat_sink is None
                     or not inner.from_tables
                     or inner.joins
                     or not _find_agg_calls(inner.select[0].expr.sql)
@@ -701,10 +739,18 @@ class _Converter:
                     inner,
                     select=(Q.BaseProjection(inner.select[0].expr, name),),
                 )
-                laterals.append(
+                lat_sink.append(
                     Q.SubqueryTableSource(sub_q, alias, lateral=True)
                 )
-                subs[span] = f"{alias}.{name}"
+                col = f"{alias}.{name}"
+                if lat_sink is self._agg_member_laterals and re.match(
+                    r"\s*count\s*\(", inner.select[0].expr.sql, re.I
+                ):
+                    # laterals applied in _finish attach AFTER the
+                    # consuming-clause rewrite — _apply_lateral's own
+                    # coalesce mapping comes too late, so bake it in
+                    col = f"coalesce({col}, 0)"
+                subs[span] = col
                 if subs_out is None:
                     self._span_phase[span] = phase
                 continue
@@ -1975,15 +2021,13 @@ class _Converter:
         for sub in self._scalar_postagg:
             tree = ra.CrossProduct(tree, sub)
 
-        if q.having is not None:
-            tree = ra.Selection(tree, dequalify_keys(rewrite(q.having.to_sql())))
-
         # outer-reference rename machinery for subtrees attached ABOVE the
-        # aggregate (HAVING memberships, select-position membership-count
-        # laterals): outer references must name group keys (qualified or
-        # via select alias) or aggregate calls — the transform maps them
-        # to the aggregate's output columns; anything else fails loudly
-        # at Spark analysis, never silently
+        # aggregate (HAVING memberships, select/HAVING-position
+        # membership-count and correlated-scalar laterals): outer
+        # references must name group keys (qualified or via select alias)
+        # or aggregate calls — the transform maps them to the aggregate's
+        # output columns; anything else fails loudly at Spark analysis,
+        # never silently
         grouped_cols = set(key_names.values()) | set(agg_names.values())
         outer_ids = {t.identifier for t in q.from_tables} | {
             j.source.identifier for j in q.joins
@@ -2026,6 +2070,18 @@ class _Converter:
                     )
             return text
 
+        # membership-count and correlated-scalar laterals from
+        # SELECT/HAVING/ORDER BY of this aggregated query: decorrelated
+        # LEFT joins keyed on the grouped output columns — attached
+        # BEFORE the HAVING filter, which may consume their columns
+        for src in self._agg_member_laterals:
+            tree = self._apply_lateral(
+                tree, src, outer_ids, outer_transform=degroup
+            )
+
+        if q.having is not None:
+            tree = ra.Selection(tree, dequalify_keys(rewrite(q.having.to_sql())))
+
         for kind, conj in self._having_memberships:
             tree = self._apply_subquery(
                 tree,
@@ -2033,14 +2089,6 @@ class _Converter:
                 conj,
                 outer_ids,
                 cond_transform=degroup,
-            )
-
-        # membership-count laterals from SELECT/ORDER BY of this
-        # aggregated query: decorrelated LEFT joins keyed on the grouped
-        # output columns (wave-4 closure — was a clean rejection)
-        for src in self._agg_member_laterals:
-            tree = self._apply_lateral(
-                tree, src, outer_ids, outer_transform=degroup
             )
 
         # ---- final projection (PostAggregation phase) ---------------------

@@ -300,17 +300,11 @@ def _expand_grouping_sets(
     """Desugar ``GROUP BY GROUPING SETS (s1, s2, ...)`` into the textbook
     UNION ALL of one grouped aggregate per set, with grouping columns
     absent from a set projected as NULL (same output name, so the
-    branches align positionally). Set elements must be plain column
-    references — computed grouping-set expressions would need alias
-    plumbing through every branch and are rejected with a clear error.
-    A single set degenerates to an ordinary GROUP BY."""
-    for s in sets:
-        for e in s:
-            if not _IDENT_CHAIN_RE.fullmatch(e.sql):
-                raise UnsupportedSqlError(
-                    "GROUPING SETS elements must be plain column "
-                    f"references, got {e.sql!r}"
-                )
+    branches align positionally). EXPRESSION elements (round-10 wave-5
+    closure) are matched to select items by TEXT; when such an element
+    must NULL-pad a branch its select item needs an alias (the output
+    name the branches align on). A single set degenerates to an
+    ordinary GROUP BY."""
     all_group = {e.sql for s in sets for e in s}
     clones: list[Q.SqlQuery] = []
     for s in sets:
@@ -335,6 +329,12 @@ def _expand_grouping_sets(
         for p in q.select:
             sql = p.expr.sql
             if sql in all_group and sql not in in_set:
+                if p.alias is None and not _IDENT_CHAIN_RE.fullmatch(sql):
+                    raise UnsupportedSqlError(
+                        "a grouping-set EXPRESSION key needs an alias on "
+                        f"its select item ({sql!r}) — the NULL-padded "
+                        "branches align on the output name"
+                    )
                 out_name = p.alias or sql.rsplit(".", 1)[-1]
                 select.append(
                     Q.BaseProjection(Q.SqlExpression("NULL"), out_name)
@@ -936,7 +936,29 @@ class _Parser:
                     raise ParserError(f"duplicate WINDOW name {wname!r}")
                 self.t.expect("as")
                 self.t.expect("(")
-                named[wname] = self._parse_window_body()
+                # window INHERITANCE (ANSI; wave-5 probe find): `w2 AS
+                # (w1 ORDER BY …)` copies the base window's spec and
+                # appends the refinement — the base may not already carry
+                # what the refinement adds (the ANSI restriction the
+                # splice enforces by construction for ORDER BY)
+                base: _Expr | None = None
+                if (
+                    self.t.at_ident()
+                    and (self.t.peek() or "") in named
+                    and (self.t.peek_kw(1) or ")")
+                    in ("order", "rows", "range", ")")
+                ):
+                    base = named[_ident(self.t.next())]
+                spec = self._parse_window_body()
+                if base is not None:
+                    if "ORDER BY" in base.sql and "ORDER BY" in spec.sql:
+                        raise ParserError(
+                            f"window {wname!r} cannot re-specify ORDER BY "
+                            "of its base window"
+                        )
+                    joined = f"{base.sql} {spec.sql}".strip()
+                    spec = _Expr(joined, base.cols + spec.cols)
+                named[wname] = spec
                 self.t.expect(")")
                 if not self.t.accept(","):
                     break
@@ -1966,6 +1988,20 @@ class _Parser:
             self.t.expect("from")
             src = self._parse_expression()
             self.t.expect(")")
+            f = fld.lower()
+            # Postgres/DuckDB field parity (wave-5 probe finds): Spark's
+            # DOW is Sunday=1 where Postgres counts Sunday=0; ISODOW and
+            # EPOCH are missing from Spark's extract entirely. The session
+            # pins spark.sql.session.timeZone=UTC, so epoch-of-DATE
+            # matches DuckDB's UTC-midnight reading (integer seconds).
+            if f == "dow":
+                return _Expr(f"(dayofweek({src.sql}) - 1)", src.cols)
+            if f == "isodow":
+                return _Expr(f"(weekday({src.sql}) + 1)", src.cols)
+            if f == "epoch":
+                return _Expr(
+                    f"unix_timestamp(CAST({src.sql} AS TIMESTAMP))", src.cols
+                )
             return _Expr(f"extract({fld} FROM {src.sql})", src.cols)
 
         if low == "array" and self.t.peek(1) == "[":

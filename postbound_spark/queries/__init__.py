@@ -132,6 +132,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_group_by_membership",
     "parsed_row_in_subquery",
     "parsed_quantified_comparisons",
+    "parsed_extract_parity_window_inheritance",
+    "parsed_corr_scalar_above_agg",
     "parsed_recursive_closure",
     "parsed_recursive_seq",
     "parsed_fetch_ties",

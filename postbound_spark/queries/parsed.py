@@ -1294,3 +1294,68 @@ def parsed_quantified_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame
     return _native(
         spark, sf_dir, _QUANTIFIED_CMP_SQL, ["nation", "region"]
     )
+
+
+_WAVE5_PARITY_SQL = """
+SELECT o.o_orderkey,
+       extract(dow FROM o.o_orderdate) AS dow_pg,
+       extract(isodow FROM o.o_orderdate) AS isodow_pg,
+       CAST(extract(epoch FROM o.o_orderdate) AS BIGINT) AS epoch_s,
+       CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) OVER w2
+            AS BIGINT) AS run_sum
+FROM orders o
+WHERE o.o_orderkey < 600
+WINDOW w1 AS (PARTITION BY o.o_orderstatus),
+       w2 AS (w1 ORDER BY o.o_orderkey
+              RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+ORDER BY o.o_orderkey
+"""
+
+
+@query("parsed_extract_parity_window_inheritance", oracle=_WAVE5_PARITY_SQL)
+def parsed_extract_parity_window_inheritance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-10 (probe wave 5): Postgres/DuckDB EXTRACT parity — ``dow``
+    lowered to Sunday=0 (Spark's DOW is 1-based), ``isodow`` and
+    ``epoch`` synthesized (absent from Spark's extract; the session pins
+    UTC so epoch-of-DATE matches DuckDB's UTC-midnight reading) — plus
+    named-window INHERITANCE (``w2 AS (w1 ORDER BY …)`` splices the base
+    spec at parse time) and a numeric RANGE frame. DuckDB runs identical
+    text.
+
+    Scale shape: the extract lowerings are map-side scalar functions;
+    the window is one hash exchange on the PARTITION BY key with a
+    running RANGE frame — the same single-exchange bound as any window."""
+    return _native(spark, sf_dir, _WAVE5_PARITY_SQL, ["orders"])
+
+
+_CORR_SCALAR_AGG_SQL = """
+SELECT c.c_nationkey,
+       count(*) AS n_cust,
+       (SELECT count(*) FROM supplier s
+        WHERE s.s_nationkey = c.c_nationkey) AS n_supp
+FROM customer c
+GROUP BY c.c_nationkey
+HAVING count(*) > (SELECT count(*) FROM supplier s
+                   WHERE s.s_nationkey = c.c_nationkey)
+ORDER BY c.c_nationkey
+"""
+
+
+@query("parsed_corr_scalar_above_agg", oracle=_CORR_SCALAR_AGG_SQL)
+def parsed_corr_scalar_above_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 (probe wave 5): correlated scalar aggregates in the
+    SELECT list and HAVING of an AGGREGATED query — the decorrelated
+    count lateral attaches ABOVE the outer Grouping with its correlation
+    keys degrouped to the aggregate's output columns; counts coalesce to
+    0 inline so match-less groups filter correctly. Correlation on
+    anything but a GROUP KEY keeps the clean rejection. DuckDB runs
+    identical text.
+
+    Scale shape: one grouped count per distinct correlation key + one
+    LEFT join above the aggregate — per key, never per row; the same
+    plan a hand-decorrelated rewrite gets."""
+    return _native(
+        spark, sf_dir, _CORR_SCALAR_AGG_SQL, ["customer", "supplier"]
+    )

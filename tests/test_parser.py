@@ -1508,13 +1508,37 @@ class TestGroupingSets:
         sql = q.to_sql()
         assert "UNION" not in sql and "GROUP BY n_regionkey" in sql
 
-    def test_computed_set_element_rejected_cleanly(self):
+    def test_computed_set_element_supported(self, spark, sf_small):
+        """Round-10 wave-5 closure: EXPRESSION grouping-set keys expand
+        by text matching; a NULL-padded expression key requires an alias
+        on its select item (clean rejection otherwise)."""
+        sql = (
+            "SELECT n_regionkey % 2 AS parity, n_regionkey, count(*) AS c "
+            "FROM nation GROUP BY GROUPING SETS ((n_regionkey % 2), "
+            "(n_regionkey % 2, n_regionkey)) "
+            "ORDER BY parity, n_regionkey NULLS FIRST"
+        )
+        cat = load_tables(spark, sf_small, ["nation"])
+        got = sorted(
+            map(repr, (tuple(r) for r in
+                       compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect()))
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW nation AS SELECT * FROM read_parquet('{sf_small}/nation.parquet')"
+        )
+        want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+        assert got == want and len(got) > 0
+
         from postbound_spark.plans.parser import UnsupportedSqlError
 
-        with pytest.raises(UnsupportedSqlError, match="plain column"):
+        # the EXPRESSION key gets NULL-padded in the first set here, so
+        # its un-aliased select item must reject
+        with pytest.raises(UnsupportedSqlError, match="needs an alias"):
             parse_query(
-                "SELECT count(*) AS n FROM nation "
-                "GROUP BY GROUPING SETS ((n_regionkey + 1))"
+                "SELECT n_regionkey % 2, n_regionkey, count(*) AS c "
+                "FROM nation GROUP BY GROUPING SETS ((n_regionkey), "
+                "(n_regionkey, n_regionkey % 2))"
             )
 
     def test_inside_set_operation_rejected_cleanly(self):
@@ -2465,6 +2489,38 @@ def test_quantified_comparisons_minmax_form(name, spark, sf_small):
     and equality-correlated ALL via the decorrelating lateral."""
     sql = QUANTIFIER_EXPR_CASES[name]
     tables = ["nation", "region", "customer", "supplier"]
+    cat = load_tables(spark, sf_small, tables)
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    got = sorted(map(repr, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+    assert got == want and len(got) > 0
+
+
+WAVE5_CASES = {
+    "extract_dow_postgres_numbering": "SELECT o_orderkey, extract(dow FROM o_orderdate) AS d, extract(isodow FROM o_orderdate) AS iso FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey",
+    "extract_epoch": "SELECT o_orderkey, CAST(extract(epoch FROM o_orderdate) AS BIGINT) AS ep FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey",
+    "window_inheritance": "SELECT n_name, rank() OVER w2 AS r FROM nation WINDOW w1 AS (PARTITION BY n_regionkey), w2 AS (w1 ORDER BY n_name) ORDER BY n_name",
+    "range_frame_numeric": "SELECT o_orderkey, CAST(round(sum(o_totalprice) OVER (ORDER BY o_orderkey RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)) AS BIGINT) AS s FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey",
+    "corr_scalar_in_having": "SELECT c.c_nationkey, count(*) AS c FROM customer c GROUP BY c.c_nationkey HAVING count(*) > (SELECT count(*) FROM supplier s WHERE s.s_nationkey = c.c_nationkey) ORDER BY c.c_nationkey",
+    "corr_scalar_in_grouped_select": "SELECT c.c_nationkey, count(*) AS n_cust, (SELECT count(*) FROM supplier s WHERE s.s_nationkey = c.c_nationkey) AS n_supp FROM customer c GROUP BY c.c_nationkey ORDER BY c.c_nationkey",
+    "corr_scalar_max_grouped": "SELECT c.c_nationkey, count(*) AS n_cust, round((SELECT max(s.s_acctbal) FROM supplier s WHERE s.s_nationkey = c.c_nationkey), 2) AS max_supp FROM customer c GROUP BY c.c_nationkey ORDER BY c.c_nationkey",
+}
+
+
+@pytest.mark.parametrize("name", sorted(WAVE5_CASES))
+def test_probe_wave5_closures(name, spark, sf_small):
+    """Round-10 probe-battery wave-5 closures: Postgres/DuckDB extract
+    numbering (dow Sunday=0, isodow, epoch — Spark diverges or lacks the
+    fields), named-window INHERITANCE (w2 AS (w1 ORDER BY …)), RANGE
+    frames, and correlated scalar aggregates in HAVING / grouped SELECT
+    (decorrelated above the Grouping via the agg-lateral sink)."""
+    sql = WAVE5_CASES[name]
+    tables = ["nation", "orders", "customer", "supplier"]
     cat = load_tables(spark, sf_small, tables)
     got_df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
     got = sorted(map(repr, (tuple(r) for r in got_df.collect())))

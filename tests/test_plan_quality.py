@@ -1229,3 +1229,24 @@ def test_except_all_count_difference_shape(registry, spark, sf_small):
     assert "__ea_lc" in plan or "__ea_n" in plan  # the count-form columns
     # partial aggregation compacts map-side before every exchange
     assert "partial_count" in plan
+
+
+def test_quantified_comparison_no_nested_loop_on_data(registry, spark, sf_small):
+    """Round-10: quantified comparisons lower to the min/max form — the
+    plan holds 1-row aggregate attaches (BroadcastNestedLoopJoin over
+    single-row builds is the constant attach) and per-key count/extreme
+    left joins, with NO cartesian product and no join keyed per data
+    row of the quantifier's subquery."""
+    df = _build(registry, spark, sf_small, "parsed_quantified_comparisons")
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan  # the count/min/max reductions
+
+
+def test_row_in_subquery_is_multicolumn_semijoin(registry, spark, sf_small):
+    """Round-10: row-valued IN compiles ONE semi join keyed on both row
+    columns — no row explosion, no cartesian, broadcast-able build side."""
+    df = _build(registry, spark, sf_small, "parsed_row_in_subquery")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
