@@ -255,17 +255,24 @@ class _Compiler(ra.RelNodeVisitor):
         cols = []
         for key in node.keys:
             col = _expr(key.expression)
+            # DEFAULT null placement is NULLS LAST for BOTH directions —
+            # DuckDB's documented default (default_null_order), and what
+            # the oracle gate compares against. Spark's own default for
+            # ASC is NULLS FIRST, which returned the NULL rows under
+            # `ORDER BY k LIMIT n` where DuckDB returns values (silent
+            # wrong results — round-10 probe find, pinned). Known,
+            # documented divergence: Postgres defaults DESC to NULLS
+            # FIRST; spell NULLS FIRST explicitly for that behavior.
+            nulls_first = (
+                key.nulls_first if key.nulls_first is not None else False
+            )
             if key.ascending:
                 col = (
-                    col.asc()
-                    if key.nulls_first is None
-                    else (col.asc_nulls_first() if key.nulls_first else col.asc_nulls_last())
+                    col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
                 )
             else:
                 col = (
-                    col.desc()
-                    if key.nulls_first is None
-                    else (col.desc_nulls_first() if key.nulls_first else col.desc_nulls_last())
+                    col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
                 )
             cols.append(col)
         return self._compile(node.child).orderBy(*cols)

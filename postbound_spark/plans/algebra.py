@@ -348,8 +348,9 @@ def _ties_cutoff(
     for k in sort_keys:
         direction = "ASC" if k.ascending else "DESC"
         nulls_first = (
-            k.nulls_first if k.nulls_first is not None else k.ascending
-        )  # Spark defaults: ASC → NULLS FIRST, DESC → NULLS LAST
+            k.nulls_first if k.nulls_first is not None else False
+        )  # default NULLS LAST both directions (DuckDB default_null_order;
+        # matches the Sort compilation, compiler.py visit_sort)
         nulls = "NULLS FIRST" if nulls_first else "NULLS LAST"
         rendered.append(f"{k.expression} {direction} {nulls}")
     order = ", ".join(rendered)
@@ -2148,8 +2149,10 @@ class _Converter:
             order_items = []
             for o in q.order_by:
                 txt = f"{o.expr.sql} {'ASC' if o.ascending else 'DESC'}"
-                if o.nulls_first is not None:
-                    txt += " NULLS FIRST" if o.nulls_first else " NULLS LAST"
+                nf = (
+                    o.nulls_first if o.nulls_first is not None else False
+                )  # NULLS LAST default, matches visit_sort
+                txt += " NULLS FIRST" if nf else " NULLS LAST"
                 order_items.append(txt)
             rn = self._gensym("rn")
             tree = ra.Map(
@@ -2343,7 +2346,14 @@ class _Converter:
                 ra.SortKey(
                     k.expression,
                     not k.ascending,
-                    None if k.nulls_first is None else not k.nulls_first,
+                    # the DEFAULT placement is NULLS LAST in BOTH
+                    # directions (compiler.py visit_sort), so an exact
+                    # reversal must make the flipped placement EXPLICIT
+                    not (
+                        k.nulls_first
+                        if k.nulls_first is not None
+                        else False
+                    ),
                 )
                 for k in sort_keys
             )

@@ -2414,13 +2414,21 @@ class _Parser:
                 oexpr = self._parse_expression()
                 cols.extend(oexpr.cols)
                 otxt = oexpr.sql
+                desc = False
                 if self.t.accept("desc"):
                     otxt += " DESC"
+                    desc = True
                 elif self.t.accept("asc"):
                     otxt += " ASC"
                 if self.t.accept("nulls", "first"):
                     otxt += " NULLS FIRST"
                 elif self.t.accept("nulls", "last"):
+                    otxt += " NULLS LAST"
+                else:
+                    # make the DEFAULT explicit — NULLS LAST for both
+                    # directions (DuckDB default_null_order): Spark's ASC
+                    # default is NULLS FIRST, which silently re-ranks
+                    # nullable keys on identical text (round-10 find)
                     otxt += " NULLS LAST"
                 oitems.append(otxt)
                 if not self.t.accept(","):

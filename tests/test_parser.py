@@ -1163,7 +1163,7 @@ class TestNamedWindows:
             "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)"
         )
         sql = q.to_sql()
-        assert sql.count("OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)") == 2
+        assert sql.count("OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST)") == 2
         assert "WINDOW" not in sql and "\x00" not in sql
 
     def test_multiple_named_windows(self):
@@ -1173,7 +1173,7 @@ class TestNamedWindows:
             "v AS (PARTITION BY o_orderstatus)"
         )
         sql = q.to_sql()
-        assert "OVER (PARTITION BY o_custkey ORDER BY o_totalprice)" in sql
+        assert "OVER (PARTITION BY o_custkey ORDER BY o_totalprice NULLS LAST)" in sql
         assert "OVER (PARTITION BY o_orderstatus)" in sql
 
     def test_window_columns_tracked_for_binding(self):
@@ -1282,7 +1282,7 @@ class TestReviewRegressionsRound6:
             "WINDOW w AS (ORDER BY o_orderkey) ORDER BY rank() OVER w"
         )
         sql = q.to_sql()
-        assert "rank() OVER (ORDER BY o_orderkey)" in sql
+        assert "rank() OVER (ORDER BY o_orderkey NULLS LAST)" in sql
         assert "\x00" not in sql
 
     def test_order_by_named_window_rejected_not_leaked(self):
@@ -1309,7 +1309,7 @@ class TestReviewRegressionsRound6:
             "ORDER BY rank() OVER w, (SELECT max(o_orderkey) FROM orders)"
         )
         sql = q.to_sql()
-        assert "rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)" in sql
+        assert "rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice NULLS LAST)" in sql
         assert "\x00" not in sql
 
     def test_window_name_prefix_collision_resolves_both(self):
@@ -1318,8 +1318,8 @@ class TestReviewRegressionsRound6:
             "WINDOW w AS (ORDER BY o_orderkey), wx AS (ORDER BY o_custkey)"
         )
         sql = q.to_sql()
-        assert "rank() OVER (ORDER BY o_orderkey)" in sql
-        assert "dense_rank() OVER (ORDER BY o_custkey)" in sql
+        assert "rank() OVER (ORDER BY o_orderkey NULLS LAST)" in sql
+        assert "dense_rank() OVER (ORDER BY o_custkey NULLS LAST)" in sql
         assert "\x00" not in sql
 
     def test_undefined_window_with_underscore_name_raises(self):
@@ -2531,3 +2531,31 @@ def test_probe_wave5_closures(name, spark, sf_small):
         )
     want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
     assert got == want and len(got) > 0
+
+
+def test_order_by_null_placement_ansi_default(spark, sf_small):
+    """Round-10 silent-wrong-results find: Spark's DEFAULT null placement
+    (ASC → NULLS FIRST) is the INVERSE of ANSI/Postgres/DuckDB — under
+    `ORDER BY nullable_key LIMIT n` the engine returned the NULL rows
+    where the reference returns values. The Sort compilation, DISTINCT
+    ON ranking, ties cutoff, and window ORDER BY items now all apply the
+    ANSI default explicitly (ASC → NULLS LAST, DESC → NULLS FIRST)."""
+    cat = load_tables(spark, sf_small, ["nation"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{sf_small}/nation.parquet')"
+    )
+    for sql in [
+        "SELECT n_name, CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS k FROM nation ORDER BY k, n_name LIMIT 8",
+        "SELECT n_name, CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS k FROM nation ORDER BY k DESC, n_name LIMIT 8",
+        # window ranking over a nullable key: rank VALUES move with the
+        # null placement, visible even to multiset comparison
+        "SELECT n_name, rank() OVER (ORDER BY (CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END)) AS r FROM nation ORDER BY n_name",
+        "SELECT n_name, rank() OVER (ORDER BY (CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END) DESC) AS r FROM nation ORDER BY n_name",
+        # DISTINCT ON tie-break over a nullable ordering column
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name FROM nation ORDER BY n_regionkey, (CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END), n_name",
+    ]:
+        got = [tuple(r) for r in
+               compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect()]
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert sorted(map(repr, got)) == sorted(map(repr, want)), sql
