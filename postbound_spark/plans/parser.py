@@ -2315,8 +2315,15 @@ class _Parser:
             if not asc:
                 arr = f"reverse({arr})"
         else:
+            # each key carries a null MARKER field ahead of it so the
+            # struct sort places NULL keys LAST in either direction —
+            # DuckDB's in-call default (Spark's struct comparison would
+            # otherwise sort null fields first under ascending)
+            marker = "1 ELSE 0" if asc else "0 ELSE 1"
             fields = ", ".join(
-                f"'_k{i}', {k.sql}" for i, (k, _a) in enumerate(keys)
+                f"'_n{i}', CASE WHEN ({k.sql}) IS NULL THEN {marker} END, "
+                f"'_k{i}', {k.sql}"
+                for i, (k, _a) in enumerate(keys)
             )
             struct = f"named_struct({fields}, '_v', {x})"
             if low == "string_agg":

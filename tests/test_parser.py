@@ -2559,3 +2559,24 @@ def test_order_by_null_placement_ansi_default(spark, sf_small):
                compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect()]
         want = [tuple(r) for r in con.execute(sql).fetchall()]
         assert sorted(map(repr, got)) == sorted(map(repr, want)), sql
+
+
+def test_ordered_agg_null_keys_sort_last(spark, sf_small):
+    """Round-10: NULL in-call ORDER BY keys sort LAST in either
+    direction (DuckDB's in-call default) — the struct sort carries a
+    null-marker field per key. Keys include a unique tiebreaker: order
+    within a tie group (equal/NULL keys) is nondeterministic on any
+    engine."""
+    cat = load_tables(spark, sf_small, ["nation"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{sf_small}/nation.parquet')"
+    )
+    for sql in [
+        "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY (CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END), n_nationkey) AS s FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+        "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY (CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END) DESC, n_nationkey DESC) AS s FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    ]:
+        got = sorted(map(repr, (tuple(r) for r in
+                     compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect())))
+        want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+        assert got == want, sql
