@@ -131,11 +131,35 @@ def _to_spark_chartypes(text: str) -> str:
     return "".join(out)
 
 
+def _to_spark_ansi_literals(text: str) -> str:
+    """ANSI string literals → Spark's escaped literals: double every
+    backslash INSIDE a string literal. The IR's literal semantics are
+    ANSI (backslash is an ordinary character, '' is the only escape —
+    what DuckDB/Postgres read), while Spark's parser applies Java-style
+    backslash escapes by default, so `'\\s+'` silently became `'s+'`
+    and a trailing `'\\'` broke the parse (wave-6 probe find)."""
+    if "\\" not in text:
+        return text
+    out: list[str] = []
+    pos = 0
+    for m in _STRING_LIT_RE.finditer(text):
+        out.append(text[pos : m.start()])
+        out.append(m.group(0).replace("\\", "\\\\"))
+        pos = m.end()
+    out.append(text[pos:])
+    return "".join(out)
+
+
 def _expr(text: str):
-    """``F.expr`` over IR expression text (applies the array-literal and
-    length-less-character-type spelling conversions — the two
-    Spark-dialect gaps in the IR's otherwise ANSI expression surface)."""
-    return F.expr(_to_spark_chartypes(_to_spark_array_calls(text)))
+    """``F.expr`` over IR expression text (applies the array-literal,
+    length-less-character-type, and ANSI-literal spelling conversions —
+    the Spark-dialect gaps in the IR's otherwise ANSI expression
+    surface)."""
+    return F.expr(
+        _to_spark_chartypes(
+            _to_spark_array_calls(_to_spark_ansi_literals(text))
+        )
+    )
 
 
 def _contains_recursive_ref(node: ra.RelNode) -> bool:

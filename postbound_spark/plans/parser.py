@@ -2171,10 +2171,22 @@ class _Parser:
                         "WHERE or drop the in-call ordering"
                     )
                 return _Expr(body, tuple(cols))
-            inner = ("DISTINCT " if distinct else "") + ", ".join(
-                a.sql for a in args
-            )
-            body = f"{name}({inner})"
+            low_name = name.lower()
+            if low_name == "sha256" and len(args) == 1 and not distinct:
+                # DuckDB/Postgres sha256(x) → Spark's sha2(x, 256)
+                # (wave-6 parity find; identical hex on both engines)
+                body = f"sha2({args[0].sql}, 256)"
+            elif (
+                low_name == "regexp_replace"
+                and len(args) in (3, 4)
+                and not distinct
+            ):
+                body = self._lower_regexp_replace(args)
+            else:
+                inner = ("DISTINCT " if distinct else "") + ", ".join(
+                    a.sql for a in args
+                )
+                body = f"{name}({inner})"
             gen_args = args
         # FILTER (WHERE pred) — ref FunctionExpression :814-817
         filter_sql: str | None = None
@@ -2338,6 +2350,45 @@ class _Parser:
         if low == "string_agg":
             return f"array_join({arr}, {args[1].sql})"
         return arr
+
+    def _lower_regexp_replace(self, args: list["_Expr"]) -> str:
+        """Postgres/DuckDB ``regexp_replace`` parity (wave-6 finds):
+        their 3-arg form replaces the FIRST match where Spark replaces
+        ALL — inexpressible in Spark, so the flagless form rejects with
+        the actionable spelling; the ``'g'`` flag form lowers to Spark's
+        3-arg all-replace, ``'i'`` folds into an inline ``(?i)``; and
+        ``\\1`` backreferences in a literal replacement become Spark's
+        ``$1`` (Java replacement syntax treats ``\\1`` as an escaped
+        literal, silently corrupting the output)."""
+        x, pat, rep = args[0].sql, args[1].sql, args[2].sql
+        if len(args) == 3:
+            raise UnsupportedSqlError(
+                "regexp_replace without flags replaces the FIRST match on "
+                "Postgres/DuckDB but ALL matches on Spark — pass the 'g' "
+                "flag explicitly to keep both engines aligned"
+            )
+        flags = args[3].sql
+        m = re.fullmatch(r"'([gi]*)'", flags)
+        if m is None:
+            raise UnsupportedSqlError(
+                "regexp_replace flags other than literal 'g'/'i' are not "
+                "modeled"
+            )
+        if "g" not in m.group(1):
+            raise UnsupportedSqlError(
+                "first-match-only regexp_replace is not expressible in "
+                "Spark — pass the 'g' flag"
+            )
+        if "i" in m.group(1):
+            if not (pat.startswith("'") and pat.endswith("'")):
+                raise UnsupportedSqlError(
+                    "case-insensitive regexp_replace needs a literal "
+                    "pattern (the (?i) fold-in)"
+                )
+            pat = "'(?i)" + pat[1:-1] + "'"
+        if rep.startswith("'") and rep.endswith("'"):
+            rep = re.sub(r"\\(\d)", r"$\1", rep)
+        return f"regexp_replace({x}, {pat}, {rep})"
 
     def _parse_special_call_body(
         self, name: str

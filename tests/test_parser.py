@@ -2580,3 +2580,39 @@ def test_ordered_agg_null_keys_sort_last(spark, sf_small):
                      compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect())))
         want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
         assert got == want, sql
+
+
+WAVE6_CASES = {
+    "sha256_lowering": "SELECT n_name, sha256(n_name) AS h, md5(n_name) AS m FROM nation ORDER BY n_name",
+    "regexp_replace_g_backrefs": "SELECT n_name, regexp_replace(n_name, '([A-Z])_', '\\1#', 'g') AS r FROM nation ORDER BY n_name",
+    "regexp_replace_i_flag": "SELECT n_name, regexp_replace(n_name, 'nation', 'X', 'gi') AS r FROM nation ORDER BY n_name",
+    "ansi_backslash_literals": "SELECT n_name FROM nation WHERE n_name LIKE '%\\_1%' ESCAPE '\\' ORDER BY n_name",
+    "ansi_backslash_in_regex": "SELECT n_name, length(regexp_replace(n_name, '\\d+', '', 'g')) AS alpha_len FROM nation ORDER BY n_name",
+}
+
+
+@pytest.mark.parametrize("name", sorted(WAVE6_CASES))
+def test_probe_wave6_function_parity(name, spark, sf_small):
+    """Round-10 wave-6 closures: sha256 → sha2(x,256), regexp_replace
+    'g'/'i' flags + \\1→$1 backreference lowering (flagless rejects —
+    first-match-only is inexpressible in Spark), and ANSI string-literal
+    semantics at the compile boundary (backslash is an ordinary
+    character; Spark's Java-style literal escapes silently corrupted
+    patterns like '\\s+' and broke on a trailing '\\')."""
+    sql = WAVE6_CASES[name]
+    cat = load_tables(spark, sf_small, ["nation"])
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    got = sorted(map(repr, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{sf_small}/nation.parquet')"
+    )
+    want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+    assert got == want and len(got) > 0
+
+
+def test_regexp_replace_flagless_rejects():
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError, match="FIRST match"):
+        parse_query("SELECT regexp_replace(n_name, 'N', 'X') AS r FROM nation")
