@@ -1901,6 +1901,36 @@ class _Converter:
                 group_texts.append(expr_text)
             else:
                 group_texts.append(g.sql)
+        # HAVING may reference a select ALIAS of an aggregate
+        # (`count(*) AS c … HAVING c > 4` — DuckDB resolves the alias;
+        # wave-7 probe find): expand aggregate-defining aliases into
+        # their expressions so the ordinary agg-call hoist sees them.
+        # Group-key aliases already resolve through the key rename table.
+        agg_aliases = {
+            p.alias: p.expr.sql
+            for p in q.select
+            if p.alias
+            and p.alias != p.expr.sql
+            and _find_agg_calls(p.expr.sql)
+        }
+        if q.having is not None and agg_aliases:
+            h_text = q.having.to_sql()
+            new_h = h_text
+            for a, ex in agg_aliases.items():
+                new_h = _sub_outside_literals(
+                    rf"(?<![\w$.]){re.escape(a)}(?![\w$])",
+                    f"({ex})".replace("\\", "\\\\"),
+                    new_h,
+                )
+            if new_h != h_text:
+                q = replace(
+                    q,
+                    having=Q.UnaryPredicate(
+                        Q.UnaryOperation.BARE, Q.SqlExpression(new_h)
+                    ),
+                )
+                self.q = q
+
         select_texts = [p.expr.sql for p in q.select]
         # scalar subqueries in PROJECTION position: F.expr cannot evaluate
         # them against another relation, and letting them through mangles

@@ -1457,6 +1457,23 @@ class _Parser:
     def _parse_projection(self) -> Q.BaseProjection:
         if self.t.peek() == "*":
             self.t.next()
+            # `* EXCLUDE (cols)` (DuckDB) / `* EXCEPT (cols)` (Spark) —
+            # carried in Spark's spelling; EXCEPT-the-set-operator is
+            # disambiguated by the parenthesized IDENTIFIER list
+            if (
+                self.t.peek_kw() in ("exclude", "except")
+                and self.t.peek(1) == "("
+                and (self.t.peek_kw(2) or "") not in ("select", "with")
+            ):
+                self.t.next()
+                self.t.expect("(")
+                cols = [_ident(self.t.next())]
+                while self.t.accept(","):
+                    cols.append(_ident(self.t.next()))
+                self.t.expect(")")
+                return Q.BaseProjection(
+                    Q.SqlExpression("* EXCEPT (" + ", ".join(cols) + ")")
+                )
             return Q.star()
         # t.* projection
         if (

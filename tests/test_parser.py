@@ -2616,3 +2616,34 @@ def test_regexp_replace_flagless_rejects():
 
     with pytest.raises(UnsupportedSqlError, match="FIRST match"):
         parse_query("SELECT regexp_replace(n_name, 'N', 'X') AS r FROM nation")
+
+
+WAVE7_CASES = {
+    "star_exclude": "SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey",
+    "star_exclude_multi": "SELECT * EXCLUDE (n_name, n_regionkey) FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey",
+    "except_set_op_still_parses": "SELECT n_regionkey FROM nation EXCEPT (SELECT r_regionkey FROM region WHERE r_name LIKE 'A%') ORDER BY n_regionkey",
+    "having_agg_alias": "SELECT n_regionkey, count(*) AS c FROM nation GROUP BY n_regionkey HAVING c > 4 ORDER BY n_regionkey",
+    "having_agg_alias_expr": "SELECT n_regionkey, count(*) AS c, CAST(sum(n_nationkey) AS BIGINT) AS s FROM nation GROUP BY n_regionkey HAVING c > 4 AND s > 20 ORDER BY n_regionkey",
+    "full_outer_using_coalesced": "SELECT n_regionkey, count(*) AS c FROM (SELECT n_regionkey FROM nation WHERE n_regionkey < 3) a FULL OUTER JOIN (SELECT r_regionkey AS n_regionkey FROM region WHERE r_regionkey > 1) b USING (n_regionkey) GROUP BY n_regionkey ORDER BY n_regionkey",
+    "union_type_coercion": "SELECT n_regionkey AS v FROM nation WHERE n_nationkey < 3 UNION ALL SELECT 2.5 ORDER BY v",
+}
+
+
+@pytest.mark.parametrize("name", sorted(WAVE7_CASES))
+def test_probe_wave7_closures(name, spark, sf_small):
+    """Round-10 wave-7 closures: `* EXCLUDE (cols)` (DuckDB spelling →
+    Spark's `* EXCEPT`, set-operator EXCEPT disambiguated), HAVING over
+    aggregate select aliases (expanded into their expressions), plus
+    join-output/coercion shapes pinned as passing."""
+    sql = WAVE7_CASES[name]
+    tables = ["nation", "region"]
+    cat = load_tables(spark, sf_small, tables)
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    got = sorted(map(repr, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+    assert got == want and len(got) > 0
