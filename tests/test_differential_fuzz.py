@@ -1180,8 +1180,53 @@ def qualify_window_query(draw) -> str:
 
 
 @st.composite
+def parity_surface_query(draw) -> str:
+    """Grammar v21 (waves 6-7 closures): sha256/regexp_replace
+    lowerings, star EXCLUDE, HAVING over aggregate aliases, extract
+    parity fields — each runs natively on DuckDB with identical text."""
+    form = draw(st.integers(0, 4))
+    if form == 0:
+        col = "n_name"  # the fixture schema's text column
+        return (
+            f"SELECT {col}, sha256({col}) AS h, "
+            f"regexp_replace({col}, '_', '-', 'g') AS r "
+            f"FROM nation ORDER BY {col}" + ORDERED
+        )
+    if form == 1:
+        drop = draw(st.sampled_from(["n_name", "n_regionkey"]))
+        return (
+            f"SELECT * EXCLUDE ({drop}) FROM nation "
+            f"ORDER BY n_nationkey" + ORDERED
+        )
+    if form == 2:
+        thresh = draw(st.integers(1, 6))
+        return (
+            "SELECT n_regionkey, count(*) AS c FROM nation "
+            f"GROUP BY n_regionkey HAVING c > {thresh} "
+            "ORDER BY n_regionkey" + ORDERED
+        )
+    if form == 3:
+        fld = draw(st.sampled_from(["dow", "isodow", "doy", "week"]))
+        return (
+            f"SELECT o_orderkey, extract({fld} FROM o_orderdate) AS f "
+            f"FROM orders WHERE o_orderkey < {draw(st.integers(50, 400))} "
+            "ORDER BY o_orderkey" + ORDERED
+        )
+    key = draw(st.sampled_from(["n_regionkey", "n_nationkey"]))
+    lim = draw(st.integers(3, 12))
+    # nullable sort key + LIMIT: the NULLS LAST default decides the cut
+    return (
+        f"SELECT n_name, CASE WHEN {key} % 3 = 0 THEN NULL ELSE {key} END "
+        f"AS k FROM nation ORDER BY k{draw(st.sampled_from(['', ' DESC']))}, "
+        f"n_name LIMIT {lim}" + ORDERED
+    )
+
+
+@st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 21))
+    kind = draw(st.integers(0, 22))
+    if kind == 22:
+        return draw(parity_surface_query())
     if kind == 21:
         return draw(qualify_window_query())
     if kind == 18:
