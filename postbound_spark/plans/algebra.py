@@ -61,7 +61,8 @@ AGGREGATE_FUNCTIONS = frozenset({
     "bit_or", "bit_xor", "bool_and", "bool_or", "string_agg", "json_agg",
     "stddev_pop", "stddev_samp", "var_pop", "var_samp", "variance",
     "approx_count_distinct", "first", "last", "mean", "median", "mode",
-    "percentile", "percentile_approx", "kurtosis", "skewness",
+    "percentile", "percentile_approx", "percentile_cont",
+    "percentile_disc", "kurtosis", "skewness",
     # xml_agg resolves to the registered GROUPED_AGG UDAF
     # (functions/udf.py) — call register_all(spark) before compiling
     "xml_agg",
@@ -165,6 +166,13 @@ def _find_agg_calls(text: str) -> list[str]:
         end = _balanced_end(text, m.end() - 1)
         if end is None:
             continue
+        # ordered-set aggregates carry their WITHIN GROUP clause in the
+        # captured call (ANSI order: WITHIN GROUP before FILTER)
+        wm = re.match(r"\s*within\s+group\s*\(", text[end:], re.I)
+        if wm:
+            wg_end = _balanced_end(text, end + wm.end() - 1)
+            if wg_end is not None:
+                end = wg_end
         fm = re.match(r"\s*filter\s*\(", text[end:], re.I)
         if fm:
             filter_end = _balanced_end(text, end + fm.end() - 1)

@@ -2205,6 +2205,29 @@ class _Parser:
                 )
                 body = f"{name}({inner})"
             gen_args = args
+        # ANSI ordered-set aggregates: `fn(args) WITHIN GROUP (ORDER BY
+        # k [ASC|DESC])` — carried VERBATIM: Spark and DuckDB both
+        # execute the spelling natively (percentile_cont/disc, mode()),
+        # so no lowering is needed, only the grammar (round-10)
+        if self.t.peek_kw() == "within":
+            self.t.next()
+            self.t.expect("group")
+            self.t.expect("(")
+            self.t.expect("order")
+            self.t.expect("by")
+            wk = self._parse_expression()
+            cols.extend(wk.cols)
+            ktxt = wk.sql
+            if self.t.accept("desc"):
+                ktxt += " DESC"
+            else:
+                self.t.accept("asc")
+            if self.t.peek_kw() == "nulls":
+                raise UnsupportedSqlError(
+                    "NULLS FIRST/LAST inside WITHIN GROUP is not modeled"
+                )
+            self.t.expect(")")
+            body = f"{body} WITHIN GROUP (ORDER BY {ktxt})"
         # FILTER (WHERE pred) — ref FunctionExpression :814-817
         filter_sql: str | None = None
         if self.t.accept("filter"):

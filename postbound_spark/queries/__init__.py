@@ -134,6 +134,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_quantified_comparisons",
     "parsed_extract_parity_window_inheritance",
     "parsed_corr_scalar_above_agg",
+    "parsed_within_group",
     "parsed_recursive_closure",
     "parsed_recursive_seq",
     "parsed_fetch_ties",

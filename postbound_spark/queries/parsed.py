@@ -1359,3 +1359,32 @@ def parsed_corr_scalar_above_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(
         spark, sf_dir, _CORR_SCALAR_AGG_SQL, ["customer", "supplier"]
     )
+
+
+_WITHIN_GROUP_SQL = """
+SELECT c.c_mktsegment,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c.c_acctbal), 2)
+           AS median_bal,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY c.c_acctbal)
+             FILTER (WHERE c.c_acctbal > 0), 2) AS p90_pos,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c.c_custkey)
+            AS BIGINT) AS q1_key
+FROM customer c
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query("parsed_within_group", oracle=_WITHIN_GROUP_SQL)
+def parsed_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10: ANSI ORDERED-SET aggregates — ``percentile_cont/disc(f)
+    WITHIN GROUP (ORDER BY k)``, composing with FILTER — carried
+    VERBATIM through the native pipeline: Spark and DuckDB both execute
+    the ANSI spelling, so the engine only needed the grammar plus the
+    aggregate-call scanner capturing the clause as one span for the
+    Grouping hoist (plans/algebra.py ``_find_agg_calls``).
+
+    Scale shape: Spark plans percentile_cont/disc as an ordinary
+    (partial→final) hash aggregate with a per-group sorted sketch —
+    one shuffle on the group keys, the same bound as any aggregate."""
+    return _native(spark, sf_dir, _WITHIN_GROUP_SQL, ["customer"])

@@ -1212,6 +1212,15 @@ def parity_surface_query(draw) -> str:
             f"FROM orders WHERE o_orderkey < {draw(st.integers(50, 400))} "
             "ORDER BY o_orderkey" + ORDERED
         )
+    if form == 4 and draw(st.booleans()):
+        # ordered-set aggregates: both engines run the ANSI spelling
+        frac = draw(st.sampled_from(["0.25", "0.5", "0.9"]))
+        fn = draw(st.sampled_from(["percentile_cont", "percentile_disc"]))
+        return (
+            f"SELECT n_regionkey, CAST({fn}({frac}) WITHIN GROUP "
+            "(ORDER BY n_nationkey) AS DOUBLE) AS p FROM nation "
+            "GROUP BY n_regionkey ORDER BY n_regionkey" + ORDERED
+        )
     key = draw(st.sampled_from(["n_regionkey", "n_nationkey"]))
     lim = draw(st.integers(3, 12))
     # nullable sort key + LIMIT: the NULLS LAST default decides the cut

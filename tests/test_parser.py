@@ -2647,3 +2647,30 @@ def test_probe_wave7_closures(name, spark, sf_small):
         )
     want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
     assert got == want and len(got) > 0
+
+
+WITHIN_GROUP_CASES = {
+    "cont_global": "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey) AS med FROM nation",
+    "cont_disc_grouped": "SELECT n_regionkey, percentile_cont(0.25) WITHIN GROUP (ORDER BY n_nationkey) AS q1, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_nationkey) AS BIGINT) AS med_d FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    "cont_desc": "SELECT n_regionkey, percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey DESC) AS med FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    "mode_within_group": "SELECT mode() WITHIN GROUP (ORDER BY n_regionkey) AS m FROM nation",
+    "cont_with_filter": "SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey) FILTER (WHERE n_regionkey > 0), 2) AS med FROM nation",
+}
+
+
+@pytest.mark.parametrize("name", sorted(WITHIN_GROUP_CASES))
+def test_within_group_ordered_set_aggregates(name, spark, sf_small):
+    """Round-10: ANSI ordered-set aggregates — `fn(args) WITHIN GROUP
+    (ORDER BY k)` — carried verbatim (both engines execute the spelling
+    natively); the aggregate-call scanner captures the clause so the
+    Grouping hoist sees one span, and FILTER composes after it."""
+    sql = WITHIN_GROUP_CASES[name]
+    cat = load_tables(spark, sf_small, ["nation"])
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    got = sorted(map(repr, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{sf_small}/nation.parquet')"
+    )
+    want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+    assert got == want and len(got) > 0
