@@ -2189,7 +2189,24 @@ class _Parser:
                     )
                 return _Expr(body, tuple(cols))
             low_name = name.lower()
-            if low_name == "sha256" and len(args) == 1 and not distinct:
+            if (
+                low_name in ("datediff", "date_diff")
+                and len(args) == 3
+                and not distinct
+            ):
+                # DuckDB/Postgres datediff('day', start, end) → Spark's
+                # 2-arg datediff(end, start). Only the 'day' part maps
+                # exactly (Spark's month/year deltas are fractional
+                # months_between, not boundary counts) — others reject.
+                part = args[0].sql
+                if part.lower() not in ("'day'", "'days'"):
+                    raise UnsupportedSqlError(
+                        f"datediff part {part} is not modeled — engines "
+                        "count month/year boundaries differently; only "
+                        "'day' maps exactly"
+                    )
+                body = f"datediff({args[2].sql}, {args[1].sql})"
+            elif low_name == "sha256" and len(args) == 1 and not distinct:
                 # DuckDB/Postgres sha256(x) → Spark's sha2(x, 256)
                 # (wave-6 parity find; identical hex on both engines)
                 body = f"sha2({args[0].sql}, 256)"

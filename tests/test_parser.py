@@ -2674,3 +2674,30 @@ def test_within_group_ordered_set_aggregates(name, spark, sf_small):
     )
     want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
     assert got == want and len(got) > 0
+
+
+def test_datediff_day_spelling_parity(spark, sf_small):
+    """Round-10: DuckDB/Postgres ``datediff('day', start, end)`` lowers
+    to Spark's 2-arg ``datediff(end, start)``; month/year parts reject
+    (boundary counts vs fractional months_between). Also pins last_day
+    and date_add as already-parity."""
+    cat = load_tables(spark, sf_small, ["orders"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_small}/orders.parquet')"
+    )
+    sql = (
+        "SELECT o_orderkey, datediff('day', DATE '1995-01-01', o_orderdate) AS dd, "
+        "last_day(CAST(o_orderdate AS DATE)) AS ld, "
+        "date_add(CAST(o_orderdate AS DATE), 7) AS da "
+        "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"
+    )
+    got = sorted(map(repr, (tuple(r) for r in
+                 compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect())))
+    want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+    assert got == want and len(got) > 0
+
+    from postbound_spark.plans.parser import UnsupportedSqlError
+
+    with pytest.raises(UnsupportedSqlError, match="boundaries"):
+        parse_query("SELECT datediff('month', DATE '1995-01-01', o_orderdate) FROM orders")
