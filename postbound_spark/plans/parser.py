@@ -312,15 +312,22 @@ def _expand_grouping_sets(
         in_set_bare = {c.rsplit(".", 1)[-1] for c in in_set}
 
         def mark_grouping(text: str) -> str:
-            # GROUPING(col) is a per-set CONSTANT under the expansion:
-            # 1 when col is absent from this set (super-aggregate row),
-            # 0 when present — rewritten to the literal on BOTH engines,
-            # which also sidesteps the Spark-byte/DuckDB-int dtype gap
+            # GROUPING(col, …) is a per-set CONSTANT under the expansion:
+            # a BITMASK with the leftmost argument as the most significant
+            # bit, 1 when that column is absent from this set
+            # (super-aggregate row) — rewritten to the literal on BOTH
+            # engines, which also sidesteps dtype gaps (round-10: the
+            # multi-argument bitmask form, ANSI GROUPING_ID semantics)
+            def mask(m: "re.Match") -> str:
+                bits = 0
+                for arg in m.group(1).split(","):
+                    bare = arg.strip().rsplit(".", 1)[-1]
+                    bits = (bits << 1) | (0 if bare in in_set_bare else 1)
+                return str(bits)
+
             return re.sub(
-                r"\bgrouping\s*\(\s*([\w$.]+)\s*\)",
-                lambda m: "0"
-                if m.group(1).rsplit(".", 1)[-1] in in_set_bare
-                else "1",
+                r"\bgrouping\s*\(\s*([\w$.]+(?:\s*,\s*[\w$.]+)*)\s*\)",
+                mask,
                 text,
                 flags=re.I,
             )

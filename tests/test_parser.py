@@ -2701,3 +2701,23 @@ def test_datediff_day_spelling_parity(spark, sf_small):
 
     with pytest.raises(UnsupportedSqlError, match="boundaries"):
         parse_query("SELECT datediff('month', DATE '1995-01-01', o_orderdate) FROM orders")
+
+
+def test_multi_arg_grouping_bitmask(spark, sf_small):
+    """Round-10: ``grouping(a, b)`` with multiple arguments returns the
+    ANSI bitmask (leftmost argument = most significant bit) under the
+    grouping-sets desugar — a per-set constant, usable in SELECT and
+    HAVING alike."""
+    cat = load_tables(spark, sf_small, ["nation"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{sf_small}/nation.parquet')"
+    )
+    for sql in [
+        "SELECT n_regionkey, n_name, grouping(n_regionkey, n_name) AS gid, count(*) AS c FROM nation GROUP BY ROLLUP (n_regionkey, n_name) ORDER BY gid, n_regionkey NULLS FIRST, n_name NULLS FIRST",
+        "SELECT n_regionkey, n_name, count(*) AS c FROM nation GROUP BY CUBE (n_regionkey, n_name) HAVING grouping(n_regionkey, n_name) > 0 ORDER BY n_regionkey NULLS FIRST, n_name NULLS FIRST",
+    ]:
+        got = sorted(map(repr, (tuple(r) for r in
+                     compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect())))
+        want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+        assert got == want and len(got) > 0, sql
