@@ -2184,6 +2184,17 @@ class _Parser:
                     cols.extend(k.cols)
                 body = self._lower_ordered_agg(name, distinct, args, keys)
                 ordered_agg = True
+            # IGNORE/RESPECT NULLS, in-paren spelling (DuckDB/Postgres:
+            # `first_value(x IGNORE NULLS)`) — re-emitted in Spark's
+            # post-paren position; RESPECT NULLS is the default and drops
+            in_paren_ignore = False
+            if (
+                args
+                and self.t.peek_kw() in ("ignore", "respect")
+                and self.t.peek_kw(1) == "nulls"
+            ):
+                in_paren_ignore = self.t.next().lower() == "ignore"
+                self.t.next()
             self.t.expect(")")
             for a in args:
                 cols.extend(a.cols)
@@ -2229,6 +2240,20 @@ class _Parser:
                 )
                 body = f"{name}({inner})"
             gen_args = args
+            if not in_paren_ignore and (
+                self.t.peek_kw() in ("ignore", "respect")
+                and self.t.peek_kw(1) == "nulls"
+            ):
+                # Spark's own post-paren spelling — also accepted
+                in_paren_ignore = self.t.next().lower() == "ignore"
+                self.t.next()
+            if in_paren_ignore:
+                if ordered_agg:
+                    raise UnsupportedSqlError(
+                        "IGNORE NULLS combined with an in-call aggregate "
+                        "ORDER BY is not modeled"
+                    )
+                body = f"{body} IGNORE NULLS"
         # ANSI ordered-set aggregates: `fn(args) WITHIN GROUP (ORDER BY
         # k [ASC|DESC])` — carried VERBATIM: Spark and DuckDB both
         # execute the spelling natively (percentile_cont/disc, mode()),

@@ -2721,3 +2721,30 @@ def test_multi_arg_grouping_bitmask(spark, sf_small):
                      compile_plan(parse_relalg(parse_query(sql)), spark, cat).collect())))
         want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
         assert got == want and len(got) > 0, sql
+
+
+IGNORE_NULLS_CASES = {
+    "first_value_ignore": "SELECT n_name, first_value(CASE WHEN n_regionkey = 2 THEN NULL ELSE n_name END IGNORE NULLS) OVER (ORDER BY n_nationkey) AS f FROM nation ORDER BY n_name",
+    "last_value_ignore_frame": "SELECT n_name, last_value(CASE WHEN n_regionkey = 0 THEN NULL ELSE n_name END IGNORE NULLS) OVER (ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l FROM nation ORDER BY n_name",
+    "lag_ignore": "SELECT n_name, lag(CASE WHEN n_regionkey = 1 THEN NULL ELSE n_name END, 1 IGNORE NULLS) OVER (ORDER BY n_nationkey) AS lg FROM nation ORDER BY n_name",
+    "respect_nulls_default": "SELECT n_name, first_value(n_name RESPECT NULLS) OVER (ORDER BY n_nationkey) AS f FROM nation ORDER BY n_name",
+    "window_family": "SELECT n_name, ntile(4) OVER (ORDER BY n_nationkey) AS nt, round(percent_rank() OVER (ORDER BY n_nationkey), 4) AS pr, round(cume_dist() OVER (ORDER BY n_nationkey), 4) AS cd, nth_value(n_name, 2) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS nv FROM nation ORDER BY n_name",
+}
+
+
+@pytest.mark.parametrize("name", sorted(IGNORE_NULLS_CASES))
+def test_ignore_nulls_and_window_family(name, spark, sf_small):
+    """Round-10: IGNORE/RESPECT NULLS — DuckDB/Postgres put the modifier
+    INSIDE the call parens, Spark after them; both spellings parse and
+    re-emit in Spark's position (RESPECT NULLS is the default and
+    drops). The navigation/distribution window family pins as parity."""
+    sql = IGNORE_NULLS_CASES[name]
+    cat = load_tables(spark, sf_small, ["nation"])
+    got_df = compile_plan(parse_relalg(parse_query(sql)), spark, cat)
+    got = sorted(map(repr, (tuple(r) for r in got_df.collect())))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{sf_small}/nation.parquet')"
+    )
+    want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+    assert got == want and len(got) > 0
