@@ -1213,13 +1213,38 @@ def parity_surface_query(draw) -> str:
             "ORDER BY o_orderkey" + ORDERED
         )
     if form == 4 and draw(st.booleans()):
-        # ordered-set aggregates: both engines run the ANSI spelling
-        frac = draw(st.sampled_from(["0.25", "0.5", "0.9"]))
-        fn = draw(st.sampled_from(["percentile_cont", "percentile_disc"]))
+        sub = draw(st.integers(0, 2))
+        if sub == 0:
+            # ordered-set aggregates: both engines run the ANSI spelling
+            frac = draw(st.sampled_from(["0.25", "0.5", "0.9"]))
+            fn = draw(st.sampled_from(["percentile_cont", "percentile_disc"]))
+            return (
+                f"SELECT n_regionkey, CAST({fn}({frac}) WITHIN GROUP "
+                "(ORDER BY n_nationkey) AS DOUBLE) AS p FROM nation "
+                "GROUP BY n_regionkey ORDER BY n_regionkey" + ORDERED
+            )
+        if sub == 1:
+            # IGNORE NULLS navigation (in-paren spelling re-emitted)
+            fn = draw(st.sampled_from(["first_value", "last_value"]))
+            mod = draw(st.integers(2, 4))
+            frame = (
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                if fn == "last_value"
+                else ""
+            )
+            return (
+                f"SELECT n_name, {fn}(CASE WHEN n_regionkey % {mod} = 0 "
+                f"THEN NULL ELSE n_name END IGNORE NULLS) OVER "
+                f"(ORDER BY n_nationkey{frame}) AS v FROM nation "
+                "ORDER BY n_name" + ORDERED
+            )
+        # multi-arg grouping() bitmask under ROLLUP
         return (
-            f"SELECT n_regionkey, CAST({fn}({frac}) WITHIN GROUP "
-            "(ORDER BY n_nationkey) AS DOUBLE) AS p FROM nation "
-            "GROUP BY n_regionkey ORDER BY n_regionkey" + ORDERED
+            "SELECT n_regionkey, n_name, "
+            "grouping(n_regionkey, n_name) AS gid, count(*) AS c "
+            "FROM nation GROUP BY ROLLUP (n_regionkey, n_name) "
+            "ORDER BY gid, n_regionkey NULLS FIRST, n_name NULLS FIRST"
+            + ORDERED
         )
     key = draw(st.sampled_from(["n_regionkey", "n_nationkey"]))
     lim = draw(st.integers(3, 12))
