@@ -127,9 +127,17 @@ def _operand_start(text: str, end: int) -> int | None:
             k -= 1
         start = k
     elif ch == "'":
+        # scan back to the OPENING quote, treating '' as the SQL escape
+        # (advisor-found: "'it''s' IN (…)" must not slice at the inner
+        # escaped quote and glue "'it" before the rewritten operand)
         j = i - 2
-        while j >= 0 and text[j] != "'":
-            j -= 1
+        while j >= 0:
+            if text[j] != "'":
+                j -= 1
+            elif j > 0 and text[j - 1] == "'":
+                j -= 2  # escaped quote pair — still inside the literal
+            else:
+                break
         if j < 0:
             return None
         start = j
@@ -595,16 +603,22 @@ class _Converter:
             )
             handled.append((open_idx, end))
 
+        # spans arrive in appearance order (the scanner advances a cursor),
+        # so a running cursor here recovers each span's ACTUAL offset —
+        # `text.find(span)` would return the FIRST occurrence and wrongly
+        # skip/misprefix a repeated subquery text (advisor-found: identical
+        # text inside a handled EXISTS group and again elsewhere)
+        cursor = 0
         for span in _scalar_subquery_spans(text):
-            if handled:
-                start = text.find(span)
-                if any(s <= start < e for s, e in handled):
-                    continue
+            start = text.find(span, cursor)
+            cursor = start + len(span)
+            if handled and any(s <= start < e for s, e in handled):
+                continue
             # a span preceded by a quantifier / membership keyword is NOT
             # a scalar expression — `x > ALL (…)`, `y IN (…)` inside an OR
             # branch, `EXISTS (…)` under a compound — substituting it
             # would leave invalid SQL, so these keep the clean rejection
-            prefix = text[: text.find(span)].rstrip().lower()
+            prefix = text[:start].rstrip().lower()
             last_word = re.search(r"(\w+)\s*$", prefix)
             if last_word and last_word.group(1) in (
                 "in", "exists", "any", "all", "some",
@@ -1914,11 +1928,33 @@ class _Converter:
         # wave-7 probe find): expand aggregate-defining aliases into
         # their expressions so the ordinary agg-call hoist sees them.
         # Group-key aliases already resolve through the key rename table.
+        # DuckDB column-beats-alias (advisor-found): a bare HAVING name
+        # that ALSO names an input column resolves to the COLUMN — so
+        # `count(*) AS n_regionkey … HAVING n_regionkey > 2` filters on
+        # the grouped column, not the count. The builder carries no
+        # catalog, so "names a column" is approximated by the columns the
+        # query itself references (SELECT expressions, WHERE, GROUP BY —
+        # NOT HAVING, whose bare names are what we're resolving) plus the
+        # unqualified group-key names. A shadowed alias is simply not
+        # expanded; the bare name then resolves as the column. Residual:
+        # an alias shadowing a FROM column the query never references
+        # elsewhere still expands (DuckDB would reject it as ungrouped).
+        shadowed: set[str] = set()
+        for g in q.group_by:
+            m_key = re.fullmatch(r"([\w$]+\.)?([\w$]+)", g.sql)
+            if m_key:
+                shadowed.add(m_key.group(2).lower())
+            shadowed.update(c.name.lower() for c in g.columns)
+        for p in q.select:
+            shadowed.update(c.name.lower() for c in p.expr.columns)
+        if q.where is not None:
+            shadowed.update(c.name.lower() for c in q.where.columns())
         agg_aliases = {
             p.alias: p.expr.sql
             for p in q.select
             if p.alias
             and p.alias != p.expr.sql
+            and p.alias.lower() not in shadowed
             and _find_agg_calls(p.expr.sql)
         }
         if q.having is not None and agg_aliases:
@@ -2086,6 +2122,32 @@ class _Converter:
             if m:
                 bare_to_key[m.group(2)] = kn
 
+        # UNQUALIFIED spellings of a qualified group key (GROUP BY
+        # n.n_regionkey … HAVING/ORDER BY/SELECT n_regionkey): the key
+        # column rides under a mapped name above the aggregate, so
+        # standalone bare identifiers resolve through it — DuckDB's
+        # column-beats-alias rule (the bare name is the grouped COLUMN
+        # even when a select alias shares it; advisor-found). Names bare
+        # across TWO different keys (GROUP BY a.k, b.k) are ambiguous and
+        # stay unmapped — Spark analysis then fails loudly, as DuckDB does.
+        unambiguous_bare: dict[str, str] = {}
+        for g, kn in key_names.items():
+            m = re.fullmatch(r"(?:([\w$]+)\.)?([\w$]+)", g)
+            if not m:
+                continue
+            b = m.group(2)
+            if b in unambiguous_bare and unambiguous_bare[b] != kn:
+                unambiguous_bare[b] = b  # ambiguous — leave untouched
+            else:
+                unambiguous_bare.setdefault(b, kn)
+
+        def debare(text: str) -> str:
+            return _sub_outside_literals(
+                r"(?<![\w$.])([\w$]+)(?![\w$(.])",
+                lambda m: unambiguous_bare.get(m.group(1), m.group(1)),
+                text,
+            )
+
         def degroup(text: str) -> str:
             text = dequalify_keys(rewrite(text))
             # outer-qualified references to grouped columns lose their
@@ -2119,7 +2181,9 @@ class _Converter:
             )
 
         if q.having is not None:
-            tree = ra.Selection(tree, dequalify_keys(rewrite(q.having.to_sql())))
+            tree = ra.Selection(
+                tree, debare(dequalify_keys(rewrite(q.having.to_sql())))
+            )
 
         for kind, conj in self._having_memberships:
             tree = self._apply_subquery(
@@ -2138,7 +2202,7 @@ class _Converter:
             if text in key_names:
                 base = key_names[text]
             else:
-                base = dequalify_keys(rewrite(text))
+                base = debare(dequalify_keys(rewrite(text)))
             name = p.alias or _output_name(text) or _output_name(base)
             if name is None:
                 name = self._gensym("col")
@@ -2160,7 +2224,7 @@ class _Converter:
                     or (rewrite(text) if text in agg_names else None)
                 )
                 if resolved is None:
-                    resolved = dequalify_keys(rewrite(text))
+                    resolved = debare(dequalify_keys(rewrite(text)))
                 keys.append(ra.SortKey(resolved, o.ascending, o.nulls_first))
             sort_keys = tuple(keys)
             tree = ra.Sort(tree, sort_keys)

@@ -2017,14 +2017,19 @@ class _Parser:
             # DOW is Sunday=1 where Postgres counts Sunday=0; ISODOW and
             # EPOCH are missing from Spark's extract entirely. The session
             # pins spark.sql.session.timeZone=UTC, so epoch-of-DATE
-            # matches DuckDB's UTC-midnight reading (integer seconds).
+            # matches DuckDB's UTC-midnight reading. DuckDB returns
+            # DOUBLE with FRACTIONAL seconds for epoch of any temporal
+            # type (advisor-found: unix_timestamp truncated sub-second
+            # precision), so lower through microseconds.
             if f == "dow":
                 return _Expr(f"(dayofweek({src.sql}) - 1)", src.cols)
             if f == "isodow":
                 return _Expr(f"(weekday({src.sql}) + 1)", src.cols)
             if f == "epoch":
                 return _Expr(
-                    f"unix_timestamp(CAST({src.sql} AS TIMESTAMP))", src.cols
+                    f"(CAST(unix_micros(CAST({src.sql} AS TIMESTAMP)) "
+                    f"AS DOUBLE) / 1000000.0D)",
+                    src.cols,
                 )
             return _Expr(f"extract({fld} FROM {src.sql})", src.cols)
 

@@ -1382,6 +1382,31 @@ REGRESSIONS = [
     "SELECT c_custkey, count(*) OVER (PARTITION BY c_mktsegment) AS cnt, "
     "(SELECT max(n_regionkey) FROM nation) AS m "
     "FROM customer ORDER BY c_custkey LIMIT 5" + ORDERED,
+    # round-11 advisor finds, pinned:
+    # (a) HAVING alias shadowing a grouped column — column-beats-alias
+    # (DuckDB resolves the bare name to n.n_regionkey, not the count)
+    "SELECT n.n_regionkey, count(*) AS n_regionkey FROM nation n "
+    "GROUP BY n.n_regionkey HAVING n_regionkey > 2",
+    # (b) bare spelling of a QUALIFIED group key in HAVING/SELECT/ORDER BY
+    "SELECT n_regionkey, count(*) AS c FROM nation n "
+    "GROUP BY n.n_regionkey HAVING n_regionkey >= 0 "
+    "ORDER BY n_regionkey" + ORDERED,
+    # (c) ''-escaped quote inside an IN-subquery operand literal — the
+    # backward operand scan must not slice at the escaped quote
+    "SELECT n_name FROM nation WHERE CASE WHEN 'it''s' IN "
+    "(SELECT n_name FROM nation) THEN 1 ELSE 0 END = 0 "
+    "ORDER BY n_name" + ORDERED,
+    # (d) extract(epoch …) returns fractional-seconds DOUBLE (DuckDB
+    # parity) — unix_timestamp truncation was a silent divergence
+    "SELECT o_orderkey, extract(epoch from o_orderdate) AS ep FROM orders "
+    "ORDER BY o_orderkey LIMIT 5" + ORDERED,
+    # (e) identical subquery text INSIDE a handled EXISTS((..) UNION (..))
+    # group AND again outside it — offsets, not first-occurrence find
+    "SELECT n_name FROM nation WHERE CASE WHEN EXISTS((("
+    "SELECT r_regionkey FROM region WHERE r_name = 'ASIA') UNION "
+    "(SELECT 99))) THEN (SELECT max(r_regionkey) FROM region "
+    "WHERE r_name = 'ASIA') ELSE 0 END = n_regionkey ORDER BY n_name"
+    + ORDERED,
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
