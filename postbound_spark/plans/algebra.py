@@ -747,7 +747,6 @@ class _Converter:
                 if (
                     lat_sink is None
                     or not inner.from_tables
-                    or inner.joins
                     or not _find_agg_calls(inner.select[0].expr.sql)
                 ):
                     raise UnsupportedSqlError(
@@ -1579,12 +1578,29 @@ class _Converter:
         Plain laterals compile to an inner join (comma-LATERAL = CROSS JOIN
         LATERAL: match-less outer rows drop)."""
         sub = src.query
-        if sub.group_by or sub.limit is not None or sub.joins or sub.distinct_on:
+        if sub.group_by or sub.limit is not None or sub.distinct_on:
             raise UnsupportedSqlError(
-                "LATERAL subqueries with GROUP BY/LIMIT/joins are not modeled"
+                "LATERAL subqueries with GROUP BY/LIMIT are not modeled"
             )
+        # explicit JOINs inside the subquery are fine — the inner tree is
+        # built by parse_relalg like any query (INNER joins fold to
+        # comma-form at render time; this path carries the OUTER ones,
+        # e.g. `(SELECT count(o.k) FROM c2 LEFT JOIN o ON … WHERE c2.x =
+        # outer.x)`, the TPC-H Q2/Q17 family's last missing spelling).
+        # Correlation must stay in WHERE: an outer reference inside an
+        # ON condition changes null-extension semantics per outer row
+        # and cannot be hoisted onto the grouping keys.
+        for j in sub.joins:
+            if j.condition is not None and j.condition.tables() & outer_ids:
+                raise UnsupportedSqlError(
+                    "correlated references inside a JOIN ON condition of "
+                    "a LATERAL/scalar subquery are not modeled; correlate "
+                    "in WHERE or execute via spark.sql"
+                )
         self._check_alias_collisions(sub, outer_ids)
-        inner_ids = {t.identifier for t in sub.from_tables}
+        inner_ids = {t.identifier for t in sub.from_tables} | {
+            j.source.identifier for j in sub.joins
+        }
         inner_conv = _Converter(sub, None)
         corr_eqs: list[tuple[str, str]] = []  # (outer side sql, inner side sql)
         local: list[Q.AbstractPredicate] = []

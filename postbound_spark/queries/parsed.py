@@ -1388,3 +1388,37 @@ def parsed_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial→final) hash aggregate with a per-group sorted sketch —
     one shuffle on the group keys, the same bound as any aggregate."""
     return _native(spark, sf_dir, _WITHIN_GROUP_SQL, ["customer"])
+
+
+_CORR_SCALAR_JOIN_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE c.c_acctbal = (SELECT max(c2.c_acctbal)
+                     FROM customer c2 LEFT JOIN orders o
+                       ON c2.c_custkey = o.o_custkey
+                      AND o.o_totalprice > 400000
+                     WHERE c2.c_nationkey = c.c_nationkey
+                       AND o.o_orderkey IS NULL)
+ORDER BY c.c_custkey
+"""
+
+
+@query("parsed_corr_scalar_join", oracle=_CORR_SCALAR_JOIN_SQL)
+def parsed_corr_scalar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: correlated scalar subquery whose body contains an
+    explicit JOIN (the TPC-H Q2/Q17 family; ref parses arbitrary
+    SubLinks, parser.py:764-808, :1121) — here a LEFT join, the one
+    spelling that can't fold to comma-form at render time. The inner
+    query compiles like any query (join tree included), then rides the
+    decorrelating lateral: GROUP BY the correlation key over the joined
+    frame + LEFT join back to the outer. Correlated references inside an
+    ON condition keep a clean rejection (null-extension would change per
+    outer row). DuckDB runs identical text.
+
+    Scale shape: one grouped aggregate per distinct correlation key over
+    the inner JOIN's output + one keyed LEFT join — per key, never per
+    outer row; the inner join itself plans as an ordinary shuffled/
+    broadcast hash join under Catalyst."""
+    return _native(
+        spark, sf_dir, _CORR_SCALAR_JOIN_SQL, ["customer", "orders"]
+    )

@@ -110,7 +110,35 @@ def predicate(draw, tables: list[str]) -> str:
         # (inner table must not collide with an outer identifier — the
         # engine's clean rejection asks for explicit aliases there)
         kinds.append("corr_scalar")
+    if table in ("region", "nation"):
+        kinds.append("corr_scalar_join")
     kind = draw(st.sampled_from(kinds))
+    if kind == "corr_scalar_join":
+        # grammar v22: CORRELATED scalar whose body holds an explicit
+        # LEFT JOIN (TPC-H Q2/Q17 family, round-11) — the inner join
+        # compiles as an ordinary subplan, then groups ONCE on the
+        # correlation key and LEFT-joins back (inner aliases are always
+        # explicit, so outer identifiers can never collide)
+        left_t, right_t, on_eq, ik, ok, agg_col = {
+            "region": ("nation nx", "customer cx",
+                       "cx.c_nationkey = nx.n_nationkey",
+                       "nx.n_regionkey", "r_regionkey", "cx.c_custkey"),
+            "nation": ("customer cx", "orders ox",
+                       "ox.o_custkey = cx.c_custkey",
+                       "cx.c_nationkey", "n_nationkey", "ox.o_orderkey"),
+        }[table]
+        fn = draw(st.sampled_from([f"count({agg_col})", f"max({agg_col})"]))
+        lhs = draw(st.sampled_from(INT_COLS[table]))
+        op = draw(st.sampled_from(["<", ">=", ">"]))
+        extra = (
+            f" AND {agg_col} < {draw(st.integers(2, 40))}"
+            if draw(st.booleans())
+            else ""
+        )
+        return (
+            f"{lhs} {op} (SELECT {fn} FROM {left_t} LEFT JOIN {right_t} "
+            f"ON {on_eq}{extra} WHERE {ik} = {table}.{ok})"
+        )
     if kind == "corr_scalar":
         # grammar v14: CORRELATED scalar aggregate in a comparison —
         # decorrelated by the algebra path into GROUP BY correlation

@@ -1250,3 +1250,19 @@ def test_row_in_subquery_is_multicolumn_semijoin(registry, spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corr_scalar_join_decorrelates_per_key(registry, spark, sf_small):
+    """Round-11: a correlated scalar subquery whose body contains an
+    explicit LEFT JOIN (TPC-H Q2/Q17 family) compiles to the per-key
+    shape — the inner join's output grouped ONCE by the correlation key,
+    LEFT-joined back onto the outer — with no per-row subquery execution
+    and no cartesian product anywhere in the plan."""
+    df = _build(registry, spark, sf_small, "parsed_corr_scalar_join")
+    plan = _formatted_plan(df)
+    assert "HashAggregate" in plan          # per-key max over the join
+    assert "__latkey" in plan               # grouped on the correlation key
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the correlation is a keyed equi-join, never a nested loop
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
