@@ -105,6 +105,11 @@ def main() -> None:
                 # accepted "0.1.2" and float() then crashed AFTER all
                 # timings were collected, losing the run's one output line
                 "sf": float(sf) if re.fullmatch(r"\d+(\.\d+)?", sf) else sf,
+                # noise context: a trend point must carry its own host
+                # state — 1/5/15-min load BEFORE anyone asks whether an
+                # external load was running (round-10 verdict)
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
             }
         )
     )

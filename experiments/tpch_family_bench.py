@@ -8,12 +8,13 @@ rep-spread alongside — at sf0.1.
 Usage::
 
     python experiments/tpch_family_bench.py \
-        [--out=experiments/results/tpch_family_bench_r9.json]
+        [--out=experiments/results/tpch_family_bench_rN.json]  (append-only: one file per point)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 import time
@@ -31,7 +32,7 @@ _TPCH_RE = re.compile(r"^(q\d+_|flagship_|top_suppliers|latest_order)")
 
 
 def main() -> int:
-    out = "experiments/results/tpch_family_bench_r9.json"
+    out = "experiments/results/tpch_family_bench_r11.json"
     for a in sys.argv[1:]:
         if a.startswith("--out="):
             out = a.split("=")[1]
@@ -69,7 +70,16 @@ def main() -> int:
         "rep_spread": spreads,
         "reps": 3,
         "sf": 0.1,
+        # noise context rides with every point (round-10 verdict): load
+        # average + timestamp make a trend file self-describing
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
     }
+    if os.path.exists(out):
+        # append-only trend series: one file per measurement, never
+        # overwrite a recorded point (round-10 verdict defect)
+        raise SystemExit(f"refusing to overwrite trend point {out}; "
+                         "pass a fresh output name")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
