@@ -2167,7 +2167,7 @@ class _Parser:
             if args and self.t.peek_kw() == "order":
                 self.t.next()
                 self.t.expect("by")
-                keys: list[tuple[_Expr, bool]] = []
+                keys: list[tuple[_Expr, bool, bool | None]] = []
                 while True:
                     k = self._parse_expression()
                     asc = True
@@ -2175,17 +2175,20 @@ class _Parser:
                         asc = False
                     else:
                         self.t.accept("asc")
+                    nf: bool | None = None
                     if self.t.peek_kw() == "nulls":
-                        raise UnsupportedSqlError(
-                            "NULLS FIRST/LAST inside an in-call aggregate "
-                            "ORDER BY is not modeled (engines disagree on "
-                            "null-key placement in the struct-sort "
-                            "lowering) — COALESCE the key instead"
-                        )
-                    keys.append((k, asc))
+                        self.t.next()
+                        word = self.t.next().lower()
+                        if word not in ("first", "last"):
+                            raise UnsupportedSqlError(
+                                f"expected FIRST/LAST after NULLS, "
+                                f"got {word!r}"
+                            )
+                        nf = word == "first"
+                    keys.append((k, asc, nf))
                     if not self.t.accept(","):
                         break
-                for k, _a in keys:
+                for k, _a, _n in keys:
                     cols.extend(k.cols)
                 body = self._lower_ordered_agg(name, distinct, args, keys)
                 ordered_agg = True
@@ -2277,9 +2280,18 @@ class _Parser:
             else:
                 self.t.accept("asc")
             if self.t.peek_kw() == "nulls":
-                raise UnsupportedSqlError(
-                    "NULLS FIRST/LAST inside WITHIN GROUP is not modeled"
-                )
+                # NULLS FIRST/LAST is a semantic no-op here — the
+                # ordered-set aggregates both engines run through this
+                # clause (percentile_cont/disc, mode) EXCLUDE NULLs from
+                # the computation — and Spark parses the spelling
+                # natively, so carry it verbatim (round-11 closure)
+                self.t.next()
+                word = self.t.next().lower()
+                if word not in ("first", "last"):
+                    raise UnsupportedSqlError(
+                        f"expected FIRST/LAST after NULLS, got {word!r}"
+                    )
+                ktxt += f" NULLS {word.upper()}"
             self.t.expect(")")
             body = f"{body} WITHIN GROUP (ORDER BY {ktxt})"
         # FILTER (WHERE pred) — ref FunctionExpression :814-817
@@ -2377,29 +2389,33 @@ class _Parser:
         name: str,
         distinct: bool,
         args: list["_Expr"],
-        keys: list[tuple["_Expr", bool]],
+        keys: list[tuple["_Expr", bool, bool | None]],
     ) -> str:
         """Lower ``agg(x[, d] ORDER BY k…)`` to the struct-sort spelling:
-        collect (key…, value) structs, ``sort_array`` them (struct
-        comparison is lexicographic by field order — exactly the
-        multi-key sort), project the value back out with ``transform``,
-        and for string_agg join with the delimiter. All JVM-side builtin
-        calls — one ordinary hash-aggregate plus per-GROUP array sorting,
-        no extra shuffle and no Python. string_agg skips NULL values
-        (ANSI) via a CASE that collect_list's null-dropping consumes;
-        array_agg keeps them (Postgres/DuckDB semantics)."""
+        collect (key…, value) structs, sort them (struct comparison is
+        lexicographic by field order — exactly the multi-key sort),
+        project the value back out with ``transform``, and for
+        string_agg join with the delimiter. All JVM-side builtin calls —
+        one ordinary hash-aggregate plus per-GROUP array sorting, no
+        extra shuffle and no Python. string_agg skips NULL values (ANSI)
+        via a CASE that collect_list's null-dropping consumes; array_agg
+        keeps them (Postgres/DuckDB semantics).
+
+        Uniform-direction keys without an explicit NULLS spec ride
+        ``sort_array`` (single codegen'd flag sort); mixed ASC/DESC or
+        NULLS FIRST/LAST lower to an ``array_sort`` COMPARATOR lambda —
+        per-key direction and null placement, still entirely JVM-side
+        (round-11: both were loud rejections)."""
         low = name.lower()
         if low not in ("string_agg", "array_agg", "collect_list", "list"):
             raise UnsupportedSqlError(
                 f"in-call ORDER BY on {name}() is not modeled "
                 "(supported: string_agg, array_agg)"
             )
-        if any(a != keys[0][1] for _k, a in keys):
-            raise UnsupportedSqlError(
-                "mixed ASC/DESC in an in-call aggregate ORDER BY is not "
-                "modeled — sort the outer query instead"
-            )
         asc = keys[0][1]
+        uniform = all(a == asc for _k, a, _n in keys) and all(
+            n is None for _k, _a, n in keys
+        )
         if low == "string_agg":
             if len(args) != 2:
                 raise UnsupportedSqlError(
@@ -2420,7 +2436,7 @@ class _Parser:
             arr = f"array_sort(collect_set({x}))"
             if not asc:
                 arr = f"reverse({arr})"
-        else:
+        elif uniform:
             # each key carries a null MARKER field ahead of it so the
             # struct sort places NULL keys LAST in either direction —
             # DuckDB's in-call default (Spark's struct comparison would
@@ -2429,7 +2445,7 @@ class _Parser:
             fields = ", ".join(
                 f"'_n{i}', CASE WHEN ({k.sql}) IS NULL THEN {marker} END, "
                 f"'_k{i}', {k.sql}"
-                for i, (k, _a) in enumerate(keys)
+                for i, (k, _a, _n) in enumerate(keys)
             )
             struct = f"named_struct({fields}, '_v', {x})"
             if low == "string_agg":
@@ -2440,6 +2456,37 @@ class _Parser:
             arr = (
                 f"transform(sort_array(collect_list({struct}), {flag}), "
                 f"s -> s._v)"
+            )
+        else:
+            fields = ", ".join(
+                f"'_k{i}', {k.sql}" for i, (k, _a, _n) in enumerate(keys)
+            )
+            struct = f"named_struct({fields}, '_v', {x})"
+            if low == "string_agg":
+                struct = f"CASE WHEN ({x}) IS NULL THEN NULL ELSE {struct} END"
+            # innermost-out nested CASE comparator: per key — NULL ties
+            # and value ties fall through to the NEXT key's comparison.
+            # Default null placement stays NULLS LAST in either direction
+            # (DuckDB's in-call default); explicit NULLS FIRST/LAST wins.
+            # The tie branch duplicates the remaining comparator text
+            # (2^n growth) — in-call key lists are 1-3 keys in practice.
+            cmp = "0"
+            for i in reversed(range(len(keys))):
+                _k, a, nf = keys[i]
+                nf = False if nf is None else nf
+                lt, gt = ("-1", "1") if a else ("1", "-1")
+                nul_l, nul_r = ("-1", "1") if nf else ("1", "-1")
+                cmp = (
+                    f"CASE WHEN l._k{i} IS NULL AND r._k{i} IS NULL "
+                    f"THEN {cmp} "
+                    f"WHEN l._k{i} IS NULL THEN {nul_l} "
+                    f"WHEN r._k{i} IS NULL THEN {nul_r} "
+                    f"WHEN l._k{i} < r._k{i} THEN {lt} "
+                    f"WHEN l._k{i} > r._k{i} THEN {gt} ELSE {cmp} END"
+                )
+            arr = (
+                f"transform(array_sort(collect_list({struct}), "
+                f"(l, r) -> {cmp}), s -> s._v)"
             )
         if low == "string_agg":
             return f"array_join({arr}, {args[1].sql})"

@@ -1422,3 +1422,32 @@ def parsed_corr_scalar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(
         spark, sf_dir, _CORR_SCALAR_JOIN_SQL, ["customer", "orders"]
     )
+
+
+_ORDERED_AGG_MIXED_SQL = """
+SELECT c.c_nationkey,
+       string_agg(c.c_name, ',' ORDER BY c.c_mktsegment ASC,
+                                         c.c_custkey DESC) AS seg_names,
+       string_agg(c.c_mktsegment, '|' ORDER BY c.c_acctbal DESC NULLS LAST,
+                                               c.c_custkey ASC) AS bal_segs
+FROM customer c
+WHERE c.c_custkey < 400
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@query("parsed_ordered_agg_mixed", oracle=_ORDERED_AGG_MIXED_SQL)
+def parsed_ordered_agg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: in-call aggregate ORDER BY with MIXED ASC/DESC and an
+    explicit NULLS spec — lowered to an ``array_sort`` COMPARATOR lambda
+    over collected (key…, value) structs: per-key direction and null
+    placement, all JVM-side builtins (closes the round-10 rejections;
+    beyond the reference, whose parser has no aggOrder at all). DuckDB
+    runs its native in-call ordering on identical text; unique
+    tiebreaker keys keep both engines' concat order deterministic.
+
+    Scale shape: identical to the uniform-direction lowering — one hash
+    aggregate collecting per-group arrays plus a per-group in-memory
+    sort; no extra exchange, no Python."""
+    return _native(spark, sf_dir, _ORDERED_AGG_MIXED_SQL, ["customer"])

@@ -1123,12 +1123,11 @@ def bool_item_query(draw) -> str:
 
 @st.composite
 def ordered_agg_query(draw) -> str:
-    """Grammar v21 (round-10): in-call aggregate ORDER BY — string_agg /
-    array_agg with single- and multi-key uniform-direction ordering and
-    the DISTINCT-by-self form, lowered to the struct-sort spelling; the
-    oracle runs DuckDB's NATIVE in-call ordering on identical text.
-    Non-null keys only (null-key placement differs between engines and
-    is a documented rejection for the NULLS spelling)."""
+    """Grammar v21/v22: in-call aggregate ORDER BY — string_agg /
+    array_agg with uniform-direction ordering (struct-sort lowering),
+    the DISTINCT-by-self form, and (v22, round-11) MIXED ASC/DESC plus
+    NULLS FIRST/LAST via the comparator-lambda lowering; the oracle runs
+    DuckDB's NATIVE in-call ordering on identical text."""
     outer, val, keys = draw(
         st.sampled_from(
             [
@@ -1144,11 +1143,25 @@ def ordered_agg_query(draw) -> str:
     unique = keys[0]  # the table's key column — ties between engines
     # would make the concat order legitimately nondeterministic, so
     # every non-DISTINCT ordering ends in the unique tiebreaker
-    if draw(st.booleans()):
+    shape = draw(st.integers(0, 2))
+    if shape == 0:
         primary = draw(st.sampled_from(keys))
         order = f"{primary}{direction}"
         if primary != unique:
             order += f", {unique}{direction}"  # uniform direction
+        agg = f"string_agg({val}, ',' ORDER BY {order})"
+    elif shape == 1:
+        # grammar v22 (round-11): MIXED ASC/DESC and NULLS FIRST/LAST —
+        # the comparator-lambda lowering (fixture keys are non-null, so
+        # the NULLS spec exercises grammar + lowering, not placement)
+        primary = draw(st.sampled_from(keys))
+        d1 = draw(st.sampled_from([" ASC", " DESC"]))
+        d2 = " ASC" if d1 == " DESC" else " DESC"
+        nspec = draw(st.sampled_from(["", " NULLS FIRST", " NULLS LAST"]))
+        if primary != unique:
+            order = f"{primary}{d1}{nspec}, {unique}{d2}"
+        else:
+            order = f"{unique}{d1}{nspec}"
         agg = f"string_agg({val}, ',' ORDER BY {order})"
     else:
         agg = f"string_agg(DISTINCT {val}, '|' ORDER BY {val}{direction})"
