@@ -2291,13 +2291,18 @@ def test_in_call_order_by_rejections():
     messages (never silently drop the ordering)."""
     for sql, msg in [
         ("SELECT sum(n_nationkey ORDER BY n_name) FROM nation", "not modeled"),
-        ("SELECT string_agg(n_name, ',' ORDER BY n_regionkey, n_name DESC) FROM nation", "mixed ASC/DESC"),
         ("SELECT string_agg(DISTINCT n_name, ',' ORDER BY n_regionkey) FROM nation", "aggregated expression itself"),
-        ("SELECT string_agg(n_name, ',' ORDER BY n_name NULLS LAST) FROM nation", "NULLS FIRST/LAST"),
         ("SELECT string_agg(n_name, ',' ORDER BY n_name) FILTER (WHERE n_regionkey = 1) FROM nation", "FILTER/OVER"),
     ]:
         with pytest.raises(UnsupportedSqlError, match=msg):
             parse_query(sql)
+    # round-11: mixed ASC/DESC and NULLS FIRST/LAST are SUPPORTED now
+    # (comparator-lambda lowering) — they must parse, not reject
+    for sql in [
+        "SELECT string_agg(n_name, ',' ORDER BY n_regionkey, n_name DESC) FROM nation",
+        "SELECT string_agg(n_name, ',' ORDER BY n_name NULLS LAST) FROM nation",
+    ]:
+        parse_query(sql)
 
 
 WAVE4_CASES = {
