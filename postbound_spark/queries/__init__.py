@@ -119,32 +119,77 @@ def query(name: str, oracle: str | None = None, *, sum_lint_exempt: str | None =
 # load_all() raises on a missing one, because a silently skipped
 # renamed/typo'd entry would shrink the driver-verified window unnoticed.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round-10: new/changed capabilities (driver re-verifies first):
-    #     expression-position EXISTS/IN (new), recursive-fixpoint
-    #     convergence check, ties-counter/scalar-lift/chartype and
-    #     literal-safety advisor fixes ---
+    # --- round-11: new/changed capabilities (driver re-verifies
+    #     first): join-bearing correlated scalars, comparator
+    #     ordered-agg, WITHIN GROUP NULLS spec, epoch lowering,
+    #     HAVING column-beats-alias, lateral machinery ---
+    "parsed_corr_scalar_join",
+    "parsed_ordered_agg_mixed",
+    "parsed_ordered_agg",
+    "parsed_within_group",
+    "parsed_extract_parity_window_inheritance",
+    "parsed_having_rewrite",
+    "parsed_correlated_scalar",
+    "parsed_corr_scalar_above_agg",
+    "parsed_flagship_native",
+    "parsed_having_exists",
+    # --- round-11 rotation: the rows the driver has gone longest
+    #     without sampling (round-3/4 last-seen) move into the
+    #     window; round-10-sampled rows go to the back ---
+    "expr_array_agg",
+    "expr_array_ops",
+    "expr_bit_aggregates",
+    "expr_bool_aggregates",
+    "expr_case",
+    "expr_cast",
+    "expr_extract_datetime",
+    "expr_json_extract",
+    "expr_math_functions",
+    "expr_quantifier_any",
+    "expr_stat_aggregates",
+    "expr_string_functions",
+    "expr_window_frame",
+    "expr_window_lag",
+    "expr_window_rank",
+    "flagship_regional_revenue",
+    "opt_injected_cards",
+    "opt_pgdp_regional_revenue",
+    "opt_ues_regional_revenue",
+    "pred_between_in",
+    "pred_compound",
+    "pred_like_family",
+    "pred_not_in_subquery",
+    "pred_null_tests",
+    "q12_shipping_priority_split",
+    "sample_domain_cap",
+    "sample_stratified",
+    "sql_cte_with",
+    "sql_cube",
+    "sql_fetch_first",
+    "sql_fetch_prior",
+    "sql_left_outer_join",
+    "sql_rollup",
+    "sql_table_function_range",
+    "sql_values_list",
+    "ann_pq_adc_topk",
+    "ann_quantized_rescore_topk",
+    "corpus_chunk_windows",
+    "corpus_seq_packing",
+    "dedup_minhash_lsh",
+    # --- beyond the 50-slot window: previous pins, recency order ---
     "parsed_case_exists",
     "parsed_expr_in_membership",
     "parsed_or_exists",
-    "parsed_ordered_agg",
     "parsed_qualify",
     "parsed_window_filter_distinct",
     "parsed_group_by_membership",
     "parsed_row_in_subquery",
     "parsed_quantified_comparisons",
-    "parsed_extract_parity_window_inheritance",
-    "parsed_corr_scalar_above_agg",
-    "parsed_within_group",
     "parsed_recursive_closure",
     "parsed_recursive_seq",
     "parsed_fetch_ties",
     "parsed_scalar_subquery_lift",
-    "parsed_correlated_scalar",
     "op_map_expressions",
-    "parsed_having_exists",
-    # --- round-10 rotation (verdict item 8): rows the driver has gone
-    #     longest without sampling move forward; union coverage stays
-    #     exact via the judge's full sweep each round ---
     "text_quality_score",
     "text_token_stats",
     "text_winnow_segments",
@@ -220,8 +265,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "op_relation_projection",
     "op_selection",
     "ann_cosine_topk",
-    # --- recently driver-verified (round-9 window, incl. its r2/r3
-    #     rotation rows) — pushed to the back of the list ---
     "parsed_group_by_all",
     "parsed_grouping_marker_native",
     "parsed_rollup_native",
