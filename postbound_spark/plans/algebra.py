@@ -1342,16 +1342,31 @@ class _Converter:
         if is_aggregated and any(_has_scalar_subquery(t) for t in consuming):
             agg_subs: dict[str, str] = {}
             pre_plans: list[ra.RelNode] = []
+            pre_laterals: list[Q.SubqueryTableSource] = []
+            seen_calls: set[str] = set()
             for text in consuming:
                 for call in _find_agg_calls(text):
-                    for s in _scalar_subquery_spans(call):
-                        if s not in agg_subs:
-                            self._lift_scalar_spans(
-                                s, pre_plans, subs_out=agg_subs
-                            )
-            if pre_plans:
+                    # the WHOLE call text goes in (round-11): memberships
+                    # inside aggregate arguments — `sum(CASE WHEN EXISTS
+                    # (…) …)`, `count(*) FILTER (WHERE k IN (…))` — need
+                    # their EXISTS/IN prefix visible to route onto the
+                    # count-form lift; a bare span would mis-classify as
+                    # a scalar subquery. These evaluate PRE-aggregation,
+                    # so correlated forms decorrelate below the Grouping.
+                    if call in seen_calls or not _has_scalar_subquery(call):
+                        continue
+                    seen_calls.add(call)
+                    self._lift_scalar_spans(
+                        call,
+                        pre_plans,
+                        laterals=pre_laterals,
+                        subs_out=agg_subs,
+                    )
+            if pre_plans or pre_laterals:
                 for sub in pre_plans:
                     tree = ra.CrossProduct(tree, sub)
+                for src in pre_laterals:
+                    tree = self._apply_lateral(tree, src, own_ids)
 
                 def fix_calls(text: str) -> str:
                     out = text

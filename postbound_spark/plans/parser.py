@@ -332,6 +332,44 @@ def _expand_grouping_sets(
                 flags=re.I,
             )
 
+        def null_absent(text: str) -> str:
+            # a grouping column ABSENT from this set is NULL in the
+            # branch's OUTPUT (the padding rule) — so its references in
+            # expression position (e.g. `CASE WHEN grouping(k)=1 THEN -1
+            # ELSE k END`, wave-8 probe) become NULL. References INSIDE
+            # aggregate arguments stay: aggregates compute over the
+            # underlying rows, never the padded key.
+            from postbound_spark.plans.algebra import _find_agg_calls
+
+            absent = sorted(all_group - in_set, key=len, reverse=True)
+            if not absent:
+                return text
+            spans: list[tuple[int, int]] = []
+            pos = 0
+            for call in _find_agg_calls(text):
+                at = text.find(call, pos)
+                if at >= 0:
+                    spans.append((at, at + len(call)))
+                    pos = at + len(call)
+
+            def sub_segment(seg: str) -> str:
+                for key in absent:
+                    bare = key.rsplit(".", 1)[-1]
+                    seg = re.sub(
+                        rf"(?<![\w$.])(?:[\w$]+\.)?{re.escape(bare)}(?![\w$(])",
+                        "NULL",
+                        seg,
+                    )
+                return seg
+
+            out, last = [], 0
+            for s, e in spans:
+                out.append(sub_segment(text[last:s]))
+                out.append(text[s:e])
+                last = e
+            out.append(sub_segment(text[last:]))
+            return "".join(out)
+
         select = []
         for p in q.select:
             sql = p.expr.sql
@@ -348,6 +386,12 @@ def _expand_grouping_sets(
                 )
             else:
                 marked = mark_grouping(sql)
+                if marked != sql:
+                    # only expressions that referenced GROUPING() also
+                    # NULL-pad their absent-key references — a plain
+                    # aggregate-only item never needs (and must not risk)
+                    # the textual substitution
+                    marked = null_absent(marked)
                 if marked != sql and p.alias is None:
                     raise UnsupportedSqlError(
                         "GROUPING() select items need an alias under the "
@@ -365,6 +409,7 @@ def _expand_grouping_sets(
         if having is not None:
             marked = mark_grouping(having.to_sql())
             if marked != having.to_sql():
+                marked = null_absent(marked)
                 having = Q.UnaryPredicate(
                     Q.UnaryOperation.BARE, Q.SqlExpression(marked)
                 )
@@ -1023,24 +1068,31 @@ class _Parser:
         filters on the marker and projects the original output names.
         Requires derivable output names — plain/qualified columns or
         explicit aliases (star selects reject loudly)."""
+        star_select = (
+            len(q.select) == 1
+            and q.select[0].alias is None
+            and q.select[0].expr.sql == "*"
+        )
         names: list[str] = []
-        for p in q.select:
-            text = p.expr.sql
-            name = p.alias
-            if name is None:
-                m = re.fullmatch(r"(?:[\w$]+\.)?([\w$]+)", text)
-                if m is None:
-                    raise UnsupportedSqlError(
-                        "QUALIFY requires every select item to be a plain "
-                        "column or carry an alias (output names feed the "
-                        "post-filter projection)"
-                    )
-                name = m.group(1)
-            names.append(name)
-        if len(set(names)) != len(names):
-            raise UnsupportedSqlError(
-                "QUALIFY with duplicate output column names is not modeled"
-            )
+        if not star_select:
+            for p in q.select:
+                text = p.expr.sql
+                name = p.alias
+                if name is None:
+                    m = re.fullmatch(r"(?:[\w$]+\.)?([\w$]+)", text)
+                    if m is None:
+                        raise UnsupportedSqlError(
+                            "QUALIFY requires every select item to be a "
+                            "plain column or carry an alias (output names "
+                            "feed the post-filter projection)"
+                        )
+                    name = m.group(1)
+                names.append(name)
+            if len(set(names)) != len(names):
+                raise UnsupportedSqlError(
+                    "QUALIFY with duplicate output column names is not "
+                    "modeled"
+                )
         pred_sql = pred.to_sql()
         for wname, spec in named.items():
             pred_sql = pred_sql.replace(
@@ -1059,8 +1111,15 @@ class _Parser:
             ),
         )
         return Q.SqlQuery(
-            select=tuple(
-                Q.BaseProjection(Q.SqlExpression(n)) for n in names
+            # a bare `SELECT *` outer level drops only the marker (wave-8
+            # probe: QUALIFY over a star select) — Spark's `* EXCEPT`
+            # projects everything else without needing the source schema
+            select=(
+                (Q.BaseProjection(Q.SqlExpression(f"* EXCEPT ({marker})")),)
+                if star_select
+                else tuple(
+                    Q.BaseProjection(Q.SqlExpression(n)) for n in names
+                )
             ),
             from_tables=(Q.TableReference(src, virtual=True),),
             where=Q.UnaryPredicate(
@@ -1865,6 +1924,21 @@ class _Parser:
         while self.t.peek() in ("+", "-", "||"):
             op = self.t.next()
             right = self._parse_multiplicative()
+            # DATE literal ± INTERVAL yields TIMESTAMP on Postgres/DuckDB
+            # where Spark keeps DATE (wave-8 probe find) — promote the
+            # DATE side so the result type matches the oracle's
+            if op in ("+", "-"):
+                l_sql, r_sql = left.sql, right.sql
+                if r_sql.upper().startswith("INTERVAL ") and re.match(
+                    r"(?i)^DATE\s*'", l_sql
+                ):
+                    l_sql = f"CAST({l_sql} AS timestamp)"
+                elif op == "+" and l_sql.upper().startswith(
+                    "INTERVAL "
+                ) and re.match(r"(?i)^DATE\s*'", r_sql):
+                    r_sql = f"CAST({r_sql} AS timestamp)"
+                left = _merge(f"{l_sql} {op} {r_sql}", left, right)
+                continue
             left = _merge(f"{left.sql} {op} {right.sql}", left, right)
         return left
 
@@ -1873,6 +1947,26 @@ class _Parser:
         while self.t.peek() in ("*", "/", "%"):
             op = self.t.next()
             right = self._parse_unary()
+            if op == "/":
+                # DuckDB/Postgres `/` over a decimal-point literal yields
+                # DOUBLE; Spark types the literal DECIMAL and returns
+                # DECIMAL (wave-8 probe find). Promote decimal-point
+                # LITERAL operands so both engines compute in DOUBLE —
+                # column-typed operands are untouched (parquet columns
+                # are int/double here; Spark int/int `/` is already
+                # fractional like DuckDB's).
+                l_sql = (
+                    f"CAST({left.sql} AS double)"
+                    if re.fullmatch(r"\d*\.\d+", left.sql)
+                    else left.sql
+                )
+                r_sql = (
+                    f"CAST({right.sql} AS double)"
+                    if re.fullmatch(r"\d*\.\d+", right.sql)
+                    else right.sql
+                )
+                left = _merge(f"{l_sql} / {r_sql}", left, right)
+                continue
             left = _merge(f"{left.sql} {op} {right.sql}", left, right)
         return left
 

@@ -1448,6 +1448,28 @@ REGRESSIONS = [
     "(SELECT 99))) THEN (SELECT max(r_regionkey) FROM region "
     "WHERE r_name = 'ASIA') ELSE 0 END = n_regionkey ORDER BY n_name"
     + ORDERED,
+    # round-11 probe-wave-8 finds, pinned:
+    # (f) CASE-of-grouping() with the key in the ELSE branch — absent
+    # keys NULL-pad in expression position under the desugar
+    "SELECT CASE WHEN grouping(n_regionkey) = 1 THEN -1 ELSE n_regionkey "
+    "END AS k, count(*) AS c FROM nation "
+    "GROUP BY GROUPING SETS ((n_regionkey), ()) ORDER BY k" + ORDERED,
+    # (g) DATE literal + INTERVAL yields TIMESTAMP (Postgres/DuckDB)
+    "SELECT DATE '1996-01-31' + INTERVAL '1' MONTH AS d1, "
+    "DATE '1995-03-31' - INTERVAL '1' MONTH AS d3",
+    # (h) decimal-point literal division computes in DOUBLE on DuckDB
+    "SELECT n_nationkey, n_nationkey / 4.0 AS d FROM nation "
+    "ORDER BY n_nationkey" + ORDERED,
+    # (i) correlated EXISTS inside an aggregate ARGUMENT — count-form
+    # lift with the decorrelated lateral attached BELOW the Grouping
+    "SELECT c.c_nationkey, CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM "
+    "nation n WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey > 2) "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS s FROM customer c "
+    "GROUP BY c.c_nationkey ORDER BY c.c_nationkey" + ORDERED,
+    # (j) QUALIFY over a bare star select — outer level is * EXCEPT(marker)
+    "SELECT * FROM (SELECT c_nationkey, c_custkey FROM customer) d "
+    "QUALIFY row_number() OVER (ORDER BY c_custkey) <= 5 "
+    "ORDER BY c_custkey" + ORDERED,
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
