@@ -29,7 +29,7 @@ import pandas as pd
 
 #: bump when the generated DATA changes (experiment fixture caches embed
 #: this in their done-markers so a stale cache regenerates, never serves)
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 INFO_TYPES = [
     "top 250 rank", "bottom 10 rank", "genres", "rating", "release dates",
@@ -752,6 +752,91 @@ def _seed_job_witnesses(tables: dict[str, pd.DataFrame], it_id: dict[str, int]) 
     mc(series1, us_co, 1, "(2004)")
     mc(series1, nl_co, 1, "(2004) (Netherlands)")
     mc(series2, film_de, 1, "(2007)")
+
+    # -- round-11 scale witnesses ----------------------------------------
+    # 23 queries matched only by CHANCE in the generated data at the 1x
+    # size and went empty on the x10 experiment corpus
+    # (experiments/job_corpus_x10.py): the generator's co-occurrence odds
+    # shift with n. Every family now has a constructed bundle, so
+    # non-vacuity holds at EVERY scale, not just the CI fixture size.
+
+    # family 1c: co-production note + top 250 rank + year > 2010
+    coprod = title("The Crown of the North", 2012)
+    mc(coprod, us_co, 1, "(2012) (worldwide) (co-production)")
+    mix(coprod, "top 250 rank", "117")
+
+    # families 3b / 4b: sequel keyword + Bulgaria country + 9+ rating
+    bulg = title("The Shadow Returns", 2012)
+    mk(bulg, "sequel")
+    mi(bulg, "countries", "Bulgaria")
+    mix(bulg, "rating", "9.2")
+
+    # family 5a: French theatrical production, Germanic country info
+    euro = title("The Winter Palace", 2007)
+    mc(euro, film_de, 1, "(2006) (France) (theatrical)")
+    mi(euro, "countries", "Germany")
+
+    # family 10b: Russian movie with an actor-producer, year > 2010
+    ru2 = title("The Iron Tsar", 2012)
+    ci(ru2, frank, "(producer)", "actor", chn("Captain"))
+    mc(ru2, ru_co, 1, "(2012)")
+
+    # family 16a: series episode 50-99 named after its character
+    epi = add(
+        "title", title="The Falcon: Part 60", imdb_index=None,
+        kind_id=kind("episode"), production_year=2009, imdb_id=None,
+        phonetic_code="F425", episode_of_id=None, season_nr=3,
+        episode_nr=60, series_years=None, md5sum="d" * 32,
+    )
+    falcon = person("Falconer, Fred", "m", "F425")
+    an(falcon, "Freddy Falcon")
+    ci(epi, falcon, None, "actor", chn("Captain"))
+    mk(epi, "character-name-in-title")
+    mc(epi, us_co, 1, "(2009) (USA)")
+
+    # families 17b/17c: Z- and X-named members of a charnamed US movie
+    zx = title("The Man of the House", 2003)
+    mk(zx, "character-name-in-title")
+    mc(zx, us_co, 1, "(2003) (USA)")
+    zack = person("Zimmerman, Zack", "m", "Z516")
+    xand = person("Xavier, Xander", "m", "X160")
+    ci(zx, zack, None, "actor", chn("The Man"))
+    ci(zx, xand, None, "actor", chn("Doctor"))
+
+    # family 18b: female writer on a high-rated note-less Horror
+    fem = title("The Silent Ward", 2010)
+    ci(fem, angelina, "(written by)", "writer", None)
+    mi(fem, "genres", "Horror")  # note stays NULL
+    mix(fem, "rating", "8.4")
+
+    # family 20c: the complete-cast superhero movie gains a %Man%
+    # character row (Tony Stark alone misses the LIKE)
+    ci(marvel, downey, None, "actor", chn("Iron Man"))
+
+    # families 22a-d / 28a-c: non-US 200x-noted Germanic murder movie
+    dark = title("The Long Dark", 2012)
+    mk(dark, "murder")
+    mc(dark, film_de, 2, "(2009) (worldwide)")
+    mi(dark, "countries", "Germany")
+    mix(dark, "rating", "6.8")
+    cc(dark, "crew", "complete")  # 28a/b: crew + <> complete+verified
+    cc(dark, "cast", "complete")  # 28c: cast + complete
+
+    # families 26a-c: complete+verified superhero, %Man% char, 8+ rating
+    hero = title("The Man of Steel Returns", 2012)
+    mk(hero, "superhero")
+    ci(hero, downey, None, "actor", chn("Superman"))
+    cc(hero, "cast", "complete+verified")
+    mix(hero, "rating", "8.4")
+
+    # families 30a-c: complete+verified violent Horror by a male writer
+    viol = title("The Butcher of Prague", 2012)
+    for k in ("murder", "blood"):
+        mk(viol, k)
+    ci(viol, frank, "(written by)", "writer", None)
+    mi(viol, "genres", "Horror")
+    mix(viol, "votes", "2200")
+    cc(viol, "cast", "complete+verified")
 
     for name, rows in added.items():
         if not rows:
