@@ -600,6 +600,7 @@ class _Converter:
                 relift_pre=relift_pre,
                 subs=subs,
                 subs_out=subs_out,
+                span_at=open_idx,
             )
             handled.append((open_idx, end))
 
@@ -638,6 +639,7 @@ class _Converter:
                     relift_pre=relift_pre,
                     subs=subs,
                     subs_out=subs_out,
+                    span_at=start,
                 )
                 continue
             if span in subs:
@@ -831,6 +833,7 @@ class _Converter:
         relift_pre: bool,
         subs: dict,
         subs_out: dict | None,
+        span_at: int | None = None,
     ) -> None:
         """``EXISTS (sub)`` / ``x [NOT] IN (sub)`` in expression position →
         boolean text over lifted COUNT-form scalar subqueries, riding the
@@ -856,7 +859,7 @@ class _Converter:
                 "execute via spark.sql / the registry SQL path"
             )
 
-        idx = text.find(span)
+        idx = text.find(span) if span_at is None else span_at
         pre = text[:idx]
         kw_m = re.search(r"(?i)\b(exists|in|any|all|some)\s*$", pre)
         if kw_m is None:  # defensive: caller matched on lowered text

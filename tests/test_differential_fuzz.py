@@ -1470,6 +1470,12 @@ REGRESSIONS = [
     "SELECT * FROM (SELECT c_nationkey, c_custkey FROM customer) d "
     "QUALIFY row_number() OVER (ORDER BY c_custkey) <= 5 "
     "ORDER BY c_custkey" + ORDERED,
+    # (k) the SAME membership subquery text twice with DIFFERENT operands
+    # — each occurrence's operand is sliced at its own offset, never the
+    # first occurrence's
+    "SELECT n.n_name, CASE WHEN n.n_nationkey IN (SELECT r_regionkey FROM "
+    "region) THEN 1 WHEN n.n_regionkey IN (SELECT r_regionkey FROM region) "
+    "THEN 2 ELSE 0 END AS tag FROM nation n ORDER BY n.n_name" + ORDERED,
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
