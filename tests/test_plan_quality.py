@@ -1266,3 +1266,19 @@ def test_corr_scalar_join_decorrelates_per_key(registry, spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
     # the correlation is a keyed equi-join, never a nested loop
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_ordered_agg_mixed_single_aggregate_no_python(registry, spark, sf_small):
+    """Round-11: the comparator-lambda ordered-agg lowering stays one
+    hash aggregate collecting per-group arrays plus per-group in-memory
+    sorts — no extra exchange beyond the group-key shuffle, no Python
+    evaluation, no window machinery."""
+    df = _build(registry, spark, sf_small, "parsed_ordered_agg_mixed")
+    plan = _formatted_plan(df)
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    # one group-key exchange feeding the aggregate plus the final
+    # sort's range exchange — nothing else shuffles (formatted mode
+    # lists each node in the tree AND the details section)
+    assert plan.count("Exchange") <= 4
