@@ -689,14 +689,24 @@ class _Converter:
                     and bool(_find_agg_calls(inner.select[0].expr.sql))
                 )
             )
-            if not single_row:
-                raise UnsupportedSqlError(
-                    "scalar subqueries without a structural single-row "
-                    "guarantee (FROM-less or global aggregate) are not "
-                    "compilable by the algebra path; execute via "
-                    "spark.sql / the registry SQL path "
-                    "(e.g. expr_scalar_subquery)"
-                )
+            # the as-of / top-1 shape (round-11): `(SELECT x FROM t WHERE
+            # corr ORDER BY k LIMIT 1)` yields AT MOST one row per outer
+            # tuple — compiled as a row_number-per-correlation-key lateral
+            # LEFT join (match-less outer rows read NULL, per scalar
+            # semantics). Only the CORRELATED form routes here; an
+            # uncorrelated ORDER BY/LIMIT scalar keeps the rejection (a
+            # 0-row cross product would drop outer rows).
+            topone = (
+                not single_row
+                and bool(inner.from_tables)
+                and bool(inner.order_by)
+                and inner.limit == 1
+                and not inner.group_by
+                and inner.having is None
+                and not inner.distinct
+                and not inner.distinct_on
+                and not _find_agg_calls(inner.select[0].expr.sql)
+            )
             inner_ids = {t.identifier for t in inner.from_tables} | {
                 j.source.identifier for j in inner.joins
             } | {name for name, _sub in inner.ctes} | set(self.ctes)
@@ -707,6 +717,15 @@ class _Converter:
                 c.table is not None and c.table.identifier not in inner_ids
                 for c in refs
             )
+            if not single_row and not (correlated and topone):
+                raise UnsupportedSqlError(
+                    "scalar subqueries without a structural single-row "
+                    "guarantee (FROM-less, global aggregate, or "
+                    "correlated ORDER BY … LIMIT 1) are not "
+                    "compilable by the algebra path; execute via "
+                    "spark.sql / the registry SQL path "
+                    "(e.g. expr_scalar_subquery)"
+                )
             if correlated:
                 lat_sink = laterals
                 if lat_sink is None and relift_pre:
@@ -749,7 +768,10 @@ class _Converter:
                 if (
                     lat_sink is None
                     or not inner.from_tables
-                    or not _find_agg_calls(inner.select[0].expr.sql)
+                    or not (
+                        topone
+                        or _find_agg_calls(inner.select[0].expr.sql)
+                    )
                 ):
                     raise UnsupportedSqlError(
                         "correlated scalar subqueries in this position are "
@@ -764,7 +786,9 @@ class _Converter:
                     select=(Q.BaseProjection(inner.select[0].expr, name),),
                 )
                 lat_sink.append(
-                    Q.SubqueryTableSource(sub_q, alias, lateral=True)
+                    Q.SubqueryTableSource(
+                        sub_q, alias, lateral=True, scalar_left=topone
+                    )
                 )
                 col = f"{alias}.{name}"
                 if lat_sink is self._agg_member_laterals and re.match(
@@ -1596,9 +1620,14 @@ class _Converter:
         Plain laterals compile to an inner join (comma-LATERAL = CROSS JOIN
         LATERAL: match-less outer rows drop)."""
         sub = src.query
-        if sub.group_by or sub.limit is not None or sub.distinct_on:
+        if sub.group_by or sub.distinct_on:
             raise UnsupportedSqlError(
-                "LATERAL subqueries with GROUP BY/LIMIT are not modeled"
+                "LATERAL subqueries with GROUP BY are not modeled"
+            )
+        if sub.limit is not None and not sub.order_by:
+            raise UnsupportedSqlError(
+                "LATERAL/scalar subqueries with LIMIT need ORDER BY for "
+                "deterministic row choice"
             )
         # explicit JOINs inside the subquery are fine — the inner tree is
         # built by parse_relalg like any query (INNER joins fold to
@@ -1653,6 +1682,63 @@ class _Converter:
         ]
         is_aggregate = bool(agg_projs)
         key_names = [f"__latkey{i}" for i in range(len(corr_eqs))]
+
+        if sub.limit is not None:
+            # top-N-per-outer (round-11): `LATERAL (SELECT … WHERE corr
+            # ORDER BY k LIMIT n [OFFSET m])` and the lifted correlated
+            # scalar `ORDER BY … LIMIT 1` — ONE row_number window
+            # partitioned on the correlation keys over the inner (Spark's
+            # InferWindowGroupLimit keeps it a per-key top-n, never a full
+            # per-partition sort), a rank-range filter, and a keyed join
+            # back. Per key, never per outer row, at any scale.
+            if is_aggregate:
+                raise UnsupportedSqlError(
+                    "LATERAL LIMIT over aggregate projections is not "
+                    "modeled — drop the LIMIT (a global aggregate is "
+                    "already one row per key)"
+                )
+            rn = self._gensym("latrn")
+            order_items = []
+            for o in sub.order_by:
+                txt = f"{o.expr.sql} {'ASC' if o.ascending else 'DESC'}"
+                nf = o.nulls_first if o.nulls_first is not None else False
+                txt += " NULLS FIRST" if nf else " NULLS LAST"
+                order_items.append(txt)
+            part = ", ".join(expr for _o, expr in corr_eqs)
+            extra = tuple(
+                Q.BaseProjection(Q.SqlExpression(expr), k)
+                for k, (_o, expr) in zip(key_names, corr_eqs)
+            )
+            rn_proj = Q.BaseProjection(
+                Q.SqlExpression(
+                    f"row_number() OVER (PARTITION BY {part} "
+                    f"ORDER BY {', '.join(order_items)})"
+                ),
+                rn,
+            )
+            inner_query = sub.with_clause(
+                where=Q.and_(*local) if local else None,
+                select=tuple(sub.select) + extra + (rn_proj,),
+                order_by=(),
+                limit=None,
+                offset=None,
+            )
+            inner_tree: ra.RelNode = ra.SubqueryScan(
+                parse_relalg(inner_query, scope_ctes=self.ctes),
+                alias=src.alias,
+            )
+            off = sub.offset or 0
+            inner_tree = ra.Selection(
+                inner_tree, f"{rn} > {off} AND {rn} <= {off + sub.limit}"
+            )
+            cond = " AND ".join(
+                f"{outer_transform(outer) if outer_transform else outer} "
+                f"= {src.alias}.{k}"
+                for (outer, _i), k in zip(corr_eqs, key_names)
+            )
+            how = "left" if src.scalar_left else "inner"
+            tree = ra.ThetaJoin(tree, inner_tree, cond, how=how)
+            return ra.Drop(tree, tuple(key_names) + (rn,))
 
         if is_aggregate:
             if len(agg_projs) != len(sub.select):

@@ -157,6 +157,11 @@ class SubqueryTableSource:
     alias: str
     lateral: bool = False
     columns: tuple[str, ...] = ()
+    #: synthetic source from a lifted correlated SCALAR subquery with
+    #: ORDER BY … LIMIT 1 (the as-of/top-1 shape): joins LEFT so a
+    #: match-less outer row reads NULL, per scalar-subquery semantics
+    #: (a user-written comma-LATERAL stays an inner join)
+    scalar_left: bool = False
 
     @property
     def full_name(self) -> str:

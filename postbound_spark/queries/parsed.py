@@ -1451,3 +1451,30 @@ def parsed_ordered_agg_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate collecting per-group arrays plus a per-group in-memory
     sort; no extra exchange, no Python."""
     return _native(spark, sf_dir, _ORDERED_AGG_MIXED_SQL, ["customer"])
+
+
+_SCALAR_TOP1_SQL = """
+SELECT c.c_custkey,
+       (SELECT o.o_orderkey FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+        LIMIT 1) AS last_order
+FROM customer c
+ORDER BY c.c_custkey
+"""
+
+
+@query("parsed_scalar_top1", oracle=_SCALAR_TOP1_SQL)
+def parsed_scalar_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: the as-of scalar — a correlated subquery with
+    ``ORDER BY … LIMIT 1`` (at most one row per outer tuple; NULL when
+    no rows match). Compiled as ONE row_number window partitioned on the
+    correlation key over the inner, a rank filter, and a keyed LEFT
+    join back to the outer — Spark's InferWindowGroupLimit keeps the
+    window a per-key top-1, never a full per-partition sort. DuckDB runs
+    identical text. ``LIMIT n [OFFSET m]`` in explicit LATERAL position
+    rides the same lowering with an inner join.
+
+    Scale shape: one hash exchange on the correlation key + a group-
+    limited window + one keyed join — per key, never per outer row."""
+    return _native(spark, sf_dir, _SCALAR_TOP1_SQL, ["customer", "orders"])

@@ -110,9 +110,28 @@ def predicate(draw, tables: list[str]) -> str:
         # (inner table must not collide with an outer identifier — the
         # engine's clean rejection asks for explicit aliases there)
         kinds.append("corr_scalar")
+        kinds.append("corr_scalar_top1")
     if table in ("region", "nation"):
         kinds.append("corr_scalar_join")
     kind = draw(st.sampled_from(kinds))
+    if kind == "corr_scalar_top1":
+        # grammar v22 (round-11): the as-of scalar — correlated
+        # ORDER BY … LIMIT 1 [OFFSET 1], compiled as a row_number
+        # lateral LEFT join (NULL when no rows; 3VL comparison drops
+        # the row on both engines). Unique ORDER key => deterministic.
+        inner_t, ik, ok = CORR[table]
+        uniq = {"orders": "o_orderkey", "customer": "c_custkey",
+                "nation": "n_nationkey"}[inner_t]
+        sel = draw(st.sampled_from(INT_COLS[inner_t]))
+        lhs = draw(st.sampled_from(INT_COLS[table]))
+        op = draw(st.sampled_from(["<", ">=", ">"]))
+        dirn = draw(st.sampled_from(["ASC", "DESC"]))
+        off = draw(st.sampled_from(["", " OFFSET 1"]))
+        return (
+            f"{lhs} {op} (SELECT {sel} FROM {inner_t} "
+            f"WHERE {ik} = {table}.{ok} "
+            f"ORDER BY {uniq} {dirn} LIMIT 1{off})"
+        )
     if kind == "corr_scalar_join":
         # grammar v22: CORRELATED scalar whose body holds an explicit
         # LEFT JOIN (TPC-H Q2/Q17 family, round-11) — the inner join

@@ -1282,3 +1282,16 @@ def test_ordered_agg_mixed_single_aggregate_no_python(registry, spark, sf_small)
     # sort's range exchange — nothing else shuffles (formatted mode
     # lists each node in the tree AND the details section)
     assert plan.count("Exchange") <= 4
+
+
+def test_scalar_top1_is_window_group_limited(registry, spark, sf_small):
+    """Round-11: the as-of scalar (correlated ORDER BY ... LIMIT 1)
+    compiles to a group-limited window over the inner + one keyed LEFT
+    join — no per-row subquery, no cartesian, and Spark's
+    InferWindowGroupLimit bounds the per-key sort."""
+    df = _build(registry, spark, sf_small, "parsed_scalar_top1")
+    plan = _formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
