@@ -717,11 +717,11 @@ class _Converter:
                 c.table is not None and c.table.identifier not in inner_ids
                 for c in refs
             )
-            if not single_row and not (correlated and topone):
+            if not single_row and not topone:
                 raise UnsupportedSqlError(
                     "scalar subqueries without a structural single-row "
                     "guarantee (FROM-less, global aggregate, or "
-                    "correlated ORDER BY … LIMIT 1) are not "
+                    "ORDER BY … LIMIT 1) are not "
                     "compilable by the algebra path; execute via "
                     "spark.sql / the registry SQL path "
                     "(e.g. expr_scalar_subquery)"
@@ -807,6 +807,22 @@ class _Converter:
                 inner,
                 select=(Q.BaseProjection(inner.select[0].expr, name),),
             )
+            if not single_row:
+                # UNCORRELATED ORDER BY … LIMIT 1 (round-11): the derived
+                # table yields ≤1 row, and a cross product with an EMPTY
+                # subplan would drop every outer row where SQL says the
+                # scalar is NULL. A global min() over the ≤1-row derived
+                # table restores the exactly-one-row guarantee (min of a
+                # single value IS the value; min of none is NULL) — the
+                # lift then rides the ordinary 1-row broadcast attach.
+                t1 = self._gensym("t1")
+                from postbound_spark.plans.parser import (
+                    parse_query as _reparse,
+                )
+                inner = _reparse(
+                    f"SELECT min({name}) AS {name} "
+                    f"FROM ({inner.to_sql()}) {t1}"
+                )
             plans.append(parse_relalg(inner, scope_ctes=self.ctes))
             subs[span] = name
             if subs_out is None:

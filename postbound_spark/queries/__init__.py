@@ -123,6 +123,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #     first): join-bearing correlated scalars, comparator
     #     ordered-agg, WITHIN GROUP NULLS spec, epoch lowering,
     #     HAVING column-beats-alias, lateral machinery ---
+    "parsed_scalar_top1",
     "parsed_corr_scalar_join",
     "parsed_ordered_agg_mixed",
     "parsed_ordered_agg",

@@ -177,6 +177,18 @@ def predicate(draw, tables: list[str]) -> str:
         col = draw(st.sampled_from(INT_COLS[table]))
         op = draw(st.sampled_from(["<", ">=", ">"]))
         sub_t = draw(st.sampled_from(["region", "nation"]))
+        if draw(st.booleans()):
+            # v22 (round-11): uncorrelated ORDER BY … LIMIT 1 [OFFSET] —
+            # lowered through the min()-wrapper so the 1-row attach holds
+            # even for an empty derived table (OFFSET past the end)
+            sel = draw(st.sampled_from(INT_COLS[sub_t]))
+            uniq = {"region": "r_regionkey", "nation": "n_nationkey"}[sub_t]
+            dirn = draw(st.sampled_from(["ASC", "DESC"]))
+            noff = draw(st.integers(0, 30))
+            return (
+                f"{col} {op} (SELECT {sel} FROM {sub_t} "
+                f"ORDER BY {uniq} {dirn} LIMIT 1 OFFSET {noff})"
+            )
         fn = draw(st.sampled_from(["min", "max", "count"]))
         arg = "*" if fn == "count" else draw(st.sampled_from(INT_COLS[sub_t]))
         off = draw(st.integers(0, 5))
@@ -1495,6 +1507,16 @@ REGRESSIONS = [
     "SELECT n.n_name, CASE WHEN n.n_nationkey IN (SELECT r_regionkey FROM "
     "region) THEN 1 WHEN n.n_regionkey IN (SELECT r_regionkey FROM region) "
     "THEN 2 ELSE 0 END AS tag FROM nation n ORDER BY n.n_name" + ORDERED,
+    # (l) the as-of scalar: correlated ORDER BY … LIMIT 1 → row_number
+    # lateral LEFT join (NULL when no rows); OFFSET shifts the rank
+    "SELECT c.c_custkey, (SELECT o.o_orderkey FROM orders o WHERE "
+    "o.o_custkey = c.c_custkey ORDER BY o.o_orderdate DESC, o.o_orderkey "
+    "DESC LIMIT 1 OFFSET 1) AS second_last FROM customer c "
+    "ORDER BY c.c_custkey" + ORDERED,
+    # (m) uncorrelated ORDER BY … LIMIT 1 scalar, incl. the EMPTY case
+    # (OFFSET past the end must read NULL, not drop outer rows)
+    "SELECT n_name, (SELECT r_regionkey FROM region ORDER BY r_regionkey "
+    "LIMIT 1 OFFSET 40) AS nothing FROM nation ORDER BY n_name" + ORDERED,
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
