@@ -84,7 +84,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<qid>"[^"]*")
     | (?P<id>[A-Za-z_][A-Za-z_0-9$]*)
-    | (?P<op>\|\||::|@>|<@|&&|<=|>=|<>|!=|[=<>(),.\[\]*/+\-%:])
+    | (?P<op>\|\||::|@>|<@|&&|<=|>=|<>|!=|[=<>(),.\[\]*/+\-%:^])
     """,
     re.X | re.S,
 )
@@ -93,7 +93,8 @@ _KEYWORDS_STOP = {
     # tokens that terminate an expression / cannot start a primary
     "from", "where", "group", "having", "order", "limit", "offset", "fetch",
     "as", "on", "join", "inner", "left", "right", "full", "cross", "natural",
-    "and", "or", "not", "in", "is", "between", "like", "ilike", "then",
+    "and", "or", "not", "in", "is", "between", "like", "ilike", "similar",
+    "then",
     "when", "else", "end", "union", "intersect", "except", "asc", "desc",
     "nulls", "by", "distinct", "all", "any", "some", "exists", "over",
     "partition", "filter", "rows", "row", "only", "with", "using",
@@ -1565,7 +1566,9 @@ class _Parser:
             tail_kw = self.t.peek_kw()
             if tail_tok in (
                 "=", "<>", "!=", "<", "<=", ">", ">=", "@>", "<@", "&&",
-            ) or tail_kw in ("in", "between", "like", "ilike", "is", "not"):
+            ) or tail_kw in (
+                "in", "between", "like", "ilike", "similar", "is", "not",
+            ):
                 qal = self._projection_predicate(expr)
             else:
                 qal = expr.to_qal()
@@ -1670,7 +1673,7 @@ class _Parser:
                 expr_ops = {
                     "=", "<>", "!=", "<", "<=", ">", ">=", "+", "-", "*",
                     "/", "%", "||", "::", "[", "between", "in", "like",
-                    "ilike", "is", "not", "@>", "<@", "&&",
+                    "ilike", "similar", "is", "not", "@>", "<@", "&&",
                 }
                 if nxt not in expr_ops:
                     return inner
@@ -1752,6 +1755,32 @@ class _Parser:
             return Q.BinaryPredicate(
                 ops[(negated, kw)], expr.to_qal(), rhs
             )
+
+        if kw == "similar":
+            # SIMILAR TO, DuckDB semantics (the oracle): the pattern is a
+            # FULL-match-anchored POSIX regex taken VERBATIM — DuckDB does
+            # NOT apply the Postgres `%`→`.*` / `_`→`.` wildcard dialect
+            # (wave-9 probe: 'x' SIMILAR TO '%1%' is FALSE there). Pinned
+            # to the oracle; the Postgres wildcard reading is a documented
+            # divergence. Lowered to regexp_like with ^(…)$ anchors.
+            self.t.next()
+            self.t.expect("to")
+            pattern = self.t.next()
+            if not (pattern.startswith("'") and pattern.endswith("'")):
+                raise UnsupportedSqlError(
+                    "SIMILAR TO requires a literal pattern"
+                )
+            raw = pattern[1:-1]
+            # the IR carries ANSI literals — the compiler doubles
+            # backslashes for Spark once, so none are added here
+            rx_lit = "'^(" + raw + ")$'"
+            pred = Q.UnaryPredicate(
+                Q.UnaryOperation.BARE,
+                Q.SqlExpression(
+                    f"regexp_like({expr.sql}, {rx_lit})", expr.cols
+                ),
+            )
+            return self._negate(pred, negated)
 
         if negated:
             raise ParserError("dangling NOT before non-predicate tail")
@@ -1943,10 +1972,10 @@ class _Parser:
         return left
 
     def _parse_multiplicative(self) -> _Expr:
-        left = self._parse_unary()
+        left = self._parse_power()
         while self.t.peek() in ("*", "/", "%"):
             op = self.t.next()
-            right = self._parse_unary()
+            right = self._parse_power()
             if op == "/":
                 # DuckDB/Postgres `/` over a decimal-point literal yields
                 # DOUBLE; Spark types the literal DECIMAL and returns
@@ -1968,6 +1997,18 @@ class _Parser:
                 left = _merge(f"{l_sql} / {r_sql}", left, right)
                 continue
             left = _merge(f"{left.sql} {op} {right.sql}", left, right)
+        return left
+
+    def _parse_power(self) -> _Expr:
+        # `^` is POWER on Postgres/DuckDB (Spark's `^` is bitwise XOR —
+        # a silent-divergence trap, wave-9): left-assoc, binds tighter
+        # than * / %, looser than unary minus — matching DuckDB's
+        # -2 ^ 2 = 4 and 2 ^ 3 ^ 2 = 64
+        left = self._parse_unary()
+        while self.t.peek() == "^":
+            self.t.next()
+            right = self._parse_unary()
+            left = _merge(f"power({left.sql}, {right.sql})", left, right)
         return left
 
     def _parse_unary(self) -> _Expr:
@@ -1994,16 +2035,41 @@ class _Parser:
                         self._parse_expression() if self.t.peek() != "]" else None
                     )
                     self.t.expect("]")
-                    lo = lower.sql if lower else ""
-                    hi = upper.sql if upper else ""
+                    # DuckDB/Postgres slices are 1-based INCLUSIVE both
+                    # ends — Spark's slice(expr, start, length) spelling
+                    # (wave-9: the raw [a:b] text is not Spark SQL at all)
+                    if lower is not None and upper is not None:
+                        body = (
+                            f"slice({expr.sql}, {lower.sql}, "
+                            f"({upper.sql}) - ({lower.sql}) + 1)"
+                        )
+                    elif upper is not None:
+                        body = f"slice({expr.sql}, 1, {upper.sql})"
+                    elif lower is not None:
+                        body = (
+                            f"slice({expr.sql}, {lower.sql}, "
+                            f"size({expr.sql}))"
+                        )
+                    else:
+                        body = expr.sql
                     expr = _merge(
-                        f"{expr.sql}[{lo}:{hi}]",
+                        body,
                         expr,
                         *(p for p in (lower, upper) if p),
                     )
                 else:
                     self.t.expect("]")
-                    expr = _merge(f"{expr.sql}[{lower.sql}]", expr, lower)
+                    # DuckDB/Postgres subscripts are 1-BASED with NULL
+                    # out of bounds; Spark's raw [i] is 0-based (silent
+                    # off-by-one — wave-9). try_element_at is 1-based,
+                    # NULL OOB, negative-from-end — exactly DuckDB's
+                    # list semantics (index 0 errors loudly on Spark
+                    # where DuckDB reads NULL; documented residual).
+                    expr = _merge(
+                        f"try_element_at({expr.sql}, {lower.sql})",
+                        expr,
+                        lower,
+                    )
                 continue
             if self.t.peek() == "::":
                 # Postgres cast shorthand → CAST (ref CastExpression :359)
@@ -2326,6 +2392,29 @@ class _Parser:
                         "'day' maps exactly"
                     )
                 body = f"datediff({args[2].sql}, {args[1].sql})"
+            elif (
+                low_name == "date_trunc"
+                and len(args) == 2
+                and not distinct
+                and re.fullmatch(
+                    r"'(day|week|month|quarter|year|isoyear|decade"
+                    r"|century|millennium)'",
+                    args[0].sql,
+                    re.I,
+                )
+            ):
+                # DuckDB/Postgres date_trunc returns DATE for day-or-
+                # coarser fields where Spark keeps TIMESTAMP (wave-9
+                # probe find) — cast to the oracle's type
+                body = (
+                    f"CAST(date_trunc({args[0].sql}, {args[1].sql}) "
+                    f"AS DATE)"
+                )
+            elif low_name == "log" and len(args) == 1 and not distinct:
+                # Postgres/DuckDB log(x) is BASE-10; Spark's log(x) is
+                # natural log (silent-divergence trap, wave-9). The
+                # 2-arg log(base, x) agrees on both engines; ln() too.
+                body = f"log10({args[0].sql})"
             elif low_name == "sha256" and len(args) == 1 and not distinct:
                 # DuckDB/Postgres sha256(x) → Spark's sha2(x, 256)
                 # (wave-6 parity find; identical hex on both engines)

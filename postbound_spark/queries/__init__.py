@@ -124,6 +124,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #     ordered-agg, WITHIN GROUP NULLS spec, epoch lowering,
     #     HAVING column-beats-alias, lateral machinery ---
     "parsed_scalar_top1",
+    "parsed_operator_parity",
     "parsed_corr_scalar_join",
     "parsed_ordered_agg_mixed",
     "parsed_ordered_agg",

@@ -1478,3 +1478,37 @@ def parsed_scalar_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash exchange on the correlation key + a group-
     limited window + one keyed join — per key, never per outer row."""
     return _native(spark, sf_dir, _SCALAR_TOP1_SQL, ["customer", "orders"])
+
+
+_OPERATOR_PARITY_SQL = """
+SELECT n_nationkey,
+       round(n_regionkey ^ 2, 1) AS pow_caret,
+       round(log(n_nationkey + 10), 4) AS log10_val,
+       round(log(2, n_nationkey + 2), 4) AS log2_val,
+       (array[n_nationkey, n_regionkey, 99])[1] AS elem1,
+       (array[10, 20, 30])[-1] AS elem_neg,
+       (array[n_nationkey])[5] AS elem_oob,
+       CAST((array[10, 20, 30, 40])[2:3] AS STRING) AS sliced,
+       CAST(n_name SIMILAR TO 'NATION_[0-9]' AS STRING) AS single_digit
+FROM nation
+WHERE n_name NOT SIMILAR TO 'REGION.*'
+ORDER BY n_nationkey
+"""
+
+
+@query("parsed_operator_parity", oracle=_OPERATOR_PARITY_SQL)
+def parsed_operator_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 9): operator-parity lowerings where the raw
+    spelling would run on Spark with DIFFERENT semantics — `^` is power
+    on DuckDB/Postgres but XOR on Spark (lowered to power(), DuckDB's
+    left-assoc precedence), 1-arg log() is base-10 vs natural (log10),
+    array subscripts are 1-based NULL-out-of-bounds vs 0-based
+    (try_element_at; negative indexes count from the end), `[a:b]`
+    slices are 1-based inclusive (slice(start, length)), and SIMILAR TO
+    is DuckDB's full-match-anchored verbatim regex (regexp_like with
+    ^(…)$ — DuckDB does NOT apply the Postgres %-wildcard dialect).
+    DuckDB runs identical text.
+
+    Scale shape: all map-side scalar expressions inside whole-stage
+    codegen; the filter reaches the parquet scan."""
+    return _native(spark, sf_dir, _OPERATOR_PARITY_SQL, ["nation"])

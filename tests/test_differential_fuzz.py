@@ -103,7 +103,8 @@ def engines(spark, sf_small):
 @st.composite
 def predicate(draw, tables: list[str]) -> str:
     table = draw(st.sampled_from(tables))
-    kinds = ["cmp", "between", "in", "str_eq", "like", "scalar_cmp"]
+    kinds = ["cmp", "between", "in", "str_eq", "like", "scalar_cmp",
+             "parity_ops"]
     if table == "orders":
         kinds.append("ts_cmp")
     if table in CORR and CORR[table][0] not in tables:
@@ -114,6 +115,21 @@ def predicate(draw, tables: list[str]) -> str:
     if table in ("region", "nation"):
         kinds.append("corr_scalar_join")
     kind = draw(st.sampled_from(kinds))
+    if kind == "parity_ops":
+        # grammar v22 (round-11, wave-9): operator-parity lowerings in
+        # predicate position — `^` power, 1-arg log() base-10, 1-based
+        # subscripts with expression indexes
+        col = draw(st.sampled_from(INT_COLS[table]))
+        shape = draw(st.integers(0, 2))
+        if shape == 0:
+            return f"{col} < {draw(st.integers(2, 9))} ^ 2"
+        if shape == 1:
+            return f"log({col} + 10) < {draw(st.integers(1, 3))}"
+        k = draw(st.integers(2, 4))
+        return (
+            f"(array[{', '.join(str(10 * i) for i in range(1, k + 1))}])"
+            f"[{col} % {k} + 1] >= {draw(st.integers(10, 30))}"
+        )
     if kind == "corr_scalar_top1":
         # grammar v22 (round-11): the as-of scalar — correlated
         # ORDER BY … LIMIT 1 [OFFSET 1], compiled as a row_number
@@ -1517,6 +1533,23 @@ REGRESSIONS = [
     # (OFFSET past the end must read NULL, not drop outer rows)
     "SELECT n_name, (SELECT r_regionkey FROM region ORDER BY r_regionkey "
     "LIMIT 1 OFFSET 40) AS nothing FROM nation ORDER BY n_name" + ORDERED,
+    # round-11 probe-wave-9 operator-parity pins: ^ = power (DuckDB
+    # left-assoc), log() = base-10, subscripts 1-based NULL-OOB with
+    # negative-from-end, [a:b] slices inclusive, SIMILAR TO = anchored
+    # verbatim regex (DuckDB, NOT the Postgres wildcard dialect),
+    # date_trunc day-or-coarser returns DATE
+    "SELECT n_nationkey, round(n_regionkey ^ 2, 1) AS p, "
+    "round(2 ^ 3 ^ 2, 1) AS chain, round(log(n_nationkey + 10), 4) AS l "
+    "FROM nation ORDER BY n_nationkey" + ORDERED,
+    "SELECT n_nationkey, (array[n_nationkey, 7])[1] AS e1, "
+    "(array[n_nationkey])[5] AS oob, (array[10, 20, 30])[-1] AS neg, "
+    "CAST((array[10, 20, 30, 40])[2:3] AS STRING) AS sl "
+    "FROM nation ORDER BY n_nationkey" + ORDERED,
+    "SELECT n_name FROM nation WHERE n_name SIMILAR TO 'NATION_[0-9]' "
+    "ORDER BY n_name" + ORDERED,
+    "SELECT o_orderkey, date_trunc('week', o_orderdate) AS w, "
+    "date_trunc('quarter', o_orderdate) AS q FROM orders "
+    "WHERE o_orderkey < 12 ORDER BY o_orderkey" + ORDERED,
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
