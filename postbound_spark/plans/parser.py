@@ -428,6 +428,56 @@ def _expand_grouping_sets(
     return out
 
 
+def _align_union_by_name(
+    left: "Q.SqlQuery", right: "Q.SqlQuery"
+) -> tuple["Q.SqlQuery", "Q.SqlQuery"]:
+    """Desugar ``UNION [ALL] BY NAME`` (DuckDB): operands align on OUTPUT
+    NAMES instead of position — the combined schema is the left's names
+    followed by the right-only names, and a side missing a name pads it
+    with NULL. Both operands are re-projected in the combined order at
+    parse time, so the downstream set operation stays positional (the
+    engine-portable form both Spark and the relational algebra execute)."""
+
+    def names_of(side: "Q.SqlQuery", which: str) -> list[str]:
+        if not isinstance(side, Q.SqlQuery):
+            raise UnsupportedSqlError(
+                "UNION BY NAME over nested set-operation operands is not "
+                "modeled — parenthesize and alias a derived table"
+            )
+        out = []
+        for p in side.select:
+            from postbound_spark.plans.algebra import _output_name
+
+            name = p.alias or _output_name(p.expr.sql)
+            if name is None or p.expr.sql == "*" or p.expr.sql.endswith(".*"):
+                raise UnsupportedSqlError(
+                    f"UNION BY NAME needs derivable output names on the "
+                    f"{which} operand — alias the select item "
+                    f"({p.expr.sql!r})"
+                )
+            out.append(name)
+        if len(set(out)) != len(out):
+            raise UnsupportedSqlError(
+                "UNION BY NAME with duplicate output names is ambiguous"
+            )
+        return out
+
+    lnames, rnames = names_of(left, "left"), names_of(right, "right")
+    combined = lnames + [n for n in rnames if n not in lnames]
+
+    def reproject(side: "Q.SqlQuery", names: list[str]) -> "Q.SqlQuery":
+        have = dict(zip(names, side.select))
+        new_select = tuple(
+            Q.BaseProjection(
+                have[n].expr if n in have else Q.SqlExpression("NULL"), n
+            )
+            for n in combined
+        )
+        return replace(side, select=new_select)
+
+    return reproject(left, lnames), reproject(right, rnames)
+
+
 def _apply_cte_target_columns(
     name: str, body, cols: list[str]
 ):
@@ -692,7 +742,18 @@ class _Parser:
                     if self.t.accept("all")
                     else Q.SetOperator.EXCEPT
                 )
+            by_name = False
+            if (
+                kw == "union"
+                and self.t.peek_kw() == "by"
+                and self.t.peek_kw(1) == "name"
+            ):
+                self.t.next()
+                self.t.next()
+                by_name = True
             rhs = intersect_chain()
+            if by_name:
+                q, rhs = _align_union_by_name(q, rhs)
             q = Q.SetQuery(q, op, rhs)
         pending_sets = self._pending_grouping_sets
         self._pending_grouping_sets = None

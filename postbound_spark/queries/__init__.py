@@ -125,6 +125,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #     HAVING column-beats-alias, lateral machinery ---
     "parsed_scalar_top1",
     "parsed_operator_parity",
+    "parsed_union_by_name",
     "parsed_corr_scalar_join",
     "parsed_ordered_agg_mixed",
     "parsed_ordered_agg",

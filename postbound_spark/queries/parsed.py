@@ -1512,3 +1512,29 @@ def parsed_operator_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: all map-side scalar expressions inside whole-stage
     codegen; the filter reaches the parquet scan."""
     return _native(spark, sf_dir, _OPERATOR_PARITY_SQL, ["nation"])
+
+
+_UNION_BY_NAME_SQL = """
+SELECT n_nationkey AS id, n_name AS label, n_regionkey AS region
+FROM nation WHERE n_nationkey < 5
+UNION ALL BY NAME
+SELECT r_name AS label, r_regionkey AS id
+FROM region
+ORDER BY id, label NULLS LAST, region NULLS LAST
+"""
+
+
+@query("parsed_union_by_name", oracle=_UNION_BY_NAME_SQL)
+def parsed_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: ``UNION [ALL] BY NAME`` (DuckDB) — operands align on
+    OUTPUT NAMES, the combined schema is the left's names plus right-only
+    names, and a side missing a name pads NULL. Desugared at parse time
+    to re-projected positional operands, so the algebra/compile path
+    stays the ordinary Union. DuckDB runs identical text.
+
+    Scale shape: a projection per operand + the positional union — no
+    shuffle beyond what the set operation itself needs (UNION ALL adds
+    none)."""
+    return _native(
+        spark, sf_dir, _UNION_BY_NAME_SQL, ["nation", "region"]
+    )
