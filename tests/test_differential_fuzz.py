@@ -460,12 +460,28 @@ def set_query(draw) -> str:
     single-table selects over the integer key columns."""
     op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
 
-    def side(draw):
+    def side(draw, names=("k",)):
         t = draw(st.sampled_from(sorted(TABLES)))
-        col = draw(st.sampled_from(INT_COLS[t]))
+        cols = draw(
+            st.lists(
+                st.sampled_from(INT_COLS[t]),
+                min_size=len(names),
+                max_size=len(names),
+            )
+        )
         preds = draw(st.lists(predicate([t]), max_size=1))
         w = f" WHERE {preds[0]}" if preds else ""
-        return f"SELECT {col} AS k FROM {t}{w}"
+        items = ", ".join(f"{c} AS {n}" for c, n in zip(cols, names))
+        return f"SELECT {items} FROM {t}{w}"
+
+    if op.startswith("UNION") and draw(st.integers(0, 3)) == 0:
+        # grammar v22 (round-11): BY NAME alignment — sides share one
+        # name and each contributes a private one (NULL-padded)
+        l_names = draw(st.sampled_from([("k",), ("k", "la")]))
+        r_names = draw(st.sampled_from([("k",), ("rb", "k")]))
+        return (
+            f"{side(draw, l_names)} {op} BY NAME {side(draw, r_names)}"
+        )
 
     return f"{side(draw)} {op} {side(draw)}"
 
