@@ -1538,3 +1538,31 @@ def parsed_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _native(
         spark, sf_dir, _UNION_BY_NAME_SQL, ["nation", "region"]
     )
+
+
+_RANGE_INTERVAL_SQL = """
+SELECT o_orderkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL '30' DAY PRECEDING
+                        AND CURRENT ROW) AS c_back30,
+       count(*) OVER (ORDER BY o_orderdate
+                      RANGE BETWEEN CURRENT ROW
+                        AND INTERVAL '7' DAY FOLLOWING) AS c_fwd7
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
+@query("parsed_range_interval_frame", oracle=_RANGE_INTERVAL_SQL)
+def parsed_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: time-range window frames — ``RANGE BETWEEN INTERVAL …
+    PRECEDING/FOLLOWING`` over a timestamp ORDER key, carried VERBATIM
+    (Spark 4 executes interval range frames natively; DuckDB runs the
+    identical text). The sliding-window-over-time shape every sessions/
+    rates dashboard query uses.
+
+    Scale shape: one hash exchange per distinct PARTITION BY + an
+    ordered range-frame scan within each partition — the same
+    single-exchange bound as any window."""
+    return _native(spark, sf_dir, _RANGE_INTERVAL_SQL, ["orders"])
