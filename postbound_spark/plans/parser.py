@@ -1064,6 +1064,11 @@ class _Parser:
                 ):
                     base = named[_ident(self.t.next())]
                 spec = self._parse_window_body()
+                if getattr(self, "_last_frame_exclusion", None):
+                    raise UnsupportedSqlError(
+                        "frame EXCLUDE inside a named WINDOW clause is "
+                        "not modeled — inline the OVER specification"
+                    )
                 if base is not None:
                     if "ORDER BY" in base.sql and "ORDER BY" in spec.sql:
                         raise ParserError(
@@ -2569,7 +2574,53 @@ class _Parser:
                 spec = self._parse_window_body()
                 cols.extend(spec.cols)
                 self.t.expect(")")
-                body = f"{body} OVER ({spec.sql})"
+                excl = getattr(self, "_last_frame_exclusion", None)
+                if excl == "current row":
+                    # EXCLUDE CURRENT ROW ≡ subtract the current row's
+                    # contribution from the inclusive frame (the frame
+                    # was verified to contain the current row). Exact
+                    # for count/sum/avg; all-NULL-other frames read NULL
+                    # through the count guard.
+                    low_fn = name.lower()
+                    if distinct or filter_sql is not None:
+                        raise UnsupportedSqlError(
+                            "EXCLUDE CURRENT ROW combined with DISTINCT/"
+                            "FILTER window aggregates is not modeled"
+                        )
+                    w = f"OVER ({spec.sql})"
+                    if low_fn == "count" and star:
+                        body = f"(count(*) {w} - 1)"
+                    elif low_fn == "count" and args and len(args) == 1:
+                        x = args[0].sql
+                        body = (
+                            f"(count({x}) {w} - (CASE WHEN ({x}) IS NULL "
+                            f"THEN 0 ELSE 1 END))"
+                        )
+                    elif low_fn in ("sum", "avg") and args and len(args) == 1:
+                        x = args[0].sql
+                        n = (
+                            f"(count({x}) {w} - (CASE WHEN ({x}) IS NULL "
+                            f"THEN 0 ELSE 1 END))"
+                        )
+                        sm = f"(sum({x}) {w} - coalesce({x}, 0))"
+                        if low_fn == "sum":
+                            body = (
+                                f"(CASE WHEN {n} = 0 THEN NULL "
+                                f"ELSE {sm} END)"
+                            )
+                        else:
+                            body = (
+                                f"(CASE WHEN {n} = 0 THEN NULL ELSE "
+                                f"CAST({sm} AS DOUBLE) / {n} END)"
+                            )
+                    else:
+                        raise UnsupportedSqlError(
+                            f"EXCLUDE CURRENT ROW on {name}() is not "
+                            "modeled — only count/sum/avg subtract "
+                            "exactly"
+                        )
+                else:
+                    body = f"{body} OVER ({spec.sql})"
             else:
                 wname = _ident(self.t.next())
                 self.emitted_winref = True
@@ -2877,6 +2928,7 @@ class _Parser:
                 if not self.t.accept(","):
                     break
             wparts.append("ORDER BY " + ", ".join(oitems))
+        self._last_frame_exclusion = None
         if self.t.peek_kw() in ("rows", "range"):
             frame = [self.t.next().upper()]
             depth = 0
@@ -2889,6 +2941,32 @@ class _Parser:
                         break
                     depth -= 1
                 frame.append(self.t.next().upper())
+            if "EXCLUDE" in frame:
+                # ANSI frame exclusion (wave-9 follow-up): Spark has no
+                # EXCLUDE — NO OTHERS is the default (stripped), CURRENT
+                # ROW desugars at the CALL site for subtractable
+                # aggregates, GROUP/TIES keep a loud rejection
+                i = frame.index("EXCLUDE")
+                tail = " ".join(frame[i + 1:]).lower()
+                frame = frame[:i]
+                if tail == "no others":
+                    pass
+                elif tail == "current row":
+                    self._last_frame_exclusion = "current row"
+                    ftxt = " ".join(frame)
+                    if re.search(
+                        r"BETWEEN \d+ FOLLOWING|AND \d+ PRECEDING", ftxt
+                    ):
+                        raise UnsupportedSqlError(
+                            "EXCLUDE CURRENT ROW over a frame that may "
+                            "not contain the current row is not modeled"
+                        )
+                else:
+                    raise UnsupportedSqlError(
+                        f"window frame EXCLUDE {tail.upper()} is not "
+                        "modeled — only EXCLUDE CURRENT ROW (on "
+                        "count/sum/avg) and EXCLUDE NO OTHERS lower"
+                    )
             wparts.append(" ".join(frame))
         return _Expr(" ".join(wparts), tuple(cols))
 

@@ -1566,3 +1566,38 @@ def parsed_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered range-frame scan within each partition — the same
     single-exchange bound as any window."""
     return _native(spark, sf_dir, _RANGE_INTERVAL_SQL, ["orders"])
+
+
+_EXCLUDE_FRAME_SQL = """
+SELECT n_nationkey,
+       count(*) OVER (PARTITION BY n_regionkey
+                      ORDER BY n_nationkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING
+                      EXCLUDE CURRENT ROW) AS n_peers,
+       CAST(sum(n_nationkey) OVER (ORDER BY n_nationkey
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                      EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_sum,
+       round(avg(n_nationkey) OVER (PARTITION BY n_regionkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING
+                      EXCLUDE CURRENT ROW), 4) AS peer_avg
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query("parsed_exclude_current_row", oracle=_EXCLUDE_FRAME_SQL)
+def parsed_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: ANSI window frame exclusion — ``EXCLUDE CURRENT ROW``
+    (the leave-one-out window every peer-comparison query wants; Spark
+    has no EXCLUDE at all) desugars to subtracting the current row's
+    contribution from the inclusive frame: count-1, sum-x, (sum-x)/
+    (count-1), with a count guard so an all-NULL-other frame reads NULL.
+    Only frames verified to CONTAIN the current row lower; EXCLUDE
+    GROUP/TIES and non-subtractable aggregates keep loud rejections;
+    EXCLUDE NO OTHERS (the default) strips. DuckDB runs identical text.
+
+    Scale shape: same single window exchange as the inclusive frame —
+    the subtraction is a map-side scalar over the window output."""
+    return _native(spark, sf_dir, _EXCLUDE_FRAME_SQL, ["nation"])

@@ -1566,6 +1566,20 @@ REGRESSIONS = [
     "SELECT o_orderkey, date_trunc('week', o_orderdate) AS w, "
     "date_trunc('quarter', o_orderdate) AS q FROM orders "
     "WHERE o_orderkey < 12 ORDER BY o_orderkey" + ORDERED,
+    # round-11: EXCLUDE CURRENT ROW desugar (subtract-the-current-row),
+    # incl. the all-NULL-other frame reading NULL through the count guard
+    "SELECT c_custkey, CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN NULL "
+    "ELSE c_custkey END) OVER (ORDER BY c_custkey ROWS BETWEEN 1 "
+    "PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS s "
+    "FROM customer WHERE c_custkey < 30 ORDER BY c_custkey" + ORDERED,
+    "SELECT n_nationkey, count(*) OVER (PARTITION BY n_regionkey ORDER "
+    "BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+    "FOLLOWING EXCLUDE CURRENT ROW) AS c FROM nation "
+    "ORDER BY n_nationkey" + ORDERED,
+    # UNION BY NAME with disjoint sides NULL-pads on the combined schema
+    "SELECT n_regionkey AS k, n_nationkey AS la FROM nation WHERE "
+    "n_nationkey < 3 UNION ALL BY NAME SELECT r_name AS rb, r_regionkey "
+    "AS k FROM region ORDER BY k, la NULLS LAST, rb NULLS LAST",
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
