@@ -2459,6 +2459,52 @@ class _Parser:
                     )
                 body = f"datediff({args[2].sql}, {args[1].sql})"
             elif (
+                low_name in ("string_split", "str_split", "string_to_array")
+                and len(args) == 2
+                and not distinct
+            ):
+                # DuckDB/Postgres split on a LITERAL separator; Spark's
+                # split takes a REGEX — quote via Java's \Q…\E (wave-9
+                # parity family). The IR literal is ANSI; the compiler
+                # doubles backslashes for Spark exactly once.
+                sep = args[1].sql
+                if sep.startswith("'") and sep.endswith("'"):
+                    inner_sep = sep[1:-1]
+                    if "\\E" in inner_sep:
+                        raise UnsupportedSqlError(
+                            "separator containing \\E cannot be "
+                            "regex-quoted — use split() with an explicit "
+                            "pattern"
+                        )
+                    body = f"split({args[0].sql}, '\\Q{inner_sep}\\E')"
+                else:
+                    body = (
+                        f"split({args[0].sql}, "
+                        f"concat('\\Q', {args[1].sql}, '\\E'))"
+                    )
+            elif low_name == "strpos" and len(args) == 2 and not distinct:
+                body = f"instr({args[0].sql}, {args[1].sql})"
+            elif (
+                low_name == "starts_with" and len(args) == 2 and not distinct
+            ):
+                body = f"startswith({args[0].sql}, {args[1].sql})"
+            elif (
+                low_name == "list_contains"
+                and len(args) == 2
+                and not distinct
+            ):
+                body = f"array_contains({args[0].sql}, {args[1].sql})"
+            elif (
+                low_name == "array_to_string"
+                and len(args) == 2
+                and not distinct
+            ):
+                body = f"array_join({args[0].sql}, {args[1].sql})"
+            elif (
+                low_name == "array_length" and len(args) == 1 and not distinct
+            ):
+                body = f"size({args[0].sql})"
+            elif (
                 low_name == "date_trunc"
                 and len(args) == 2
                 and not distinct

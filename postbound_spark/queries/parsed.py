@@ -1601,3 +1601,30 @@ def parsed_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same single window exchange as the inclusive frame —
     the subtraction is a map-side scalar over the window output."""
     return _native(spark, sf_dir, _EXCLUDE_FRAME_SQL, ["nation"])
+
+
+_FN_PARITY_SQL = """
+SELECT n_nationkey,
+       (string_split(n_name, '_'))[2] AS num_part,
+       array_length(string_split(n_name, '_')) AS n_parts,
+       array_to_string(string_split(n_name, '_'), '/') AS joined,
+       strpos(n_name, '_') AS sep_pos,
+       CAST(starts_with(n_name, 'NATION') AS STRING) AS is_nation,
+       CAST(list_contains(array[1, 2, n_regionkey], 2) AS STRING) AS has2
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query("parsed_function_parity", oracle=_FN_PARITY_SQL)
+def parsed_function_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: DuckDB/Postgres function names lowered to their exact
+    Spark equivalents — string_split/str_split/string_to_array → split
+    with the separator regex-quoted via Java's \\\\Q…\\\\E (DuckDB splits
+    on a LITERAL; Spark's split takes a REGEX — '.' as separator was a
+    silent corruption), strpos → instr, starts_with → startswith,
+    list_contains → array_contains, array_to_string → array_join,
+    array_length → size. DuckDB runs identical text.
+
+    Scale shape: map-side scalar functions inside whole-stage codegen."""
+    return _native(spark, sf_dir, _FN_PARITY_SQL, ["nation"])
