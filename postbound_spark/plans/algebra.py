@@ -2139,10 +2139,6 @@ class _Converter:
                 tree = ra.CrossProduct(tree, sub)
             return self._finish_plain(tree)
 
-        if q.distinct_on:
-            raise UnsupportedSqlError(
-                "DISTINCT ON combined with grouping/aggregation is not modeled"
-            )
 
         # ---- Map: pre-compute expression group keys (ref relalg.py:2719) --
         key_names: dict[str, str] = {}
@@ -2345,6 +2341,50 @@ class _Converter:
             out_cols.append(f"{base} AS {name}" if base != name else base)
             out_names[text] = name
         tree = ra.Projection(tree, tuple(out_cols))
+
+        if q.distinct_on:
+            # DISTINCT ON over an AGGREGATED query (round-11; Postgres
+            # allows it — top-group-per-key): the first output row per
+            # key under the query's ORDER BY, applied ABOVE the final
+            # projection so keys and tiebreakers resolve as OUTPUT
+            # columns — the same one-shuffle row_number plan as the
+            # plain path (_finish_plain).
+            if not q.order_by:
+                raise UnsupportedSqlError(
+                    "DISTINCT ON needs ORDER BY for deterministic row "
+                    "choice"
+                )
+
+            def to_output(text: str) -> str:
+                resolved = out_names.get(text) or (
+                    text if text in out_names.values() else None
+                )
+                if resolved is None:
+                    raise UnsupportedSqlError(
+                        "DISTINCT ON over aggregation resolves keys and "
+                        "ORDER BY against the OUTPUT columns — project "
+                        f"and alias {text!r} in the select list"
+                    )
+                return resolved
+
+            part = ", ".join(to_output(e.sql) for e in q.distinct_on)
+            order_items = []
+            for o in q.order_by:
+                txt = (
+                    f"{to_output(o.expr.sql)} "
+                    f"{'ASC' if o.ascending else 'DESC'}"
+                )
+                nf = o.nulls_first if o.nulls_first is not None else False
+                txt += " NULLS FIRST" if nf else " NULLS LAST"
+                order_items.append(txt)
+            rn = self._gensym("rn")
+            tree = ra.Map(
+                tree,
+                ((rn, f"row_number() OVER (PARTITION BY {part} "
+                      f"ORDER BY {', '.join(order_items)})"),),
+            )
+            tree = ra.Selection(tree, f"{rn} = 1")
+            tree = ra.Drop(tree, (rn,))
 
         if q.distinct:
             tree = ra.DuplicateElimination(tree)

@@ -1628,3 +1628,27 @@ def parsed_function_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: map-side scalar functions inside whole-stage codegen."""
     return _native(spark, sf_dir, _FN_PARITY_SQL, ["nation"])
+
+
+_DISTINCT_ON_AGG_SQL = """
+SELECT DISTINCT ON (c_nationkey)
+       c_nationkey, c_mktsegment, count(*) AS cnt
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, cnt DESC, c_mktsegment
+"""
+
+
+@query("parsed_distinct_on_agg", oracle=_DISTINCT_ON_AGG_SQL)
+def parsed_distinct_on_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: DISTINCT ON over an AGGREGATED query (Postgres
+    semantics: the first output row per key under the ORDER BY — the
+    top-group-per-key report shape). Applied ABOVE the final projection,
+    where keys and tiebreakers resolve as output columns, via the same
+    one-shuffle row_number plan as the plain DISTINCT ON. DuckDB runs
+    identical text.
+
+    Scale shape: the aggregate's group-key exchange + one window
+    exchange on the DISTINCT ON key — InferWindowGroupLimit bounds the
+    rn=1 filter to a per-key top-1."""
+    return _native(spark, sf_dir, _DISTINCT_ON_AGG_SQL, ["customer"])
