@@ -1980,10 +1980,32 @@ class _Converter:
         sub = pred.subquery
         if not isinstance(sub, Q.SqlQuery):
             raise UnsupportedSqlError("set-query inside EXISTS is not supported")
-        if sub.group_by or sub.limit is not None or sub.having is not None:
+        # emptiness-invariant clauses strip (round-11): GROUP BY without
+        # HAVING yields ≥1 group iff ≥1 row; ORDER BY/DISTINCT never
+        # change emptiness; LIMIT n ≥ 1 keeps it, LIMIT 0 is constant
+        # emptiness. HAVING changes which groups survive — the semi-join
+        # decorrelation below cannot represent per-group filtering, so it
+        # keeps a loud rejection.
+        if sub.having is not None:
             raise UnsupportedSqlError(
-                "EXISTS subquery with grouping/limit is not modeled"
+                "EXISTS subquery with HAVING is not modeled on the "
+                "semi-join path — phrase the group filter as a derived "
+                "table or execute via spark.sql"
             )
+        if sub.limit == 0:
+            # EXISTS(… LIMIT 0): constant FALSE / NOT EXISTS: TRUE
+            if kind == "exists":
+                return ra.Selection(tree, "FALSE")
+            return tree
+        if sub.offset:
+            raise UnsupportedSqlError(
+                "EXISTS with OFFSET changes emptiness per skipped rows "
+                "and is not modeled — phrase as a count comparison"
+            )
+        sub = sub.with_clause(
+            group_by=(), order_by=(), limit=None, offset=None,
+            distinct=False, distinct_on=(), fetch_ties=False,
+        )
         self._check_alias_collisions(sub, outer_ids)
         inner_ids = {t.identifier for t in sub.from_tables}
         inner_conv = _Converter(sub, None)

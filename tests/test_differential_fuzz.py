@@ -1580,6 +1580,13 @@ REGRESSIONS = [
     "SELECT n_regionkey AS k, n_nationkey AS la FROM nation WHERE "
     "n_nationkey < 3 UNION ALL BY NAME SELECT r_name AS rb, r_regionkey "
     "AS k FROM region ORDER BY k, la NULLS LAST, rb NULLS LAST",
+    # round-11: EXISTS strips emptiness-invariant clauses (GROUP BY
+    # without HAVING, ORDER BY, DISTINCT, LIMIT >= 1); LIMIT 0 folds
+    "SELECT n_name FROM nation WHERE EXISTS (SELECT c_mktsegment FROM "
+    "customer WHERE c_nationkey = nation.n_nationkey AND c_acctbal > "
+    "9000 GROUP BY c_mktsegment LIMIT 1) ORDER BY n_name" + ORDERED,
+    "SELECT count(*) AS n FROM nation WHERE NOT EXISTS (SELECT 1 FROM "
+    "customer WHERE c_nationkey = nation.n_nationkey LIMIT 0)",
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
