@@ -905,7 +905,17 @@ class _Parser:
                 select=(Q.BaseProjection(Q.SqlExpression("*"), None),),
                 from_tables=(Q.TableReference(name),),
             )
-        return self._parse_select()
+        q = self._parse_select()
+        # GROUPING SETS expand PER OPERAND (round-11): consuming the
+        # pending sets here lets grouping-sets selects participate in set
+        # operations — the desugared UNION ALL simply becomes a nested
+        # set operand. Plain queries take the same route (the top-level
+        # expansion in parse_query remains as a safety net).
+        pending = self._pending_grouping_sets
+        self._pending_grouping_sets = None
+        if pending is not None:
+            return _expand_grouping_sets(q, pending)
+        return q
 
     def _parse_select(self) -> Q.SqlQuery:
         self.t.expect("select")

@@ -130,6 +130,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_exclude_current_row",
     "parsed_function_parity",
     "parsed_distinct_on_agg",
+    "parsed_grouping_sets_setop",
     "parsed_corr_scalar_join",
     "parsed_ordered_agg_mixed",
     "parsed_ordered_agg",

@@ -1652,3 +1652,28 @@ def parsed_distinct_on_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange on the DISTINCT ON key — InferWindowGroupLimit bounds the
     rn=1 filter to a per-key top-1."""
     return _native(spark, sf_dir, _DISTINCT_ON_AGG_SQL, ["customer"])
+
+
+_GSETS_SETOP_SQL = """
+SELECT n_regionkey AS k, count(*) AS c
+FROM nation
+GROUP BY GROUPING SETS ((n_regionkey), ())
+UNION ALL
+SELECT r_regionkey AS k, 100 AS c
+FROM region
+ORDER BY k NULLS FIRST, c
+"""
+
+
+@query("parsed_grouping_sets_setop", oracle=_GSETS_SETOP_SQL)
+def parsed_grouping_sets_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: GROUPING SETS as a SET-OPERATION operand — the pending
+    sets now expand per operand at parse time, so the desugared UNION
+    ALL nests as the operand and the outer set operation stays ordinary
+    (closes the round-10 documented rejection). DuckDB runs identical
+    text.
+
+    Scale shape: one grouped aggregate per set (shared scan under
+    Catalyst's exchange reuse) + the positional union — no shuffle
+    beyond the per-set aggregates."""
+    return _native(spark, sf_dir, _GSETS_SETOP_SQL, ["nation", "region"])

@@ -1541,15 +1541,20 @@ class TestGroupingSets:
                 "(n_regionkey, n_regionkey % 2))"
             )
 
-    def test_inside_set_operation_rejected_cleanly(self):
-        from postbound_spark.plans.parser import UnsupportedSqlError
+    def test_inside_set_operation_expands_per_operand(self):
+        # round-11: grouping sets participate in set operations — the
+        # per-operand expansion nests the desugared UNION ALL as the
+        # left operand
+        q = parse_query(
+            "SELECT n_regionkey, count(*) AS n FROM nation "
+            "GROUP BY GROUPING SETS ((n_regionkey), ()) "
+            "UNION ALL SELECT 1, 2"
+        )
+        import postbound_spark.plans.qal as Q
 
-        with pytest.raises(UnsupportedSqlError, match="set operation"):
-            parse_query(
-                "SELECT n_regionkey, count(*) AS n FROM nation "
-                "GROUP BY GROUPING SETS ((n_regionkey), ()) "
-                "UNION ALL SELECT 1, 2"
-            )
+        assert isinstance(q, Q.SetQuery)
+        assert isinstance(q.left, Q.SetQuery)  # the expansion
+        assert "GROUPING SETS" not in q.to_sql().upper()
 
     def test_subquery_scope_does_not_leak(self):
         # grouping sets inside a FROM subquery expand there, not at the
@@ -1583,18 +1588,20 @@ class TestGroupingSets:
         assert "UNION" not in q.left.having.to_sql()
 
     def test_later_set_operand_does_not_steal_sets(self):
-        """Companion regression: grouping sets in operand 1 of a set
-        query must be rejected (documented), not silently consumed by
-        operand 2's nested parse."""
-        from postbound_spark.plans.parser import UnsupportedSqlError
+        """Companion regression: operand 1's grouping sets expand ON
+        OPERAND 1 — never silently consumed by operand 2's nested parse
+        (the round-8 steal bug's set-operation analog)."""
+        q = parse_query(
+            "SELECT n_regionkey, count(*) AS n FROM nation "
+            "GROUP BY GROUPING SETS ((n_regionkey), ()) "
+            "UNION ALL SELECT r_regionkey, (SELECT count(*) FROM region) "
+            "FROM region"
+        )
+        import postbound_spark.plans.qal as Q
 
-        with pytest.raises(UnsupportedSqlError, match="set operation"):
-            parse_query(
-                "SELECT n_regionkey, count(*) AS n FROM nation "
-                "GROUP BY GROUPING SETS ((n_regionkey), ()) "
-                "UNION ALL SELECT r_regionkey, (SELECT count(*) FROM region) "
-                "FROM region"
-            )
+        assert isinstance(q.left, Q.SetQuery)  # expansion on operand 1
+        assert isinstance(q.right, Q.SqlQuery)  # operand 2 untouched
+        assert "GROUPING SETS" not in q.to_sql().upper()
 
 
 def test_select_list_scalar_subquery_lift_boundaries():
