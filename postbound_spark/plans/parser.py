@@ -2648,7 +2648,62 @@ class _Parser:
                 cols.extend(spec.cols)
                 self.t.expect(")")
                 excl = getattr(self, "_last_frame_exclusion", None)
-                if excl == "current row":
+                if excl in ("group", "ties"):
+                    # EXCLUDE GROUP/TIES ≡ subtract the PEER GROUP's
+                    # contribution (rows sharing the partition and every
+                    # ORDER BY key value); TIES adds the current row
+                    # back. Peer aggregates ride a second window keyed
+                    # on partition+order texts — whole-partition frame,
+                    # so it always covers the full peer group.
+                    low_fn = name.lower()
+                    if distinct or filter_sql is not None:
+                        raise UnsupportedSqlError(
+                            "EXCLUDE GROUP/TIES combined with DISTINCT/"
+                            "FILTER window aggregates is not modeled"
+                        )
+                    pkeys, okeys = getattr(
+                        self, "_last_window_keys", ([], [])
+                    )
+                    peer_keys = list(pkeys) + list(okeys)
+                    pw = (
+                        f"OVER (PARTITION BY {', '.join(peer_keys)})"
+                        if peer_keys
+                        else "OVER ()"
+                    )
+                    w = f"OVER ({spec.sql})"
+                    ties = excl == "ties"
+                    if low_fn == "count" and star:
+                        body = f"(count(*) {w} - count(*) {pw}"
+                        body += " + 1)" if ties else ")"
+                    elif low_fn in ("count", "sum", "avg") and args and len(
+                        args
+                    ) == 1:
+                        x = args[0].sql
+                        xn = f"(CASE WHEN ({x}) IS NULL THEN 0 ELSE 1 END)"
+                        n = f"(count({x}) {w} - count({x}) {pw}"
+                        n += f" + {xn})" if ties else ")"
+                        if low_fn == "count":
+                            body = n
+                        else:
+                            sm = f"(sum({x}) {w} - coalesce(sum({x}) {pw}, 0)"
+                            sm += f" + coalesce({x}, 0))" if ties else ")"
+                            if low_fn == "sum":
+                                body = (
+                                    f"(CASE WHEN {n} = 0 THEN NULL "
+                                    f"ELSE {sm} END)"
+                                )
+                            else:
+                                body = (
+                                    f"(CASE WHEN {n} = 0 THEN NULL ELSE "
+                                    f"CAST({sm} AS DOUBLE) / {n} END)"
+                                )
+                    else:
+                        raise UnsupportedSqlError(
+                            f"EXCLUDE {excl.upper()} on {name}() is not "
+                            "modeled — only count/sum/avg subtract "
+                            "exactly"
+                        )
+                elif excl == "current row":
                     # EXCLUDE CURRENT ROW ≡ subtract the current row's
                     # contribution from the inclusive frame (the frame
                     # was verified to contain the current row). Exact
@@ -2966,12 +3021,14 @@ class _Parser:
         ``OVER (...)`` and the named ``WINDOW w AS (...)`` clause."""
         cols: list[Q.ColumnReference] = []
         wparts: list[str] = []
+        self._last_window_keys = ([], [])
         if self.t.accept("partition", "by"):
             pexprs = [self._parse_expression()]
             while self.t.accept(","):
                 pexprs.append(self._parse_expression())
             for p in pexprs:
                 cols.extend(p.cols)
+            self._last_window_keys = ([p.sql for p in pexprs], [])
             wparts.append(
                 "PARTITION BY " + ", ".join(p.sql for p in pexprs)
             )
@@ -2980,6 +3037,7 @@ class _Parser:
             while True:
                 oexpr = self._parse_expression()
                 cols.extend(oexpr.cols)
+                self._last_window_keys[1].append(oexpr.sql)
                 otxt = oexpr.sql
                 desc = False
                 if self.t.accept("desc"):
@@ -3002,6 +3060,7 @@ class _Parser:
                     break
             wparts.append("ORDER BY " + ", ".join(oitems))
         self._last_frame_exclusion = None
+        frame: list[str] = []
         if self.t.peek_kw() in ("rows", "range"):
             frame = [self.t.next().upper()]
             depth = 0
@@ -3014,7 +3073,14 @@ class _Parser:
                         break
                     depth -= 1
                 frame.append(self.t.next().upper())
-            if "EXCLUDE" in frame:
+        elif self.t.peek_kw() == "exclude":
+            # EXCLUDE with the IMPLICIT frame (RANGE UNBOUNDED PRECEDING
+            # .. CURRENT ROW when ORDER BY is present) — value-based, so
+            # it contains the current row and whole peer groups
+            frame = [self.t.next().upper()]
+            while self.t.peek() is not None and self.t.peek() != ")":
+                frame.append(self.t.next().upper())
+        if frame and "EXCLUDE" in frame:
                 # ANSI frame exclusion (wave-9 follow-up): Spark has no
                 # EXCLUDE — NO OTHERS is the default (stripped), CURRENT
                 # ROW desugars at the CALL site for subtractable
@@ -3034,12 +3100,24 @@ class _Parser:
                             "EXCLUDE CURRENT ROW over a frame that may "
                             "not contain the current row is not modeled"
                         )
+                elif tail in ("group", "ties"):
+                    # peer-group exclusions subtract the PEER window —
+                    # only value-based (RANGE) frames are guaranteed to
+                    # contain whole peer groups
+                    if frame and frame[0] == "ROWS":
+                        raise UnsupportedSqlError(
+                            f"EXCLUDE {tail.upper()} over a ROWS frame "
+                            "may split a peer group and is not modeled "
+                            "— use a RANGE frame"
+                        )
+                    self._last_frame_exclusion = tail
                 else:
                     raise UnsupportedSqlError(
                         f"window frame EXCLUDE {tail.upper()} is not "
-                        "modeled — only EXCLUDE CURRENT ROW (on "
-                        "count/sum/avg) and EXCLUDE NO OTHERS lower"
+                        "modeled — only EXCLUDE CURRENT ROW/GROUP/TIES "
+                        "(on count/sum/avg) and EXCLUDE NO OTHERS lower"
                     )
+        if frame:
             wparts.append(" ".join(frame))
         return _Expr(" ".join(wparts), tuple(cols))
 

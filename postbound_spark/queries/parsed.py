@@ -1677,3 +1677,36 @@ def parsed_grouping_sets_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst's exchange reuse) + the positional union — no shuffle
     beyond the per-set aggregates."""
     return _native(spark, sf_dir, _GSETS_SETOP_SQL, ["nation", "region"])
+
+
+_EXCLUDE_PEERS_SQL = """
+SELECT n_nationkey,
+       CAST(sum(n_nationkey) OVER (ORDER BY n_regionkey
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            EXCLUDE GROUP) AS BIGINT) AS before_my_region,
+       CAST(sum(n_nationkey) OVER (ORDER BY n_regionkey
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            EXCLUDE TIES) AS BIGINT) AS no_peer_ties,
+       count(*) OVER (PARTITION BY n_regionkey % 2 ORDER BY n_regionkey
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            EXCLUDE GROUP) AS c_group
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query("parsed_exclude_group_ties", oracle=_EXCLUDE_PEERS_SQL)
+def parsed_exclude_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: frame exclusion's peer-group forms — ``EXCLUDE GROUP``
+    (drop the current row AND its ORDER-BY peers) and ``EXCLUDE TIES``
+    (drop peers, keep the row) — desugared by subtracting a SECOND
+    window keyed on partition+order texts (the peer total) from the
+    frame aggregate, TIES adding the current row back. RANGE frames only
+    (value-based frames contain whole peer groups by construction; ROWS
+    frames reject loudly). DuckDB runs identical text; the implicit-
+    frame spelling additionally executes on Spark as an ANSI superset
+    (DuckDB's own grammar requires an explicit frame there).
+
+    Scale shape: two window functions over the SAME partition exchange
+    (Catalyst reuses it) + map-side arithmetic — no extra shuffle."""
+    return _native(spark, sf_dir, _EXCLUDE_PEERS_SQL, ["nation"])
