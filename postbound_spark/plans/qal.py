@@ -554,11 +554,19 @@ _CAST_RE_SRC = r"^CAST\((?P<inner>.+) AS [\w ()]+\)$"
 
 
 def _strip_cast(sql: str) -> str:
-    """Casts are tolerated and dropped by the views (ref :3727-3728)."""
+    """Casts are tolerated and dropped by the views (ref :3727-3728) —
+    including the parser's own int-cast lowering ``CAST(round(x) AS
+    int)`` (round-11: DuckDB/Postgres cast-rounding parity), whose
+    round() wrapper is part of the cast, not a value modification the
+    author wrote."""
     import re as _re
 
     m = _re.match(_CAST_RE_SRC, sql.strip(), _re.I)
-    return m.group("inner").strip() if m else sql.strip()
+    inner = m.group("inner").strip() if m else sql.strip()
+    rm = _re.match(r"^round\((?P<x>.+)\)$", inner, _re.I)
+    if m and rm:
+        inner = rm.group("x").strip()
+    return inner
 
 
 def _as_plain_column(expr: SqlExpression) -> ColumnReference | None:
