@@ -1763,9 +1763,25 @@ class _Parser:
 
         if kw == "between":
             self.t.next()
+            symmetric = False
+            if self.t.peek_kw() == "symmetric":
+                # ANSI BETWEEN SYMMETRIC: bounds sort themselves —
+                # desugared via least/greatest at parse time (wave-11:
+                # the bare spelling parsed SYMMETRIC as a column and
+                # returned silently wrong rows). ASYMMETRIC is the
+                # default and simply strips.
+                self.t.next()
+                symmetric = True
+            elif self.t.peek_kw() == "asymmetric":
+                self.t.next()
             lower = self._parse_expression()
             self.t.expect("and")
             upper = self._parse_expression()
+            if symmetric:
+                lo = f"least({lower.sql}, {upper.sql})"
+                hi = f"greatest({lower.sql}, {upper.sql})"
+                lower = _Expr(lo, lower.cols + upper.cols)
+                upper = _Expr(hi, lower.cols)
             pred: Q.AbstractPredicate = Q.BetweenPredicate(
                 expr.to_qal(), lower.to_qal(), upper.to_qal()
             )

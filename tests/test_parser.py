@@ -2760,3 +2760,25 @@ def test_ignore_nulls_and_window_family(name, spark, sf_small):
     )
     want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
     assert got == want and len(got) > 0
+
+
+def test_between_symmetric_desugars_to_sorted_bounds():
+    """Round-11: ANSI BETWEEN SYMMETRIC sorts its own bounds — desugared
+    to least/greatest at parse time (the bare spelling used to parse
+    SYMMETRIC as a column and return silently wrong rows). DuckDB parses
+    but cannot execute the spelling (T_List not-implemented), so this is
+    gated structurally: the desugared form is ordinary BETWEEN, which
+    the whole oracle suite covers."""
+    q = parse_query(
+        "SELECT n_nationkey FROM nation "
+        "WHERE n_nationkey BETWEEN SYMMETRIC 7 AND 3"
+    )
+    txt = q.where.to_sql()
+    assert "least(7, 3)" in txt and "greatest(7, 3)" in txt
+    # ASYMMETRIC is the default and simply strips
+    q2 = parse_query(
+        "SELECT n_nationkey FROM nation "
+        "WHERE n_nationkey BETWEEN ASYMMETRIC 3 AND 7"
+    )
+    assert "ASYMMETRIC" not in q2.where.to_sql().upper()
+    assert "BETWEEN 3 AND 7" in q2.where.to_sql()

@@ -1295,3 +1295,13 @@ def test_scalar_top1_is_window_group_limited(registry, spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_exclude_group_ties_shares_one_exchange(registry, spark, sf_small):
+    """Round-11: the EXCLUDE GROUP/TIES desugar's frame and peer windows
+    stack on ONE exchange — the subtraction adds window operators, never
+    a shuffle."""
+    df = _build(registry, spark, sf_small, "parsed_exclude_group_ties")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
