@@ -1710,3 +1710,27 @@ def parsed_exclude_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two window functions over the SAME partition exchange
     (Catalyst reuses it) + map-side arithmetic — no extra shuffle."""
     return _native(spark, sf_dir, _EXCLUDE_PEERS_SQL, ["nation"])
+
+
+_LATERAL_ALIAS_SQL = """
+SELECT n_nationkey,
+       n_regionkey + 1 AS bumped,
+       bumped * 10 AS scaled,
+       scaled - n_nationkey AS adjusted
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query("parsed_lateral_column_alias", oracle=_LATERAL_ALIAS_SQL)
+def parsed_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: LATERAL COLUMN ALIASES — a select item referencing an
+    EARLIER item's alias (`x + 1 AS a, a * 2 AS b`), the incremental-
+    derivation style DuckDB popularized. Spark 4 resolves the chain
+    natively (lateralColumnAlias), so the text carries verbatim through
+    the native pipeline; this entry pins the resolution end-to-end.
+    DuckDB runs identical text.
+
+    Scale shape: one map-side projection — Catalyst inlines the alias
+    chain into a single Project."""
+    return _native(spark, sf_dir, _LATERAL_ALIAS_SQL, ["nation"])
