@@ -2237,7 +2237,7 @@ class _Parser:
         if low == "case":
             return self._parse_case()
 
-        if low == "cast":
+        if low in ("cast", "try_cast"):
             self.t.next()
             self.t.expect("(")
             is_pred = False
@@ -2260,6 +2260,20 @@ class _Parser:
             self.t.expect("as")
             target = self._parse_type_name()
             self.t.expect(")")
+            if low == "try_cast":
+                # TRY_CAST: NULL-on-failure on both engines; DuckDB also
+                # ROUNDS to-int. Spark's round() THROWS on non-numeric
+                # input, so the rounding rides through an inner
+                # TRY_CAST-to-double (NULL flows through round; values
+                # beyond 2^53 lose precision — documented edge)
+                if not is_pred and target.lower() in _INT_CAST_TARGETS:
+                    lowered = (
+                        f"TRY_CAST(round(TRY_CAST({inner.sql} AS double)) "
+                        f"AS {target})"
+                    )
+                else:
+                    lowered = f"TRY_CAST({inner.sql} AS {target})"
+                return _Expr(lowered, inner.cols)
             return _Expr(
                 _int_cast(inner.sql, target, is_pred), inner.cols
             )
@@ -2413,7 +2427,16 @@ class _Parser:
             distinct = self.t.accept("distinct")
             args: list[_Expr] = []
             if self.t.peek() != ")":
-                args.append(self._parse_expression())
+                if name.lower() in ("if", "iff"):
+                    # if(cond, a, b) (DuckDB/Spark agree): the CONDITION
+                    # is a predicate, which the plain expression grammar
+                    # cannot parse (round-11 — the spelling failed loud)
+                    cond = self._parse_predicate()
+                    for leaf in cond.iterpredicates():
+                        cols.extend(leaf.columns())
+                    args.append(_Expr(cond.to_sql()))
+                else:
+                    args.append(self._parse_expression())
                 while self.t.accept(","):
                     args.append(self._parse_expression())
             # in-call aggregate ORDER BY — `string_agg(x, d ORDER BY k)`,

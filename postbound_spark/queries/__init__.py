@@ -133,6 +133,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_grouping_sets_setop",
     "parsed_exclude_group_ties",
     "parsed_lateral_column_alias",
+    "parsed_try_cast_if",
     "parsed_corr_scalar_join",
     "parsed_ordered_agg_mixed",
     "parsed_ordered_agg",

@@ -1734,3 +1734,29 @@ def parsed_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side projection — Catalyst inlines the alias
     chain into a single Project."""
     return _native(spark, sf_dir, _LATERAL_ALIAS_SQL, ["nation"])
+
+
+_TRY_CAST_IF_SQL = """
+SELECT n_nationkey,
+       try_cast('1.5' AS INT) AS rounded,
+       try_cast(n_name AS INT) AS not_numeric,
+       try_cast(n_regionkey AS STRING) AS as_text,
+       if(n_regionkey > 2, 'hi', 'lo') AS band,
+       if(n_regionkey IN (1, 2) AND n_nationkey < 10, n_nationkey, -1)
+           AS guarded
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query("parsed_try_cast_if", oracle=_TRY_CAST_IF_SQL)
+def parsed_try_cast_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: TRY_CAST (NULL-on-failure; integer targets round
+    half-away-from-zero like DuckDB, routed through an inner
+    try-to-double so non-numeric input flows NULL instead of throwing)
+    and the if(cond, a, b) conditional, whose CONDITION argument parses
+    through the predicate grammar (both spellings previously failed at
+    parse). DuckDB runs identical text.
+
+    Scale shape: map-side scalar expressions in whole-stage codegen."""
+    return _native(spark, sf_dir, _TRY_CAST_IF_SQL, ["nation"])
