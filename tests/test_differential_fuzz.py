@@ -1587,6 +1587,11 @@ REGRESSIONS = [
     "9000 GROUP BY c_mktsegment LIMIT 1) ORDER BY n_name" + ORDERED,
     "SELECT count(*) AS n FROM nation WHERE NOT EXISTS (SELECT 1 FROM "
     "customer WHERE c_nationkey = nation.n_nationkey LIMIT 0)",
+    # round-11: TRY_CAST (to-int rounds like DuckDB; non-numeric flows
+    # NULL) and if(predicate, a, b)
+    "SELECT n_nationkey, try_cast('1.5' AS INT) AS r, try_cast(n_name "
+    "AS INT) AS nn, if(n_regionkey > 2 AND n_nationkey < 20, 'hi', 'lo') "
+    "AS band FROM nation ORDER BY n_nationkey" + ORDERED,
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
