@@ -3100,6 +3100,13 @@ class _Parser:
             wparts.append("ORDER BY " + ", ".join(oitems))
         self._last_frame_exclusion = None
         frame: list[str] = []
+        if self.t.peek_kw() == "groups":
+            raise UnsupportedSqlError(
+                "GROUPS window frames are not modeled — Spark has no "
+                "peer-group frame mode; RANGE frames cover the "
+                "value-based cases, and EXCLUDE GROUP/TIES cover the "
+                "peer-exclusion ones"
+            )
         if self.t.peek_kw() in ("rows", "range"):
             frame = [self.t.next().upper()]
             depth = 0
