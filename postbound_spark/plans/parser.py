@@ -223,6 +223,9 @@ def _merge(sql: str, *parts: _Expr) -> _Expr:
 #: uniquifier for QUALIFY's marker/source names (atomic under the GIL)
 _QUALIFY_COUNTER = itertools.count(1)
 
+#: uniquifier for the GROUPS-frame peer-index columns / source names
+_GROUPS_COUNTER = itertools.count(1)
+
 _WINREF_PREFIX = "\x00WINREF\x00"
 
 #: sentinel for ORDER BY ALL — expanded at the parse_query level (the
@@ -564,6 +567,11 @@ class _Parser:
         #: consumed (and reset) by the nearest enclosing parse_query,
         #: which expands the select into a UNION ALL chain
         self._pending_grouping_sets: list[list[_Expr]] | None = None
+        #: GROUPS-frame windows recorded by _parse_window_body while a
+        #: select list parses: dense-rank window spec text → synthetic
+        #: peer-index column name. Consumed (and save/restored around
+        #: nested scopes) by _parse_select's _desugar_groups call.
+        self._groups_windows: dict[str, str] = {}
 
     # ---- queries ---------------------------------------------------------
 
@@ -572,6 +580,13 @@ class _Parser:
         q = self.parse_query()
         if self.t.peek() is not None:
             raise ParserError(f"trailing tokens at {self.t.peek()!r}")
+        if self._groups_windows:
+            # recorded by a window OUTSIDE any select list (top-level
+            # ORDER BY) — no scope computes the peer index there
+            raise UnsupportedSqlError(
+                "GROUPS window frames outside a SELECT list are not "
+                "modeled"
+            )
         if explain is not None:
             q = replace(q, explain=explain)
         return q
@@ -919,6 +934,11 @@ class _Parser:
 
     def _parse_select(self) -> Q.SqlQuery:
         self.t.expect("select")
+        # GROUPS-frame windows recorded while THIS select's expressions
+        # parse are consumed by _desugar_groups below; the enclosing
+        # scope's pending map is saved so a subquery cannot steal it
+        outer_groups = self._groups_windows
+        self._groups_windows = {}
         distinct = False
         distinct_on: tuple[Q.SqlExpression, ...] = ()
         if self.t.accept("distinct"):
@@ -1128,9 +1148,80 @@ class _Parser:
             joins=tuple(explicit_joins),
             ctes=tuple(lifted_ctes),
         )
+        groups_specs = self._groups_windows
+        self._groups_windows = outer_groups
+        if groups_specs:
+            q = self._desugar_groups(q, groups_specs)
         if qualify is not None:
             q = self._desugar_qualify(q, qualify, named)
         return q
+
+    def _desugar_groups(
+        self, q: Q.SqlQuery, specs: dict[str, str]
+    ) -> Q.SqlQuery:
+        """Second half of the GROUPS-frame rewrite (see
+        ``_rewrite_groups_frame``): wrap the select so the peer-index
+        columns — ``dense_rank()`` over each GROUPS window's own
+        PARTITION/ORDER spec — are computed ONE LEVEL BELOW the windows
+        that frame over them (Spark cannot nest window functions in one
+        expression). The wrapper CTE keeps the original FROM/WHERE (the
+        index is a post-WHERE window like any other) and is re-aliased
+        to the original table's identifier so qualified references in
+        the select list survive unchanged; ORDER BY/LIMIT attach to the
+        OUTER query at the parse_query level, preserving
+        windows-before-LIMIT evaluation order."""
+        if (
+            q.group_by
+            or q.having is not None
+            or q.distinct
+            or q.distinct_on
+        ):
+            raise UnsupportedSqlError(
+                "GROUPS window frames over aggregated/DISTINCT queries "
+                "are not modeled — wrap the aggregation in a subquery"
+            )
+        if len(q.from_tables) != 1 or q.joins:
+            raise UnsupportedSqlError(
+                "GROUPS window frames need a single FROM source "
+                "(qualified references must survive the peer-index "
+                "rewrite) — wrap the join in a subquery"
+            )
+        src_tab = q.from_tables[0]
+        src = f"__groups_src{next(_GROUPS_COUNTER)}"
+        gnames = list(specs.values())
+        inner = replace(
+            q,
+            select=(Q.BaseProjection(Q.SqlExpression("*")),)
+            + tuple(
+                Q.BaseProjection(
+                    Q.SqlExpression(f"dense_rank() OVER ({spec})"), gname
+                )
+                for spec, gname in specs.items()
+            ),
+        )
+        out_sel: list[Q.BaseProjection] = []
+        for p in q.select:
+            if p.alias is None and p.expr.sql == "*":
+                # drop only the synthetic peer indexes from a star
+                out_sel.append(
+                    Q.BaseProjection(
+                        Q.SqlExpression(f"* EXCEPT ({', '.join(gnames)})")
+                    )
+                )
+            elif p.alias is None and p.expr.sql.endswith(".*"):
+                raise UnsupportedSqlError(
+                    "alias.* together with GROUPS window frames is not "
+                    "modeled — list the columns"
+                )
+            else:
+                out_sel.append(p)
+        return Q.SqlQuery(
+            select=tuple(out_sel),
+            from_tables=(
+                Q.TableReference(src, alias=src_tab.identifier, virtual=True),
+            ),
+            ctes=(Q.CommonTableExpression(src, inner),),
+        )
 
     def _desugar_qualify(
         self,
@@ -3100,14 +3191,7 @@ class _Parser:
             wparts.append("ORDER BY " + ", ".join(oitems))
         self._last_frame_exclusion = None
         frame: list[str] = []
-        if self.t.peek_kw() == "groups":
-            raise UnsupportedSqlError(
-                "GROUPS window frames are not modeled — Spark has no "
-                "peer-group frame mode; RANGE frames cover the "
-                "value-based cases, and EXCLUDE GROUP/TIES cover the "
-                "peer-exclusion ones"
-            )
-        if self.t.peek_kw() in ("rows", "range"):
+        if self.t.peek_kw() in ("rows", "range", "groups"):
             frame = [self.t.next().upper()]
             depth = 0
             while self.t.peek() is not None:
@@ -3163,9 +3247,52 @@ class _Parser:
                         "modeled — only EXCLUDE CURRENT ROW/GROUP/TIES "
                         "(on count/sum/avg) and EXCLUDE NO OTHERS lower"
                     )
+        if frame and frame[0] == "GROUPS":
+            frame, wparts = self._rewrite_groups_frame(frame, wparts)
         if frame:
             wparts.append(" ".join(frame))
         return _Expr(" ".join(wparts), tuple(cols))
+
+    def _rewrite_groups_frame(
+        self, frame: list[str], wparts: list[str]
+    ) -> tuple[list[str], list[str]]:
+        """GROUPS frames (SQL:2011 peer-group mode; DuckDB runs them
+        natively, Spark has no GROUPS frame type) → an EXACT two-level
+        rewrite: ``dense_rank()`` over the window's own PARTITION/ORDER
+        numbers peer groups consecutively, so a RANGE frame over that
+        integer with the SAME offsets covers exactly the requested peer
+        groups (CURRENT ROW in RANGE mode already means the whole peer —
+        all rows with the current peer index). This rewrites the frame
+        and ORDER BY here; _desugar_groups wraps the query one level
+        below to COMPUTE the recorded peer-index column."""
+        ftxt = " ".join(frame)
+        bound = r"UNBOUNDED PRECEDING|UNBOUNDED FOLLOWING|CURRENT ROW|\d+ PRECEDING|\d+ FOLLOWING"
+        if not re.fullmatch(
+            rf"GROUPS (?:BETWEEN (?:{bound}) AND (?:{bound})"
+            rf"|UNBOUNDED PRECEDING|CURRENT ROW|\d+ PRECEDING)",
+            ftxt,
+        ):
+            raise UnsupportedSqlError(
+                f"GROUPS frame bounds must be integer literals, CURRENT "
+                f"ROW, or UNBOUNDED (got {ftxt!r})"
+            )
+        order_idx = next(
+            (i for i, p in enumerate(wparts) if p.startswith("ORDER BY ")),
+            None,
+        )
+        if order_idx is None:
+            raise UnsupportedSqlError(
+                "GROUPS window frames require ORDER BY (peer groups are "
+                "defined by the ordering keys)"
+            )
+        spec_text = " ".join(wparts)
+        gname = self._groups_windows.get(spec_text)
+        if gname is None:
+            gname = f"__groups_g{next(_GROUPS_COUNTER)}"
+            self._groups_windows[spec_text] = gname
+        new_wparts = list(wparts)
+        new_wparts[order_idx] = f"ORDER BY {gname} ASC NULLS LAST"
+        return ["RANGE"] + frame[1:], new_wparts
 
 
 _INT_CAST_TARGETS = ("int", "integer", "bigint", "smallint", "tinyint")

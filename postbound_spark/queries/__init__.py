@@ -123,6 +123,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #     first): join-bearing correlated scalars, comparator
     #     ordered-agg, WITHIN GROUP NULLS spec, epoch lowering,
     #     HAVING column-beats-alias, lateral machinery ---
+    "parsed_groups_frame",
     "parsed_scalar_top1",
     "parsed_operator_parity",
     "parsed_union_by_name",

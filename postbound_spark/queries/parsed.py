@@ -1760,3 +1760,61 @@ def parsed_try_cast_if(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: map-side scalar expressions in whole-stage codegen."""
     return _native(spark, sf_dir, _TRY_CAST_IF_SQL, ["nation"])
+
+
+_GROUPS_FRAME_SQL = """
+SELECT o_orderkey,
+       count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderstatus
+                      GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS near_n,
+       CAST(sum(o_orderkey) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_orderstatus
+                      GROUPS BETWEEN CURRENT ROW AND CURRENT ROW)
+            AS BIGINT) AS peer_sum
+FROM orders
+WHERE o_orderkey < 4000
+ORDER BY o_orderkey
+"""
+
+#: DuckDB in this environment has NO GROUPS frame mode ("not implemented
+#: yet"), so the oracle is the hand-spelled ANSI equivalent of the
+#: engine's rewrite: dense_rank() numbers peer groups consecutively, and
+#: a RANGE frame over that integer with the same offsets covers exactly
+#: the requested peer groups (same oracle style as FETCH ... WITH TIES,
+#: which DuckDB also cannot spell). The rewrite's own semantics are
+#: pinned independently against a pure-Python peer-group reference in
+#: tests/test_groups_frames.py.
+_GROUPS_FRAME_ORACLE = """
+WITH g AS (
+  SELECT o_orderkey, o_orderpriority, o_orderstatus,
+         dense_rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderstatus) AS gi
+  FROM orders
+  WHERE o_orderkey < 4000
+)
+SELECT o_orderkey,
+       count(*) OVER (PARTITION BY o_orderpriority ORDER BY gi
+                      RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS near_n,
+       CAST(sum(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY gi
+                      RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+            AS BIGINT) AS peer_sum
+FROM g
+ORDER BY o_orderkey
+"""
+
+
+@query("parsed_groups_frame", oracle=_GROUPS_FRAME_ORACLE)
+def parsed_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: GROUPS window frames — SQL:2011 peer-group frame mode,
+    which neither Spark nor this container's DuckDB implements natively.
+    Desugared at parse time (plans/parser.py ``_rewrite_groups_frame`` /
+    ``_desugar_groups``) into an EXACT two-level rewrite: dense_rank()
+    over the window's own PARTITION/ORDER computes a consecutive peer
+    index one level below, and the frame becomes RANGE over that integer
+    with identical offsets (CURRENT ROW in RANGE mode already spans the
+    whole peer group). Composes with EXCLUDE CURRENT ROW/GROUP/TIES,
+    named windows, QUALIFY, and star selects (probe wave 12, 22 shapes).
+
+    Scale shape: two Window nodes over the SAME partition key — one
+    exchange on o_orderpriority, the peer index rides the sorted
+    partition; no join, no extra shuffle (gated in test_plan_quality)."""
+    return _native(spark, sf_dir, _GROUPS_FRAME_SQL, ["orders"])

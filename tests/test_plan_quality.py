@@ -1305,3 +1305,19 @@ def test_exclude_group_ties_shares_one_exchange(registry, spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_groups_frame_two_windows_one_exchange(registry, spark, sf_small):
+    """Round-11: the GROUPS-frame rewrite (dense_rank peer index one
+    level below, RANGE frame above) partitions BOTH windows on the same
+    key, so the whole query rides ONE exchange — the peer index is a
+    second Window pass on the already-sorted partition, never a join or
+    a second shuffle."""
+    df = _build(registry, spark, sf_small, "parsed_groups_frame")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange for BOTH window passes; the only other exchange
+    # is the final ORDER BY's range partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
