@@ -1987,11 +1987,7 @@ class _Converter:
         # decorrelation below cannot represent per-group filtering, so it
         # keeps a loud rejection.
         if sub.having is not None:
-            raise UnsupportedSqlError(
-                "EXISTS subquery with HAVING is not modeled on the "
-                "semi-join path — phrase the group filter as a derived "
-                "table or execute via spark.sql"
-            )
+            return self._apply_exists_having(tree, kind, sub, outer_ids, f)
         if sub.limit == 0:
             # EXISTS(… LIMIT 0): constant FALSE / NOT EXISTS: TRUE
             if kind == "exists":
@@ -2039,6 +2035,132 @@ class _Converter:
                 "uncorrelated EXISTS needs no join — phrase as LIMIT/COUNT check"
             )
         cond = f(Q.and_(*correlated).to_sql())
+        if kind == "exists":
+            return ra.SemiJoin(tree, sub_tree, cond)
+        return ra.AntiJoin(tree, sub_tree, cond)
+
+    def _apply_exists_having(
+        self,
+        tree: ra.RelNode,
+        kind: str,
+        sub: Q.SqlQuery,
+        outer_ids: set[str],
+        f,
+    ) -> ra.RelNode:
+        """Correlated ``EXISTS (… GROUP BY k HAVING agg-pred)`` — an
+        outer row matches when AT LEAST ONE inner group, formed WITHIN
+        the rows its correlation selects, survives the group filter.
+        Decorrelated by the textbook grouped rewrite: every correlated
+        conjunct must be an equality between an outer expression and a
+        bare inner COLUMN; those columns join the GROUP BY (they are
+        constant within one outer row's matching rows, so group contents
+        are unchanged), HAVING filters per (correlation-key, group-key)
+        group, and the survivors' correlation keys semi/anti-join back.
+        Exact only when GROUP BY is present: without it the aggregate
+        runs once even over ZERO matching rows (``HAVING count(*) = 0``
+        is TRUE for match-less outer rows), which a join-based rewrite
+        cannot represent — that shape keeps a loud rejection.
+
+        Ref parity: the reference parses arbitrary SubLinks incl. HAVING
+        bodies (/root/reference/postbound/parser.py:764-808); this is
+        the Spark-native execution of the grouped shape."""
+        if not sub.group_by:
+            raise UnsupportedSqlError(
+                "EXISTS with HAVING but no GROUP BY evaluates the "
+                "aggregate over the EMPTY group too (HAVING count(*) = 0 "
+                "is TRUE for outer rows with no matches) — phrase as a "
+                "scalar aggregate comparison"
+            )
+        if sub.limit == 0:
+            if kind == "exists":
+                return ra.Selection(tree, "FALSE")
+            return tree
+        if sub.offset:
+            raise UnsupportedSqlError(
+                "EXISTS with OFFSET changes emptiness per skipped rows "
+                "and is not modeled — phrase as a count comparison"
+            )
+        self._check_alias_collisions(sub, outer_ids)
+        inner_ids = {t.identifier for t in sub.from_tables}
+        if sub.having.tables() - inner_ids:
+            raise UnsupportedSqlError(
+                "correlated references inside the HAVING of an EXISTS "
+                "subquery are not modeled — correlate in WHERE"
+            )
+        inner_conv = _Converter(sub, None)
+        correlated: list[Q.AbstractPredicate] = []
+        local: list[Q.AbstractPredicate] = []
+        for conj in inner_conv._conjuncts():
+            if conj.tables() - inner_ids:
+                correlated.append(conj)
+            else:
+                local.append(conj)
+        if not correlated:
+            raise UnsupportedSqlError(
+                "uncorrelated EXISTS needs no join — phrase as "
+                "LIMIT/COUNT check"
+            )
+        pairs: list[tuple[str, str]] = []  # (outer expr, inner column)
+        for conj in correlated:
+            if not (
+                isinstance(conj, Q.BinaryPredicate)
+                and conj.operation is Q.LogicalOperator.EQ
+            ):
+                raise UnsupportedSqlError(
+                    "EXISTS with HAVING needs equality correlation (the "
+                    "correlation column becomes a group key) — got "
+                    f"{conj.to_sql()!r}"
+                )
+            sides = [(conj.lhs, conj.rhs), (conj.rhs, conj.lhs)]
+            for inner_e, outer_e in sides:
+                if (
+                    inner_e.tables()
+                    and not (inner_e.tables() - inner_ids)
+                    and not outer_e.tables() & inner_ids
+                    and re.fullmatch(
+                        r"(?:[\w$]+\.)?[\w$]+", inner_e.sql.strip()
+                    )
+                ):
+                    pairs.append((outer_e.sql, inner_e.sql.strip()))
+                    break
+            else:
+                raise UnsupportedSqlError(
+                    "EXISTS-with-HAVING correlation must compare one "
+                    "outer expression to one bare inner column — got "
+                    f"{conj.to_sql()!r}"
+                )
+        alias = self._gensym("exsub")
+        uniq = [f"{alias}_key{i}" for i in range(len(pairs))]
+        # correlation keys join the group keys (dedup keeps group
+        # granularity when a key is already grouped)
+        gb_texts = [g.sql for g in sub.group_by]
+        extra_keys = [
+            ic for _, ic in pairs
+            if ic not in gb_texts
+        ]
+        grouped = sub.with_clause(
+            select=tuple(
+                Q.BaseProjection(Q.SqlExpression(ic), u)
+                for (_, ic), u in zip(pairs, uniq)
+            ),
+            # correlated conjuncts reference OUTER tables — they become
+            # the join condition, never inner filter text
+            where=Q.and_(*local) if local else None,
+            group_by=tuple(sub.group_by)
+            + tuple(Q.SqlExpression(ic) for ic in dict.fromkeys(extra_keys)),
+            order_by=(),
+            limit=None,
+            offset=None,
+            distinct=False,
+            distinct_on=(),
+            fetch_ties=False,
+        )
+        sub_tree = ra.SubqueryScan(
+            parse_relalg(grouped, scope_ctes=self.ctes), alias=alias
+        )
+        cond = " AND ".join(
+            f"{f(oe)} = {alias}.{u}" for (oe, _), u in zip(pairs, uniq)
+        )
         if kind == "exists":
             return ra.SemiJoin(tree, sub_tree, cond)
         return ra.AntiJoin(tree, sub_tree, cond)

@@ -1001,70 +1001,80 @@ class _Parser:
                         "GROUP BY ALL found no non-aggregate select items"
                     )
                 group_by = tuple(keys)
-            elif self.t.accept("grouping", "sets"):
-                # GROUP BY GROUPING SETS ((a, b), (a), ()) — desugared at
-                # the parse_query level into a UNION ALL of per-set
-                # grouped aggregates with NULL-padded grouping columns
-                # (the textbook expansion; the reference's IR model
-                # excludes grouping sets, qal/_qal.py:8438 — this engine
-                # executes them, matching its native ROLLUP/CUBE support)
-                self.t.expect("(")
-                sets: list[list[_Expr]] = []
+            else:
+                # GROUP BY element [, element ...] where each element is a
+                # plain expression, ROLLUP(...), CUBE(...), or GROUPING
+                # SETS (...). ANSI composes a MIXED list as the CROSS
+                # PRODUCT of each element's set list (a plain expression
+                # is the singleton list [[e]]), so `GROUP BY a, ROLLUP(b,
+                # c)` = sets {(a,b,c),(a,b),(a)}. Any multi-set element →
+                # the whole clause desugars at the parse_query level into
+                # a UNION ALL of per-set grouped aggregates with
+                # NULL-padded grouping columns (the textbook expansion;
+                # the reference's IR model excludes grouping sets,
+                # qal/_qal.py:8438 — this engine executes them).
+                element_lists: list[list[list[_Expr]]] = []
+                any_multi = False
                 while True:
-                    if self.t.accept("("):
-                        one: list[_Expr] = []
-                        if not self.t.accept(")"):
-                            one.append(self._parse_expression())
-                            while self.t.accept(","):
-                                one.append(self._parse_expression())
-                            self.t.expect(")")
-                        sets.append(one)
+                    if self.t.accept("grouping", "sets"):
+                        self.t.expect("(")
+                        sets: list[list[_Expr]] = []
+                        while True:
+                            if self.t.accept("("):
+                                one: list[_Expr] = []
+                                if not self.t.accept(")"):
+                                    one.append(self._parse_expression())
+                                    while self.t.accept(","):
+                                        one.append(self._parse_expression())
+                                    self.t.expect(")")
+                                sets.append(one)
+                            else:
+                                # bare element = singleton set (ANSI)
+                                sets.append([self._parse_expression()])
+                            if not self.t.accept(","):
+                                break
+                        self.t.expect(")")
+                        element_lists.append(sets)
+                        any_multi = True
+                    elif self.t.peek_kw() in ("rollup", "cube"):
+                        # ROLLUP = the prefix hierarchy incl. the grand
+                        # total, CUBE = the power set; Spark's own
+                        # rollup()/cube() are the DataFrame-API
+                        # spellings, the native path executes the
+                        # per-set UNION ALL so DuckDB runs identical text
+                        form = self.t.next().lower()
+                        self.t.expect("(")
+                        cols = [self._parse_expression()]
+                        while self.t.accept(","):
+                            cols.append(self._parse_expression())
+                        self.t.expect(")")
+                        if form == "rollup":
+                            sets = [cols[:i] for i in range(len(cols), -1, -1)]
+                        else:
+                            from itertools import combinations
+
+                            sets = [
+                                list(c)
+                                for r in range(len(cols), -1, -1)
+                                for c in combinations(cols, r)
+                            ]
+                        element_lists.append(sets)
+                        any_multi = True
                     else:
-                        # bare element = singleton set (ANSI shorthand)
-                        sets.append([self._parse_expression()])
+                        element_lists.append([[self._parse_expression()]])
                     if not self.t.accept(","):
                         break
-                self.t.expect(")")
-                self._pending_grouping_sets = sets
-            elif self.t.peek_kw() in ("rollup", "cube"):
-                # GROUP BY ROLLUP(a, b) / CUBE(a, b) — desugared into the
-                # same GROUPING SETS expansion (ROLLUP = the prefix
-                # hierarchy incl. the grand total, CUBE = the power set);
-                # Spark's own rollup()/cube() are the DataFrame-API
-                # spellings, the native path executes the textbook
-                # per-set UNION ALL so DuckDB runs identical text
-                form = self.t.next().lower()
-                self.t.expect("(")
-                cols = [self._parse_expression()]
-                while self.t.accept(","):
-                    cols.append(self._parse_expression())
-                self.t.expect(")")
-                if form == "rollup":
-                    sets = [cols[:i] for i in range(len(cols), -1, -1)]
-                else:
-                    from itertools import combinations
+                if any_multi:
+                    from itertools import product as _iproduct
 
-                    sets = [
-                        list(c)
-                        for r in range(len(cols), -1, -1)
-                        for c in combinations(cols, r)
+                    self._pending_grouping_sets = [
+                        [e for part in combo for e in part]
+                        for combo in _iproduct(*element_lists)
                     ]
-                self._pending_grouping_sets = sets
-                if self.t.peek() == ",":
-                    raise UnsupportedSqlError(
-                        "mixing ROLLUP/CUBE with plain GROUP BY items is "
-                        "not modeled — spell the full GROUPING SETS"
+                else:
+                    group_by = tuple(
+                        el[0][0].to_qal() for el in element_lists
                     )
-            else:
-                exprs = [self._parse_expression()]
-                while self.t.accept(","):
-                    if self.t.peek_kw() in ("rollup", "cube"):
-                        raise UnsupportedSqlError(
-                            "mixing plain GROUP BY items with ROLLUP/CUBE "
-                            "is not modeled — spell the full GROUPING SETS"
-                        )
-                    exprs.append(self._parse_expression())
-                group_by = tuple(e.to_qal() for e in exprs)
 
         having = self._parse_predicate() if self.t.accept("having") else None
 

@@ -124,6 +124,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #     ordered-agg, WITHIN GROUP NULLS spec, epoch lowering,
     #     HAVING column-beats-alias, lateral machinery ---
     "parsed_groups_frame",
+    "parsed_mixed_rollup",
+    "parsed_exists_having",
     "parsed_scalar_top1",
     "parsed_operator_parity",
     "parsed_union_by_name",

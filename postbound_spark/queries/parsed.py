@@ -1818,3 +1818,62 @@ def parsed_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange on o_orderpriority, the peer index rides the sorted
     partition; no join, no extra shuffle (gated in test_plan_quality)."""
     return _native(spark, sf_dir, _GROUPS_FRAME_SQL, ["orders"])
+
+
+_MIXED_ROLLUP_SQL = """
+SELECT c_mktsegment, c_nationkey, grouping(c_nationkey) AS g,
+       count(*) AS n
+FROM customer
+GROUP BY c_mktsegment, ROLLUP(c_nationkey)
+ORDER BY c_mktsegment, c_nationkey NULLS LAST
+"""
+
+
+@query("parsed_mixed_rollup", oracle=_MIXED_ROLLUP_SQL)
+def parsed_mixed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: MIXED GROUP BY — plain items composed with
+    ROLLUP/CUBE/GROUPING SETS in one list (`GROUP BY a, ROLLUP(b)`), the
+    ANSI cross-product of each element's set list. Previously a
+    documented rejection; now every element parses to its set list and
+    the product feeds the same per-set UNION ALL expansion (with
+    NULL-padded grouping columns and grouping() bitmasks) the
+    homogeneous spellings already use. DuckDB runs identical text
+    natively.
+
+    Scale shape: one grouped aggregate per set over the same scan —
+    map-side partial aggregation per branch, and the plain keys appear
+    in EVERY branch so no branch degenerates to a global shuffle."""
+    return _native(spark, sf_dir, _MIXED_ROLLUP_SQL, ["customer"])
+
+
+_EXISTS_HAVING_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000
+    GROUP BY o.o_orderpriority
+    HAVING count(*) >= 2
+)
+ORDER BY c_custkey
+"""
+
+
+@query("parsed_exists_having", oracle=_EXISTS_HAVING_SQL)
+def parsed_exists_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: correlated EXISTS whose subquery carries GROUP BY +
+    HAVING — "customers with at least one priority bucket holding ≥2
+    big orders". Previously a documented rejection on the semi-join
+    path; now decorrelated by the textbook grouped rewrite
+    (plans/algebra.py ``_apply_exists_having``): the correlation columns
+    join the GROUP BY (constant within one outer row's matching rows, so
+    group contents are unchanged), HAVING filters per group, and the
+    surviving groups' correlation keys semi-join back. NOT EXISTS takes
+    the anti-join form. The empty-group trap (HAVING with NO group by,
+    where ``count(*) = 0`` is TRUE for match-less outer rows) keeps a
+    loud rejection. DuckDB runs identical text.
+
+    Scale shape: one partial→final hash aggregate on (custkey,
+    priority) then a key-equi LEFT SEMI join — no per-outer-row
+    subquery, no nested loop; both sides shuffle once on the same key."""
+    return _native(spark, sf_dir, _EXISTS_HAVING_SQL, ["customer", "orders"])

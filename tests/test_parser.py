@@ -1541,6 +1541,31 @@ class TestGroupingSets:
                 "(n_regionkey, n_regionkey % 2))"
             )
 
+    def test_mixed_plain_and_rollup_cross_product(self):
+        # round-11: ANSI mixed GROUP BY — a plain item composes with
+        # ROLLUP/CUBE/GROUPING SETS as the CROSS PRODUCT of set lists,
+        # so `a, ROLLUP(b)` = sets {(a,b),(a)}
+        q = parse_query(
+            "SELECT n_name, n_regionkey, count(*) AS n FROM nation "
+            "GROUP BY n_name, ROLLUP(n_regionkey)"
+        )
+        sql = q.to_sql()
+        assert sql.count("UNION ALL") == 1
+        assert "GROUP BY n_name, n_regionkey" in sql
+        assert "GROUP BY n_name)" in sql
+        # the plain key is NEVER null-padded
+        assert "NULL AS n_name" not in sql
+        assert "NULL AS n_regionkey" in sql
+
+    def test_two_rollups_cross_product(self):
+        q = parse_query(
+            "SELECT n_name, n_regionkey, count(*) AS n FROM nation "
+            "GROUP BY ROLLUP(n_name), ROLLUP(n_regionkey)"
+        )
+        sql = q.to_sql()
+        # 2 x 2 sets → 4 branches → 3 UNION ALLs
+        assert sql.count("UNION ALL") == 3
+
     def test_inside_set_operation_expands_per_operand(self):
         # round-11: grouping sets participate in set operations — the
         # per-operand expansion nests the desugared UNION ALL as the
@@ -2057,7 +2082,8 @@ def test_having_membership_subqueries(spark, sf_small):
 def test_rollup_cube_desugar(spark, sf_small):
     """GROUP BY ROLLUP/CUBE desugar into the GROUPING SETS expansion
     (probe-battery find: the spellings previously parsed as function
-    calls and crashed at analysis); mixing with plain items is refused."""
+    calls and crashed at analysis); mixing with plain items composes as
+    the ANSI cross product (round-11)."""
     import pytest
 
     from postbound_spark.catalog import load_tables
@@ -2087,10 +2113,14 @@ def test_rollup_cube_desugar(spark, sf_small):
         "GROUP BY ROLLUP(n_regionkey) HAVING count(*) > 3"
     )
     assert (None, 25) in havg and len(havg) == 6
-    with pytest.raises(UnsupportedSqlError, match="mixing"):
-        parse_query("SELECT a, b FROM t GROUP BY a, ROLLUP(b)")
-    with pytest.raises(UnsupportedSqlError, match="mixing"):
-        parse_query("SELECT a, b FROM t GROUP BY ROLLUP(a), b")
+    # round-11: mixing plain items with ROLLUP/CUBE now composes as the
+    # ANSI cross product instead of rejecting
+    mixed = run(
+        "SELECT n_name AS a, n_regionkey AS b, count(*) AS n "
+        "FROM nation GROUP BY n_name, ROLLUP(n_regionkey)"
+    )
+    # every nation appears grouped (a,b) and subtotaled (a, NULL)
+    assert len(mixed) == 50
 
 
 def test_in_over_set_query(spark, sf_small):
@@ -2782,3 +2812,92 @@ def test_between_symmetric_desugars_to_sorted_bounds():
     )
     assert "ASYMMETRIC" not in q2.where.to_sql().upper()
     assert "BETWEEN 3 AND 7" in q2.where.to_sql()
+
+
+class TestExistsHaving:
+    """Round-11: correlated EXISTS whose subquery carries GROUP BY +
+    HAVING — decorrelated by the grouped rewrite (correlation columns
+    join the GROUP BY, HAVING filters per group, survivors semi/anti
+    join back; algebra.py ``_apply_exists_having``)."""
+
+    def _check(self, spark, sf_small, sql, tables=("customer", "orders")):
+        cat = load_tables(spark, sf_small, list(tables))
+        schema = {t: cat[t].columns for t in tables}
+        got = sorted(
+            map(repr, (tuple(r) for r in compile_plan(
+                parse_relalg(parse_query(sql, schema=schema)), spark, cat
+            ).collect()))
+        )
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_small}/{t}.parquet')"
+            )
+        want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+        assert got == want
+        return got
+
+    def test_exists_having_matches_duckdb(self, spark, sf_small):
+        got = self._check(
+            spark, sf_small,
+            "SELECT c_custkey FROM customer c WHERE EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "GROUP BY o.o_orderpriority HAVING count(*) >= 2) "
+            "ORDER BY c_custkey",
+        )
+        assert len(got) > 0
+
+    def test_not_exists_having_matches_duckdb(self, spark, sf_small):
+        self._check(
+            spark, sf_small,
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "GROUP BY o.o_orderpriority HAVING count(*) >= 2) "
+            "ORDER BY c_custkey",
+        )
+
+    def test_compiles_to_grouped_semi_join(self, spark, sf_small):
+        from postbound_spark.plans import relalg as ra
+
+        schema = {"customer": ["c_custkey"],
+                  "orders": ["o_orderkey", "o_custkey", "o_orderpriority"]}
+        tree = parse_relalg(parse_query(
+            "SELECT c_custkey FROM customer c WHERE EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "GROUP BY o.o_orderpriority HAVING count(*) >= 2)",
+            schema=schema,
+        ))
+        kinds = {type(n).__name__ for n in tree.walk()}
+        assert "SemiJoin" in kinds and "Grouping" in kinds
+
+    def test_rejections(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        schema = {"customer": ["c_custkey", "c_nationkey"],
+                  "orders": ["o_orderkey", "o_custkey", "o_orderpriority"]}
+        for sql, frag in [
+            (
+                # aggregate over the EMPTY group is representable only
+                # as a scalar comparison, not a join
+                "SELECT c_custkey FROM customer c WHERE EXISTS ("
+                "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+                "HAVING count(*) = 0)",
+                "EMPTY group",
+            ),
+            (
+                "SELECT c_custkey FROM customer c WHERE EXISTS ("
+                "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+                "GROUP BY o.o_orderpriority "
+                "HAVING count(*) > c.c_nationkey)",
+                "correlated references inside the HAVING",
+            ),
+            (
+                "SELECT c_custkey FROM customer c WHERE EXISTS ("
+                "SELECT 1 FROM orders o WHERE o.o_custkey < c.c_custkey "
+                "GROUP BY o.o_orderpriority HAVING count(*) > 3)",
+                "equality correlation",
+            ),
+        ]:
+            with pytest.raises(UnsupportedSqlError, match=frag):
+                parse_relalg(parse_query(sql, schema=schema))

@@ -1321,3 +1321,14 @@ def test_groups_frame_two_windows_one_exchange(registry, spark, sf_small):
     assert plan.count("Exchange") == 2
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exists_having_is_grouped_semi_join(registry, spark, sf_small):
+    """Round-11: the EXISTS-with-HAVING decorrelation aggregates ONCE on
+    (correlation key, group key) and LEFT SEMI joins — never a per-row
+    subquery or nested loop."""
+    df = _build(registry, spark, sf_small, "parsed_exists_having")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
