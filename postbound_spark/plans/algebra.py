@@ -1636,11 +1636,11 @@ class _Converter:
         Plain laterals compile to an inner join (comma-LATERAL = CROSS JOIN
         LATERAL: match-less outer rows drop)."""
         sub = src.query
-        if sub.group_by or sub.distinct_on:
+        if sub.distinct_on:
             raise UnsupportedSqlError(
-                "LATERAL subqueries with GROUP BY are not modeled"
+                "LATERAL subqueries with DISTINCT ON are not modeled"
             )
-        if sub.limit is not None and not sub.order_by:
+        if sub.limit is not None and not sub.group_by and not sub.order_by:
             raise UnsupportedSqlError(
                 "LATERAL/scalar subqueries with LIMIT need ORDER BY for "
                 "deterministic row choice"
@@ -1698,6 +1698,62 @@ class _Converter:
         ]
         is_aggregate = bool(agg_projs)
         key_names = [f"__latkey{i}" for i in range(len(corr_eqs))]
+
+        if sub.group_by:
+            # grouped LATERAL (round-11): `, LATERAL (SELECT gk, agg …
+            # WHERE corr GROUP BY gk [HAVING …])` — one row PER GROUP per
+            # outer row. Same grouped decorrelation as EXISTS-with-HAVING:
+            # the correlation columns join the GROUP BY (constant within
+            # one outer row's matching rows, so group contents are
+            # unchanged), then an ordinary keyed INNER join back (comma
+            # LATERAL drops match-less outer rows; zero matching rows
+            # form zero groups on both routes).
+            if sub.limit is not None or sub.distinct:
+                raise UnsupportedSqlError(
+                    "LATERAL GROUP BY combined with LIMIT/DISTINCT is "
+                    "not modeled — wrap the grouped subquery"
+                )
+            if src.scalar_left:
+                raise UnsupportedSqlError(
+                    "a correlated scalar subquery with GROUP BY may "
+                    "yield multiple rows per outer row and is not a "
+                    "scalar — use LATERAL in the FROM clause"
+                )
+            if sub.having is not None and sub.having.tables() & outer_ids:
+                raise UnsupportedSqlError(
+                    "correlated references inside the HAVING of a "
+                    "LATERAL subquery are not modeled — correlate in "
+                    "WHERE"
+                )
+            extra = tuple(
+                Q.BaseProjection(Q.SqlExpression(expr), k)
+                for k, (_o, expr) in zip(key_names, corr_eqs)
+            )
+            gb_texts = [g.sql for g in sub.group_by]
+            extra_keys = [
+                ic for _o, ic in corr_eqs if ic not in gb_texts
+            ]
+            inner_query = sub.with_clause(
+                where=Q.and_(*local) if local else None,
+                select=tuple(sub.select) + extra,
+                group_by=tuple(sub.group_by)
+                + tuple(
+                    Q.SqlExpression(ic)
+                    for ic in dict.fromkeys(extra_keys)
+                ),
+                order_by=(),
+            )
+            inner_tree = ra.SubqueryScan(
+                parse_relalg(inner_query, scope_ctes=self.ctes),
+                alias=src.alias,
+            )
+            cond = " AND ".join(
+                f"{outer_transform(outer) if outer_transform else outer} "
+                f"= {src.alias}.{k}"
+                for (outer, _i), k in zip(corr_eqs, key_names)
+            )
+            tree = ra.ThetaJoin(tree, inner_tree, cond, how="inner")
+            return ra.Drop(tree, tuple(key_names))
 
         if sub.limit is not None:
             # top-N-per-outer (round-11): `LATERAL (SELECT … WHERE corr
@@ -2111,18 +2167,21 @@ class _Converter:
                     "correlation column becomes a group key) — got "
                     f"{conj.to_sql()!r}"
                 )
-            sides = [(conj.lhs, conj.rhs), (conj.rhs, conj.lhs)]
-            for inner_e, outer_e in sides:
-                if (
-                    inner_e.tables()
-                    and not (inner_e.tables() - inner_ids)
-                    and not outer_e.tables() & inner_ids
-                    and re.fullmatch(
-                        r"(?:[\w$]+\.)?[\w$]+", inner_e.sql.strip()
-                    )
-                ):
-                    pairs.append((outer_e.sql, inner_e.sql.strip()))
-                    break
+            # the outer side is the one referencing outer tables; the
+            # inner side may be UNQUALIFIED (tables() empty) — Spark
+            # resolves it inside the grouped subquery, loudly erroring
+            # if it was actually an outer name
+            lhs_outer = bool(conj.lhs.tables() - inner_ids)
+            outer_e = conj.lhs if lhs_outer else conj.rhs
+            inner_e = conj.rhs if lhs_outer else conj.lhs
+            if (
+                not (inner_e.tables() - inner_ids)
+                and not (outer_e.tables() & inner_ids)
+                and re.fullmatch(
+                    r"(?:[\w$]+\.)?(?!\d)[\w$]+", inner_e.sql.strip()
+                )
+            ):
+                pairs.append((outer_e.sql, inner_e.sql.strip()))
             else:
                 raise UnsupportedSqlError(
                     "EXISTS-with-HAVING correlation must compare one "

@@ -2168,6 +2168,23 @@ class _Parser:
         left = self._parse_power()
         while self.t.peek() in ("*", "/", "%"):
             op = self.t.next()
+            if op == "/" and self.t.peek() == "/":
+                # DuckDB `//` = integer division truncating toward zero
+                # (wave-13; Spark has no operator spelling and `div` is
+                # not re-parsable). a - a%b is exactly divisible, so the
+                # double division is exact up to 2^53; DuckDB types the
+                # result INTEGER where this yields BIGINT (documented,
+                # same class as sign()). DuckDB's `//` over DOUBLE
+                # degenerates to plain division — integer-only parity.
+                self.t.next()
+                right = self._parse_power()
+                left = _merge(
+                    f"CAST((({left.sql}) - (({left.sql}) % ({right.sql})))"
+                    f" / ({right.sql}) AS BIGINT)",
+                    left,
+                    right,
+                )
+                continue
             right = self._parse_power()
             if op == "/":
                 # DuckDB/Postgres `/` over a decimal-point literal yields
@@ -2223,6 +2240,15 @@ class _Parser:
                 lower = None
                 if self.t.peek() != ":":
                     lower = self._parse_expression()
+                # Spark's element/slice index parameters require INT —
+                # an expression index over a BIGINT column fails
+                # analysis (fuzzer v23 find), so non-literal indexes
+                # route through CAST; DuckDB accepts any integral type
+                def _idx(sql: str) -> str:
+                    if re.fullmatch(r"-?\d+", sql.strip()):
+                        return sql
+                    return f"CAST({sql} AS INT)"
+
                 if self.t.accept(":"):
                     upper = (
                         self._parse_expression() if self.t.peek() != "]" else None
@@ -2233,14 +2259,15 @@ class _Parser:
                     # (wave-9: the raw [a:b] text is not Spark SQL at all)
                     if lower is not None and upper is not None:
                         body = (
-                            f"slice({expr.sql}, {lower.sql}, "
-                            f"({upper.sql}) - ({lower.sql}) + 1)"
+                            f"slice({expr.sql}, {_idx(lower.sql)}, "
+                            f"CAST(({upper.sql}) - ({lower.sql}) + 1 "
+                            f"AS INT))"
                         )
                     elif upper is not None:
-                        body = f"slice({expr.sql}, 1, {upper.sql})"
+                        body = f"slice({expr.sql}, 1, {_idx(upper.sql)})"
                     elif lower is not None:
                         body = (
-                            f"slice({expr.sql}, {lower.sql}, "
+                            f"slice({expr.sql}, {_idx(lower.sql)}, "
                             f"size({expr.sql}))"
                         )
                     else:
@@ -2259,7 +2286,7 @@ class _Parser:
                     # list semantics (index 0 errors loudly on Spark
                     # where DuckDB reads NULL; documented residual).
                     expr = _merge(
-                        f"try_element_at({expr.sql}, {lower.sql})",
+                        f"try_element_at({expr.sql}, {_idx(lower.sql)})",
                         expr,
                         lower,
                     )
@@ -2651,6 +2678,73 @@ class _Parser:
                 body = f"CAST({low_name}({args[0].sql}) AS DOUBLE)"
             elif low_name == "strpos" and len(args) == 2 and not distinct:
                 body = f"instr({args[0].sql}, {args[1].sql})"
+            elif low_name == "concat" and args and not distinct:
+                # DuckDB/Postgres concat() SKIPS NULL arguments; Spark's
+                # propagates NULL (wave-13 silent divergence). concat_ws
+                # with an empty separator is exactly the skip semantics
+                # (all-NULL → '' on both). Spark's array-concat overload
+                # of concat() is not preserved — DuckDB's concat is
+                # string-only (list concatenation is list_concat).
+                body = (
+                    "concat_ws('', "
+                    + ", ".join(a.sql for a in args)
+                    + ")"
+                )
+            elif (
+                low_name == "trunc" and len(args) == 1 and not distinct
+            ):
+                # numeric trunc(x): Spark's trunc is date-only (2-arg) —
+                # truncate toward zero via floor/ceil (wave-13). DOUBLE
+                # result like the floor/ceil lowering; DuckDB types
+                # DECIMAL literals DECIMAL(p,0) (documented divergence).
+                x = args[0].sql
+                body = (
+                    f"CAST(CASE WHEN ({x}) >= 0 THEN floor({x}) "
+                    f"ELSE ceil({x}) END AS DOUBLE)"
+                )
+            elif (
+                low_name in ("substr", "substring")
+                and len(args) == 3
+                and not distinct
+                and not (
+                    re.fullmatch(r"[1-9]\d*", args[1].sql.strip())
+                    and re.fullmatch(r"\d+", args[2].sql.strip())
+                )
+            ):
+                # 3-arg substr with START ZERO possible: DuckDB counts
+                # the window from the virtual position 0 (one char
+                # shorter), Spark snaps 0 to position 1 and keeps the
+                # full length (wave-13: substr(s, 0, 3) read 3 chars, a
+                # silent divergence). NEGATIVE starts are from-end and
+                # IDENTICAL on both engines (probed incl. overshoot), so
+                # only the zero case adjusts.
+                s, st, ln = args[0].sql, args[1].sql, args[2].sql
+                body = (
+                    f"CASE WHEN ({st}) = 0 THEN "
+                    f"substr({s}, 1, greatest(({ln}) - 1, 0)) "
+                    f"ELSE substr({s}, {st}, {ln}) END"
+                )
+            elif (
+                low_name in ("left", "right")
+                and len(args) == 2
+                and not distinct
+                and not re.fullmatch(r"\d+", args[1].sql.strip())
+            ):
+                # negative counts: DuckDB/Postgres left(s,-n) = all but
+                # the LAST n, right(s,-n) = all but the FIRST n; Spark
+                # returns '' (wave-13 silent divergence). Literal
+                # non-negative counts stay verbatim.
+                s, n = args[0].sql, args[1].sql
+                if low_name == "left":
+                    body = (
+                        f"substr({s}, 1, CASE WHEN ({n}) >= 0 THEN ({n}) "
+                        f"ELSE greatest(length({s}) + ({n}), 0) END)"
+                    )
+                else:
+                    body = (
+                        f"CASE WHEN ({n}) >= 0 THEN right({s}, {n}) "
+                        f"ELSE substr({s}, CAST(1 - ({n}) AS INT)) END"
+                    )
             elif (
                 low_name == "starts_with" and len(args) == 2 and not distinct
             ):

@@ -126,6 +126,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_groups_frame",
     "parsed_mixed_rollup",
     "parsed_exists_having",
+    "parsed_lateral_groupby",
     "parsed_scalar_top1",
     "parsed_operator_parity",
     "parsed_union_by_name",

@@ -1877,3 +1877,38 @@ def parsed_exists_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority) then a key-equi LEFT SEMI join — no per-outer-row
     subquery, no nested loop; both sides shuffle once on the same key."""
     return _native(spark, sf_dir, _EXISTS_HAVING_SQL, ["customer", "orders"])
+
+
+_LATERAL_GROUPBY_SQL = """
+SELECT c.c_custkey, l.pri, l.n
+FROM customer c,
+     LATERAL (
+         SELECT o.o_orderpriority AS pri, count(*) AS n
+         FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         GROUP BY o.o_orderpriority
+         HAVING count(*) >= 2
+     ) l
+WHERE c.c_custkey < 600
+ORDER BY c.c_custkey, l.pri
+"""
+
+
+@query("parsed_lateral_groupby", oracle=_LATERAL_GROUPBY_SQL)
+def parsed_lateral_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: LATERAL subqueries WITH GROUP BY (+ HAVING) — one row
+    per inner group per outer row, the per-entity breakdown shape
+    ("each customer's order count per priority"). Previously a
+    documented rejection; now decorrelated by the same grouped rewrite
+    as EXISTS-with-HAVING (plans/algebra.py ``_apply_lateral`` grouped
+    branch): the correlation columns join the GROUP BY — constant
+    within one outer row's matching rows, so group contents are
+    unchanged — HAVING filters per group, and an ordinary keyed INNER
+    join replays the groups per outer row (comma-LATERAL semantics:
+    match-less outer rows drop, and zero matching rows form zero groups
+    on both routes). DuckDB runs identical text.
+
+    Scale shape: one partial→final hash aggregate on (custkey,
+    priority) then a key-equi join — per KEY, never per outer row; no
+    nested loop at any scale."""
+    return _native(spark, sf_dir, _LATERAL_GROUPBY_SQL, ["customer", "orders"])

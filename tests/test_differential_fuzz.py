@@ -22,7 +22,15 @@ Grammar v18 (round-9b): INTERSECT ALL / EXCEPT ALL bag-semantics chains
 TIES (DuckDB lacks the spelling — ``_duck_text`` rewrites the oracle
 side into the equivalent rank() cutoff over the same body), and WITH
 RECURSIVE (bounded UNION ALL ladders + UNION-distinct closures over
-random cyclic digraphs; DuckDB runs the identical text)."""
+random cyclic digraphs; DuckDB runs the identical text).
+
+Grammar v23 (round-11): correlated EXISTS with GROUP BY + HAVING in
+predicate position (the grouped decorrelation), and MIXED GROUP BY
+lists (plain item composed with ROLLUP/CUBE as the ANSI cross product).
+GROUPS window frames are NOT emitted: this container's DuckDB rejects
+GROUPS mode outright, so differential coverage there comes from probe
+wave 12 (the engine's desugared render on the oracle side) and the
+pure-Python peer-group reference in tests/test_groups_frames.py."""
 
 from __future__ import annotations
 
@@ -112,6 +120,7 @@ def predicate(draw, tables: list[str]) -> str:
         # engine's clean rejection asks for explicit aliases there)
         kinds.append("corr_scalar")
         kinds.append("corr_scalar_top1")
+        kinds.append("exists_having")
     if table in ("region", "nation"):
         kinds.append("corr_scalar_join")
     kind = draw(st.sampled_from(kinds))
@@ -129,6 +138,27 @@ def predicate(draw, tables: list[str]) -> str:
         return (
             f"(array[{', '.join(str(10 * i) for i in range(1, k + 1))}])"
             f"[{col} % {k} + 1] >= {draw(st.integers(10, 30))}"
+        )
+    if kind == "exists_having":
+        # grammar v23 (round-11): correlated EXISTS with GROUP BY +
+        # HAVING — decorrelated by the grouped rewrite (correlation key
+        # joins the GROUP BY, HAVING filters per group, survivors
+        # semi/anti-join back)
+        inner_t, ik, ok = CORR[table]
+        gk = {"orders": "o_orderpriority", "customer": "c_mktsegment",
+              "nation": "n_regionkey"}[inner_t]
+        neg = draw(st.sampled_from(["", "NOT "]))
+        cmp_op = draw(st.sampled_from([">=", ">", "<="]))
+        n = draw(st.integers(1, 6))
+        loc = (
+            f" AND {ik} < {draw(st.integers(5, 4000))}"
+            if draw(st.booleans())
+            else ""
+        )
+        return (
+            f"{neg}EXISTS (SELECT 1 FROM {inner_t} "
+            f"WHERE {ik} = {table}.{ok}{loc} "
+            f"GROUP BY {gk} HAVING count(*) {cmp_op} {n})"
         )
     if kind == "corr_scalar_top1":
         # grammar v22 (round-11): the as-of scalar — correlated
@@ -1045,6 +1075,18 @@ def rollup_cube_query(draw) -> str:
             else ""
         )
         sel = ", ".join(keys)
+        if k == 1 and draw(st.booleans()):
+            # grammar v23 (round-11): MIXED list — a plain item composed
+            # with ROLLUP/CUBE as the ANSI cross product of set lists
+            plain = cols[1]
+            mixed_gb = draw(st.sampled_from([
+                f"{plain}, {form} ({sel})",
+                f"{form} ({sel}), {plain}",
+            ]))
+            return (
+                f"SELECT {plain}, {sel}, count(*) AS n FROM {t} "
+                f"GROUP BY {mixed_gb}{having}"
+            )
         return (
             f"SELECT {sel}, count(*) AS n FROM {t} "
             f"GROUP BY {form} ({sel}){having}"
@@ -1361,8 +1403,60 @@ def parity_surface_query(draw) -> str:
 
 
 @st.composite
+def lateral_query(draw) -> str:
+    """Grammar v23 (round-11): comma-LATERAL subqueries — aggregate
+    (one row per outer), GROUPED (one row per inner group per outer,
+    the grouped decorrelation), and top-n-per-outer (row_number
+    lateral). DuckDB runs identical text."""
+    outer, inner, ik, ok, gk, uniq = draw(st.sampled_from([
+        ("customer", "orders", "o_custkey", "c_custkey",
+         "o_orderpriority", "o_orderkey"),
+        ("nation", "customer", "c_nationkey", "n_nationkey",
+         "c_mktsegment", "c_custkey"),
+    ]))
+    okey = {"customer": "c_custkey", "nation": "n_nationkey"}[outer]
+    shape = draw(st.integers(0, 2))
+    loc = (
+        f" AND {uniq} < {draw(st.integers(100, 3000))}"
+        if draw(st.booleans())
+        else ""
+    )
+    if shape == 0:
+        # aggregate lateral: LEFT-join semantics with count→0
+        return (
+            f"SELECT t.{okey}, l.n FROM {outer} t, LATERAL ("
+            f"SELECT count(*) AS n FROM {inner} "
+            f"WHERE {ik} = t.{okey}{loc}) l ORDER BY t.{okey}" + ORDERED
+        )
+    if shape == 1:
+        having = (
+            f" HAVING count(*) {draw(st.sampled_from(['>=', '<=']))} "
+            f"{draw(st.integers(1, 4))}"
+            if draw(st.booleans())
+            else ""
+        )
+        return (
+            f"SELECT t.{okey}, l.g, l.n FROM {outer} t, LATERAL ("
+            f"SELECT {gk} AS g, count(*) AS n FROM {inner} "
+            f"WHERE {ik} = t.{okey}{loc} GROUP BY {gk}{having}) l "
+            f"ORDER BY t.{okey}, l.g" + ORDERED
+        )
+    # top-n per outer over a unique key → deterministic
+    n = draw(st.integers(1, 3))
+    dirn = draw(st.sampled_from(["ASC", "DESC"]))
+    return (
+        f"SELECT t.{okey}, l.v FROM {outer} t, LATERAL ("
+        f"SELECT {uniq} AS v FROM {inner} WHERE {ik} = t.{okey}{loc} "
+        f"ORDER BY {uniq} {dirn} LIMIT {n}) l "
+        f"ORDER BY t.{okey}, l.v" + ORDERED
+    )
+
+
+@st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 22))
+    kind = draw(st.integers(0, 23))
+    if kind == 23:
+        return draw(lateral_query())
     if kind == 22:
         return draw(parity_surface_query())
     if kind == 21:

@@ -2901,3 +2901,70 @@ class TestExistsHaving:
         ]:
             with pytest.raises(UnsupportedSqlError, match=frag):
                 parse_relalg(parse_query(sql, schema=schema))
+
+
+class TestLateralGroupBy:
+    """Round-11: LATERAL subqueries WITH GROUP BY — one row per inner
+    group per outer row, decorrelated by the same grouped rewrite as
+    EXISTS-with-HAVING (correlation keys join the GROUP BY, keyed INNER
+    join back; algebra.py ``_apply_lateral`` grouped branch)."""
+
+    def _check(self, spark, sf_small, sql, tables=("customer", "orders")):
+        cat = load_tables(spark, sf_small, list(tables))
+        schema = {t: cat[t].columns for t in tables}
+        got = sorted(
+            map(repr, (tuple(r) for r in compile_plan(
+                parse_relalg(parse_query(sql, schema=schema)), spark, cat
+            ).collect()))
+        )
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_small}/{t}.parquet')"
+            )
+        want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+        assert got == want and len(got) > 0
+
+    def test_grouped_lateral_matches_duckdb(self, spark, sf_small):
+        self._check(
+            spark, sf_small,
+            "SELECT c.c_custkey, l.pri, l.n FROM customer c, LATERAL ("
+            "SELECT o.o_orderpriority AS pri, count(*) AS n FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey GROUP BY o.o_orderpriority) l "
+            "ORDER BY c.c_custkey, l.pri",
+        )
+
+    def test_grouped_lateral_with_having(self, spark, sf_small):
+        self._check(
+            spark, sf_small,
+            "SELECT c.c_custkey, l.st, l.total FROM customer c, LATERAL ("
+            "SELECT o.o_orderstatus AS st, CAST(sum(o.o_orderkey) AS "
+            "BIGINT) AS total FROM orders o WHERE o.o_custkey = "
+            "c.c_custkey GROUP BY o.o_orderstatus HAVING count(*) >= 2) l "
+            "ORDER BY c.c_custkey, l.st",
+        )
+
+    def test_rejections(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        schema = {"customer": ["c_custkey", "c_nationkey"],
+                  "orders": ["o_orderkey", "o_custkey", "o_orderpriority"]}
+        for sql, frag in [
+            (
+                "SELECT c.c_custkey, l.n FROM customer c, LATERAL ("
+                "SELECT o.o_orderpriority AS p, count(*) AS n FROM orders o "
+                "WHERE o.o_custkey = c.c_custkey GROUP BY o.o_orderpriority "
+                "HAVING count(*) > c.c_nationkey) l",
+                "correlated references inside the HAVING of a LATERAL",
+            ),
+            (
+                "SELECT c.c_custkey, l.n FROM customer c, LATERAL ("
+                "SELECT DISTINCT o.o_orderpriority AS p, count(*) AS n "
+                "FROM orders o WHERE o.o_custkey = c.c_custkey "
+                "GROUP BY o.o_orderpriority) l",
+                "LIMIT/DISTINCT",
+            ),
+        ]:
+            with pytest.raises(UnsupportedSqlError, match=frag):
+                parse_relalg(parse_query(sql, schema=schema))

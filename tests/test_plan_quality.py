@@ -1332,3 +1332,13 @@ def test_exists_having_is_grouped_semi_join(registry, spark, sf_small):
     assert "LeftSemi" in plan
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_lateral_groupby_is_keyed_aggregate_join(registry, spark, sf_small):
+    """Round-11: grouped LATERAL aggregates ONCE on (correlation key,
+    group key) and joins back per key — no per-outer-row subquery, no
+    nested loop."""
+    df = _build(registry, spark, sf_small, "parsed_lateral_groupby")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
