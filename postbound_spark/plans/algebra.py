@@ -1337,8 +1337,10 @@ class _Converter:
 
         # explicit outer/natural/cross join chain (ref ExplicitFromClause
         # qal/_qal.py:7074) — joined in written order onto the implicit tree
+        joined_ids = set(own_ids)
         for j in self.q.joins:
-            tree = self._apply_explicit_join(tree, j)
+            tree = self._apply_explicit_join(tree, j, joined_ids)
+            joined_ids.add(j.source.identifier)
 
         # lifted scalar subqueries referenced by WHERE: 1-row cross
         # products attached before the residual filter that consumes them
@@ -1593,12 +1595,36 @@ class _Converter:
     # -- explicit joins ------------------------------------------------------
 
     def _apply_explicit_join(
-        self, tree: ra.RelNode, j: Q.JoinedTable
+        self, tree: ra.RelNode, j: Q.JoinedTable, outer_ids: set[str] | None = None
     ) -> ra.RelNode:
         if isinstance(j.source, Q.SubqueryTableSource) and j.source.lateral:
-            raise UnsupportedSqlError(
-                "LATERAL as an explicit-join operand is not modeled; use the "
-                "comma form (FROM t, LATERAL (...))"
+            # [LEFT|INNER|CROSS] JOIN LATERAL (…) ON TRUE — the standard
+            # Postgres idiom (round-11): the correlation lives INSIDE the
+            # subquery, so the ON must be the literal TRUE; LEFT keeps
+            # match-less outer rows null-extended through the same
+            # decorrelated join the comma form compiles to.
+            jt = j.join_type
+            if jt not in (
+                Q.JoinType.LEFT, Q.JoinType.INNER, Q.JoinType.CROSS
+            ):
+                raise UnsupportedSqlError(
+                    f"{jt.value} LATERAL is not modeled — only "
+                    "[LEFT] JOIN LATERAL ... ON TRUE and CROSS JOIN "
+                    "LATERAL decorrelate"
+                )
+            if j.condition is not None and not re.fullmatch(
+                r"\(*\s*true\s*\)*", j.condition.to_sql(), re.I
+            ):
+                raise UnsupportedSqlError(
+                    "JOIN LATERAL with a non-TRUE ON condition is not "
+                    "modeled — move the predicate into the subquery's "
+                    "WHERE (it correlates there)"
+                )
+            return self._apply_lateral(
+                tree,
+                j.source,
+                set(outer_ids or ()),
+                join_how="left" if jt is Q.JoinType.LEFT else "inner",
             )
         node = self._leaf(j.source)
         jt = j.join_type
@@ -1624,6 +1650,7 @@ class _Converter:
         src: "Q.SubqueryTableSource",
         outer_ids: set[str],
         outer_transform=None,
+        join_how: str | None = None,
     ) -> ra.RelNode:
         """Decorrelate ``, LATERAL (SELECT ... WHERE inner.k = outer.k)`` into
         a grouped join — the Spark-first execution of the reference's lateral
@@ -1752,7 +1779,9 @@ class _Converter:
                 f"= {src.alias}.{k}"
                 for (outer, _i), k in zip(corr_eqs, key_names)
             )
-            tree = ra.ThetaJoin(tree, inner_tree, cond, how="inner")
+            tree = ra.ThetaJoin(
+                tree, inner_tree, cond, how=join_how or "inner"
+            )
             return ra.Drop(tree, tuple(key_names))
 
         if sub.limit is not None:
@@ -1808,7 +1837,7 @@ class _Converter:
                 f"= {src.alias}.{k}"
                 for (outer, _i), k in zip(corr_eqs, key_names)
             )
-            how = "left" if src.scalar_left else "inner"
+            how = "left" if src.scalar_left else (join_how or "inner")
             tree = ra.ThetaJoin(tree, inner_tree, cond, how=how)
             return ra.Drop(tree, tuple(key_names) + (rn,))
 
@@ -1878,7 +1907,9 @@ class _Converter:
             f"= {src.alias}.{k}"
             for (outer, _i), k in zip(corr_eqs, key_names)
         )
-        tree = ra.ThetaJoin(tree, inner_tree, cond, how="inner")
+        tree = ra.ThetaJoin(
+            tree, inner_tree, cond, how=join_how or "inner"
+        )
         # see the aggregate path: synthetic keys must not survive the join
         return ra.Drop(tree, tuple(key_names))
 

@@ -1912,3 +1912,37 @@ def parsed_lateral_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority) then a key-equi join — per KEY, never per outer row; no
     nested loop at any scale."""
     return _native(spark, sf_dir, _LATERAL_GROUPBY_SQL, ["customer", "orders"])
+
+
+_JOIN_LATERAL_SQL = """
+SELECT c.c_custkey, l.v
+FROM customer c
+LEFT JOIN LATERAL (
+    SELECT o.o_orderkey AS v
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    LIMIT 2
+) l ON true
+WHERE c.c_custkey < 800
+ORDER BY c.c_custkey, l.v
+"""
+
+
+@query("parsed_join_lateral", oracle=_JOIN_LATERAL_SQL)
+def parsed_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: ``LEFT JOIN LATERAL (...) ON TRUE`` — the standard
+    Postgres top-n-per-entity idiom ("each customer's first two
+    orders, keeping customers with none"). Previously a documented
+    rejection directing users to the comma form, which loses the LEFT
+    (null-extending) semantics entirely; now routed onto the same
+    decorrelated lateral machinery (plans/algebra.py
+    ``_apply_explicit_join`` → ``_apply_lateral`` with join_how), with
+    INNER/CROSS JOIN LATERAL mapping to the inner form. Correlation
+    must live inside the subquery (ON must be literal TRUE); RIGHT/FULL
+    LATERAL keep loud rejections. DuckDB runs identical text.
+
+    Scale shape: ONE row_number window partitioned on the correlation
+    key (InferWindowGroupLimit keeps it a per-key top-n), a rank-range
+    filter, and a keyed LEFT join — per key, never per outer row."""
+    return _native(spark, sf_dir, _JOIN_LATERAL_SQL, ["customer", "orders"])

@@ -1421,12 +1421,26 @@ def lateral_query(draw) -> str:
         if draw(st.booleans())
         else ""
     )
+    # comma form vs the explicit-join spellings (round-11: [LEFT] JOIN
+    # LATERAL ... ON true / CROSS JOIN LATERAL route onto the same
+    # decorrelation; LEFT null-extends match-less outer rows)
+    def wrap(body: str) -> tuple[str, str]:
+        form = draw(st.integers(0, 2))
+        if form == 0:
+            return f", LATERAL ({body}) l", ""
+        if form == 1:
+            return f" CROSS JOIN LATERAL ({body}) l", ""
+        return f" LEFT JOIN LATERAL ({body}) l ON true", "left"
+
     if shape == 0:
-        # aggregate lateral: LEFT-join semantics with count→0
-        return (
-            f"SELECT t.{okey}, l.n FROM {outer} t, LATERAL ("
+        # aggregate lateral: always one row per outer on every form
+        join, _ = wrap(
             f"SELECT count(*) AS n FROM {inner} "
-            f"WHERE {ik} = t.{okey}{loc}) l ORDER BY t.{okey}" + ORDERED
+            f"WHERE {ik} = t.{okey}{loc}"
+        )
+        return (
+            f"SELECT t.{okey}, l.n FROM {outer} t{join} "
+            f"ORDER BY t.{okey}" + ORDERED
         )
     if shape == 1:
         having = (
@@ -1435,19 +1449,23 @@ def lateral_query(draw) -> str:
             if draw(st.booleans())
             else ""
         )
-        return (
-            f"SELECT t.{okey}, l.g, l.n FROM {outer} t, LATERAL ("
+        join, _ = wrap(
             f"SELECT {gk} AS g, count(*) AS n FROM {inner} "
-            f"WHERE {ik} = t.{okey}{loc} GROUP BY {gk}{having}) l "
+            f"WHERE {ik} = t.{okey}{loc} GROUP BY {gk}{having}"
+        )
+        return (
+            f"SELECT t.{okey}, l.g, l.n FROM {outer} t{join} "
             f"ORDER BY t.{okey}, l.g" + ORDERED
         )
     # top-n per outer over a unique key → deterministic
     n = draw(st.integers(1, 3))
     dirn = draw(st.sampled_from(["ASC", "DESC"]))
-    return (
-        f"SELECT t.{okey}, l.v FROM {outer} t, LATERAL ("
+    join, _ = wrap(
         f"SELECT {uniq} AS v FROM {inner} WHERE {ik} = t.{okey}{loc} "
-        f"ORDER BY {uniq} {dirn} LIMIT {n}) l "
+        f"ORDER BY {uniq} {dirn} LIMIT {n}"
+    )
+    return (
+        f"SELECT t.{okey}, l.v FROM {outer} t{join} "
         f"ORDER BY t.{okey}, l.v" + ORDERED
     )
 

@@ -2968,3 +2968,68 @@ class TestLateralGroupBy:
         ]:
             with pytest.raises(UnsupportedSqlError, match=frag):
                 parse_relalg(parse_query(sql, schema=schema))
+
+
+class TestJoinLateral:
+    """Round-11: [LEFT] JOIN LATERAL (...) ON TRUE / CROSS JOIN LATERAL
+    — the standard Postgres idiom, routed onto the same decorrelated
+    lateral machinery as the comma form (LEFT keeps match-less outer
+    rows null-extended)."""
+
+    def _check(self, spark, sf_small, sql, tables=("customer", "orders")):
+        cat = load_tables(spark, sf_small, list(tables))
+        schema = {t: cat[t].columns for t in tables}
+        got = sorted(
+            map(repr, (tuple(r) for r in compile_plan(
+                parse_relalg(parse_query(sql, schema=schema)), spark, cat
+            ).collect()))
+        )
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_small}/{t}.parquet')"
+            )
+        want = sorted(map(repr, (tuple(r) for r in con.execute(sql).fetchall())))
+        assert got == want and len(got) > 0
+
+    def test_left_join_lateral_topn(self, spark, sf_small):
+        self._check(
+            spark, sf_small,
+            "SELECT c.c_custkey, l.v FROM customer c LEFT JOIN LATERAL ("
+            "SELECT o.o_orderkey AS v FROM orders o WHERE o.o_custkey = "
+            "c.c_custkey ORDER BY o.o_orderkey LIMIT 2) l ON true "
+            "ORDER BY c.c_custkey, l.v",
+        )
+
+    def test_left_join_lateral_grouped(self, spark, sf_small):
+        self._check(
+            spark, sf_small,
+            "SELECT c.c_custkey, l.pri, l.n FROM customer c "
+            "LEFT JOIN LATERAL (SELECT o.o_orderpriority AS pri, "
+            "count(*) AS n FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "GROUP BY o.o_orderpriority) l ON true "
+            "ORDER BY c.c_custkey, l.pri",
+        )
+
+    def test_rejections(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        schema = {"customer": ["c_custkey"],
+                  "orders": ["o_orderkey", "o_custkey"]}
+        for sql, frag in [
+            (
+                "SELECT c.c_custkey FROM customer c RIGHT JOIN LATERAL ("
+                "SELECT o.o_orderkey AS v FROM orders o WHERE "
+                "o.o_custkey = c.c_custkey) l ON true",
+                "LATERAL is not modeled",
+            ),
+            (
+                "SELECT c.c_custkey FROM customer c LEFT JOIN LATERAL ("
+                "SELECT o.o_orderkey AS v FROM orders o WHERE "
+                "o.o_custkey = c.c_custkey) l ON l.v > 5",
+                "non-TRUE ON condition",
+            ),
+        ]:
+            with pytest.raises(UnsupportedSqlError, match=frag):
+                parse_relalg(parse_query(sql, schema=schema))

@@ -1342,3 +1342,14 @@ def test_lateral_groupby_is_keyed_aggregate_join(registry, spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_join_lateral_topn_is_window_group_limited(registry, spark, sf_small):
+    """Round-11: LEFT JOIN LATERAL ... LIMIT n rides ONE row_number
+    window partitioned on the correlation key (WindowGroupLimit keeps it
+    per-key top-n) and a keyed LEFT join — never a per-outer-row
+    subquery."""
+    df = _build(registry, spark, sf_small, "parsed_join_lateral")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
