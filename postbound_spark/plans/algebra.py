@@ -62,7 +62,9 @@ AGGREGATE_FUNCTIONS = frozenset({
     "stddev_pop", "stddev_samp", "var_pop", "var_samp", "variance",
     "approx_count_distinct", "first", "last", "mean", "median", "mode",
     "percentile", "percentile_approx", "percentile_cont",
-    "percentile_disc", "kurtosis", "skewness",
+    "percentile_disc", "kurtosis", "skewness", "max_by", "min_by",
+    "covar_pop", "covar_samp", "regr_slope", "regr_intercept",
+    "regr_count", "regr_r2", "regr_avgx", "regr_avgy",
     # xml_agg resolves to the registered GROUPED_AGG UDAF
     # (functions/udf.py) — call register_all(spark) before compiling
     "xml_agg",

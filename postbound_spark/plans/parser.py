@@ -2564,9 +2564,13 @@ class _Parser:
                         cols.extend(leaf.columns())
                     args.append(_Expr(cond.to_sql()))
                 else:
-                    args.append(self._parse_expression())
+                    # value-or-predicate: boolean-valued arguments
+                    # (`bool_and(x > 2)`, `count(a = b OR c)`) are
+                    # ordinary expressions of type boolean (wave-14 —
+                    # the comparison tail previously failed at parse)
+                    args.append(self._parse_value_or_predicate())
                 while self.t.accept(","):
-                    args.append(self._parse_expression())
+                    args.append(self._parse_value_or_predicate())
             # in-call aggregate ORDER BY — `string_agg(x, d ORDER BY k)`,
             # `array_agg(x ORDER BY k DESC)` (extension BEYOND the
             # reference: its parser handles agg_filter only, no aggOrder —
@@ -2678,6 +2682,47 @@ class _Parser:
                 body = f"CAST({low_name}({args[0].sql}) AS DOUBLE)"
             elif low_name == "strpos" and len(args) == 2 and not distinct:
                 body = f"instr({args[0].sql}, {args[1].sql})"
+            elif (
+                low_name in ("arg_max", "arg_min")
+                and len(args) == 2
+                and not distinct
+            ):
+                # DuckDB arg_max(arg, val) == Spark max_by(arg, val)
+                # (wave-14; DuckDB itself aliases max_by/min_by)
+                spark_fn = "max_by" if low_name == "arg_max" else "min_by"
+                body = f"{spark_fn}({args[0].sql}, {args[1].sql})"
+            elif (
+                low_name == "quantile_cont"
+                and len(args) == 2
+                and not distinct
+            ):
+                # DuckDB quantile_cont(x, p) == Spark's exact
+                # interpolated percentile(x, p) (wave-14)
+                body = f"percentile({args[0].sql}, {args[1].sql})"
+            elif (
+                low_name == "quantile_disc"
+                and len(args) == 2
+                and not distinct
+            ):
+                # discrete quantile → the ANSI inverse-distribution
+                # spelling Spark executes natively (wave-14)
+                body = (
+                    f"percentile_disc({args[1].sql}) "
+                    f"WITHIN GROUP (ORDER BY {args[0].sql})"
+                )
+            elif (
+                low_name == "string_agg" and len(args) == 1 and not distinct
+            ):
+                # 1-arg form: DuckDB/Postgres default the delimiter to
+                # ',' where Spark's own default is '' (wave-14)
+                body = f"string_agg({args[0].sql}, ',')"
+            elif low_name == "product" and not distinct:
+                raise UnsupportedSqlError(
+                    "product() has no exact Spark lowering — the "
+                    "log-domain form exp(sum(ln(abs(x)))) drifts in the "
+                    "last ULP and lambda reductions are not re-parsable; "
+                    "spell the log-domain form explicitly"
+                )
             elif low_name == "concat" and args and not distinct:
                 # DuckDB/Postgres concat() SKIPS NULL arguments; Spark's
                 # propagates NULL (wave-13 silent divergence). concat_ws
@@ -3074,6 +3119,10 @@ class _Parser:
             n is None for _k, _a, n in keys
         )
         if low == "string_agg":
+            if len(args) == 1:
+                # 1-arg form: DuckDB/Postgres default the delimiter to
+                # ',' (wave-14; Spark's own default is '' — divergent)
+                args = list(args) + [_Expr("','")]
             if len(args) != 2:
                 raise UnsupportedSqlError(
                     "string_agg takes (expr, delimiter)"

@@ -1946,3 +1946,38 @@ def parsed_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (InferWindowGroupLimit keeps it a per-key top-n), a rank-range
     filter, and a keyed LEFT join — per key, never per outer row."""
     return _native(spark, sf_dir, _JOIN_LATERAL_SQL, ["customer", "orders"])
+
+
+_AGG_PARITY_SQL = """
+SELECT c_nationkey,
+       arg_max(c_name, c_custkey) AS newest,
+       arg_min(c_name, c_custkey) AS oldest,
+       CAST(median(c_custkey) AS DOUBLE) AS med,
+       CAST(quantile_cont(c_custkey, 0.25) AS DOUBLE) AS q1,
+       CAST(quantile_disc(c_custkey, 0.25) AS DOUBLE) AS q1d,
+       bool_and(c_acctbal > -1000) AS all_funded,
+       bool_or(c_acctbal > 9990) AS any_rich
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@query("parsed_agg_parity", oracle=_AGG_PARITY_SQL)
+def parsed_agg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 14): AGGREGATE-function parity — DuckDB's
+    arg_max/arg_min lower to Spark's max_by/min_by, quantile_cont to the
+    exact interpolated percentile(), quantile_disc to the ANSI
+    percentile_disc() WITHIN GROUP spelling, and bool_and/bool_or take
+    PREDICATE arguments (function arguments now parse as
+    value-or-predicate — `bool_and(x > 2)` previously failed at parse).
+    max_by/min_by and the covariance/regression family joined the
+    aggregate-call registry so grouped queries classify them correctly.
+    The arg value column (c_custkey) is unique, so arg extremes are
+    deterministic. DuckDB runs identical text.
+
+    Scale shape: one partial→final hash aggregate — every function is a
+    JVM builtin with map-side partial state (max_by carries (arg, val)
+    pairs; exact percentiles buffer per group like any engine's exact
+    quantile)."""
+    return _native(spark, sf_dir, _AGG_PARITY_SQL, ["customer"])

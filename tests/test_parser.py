@@ -3033,3 +3033,47 @@ class TestJoinLateral:
         ]:
             with pytest.raises(UnsupportedSqlError, match=frag):
                 parse_relalg(parse_query(sql, schema=schema))
+
+
+class TestAggregateParity:
+    """Round-11 wave 14: aggregate-function parity lowerings and
+    predicate-valued function arguments."""
+
+    def test_arg_max_lowers_to_max_by(self):
+        q = parse_query(
+            "SELECT arg_max(n_name, n_nationkey) AS a, "
+            "arg_min(n_name, n_nationkey) AS b FROM nation"
+        )
+        s = q.to_sql()
+        assert "max_by(n_name, n_nationkey)" in s
+        assert "min_by(n_name, n_nationkey)" in s
+
+    def test_quantiles_lower(self):
+        q = parse_query(
+            "SELECT quantile_cont(n_nationkey, 0.5) AS a, "
+            "quantile_disc(n_nationkey, 0.5) AS b FROM nation"
+        )
+        s = q.to_sql()
+        assert "percentile(n_nationkey, 0.5)" in s
+        assert "percentile_disc(0.5) WITHIN GROUP (ORDER BY n_nationkey)" in s
+
+    def test_predicate_argument_parses(self):
+        q = parse_query(
+            "SELECT bool_and(n_nationkey > 2 AND n_regionkey = 1) AS b "
+            "FROM nation"
+        )
+        assert "(n_nationkey > 2) AND (n_regionkey = 1)" in q.to_sql()
+
+    def test_string_agg_one_arg_defaults_comma(self):
+        q = parse_query("SELECT string_agg(n_name) AS s FROM nation")
+        assert "string_agg(n_name, ',')" in q.to_sql()
+        q2 = parse_query(
+            "SELECT string_agg(n_name ORDER BY n_name) AS s FROM nation"
+        )
+        assert "','" in q2.to_sql() or ",'" in q2.to_sql()
+
+    def test_product_rejects_loud(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="product"):
+            parse_query("SELECT product(n_nationkey) AS p FROM nation")
