@@ -2413,26 +2413,7 @@ class _Parser:
             self.t.expect("from")
             src = self._parse_expression()
             self.t.expect(")")
-            f = fld.lower()
-            # Postgres/DuckDB field parity (wave-5 probe finds): Spark's
-            # DOW is Sunday=1 where Postgres counts Sunday=0; ISODOW and
-            # EPOCH are missing from Spark's extract entirely. The session
-            # pins spark.sql.session.timeZone=UTC, so epoch-of-DATE
-            # matches DuckDB's UTC-midnight reading. DuckDB returns
-            # DOUBLE with FRACTIONAL seconds for epoch of any temporal
-            # type (advisor-found: unix_timestamp truncated sub-second
-            # precision), so lower through microseconds.
-            if f == "dow":
-                return _Expr(f"(dayofweek({src.sql}) - 1)", src.cols)
-            if f == "isodow":
-                return _Expr(f"(weekday({src.sql}) + 1)", src.cols)
-            if f == "epoch":
-                return _Expr(
-                    f"(CAST(unix_micros(CAST({src.sql} AS TIMESTAMP)) "
-                    f"AS DOUBLE) / 1000000.0D)",
-                    src.cols,
-                )
-            return _Expr(f"extract({fld} FROM {src.sql})", src.cols)
+            return _Expr(_extract_text(fld, src.sql), src.cols)
 
         if low == "array" and self.t.peek(1) == "[":
             self.t.next()
@@ -2716,6 +2697,48 @@ class _Parser:
                 # 1-arg form: DuckDB/Postgres default the delimiter to
                 # ',' where Spark's own default is '' (wave-14)
                 body = f"string_agg({args[0].sql}, ',')"
+            elif (
+                low_name in ("date_part", "datepart")
+                and len(args) == 2
+                and not distinct
+                and args[0].sql.startswith("'")
+                and args[0].sql.endswith("'")
+            ):
+                # date_part('field', x) is the function spelling of
+                # EXTRACT — route through the SAME field-parity lowering
+                # (wave-15: date_part('dow', …) silently skipped the
+                # Sunday=0 correction extract received in wave 5)
+                body = _extract_text(args[0].sql[1:-1], args[1].sql)
+            elif low_name == "week" and len(args) == 1 and not distinct:
+                # DuckDB week() is the ISO week — Spark's weekofyear
+                body = f"weekofyear({args[0].sql})"
+            elif (
+                low_name in ("dayname", "monthname")
+                and len(args) == 1
+                and not distinct
+            ):
+                pat = "EEEE" if low_name == "dayname" else "MMMM"
+                body = f"date_format({args[0].sql}, '{pat}')"
+            elif low_name == "epoch_ms" and len(args) == 1 and not distinct:
+                body = f"unix_millis(CAST({args[0].sql} AS TIMESTAMP))"
+            elif (
+                low_name in ("strftime", "strptime")
+                and len(args) == 2
+                and not distinct
+            ):
+                # DuckDB/Postgres %-format codes → Spark's Java datetime
+                # patterns (wave-15); literal formats only — the
+                # translation must see the whole string
+                fmt = args[1].sql
+                if not (fmt.startswith("'") and fmt.endswith("'")):
+                    raise UnsupportedSqlError(
+                        f"{low_name} needs a literal format string"
+                    )
+                java = _strf_to_java(fmt[1:-1]).replace("'", "''")
+                if low_name == "strftime":
+                    body = f"date_format({args[0].sql}, '{java}')"
+                else:
+                    body = f"to_timestamp({args[0].sql}, '{java}')"
             elif low_name == "product" and not distinct:
                 raise UnsupportedSqlError(
                     "product() has no exact Spark lowering — the "
@@ -3446,6 +3469,82 @@ class _Parser:
         new_wparts = list(wparts)
         new_wparts[order_idx] = f"ORDER BY {gname} ASC NULLS LAST"
         return ["RANGE"] + frame[1:], new_wparts
+
+
+def _extract_text(fld: str, src_sql: str) -> str:
+    """Postgres/DuckDB EXTRACT field parity (wave-5/15 probe finds),
+    shared by ``extract(f FROM x)`` and ``date_part('f', x)``: Spark's
+    DOW is Sunday=1 where Postgres counts Sunday=0; ISODOW, ISOYEAR, and
+    EPOCH are missing from Spark's extract entirely. The session pins
+    spark.sql.session.timeZone=UTC, so epoch-of-DATE matches DuckDB's
+    UTC-midnight reading; DuckDB returns DOUBLE with FRACTIONAL seconds
+    for epoch of any temporal type (advisor-found: unix_timestamp
+    truncated sub-second precision), so it lowers through microseconds.
+    ISOYEAR is the calendar year of the ISO week's THURSDAY."""
+    f = fld.lower()
+    if f == "dow":
+        return f"(dayofweek({src_sql}) - 1)"
+    if f == "isodow":
+        return f"(weekday({src_sql}) + 1)"
+    if f == "epoch":
+        return (
+            f"(CAST(unix_micros(CAST({src_sql} AS TIMESTAMP)) "
+            f"AS DOUBLE) / 1000000.0D)"
+        )
+    if f == "isoyear":
+        return (
+            f"year(date_add(CAST({src_sql} AS DATE), "
+            f"4 - (weekday({src_sql}) + 1)))"
+        )
+    return f"extract({fld} FROM {src_sql})"
+
+
+#: strftime/strptime %-code → Java SimpleDateFormat pattern letters
+_STRF_CODES = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
+    "I": "hh", "M": "mm", "S": "ss", "f": "SSSSSS", "B": "MMMM",
+    "b": "MMM", "A": "EEEE", "a": "EEE", "j": "DDD", "p": "a",
+}
+
+
+def _strf_to_java(fmt: str) -> str:
+    """Translate a DuckDB/Postgres strftime %-format into Spark's Java
+    datetime pattern (wave-15). Literal text runs containing letters are
+    single-quoted so Java cannot reinterpret them; unmapped %-codes
+    reject loudly rather than silently emitting the raw letters."""
+    out: list[str] = []
+    lit = ""
+
+    def flush():
+        nonlocal lit
+        if lit:
+            if re.search(r"[A-Za-z']", lit):
+                out.append("'" + lit.replace("'", "''") + "'")
+            else:
+                out.append(lit)
+            lit = ""
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            code = fmt[i + 1]
+            if code == "%":
+                lit += "%"
+                i += 2
+                continue
+            if code not in _STRF_CODES:
+                raise UnsupportedSqlError(
+                    f"strftime/strptime code %{code} has no Spark "
+                    "datetime-pattern mapping"
+                )
+            flush()
+            out.append(_STRF_CODES[code])
+            i += 2
+        else:
+            lit += fmt[i]
+            i += 1
+    flush()
+    return "".join(out)
 
 
 _INT_CAST_TARGETS = ("int", "integer", "bigint", "smallint", "tinyint")

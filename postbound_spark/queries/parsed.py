@@ -1981,3 +1981,35 @@ def parsed_agg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; exact percentiles buffer per group like any engine's exact
     quantile)."""
     return _native(spark, sf_dir, _AGG_PARITY_SQL, ["customer"])
+
+
+_DATETIME_PARITY_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+       dayname(o_orderdate) AS dn,
+       monthname(o_orderdate) AS mn,
+       CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow0,
+       CAST(extract(isoyear FROM o_orderdate) AS BIGINT) AS iso_year,
+       CAST(epoch_ms(o_orderdate) AS BIGINT) AS ms
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
+@query("parsed_datetime_parity", oracle=_DATETIME_PARITY_SQL)
+def parsed_datetime_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 15): DATE/TIME function parity — DuckDB's
+    strftime/strptime %-codes translate to Spark's Java datetime
+    patterns (literal runs quoted, unmapped codes reject loud),
+    dayname/monthname lower to date_format EEEE/MMMM, week() to the ISO
+    weekofyear, epoch_ms to unix_millis, date_part('f', x) routes
+    through the SAME field-parity lowering as EXTRACT (its 'dow'
+    previously skipped the Sunday=0 correction — a silent off-by-one),
+    and extract(isoyear) computes the ISO week-numbering year as the
+    calendar year of the week's Thursday. DuckDB runs identical text.
+
+    Scale shape: all map-side scalar expressions in whole-stage
+    codegen — no shuffle, no Python."""
+    return _native(spark, sf_dir, _DATETIME_PARITY_SQL, ["orders"])

@@ -3077,3 +3077,47 @@ class TestAggregateParity:
 
         with pytest.raises(UnsupportedSqlError, match="product"):
             parse_query("SELECT product(n_nationkey) AS p FROM nation")
+
+
+class TestDatetimeParity:
+    """Round-11 wave 15: strftime translation and extract/date_part
+    field parity."""
+
+    def test_strftime_translates_codes(self):
+        q = parse_query(
+            "SELECT strftime(o_orderdate, '%Y-%m-%d') AS a, "
+            "strftime(o_orderdate, '%d %B %Y') AS b FROM orders"
+        )
+        s = q.to_sql()
+        assert "date_format(o_orderdate, 'yyyy-MM-dd')" in s
+        assert "date_format(o_orderdate, 'dd MMMM yyyy')" in s
+
+    def test_strftime_literal_letters_quoted(self):
+        q = parse_query(
+            "SELECT strftime(o_orderdate, 'Week %Y') AS a FROM orders"
+        )
+        # literal 'Week ' must be quoted so Java cannot reinterpret it
+        assert "''Week ''yyyy" in q.to_sql()
+
+    def test_unmapped_code_rejects(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="%g"):
+            parse_query(
+                "SELECT strftime(o_orderdate, '%g') AS a FROM orders"
+            )
+
+    def test_date_part_routes_through_extract_parity(self):
+        q = parse_query(
+            "SELECT date_part('dow', o_orderdate) AS d, "
+            "datepart('epoch', o_orderdate) AS e FROM orders"
+        )
+        s = q.to_sql()
+        assert "(dayofweek(o_orderdate) - 1)" in s
+        assert "unix_micros" in s
+
+    def test_isoyear_lowering(self):
+        q = parse_query(
+            "SELECT extract(isoyear FROM o_orderdate) AS iy FROM orders"
+        )
+        assert "year(date_add(CAST(o_orderdate AS DATE)" in q.to_sql()
