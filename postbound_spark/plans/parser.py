@@ -2145,6 +2145,36 @@ class _Parser:
         left = self._parse_multiplicative()
         while self.t.peek() in ("+", "-", "||"):
             op = self.t.next()
+            if op == "-" and self.t.peek() == ">":
+                # JSON arrows (wave-16): `j ->> 'k'` extracts TEXT —
+                # exactly Spark's get_json_object. Bare `->` returns a
+                # JSON-typed value whose STRING results keep their JSON
+                # quotes on DuckDB ('"hi"') where Spark strips them —
+                # a silent divergence with no Spark spelling, so it
+                # rejects toward the text form.
+                self.t.next()
+                if not self.t.accept(">"):
+                    raise UnsupportedSqlError(
+                        "the JSON `->` operator returns JSON-quoted "
+                        "strings on DuckDB/Postgres with no exact Spark "
+                        "equivalent — use `->>` (text extraction) or a "
+                        "full '$.a.b' path with json_extract_string"
+                    )
+                key = self._parse_unary()
+                ktxt = key.sql.strip()
+                if re.fullmatch(r"'[^']*'", ktxt):
+                    path = f"'$.{ktxt[1:-1]}'"
+                elif re.fullmatch(r"\d+", ktxt):
+                    path = f"'$[{ktxt}]'"
+                else:
+                    raise UnsupportedSqlError(
+                        "`->>` needs a literal string key or integer "
+                        "index"
+                    )
+                left = _merge(
+                    f"get_json_object({left.sql}, {path})", left, key
+                )
+                continue
             right = self._parse_multiplicative()
             # DATE literal ± INTERVAL yields TIMESTAMP on Postgres/DuckDB
             # where Spark keeps DATE (wave-8 probe find) — promote the
@@ -2739,6 +2769,40 @@ class _Parser:
                     body = f"date_format({args[0].sql}, '{java}')"
                 else:
                     body = f"to_timestamp({args[0].sql}, '{java}')"
+            elif (
+                low_name in ("json_extract_string", "json_value")
+                and len(args) == 2
+                and not distinct
+            ):
+                # DuckDB json_extract_string == Spark get_json_object
+                # (both return unquoted TEXT; wave-16). Paths without
+                # the '$' root get it prepended ('a.b' → '$.a.b').
+                p = args[1].sql.strip()
+                if re.fullmatch(r"'[^']*'", p) and not p[1:-1].startswith(
+                    "$"
+                ):
+                    p = f"'$.{p[1:-1]}'"
+                body = f"get_json_object({args[0].sql}, {p})"
+            elif low_name == "json_extract" and not distinct:
+                raise UnsupportedSqlError(
+                    "json_extract returns JSON-quoted strings on DuckDB "
+                    "('\"hi\"') where Spark's get_json_object strips the "
+                    "quotes — use json_extract_string for text "
+                    "extraction"
+                )
+            elif (
+                low_name == "json_array_length"
+                and len(args) == 2
+                and not distinct
+            ):
+                # DuckDB's 2-arg form measures the array AT a path —
+                # compose the extraction (wave-16)
+                body = (
+                    f"json_array_length(get_json_object({args[0].sql}, "
+                    f"{args[1].sql}))"
+                )
+            elif low_name == "json_keys" and len(args) == 1 and not distinct:
+                body = f"json_object_keys({args[0].sql})"
             elif low_name == "product" and not distinct:
                 raise UnsupportedSqlError(
                     "product() has no exact Spark lowering — the "

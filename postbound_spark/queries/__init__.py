@@ -130,6 +130,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_join_lateral",
     "parsed_agg_parity",
     "parsed_datetime_parity",
+    "parsed_json_parity",
     "parsed_scalar_top1",
     "parsed_operator_parity",
     "parsed_union_by_name",

@@ -2013,3 +2013,33 @@ def parsed_datetime_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: all map-side scalar expressions in whole-stage
     codegen — no shuffle, no Python."""
     return _native(spark, sf_dir, _DATETIME_PARITY_SQL, ["orders"])
+
+
+_JSON_PARITY_SQL = """
+SELECT n_nationkey,
+       json_extract_string(
+           concat('{"region": ', n_regionkey,
+                  ', "tags": ["a", "b"], "name": "', n_name, '"}'),
+           '$.name') AS nm,
+       concat('{"region": ', n_regionkey, '}') ->> 'region' AS region,
+       CAST(json_array_length('[1, 2, 3]') AS BIGINT) AS arr_n
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query("parsed_json_parity", oracle=_JSON_PARITY_SQL)
+def parsed_json_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 16): JSON parity — json_extract_string /
+    json_value lower to Spark's get_json_object ('$'-less paths get the
+    root prepended), the ``->>`` text-extraction arrow lowers to a
+    '$.key' / '$[i]' path, 2-arg json_array_length composes the
+    extraction, json_keys lowers to json_object_keys. The JSON-typed
+    forms (json_extract, bare ``->``) reject LOUDLY: DuckDB keeps JSON
+    quotes on string results ('"hi"') where Spark strips them — a
+    silent divergence with no Spark spelling. DuckDB runs identical
+    text.
+
+    Scale shape: map-side string expressions in whole-stage codegen —
+    JSON parsing is per-row CPU, no shuffle, no Python."""
+    return _native(spark, sf_dir, _JSON_PARITY_SQL, ["nation"])

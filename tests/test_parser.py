@@ -3121,3 +3121,32 @@ class TestDatetimeParity:
             "SELECT extract(isoyear FROM o_orderdate) AS iy FROM orders"
         )
         assert "year(date_add(CAST(o_orderdate AS DATE)" in q.to_sql()
+
+
+class TestJsonParity:
+    """Round-11 wave 16: JSON extraction lowerings."""
+
+    def test_extract_string_lowers(self):
+        q = parse_query(
+            "SELECT json_extract_string(n_name, '$.a.b') AS x, "
+            "json_extract_string(n_name, 'bare') AS y FROM nation"
+        )
+        s = q.to_sql()
+        assert "get_json_object(n_name, '$.a.b')" in s
+        assert "get_json_object(n_name, '$.bare')" in s
+
+    def test_arrow_text_lowers(self):
+        q = parse_query(
+            "SELECT n_name ->> 'k' AS a, n_name ->> 2 AS b FROM nation"
+        )
+        s = q.to_sql()
+        assert "get_json_object(n_name, '$.k')" in s
+        assert "get_json_object(n_name, '$[2]')" in s
+
+    def test_json_quoted_forms_reject(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="json_extract_string"):
+            parse_query("SELECT json_extract(n_name, '$.a') AS x FROM nation")
+        with pytest.raises(UnsupportedSqlError, match="text extraction"):
+            parse_query("SELECT n_name -> 'a' AS x FROM nation")
