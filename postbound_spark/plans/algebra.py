@@ -1697,6 +1697,17 @@ class _Converter:
         corr_eqs: list[tuple[str, str]] = []  # (outer side sql, inner side sql)
         local: list[Q.AbstractPredicate] = []
         for conj in inner_conv._conjuncts():
+            skip_level = conj.tables() - inner_ids - outer_ids
+            if skip_level:
+                # a table from a scope MORE THAN ONE level out (nested
+                # subqueries): no decorrelated form carries the
+                # grandparent key through the middle join — reject
+                # cleanly instead of failing at Spark analysis
+                raise UnsupportedSqlError(
+                    f"subquery references tables {sorted(skip_level)} "
+                    "from an enclosing scope more than one level out — "
+                    "flatten the nesting or execute via spark.sql"
+                )
             outer_tabs = conj.tables() & outer_ids
             if not outer_tabs:
                 local.append(conj)
@@ -2097,6 +2108,13 @@ class _Converter:
         correlated: list[Q.AbstractPredicate] = []
         local: list[Q.AbstractPredicate] = []
         for conj in inner_conv._conjuncts():
+            skip_level = conj.tables() - inner_ids - outer_ids
+            if skip_level:
+                raise UnsupportedSqlError(
+                    f"subquery references tables {sorted(skip_level)} "
+                    "from an enclosing scope more than one level out — "
+                    "flatten the nesting or execute via spark.sql"
+                )
             if conj.tables() - inner_ids:
                 correlated.append(conj)
             else:
@@ -2180,6 +2198,13 @@ class _Converter:
         correlated: list[Q.AbstractPredicate] = []
         local: list[Q.AbstractPredicate] = []
         for conj in inner_conv._conjuncts():
+            skip_level = conj.tables() - inner_ids - outer_ids
+            if skip_level:
+                raise UnsupportedSqlError(
+                    f"subquery references tables {sorted(skip_level)} "
+                    "from an enclosing scope more than one level out — "
+                    "flatten the nesting or execute via spark.sql"
+                )
             if conj.tables() - inner_ids:
                 correlated.append(conj)
             else:

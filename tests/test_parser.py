@@ -3150,3 +3150,49 @@ class TestJsonParity:
             parse_query("SELECT json_extract(n_name, '$.a') AS x FROM nation")
         with pytest.raises(UnsupportedSqlError, match="text extraction"):
             parse_query("SELECT n_name -> 'a' AS x FROM nation")
+
+
+class TestNestedScopeGuard:
+    """Round-11: references from MORE than one scope level out (the
+    grandparent of a doubly-nested subquery) have no decorrelated form —
+    they must reject cleanly, never reach Spark analysis. Immediate-
+    parent correlation at each level stays supported."""
+
+    SCHEMA = {"nation": ["n_nationkey", "n_name", "n_regionkey"],
+              "customer": ["c_custkey", "c_nationkey", "c_acctbal"],
+              "orders": ["o_orderkey", "o_custkey", "o_totalprice"]}
+
+    def test_grandparent_reference_rejects(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        sql = (
+            "SELECT n.n_name FROM nation n WHERE EXISTS ("
+            "SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey "
+            "AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = "
+            "c.c_custkey AND o.o_orderkey % 25 = n.n_nationkey))"
+        )
+        with pytest.raises(UnsupportedSqlError, match="more than one level"):
+            parse_relalg(parse_query(sql, schema=self.SCHEMA))
+
+    def test_chained_one_level_correlation_compiles(self, spark, sf_small):
+        # each level correlates only to its IMMEDIATE parent — supported
+        sql = (
+            "SELECT n.n_name FROM nation n WHERE EXISTS ("
+            "SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey "
+            "AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = "
+            "c.c_custkey AND o.o_totalprice > 300000)) ORDER BY n.n_name"
+        )
+        cat = load_tables(spark, sf_small, ["nation", "customer", "orders"])
+        got = compile_plan(
+            parse_relalg(parse_query(sql, schema=self.SCHEMA)), spark, cat
+        ).collect()
+        con = duckdb.connect()
+        for t in ("nation", "customer", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_small}/{t}.parquet')"
+            )
+        want = con.execute(sql).fetchall()
+        assert sorted(map(repr, map(tuple, got))) == sorted(
+            map(repr, map(tuple, want))
+        )
