@@ -2728,6 +2728,24 @@ class _Parser:
                 # ',' where Spark's own default is '' (wave-14)
                 body = f"string_agg({args[0].sql}, ',')"
             elif (
+                low_name in ("greatest", "least")
+                and not distinct
+                and any(
+                    re.fullmatch(r"-?\d*\.\d+", a.sql.strip()) for a in args
+                )
+            ):
+                # a decimal-point LITERAL argument types the whole result
+                # DECIMAL on Spark where DuckDB/Postgres read DOUBLE
+                # (wave-18; same class as the `/` literal promotion) —
+                # promote just the literals
+                lowered_args = [
+                    f"CAST({a.sql} AS double)"
+                    if re.fullmatch(r"-?\d*\.\d+", a.sql.strip())
+                    else a.sql
+                    for a in args
+                ]
+                body = f"{low_name}({', '.join(lowered_args)})"
+            elif (
                 low_name in ("date_part", "datepart")
                 and len(args) == 2
                 and not distinct
