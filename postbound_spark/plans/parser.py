@@ -1502,14 +1502,42 @@ class _Parser:
                 alias, cols = self._parse_source_alias(default="t")
                 exprs = [a.to_qal() for a in args]
                 if name == "generate_series":
-                    if len(exprs) not in (1, 2):
+                    if len(exprs) not in (1, 2, 3):
                         raise UnsupportedSqlError(
-                            "generate_series(lo, hi) expects 1-2 arguments"
+                            "generate_series(lo, hi[, step]) expects 1-3 "
+                            "arguments"
                         )
-                    lo = exprs[0] if len(exprs) == 2 else Q.lit(0)
-                    hi = exprs[-1]
-                    name = "range"
-                    exprs = [lo, Q.SqlExpression(f"{hi.to_sql()} + 1", hi.columns)]
+                    if len(exprs) == 3:
+                        # stepped series (wave-19): DuckDB's bound is
+                        # INCLUSIVE, Spark range()'s EXCLUSIVE — the
+                        # adjustment direction needs the step's sign, so
+                        # the step must be a literal integer
+                        lo, hi, step = exprs
+                        st = step.to_sql().strip()
+                        if re.fullmatch(r"-\d+", st):
+                            end = f"{hi.to_sql()} - 1"
+                        elif re.fullmatch(r"\d+", st) and st != "0":
+                            end = f"{hi.to_sql()} + 1"
+                        else:
+                            raise UnsupportedSqlError(
+                                "generate_series step must be a nonzero "
+                                "literal integer (the inclusive→exclusive "
+                                "bound adjustment needs its sign)"
+                            )
+                        name = "range"
+                        exprs = [
+                            lo,
+                            Q.SqlExpression(end, hi.columns),
+                            step,
+                        ]
+                    else:
+                        lo = exprs[0] if len(exprs) == 2 else Q.lit(0)
+                        hi = exprs[-1]
+                        name = "range"
+                        exprs = [
+                            lo,
+                            Q.SqlExpression(f"{hi.to_sql()} + 1", hi.columns),
+                        ]
                 elif name == "unnest":
                     # set-returning array expansion (ref FunctionTableSource
                     # :6584); compiles to Spark's explode TVF
@@ -2819,6 +2847,12 @@ class _Parser:
                     f"json_array_length(get_json_object({args[0].sql}, "
                     f"{args[1].sql}))"
                 )
+            elif low_name == "unnest" and len(args) == 1 and not distinct:
+                # SELECT-position unnest (Postgres/DuckDB set-returning
+                # expression) → Spark's explode generator in the select
+                # list — identical single-generator semantics (wave-19);
+                # FROM-position unnest routes through the TVF path
+                body = f"explode({args[0].sql})"
             elif low_name == "json_keys" and len(args) == 1 and not distinct:
                 body = f"json_object_keys({args[0].sql})"
             elif low_name == "product" and not distinct:

@@ -131,6 +131,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_agg_parity",
     "parsed_datetime_parity",
     "parsed_json_parity",
+    "parsed_series_unnest",
     "parsed_scalar_top1",
     "parsed_operator_parity",
     "parsed_union_by_name",

@@ -2043,3 +2043,27 @@ def parsed_json_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-side string expressions in whole-stage codegen —
     JSON parsing is per-row CPU, no shuffle, no Python."""
     return _native(spark, sf_dir, _JSON_PARITY_SQL, ["nation"])
+
+
+_SERIES_UNNEST_SQL = """
+SELECT n_nationkey, g.x, unnest(array[10, 20]) AS u
+FROM nation, generate_series(1, 7, 3) AS g(x)
+WHERE n_nationkey < 4
+ORDER BY n_nationkey, g.x, u
+"""
+
+
+@query("parsed_series_unnest", oracle=_SERIES_UNNEST_SQL)
+def parsed_series_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 19): STEPPED generate_series — DuckDB's
+    inclusive bound maps to Spark range()'s exclusive one with the
+    adjustment direction taken from the literal step's sign (negative
+    steps descend) — and SELECT-position unnest, the Postgres/DuckDB
+    set-returning expression, lowering to Spark's explode generator in
+    the select list. Both compose with an ordinary FROM join. DuckDB
+    runs identical text.
+
+    Scale shape: range() is Spark's distributed generator TVF;
+    explode is a narrow per-row generator — no shuffle beyond the
+    join's own."""
+    return _native(spark, sf_dir, _SERIES_UNNEST_SQL, ["nation"])
