@@ -81,7 +81,7 @@ _TOKEN_RE = re.compile(
       (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
     | (?P<estr>[eE]'(?:[^'\\]|\\.|'')*')
     | (?P<str>'(?:[^']|'')*')
-    | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+    | (?P<num>\d+(?:_\d+)*\.(?:\d+(?:_\d+)*)?(?:[eE][+-]?\d+)?|\.\d+(?:_\d+)*(?:[eE][+-]?\d+)?|\d+(?:_\d+)*(?:[eE][+-]?\d+)?)
     | (?P<qid>"[^"]*")
     | (?P<id>[A-Za-z_][A-Za-z_0-9$]*)
     | (?P<op>\|\||::|@>|<@|&&|<=|>=|<>|!=|[=<>(),.\[\]*/+\-%:^])
@@ -93,7 +93,7 @@ _KEYWORDS_STOP = {
     # tokens that terminate an expression / cannot start a primary
     "from", "where", "group", "having", "order", "limit", "offset", "fetch",
     "as", "on", "join", "inner", "left", "right", "full", "cross", "natural",
-    "and", "or", "not", "in", "is", "between", "like", "ilike", "similar",
+    "and", "or", "not", "in", "is", "between", "like", "ilike", "similar", "rlike",
     "then",
     "when", "else", "end", "union", "intersect", "except", "asc", "desc",
     "nulls", "by", "distinct", "all", "any", "some", "exists", "over",
@@ -139,6 +139,10 @@ class _Tokens:
             pos = m.end()
             if m.lastgroup == "estr":
                 self.toks.append(_decode_estring(m.group()))
+            elif m.lastgroup == "num" and "_" in m.group():
+                # numeric underscore separators (DuckDB/modern dialects:
+                # 1_000_000) — Spark has no spelling, strip at the door
+                self.toks.append(m.group().replace("_", ""))
             elif m.lastgroup != "ws":
                 self.toks.append(m.group())
         self.i = 0
@@ -184,7 +188,20 @@ class _Tokens:
 
 
 def _ident(tok: str) -> str:
-    return tok[1:-1] if tok.startswith('"') else tok.lower()
+    if tok.startswith('"'):
+        inner = tok[1:-1]
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9$]*", inner):
+            # a quoted identifier that is not a plain identifier would
+            # render as broken bare text downstream (and Spark reads
+            # double quotes as STRING literals — cross-engine quoting
+            # rules diverge); reject instead of silently mangling
+            raise UnsupportedSqlError(
+                f"quoted identifier {tok} uses characters beyond "
+                "[A-Za-z0-9_$] — rename it (double-quote identifier "
+                "rules diverge between engines)"
+            )
+        return inner
+    return tok.lower()
 
 
 # ---------------------------------------------------------------------------
@@ -1772,7 +1789,7 @@ class _Parser:
             if tail_tok in (
                 "=", "<>", "!=", "<", "<=", ">", ">=", "@>", "<@", "&&",
             ) or tail_kw in (
-                "in", "between", "like", "ilike", "similar", "is", "not",
+                "in", "between", "like", "ilike", "similar", "rlike", "is", "not",
             ):
                 qal = self._projection_predicate(expr)
             else:
@@ -1878,7 +1895,7 @@ class _Parser:
                 expr_ops = {
                     "=", "<>", "!=", "<", "<=", ">", ">=", "+", "-", "*",
                     "/", "%", "||", "::", "[", "between", "in", "like",
-                    "ilike", "similar", "is", "not", "@>", "<@", "&&",
+                    "ilike", "similar", "rlike", "is", "not", "@>", "<@", "&&",
                 }
                 if nxt not in expr_ops:
                     return inner
@@ -1976,6 +1993,23 @@ class _Parser:
             return Q.BinaryPredicate(
                 ops[(negated, kw)], expr.to_qal(), rhs
             )
+
+        if kw == "rlike":
+            # Spark's RLIKE spelling — accepted so the engine's own
+            # regexp_matches lowering re-parses (wave-20: the lifted
+            # scalar-subquery path re-parses lowered spans); DuckDB has
+            # no RLIKE, so user-facing oracle entries spell
+            # regexp_matches and only internal round-trips hit this
+            self.t.next()
+            pattern = self._parse_expression()
+            pred = Q.UnaryPredicate(
+                Q.UnaryOperation.BARE,
+                Q.SqlExpression(
+                    f"({expr.sql} RLIKE {pattern.sql})",
+                    expr.cols + pattern.cols,
+                ),
+            )
+            return self._negate(pred, negated)
 
         if kw == "similar":
             # SIMILAR TO, DuckDB semantics (the oracle): the pattern is a
@@ -2542,7 +2576,7 @@ class _Parser:
         if self.t.peek() in (
             "=", "<>", "!=", "<", "<=", ">", ">=", "@>", "<@", "&&",
         ) or self.t.peek_kw() in (
-            "in", "between", "like", "ilike", "is", "not", "and", "or",
+            "in", "between", "like", "ilike", "rlike", "is", "not", "and", "or",
         ):
             q = self._projection_predicate(expr)
             return _Expr(q.sql, q.columns)
@@ -2847,6 +2881,32 @@ class _Parser:
                     f"json_array_length(get_json_object({args[0].sql}, "
                     f"{args[1].sql}))"
                 )
+            elif (
+                low_name in ("regexp_matches", "regexp_full_match")
+                and len(args) in (2, 3)
+                and not distinct
+            ):
+                # DuckDB regexp_matches = PARTIAL match (Spark RLIKE);
+                # regexp_full_match anchors the whole string (wave-20).
+                # A flags argument folds into the pattern for literal
+                # patterns; only 'i' maps.
+                s, p = args[0].sql, args[1].sql
+                if len(args) == 3:
+                    fl = args[2].sql.strip()
+                    if fl != "'i'" or not (
+                        p.startswith("'") and p.endswith("'")
+                    ):
+                        raise UnsupportedSqlError(
+                            f"{low_name} flags other than a literal 'i' "
+                            "over a literal pattern are not modeled"
+                        )
+                    p = f"'(?i){p[1:-1]}'"
+                if low_name == "regexp_matches":
+                    body = f"({s} RLIKE {p})"
+                elif p.startswith("'") and p.endswith("'"):
+                    body = f"({s} RLIKE '^(?:{p[1:-1]})$')"
+                else:
+                    body = f"({s} RLIKE concat('^(?:', {p}, ')$'))"
             elif low_name == "unnest" and len(args) == 1 and not distinct:
                 # SELECT-position unnest (Postgres/DuckDB set-returning
                 # expression) → Spark's explode generator in the select

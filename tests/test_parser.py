@@ -3196,3 +3196,41 @@ class TestNestedScopeGuard:
         assert sorted(map(repr, map(tuple, got))) == sorted(
             map(repr, map(tuple, want))
         )
+
+
+class TestLexicalAndRegexEdges:
+    """Round-11 wave 20: quoted-identifier guard, numeric underscore
+    separators, regexp_matches lowering."""
+
+    def test_quoted_identifier_with_space_rejects(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        # previously rendered `AS Mixed Case` — broken bare text
+        with pytest.raises(UnsupportedSqlError, match="quoted identifier"):
+            parse_query('SELECT n_nationkey AS "Mixed Case" FROM nation')
+
+    def test_plain_quoted_identifier_works(self):
+        q = parse_query('SELECT n_nationkey AS "Big" FROM nation')
+        assert "AS Big" in q.to_sql()
+
+    def test_underscore_numerics_strip(self):
+        q = parse_query("SELECT 1_000_000 AS n FROM nation WHERE n_nationkey < 1_2")
+        s = q.to_sql()
+        assert "1000000" in s and "12" in s and "_0" not in s
+
+    def test_regexp_matches_lowers_to_rlike(self):
+        q = parse_query(
+            "SELECT count(*) AS c FROM nation "
+            "WHERE regexp_matches(n_name, 'x', 'i')"
+        )
+        assert "RLIKE '(?i)x'" in q.to_sql()
+        # and the lowered text re-parses (the scalar-subquery path does
+        # this on every lifted span)
+        assert parse_query(q.to_sql()).to_sql() == q.to_sql()
+
+    def test_regexp_full_match_anchors(self):
+        q = parse_query(
+            "SELECT count(*) AS c FROM nation "
+            "WHERE regexp_full_match(n_name, 'ab+')"
+        )
+        assert "RLIKE '^(?:ab+)$'" in q.to_sql()
