@@ -859,6 +859,19 @@ class _Parser:
             )
             for o in order_by
         )
+        if (
+            not isinstance(q, Q.SetQuery)
+            and order_by
+            and any(_has_window_call(o.expr.sql) for o in order_by)
+        ):
+            # WINDOW calls in ORDER BY keys: Spark's Sort operator
+            # rejects window expressions outright where DuckDB evaluates
+            # them (wave-21). Desugared like QUALIFY: each window-bearing
+            # key becomes a helper select item (windows evaluate in the
+            # SELECT — over the aggregated frame when GROUP BY is
+            # present), one level up orders by the helper and projects
+            # the original output names.
+            q, order_by = self._desugar_orderby_windows(q, order_by)
         if isinstance(q, Q.SetQuery):
             if fetch_direction != "first":
                 # FETCH PRIOR/LAST is this parser's extension for plain
@@ -1182,6 +1195,63 @@ class _Parser:
         if qualify is not None:
             q = self._desugar_qualify(q, qualify, named)
         return q
+
+    def _desugar_orderby_windows(
+        self,
+        q: Q.SqlQuery,
+        order_by: tuple[Q.OrderByExpression, ...],
+    ) -> tuple[Q.SqlQuery, tuple[Q.OrderByExpression, ...]]:
+        """See the call site: window-bearing ORDER BY keys become helper
+        select items; the outer level orders by the helpers. Non-window
+        keys carry verbatim (they must reference output columns — a
+        dropped-column key fails loudly at analysis)."""
+        tag = next(_QUALIFY_COUNTER)
+        src = f"__ordwin_src{tag}"
+        helpers: list[Q.BaseProjection] = []
+        new_order: list[Q.OrderByExpression] = []
+        for i, o in enumerate(order_by):
+            if _has_window_call(o.expr.sql):
+                hname = f"__ordwin{tag}_{i}"
+                helpers.append(Q.BaseProjection(o.expr, hname))
+                new_order.append(replace(o, expr=Q.SqlExpression(hname)))
+            else:
+                new_order.append(o)
+        star_select = (
+            len(q.select) == 1
+            and q.select[0].alias is None
+            and q.select[0].expr.sql == "*"
+        )
+        out_sel: list[Q.BaseProjection] = []
+        if star_select:
+            hnames = ", ".join(p.alias for p in helpers)
+            out_sel.append(
+                Q.BaseProjection(Q.SqlExpression(f"* EXCEPT ({hnames})"))
+            )
+        else:
+            for p in q.select:
+                name = p.alias
+                if name is None:
+                    m = re.fullmatch(
+                        r"(?:[\w$]+\.)?([\w$]+)", p.expr.sql
+                    )
+                    if m is None:
+                        raise UnsupportedSqlError(
+                            "window functions in ORDER BY need every "
+                            "computed select item to carry an alias "
+                            "(output names feed the post-sort "
+                            "projection)"
+                        )
+                    name = m.group(1)
+                out_sel.append(
+                    Q.BaseProjection(Q.SqlExpression(name))
+                )
+        inner = replace(q, select=tuple(q.select) + tuple(helpers))
+        outer = Q.SqlQuery(
+            select=tuple(out_sel),
+            from_tables=(Q.TableReference(src, virtual=True),),
+            ctes=(Q.CommonTableExpression(src, inner),),
+        )
+        return outer, tuple(new_order)
 
     def _desugar_groups(
         self, q: Q.SqlQuery, specs: dict[str, str]
@@ -2279,24 +2349,30 @@ class _Parser:
                 continue
             right = self._parse_power()
             if op == "/":
-                # DuckDB/Postgres `/` over a decimal-point literal yields
-                # DOUBLE; Spark types the literal DECIMAL and returns
-                # DECIMAL (wave-8 probe find). Promote decimal-point
-                # LITERAL operands so both engines compute in DOUBLE —
-                # column-typed operands are untouched (parquet columns
-                # are int/double here; Spark int/int `/` is already
-                # fractional like DuckDB's).
-                l_sql = (
-                    f"CAST({left.sql} AS double)"
-                    if re.fullmatch(r"\d*\.\d+", left.sql)
-                    else left.sql
+                # DuckDB/Postgres `/` is ALWAYS float division (DOUBLE
+                # result); Spark keeps DECIMAL when either operand's
+                # chain carries a decimal-point literal (wave-8 found
+                # the literal case; wave-21 the literal-through-`*`
+                # chain, `100.0 * count(*) / total`). Promoting the LEFT
+                # operand to DOUBLE makes the result DOUBLE for every
+                # numeric input on both engines — identical values,
+                # identical typing. INTERVAL division is the one
+                # non-numeric `/` and stays verbatim.
+                if re.match(
+                    r"(?i)\s*INTERVAL\b", left.sql
+                ) or _is_double_cast(left.sql):
+                    # interval division stays verbatim; an
+                    # already-promoted operand (the parse→render→parse
+                    # fixpoint) must not wrap again
+                    left = _merge(
+                        f"{left.sql} / {right.sql}", left, right
+                    )
+                    continue
+                left = _merge(
+                    f"CAST({left.sql} AS double) / {right.sql}",
+                    left,
+                    right,
                 )
-                r_sql = (
-                    f"CAST({right.sql} AS double)"
-                    if re.fullmatch(r"\d*\.\d+", right.sql)
-                    else right.sql
-                )
-                left = _merge(f"{l_sql} / {r_sql}", left, right)
                 continue
             left = _merge(f"{left.sql} {op} {right.sql}", left, right)
         return left
@@ -3645,6 +3721,33 @@ class _Parser:
         new_wparts = list(wparts)
         new_wparts[order_idx] = f"ORDER BY {gname} ASC NULLS LAST"
         return ["RANGE"] + frame[1:], new_wparts
+
+
+def _is_double_cast(sql: str) -> bool:
+    """True when ``sql`` is exactly one ``CAST(... AS double)`` call —
+    the `/` promotion's idempotence guard (the wrapped text re-parses
+    through the same code path)."""
+    t = sql.strip()
+    if not re.match(r"(?i)^CAST\(", t) or not re.search(
+        r"(?i)AS double\)$", t
+    ):
+        return False
+    depth = 0
+    for i, ch in enumerate(t):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(t) - 1
+    return False
+
+
+def _has_window_call(text: str) -> bool:
+    """True when ``text`` contains an inline window (``OVER (``) —
+    string literals blanked so data can never false-positive."""
+    blanked = re.sub(r"'(?:[^']|'')*'", "''", text)
+    return re.search(r"\bover\s*\(", blanked, re.I) is not None
 
 
 def _extract_text(fld: str, src_sql: str) -> str:

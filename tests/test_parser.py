@@ -3234,3 +3234,45 @@ class TestLexicalAndRegexEdges:
             "WHERE regexp_full_match(n_name, 'ab+')"
         )
         assert "RLIKE '^(?:ab+)$'" in q.to_sql()
+
+
+class TestWindowsOverAggregatesAndOrderBy:
+    """Round-11 wave 21: windows whose arguments are aggregate calls,
+    window calls in ORDER BY keys (desugared to helper select items —
+    Spark's Sort rejects window expressions), and the universal `/`
+    DOUBLE promotion."""
+
+    def test_orderby_window_desugars(self):
+        q = parse_query(
+            "SELECT n_name FROM nation ORDER BY row_number() OVER "
+            "(ORDER BY n_regionkey) DESC LIMIT 3"
+        )
+        s = q.to_sql()
+        # helper column computed in the inner CTE, ordered one level up
+        assert "__ordwin" in s
+        assert "ORDER BY __ordwin" in s
+        # fixpoint after desugar
+        assert parse_query(s).to_sql() == s
+
+    def test_orderby_window_star_drops_helper(self):
+        q = parse_query(
+            "SELECT * FROM nation ORDER BY rank() OVER "
+            "(ORDER BY n_name) LIMIT 2"
+        )
+        assert "* EXCEPT (__ordwin" in q.to_sql()
+
+    def test_division_promotes_to_double(self):
+        q = parse_query(
+            "SELECT 100.0 * count(*) / sum(n_nationkey) AS pct "
+            "FROM nation"
+        )
+        s = q.to_sql()
+        assert "CAST(100.0 * count(*) AS double) /" in s
+        # idempotent under re-parse
+        assert parse_query(s).to_sql() == s
+
+    def test_interval_division_untouched(self):
+        q = parse_query(
+            "SELECT INTERVAL 1 HOUR / 2 AS h FROM nation"
+        )
+        assert "CAST(INTERVAL" not in q.to_sql()
