@@ -132,6 +132,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_datetime_parity",
     "parsed_json_parity",
     "parsed_series_unnest",
+    "parsed_window_over_agg",
     "parsed_scalar_top1",
     "parsed_operator_parity",
     "parsed_union_by_name",

@@ -2067,3 +2067,35 @@ def parsed_series_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is a narrow per-row generator — no shuffle beyond the
     join's own."""
     return _native(spark, sf_dir, _SERIES_UNNEST_SQL, ["nation"])
+
+
+_WINDOW_OVER_AGG_SQL = """
+SELECT c_nationkey,
+       count(*) AS n,
+       CAST(sum(count(*)) OVER (ORDER BY c_nationkey) AS BIGINT)
+           AS running,
+       round(100.0 * count(*) / CAST(sum(count(*)) OVER () AS BIGINT),
+             4) AS pct,
+       rank() OVER (ORDER BY count(*) DESC, c_nationkey) AS busy_rank
+FROM customer
+GROUP BY c_nationkey
+ORDER BY rank() OVER (ORDER BY count(*) DESC, c_nationkey), c_nationkey
+"""
+
+
+@query("parsed_window_over_agg", oracle=_WINDOW_OVER_AGG_SQL)
+def parsed_window_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 21): WINDOWS OVER AGGREGATES — running
+    totals of grouped counts, percent-of-total, rank-of-aggregate — the
+    standard reporting composition, including a window call in the
+    top-level ORDER BY (Spark's Sort rejects window expressions; the
+    parse-time desugar computes it as a helper select item and sorts
+    one level up). The percent column exercises the universal `/`
+    DOUBLE promotion (DuckDB's division is always float; Spark kept
+    DECIMAL when the 100.0 literal reached the chain). DuckDB runs
+    identical text.
+
+    Scale shape: one hash aggregate then Window passes over the
+    aggregate's (small) output — the window cost is per GROUP, not per
+    input row; no extra scan."""
+    return _native(spark, sf_dir, _WINDOW_OVER_AGG_SQL, ["customer"])

@@ -1292,8 +1292,25 @@ def qualify_window_query(draw) -> str:
             ]
         )
     )
-    form = draw(st.integers(0, 3))
+    form = draw(st.integers(0, 5))
     lim = draw(st.integers(1, 3))
+    if form == 4:
+        # grammar v23 (wave-21): WINDOW OVER AGGREGATES — running
+        # totals / ranks of grouped counts
+        return (
+            f"SELECT {key}, count(*) AS n, CAST(sum(count(*)) OVER "
+            f"(ORDER BY {key}) AS BIGINT) AS running, rank() OVER "
+            f"(ORDER BY count(*) DESC, {key}) AS r FROM {outer} "
+            f"GROUP BY {key} ORDER BY {key}" + ORDERED
+        )
+    if form == 5:
+        # grammar v23 (wave-21): window call in a top-level ORDER BY
+        # key (parse-time helper-column desugar)
+        return (
+            f"SELECT {name}, {key} FROM {outer} ORDER BY row_number() "
+            f"OVER (ORDER BY {name} DESC), {name} LIMIT {lim + 3}"
+            + ORDERED
+        )
     if form == 0:  # QUALIFY on an inline window
         return (
             f"SELECT {name}, {key} FROM {outer} "
