@@ -1356,9 +1356,14 @@ class _Converter:
         if leftovers:
             tree = ra.Selection(tree, self._subst(Q.and_(*leftovers).to_sql()))
 
-        # IN/EXISTS subqueries → semi/anti joins
+        # IN/EXISTS subqueries → semi/anti joins. The OUTER scope here
+        # is all_ids, not own_ids: explicit-join sources (LEFT JOIN
+        # orders ...) are already in the tree at this point, and a
+        # subquery correlating to one is ordinary one-level correlation
+        # (the skip-level guard false-positived on own_ids — caught by
+        # the generated-query corpus)
         for kind, pred in subquery_preds:
-            tree = self._apply_subquery(tree, kind, pred, own_ids)
+            tree = self._apply_subquery(tree, kind, pred, all_ids)
 
         # scalar subqueries in SELECT / HAVING / ORDER BY lift to
         # post-aggregation cross products (_finish attaches them — the
