@@ -1353,3 +1353,13 @@ def test_join_lateral_topn_is_window_group_limited(registry, spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_window_over_agg_single_aggregate(registry, spark, sf_small):
+    """Round-11: windows over aggregates ride ONE hash aggregate; the
+    Window passes run over the aggregate's per-group output, never a
+    second scan of the input."""
+    df = _build(registry, spark, sf_small, "parsed_window_over_agg")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "CartesianProduct" not in plan
