@@ -1053,14 +1053,14 @@ class _Parser:
                             if self.t.accept("("):
                                 one: list[_Expr] = []
                                 if not self.t.accept(")"):
-                                    one.append(self._parse_expression())
+                                    one.append(self._parse_value_or_predicate())
                                     while self.t.accept(","):
-                                        one.append(self._parse_expression())
+                                        one.append(self._parse_value_or_predicate())
                                     self.t.expect(")")
                                 sets.append(one)
                             else:
                                 # bare element = singleton set (ANSI)
-                                sets.append([self._parse_expression()])
+                                sets.append([self._parse_value_or_predicate()])
                             if not self.t.accept(","):
                                 break
                         self.t.expect(")")
@@ -1091,7 +1091,12 @@ class _Parser:
                         element_lists.append(sets)
                         any_multi = True
                     else:
-                        element_lists.append([[self._parse_expression()]])
+                        # value-or-predicate: boolean keys
+                        # (`GROUP BY x > 2`) are ordinary expressions
+                        # of type boolean (wave-22)
+                        element_lists.append(
+                            [[self._parse_value_or_predicate()]]
+                        )
                     if not self.t.accept(","):
                         break
                 if any_multi:
@@ -2593,6 +2598,21 @@ class _Parser:
             inner = ", ".join(e.sql for e in elems)
             return _merge(f"array[{inner}]", *elems)
 
+        if t == "[":
+            # DuckDB bracket list literal `[e1, e2, ...]` in operand
+            # position (wave-23) — same constructor as ARRAY[...]; the
+            # postfix loop picks up subscripts (`[1,2][2]`) afterwards.
+            # Empty `[]` is allowed (DuckDB types it SQLNULL[]).
+            self.t.next()
+            elems = []
+            if self.t.peek() != "]":
+                elems.append(self._parse_expression())
+                while self.t.accept(","):
+                    elems.append(self._parse_expression())
+            self.t.expect("]")
+            inner = ", ".join(e.sql for e in elems)
+            return _merge(f"array[{inner}]", *elems)
+
         if t == "(":
             self.t.next()
             if self.t.peek_kw() in ("select", "with"):
@@ -2600,7 +2620,12 @@ class _Parser:
                 self.t.expect(")")
                 # scalar subquery (ref SubqueryExpression :1244)
                 return _Expr(f"({_inline(sub)})")
-            inner = self._parse_expression()
+            # value-or-predicate: a parenthesized BOOLEAN expression —
+            # `(a AND b) AS f`, `(x IN (1,2)) IS NULL`, `(p IS DISTINCT
+            # FROM q)` — is an ordinary expression of type boolean
+            # (wave-22; the comparison/AND tail previously failed inside
+            # the parens)
+            inner = self._parse_value_or_predicate()
             if self.t.peek() == ",":
                 # row-value constructor (ANSI): `(a, b[, ...])` — legal in
                 # comparison and IN position, expanded structurally by the
@@ -2671,6 +2696,14 @@ class _Parser:
             cond = self._parse_predicate()
             for leaf in cond.iterpredicates():
                 cols.extend(leaf.columns())
+            cond_sql = cond.to_sql()
+            if cond_sql.strip().upper() == "NULL":
+                # a bare NULL condition is VOID-typed on Spark (analysis
+                # error) where DuckDB reads an unknown BOOLEAN (wave-22)
+                cond = Q.UnaryPredicate(
+                    Q.UnaryOperation.BARE,
+                    Q.SqlExpression("CAST(NULL AS BOOLEAN)"),
+                )
             self.t.expect("then")
             val = self._parse_value_or_predicate()
             cols.extend(val.cols)
@@ -3070,11 +3103,221 @@ class _Parser:
             ):
                 body = f"startswith({args[0].sql}, {args[1].sql})"
             elif (
-                low_name == "list_contains"
+                low_name in ("list_contains", "array_contains")
                 and len(args) == 2
                 and not distinct
             ):
-                body = f"array_contains({args[0].sql}, {args[1].sql})"
+                # DuckDB list_contains([1,NULL], 3) is FALSE — a found
+                # element wins and an absent one loses even when the
+                # list holds NULLs; Spark's array_contains reads NULL
+                # there (wave-23 silent divergence in the old plain
+                # lowering). NULL list or NULL needle stay NULL.
+                x, e = args[0].sql, args[1].sql
+                body = (
+                    f"CASE WHEN ({x}) IS NULL OR ({e}) IS NULL THEN NULL "
+                    f"ELSE coalesce(array_contains({x}, {e}), false) END"
+                )
+            elif (
+                low_name == "list_has_any"
+                and len(args) == 2
+                and not distinct
+            ):
+                # NULL elements never match on DuckDB (list_has_any
+                # with only-NULL overlap is FALSE); arrays_overlap
+                # reads NULL for that — coalesce to false (wave-23)
+                x, y = args[0].sql, args[1].sql
+                body = (
+                    f"CASE WHEN ({x}) IS NULL OR ({y}) IS NULL THEN NULL "
+                    f"ELSE coalesce(arrays_overlap({x}, {y}), false) END"
+                )
+            elif (
+                low_name == "list_has_all"
+                and len(args) == 2
+                and not distinct
+            ):
+                # DuckDB ignores NULL needles (list_has_all([1,NULL],
+                # [NULL]) is TRUE) — filter them before the containment
+                # check (wave-23)
+                x, y = args[0].sql, args[1].sql
+                body = (
+                    f"CASE WHEN ({x}) IS NULL OR ({y}) IS NULL THEN NULL "
+                    f"ELSE size(array_except("
+                    f"filter({y}, e -> e IS NOT NULL), {x})) = 0 END"
+                )
+            elif (
+                low_name in ("list_position", "list_indexof")
+                and len(args) == 2
+                and not distinct
+            ):
+                # both 1-based, 0 when absent, NULL for NULL inputs —
+                # exactly Spark's array_position (wave-23)
+                body = f"array_position({args[0].sql}, {args[1].sql})"
+            elif (
+                low_name == "list_value" and not distinct
+            ):
+                body = "array(" + ", ".join(a.sql for a in args) + ")"
+            elif (
+                low_name in ("list_sort", "array_sort")
+                and len(args) in (1, 2, 3)
+                and not distinct
+            ):
+                # DuckDB defaults ASC NULLS LAST (its default_null_order)
+                # — exactly Spark's array_sort. The direction / null-order
+                # literals pick among the four lambda-free spellings:
+                # DESC NULLS LAST = sort_array(x, false), ASC NULLS FIRST
+                # = sort_array(x, true), DESC NULLS FIRST =
+                # reverse(ASC NULLS LAST) (wave-23)
+                x = args[0].sql
+
+                def _flag(i: int) -> str:
+                    if len(args) <= i:
+                        return ""
+                    f = args[i].sql.strip().upper().strip("'")
+                    return f
+
+                direction = _flag(1) or "ASC"
+                nulls = _flag(2) or "NULLS LAST"
+                if direction not in ("ASC", "DESC") or nulls not in (
+                    "NULLS LAST",
+                    "NULLS FIRST",
+                ):
+                    raise UnsupportedSqlError(
+                        "list_sort flags must be literal "
+                        "'ASC'/'DESC' and 'NULLS FIRST'/'NULLS LAST'"
+                    )
+                if direction == "ASC" and nulls == "NULLS LAST":
+                    body = f"array_sort({x})"
+                elif direction == "DESC" and nulls == "NULLS LAST":
+                    body = f"sort_array({x}, false)"
+                elif direction == "ASC" and nulls == "NULLS FIRST":
+                    body = f"sort_array({x}, true)"
+                else:
+                    body = f"reverse(array_sort({x}))"
+            elif (
+                low_name == "list_reverse_sort"
+                and len(args) == 1
+                and not distinct
+            ):
+                # DESC NULLS LAST (wave-23)
+                body = f"sort_array({args[0].sql}, false)"
+            elif (
+                low_name == "list_reverse" and len(args) == 1 and not distinct
+            ):
+                body = f"reverse({args[0].sql})"
+            elif (
+                low_name == "list_distinct"
+                and len(args) == 1
+                and not distinct
+            ):
+                # DuckDB drops NULL elements and leaves the order
+                # UNSPECIFIED (hash-set based); this keeps stable
+                # first-occurrence order — any order satisfies the
+                # DuckDB contract (wave-23)
+                body = (
+                    f"array_distinct(filter({args[0].sql}, "
+                    "e -> e IS NOT NULL))"
+                )
+            elif (
+                low_name == "list_unique" and len(args) == 1 and not distinct
+            ):
+                # count of distinct non-NULL elements (wave-23); DuckDB
+                # types it BIGINT where size() is INT (documented, same
+                # class as sign())
+                body = (
+                    f"size(array_distinct(filter({args[0].sql}, "
+                    "e -> e IS NOT NULL)))"
+                )
+            elif (
+                low_name == "list_append" and len(args) == 2 and not distinct
+            ):
+                body = f"array_append({args[0].sql}, {args[1].sql})"
+            elif (
+                low_name == "list_prepend" and len(args) == 2 and not distinct
+            ):
+                # DuckDB spells (element, list); Spark (array, element)
+                body = f"array_prepend({args[1].sql}, {args[0].sql})"
+            elif (
+                low_name in ("list_concat", "list_cat", "array_concat")
+                and len(args) >= 2
+                and not distinct
+            ):
+                # NULL operands propagate NULL on both engines
+                body = "concat(" + ", ".join(a.sql for a in args) + ")"
+            elif (
+                low_name in ("list_min", "list_max")
+                and len(args) == 1
+                and not distinct
+            ):
+                # both engines skip NULL elements
+                fn = "array_min" if low_name == "list_min" else "array_max"
+                body = f"{fn}({args[0].sql})"
+            elif (
+                low_name == "list_sum" and len(args) == 1 and not distinct
+            ):
+                # NULL elements are skipped; an empty or all-NULL list
+                # sums to NULL (NOT 0) on DuckDB — the NULL-seeded
+                # coalescing fold reproduces that exactly (wave-23).
+                # Integer elements only (BIGINT accumulator; DuckDB
+                # types it HUGEINT — same magnitude class)
+                x = args[0].sql
+                body = (
+                    f"aggregate(filter({x}, e -> e IS NOT NULL), "
+                    "CAST(NULL AS BIGINT), "
+                    "(acc, e) -> coalesce(acc, CAST(0 AS BIGINT)) + e)"
+                )
+            elif (
+                low_name == "list_avg" and len(args) == 1 and not distinct
+            ):
+                # mean over non-NULL elements, NULL for empty (wave-23)
+                x = args[0].sql
+                nn = f"filter({x}, e -> e IS NOT NULL)"
+                body = (
+                    f"CASE WHEN size({nn}) = 0 THEN CAST(NULL AS DOUBLE) "
+                    f"ELSE aggregate({nn}, CAST(0 AS DOUBLE), "
+                    f"(acc, e) -> acc + e) / size({nn}) END"
+                )
+            elif (
+                low_name == "array_slice"
+                and len(args) == 3
+                and not distinct
+            ):
+                # function spelling of the 1-based inclusive [a:b] slice
+                # (wave-23); same lowering as the subscript form — the
+                # length argument clamps past the end on both engines
+                x, a, b = args[0].sql, args[1].sql, args[2].sql
+                body = (
+                    f"slice({x}, CAST({a} AS INT), "
+                    f"CAST(({b}) - ({a}) + 1 AS INT))"
+                )
+            elif (
+                low_name == "len" and len(args) == 1 and not distinct
+            ):
+                # DuckDB len() is polymorphic over strings and lists;
+                # Spark splits it size()/length(). Dispatch on the
+                # argument's syntax: array-producing forms take size(),
+                # everything else length() — a mis-dispatch fails at
+                # Spark analysis (loud), never silently (wave-23)
+                a = args[0].sql.strip().lower()
+                arrayish = a.startswith(
+                    (
+                        "array",
+                        "split(",
+                        "sequence(",
+                        "collect_list(",
+                        "collect_set(",
+                        "slice(",
+                        "sort_array(",
+                        "flatten(",
+                        "reverse(array",
+                        "filter(",
+                        "concat(array",
+                    )
+                )
+                body = (
+                    f"size({args[0].sql})"
+                    if arrayish
+                    else f"length({args[0].sql})"
+                )
             elif (
                 low_name == "array_to_string"
                 and len(args) == 2
