@@ -2099,3 +2099,72 @@ def parsed_window_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate's (small) output — the window cost is per GROUP, not per
     input row; no extra scan."""
     return _native(spark, sf_dir, _WINDOW_OVER_AGG_SQL, ["customer"])
+
+
+_LIST_FUNCTIONS_SQL = """
+SELECT n_nationkey,
+       array_to_string(list_sort([n_regionkey, 3, 1, NULL]), ',')
+           AS asc_nl,
+       CAST((list_sort([n_regionkey, 3, 1, NULL]))[4] IS NULL
+            AS STRING) AS asc_null_last,
+       array_to_string(list_sort([n_regionkey, 3, NULL], 'DESC'), ',')
+           AS desc_nl,
+       CAST(list_sort(list_distinct([1, 1, NULL, n_regionkey]))
+            AS STRING) AS dedup,
+       CAST(list_unique([1, 1, NULL, n_regionkey]) AS BIGINT) AS uniq,
+       CAST(list_contains([1, NULL], n_regionkey) AS STRING) AS has_r,
+       CAST(list_position([4, 5, 6], n_regionkey + 3) AS BIGINT) AS pos,
+       CAST(list_sum([n_nationkey, NULL, 2]) AS BIGINT) AS lsum,
+       list_avg([n_nationkey, 2]) AS lavg,
+       CAST(len([1, 2, 3]) AS BIGINT) AS l3,
+       CAST(len(n_name) AS BIGINT) AS lname,
+       CAST(([10, 20, 30])[2:3] AS STRING) AS sl,
+       CAST(list_append([n_regionkey], 9) || [7] AS STRING) AS app
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query("parsed_list_functions", oracle=_LIST_FUNCTIONS_SQL)
+def parsed_list_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 23): the DuckDB LIST function family over
+    bracket literals — list_sort (ASC/DESC, NULLS LAST default on both
+    engines via array_sort/sort_array), list_distinct (drops NULLs;
+    DuckDB leaves order unspecified so the entry sorts), list_unique,
+    list_contains (DuckDB reads FALSE where a NULL element would make
+    Spark's array_contains read NULL — the coalescing CASE restores
+    found-element-wins), list_position 0-when-absent, the NULL-seeded
+    list_sum fold (empty/all-NULL sums are NULL, not 0), list_avg,
+    polymorphic len() over lists and strings, 1-based inclusive slices,
+    and list_append composed with the array `||` overload. DuckDB runs
+    identical text.
+
+    Scale shape: pure per-row expression work in whole-stage codegen —
+    no shuffle, no Python; higher-order functions (filter/aggregate)
+    stay JVM-side."""
+    return _native(spark, sf_dir, _LIST_FUNCTIONS_SQL, ["nation"])
+
+
+_LIST_GROUP_KEY_SQL = """
+SELECT CAST([n_regionkey] AS STRING) AS k,
+       count(*) AS n,
+       CAST(min([n_regionkey, n_nationkey]) AS STRING) AS least_pair
+FROM nation
+WHERE [n_regionkey, 1] < [5, 2]
+GROUP BY [n_regionkey]
+ORDER BY k
+"""
+
+
+@query("parsed_list_group_key", oracle=_LIST_GROUP_KEY_SQL)
+def parsed_list_group_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 23): ARRAYS AS FIRST-CLASS VALUES — a
+    bracket-literal list as the GROUP BY key, lexicographic array
+    comparison in WHERE ([a,1] < [5,2]), and min() over an array-typed
+    argument (both engines order arrays lexicographically,
+    shorter-prefix-first). DuckDB runs identical text.
+
+    Scale shape: one hash aggregate keyed on the array value — Spark
+    hash-partitions array keys like any other; the comparison predicate
+    is map-side, pushed below the exchange."""
+    return _native(spark, sf_dir, _LIST_GROUP_KEY_SQL, ["nation"])

@@ -30,7 +30,12 @@ lists (plain item composed with ROLLUP/CUBE as the ANSI cross product).
 GROUPS window frames are NOT emitted: this container's DuckDB rejects
 GROUPS mode outright, so differential coverage there comes from probe
 wave 12 (the engine's desugared render on the oracle side) and the
-pure-Python peer-group reference in tests/test_groups_frames.py."""
+pure-Python peer-group reference in tests/test_groups_frames.py.
+
+Grammar v24 (round-11 wave 23): the DuckDB LIST function family —
+bracket literals, list_sort/list_distinct/list_unique,
+list_contains/has_any/has_all NULL semantics, list_sum/list_avg folds,
+polymorphic len(), slices, and arrays as GROUP BY keys."""
 
 from __future__ import annotations
 
@@ -770,6 +775,57 @@ def array_predicate_query(draw) -> str:
 
 
 @st.composite
+def list_function_query(draw) -> str:
+    """Grammar v24 (round-11 wave 23): the DuckDB LIST family over
+    bracket literals — list_sort/list_distinct null placement,
+    list_contains found-element-wins (FALSE, not NULL, when a NULL
+    element hides an absent needle), list_has_any/_all NULL-needle
+    skipping, the NULL-seeded list_sum fold, polymorphic len(),
+    1-based inclusive slices, and arrays as GROUP BY keys."""
+    t = draw(st.sampled_from(["nation", "customer"]))
+    pk = {"nation": "n_nationkey", "customer": "c_custkey"}[t]
+    ic = draw(st.sampled_from(INT_COLS[t]))
+    shape = draw(st.integers(0, 3))
+    lim = draw(st.integers(5, 25))
+    if shape == 0:
+        lit = draw(st.integers(0, 4))
+        maybe_null = ", NULL" if draw(st.booleans()) else ""
+        return (
+            f"SELECT {pk}, "
+            f"array_to_string(list_sort([{ic}, {lit}{maybe_null}]), ',') "
+            f"AS srt, CAST(list_unique([{ic}, {ic}{maybe_null}]) AS BIGINT) "
+            f"AS u, CAST(list_contains([{lit}{maybe_null}], {ic}) "
+            f"AS STRING) AS c FROM {t} ORDER BY {pk} LIMIT {lim}" + ORDERED
+        )
+    if shape == 1:
+        # array as the GROUP BY key: unique per group → total order
+        return (
+            f"SELECT CAST([{ic}] AS STRING) AS k, count(*) AS n "
+            f"FROM {t} GROUP BY [{ic}] ORDER BY k" + ORDERED
+        )
+    if shape == 2:
+        pool = draw(
+            st.lists(st.integers(0, 6), min_size=1, max_size=3, unique=True)
+        )
+        arr = "[" + ", ".join(map(str, pool)) + (
+            ", NULL]" if draw(st.booleans()) else "]"
+        )
+        fn = draw(st.sampled_from(["list_contains", "list_has_any"]))
+        pred = (
+            f"{fn}({arr}, {ic})"
+            if fn == "list_contains"
+            else f"list_has_any({arr}, [{ic}, NULL])"
+        )
+        return f"SELECT {pk} FROM {t} WHERE {pred} ORDER BY {pk}" + ORDERED
+    return (
+        f"SELECT {pk}, CAST(list_sum([{ic}, NULL, 2]) AS BIGINT) AS s, "
+        f"list_avg([{ic}, 4]) AS a, CAST(([10, 20, 30])[1:2] AS STRING) "
+        f"AS sl, CAST(len([1, 2]) AS BIGINT) AS l "
+        f"FROM {t} ORDER BY {pk} LIMIT {lim}" + ORDERED
+    )
+
+
+@st.composite
 def window_limit_query(draw) -> str:
     """Grammar v17: window functions in the SELECT list combined with
     ORDER BY + LIMIT (the round-9 sort-below-window bug class), named or
@@ -1489,7 +1545,9 @@ def lateral_query(draw) -> str:
 
 @st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 23))
+    kind = draw(st.integers(0, 24))
+    if kind == 24:
+        return draw(list_function_query())
     if kind == 23:
         return draw(lateral_query())
     if kind == 22:
@@ -1721,6 +1779,14 @@ REGRESSIONS = [
     "SELECT n_nationkey, try_cast('1.5' AS INT) AS r, try_cast(n_name "
     "AS INT) AS nn, if(n_regionkey > 2 AND n_nationkey < 20, 'hi', 'lo') "
     "AS band FROM nation ORDER BY n_nationkey" + ORDERED,
+    # round-11 wave-23: list_contains over a NULL-bearing list reads
+    # FALSE for an absent needle on DuckDB (found-element-wins) where
+    # plain array_contains reads NULL; list_has_any/_all skip NULL
+    # needles entirely
+    "SELECT n_nationkey, CAST(list_contains([1, NULL], n_regionkey) "
+    "AS STRING) AS c, CAST(list_has_any([n_regionkey], [NULL]) "
+    "AS STRING) AS ha, CAST(list_has_all([1, NULL], [NULL]) AS STRING) "
+    "AS hb FROM nation ORDER BY n_nationkey" + ORDERED,
 ]
 
 #: binding schemas the engine must be fail-safe under: the INCOMPLETE
