@@ -84,7 +84,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>\d+(?:_\d+)*\.(?:\d+(?:_\d+)*)?(?:[eE][+-]?\d+)?|\.\d+(?:_\d+)*(?:[eE][+-]?\d+)?|\d+(?:_\d+)*(?:[eE][+-]?\d+)?)
     | (?P<qid>"[^"]*")
     | (?P<id>[A-Za-z_][A-Za-z_0-9$]*)
-    | (?P<op>\|\||::|@>|<@|&&|<=|>=|<>|!=|[=<>(),.\[\]*/+\-%:^])
+    | (?P<op>\|\||::|@>|<@|&&|<=|>=|<>|!=|[=<>(),.\[\]{}*/+\-%:^])
     """,
     re.X | re.S,
 )
@@ -562,13 +562,20 @@ def _resolve_ordinal(projections, expr, clause: str, by_output_name: bool = Fals
 
 
 class _Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, schema: dict[str, list[str]] | None = None):
         if "\x00" in text:
             # SQL text never legitimately carries NUL (engines reject it
             # too); rejecting it here makes the NUL-delimited named-window
             # marker genuinely un-fakeable by string-literal content
             raise ParserError("NUL byte in SQL text")
         self.t = _Tokens(text)
+        #: table → column list, when the caller passed one to
+        #: parse_query. Column BINDING still happens post-parse (_bind);
+        #: the parser itself consults this only where a desugar needs to
+        #: enumerate a source's columns (PIVOT/UNPIVOT implicit groups)
+        self._schema = {
+            k.lower(): list(v) for k, v in (schema or {}).items()
+        }
         self._cte_counter = 0
         #: set when `OVER wname` emits a named-window marker — gates the
         #: leftover-marker scan so marker-free queries (the overwhelming
@@ -1533,6 +1540,209 @@ class _Parser:
             self.t.expect(")")
         return pct, rows, seed
 
+    def _at_pivot_kw(self) -> bool:
+        """True when the next tokens open a PIVOT/UNPIVOT clause (so the
+        keyword must not be eaten as an implicit source alias)."""
+        return self.t.peek_kw() in ("pivot", "unpivot") and (
+            self.t.peek(1) == "(" or self.t.peek_kw(1) == "include"
+        )
+
+    def _pivot_source_info(
+        self, src, lifted
+    ) -> tuple[str, list[str]]:
+        """(source SQL text, column list) for a PIVOT/UNPIVOT subject.
+
+        Base tables read their columns from the schema binding passed to
+        ``parse_query`` (the implicit group-by-everything-else needs the
+        full list — same requirement every engine satisfies from its
+        catalog); derived tables read them from their select aliases."""
+        if isinstance(src, Q.TableReference) and not src.virtual:
+            if src.sample_percent is not None or src.sample_rows is not None:
+                raise UnsupportedSqlError(
+                    "PIVOT/UNPIVOT over TABLESAMPLE is not modeled"
+                )
+            cols = self._schema.get(src.full_name.lower())
+            if cols is None:
+                raise UnsupportedSqlError(
+                    f"PIVOT/UNPIVOT over {src.full_name!r} needs a schema "
+                    "binding to enumerate its columns — pass schema= to "
+                    "parse_query (pivoting a CTE is not modeled)"
+                )
+            text = (
+                f"{src.full_name} AS {src.alias}"
+                if src.alias
+                else src.full_name
+            )
+            return text, list(cols)
+        if isinstance(src, Q.TableReference) and src.virtual:
+            for alias, sub in lifted:
+                if alias != src.full_name:
+                    continue
+                if not isinstance(sub, Q.SqlQuery):
+                    raise UnsupportedSqlError(
+                        "PIVOT/UNPIVOT over a set-operation derived "
+                        "table is not modeled"
+                    )
+                cols = []
+                for p in sub.select:
+                    if p.alias:
+                        cols.append(p.alias)
+                        continue
+                    s = p.expr.to_sql().strip()
+                    if not re.fullmatch(
+                        r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", s
+                    ):
+                        raise UnsupportedSqlError(
+                            "PIVOT/UNPIVOT over a derived table needs "
+                            "plain column names or aliases in its "
+                            f"select list (got {s!r})"
+                        )
+                    cols.append(s.split(".")[-1])
+                return alias, cols
+        raise UnsupportedSqlError(
+            "PIVOT/UNPIVOT applies to base tables and derived tables only"
+        )
+
+    def _desugar_pivot(self, src, lifted):
+        """FROM-postfix ``PIVOT (agg FOR key IN (...))`` / ``UNPIVOT
+        [INCLUDE NULLS] (val FOR key IN (...))`` — the spelling Spark and
+        DuckDB share (extension beyond the reference, which has no pivot
+        construct; its users hand-write the CASE form this desugars to).
+
+        PIVOT compiles to ONE hash aggregate over the remaining columns
+        with a filtered-CASE aggregate per IN item (exactly the physical
+        plan Spark's own PIVOT clause produces: map-side partials, no
+        second value-discovery pass — the IN list is static). UNPIVOT
+        compiles to a single-scan index explode + CASE pickers (never one
+        re-scan per unpivoted column)."""
+        kind = self.t.next().lower()
+        include_nulls = False
+        if kind == "unpivot" and self.t.peek_kw() == "include":
+            self.t.next()
+            self.t.expect("nulls")
+            include_nulls = True
+        self.t.expect("(")
+        src_text, cols = self._pivot_source_info(src, lifted)
+
+        def _item_name(lit_sql: str, explicit: str | None) -> str:
+            if explicit:
+                return explicit
+            s = lit_sql.strip()
+            if re.fullmatch(r"'[A-Za-z_]\w*'", s):
+                return s[1:-1]
+            raise UnsupportedSqlError(
+                f"IN item {s} does not name a plain result column — "
+                "add an AS alias (both engines derive column names "
+                "from the item text; only identifier-shaped string "
+                "literals map cleanly)"
+            )
+
+        if kind == "pivot":
+            fn = _ident(self.t.next()).lower()
+            self.t.expect("(")
+            if self.t.accept("distinct"):
+                raise UnsupportedSqlError(
+                    "DISTINCT aggregates inside PIVOT are not modeled"
+                )
+            if self.t.peek() == "*":
+                self.t.next()
+                arg = None
+                if fn != "count":
+                    raise UnsupportedSqlError(f"{fn}(*) is not an aggregate")
+            else:
+                arg = self._parse_expression()
+            self.t.expect(")")
+            if self.t.peek_kw() != "for":
+                raise UnsupportedSqlError(
+                    "PIVOT supports a single unaliased aggregate "
+                    "(multi-aggregate pivots are not modeled)"
+                )
+            self.t.expect("for")
+            key = self._parse_expression()
+            self.t.expect("in")
+            self.t.expect("(")
+            items: list[tuple[str, str]] = []
+            while True:
+                lit = self._parse_expression()
+                explicit = None
+                if self.t.accept("as"):
+                    explicit = _ident(self.t.next())
+                items.append((lit.sql, _item_name(lit.sql, explicit)))
+                if not self.t.accept(","):
+                    break
+            self.t.expect(")")
+            self.t.expect(")")
+            consumed = {c.name.lower() for c in key.cols}
+            if arg is not None:
+                consumed |= {c.name.lower() for c in arg.cols}
+            groups = [c for c in cols if c.lower() not in consumed]
+            arg_sql = "1" if arg is None else arg.sql
+            pivots = [
+                f"{fn}(CASE WHEN {key.sql} = {lit} THEN {arg_sql} END) "
+                f"AS {name}"
+                for lit, name in items
+            ]
+            body = "SELECT " + ", ".join(groups + pivots)
+            body += f" FROM {src_text}"
+            if groups:
+                body += " GROUP BY " + ", ".join(groups)
+        else:
+            val_name = _ident(self.t.next())
+            self.t.expect("for")
+            key_name = _ident(self.t.next())
+            self.t.expect("in")
+            self.t.expect("(")
+            items = []
+            while True:
+                col = _ident(self.t.next())
+                label = col
+                if self.t.accept("as"):
+                    label = _ident(self.t.next())
+                items.append((col, label))
+                if not self.t.accept(","):
+                    break
+            self.t.expect(")")
+            self.t.expect(")")
+            unpivoted = {c.lower() for c, _ in items}
+            others = [c for c in cols if c.lower() not in unpivoted]
+            idx = ", ".join(str(i + 1) for i in range(len(items)))
+            key_case = (
+                "CASE __pbs_unpivot_i "
+                + " ".join(
+                    f"WHEN {i + 1} THEN '{label}'"
+                    for i, (_, label) in enumerate(items)
+                )
+                + " END"
+            )
+            val_case = (
+                "CASE __pbs_unpivot_i "
+                + " ".join(
+                    f"WHEN {i + 1} THEN {col}"
+                    for i, (col, _) in enumerate(items)
+                )
+                + " END"
+            )
+            sel = ", ".join(
+                others + [f"{key_case} AS {key_name}", f"{val_case} AS {val_name}"]
+            )
+            body = (
+                f"SELECT {sel} FROM (SELECT *, unnest(array[{idx}]) AS "
+                f"__pbs_unpivot_i FROM {src_text}) __pbs_unpivot_s"
+            )
+            if not include_nulls:
+                body += f" WHERE {val_case} IS NOT NULL"
+
+        if self.t.accept("as"):
+            alias = _ident(self.t.next())
+        elif self.t.at_ident() and not self._at_pivot_kw():
+            alias = _ident(self.t.next())
+        else:
+            self._cte_counter += 1
+            alias = f"__pivot{self._cte_counter}"
+        sub = _Parser(body, schema=self._schema).parse()
+        lifted.append((alias, sub))
+        return Q.TableReference(alias, virtual=True)
+
     def _parse_from(
         self,
     ) -> tuple[
@@ -1547,6 +1757,17 @@ class _Parser:
         explicit: list[Q.JoinedTable] = []
 
         def one_source() -> Q.TableReference:
+            src = bare_source()
+            # PIVOT/UNPIVOT postfix operators (ANSI-ish shared
+            # Spark/DuckDB spelling); chainable — a pivoted source can
+            # be unpivoted again
+            while self.t.peek_kw() in ("pivot", "unpivot") and (
+                self.t.peek(1) == "(" or self.t.peek_kw(1) == "include"
+            ):
+                src = self._desugar_pivot(src, lifted)
+            return src
+
+        def bare_source() -> Q.TableReference:
             if self.t.accept("lateral"):
                 # correlated subquery in FROM (ref SubqueryTableSource
                 # qal/_qal.py:6270, lateral flag) — modeled structurally;
@@ -1572,7 +1793,7 @@ class _Parser:
                 sub = self.parse_query()
                 self.t.expect(")")
                 self.t.accept("as")
-                if not self.t.at_ident():
+                if not self.t.at_ident() or self._at_pivot_kw():
                     self._cte_counter += 1
                     alias = f"__subquery{self._cte_counter}"
                 else:
@@ -1646,7 +1867,7 @@ class _Parser:
             sample = self._parse_tablesample()  # Spark order: before alias
             if self.t.accept("as"):
                 alias = _ident(self.t.next())
-            elif self.t.at_ident():
+            elif self.t.at_ident() and not self._at_pivot_kw():
                 alias = _ident(self.t.next())
             if sample is None:
                 sample = self._parse_tablesample()  # Postgres order: after
@@ -2464,6 +2685,32 @@ class _Parser:
                         lower,
                     )
                 continue
+            if self.t.peek() == "." and (
+                self.t.peek(1) is not None
+                and re.match(r"[A-Za-z_\"]", self.t.peek(1) or "")
+                and self.t.peek_kw(1) not in _KEYWORDS_STOP
+            ):
+                # struct FIELD access (wave-25): `(expr).f`, and the
+                # third-and-deeper parts of a dotted name the identifier
+                # parse stopped at (`t.s.k` = field k of column s).
+                # Identical dot spelling on Spark and DuckDB. `.* `
+                # (qualified star) never matches — the guard requires an
+                # identifier after the dot.
+                self.t.next()
+                field = _ident(self.t.next())
+                base = expr.sql
+                if base.lstrip("(").lower().startswith("explode("):
+                    # Spark generators are top-level-only select items —
+                    # a field access ON the unnest cannot compile
+                    raise UnsupportedSqlError(
+                        "field access on a SELECT-position unnest is not "
+                        "modeled — unnest into a derived table, then "
+                        "access the field one level up"
+                    )
+                if not re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", base):
+                    base = f"({base})"
+                expr = _Expr(f"{base}.{field}", expr.cols)
+                continue
             if self.t.peek() == "::":
                 # Postgres cast shorthand → CAST (ref CastExpression :359)
                 self.t.next()
@@ -2597,6 +2844,57 @@ class _Parser:
             self.t.expect("]")
             inner = ", ".join(e.sql for e in elems)
             return _merge(f"array[{inner}]", *elems)
+
+        if t == "{":
+            # DuckDB struct literal `{'key': value, ...}` (wave-25) →
+            # Spark's named_struct. Keys must be plain-identifier string
+            # literals — both engines surface them as result field
+            # names. The postfix loop picks up field access afterwards.
+            self.t.next()
+            pairs: list[str] = []
+            kids: list[_Expr] = []
+            while True:
+                key = self.t.next()
+                if not re.fullmatch(r"'[A-Za-z_]\w*'", key):
+                    raise UnsupportedSqlError(
+                        f"struct literal key {key!r} must be a plain-"
+                        "identifier string literal (field-name rules "
+                        "diverge between engines otherwise)"
+                    )
+                self.t.expect(":")
+                val = self._parse_value_or_predicate()
+                pairs.append(f"{key}, {val.sql}")
+                kids.append(val)
+                if not self.t.accept(","):
+                    break
+            self.t.expect("}")
+            return _merge(f"named_struct({', '.join(pairs)})", *kids)
+
+        if low == "map" and self.t.peek(1) == "{":
+            raise UnsupportedSqlError(
+                "MAP literals are not modeled — DuckDB surfaces maps as "
+                "{key: [...], value: [...]} rows and map[k] returns a "
+                "LIST, with no Spark spelling that matches; use a struct "
+                "literal or map_from_arrays via the registry SQL path"
+            )
+
+        if low == "struct_pack" and self.t.peek(1) == "(":
+            # DuckDB struct_pack(a := 1, b := x) → named_struct (wave-25)
+            self.t.next()
+            self.t.next()
+            pairs = []
+            kids = []
+            while True:
+                name = _ident(self.t.next())
+                self.t.expect(":")
+                self.t.expect("=")
+                val = self._parse_value_or_predicate()
+                pairs.append(f"'{name}', {val.sql}")
+                kids.append(val)
+                if not self.t.accept(","):
+                    break
+            self.t.expect(")")
+            return _merge(f"named_struct({', '.join(pairs)})", *kids)
 
         if t == "[":
             # DuckDB bracket list literal `[e1, e2, ...]` in operand
@@ -3289,6 +3587,25 @@ class _Parser:
                     f"slice({x}, CAST({a} AS INT), "
                     f"CAST(({b}) - ({a}) + 1 AS INT))"
                 )
+            elif (
+                low_name == "struct_extract"
+                and len(args) == 2
+                and not distinct
+            ):
+                # DuckDB struct_extract(s, 'k') → dot field access, the
+                # spelling both engines share (wave-25)
+                k = args[1].sql.strip()
+                if not re.fullmatch(r"'[A-Za-z_]\w*'", k):
+                    raise UnsupportedSqlError(
+                        "struct_extract needs a plain-identifier string "
+                        "literal key"
+                    )
+                base = args[0].sql
+                if not re.fullmatch(
+                    r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", base
+                ):
+                    base = f"({base})"
+                body = f"{base}.{k[1:-1]}"
             elif (
                 low_name == "len" and len(args) == 1 and not distinct
             ):
@@ -4263,7 +4580,7 @@ def parse_query(
         # never asked for; real hint blocks precede any literal
         if m and "'" not in text[: m.start()]:
             hint = m.group(1).strip()
-    parser = _Parser(text)
+    parser = _Parser(text, schema=schema)
     result = parser.parse()
     # catch-all for named-window markers that escaped every resolving
     # scope (e.g. `OVER w` inside WHERE/GROUP BY/HAVING, where window

@@ -123,6 +123,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #     first): join-bearing correlated scalars, comparator
     #     ordered-agg, WITHIN GROUP NULLS spec, epoch lowering,
     #     HAVING column-beats-alias, lateral machinery ---
+    "parsed_pivot",
+    "parsed_unpivot",
+    "parsed_struct_functions",
     "parsed_list_functions",
     "parsed_list_group_key",
     "parsed_groups_frame",

@@ -29,9 +29,13 @@ from postbound_spark.queries import query
 
 
 def _native(spark: SparkSession, sf_dir: str, sql: str, tables: list[str],
-            join_order: list[str] | None = None) -> DataFrame:
+            join_order: list[str] | None = None,
+            bind: bool = False) -> DataFrame:
     cat = load_tables(spark, sf_dir, tables)
-    tree = parse_relalg(parse_query(sql), join_order=join_order)
+    # schema binding is opt-in per entry: PIVOT needs the catalog's
+    # column list to expand its implicit group-by-everything-else
+    schema = {t: list(cat[t].columns) for t in tables} if bind else None
+    tree = parse_relalg(parse_query(sql, schema=schema), join_order=join_order)
     # measured operator selection (optimizer/selection.py) rides along the
     # native path too: explicit hints from the SQL hint block still win,
     # and the policy only measures when Catalyst's estimates are suspect
@@ -2168,3 +2172,87 @@ def parsed_list_group_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitions array keys like any other; the comparison predicate
     is map-side, pushed below the exchange."""
     return _native(spark, sf_dir, _LIST_GROUP_KEY_SQL, ["nation"])
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(o AS BIGINT) AS open_cnt,
+       CAST(f AS BIGINT) AS done_cnt,
+       CAST(p AS BIGINT) AS partial_cnt
+FROM (SELECT o_orderpriority, o_orderstatus, o_orderkey FROM orders)
+PIVOT (count(o_orderkey) FOR o_orderstatus
+       IN ('O' AS o, 'F' AS f, 'P' AS p))
+ORDER BY o_orderpriority
+"""
+
+
+@query("parsed_pivot", oracle=_PIVOT_SQL)
+def parsed_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 24): the FROM-postfix PIVOT operator in the
+    spelling Spark and DuckDB share — implicit GROUP BY every remaining
+    column, one result column per IN item (named by item alias), absent
+    items read NULL/0. Extension beyond the reference (which has no
+    pivot construct; its users hand-write the CASE form this desugars
+    to). DuckDB executes its native PIVOT on identical text.
+
+    Scale shape: desugars to ONE hash aggregate over the group columns
+    with a filtered-CASE aggregate per IN item — exactly the plan
+    Spark's own PIVOT clause produces: map-side partial aggregation,
+    single scan, no second value-discovery pass (the IN list is
+    static), no per-item re-scan."""
+    return _native(spark, sf_dir, _PIVOT_SQL, ["orders"], bind=True)
+
+
+_UNPIVOT_SQL = """
+SELECT * FROM (SELECT n_nationkey AS id,
+                      n_regionkey AS region,
+                      CASE WHEN n_regionkey > 2 THEN NULL
+                           ELSE n_nationkey * 2 END AS doubled
+               FROM nation)
+UNPIVOT (v FOR metric IN (region AS r, doubled AS d))
+ORDER BY id, metric
+"""
+
+
+@query("parsed_unpivot", oracle=_UNPIVOT_SQL)
+def parsed_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 24): the FROM-postfix UNPIVOT operator —
+    columns → (name, value) rows, NULL values EXCLUDED by default
+    (INCLUDE NULLS keeps them), item aliases rename the emitted labels.
+    DuckDB executes its native UNPIVOT on identical text.
+
+    Scale shape: single-scan index explode (unnest of [1..n]) + CASE
+    pickers — row count multiplies by the item count in one Generate,
+    never one re-scan per unpivoted column; the NULL filter is applied
+    map-side under the generator."""
+    return _native(spark, sf_dir, _UNPIVOT_SQL, ["nation"])
+
+
+_STRUCT_SQL = """
+SELECT n_nationkey,
+       ({'a': n_regionkey, 'b': n_name}).a AS a,
+       (struct_pack(x := n_nationkey + 1)).x AS x1,
+       struct_extract({'k': n_name}, 'k') AS nm,
+       ({'o': {'i': n_regionkey * 2}}).o.i AS nested,
+       CAST({'r': n_regionkey} = {'r': 2} AS STRING) AS eq
+FROM nation
+WHERE {'s': n_regionkey, 't': n_nationkey} < {'s': 4, 't': 99}
+ORDER BY n_nationkey
+"""
+
+
+@query("parsed_struct_functions", oracle=_STRUCT_SQL)
+def parsed_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 25): the STRUCT family — DuckDB brace
+    literals ({'a': x} → named_struct), struct_pack(k := v),
+    struct_extract, dot field access (parenthesized base and the
+    three-part t.s.k spelling), nested structs, and struct comparison
+    (field-order lexicographic on both engines). Structs are never
+    selected raw — DuckDB fetches dicts where Spark fetches Rows, so
+    every probe and entry extracts fields. MAP literals reject loudly
+    (DuckDB surfaces maps as key/value array rows with no matching
+    Spark spelling). DuckDB runs identical text.
+
+    Scale shape: pure per-row expression work in whole-stage codegen;
+    struct construction/access never leaves the JVM."""
+    return _native(spark, sf_dir, _STRUCT_SQL, ["nation"])

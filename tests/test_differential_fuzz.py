@@ -32,10 +32,13 @@ GROUPS mode outright, so differential coverage there comes from probe
 wave 12 (the engine's desugared render on the oracle side) and the
 pure-Python peer-group reference in tests/test_groups_frames.py.
 
-Grammar v24 (round-11 wave 23): the DuckDB LIST function family —
+Grammar v24 (round-11 waves 23-25): the DuckDB LIST function family —
 bracket literals, list_sort/list_distinct/list_unique,
 list_contains/has_any/has_all NULL semantics, list_sum/list_avg folds,
-polymorphic len(), slices, and arrays as GROUP BY keys."""
+polymorphic len(), slices, arrays as GROUP BY keys; FROM-postfix
+PIVOT/UNPIVOT (implicit group-by-everything-else, INCLUDE NULLS,
+pivot→unpivot chains); and the STRUCT family (brace literals, field
+access spellings, nesting, comparisons, structs as GROUP BY keys)."""
 
 from __future__ import annotations
 
@@ -826,6 +829,94 @@ def list_function_query(draw) -> str:
 
 
 @st.composite
+def struct_query(draw) -> str:
+    """Grammar v24 (round-11 wave 25): STRUCT brace literals, field
+    access spellings (parenthesized, struct_extract, three-part t.s.k),
+    nesting, comparisons, and structs as GROUP BY keys. Structs are
+    never selected raw (fetch formats diverge) — always a field."""
+    t = draw(st.sampled_from(["nation", "region"]))
+    pk = {"nation": "n_nationkey", "region": "r_regionkey"}[t]
+    ic = draw(st.sampled_from(INT_COLS[t]))
+    shape = draw(st.integers(0, 2))
+    if shape == 0:
+        off = draw(st.integers(0, 5))
+        return (
+            f"SELECT {pk}, ({{'a': {ic} + {off}}}).a AS a, "
+            f"({{'o': {{'i': {ic} * 2}}}}).o.i AS nested, "
+            f"struct_extract({{'k': {ic}}}, 'k') AS k "
+            f"FROM {t} ORDER BY {pk}" + ORDERED
+        )
+    if shape == 1:
+        bound = draw(st.integers(0, 4))
+        return (
+            f"SELECT {pk} FROM {t} WHERE "
+            f"{{'s': {ic}, 't': {pk}}} < {{'s': {bound}, 't': 999}} "
+            f"ORDER BY {pk}" + ORDERED
+        )
+    return (
+        f"SELECT ({{'r': {ic}}}).r AS r, count(*) AS n FROM {t} "
+        f"GROUP BY {{'r': {ic}}} ORDER BY r" + ORDERED
+    )
+
+
+@st.composite
+def pivot_query(draw) -> str:
+    """Grammar v24 (round-11 wave 24): FROM-postfix PIVOT/UNPIVOT in the
+    shared Spark/DuckDB spelling — implicit group-by-everything-else,
+    filtered-CASE aggregate per IN item, UNPIVOT's default NULL
+    exclusion vs INCLUDE NULLS, item aliases, and the pivot→unpivot
+    chain."""
+    shape = draw(st.integers(0, 3))
+    if shape == 0:
+        fn = draw(st.sampled_from(["count", "sum", "min", "max"]))
+        arg = "o_orderkey % 10" if fn != "count" else "o_orderkey"
+        items = draw(
+            st.lists(
+                st.sampled_from(["'O'", "'F'", "'P'"]),
+                min_size=1,
+                max_size=3,
+                unique=True,
+            )
+        )
+        ins = ", ".join(f"{v} AS v{i}" for i, v in enumerate(items))
+        outs = ", ".join(
+            f"CAST(v{i} AS BIGINT) AS v{i}" for i in range(len(items))
+        )
+        return (
+            f"SELECT o_orderpriority, {outs} FROM ("
+            f"SELECT * FROM (SELECT o_orderpriority, o_orderstatus, "
+            f"{arg} AS d FROM orders) "
+            f"PIVOT ({fn}(d) FOR o_orderstatus IN ({ins}))) "
+            f"ORDER BY o_orderpriority" + ORDERED
+        )
+    if shape == 1:
+        keys = draw(
+            st.lists(st.integers(0, 5), min_size=1, max_size=3, unique=True)
+        )
+        ins = ", ".join(f"{v} AS r{v}" for v in keys)
+        return (
+            f"SELECT * FROM (SELECT n_regionkey, n_nationkey FROM nation) "
+            f"PIVOT (count(n_nationkey) FOR n_regionkey IN ({ins})) "
+        )
+    if shape == 2:
+        inc = "INCLUDE NULLS " if draw(st.booleans()) else ""
+        null_at = draw(st.integers(0, 4))
+        return (
+            f"SELECT * FROM (SELECT n_nationkey AS id, CASE WHEN "
+            f"n_regionkey = {null_at} THEN NULL ELSE n_regionkey END AS a, "
+            f"n_nationkey * 2 AS b FROM nation) "
+            f"UNPIVOT {inc}(v FOR k IN (a, b)) ORDER BY id, k" + ORDERED
+        )
+    ra, rb = draw(st.sampled_from([(0, 1), (1, 2), (0, 4)]))
+    return (
+        f"SELECT * FROM (SELECT n_regionkey, n_nationkey FROM nation) "
+        f"PIVOT (count(n_nationkey) FOR n_regionkey IN "
+        f"({ra} AS ra, {rb} AS rb)) "
+        f"UNPIVOT (cnt FOR region IN (ra, rb)) ORDER BY region" + ORDERED
+    )
+
+
+@st.composite
 def window_limit_query(draw) -> str:
     """Grammar v17: window functions in the SELECT list combined with
     ORDER BY + LIMIT (the round-9 sort-below-window bug class), named or
@@ -1545,7 +1636,11 @@ def lateral_query(draw) -> str:
 
 @st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 24))
+    kind = draw(st.integers(0, 26))
+    if kind == 26:
+        return draw(struct_query())
+    if kind == 25:
+        return draw(pivot_query())
     if kind == 24:
         return draw(list_function_query())
     if kind == 23:

@@ -3276,3 +3276,87 @@ class TestWindowsOverAggregatesAndOrderBy:
             "SELECT INTERVAL 1 HOUR / 2 AS h FROM nation"
         )
         assert "CAST(INTERVAL" not in q.to_sql()
+
+
+class TestPivotUnpivot:
+    """Round-11 wave 24: the FROM-postfix PIVOT/UNPIVOT desugars."""
+
+    SCHEMA = {"nation": ["n_nationkey", "n_name", "n_regionkey"]}
+
+    def test_pivot_desugars_to_grouped_case(self):
+        q = parse_query(
+            "SELECT * FROM nation PIVOT (count(n_name) FOR n_regionkey "
+            "IN (0 AS r0, 1 AS r1)) ORDER BY n_nationkey",
+            schema=self.SCHEMA,
+        )
+        s = q.to_sql()
+        assert "count(CASE WHEN n_regionkey = 0 THEN n_name END) AS r0" in s
+        # n_name is consumed by the aggregate argument, n_regionkey by
+        # the FOR key — the implicit group is everything else
+        assert "GROUP BY n_nationkey" in s
+
+    def test_pivot_needs_schema_for_base_table(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="schema binding"):
+            parse_query(
+                "SELECT * FROM nation PIVOT (count(n_name) FOR "
+                "n_regionkey IN (0 AS r0))"
+            )
+
+    def test_pivot_derived_table_needs_no_schema(self):
+        q = parse_query(
+            "SELECT * FROM (SELECT n_regionkey, n_nationkey FROM nation) "
+            "PIVOT (sum(n_nationkey) FOR n_regionkey IN (2 AS r2))"
+        )
+        assert "sum(CASE WHEN n_regionkey = 2" in q.to_sql()
+
+    def test_pivot_rejects_multi_aggregate(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="single unaliased"):
+            parse_query(
+                "SELECT * FROM (SELECT n_regionkey, n_nationkey FROM "
+                "nation) PIVOT (sum(n_nationkey) AS s, count(*) AS c "
+                "FOR n_regionkey IN (0 AS r0))"
+            )
+
+    def test_pivot_rejects_unnamed_numeric_item(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="AS alias"):
+            parse_query(
+                "SELECT * FROM (SELECT n_regionkey, n_nationkey FROM "
+                "nation) PIVOT (sum(n_nationkey) FOR n_regionkey IN (0))"
+            )
+
+    def test_unpivot_excludes_nulls_by_default(self):
+        q = parse_query(
+            "SELECT * FROM (SELECT n_nationkey AS id, n_regionkey AS a, "
+            "n_nationkey AS b FROM nation) UNPIVOT (v FOR k IN (a, b))"
+        )
+        s = q.to_sql()
+        assert "IS NOT NULL" in s and "explode(array[1, 2])" in s
+
+    def test_unpivot_include_nulls_skips_filter(self):
+        q = parse_query(
+            "SELECT * FROM (SELECT n_nationkey AS id, n_regionkey AS a, "
+            "n_nationkey AS b FROM nation) UNPIVOT INCLUDE NULLS "
+            "(v FOR k IN (a, b))"
+        )
+        assert "IS NOT NULL" not in q.to_sql()
+
+    def test_pivot_alias_still_parses_after_clause(self):
+        q = parse_query(
+            "SELECT p.r0 FROM (SELECT n_regionkey, n_nationkey FROM "
+            "nation) PIVOT (count(n_nationkey) FOR n_regionkey IN "
+            "(0 AS r0)) AS p",
+            schema=self.SCHEMA,
+        )
+        assert "AS r0" in q.to_sql()
+
+    def test_table_aliased_pivot_keyword_stays_alias(self):
+        # a relation literally aliased `pivot` (no clause parens) must
+        # keep working — the postfix trigger requires the parenthesis
+        q = parse_query("SELECT pivot.n_name FROM nation pivot")
+        assert "nation pivot" in q.to_sql()

@@ -1363,3 +1363,27 @@ def test_window_over_agg_single_aggregate(registry, spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_single_aggregate_single_scan(registry, spark, sf_small):
+    """Round-11 (wave 24): PIVOT desugars to ONE hash aggregate with a
+    filtered-CASE aggregate per IN item — single scan, map-side
+    partials, no per-item re-scan, no Expand, no Union of per-item
+    branches."""
+    df = _build(registry, spark, sf_small, "parsed_pivot")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "Union" not in plan and "CartesianProduct" not in plan
+    fmt = _formatted_plan(df)
+    assert "partial_count" in fmt  # map-side combine of the pivot aggs
+
+
+def test_unpivot_single_scan_generate(registry, spark, sf_small):
+    """Round-11 (wave 24): UNPIVOT is a single-scan index explode +
+    CASE pickers — one Generate multiplies rows by the item count;
+    never one re-scan (or UNION branch) per unpivoted column."""
+    df = _build(registry, spark, sf_small, "parsed_unpivot")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "Generate explode" in plan
+    assert "Union" not in plan
