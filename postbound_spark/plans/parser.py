@@ -3588,6 +3588,57 @@ class _Parser:
                     f"CAST(({b}) - ({a}) + 1 AS INT))"
                 )
             elif (
+                low_name == "regexp_extract"
+                and len(args) == 2
+                and not distinct
+            ):
+                # DuckDB's 2-arg default is group 0 (the WHOLE match);
+                # Spark's is group 1 — a silent wrong-results divergence
+                # on any pattern with capture groups (wave-26)
+                body = f"regexp_extract({args[0].sql}, {args[1].sql}, 0)"
+            elif (
+                low_name in ("ltrim", "rtrim")
+                and len(args) == 2
+                and not distinct
+            ):
+                # DuckDB/Postgres spell (string, chars); Spark's 2-arg
+                # form is (trimStr, srcStr) — REVERSED, silently wrong
+                # operands. The keyword TRIM form is unambiguous on both
+                # engines AND re-parse idempotent (an argument swap
+                # would flip on every roundtrip) (wave-26)
+                side = "LEADING" if low_name == "ltrim" else "TRAILING"
+                body = f"trim({side} {args[1].sql} FROM {args[0].sql})"
+            elif (
+                low_name == "ends_with" and len(args) == 2 and not distinct
+            ):
+                body = f"endswith({args[0].sql}, {args[1].sql})"
+            elif (
+                low_name == "unicode" and len(args) == 1 and not distinct
+            ):
+                # codepoint of the first character — Spark's ascii() is
+                # full-unicode despite the name (wave-26)
+                body = f"ascii({args[0].sql})"
+            elif low_name == "format" and not distinct:
+                raise UnsupportedSqlError(
+                    "format('{}', ...) is fmt-style with no Spark "
+                    "equivalent — use printf('%s', ...) (printf runs "
+                    "on both engines)"
+                )
+            elif low_name in (
+                "jaro_similarity",
+                "jaro_winkler_similarity",
+                "jaccard",
+                "hamming",
+                "mismatches",
+                "damerau_levenshtein",
+                "strip_accents",
+            ) and not distinct:
+                raise UnsupportedSqlError(
+                    f"{low_name}() has no Spark equivalent — "
+                    "levenshtein() is the portable string-distance "
+                    "function"
+                )
+            elif (
                 low_name == "struct_extract"
                 and len(args) == 2
                 and not distinct

@@ -126,6 +126,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_pivot",
     "parsed_unpivot",
     "parsed_struct_functions",
+    "parsed_string_edges",
     "parsed_list_functions",
     "parsed_list_group_key",
     "parsed_groups_frame",

@@ -2256,3 +2256,38 @@ def parsed_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure per-row expression work in whole-stage codegen;
     struct construction/access never leaves the JVM."""
     return _native(spark, sf_dir, _STRUCT_SQL, ["nation"])
+
+
+_STRING_EDGES_SQL = """
+SELECT n_nationkey,
+       regexp_extract(n_name, '([A-Z]+)_([0-9]+)') AS whole_match,
+       regexp_extract(n_name, '([A-Z]+)_([0-9]+)', 2) AS num_part,
+       ltrim(n_name, 'NATIO') AS lt,
+       rtrim(n_name, '0123456789_') AS rt,
+       TRIM(BOTH 'N' FROM n_name) AS both_n,
+       CAST(position('_' IN n_name) AS BIGINT) AS us_pos,
+       substring(n_name FROM 8) AS tail,
+       split_part(n_name, '_', -1) AS last_piece,
+       CAST(levenshtein(n_name, 'NATION_1') AS BIGINT) AS lev,
+       printf('%s#%d', n_name, n_nationkey) AS tagged
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query("parsed_string_edges", oracle=_STRING_EDGES_SQL)
+def parsed_string_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 26): STRING-function parity edges — 2-arg
+    regexp_extract lowers with an explicit group 0 (DuckDB's default is
+    the WHOLE match, Spark's is group 1 — silent wrong results
+    otherwise), 2-arg ltrim/rtrim lower via the keyword TRIM spelling
+    (Spark's 2-arg form reverses the arguments; the keyword form is
+    unambiguous on both engines and re-parse idempotent), keyword
+    POSITION(x IN y) / SUBSTRING(s FROM i) / TRIM(BOTH ... FROM ...)
+    forms, negative split_part, levenshtein, and printf (the portable
+    formatter; fmt-style format() rejects loudly toward it). DuckDB
+    runs identical text.
+
+    Scale shape: per-row string expressions in whole-stage codegen —
+    no shuffle, no Python."""
+    return _native(spark, sf_dir, _STRING_EDGES_SQL, ["nation"])

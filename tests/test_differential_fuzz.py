@@ -1874,6 +1874,14 @@ REGRESSIONS = [
     "SELECT n_nationkey, try_cast('1.5' AS INT) AS r, try_cast(n_name "
     "AS INT) AS nn, if(n_regionkey > 2 AND n_nationkey < 20, 'hi', 'lo') "
     "AS band FROM nation ORDER BY n_nationkey" + ORDERED,
+    # round-11 wave-26: 2-arg regexp_extract defaults to group 0 (the
+    # WHOLE match) on DuckDB where Spark defaults to group 1; 2-arg
+    # ltrim/rtrim argument order is (string, chars) — Spark's reversed
+    # (trimStr, srcStr) form is lowered via the keyword TRIM spelling
+    "SELECT n_nationkey, regexp_extract(n_name, '([A-Z]+)_([0-9]+)') "
+    "AS whole, regexp_extract(n_name, '([A-Z]+)_([0-9]+)', 2) AS num, "
+    "ltrim(n_name, 'NATIO') AS lt, rtrim(n_name, '0123456789_') AS rt "
+    "FROM nation ORDER BY n_nationkey" + ORDERED,
     # round-11 wave-23: list_contains over a NULL-bearing list reads
     # FALSE for an absent needle on DuckDB (found-element-wins) where
     # plain array_contains reads NULL; list_has_any/_all skip NULL
