@@ -359,6 +359,90 @@ class _Compiler(ra.RelNodeVisitor):
                 right = right.hint("merge")
         return left.join(right, on=_expr(node.predicate), how=node.how)
 
+    def visit_asofjoin(self, node: ra.AsofJoin) -> DataFrame:
+        """ASOF [LEFT] JOIN via the union–window composition (the same
+        algorithm as ``operators/temporal.asof_join``): tag both sides,
+        union, ONE shuffle on the match keys, per-partition sort,
+        ``last(payload, ignorenulls)`` — never an inequality
+        BroadcastNestedLoop, never a within-key pairs blow-up.
+
+        Output shape: one STRUCT column per side, named by its alias —
+        downstream qualified references (``probe.c``, ``right.c``) and
+        qualified stars resolve as Spark struct-field access. Right rows
+        with a NULL ordering value or NULL key can never match (SQL ASOF
+        contract) and are excluded up front. Tie handling: at an exactly
+        equal ordering value the right row is visible unless the
+        inequality is strict; ties among right rows resolve by the
+        payload struct (deterministic, where DuckDB's pick is
+        scan-order-dependent). A keyless ASOF (no equality conjuncts)
+        degrades to a single-partition window — correct, but partition
+        by a key at scale."""
+        from pyspark.sql import Window
+
+        left = self._compile(node.left)
+        right = self._compile(node.right)
+        lcols = list(left.columns)
+        rcols = list(right.columns)
+        keys = [f"__ak{i}" for i in range(len(node.eqs))]
+
+        not_null = F.expr(node.right_ord).isNotNull()
+        for _p, r_sql in node.eqs:
+            not_null = not_null & F.expr(r_sql).isNotNull()
+        payload = F.struct(*[F.col(c) for c in rcols])
+        # right rows sort before left at equal ordering values (tag 0 <
+        # 1) so an exactly-simultaneous right row IS visible; a STRICT
+        # inequality flips the right tag past the left instead (2 > 1)
+        r2 = right.filter(not_null).select(
+            *[
+                F.expr(r_sql).alias(k)
+                for k, (_p, r_sql) in zip(keys, node.eqs)
+            ],
+            F.expr(node.right_ord).alias("__ats"),
+            F.lit(2 if node.strict else 0).alias("__tag"),
+            payload.alias("__payload"),
+            *[
+                F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
+                for f in left.schema.fields
+            ],
+        )
+        l2 = left.select(
+            *[
+                F.expr(p_sql).alias(k)
+                for k, (p_sql, _r) in zip(keys, node.eqs)
+            ],
+            F.expr(node.probe).alias("__ats"),
+            F.lit(1).alias("__tag"),
+            F.lit(None)
+            .cast(r2.schema["__payload"].dataType)
+            .alias("__payload"),
+            *[F.col(c).alias(f"__l_{c}") for c in lcols],
+        )
+        # FORWARD asof (probe <= right.ord) traverses time reversed: the
+        # running "last seen right" is then the EARLIEST at-or-after
+        order = [
+            F.desc("__ats") if node.forward else F.asc("__ats"),
+            F.col("__tag"),
+            F.col("__payload"),
+        ]
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = (
+            l2.unionByName(r2)
+            .withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+            .filter(F.col("__tag") == 1)
+        )
+        if node.how == "inner":
+            matched = matched.filter(F.col("__m").isNotNull())
+        elif node.how != "left":
+            raise ValueError(f"ASOF join how={node.how!r} is not supported")
+        left_struct = F.struct(
+            *[F.col(f"__l_{c}").alias(c) for c in lcols]
+        ).alias(node.left_alias)
+        return matched.select(left_struct, F.col("__m").alias(node.right_alias))
+
     def visit_naturaljoin(self, node: ra.NaturalJoin) -> DataFrame:
         left, right = self._join_sides(node)
         if node.using:

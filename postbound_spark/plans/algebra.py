@@ -1633,6 +1633,45 @@ class _Converter:
                 set(outer_ids or ()),
                 join_how="left" if jt is Q.JoinType.LEFT else "inner",
             )
+        if j.asof is not None:
+            # ASOF [LEFT] JOIN (DuckDB dialect; extension beyond the
+            # reference). Compiled via the union–window composition (one
+            # shuffle on the match keys, operators/temporal.py's
+            # algorithm — never an inequality nested loop). The output
+            # carries each side as ONE struct column named by its alias
+            # (qualified refs and qualified stars resolve as Spark
+            # struct-field access), which constrains the supported shape:
+            if not (
+                len(self.q.from_tables) == 1
+                and self.q.joins
+                and self.q.joins[0] is j
+            ):
+                raise UnsupportedSqlError(
+                    "ASOF JOIN is modeled as the first join over a "
+                    "single probe source — pre-join into a derived "
+                    "table first"
+                )
+            for p in self.q.select:
+                if p.expr.to_sql().strip() == "*":
+                    raise UnsupportedSqlError(
+                        "SELECT * over an ASOF JOIN is not modeled "
+                        "(the join's output is alias-struct shaped) — "
+                        "use qualified stars (probe.*, right.*) or "
+                        "name the columns"
+                    )
+            node = self._leaf(j.source)
+            return ra.AsofJoin(
+                tree,
+                node,
+                left_alias=self.q.from_tables[0].identifier,
+                right_alias=j.source.identifier,
+                eqs=j.asof.eqs,
+                probe=j.asof.probe,
+                right_ord=j.asof.right_ord,
+                strict=j.asof.strict,
+                forward=j.asof.forward,
+                how=j.join_type.spark_how,
+            )
         node = self._leaf(j.source)
         jt = j.join_type
         if jt.natural:

@@ -1547,6 +1547,122 @@ class _Parser:
             self.t.peek(1) == "(" or self.t.peek_kw(1) == "include"
         )
 
+    def _at_asof_kw(self) -> bool:
+        """True when the next tokens open an ASOF join (contextual
+        keyword — `FROM t asof` as a bare alias stays an alias unless a
+        join keyword follows)."""
+        return self.t.peek_kw() == "asof" and self.t.peek_kw(1) in (
+            "join",
+            "left",
+            "inner",
+        )
+
+    def _asof_spec(self, right, cond) -> "Q.AsofSpec":
+        """ASOF [LEFT] JOIN (DuckDB dialect; the reference has no asof
+        construct). For each probe row, pick the single right-side row
+        closest in the ordering column among those matching the equality
+        conditions: the ONE inequality conjunct names the ordering
+        column (a plain qualified column of the right side), the rest
+        must be equality match keys. The spec rides the JoinedTable into
+        the algebra layer, which compiles the union–window composition
+        (one shuffle on the match keys — never an inequality nested
+        loop, never a within-key pairs blow-up)."""
+        if not isinstance(right, Q.TableReference):
+            raise UnsupportedSqlError(
+                "ASOF JOIN's right side must be a base table or derived "
+                "table"
+            )
+        ident = right.identifier
+        leaves = list(cond.conjuncts())
+        comparisons = (
+            Q.LogicalOperator.LT,
+            Q.LogicalOperator.LE,
+            Q.LogicalOperator.GT,
+            Q.LogicalOperator.GE,
+        )
+        ineq = [
+            l
+            for l in leaves
+            if isinstance(l, Q.BinaryPredicate) and l.operation in comparisons
+        ]
+        if len(ineq) != 1:
+            raise UnsupportedSqlError(
+                "ASOF JOIN needs exactly ONE inequality condition (it "
+                f"defines the as-of ordering); found {len(ineq)}"
+            )
+        leaf = ineq[0]
+
+        def _plain_right_col(e) -> str | None:
+            s = e.to_sql().strip()
+            if not re.fullmatch(r"[A-Za-z_]\w*\.[A-Za-z_]\w*", s):
+                return None
+            if s.split(".")[0].lower() != ident.lower():
+                return None
+            return s
+
+        rc = _plain_right_col(leaf.rhs)
+        flipped = False
+        if rc is None:
+            rc = _plain_right_col(leaf.lhs)
+            flipped = True
+        if rc is None:
+            raise UnsupportedSqlError(
+                "the ASOF inequality must compare against a plain, "
+                f"qualified column of the right side ({ident!r}) — e.g. "
+                "probe.ts >= right.ts"
+            )
+        op = leaf.operation
+        probe_expr = leaf.lhs if not flipped else leaf.rhs
+        if flipped:
+            op = {
+                Q.LogicalOperator.GT: Q.LogicalOperator.LT,
+                Q.LogicalOperator.GE: Q.LogicalOperator.LE,
+                Q.LogicalOperator.LT: Q.LogicalOperator.GT,
+                Q.LogicalOperator.LE: Q.LogicalOperator.GE,
+            }[op]
+        if probe_expr.columns and any(
+            c.table is not None and c.table.identifier.lower() == ident.lower()
+            for c in probe_expr.columns
+        ):
+            raise UnsupportedSqlError(
+                "the probe side of the ASOF inequality must not "
+                "reference the right table"
+            )
+        eqs: list[tuple[str, str]] = []
+        for other in leaves:
+            if other is leaf:
+                continue
+            if not (
+                isinstance(other, Q.BinaryPredicate)
+                and other.operation is Q.LogicalOperator.EQ
+            ):
+                raise UnsupportedSqlError(
+                    "ASOF JOIN conditions besides the one inequality "
+                    "must be equality match keys"
+                )
+            r_side = _plain_right_col(other.rhs)
+            if r_side is not None:
+                eqs.append((other.lhs.to_sql(), r_side))
+                continue
+            r_side = _plain_right_col(other.lhs)
+            if r_side is None:
+                raise UnsupportedSqlError(
+                    "each ASOF equality must compare a probe expression "
+                    "to a plain qualified column of the right side"
+                )
+            eqs.append((other.rhs.to_sql(), r_side))
+        # normalized `probe OP right.ord`: >= / > pick the LATEST right
+        # row at-or-before the probe; <= / < the EARLIEST at-or-after
+        forward = op in (Q.LogicalOperator.LE, Q.LogicalOperator.LT)
+        strict = op in (Q.LogicalOperator.GT, Q.LogicalOperator.LT)
+        return Q.AsofSpec(
+            eqs=tuple(eqs),
+            probe=probe_expr.to_sql(),
+            right_ord=rc,
+            strict=strict,
+            forward=forward,
+        )
+
     def _pivot_source_info(
         self, src, lifted
     ) -> tuple[str, list[str]]:
@@ -1793,7 +1909,11 @@ class _Parser:
                 sub = self.parse_query()
                 self.t.expect(")")
                 self.t.accept("as")
-                if not self.t.at_ident() or self._at_pivot_kw():
+                if (
+                    not self.t.at_ident()
+                    or self._at_pivot_kw()
+                    or self._at_asof_kw()
+                ):
                     self._cte_counter += 1
                     alias = f"__subquery{self._cte_counter}"
                 else:
@@ -1867,7 +1987,11 @@ class _Parser:
             sample = self._parse_tablesample()  # Spark order: before alias
             if self.t.accept("as"):
                 alias = _ident(self.t.next())
-            elif self.t.at_ident() and not self._at_pivot_kw():
+            elif (
+                self.t.at_ident()
+                and not self._at_pivot_kw()
+                and not self._at_asof_kw()
+            ):
                 alias = _ident(self.t.next())
             if sample is None:
                 sample = self._parse_tablesample()  # Postgres order: after
@@ -1925,7 +2049,10 @@ class _Parser:
         # item's own source plus every table already joined in ITS chain
         # (SQL scoping: joins bind tighter than the FROM comma, so
         # ``FROM a, b JOIN c ON p`` resolves p against {b, c} only).
-        chain: list[tuple[Q.JoinType, object, Q.AbstractPredicate | None, tuple[str, ...]]] = []
+        chain: list[
+            tuple[Q.JoinType, object, Q.AbstractPredicate | None,
+                  tuple[str, ...], "Q.AsofSpec | None"]
+        ] = []
         scope: set[str] = {first.identifier}
         while True:
             if self.t.accept(","):
@@ -1933,6 +2060,37 @@ class _Parser:
                 tables.append(src)
                 n_comma_items += 1
                 scope = {src.identifier}  # comma starts a new join-chain group
+                continue
+            if self._at_asof_kw():
+                self.t.next()
+                left_join = bool(self.t.accept("left"))
+                if left_join:
+                    self.t.accept("outer")
+                else:
+                    self.t.accept("inner")
+                self.t.expect("join")
+                right = bare_source()
+                self.t.expect("on")
+                asof_cond = self._parse_predicate()
+                out_of_scope = (
+                    asof_cond.tables() - scope - {right.identifier}
+                )
+                if out_of_scope:
+                    raise UnsupportedSqlError(
+                        f"ASOF ON condition references tables outside "
+                        f"its join-chain scope: {sorted(out_of_scope)}"
+                    )
+                spec = self._asof_spec(right, asof_cond)
+                scope.add(right.identifier)
+                chain.append(
+                    (
+                        Q.JoinType.LEFT if left_join else Q.JoinType.INNER,
+                        right,
+                        asof_cond,
+                        (),
+                        spec,
+                    )
+                )
                 continue
             jt = join_type()
             if jt is None:
@@ -1963,7 +2121,7 @@ class _Parser:
                             f"join-chain scope: {sorted(out_of_scope)} "
                             f"(visible: {sorted(scope)})"
                         )
-            chain.append((jt, src, cond, using))
+            chain.append((jt, src, cond, using, None))
 
         # Normalize INNER/CROSS chains into implicit form (the reference's
         # explicit_to_implicit rewrite, transform.py:172) ONLY when the
@@ -1981,8 +2139,10 @@ class _Parser:
         #   equality keeps both, changing the star projection and making
         #   unqualified key references ambiguous.
         all_inner = all(
-            jt in (Q.JoinType.INNER, Q.JoinType.CROSS) and not using
-            for jt, _src, _cond, using in chain
+            jt in (Q.JoinType.INNER, Q.JoinType.CROSS)
+            and not using
+            and spec is None
+            for jt, _src, _cond, using, spec in chain
         )
         if chain and not all_inner and n_comma_items >= 2:
             # The IR stores explicit joins as ONE flat list applied after
@@ -2001,13 +2161,13 @@ class _Parser:
                 "joins); outer/NATURAL/USING chains next to comma items "
                 "would re-associate — rewrite the FROM as a single chain"
             )
-        for jt, src, cond, using in chain:
+        for jt, src, cond, using, spec in chain:
             if all_inner:
                 tables.append(src)
                 if cond is not None:
                     join_preds.append(cond)
                 continue
-            explicit.append(Q.JoinedTable(jt, src, cond, using))
+            explicit.append(Q.JoinedTable(jt, src, cond, using, spec))
         return tables, join_preds, lifted, explicit
 
     def _parse_values(self) -> tuple[tuple[Q.SqlExpression, ...], ...]:
@@ -4595,7 +4755,10 @@ def _bind(
         ),
         distinct_on=tuple(rebind_expr(e) for e in query.distinct_on),
         joins=tuple(
-            Q.JoinedTable(j.join_type, j.source, rebind_pred(j.condition), j.using)
+            Q.JoinedTable(
+                j.join_type, j.source, rebind_pred(j.condition), j.using,
+                j.asof,
+            )
             for j in query.joins
         ),
     )

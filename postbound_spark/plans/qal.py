@@ -224,14 +224,41 @@ class JoinedTable:
     source: "TableReference | ValuesTableSource | FunctionTableSource | SubqueryTableSource"
     condition: "AbstractPredicate | None" = None
     using: tuple[str, ...] = ()
+    #: ASOF join marker (DuckDB dialect, beyond the reference): when set,
+    #: the link picks ONE closest-in-ordering right row per left row
+    #: instead of all matches. See :class:`AsofSpec`.
+    asof: "AsofSpec | None" = None
 
     def to_sql(self) -> str:
+        if self.asof is not None:
+            kw = "LEFT JOIN" if self.join_type is JoinType.LEFT else "JOIN"
+            return (
+                f"ASOF {kw} {self.source.to_sql()} "
+                f"ON {self.condition.to_sql()}"
+            )
         out = f"{self.join_type.value} {self.source.to_sql()}"
         if self.condition is not None:
             out += f" ON {self.condition.to_sql()}"
         elif self.using:
             out += f" USING ({', '.join(self.using)})"
         return out
+
+
+@dataclass(frozen=True)
+class AsofSpec:
+    """Parsed ASOF ordering: equality match keys + the one inequality.
+
+    ``eqs`` holds (probe-side sql, right-side sql) pairs; ``probe`` and
+    ``right_ord`` are the two sides of the inequality normalized to
+    ``probe OP right_ord``; ``forward`` means the probe picks the
+    EARLIEST right row at-or-after it (OP is <= / <) instead of the
+    latest at-or-before; ``strict`` excludes the exactly-equal row."""
+
+    eqs: tuple[tuple[str, str], ...]
+    probe: str
+    right_ord: str
+    strict: bool
+    forward: bool
 
 
 # ---------------------------------------------------------------------------

@@ -146,6 +146,36 @@ class ThetaJoin(RelNode):
 
 
 @dataclass(frozen=True)
+class AsofJoin(RelNode):
+    """ASOF [LEFT] JOIN — for each left row, the single right row closest
+    in the ordering column among key-matched rows (DuckDB dialect;
+    extension beyond the reference, which has no asof construct).
+
+    Compiled via the union–window composition (operators/temporal.py's
+    algorithm): tag both sides, one shuffle on the match keys, per-key
+    sort, ``last(payload, ignorenulls)`` — never an inequality
+    BroadcastNestedLoop and never a within-key pairs blow-up. The output
+    carries each side as ONE STRUCT column named by its alias, so every
+    downstream qualified reference (``probe.col``, ``right.col``) and
+    qualified star (``probe.*``) resolves as Spark struct-field access;
+    a bare ``SELECT *`` is rejected at conversion (it would surface the
+    structs themselves, diverging from SQL's flattened star)."""
+
+    left: RelNode = None  # type: ignore[assignment]
+    right: RelNode = None  # type: ignore[assignment]
+    left_alias: str = ""
+    right_alias: str = ""
+    #: (probe-side sql, right-side sql) equality pairs
+    eqs: tuple[tuple[str, str], ...] = ()
+    #: the inequality, normalized to ``probe OP right_ord``
+    probe: str = ""
+    right_ord: str = ""
+    strict: bool = False
+    forward: bool = False
+    how: str = "inner"
+
+
+@dataclass(frozen=True)
 class NaturalJoin(RelNode):
     """NATURAL [LEFT|RIGHT|FULL] JOIN — equi-join over the common column
     names of both inputs, common columns appearing once in the output (ref

@@ -127,6 +127,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_unpivot",
     "parsed_struct_functions",
     "parsed_string_edges",
+    "parsed_asof_join",
+    "parsed_asof_forward",
     "parsed_list_functions",
     "parsed_list_group_key",
     "parsed_groups_frame",

@@ -2291,3 +2291,59 @@ def parsed_string_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-row string expressions in whole-stage codegen —
     no shuffle, no Python."""
     return _native(spark, sf_dir, _STRING_EDGES_SQL, ["nation"])
+
+
+_ASOF_JOIN_SQL = """
+SELECT o.o_orderkey,
+       CAST(p.o_orderkey AS STRING) AS prev_key,
+       CAST(p.o_orderdate AS STRING) AS prev_date
+FROM orders o
+ASOF LEFT JOIN orders p
+  ON p.o_custkey = o.o_custkey AND o.o_orderdate > p.o_orderdate
+WHERE o.o_orderkey < 2000
+ORDER BY o.o_orderkey
+"""
+
+
+@query("parsed_asof_join", oracle=_ASOF_JOIN_SQL)
+def parsed_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 27): ASOF JOIN — the DuckDB dialect operator
+    (each order paired with the same customer's strictly-previous
+    order), in the `ASOF [LEFT] JOIN ... ON key = key AND probe > ord`
+    spelling DuckDB executes natively as the oracle. Spark has no ASOF
+    join; the engine compiles the union-window composition
+    (operators/temporal.py's algorithm, now reachable from SQL): tag
+    both sides, union, ONE shuffle on the match keys, per-key sort,
+    last(payload, ignorenulls) — never an inequality
+    BroadcastNestedLoop, never a within-key pairs blow-up. The output
+    carries each side as a struct column named by its alias, so
+    qualified references and qualified stars resolve as field access.
+
+    Scale shape: one hash exchange on o_custkey + one per-partition
+    sort — the same cost profile as a sort-merge join, independent of
+    the time-gap distribution; feasible when both sides are billions
+    of rows."""
+    return _native(spark, sf_dir, _ASOF_JOIN_SQL, ["orders"])
+
+
+_ASOF_FORWARD_SQL = """
+SELECT e.id,
+       e.k,
+       nx.pts AS next_pts
+FROM (SELECT o_orderkey AS id, o_custkey AS k FROM orders
+      WHERE o_orderkey < 3000) e
+ASOF JOIN (SELECT o_custkey AS k, o_orderkey AS pts FROM orders
+           WHERE o_orderkey % 3 = 0) nx
+  ON nx.k = e.k AND e.id < nx.pts
+ORDER BY e.id
+"""
+
+
+@query("parsed_asof_forward", oracle=_ASOF_FORWARD_SQL)
+def parsed_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 27): FORWARD ASOF over derived tables — the
+    probe picks the EARLIEST right row strictly after it (OP is <),
+    inner form dropping matchless probes. Traversal simply reverses the
+    window ordering; same single-shuffle union-window plan. DuckDB runs
+    its native ASOF on identical text."""
+    return _native(spark, sf_dir, _ASOF_FORWARD_SQL, ["orders"])

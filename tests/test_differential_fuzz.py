@@ -37,8 +37,11 @@ bracket literals, list_sort/list_distinct/list_unique,
 list_contains/has_any/has_all NULL semantics, list_sum/list_avg folds,
 polymorphic len(), slices, arrays as GROUP BY keys; FROM-postfix
 PIVOT/UNPIVOT (implicit group-by-everything-else, INCLUDE NULLS,
-pivot→unpivot chains); and the STRUCT family (brace literals, field
-access spellings, nesting, comparisons, structs as GROUP BY keys)."""
+pivot→unpivot chains); the STRUCT family (brace literals, field
+access spellings, nesting, comparisons, structs as GROUP BY keys);
+and ASOF [LEFT] JOIN (backward/forward, strict/inclusive, flipped
+operand orders, derived sides — compiled via the union-window
+composition, DuckDB's native ASOF as the oracle)."""
 
 from __future__ import annotations
 
@@ -825,6 +828,41 @@ def list_function_query(draw) -> str:
         f"list_avg([{ic}, 4]) AS a, CAST(([10, 20, 30])[1:2] AS STRING) "
         f"AS sl, CAST(len([1, 2]) AS BIGINT) AS l "
         f"FROM {t} ORDER BY {pk} LIMIT {lim}" + ORDERED
+    )
+
+
+@st.composite
+def asof_query(draw) -> str:
+    """Grammar v24 (round-11 wave 27): ASOF [LEFT] JOIN — backward and
+    forward, strict and inclusive, both operand orders of the
+    inequality, derived-table sides, and matchless probes (LEFT
+    null-extension vs inner dropping). orders.o_orderkey is unique, so
+    every ordering is tie-free and the single picked row deterministic."""
+    left_kw = draw(st.sampled_from(["", "LEFT "]))
+    op = draw(st.sampled_from([">", ">=", "<", "<="]))
+    lim = draw(st.integers(40, 300))
+    mod = draw(st.integers(2, 5))
+    shape = draw(st.integers(0, 1))
+    if shape == 0:
+        flip = draw(st.booleans())
+        ineq = (
+            f"o.o_orderkey {op} p.o_orderkey"
+            if not flip
+            else f"p.o_orderkey {'<' if op == '>' else '<=' if op == '>=' else '>' if op == '<' else '>='} o.o_orderkey"
+        )
+        return (
+            f"SELECT o.o_orderkey, CAST(p.o_orderkey AS STRING) AS pk "
+            f"FROM orders o ASOF {left_kw}JOIN orders p ON "
+            f"p.o_custkey = o.o_custkey AND {ineq} "
+            f"WHERE o.o_orderkey < {lim} ORDER BY o.o_orderkey" + ORDERED
+        )
+    return (
+        f"SELECT e.id, CAST(px.pts AS STRING) AS pts FROM "
+        f"(SELECT o_orderkey AS id, o_custkey AS k FROM orders "
+        f"WHERE o_orderkey < {lim}) e "
+        f"ASOF {left_kw}JOIN (SELECT o_custkey AS k, o_orderkey AS pts "
+        f"FROM orders WHERE o_orderkey % {mod} = 0) px "
+        f"ON px.k = e.k AND e.id {op} px.pts ORDER BY e.id" + ORDERED
     )
 
 
@@ -1636,7 +1674,9 @@ def lateral_query(draw) -> str:
 
 @st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 26))
+    kind = draw(st.integers(0, 27))
+    if kind == 27:
+        return draw(asof_query())
     if kind == 26:
         return draw(struct_query())
     if kind == 25:

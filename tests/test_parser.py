@@ -3360,3 +3360,72 @@ class TestPivotUnpivot:
         # keep working — the postfix trigger requires the parenthesis
         q = parse_query("SELECT pivot.n_name FROM nation pivot")
         assert "nation pivot" in q.to_sql()
+
+
+class TestAsofJoin:
+    """Round-11 wave 27: ASOF [LEFT] JOIN parse + spec extraction."""
+
+    def test_asof_spec_backward_strict(self):
+        q = parse_query(
+            "SELECT o.o_orderkey FROM orders o ASOF JOIN orders p ON "
+            "p.o_custkey = o.o_custkey AND o.o_orderdate > p.o_orderdate"
+        )
+        spec = q.joins[0].asof
+        assert spec is not None
+        assert spec.eqs == (("o.o_custkey", "p.o_custkey"),)
+        assert spec.probe == "o.o_orderdate"
+        assert spec.right_ord == "p.o_orderdate"
+        assert spec.strict and not spec.forward
+
+    def test_asof_forward_inclusive_flipped(self):
+        # right side written on the LEFT of the comparison: p.ts >= o.ts
+        # normalizes to o.ts <= p.ts (forward, inclusive)
+        q = parse_query(
+            "SELECT o.o_orderkey FROM orders o ASOF JOIN orders p ON "
+            "p.o_custkey = o.o_custkey AND p.o_orderdate >= o.o_orderdate"
+        )
+        spec = q.joins[0].asof
+        assert spec.forward and not spec.strict
+
+    def test_asof_renders_and_reparses(self):
+        q = parse_query(
+            "SELECT o.o_orderkey FROM orders o ASOF LEFT JOIN orders p "
+            "ON p.o_custkey = o.o_custkey AND o.o_orderdate > "
+            "p.o_orderdate"
+        )
+        s = q.to_sql()
+        assert "ASOF LEFT JOIN" in s
+        assert parse_query(s).joins[0].asof == q.joins[0].asof
+
+    def test_asof_rejects_no_inequality(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="ONE inequality"):
+            parse_query(
+                "SELECT o.o_orderkey FROM orders o ASOF JOIN orders p "
+                "ON p.o_custkey = o.o_custkey"
+            )
+
+    def test_asof_rejects_two_inequalities(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="ONE inequality"):
+            parse_query(
+                "SELECT o.o_orderkey FROM orders o ASOF JOIN orders p "
+                "ON o.o_orderdate > p.o_orderdate AND o.o_orderkey > "
+                "p.o_orderkey"
+            )
+
+    def test_asof_rejects_or_condition(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError):
+            parse_query(
+                "SELECT o.o_orderkey FROM orders o ASOF JOIN orders p "
+                "ON p.o_custkey = o.o_custkey OR o.o_orderdate > "
+                "p.o_orderdate"
+            )
+
+    def test_table_aliased_asof_stays_alias(self):
+        q = parse_query("SELECT asof.n_name FROM nation asof")
+        assert "nation asof" in q.to_sql()

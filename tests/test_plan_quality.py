@@ -1387,3 +1387,16 @@ def test_unpivot_single_scan_generate(registry, spark, sf_small):
     assert plan.count("FileScan") == 1
     assert "Generate explode" in plan
     assert "Union" not in plan
+
+
+def test_asof_join_union_window_plan(registry, spark, sf_small):
+    """Round-11 (wave 27): ASOF JOIN compiles to the union-window
+    composition — ONE exchange on the match keys, a per-key sort, a
+    single Window — never an inequality BroadcastNestedLoop and never a
+    within-key pairs blow-up (no extra join at all)."""
+    df = _build(registry, spark, sf_small, "parsed_asof_join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan and "Window" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
