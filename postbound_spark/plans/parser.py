@@ -596,6 +596,12 @@ class _Parser:
         #: peer-index column name. Consumed (and save/restored around
         #: nested scopes) by _parse_select's _desugar_groups call.
         self._groups_windows: dict[str, str] = {}
+        #: deferred star expansions (`* REPLACE`, COLUMNS('regex'),
+        #: wave-28): marker text → ("replace", pairs) | ("columns", rx);
+        #: each _parse_select expands (and removes) the markers its own
+        #: projection list carries once its FROM sources are known
+        self._star_expansions: dict[str, tuple] = {}
+        self._star_marker_n = 0
 
     # ---- queries ---------------------------------------------------------
 
@@ -969,7 +975,103 @@ class _Parser:
             return _expand_grouping_sets(q, pending)
         return q
 
+    def _splice_from_first(self) -> None:
+        """DuckDB FROM-first syntax (wave-28): ``FROM t [SELECT items]
+        [WHERE ...]`` — reorder the token stream into canonical
+        SELECT-first form in place (``FROM t`` alone selects ``*``).
+        Pure reordering, so every downstream clause parser is unchanged."""
+        toks = self.t.toks
+        i = self.t.i  # points at FROM
+        clause_kws = {
+            "select", "where", "group", "having", "order", "limit",
+            "offset", "qualify", "union", "intersect", "except",
+            "window", "fetch",
+        }
+
+        def scan(start: int, stop_kws: set[str]) -> int:
+            depth = 0
+            j = start
+            while j < len(toks):
+                t = toks[j]
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and t.lower() in stop_kws:
+                    break
+                j += 1
+            return j
+
+        j = scan(i + 1, clause_kws)
+        from_chunk = toks[i:j]
+        if j < len(toks) and toks[j].lower() == "select":
+            k = scan(j + 1, clause_kws - {"select"})
+            new = (
+                toks[:i]
+                + [toks[j]]
+                + toks[j + 1 : k]
+                + from_chunk
+                + toks[k:]
+            )
+        else:
+            new = toks[:i] + ["SELECT", "*"] + from_chunk + toks[j:]
+        self.t.toks = new
+
+    def _expand_star_markers(
+        self, projections, tables, explicit_joins, lifted
+    ):
+        """Expand `* REPLACE` / COLUMNS('regex') markers (wave-28) now
+        that the FROM sources are known. Single-source only — the
+        in-place column ordering both expansions promise has no stable
+        meaning across a join's two sides."""
+        if explicit_joins or len(tables) != 1:
+            raise UnsupportedSqlError(
+                "* REPLACE / COLUMNS('regex') expand over a single "
+                "source — project the join into a derived table first"
+            )
+        _txt, cols = self._pivot_source_info(tables[0], lifted)
+        out = []
+        for p in projections:
+            payload = self._star_expansions.pop(p.expr.sql, None)
+            if payload is None:
+                out.append(p)
+                continue
+            kind, data = payload
+            if kind == "replace":
+                repl = {name.lower(): e for e, name in data}
+                unknown = sorted(
+                    set(repl) - {c.lower() for c in cols}
+                )
+                if unknown:
+                    raise UnsupportedSqlError(
+                        f"* REPLACE names columns the source lacks: "
+                        f"{unknown}"
+                    )
+                for c in cols:
+                    r = repl.get(c.lower())
+                    if r is None:
+                        out.append(
+                            Q.BaseProjection(Q.SqlExpression(c))
+                        )
+                    else:
+                        out.append(Q.BaseProjection(r.to_qal(), c))
+            else:
+                matched = [c for c in cols if data.search(c)]
+                if not matched:
+                    raise UnsupportedSqlError(
+                        f"COLUMNS({data.pattern!r}) matches no column "
+                        f"of {tables[0].identifier!r}"
+                    )
+                out.extend(
+                    Q.BaseProjection(Q.SqlExpression(c)) for c in matched
+                )
+        return out
+
     def _parse_select(self) -> Q.SqlQuery:
+        if self.t.peek_kw() == "from":
+            self._splice_from_first()
         self.t.expect("select")
         # GROUPS-frame windows recorded while THIS select's expressions
         # parse are consumed by _desugar_groups below; the enclosing
@@ -1189,6 +1291,12 @@ class _Parser:
             _resolve_ordinal(tuple(projections), e, "GROUP BY") for e in group_by
         )
 
+        if self._star_expansions and any(
+            p.expr.sql in self._star_expansions for p in projections
+        ):
+            projections = self._expand_star_markers(
+                projections, tables, explicit_joins, lifted_ctes
+            )
         q = Q.SqlQuery(
             select=tuple(projections),
             from_tables=tuple(tables),
@@ -1463,7 +1571,16 @@ class _Parser:
             offset = int(self.t.next())
             self.t.accept("rows") or self.t.accept("row")
         if self.t.accept("limit"):
-            limit = int(self.t.next())
+            limit_tok = self.t.next()
+            if self.t.peek() == "%" or self.t.peek_kw() == "percent":
+                # LIMIT 10% (DuckDB) needs the total row count before it
+                # can cut — a second pass no single-plan compile has
+                raise UnsupportedSqlError(
+                    "percent LIMIT is not modeled — spell the fraction "
+                    "with a window: QUALIFY row_number() OVER (ORDER BY "
+                    "...) <= ceil(0.10 * count(*) OVER ())"
+                )
+            limit = int(limit_tok)
         elif self.t.accept("fetch"):
             # FETCH {FIRST|NEXT|PRIOR|LAST} n {ROW|ROWS} ONLY (ref Limit
             # :7552, FetchDirection :7548). FIRST/NEXT are both the
@@ -1539,6 +1656,41 @@ class _Parser:
             seed = int(self.t.next())
             self.t.expect(")")
         return pct, rows, seed
+
+    def _parse_using_sample(
+        self,
+    ) -> tuple[float | None, int | None, int | None] | None:
+        """DuckDB's ``USING SAMPLE n [ROWS] | p% | p PERCENT`` source
+        suffix (wave-28) — same fields as TABLESAMPLE. The bare-number
+        form defaults to ROWS (DuckDB's reservoir sampling: an exact
+        whole-relation row count). Method/seed parens reject loudly —
+        their selection is engine-specific."""
+        if not (
+            self.t.peek_kw() == "using" and self.t.peek_kw(1) == "sample"
+        ):
+            return None
+        self.t.next()
+        self.t.next()
+        value = self.t.next()
+        pct: float | None = None
+        rows: int | None = None
+        if self.t.peek() == "%":
+            self.t.next()
+            pct = float(value)
+        elif self.t.accept("percent"):
+            pct = float(value)
+        else:
+            self.t.accept("rows") or self.t.accept("row")
+            rows = int(value)
+        if pct is not None and not 0 <= pct <= 100:
+            raise ParserError(f"sample percentage {pct} outside [0, 100]")
+        if self.t.peek() == "(":
+            raise UnsupportedSqlError(
+                "USING SAMPLE method/seed parentheses are not modeled — "
+                "row selection is engine-specific; use TABLESAMPLE "
+                "REPEATABLE for a seeded Bernoulli sample"
+            )
+        return pct, rows, None
 
     def _at_pivot_kw(self) -> bool:
         """True when the next tokens open a PIVOT/UNPIVOT clause (so the
@@ -1680,9 +1832,10 @@ class _Parser:
             cols = self._schema.get(src.full_name.lower())
             if cols is None:
                 raise UnsupportedSqlError(
-                    f"PIVOT/UNPIVOT over {src.full_name!r} needs a schema "
-                    "binding to enumerate its columns — pass schema= to "
-                    "parse_query (pivoting a CTE is not modeled)"
+                    f"PIVOT/UNPIVOT/star expansion over {src.full_name!r} "
+                    "needs a schema binding to enumerate its columns — "
+                    "pass schema= to parse_query (a CTE source is not "
+                    "modeled)"
                 )
             text = (
                 f"{src.full_name} AS {src.alias}"
@@ -1995,6 +2148,8 @@ class _Parser:
                 alias = _ident(self.t.next())
             if sample is None:
                 sample = self._parse_tablesample()  # Postgres order: after
+            if sample is None:
+                sample = self._parse_using_sample()  # DuckDB spelling
             if sample is not None:
                 pct, rows, seed = sample
                 return Q.TableReference(
@@ -2219,7 +2374,50 @@ class _Parser:
                 return Q.BaseProjection(
                     Q.SqlExpression("* EXCEPT (" + ", ".join(cols) + ")")
                 )
+            if self.t.peek_kw() == "replace" and self.t.peek(1) == "(":
+                # `* REPLACE (expr AS col, ...)` (DuckDB, wave-28):
+                # every column, with the named ones replaced IN PLACE.
+                # Expansion needs the source's column list, known only
+                # after FROM parses — a marker defers it to the end of
+                # this _parse_select.
+                self.t.next()
+                self.t.expect("(")
+                pairs: list[tuple[_Expr, str]] = []
+                while True:
+                    e = self._parse_value_or_predicate()
+                    self.t.expect("as")
+                    pairs.append((e, _ident(self.t.next())))
+                    if not self.t.accept(","):
+                        break
+                self.t.expect(")")
+                self._star_marker_n += 1
+                marker = f"__star_replace_{self._star_marker_n}"
+                self._star_expansions[marker] = ("replace", pairs)
+                return Q.BaseProjection(Q.SqlExpression(marker))
             return Q.star()
+        if (
+            self.t.peek_kw() == "columns"
+            and self.t.peek(1) == "("
+            and (self.t.peek(2) or "").startswith("'")
+            and self.t.peek(3) == ")"
+        ):
+            # COLUMNS('regex') (DuckDB, wave-28): the columns whose name
+            # CONTAINS a regex match (partial search, verified), in
+            # source order — same deferred-expansion mechanism
+            self.t.next()
+            self.t.next()
+            pattern = self.t.next()[1:-1]
+            self.t.expect(")")
+            try:
+                rx = re.compile(pattern)
+            except re.error as exc:
+                raise UnsupportedSqlError(
+                    f"COLUMNS regex {pattern!r} does not compile: {exc}"
+                )
+            self._star_marker_n += 1
+            marker = f"__star_columns_{self._star_marker_n}"
+            self._star_expansions[marker] = ("columns", rx)
+            return Q.BaseProjection(Q.SqlExpression(marker))
         # t.* projection
         if (
             self.t.at_ident()
@@ -3778,6 +3976,12 @@ class _Parser:
                 # codepoint of the first character — Spark's ascii() is
                 # full-unicode despite the name (wave-26)
                 body = f"ascii({args[0].sql})"
+            elif low_name == "columns" and not distinct:
+                raise UnsupportedSqlError(
+                    "COLUMNS('regex') is only modeled as a bare select "
+                    "item (its multi-column expansion has no expression "
+                    "value); list the columns explicitly here"
+                )
             elif low_name == "format" and not distinct:
                 raise UnsupportedSqlError(
                     "format('{}', ...) is fmt-style with no Spark "

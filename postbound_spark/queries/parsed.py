@@ -2347,3 +2347,27 @@ def parsed_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ordering; same single-shuffle union-window plan. DuckDB runs
     its native ASOF on identical text."""
     return _native(spark, sf_dir, _ASOF_FORWARD_SQL, ["orders"])
+
+
+_DIALECT_SQL = """
+FROM (FROM nation SELECT columns('key') WHERE n_nationkey < 20) d
+SELECT * REPLACE (n_regionkey * 10 AS n_regionkey)
+ORDER BY ALL
+"""
+
+
+@query("parsed_dialect_conveniences", oracle=_DIALECT_SQL)
+def parsed_dialect_conveniences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 28): the DuckDB convenience dialect in one
+    query — FROM-first syntax (token-level reorder into canonical
+    SELECT-first form), `* REPLACE (expr AS col)` in-place star
+    replacement and `COLUMNS('regex')` expansion (partial-search,
+    verified; both expand from the schema binding / derived aliases at
+    parse time), and ORDER BY ALL. `USING SAMPLE n ROWS` rides the
+    TABLESAMPLE machinery (count-exact oracle in the wave-28 battery);
+    percent LIMIT, sample method parens, and expansion over joins
+    reject loudly. DuckDB runs identical text.
+
+    Scale shape: all parse-time rewrites — the plan is a plain
+    projected scan; nothing survives to execution."""
+    return _native(spark, sf_dir, _DIALECT_SQL, ["nation"], bind=True)

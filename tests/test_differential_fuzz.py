@@ -832,6 +832,33 @@ def list_function_query(draw) -> str:
 
 
 @st.composite
+def dialect_query(draw) -> str:
+    """Grammar v24 (round-11 wave 28): the DuckDB convenience dialect —
+    FROM-first syntax, `* REPLACE (expr AS col)`, COLUMNS('regex'),
+    ORDER BY ALL, composed and nested."""
+    t = draw(st.sampled_from(["nation", "region"]))
+    pk = {"nation": "n_nationkey", "region": "r_regionkey"}[t]
+    lim = draw(st.integers(3, 20))
+    shape = draw(st.integers(0, 2))
+    if shape == 0:
+        off = draw(st.integers(1, 9))
+        return (
+            f"FROM {t} SELECT * REPLACE ({pk} + {off} AS {pk}) "
+            f"WHERE {pk} < {lim} ORDER BY ALL" + ORDERED
+        )
+    if shape == 1:
+        rx = draw(st.sampled_from(["key", "name", "^.*key$"]))
+        return (
+            f"SELECT columns('{rx}') FROM {t} WHERE {pk} < {lim} "
+            f"ORDER BY ALL" + ORDERED
+        )
+    return (
+        f"SELECT d.{pk} FROM (FROM {t} SELECT columns('key') "
+        f"WHERE {pk} < {lim}) d ORDER BY d.{pk}" + ORDERED
+    )
+
+
+@st.composite
 def asof_query(draw) -> str:
     """Grammar v24 (round-11 wave 27): ASOF [LEFT] JOIN — backward and
     forward, strict and inclusive, both operand orders of the
@@ -1674,7 +1701,9 @@ def lateral_query(draw) -> str:
 
 @st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 27))
+    kind = draw(st.integers(0, 28))
+    if kind == 28:
+        return draw(dialect_query())
     if kind == 27:
         return draw(asof_query())
     if kind == 26:

@@ -3429,3 +3429,69 @@ class TestAsofJoin:
     def test_table_aliased_asof_stays_alias(self):
         q = parse_query("SELECT asof.n_name FROM nation asof")
         assert "nation asof" in q.to_sql()
+
+
+class TestDialectConveniences:
+    """Round-11 wave 28: FROM-first, * REPLACE, COLUMNS, USING SAMPLE."""
+
+    SCHEMA = {"nation": ["n_nationkey", "n_name", "n_regionkey"]}
+
+    def test_from_first_reorders(self):
+        q = parse_query(
+            "FROM nation SELECT n_nationkey WHERE n_nationkey < 2"
+        )
+        assert q.to_sql().startswith("SELECT n_nationkey")
+        assert "WHERE n_nationkey < 2" in q.to_sql()
+
+    def test_from_first_bare_selects_star(self):
+        q = parse_query("FROM nation")
+        assert q.to_sql() == "SELECT *\nFROM nation"
+
+    def test_star_replace_keeps_position(self):
+        q = parse_query(
+            "SELECT * REPLACE (n_regionkey + 1 AS n_regionkey) "
+            "FROM nation",
+            schema=self.SCHEMA,
+        )
+        s = q.to_sql()
+        assert (
+            "SELECT n_nationkey, n_name, n_regionkey + 1 AS n_regionkey"
+            in s
+        )
+
+    def test_star_replace_unknown_col_rejects(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="source lacks"):
+            parse_query(
+                "SELECT * REPLACE (1 AS nope) FROM nation",
+                schema=self.SCHEMA,
+            )
+
+    def test_columns_regex_expands_partial(self):
+        q = parse_query(
+            "SELECT columns('key') FROM nation", schema=self.SCHEMA
+        )
+        assert "SELECT n_nationkey, n_regionkey" in q.to_sql()
+
+    def test_columns_no_match_rejects(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="matches no column"):
+            parse_query(
+                "SELECT columns('zzz') FROM nation", schema=self.SCHEMA
+            )
+
+    def test_using_sample_rows(self):
+        q = parse_query("SELECT * FROM nation USING SAMPLE 7 ROWS")
+        assert q.from_tables[0].sample_rows == 7
+
+    def test_using_sample_percent(self):
+        q = parse_query("SELECT * FROM nation USING SAMPLE 10 PERCENT")
+        assert q.from_tables[0].sample_percent == 10.0
+
+    def test_limit_percent_rejects(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="percent LIMIT"):
+            parse_query("SELECT n_nationkey FROM nation LIMIT 10%")
