@@ -2924,14 +2924,26 @@ class _Parser:
                 # degenerates to plain division — integer-only parity.
                 self.t.next()
                 right = self._parse_power()
+                rz = _zero_guard(right.sql)
                 left = _merge(
-                    f"CAST((({left.sql}) - (({left.sql}) % ({right.sql})))"
-                    f" / ({right.sql}) AS BIGINT)",
+                    f"CAST((({left.sql}) - (({left.sql}) % {rz}))"
+                    f" / {rz} AS BIGINT)",
                     left,
                     right,
                 )
                 continue
             right = self._parse_power()
+            if op == "%":
+                # DuckDB reads NULL for a zero divisor (x % 0) where
+                # Spark's ANSI mode raises — NULLIF(divisor, 0) is the
+                # NULL-on-zero contract in a spelling BOTH engines parse
+                # (wave-29); _zero_guard keeps the rewrite a fixpoint
+                left = _merge(
+                    f"{left.sql} % {_zero_guard(right.sql)}",
+                    left,
+                    right,
+                )
+                continue
             if op == "/":
                 # DuckDB/Postgres `/` is ALWAYS float division (DOUBLE
                 # result); Spark keeps DECIMAL when either operand's
@@ -2942,18 +2954,23 @@ class _Parser:
                 # numeric input on both engines — identical values,
                 # identical typing. INTERVAL division is the one
                 # non-numeric `/` and stays verbatim.
-                if re.match(
-                    r"(?i)\s*INTERVAL\b", left.sql
-                ) or _is_double_cast(left.sql):
-                    # interval division stays verbatim; an
-                    # already-promoted operand (the parse→render→parse
-                    # fixpoint) must not wrap again
+                # NULLIF(divisor, 0) carries DuckDB's NULL-on-zero
+                # contract (Spark's ANSI `/` raises — wave-29) in a
+                # spelling both engines parse; INTERVAL division stays
+                # verbatim
+                if re.match(r"(?i)\s*INTERVAL\b", left.sql):
                     left = _merge(
                         f"{left.sql} / {right.sql}", left, right
                     )
                     continue
+                rz = _zero_guard(right.sql)
+                if _is_double_cast(left.sql):
+                    # already-promoted operand (the parse→render→parse
+                    # fixpoint) must not wrap again
+                    left = _merge(f"{left.sql} / {rz}", left, right)
+                    continue
                 left = _merge(
-                    f"CAST({left.sql} AS double) / {right.sql}",
+                    f"CAST({left.sql} AS double) / {rz}",
                     left,
                     right,
                 )
@@ -4082,6 +4099,11 @@ class _Parser:
                 # Postgres/DuckDB log(x) is BASE-10; Spark's log(x) is
                 # natural log (silent-divergence trap, wave-9). The
                 # 2-arg log(base, x) agrees on both engines; ln() too.
+                # Out-of-domain arguments are a DOCUMENTED divergence
+                # (wave-29): DuckDB/Postgres raise where Spark reads
+                # NULL/NaN — a loud-vs-silent difference on invalid
+                # inputs only, never a plausible wrong value; a guard
+                # would break the parse→render→parse fixpoint.
                 body = f"log10({args[0].sql})"
             elif low_name == "sha256" and len(args) == 1 and not distinct:
                 # DuckDB/Postgres sha256(x) → Spark's sha2(x, 256)
@@ -4696,6 +4718,21 @@ class _Parser:
         new_wparts = list(wparts)
         new_wparts[order_idx] = f"ORDER BY {gname} ASC NULLS LAST"
         return ["RANGE"] + frame[1:], new_wparts
+
+
+def _zero_guard(sql: str) -> str:
+    """Wrap a divisor as ``nullif((d), 0)`` unless it already is one —
+    DuckDB's NULL-on-zero-divisor contract for ``/``, ``%`` and ``//``
+    in a spelling both engines parse (wave-29); the already-wrapped
+    check keeps the rewrite a parse→render→parse fixpoint. Literal
+    nonzero divisors skip the wrap (nothing to guard, and the common
+    ``x % 10`` stays pristine in plans and rendered SQL)."""
+    t = sql.strip()
+    if re.fullmatch(r"\d+(\.\d+)?", t) and float(t) != 0:
+        return f"({t})" if "." in t else t
+    if re.match(r"(?i)^nullif\(", t) and re.search(r",\s*0\)$", t):
+        return t
+    return f"nullif(({t}), 0)"
 
 
 def _is_double_cast(sql: str) -> bool:

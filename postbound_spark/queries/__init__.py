@@ -130,6 +130,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_asof_join",
     "parsed_asof_forward",
     "parsed_dialect_conveniences",
+    "parsed_numeric_edges",
     "parsed_list_functions",
     "parsed_list_group_key",
     "parsed_groups_frame",

@@ -2371,3 +2371,35 @@ def parsed_dialect_conveniences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: all parse-time rewrites — the plan is a plain
     projected scan; nothing survives to execution."""
     return _native(spark, sf_dir, _DIALECT_SQL, ["nation"], bind=True)
+
+
+_NUMERIC_EDGES_SQL = """
+SELECT n_nationkey,
+       n_nationkey / n_regionkey AS q,
+       n_nationkey % n_regionkey AS m,
+       n_nationkey // n_regionkey AS d,
+       CAST(isnan(CAST('nan' AS DOUBLE)) AS STRING) AS nan_flag,
+       CASE WHEN exp(1000) = CAST('inf' AS DOUBLE) THEN 'inf' END
+           AS overflow,
+       CAST(CAST('nan' AS DOUBLE) > 1e308 AS STRING) AS nan_is_greatest
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query("parsed_numeric_edges", oracle=_NUMERIC_EDGES_SQL)
+def parsed_numeric_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 29): NUMERIC EXCEPTIONAL VALUES — division,
+    modulo and integer `//` with zero divisors read NULL (DuckDB's
+    contract; Spark's ANSI mode raises — the parser lowers every
+    divisor through NULLIF(d, 0), a spelling both engines parse, with
+    literal nonzero divisors skipped), float overflow saturates to inf
+    on both engines, and NaN is equal-to-itself and greater than every
+    value on both (shared sort contract). CAST(inf/nan AS STRING)
+    formats diverge — the entry compares via predicates. Integer
+    overflow and sqrt/ln domain errors are LOUD on both engines (or
+    documented loud-vs-silent). DuckDB runs identical text.
+
+    Scale shape: per-row arithmetic in whole-stage codegen; the NULLIF
+    guard is a branch-free null check, no plan change."""
+    return _native(spark, sf_dir, _NUMERIC_EDGES_SQL, ["nation"])

@@ -1943,6 +1943,12 @@ REGRESSIONS = [
     "SELECT n_nationkey, try_cast('1.5' AS INT) AS r, try_cast(n_name "
     "AS INT) AS nn, if(n_regionkey > 2 AND n_nationkey < 20, 'hi', 'lo') "
     "AS band FROM nation ORDER BY n_nationkey" + ORDERED,
+    # round-11 wave-29: zero divisors read NULL on DuckDB where Spark's
+    # ANSI mode raises — the NULLIF(d, 0) divisor lowering restores the
+    # contract for /, % and // alike (n_regionkey is 0 for five rows)
+    "SELECT n_nationkey, n_nationkey / n_regionkey AS q, "
+    "n_nationkey % n_regionkey AS m, n_nationkey // n_regionkey AS d "
+    "FROM nation ORDER BY n_nationkey" + ORDERED,
     # round-11 wave-26: 2-arg regexp_extract defaults to group 0 (the
     # WHOLE match) on DuckDB where Spark defaults to group 1; 2-arg
     # ltrim/rtrim argument order is (string, chars) — Spark's reversed
