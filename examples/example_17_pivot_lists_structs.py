@@ -86,6 +86,27 @@ def main(spark=None, sf_dir=None):
         "ORDER BY n_nationkey LIMIT 6"
     ).show()
 
+    print("===== 6. ASOF JOIN (union-window, one shuffle) =====\n")
+    asof = run(
+        "SELECT o.o_orderkey, CAST(p.o_orderkey AS STRING) AS prev_key "
+        "FROM orders o ASOF LEFT JOIN orders p ON p.o_custkey = "
+        "o.o_custkey AND o.o_orderdate > p.o_orderdate "
+        "WHERE o.o_orderkey < 30 ORDER BY o.o_orderkey"
+    )
+    asof.show(8)
+    plan = asof._jdf.queryExecution().executedPlan().toString()
+    print("no nested loop:", "BroadcastNestedLoopJoin" not in plan)
+
+    print("===== 7. FROM-first, * REPLACE, COLUMNS =====\n")
+    run(
+        "FROM nation SELECT * REPLACE (n_regionkey * 10 AS n_regionkey) "
+        "WHERE n_nationkey < 4 ORDER BY ALL"
+    ).show()
+    run(
+        "SELECT columns('key') FROM nation WHERE n_nationkey < 4 "
+        "ORDER BY ALL"
+    ).show()
+
     print("example 17 done")
     return {"pivot_rows": piv.count()}
 
