@@ -602,6 +602,10 @@ class _Parser:
         #: projection list carries once its FROM sources are known
         self._star_expansions: dict[str, tuple] = {}
         self._star_marker_n = 0
+        #: stack of CTE-name → parsed-body dicts, one per query scope
+        #: (wave-30): lets PIVOT/star-expansion enumerate a CTE source's
+        #: columns, including through bare-star derived tables
+        self._cte_scopes: list[dict] = []
 
     # ---- queries ---------------------------------------------------------
 
@@ -666,6 +670,16 @@ class _Parser:
             self._pending_grouping_sets = outer_pending
 
     def _parse_query_inner(self) -> Q.SqlQuery | Q.SetQuery:
+        # CTE bodies visible to this scope (and, via the stack, its
+        # subqueries) — consulted by _pivot_source_info to resolve a
+        # star-through-CTE source's column list (wave-30)
+        self._cte_scopes.append({})
+        try:
+            return self._parse_query_inner_impl()
+        finally:
+            self._cte_scopes.pop()
+
+    def _parse_query_inner_impl(self) -> Q.SqlQuery | Q.SetQuery:
         ctes: list[tuple[str, Q.SqlQuery | Q.SetQuery]] = []
         if self.t.accept("with"):
             # WITH RECURSIVE (extension — the reference excludes recursion,
@@ -744,6 +758,7 @@ class _Parser:
                         else Q.CommonTableExpression
                     )
                 ctes.append(cls(name, body))
+                self._cte_scopes[-1][name.lower()] = body
                 if not self.t.accept(","):
                     break
         # set operations combine at this level (ref SetQuery :9396); ANSI
@@ -872,6 +887,29 @@ class _Parser:
             )
             for o in order_by
         )
+        if (
+            not isinstance(q, Q.SetQuery)
+            and order_by
+            and len(q.from_tables) == 1
+            and q.from_tables[0].full_name.startswith("__qualify_src")
+        ):
+            # the QUALIFY desugar renamed the outputs to their bare
+            # names — a QUALIFIED key in the top-level ORDER BY
+            # (`ORDER BY o.k` above `QUALIFY ...`) must follow suit
+            # (wave-30 composition find; DuckDB resolves it through
+            # the qualify, so failing at analysis was a parity gap)
+            outs = {(p.alias or p.expr.sql).lower() for p in q.select}
+            order_by = tuple(
+                replace(o, expr=Q.SqlExpression(m.group(2)))
+                if (
+                    (m := re.fullmatch(
+                        r"([\w$]+)\.([\w$]+)", o.expr.sql.strip()
+                    ))
+                    and m.group(2).lower() in outs
+                )
+                else o
+                for o in order_by
+            )
         if (
             not isinstance(q, Q.SetQuery)
             and order_by
@@ -1823,54 +1861,94 @@ class _Parser:
         Base tables read their columns from the schema binding passed to
         ``parse_query`` (the implicit group-by-everything-else needs the
         full list — same requirement every engine satisfies from its
-        catalog); derived tables read them from their select aliases."""
+        catalog); derived tables read them from their select aliases;
+        CTE sources resolve through the scope stack, and a bare-star
+        derived table / CTE follows its single source (wave-30)."""
         if isinstance(src, Q.TableReference) and not src.virtual:
             if src.sample_percent is not None or src.sample_rows is not None:
                 raise UnsupportedSqlError(
                     "PIVOT/UNPIVOT over TABLESAMPLE is not modeled"
-                )
-            cols = self._schema.get(src.full_name.lower())
-            if cols is None:
-                raise UnsupportedSqlError(
-                    f"PIVOT/UNPIVOT/star expansion over {src.full_name!r} "
-                    "needs a schema binding to enumerate its columns — "
-                    "pass schema= to parse_query (a CTE source is not "
-                    "modeled)"
                 )
             text = (
                 f"{src.full_name} AS {src.alias}"
                 if src.alias
                 else src.full_name
             )
-            return text, list(cols)
+            return text, self._table_columns(src.full_name, lifted)
         if isinstance(src, Q.TableReference) and src.virtual:
             for alias, sub in lifted:
                 if alias != src.full_name:
                     continue
-                if not isinstance(sub, Q.SqlQuery):
-                    raise UnsupportedSqlError(
-                        "PIVOT/UNPIVOT over a set-operation derived "
-                        "table is not modeled"
-                    )
-                cols = []
-                for p in sub.select:
-                    if p.alias:
-                        cols.append(p.alias)
-                        continue
-                    s = p.expr.to_sql().strip()
-                    if not re.fullmatch(
-                        r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", s
-                    ):
-                        raise UnsupportedSqlError(
-                            "PIVOT/UNPIVOT over a derived table needs "
-                            "plain column names or aliases in its "
-                            f"select list (got {s!r})"
-                        )
-                    cols.append(s.split(".")[-1])
-                return alias, cols
+                return alias, self._derived_columns(sub, lifted)
+            return src.full_name, self._table_columns(
+                src.full_name, lifted
+            )
         raise UnsupportedSqlError(
             "PIVOT/UNPIVOT applies to base tables and derived tables only"
         )
+
+    def _table_columns(
+        self, name: str, lifted, depth: int = 0
+    ) -> list[str]:
+        """Column list of a named source: the current select's lifted
+        derived tables first, then enclosing CTE scopes (inner shadows
+        outer), then the schema binding."""
+        if depth > 8:
+            raise UnsupportedSqlError(
+                "source nesting too deep for column enumeration"
+            )
+        for alias, sub in lifted:
+            if alias == name:
+                return self._derived_columns(sub, lifted, depth + 1)
+        for scope in reversed(self._cte_scopes):
+            body = scope.get(name.lower())
+            if body is not None:
+                return self._derived_columns(body, lifted, depth + 1)
+        cols = self._schema.get(name.lower())
+        if cols is None:
+            raise UnsupportedSqlError(
+                f"PIVOT/UNPIVOT/star expansion over {name!r} needs a "
+                "schema binding to enumerate its columns — pass schema= "
+                "to parse_query"
+            )
+        return list(cols)
+
+    def _derived_columns(self, sub, lifted, depth: int = 0) -> list[str]:
+        """Output column names of a parsed subquery; a bare-star select
+        over one source follows that source (wave-30)."""
+        if depth > 8:
+            raise UnsupportedSqlError(
+                "source nesting too deep for column enumeration"
+            )
+        if not isinstance(sub, Q.SqlQuery):
+            raise UnsupportedSqlError(
+                "PIVOT/UNPIVOT over a set-operation derived table is "
+                "not modeled"
+            )
+        if (
+            len(sub.select) == 1
+            and sub.select[0].alias is None
+            and sub.select[0].expr.sql == "*"
+            and len(sub.from_tables) == 1
+            and not sub.joins
+        ):
+            return self._table_columns(
+                sub.from_tables[0].full_name, lifted, depth + 1
+            )
+        cols = []
+        for p in sub.select:
+            if p.alias:
+                cols.append(p.alias)
+                continue
+            s = p.expr.to_sql().strip()
+            if not re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", s):
+                raise UnsupportedSqlError(
+                    "PIVOT/UNPIVOT over a derived table needs plain "
+                    "column names or aliases in its select list "
+                    f"(got {s!r})"
+                )
+            cols.append(s.split(".")[-1])
+        return cols
 
     def _desugar_pivot(self, src, lifted):
         """FROM-postfix ``PIVOT (agg FOR key IN (...))`` / ``UNPIVOT

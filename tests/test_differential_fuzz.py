@@ -1943,6 +1943,12 @@ REGRESSIONS = [
     "SELECT n_nationkey, try_cast('1.5' AS INT) AS r, try_cast(n_name "
     "AS INT) AS nn, if(n_regionkey > 2 AND n_nationkey < 20, 'hi', 'lo') "
     "AS band FROM nation ORDER BY n_nationkey" + ORDERED,
+    # round-11 wave-30: a QUALIFIED key in the top-level ORDER BY above
+    # a QUALIFY (whose desugar renames outputs to bare names) — the key
+    # follows the rename; DuckDB resolves it through the qualify
+    "SELECT o.o_orderkey FROM orders o QUALIFY row_number() OVER "
+    "(PARTITION BY o.o_custkey ORDER BY o.o_orderkey) = 1 "
+    "ORDER BY o.o_orderkey LIMIT 5" + ORDERED,
     # round-11 wave-29: zero divisors read NULL on DuckDB where Spark's
     # ANSI mode raises — the NULLIF(d, 0) divisor lowering restores the
     # contract for /, % and // alike (n_regionkey is 0 for five rows)
