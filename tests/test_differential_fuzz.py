@@ -39,9 +39,12 @@ polymorphic len(), slices, arrays as GROUP BY keys; FROM-postfix
 PIVOT/UNPIVOT (implicit group-by-everything-else, INCLUDE NULLS,
 pivot→unpivot chains); the STRUCT family (brace literals, field
 access spellings, nesting, comparisons, structs as GROUP BY keys);
-and ASOF [LEFT] JOIN (backward/forward, strict/inclusive, flipped
+ASOF [LEFT] JOIN (backward/forward, strict/inclusive, flipped
 operand orders, derived sides — compiled via the union-window
-composition, DuckDB's native ASOF as the oracle)."""
+composition, DuckDB's native ASOF as the oracle); the convenience
+dialect (FROM-first, * REPLACE, COLUMNS, ORDER BY ALL); and
+cross-feature COMPOSITIONS (pivot over CTEs, unpivot into windows,
+ASOF null-probes, FROM-first + COLUMNS + QUALIFY)."""
 
 from __future__ import annotations
 
@@ -828,6 +831,49 @@ def list_function_query(draw) -> str:
         f"list_avg([{ic}, 4]) AS a, CAST(([10, 20, 30])[1:2] AS STRING) "
         f"AS sl, CAST(len([1, 2]) AS BIGINT) AS l "
         f"FROM {t} ORDER BY {pk} LIMIT {lim}" + ORDERED
+    )
+
+
+@st.composite
+def composition_query(draw) -> str:
+    """Grammar v24 (round-11 wave 30): CROSS-FEATURE compositions —
+    pivot over a CTE, unpivot feeding a window, ASOF null-probes,
+    FROM-first + COLUMNS + QUALIFY — the interaction points where
+    integration bugs live."""
+    shape = draw(st.integers(0, 3))
+    if shape == 0:
+        keys = draw(
+            st.lists(st.integers(0, 4), min_size=1, max_size=2, unique=True)
+        )
+        ins = ", ".join(f"{v} AS r{v}" for v in keys)
+        outs = ", ".join(f"CAST(r{v} AS BIGINT) AS r{v}" for v in keys)
+        return (
+            f"WITH base AS (SELECT n_regionkey, n_nationkey FROM nation) "
+            f"SELECT {outs} FROM (SELECT * FROM base "
+            f"PIVOT (count(n_nationkey) FOR n_regionkey IN ({ins})))"
+        )
+    if shape == 1:
+        mul = draw(st.integers(2, 5))
+        return (
+            f"SELECT k, id, CAST(sum(v) OVER (PARTITION BY k ORDER BY id) "
+            f"AS BIGINT) AS running FROM (SELECT * FROM ("
+            f"SELECT n_nationkey AS id, n_regionkey AS a, "
+            f"n_nationkey * {mul} AS b FROM nation) "
+            f"UNPIVOT (v FOR k IN (a, b))) ORDER BY k, id" + ORDERED
+        )
+    if shape == 2:
+        lim = draw(st.integers(30, 120))
+        return (
+            f"SELECT o.o_orderkey FROM orders o ASOF LEFT JOIN orders p "
+            f"ON p.o_custkey = o.o_custkey AND o.o_orderdate > "
+            f"p.o_orderdate WHERE o.o_orderkey < {lim} AND "
+            f"p.o_orderkey IS NULL ORDER BY o.o_orderkey" + ORDERED
+        )
+    lim = draw(st.integers(4, 15))
+    return (
+        f"FROM nation SELECT columns('key') WHERE n_nationkey < {lim} "
+        f"QUALIFY row_number() OVER (PARTITION BY n_regionkey "
+        f"ORDER BY n_nationkey) = 1 ORDER BY ALL" + ORDERED
     )
 
 
@@ -1701,7 +1747,9 @@ def lateral_query(draw) -> str:
 
 @st.composite
 def sql_query(draw) -> str:
-    kind = draw(st.integers(0, 28))
+    kind = draw(st.integers(0, 29))
+    if kind == 29:
+        return draw(composition_query())
     if kind == 28:
         return draw(dialect_query())
     if kind == 27:
