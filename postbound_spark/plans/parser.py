@@ -4071,6 +4071,42 @@ class _Parser:
                 # codepoint of the first character — Spark's ascii() is
                 # full-unicode despite the name (wave-26)
                 body = f"ascii({args[0].sql})"
+            elif (
+                low_name == "kurtosis_pop"
+                and len(args) == 1
+                and not distinct
+            ):
+                # DuckDB's kurtosis_pop = population excess kurtosis =
+                # exactly Spark's kurtosis (wave-31; verified to 1e-13)
+                body = f"kurtosis({args[0].sql})"
+            elif low_name in ("kurtosis", "skewness") and not distinct:
+                # DuckDB computes the SAMPLE (bias-corrected) statistic;
+                # Spark the population one — silently different values
+                # on any non-trivial data (wave-31: kurtosis 4.27 vs
+                # 0.068 on a 5-row probe). No fixpoint-safe lowering
+                # exists (the correction formula would re-lower itself)
+                raise UnsupportedSqlError(
+                    f"DuckDB's {low_name}() is the SAMPLE-corrected "
+                    "statistic; Spark computes the population form — "
+                    + (
+                        "spell kurtosis_pop() (identical on both engines)"
+                        if low_name == "kurtosis"
+                        else "no shared spelling exists; compute the "
+                        "correction explicitly from count()"
+                    )
+                )
+            elif low_name in (
+                "mad",
+                "entropy",
+                "favg",
+                "fsum",
+                "fprod",
+            ) and not distinct:
+                raise UnsupportedSqlError(
+                    f"{low_name}() has no Spark equivalent — median/"
+                    "abs-deviation and Kahan-summation forms need an "
+                    "explicit rewrite (see percentile_cont / sum)"
+                )
             elif low_name == "columns" and not distinct:
                 raise UnsupportedSqlError(
                     "COLUMNS('regex') is only modeled as a bare select "
@@ -4459,10 +4495,48 @@ class _Parser:
         per-key direction and null placement, still entirely JVM-side
         (round-11: both were loud rejections)."""
         low = name.lower()
+        if low in ("first", "last"):
+            # ordered first/last → min_by/max_by over a (null-marker,
+            # key...) struct (wave-31). DuckDB's in-call default places
+            # NULL keys LAST, so a NULL-keyed row LOSES for the
+            # traversal-start picker and WINS for the traversal-end one;
+            # the marker field encodes that before the key comparison
+            # ever sees a NULL. Mixed directions / explicit NULLS specs
+            # reject (the single marker can't express them).
+            if distinct:
+                raise UnsupportedSqlError(
+                    f"DISTINCT {low}(... ORDER BY) is not modeled"
+                )
+            if len(args) != 1:
+                raise UnsupportedSqlError(f"{low} takes a single argument")
+            asc0 = keys[0][1]
+            if any(a != asc0 for _k, a, _n in keys) or any(
+                n is not None for _k, _a, n in keys
+            ):
+                raise UnsupportedSqlError(
+                    f"{low}(... ORDER BY) with mixed directions or an "
+                    "explicit NULLS spec is not modeled"
+                )
+            start = low == "first"
+            # ASC: null-marker 1 sorts null keys HIGH (last);
+            # DESC: marker -1 sorts them LOW (= last of the descending
+            # traversal); the picker then reads min/max accordingly
+            mval = "1" if asc0 else "-1"
+            fields = []
+            for k, _a, _n in keys:
+                fields.append(
+                    f"CASE WHEN ({k.sql}) IS NULL THEN {mval} ELSE 0 END"
+                )
+                fields.append(k.sql)
+            s = "struct(" + ", ".join(fields) + ")"
+            picker = (
+                "min_by" if (start == asc0) else "max_by"
+            )
+            return f"{picker}({args[0].sql}, {s})"
         if low not in ("string_agg", "array_agg", "collect_list", "list"):
             raise UnsupportedSqlError(
                 f"in-call ORDER BY on {name}() is not modeled "
-                "(supported: string_agg, array_agg)"
+                "(supported: string_agg, array_agg, first, last)"
             )
         asc = keys[0][1]
         uniform = all(a == asc for _k, a, _n in keys) and all(

@@ -131,6 +131,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "parsed_asof_forward",
     "parsed_dialect_conveniences",
     "parsed_numeric_edges",
+    "parsed_first_last_ordered",
     "parsed_list_functions",
     "parsed_list_group_key",
     "parsed_groups_frame",

@@ -2403,3 +2403,36 @@ def parsed_numeric_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-row arithmetic in whole-stage codegen; the NULLIF
     guard is a branch-free null check, no plan change."""
     return _native(spark, sf_dir, _NUMERIC_EDGES_SQL, ["nation"])
+
+
+_FIRST_LAST_SQL = """
+SELECT n_regionkey,
+       first(n_name ORDER BY n_nationkey) AS oldest,
+       last(n_name ORDER BY n_nationkey) AS newest,
+       first(n_name ORDER BY n_nationkey DESC) AS rev_first,
+       last(n_name ORDER BY CASE WHEN n_nationkey = 7 THEN NULL
+                                 ELSE n_nationkey END) AS null_key_last,
+       round(kurtosis_pop(n_nationkey), 8) AS kpop
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@query("parsed_first_last_ordered", oracle=_FIRST_LAST_SQL)
+def parsed_first_last_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (probe wave 31): ORDERED first/last — lowered to
+    min_by/max_by over a (null-marker, key...) struct: one hash
+    aggregate, no sort, no window. NULL keys sort LAST (DuckDB's
+    in-call default), so they LOSE for the traversal-start picker and
+    WIN for the traversal-end one — the marker field encodes that
+    before the key comparison ever sees a NULL (the group holding
+    nationkey 7 exercises it tie-free). kurtosis_pop is the one
+    engine-shared moment statistic (Spark's kurtosis; verified to
+    1e-13) — DuckDB's bare kurtosis()/skewness() are SAMPLE-corrected
+    and reject loudly toward it. DuckDB runs identical text.
+
+    Scale shape: min_by/max_by are ordinary partial-aggregating
+    functions — map-side combine, one shuffle on the group keys,
+    nothing per-row beyond a struct build."""
+    return _native(spark, sf_dir, _FIRST_LAST_SQL, ["nation"])
