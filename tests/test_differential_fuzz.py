@@ -1506,7 +1506,7 @@ def ordered_agg_query(draw) -> str:
     unique = keys[0]  # the table's key column — ties between engines
     # would make the concat order legitimately nondeterministic, so
     # every non-DISTINCT ordering ends in the unique tiebreaker
-    shape = draw(st.integers(0, 2))
+    shape = draw(st.integers(0, 3))
     if shape == 0:
         primary = draw(st.sampled_from(keys))
         order = f"{primary}{direction}"
@@ -1526,8 +1526,13 @@ def ordered_agg_query(draw) -> str:
         else:
             order = f"{unique}{d1}{nspec}"
         agg = f"string_agg({val}, ',' ORDER BY {order})"
-    else:
+    elif shape == 2:
         agg = f"string_agg(DISTINCT {val}, '|' ORDER BY {val}{direction})"
+    else:
+        # grammar v24 (wave-31): ordered first/last → min_by/max_by
+        # over a null-marker struct; the unique key keeps it tie-free
+        fn = draw(st.sampled_from(["first", "last"]))
+        agg = f"{fn}({val} ORDER BY {unique}{direction})"
     lim = draw(st.integers(50, 400))
     return (
         f"SELECT {gkey}, {agg} AS agg_out FROM {outer} "
