@@ -1831,16 +1831,25 @@ class _Parser:
                     "must be equality match keys"
                 )
             r_side = _plain_right_col(other.rhs)
-            if r_side is not None:
-                eqs.append((other.lhs.to_sql(), r_side))
-                continue
-            r_side = _plain_right_col(other.lhs)
+            p_side = other.lhs
+            if r_side is None:
+                r_side = _plain_right_col(other.lhs)
+                p_side = other.rhs
             if r_side is None:
                 raise UnsupportedSqlError(
                     "each ASOF equality must compare a probe expression "
                     "to a plain qualified column of the right side"
                 )
-            eqs.append((other.rhs.to_sql(), r_side))
+            if any(
+                c.table is not None
+                and c.table.identifier.lower() == ident.lower()
+                for c in p_side.columns
+            ):
+                raise UnsupportedSqlError(
+                    "the probe side of an ASOF equality must not "
+                    "reference the right table"
+                )
+            eqs.append((p_side.to_sql(), r_side))
         # normalized `probe OP right.ord`: >= / > pick the LATEST right
         # row at-or-before the probe; <= / < the EARLIEST at-or-after
         forward = op in (Q.LogicalOperator.LE, Q.LogicalOperator.LT)

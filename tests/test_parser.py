@@ -3495,3 +3495,45 @@ class TestDialectConveniences:
 
         with pytest.raises(UnsupportedSqlError, match="percent LIMIT"):
             parse_query("SELECT n_nationkey FROM nation LIMIT 10%")
+
+
+class TestOrderedFirstLast:
+    """Round-11 wave 31: first/last with in-call ORDER BY."""
+
+    def test_first_lowers_to_min_by_struct(self):
+        q = parse_query(
+            "SELECT first(n_name ORDER BY n_nationkey) AS f FROM nation"
+        )
+        s = q.to_sql()
+        assert "min_by(n_name, struct(" in s
+
+    def test_last_desc_lowers_to_min_by(self):
+        q = parse_query(
+            "SELECT last(n_name ORDER BY n_nationkey DESC) AS l "
+            "FROM nation"
+        )
+        assert "min_by(n_name, struct(" in q.to_sql()
+
+    def test_mixed_direction_rejects(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="mixed directions"):
+            parse_query(
+                "SELECT first(n_name ORDER BY n_nationkey ASC, "
+                "n_regionkey DESC) AS f FROM nation"
+            )
+
+    def test_distinct_rejects(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="DISTINCT"):
+            parse_query(
+                "SELECT first(DISTINCT n_name ORDER BY n_name) AS f "
+                "FROM nation"
+            )
+
+    def test_sample_kurtosis_rejects_toward_pop(self):
+        from postbound_spark.plans.parser import UnsupportedSqlError
+
+        with pytest.raises(UnsupportedSqlError, match="kurtosis_pop"):
+            parse_query("SELECT kurtosis(n_nationkey) AS k FROM nation")
