@@ -647,6 +647,13 @@ def compile_plan(
     CTEs in later statements reuse the cached frame — the multi-action
     case where ``cache()`` actually pays. The memo's owner is
     responsible for unpersisting (the facade's ``release()``)."""
+    bind = getattr(selection, "bind_root", None)
+    if bind is not None:
+        # pruning-aware build-side widths: the policy sizes each side at
+        # the width of the columns referenced OUTSIDE its subtree (what
+        # the broadcast relation will actually store after Catalyst's
+        # column pruning), which needs the whole plan, not just the join
+        bind(node)
     compiler = _Compiler(spark, catalog, selection, materialized_memo)
     df = compiler._compile(node)
     if materialized_out is not None:

@@ -35,6 +35,8 @@ from __future__ import annotations
 import hashlib
 import re
 
+from collections import Counter
+
 from pyspark.sql import DataFrame, SparkSession
 
 from postbound_spark.optimizer.hints import JoinOperator, PhysicalOperatorAssignment
@@ -47,6 +49,7 @@ __all__ = [
     "estimated_row_bytes",
 ]
 
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _SIZE_RE = re.compile(r"^(-?\d+)\s*([kmgt]?b?)$", re.I)
 _UNIT = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
          "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40,
@@ -125,14 +128,27 @@ _WIDTH = {"long": 8, "int": 4, "double": 8, "float": 4, "timestamp": 8,
 _ROW_OVERHEAD = 24  # UnsafeRow + hash-relation entry overhead, measured order
 
 
-def estimated_row_bytes(df: DataFrame) -> int:
+def estimated_row_bytes(df: DataFrame, columns: set[str] | None = None) -> int:
     """Schema-derived bytes/row for broadcast sizing: fixed-width types at
     their storage size, strings/binary at a 48-byte budget (TPC-H-style
     comment/address columns routinely exceed a short-string guess — the
     budget errs high because the threshold guards executor/driver memory),
-    arrays/maps/structs at a 192-byte budget."""
+    arrays/maps/structs at a 192-byte budget.
+
+    ``columns`` optionally restricts the width to a subset of the schema —
+    the broadcast hash relation only stores the columns Catalyst's column
+    pruning keeps, so sizing a build side on its full subtree width
+    over-counts by the pruning factor (the flagship's 4-table bundle is
+    592 B/row unpruned but 2 columns ≈ 30 B/row as actually broadcast)."""
     total = _ROW_OVERHEAD
-    for f in df.schema.fields:
+    fields = df.schema.fields
+    if columns is not None:
+        kept = [f for f in fields if f.name in columns]
+        # an empty intersection means the reference analysis failed —
+        # fall back to the full (safe, over-counting) width
+        if kept:
+            fields = kept
+    for f in fields:
         name = f.dataType.typeName()
         if name == "array":
             # element-typed budget when the length is unknowable: a 64-dim
@@ -274,6 +290,38 @@ class MeasuredJoinPolicy:
         self._measured = MeasuredBuildSide(spark, threshold_bytes)
         self.threshold_bytes = self._measured._selection.threshold_bytes
         self.prefix = prefix
+        self._root_tokens: "Counter[str] | None" = None
+        self._root_fp = ""
+
+    def bind_root(self, root) -> None:
+        """Give the policy the WHOLE plan so build-side widths can be
+        column-pruning-aware. ``compile_plan`` calls this before
+        compilation; without it widths fall back to the full subtree
+        schema (safe but over-counting — a 25k-row bundle whose pruned
+        width is 30 B measured as 592 B/row and missed its broadcast,
+        leaving a merge-pinned SortMergeJoin on the flagship fact join).
+
+        Mechanics: relalg nodes are dataclasses, so ``repr(root)`` embeds
+        each subtree's ``repr`` verbatim; the identifier multiset of
+        (root − subtree) is exactly the identifiers referenced OUTSIDE the
+        subtree. A build side's broadcast relation stores only the columns
+        Catalyst keeps, i.e. its output columns that are referenced
+        outside it (join predicate included — the predicate lives on the
+        join node, not in either child)."""
+        self._root_tokens = Counter(_IDENT_RE.findall(repr(root)))
+        self._root_fp = hashlib.md5(repr(root).encode()).hexdigest()[:8]
+
+    def _pruned_columns(self, subtree) -> set[str] | None:
+        """Column names of ``subtree``'s output that survive Catalyst's
+        pruning = identifiers referenced outside the subtree. None when no
+        root is bound (width then uses the full schema). Over-counting is
+        safe (wider estimate → fewer broadcasts); under-counting cannot
+        happen because every outside reference is in the root's repr."""
+        if self._root_tokens is None:
+            return None
+        inside = Counter(_IDENT_RE.findall(repr(subtree)))
+        outside = self._root_tokens - inside
+        return set(outside)
 
     @classmethod
     def clear_memo(cls) -> None:
@@ -293,6 +341,15 @@ class MeasuredJoinPolicy:
         fp = hashlib.md5(repr(subtree).encode()).hexdigest()[:12]
         return f"{self.prefix}|{'+'.join(tables)}#{fp}"
 
+    def _memo_key(self, thr: int, lkey: str, rkey: str) -> str:
+        # the ROOT fingerprint is part of the decision identity: pruned
+        # widths depend on what the ancestors reference, and one policy
+        # prefix (e.g. native@sf) is shared by many queries — an identical
+        # subtree under a narrow-projecting root must not replay the
+        # decision made under a wide-projecting one. Measurement memos
+        # (rows_capped) stay root-independent: row counts don't prune.
+        return f"{thr}|{self._root_fp}|{lkey}><{rkey}"
+
     def decide(self, node, left: DataFrame, right: DataFrame) -> str | None:
         """Return ``"left"``/``"right"`` to broadcast that side,
         ``"shuffle"`` to pin the shuffle family, or None to leave the join
@@ -303,17 +360,17 @@ class MeasuredJoinPolicy:
         lkey, rkey = self._key(node.left), self._key(node.right)
         # the threshold is part of the identity: sessions/tests that resize
         # spark.sql.autoBroadcastJoinThreshold must not replay decisions
-        memo_key = f"{thr}|{lkey}><{rkey}" if lkey and rkey else None
+        memo_key = self._memo_key(thr, lkey, rkey) if lkey and rkey else None
         if memo_key is not None and memo_key in self._decisions:
             return self._decisions[memo_key]
-        decision = self._decide_fresh(thr, lkey, rkey, left, right)
+        decision = self._decide_fresh(thr, lkey, rkey, left, right, node)
         if memo_key is not None:
             self._decisions[memo_key] = decision
         return decision
 
     def _decide_fresh(
         self, thr: int, lkey: str | None, rkey: str | None,
-        left: DataFrame, right: DataFrame,
+        left: DataFrame, right: DataFrame, node=None,
     ) -> str | None:
         lest, rest = catalyst_size_bytes(left), catalyst_size_bytes(right)
         ratio = max(lest, rest) / max(1, min(lest, rest))
@@ -323,7 +380,14 @@ class MeasuredJoinPolicy:
             return None
         if lkey is None or rkey is None:
             return None
-        lw, rw = estimated_row_bytes(left), estimated_row_bytes(right)
+        # size each build side at its POST-PRUNING width (what the
+        # broadcast relation actually stores) — the unpruned subtree
+        # schema over-counted a 4-table bundle ~20x and under-admitted
+        # the limit-probe cap, silently vetoing provably-safe broadcasts
+        lcols = self._pruned_columns(node.left) if node is not None else None
+        rcols = self._pruned_columns(node.right) if node is not None else None
+        lw = estimated_row_bytes(left, lcols)
+        rw = estimated_row_bytes(right, rcols)
         lb = self._measured.rows_capped(left, lkey, max(thr // lw, 1)) * lw
         rb = self._measured.rows_capped(right, rkey, max(thr // rw, 1)) * rw
         if lb <= thr and lb <= rb:

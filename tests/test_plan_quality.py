@@ -285,6 +285,54 @@ def test_flagship_fact_table_is_not_the_broadcast_side(registry, spark, sf_small
     assert "BuildRight" not in fact_joins[0], fact_joins[0]
 
 
+def test_measured_policy_width_is_pruning_aware(spark, sf_small):
+    """r11-opt: build-side widths must be sized at the POST-PRUNING width
+    (what the broadcast relation actually stores), not the full subtree
+    schema. The flagship's 4-table bundle is ~592 B/row unpruned but only
+    (n_name, o_orderkey) survive above the fact join (~30 B) — the
+    unpruned width under-admitted the limit-probe cap and the policy
+    merge-pinned a SortMergeJoin onto a 25k-row build side at sf0.1."""
+    from postbound_spark.optimizer.selection import (
+        MeasuredJoinPolicy,
+        estimated_row_bytes,
+    )
+    from postbound_spark.plans import relalg as ra
+    from postbound_spark.queries.tpch import flagship_plan
+
+    root = flagship_plan()
+    node = root
+    while not isinstance(node, ra.ThetaJoin):
+        node = node.children()[0]
+    pol = MeasuredJoinPolicy(spark, prefix="test-prune")
+    pol.bind_root(root)
+    bundle_cols = pol._pruned_columns(node.left)
+    # the group key and the fact-join key are referenced above the bundle
+    assert {"n_name", "o_orderkey"} <= bundle_cols
+    # columns consumed INSIDE the bundle (join keys between its tables,
+    # pushed filter columns) must be pruned away
+    assert "c_custkey" not in bundle_cols and "o_orderdate" not in bundle_cols
+    fact_cols = pol._pruned_columns(node.right)
+    assert {"l_orderkey", "l_extendedprice", "l_discount"} <= fact_cols
+
+    # and the width shrinks accordingly on the compiled bundle frame
+    from postbound_spark.catalog import load_tables
+    from postbound_spark.operators import compile_plan
+
+    cat = load_tables(
+        spark, sf_small, ["region", "nation", "customer", "orders", "lineitem"]
+    )
+    bundle_df = compile_plan(node.left, spark, cat)
+    assert estimated_row_bytes(bundle_df, bundle_cols) < (
+        estimated_row_bytes(bundle_df) / 4
+    )
+
+    # end-to-end: the compiled flagship carries NO merge-pinned sort-merge
+    # join — the measured bundle broadcasts
+    df = compile_plan(root, spark, cat, selection=pol)
+    plan = _formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:600]
+
+
 def test_measured_policy_skips_jobs_when_estimates_agree(spark, sf_small):
     from postbound_spark.catalog import load_tables
     from postbound_spark.optimizer.selection import MeasuredJoinPolicy
