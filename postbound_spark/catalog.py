@@ -112,8 +112,10 @@ def clear_table_cache(spark: SparkSession | None = None) -> None:
     build-side memos (``optimizer/selection.py``), which are keyed by
     fixture path and would otherwise replay counts of the old data."""
     from postbound_spark.optimizer.selection import MeasuredJoinPolicy
+    from postbound_spark.queries.pipeline import _STAGE_FRAMES
 
     MeasuredJoinPolicy.clear_memo()  # clears MeasuredBuildSide's memo too
+    _STAGE_FRAMES.clear()  # pipeline stage-frame memos derive from tables
     targets = [spark] if spark is not None else list(_CACHED_SESSIONS)
     for s in targets:
         getattr(s, _CACHE_ATTR, {}).clear()

@@ -31,18 +31,22 @@ from operator import add
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from postbound_spark.functions.exprcache import expr_memo
+
 # Stopword list used by quality scoring (tiny on purpose: the scoring
 # formula is rational-arithmetic only so it is bit-reproducible; swap in a
 # real per-language list in production).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
 
 
+@expr_memo
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization; matches DuckDB ``string_split_regex``
     semantics (empty text -> ``['']``)."""
     return F.split(text, r"\s+")
 
 
+@expr_memo
 def bpe_ish_tokens(text: Column | str) -> Column:
     """BPE-ish subword split: letter runs, digit runs, single punctuation
     marks. A stand-in for a real BPE vocabulary with the same asymptotic
@@ -51,6 +55,7 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     return F.regexp_extract_all(col, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), F.lit(0))
 
 
+@expr_memo
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct positional word n-gram shingles ('a b c' for n=3) as one
     codegen expression per row — no explode/groupBy shuffle to form the
@@ -69,6 +74,7 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+@expr_memo
 def token_hash64(tok: Column) -> Column:
     """60-bit non-negative integer hash of a token (md5-prefix based, so
     bit-identical in any engine with md5)."""
@@ -95,6 +101,7 @@ MINHASH_B = (981766919, 123456791, 1719068887, 432109873,
 LM_VOCAB_K = 512
 
 
+@expr_memo
 def shingle_hashes31(shingles: Column) -> Column:
     """31-bit integer hash per shingle — ONE md5 kernel per shingle,
     shared by every MinHash permutation. Materialize this column (cache /
@@ -103,6 +110,7 @@ def shingle_hashes31(shingles: Column) -> Column:
     return F.transform(shingles, lambda sh: token_hash64(sh) % MINHASH_P)
 
 
+@expr_memo
 def minhash_signature_from_hashes(hashes: Column, k: int = 8) -> Column:
     """MinHash signature from precomputed 31-bit shingle hashes:
     ``sig[s] = min over shingles of (a_s * h + b_s) mod P`` — the standard
@@ -128,6 +136,7 @@ def minhash_signature_from_hashes(hashes: Column, k: int = 8) -> Column:
     )
 
 
+@expr_memo
 def minhash_signature(shingles: Column, k: int = 8) -> Column:
     """MinHash signature straight from shingle strings (convenience
     composition; hot paths should materialize :func:`shingle_hashes31`
@@ -135,6 +144,7 @@ def minhash_signature(shingles: Column, k: int = 8) -> Column:
     return minhash_signature_from_hashes(shingle_hashes31(shingles), k)
 
 
+@expr_memo
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """LSH banding: hash each signature band (of integer MinHash values)
     to one bucket key (``array<string>`` of length ``bands``).
@@ -175,6 +185,7 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     ).otherwise(keys)
 
 
+@expr_memo
 def token_hashes(toks: Column) -> Column:
     """Distinct-token 60-bit hash array — materialize this (behind an
     exchange or cache) before feeding wide bit-test expressions like
@@ -183,6 +194,7 @@ def token_hashes(toks: Column) -> Column:
     return F.transform(F.array_distinct(toks), token_hash64)
 
 
+@expr_memo
 def simhash16(toks: Column) -> Column:
     """16-bit SimHash over the distinct-token set (convenience composition;
     prefer ``token_hashes`` + ``simhash16_from_hashes`` with a
@@ -190,6 +202,7 @@ def simhash16(toks: Column) -> Column:
     return simhash16_from_hashes(token_hashes(toks))
 
 
+@expr_memo
 def simhash16_from_hashes(th: Column) -> Column:
     """16-bit SimHash from a precomputed token-hash array.
 
@@ -210,6 +223,7 @@ def simhash16_from_hashes(th: Column) -> Column:
     return reduce(add, [bit(b) for b in range(16)])
 
 
+@expr_memo
 def bow_fingerprint(toks: Column) -> Column:
     """Order-insensitive bag-of-words fingerprint: md5 of the sorted
     distinct token list. Docs with identical vocabulary collide — the
@@ -217,10 +231,12 @@ def bow_fingerprint(toks: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
 
 
+@expr_memo
 def stopword_count(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
 
 
+@expr_memo
 def vowel_count(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     return F.length(col) - F.length(F.regexp_replace(col, "[aeiou]", ""))

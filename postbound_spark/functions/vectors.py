@@ -27,9 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from postbound_spark.functions.exprcache import expr_memo
+
 QUANT_SCALE = 1_000_000
 
 
+@expr_memo
 def quantize(vec: Column) -> Column:
     """float array -> exact bigint array (×10⁶, floor(x+0.5) rounding —
     identical in every engine, unlike banker's-vs-half-up ``round``)."""
@@ -38,6 +41,7 @@ def quantize(vec: Column) -> Column:
     )
 
 
+@expr_memo
 def dot_q(a: Column, b: Column) -> Column:
     """Exact integer dot product of two quantized vectors."""
     return F.aggregate(
@@ -47,10 +51,12 @@ def dot_q(a: Column, b: Column) -> Column:
     )
 
 
+@expr_memo
 def norm_sq_q(a: Column) -> Column:
     return dot_q(a, a)
 
 
+@expr_memo
 def norm_q(a: Column) -> Column:
     """Euclidean norm of a quantized vector (exact int sum-of-squares, one
     IEEE sqrt). Precompute this per row *before* any pairwise join — norms
@@ -58,6 +64,7 @@ def norm_q(a: Column) -> Column:
     return F.sqrt(norm_sq_q(a).cast("double"))
 
 
+@expr_memo
 def cosine_q(a: Column, b: Column, decimals: int | None = None) -> Column:
     """Cosine similarity of two quantized vectors. sqrt/divide on exact
     integer inputs are IEEE-correctly-rounded, so the raw double is already
@@ -69,6 +76,7 @@ def cosine_q(a: Column, b: Column, decimals: int | None = None) -> Column:
     return cos if decimals is None else F.round(cos, decimals)
 
 
+@expr_memo
 def hyperplane_bucket(qvec: Column, dims: int, n_planes: int = 8) -> Column:
     """Sign-random-projection LSH bucket id (``n_planes``-bit integer).
 
@@ -95,6 +103,7 @@ def hyperplane_bucket(qvec: Column, dims: int, n_planes: int = 8) -> Column:
     )
 
 
+@expr_memo
 def _planes_literal(dims: int, n_planes: int) -> Column:
     """The ±1 plane matrix as ONE array-of-arrays literal via a single
     F.expr call — not n_planes x dims F.lit py4j round-trips (the
@@ -124,6 +133,7 @@ def plane_signs_sql(dims: int, n_planes: int = 8) -> list[list[int]]:
     ]
 
 
+@expr_memo
 def signed_projection(qvec: Column, dims: int, n_planes: int = 16) -> Column:
     """Johnson-Lindenstrauss-style ±1 projection of a quantized vector:
     an ``array<long>`` of ``n_planes`` EXACT integer dot products with

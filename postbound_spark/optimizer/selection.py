@@ -223,6 +223,20 @@ class MeasuredBuildSide:
         self._memo[key] = ("gt", cap)
         return float("inf")
 
+    def fits_broadcast(self, build: DataFrame, key: str) -> bool:
+        """MEASURED verdict: does ``build`` provably fit the broadcast
+        threshold (bounded limit-probe × schema width)? Exposed so
+        operators can branch on the verdict itself — e.g. the LSH band
+        join drops its salt when the build side broadcasts (a broadcast
+        join has no reducer, hence no reducer skew, and the salt explode
+        would only inflate the broadcast ``salt``×)."""
+        thr = self._selection.threshold_bytes
+        if thr < 0:
+            return False
+        width = estimated_row_bytes(build)
+        cap = max(thr // width, 1)
+        return self.rows_capped(build, key, cap) * width <= thr
+
     def build_side(
         self, build: DataFrame, key: str, pin_shuffle: bool = False
     ) -> DataFrame:
@@ -235,12 +249,9 @@ class MeasuredBuildSide:
         80M-row vocabulary at ×100 and died building the table — the
         measured "does not fit" verdict must then FORCE the exchange,
         not merely decline to bless a broadcast."""
-        thr = self._selection.threshold_bytes
-        if thr < 0:
+        if self._selection.threshold_bytes < 0:
             return build
-        width = estimated_row_bytes(build)
-        cap = max(thr // width, 1)
-        if self.rows_capped(build, key, cap) * width <= thr:
+        if self.fits_broadcast(build, key):
             return build.hint("broadcast")
         return build.hint("merge") if pin_shuffle else build
 

