@@ -702,6 +702,13 @@ def _duplicate_components(spark, sf_dir):
     MinHash-verified pair graph — shared by the per-doc listing
     (``dedup_components``) and the canonical-selection rollup
     (``dedup_canonical``)."""
+    return stage_frame(
+        spark, "duplicate_components", sf_dir,
+        lambda: _build_duplicate_components(spark, sf_dir),
+    )
+
+
+def _build_duplicate_components(spark, sf_dir):
     pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -711,6 +718,22 @@ def _duplicate_components(spark, sf_dir):
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+
+    def label_sum(frame) -> object:
+        # exact decimal sum — doc_id sums at 100-TB node counts overflow
+        # BIGINT, and the convergence test must be exact, never float
+        return frame.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    # convergence via the MONOTONE label-sum: each node's label is
+    # min(own, neighbors') so it never increases, hence the label sum
+    # strictly decreases iff ANY node changed this round. One aggregate
+    # over the just-checkpointed frame replaces the old
+    # new⋈old-join + filter + count per round (r11-opt: the join was
+    # ~1/3 of each round's wall on the components family) — same
+    # round count, same labels, cheaper convergence test.
+    prev_sum = label_sum(labels)
     changed = 0
     for _round in range(15):
         neighbor_lbls = (
@@ -723,12 +746,9 @@ def _duplicate_components(spark, sf_dir):
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         labels = new_labels
         if changed == 0:
             break
@@ -737,9 +757,9 @@ def _duplicate_components(spark, sf_dir):
         # otherwise emit wrong labels with no signal — fail loudly; the cap
         # exists only to bound a buggy non-converging graph
         raise RuntimeError(
-            f"connected components did not converge in 15 rounds "
-            f"({changed} labels still changing); raise the round cap for "
-            "graphs with very long duplicate chains"
+            "connected components did not converge in 15 rounds "
+            "(the label sum was still decreasing); raise the round cap "
+            "for graphs with very long duplicate chains"
         )
     return labels
 
