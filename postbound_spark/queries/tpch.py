@@ -185,7 +185,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             t["orders"].filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")),
             F.col("c_custkey") == F.col("o_custkey"),
-        ),
+        )
+        # project to the columns the rest of the query references BEFORE
+        # the measured build-side decision (guide's "project before the
+        # exchange"): the width estimate then reflects what the broadcast
+        # relation actually stores (~40 B vs ~600 B unpruned), so the
+        # limit-probe cap admits the bundle up to its true threshold
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
         f"q3_customer_orders@{sf_dir}",
     )
     return (
@@ -257,7 +263,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unhinted (shuffle + AQE) — never trusting the width-multiplied
     # Catalyst estimate in either direction.
     co = _measured(spark).build_side(
-        t["customer"].join(t["orders"], F.col("c_custkey") == F.col("o_custkey")),
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        # pruned-width projection before the measured decision (see q3)
+        .select("o_orderkey", "c_custkey", "c_name", "c_nationkey"),
         f"q10_customer_orders@{sf_dir}",
     )
     return (
@@ -447,7 +456,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ref PreciseCardinalities, memoized per sf) makes the build side
     # exact: broadcast while it fits, unhinted + AQE above that.
     reduced = _measured(spark).build_side(
-        orders.join(_sized(spark, dims), F.col("o_custkey") == F.col("c_custkey")),
+        orders.join(_sized(spark, dims), F.col("o_custkey") == F.col("c_custkey"))
+        # pruned-width projection before the measured decision (see q3)
+        .select("o_orderkey", "c_nationkey", "n_name"),
         f"q5_orders_dims@{sf_dir}",
     )
     joined = (
@@ -738,7 +749,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         t["lineitem"]
         .join(_sized(spark, parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(_sized(spark, europe_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            # the supplier⋈nation⋈region bundle's Catalyst estimate is
+            # width-multiplied past the threshold, which left a
+            # SortMergeJoin (2 Exchange + 2 Sort) on the fact join; the
+            # pruned projection + measured probe broadcasts it while it
+            # truly fits and degrades to the shuffle family above that
+            # (r11-opt, same pattern as the flagship fix)
+            _measured(spark).build_side(
+                europe_sup.select("s_suppkey", "s_name", "n_name"),
+                f"q2_europe_sup@{sf_dir}",
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -1189,7 +1212,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     late_lines = lines.filter(late)
     return (
-        late_lines.join(order_stats, F.col("l_orderkey") == F.col("st_orderkey"))
+        late_lines.join(
+            # the per-order stats aggregate estimates past the broadcast
+            # threshold (aggregate over a shuffle), leaving a merge join
+            # that also shuffles the late-lines side; the measured probe
+            # broadcasts the (orderkey, 2 counts) frame while it fits —
+            # one row per qualifying order, ~24 B wide (r11-opt)
+            _measured(spark).build_side(
+                order_stats, f"q21_order_stats@{sf_dir}"
+            ),
+            F.col("l_orderkey") == F.col("st_orderkey"),
+        )
         .filter((F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1))
         .join(_sized(spark, t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
