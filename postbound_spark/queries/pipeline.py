@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from postbound_spark.catalog import load_table
+from postbound_spark.functions.exprcache import expr_memo
 from postbound_spark.functions import text as T
 from postbound_spark.functions import vectors as V
 from postbound_spark.operators.skew import salted_join
@@ -712,11 +713,16 @@ def _build_duplicate_components(spark, sf_dir):
     pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").localCheckpoint()
+    # lazy checkpoints: the convergence aggregate below is the first action
+    # on each frame, so it materializes the checkpoint in the SAME job —
+    # one job per round instead of an eager-materialize job plus the
+    # aggregate job (the loop's cost is per-round fixed overhead, so job
+    # count is the lever; lineage truncation is unchanged)
+    ).toDF("src", "dst").localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def label_sum(frame) -> object:
@@ -744,7 +750,7 @@ def _build_duplicate_components(spark, sf_dir):
             labels.unionByName(neighbor_lbls)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = label_sum(new_labels)
         changed = int(new_sum != prev_sum)
@@ -1005,6 +1011,16 @@ def ann_lsh_bucket_histogram(spark, sf_dir):
 
 _PROBE_MASKS = [0] + [1 << p for p in range(8)]  # Hamming distance ≤ 1
 
+
+@expr_memo
+def _probe_bucket_array(bucket, cast_long: bool = True):
+    """The multi-probe bucket list (query bucket + its 8 one-bit flips) as
+    one array expression — 27 py4j round trips, composed once per process
+    instead of on every query build (the memo key covers ``cast_long``)."""
+    flips = [bucket.bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS]
+    return F.array(*[c.cast("long") for c in flips] if cast_long else flips)
+
+
 _LSH_TOPK_ORACLE = f"""
 WITH q AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
 b AS (SELECT vec_id, label, qv, CAST({_bucket_sql(_PLANES)} AS BIGINT) AS bucket FROM q),
@@ -1042,14 +1058,7 @@ def ann_lsh_topk(spark, sf_dir):
     qb = b.filter(F.col("vec_id") == 0).select(
         F.col("qv").alias("query_qv"),
         F.col("nrm").alias("query_nrm"),
-        F.explode(
-            F.array(
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
-                    for m in _PROBE_MASKS
-                ]
-            )
-        ).alias("probe_bucket"),
+        F.explode(_probe_bucket_array(F.col("bucket"))).alias("probe_bucket"),
     )
     c = V.dot_q(F.col("qv"), F.col("query_qv")).cast("double") / (
         F.col("nrm") * F.col("query_nrm")
@@ -3582,9 +3591,7 @@ def ann_recall_at_k(spark, sf_dir):
         "q_qv",
         "q_nrm",
         F.explode(
-            F.array(
-                *[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS]
-            )
+            _probe_bucket_array(F.col("q_bucket"), cast_long=False)
         ).alias("bucket"),
     )
     lsh = (

@@ -81,3 +81,19 @@ def test_expr_memo_reuses_composed_columns():
     assert len(calls) == 1
     composer(F.col("x"), k=3)
     assert len(calls) == 2
+
+
+def test_probe_bucket_array_memoized_and_distinct_by_cast():
+    from postbound_spark.queries.pipeline import _PROBE_MASKS, _probe_bucket_array
+
+    a1 = _probe_bucket_array(F.col("bucket"))
+    a2 = _probe_bucket_array(F.col("bucket"))
+    assert a1 is a2  # one composition per process for the 9-probe array
+    # the cast_long variant is a different expression and must not collide
+    a3 = _probe_bucket_array(F.col("bucket"), cast_long=False)
+    assert a3 is not a1
+    # expression covers every Hamming<=1 flip of the 8-bit bucket
+    text = str(a1)
+    assert len(_PROBE_MASKS) == 9  # identity + 8 one-bit flips
+    for m in _PROBE_MASKS[1:]:
+        assert str(m) in text
