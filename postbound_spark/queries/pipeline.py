@@ -79,6 +79,26 @@ def stage_frame(spark, name: str, sf_dir: str, build) -> DataFrame:
     return df
 
 
+def spread_stream_side(df: DataFrame) -> DataFrame:
+    """Spread the STREAM side of an all-pairs nested-loop join across the
+    available cores. A tiny fixture frame arrives as ONE partition (single
+    parquet file → single scan task, preserved through ``persist()``), and a
+    BroadcastNestedLoopJoin's parallelism IS its stream side's partition
+    count — without this the O(n²) verifier-tier compare runs on one core
+    while the rest idle. Round-robin to ``defaultParallelism`` (total cores
+    at any scale, via the driver's ``local[$SPARK_GRAFT_CPUS]`` contract);
+    an explicit-number repartition is not re-coalesced by AQE, so the
+    parallelism survives adaptive replanning. Monotone: a frame already
+    wider than the core count keeps its width (never collapse a wide
+    stream side through a narrow repartition). Row-set unchanged — only
+    the partitioning of the probe side moves."""
+    target = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    return df.repartition(target)
+
+
 def release_stage_caches() -> int:
     """Unpersist every registered stage cache (non-blocking) and return how
     many were released. Call between queries; never mid-query."""
@@ -437,20 +457,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
     never executed globally on a real corpus.
     """
     d = _shingle_sets(spark, sf_dir).transform(stage_cache)
-    a, b = d.alias("a"), d.alias("b")
+    a, b = spread_stream_side(d).alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     j = inter.cast("double") / (
         F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     )
+    # the threshold sits IN the join condition, cheap conjunct first: a
+    # post-join filter is pushed into the nested-loop condition anyway,
+    # but ANDed after it — evaluating the array intersection for the
+    # doc_id >= doc_id half too. Written this way the id test
+    # short-circuits before the intersect (measured 2× on the condition
+    # evaluation count); inner-join conjunct placement cannot change the
+    # surviving row set.
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (j >= 0.3))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            j.alias("j"),
+            F.round(j, 6).alias("jaccard"),
         )
-        .filter(F.col("j") >= 0.3)
-        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
     )
 
 
@@ -896,19 +921,19 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select("vec_id", "qv", V.norm_q(F.col("qv")).alias("nrm"))
         .transform(stage_cache),
     )
-    a, b = q.alias("a"), q.alias("b")
+    a, b = spread_stream_side(q).alias("a"), q.alias("b")
     c = V.dot_q(F.col("a.qv"), F.col("b.qv")).cast("double") / (
         F.col("a.nrm") * F.col("b.nrm")
     )
+    # id test first in the join condition so the dot product short-circuits
+    # for the vec_id >= vec_id half (see dedup_ngram_jaccard)
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(b, (F.col("a.vec_id") < F.col("b.vec_id")) & (c >= 0.35))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            c.alias("c"),
+            F.round(c, 6).alias("cosine"),
         )
-        .filter(F.col("c") >= 0.35)
-        .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
     )
 
 
@@ -5844,12 +5869,21 @@ def dedup_shingle_containment(spark, sf_dir):
         .filter(F.size("sh") >= 1)
         .transform(stage_cache)
     )
-    a, b = d.alias("a"), d.alias("b")
+    a, b = spread_stream_side(d).alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("long")
     la = F.size(F.col("a.sh")).cast("long")
     lb = F.size(F.col("b.sh")).cast("long")
+    # keep threshold: max containment >= 1/2 as exact integer
+    # cross-multiplication, evaluated IN the join condition AFTER the
+    # cheap id test (see dedup_ngram_jaccard — the post-join filter was
+    # pushed into the nested-loop condition ahead of the id conjunct,
+    # running the array intersection on the doc_id >= doc_id half too)
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ((inter * 2 >= la) | (inter * 2 >= lb)),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -5857,7 +5891,6 @@ def dedup_shingle_containment(spark, sf_dir):
             la.alias("la"),
             lb.alias("lb"),
         )
-        .filter((F.col("inter") * 2 >= F.col("la")) | (F.col("inter") * 2 >= F.col("lb")))
         .select(
             "doc_a",
             "doc_b",
@@ -6069,7 +6102,7 @@ def ann_hubness_indegree(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
     q = stage_cache(q)
-    a, b = q.alias("a"), q.alias("b")
+    a, b = spread_stream_side(q).alias("a"), q.alias("b")
     pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("src"),
         F.col("b.vec_id").alias("dst"),

@@ -83,6 +83,49 @@ def test_expr_memo_reuses_composed_columns():
     assert len(calls) == 2
 
 
+def test_pair_kernels_spread_stream_side_and_short_circuit(spark, sf_small):
+    """The verifier-tier all-pairs kernels must (a) spread the nested-loop
+    stream side across the cores — a single-file fixture scan arrives as
+    ONE partition and the BNLJ's parallelism IS that partition count — and
+    (b) test the cheap id conjunct BEFORE the expensive set/vector term in
+    the join condition, so the intersect/dot short-circuits for the
+    id-mismatched half of the pair space."""
+    from postbound_spark.queries import load_all
+    from postbound_spark.queries import pipeline as P
+
+    spread = P.spread_stream_side(spark.range(5))
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    reg = load_all()
+    for name, cheap, costly in [
+        ("dedup_ngram_jaccard", "doc_id", "array_intersect"),
+        ("dedup_shingle_containment", "doc_id", "array_intersect"),
+        ("dedup_embedding_cosine", "vec_id", "aggregate"),
+    ]:
+        plan = str(
+            reg[name].builder(spark, sf_small)._jdf.queryExecution().executedPlan()
+        )
+        bnlj = next(
+            line for line in plan.splitlines() if "BroadcastNestedLoopJoin" in line
+        )
+        assert bnlj.index(cheap) < bnlj.index(costly), name
+        # the round-robin spread survives into the physical plan
+        assert "RoundRobinPartitioning" in plan, name
+        P.release_stage_caches()
+    # hubness has no join-condition filter; gate only the spread
+    plan = str(
+        reg["ann_hubness_indegree"]
+        .builder(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    assert "RoundRobinPartitioning" in plan
+    P.release_stage_caches()
+
+
 def test_probe_bucket_array_memoized_and_distinct_by_cast():
     from postbound_spark.queries.pipeline import _PROBE_MASKS, _probe_bucket_array
 
