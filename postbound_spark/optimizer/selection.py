@@ -301,6 +301,7 @@ class MeasuredJoinPolicy:
         self._measured = MeasuredBuildSide(spark, threshold_bytes)
         self.threshold_bytes = self._measured._selection.threshold_bytes
         self.prefix = prefix
+        self._root = None
         self._root_tokens: "Counter[str] | None" = None
         self._root_fp = ""
 
@@ -319,20 +320,66 @@ class MeasuredJoinPolicy:
         Catalyst keeps, i.e. its output columns that are referenced
         outside it (join predicate included — the predicate lives on the
         join node, not in either child)."""
+        self._root = root
         self._root_tokens = Counter(_IDENT_RE.findall(repr(root)))
         self._root_fp = hashlib.md5(repr(root).encode()).hexdigest()[:8]
 
+    @staticmethod
+    def _is_naming(node) -> bool:
+        """An ancestor that NAMES every column it consumes: a Grouping
+        (keys + aggregate texts spell out each referenced column; bare
+        ``count(*)`` references none) or a star-free Projection. A
+        ``*`` / ``alias.*`` projection forwards the subtree's whole
+        output without naming it — treat it as not-naming so the width
+        falls back to the full schema."""
+        from postbound_spark.plans import relalg as ra
+
+        if isinstance(node, ra.Grouping):
+            return True
+        if isinstance(node, ra.Projection):
+            return not any(
+                c.strip() == "*" or re.fullmatch(r"[A-Za-z_]\w*\.\*", c.strip())
+                for c in node.columns
+            )
+        return False
+
+    def _named_above(self, subtree) -> bool:
+        """True iff EVERY occurrence of ``subtree`` under the bound root
+        sits below a star-free Projection or a Grouping. Without such an
+        ancestor, columns can survive Catalyst's pruning WITHOUT being
+        named above the subtree (an unprojected join root returns every
+        build-side column), so the repr-token width must not apply."""
+        if self._root is None:
+            return False
+        found: list[bool] = []
+
+        def walk(node, have_naming: bool) -> None:
+            if node == subtree:
+                found.append(have_naming)
+                return
+            naming = have_naming or self._is_naming(node)
+            for child in node.children():
+                walk(child, naming)
+
+        walk(self._root, False)
+        return bool(found) and all(found)
+
     def _pruned_columns(self, subtree) -> set[str] | None:
         """Column names of ``subtree``'s output that survive Catalyst's
-        pruning = identifiers referenced outside the subtree. None when no
-        root is bound (width then uses the full schema). Over-counting is
-        safe (wider estimate → fewer broadcasts); under-counting cannot
-        happen because every outside reference is in the root's repr."""
+        pruning = identifiers referenced outside the subtree. None (full
+        schema width) when no root is bound, when the subtree's output is
+        never narrowed by a naming ancestor (unprojected/star roots — the
+        r11 advisor's under-count hazard: a too-narrow width inflates the
+        limit-probe cap and could bless an over-threshold broadcast), or
+        when the diff comes back empty. Over-counting remains safe in the
+        other direction (wider estimate → fewer broadcasts)."""
         if self._root_tokens is None:
+            return None
+        if not self._named_above(subtree):
             return None
         inside = Counter(_IDENT_RE.findall(repr(subtree)))
         outside = self._root_tokens - inside
-        return set(outside)
+        return set(outside) or None
 
     @classmethod
     def clear_memo(cls) -> None:

@@ -61,10 +61,18 @@ def parsed_flagship_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship 5-way join+agg through the fully native pipeline (ref
     entry point parse_query, parser.py:2240; conversion parse_relalg,
     relalg.py:4266). Filters land below the joins in the algebra, so the
-    parquet scans still receive pushed predicates at any scale."""
+    parquet scans still receive pushed predicates at any scale.
+
+    r12-opt: the join-order hook folds fact-first (l, o, c, n, r) so every
+    dimension build is an independent leaf and AQE materializes all
+    broadcasts in ONE concurrent round — the FROM-clause order
+    (r, n, c, o, l) nested each broadcast inside the next and paid three
+    serial materialization rounds per collect (see tpch.flagship_plan;
+    inner joins commute, and the identical-SQL oracle gates the results)."""
     return _native(
         spark, sf_dir, _FLAGSHIP_SQL,
         ["region", "nation", "customer", "orders", "lineitem"],
+        join_order=["l", "o", "c", "n", "r"],
     )
 
 

@@ -70,8 +70,17 @@ def stage_cache(df: DataFrame) -> DataFrame:
 
 def stage_frame(spark, name: str, sf_dir: str, build) -> DataFrame:
     """Memoized shared stage frame: ``build()`` once per
-    (stage, fixture dir, session) until the next cache release."""
-    key = (name, sf_dir, id(spark))
+    (stage, fixture dir, session) until the next cache release.
+
+    The session key is the session's UUID, not ``id(spark)`` — CPython
+    reuses object ids after garbage collection, so a fresh SparkSession
+    created after an old one died could otherwise be handed stage frames
+    bound to the stopped session (r11 advisor finding)."""
+    try:
+        session_key = spark._jsparkSession.sessionUUID()
+    except Exception:  # noqa: BLE001 — connect mode: no JVM handle
+        session_key = id(spark)
+    key = (name, sf_dir, session_key)
     df = _STAGE_FRAMES.get(key)
     if df is None:
         df = build()
@@ -88,15 +97,17 @@ def spread_stream_side(df: DataFrame) -> DataFrame:
     while the rest idle. Round-robin to ``defaultParallelism`` (total cores
     at any scale, via the driver's ``local[$SPARK_GRAFT_CPUS]`` contract);
     an explicit-number repartition is not re-coalesced by AQE, so the
-    parallelism survives adaptive replanning. Monotone: a frame already
-    wider than the core count keeps its width (never collapse a wide
-    stream side through a narrow repartition). Row-set unchanged — only
-    the partitioning of the probe side moves."""
-    target = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
-    )
-    return df.repartition(target)
+    parallelism survives adaptive replanning. Row-set unchanged — only the
+    partitioning of the probe side moves.
+
+    Call sites hold a measured fits-broadcast verdict on the pair space's
+    build side, so the stream frame is at most broadcast-sized and a flat
+    repartition to the core count is always a widening — r12 drops the
+    former ``df.rdd.getNumPartitions()`` monotone floor, which forced a
+    second physical planning of the frame (plan→RDD conversion) on every
+    build just to read a partition count the verdict already bounds
+    (r11 advisor finding)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def release_stage_caches() -> int:
@@ -445,37 +456,76 @@ SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.3
 """
 
 
+def _shingle_pair_overlap(spark, sf_dir):
+    """(doc_a, doc_b, inter, la, lb) for every document pair sharing at
+    least one word-3-shingle (doc_a < doc_b), with the EXACT intersection
+    size — the shared overlap stage of the exact pair verifiers
+    (``dedup_ngram_jaccard``, ``dedup_shingle_containment``).
+
+    r12-opt: computed via the inverted shingle index (the classic exact
+    all-pairs similarity shape — explode to a posting list, self-join on
+    the shingle, count matches per pair) instead of the broadcast
+    nested-loop over whole shingle ARRAYS. Exactness is unchanged —
+    shingle sets are distinct per document, so the match count per pair
+    IS ``|A∩B|``, and any pair the nested loop would emit (Jaccard > 0 or
+    containment ≥ ½, both of which require a shared shingle) shares at
+    least one posting. What changes is the growth law: the nested loop
+    evaluates an array intersection for all n²/2 ordered pairs regardless
+    of similarity (measured 14.4 s / 27.8 s warm for the two verifiers at
+    sf0.1 = 5000 docs, after full parallelization), while the index path
+    does work proportional to the posting-list collision mass — the
+    output-sensitive bound that holds on a real corpus — and shuffles
+    16-byte id pairs with map-side partial aggregation, never the
+    shingle arrays themselves (guide §2.3: shuffle keys, not payloads).
+    The per-pair lengths attach from a measured broadcast of the tiny
+    (doc_id, |sh|) table; above its threshold the attach degrades to a
+    keyed shuffle join, and the posting self-join is a plain equi-join
+    the AQE skew machinery can re-split at scale.
+    """
+
+    def build():
+        d = _shingle_sets(spark, sf_dir).transform(stage_cache)
+        posting = d.select("doc_id", F.explode("sh").alias("g"))
+        pairs = (
+            posting.select(F.col("doc_id").alias("doc_a"), "g")
+            .join(posting.select(F.col("doc_id").alias("doc_b"), "g"), on=["g"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+        )
+        inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
+        lens = d.select("doc_id", F.size("sh").alias("ln"))
+        mb = MeasuredBuildSide(spark)
+        la = mb.build_side(
+            lens.select(F.col("doc_id").alias("doc_a"), F.col("ln").alias("la")),
+            f"shingle_lens_a@{sf_dir}",
+        )
+        lb = mb.build_side(
+            lens.select(F.col("doc_id").alias("doc_b"), F.col("ln").alias("lb")),
+            f"shingle_lens_b@{sf_dir}",
+        )
+        return inter.join(la, "doc_a").join(lb, "doc_b")
+
+    return stage_frame(spark, "shingle_pair_overlap", sf_dir, build)
+
+
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (the *verifier* tier).
 
-    All-pairs comparison over word-3-shingle sets. Deliberately O(n²):
-    this is the ground-truth tier that LSH candidates are verified
-    against, run only *within* LSH buckets at scale (see
-    dedup_minhash_lsh). The shingle sets are built shuffle-free per row;
-    the pairwise join here is a range cross join — fine at fixture scale,
-    never executed globally on a real corpus.
+    Ground truth that LSH candidates are verified against: every pair
+    with exact Jaccard ≥ 0.3 over distinct word-3-shingle sets. r12-opt:
+    executed through the inverted shingle index
+    (:func:`_shingle_pair_overlap`) — |A∩B| is a posting-list match
+    count, |A∪B| = la + lb − inter, so the pair set and every ratio are
+    bit-identical to the former all-pairs nested loop (oracle-gated at
+    sf0.001/0.01/0.1) while the work is output-sensitive instead of
+    O(n²) and no nested-loop join remains in the plan at any scale.
     """
-    d = _shingle_sets(spark, sf_dir).transform(stage_cache)
-    a, b = spread_stream_side(d).alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    j = inter.cast("double") / (
-        F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    ov = _shingle_pair_overlap(spark, sf_dir)
+    j = F.col("inter").cast("double") / (
+        F.col("la") + F.col("lb") - F.col("inter")
     )
-    # the threshold sits IN the join condition, cheap conjunct first: a
-    # post-join filter is pushed into the nested-loop condition anyway,
-    # but ANDed after it — evaluating the array intersection for the
-    # doc_id >= doc_id half too. Written this way the id test
-    # short-circuits before the intersect (measured 2× on the condition
-    # evaluation count); inner-join conjunct placement cannot change the
-    # surviving row set.
-    return (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (j >= 0.3))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(j, 6).alias("jaccard"),
-        )
+    return ov.filter(j >= 0.3).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
     )
 
 
@@ -921,7 +971,16 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select("vec_id", "qv", V.norm_q(F.col("qv")).alias("nrm"))
         .transform(stage_cache),
     )
-    a, b = spread_stream_side(q).alias("a"), q.alias("b")
+    # measured build-side verdict (r12): while the vector set provably fits
+    # the broadcast threshold, pin the build side and spread the stream
+    # side (a single-file fixture scan is ONE partition, and a BNLJ's
+    # parallelism IS its stream side's width). Past the threshold neither
+    # hint applies: the scan is no longer single-file-scale, and the
+    # planner must pick the pair strategy from runtime sizes.
+    if MeasuredBuildSide(spark).fits_broadcast(q, f"embedding_cosine_q@{sf_dir}"):
+        a, b = spread_stream_side(q).alias("a"), q.hint("broadcast").alias("b")
+    else:
+        a, b = q.alias("a"), q.alias("b")
     c = V.dot_q(F.col("a.qv"), F.col("b.qv")).cast("double") / (
         F.col("a.nrm") * F.col("b.nrm")
     )
@@ -5858,49 +5917,27 @@ def dedup_shingle_containment(spark, sf_dir):
     cross-multiplication, so the pair set is bit-identical across
     engines, and the ratios are rounded only in the output.
 
-    Scale shape: same verifier-tier contract as dedup_ngram_jaccard —
-    the all-pairs join is the fixture-scale ground-truth form; at corpus
-    scale this comparison runs only WITHIN LSH candidate buckets
-    (dedup_minhash_lsh generates the candidates), which containment
-    shares with Jaccard since both read the same shingle sets.
+    Scale shape: verifier-tier contract shared with dedup_ngram_jaccard.
+    r12-opt: executed through the inverted shingle index
+    (:func:`_shingle_pair_overlap`) — a pair can only satisfy
+    max-containment ≥ ½ if it shares a shingle (inter ≥ 1 since
+    |A| ≥ 1), so the posting-join candidate set provably covers the
+    output and the former all-pairs nested loop (27.8 s warm at sf0.1)
+    is gone from the plan at every scale; the ×10 pair space now costs
+    collision mass, not n².
     """
-    d = (
-        _shingle_sets(spark, sf_dir)
-        .filter(F.size("sh") >= 1)
-        .transform(stage_cache)
-    )
-    a, b = spread_stream_side(d).alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("long")
-    la = F.size(F.col("a.sh")).cast("long")
-    lb = F.size(F.col("b.sh")).cast("long")
-    # keep threshold: max containment >= 1/2 as exact integer
-    # cross-multiplication, evaluated IN the join condition AFTER the
-    # cheap id test (see dedup_ngram_jaccard — the post-join filter was
-    # pushed into the nested-loop condition ahead of the id conjunct,
-    # running the array intersection on the doc_id >= doc_id half too)
+    ov = _shingle_pair_overlap(spark, sf_dir)
+    inter = F.col("inter").cast("long")
+    la = F.col("la").cast("long")
+    lb = F.col("lb").cast("long")
     return (
-        a.join(
-            b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & ((inter * 2 >= la) | (inter * 2 >= lb)),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            inter.alias("inter"),
-            la.alias("la"),
-            lb.alias("lb"),
-        )
+        ov.filter((inter * 2 >= la) | (inter * 2 >= lb))
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("inter").cast("double") / F.col("la"), 6).alias("cont_a_in_b"),
-            F.round(F.col("inter").cast("double") / F.col("lb"), 6).alias("cont_b_in_a"),
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("la") + F.col("lb") - F.col("inter")),
-                6,
-            ).alias("jaccard"),
+            F.round(inter.cast("double") / la, 6).alias("cont_a_in_b"),
+            F.round(inter.cast("double") / lb, 6).alias("cont_b_in_a"),
+            F.round(inter.cast("double") / (la + lb - inter), 6).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -6099,14 +6136,32 @@ def ann_hubness_indegree(spark, sf_dir):
     both the in-degree aggregate and the final histogram are
     vector-bounded, never pair-bounded.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
-    q = stage_cache(q)
-    a, b = spread_stream_side(q).alias("a"), q.alias("b")
+    # r12-opt: ride the shared quantize+norm stage — ``cosine_q`` per pair
+    # re-derives BOTH operands' norms (three interpreted higher-order dot
+    # products per pair; measured 3.6 s for the cosine projection alone vs
+    # 1.7 s for one dot at sf0.1's 4M pairs), but a norm is a per-row
+    # property: precomputed once per vector, each pair pays one dot and
+    # one divide on identical IEEE doubles (same sqrt, same product, same
+    # division — bit-identical cosines, oracle-gated). An r12 experiment
+    # that replaced the window with a per-row broadcast-array top-k
+    # expression (array_sort over 2000 structs per row) measured ~43 ms/row
+    # of interpreted struct machinery — WORSE than shuffling the pair rows
+    # — and was discarded; the committed profile is in OPTIMIZATION_r12.md.
+    qn = _quantized_embeddings(spark, sf_dir).select("vec_id", "qv", "nrm")
+    # measured verdict (see dedup_embedding_cosine): while the vector set
+    # fits the broadcast threshold, pin the build side and spread the
+    # single-file stream scan across the cores
+    if MeasuredBuildSide(spark).fits_broadcast(qn, f"hubness_vectors@{sf_dir}"):
+        a, b = spread_stream_side(qn).alias("a"), qn.hint("broadcast").alias("b")
+    else:
+        a, b = qn.alias("a"), qn.alias("b")
     pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("src"),
         F.col("b.vec_id").alias("dst"),
-        V.cosine_q(F.col("a.q"), F.col("b.q")).alias("cos"),
+        (
+            V.dot_q(F.col("a.qv"), F.col("b.qv")).cast("double")
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
     knn = (

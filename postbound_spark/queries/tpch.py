@@ -66,7 +66,20 @@ LIMIT 10
 
 def flagship_plan() -> ra.RelNode:
     """The M0 flagship as a relalg tree (left-deep join order, filters pushed
-    onto the scans — what a join-order stage would emit)."""
+    onto the scans — what a join-order stage would emit).
+
+    r12-opt: the fold starts from the FACT table so every dimension joins as
+    an independent leaf. The previous dims-first order
+    (((region⋈nation)⋈customer)⋈orders)⋈lineitem nested each broadcast
+    build inside the next BroadcastExchange, and AQE materializes nested
+    broadcast stages strictly bottom-up — three SERIAL broadcast rounds
+    (one driver job round trip each) before the probe could start
+    (measured: 6 jobs/collect, ~0.1 s per round at sf0.1). Fact-first,
+    all four dimension builds are leaf subtrees with no exchange below
+    them, so AQE materializes every broadcast in ONE concurrent round
+    (measured: 3 jobs/collect). Inner joins commute — identical results
+    (oracle-gated) — and the measured build-side policy still declines any
+    dimension that outgrows the broadcast threshold at larger SFs."""
     region = ra.Selection(ra.Relation(table="region", alias="r"), "r_name = 'ASIA'")
     nation = ra.Relation(table="nation", alias="n")
     customer = ra.Relation(table="customer", alias="c")
@@ -78,15 +91,15 @@ def flagship_plan() -> ra.RelNode:
     joined = ra.ThetaJoin(
         ra.ThetaJoin(
             ra.ThetaJoin(
-                ra.ThetaJoin(region, nation, "r_regionkey = n_regionkey"),
+                ra.ThetaJoin(lineitem, orders, "o_orderkey = l_orderkey"),
                 customer,
-                "n_nationkey = c_nationkey",
+                "c_custkey = o_custkey",
             ),
-            orders,
-            "c_custkey = o_custkey",
+            nation,
+            "n_nationkey = c_nationkey",
         ),
-        lineitem,
-        "o_orderkey = l_orderkey",
+        region,
+        "r_regionkey = n_regionkey",
     )
     grouped = ra.Grouping(
         joined,
@@ -175,28 +188,38 @@ LIMIT 20
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
-    # segment+date-filtered customer⋈orders is the small side of the fact
-    # join; measure it (memoized COUNT(*), ref PreciseCardinalities) so the
-    # broadcast direction is exact instead of letting the lineitem scan's
-    # compressed-bytes estimate win the build side.
-    reduced = _measured(spark).build_side(
-        t["customer"]
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .join(
-            t["orders"].filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")),
-            F.col("c_custkey") == F.col("o_custkey"),
-        )
+    # r12-opt: fact-probe order with INDEPENDENT leaf broadcasts. The
+    # previous customer⋈orders bundle nested one broadcast build inside
+    # another (customer broadcast → bundle join job → bundle broadcast →
+    # probe: three serial AQE materialization rounds, 4 jobs/collect);
+    # with orders and customer each measured/broadcast directly against
+    # the lineitem probe, both builds are leaf scans and AQE materializes
+    # them in ONE concurrent round (2 jobs/collect). Join results are
+    # identical (inner joins commute; the segment filter now applies via
+    # the customer hash join instead of pre-reducing orders) and each
+    # side is still a measured decision — above its threshold it ships
+    # unhinted and AQE falls back to the shuffle family.
+    orders_f = _measured(spark).build_side(
+        t["orders"]
+        .filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         # project to the columns the rest of the query references BEFORE
         # the measured build-side decision (guide's "project before the
         # exchange"): the width estimate then reflects what the broadcast
-        # relation actually stores (~40 B vs ~600 B unpruned), so the
-        # limit-probe cap admits the bundle up to its true threshold
-        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
-        f"q3_customer_orders@{sf_dir}",
+        # relation actually stores, so the limit-probe cap admits the
+        # side up to its true threshold
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        f"q3_orders_f@{sf_dir}",
+    )
+    customer_f = _measured(spark).build_side(
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey"),
+        f"q3_customer_f@{sf_dir}",
     )
     return (
-        reduced
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        t["lineitem"]
+        .join(orders_f, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer_f, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
@@ -258,23 +281,29 @@ LIMIT 20
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
-    # Unfiltered customer⋈orders grows with SF; the measured build side
-    # broadcasts it only while it truly fits and otherwise leaves the join
-    # unhinted (shuffle + AQE) — never trusting the width-multiplied
-    # Catalyst estimate in either direction.
-    co = _measured(spark).build_side(
-        t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        # pruned-width projection before the measured decision (see q3)
-        .select("o_orderkey", "c_custkey", "c_name", "c_nationkey"),
-        f"q10_customer_orders@{sf_dir}",
+    # r12-opt: fact-probe order with independent leaf broadcasts (see q3).
+    # The customer⋈orders bundle nested its broadcast builds (customer
+    # broadcast → bundle job → bundle broadcast → probe; 5 jobs/collect)
+    # and shipped c_name through two exchanges; orders and customer
+    # measured/broadcast directly against the filtered-lineitem probe
+    # materialize in ONE AQE round (2 jobs/collect), and joining
+    # lineitem_R⋈orders before customer keeps the per-broadcast payload
+    # minimal (orders carries only its two keys). Each side stays a
+    # measured decision — above its threshold it ships unhinted and AQE
+    # falls back to the shuffle family.
+    orders_b = _measured(spark).build_side(
+        t["orders"].select("o_orderkey", "o_custkey"),
+        f"q10_orders@{sf_dir}",
+    )
+    customer_b = _measured(spark).build_side(
+        t["customer"].select("c_custkey", "c_name", "c_nationkey"),
+        f"q10_customer@{sf_dir}",
     )
     return (
-        co
-        .join(
-            t["lineitem"].filter(F.col("l_returnflag") == "R"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(orders_b, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer_b, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -425,48 +454,50 @@ ORDER BY revenue DESC, n.n_name
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 6-way join with the cycle-closing local-supplier condition
     (s_nationkey = c_nationkey). region/nation broadcast unconditionally
-    (fixed-size); the customer-side dim bundle and supplier are SF-scaled,
-    so their join strategies are stats-driven — broadcast while small,
-    shuffle join once the size estimate outgrows the threshold. The
-    orders ⋈ lineitem fact-fact shuffle dominates at 100 TB either way."""
+    (fixed-size); the SF-scaled orders slice, customer, and supplier are
+    stats/measurement-driven — broadcast while small, shuffle join once
+    they outgrow the threshold. The orders ⋈ lineitem fact-fact shuffle
+    dominates at 100 TB either way."""
     t = load_tables(
         spark, sf_dir, ["region", "nation", "customer", "orders", "lineitem", "supplier"]
     )
-    dims = (
-        t["customer"]
-        .join(
-            F.broadcast(
-                t["nation"].join(
-                    F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
-                    F.col("n_regionkey") == F.col("r_regionkey"),
-                )
-            ),
-            F.col("c_nationkey") == F.col("n_nationkey"),
+    # r12-opt: fact-probe order with independent leaf broadcasts (see q3).
+    # The previous orders⋈(customer⋈(nation⋈region)) bundle nested FOUR
+    # broadcast builds (region → nation bundle → dims bundle → orders
+    # bundle), which AQE materializes strictly bottom-up — four serial
+    # rounds, 9 jobs/collect. With every dimension joined directly onto
+    # the lineitem probe, all five builds are leaf scans and materialize
+    # in ONE concurrent AQE round (2 jobs/collect). The cycle-closing
+    # local-supplier condition (s_nationkey = c_nationkey) rides on the
+    # supplier join, after customer is bound. SF-scaled sides (orders
+    # slice, customer) stay measured decisions; fixed-size nation/region
+    # keep the plain broadcast.
+    orders_f = _measured(spark).build_side(
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
+        .select("o_orderkey", "o_custkey"),
+        f"q5_orders_f@{sf_dir}",
     )
-    orders = t["orders"].filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    # The date+region-filtered orders⋈dims bundle is the genuinely small
-    # side of the fact join, but Catalyst's width-multiplied join estimate
-    # can't see it (and the *lineitem scan*, estimating from compressed
-    # file bytes, can slip under the broadcast threshold — broadcasting the
-    # fact table from the wrong side). One measured COUNT(*) on the bundle
-    # (ref PreciseCardinalities, memoized per sf) makes the build side
-    # exact: broadcast while it fits, unhinted + AQE above that.
-    reduced = _measured(spark).build_side(
-        orders.join(_sized(spark, dims), F.col("o_custkey") == F.col("c_custkey"))
-        # pruned-width projection before the measured decision (see q3)
-        .select("o_orderkey", "c_nationkey", "n_name"),
-        f"q5_orders_dims@{sf_dir}",
+    customer_b = _measured(spark).build_side(
+        t["customer"].select("c_custkey", "c_nationkey"),
+        f"q5_customer@{sf_dir}",
     )
     joined = (
-        reduced.join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        t["lineitem"]
+        .join(orders_f, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer_b, F.col("c_custkey") == F.col("o_custkey"))
         .join(
             _sized(spark, t["supplier"]),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
         )
     )
     return (

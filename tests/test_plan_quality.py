@@ -282,7 +282,11 @@ def test_flagship_fact_table_is_not_the_broadcast_side(registry, spark, sf_small
         if "Join" in l and "l_orderkey" in l and "o_orderkey" in l
     ]
     assert fact_joins, executed
-    assert "BuildRight" not in fact_joins[0], fact_joins[0]
+    # r12-opt fact-first fold: lineitem is the LEFT (streamed) child of the
+    # fact join, so the broadcast build must be the right (orders) side —
+    # a BuildLeft here would mean the fact scan itself got broadcast
+    assert "BroadcastHashJoin" in fact_joins[0], fact_joins[0]
+    assert "BuildLeft" not in fact_joins[0], fact_joins[0]
 
 
 def test_measured_policy_width_is_pruning_aware(spark, sf_small):
@@ -297,12 +301,40 @@ def test_measured_policy_width_is_pruning_aware(spark, sf_small):
         estimated_row_bytes,
     )
     from postbound_spark.plans import relalg as ra
-    from postbound_spark.queries.tpch import flagship_plan
 
-    root = flagship_plan()
-    node = root
-    while not isinstance(node, ra.ThetaJoin):
-        node = node.children()[0]
+    # the DIMS-FIRST fold that exposed the width bug (the shipping flagship
+    # now folds fact-first for one-round broadcast materialization, so the
+    # regression tree is built inline: a 4-table bundle as the build side)
+    region = ra.Selection(ra.Relation(table="region", alias="r"), "r_name = 'ASIA'")
+    bundle = ra.ThetaJoin(
+        ra.ThetaJoin(
+            ra.ThetaJoin(region, ra.Relation(table="nation", alias="n"),
+                         "r_regionkey = n_regionkey"),
+            ra.Relation(table="customer", alias="c"),
+            "n_nationkey = c_nationkey",
+        ),
+        ra.Selection(ra.Relation(table="orders", alias="o"),
+                     "o_orderdate >= TIMESTAMP '1996-01-01'"),
+        "c_custkey = o_custkey",
+    )
+    joined = ra.ThetaJoin(
+        bundle, ra.Relation(table="lineitem", alias="l"), "o_orderkey = l_orderkey"
+    )
+    root = ra.Limit(
+        ra.Sort(
+            ra.Grouping(
+                joined,
+                keys=("n_name",),
+                aggregates=(
+                    ("num_orders", "count(*)"),
+                    ("revenue", "round(sum(l_extendedprice * (1 - l_discount)), 4)"),
+                ),
+            ),
+            keys=(ra.SortKey("revenue", ascending=False), ra.SortKey("n_name")),
+        ),
+        limit=10,
+    )
+    node = joined
     pol = MeasuredJoinPolicy(spark, prefix="test-prune")
     pol.bind_root(root)
     bundle_cols = pol._pruned_columns(node.left)
@@ -331,6 +363,37 @@ def test_measured_policy_width_is_pruning_aware(spark, sf_small):
     df = compile_plan(root, spark, cat, selection=pol)
     plan = _formatted_plan(df)
     assert "SortMergeJoin" not in plan, plan[:600]
+
+
+def test_pruned_width_falls_back_without_naming_ancestor(spark):
+    """r12-opt hardening of the r11 advisor finding: the repr-token width
+    may only apply when a star-free Projection or a Grouping ancestor
+    NAMES the columns it consumes. An unprojected join root (every
+    build-side column is in the final output) or a ``*`` / ``alias.*``
+    projection must fall back to the full schema width — an under-counted
+    width would inflate the limit-probe cap and could bless a broadcast
+    far over the memory threshold."""
+    from postbound_spark.optimizer.selection import MeasuredJoinPolicy
+    from postbound_spark.plans import relalg as ra
+
+    join = ra.ThetaJoin(
+        ra.Relation(table="nation", alias="n"),
+        ra.Relation(table="region", alias="r"),
+        "n_regionkey = r_regionkey",
+    )
+    pol = MeasuredJoinPolicy(spark, prefix="t-star")
+    pol.bind_root(join)  # root IS the join: unprojected output
+    assert pol._pruned_columns(join.left) is None
+    pol.bind_root(ra.Projection(join, ("*",)))
+    assert pol._pruned_columns(join.left) is None
+    pol.bind_root(ra.Projection(join, ("n.*",)))
+    assert pol._pruned_columns(join.left) is None
+    # a star-free projection names the kept columns — pruning applies
+    # (multiplication is NOT a star projection)
+    pol.bind_root(ra.Projection(join, ("n_name * 2",)))
+    cols = pol._pruned_columns(join.left)
+    assert cols is not None and "n_name" in cols
+    assert "n_nationkey" not in cols
 
 
 def test_measured_policy_skips_jobs_when_estimates_agree(spark, sf_small):

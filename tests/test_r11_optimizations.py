@@ -100,22 +100,34 @@ def test_pair_kernels_spread_stream_side_and_short_circuit(spark, sf_small):
     )
 
     reg = load_all()
-    for name, cheap, costly in [
-        ("dedup_ngram_jaccard", "doc_id", "array_intersect"),
-        ("dedup_shingle_containment", "doc_id", "array_intersect"),
-        ("dedup_embedding_cosine", "vec_id", "aggregate"),
-    ]:
+    # dedup_embedding_cosine keeps the (measured-small) nested-loop form:
+    # cheap id conjunct first, spread stream side, pinned broadcast build
+    plan = str(
+        reg["dedup_embedding_cosine"]
+        .builder(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    bnlj = next(
+        line for line in plan.splitlines() if "BroadcastNestedLoopJoin" in line
+    )
+    assert bnlj.index("vec_id") < bnlj.index("aggregate")
+    assert "RoundRobinPartitioning" in plan
+    P.release_stage_caches()
+
+    # r12: the shingle pair verifiers run through the inverted shingle
+    # index — a posting equi-join + partial-aggregated match count; no
+    # nested-loop join may remain at ANY scale
+    for name in ("dedup_ngram_jaccard", "dedup_shingle_containment"):
         plan = str(
             reg[name].builder(spark, sf_small)._jdf.queryExecution().executedPlan()
         )
-        bnlj = next(
-            line for line in plan.splitlines() if "BroadcastNestedLoopJoin" in line
-        )
-        assert bnlj.index(cheap) < bnlj.index(costly), name
-        # the round-robin spread survives into the physical plan
-        assert "RoundRobinPartitioning" in plan, name
+        assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan, name
+        assert "partial_count" in plan, name  # map-side combine on the pairs
         P.release_stage_caches()
-    # hubness has no join-condition filter; gate only the spread
+
+    # hubness has no join-condition filter; gate only the spread (its
+    # prenormed-cosine shape is gated in test_r12_optimizations)
     plan = str(
         reg["ann_hubness_indegree"]
         .builder(spark, sf_small)
