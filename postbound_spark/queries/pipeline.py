@@ -40,6 +40,7 @@ from postbound_spark.catalog import load_table
 from postbound_spark.functions.exprcache import expr_memo
 from postbound_spark.functions import text as T
 from postbound_spark.functions import vectors as V
+from postbound_spark.operators.graph import min_label_components
 from postbound_spark.operators.skew import salted_join
 from postbound_spark.optimizer.selection import MeasuredBuildSide
 from postbound_spark.queries import query
@@ -788,61 +789,14 @@ def _build_duplicate_components(spark, sf_dir):
     pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    # lazy checkpoints: the convergence aggregate below is the first action
-    # on each frame, so it materializes the checkpoint in the SAME job —
-    # one job per round instead of an eager-materialize job plus the
-    # aggregate job (the loop's cost is per-round fixed overhead, so job
-    # count is the lever; lineage truncation is unchanged)
+    # lazy checkpoint: the kernel's convergence aggregate is the first
+    # action on the frame, so it materializes the checkpoint in the SAME
+    # job (one job per round; lineage truncation unchanged)
     ).toDF("src", "dst").localCheckpoint(eager=False)
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
-
-    def label_sum(frame) -> object:
-        # exact decimal sum — doc_id sums at 100-TB node counts overflow
-        # BIGINT, and the convergence test must be exact, never float
-        return frame.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    # convergence via the MONOTONE label-sum: each node's label is
-    # min(own, neighbors') so it never increases, hence the label sum
-    # strictly decreases iff ANY node changed this round. One aggregate
-    # over the just-checkpointed frame replaces the old
-    # new⋈old-join + filter + count per round (r11-opt: the join was
-    # ~1/3 of each round's wall on the components family) — same
-    # round count, same labels, cheaper convergence test.
-    prev_sum = label_sum(labels)
-    changed = 0
-    for _round in range(15):
-        neighbor_lbls = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .select(F.col("src").alias("node"), "lbl")
-        )
-        new_labels = (
-            labels.unionByName(neighbor_lbls)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
-        )
-        new_sum = label_sum(new_labels)
-        changed = int(new_sum != prev_sum)
-        prev_sum = new_sum
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed:
-        # a component with diameter > 15 (sliding-boilerplate chains) would
-        # otherwise emit wrong labels with no signal — fail loudly; the cap
-        # exists only to bound a buggy non-converging graph
-        raise RuntimeError(
-            "connected components did not converge in 15 rounds "
-            "(the label sum was still decreasing); raise the round cap "
-            "for graphs with very long duplicate chains"
-        )
-    return labels
+    # r12-opt: shared pointer-doubling kernel (operators/graph.py) —
+    # O(log diameter) rounds instead of O(diameter), identical labels
+    # (min doc_id per component), same monotone-DECIMAL-sum convergence
+    return min_label_components(edges)
 
 
 @query("dedup_components", oracle=_COMPONENTS_ORACLE)

@@ -43,55 +43,19 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from postbound_spark.operators.graph import min_label_components
+
 __all__ = ["StreamingComponents", "fold_near_dup_components"]
 
 
 def _contracted_cc(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
     """Min-label propagation over the contracted representative graph —
-    the batch kernel's loop (queries/pipeline.py ``_duplicate_components``)
-    on merge-count-sized data. Returns (node, lbl)."""
-    # lazy checkpoints + monotone label-sum convergence, mirroring the
-    # batch kernel (queries/pipeline.py): labels never increase, so the
-    # exact DECIMAL sum strictly decreases iff any node changed, and the
-    # sum aggregate is the first action on each frame — it materializes
-    # the checkpoint in the same job (one job per round, no new⋈old join)
+    the shared pointer-doubling kernel (operators/graph.py, r12) on
+    merge-count-sized data. Returns (node, lbl)."""
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    labels = (
-        sym.select(F.col("src").alias("node")).distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
-
-    def label_sum(frame) -> object:
-        return frame.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    prev_sum = label_sum(labels)
-    changed = 0
-    for _round in range(max_rounds):
-        neighbor = sym.join(labels, sym["dst"] == labels["node"]).select(
-            F.col("src").alias("node"), "lbl"
-        )
-        new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
-        )
-        new_sum = label_sum(new_labels)
-        changed = int(new_sum != prev_sum)
-        prev_sum = new_sum
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed:
-        raise RuntimeError(
-            f"contracted components did not converge in {max_rounds} rounds"
-        )
-    return labels
+    return min_label_components(sym, max_rounds=max_rounds)
 
 
 class StreamingComponents:

@@ -81,6 +81,25 @@ def test_shingle_overlap_counts_match_array_intersection(spark, sf_small):
     P.release_stage_caches()
 
 
+def test_cc_pointer_doubling_round_law_on_chain(spark):
+    """A 64-node chain has diameter 63: plain one-hop min-label
+    propagation would blow the 15-round cap, while the pointer-doubling
+    kernel covers ~2^k hops by round k and must converge (labels = min
+    node id = 0 for every node) in O(log d) rounds."""
+    from postbound_spark.operators.graph import min_label_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    sym = edges.union(edges.selectExpr("dst as src", "src as dst"))
+    rc: list = []
+    labels = min_label_components(sym, max_rounds=15, round_counter=rc)
+    rows = {r["node"]: r["lbl"] for r in labels.collect()}
+    assert rows == {i: 0 for i in range(n)}
+    assert rc[0] <= 9, rc  # ~log2(63) + the no-change detection round
+
+
 def test_expr_memo_skips_plan_bound_and_lambda_columns(spark):
     """r11 advisor findings: df-bound columns stringify identically across
     DataFrames but carry plan ids — they must bypass the memo; lambda
