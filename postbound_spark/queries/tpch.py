@@ -27,6 +27,7 @@ from postbound_spark.optimizer.selection import (
 )
 from postbound_spark.plans import relalg as ra
 from postbound_spark.queries import query
+from postbound_spark.queries.pipeline import stage_cache
 
 
 def _sized(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -970,6 +971,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)"))
             .alias("value")
         )
+        # r12-opt: consumed twice (rows + grand-total threshold) with no
+        # exchange/stage reuse firing (see q15) — persist the part-bounded
+        # aggregate so the fact semi-join+agg runs once; stage-cache
+        # lifecycle releases it per query.
+        .transform(stage_cache)
     )
     threshold = partval.agg((F.sum("value") * 0.005).alias("threshold"))
     return (
@@ -1101,6 +1107,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
             .alias("total_revenue")
         )
+        # r12-opt: the view is consumed twice (rows + MAX) and neither
+        # ReuseExchange nor AQE stage reuse deduplicates the two aggregate
+        # subtrees (executed plan showed the lineitem scan running twice;
+        # x10 exponent 1.08, the family's worst). Persisting the
+        # supplier-bounded aggregate behind the registered stage-cache
+        # lifecycle makes the fact scan run ONCE at any scale; released
+        # per query like every pipeline stage cache.
+        .transform(stage_cache)
     )
     best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (

@@ -151,3 +151,23 @@ def test_spread_stream_side_widens_single_partition(spark):
     assert (
         spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     )
+
+
+def test_q15_q11_twice_consumed_aggregate_is_persisted(spark, sf_small):
+    """q15's revenue view feeds both the row side and the MAX subquery,
+    q11's part-value aggregate feeds both the row side and the 0.005
+    grand-total threshold; neither ReuseExchange nor AQE stage reuse
+    deduplicated the two aggregate subtrees, so the lineitem / partsupp
+    fact scan ran TWICE per collect. The stage-cache persist makes the
+    shared aggregate an InMemoryRelation consumed by both sides, and the
+    release lifecycle must drop it between queries."""
+    from postbound_spark.queries import load_all
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    reg = load_all()
+    for name in ("q15_top_supplier", "q11_important_stock"):
+        df = reg[name].builder(spark, sf_small)
+        plan = str(df._jdf.queryExecution().optimizedPlan())
+        assert "InMemoryRelation" in plan, name
+        df.collect()
+        assert release_stage_caches() >= 1, name
