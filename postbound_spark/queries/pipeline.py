@@ -40,6 +40,7 @@ from postbound_spark.catalog import load_table
 from postbound_spark.functions.exprcache import expr_memo
 from postbound_spark.functions import text as T
 from postbound_spark.functions import vectors as V
+from postbound_spark.operators import densepair
 from postbound_spark.operators.graph import min_label_components
 from postbound_spark.operators.skew import salted_join
 from postbound_spark.optimizer.selection import MeasuredBuildSide
@@ -925,13 +926,25 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select("vec_id", "qv", V.norm_q(F.col("qv")).alias("nrm"))
         .transform(stage_cache),
     )
-    # measured build-side verdict (r12): while the vector set provably fits
-    # the broadcast threshold, pin the build side and spread the stream
-    # side (a single-file fixture scan is ONE partition, and a BNLJ's
-    # parallelism IS its stream side's width). Past the threshold neither
-    # hint applies: the scan is no longer single-file-scale, and the
-    # planner must pick the pair strategy from runtime sizes.
-    if MeasuredBuildSide(spark).fits_broadcast(q, f"embedding_cosine_q@{sf_dir}"):
+    # measured dense-tier budget (r12, VERDICT item 2): the all-JVM pair
+    # join is the right plan only while the pair space is small; above
+    # DENSE_PAIR_MAX_VECTORS the per-pair interpreted dot fold dominates
+    # and the block GEMM kernel computes bit-identical cosines (integer
+    # dots are exact in float64 under any summation order) without any
+    # nested-loop join — see operators/densepair.py.
+    mb = MeasuredBuildSide(spark)
+    key = f"embedding_cosine_q@{sf_dir}"
+    if mb.rows_capped(q, key, densepair.DENSE_PAIR_MAX_VECTORS) == float("inf"):
+        pairs = densepair.dense_pair_threshold(spark, q, q.count(), 0.35)
+        return pairs.select(
+            "vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cosine")
+        )
+    # below the budget: while the vector set provably fits the broadcast
+    # threshold, pin the build side and spread the stream side (a
+    # single-file fixture scan is ONE partition, and a BNLJ's parallelism
+    # IS its stream side's width). Past the threshold neither hint
+    # applies and the planner picks the pair strategy from runtime sizes.
+    if mb.fits_broadcast(q, key):
         a, b = spread_stream_side(q).alias("a"), q.hint("broadcast").alias("b")
     else:
         a, b = q.alias("a"), q.alias("b")
@@ -6102,21 +6115,34 @@ def ann_hubness_indegree(spark, sf_dir):
     # of interpreted struct machinery — WORSE than shuffling the pair rows
     # — and was discarded; the committed profile is in OPTIMIZATION_r12.md.
     qn = _quantized_embeddings(spark, sf_dir).select("vec_id", "qv", "nrm")
-    # measured verdict (see dedup_embedding_cosine): while the vector set
-    # fits the broadcast threshold, pin the build side and spread the
-    # single-file stream scan across the cores
-    if MeasuredBuildSide(spark).fits_broadcast(qn, f"hubness_vectors@{sf_dir}"):
-        a, b = spread_stream_side(qn).alias("a"), qn.hint("broadcast").alias("b")
+    # measured dense-tier budget (r12, VERDICT item 2): above
+    # DENSE_PAIR_MAX_VECTORS the block GEMM kernel generates per-tile
+    # top-5 candidates (bit-identical cosines, provable top-5 coverage —
+    # operators/densepair.py) and the SAME window below merges them; the
+    # all-pairs join never exists above the budget.
+    mb = MeasuredBuildSide(spark)
+    key = f"hubness_vectors@{sf_dir}"
+    if mb.rows_capped(qn, key, densepair.DENSE_PAIR_MAX_VECTORS) == float("inf"):
+        pairs = densepair.dense_pair_topk_candidates(spark, qn, qn.count(), 5)
     else:
-        a, b = qn.alias("a"), qn.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        (
-            V.dot_q(F.col("a.qv"), F.col("b.qv")).cast("double")
-            / (F.col("a.nrm") * F.col("b.nrm"))
-        ).alias("cos"),
-    )
+        # below the budget (see dedup_embedding_cosine): while the vector
+        # set fits the broadcast threshold, pin the build side and spread
+        # the single-file stream scan across the cores
+        if mb.fits_broadcast(qn, key):
+            a, b = (
+                spread_stream_side(qn).alias("a"),
+                qn.hint("broadcast").alias("b"),
+            )
+        else:
+            a, b = qn.alias("a"), qn.alias("b")
+        pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            (
+                V.dot_q(F.col("a.qv"), F.col("b.qv")).cast("double")
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
     w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
     knn = (
         pairs.withColumn("rnk", F.row_number().over(w))

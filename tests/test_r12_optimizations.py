@@ -153,6 +153,38 @@ def test_spread_stream_side_widens_single_partition(spark):
     )
 
 
+def test_dense_pair_block_kernel_matches_jvm_path(spark, sf_small):
+    """Above the measured dense-tier budget the exact pair kernels must
+    route through the block GEMM kernel: no nested-loop/cartesian node
+    in the plan (the VERDICT-2 plan gate) and results IDENTICAL to the
+    all-JVM pair join — integer-quantized dots are exact in float64
+    under any summation order, so the comparison is bit-for-bit tuple
+    equality, not approximate."""
+    from postbound_spark.operators import densepair
+    from postbound_spark.optimizer.selection import MeasuredBuildSide
+    from postbound_spark.queries import load_all
+    from postbound_spark.queries.pipeline import release_stage_caches
+
+    reg = load_all()
+    for name in ("dedup_embedding_cosine", "ann_hubness_indegree"):
+        jvm = sorted(map(tuple, reg[name].builder(spark, sf_small).collect()))
+        release_stage_caches()
+        MeasuredBuildSide.clear_memo()
+        saved = densepair.DENSE_PAIR_MAX_VECTORS
+        densepair.DENSE_PAIR_MAX_VECTORS = 4  # force the kernel path
+        try:
+            df = reg[name].builder(spark, sf_small)
+            plan = str(df._jdf.queryExecution().executedPlan())
+            assert "NestedLoopJoin" not in plan and "Cartesian" not in plan
+            assert "MapInArrow" in plan
+            ker = sorted(map(tuple, df.collect()))
+        finally:
+            densepair.DENSE_PAIR_MAX_VECTORS = saved
+            release_stage_caches()
+            MeasuredBuildSide.clear_memo()
+        assert jvm == ker and jvm, name
+
+
 def test_q15_q11_twice_consumed_aggregate_is_persisted(spark, sf_small):
     """q15's revenue view feeds both the row side and the MAX subquery,
     q11's part-value aggregate feeds both the row side and the 0.005
