@@ -61,8 +61,12 @@ def _packed_blocks(qn: DataFrame, n_blocks: int) -> DataFrame:
         .select(
             "blk",
             F.transform("vs", lambda v: v["vec_id"]).alias("ids"),
+            # int32 is exact for quantized components (|qv| <= ~1e6 <<
+            # 2^31) and HALVES the dominant tile payload through the
+            # grid shuffle and the Arrow boundary; the kernel widens to
+            # float64 before the GEMM (lossless)
             F.flatten(F.transform("vs", lambda v: v["qv"]))
-            .cast("array<double>")
+            .cast("array<int>")
             .alias("mat"),
             F.transform("vs", lambda v: v["nrm"]).alias("nrms"),
         )
@@ -91,7 +95,14 @@ def _block_grid(spark: SparkSession, qn: DataFrame, n_vectors: int) -> DataFrame
     )
     # the {a <= b} index pairs come from range+sequence, not a theta
     # join, so the whole grid build is equi-joins only (no nested-loop
-    # node at any scale — the plan gate the dense tier promises)
+    # node at any scale — the plan gate the dense tier promises); the
+    # explicit round-robin on the joined grid guarantees the tiles
+    # spread across the cores REGARDLESS of which side the planner
+    # broadcasts (spreading the index frame instead lets the planner
+    # broadcast the 55-row index and inherit the packed side's one
+    # coalesced partition — measured: the whole kernel on one core),
+    # and the tiles are compute-bound, so AQE's byte-based coalescing
+    # must not size this stage.
     idx = spark.range(n_blocks).select(
         F.col("id").cast("int").alias("blk_a"),
         F.explode(
@@ -116,8 +127,8 @@ def _tiles(batch):
         mat_b = col["mat_b"][r].values.to_numpy(zero_copy_only=False)
         nrm_a = col["nrms_a"][r].values.to_numpy(zero_copy_only=False)
         nrm_b = col["nrms_b"][r].values.to_numpy(zero_copy_only=False)
-        A = mat_a.reshape(len(ids_a), -1)
-        B = mat_b.reshape(len(ids_b), -1)
+        A = mat_a.reshape(len(ids_a), -1).astype(np.float64)
+        B = mat_b.reshape(len(ids_b), -1).astype(np.float64)
         dots = A @ B.T
         cos = dots / np.outer(nrm_a, nrm_b)
         diag = col["blk_a"][r].as_py() == col["blk_b"][r].as_py()
@@ -165,13 +176,17 @@ def dense_pair_threshold(
 def dense_pair_topk_candidates(
     spark: SparkSession, qn: DataFrame, n_vectors: int, k: int
 ) -> DataFrame:
-    """Per-tile top-k candidates (src, dst, cos) under the total order
-    (cos desc, dst asc), both directions of every tile. Any global top-k
-    neighbor of ``src`` is a within-tile top-k of its tile (fewer than k
-    elements beat it anywhere, so fewer than k beat it in the tile), so
-    a (cos desc, dst asc) row_number <= k over these candidates equals
-    the full pairwise window. Within a block, ids are sorted ascending,
-    so a STABLE argsort on -cos realizes the dst-ascending tie-break."""
+    """Per-tile top-k candidate SUPERSET (src, dst, cos), both directions
+    of every tile: every element whose cos is >= the row's k-th largest
+    cos (boundary ties included). Coverage is provable: a global top-k
+    neighbor of ``src`` has fewer than k elements anywhere with larger
+    cos, hence fewer than k in the tile, hence its cos >= the tile's
+    k-th value. No ordering happens in Python at all — an O(nb)
+    argpartition finds the boundary value (8x cheaper than a stable
+    per-row sort, measured) and the unchanged Spark window applies the
+    exact (cos desc, dst asc) total order to the ~k-per-row-per-tile
+    survivors. Exact-duplicate vectors widen a boundary tie to the
+    duplicate count; the window absorbs the extras."""
 
     def kernel(batches):
         import numpy as np
@@ -179,12 +194,10 @@ def dense_pair_topk_candidates(
 
         def top(ids_src, ids_dst, tile):
             kk = min(k, tile.shape[1])
-            # stable mergesort: equal cosines keep column order, which
-            # is dst ascending (ids sorted inside the pack)
-            order = np.argsort(-tile, axis=1, kind="stable")[:, :kk]
-            src = np.repeat(ids_src, kk)
-            dst = ids_dst[order].ravel()
-            cval = np.take_along_axis(tile, order, axis=1).ravel()
+            part = np.argpartition(tile, tile.shape[1] - kk, axis=1)[:, -kk:]
+            bound = np.take_along_axis(tile, part, axis=1).min(axis=1)
+            ii, jj = np.nonzero(tile >= bound[:, None])
+            src, dst, cval = ids_src[ii], ids_dst[jj], tile[ii, jj]
             keep = cval != -np.inf  # masked self-pairs on the diagonal
             return src[keep], dst[keep], cval[keep]
 
