@@ -185,6 +185,58 @@ def test_dense_pair_block_kernel_matches_jvm_path(spark, sf_small):
         assert jvm == ker and jvm, name
 
 
+def test_dense_topk_superset_covers_boundary_ties(spark):
+    """The argpartition kernel emits a SUPERSET (everything with cos >=
+    the row's k-th value); with exact-duplicate vectors the boundary tie
+    widens and the claim is that the window still reconstructs the exact
+    global top-k. Build a corpus that is MOSTLY one duplicated vector
+    (maximal ties, including across tile boundaries) and compare the
+    kernel+window 5-NN graph against the brute-force pairwise window."""
+    from pyspark.sql.window import Window
+
+    from postbound_spark.functions import vectors as V
+    from postbound_spark.operators import densepair
+
+    dup = [1.0] * 8
+    others = [[float(i + 1), float(-i - 2)] * 4 for i in range(4)]
+    rows = [(i, dup if i % 3 else others[i % 4]) for i in range(40)]
+    qn = (
+        spark.createDataFrame(rows, "vec_id long, v array<double>")
+        .select("vec_id", V.quantize(F.col("v")).alias("qv"))
+        .select("vec_id", "qv", V.norm_q(F.col("qv")).alias("nrm"))
+    )
+    saved = densepair.BLOCK_ROWS
+    densepair.BLOCK_ROWS = 8  # force 5 blocks -> ties straddle tiles
+    try:
+        cand = densepair.dense_pair_topk_candidates(spark, qn, 40, 5)
+    finally:
+        densepair.BLOCK_ROWS = saved
+    a, b = qn.alias("a"), qn.alias("b")
+    brute = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        (
+            V.dot_q(F.col("a.qv"), F.col("b.qv")).cast("double")
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+
+    def knn(pairs):
+        return sorted(
+            map(
+                tuple,
+                pairs.withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= 5)
+                .select("src", "dst")
+                .collect(),
+            )
+        )
+
+    got, want = knn(cand), knn(brute)
+    assert got == want and len(want) == 40 * 5
+
+
 def test_q15_q11_twice_consumed_aggregate_is_persisted(spark, sf_small):
     """q15's revenue view feeds both the row side and the MAX subquery,
     q11's part-value aggregate feeds both the row side and the 0.005
