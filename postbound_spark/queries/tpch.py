@@ -618,25 +618,28 @@ WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
 @query("q17_small_quantity_revenue", oracle=_Q17_ORACLE)
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: correlated scalar subquery (per-part average quantity),
-    decorrelated Spark-first into a groupBy + join — the rewrite Catalyst
-    itself applies to correlated scalar subqueries, made explicit. The
-    per-part aggregate shrinks lineitem to one row per part before the
-    join; since that is still SF-scaled (one row per partkey), the join
-    strategy is stats-driven, not hard-broadcast."""
+    decorrelated into a per-part WINDOW over one fact pass (the same
+    rewrite q2 uses, r12-opt). The part predicate touches only part
+    attributes, so the semi-joined rows keep every lineitem of each
+    surviving part intact — the window average is over the identical row
+    multiset the old full-lineitem groupBy produced (and l_quantity is
+    integer-valued in double, so the sum is exact at any association
+    order: bit-identical thresholds). The r11 form scanned and
+    partially aggregated ALL of lineitem a second time just to join the
+    threshold back; now only the brand/size-filtered slice (~0.4% of
+    rows) crosses the one exchange."""
+    from pyspark.sql.window import Window
+
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     part = t["part"].filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
     )
-    per_part_avg = (
-        t["lineitem"]
-        .groupBy("l_partkey")
-        .agg((0.5 * F.avg("l_quantity")).alias("qty_threshold"))
-        .withColumnRenamed("l_partkey", "t_partkey")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
         t["lineitem"]
         .join(_sized(spark, part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(_sized(spark, per_part_avg), F.col("l_partkey") == F.col("t_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn("qty_threshold", 0.5 * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -1239,39 +1242,51 @@ ORDER BY numwait DESC, s.s_name
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the EXISTS + NOT EXISTS pair ("some other supplier
     in the order, but no OTHER supplier was late"; late = shipped >60 days
-    after order date, fixture-adapted). Instead of two correlated re-scans
-    of lineitem, the Spark build aggregates per-order supplier stats ONCE
-    (distinct suppliers, distinct late suppliers) and joins them back —
-    three scans become two, and the correlation is a plain equi-join on
-    o_orderkey at any scale."""
+    after order date, fixture-adapted). Single-pass form (r12-opt): the
+    r11 build consumed lineitem⋈F-orders TWICE (once under a
+    countDistinct/Expand per-order stats aggregate that was broadcast
+    back, once as the late-lines probe). Now ONE pass groups that join to
+    (orderkey, suppkey) pairs — late_cnt>0 marks a late supplier and
+    late_cnt IS the row's EXISTS-filtered multiplicity, so counting pair
+    rows / late pairs over a window partitioned by orderkey reproduces
+    both countDistincts exactly (pair rows ARE the distinct suppliers of
+    the order). One repartition on l_orderkey up front serves the pair
+    aggregate AND the window (hash(orderkey) clusters (orderkey,suppkey)
+    groups), so the fact data crosses exactly one exchange; numwait =
+    SUM(late_cnt) = the late-line count the old form produced."""
+    from pyspark.sql.window import Window
+
     t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders"])
     f_orders = t["orders"].filter(F.col("o_orderstatus") == "F")
-    lines = t["lineitem"].join(
-        f_orders.select("o_orderkey", "o_orderdate"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
-    order_stats = lines.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_suppliers"),
-    )
-    late_lines = lines.filter(late)
-    return (
-        late_lines.join(
-            # the per-order stats aggregate estimates past the broadcast
-            # threshold (aggregate over a shuffle), leaving a merge join
-            # that also shuffles the late-lines side; the measured probe
-            # broadcasts the (orderkey, 2 counts) frame while it fits —
-            # one row per qualifying order, ~24 B wide (r11-opt)
-            _measured(spark).build_side(
-                order_stats, f"q21_order_stats@{sf_dir}"
-            ),
-            F.col("l_orderkey") == F.col("st_orderkey"),
+    pair = (
+        t["lineitem"]
+        .join(
+            f_orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .filter((F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1))
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_cnt"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        pair.select(
+            "*",
+            F.count(F.lit(1)).over(w).alias("n_suppliers"),
+            F.sum(F.when(F.col("late_cnt") > 0, 1).otherwise(0))
+            .over(w)
+            .alias("n_late_suppliers"),
+        )
+        .filter(
+            (F.col("late_cnt") > 0)
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_late_suppliers") == 1)
+        )
         .join(_sized(spark, t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_cnt").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
 

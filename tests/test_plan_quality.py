@@ -134,16 +134,19 @@ def test_q2_decorrelates_to_single_fact_pass(registry, spark, sf_small):
 
 
 def test_q21_aggregated_exists_has_no_per_row_rescan(registry, spark, sf_small):
-    """Q21's EXISTS/NOT-EXISTS pair is folded into one per-order stats
-    aggregate — the plan must contain no nested-loop join and at most two
-    lineitem scans (late lines + stats), never three."""
+    """Q21's EXISTS/NOT-EXISTS pair is folded into one single-pass
+    pair-level aggregate + per-order window (r12) — the plan must contain
+    no nested-loop join, exactly ONE lineitem scan (the r11 form paid
+    two: stats + late-lines probe), and the window that replaces the
+    stats join-back."""
     plan = _formatted_plan(_build(registry, spark, sf_small, "q21_waiting_suppliers"))
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
     scans = [
         l for l in plan.splitlines()
         if "Location" in l and "lineitem.parquet" in l
     ]
-    assert len(scans) <= 2, f"expected <=2 lineitem scans, got {len(scans)}"
+    assert len(scans) == 1, f"expected 1 lineitem scan, got {len(scans)}"
 
 
 def test_stats_driven_broadcast_flips_with_threshold(registry, spark, sf_small):
