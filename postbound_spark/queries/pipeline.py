@@ -788,12 +788,21 @@ def _duplicate_components(spark, sf_dir):
 
 def _build_duplicate_components(spark, sf_dir):
     pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    # both edge directions EXPLODE from one pair row (r12-opt: the former
+    # self-union evaluated the whole LSH-candidate + exact-verify subtree
+    # once per branch — the checkpoint job paid the pair kernel twice)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # lazy checkpoint: the kernel's convergence aggregate is the first
     # action on the frame, so it materializes the checkpoint in the SAME
     # job (one job per round; lineage truncation unchanged)
-    ).toDF("src", "dst").localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False)
     # r12-opt: shared pointer-doubling kernel (operators/graph.py) —
     # O(log diameter) rounds instead of O(diameter), identical labels
     # (min doc_id per component), same monotone-DECIMAL-sum convergence
@@ -1475,12 +1484,16 @@ def countmin_cells(tok: DataFrame) -> DataFrame:
     )
 
 
-def bloom_bit_stream(tok: DataFrame) -> DataFrame:
+def bloom_bit_stream(tok: DataFrame, keep_token: bool = False) -> DataFrame:
     """Raw (bit) stream — both md5-derived positions per token — shared
-    by ``sketch_bloom_tokens`` (DISTINCT → the filter) and the
+    by ``sketch_bloom_tokens`` (one-pass aggregate → the filter) and the
     incremental drain (groupBy-count → the same bit set, merged by
     bit-OR which the grouped count subsumes). State on a stream is
-    bounded by m=256 bits by construction."""
+    bounded by m=256 bits by construction. The two positions EXPLODE
+    from one row (r12-opt: the former self-union re-scanned the token
+    source — 2 input passes per consumer — for the identical multiset);
+    ``keep_token=True`` carries the token alongside its bits so a
+    consumer can fold token- and bit-level aggregates into one pass."""
 
     def bit(start):
         return (
@@ -1490,7 +1503,10 @@ def bloom_bit_stream(tok: DataFrame) -> DataFrame:
             % _BLOOM_M
         )
 
-    return tok.select(bit(1).alias("bit")).union(tok.select(bit(9).alias("bit")))
+    cols = (["token"] if keep_token else []) + [
+        F.explode(F.array(bit(1), bit(9))).alias("bit")
+    ]
+    return tok.select(*cols)
 
 
 _CM_A = ", ".join(str(x) for x in T.MINHASH_A[:4])
@@ -6538,14 +6554,17 @@ def sketch_bloom_tokens(spark, sf_dir):
     bit-identical across engines, and the fill share is exact integer
     ppm.
 
-    Scale shape: bit construction is map-side hashing partial-aggregated
-    to at most m=256 distinct bits (the dedup happens inside the
-    aggregate — the token stream never shuffles token-keyed); the probe
-    list and the m-bounded bit set broadcast, and ground-truth
-    membership comes from broadcasting the probes into the token stream
-    (never the vocabulary out of it). Production form: the m-bit
-    array itself, merged with bit-OR — the per-partition state here is
-    already exactly that."""
+    Scale shape (r12-opt, ONE corpus pass): the (token, bit) stream from
+    the shared ``bloom_bit_stream`` kernel folds into a single global
+    aggregate — ``collect_set(bit)`` (bounded by m=256 by construction,
+    so the partial-aggregation state per task IS the production m-bit
+    array, merged set-wise exactly like bit-OR) plus one conditional
+    max flag per probe for ground truth. Probe hash positions are
+    constant-folded literals tested against the collected set, so
+    nothing token-keyed ever shuffles and the only exchange carries one
+    ≤256-element row. The r11 form paid THREE corpus passes (a
+    self-union for the two bit positions + a probe semi-join pass) and
+    a persisted bit set; same rows out, bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
 
@@ -6555,42 +6574,44 @@ def sketch_bloom_tokens(spark, sf_dir):
             % _BLOOM_M
         )
 
-    bits = bloom_bit_stream(tok).distinct()
-    bits = stage_cache(bits)
-    fill = bits.agg(F.count(F.lit(1)).cast("long").alias("n_set"))
-    probes = spark.createDataFrame(
-        [(p,) for p in _BLOOM_PROBES], "token string"
+    row = bloom_bit_stream(tok, keep_token=True).agg(
+        F.collect_set("bit").alias("bset"),
+        *[
+            F.max(F.when(F.col("token") == p, 1)).alias(f"t{i}")
+            for i, p in enumerate(_BLOOM_PROBES)
+        ],
     )
-    b1 = bits.select(F.col("bit").alias("b1"))
-    b2 = bits.select(F.col("bit").alias("b2"))
-    # ground-truth membership WITHOUT materializing the vocabulary:
-    # broadcast the 5-row probe list INTO the token stream (broadcast
-    # semi-join) and aggregate existence per probe — the only broadcasts
-    # in this plan are the m<=256 bit set, the probes, and this <=5-row
-    # hit table, exactly as the scale contract documents
-    truly = (
-        tok.join(F.broadcast(probes), "token")
-        .groupBy("token")
-        .agg(F.max(F.lit(1)).alias("t_flag"))
-        .select(F.col("token").alias("t_tok"), "t_flag")
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("token"),
+                (
+                    F.array_contains("bset", bit(F.lit(p), 1))
+                    & F.array_contains("bset", bit(F.lit(p), 9))
+                )
+                .cast("int")
+                .alias("maybe_member"),
+                F.coalesce(F.col(f"t{i}"), F.lit(0))
+                .cast("int")
+                .alias("truly_member"),
+            )
+            for i, p in enumerate(_BLOOM_PROBES)
+        ]
     )
-    joined = (
-        probes.withColumn("h1", bit(F.col("token"), 1))
-        .withColumn("h2", bit(F.col("token"), 9))
-        .join(F.broadcast(b1), F.col("h1") == F.col("b1"), "left")
-        .join(F.broadcast(b2), F.col("h2") == F.col("b2"), "left")
-        .join(F.broadcast(truly), F.col("token") == F.col("t_tok"), "left")
-        .crossJoin(F.broadcast(fill))
+    return (
+        row.select(
+            F.size("bset").cast("long").alias("n_set"),
+            F.explode(probe_structs).alias("pr"),
+        )
+        .select(
+            F.col("pr.token").alias("token"),
+            F.col("pr.maybe_member").alias("maybe_member"),
+            F.col("pr.truly_member").alias("truly_member"),
+            F.col("n_set").alias("bits_set"),
+            F.expr(f"(n_set * 1000000) div {_BLOOM_M}").alias("fill_ppm"),
+        )
+        .orderBy("token")
     )
-    return joined.select(
-        "token",
-        (F.col("b1").isNotNull() & F.col("b2").isNotNull())
-        .cast("int")
-        .alias("maybe_member"),
-        F.coalesce(F.col("t_flag"), F.lit(0)).cast("int").alias("truly_member"),
-        F.col("n_set").alias("bits_set"),
-        F.expr(f"(n_set * 1000000) div {_BLOOM_M}").alias("fill_ppm"),
-    ).orderBy("token")
 
 
 _G5 = (

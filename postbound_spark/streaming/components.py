@@ -52,9 +52,17 @@ def _contracted_cc(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
     """Min-label propagation over the contracted representative graph —
     the shared pointer-doubling kernel (operators/graph.py, r12) on
     merge-count-sized data. Returns (node, lbl)."""
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    # both directions explode from one edge row (one evaluation of the
+    # contracted-edge subtree, not one per union branch — r12-opt, same
+    # as the batch CC build)
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint(eager=False)
     return min_label_components(sym, max_rounds=max_rounds)
 
 
